@@ -1,0 +1,146 @@
+"""Text-analysis scalar functions — native Column expressions.
+
+North-star operators for large-scale training-data pipelines: tokenize,
+token counting, quality scoring, language-ID heuristics, document
+fingerprints. All stay JVM-side (split/transform/aggregate higher-order
+functions), so they vectorize inside whole-stage codegen and never pay
+a Python round-trip — at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the heuristic language scorer.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein"]
+STOPWORDS_ES = ["el", "la", "de", "y", "que", "un"]
+STOPWORDS_FR = ["le", "la", "de", "et", "est", "un"]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization of the lower-cased, trimmed text.
+    ``split(trim(lower(text)), '\\s+')`` — the BPE-ish regex tokenizer
+    is :func:`regex_tokens`."""
+    return F.split(F.trim(F.lower(_c(text))), r"\s+")
+
+
+def regex_tokens(text) -> Column:
+    """BPE-ish tokenizer: runs of letters, runs of digits, or single
+    punctuation marks each become a token."""
+    t = F.lower(_c(text))
+    # split points: boundaries between letter/digit/other runs
+    return F.filter(
+        F.split(
+            F.regexp_replace(t, r"([a-z]+|[0-9]+|[^a-z0-9\s])", r"$1"),
+            "",
+        ),
+        lambda x: F.trim(x) != "",
+    )
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram shingles of a token array (empty when len(toks)<n)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    parts = lambda i: [F.element_at(toks, i + j + 1) for j in range(n)]  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords (double; 0 for empty)."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(n_tokens: Column, stop_ratio: Column, avg_len: Column) -> Column:
+    """Deterministic additive quality heuristic: length band (0.5) +
+    stopword presence (0.3) + plausible word length (0.2)."""
+    return (
+        F.when(n_tokens.between(10, 80), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(avg_len.between(3.0, 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {
+        "en": stopword_ratio(toks, STOPWORDS_EN),
+        "de": stopword_ratio(toks, STOPWORDS_DE),
+        "es": stopword_ratio(toks, STOPWORDS_ES),
+        "fr": stopword_ratio(toks, STOPWORDS_FR),
+    }
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax over per-language stopword-hit ratios; 'und' (undetermined)
+    when no list scores above zero. Ties resolve in fixed en>de>es>fr
+    order, making the heuristic fully deterministic."""
+    s = lang_scores(toks)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties
+    for lang in ["fr", "es", "de", "en"]:
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text) -> Column:
+    """Content fingerprint: md5 over the normalized token stream."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def bag_fingerprint(text) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted token multiset
+    (catches shuffled-word duplicates exact dedup misses)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(tokens(text))))
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over the token multiset.
+
+    Bit ``b`` of each token's hash is the high bit of hex digit ``b`` of
+    ``md5(token)`` (a hex digit >= '8'), giving 32 independent bits from
+    a single cross-engine-reproducible hash. The signature bit is the
+    sign of the per-bit vote sum. Near-duplicate docs land at small
+    Hamming distance; identical signatures are dup candidates.
+    """
+    high = list("89abcdef")
+
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), b + 1, 1).isin(*high), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig

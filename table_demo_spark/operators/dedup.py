@@ -1,0 +1,190 @@
+"""Deduplication operators.
+
+Four families, each scale-shaped differently:
+
+- **exact** — one hash-shuffle on a content fingerprint. The 100 TB
+  plan: fingerprint is computed at scan (codegen), the groupBy shuffles
+  only (fingerprint, doc_id) pairs, never the payload.
+- **MinHash + LSH** — shingle -> k minhashes -> banded keys ->
+  bucket-equi-join -> Jaccard verify. The candidate join is an
+  equi-join on band keys, so it hash-partitions; no O(n^2) stage ever
+  materializes. Verification re-joins the (small) candidate set back to
+  the shingle sets.
+- **SimHash** — one pass computes a 32-bit signature per doc; identical
+  signatures (or small Hamming distance via banded re-grouping) are
+  candidates. Cheapest near-dup pass: a single groupBy on the signature.
+- **blocked n-gram Jaccard** — exact Jaccard inside cheap blocks
+  (language + length band). Exact but quadratic per block; the LSH
+  operator is the scale path, this is the precision tool.
+
+Hash choice: md5 of the shingle text (+ a per-function salt). md5 is
+deliberately chosen over Spark's xxhash64/murmur because it is
+bit-identical in every engine (incl. the DuckDB oracle) — the LSH
+recall behavior itself is therefore oracle-checkable, not just the
+final verified pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table_demo_spark.functions.text import tokens, word_ngrams
+
+N_MINHASH = 12
+N_BANDS = 6  # 6 bands x 2 rows: P(candidate) ≈ 1-(1-s^2)^6 (~0.98 at s=0.8)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact (normalized) dedup: md5 over the normalized token stream;
+    canonical id = min doc id per fingerprint."""
+    from table_demo_spark.functions.text import doc_fingerprint
+
+    with_fp = docs.select(
+        F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fingerprint")
+    )
+    canon = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        with_fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+            "fingerprint",
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) with distinct word n-gram shingles; docs with
+    fewer than n tokens are excluded (they have no n-grams)."""
+    toks = tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(toks, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signature(shingles: F.Column, n_hashes: int = N_MINHASH) -> list[F.Column]:
+    """k independent minhashes: min over shingles of md5(shingle#i)."""
+
+    def mh(i: int) -> F.Column:
+        salt = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, salt)))
+        ).alias(f"mh{i}")
+
+    return [mh(i) for i in range(n_hashes)]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    Plan shape: scan -> shingle projection -> explode 6 band keys ->
+    self-equi-join on (band, key) -> distinct candidate pairs ->
+    re-join shingle sets -> exact Jaccard filter. Every join is an
+    equi-join (hash-partitionable); candidates are a tiny fraction of
+    n^2 by LSH construction.
+    """
+    sh = shingle_sets(docs, n, id_col, text_col).cache()
+    sig = sh.select("doc_id", *minhash_signature(F.col("shingles")))
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash per document (single pass)."""
+    from table_demo_spark.functions.text import simhash32
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash32(tokens(text_col)).alias("simhash")
+    )
+
+
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    length_band_pct: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard inside (lang, length-band) blocks.
+
+    Blocking predicate uses integer math (5*|d| <= max) so the oracle
+    reproduces it exactly. Quadratic within blocks — the precision tool;
+    use minhash_lsh_pairs at scale.
+    """
+    assert length_band_pct == 20, "integer blocking is specialized to 20%"
+    sh = shingle_sets(docs, n)
+    meta = docs.select(F.col("doc_id"), "lang", "n_chars").join(sh, "doc_id")
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("nc_a") - F.col("nc_b")) * 5
+                <= F.greatest("nc_a", "nc_b")
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,59 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The convention for image/audio/video at 100 TB: the payload is an
+opaque ``binary`` column (or a (path, offset, length) pointer into blob
+storage), metadata travels in typed sibling columns, and all decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` — one Python
+process per partition, zero-copy batches, never row-at-a-time.
+
+The decode step itself is STUBBED (``decode_image`` raises
+NotImplementedError — codec libraries are not in this container); the
+Spark-side plumbing — schema, batch iteration, partition shape — is
+real and oracle-tested via the deterministic byte-level features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BINARY_META_SCHEMA = "doc_id long, n_bytes long, prefix_hex string"
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the binary payload convention from the text fixture:
+    payload = utf-8 bytes. Real pipelines read parquet/iceberg with a
+    true binary column; everything downstream is identical."""
+    return docs.select("doc_id", F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload. STUB: codec libs (PIL/cv2) are not
+    available in this environment."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2; wire your codec here — the "
+        "surrounding mapInPandas plumbing is codec-agnostic"
+    )
+
+
+def binary_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over binary payloads via Arrow-
+    batched mapInPandas: (doc_id, n_bytes, prefix_hex). This is the
+    exact execution shape a real decode/resize/frame-sample UDF uses —
+    swap the per-batch lambda body, keep the plumbing."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "prefix_hex": payloads.map(lambda b: bytes(b)[:4].hex().upper()),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=BINARY_META_SCHEMA)

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k. The query set is
+  broadcast (it's small by definition); the corpus is scanned once,
+  per-partition heaps via window row_number + early filter. Baseline
+  and recall oracle.
+- :func:`lsh_topk` — random-hyperplane LSH variant: corpus and queries
+  are bucketed by sign-bit projections; search only touches the
+  query's bucket. The scale path: the equi-join on bucket id hash-
+  partitions the corpus, turning top-k into many small local top-ks.
+- :func:`cosine_neardup_pairs` — all pairs above a cosine threshold
+  (embedding near-duplicate detection).
+
+Projections use deterministic integer hyperplanes (functions.vector)
+so bucket assignment is exactly reproducible in the ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from table_demo_spark.functions.vector import cosine, lsh_bucket
+
+N_PLANES = 4
+DIM = 64
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k by descending
+    cosine (neighbor id breaks exact ties deterministically).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("q_vec", "c_vec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on bucket id => hash-partitioned, no broadcast of
+    the corpus, no n^2)."""
+    bucket = lsh_bucket(F.col(vec_col), N_PLANES, DIM)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold.
+
+    Local/test scale: triangular self-join. At 100 TB the same operator
+    runs with an LSH-bucket equi-join prefilter (see lsh_topk) — kept
+    separate here so the exact semantics stay oracle-checkable.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,373 @@
+"""Analytic / conformance queries beyond the reference's own surface.
+
+SURVEY §2.3's negative space: the reference has no joins, sorts, limits,
+set ops, rollups, distinct aggs, or session windows — Spark SQL gives us
+all of them, but the engine must DECLARE and test them (SURVEY §2.3
+note). Each query here exercises one family, styled after TPC-H, over
+the driver fixtures.
+
+Correctness discipline for float aggregates: sums are computed over
+exact DECIMAL casts (a double is never exactly half-way between two
+2-decimal values, so double->decimal(18,2) is unambiguous and identical
+across engines), then surfaced as DOUBLE — so Spark's parallel partial
+aggregation and DuckDB's sequential scan produce bit-identical results
+regardless of summation order.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer/supplier) are explicitly
+  ``broadcast()`` — no shuffle of the fact table on the dim key.
+- fact-fact joins (orders x lineitem) hash-shuffle on the join key once;
+  AQE handles skew. With bucketed storage they become shuffle-free.
+- top-k uses Spark's TakeOrderedAndProject (per-partition heap + driver
+  merge of k rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from table_demo_spark.queries import Query
+from table_demo_spark.sources.batch import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# A1 — pricing summary (scan + filter + group agg; TPC-H Q1 family).
+# ---------------------------------------------------------------------------
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+A1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_charge,
+  count(*) AS count_order,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 — revenue per nation/region (star join; broadcast dimensions).
+# ---------------------------------------------------------------------------
+def a2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        # dims are tiny at any scale factor -> broadcast, no fact shuffle
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+A2_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — top-k (sort + limit => TakeOrderedAndProject, no global sort).
+# ---------------------------------------------------------------------------
+def a3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+A3_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 — grouping sets / rollup with multiple aggregates.
+# ---------------------------------------------------------------------------
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+A4_ORACLE = """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5 — semi join (EXISTS): orders having any heavy lineitem.
+# ---------------------------------------------------------------------------
+def a5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+A5_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — anti join + set op (EXCEPT): customers with no 'F' order.
+# ---------------------------------------------------------------------------
+def a6_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = customer.select(F.col("c_custkey").alias("custkey"))
+    with_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return all_c.exceptAll(with_f.distinct()).distinct()
+
+
+A6_ORACLE = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — analytic row-window: top-3 customers by balance per nation.
+# ---------------------------------------------------------------------------
+def a7_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+A7_ORACLE = """
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — distinct aggregation.
+# ---------------------------------------------------------------------------
+def a8_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+A8_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 — interval (range-predicate) join: lineitems shipped within 30 days
+# of their order date.
+# ---------------------------------------------------------------------------
+def a9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.unix_millis("l_shipdate")
+            <= F.unix_millis("o_orderdate") + F.lit(30 * 86_400_000)
+        )
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_fast_items")
+    )
+
+
+A9_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_fast_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND epoch_ms(l_shipdate) <= epoch_ms(o_orderdate) + CAST(2592000000 AS BIGINT)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10 — session windows over the event stream (gap-based sessionization).
+# ---------------------------------------------------------------------------
+SESSION_GAP = "30 minutes"
+SESSION_GAP_MS = 30 * 60_000
+
+
+def a10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("s.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# Oracle: classic gap-and-island sessionization — a new session starts
+# when the gap to the previous event (per user) is >= the session gap,
+# which is exactly Spark's session_window merge rule (an event extends
+# the session iff it lands strictly inside [start, last+gap)).
+A10_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, epoch_ms(min(ts)) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# A11 — semi-structured extraction from the JSON-ish props column.
+# ---------------------------------------------------------------------------
+def a11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+A11_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES: list[Query] = [
+    Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
+    Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
+    Query("an_a3_top_customers", a3_top_customers, A3_ORACLE),
+    Query("an_a4_rollup", a4_rollup, A4_ORACLE),
+    Query("an_a5_semi_join", a5_semi_join, A5_ORACLE),
+    Query("an_a6_set_ops", a6_set_ops, A6_ORACLE),
+    Query("an_a7_window_rank", a7_window_rank, A7_ORACLE),
+    Query("an_a8_distinct_agg", a8_distinct_agg, A8_ORACLE),
+    Query("an_a9_interval_join", a9_interval_join, A9_ORACLE),
+    Query("an_a10_sessionize", a10_sessionize, A10_ORACLE),
+    Query("an_a11_json_extract", a11_json_extract, A11_ORACLE),
+]

@@ -1,0 +1,437 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — wired to the ``documents`` / ``embeddings``
+fixtures with DuckDB oracles.
+
+The oracle SQL for the hash-based operators is generated from the same
+Python constants as the Spark implementations (hash counts, band
+layout, projection weights), so both sides stay in lock-step by
+construction. md5 is the cross-engine hash (SURVEY §5; dedup.py module
+docstring explains the choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table_demo_spark.functions import text as T
+from table_demo_spark.operators import dedup, multimodal, similarity
+from table_demo_spark.queries import Query
+from table_demo_spark.sources.batch import load_table
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+ANN_K = 5
+LSH_K = 3
+N_QUERY_VECS = 8
+
+# Shared oracle fragments ----------------------------------------------------
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(toks) - 1),
+                                      i -> toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok WHERE len(toks) >= 2
+)"""
+_JACCARD = (
+    "CAST(len(list_filter({a}, x -> list_contains({b}, x))) AS DOUBLE)"
+    " / (len({a}) + len({b}) - len(list_filter({a}, x -> list_contains({b}, x))))"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact (normalized-content) dedup.
+# ---------------------------------------------------------------------------
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+D1_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+  FROM documents
+),
+canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup, fingerprint
+FROM fp JOIN canon USING (fingerprint)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — MinHash + LSH near-dup pairs (banded candidates + exact verify).
+# ---------------------------------------------------------------------------
+def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS mh{i}"
+        for i in range(dedup.N_MINHASH)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * dedup.ROWS_PER_BAND + r}' for r in range(dedup.ROWS_PER_BAND))}) AS key FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {_JACCARD.format(a='sa.shingles', b='sb.shingles')} AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE {_JACCARD.format(a='sa.shingles', b='sb.shingles')} >= {JACCARD_THRESHOLD}
+"""
+
+
+D2_ORACLE = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# D3 — SimHash signatures (single-pass near-dup candidates).
+# ---------------------------------------------------------------------------
+def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+D3_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN substr(md5(t), CAST(b + 1 AS INT), 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS w
+  FROM tok, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4 — blocked exact n-gram Jaccard (precision tool).
+# ---------------------------------------------------------------------------
+def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.blocked_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=JACCARD_THRESHOLD
+    )
+
+
+D4_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+m AS (
+  SELECT d.doc_id, d.lang, d.n_chars, sh.shingles
+  FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {_JACCARD.format(a='a.shingles', b='b.shingles')} AS jaccard
+FROM m a JOIN m b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) * 5 <= greatest(a.n_chars, b.n_chars)
+WHERE {_JACCARD.format(a='a.shingles', b='b.shingles')} >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# D5 — embedding-cosine near-duplicate pairs.
+# ---------------------------------------------------------------------------
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD
+    )
+
+
+D5_ORACLE = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= CAST({COSINE_THRESHOLD} AS DOUBLE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1 — exact cosine top-k (brute-force ANN baseline).
+# ---------------------------------------------------------------------------
+def s1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.brute_force_topk(emb, queries_df, k=ANN_K)
+
+
+S1_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM c JOIN q ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2 — LSH-bucketed approximate top-k (the scale path).
+# ---------------------------------------------------------------------------
+def s2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_topk(emb, queries_df, k=LSH_K)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for j in range(similarity.N_PLANES):
+        proj = (
+            f"list_reduce(list_transform(range(0, {similarity.DIM}), "
+            f"i -> CAST({vec}[CAST(i + 1 AS INT)] AS DOUBLE)"
+            f" * ((i * 37 + {j} * 101) % 19 - 9)), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+S2_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM e
+      WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM e),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM c JOIN q USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {LSH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 — per-document text statistics + quality score.
+# ---------------------------------------------------------------------------
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        T.avg_token_len(toks).alias("avg_token_len"),
+        T.stopword_ratio(toks, T.STOPWORDS_EN).alias("stop_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stop_ratio",
+        T.quality_score(
+            F.col("n_tokens"), F.col("stop_ratio"), F.col("avg_token_len")
+        ).alias("quality_score"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+T1_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_reduce(list_transform(toks, t -> length(t)),
+                                    (a, b) -> a + b) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS avg_token_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({_SW_EN}))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS stop_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+       (CASE WHEN n_tokens BETWEEN 10 AND 80 THEN CAST(0.5 AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END)
+       + (CASE WHEN stop_ratio >= CAST(0.05 AS DOUBLE) THEN CAST(0.3 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END)
+       + (CASE WHEN avg_token_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(8.0 AS DOUBLE)
+               THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+       AS quality_score
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 — heuristic language ID vs the labeled lang column.
+# ---------------------------------------------------------------------------
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        T.predict_lang(toks).alias("pred_lang"),
+        "lang",
+        (T.predict_lang(toks) == F.col("lang")).alias("is_correct"),
+    )
+
+
+def _lang_oracle() -> str:
+    lists = {
+        "en": T.STOPWORDS_EN,
+        "de": T.STOPWORDS_DE,
+        "es": T.STOPWORDS_ES,
+        "fr": T.STOPWORDS_FR,
+    }
+    ratios = ",\n         ".join(
+        f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN "
+        f"({', '.join(chr(39) + w + chr(39) for w in ws)}))) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s_{lang}"
+        for lang, ws in lists.items()
+    )
+    whens = "\n              ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in ["en", "de", "es", "fr"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {ratios}
+  FROM tok
+),
+best AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM scores)
+SELECT doc_id,
+       CASE {whens}
+            ELSE 'und' END AS pred_lang,
+       lang,
+       (CASE {whens}
+             ELSE 'und' END) = lang AS is_correct
+FROM best
+"""
+
+
+T2_ORACLE = _lang_oracle()
+
+
+# ---------------------------------------------------------------------------
+# T3 — global token frequency top-50 (explode + count + top-k).
+# ---------------------------------------------------------------------------
+def t3_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+T3_ORACLE = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4 — document fingerprints (content hash + order-insensitive bag hash).
+# ---------------------------------------------------------------------------
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint("text").alias("fingerprint"),
+        T.bag_fingerprint("text").alias("bag_fingerprint"),
+    )
+
+
+T4_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+       md5(array_to_string(list_sort({_TOKS}), ' ')) AS bag_fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1 — multimodal binary-column plumbing (Arrow-batched mapInPandas).
+# ---------------------------------------------------------------------------
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.binary_meta(multimodal.with_binary_payload(docs))
+
+
+M1_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       hex(encode(substring(text, 1, 4))) AS prefix_hex
+FROM documents
+"""
+
+
+QUERIES: list[Query] = [
+    Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
+    Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
+    Query("llm_d3_dedup_simhash", d3_dedup_simhash, D3_ORACLE),
+    Query("llm_d4_dedup_ngram_jaccard", d4_dedup_ngram_jaccard, D4_ORACLE),
+    Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
+    Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
+    Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
+    Query("llm_t1_text_stats", t1_text_stats, T1_ORACLE),
+    Query("llm_t2_lang_id", t2_lang_id, T2_ORACLE),
+    Query("llm_t3_token_topk", t3_token_topk, T3_ORACLE),
+    Query("llm_t4_fingerprints", t4_fingerprints, T4_ORACLE),
+    Query("llm_m1_binary_meta", m1_binary_meta, M1_ORACLE),
+]
