@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect cost). Timing excludes session bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "ref_q1_tumble",
+    "ref_q2_over_range",
+    "ref_q3_cnt_freq",
+    "an_a1_pricing_summary",
+    "an_a2_revenue_by_nation",
+    "an_a3_top_customers",
+    "an_a5_semi_join",
+    "an_a9_interval_join",
+    "an_a10_sessionize",
+    "an_a11_json_extract",
+    "llm_d1_dedup_exact",
+    "llm_d2_dedup_minhash_lsh",
+    "llm_d3_dedup_simhash",
+    "llm_d5_embedding_neardup",
+    "llm_s1_ann_topk",
+    "llm_s2_ann_lsh_topk",
+    "llm_t1_text_stats",
+    "llm_t3_token_topk",
+    "llm_m1_binary_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from table_demo_spark.queries import all_queries
+    from table_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = {q.name: q.spark_fn for q in all_queries()}
+
+    # Warm up the JVM / codegen / parquet footers so per-query timings
+    # measure the queries, not session bootstrap.
+    from table_demo_spark.sources.batch import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

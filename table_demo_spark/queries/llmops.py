@@ -88,7 +88,9 @@ def d2_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> substr(md5(s || "
+        f"'#{i // dedup.HASHES_PER_DIGEST}'), "
+        f"{(i % dedup.HASHES_PER_DIGEST) * 5 + 1}, 5))) AS mh{i}"
         for i in range(dedup.N_MINHASH)
     )
     band_selects = "\n  UNION ALL ".join(
@@ -174,7 +176,7 @@ WHERE {_JACCARD.format(a='a.shingles', b='b.shingles')} >= {JACCARD_THRESHOLD}
 # D5 — embedding-cosine near-duplicate pairs.
 # ---------------------------------------------------------------------------
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_neardup_pairs(
+    return similarity.cosine_neardup_pairs_gemm(
         load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD
     )
 

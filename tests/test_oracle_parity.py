@@ -14,6 +14,10 @@ from tests.conftest import SF_CORRECT
 
 QUERIES = all_queries()
 
+# Everything is bit-exact except the GEMM-based operator, whose BLAS
+# summation order differs from the oracle's sequential fold by ~1e-15.
+FLOAT_TOL = {"llm_d5_embedding_neardup": 1e-9}
+
 
 @pytest.mark.parametrize("q", QUERIES, ids=[q.name for q in QUERIES])
 def test_query_matches_oracle(q, spark, duck):
@@ -22,4 +26,8 @@ def test_query_matches_oracle(q, spark, duck):
         assert df.count() >= 0
         return
     oracle_pdf = duck.sql(q.oracle).df()
-    assert_matches(q.spark_fn(spark, SF_CORRECT), oracle_pdf)
+    assert_matches(
+        q.spark_fn(spark, SF_CORRECT),
+        oracle_pdf,
+        float_tol=FLOAT_TOL.get(q.name, 0.0),
+    )
