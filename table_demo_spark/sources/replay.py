@@ -1,0 +1,163 @@
+"""Event-replay streaming source — the Spark-native port of
+``TaxiRideSource.java``.
+
+Reference semantics reproduced (file:line cites into /root/reference):
+- events served in event-time order, re-ordered by a bounded random
+  delay (truncated Gaussian, mean maxDelay/2, seeded —
+  TaxiRideSource.java:126,230-237): we pre-compute a seeded per-row
+  delay and sort by delayed *emit time*, exactly the reference's
+  PriorityQueue-on-emit-time behavior (:127-134,163-213).
+- wall-clock pacing at a serving-speed factor (:216-219): offsets
+  advance with real elapsed time * serving_speed.
+- watermarking is NOT re-implemented in the source: Spark's
+  ``withWatermark`` supplies the bounded-out-of-orderness watermark
+  the reference emitted by hand (:102,150,210).
+
+Implementation: Spark 4 Python Data Source API (``DataSource`` +
+``DataSourceStreamReader``). The fixture file is loaded once on the
+driver and offsets index into the emit-ordered rows; ``read(part)``
+slices that order. For production scale the same class would map
+offsets to (file, row-group) ranges instead of a driver-resident
+table — the offset/partition protocol is identical.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+def gaussian_delays_ms(n: int, max_delay_ms: int, seed: int) -> list[int]:
+    """Truncated-Gaussian per-event delay in [0, max_delay_ms], mean
+    max/2, std max/4 — the reference's getNormalDelayMsecs
+    (TaxiRideSource.java:230-237), reproduced with Python's Random."""
+    rnd = random.Random(seed)
+    out = []
+    x = max_delay_ms / 2
+    std = max_delay_ms / 4
+    for _ in range(n):
+        while True:
+            d = rnd.gauss(x, std)
+            if 0 <= d <= max_delay_ms:
+                out.append(int(d))
+                break
+    return out
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        import time
+
+        import pyarrow.parquet as pq
+
+        self._path = options["path"]
+        self._time_col = options.get("timecol", "ts")
+        self._speed = float(options.get("speed", 600.0))
+        self._max_delay_ms = int(options.get("maxdelayms", 60_000))
+        self._seed = int(options.get("seed", 7452))
+        self._n_parts = int(options.get("numpartitions", 4))
+
+        tbl = pq.read_table(self._path)
+        df = tbl.to_pandas()
+        # normalize every datetime column to epoch-ms int64 (matches the
+        # long columns the schema() declares for timestamps)
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ts_ms = df[self._time_col].to_numpy()
+        delays = gaussian_delays_ms(len(df), self._max_delay_ms, self._seed)
+        emit_ms = ts_ms + delays
+        order = emit_ms.argsort(kind="stable")
+        self._rows = df.iloc[order].reset_index(drop=True)
+        self._emit_ms = emit_ms[order]
+        self._t0_emit = int(self._emit_ms[0]) if len(self._emit_ms) else 0
+        self._wall_start = time.time()
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        import time
+
+        elapsed_ms = (time.time() - self._wall_start) * 1000.0
+        frontier = self._t0_emit + elapsed_ms * self._speed
+        # all rows whose (delayed) emit time has been reached
+        import numpy as np
+
+        idx = int(np.searchsorted(self._emit_ms, frontier, side="right"))
+        return {"idx": idx}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["idx"], end["idx"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        n = min(self._n_parts, hi - lo)
+        step = math.ceil((hi - lo) / n)
+        return [
+            _RangePartition(i, min(i + step, hi)) for i in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        chunk = self._rows.iloc[partition.start : partition.end]
+        for row in chunk.itertuples(index=False):
+            yield tuple(row)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ReplayDataSource(DataSource):
+    """spark.readStream.format("replay").option("path", ...) source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "replay"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        # Derive the Spark schema from the parquet footer; timestamps
+        # surface as epoch-ms longs (the reader emits pandas rows whose
+        # datetime64 values Spark would coerce ambiguously — explicit
+        # ms keeps the contract engine-neutral; downstream converts via
+        # timestamp_millis()).
+        schema = pq.read_schema(self.options["path"])
+        fields = []
+        for f in schema:
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                spark_t = "long"
+            else:
+                spark_t = {
+                    "int64": "long",
+                    "int32": "int",
+                    "double": "double",
+                    "float": "float",
+                    "string": "string",
+                    "large_string": "string",
+                    "bool": "boolean",
+                }.get(t, "string")
+            fields.append(f"{f.name} {spark_t}")
+        return ", ".join(fields)
+
+    def streamReader(self, schema: StructType) -> ReplayStreamReader:
+        return ReplayStreamReader(schema, dict(self.options))
+
+
+def register_replay_source(spark) -> None:
+    spark.dataSource.register(ReplayDataSource)

@@ -1,0 +1,288 @@
+"""Streaming variants of the reference queries over the replay source.
+
+Maps SURVEY §2.3's streaming semantics onto Structured Streaming:
+
+- Q1 (tumbling-window count, TaxiRideQueries.scala:72-101): native
+  windowed aggregation + watermark, run in ``update`` mode into the
+  upsert sink — the sink's final state equals the batch answer.
+- Q2 (time-range over-window, :130-146): no native streaming support
+  (SURVEY §7 risk #2) — implemented as a per-cell stateful operator
+  (``applyInPandasWithState``) that buffers events, emits each event's
+  preceding-range count once the watermark passes its timestamp, and
+  evicts state older than (frontier - range). Append-mode output.
+- Q3 (chained aggregation, :148-167): Spark forbids chained streaming
+  aggs (risk #1) — level 1 runs natively in update mode; foreachBatch
+  applies level-1 deltas to a keyed store and recomputes the (tiny)
+  level-2 histogram per batch. O(#cells) per batch; cells is bounded
+  by the grid (62.5k for the full NYC grid), so the recompute stays
+  cheap at any event volume.
+
+Watermark: 61 s — the replay source's bounded disorder is 60 s
+(maxOutOfOrder, TaxiRideQueries.scala:48), and the reference's
+watermark lags maxDelay + 1 ms (TaxiRideSource.java:150).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+from table_demo_spark.queries.reference import OVER_RANGE_MS, TUMBLE
+from table_demo_spark.sources.replay import register_replay_source
+from table_demo_spark.streaming.upsert import MemoryUpsertSink, foreach_batch_upsert
+
+WATERMARK = "61 seconds"
+
+
+def stream_rides(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 600.0,
+    max_delay_ms: int = 60_000,
+    n_parts: int = 4,
+) -> DataFrame:
+    """readStream from the replay source, shaped like sources.batch.
+    rides_view (same derivation, from epoch-ms columns)."""
+    register_replay_source(spark)
+    raw = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("timecol", "ts")
+        .option("speed", speed)
+        .option("maxdelayms", max_delay_ms)
+        .option("numpartitions", n_parts)
+        .load()
+    )
+    return raw.select(
+        F.col("event_id").alias("ride_id"),
+        F.col("event_type").isin("click", "view", "signup").alias("is_start"),
+        F.timestamp_millis(F.col("ts")).alias("rowtime"),
+        (F.lit(-74.06) + (F.col("user_id") % 12) * F.lit(0.03)).alias("start_lon"),
+        (F.lit(40.49) + (F.col("event_id") % 16) * F.lit(0.03)).alias("start_lat"),
+        (F.lit(-74.06) + (F.col("event_id") % 12) * F.lit(0.03)).alias("end_lon"),
+        (F.lit(40.49) + (F.col("user_id") % 16) * F.lit(0.03)).alias("end_lat"),
+        (F.col("event_id") % 4 + 1).cast("int").alias("passenger_cnt"),
+    )
+
+
+def stream_departures(rides: DataFrame) -> DataFrame:
+    """filter + cell projection + watermark (TaxiRideQueries.scala:74-78)."""
+    return (
+        rides.filter(F.col("is_start") & in_nyc("start_lon", "start_lat"))
+        .select(
+            "ride_id",
+            to_cell_id("start_lon", "start_lat").alias("cell"),
+            "rowtime",
+        )
+        .withWatermark("rowtime", WATERMARK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 streaming — windowed count into the upsert sink.
+# ---------------------------------------------------------------------------
+def q1_stream(departures: DataFrame, tumble: str = TUMBLE) -> DataFrame:
+    return (
+        departures.groupBy("cell", F.window("rowtime", tumble).alias("w"))
+        .agg(F.count("ride_id").alias("dept_cnt"))
+        .select(
+            "cell",
+            F.unix_millis(F.col("w.end")).alias("dept_time"),
+            "dept_cnt",
+        )
+    )
+
+
+def run_q1_stream(spark: SparkSession, sf_dir: str, speed: float = 2_000_000.0):
+    """Start Q1 into a MemoryUpsertSink keyed by (cell, dept_time) —
+    the key the reference planner infers from the GROUP BY
+    (ElasticUpsertTableSink.scala:51-55). Returns (sink, query)."""
+    out = q1_stream(stream_departures(stream_rides(spark, sf_dir, speed)))
+    sink = MemoryUpsertSink(("cell", "dept_time"))
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q2 streaming — stateful preceding-range running count.
+# ---------------------------------------------------------------------------
+_Q2_OUT = StructType(
+    [
+        StructField("cell", IntegerType()),
+        StructField("ride_id", LongType()),
+        StructField("rowtime_ms", LongType()),
+        StructField("dept_cnt", LongType()),
+    ]
+)
+_Q2_STATE = StructType(
+    [
+        StructField("ts_buf", ArrayType(LongType())),
+        StructField("id_buf", ArrayType(LongType())),
+        StructField("frontier", LongType()),
+    ]
+)
+
+
+def _q2_state_fn(range_ms: int):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        (cell,) = key
+        if state.exists:
+            ts_buf, id_buf, frontier = state.get
+            ts_buf, id_buf = list(ts_buf), list(id_buf)
+        else:
+            ts_buf, id_buf, frontier = [], [], -1
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pdf["rowtime"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                ts_buf.extend(int(v) for v in ms)
+                id_buf.extend(int(v) for v in pdf["ride_id"])
+        wm = state.getCurrentWatermarkMs()
+        # emit every buffered event with ts <= watermark (its preceding
+        # range can no longer change), in event-time order
+        order = sorted(range(len(ts_buf)), key=lambda i: (ts_buf[i], id_buf[i]))
+        ts_sorted = [ts_buf[i] for i in order]
+        out_rows = []
+        for i in order:
+            t = ts_buf[i]
+            if t > wm or t <= frontier:
+                continue
+            # count events in [t - range_ms, t] (range-window semantics:
+            # ties at t included)
+            lo = bisect.bisect_left(ts_sorted, t - range_ms)
+            hi = bisect.bisect_right(ts_sorted, t)
+            out_rows.append((cell, id_buf[i], t, hi - lo))
+        new_frontier = max(frontier, min(wm, max(ts_buf, default=frontier)))
+        # evict state that can no longer contribute to any future count
+        keep = [
+            i for i in range(len(ts_buf)) if ts_buf[i] > new_frontier - range_ms
+        ]
+        if keep:
+            state.update(
+                (
+                    [ts_buf[i] for i in keep],
+                    [id_buf[i] for i in keep],
+                    new_frontier,
+                )
+            )
+            # wake this key on the next watermark advance even if it gets
+            # no new data, so buffered events flush when their window
+            # closes (NoTimeout would strand quiet keys' state forever)
+            state.setTimeoutTimestamp(max(wm, 0) + 1)
+        else:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["cell", "ride_id", "rowtime_ms", "dept_cnt"]
+            )
+
+    return fn
+
+
+def q2_stream(departures: DataFrame, range_ms: int = OVER_RANGE_MS) -> DataFrame:
+    """Streaming time-range over-window: per-cell running count of the
+    preceding ``range_ms`` of event time (TaxiRideQueries.scala:137-141),
+    emitted append-only per event once the watermark passes it."""
+    return departures.groupBy("cell").applyInPandasWithState(
+        _q2_state_fn(range_ms),
+        outputStructType=_Q2_OUT,
+        stateStructType=_Q2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_q2_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    range_ms: int = OVER_RANGE_MS,
+):
+    out = q2_stream(stream_departures(stream_rides(spark, sf_dir, speed)), range_ms)
+    sink = MemoryUpsertSink(("cell", "ride_id"))
+    query = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q3 streaming — chained aggregation with retraction handling.
+# ---------------------------------------------------------------------------
+class ChainedAggSink:
+    """Consumes level-1 updates (cell -> dept_cnt) and maintains the
+    level-2 histogram (dept_cnt -> cnt_freq), decrementing the old
+    bucket and incrementing the new one per update — exactly the
+    retract/acc stream Flink feeds its second aggregation
+    (TaxiRideQueries.scala:153-156, SURVEY §1.4)."""
+
+    def __init__(self, threshold: int = 0):
+        self.threshold = threshold
+        self.per_cell: dict[int, int] = {}
+        self.histogram: Counter = Counter()
+
+    def apply_updates(self, rows: list[dict]) -> None:
+        for r in rows:
+            cell, cnt = r["cell"], r["dept_cnt"]
+            old = self.per_cell.get(cell)
+            if old is not None and old > self.threshold:
+                self.histogram[old] -= 1  # retract old bucket
+                if self.histogram[old] == 0:
+                    del self.histogram[old]
+            self.per_cell[cell] = cnt
+            if cnt > self.threshold:
+                self.histogram[cnt] += 1
+
+    def snapshot(self) -> list[dict]:
+        return [
+            {"dept_cnt": k, "cnt_freq": v} for k, v in self.histogram.items()
+        ]
+
+
+def run_q3_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    threshold: int = 0,
+):
+    """Level 1 (groupBy cell, continuous count) runs natively in update
+    mode; each micro-batch's deltas drive the level-2 histogram in the
+    sink. Returns (ChainedAggSink, query)."""
+    departures = stream_departures(stream_rides(spark, sf_dir, speed))
+    level1 = departures.groupBy("cell").agg(F.count("ride_id").alias("dept_cnt"))
+    sink = ChainedAggSink(threshold)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink.apply_updates([r.asDict() for r in batch_df.collect()])
+
+    query = (
+        level1.writeStream.outputMode("update").foreachBatch(apply_batch).start()
+    )
+    return sink, query
