@@ -23,6 +23,11 @@ class Query(NamedTuple):
 
 
 def all_queries() -> list[Query]:
-    from table_demo_spark.queries import analytics, llmops, reference
+    from table_demo_spark.queries import analytics, llmops, reference, streaming
 
-    return reference.QUERIES + analytics.QUERIES + llmops.QUERIES
+    return (
+        reference.QUERIES
+        + analytics.QUERIES
+        + llmops.QUERIES
+        + streaming.QUERIES
+    )

@@ -1,0 +1,116 @@
+"""Driver-facing streaming queries: run each continuous query over the
+replay source to completion and return its final sink state as a
+DataFrame.
+
+These are the same operators as queries/reference.py executed through
+the *streaming* path (replay source -> watermark -> stateful operator
+-> upsert sink), so the oracle story is strong:
+
+- Q1 (windowed agg, update mode): the upsert sink's final state equals
+  the batch answer exactly -> reuses Q1's oracle, full hash check.
+- Q3 (chained agg with retractions): the level-2 histogram's final
+  state equals the batch histogram -> reuses Q3's oracle.
+- Q2 (time-range over-window via applyInPandasWithState): append-mode
+  emission is watermark-gated, so the final output is exactly the
+  events with rowtime <= max(rowtime) - watermark_delay, each with its
+  *complete* preceding-range count (disorder 60s < delay 61s guarantees
+  completeness) -- deterministic and SQL-expressible, full hash check.
+
+Replay pacing uses a very large speed factor so the whole fixture is
+"due" within the first micro-batch trigger; correctness never depends
+on pacing, only completion time does.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from table_demo_spark.queries import Query
+from table_demo_spark.queries.reference import (
+    _DEPARTURES_CTE,
+    OVER_RANGE_MS,
+    Q1_ORACLE,
+    Q3_ORACLE,
+    Q3_THRESHOLD,
+)
+
+DRIVER_SPEED = 5e8  # ~16 years of event time per wall-clock second
+WATERMARK_MS = 61_000  # streaming/queries.py WATERMARK
+
+
+def _drain(query, snapshot_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
+    """Process all available data, then wait for watermark-driven
+    no-data batches (event-time timeouts) to finish flushing: poll the
+    sink until its size is stable across several checks."""
+    query.processAllAvailable()
+    prev, stable, deadline = -1, 0, time.time() + timeout_s
+    while stable < quiet_polls and time.time() < deadline:
+        query.processAllAvailable()
+        cur = len(snapshot_fn())
+        stable = stable + 1 if cur == prev else 0
+        prev = cur
+        time.sleep(0.25)
+    query.stop()
+
+
+def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q1_stream
+
+    sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(), schema="cell int, dept_time long, dept_cnt long"
+    )
+
+
+def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q2_stream
+
+    sink, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(),
+        schema="cell int, ride_id long, rowtime_ms long, dept_cnt long",
+    )
+
+
+def q3_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q3_stream
+
+    sink, query = run_q3_stream(
+        spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
+    )
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(), schema="dept_cnt long, cnt_freq long"
+    )
+
+
+# Q2 streaming oracle: the watermark-passed prefix of the batch
+# over-window result. Final watermark = max departure time - delay;
+# emission condition is rowtime <= watermark (inclusive).
+Q2_STREAM_ORACLE = f"""{_DEPARTURES_CTE},
+counted AS (
+  SELECT
+    ride_id,
+    cell,
+    epoch_ms(rowtime) AS rowtime_ms,
+    count(ride_id) OVER (
+      PARTITION BY cell ORDER BY epoch_ms(rowtime)
+      RANGE BETWEEN {OVER_RANGE_MS} PRECEDING AND CURRENT ROW
+    ) AS dept_cnt
+  FROM departures
+)
+SELECT cell, ride_id, rowtime_ms, dept_cnt
+FROM counted
+WHERE rowtime_ms <= (SELECT max(epoch_ms(rowtime)) FROM departures) - {WATERMARK_MS}
+"""
+
+
+QUERIES: list[Query] = [
+    Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
+    Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
+    Query("stream_q3_chained_agg", q3_stream_final, Q3_ORACLE),
+]
