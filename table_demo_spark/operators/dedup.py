@@ -30,9 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from table_demo_spark.functions.text import tokens, word_ngrams
+from table_demo_spark.sources.batch import fan_out
 
-N_MINHASH = 12
-N_BANDS = 6  # 6 bands x 2 rows: P(candidate) ≈ 1-(1-s^2)^6 (~0.98 at s=0.8)
+N_MINHASH = 18
+N_BANDS = 6  # 6 bands x 3 rows: inflection (1/6)^(1/3) ≈ 0.55 — matched to
+# the 0.5 default threshold. P(candidate) = 1-(1-s^3)^6: 0.99 at s=0.8,
+# 0.92 at 0.7, 0.55 at 0.5, 0.15 at 0.3 — weak pairs mostly never reach
+# the (join-heavy) verification stage, unlike a 2-rows-per-band layout
+# whose inflection sits at 0.41 and floods verify with s≈0.3 pairs.
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
@@ -60,6 +65,7 @@ def shingle_sets(docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: 
     """(doc_id, shingles) with distinct word n-gram shingles; docs with
     fewer than n tokens are excluded (they have no n-grams)."""
     toks = tokens(text_col)
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(toks, n)).alias("shingles"),
@@ -69,32 +75,36 @@ def shingle_sets(docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: 
 HASHES_PER_DIGEST = 6  # 32 hex chars -> six 5-hex (20-bit) hash slices
 
 
-def digest_columns(shingles: F.Column) -> list[F.Column]:
-    """Two salted md5 digest arrays per doc — the only expensive hash
-    work. All 12 minhash functions are 5-hex-char slices of these, so
-    the md5 cost per shingle is 2 calls, not 12. Callers should
-    materialize (cache) the result before fanning out into slices."""
-    def digest(j: int) -> F.Column:
-        salt = F.lit(f"#{j}")
-        return F.transform(shingles, lambda s: F.md5(F.concat(s, salt))).alias(
-            f"d{j}"
-        )
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh11) — k minhashes per doc.
 
-    return [digest(j) for j in range(N_MINHASH // HASHES_PER_DIGEST)]
-
-
-def minhash_signature(n_hashes: int = N_MINHASH) -> list[F.Column]:
-    """k minhashes over materialized digest arrays d0/d1: min over
-    shingles of the i-th 20-bit (5-hex) slice of the digest."""
-
-    def mh(i: int) -> F.Column:
-        digest = F.col(f"d{i // HASHES_PER_DIGEST}")
-        off = (i % HASHES_PER_DIGEST) * 5 + 1
-        return F.array_min(
-            F.transform(digest, lambda x: F.substring(x, off, 5))
-        ).alias(f"mh{i}")
-
-    return [mh(i) for i in range(n_hashes)]
+    Relational shape: explode shingles -> 2 salted md5 per shingle ->
+    groupBy(doc_id) with 12 min() aggregates over 5-hex digest slices.
+    One shuffle, map-side combined (partial mins), md5 evaluated exactly
+    twice per shingle. This beats the array-expression form (array_min
+    over transform) because CollapseProject duplicates the md5 transform
+    into every one of the 12 array_mins — same lesson as
+    :func:`simhash_signatures`'s explode form.
+    """
+    ex = sh.select(F.col("doc_id"), F.explode("shingles").alias("s")).select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))).alias(f"d{j}")
+            for j in range(N_MINHASH // HASHES_PER_DIGEST)
+        ],
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"d{i // HASHES_PER_DIGEST}"),
+                    (i % HASHES_PER_DIGEST) * 5 + 1,
+                    5,
+                )
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -113,12 +123,7 @@ def minhash_lsh_pairs(
     n^2 by LSH construction.
     """
     sh = shingle_sets(docs, n, id_col, text_col).cache()
-    # materialize the md5 digests once; the 12 signature slices and 6
-    # band keys below all read from this cached projection instead of
-    # re-hashing (CollapseProject would otherwise duplicate the md5
-    # transforms into every array_min)
-    digests = sh.select("doc_id", *digest_columns(F.col("shingles"))).cache()
-    sig = digests.select("doc_id", *minhash_signature())
+    sig = minhash_signatures(sh)
     band_keys = F.array(
         *[
             F.md5(
@@ -167,7 +172,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     expression form re-evaluates md5 per bit; the explode form is also
     the shape that scales — both shuffles are map-side combined.
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("t"),
     ).select("doc_id", F.md5("t").alias("digest"))

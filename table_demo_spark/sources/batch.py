@@ -71,6 +71,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a compute-dense input so per-row work
+    (hashing, shingling, vector math) uses every core.
+
+    Guarded: a no-op when the scan already has >= target partitions —
+    at 100 TB inputs arrive as thousands of file splits and no shuffle
+    happens; the repartition only fires for small/single-row-group
+    inputs (like the local fixtures) where the shuffle is trivially
+    cheap and the alternative is one task doing all the CPU work.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (the reference's
     ``tEnv.registerTableSource`` — TaxiRideQueries.scala:46-48) so both
