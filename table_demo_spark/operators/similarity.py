@@ -96,6 +96,71 @@ def lsh_topk(
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Classic two-level ANN: corpus vectors are assigned to their nearest
+    centroid (the inverted lists); each query probes only its
+    ``n_probe`` nearest centroids' lists. Candidate work drops from
+    O(|corpus|) to O(|corpus| * n_probe / n_centroids) per query.
+
+    Centroid selection here is a deterministic stub — the first
+    ``n_centroids`` corpus vectors by id — so assignment is exactly
+    reproducible in the ANSI-SQL oracle. A production deployment swaps
+    in k-means centroids (pyspark.ml.clustering.KMeans) without touching
+    the plan shape: assignment is a broadcast-join argmax either way,
+    and the probe join below is an equi-join on centroid id, so the
+    corpus side hash-partitions and never broadcasts.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest(df: DataFrame, out_id: str, vec_out: str, n: int) -> DataFrame:
+        """Top-n centroids per vector by cosine (argmax assignment)."""
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(vec_out),
+            "centroid_id",
+            cosine(vec_col, "cent_vec").alias("cent_sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("cent_sim").desc(), F.col("centroid_id").asc()
+        )
+        return scored.select(
+            out_id, vec_out, "centroid_id", F.row_number().over(w).alias("crank")
+        ).filter(F.col("crank") <= n)
+
+    lists = nearest(corpus, "neighbor_id", "c_vec", 1).drop("crank")
+    probes = nearest(queries, "query_id", "q_vec", n_probe).drop("crank")
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float,

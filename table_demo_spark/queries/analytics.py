@@ -358,6 +358,61 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A12 — as-of join: each purchase event looks up the user's most recent
+# click at-or-before it (operators/asof.py — single-shuffle union-and-
+# carry implementation; oracle uses DuckDB's native ASOF JOIN).
+# ---------------------------------------------------------------------------
+def a12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    # dedup right-side ties on (user, ts): deterministic winner = max id
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("c_ts"), "click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        value_cols=["click_id", "c_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("purchase_ms"),
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.unix_millis("c_ts_asof"), F.lit(-1)).alias("click_ms"),
+    )
+
+
+A12_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS c_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       epoch_ms(p.p_ts) AS purchase_ms,
+       COALESCE(c.click_id, -1) AS click_id,
+       COALESCE(epoch_ms(c.c_ts), -1) AS click_ms
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -370,4 +425,5 @@ QUERIES: list[Query] = [
     Query("an_a9_interval_join", a9_interval_join, A9_ORACLE),
     Query("an_a10_sessionize", a10_sessionize, A10_ORACLE),
     Query("an_a11_json_extract", a11_json_extract, A11_ORACLE),
+    Query("an_a12_asof_join", a12_asof_join, A12_ORACLE),
 ]

@@ -261,6 +261,60 @@ WHERE rank <= {LSH_K}
 
 
 # ---------------------------------------------------------------------------
+# S3 — IVF (inverted-file) approximate top-k: centroid-bucketed search.
+# ---------------------------------------------------------------------------
+def s3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_topk(emb, queries_df, k=ANN_K)
+
+
+def _ivf_oracle() -> str:
+    nc, npb = similarity.N_CENTROIDS, similarity.N_PROBE
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id, crank FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC,
+                      c.centroid_id ASC) AS crank
+    FROM embeddings e CROSS JOIN cent c
+  )
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id
+  FROM assigned WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+  FROM assigned WHERE crank <= {npb} AND vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         max({_sql_cosine('q_vec', 'c_vec')}) AS cos_sim
+  FROM lists JOIN probes USING (centroid_id)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+S3_ORACLE = _ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +485,7 @@ QUERIES: list[Query] = [
     Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
+    Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),
     Query("llm_t1_text_stats", t1_text_stats, T1_ORACLE),
     Query("llm_t2_lang_id", t2_lang_id, T2_ORACLE),
     Query("llm_t3_token_topk", t3_token_topk, T3_ORACLE),

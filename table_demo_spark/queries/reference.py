@@ -263,10 +263,169 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q5 — geo-point strings + ms-of-day (covers F4 hourOfDay and F6
+# toGeoPoint, the remaining reference scalar functions, in the oracle
+# gate; mirrors the Q1-SQL outer projection toGeoPoint(toCoords(...)),
+# TaxiRideQueries.scala:108-112).
+# ---------------------------------------------------------------------------
+def q5_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.functions.taxi import hour_of_day, to_geo_point
+
+    agg = q1_tumble(spark, sf_dir)
+    coords = to_coords(F.col("cell"))
+    return agg.select(
+        "cell",
+        to_geo_point(coords["lon"], coords["lat"]).alias("geo_point"),
+        hour_of_day(F.col("dept_time")).alias("ms_of_day"),
+        "dept_cnt",
+    )
+
+
+Q5_ORACLE = f"""{_DEPARTURES_CTE},
+agg AS (
+  SELECT
+    cell,
+    (epoch_ms(rowtime) // {TUMBLE_MS}) * {TUMBLE_MS} + {TUMBLE_MS} AS dept_time,
+    count(ride_id) AS dept_cnt
+  FROM departures
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT
+    cell,
+    -(ABS(CAST(-74.05 AS DOUBLE)) - (cell % 250) * CAST(0.0014 AS DOUBLE)
+      - CAST(0.0007 AS DOUBLE)) AS lon,
+    CAST(41.0 AS DOUBLE) - FLOOR(cell / CAST(250 AS DOUBLE)) * CAST(0.00125 AS DOUBLE)
+      - CAST(0.000625 AS DOUBLE) AS lat,
+    dept_time,
+    dept_cnt
+  FROM agg
+)
+SELECT cell,
+       CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR) AS geo_point,
+       dept_time % 86400000 AS ms_of_day,
+       dept_cnt
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2 — CSV record-format roundtrip: serialize rides with the reference's
+# toString, blank out some coordinate tokens, parse back with the strict
+# fromString port. The line itself AND every parsed field are
+# hash-checked against the oracle doing the same in SQL.
+# ---------------------------------------------------------------------------
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources.taxi_csv import parse_taxi_csv, ride_to_csv_line
+
+    rides = rides_view(spark, sf_dir)
+    shaped = rides.select(
+        "ride_id",
+        "is_start",
+        F.when(F.col("is_start"), F.col("rowtime"))
+        .otherwise(F.expr("rowtime - INTERVAL 20 MINUTES"))
+        .alias("start_time"),
+        F.when(F.col("is_start"), F.expr("rowtime + INTERVAL 20 MINUTES"))
+        .otherwise(F.col("rowtime"))
+        .alias("end_time"),
+        "start_lon",
+        "start_lat",
+        "end_lon",
+        "end_lat",
+        "passenger_cnt",
+        (F.col("ride_id") % 50 == 0).alias("blank"),
+    )
+    line0 = ride_to_csv_line(
+        F.col("ride_id"),
+        F.col("is_start"),
+        F.col("start_time"),
+        F.col("end_time"),
+        F.col("start_lon"),
+        F.col("start_lat"),
+        F.col("end_lon"),
+        F.col("end_lat"),
+        F.col("passenger_cnt"),
+    )
+    toks = F.split(line0, ",", -1)
+    # empty-coordinate variant (TaxiRide.java:118-121): blank startLon
+    blanked = F.array_join(
+        F.concat(
+            F.slice(toks, 1, 4), F.array(F.lit("")), F.slice(toks, 6, 4)
+        ),
+        ",",
+    )
+    lines = shaped.select(
+        F.when(F.col("blank"), blanked).otherwise(line0).alias("line")
+    )
+    parsed = parse_taxi_csv(lines, keep_line=True)
+    return parsed.select(
+        "line",
+        "ride_id",
+        "is_start",
+        F.unix_millis("start_time").alias("start_ms"),
+        F.unix_millis("end_time").alias("end_ms"),
+        "start_lon",
+        "start_lat",
+        "end_lon",
+        "end_lat",
+        "passenger_cnt",
+    )
+
+
+_CSV_FMT = "%Y-%m-%d %H:%M:%S"
+S2_ORACLE = f"""{_RIDES_CTE},
+shaped AS (
+  SELECT ride_id, is_start,
+    CASE WHEN is_start THEN rowtime ELSE rowtime - INTERVAL 20 MINUTE END AS start_ts,
+    CASE WHEN is_start THEN rowtime + INTERVAL 20 MINUTE ELSE rowtime END AS end_ts,
+    CAST(start_lon AS FLOAT) AS slon, CAST(start_lat AS FLOAT) AS slat,
+    CAST(end_lon AS FLOAT) AS elon, CAST(end_lat AS FLOAT) AS elat,
+    passenger_cnt, ride_id % 50 = 0 AS blank
+  FROM rides
+),
+lines0 AS (
+  SELECT blank, concat_ws(',',
+    CAST(ride_id AS VARCHAR),
+    CASE WHEN is_start THEN 'START' ELSE 'END' END,
+    strftime(CASE WHEN is_start THEN start_ts ELSE end_ts END, '{_CSV_FMT}'),
+    strftime(CASE WHEN is_start THEN end_ts ELSE start_ts END, '{_CSV_FMT}'),
+    CAST(slon AS VARCHAR), CAST(slat AS VARCHAR),
+    CAST(elon AS VARCHAR), CAST(elat AS VARCHAR),
+    CAST(passenger_cnt AS VARCHAR)) AS line0
+  FROM shaped
+),
+lines AS (
+  SELECT CASE WHEN blank THEN
+    array_to_string(list_concat(list_concat(
+      string_split(line0, ',')[1:4], ['']), string_split(line0, ',')[6:9]), ',')
+  ELSE line0 END AS line
+  FROM lines0
+),
+parsed AS (SELECT line, string_split(line, ',') AS t FROM lines)
+SELECT
+  line,
+  CAST(t[1] AS BIGINT) AS ride_id,
+  t[2] = 'START' AS is_start,
+  epoch_ms(CASE WHEN t[2] = 'START' THEN strptime(t[3], '{_CSV_FMT}')
+                ELSE strptime(t[4], '{_CSV_FMT}') END) AS start_ms,
+  epoch_ms(CASE WHEN t[2] = 'START' THEN strptime(t[4], '{_CSV_FMT}')
+                ELSE strptime(t[3], '{_CSV_FMT}') END) AS end_ms,
+  CASE WHEN length(t[5]) > 0 THEN CAST(t[5] AS FLOAT) ELSE CAST(0.0 AS FLOAT) END AS start_lon,
+  CASE WHEN length(t[6]) > 0 THEN CAST(t[6] AS FLOAT) ELSE CAST(0.0 AS FLOAT) END AS start_lat,
+  CASE WHEN length(t[7]) > 0 THEN CAST(t[7] AS FLOAT) ELSE CAST(0.0 AS FLOAT) END AS end_lon,
+  CASE WHEN length(t[8]) > 0 THEN CAST(t[8] AS FLOAT) ELSE CAST(0.0 AS FLOAT) END AS end_lat,
+  CAST(t[9] AS SMALLINT) AS passenger_cnt
+FROM parsed
+"""
+
+
 QUERIES: list[Query] = [
     Query("ref_q1_tumble", q1_tumble, Q1_ORACLE),
     Query("ref_q1_tumble_sql", q1_tumble_sql, Q1_ORACLE),
     Query("ref_q2_over_range", q2_over_range, Q2_ORACLE),
     Query("ref_q3_cnt_freq", q3_cnt_freq, Q3_ORACLE),
     Query("ref_q4_cell_coords", q4_cell_coords, Q4_ORACLE),
+    Query("ref_q5_geo_points", q5_geo_points, Q5_ORACLE),
+    Query("ref_s2_csv_roundtrip", s2_csv_roundtrip, S2_ORACLE),
 ]

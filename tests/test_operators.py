@@ -1,0 +1,100 @@
+"""Unit tests for operators with semantics beyond what the oracle-parity
+suite exercises: as-of join edges, strict CSV parsing errors."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+UTC = dt.timezone.utc
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s).replace(tzinfo=None)
+
+
+def test_asof_join_semantics(spark):
+    from table_demo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:10:00")),  # after two right rows
+            (2, 10, _ts("2024-01-01T00:05:00")),  # exactly at a right ts
+            (3, 10, _ts("2024-01-01T00:00:30")),  # between right rows
+            (4, 20, _ts("2024-01-01T00:01:00")),  # key with no right rows
+            (5, 30, _ts("2024-01-01T00:00:00")),  # before the only right row
+        ],
+        "id long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:00:00")),
+            (101, 10, _ts("2024-01-01T00:05:00")),
+            (102, 30, _ts("2024-01-01T00:01:00")),
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    out = {
+        r["id"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["rid"]
+        ).collect()
+    }
+    assert out == {1: 101, 2: 101, 3: 100, 4: None, 5: None}
+
+
+def test_taxi_csv_strict_parse_errors(spark):
+    from table_demo_spark.sources.taxi_csv import parse_taxi_csv
+
+    bad_arity = spark.createDataFrame([("1,START,too,few",)], "line string")
+    with pytest.raises(Exception, match="Invalid record"):
+        parse_taxi_csv(bad_arity).collect()
+
+    bad_type = spark.createDataFrame(
+        [("1,MIDDLE,2013-01-01 00:00:00,2013-01-01 00:20:00,0,0,0,0,1",)],
+        "line string",
+    )
+    with pytest.raises(Exception, match="Invalid record"):
+        parse_taxi_csv(bad_type).collect()
+
+
+def test_taxi_csv_empty_coord_default_and_swap(spark):
+    from table_demo_spark.sources.taxi_csv import parse_taxi_csv
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lines = spark.createDataFrame(
+        [
+            ("7,END,2013-01-01 00:20:00,2013-01-01 00:00:00,,-74.0,,40.7,3",),
+        ],
+        "line string",
+    )
+    r = parse_taxi_csv(lines).collect()[0]
+    assert not r["is_start"]
+    # END events serialize endTime first (TaxiRide.java:77-80)
+    assert r["end_time"] == _ts("2013-01-01T00:20:00")
+    assert r["start_time"] == _ts("2013-01-01T00:00:00")
+    assert r["start_lon"] == 0.0 and r["end_lon"] == 0.0
+    assert r["start_lat"] == pytest.approx(-74.0)
+    assert r["passenger_cnt"] == 3
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with all centroids probed == exact brute force (sanity), and
+    with fewer probes stays a subset-ranked approximation."""
+    from table_demo_spark.operators.similarity import brute_force_topk, ivf_topk
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert full_probe == exact
