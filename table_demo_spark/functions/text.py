@@ -30,18 +30,14 @@ def tokens(text) -> Column:
     return F.split(F.trim(F.lower(_c(text))), r"\s+")
 
 
+BPE_TOKEN_RE = "([a-z]+|[0-9]+|[^a-z0-9\\s])"
+
+
 def regex_tokens(text) -> Column:
     """BPE-ish tokenizer: runs of letters, runs of digits, or single
-    punctuation marks each become a token."""
-    t = F.lower(_c(text))
-    # split points: boundaries between letter/digit/other runs
-    return F.filter(
-        F.split(
-            F.regexp_replace(t, r"([a-z]+|[0-9]+|[^a-z0-9\s])", r"$1"),
-            "",
-        ),
-        lambda x: F.trim(x) != "",
-    )
+    punctuation marks each become a token (the shape a byte-pair
+    pre-tokenizer produces before merges)."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_TOKEN_RE), 1)
 
 
 def token_count(text) -> Column:

@@ -57,3 +57,30 @@ def binary_meta(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, schema=BINARY_META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_hex string"
+
+
+def frame_sample(
+    docs_with_payload: DataFrame, frame_bytes: int = 16, every: int = 4
+) -> DataFrame:
+    """Fixed-size frame extraction + every-k-th sampling over binary
+    payloads — the video-frame-sampling execution shape: one
+    Arrow-batched pass, each batch sliced with zero-copy buffer math,
+    output exploded to (doc_id, frame_no, frame). Only complete frames
+    are emitted. A real codec swaps the slice for a decode call; the
+    partitioning, batch iteration and explode shape stay identical.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fno in range(0, len(b) // frame_bytes, every):
+                    frame = b[fno * frame_bytes : (fno + 1) * frame_bytes]
+                    rows.append((doc_id, fno, frame.hex().upper()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_hex"])
+
+    return docs_with_payload.mapInPandas(sample, schema=FRAME_SCHEMA)

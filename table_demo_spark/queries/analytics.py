@@ -413,6 +413,41 @@ ASOF LEFT JOIN clicks c
 """
 
 
+# ---------------------------------------------------------------------------
+# A13 — skew-safe salted aggregation (operators/skew.py): identical
+# semantics to a plain GROUP BY — the oracle IS the plain GROUP BY —
+# but executed as per-partition partials + merge, so one hot key can't
+# serialize the reduce stage at scale.
+# ---------------------------------------------------------------------------
+def a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        sum_cols=["value"],
+        count_alias="n",
+        max_cols=["value"],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+        F.round(F.col("max_value"), 6).alias("max_value"),
+    )
+
+
+A13_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 6) AS sum_value,
+       round(CAST(max(value) AS DOUBLE), 6) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -426,4 +461,5 @@ QUERIES: list[Query] = [
     Query("an_a10_sessionize", a10_sessionize, A10_ORACLE),
     Query("an_a11_json_extract", a11_json_extract, A11_ORACLE),
     Query("an_a12_asof_join", a12_asof_join, A12_ORACLE),
+    Query("an_a13_salted_agg", a13_salted_agg, A13_ORACLE),
 ]

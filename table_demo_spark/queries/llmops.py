@@ -462,6 +462,26 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# T5 — token counting: whitespace vs BPE-ish regex pre-tokenization.
+# ---------------------------------------------------------------------------
+def t5_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).alias("ws_tokens"),
+        F.size(T.regex_tokens("text")).alias("bpe_tokens"),
+    )
+
+
+T5_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}', 1)) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary-column plumbing (Arrow-batched mapInPandas).
 # ---------------------------------------------------------------------------
 def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +494,38 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        hex(encode(substring(text, 1, 4))) AS prefix_hex
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# M2 — frame extraction + every-k-th sampling over binary payloads.
+# ---------------------------------------------------------------------------
+FRAME_BYTES = 16
+FRAME_EVERY = 4
+
+
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(
+        multimodal.with_binary_payload(docs),
+        frame_bytes=FRAME_BYTES,
+        every=FRAME_EVERY,
+    )
+
+
+# Oracle walks the hex string of the payload: frame f = 2*FRAME_BYTES
+# hex chars starting at f*2*FRAME_BYTES (byte-exact, encoding-agnostic).
+M2_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(fno AS INT) AS frame_no,
+       substr(hx, CAST(fno * {2 * FRAME_BYTES} + 1 AS BIGINT),
+              {2 * FRAME_BYTES}) AS frame_hex
+FROM (SELECT doc_id, hx, unnest(range(0, n_frames, {FRAME_EVERY})) AS fno FROM h)
 """
 
 
@@ -490,5 +542,7 @@ QUERIES: list[Query] = [
     Query("llm_t2_lang_id", t2_lang_id, T2_ORACLE),
     Query("llm_t3_token_topk", t3_token_topk, T3_ORACLE),
     Query("llm_t4_fingerprints", t4_fingerprints, T4_ORACLE),
+    Query("llm_t5_token_counts", t5_token_counts, T5_ORACLE),
     Query("llm_m1_binary_meta", m1_binary_meta, M1_ORACLE),
+    Query("llm_m2_frame_sample", m2_frame_sample, M2_ORACLE),
 ]
