@@ -43,21 +43,25 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact (normalized) dedup: md5 over the normalized token stream;
-    canonical id = min doc id per fingerprint."""
+    canonical id = min doc id per fingerprint.
+
+    Single shuffle on the fingerprint (window min), so the
+    tokenize+hash projection runs exactly once per row — the groupBy +
+    join-back formulation evaluates it twice (once per join side) and
+    shuffles twice."""
+    from pyspark.sql import Window
+
     from table_demo_spark.functions.text import doc_fingerprint
 
     with_fp = docs.select(
         F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fingerprint")
     )
-    canon = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
-    return (
-        with_fp.join(canon, "fingerprint")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-            "fingerprint",
-        )
+    canonical = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return with_fp.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_dup"),
+        "fingerprint",
     )
 
 

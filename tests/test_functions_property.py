@@ -1,0 +1,110 @@
+"""Property tests (SURVEY §5.1): the native-expression ports of the
+reference's scalar functions (TaxiFunctions.scala:25-90) agree with
+straight-Python ports of the formulas across randomized and boundary
+inputs, including the float->double promotion order."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+LON_EAST, LON_WEST = -73.7, -74.05
+LAT_NORTH, LAT_SOUTH = 41.0, 40.5
+DLON, DLAT = 0.0014, 0.00125
+
+
+# straight ports of TaxiFunctions.scala (float inputs, double math)
+def py_in_nyc(lon: np.float32, lat: np.float32) -> bool:
+    lon, lat = float(lon), float(lat)
+    return not (lon > LON_EAST or lon < LON_WEST) and not (
+        lat > LAT_NORTH or lat < LAT_SOUTH
+    )
+
+
+def py_to_cell_id(lon: np.float32, lat: np.float32) -> int:
+    x_idx = math.floor((abs(LON_WEST) - abs(float(lon))) / DLON)
+    y_idx = math.floor((LAT_NORTH - float(lat)) / DLAT)
+    return int(x_idx + y_idx * 250)
+
+
+def py_to_coords(cell: int) -> tuple[float, float]:
+    x_idx = cell % 250
+    y_idx = cell // 250
+    lon = -(abs(LON_WEST) - x_idx * DLON - DLON / 2)
+    lat = LAT_NORTH - y_idx * DLAT - DLAT / 2
+    return lon, lat
+
+
+def _sample_points(n: int = 2000) -> list[tuple[float, float]]:
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-74.2, -73.5, n).astype(np.float32)
+    lat = rng.uniform(40.3, 41.2, n).astype(np.float32)
+    pts = list(zip(lon.tolist(), lat.tolist()))
+    # bbox and grid boundary values + the empty-coordinate default
+    for b in [
+        (LON_WEST, LAT_SOUTH),
+        (LON_EAST, LAT_NORTH),
+        (LON_WEST, LAT_NORTH),
+        (LON_EAST, LAT_SOUTH),
+        (0.0, 0.0),
+        (-74.05 + DLON, 41.0 - DLAT),
+    ]:
+        pts.append((np.float32(b[0]).item(), np.float32(b[1]).item()))
+    return pts
+
+
+def test_in_nyc_and_cell_id_match_reference_formulas(spark):
+    from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+
+    pts = _sample_points()
+    df = spark.createDataFrame(pts, "lon float, lat float")
+    got = df.select(
+        in_nyc(F.col("lon").cast("double"), F.col("lat").cast("double")).alias("in_nyc"),
+        to_cell_id(
+            F.col("lon").cast("double"), F.col("lat").cast("double")
+        ).alias("cell"),
+        "lon",
+        "lat",
+    ).collect()
+    for r in got:
+        lon32, lat32 = np.float32(r["lon"]), np.float32(r["lat"])
+        assert r["in_nyc"] == py_in_nyc(lon32, lat32), (r["lon"], r["lat"])
+        assert r["cell"] == py_to_cell_id(lon32, lat32), (r["lon"], r["lat"])
+
+
+def test_to_coords_roundtrip_and_formula(spark):
+    from table_demo_spark.functions.taxi import to_cell_id, to_coords
+
+    cells = list(range(0, 250 * 400, 37)) + [0, 249, 250, 62499]
+    df = spark.createDataFrame([(c,) for c in cells], "cell int")
+    coords = to_coords(F.col("cell"))
+    got = df.select(
+        "cell", coords["lon"].alias("lon"), coords["lat"].alias("lat")
+    ).collect()
+    for r in got:
+        lon, lat = py_to_coords(r["cell"])
+        assert r["lon"] == pytest.approx(lon, abs=0)
+        assert r["lat"] == pytest.approx(lat, abs=0)
+    # cell-center roundtrip: to_cell_id(to_coords(c)) == c
+    back = df.select(
+        "cell", to_cell_id(coords["lon"], coords["lat"]).alias("cell2")
+    ).collect()
+    for r in back:
+        assert r["cell"] == r["cell2"]
+
+
+def test_hour_of_day_and_to_long(spark):
+    from table_demo_spark.functions.taxi import hour_of_day, to_long_millis
+
+    ms = [0, 1, 86_399_999, 86_400_000, 1_359_849_600_123]
+    df = spark.createDataFrame([(m,) for m in ms], "ms long").select(
+        "ms",
+        hour_of_day(F.col("ms")).alias("mod"),
+        to_long_millis(F.timestamp_millis("ms")).alias("back"),
+    )
+    for r in df.collect():
+        assert r["mod"] == r["ms"] % 86_400_000  # TaxiFunctions.scala:84
+        assert r["back"] == r["ms"]  # toLong is epoch-ms, not seconds
