@@ -237,28 +237,26 @@ def run_q2_stream(
 # Q3 streaming — chained aggregation with retraction handling.
 # ---------------------------------------------------------------------------
 class ChainedAggSink:
-    """Consumes level-1 updates (cell -> dept_cnt) and maintains the
-    level-2 histogram (dept_cnt -> cnt_freq), decrementing the old
-    bucket and incrementing the new one per update — exactly the
-    retract/acc stream Flink feeds its second aggregation
-    (TaxiRideQueries.scala:153-156, SURVEY §1.4)."""
+    """The level-2 aggregation of Q3 as a retract-changelog consumer:
+    maintains the histogram (dept_cnt -> cnt_freq) from accumulate /
+    retract messages — exactly the retracting stream Flink's planner
+    feeds the second aggregation (TaxiRideQueries.scala:153-156,
+    SURVEY §1.4). Bucket moves are O(1) per message."""
 
     def __init__(self, threshold: int = 0):
         self.threshold = threshold
-        self.per_cell: dict[int, int] = {}
         self.histogram: Counter = Counter()
 
-    def apply_updates(self, rows: list[dict]) -> None:
-        for r in rows:
-            cell, cnt = r["cell"], r["dept_cnt"]
-            old = self.per_cell.get(cell)
-            if old is not None and old > self.threshold:
-                self.histogram[old] -= 1  # retract old bucket
-                if self.histogram[old] == 0:
-                    del self.histogram[old]
-            self.per_cell[cell] = cnt
-            if cnt > self.threshold:
-                self.histogram[cnt] += 1
+    def consume(self, accumulate: bool, row: dict) -> None:
+        cnt = row["dept_cnt"]
+        if cnt <= self.threshold:
+            return
+        if accumulate:
+            self.histogram[cnt] += 1
+        else:
+            self.histogram[cnt] -= 1
+            if self.histogram[cnt] == 0:
+                del self.histogram[cnt]
 
     def snapshot(self) -> list[dict]:
         return [
@@ -271,18 +269,22 @@ def run_q3_stream(
     sf_dir: str,
     speed: float = 2_000_000.0,
     threshold: int = 0,
+    ttl_ms: int | None = None,
 ):
     """Level 1 (groupBy cell, continuous count) runs natively in update
-    mode; each micro-batch's deltas drive the level-2 histogram in the
-    sink. Returns (ChainedAggSink, query)."""
+    mode; a RetractStreamAdapter turns its per-batch deltas into the
+    (retract old, accumulate new) changelog driving the level-2
+    histogram. ``ttl_ms`` mirrors the reference's idle-state retention
+    (TaxiRideQueries.scala:99). Returns (ChainedAggSink, query)."""
+    from table_demo_spark.streaming.retract import RetractStreamAdapter
+
     departures = stream_departures(stream_rides(spark, sf_dir, speed))
     level1 = departures.groupBy("cell").agg(F.count("ride_id").alias("dept_cnt"))
     sink = ChainedAggSink(threshold)
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink.apply_updates([r.asDict() for r in batch_df.collect()])
-
+    adapter = RetractStreamAdapter(("cell",), sink.consume, ttl_ms=ttl_ms)
     query = (
-        level1.writeStream.outputMode("update").foreachBatch(apply_batch).start()
+        level1.writeStream.outputMode("update")
+        .foreachBatch(adapter.foreach_batch())
+        .start()
     )
     return sink, query

@@ -52,6 +52,72 @@ class MemoryUpsertSink:
             return list(self._rows.values())
 
 
+class ParquetUpsertSink:
+    """Durable key-based upsert target: a parquet directory maintained
+    by MERGE-style read-modify-write per micro-batch — the
+    production-shaped analog of the Elasticsearch upsert sink (swap for
+    Delta ``MERGE INTO`` / ES bulk on a real deployment; the
+    foreachBatch contract is identical).
+
+    Each batch is unioned with the current table and deduplicated by
+    key keeping the newest generation (later batch wins — the upsert
+    rule of ElasticUpsertTableSink.scala:127-138). Writes go to a new
+    generation directory, then the pointer flips — readers never see a
+    half-written table, and the overwritten-while-read hazard of
+    in-place parquet overwrite never arises."""
+
+    def __init__(self, path: str, key_cols: tuple[str, ...]):
+        import os
+
+        self.path = path
+        self.key_cols = key_cols
+        self._gen = 0
+        os.makedirs(path, exist_ok=True)
+
+    def _gen_dir(self, gen: int) -> str:
+        return f"{self.path}/gen={gen}"
+
+    @property
+    def current_dir(self) -> str | None:
+        return self._gen_dir(self._gen) if self._gen > 0 else None
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        new = batch_df.withColumn("__gen", F.lit(self._gen + 1))
+        if self.current_dir is not None:
+            # stored rows predate every incoming generation
+            cur = spark.read.parquet(self.current_dir).withColumn(
+                "__gen", F.lit(0)
+            )
+            merged = cur.unionByName(new)
+        else:
+            merged = new
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__gen").desc())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
+        nxt = self._gen_dir(self._gen + 1)
+        latest.write.mode("overwrite").parquet(nxt)
+        old = self.current_dir
+        self._gen += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def snapshot_df(self, spark) -> DataFrame:
+        assert self.current_dir is not None, "no batch written yet"
+        return spark.read.parquet(self.current_dir)
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return self.apply_batch
+
+
 def foreach_batch_upsert(
     sink: MemoryUpsertSink,
 ) -> Callable[[DataFrame, int], None]:

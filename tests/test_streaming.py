@@ -123,6 +123,74 @@ def test_q3_stream_histogram_equals_batch(spark, batch_frames):
     assert got == want
 
 
+def test_retract_stream_adapter_changelog_and_ttl():
+    from table_demo_spark.streaming.retract import RetractStreamAdapter
+
+    log: list[tuple[bool, dict]] = []
+    clock = {"t": 1000.0}
+    a = RetractStreamAdapter(
+        ("k",), lambda f, r: log.append((f, r)), ttl_ms=5_000, now_fn=lambda: clock["t"]
+    )
+    a.apply_rows([{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    assert log == [(True, {"k": 1, "v": 10}), (True, {"k": 2, "v": 20})]
+    log.clear()
+    a.apply_rows([{"k": 1, "v": 11}])  # update: retract-then-accumulate
+    assert log == [(False, {"k": 1, "v": 10}), (True, {"k": 1, "v": 11})]
+    log.clear()
+    clock["t"] = 1006.0  # k=2 idle > 5s -> evicted with a retraction
+    a.apply_rows([{"k": 1, "v": 12}])
+    assert (False, {"k": 2, "v": 20}) in log
+    # accumulate/retract invariant: each live key nets to exactly +1
+    net: dict = {}
+    for f, r in [
+        (True, {"k": 1, "v": 10}), (True, {"k": 2, "v": 20}),
+        (False, {"k": 1, "v": 10}), (True, {"k": 1, "v": 11}),
+    ] + log:
+        net[r["k"]] = net.get(r["k"], 0) + (1 if f else -1)
+    assert net == {1: 1, 2: 0}
+
+
+def test_parquet_upsert_sink_merge(spark, tmp_path):
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "t"), ("k",))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    sink.apply_batch(b1, 0)
+    sink.apply_batch(b2, 1)
+    got = {
+        r["k"]: r["v"] for r in sink.snapshot_df(spark).collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c"}  # later batch wins on key 2
+
+
+def test_q1_stream_into_parquet_upsert_sink(spark, tmp_path, batch_frames):
+    from table_demo_spark.streaming.queries import (
+        q1_stream,
+        stream_departures,
+        stream_rides,
+    )
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    out = q1_stream(stream_departures(stream_rides(spark, SF_SMOKE, speed=SPEED)))
+    sink = ParquetUpsertSink(str(tmp_path / "q1"), ("cell", "dept_time"))
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    _run_until_done(q)
+    got = (
+        sink.snapshot_df(spark)
+        .toPandas()[["cell", "dept_time", "dept_cnt"]]
+        .sort_values(["cell", "dept_time"], ignore_index=True)
+    )
+    want = batch_frames["q1"].sort_values(
+        ["cell", "dept_time"], ignore_index=True
+    )[["cell", "dept_time", "dept_cnt"]]
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_upsert_key_inference_matches_reference_planner(spark):
     """plans.modes must infer keys = grouping columns and update mode
     for unwindowed continuous aggs (SURVEY §1.4 key-inference rule)."""
