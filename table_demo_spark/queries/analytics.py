@@ -448,6 +448,29 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A14 — CUBE grouping sets (all 2^k subtotal combinations).
+# ---------------------------------------------------------------------------
+def a14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value").cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
+A14_ORACLE = """
+SELECT event_type, dow, count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -462,4 +485,5 @@ QUERIES: list[Query] = [
     Query("an_a11_json_extract", a11_json_extract, A11_ORACLE),
     Query("an_a12_asof_join", a12_asof_join, A12_ORACLE),
     Query("an_a13_salted_agg", a13_salted_agg, A13_ORACLE),
+    Query("an_a14_cube", a14_cube, A14_ORACLE),
 ]

@@ -109,8 +109,52 @@ WHERE rowtime_ms <= (SELECT max(epoch_ms(rowtime)) FROM departures) - {WATERMARK
 """
 
 
+def q4_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q4_session_stream
+
+    sink, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(), schema="user_id long, session_start long, n_events long"
+    )
+
+
+# Session-window append emission: a session is final when the watermark
+# passes its close (last event + gap). Verified empirically at sf0.001
+# and sf0.01: emitted == {sessions: last_ms + gap <= max_ms - delay}.
+_GAP_MS = 30 * 60_000
+Q4_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+agg AS (
+  SELECT user_id,
+         epoch_ms(min(ts)) AS session_start,
+         count(*) AS n_events,
+         epoch_ms(max(ts)) AS last_ms
+  FROM sessions
+  GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, n_events
+FROM agg
+WHERE last_ms + {_GAP_MS} <=
+      (SELECT max(epoch_ms(ts)) FROM events) - {WATERMARK_MS}
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
     Query("stream_q3_chained_agg", q3_stream_final, Q3_ORACLE),
+    Query("stream_q4_session_window", q4_session_final, Q4_SESSION_ORACLE),
 ]

@@ -234,6 +234,53 @@ def run_q2_stream(
 
 
 # ---------------------------------------------------------------------------
+# Q4 streaming — session-window aggregation (gap-merged event-time
+# windows). Append mode: a session is final once the watermark passes
+# its close (last event + gap) — no stale partial-session keys, which
+# update mode would leave behind whenever sessions merge.
+# ---------------------------------------------------------------------------
+def stream_events(
+    spark: SparkSession, sf_dir: str, speed: float = 600.0
+) -> DataFrame:
+    register_replay_source(spark)
+    raw = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("timecol", "ts")
+        .option("speed", speed)
+        .load()
+    )
+    return raw.select(
+        "event_id", "user_id", F.timestamp_millis(F.col("ts")).alias("rowtime")
+    )
+
+
+def q4_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    gap: str = "30 minutes",
+):
+    ev = stream_events(spark, sf_dir, speed).withWatermark("rowtime", WATERMARK)
+    out = (
+        ev.groupBy("user_id", F.session_window("rowtime", gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("s.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+    sink = MemoryUpsertSink(("user_id", "session_start"))
+    query = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
 # Q3 streaming — chained aggregation with retraction handling.
 # ---------------------------------------------------------------------------
 class ChainedAggSink:
