@@ -124,6 +124,58 @@ def bag_fingerprint(text) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(tokens(text))))
 
 
+WINNOW_K = 5  # k-gram char shingle length
+WINNOW_W = 4  # winnowing window (guarantee threshold t = W + K - 1)
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+
+
+def with_winnow_fingerprints(df, text_col: str = "text", out: str = "fps"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    polynomial rolling hash over every k-char gram, then the minimum
+    hash per w-gram window, deduplicated — a compact, position-robust
+    fingerprint set; two docs sharing a run of >= w+k-1 chars share at
+    least one fingerprint.
+
+    DataFrame-level (not a single Column) on purpose: the char-code
+    array and the gram-hash array are materialized as their own
+    projection attributes so downstream lambdas read them O(1) —
+    folding everything into one expression would let each transform
+    element re-evaluate lower()/split() and turn the hash into O(n^2)
+    per document (the word_ngrams lesson). Gram hashes are built with
+    zip_with over k shifted slices: each slice references the codes
+    attribute once, so total work is O(k*n) per doc.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    codes = F.transform(
+        F.split(F.lower(_c(text_col)), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    s1 = df.withColumn("__codes", codes)
+    n_grams = F.greatest(
+        F.size(F.col("__codes")) - k + 1, F.lit(0)
+    )
+    powers = [ROLL_BASE ** (k - 1 - i) % ROLL_MOD for i in range(k)]
+    gh = F.transform(
+        F.slice(F.col("__codes"), 1, n_grams),
+        lambda c: c * F.lit(powers[0]),
+    )
+    for i in range(1, k):
+        shifted = F.slice(F.col("__codes"), 1 + i, n_grams)
+        p = powers[i]
+        gh = F.zip_with(gh, shifted, lambda a, c: a + c * F.lit(p))
+    s2 = s1.withColumn("__gh", F.transform(gh, lambda h: h % ROLL_MOD))
+    win_starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("__gh")) - w + 1, F.lit(0))
+    )
+    mins = F.transform(
+        win_starts, lambda s: F.array_min(F.slice(F.col("__gh"), s, w))
+    )
+    return s2.withColumn(out, F.array_sort(F.array_distinct(mins))).drop(
+        "__codes", "__gh"
+    )
+
+
 def simhash32(toks: Column) -> Column:
     """32-bit SimHash over the token multiset.
 

@@ -39,6 +39,17 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: requires a codec (PIL/cv2).
+    Production shape: runs inside the same mapInPandas batch loop as
+    :func:`binary_meta` / :func:`frame_sample` — decode, resize,
+    re-encode per batch element, Arrow-transfer the new binary column."""
+    raise NotImplementedError(
+        "image resize requires PIL/cv2; wire your codec here — the "
+        "surrounding mapInPandas plumbing is codec-agnostic"
+    )
+
+
 def binary_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Byte-level feature extraction over binary payloads via Arrow-
     batched mapInPandas: (doc_id, n_bytes, prefix_hex). This is the

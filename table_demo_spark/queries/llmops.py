@@ -482,6 +482,161 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# T6 — winnowing fingerprints (rolling-hash document fingerprinting).
+# ---------------------------------------------------------------------------
+def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_fps = T.with_winnow_fingerprints(docs, "text", out="fps")
+    return with_fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.concat_ws(
+            "-", F.transform(F.col("fps"), lambda x: x.cast("string"))
+        ).alias("fp_sig"),
+    )
+
+
+def _winnow_oracle() -> str:
+    k, w, base, mod = T.WINNOW_K, T.WINNOW_W, T.ROLL_BASE, T.ROLL_MOD
+    powers = [base ** (k - 1 - i) % mod for i in range(k)]
+    gram = " + ".join(
+        f"codes[CAST(pos + {i} AS BIGINT)] * {p}" for i, p in enumerate(powers)
+    )
+    return f"""
+WITH g AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
+cc AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+                        i -> CAST(ord(substr(t, CAST(i AS BIGINT), 1)) AS BIGINT)) AS codes
+  FROM g
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(n - {k} + 1, 0) + 1),
+                        pos -> ({gram}) % {mod}) AS hashes
+  FROM cc
+),
+m AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(hashes) - {w} + 1, 0) + 1),
+                          s -> list_min(hashes[CAST(s AS BIGINT):CAST(s + {w} - 1 AS BIGINT)])))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       len(fps) AS n_fps,
+       array_to_string(fps, '-') AS fp_sig
+FROM m
+"""
+
+
+T6_ORACLE = _winnow_oracle()
+
+
+# ---------------------------------------------------------------------------
+# P1 — end-to-end training-data prep pipeline: quality gate -> confident
+# language -> exact dedup (keep canonical) -> per-language corpus stats.
+# Composes the text-analysis and dedup operators into one plan; Catalyst
+# fuses the projections and the whole thing is two shuffles
+# (fingerprint window + final aggregate).
+# ---------------------------------------------------------------------------
+def p1_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        T.predict_lang(toks).alias("pred_lang"),
+        T.quality_score(
+            F.size(toks),
+            T.stopword_ratio(toks, T.STOPWORDS_EN),
+            T.avg_token_len(toks),
+        ).alias("q"),
+    )
+    kept = scored.filter((F.col("q") >= 0.5) & (F.col("pred_lang") == F.col("lang")))
+    from pyspark.sql import Window
+
+    fp = T.doc_fingerprint("text")
+    canonical = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    deduped = (
+        kept.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", canonical)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+def _p1_oracle() -> str:
+    lists = {
+        "en": T.STOPWORDS_EN,
+        "de": T.STOPWORDS_DE,
+        "es": T.STOPWORDS_ES,
+        "fr": T.STOPWORDS_FR,
+    }
+    ratios = ",\n         ".join(
+        f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN "
+        f"({', '.join(chr(39) + s + chr(39) for s in ws)}))) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s_{lang}"
+        for lang, ws in lists.items()
+    )
+    whens = "\n            ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in ["en", "de", "es", "fr"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+scores AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_reduce(list_transform(toks, t -> length(t)),
+                                    (a, b) -> a + b) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS avg_len,
+         {ratios}
+  FROM tok
+),
+best_s AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM scores),
+quality AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CASE {whens} ELSE 'und' END AS pred_lang,
+         (CASE WHEN n_tokens BETWEEN 10 AND 80 THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN s_en >= CAST(0.05 AS DOUBLE) THEN CAST(0.3 AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN avg_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(8.0 AS DOUBLE)
+                 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS q
+  FROM best_s
+),
+kept AS (
+  SELECT *, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+  FROM quality
+  WHERE q >= CAST(0.5 AS DOUBLE) AND pred_lang = lang
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+    FROM kept
+  ) WHERE doc_id = canonical_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM deduped
+GROUP BY lang
+"""
+
+
+P1_ORACLE = _p1_oracle()
+
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary-column plumbing (Arrow-batched mapInPandas).
 # ---------------------------------------------------------------------------
 def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +698,8 @@ QUERIES: list[Query] = [
     Query("llm_t3_token_topk", t3_token_topk, T3_ORACLE),
     Query("llm_t4_fingerprints", t4_fingerprints, T4_ORACLE),
     Query("llm_t5_token_counts", t5_token_counts, T5_ORACLE),
+    Query("llm_t6_winnow_fingerprints", t6_winnow_fingerprints, T6_ORACLE),
     Query("llm_m1_binary_meta", m1_binary_meta, M1_ORACLE),
     Query("llm_m2_frame_sample", m2_frame_sample, M2_ORACLE),
+    Query("llm_p1_prep_pipeline", p1_prep_pipeline, P1_ORACLE),
 ]
