@@ -471,6 +471,58 @@ GROUP BY CUBE (event_type, dow)
 """
 
 
+# ---------------------------------------------------------------------------
+# A15 — sliding (hopping) event-time windows: width 2 days, slide 1 day
+# (each event lands in exactly 2 windows). The reference has only
+# tumble + over windows; sliding windows complete the window family.
+# ---------------------------------------------------------------------------
+def a15_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("win_start"), "n")
+    )
+
+
+_DAY = 86_400_000
+A15_ORACLE = f"""
+SELECT ws AS win_start, count(*) AS n
+FROM (
+  SELECT (epoch_ms(ts) // {_DAY} - off) * {_DAY} AS ws
+  FROM events, (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY ws
+"""
+
+
+# ---------------------------------------------------------------------------
+# A16 — string-predicate scan pruning over part (LIKE / prefix filters
+# push into the parquet scan as StartsWith/Contains).
+# ---------------------------------------------------------------------------
+def a16_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").startswith("SMALL") | F.col("p_name").contains("blue")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+A16_ORACLE = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part
+WHERE p_type LIKE 'SMALL%' OR p_name LIKE '%blue%'
+GROUP BY p_brand
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -486,4 +538,6 @@ QUERIES: list[Query] = [
     Query("an_a12_asof_join", a12_asof_join, A12_ORACLE),
     Query("an_a13_salted_agg", a13_salted_agg, A13_ORACLE),
     Query("an_a14_cube", a14_cube, A14_ORACLE),
+    Query("an_a15_sliding_window", a15_sliding_window, A15_ORACLE),
+    Query("an_a16_part_filter", a16_part_filter, A16_ORACLE),
 ]
