@@ -56,7 +56,11 @@ def brute_force_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
         .filter(F.col("rank") <= k)
     )
 
@@ -91,7 +95,11 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
         .filter(F.col("rank") <= k)
     )
 
@@ -156,7 +164,11 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
         .filter(F.col("rank") <= k)
     )
 

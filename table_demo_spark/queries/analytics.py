@@ -220,7 +220,7 @@ def a7_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )

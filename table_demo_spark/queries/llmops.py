@@ -322,7 +322,7 @@ def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens("text")
     base = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         T.avg_token_len(toks).alias("avg_token_len"),
         T.stopword_ratio(toks, T.STOPWORDS_EN).alias("stop_ratio"),
     )
@@ -468,8 +468,8 @@ def t5_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(T.tokens("text")).alias("ws_tokens"),
-        F.size(T.regex_tokens("text")).alias("bpe_tokens"),
+        F.size(T.tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(T.regex_tokens("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -489,7 +489,7 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_fps = T.with_winnow_fingerprints(docs, "text", out="fps")
     return with_fps.select(
         "doc_id",
-        F.size("fps").alias("n_fps"),
+        F.size("fps").cast("long").alias("n_fps"),
         F.concat_ws(
             "-", F.transform(F.col("fps"), lambda x: x.cast("string"))
         ).alias("fp_sig"),
