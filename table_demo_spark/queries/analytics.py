@@ -523,6 +523,63 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# A17 — anti join: customers that never placed an order.
+# ---------------------------------------------------------------------------
+def a17_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that never placed a high-value order (left anti join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400_000
+    )
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle_customers"))
+    )
+
+
+A17_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_idle_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > CAST(400000 AS DOUBLE))
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# A18 — full outer join: suppliers vs customers per nation.
+# ---------------------------------------------------------------------------
+def a18_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    sup = supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    cust = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return sup.join(
+        cust, sup.s_nationkey == cust.c_nationkey, "full_outer"
+    ).select(
+        F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+A18_ORACLE = """
+WITH sup AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+cust AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1)
+SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(n_customers, 0) AS n_customers
+FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -540,4 +597,6 @@ QUERIES: list[Query] = [
     Query("an_a14_cube", a14_cube, A14_ORACLE),
     Query("an_a15_sliding_window", a15_sliding_window, A15_ORACLE),
     Query("an_a16_part_filter", a16_part_filter, A16_ORACLE),
+    Query("an_a17_anti_join", a17_anti_join, A17_ORACLE),
+    Query("an_a18_full_outer", a18_full_outer, A18_ORACLE),
 ]
