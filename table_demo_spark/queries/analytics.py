@@ -580,6 +580,28 @@ FROM sup FULL OUTER JOIN cust ON s_nationkey = c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# A19 — exact percentiles (median / p95, linear interpolation).
+# ---------------------------------------------------------------------------
+def a19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A19_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -599,4 +621,5 @@ QUERIES: list[Query] = [
     Query("an_a16_part_filter", a16_part_filter, A16_ORACLE),
     Query("an_a17_anti_join", a17_anti_join, A17_ORACLE),
     Query("an_a18_full_outer", a18_full_outer, A18_ORACLE),
+    Query("an_a19_percentiles", a19_percentiles, A19_ORACLE),
 ]

@@ -123,6 +123,28 @@ def test_q3_stream_histogram_equals_batch(spark, batch_frames):
     assert got == want
 
 
+def test_q2_state_stays_bounded_by_range_eviction(spark):
+    """The stateful over-window must evict buffered events below
+    (frontier - range): with a 1-day range over ~30 days of data, final
+    state must hold only a small tail fraction of all departures —
+    unbounded-state implementations fail this."""
+    from table_demo_spark.streaming.queries import run_q2_stream
+
+    sink, q = run_q2_stream(
+        spark, SF_SMOKE, speed=SPEED, range_ms=86_400_000
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    n_emitted = len(sink.snapshot())
+    assert n_emitted > 0
+    state_rows = sum(
+        op["numRowsTotal"] for op in progress["stateOperators"]
+    )
+    # state = per-cell in-range buffers + not-yet-emittable tail only
+    assert state_rows < n_emitted / 2, (state_rows, n_emitted)
+
+
 def test_retract_stream_adapter_changelog_and_ttl():
     from table_demo_spark.streaming.retract import RetractStreamAdapter
 
