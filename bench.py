@@ -27,15 +27,19 @@ HEADLINE = [
     "an_a9_interval_join",
     "an_a10_sessionize",
     "an_a11_json_extract",
+    "an_a12_asof_join",
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
     "llm_d3_dedup_simhash",
     "llm_d5_embedding_neardup",
     "llm_s1_ann_topk",
     "llm_s2_ann_lsh_topk",
+    "llm_s3_ann_ivf_topk",
     "llm_t1_text_stats",
     "llm_t3_token_topk",
+    "llm_t6_winnow_fingerprints",
     "llm_m1_binary_meta",
+    "llm_p1_prep_pipeline",
 ]
 
 

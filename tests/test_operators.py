@@ -80,6 +80,36 @@ def test_taxi_csv_empty_coord_default_and_swap(spark):
     assert r["passenger_cnt"] == 3
 
 
+def test_winnow_numpy_equals_expression_reference(spark):
+    """The Arrow-vectorized winnowing implementation must produce
+    exactly the native-expression reference's fingerprint sets."""
+    from table_demo_spark.functions.text import (
+        with_winnow_fingerprints,
+        with_winnow_fingerprints_expr,
+    )
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = (
+        with_winnow_fingerprints(docs)
+        .select("doc_id", "fps")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        with_winnow_fingerprints_expr(docs)
+        .select("doc_id", "fps")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(a) == len(b) > 0
+    for x, y in zip(a["fps"], b["fps"]):
+        assert list(x) == list(y)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     """IVF with all centroids probed == exact brute force (sanity), and
     with fewer probes stays a subset-ranked approximation."""
