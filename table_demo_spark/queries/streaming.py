@@ -152,9 +152,82 @@ WHERE last_ms + {_GAP_MS} <=
 """
 
 
+def q5_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q5_join_stream
+
+    sink, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(),
+        schema="user_id long, click_id long, purchase_id long, "
+        "click_ms long, purchase_ms long",
+    )
+
+
+# Stream-stream inner join: every matching pair is emitted exactly
+# once (the watermark only bounds state, not emission), so the final
+# sink state is the full batch interval join.
+_Q5_WITHIN_MS = 10 * 60_000
+Q5_JOIN_ORACLE = f"""
+SELECT
+  c.user_id AS user_id,
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  epoch_ms(c.ts) AS click_ms,
+  epoch_ms(p.ts) AS purchase_ms
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <= epoch_ms(c.ts) + {_Q5_WITHIN_MS}
+"""
+
+
+def q6_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q6_dedup_stream
+
+    sink, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(), schema="user_id long, event_type string"
+    )
+
+
+# Streaming dedup projects only the key, so whichever duplicate wins
+# the first-arrival race, the emitted row is identical -> plain
+# DISTINCT is the exact oracle.
+Q6_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q7_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q7_enrich_stream
+
+    sink, query = q7_enrich_stream(spark, sf_dir, speed=DRIVER_SPEED)
+    _drain(query, sink.snapshot)
+    return spark.createDataFrame(
+        sink.snapshot(), schema="c_mktsegment string, n_events long, revenue double"
+    )
+
+
+Q7_ENRICH_ORACLE = """
+SELECT
+  c.c_mktsegment AS c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
     Query("stream_q3_chained_agg", q3_stream_final, Q3_ORACLE),
     Query("stream_q4_session_window", q4_session_final, Q4_SESSION_ORACLE),
+    Query("stream_q5_interval_join", q5_join_final, Q5_JOIN_ORACLE),
+    Query("stream_q6_dedup", q6_dedup_final, Q6_DEDUP_ORACLE),
+    Query("stream_q7_enrich_agg", q7_enrich_final, Q7_ENRICH_ORACLE),
 ]

@@ -281,6 +281,178 @@ def q4_session_stream(
 
 
 # ---------------------------------------------------------------------------
+# Q5 streaming — stream-stream event-time interval join.
+#
+# The reference's data model inherently pairs two event streams (ride
+# START and END events sharing a rideId, TaxiRide.java:25-30); the
+# reference never joins them, but a general engine with its
+# capabilities must. Spark shape: two watermarked derivations of the
+# replay source, inner-joined on key + an event-time range predicate —
+# Structured Streaming uses the range to bound both sides' join state
+# (evict below watermark - interval), so state is O(events in the
+# interval), not O(stream).
+# ---------------------------------------------------------------------------
+def q5_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_ms: int = 10 * 60_000,
+):
+    """click→purchase conversion pairs: purchases by the same user
+    within ``within_ms`` after a click. Inner join => every match is
+    emitted exactly once regardless of arrival order; the final sink
+    state equals the batch join. Returns (sink, query)."""
+    ev = stream_events_typed(spark, sf_dir, speed)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("rowtime").alias("click_time"),
+        )
+        .withWatermark("click_time", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("rowtime").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_time").alias("click_ms"),
+        F.unix_millis("purchase_time").alias("purchase_ms"),
+    )
+    sink = MemoryUpsertSink(("click_id", "purchase_id"))
+    query = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q6 streaming — streaming deduplication.
+#
+# The LLM-pipeline dedup family (operators/dedup.py) run continuously:
+# first occurrence of each key passes, repeats are dropped. State is
+# one entry per distinct key — the semantics' inherent minimum (the
+# key-set IS the answer). For keys with bounded revisit horizons,
+# ``within_watermark=True`` switches to dropDuplicatesWithinWatermark,
+# trading global uniqueness for watermark-evicted (bounded) state —
+# the 100 TB shape when the key domain is unbounded.
+# ---------------------------------------------------------------------------
+def q6_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_watermark: bool = False,
+):
+    """Distinct (user_id, event_type) pairs, streaming. Projecting only
+    the dedup key makes the output order-insensitive (whichever
+    duplicate arrives first, the emitted row is identical), so the
+    final sink state equals batch SELECT DISTINCT. Returns (sink, query)."""
+    ev = stream_events_typed(spark, sf_dir, speed).withWatermark(
+        "rowtime", WATERMARK
+    )
+    keyed = ev.select("user_id", "event_type", "rowtime")
+    deduped = (
+        keyed.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        if within_watermark
+        else keyed.dropDuplicates(["user_id", "event_type"])
+    ).select("user_id", "event_type")
+    sink = MemoryUpsertSink(("user_id", "event_type"))
+    query = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q7 streaming — stream-static enrichment join + continuous aggregate.
+#
+# The classic dimension-enrichment topology: an unbounded fact stream
+# joined to a bounded dimension table, then aggregated per dimension
+# attribute. The static side re-reads per micro-batch and Catalyst
+# broadcasts it (dimension tables stay broadcast-small even at 100 TB
+# fact volume), so the join adds no shuffle; the only stateful operator
+# is the final update-mode aggregate, keyed by the (tiny) segment
+# domain.
+# ---------------------------------------------------------------------------
+def q7_enrich_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+):
+    """Revenue + event count per customer market segment: stream
+    events ⋈ static customer on user_id = c_custkey, grouped by
+    c_mktsegment in update mode. Returns (sink, query)."""
+    from table_demo_spark.sources.batch import load_table
+
+    ev = stream_events_typed(spark, sf_dir, speed)
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        ev.join(customer, ev.user_id == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # value is 2-decimal money: decimal-exact sum keeps the
+            # result order-independent (the repo's numeric discipline)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    sink = MemoryUpsertSink(("c_mktsegment",))
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(sink))
+        .start()
+    )
+    return sink, query
+
+
+def stream_events_typed(
+    spark: SparkSession, sf_dir: str, speed: float = 600.0
+) -> DataFrame:
+    """Replay source projected to the full typed event shape."""
+    register_replay_source(spark)
+    raw = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("timecol", "ts")
+        .option("speed", speed)
+        .load()
+    )
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_millis(F.col("ts")).alias("rowtime"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3 streaming — chained aggregation with retraction handling.
 # ---------------------------------------------------------------------------
 class ChainedAggSink:
