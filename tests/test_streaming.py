@@ -213,6 +213,101 @@ def test_q1_stream_into_parquet_upsert_sink(spark, tmp_path, batch_frames):
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_q5_stream_join_equals_batch_and_state_is_bounded(spark):
+    """Stream-stream interval join: final emitted pairs must equal the
+    batch interval join, and the symmetric-hash-join state must have
+    evicted everything below watermark - interval (state << input)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import q5_join_stream
+
+    sink, q = q5_join_stream(spark, SF_SMOKE, speed=SPEED)
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    got = {(r["click_id"], r["purchase_id"]) for r in sink.snapshot()}
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ms").alias("cms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ms").alias("pms"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("pms") >= F.col("cms"))
+            & (F.col("pms") <= F.col("cms") + 10 * 60_000),
+        ).collect()
+    }
+    assert got == want
+    n_input = c.count() + p.count()
+    state_rows = sum(op["numRowsTotal"] for op in progress["stateOperators"])
+    assert state_rows < n_input / 10, (state_rows, n_input)
+
+
+def test_q6_dedup_within_watermark_equals_distinct_with_zero_final_state(spark):
+    """dropDuplicatesWithinWatermark: the upsert sink's key-set still
+    equals batch DISTINCT (the sink re-dedupes any post-eviction
+    re-emissions), while dedup state is fully watermark-evicted by
+    end-of-stream — the bounded-state shape for unbounded key domains."""
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import q6_dedup_stream
+
+    sink, q = q6_dedup_stream(
+        spark, SF_SMOKE, speed=SPEED, within_watermark=True
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    got = {(r["user_id"], r["event_type"]) for r in sink.snapshot()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    state_rows = sum(op["numRowsTotal"] for op in progress["stateOperators"])
+    assert state_rows == 0, state_rows
+
+
+def test_q7_enrich_final_state_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import q7_enrich_stream
+
+    sink, q = q7_enrich_stream(spark, SF_SMOKE, speed=SPEED)
+    _run_until_done(q)
+    got = {
+        r["c_mktsegment"]: (r["n_events"], round(r["revenue"], 2))
+        for r in sink.snapshot()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    want = {
+        r["c_mktsegment"]: (r["n"], round(r["rev"], 2))
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_upsert_key_inference_matches_reference_planner(spark):
     """plans.modes must infer keys = grouping columns and update mode
     for unwindowed continuous aggs (SURVEY §1.4 key-inference rule)."""
