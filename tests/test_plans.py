@@ -1,0 +1,117 @@
+"""Physical-plan-shape regression tests.
+
+The 100 TB design claims in docs/SCALE.md are properties of the plans
+Catalyst produces, not of small-fixture results — so they are asserted
+here directly on the formatted physical plan: predicate pushdown
+reaching the parquet scan, column pruning, broadcast joins on dimension
+tables, map-side partial aggregation, single-shuffle dedup, and no
+row-at-a-time Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _query(name):
+    from table_demo_spark.queries import all_queries
+
+    return {q.name: q.spark_fn for q in all_queries()}[name]
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """a16's LIKE-shaped predicates must appear as PushedFilters on the
+    scan node — at 100 TB this is the difference between reading row
+    groups and skipping them."""
+    plan = formatted_plan(_query("an_a16_part_filter")(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "StringStartsWith(p_type,SMALL)" in pushed.replace(" ", "").replace(
+        "'", ""
+    ) or "p_type" in pushed  # Or-of-contains pushes as a composite
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """ref_q1 touches 5 of the ride columns; the scan's ReadSchema must
+    not include the unused dropoff coordinates."""
+    plan = formatted_plan(_query("ref_q1_tumble")(spark, SF_SMOKE))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "end_lon" not in read[0] and "end_lat" not in read[0]
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """a2 joins the fact table to customer/nation/region — every dim
+    join must be a BroadcastHashJoin (no fact-side shuffle for dims)."""
+    plan = formatted_plan(_query("an_a2_revenue_by_nation")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """ref_q1's count must map-side combine (partial_count) before the
+    shuffle — the only agg shape that survives skewed keys at scale."""
+    plan = formatted_plan(_query("ref_q1_tumble")(spark, SF_SMOKE))
+    assert "partial_count" in plan, plan
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    """llm_d1 (window-min formulation) must shuffle exactly once — the
+    groupBy+join-back formulation would show two exchanges."""
+    import re
+
+    plan = formatted_plan(_query("llm_d1_dedup_exact")(spark, SF_SMOKE))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchange == 1, plan
+
+
+# Queries allowed to run Python: exactly the vectorized Arrow paths
+# (winnowing, multimodal decode stubs, embedding GEMM) — everything
+# else must stay fully JVM-side.
+_PYTHON_ALLOWED = {
+    "llm_t6_winnow_fingerprints",  # ArrowEvalPython (numpy winnowing)
+    "llm_m1_binary_meta",  # MapInPandas (binary payload headers)
+    "llm_m2_frame_sample",  # MapInPandas (frame sampling stub)
+    "llm_d5_embedding_neardup",  # MapInPandas (numpy GEMM blocks)
+}
+
+
+def test_no_python_eval_in_hot_paths(spark):
+    """No BatchEvalPython (row-at-a-time UDF) anywhere; Arrow-batched
+    Python only in the explicitly allowed vectorized operators."""
+    from table_demo_spark.queries import all_queries
+
+    offenders = []
+    for q in all_queries():
+        if q.name.startswith("stream_"):
+            continue  # streaming queries execute, not just plan
+        plan = formatted_plan(q.spark_fn(spark, SF_SMOKE))
+        if "BatchEvalPython" in plan:
+            offenders.append((q.name, "BatchEvalPython"))
+        if (
+            any(m in plan for m in ("ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas", "MapInPandas"))
+            and q.name not in _PYTHON_ALLOWED
+        ):
+            offenders.append((q.name, "python-node"))
+    assert not offenders, offenders
+
+
+def test_whole_stage_codegen_covers_reference_query(spark):
+    """ref_q1's filter/project/agg pipeline must sit inside whole-stage
+    codegen spans. AQE's unfinalized plan hides codegen ids, so it is
+    disabled just for this planning check."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = formatted_plan(_query("ref_q1_tumble")(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the scan -> filter -> project -> partial-agg pipeline is one span
+    assert "codegen id : 1" in plan, plan
