@@ -308,6 +308,58 @@ def test_q7_enrich_final_state_equals_batch(spark):
     assert got == want
 
 
+def test_q1_stream_checkpoint_recovery_is_exactly_once(spark, tmp_path, batch_frames):
+    """Kill the query mid-stream, restart from the same checkpoint: the
+    replay source's offsets are deterministic indexes into the seeded
+    emit order, so recovery must replay no event twice and drop none —
+    the durable upsert sink ends exactly equal to the batch answer."""
+    import time
+
+    from table_demo_spark.streaming.queries import (
+        q1_stream,
+        stream_departures,
+        stream_rides,
+    )
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetUpsertSink(str(tmp_path / "q1"), ("cell", "dept_time"))
+
+    def start(speed):
+        out = q1_stream(
+            stream_departures(stream_rides(spark, SF_SMOKE, speed=speed))
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+
+    # slow enough that the replay is still in flight when we kill it
+    q = start(1_000_000.0)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+
+    q2 = start(SPEED)
+    _run_until_done(q2)
+
+    got = (
+        sink.snapshot_df(spark)
+        .toPandas()[["cell", "dept_time", "dept_cnt"]]
+        .sort_values(["cell", "dept_time"], ignore_index=True)
+    )
+    want = batch_frames["q1"].sort_values(
+        ["cell", "dept_time"], ignore_index=True
+    )[["cell", "dept_time", "dept_cnt"]]
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_upsert_key_inference_matches_reference_planner(spark):
     """plans.modes must infer keys = grouping columns and update mode
     for unwindowed continuous aggs (SURVEY §1.4 key-inference rule)."""
