@@ -602,6 +602,113 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# A20 — pivot (orderpriority x orderstatus revenue matrix).
+#
+# Spark compiles pivot to a single partial-aggregating hash aggregate
+# with one conditional sum per pivot value — one shuffle on the
+# grouping key, same shape as the hand-written conditional aggregation
+# the oracle spells out. Pivot values are enumerated explicitly: at
+# 100 TB an implicit pivot would need an extra distinct pass first.
+# ---------------------------------------------------------------------------
+def a20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+A20_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A21 — correlated scalar subquery (SQL dialect).
+#
+# Catalyst de-correlates the subquery into an aggregate + join
+# (RewriteCorrelatedScalarSubquery), so the executed plan is a
+# shuffle-once aggregate joined back to the fact — no per-row
+# re-execution, which is what makes the construct usable at scale.
+# max() is order-independent, so the filter threshold is exact.
+# ---------------------------------------------------------------------------
+A21_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders o
+WHERE o_totalprice >= (
+  SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def a21_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources.batch import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(A21_SQL)
+
+
+A21_ORACLE = A21_SQL
+
+
+# ---------------------------------------------------------------------------
+# A22 — lag over event-time (per-user inter-event gaps).
+#
+# lag() needs a per-key sort: one hash shuffle on user_id, in-partition
+# sort (spillable). Gap arithmetic stays in epoch-ms integers, so the
+# per-user gap aggregates are exact under any evaluation order.
+# ---------------------------------------------------------------------------
+def a22_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("ms") - F.lag("ms").over(w)).alias("gap_ms")
+    )
+    return gaps.groupBy("user_id").agg(
+        # first event's gap is NULL -> non-null gaps = n_events - 1
+        (F.count("gap_ms") + 1).alias("n_events"),
+        F.sum("gap_ms").alias("span_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
+A22_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_ms) + 1 AS BIGINT) AS n_events,
+       CAST(sum(gap_ms) AS BIGINT) AS span_ms,
+       max(gap_ms) AS max_gap_ms
+FROM g
+GROUP BY user_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -622,4 +729,7 @@ QUERIES: list[Query] = [
     Query("an_a17_anti_join", a17_anti_join, A17_ORACLE),
     Query("an_a18_full_outer", a18_full_outer, A18_ORACLE),
     Query("an_a19_percentiles", a19_percentiles, A19_ORACLE),
+    Query("an_a20_pivot", a20_pivot, A20_ORACLE),
+    Query("an_a21_correlated_subquery", a21_correlated_subquery, A21_ORACLE),
+    Query("an_a22_lag_gaps", a22_lag_gaps, A22_ORACLE),
 ]
