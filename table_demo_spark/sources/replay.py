@@ -59,6 +59,18 @@ class _RangePartition(InputPartition):
     end: int
 
 
+# Driver-side replay-frontier registry, keyed by the options that fix the
+# emit order. A reader restarted from a checkpoint (same driver process —
+# e.g. streaming-query recovery) must RESUME the replay frontier where its
+# predecessor left off: a fresh wall clock would re-traverse [t0, K) and
+# report latestOffset below the committed offset K for a while, during
+# which the engine sees "no new data" — processAllAvailable() returns
+# early and the stream tail is silently never processed. Fresh queries
+# (initialOffset() called) still replay from the beginning with their own
+# clock; only checkpoint restarts (initialOffset() skipped) resume.
+_REPLAY_FRONTIER: dict[tuple, int] = {}
+
+
 class ReplayStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         import time
@@ -70,7 +82,7 @@ class ReplayStreamReader(DataSourceStreamReader):
         self._speed = float(options.get("speed", 600.0))
         self._max_delay_ms = int(options.get("maxdelayms", 60_000))
         self._seed = int(options.get("seed", 7452))
-        self._n_parts = int(options.get("numpartitions", 4))
+        self._n_parts = int(options.get("numpartitions", 8))
 
         tbl = pq.read_table(self._path)
         df = tbl.to_pandas()
@@ -83,27 +95,57 @@ class ReplayStreamReader(DataSourceStreamReader):
         delays = gaussian_delays_ms(len(df), self._max_delay_ms, self._seed)
         emit_ms = ts_ms + delays
         order = emit_ms.argsort(kind="stable")
-        self._rows = df.iloc[order].reset_index(drop=True)
+        import pyarrow as pa
+
+        # emit-ordered Arrow table: read() slices it zero-copy and
+        # yields RecordBatches (the vectorized data-source path) —
+        # row-at-a-time tuple yielding measured ~4x slower end-to-end
+        self._arrow = pa.Table.from_pandas(
+            df.iloc[order].reset_index(drop=True), preserve_index=False
+        )
         self._emit_ms = emit_ms[order]
-        self._t0_emit = int(self._emit_ms[0]) if len(self._emit_ms) else 0
         self._wall_start = time.time()
+        self._clock_key = (
+            self._path, self._time_col, self._max_delay_ms, self._seed,
+        )
+        # assume restart-resume until initialOffset() proves fresh start
+        self._base_idx = min(
+            _REPLAY_FRONTIER.get(self._clock_key, 0), len(self._emit_ms)
+        )
+        self._seen_hi = 0  # highest offset the engine has shown us (WAL)
+
+    def _advance_frontier(self, idx: int) -> None:
+        if idx > _REPLAY_FRONTIER.get(self._clock_key, 0):
+            _REPLAY_FRONTIER[self._clock_key] = idx
 
     def initialOffset(self) -> dict:
+        self._base_idx = 0
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
         import time
 
-        elapsed_ms = (time.time() - self._wall_start) * 1000.0
-        frontier = self._t0_emit + elapsed_ms * self._speed
-        # all rows whose (delayed) emit time has been reached
         import numpy as np
 
+        if len(self._emit_ms) == 0:
+            return {"idx": 0}
+        # anchor the clock at the first unserved row's emit time, so the
+        # row at _base_idx becomes available immediately (frontier is
+        # inclusive via side="right") — on restart this makes progress
+        # visible to the engine at once instead of after a catch-up lag
+        anchor = int(self._emit_ms[min(self._base_idx, len(self._emit_ms) - 1)])
+        elapsed_ms = (time.time() - self._wall_start) * 1000.0
+        frontier = anchor + elapsed_ms * self._speed
+        # all rows whose (delayed) emit time has been reached
         idx = int(np.searchsorted(self._emit_ms, frontier, side="right"))
+        idx = max(idx, self._base_idx, self._seen_hi)
+        self._advance_frontier(idx)
         return {"idx": idx}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["idx"], end["idx"]
+        self._seen_hi = max(self._seen_hi, lo, hi)
+        self._advance_frontier(self._seen_hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         n = min(self._n_parts, hi - lo)
@@ -112,13 +154,15 @@ class ReplayStreamReader(DataSourceStreamReader):
             _RangePartition(i, min(i + step, hi)) for i in range(lo, hi, step)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        chunk = self._rows.iloc[partition.start : partition.end]
-        for row in chunk.itertuples(index=False):
-            yield tuple(row)
+    def read(self, partition: _RangePartition):
+        chunk = self._arrow.slice(
+            partition.start, partition.end - partition.start
+        )
+        yield from chunk.to_batches(max_chunksize=20_000)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._seen_hi = max(self._seen_hi, end["idx"])
+        self._advance_frontier(self._seen_hi)
 
 
 class ReplayDataSource(DataSource):

@@ -52,7 +52,7 @@ def stream_rides(
     sf_dir: str,
     speed: float = 600.0,
     max_delay_ms: int = 60_000,
-    n_parts: int = 4,
+    n_parts: int = 8,
 ) -> DataFrame:
     """readStream from the replay source, shaped like sources.batch.
     rides_view (same derivation, from epoch-ms columns)."""

@@ -360,6 +360,44 @@ def test_q1_stream_checkpoint_recovery_is_exactly_once(spark, tmp_path, batch_fr
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
+def test_replay_reader_restart_resumes_frontier_without_regression():
+    """Root cause of a flaky recovery failure: a reader restarted from a
+    checkpoint starts a fresh pacing clock, so latestOffset() sat below
+    the committed offset until the clock re-traversed [t0, K) — the
+    engine saw 'no new data' and processAllAvailable() returned early,
+    silently dropping the stream tail. A restarted reader (initialOffset
+    NOT called — the engine only calls it when there is no checkpoint)
+    must resume at or above its predecessor's frontier immediately."""
+    from pyspark.sql.types import StructType
+
+    from table_demo_spark.sources.replay import ReplayStreamReader
+
+    opts = {
+        "path": f"{SF_SMOKE}/events.parquet",
+        "timecol": "ts",
+        "speed": "600",  # slow: frontier barely moves during the test
+        "maxdelayms": "60000",
+        "seed": "424242",  # private key — no cross-test registry sharing
+    }
+    r1 = ReplayStreamReader(StructType([]), dict(opts))
+    assert r1.initialOffset() == {"idx": 0}
+    k = 400
+    r1.partitions({"idx": 0}, {"idx": k})  # engine ran a batch to K
+    r1.commit({"idx": k})
+
+    # restart: new reader, same options; engine skips initialOffset
+    r2 = ReplayStreamReader(StructType([]), dict(opts))
+    assert r2.latestOffset()["idx"] >= k
+    # and the tail must become available, not be re-traversed from 0
+    r2.partitions({"idx": k}, {"idx": k + 10})
+    assert r2.latestOffset()["idx"] >= k + 10
+
+    # a FRESH query (initialOffset called) still replays from the start
+    r3 = ReplayStreamReader(StructType([]), dict(opts))
+    assert r3.initialOffset() == {"idx": 0}
+    assert r3.latestOffset()["idx"] < 400  # paced at 600x, not jumped
+
+
 def test_upsert_key_inference_matches_reference_planner(spark):
     """plans.modes must infer keys = grouping columns and update mode
     for unwindowed continuous aggs (SURVEY §1.4 key-inference rule)."""
