@@ -39,11 +39,40 @@ from table_demo_spark.queries.reference import (
 DRIVER_SPEED = 5e8  # ~16 years of event time per wall-clock second
 WATERMARK_MS = 61_000  # streaming/queries.py WATERMARK
 
+# State partitions for the micro-batch stateful operators below. These
+# drain a whole fixture in a couple of micro-batches, so per-partition
+# state-store open/commit overhead dominates over parallelism — fewer,
+# fatter state partitions win (measured at sf0.1: 32 -> 4 partitions cuts
+# the full q1 drain from 8.2s to 5.3s). A real cluster deployment sizes
+# this to executor count instead; AQE cannot (streaming state partition
+# count is fixed at the first checkpoint).
+STATE_PARTITIONS = "4"
+
+
+class _state_partitions:
+    """Scope spark.sql.shuffle.partitions around one streaming run."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+
 
 def _drain(query, snapshot_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     """Process all available data, then wait for watermark-driven
     no-data batches (event-time timeouts) to finish flushing: poll the
-    sink until its size is stable across several checks."""
+    sink until its size is stable across several checks.
+
+    quiet_polls > 1 is only needed for watermark-GATED emission (append
+    mode over stateful ops: q2's event-time timeouts, q4's session
+    close) where output trails data by no-data watermark batches.
+    Update-mode aggregations and inner stream-stream joins emit within
+    the data batch itself — one confirming poll suffices."""
     query.processAllAvailable()
     prev, stable, deadline = -1, 0, time.time() + timeout_s
     while stable < quiet_polls and time.time() < deadline:
@@ -58,8 +87,9 @@ def _drain(query, snapshot_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
 def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q1_stream
 
-    sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot, quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="cell int, dept_time long, dept_cnt long"
     )
@@ -68,8 +98,9 @@ def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q2_stream
 
-    sink, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot)
     return spark.createDataFrame(
         sink.snapshot(),
         schema="cell int, ride_id long, rowtime_ms long, dept_cnt long",
@@ -79,10 +110,11 @@ def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q3_stream
 
-    sink, query = run_q3_stream(
-        spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
-    )
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = run_q3_stream(
+            spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
+        )
+        _drain(query, sink.snapshot, quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="dept_cnt long, cnt_freq long"
     )
@@ -112,8 +144,9 @@ WHERE rowtime_ms <= (SELECT max(epoch_ms(rowtime)) FROM departures) - {WATERMARK
 def q4_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q4_session_stream
 
-    sink, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot)
     return spark.createDataFrame(
         sink.snapshot(), schema="user_id long, session_start long, n_events long"
     )
@@ -155,8 +188,9 @@ WHERE last_ms + {_GAP_MS} <=
 def q5_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q5_join_stream
 
-    sink, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot, quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(),
         schema="user_id long, click_id long, purchase_id long, "
@@ -188,8 +222,9 @@ JOIN events p
 def q6_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q6_dedup_stream
 
-    sink, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot, quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="user_id long, event_type string"
     )
@@ -204,8 +239,9 @@ Q6_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 def q7_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q7_enrich_stream
 
-    sink, query = q7_enrich_stream(spark, sf_dir, speed=DRIVER_SPEED)
-    _drain(query, sink.snapshot)
+    with _state_partitions(spark):
+        sink, query = q7_enrich_stream(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, sink.snapshot, quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="c_mktsegment string, n_events long, revenue double"
     )

@@ -59,16 +59,54 @@ class _RangePartition(InputPartition):
     end: int
 
 
-# Driver-side replay-frontier registry, keyed by the options that fix the
-# emit order. A reader restarted from a checkpoint (same driver process —
-# e.g. streaming-query recovery) must RESUME the replay frontier where its
-# predecessor left off: a fresh wall clock would re-traverse [t0, K) and
-# report latestOffset below the committed offset K for a while, during
-# which the engine sees "no new data" — processAllAvailable() returns
-# early and the stream tail is silently never processed. Fresh queries
-# (initialOffset() called) still replay from the beginning with their own
-# clock; only checkpoint restarts (initialOffset() skipped) resume.
-_REPLAY_FRONTIER: dict[tuple, int] = {}
+# Replay-frontier persistence, keyed by the options that fix the emit
+# order. A reader restarted from a checkpoint must RESUME the replay
+# frontier where its predecessor left off: a fresh wall clock would
+# re-traverse [t0, K) and report latestOffset below the committed offset
+# K for a while, during which the engine sees "no new data" —
+# processAllAvailable() returns early and the stream tail is silently
+# never processed. The reader lives in a dedicated Python worker process
+# (python_streaming_source_runner) that dies with the query, so the
+# frontier must survive OUTSIDE that process: a small file on the driver
+# host (where the stream-reader worker always runs). Fresh queries reset
+# it — the engine calls initialOffset() only when there is no checkpoint,
+# which is exactly the fresh/restart discriminator.
+
+
+def _frontier_path(key: tuple) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"replay-frontier-{os.getuid()}-{digest}"
+    )
+
+
+def _frontier_read(key: tuple) -> int:
+    try:
+        with open(_frontier_path(key)) as f:
+            return int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def _frontier_write(key: tuple, idx: int) -> None:
+    import os
+    import tempfile
+
+    path = _frontier_path(key)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(str(idx))
+        os.replace(tmp, path)  # atomic: concurrent readers never see torn writes
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 class ReplayStreamReader(DataSourceStreamReader):
@@ -109,17 +147,17 @@ class ReplayStreamReader(DataSourceStreamReader):
             self._path, self._time_col, self._max_delay_ms, self._seed,
         )
         # assume restart-resume until initialOffset() proves fresh start
-        self._base_idx = min(
-            _REPLAY_FRONTIER.get(self._clock_key, 0), len(self._emit_ms)
-        )
+        self._base_idx = min(_frontier_read(self._clock_key), len(self._emit_ms))
         self._seen_hi = 0  # highest offset the engine has shown us (WAL)
 
     def _advance_frontier(self, idx: int) -> None:
-        if idx > _REPLAY_FRONTIER.get(self._clock_key, 0):
-            _REPLAY_FRONTIER[self._clock_key] = idx
+        if idx > _frontier_read(self._clock_key):
+            _frontier_write(self._clock_key, idx)
 
     def initialOffset(self) -> dict:
+        # fresh query (no checkpoint): replay — and pace — from the start
         self._base_idx = 0
+        _frontier_write(self._clock_key, 0)
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
