@@ -336,8 +336,12 @@ def test_q1_stream_checkpoint_recovery_is_exactly_once(spark, tmp_path, batch_fr
             .start()
         )
 
-    # slow enough that the replay is still in flight when we kill it
-    q = start(1_000_000.0)
+    # slow enough that the replay is STILL in flight when we kill it
+    # even from a cold start: full pacing at 1e5 takes ~26s (span
+    # 2.59e9 event-ms / 1e5 per wall-ms), well past query startup —
+    # at faster speeds a cold batch 0 swallows the whole fixture and
+    # the "kill" happens after all data, testing nothing
+    q = start(100_000.0)
     deadline = time.time() + 60
     while time.time() < deadline:
         p = q.lastProgress
