@@ -36,13 +36,23 @@ def asof_join(
 
     Returns all left columns plus ``<value_col><suffix>`` for each
     right value column (null when no right row precedes the left row).
+
+    All value columns are carried as ONE struct so the matched right
+    row is taken atomically — carrying each column independently would
+    silently mix columns from different right rows whenever the latest
+    right row holds a NULL in one of them.
     """
+    from pyspark.sql.types import StructField, StructType
+
     left_cols = left.columns
+    payload_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     r = right.select(
         *[
@@ -53,7 +63,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
     )
     # right sorts before left at equal ts => "<=" (inclusive) semantics
     w = (
@@ -64,9 +74,9 @@ def asof_join(
     carried = l.unionByName(r).select(
         *left_cols,
         F.col("__side"),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__p"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col(f"__p.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

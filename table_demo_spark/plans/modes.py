@@ -36,14 +36,36 @@ def _analyzed_plan(df: DataFrame):
     return df._jdf.queryExecution().analyzed()
 
 
+def _is_event_time_window(expr) -> bool:
+    """True iff a grouping expression is Catalyst's generated event-time
+    window: the TimeWindow/SessionWindow node itself, or the attribute
+    the TimeWindowing rule emits — named exactly ``window`` /
+    ``session_window`` AND typed struct<start:timestamp,end:timestamp>.
+    (A user column that merely *contains* 'window' in its name — e.g.
+    ``window_type`` — must NOT match: misclassifying it would pick
+    append mode for a continuously-updating aggregate and the upsert
+    sink would miss every later update.)"""
+    cls = expr.getClass().getSimpleName()
+    if cls in ("TimeWindow", "SessionWindow"):
+        return True
+    name = str(expr.sql()).strip("`").split(".")[-1].strip("`")
+    if name not in ("window", "session_window"):
+        return False
+    try:
+        dt = expr.dataType().simpleString()
+    except Exception:
+        return False
+    return dt.startswith("struct<start:timestamp,end:timestamp")
+
+
 def _walk(node, results: list) -> None:
     name = node.getClass().getSimpleName()
     if name == "Aggregate":
-        groupings = [
-            str(node.groupingExpressions().apply(i).sql())
+        exprs = [
+            node.groupingExpressions().apply(i)
             for i in range(node.groupingExpressions().size())
         ]
-        results.append(groupings)
+        results.append(exprs)
     for i in range(node.children().size()):
         _walk(node.children().apply(i), results)
 
@@ -52,19 +74,19 @@ def infer_plan(df: DataFrame) -> ContinuousPlan:
     """Derive (append-only?, upsert keys) from the DataFrame's analyzed
     plan — the engine-side equivalent of Flink's update-mode inference.
     """
-    aggs: list[list[str]] = []
+    aggs: list[list] = []
     _walk(_analyzed_plan(df), aggs)
     if not aggs:
         return ContinuousPlan(is_append_only=True, upsert_keys=())
     top = aggs[0]  # topmost aggregate decides the result's key
     keys = []
     windowed = False
-    for g in top:
-        s = g.strip("`")
-        if "window" in s.lower():
+    for e in top:
+        if _is_event_time_window(e):
             windowed = True
             keys.append("window")
         else:
+            s = str(e.sql()).strip("`")
             keys.append(s.split(".")[-1].strip("`"))
     # A single windowed aggregate is append-only once the watermark
     # closes each window (reference fast path). A windowed agg *below*

@@ -37,13 +37,14 @@ from pyspark.sql.types import StructType
 
 
 def gaussian_delays_ms(n: int, max_delay_ms: int, seed: int) -> list[int]:
-    """Truncated-Gaussian per-event delay in [0, max_delay_ms], mean
-    max/2, std max/4 — the reference's getNormalDelayMsecs
-    (TaxiRideSource.java:230-237), reproduced with Python's Random."""
+    """Truncated-Gaussian per-event delay in [0, max_delay_ms] — the
+    reference's getNormalDelayMsecs (TaxiRideSource.java:230-237):
+    ``rand.nextGaussian() * x + x`` with ``x = maxDelayMsecs / 2``,
+    i.e. mean max/2 AND std max/2, resampling until in range."""
     rnd = random.Random(seed)
     out = []
     x = max_delay_ms / 2
-    std = max_delay_ms / 4
+    std = max_delay_ms / 2
     for _ in range(n):
         while True:
             d = rnd.gauss(x, std)
@@ -121,6 +122,12 @@ class ReplayStreamReader(DataSourceStreamReader):
         self._max_delay_ms = int(options.get("maxdelayms", 60_000))
         self._seed = int(options.get("seed", 7452))
         self._n_parts = int(options.get("numpartitions", 8))
+        # Per-query discriminator for the persisted frontier (callers
+        # pass their checkpoint dir): without it, two concurrent queries
+        # with identical options would share — and corrupt — one
+        # frontier file (a fresh query's initialOffset() reset would
+        # rewind a running query's pacing clock).
+        self._frontier_key = options.get("frontierkey", "")
 
         tbl = pq.read_table(self._path)
         df = tbl.to_pandas()
@@ -145,6 +152,7 @@ class ReplayStreamReader(DataSourceStreamReader):
         self._wall_start = time.time()
         self._clock_key = (
             self._path, self._time_col, self._max_delay_ms, self._seed,
+            self._frontier_key,
         )
         # assume restart-resume until initialOffset() proves fresh start
         self._base_idx = min(_frontier_read(self._clock_key), len(self._emit_ms))

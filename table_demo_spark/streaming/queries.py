@@ -47,25 +47,38 @@ from table_demo_spark.streaming.upsert import MemoryUpsertSink, foreach_batch_up
 WATERMARK = "61 seconds"
 
 
+def _checkpoint_dir() -> str:
+    """Fresh checkpoint dir, used BOTH as writeStream checkpointLocation
+    and as the replay source's frontier discriminator — concurrent
+    queries with identical replay options must not share a pacing
+    frontier (see sources/replay.py)."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="tds-ckpt-")
+
+
 def stream_rides(
     spark: SparkSession,
     sf_dir: str,
     speed: float = 600.0,
     max_delay_ms: int = 60_000,
     n_parts: int = 8,
+    frontier_key: str | None = None,
 ) -> DataFrame:
     """readStream from the replay source, shaped like sources.batch.
     rides_view (same derivation, from epoch-ms columns)."""
     register_replay_source(spark)
-    raw = (
+    reader = (
         spark.readStream.format("replay")
         .option("path", f"{sf_dir}/events.parquet")
         .option("timecol", "ts")
         .option("speed", speed)
         .option("maxdelayms", max_delay_ms)
         .option("numpartitions", n_parts)
-        .load()
     )
+    if frontier_key is not None:
+        reader = reader.option("frontierkey", frontier_key)
+    raw = reader.load()
     return raw.select(
         F.col("event_id").alias("ride_id"),
         F.col("event_type").isin("click", "view", "signup").alias("is_start"),
@@ -110,10 +123,14 @@ def run_q1_stream(spark: SparkSession, sf_dir: str, speed: float = 2_000_000.0):
     """Start Q1 into a MemoryUpsertSink keyed by (cell, dept_time) —
     the key the reference planner infers from the GROUP BY
     (ElasticUpsertTableSink.scala:51-55). Returns (sink, query)."""
-    out = q1_stream(stream_departures(stream_rides(spark, sf_dir, speed)))
+    ckpt = _checkpoint_dir()
+    out = q1_stream(
+        stream_departures(stream_rides(spark, sf_dir, speed, frontier_key=ckpt))
+    )
     sink = MemoryUpsertSink(("cell", "dept_time"))
     query = (
         out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -223,10 +240,15 @@ def run_q2_stream(
     speed: float = 2_000_000.0,
     range_ms: int = OVER_RANGE_MS,
 ):
-    out = q2_stream(stream_departures(stream_rides(spark, sf_dir, speed)), range_ms)
+    ckpt = _checkpoint_dir()
+    out = q2_stream(
+        stream_departures(stream_rides(spark, sf_dir, speed, frontier_key=ckpt)),
+        range_ms,
+    )
     sink = MemoryUpsertSink(("cell", "ride_id"))
     query = (
         out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -240,16 +262,21 @@ def run_q2_stream(
 # update mode would leave behind whenever sessions merge.
 # ---------------------------------------------------------------------------
 def stream_events(
-    spark: SparkSession, sf_dir: str, speed: float = 600.0
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 600.0,
+    frontier_key: str | None = None,
 ) -> DataFrame:
     register_replay_source(spark)
-    raw = (
+    reader = (
         spark.readStream.format("replay")
         .option("path", f"{sf_dir}/events.parquet")
         .option("timecol", "ts")
         .option("speed", speed)
-        .load()
     )
+    if frontier_key is not None:
+        reader = reader.option("frontierkey", frontier_key)
+    raw = reader.load()
     return raw.select(
         "event_id", "user_id", F.timestamp_millis(F.col("ts")).alias("rowtime")
     )
@@ -261,7 +288,10 @@ def q4_session_stream(
     speed: float = 2_000_000.0,
     gap: str = "30 minutes",
 ):
-    ev = stream_events(spark, sf_dir, speed).withWatermark("rowtime", WATERMARK)
+    ckpt = _checkpoint_dir()
+    ev = stream_events(spark, sf_dir, speed, frontier_key=ckpt).withWatermark(
+        "rowtime", WATERMARK
+    )
     out = (
         ev.groupBy("user_id", F.session_window("rowtime", gap).alias("s"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -274,6 +304,7 @@ def q4_session_stream(
     sink = MemoryUpsertSink(("user_id", "session_start"))
     query = (
         out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -302,7 +333,8 @@ def q5_join_stream(
     within ``within_ms`` after a click. Inner join => every match is
     emitted exactly once regardless of arrival order; the final sink
     state equals the batch join. Returns (sink, query)."""
-    ev = stream_events_typed(spark, sf_dir, speed)
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -340,6 +372,7 @@ def q5_join_stream(
     sink = MemoryUpsertSink(("click_id", "purchase_id"))
     query = (
         joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -367,7 +400,8 @@ def q6_dedup_stream(
     the dedup key makes the output order-insensitive (whichever
     duplicate arrives first, the emitted row is identical), so the
     final sink state equals batch SELECT DISTINCT. Returns (sink, query)."""
-    ev = stream_events_typed(spark, sf_dir, speed).withWatermark(
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt).withWatermark(
         "rowtime", WATERMARK
     )
     keyed = ev.select("user_id", "event_type", "rowtime")
@@ -379,6 +413,7 @@ def q6_dedup_stream(
     sink = MemoryUpsertSink(("user_id", "event_type"))
     query = (
         deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -406,7 +441,8 @@ def q7_enrich_stream(
     c_mktsegment in update mode. Returns (sink, query)."""
     from table_demo_spark.sources.batch import load_table
 
-    ev = stream_events_typed(spark, sf_dir, speed)
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
     customer = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
@@ -425,6 +461,7 @@ def q7_enrich_stream(
     sink = MemoryUpsertSink(("c_mktsegment",))
     query = (
         out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(foreach_batch_upsert(sink))
         .start()
     )
@@ -432,17 +469,22 @@ def q7_enrich_stream(
 
 
 def stream_events_typed(
-    spark: SparkSession, sf_dir: str, speed: float = 600.0
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 600.0,
+    frontier_key: str | None = None,
 ) -> DataFrame:
     """Replay source projected to the full typed event shape."""
     register_replay_source(spark)
-    raw = (
+    reader = (
         spark.readStream.format("replay")
         .option("path", f"{sf_dir}/events.parquet")
         .option("timecol", "ts")
         .option("speed", speed)
-        .load()
     )
+    if frontier_key is not None:
+        reader = reader.option("frontierkey", frontier_key)
+    raw = reader.load()
     return raw.select(
         "event_id",
         "user_id",
@@ -497,12 +539,16 @@ def run_q3_stream(
     (TaxiRideQueries.scala:99). Returns (ChainedAggSink, query)."""
     from table_demo_spark.streaming.retract import RetractStreamAdapter
 
-    departures = stream_departures(stream_rides(spark, sf_dir, speed))
+    ckpt = _checkpoint_dir()
+    departures = stream_departures(
+        stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
+    )
     level1 = departures.groupBy("cell").agg(F.count("ride_id").alias("dept_cnt"))
     sink = ChainedAggSink(threshold)
     adapter = RetractStreamAdapter(("cell",), sink.consume, ttl_ms=ttl_ms)
     query = (
         level1.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
         .foreachBatch(adapter.foreach_batch())
         .start()
     )

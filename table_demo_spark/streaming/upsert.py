@@ -68,11 +68,21 @@ class ParquetUpsertSink:
 
     def __init__(self, path: str, key_cols: tuple[str, ...]):
         import os
+        import re
 
         self.path = path
         self.key_cols = key_cols
-        self._gen = 0
         os.makedirs(path, exist_ok=True)
+        # Resume the merge chain after a process restart: adopt the
+        # highest generation already on disk (otherwise the first
+        # replayed batch would merge with nothing and silently drop
+        # every previously upserted key).
+        gens = [
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"gen=(\d+)", d))
+        ]
+        self._gen = max(gens, default=0)
 
     def _gen_dir(self, gen: int) -> str:
         return f"{self.path}/gen={gen}"

@@ -128,3 +128,27 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
     }
     assert full_probe == exact
+
+
+def test_asof_join_takes_matched_right_row_atomically(spark):
+    """A NULL in one value column of the latest right row must surface
+    as NULL — not silently backfill from an older right row (the whole
+    right row is carried as one struct)."""
+    from table_demo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:10:00"))], "id long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "old", 10, _ts("2024-01-01T00:00:00")),
+            (101, None, 10, _ts("2024-01-01T00:05:00")),  # latest; v is NULL
+        ],
+        "rid long, v string, k long, rts timestamp",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["rid", "v"],
+    ).collect()[0]
+    assert row["rid_asof"] == 101
+    assert row["v_asof"] is None  # NOT "old"

@@ -426,3 +426,37 @@ def test_upsert_key_inference_matches_reference_planner(spark):
     plan3 = infer_plan(windowed)
     assert "user_id" in plan3.upsert_keys
     assert plan3.is_append_only  # windowed agg: append fast path
+
+
+def test_parquet_upsert_sink_resumes_after_process_restart(spark, tmp_path):
+    """A NEW sink object over an existing directory must adopt the
+    on-disk generation and merge with it — not overwrite it (the
+    real-restart path: the in-process object does not survive)."""
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    path = str(tmp_path / "t")
+    s1 = ParquetUpsertSink(path, ("k",))
+    s1.apply_batch(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+
+    s2 = ParquetUpsertSink(path, ("k",))  # fresh process, same dir
+    s2.apply_batch(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"), 1)
+    got = {r["k"]: r["v"] for r in s2.snapshot_df(spark).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_upsert_key_inference_ignores_window_lookalike_columns(spark):
+    """A user column literally named window_type must NOT be classified
+    as the event-time window (that would flip a continuously-updating
+    aggregate to append mode and lose updates)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.plans.modes import infer_plan
+    from table_demo_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "window_type", F.col("event_type")
+    )
+    agg = ev.groupBy("window_type").agg(F.count("event_id").alias("n"))
+    plan = infer_plan(agg)
+    assert plan.upsert_keys == ("window_type",)
+    assert plan.output_mode == "update"
