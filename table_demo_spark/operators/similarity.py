@@ -194,52 +194,140 @@ def cosine_neardup_pairs(
     )
 
 
+N_GEMM_BLOCKS = 8
+
+
 def cosine_neardup_pairs_gemm(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = N_GEMM_BLOCKS,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via Arrow-batched numpy GEMM.
+    """All-pairs cosine >= threshold via fully distributed block GEMM.
 
-    Each partition multiplies its block of vectors against a broadcast
-    copy of the corpus matrix (float64 BLAS) — ~100x the throughput of
-    per-pair expression folds, bit-stable to ~1e-15 of the fold result
+    Exact all-pairs semantics with NO driver-side materialization and
+    NO full-corpus broadcast: vectors are hash-assigned to ``n_blocks``
+    blocks, each row is exploded to every block-pair group it belongs
+    to (side A of (blk, j>=blk), side B of (i<blk, blk) — n_blocks+1
+    copies), and each (bi, bj) group multiplies its two block matrices
+    with float64 BLAS inside ``applyInPandas``. Every unordered vector
+    pair lands in exactly one group, so coverage is exhaustive and
+    duplicate-free by construction.
+
+    Scale shape: shuffle volume is O(n * n_blocks); per-task memory is
+    O((n / n_blocks)^2) sims — size ``n_blocks`` ~ sqrt(cluster cores)
+    so tasks stay cache-resident while the O(n^2) compute (inherent to
+    *exact* all-pairs) spreads evenly. Driver holds nothing. For the
+    approximate scale path that avoids O(n^2) entirely, use
+    :func:`cosine_neardup_pairs_lsh_gemm`.
+
+    GEMM is bit-stable to ~1e-15 of the expression fold result
     (thresholds must not sit within that margin of a data point).
-
-    Scale shape: the broadcast side must fit in executor memory
-    (fine to ~10M x 64 f64 = 5 GB). Beyond that, compose with the LSH
-    bucketing in :func:`lsh_topk` — GEMM *within* buckets via
-    applyInPandas — which removes the broadcast entirely.
     """
     import numpy as np
     import pandas as pd
 
-    spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    blk = F.pmod(F.hash(F.col("__id")), F.lit(n_blocks))
+    a_side = F.transform(
+        F.sequence(blk, F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            blk.alias("bi"), j.alias("bj"), F.lit(0).alias("side")
+        ),
+    )
+    # strictly-below-diagonal B entries only: the diagonal group reuses
+    # its A rows for both sides (each row must appear there once)
+    b_side = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), blk),
+            lambda i: F.struct(
+                i.alias("bi"), blk.alias("bj"), F.lit(1).alias("side")
+            ),
+        ),
+        lambda s: s.bi != s.bj,
+    )
+    exploded = src.select(
+        F.explode(F.concat(a_side, b_side)).alias("__p"), "__id", "__vec"
+    ).select(
+        F.col("__p.bi").alias("bi"),
+        F.col("__p.bj").alias("bj"),
+        F.col("__p.side").alias("side"),
+        "__id",
+        "__vec",
+    )
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for chunk in batches:
-            a_ids = chunk[id_col].to_numpy()
-            a_mat = np.stack(chunk[vec_col].to_numpy()).astype("float64")
-            a_norms = np.linalg.norm(a_mat, axis=1)
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+        a = pdf[pdf["side"] == 0]
+        b = a if diag else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        mat_a = np.stack(a["__vec"].to_numpy()).astype("float64")
+        mat_b = mat_a if diag else np.stack(b["__vec"].to_numpy()).astype("float64")
+        norms_a = np.linalg.norm(mat_a, axis=1)
+        norms_b = norms_a if diag else np.linalg.norm(mat_b, axis=1)
+        sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
+        mask = sims >= threshold
+        if diag:
+            # triangular: keep each unordered pair once, drop self-pairs
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(mask)
+        va, vb = ids_a[ai], ids_b[bi]
+        if not diag:
+            # off-diagonal sides hold disjoint id sets; canonicalize order
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cos_sim": sims[ai, bi]}
+        )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        block, schema="vec_a long, vec_b long, cos_sim double"
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+def cosine_neardup_pairs_lsh_gemm(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: LSH bucketing composed with
+    per-bucket GEMM — the 100 TB shape.
+
+    Candidates are restricted to pairs sharing a random-hyperplane
+    bucket (the same deterministic projections as :func:`lsh_topk`, so
+    the candidate set is exactly reproducible in ANSI SQL), then each
+    bucket's block matrix is multiplied locally inside
+    ``applyInPandas``. Work drops from O(n^2) to O(sum_b |bucket_b|^2)
+    with no broadcast, no driver materialization, and a single shuffle
+    on bucket id. Recall follows the hyperplane S-curve: pairs above
+    ``threshold`` collide with probability (1 - theta/pi)^n_planes;
+    raise recall by unioning several independent plane sets (each an
+    extra shuffle) — precision is unaffected since cosine is verified
+    exactly per candidate."""
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        lsh_bucket(F.col(vec_col), N_PLANES, DIM).alias("__bucket"),
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack(pdf["__vec"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    return src.groupBy("__bucket").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cos_sim double"
     )

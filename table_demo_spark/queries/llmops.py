@@ -192,6 +192,30 @@ WHERE cos_sim >= CAST({COSINE_THRESHOLD} AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# D6 — LSH-bucketed GEMM near-dup pairs (approximate, the 100 TB path).
+# Candidate pairs share a random-hyperplane bucket; the bucket function
+# is SQL-reproducible, so the oracle states the exact same candidate set.
+# ---------------------------------------------------------------------------
+def d6_neardup_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs_lsh_gemm(
+        load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD
+    )
+
+
+def _d6_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+           FROM embeddings)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= CAST({COSINE_THRESHOLD} AS DOUBLE)
+"""
+
+
+# ---------------------------------------------------------------------------
 # S1 — exact cosine top-k (brute-force ANN baseline).
 # ---------------------------------------------------------------------------
 def s1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +714,7 @@ QUERIES: list[Query] = [
     Query("llm_d3_dedup_simhash", d3_dedup_simhash, D3_ORACLE),
     Query("llm_d4_dedup_ngram_jaccard", d4_dedup_ngram_jaccard, D4_ORACLE),
     Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
+    Query("llm_d6_neardup_lsh_gemm", d6_neardup_lsh_gemm, _d6_oracle()),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
     Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),

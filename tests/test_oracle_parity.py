@@ -16,7 +16,10 @@ QUERIES = all_queries()
 
 # Everything is bit-exact except the GEMM-based operator, whose BLAS
 # summation order differs from the oracle's sequential fold by ~1e-15.
-FLOAT_TOL = {"llm_d5_embedding_neardup": 1e-9}
+FLOAT_TOL = {
+    "llm_d5_embedding_neardup": 1e-9,
+    "llm_d6_neardup_lsh_gemm": 1e-9,
+}
 
 
 @pytest.mark.parametrize("q", QUERIES, ids=[q.name for q in QUERIES])

@@ -80,7 +80,8 @@ _PYTHON_ALLOWED = {
     "llm_t6_winnow_fingerprints",  # ArrowEvalPython (numpy winnowing)
     "llm_m1_binary_meta",  # MapInPandas (binary payload headers)
     "llm_m2_frame_sample",  # MapInPandas (frame sampling stub)
-    "llm_d5_embedding_neardup",  # MapInPandas (numpy GEMM blocks)
+    "llm_d5_embedding_neardup",  # FlatMapGroupsInPandas (block GEMM)
+    "llm_d6_neardup_lsh_gemm",  # FlatMapGroupsInPandas (bucket GEMM)
 }
 
 
@@ -102,6 +103,27 @@ def test_no_python_eval_in_hot_paths(spark):
         ):
             offenders.append((q.name, "python-node"))
     assert not offenders, offenders
+
+
+def test_embedding_neardup_has_no_driver_materialization(spark):
+    """llm_d5's all-pairs GEMM must be executor-side only: building the
+    DataFrame may not collect the corpus to the driver (toPandas) nor
+    broadcast it via the SparkContext, and the plan must be the
+    distributed groupBy(block-pair).applyInPandas shape."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization in operator build")
+
+    with mock.patch.object(DataFrame, "toPandas", boom), mock.patch.object(
+        type(spark.sparkContext), "broadcast", boom
+    ):
+        df5 = _query("llm_d5_embedding_neardup")(spark, SF_SMOKE)
+        df6 = _query("llm_d6_neardup_lsh_gemm")(spark, SF_SMOKE)
+    assert "FlatMapGroupsInPandas" in formatted_plan(df5)
+    assert "FlatMapGroupsInPandas" in formatted_plan(df6)
 
 
 def test_whole_stage_codegen_covers_reference_query(spark):
