@@ -63,7 +63,7 @@ class _state_partitions:
         self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
 
 
-def _drain(query, snapshot_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
+def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     """Process all available data, then wait for watermark-driven
     no-data batches (event-time timeouts) to finish flushing: poll the
     sink until its size is stable across several checks.
@@ -77,11 +77,23 @@ def _drain(query, snapshot_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     prev, stable, deadline = -1, 0, time.time() + timeout_s
     while stable < quiet_polls and time.time() < deadline:
         query.processAllAvailable()
-        cur = len(snapshot_fn())
+        cur = size_fn()
         stable = stable + 1 if cur == prev else 0
         prev = cur
         time.sleep(0.25)
     query.stop()
+
+
+def _parquet_sink(key_cols: tuple[str, ...]):
+    """Durable upsert sink in a fresh temp dir — the driver-gated
+    streaming queries write through the production-shaped parquet MERGE
+    target, never a driver-resident dict (an append-mode stream would
+    otherwise accumulate the WHOLE stream in driver memory)."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    return ParquetUpsertSink(tempfile.mkdtemp(prefix="tds-sink-"), key_cols)
 
 
 def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +101,7 @@ def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _state_partitions(spark):
         sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot, quiet_polls=1)
+        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="cell int, dept_time long, dept_cnt long"
     )
@@ -98,12 +110,12 @@ def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q2_stream
 
+    sink = _parquet_sink(("cell", "ride_id"))
     with _state_partitions(spark):
-        sink, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot)
-    return spark.createDataFrame(
-        sink.snapshot(),
-        schema="cell int, ride_id long, rowtime_ms long, dept_cnt long",
+        _, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark))
+    return sink.snapshot_df(spark).select(
+        "cell", "ride_id", "rowtime_ms", "dept_cnt"
     )
 
 
@@ -114,7 +126,7 @@ def q3_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink, query = run_q3_stream(
             spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
         )
-        _drain(query, sink.snapshot, quiet_polls=1)
+        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
     return spark.createDataFrame(
         sink.snapshot(), schema="dept_cnt long, cnt_freq long"
     )
@@ -144,12 +156,11 @@ WHERE rowtime_ms <= (SELECT max(epoch_ms(rowtime)) FROM departures) - {WATERMARK
 def q4_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q4_session_stream
 
+    sink = _parquet_sink(("user_id", "session_start"))
     with _state_partitions(spark):
-        sink, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot)
-    return spark.createDataFrame(
-        sink.snapshot(), schema="user_id long, session_start long, n_events long"
-    )
+        _, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark))
+    return sink.snapshot_df(spark).select("user_id", "session_start", "n_events")
 
 
 # Session-window append emission: a session is final when the watermark
@@ -188,13 +199,12 @@ WHERE last_ms + {_GAP_MS} <=
 def q5_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q5_join_stream
 
+    sink = _parquet_sink(("click_id", "purchase_id"))
     with _state_partitions(spark):
-        sink, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot, quiet_polls=1)
-    return spark.createDataFrame(
-        sink.snapshot(),
-        schema="user_id long, click_id long, purchase_id long, "
-        "click_ms long, purchase_ms long",
+        _, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "user_id", "click_id", "purchase_id", "click_ms", "purchase_ms"
     )
 
 
@@ -222,12 +232,11 @@ JOIN events p
 def q6_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q6_dedup_stream
 
+    sink = _parquet_sink(("user_id", "event_type"))
     with _state_partitions(spark):
-        sink, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot, quiet_polls=1)
-    return spark.createDataFrame(
-        sink.snapshot(), schema="user_id long, event_type string"
-    )
+        _, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select("user_id", "event_type")
 
 
 # Streaming dedup projects only the key, so whichever duplicate wins

@@ -239,17 +239,18 @@ def run_q2_stream(
     sf_dir: str,
     speed: float = 2_000_000.0,
     range_ms: int = OVER_RANGE_MS,
+    sink=None,
 ):
     ckpt = _checkpoint_dir()
     out = q2_stream(
         stream_departures(stream_rides(spark, sf_dir, speed, frontier_key=ckpt)),
         range_ms,
     )
-    sink = MemoryUpsertSink(("cell", "ride_id"))
+    sink = sink if sink is not None else MemoryUpsertSink(("cell", "ride_id"))
     query = (
         out.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query
@@ -287,6 +288,7 @@ def q4_session_stream(
     sf_dir: str,
     speed: float = 2_000_000.0,
     gap: str = "30 minutes",
+    sink=None,
 ):
     ckpt = _checkpoint_dir()
     ev = stream_events(spark, sf_dir, speed, frontier_key=ckpt).withWatermark(
@@ -301,11 +303,13 @@ def q4_session_stream(
             "n_events",
         )
     )
-    sink = MemoryUpsertSink(("user_id", "session_start"))
+    sink = sink if sink is not None else MemoryUpsertSink(
+        ("user_id", "session_start")
+    )
     query = (
         out.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query
@@ -328,6 +332,7 @@ def q5_join_stream(
     sf_dir: str,
     speed: float = 2_000_000.0,
     within_ms: int = 10 * 60_000,
+    sink=None,
 ):
     """click→purchase conversion pairs: purchases by the same user
     within ``within_ms`` after a click. Inner join => every match is
@@ -369,11 +374,13 @@ def q5_join_stream(
         F.unix_millis("click_time").alias("click_ms"),
         F.unix_millis("purchase_time").alias("purchase_ms"),
     )
-    sink = MemoryUpsertSink(("click_id", "purchase_id"))
+    sink = sink if sink is not None else MemoryUpsertSink(
+        ("click_id", "purchase_id")
+    )
     query = (
         joined.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query
@@ -395,6 +402,7 @@ def q6_dedup_stream(
     sf_dir: str,
     speed: float = 2_000_000.0,
     within_watermark: bool = False,
+    sink=None,
 ):
     """Distinct (user_id, event_type) pairs, streaming. Projecting only
     the dedup key makes the output order-insensitive (whichever
@@ -410,11 +418,13 @@ def q6_dedup_stream(
         if within_watermark
         else keyed.dropDuplicates(["user_id", "event_type"])
     ).select("user_id", "event_type")
-    sink = MemoryUpsertSink(("user_id", "event_type"))
+    sink = sink if sink is not None else MemoryUpsertSink(
+        ("user_id", "event_type")
+    )
     query = (
         deduped.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query

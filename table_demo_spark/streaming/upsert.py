@@ -51,6 +51,9 @@ class MemoryUpsertSink:
         with self._lock:
             return list(self._rows.values())
 
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return foreach_batch_upsert(self)
+
 
 class ParquetUpsertSink:
     """Durable key-based upsert target: a parquet directory maintained
@@ -123,6 +126,13 @@ class ParquetUpsertSink:
     def snapshot_df(self, spark) -> DataFrame:
         assert self.current_dir is not None, "no batch written yet"
         return spark.read.parquet(self.current_dir)
+
+    def count(self, spark) -> int:
+        """Row count of the current table (0 before the first batch) —
+        the drain-polling probe."""
+        if self.current_dir is None:
+            return 0
+        return spark.read.parquet(self.current_dir).count()
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
         return self.apply_batch
