@@ -3,22 +3,40 @@
 
 Reference semantics reproduced (file:line cites into /root/reference):
 - events served in event-time order, re-ordered by a bounded random
-  delay (truncated Gaussian, mean maxDelay/2, seeded —
-  TaxiRideSource.java:126,230-237): we pre-compute a seeded per-row
-  delay and sort by delayed *emit time*, exactly the reference's
-  PriorityQueue-on-emit-time behavior (:127-134,163-213).
+  delay (truncated Gaussian, mean maxDelay/2, std maxDelay/2, seeded —
+  TaxiRideSource.java:126,230-237): a deterministic per-row delay is
+  added and the data is sorted by delayed *emit time*, exactly the
+  reference's PriorityQueue-on-emit-time behavior (:127-134,163-213).
 - wall-clock pacing at a serving-speed factor (:216-219): offsets
   advance with real elapsed time * serving_speed.
 - watermarking is NOT re-implemented in the source: Spark's
   ``withWatermark`` supplies the bounded-out-of-orderness watermark
   the reference emitted by hand (:102,150,210).
 
-Implementation: Spark 4 Python Data Source API (``DataSource`` +
-``DataSourceStreamReader``). The fixture file is loaded once on the
-driver and offsets index into the emit-ordered rows; ``read(part)``
-slices that order. For production scale the same class would map
-offsets to (file, row-group) ranges instead of a driver-resident
-table — the offset/partition protocol is identical.
+Architecture (the 100-TB shape):
+
+1. ``ensure_emit_ordered(spark, path, ...)`` runs ONCE per
+   (source, timecol, max_delay, seed): a distributed batch job that
+   computes each row's seeded delay, appends ``__emit_ms`` and
+   range-partition-sorts the dataset globally by it. Spark's
+   distributed sort handles any input size; the output is a parquet
+   directory whose files, in name order, hold the exact emit order.
+2. ``ReplayStreamReader`` never touches row data on the driver: it
+   indexes the prepared dataset's row-group footers (counts + min/max
+   emit-time statistics — O(#row_groups) memory), paces a frontier in
+   emit-time, and maps offsets to (file, row-group, row-range) slices.
+3. ``read(partition)`` runs on executors: each task opens ONLY its
+   row groups with pyarrow and yields Arrow batches. No driver-side
+   materialization anywhere.
+
+The per-row delay is counter-based (Box-Muller over xxhash64 streams
+of the row content) rather than the reference's sequential
+``Random.nextGaussian`` — a sequential PRNG cannot be drawn in
+parallel; content-keyed streams give the same truncated-Gaussian
+distribution (mean max/2, std max/2, support [0, max]) while staying
+deterministic under any partitioning. ``gaussian_delays_ms`` keeps the
+faithful serial reference implementation for tests to compare moments
+against.
 """
 
 from __future__ import annotations
@@ -26,7 +44,7 @@ from __future__ import annotations
 import math
 import random
 from dataclasses import dataclass
-from typing import Iterator, Sequence
+from typing import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -35,12 +53,19 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+_EMIT_COL = "__emit_ms"
+_MARKER = "_REPLAY_PREPARED.json"
+_FORMAT_VERSION = 2
+
 
 def gaussian_delays_ms(n: int, max_delay_ms: int, seed: int) -> list[int]:
     """Truncated-Gaussian per-event delay in [0, max_delay_ms] — the
     reference's getNormalDelayMsecs (TaxiRideSource.java:230-237):
     ``rand.nextGaussian() * x + x`` with ``x = maxDelayMsecs / 2``,
-    i.e. mean max/2 AND std max/2, resampling until in range."""
+    i.e. mean max/2 AND std max/2, resampling until in range.
+
+    Serial reference implementation — the distributed prep job uses the
+    counter-based equivalent in ``_delay_expr`` (same distribution)."""
     rnd = random.Random(seed)
     out = []
     x = max_delay_ms / 2
@@ -54,17 +79,175 @@ def gaussian_delays_ms(n: int, max_delay_ms: int, seed: int) -> list[int]:
     return out
 
 
-@dataclass
-class _RangePartition(InputPartition):
-    start: int
+# ---------------------------------------------------------------------------
+# Emit-order preparation (distributed, one-time, cached).
+# ---------------------------------------------------------------------------
+
+
+def _delay_expr(src_cols: list[str], max_delay_ms: int, seed: int):
+    """Counter-based truncated Gaussian delay as a native column
+    expression: uniforms from xxhash64 streams of the row content,
+    Box-Muller to a normal, mean = std = max/2 (the reference
+    distribution), retrying across 6 independent streams then clamping
+    (residual probability ~0.1%) — resampling loops don't exist in a
+    vectorized plan."""
+    from pyspark.sql import functions as F
+
+    def u(k: int):
+        h = F.xxhash64(*src_cols, F.lit(seed * 131 + k))
+        return (F.pmod(h, F.lit(2**52)) + F.lit(0.5)) / F.lit(float(2**52))
+
+    x = max_delay_ms / 2.0
+
+    def cand(k: int):
+        z = F.sqrt(F.log(u(2 * k)) * F.lit(-2.0)) * F.cos(
+            u(2 * k + 1) * F.lit(2.0 * math.pi)
+        )
+        return z * F.lit(x) + F.lit(x)
+
+    lo, hi = F.lit(0.0), F.lit(float(max_delay_ms))
+    tries = [
+        F.when((cand(k) >= lo) & (cand(k) <= hi), cand(k)) for k in range(6)
+    ]
+    return F.coalesce(*tries, F.greatest(lo, F.least(hi, cand(0)))).cast("long")
+
+
+def _prep_cache_dir(path: str, timecol: str, max_delay_ms: int, seed: int) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(path)
+    key = repr(
+        (
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+            timecol,
+            max_delay_ms,
+            seed,
+            _FORMAT_VERSION,
+        )
+    )
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"replay-prep-{os.getuid()}-{digest}"
+    )
+
+
+def ensure_emit_ordered(
+    spark,
+    path: str,
+    timecol: str = "ts",
+    max_delay_ms: int = 60_000,
+    seed: int = 7452,
+    rows_per_file: int = 200_000,
+) -> str:
+    """Materialize the emit-ordered replay dataset for ``path`` (cached
+    by content identity + options; concurrent callers race benignly on
+    an atomic rename). Returns the prepared directory.
+
+    The job is a single distributed range-partitioned sort — the only
+    plan shape that orders 100 TB: no driver collect, no single-task
+    sort; file N's rows all precede file N+1's in emit order.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    final = _prep_cache_dir(path, timecol, max_delay_ms, seed)
+    if os.path.exists(os.path.join(final, _MARKER)):
+        return final
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    src_cols = list(df.columns)
+
+    # normalize every source timestamp to epoch-ms long (the replay
+    # contract: engine-neutral ms longs; downstream timestamp_millis()).
+    arrow_schema = pq.read_schema(path)
+    arrow_types = {f.name: f.type for f in arrow_schema}
+    dtypes = dict(df.dtypes)
+    for c in src_cols:
+        at = arrow_types.get(c)
+        unit = at.unit if at is not None and str(at).startswith("timestamp") else None
+        if dtypes[c] == "bigint" and unit == "ns":
+            df = df.withColumn(c, F.expr(f"{c} DIV 1000000"))
+        elif dtypes[c] in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(c, F.unix_millis(F.col(c).cast("timestamp")))
+
+    delay = _delay_expr(src_cols, max_delay_ms, seed)
+    tb = F.xxhash64(*src_cols, F.lit(seed * 131 + 997))
+    out = df.withColumn(_EMIT_COL, F.col(timecol) + delay).withColumn("__tb", tb)
+
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in ([path] if os.path.isfile(path) else _parquet_files(path))
+    )
+    n_files = max(1, min(256, math.ceil(total_rows / rows_per_file)))
+
+    staging = tempfile.mkdtemp(prefix="replay-prep-stage-")
+    (
+        out.repartitionByRange(n_files, _EMIT_COL, "__tb")
+        .sortWithinPartitions(_EMIT_COL, "__tb")
+        .select(*src_cols, _EMIT_COL)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, _MARKER), "w") as f:
+        json.dump(
+            {
+                "source": os.path.abspath(path),
+                "timecol": timecol,
+                "max_delay_ms": max_delay_ms,
+                "seed": seed,
+                "version": _FORMAT_VERSION,
+            },
+            f,
+        )
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    if not os.path.exists(os.path.join(final, _MARKER)):
+        raise RuntimeError(f"replay prep failed for {path}")
+    return final
+
+
+def _parquet_files(d: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isfile(d):
+        return [d]
+    return sorted(glob.glob(os.path.join(d, "part-*.parquet"))) or sorted(
+        glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
+@dataclass(frozen=True)
+class _Slice:
+    file: str
+    row_group: int
+    start: int  # row offset within the row group
     end: int
 
 
-# Replay-frontier persistence, keyed by the options that fix the emit
-# order. A reader restarted from a checkpoint must RESUME the replay
-# frontier where its predecessor left off: a fresh wall clock would
-# re-traverse [t0, K) and report latestOffset below the committed offset
-# K for a while, during which the engine sees "no new data" —
+@dataclass
+class _RangePartition(InputPartition):
+    slices: tuple  # tuple[_Slice, ...]
+
+
+# Replay-frontier persistence, keyed by (prepared dir, frontier key). A
+# reader restarted from a checkpoint must RESUME the replay frontier
+# where its predecessor left off: a fresh wall clock would re-traverse
+# [t0, K) and report latestOffset below the committed offset K for a
+# while, during which the engine sees "no new data" —
 # processAllAvailable() returns early and the stream tail is silently
 # never processed. The reader lives in a dedicated Python worker process
 # (python_streaming_source_runner) that dies with the query, so the
@@ -111,52 +294,116 @@ def _frontier_write(key: tuple, idx: int) -> None:
 
 
 class ReplayStreamReader(DataSourceStreamReader):
+    """Offset protocol over a prepared emit-ordered dataset.
+
+    Driver-side state is O(#row_groups): per-row-group row counts and
+    __emit_ms min/max from the parquet footers. Offsets are global row
+    positions in the emit order; pacing maps wall-clock time to a row
+    frontier using the footer statistics, reading at most ONE boundary
+    row group's emit column (cached) for the exact position. Row data
+    flows only on executors (``read``).
+    """
+
     def __init__(self, schema: StructType, options: dict):
+        import os
         import time
 
+        import numpy as np
         import pyarrow.parquet as pq
 
         self._path = options["path"]
-        self._time_col = options.get("timecol", "ts")
+        if not os.path.exists(os.path.join(self._path, _MARKER)):
+            raise ValueError(
+                f"replay source requires an emit-ordered dataset; run "
+                f"ensure_emit_ordered(spark, <source>) and pass its result "
+                f"as 'path' (got: {self._path})"
+            )
         self._speed = float(options.get("speed", 600.0))
-        self._max_delay_ms = int(options.get("maxdelayms", 60_000))
-        self._seed = int(options.get("seed", 7452))
         self._n_parts = int(options.get("numpartitions", 8))
         # Per-query discriminator for the persisted frontier (callers
         # pass their checkpoint dir): without it, two concurrent queries
-        # with identical options would share — and corrupt — one
+        # over one prepared dataset would share — and corrupt — one
         # frontier file (a fresh query's initialOffset() reset would
         # rewind a running query's pacing clock).
         self._frontier_key = options.get("frontierkey", "")
 
-        tbl = pq.read_table(self._path)
-        df = tbl.to_pandas()
-        # normalize every datetime column to epoch-ms int64 (matches the
-        # long columns the schema() declares for timestamps)
-        for c in df.columns:
-            if str(df[c].dtype).startswith("datetime64"):
-                df[c] = df[c].astype("datetime64[ns]").astype("int64") // 1_000_000
-        ts_ms = df[self._time_col].to_numpy()
-        delays = gaussian_delays_ms(len(df), self._max_delay_ms, self._seed)
-        emit_ms = ts_ms + delays
-        order = emit_ms.argsort(kind="stable")
-        import pyarrow as pa
+        files = _parquet_files(self._path)
+        counts: list[int] = []
+        emins: list[int] = []
+        emaxs: list[int] = []
+        self._rg_meta: list[tuple[str, int]] = []  # (file, row_group)
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            emit_idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == _EMIT_COL
+            )
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                st = rgm.column(emit_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = int(st.min), int(st.max)
+                else:  # footer lacks stats: one small column read
+                    col = pf.read_row_group(rg, columns=[_EMIT_COL])
+                    arr = col.column(0).to_numpy()
+                    mn, mx = int(arr.min()), int(arr.max())
+                self._rg_meta.append((fp, rg))
+                counts.append(rgm.num_rows)
+                emins.append(mn)
+                emaxs.append(mx)
+        self._cum = np.concatenate(([0], np.cumsum(counts))).astype("int64")
+        self._emin = np.asarray(emins, dtype="int64")
+        self._emax = np.asarray(emaxs, dtype="int64")
+        self._n = int(self._cum[-1])
+        self._emit_cache: dict[int, "np.ndarray"] = {}
 
-        # emit-ordered Arrow table: read() slices it zero-copy and
-        # yields RecordBatches (the vectorized data-source path) —
-        # row-at-a-time tuple yielding measured ~4x slower end-to-end
-        self._arrow = pa.Table.from_pandas(
-            df.iloc[order].reset_index(drop=True), preserve_index=False
-        )
-        self._emit_ms = emit_ms[order]
         self._wall_start = time.time()
-        self._clock_key = (
-            self._path, self._time_col, self._max_delay_ms, self._seed,
-            self._frontier_key,
-        )
+        self._clock_key = (os.path.abspath(self._path), self._frontier_key)
         # assume restart-resume until initialOffset() proves fresh start
-        self._base_idx = min(_frontier_read(self._clock_key), len(self._emit_ms))
+        self._base_idx = min(_frontier_read(self._clock_key), self._n)
         self._seen_hi = 0  # highest offset the engine has shown us (WAL)
+
+    def __getstate__(self):
+        # executors deserialize the reader to call read(); the boundary
+        # emit-column cache is driver-local working state — don't ship it
+        state = dict(self.__dict__)
+        state["_emit_cache"] = {}
+        return state
+
+    def _rg_emit(self, j: int):
+        """__emit_ms column of row group j (tiny LRU — pacing touches
+        only the current boundary row group)."""
+        import pyarrow.parquet as pq
+
+        if j not in self._emit_cache:
+            if len(self._emit_cache) >= 4:
+                self._emit_cache.pop(next(iter(self._emit_cache)))
+            fp, rg = self._rg_meta[j]
+            tbl = pq.ParquetFile(fp).read_row_group(rg, columns=[_EMIT_COL])
+            self._emit_cache[j] = tbl.column(0).to_numpy()
+        return self._emit_cache[j]
+
+    def _emit_at(self, row: int) -> int:
+        import numpy as np
+
+        j = int(np.searchsorted(self._cum, row, side="right")) - 1
+        return int(self._rg_emit(j)[row - int(self._cum[j])])
+
+    def _rows_due(self, frontier_ms: float) -> int:
+        """#rows with emit time <= frontier. Global sort order makes the
+        footer stats a total pre-index: row groups with emax <= frontier
+        count fully; exactly one boundary group needs its column."""
+        import numpy as np
+
+        j = int(np.searchsorted(self._emax, frontier_ms, side="right"))
+        due = int(self._cum[j])
+        if j < len(self._emin) and self._emin[j] <= frontier_ms:
+            due += int(
+                np.searchsorted(self._rg_emit(j), frontier_ms, side="right")
+            )
+        return due
 
     def _advance_frontier(self, idx: int) -> None:
         if idx > _frontier_read(self._clock_key):
@@ -171,40 +418,61 @@ class ReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import time
 
-        import numpy as np
-
-        if len(self._emit_ms) == 0:
+        if self._n == 0:
             return {"idx": 0}
-        # anchor the clock at the first unserved row's emit time, so the
-        # row at _base_idx becomes available immediately (frontier is
-        # inclusive via side="right") — on restart this makes progress
-        # visible to the engine at once instead of after a catch-up lag
-        anchor = int(self._emit_ms[min(self._base_idx, len(self._emit_ms) - 1)])
-        elapsed_ms = (time.time() - self._wall_start) * 1000.0
-        frontier = anchor + elapsed_ms * self._speed
-        # all rows whose (delayed) emit time has been reached
-        idx = int(np.searchsorted(self._emit_ms, frontier, side="right"))
+        if self._base_idx >= self._n:
+            idx = self._n
+        else:
+            # anchor the clock at the first unserved row's emit time, so
+            # the row at _base_idx becomes available immediately — on
+            # restart this makes progress visible to the engine at once
+            # instead of after a catch-up lag
+            anchor = self._emit_at(self._base_idx)
+            elapsed_ms = (time.time() - self._wall_start) * 1000.0
+            idx = self._rows_due(anchor + elapsed_ms * self._speed)
         idx = max(idx, self._base_idx, self._seen_hi)
         self._advance_frontier(idx)
         return {"idx": idx}
+
+    def _slices_for(self, lo: int, hi: int) -> tuple:
+        import numpy as np
+
+        out = []
+        j = int(np.searchsorted(self._cum, lo, side="right")) - 1
+        pos = lo
+        while pos < hi and j < len(self._rg_meta):
+            rg_lo, rg_hi = int(self._cum[j]), int(self._cum[j + 1])
+            s, e = max(pos, rg_lo), min(hi, rg_hi)
+            if s < e:
+                fp, rg = self._rg_meta[j]
+                out.append(_Slice(fp, rg, s - rg_lo, e - rg_lo))
+            pos = e
+            j += 1
+        return tuple(out)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["idx"], end["idx"]
         self._seen_hi = max(self._seen_hi, lo, hi)
         self._advance_frontier(self._seen_hi)
         if hi <= lo:
-            return [_RangePartition(lo, lo)]
+            return [_RangePartition(())]
         n = min(self._n_parts, hi - lo)
         step = math.ceil((hi - lo) / n)
         return [
-            _RangePartition(i, min(i + step, hi)) for i in range(lo, hi, step)
+            _RangePartition(self._slices_for(i, min(i + step, hi)))
+            for i in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition):
-        chunk = self._arrow.slice(
-            partition.start, partition.end - partition.start
-        )
-        yield from chunk.to_batches(max_chunksize=20_000)
+        """Executor-side: open ONLY this partition's row groups."""
+        import pyarrow.parquet as pq
+
+        for sl in partition.slices:
+            tbl = pq.ParquetFile(sl.file).read_row_group(sl.row_group)
+            chunk = tbl.slice(sl.start, sl.end - sl.start).drop_columns(
+                [_EMIT_COL]
+            )
+            yield from chunk.to_batches(max_chunksize=20_000)
 
     def commit(self, end: dict) -> None:
         self._seen_hi = max(self._seen_hi, end["idx"])
@@ -212,7 +480,8 @@ class ReplayStreamReader(DataSourceStreamReader):
 
 
 class ReplayDataSource(DataSource):
-    """spark.readStream.format("replay").option("path", ...) source."""
+    """spark.readStream.format("replay").option("path", <prepared dir>)
+    source; ``path`` must come from ``ensure_emit_ordered``."""
 
     @classmethod
     def name(cls) -> str:
@@ -221,27 +490,25 @@ class ReplayDataSource(DataSource):
     def schema(self) -> str:
         import pyarrow.parquet as pq
 
-        # Derive the Spark schema from the parquet footer; timestamps
-        # surface as epoch-ms longs (the reader emits pandas rows whose
-        # datetime64 values Spark would coerce ambiguously — explicit
-        # ms keeps the contract engine-neutral; downstream converts via
-        # timestamp_millis()).
-        schema = pq.read_schema(self.options["path"])
+        # Derive the Spark schema from the prepared footer (timestamps
+        # were normalized to epoch-ms longs by the prep job; __emit_ms
+        # is the source's internal pacing column and is not surfaced).
+        files = _parquet_files(self.options["path"])
+        schema = pq.read_schema(files[0])
         fields = []
         for f in schema:
+            if f.name == _EMIT_COL:
+                continue
             t = str(f.type)
-            if t.startswith("timestamp"):
-                spark_t = "long"
-            else:
-                spark_t = {
-                    "int64": "long",
-                    "int32": "int",
-                    "double": "double",
-                    "float": "float",
-                    "string": "string",
-                    "large_string": "string",
-                    "bool": "boolean",
-                }.get(t, "string")
+            spark_t = {
+                "int64": "long",
+                "int32": "int",
+                "double": "double",
+                "float": "float",
+                "string": "string",
+                "large_string": "string",
+                "bool": "boolean",
+            }.get(t, "string")
             fields.append(f"{f.name} {spark_t}")
         return ", ".join(fields)
 

@@ -41,7 +41,10 @@ from pyspark.sql.types import (
 
 from table_demo_spark.functions.taxi import in_nyc, to_cell_id
 from table_demo_spark.queries.reference import OVER_RANGE_MS, TUMBLE
-from table_demo_spark.sources.replay import register_replay_source
+from table_demo_spark.sources.replay import (
+    ensure_emit_ordered,
+    register_replay_source,
+)
 from table_demo_spark.streaming.upsert import MemoryUpsertSink, foreach_batch_upsert
 
 WATERMARK = "61 seconds"
@@ -57,6 +60,32 @@ def _checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="tds-ckpt-")
 
 
+def _replay_events(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float,
+    max_delay_ms: int = 60_000,
+    n_parts: int = 8,
+    frontier_key: str | None = None,
+) -> DataFrame:
+    """readStream over the emit-ordered replay dataset for events
+    (prepared once per fixture by a distributed sort, cached)."""
+    register_replay_source(spark)
+    prepared = ensure_emit_ordered(
+        spark, f"{sf_dir}/events.parquet", timecol="ts",
+        max_delay_ms=max_delay_ms,
+    )
+    reader = (
+        spark.readStream.format("replay")
+        .option("path", prepared)
+        .option("speed", speed)
+        .option("numpartitions", n_parts)
+    )
+    if frontier_key is not None:
+        reader = reader.option("frontierkey", frontier_key)
+    return reader.load()
+
+
 def stream_rides(
     spark: SparkSession,
     sf_dir: str,
@@ -67,18 +96,9 @@ def stream_rides(
 ) -> DataFrame:
     """readStream from the replay source, shaped like sources.batch.
     rides_view (same derivation, from epoch-ms columns)."""
-    register_replay_source(spark)
-    reader = (
-        spark.readStream.format("replay")
-        .option("path", f"{sf_dir}/events.parquet")
-        .option("timecol", "ts")
-        .option("speed", speed)
-        .option("maxdelayms", max_delay_ms)
-        .option("numpartitions", n_parts)
+    raw = _replay_events(
+        spark, sf_dir, speed, max_delay_ms, n_parts, frontier_key
     )
-    if frontier_key is not None:
-        reader = reader.option("frontierkey", frontier_key)
-    raw = reader.load()
     return raw.select(
         F.col("event_id").alias("ride_id"),
         F.col("event_type").isin("click", "view", "signup").alias("is_start"),
@@ -268,16 +288,7 @@ def stream_events(
     speed: float = 600.0,
     frontier_key: str | None = None,
 ) -> DataFrame:
-    register_replay_source(spark)
-    reader = (
-        spark.readStream.format("replay")
-        .option("path", f"{sf_dir}/events.parquet")
-        .option("timecol", "ts")
-        .option("speed", speed)
-    )
-    if frontier_key is not None:
-        reader = reader.option("frontierkey", frontier_key)
-    raw = reader.load()
+    raw = _replay_events(spark, sf_dir, speed, frontier_key=frontier_key)
     return raw.select(
         "event_id", "user_id", F.timestamp_millis(F.col("ts")).alias("rowtime")
     )
@@ -485,16 +496,7 @@ def stream_events_typed(
     frontier_key: str | None = None,
 ) -> DataFrame:
     """Replay source projected to the full typed event shape."""
-    register_replay_source(spark)
-    reader = (
-        spark.readStream.format("replay")
-        .option("path", f"{sf_dir}/events.parquet")
-        .option("timecol", "ts")
-        .option("speed", speed)
-    )
-    if frontier_key is not None:
-        reader = reader.option("frontierkey", frontier_key)
-    raw = reader.load()
+    raw = _replay_events(spark, sf_dir, speed, frontier_key=frontier_key)
     return raw.select(
         "event_id",
         "user_id",

@@ -364,7 +364,7 @@ def test_q1_stream_checkpoint_recovery_is_exactly_once(spark, tmp_path, batch_fr
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
 
-def test_replay_reader_restart_resumes_frontier_without_regression():
+def test_replay_reader_restart_resumes_frontier_without_regression(spark):
     """Root cause of a flaky recovery failure: a reader restarted from a
     checkpoint starts a fresh pacing clock, so latestOffset() sat below
     the committed offset until the clock re-traversed [t0, K) — the
@@ -372,16 +372,21 @@ def test_replay_reader_restart_resumes_frontier_without_regression():
     silently dropping the stream tail. A restarted reader (initialOffset
     NOT called — the engine only calls it when there is no checkpoint)
     must resume at or above its predecessor's frontier immediately."""
+    import uuid
+
     from pyspark.sql.types import StructType
 
-    from table_demo_spark.sources.replay import ReplayStreamReader
+    from table_demo_spark.sources.replay import (
+        ReplayStreamReader,
+        ensure_emit_ordered,
+    )
 
+    prepared = ensure_emit_ordered(spark, f"{SF_SMOKE}/events.parquet")
     opts = {
-        "path": f"{SF_SMOKE}/events.parquet",
-        "timecol": "ts",
+        "path": prepared,
         "speed": "600",  # slow: frontier barely moves during the test
-        "maxdelayms": "60000",
-        "seed": "424242",  # private key — no cross-test registry sharing
+        # private frontier key — no cross-test registry sharing
+        "frontierkey": f"restart-test-{uuid.uuid4()}",
     }
     r1 = ReplayStreamReader(StructType([]), dict(opts))
     assert r1.initialOffset() == {"idx": 0}
