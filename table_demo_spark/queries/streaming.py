@@ -126,10 +126,8 @@ def q3_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink, query = run_q3_stream(
             spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
         )
-        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
-    return spark.createDataFrame(
-        sink.snapshot(), schema="dept_cnt long, cnt_freq long"
-    )
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select("dept_cnt", "cnt_freq")
 
 
 # Q2 streaming oracle: the watermark-passed prefix of the batch

@@ -11,11 +11,18 @@ Maps SURVEY §2.3's streaming semantics onto Structured Streaming:
   preceding-range count once the watermark passes its timestamp, and
   evicts state older than (frontier - range). Append-mode output.
 - Q3 (chained aggregation, :148-167): Spark forbids chained streaming
-  aggs (risk #1) — level 1 runs natively in update mode; foreachBatch
-  applies level-1 deltas to a keyed store and recomputes the (tiny)
-  level-2 histogram per batch. O(#cells) per batch; cells is bounded
-  by the grid (62.5k for the full NYC grid), so the recompute stays
-  cheap at any event volume.
+  aggs (risk #1) — solved single-pass and fully distributed: level 1
+  (per-cell running count) is a stateful operator
+  (``applyInPandasWithState``, state = one long per cell, living in
+  the executors' state store) that emits the level-2 *changelog*
+  (retract old count, accumulate new — the exact retract stream
+  Flink's planner feeds the second aggregation); foreachBatch folds
+  those deltas into a durable parquet histogram with a distributed
+  sum-merge. No per-key state ever lives in the driver process, so the
+  key domain may be unbounded. (``transformWithStateInPandas`` is the
+  same shape on Spark 4 clusters with protobuf available; this
+  container lacks protobuf, and the GroupState API is equivalent for
+  a single ValueState.)
 
 Watermark: 61 s — the replay source's bounded disorder is 60 s
 (maxOutOfOrder, TaxiRideQueries.scala:48), and the reference's
@@ -508,7 +515,175 @@ def stream_events_typed(
 
 # ---------------------------------------------------------------------------
 # Q3 streaming — chained aggregation with retraction handling.
+#
+# Distributed single-pass design (SURVEY §7 risk #1's full answer):
+#
+#   departures ──groupBy(cell)──► level-1 stateful count     (executors)
+#        emits (dept_cnt, ±1) changelog rows per change
+#   changelog ──groupBy(dept_cnt)─► per-batch delta sum       (distributed)
+#   deltas    ──sum-merge──► durable parquet histogram        (distributed)
+#
+# The only state is one long per cell in Spark's state store and the
+# histogram parquet table — nothing key-shaped in the driver, so the
+# key domain may be unbounded (the old ChainedAggSink/-Adapter pair
+# below is kept as the K3 changelog-dispatch consumer for external
+# keyed stores, where the per-key dict is the *target*, not the state).
 # ---------------------------------------------------------------------------
+_Q3_DELTA_OUT = StructType(
+    [
+        StructField("dept_cnt", LongType()),
+        StructField("delta", LongType()),
+    ]
+)
+_Q3_STATE = StructType([StructField("cnt", LongType())])
+
+
+def _q3_level1_fn(threshold: int, ttl_ms: int | None):
+    """Per-cell running count; emits the level-2 histogram changelog.
+
+    A count transition old -> new yields retract(old) + accumulate(new)
+    (filtered to counts > threshold — the reference's HAVING pushdown,
+    TaxiRideQueries.scala:160). ``ttl_ms`` reproduces idle-state
+    retention (:99): an idle key's state is dropped after the TTL and
+    its contribution retracted — exactly Flink's cleanup semantics,
+    executed in the state store, not the driver."""
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        old = state.get[0] if state.exists else 0
+        rows: list[tuple[int, int]] = []
+        if state.hasTimedOut:
+            state.remove()
+            if old > threshold:
+                rows.append((old, -1))
+        else:
+            new = old + sum(len(pdf) for pdf in pdfs)
+            if new != old:
+                state.update((new,))
+                if old > threshold:
+                    rows.append((old, -1))
+                if new > threshold:
+                    rows.append((new, 1))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=["dept_cnt", "delta"])
+
+    return fn
+
+
+class ParquetHistogramSink:
+    """Durable level-2 aggregate: a parquet table of (dept_cnt,
+    cnt_freq) maintained by a distributed sum-merge of changelog deltas
+    per micro-batch — generation-flip writes like ParquetUpsertSink so
+    readers never see a half-written table. The merge is a groupBy over
+    (current histogram ∪ batch deltas): O(|histogram| + |deltas|)
+    distributed work, zero driver-side rows."""
+
+    def __init__(self, path: str):
+        import os
+        import re
+
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        gens = [
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"gen=(\d+)", d))
+        ]
+        self._gen = max(gens, default=0)
+        self._spark = None
+
+    def _gen_dir(self, gen: int) -> str:
+        return f"{self.path}/gen={gen}"
+
+    @property
+    def current_dir(self) -> str | None:
+        return self._gen_dir(self._gen) if self._gen > 0 else None
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        self._spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        deltas = batch_df.groupBy("dept_cnt").agg(
+            F.sum("delta").alias("cnt_freq")
+        )
+        if self.current_dir is not None:
+            cur = self._spark.read.parquet(self.current_dir)
+            merged = cur.unionByName(deltas)
+        else:
+            merged = deltas
+        hist = (
+            merged.groupBy("dept_cnt")
+            .agg(F.sum("cnt_freq").alias("cnt_freq"))
+            .filter(F.col("cnt_freq") > 0)
+        )
+        nxt = self._gen_dir(self._gen + 1)
+        hist.write.mode("overwrite").parquet(nxt)
+        old = self.current_dir
+        self._gen += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def snapshot_df(self, spark: SparkSession) -> DataFrame:
+        assert self.current_dir is not None, "no batch written yet"
+        return spark.read.parquet(self.current_dir)
+
+    def count(self, spark: SparkSession) -> int:
+        if self.current_dir is None:
+            return 0
+        return spark.read.parquet(self.current_dir).count()
+
+    def snapshot(self) -> list[dict]:
+        if self.current_dir is None:
+            return []
+        return [r.asDict() for r in self.snapshot_df(self._spark).collect()]
+
+
+def run_q3_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    threshold: int = 0,
+    ttl_ms: int | None = None,
+):
+    """Single-pass distributed chained agg: stateful per-cell count
+    emitting a retract/accumulate changelog, folded into a durable
+    parquet histogram. ``ttl_ms`` mirrors the reference's idle-state
+    retention (TaxiRideQueries.scala:99). Returns
+    (ParquetHistogramSink, query)."""
+    import tempfile
+
+    ckpt = _checkpoint_dir()
+    departures = stream_departures(
+        stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
+    )
+    deltas = departures.groupBy("cell").applyInPandasWithState(
+        _q3_level1_fn(threshold, ttl_ms),
+        outputStructType=_Q3_DELTA_OUT,
+        stateStructType=_Q3_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    sink = ParquetHistogramSink(tempfile.mkdtemp(prefix="tds-hist-"))
+    query = (
+        deltas.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.apply_batch)
+        .start()
+    )
+    return sink, query
+
+
 class ChainedAggSink:
     """The level-2 aggregation of Q3 as a retract-changelog consumer:
     maintains the histogram (dept_cnt -> cnt_freq) from accumulate /
@@ -537,18 +712,19 @@ class ChainedAggSink:
         ]
 
 
-def run_q3_stream(
+def run_q3_chained_agg_via_adapter(
     spark: SparkSession,
     sf_dir: str,
     speed: float = 2_000_000.0,
     threshold: int = 0,
     ttl_ms: int | None = None,
 ):
-    """Level 1 (groupBy cell, continuous count) runs natively in update
-    mode; a RetractStreamAdapter turns its per-batch deltas into the
-    (retract old, accumulate new) changelog driving the level-2
-    histogram. ``ttl_ms`` mirrors the reference's idle-state retention
-    (TaxiRideQueries.scala:99). Returns (ChainedAggSink, query)."""
+    """K3 changelog-dispatch variant of Q3: level 1 runs as a native
+    update-mode agg; a RetractStreamAdapter diffs its per-batch deltas
+    into the (retract, accumulate) changelog an *external keyed store*
+    consumes (the ElasticUpsertTableSink.scala:140-147 dispatch path).
+    The in-process ChainedAggSink stands in for that store — use
+    ``run_q3_stream`` for the distributed engine-side aggregation."""
     from table_demo_spark.streaming.retract import RetractStreamAdapter
 
     ckpt = _checkpoint_dir()

@@ -145,6 +145,81 @@ def test_q2_state_stays_bounded_by_range_eviction(spark):
     assert state_rows < n_emitted / 2, (state_rows, n_emitted)
 
 
+def test_q3_level1_changelog_and_ttl_retraction():
+    """The distributed chained-agg level-1 processor must emit the
+    exact (retract old, accumulate new) changelog per count transition,
+    respect the > threshold filter, and on idle-state expiry retract
+    the key's contribution — all without any driver-resident per-key
+    structure (state is Spark's store; here a stub)."""
+    import pandas as pd
+
+    from table_demo_spark.streaming.queries import _q3_level1_fn
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _q3_level1_fn(threshold=2, ttl_ms=5_000)
+    st = StubState()
+
+    def run(n_rows: int, timed_out: bool = False):
+        st.hasTimedOut = timed_out
+        pdfs = iter([pd.DataFrame({"x": range(n_rows)})]) if n_rows else iter([])
+        out = list(fn((7,), pdfs, st))
+        return (
+            [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+        )
+
+    # 0 -> 2: both at/below threshold => no changelog
+    assert run(2) == []
+    assert st.timeout_set == 5_000
+    # 2 -> 3: old filtered, new accumulates
+    assert run(1) == [(3, 1)]
+    # 3 -> 5: full retract/accumulate pair
+    assert run(2) == [(3, -1), (5, 1)]
+    # no new rows: no spurious emission
+    assert run(0) == []
+    # idle expiry: state dropped, contribution retracted
+    assert run(0, timed_out=True) == [(5, -1)]
+    assert not st.exists
+
+
+def test_q3_stream_state_is_executor_side(spark):
+    """The chained agg must keep level-1 counts in Spark's state store
+    (one row per cell) and the level-2 histogram in the durable parquet
+    sink — the driver-facing sink object holds no per-key dict."""
+    from table_demo_spark.streaming.queries import run_q3_stream
+
+    sink, q = run_q3_stream(spark, SF_SMOKE, speed=SPEED, threshold=0)
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    state_rows = sum(op["numRowsTotal"] for op in progress["stateOperators"])
+    assert state_rows > 0  # per-cell counts live in the state store
+    assert not any(
+        isinstance(v, dict) and v for v in vars(sink).values()
+    ), "sink must not accumulate per-key state in the driver"
+    # histogram invariant: sum(freq) == #cells tracked in the store
+    hist = {d["dept_cnt"]: d["cnt_freq"] for d in sink.snapshot()}
+    assert sum(hist.values()) == state_rows
+
+
 def test_retract_stream_adapter_changelog_and_ttl():
     from table_demo_spark.streaming.retract import RetractStreamAdapter
 
