@@ -317,24 +317,14 @@ FROM c
 # hash-checked against the oracle doing the same in SQL.
 # ---------------------------------------------------------------------------
 def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from table_demo_spark.sources.taxi_csv import parse_taxi_csv, ride_to_csv_line
+    from table_demo_spark.sources.taxi_csv import (
+        parse_taxi_csv,
+        ride_to_csv_line,
+        shaped_rides,
+    )
 
-    rides = rides_view(spark, sf_dir)
-    shaped = rides.select(
-        "ride_id",
-        "is_start",
-        F.when(F.col("is_start"), F.col("rowtime"))
-        .otherwise(F.expr("rowtime - INTERVAL 20 MINUTES"))
-        .alias("start_time"),
-        F.when(F.col("is_start"), F.expr("rowtime + INTERVAL 20 MINUTES"))
-        .otherwise(F.col("rowtime"))
-        .alias("end_time"),
-        "start_lon",
-        "start_lat",
-        "end_lon",
-        "end_lat",
-        "passenger_cnt",
-        (F.col("ride_id") % 50 == 0).alias("blank"),
+    shaped = shaped_rides(spark, sf_dir).withColumn(
+        "blank", F.col("ride_id") % 50 == 0
     )
     line0 = ride_to_csv_line(
         F.col("ride_id"),
@@ -420,6 +410,67 @@ FROM parsed
 """
 
 
+# ---------------------------------------------------------------------------
+# S1 — gzip-CSV ingestion: the reference's actual input format (a
+# gzipped file of TaxiRide.toString lines, TaxiRideSource.java:109-110)
+# read through Spark's transparent gzip codec and the strict fromString
+# parser. The fixture is materialized deterministically from the events
+# parquet (one .gz per partition — gzip isn't splittable, so many
+# files IS the scale shape), then parsed back; the oracle recomputes
+# the same records straight from the parquet (serialization is
+# identity on the value domain: shortest-roundtrip floats, ms -> s
+# timestamp truncation).
+# ---------------------------------------------------------------------------
+def s1_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources.taxi_csv import (
+        ensure_rides_csv_gz,
+        parse_taxi_csv,
+    )
+
+    path = ensure_rides_csv_gz(spark, sf_dir)
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    parsed = parse_taxi_csv(lines)
+    return parsed.select(
+        "ride_id",
+        "is_start",
+        F.unix_millis("start_time").alias("start_ms"),
+        F.unix_millis("end_time").alias("end_ms"),
+        "start_lon",
+        "start_lat",
+        "end_lon",
+        "end_lat",
+        "passenger_cnt",
+    )
+
+
+S1_GZIP_ORACLE = f"""{_RIDES_CTE},
+shaped AS (
+  SELECT ride_id, is_start,
+    date_trunc('second',
+      CASE WHEN is_start THEN rowtime ELSE rowtime - INTERVAL 20 MINUTE END)
+      AS start_ts,
+    date_trunc('second',
+      CASE WHEN is_start THEN rowtime + INTERVAL 20 MINUTE ELSE rowtime END)
+      AS end_ts,
+    CAST(start_lon AS FLOAT) AS slon, CAST(start_lat AS FLOAT) AS slat,
+    CAST(end_lon AS FLOAT) AS elon, CAST(end_lat AS FLOAT) AS elat,
+    passenger_cnt
+  FROM rides
+)
+SELECT
+  ride_id,
+  is_start,
+  epoch_ms(start_ts) AS start_ms,
+  epoch_ms(end_ts) AS end_ms,
+  slon AS start_lon,
+  slat AS start_lat,
+  elon AS end_lon,
+  elat AS end_lat,
+  CAST(passenger_cnt AS SMALLINT) AS passenger_cnt
+FROM shaped
+"""
+
+
 QUERIES: list[Query] = [
     Query("ref_q1_tumble", q1_tumble, Q1_ORACLE),
     Query("ref_q1_tumble_sql", q1_tumble_sql, Q1_ORACLE),
@@ -428,4 +479,5 @@ QUERIES: list[Query] = [
     Query("ref_q4_cell_coords", q4_cell_coords, Q4_ORACLE),
     Query("ref_q5_geo_points", q5_geo_points, Q5_ORACLE),
     Query("ref_s2_csv_roundtrip", s2_csv_roundtrip, S2_ORACLE),
+    Query("ref_s1_csv_gzip", s1_csv_gzip, S1_GZIP_ORACLE),
 ]

@@ -18,10 +18,90 @@ the serializer itself is oracle-checkable, and the parser via roundtrip.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TIME_FMT = "yyyy-MM-dd HH:mm:ss"  # TaxiRide.java:41-42 (UTC)
+
+_GZ_MARKER = "_CSV_GZ_READY.json"
+
+
+def shaped_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides with explicit start/end timestamps (±20 min around the
+    event time, deterministic) — the full 9-field record TaxiRide.java
+    serializes. Shared by the S2 roundtrip query and the gzip fixture."""
+    from table_demo_spark.sources.batch import rides_view
+
+    rides = rides_view(spark, sf_dir)
+    return rides.select(
+        "ride_id",
+        "is_start",
+        F.when(F.col("is_start"), F.col("rowtime"))
+        .otherwise(F.expr("rowtime - INTERVAL 20 MINUTES"))
+        .alias("start_time"),
+        F.when(F.col("is_start"), F.expr("rowtime + INTERVAL 20 MINUTES"))
+        .otherwise(F.col("rowtime"))
+        .alias("end_time"),
+        "start_lon",
+        "start_lat",
+        "end_lon",
+        "end_lat",
+        "passenger_cnt",
+    )
+
+
+def ensure_rides_csv_gz(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference's input format — a directory of
+    gzip-compressed CSV files of ``TaxiRide.toString`` lines
+    (TaxiRideSource.java:109-110 wraps the data file in a
+    GZIPInputStream) — from the parquet fixture, once, cached by
+    fixture identity. Returns the directory path.
+
+    Gzip streams are not splittable, so the scale shape is MANY .gz
+    files (one task each), which the partitioned text write gives
+    naturally; a single 100 TB .gz would serialize the whole scan."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        repr((os.path.abspath(src), st.st_mtime_ns, st.st_size)).encode()
+    ).hexdigest()[:16]
+    final = os.path.join(
+        tempfile.gettempdir(), f"taxi-csv-gz-{os.getuid()}-{digest}"
+    )
+    if os.path.exists(os.path.join(final, _GZ_MARKER)):
+        return final
+
+    shaped = shaped_rides(spark, sf_dir)
+    lines = shaped.select(
+        ride_to_csv_line(
+            F.col("ride_id"),
+            F.col("is_start"),
+            F.col("start_time"),
+            F.col("end_time"),
+            F.col("start_lon"),
+            F.col("start_lat"),
+            F.col("end_lon"),
+            F.col("end_lat"),
+            F.col("passenger_cnt"),
+        ).alias("value")
+    )
+    staging = tempfile.mkdtemp(prefix="taxi-csv-gz-stage-")
+    lines.write.mode("overwrite").option("compression", "gzip").text(staging)
+    with open(os.path.join(staging, _GZ_MARKER), "w") as f:
+        json.dump({"source": os.path.abspath(src)}, f)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost a benign race
+    if not os.path.exists(os.path.join(final, _GZ_MARKER)):
+        raise RuntimeError(f"csv.gz fixture write failed for {src}")
+    return final
 
 
 def ride_to_csv_line(
