@@ -265,6 +265,33 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q8_retract_delete_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q8_retract_delete
+
+    sink = _parquet_sink(("cell",))
+    with _state_partitions(spark):
+        _, query = run_q8_retract_delete(
+            spark, sf_dir, speed=DRIVER_SPEED, limit=_Q8_LIMIT, sink=sink
+        )
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select("cell", "dept_cnt")
+
+
+# Retract -> durable delete: final state = the gated aggregate, i.e.
+# exactly the cells whose TOTAL count stayed within the limit — any
+# cell that ever crossed it was deleted from the parquet sink by a 'D'
+# changelog row. At sf0.01 per-cell counts span 17..43, so limit=30
+# forces real deletions (~half the cells); a lingering deleted row or
+# a lost delete both fail the hash.
+_Q8_LIMIT = 30
+Q8_RETRACT_DELETE_ORACLE = f"""{_DEPARTURES_CTE}
+SELECT cell, CAST(count(*) AS BIGINT) AS dept_cnt
+FROM departures
+GROUP BY cell
+HAVING count(*) <= {_Q8_LIMIT}
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -273,4 +300,5 @@ QUERIES: list[Query] = [
     Query("stream_q5_interval_join", q5_join_final, Q5_JOIN_ORACLE),
     Query("stream_q6_dedup", q6_dedup_final, Q6_DEDUP_ORACLE),
     Query("stream_q7_enrich_agg", q7_enrich_final, Q7_ENRICH_ORACLE),
+    Query("stream_q8_retract_delete", q8_retract_delete_final, Q8_RETRACT_DELETE_ORACLE),
 ]

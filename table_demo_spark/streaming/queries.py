@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -679,6 +680,90 @@ def run_q3_stream(
         deltas.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch(sink.apply_batch)
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q8 streaming — retraction-driven DELETE into the durable sink.
+#
+# A gated continuous aggregate: keep (cell, dept_cnt) while the count
+# stays <= limit; the moment a cell's count crosses the limit its row
+# must DISAPPEAR from the result — the retract message Flink's planner
+# turns into the sink's delete request
+# (ElasticUpsertTableSink.scala:140-147). The stateful gate emits an
+# upsert ('U') per in-range transition and a single delete ('D') on
+# crossing; ParquetUpsertSink.apply_changelog dispatches both
+# durably. State: one long per cell, executor-side.
+# ---------------------------------------------------------------------------
+_Q8_OUT = StructType(
+    [
+        StructField("cell", IntegerType()),
+        StructField("dept_cnt", LongType()),
+        StructField("__op", StringType()),
+    ]
+)
+
+
+def _q8_gate_fn(limit: int):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (cell,) = key
+        old = state.get[0] if state.exists else 0
+        n = sum(len(pdf) for pdf in pdfs)
+        if n == 0:
+            return
+        new = old + n
+        state.update((new,))
+        if new <= limit:
+            yield pd.DataFrame(
+                [(cell, new, "U")], columns=["cell", "dept_cnt", "__op"]
+            )
+        elif old <= limit:  # crossed the gate: retract -> delete
+            yield pd.DataFrame(
+                [(cell, new, "D")], columns=["cell", "dept_cnt", "__op"]
+            )
+        # already above the limit before this batch: row was deleted,
+        # nothing to emit
+
+    return fn
+
+
+def run_q8_retract_delete(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    limit: int = 30,
+    sink=None,
+):
+    """Start the gated aggregate into a durable ParquetUpsertSink via
+    the changelog dispatch path. Returns (sink, query)."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    departures = stream_departures(
+        stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
+    )
+    changelog = departures.groupBy("cell").applyInPandasWithState(
+        _q8_gate_fn(limit),
+        outputStructType=_Q8_OUT,
+        stateStructType=_Q3_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q8-"), ("cell",)
+    )
+    query = (
+        changelog.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.apply_changelog)
         .start()
     )
     return sink, query

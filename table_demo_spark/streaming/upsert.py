@@ -123,6 +123,47 @@ class ParquetUpsertSink:
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
 
+    def apply_changelog(
+        self, batch_df: DataFrame, batch_id: int, op_col: str = "__op"
+    ) -> None:
+        """Upsert/delete dispatch on a changelog flag column — the
+        reference sink's RequestIndexer branch
+        (ElasticUpsertTableSink.scala:140-147): rows with ``op_col`` =
+        'D' remove their key from the table, every other row upserts.
+        Deletes of absent keys are no-ops (left-anti join). Same
+        generation-flip write discipline as ``apply_batch``."""
+        import shutil
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        dels = batch_df.filter(F.col(op_col) == "D").select(*self.key_cols)
+        ups = batch_df.filter(F.col(op_col) != "D").drop(op_col).withColumn(
+            "__gen", F.lit(1)
+        )
+        if self.current_dir is not None:
+            cur = (
+                spark.read.parquet(self.current_dir)
+                .join(dels, on=list(self.key_cols), how="left_anti")
+                .withColumn("__gen", F.lit(0))
+            )
+            merged = cur.unionByName(ups)
+        else:
+            merged = ups
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__gen").desc())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gen")
+        )
+        nxt = self._gen_dir(self._gen + 1)
+        latest.write.mode("overwrite").parquet(nxt)
+        old = self.current_dir
+        self._gen += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
     def snapshot_df(self, spark) -> DataFrame:
         assert self.current_dir is not None, "no batch written yet"
         return spark.read.parquet(self.current_dir)

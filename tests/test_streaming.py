@@ -220,6 +220,28 @@ def test_q3_stream_state_is_executor_side(spark):
     assert sum(hist.values()) == state_rows
 
 
+def test_q8_retract_deletes_from_durable_sink(spark, batch_frames):
+    """A cell crossing the count gate must be DELETED from the parquet
+    upsert sink (the ElasticUpsertTableSink delete dispatch, end to
+    end): final sink state == batch HAVING count <= limit. At sf0.001
+    per-cell counts span 1..10, so limit=5 forces real deletions."""
+    from table_demo_spark.streaming.queries import run_q8_retract_delete
+
+    sink, q = run_q8_retract_delete(spark, SF_SMOKE, speed=SPEED, limit=5)
+    _run_until_done(q)
+    got = sorted(
+        (r["cell"], r["dept_cnt"])
+        for r in sink.snapshot_df(spark).collect()
+    )
+    dep = batch_frames["departures"]
+    per_cell = dep.groupby("cell")["ride_id"].count()
+    assert (per_cell > 5).any(), "fixture must force deletions"
+    want = sorted(
+        (int(c), int(n)) for c, n in per_cell.items() if n <= 5
+    )
+    assert got == want
+
+
 def test_retract_stream_adapter_changelog_and_ttl():
     from table_demo_spark.streaming.retract import RetractStreamAdapter
 
