@@ -292,6 +292,87 @@ HAVING count(*) <= {_Q8_LIMIT}
 """
 
 
+def q9_debug_sink_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q9_debug_sink
+
+    with _state_partitions(spark):
+        sink, query = run_q9_debug_sink(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, lambda: len(sink.log()), quiet_polls=1)
+    assert len(sink.log()) >= len(sink.snapshot())  # every change logged
+    return spark.createDataFrame(
+        sink.snapshot(),
+        schema="event_type string, n_events long, revenue double",
+    )
+
+
+# Console/debug sink (K4): the last logged update per key of an
+# update-mode aggregate equals the final aggregate.
+Q9_DEBUG_ORACLE = """
+SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM events
+GROUP BY event_type
+"""
+
+
+def q10_ttl_expiry_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q10_ttl_expiry
+
+    sink = _parquet_sink(("cell",))
+    with _state_partitions(spark):
+        _, query = run_q10_ttl_expiry(
+            spark, sf_dir, speed=DRIVER_SPEED, ttl_ms=_Q10_TTL_MS, sink=sink
+        )
+        _drain(query, lambda: sink.count(spark))
+    return sink.snapshot_df(spark).select("cell", "dept_cnt")
+
+
+# Idle-state retention in event time (R16): a gap >= TTL resets the
+# key's count (state expired between events -> recount, Flink
+# withIdleStateRetentionTime semantics), and a key idle >= TTL at the
+# final watermark has its result row deleted. Oracle: sessionize each
+# cell with gap = TTL, keep the LAST session's count, drop cells whose
+# last event is idle at the final watermark.
+_Q10_TTL_MS = 48 * 3600_000
+Q10_TTL_ORACLE = f"""{_DEPARTURES_CTE},
+fin AS (
+  SELECT max(epoch_ms(rowtime)) - {WATERMARK_MS} AS wm FROM departures
+),
+-- the operator only ever processes events at/below the final
+-- watermark; the trailing {WATERMARK_MS} ms stay buffered forever
+proc AS (
+  SELECT cell, ride_id, rowtime FROM departures
+  WHERE epoch_ms(rowtime) <= (SELECT wm FROM fin)
+),
+flagged AS (
+  SELECT cell, ride_id, rowtime,
+         CASE WHEN epoch_ms(rowtime) - epoch_ms(lag(rowtime) OVER w) >= {_Q10_TTL_MS}
+              THEN 1 ELSE 0 END AS reset
+  FROM proc
+  WINDOW w AS (PARTITION BY cell ORDER BY rowtime, ride_id)
+),
+sess AS (
+  SELECT cell, rowtime,
+         sum(reset) OVER (PARTITION BY cell ORDER BY rowtime, ride_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT cell, sid, CAST(count(*) AS BIGINT) AS dept_cnt,
+         max(epoch_ms(rowtime)) AS last_ms
+  FROM sess GROUP BY cell, sid
+),
+last AS (
+  SELECT cell, dept_cnt, last_ms FROM agg
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY sid DESC) = 1
+)
+SELECT cell, dept_cnt FROM last
+WHERE last_ms + {_Q10_TTL_MS} > (SELECT wm FROM fin)
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -301,4 +382,6 @@ QUERIES: list[Query] = [
     Query("stream_q6_dedup", q6_dedup_final, Q6_DEDUP_ORACLE),
     Query("stream_q7_enrich_agg", q7_enrich_final, Q7_ENRICH_ORACLE),
     Query("stream_q8_retract_delete", q8_retract_delete_final, Q8_RETRACT_DELETE_ORACLE),
+    Query("stream_q9_debug_sink", q9_debug_sink_final, Q9_DEBUG_ORACLE),
+    Query("stream_q10_ttl_expiry", q10_ttl_expiry_final, Q10_TTL_ORACLE),
 ]

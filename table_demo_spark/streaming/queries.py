@@ -769,6 +769,159 @@ def run_q8_retract_delete(
     return sink, query
 
 
+# ---------------------------------------------------------------------------
+# Q9 streaming — the console/debug sink (K4): an update-mode aggregate
+# whose every change is logged (and optionally echoed) per micro-batch;
+# the last update per key is the final result table.
+# ---------------------------------------------------------------------------
+def run_q9_debug_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    echo: bool = False,
+):
+    """Per-event-type count + revenue into a ConsoleDebugSink — the
+    reference's print/console sink (K4). The event-type domain is tiny
+    and bounded, the one place a debug sink belongs. Returns
+    (ConsoleDebugSink, query)."""
+    from table_demo_spark.streaming.upsert import ConsoleDebugSink
+
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    sink = ConsoleDebugSink(("event_type",), echo=echo)
+    query = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q10 streaming — idle-state retention in EVENT time (R16).
+#
+# The reference's withIdleStateRetentionTime (TaxiRideQueries.scala:99)
+# drops a key's accumulator after idleness; the next event recounts
+# from zero, and an expired key's result row is removed. Wall-clock
+# idleness is non-deterministic under replay, so this operator applies
+# the SAME semantics in event time, which makes it batch-boundary
+# independent and exactly SQL-expressible (sessionize with gap = TTL,
+# keep the last session): events are buffered until the watermark
+# passes them (disorder-safe), processed in event-time order, a gap
+# >= TTL resets the count, and a key idle >= TTL at the final
+# watermark is DELETED from the sink.
+# ---------------------------------------------------------------------------
+_Q10_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("cnt", LongType()),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+    ]
+)
+
+
+def _q10_ttl_fn(ttl_ms: int):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (cell,) = key
+        if state.exists:
+            last_ts, cnt, pend_ts, pend_id = state.get
+            pend = list(zip(pend_ts, pend_id))
+        else:
+            last_ts, cnt, pend = -1, 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pdf["rowtime"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                pend.extend(zip((int(v) for v in ms), (int(v) for v in pdf["ride_id"])))
+        wm = state.getCurrentWatermarkMs()
+        # drain buffered events at/below the watermark in event-time
+        # order (ride_id tiebreak, mirrored in the oracle)
+        pend.sort()
+        ready = [p for p in pend if p[0] <= wm]
+        pend = [p for p in pend if p[0] > wm]
+        old_cnt = cnt if state.exists else None
+        for ts, _rid in ready:
+            if last_ts >= 0 and ts - last_ts >= ttl_ms:
+                cnt = 0  # idle-state expiry between events: recount
+            cnt += 1
+            last_ts = ts
+        rows = []
+        if last_ts >= 0 and not pend and wm >= last_ts + ttl_ms:
+            # idle at the frontier: evict state AND the result row
+            state.remove()
+            rows.append((cell, cnt, "D"))
+        else:
+            state.update(
+                (
+                    last_ts,
+                    cnt,
+                    [p[0] for p in pend],
+                    [p[1] for p in pend],
+                )
+            )
+            if cnt != old_cnt and cnt > 0:
+                rows.append((cell, cnt, "U"))
+            # wake on watermark advance: either to flush pending rows
+            # or to expire; the guard keeps the timestamp legal
+            state.setTimeoutTimestamp(
+                max(last_ts + ttl_ms if last_ts >= 0 else 0, wm + 1)
+            )
+        if rows:
+            yield pd.DataFrame(rows, columns=["cell", "dept_cnt", "__op"])
+
+    return fn
+
+
+def run_q10_ttl_expiry(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    ttl_ms: int = 48 * 3600_000,
+    sink=None,
+):
+    """Per-cell departure count with event-time idle-state retention
+    into the durable changelog sink. Returns (sink, query)."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    departures = stream_departures(
+        stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
+    )
+    changelog = departures.groupBy("cell").applyInPandasWithState(
+        _q10_ttl_fn(ttl_ms),
+        outputStructType=_Q8_OUT,
+        stateStructType=_Q10_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q10-"), ("cell",)
+    )
+    query = (
+        changelog.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.apply_changelog)
+        .start()
+    )
+    return sink, query
+
+
 class ChainedAggSink:
     """The level-2 aggregation of Q3 as a retract-changelog consumer:
     maintains the histogram (dept_cnt -> cnt_freq) from accumulate /

@@ -179,6 +179,47 @@ class ParquetUpsertSink:
         return self.apply_batch
 
 
+class ConsoleDebugSink:
+    """K4 — the console/debug sink: records EVERY update-mode change as
+    a (batch_id, row) log line, optionally echoing it like
+    ``writeStream.format("console")`` (the reference's stdout sink,
+    printed per changelog message). The log IS the sink's contents —
+    ``snapshot()`` folds it to the last update per key, which for an
+    update-mode aggregate equals the final result table.
+
+    Debug tool by design: output volume equals changelog volume, so it
+    belongs on bounded key domains / sampled streams only — the same
+    caveat the reference's print sink carries. Not a scale target."""
+
+    def __init__(self, key_cols: tuple[str, ...], echo: bool = False):
+        self.key_cols = key_cols
+        self.echo = echo
+        self._log: list[tuple[int, dict]] = []
+        self._lock = threading.Lock()
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            rows = [r.asDict() for r in batch_df.collect()]
+            with self._lock:
+                for r in rows:
+                    self._log.append((batch_id, r))
+                    if self.echo:
+                        print(f"[batch {batch_id}] {r}")
+
+        return fn
+
+    def log(self) -> list[tuple[int, dict]]:
+        with self._lock:
+            return list(self._log)
+
+    def snapshot(self) -> list[dict]:
+        latest: dict[tuple, dict] = {}
+        with self._lock:
+            for _, r in self._log:
+                latest[tuple(r[k] for k in self.key_cols)] = r
+        return list(latest.values())
+
+
 def foreach_batch_upsert(
     sink: MemoryUpsertSink,
 ) -> Callable[[DataFrame, int], None]:
