@@ -86,14 +86,26 @@ def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
 
 def _parquet_sink(key_cols: tuple[str, ...]):
     """Durable upsert sink in a fresh temp dir — the driver-gated
-    streaming queries write through the production-shaped parquet MERGE
-    target, never a driver-resident dict (an append-mode stream would
-    otherwise accumulate the WHOLE stream in driver memory)."""
+    update/changelog streaming queries write through the
+    production-shaped parquet MERGE target, never a driver-resident
+    dict."""
     import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
     return ParquetUpsertSink(tempfile.mkdtemp(prefix="tds-sink-"), key_cols)
+
+
+def _append_sink():
+    """Durable append sink = Spark's native parquet file sink in a
+    fresh temp dir — for append-mode streams keys never update, so
+    each micro-batch writes only its own files (no merge; the scale
+    shape for unbounded appends)."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    return ParquetAppendSink(tempfile.mkdtemp(prefix="tds-appsink-"))
 
 
 def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,10 +122,10 @@ def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q2_stream
 
-    sink = _parquet_sink(("cell", "ride_id"))
+    sink = _append_sink()
     with _state_partitions(spark):
         _, query = run_q2_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
-        _drain(query, lambda: sink.count(spark))
+        _drain(query, sink.count)
     return sink.snapshot_df(spark).select(
         "cell", "ride_id", "rowtime_ms", "dept_cnt"
     )
@@ -154,10 +166,10 @@ WHERE rowtime_ms <= (SELECT max(epoch_ms(rowtime)) FROM departures) - {WATERMARK
 def q4_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q4_session_stream
 
-    sink = _parquet_sink(("user_id", "session_start"))
+    sink = _append_sink()
     with _state_partitions(spark):
         _, query = q4_session_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
-        _drain(query, lambda: sink.count(spark))
+        _drain(query, sink.count)
     return sink.snapshot_df(spark).select("user_id", "session_start", "n_events")
 
 
@@ -197,10 +209,10 @@ WHERE last_ms + {_GAP_MS} <=
 def q5_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q5_join_stream
 
-    sink = _parquet_sink(("click_id", "purchase_id"))
+    sink = _append_sink()
     with _state_partitions(spark):
         _, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
-        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+        _drain(query, sink.count, quiet_polls=1)
     return sink.snapshot_df(spark).select(
         "user_id", "click_id", "purchase_id", "click_ms", "purchase_ms"
     )
@@ -230,10 +242,10 @@ JOIN events p
 def q6_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q6_dedup_stream
 
-    sink = _parquet_sink(("user_id", "event_type"))
+    sink = _append_sink()
     with _state_partitions(spark):
         _, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
-        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+        _drain(query, sink.count, quiet_polls=1)
     return sink.snapshot_df(spark).select("user_id", "event_type")
 
 

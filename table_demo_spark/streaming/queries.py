@@ -94,6 +94,20 @@ def _replay_events(
     return reader.load()
 
 
+def _start_append(out: DataFrame, sink, ckpt: str):
+    """Bind an append-mode stream to its sink: native-file-sink targets
+    (ParquetAppendSink.bind_stream — O(batch) appends, no merge) or a
+    foreachBatch keyed store."""
+    if hasattr(sink, "bind_stream"):
+        return sink.bind_stream(out, ckpt)
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+
+
 def stream_rides(
     spark: SparkSession,
     sf_dir: str,
@@ -275,13 +289,7 @@ def run_q2_stream(
         range_ms,
     )
     sink = sink if sink is not None else MemoryUpsertSink(("cell", "ride_id"))
-    query = (
-        out.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    return sink, query
+    return sink, _start_append(out, sink, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -325,13 +333,7 @@ def q4_session_stream(
     sink = sink if sink is not None else MemoryUpsertSink(
         ("user_id", "session_start")
     )
-    query = (
-        out.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    return sink, query
+    return sink, _start_append(out, sink, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -396,13 +398,7 @@ def q5_join_stream(
     sink = sink if sink is not None else MemoryUpsertSink(
         ("click_id", "purchase_id")
     )
-    query = (
-        joined.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    return sink, query
+    return sink, _start_append(joined, sink, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -440,13 +436,7 @@ def q6_dedup_stream(
     sink = sink if sink is not None else MemoryUpsertSink(
         ("user_id", "event_type")
     )
-    query = (
-        deduped.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    return sink, query
+    return sink, _start_append(deduped, sink, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -635,10 +625,25 @@ class ParquetHistogramSink:
         assert self.current_dir is not None, "no batch written yet"
         return spark.read.parquet(self.current_dir)
 
-    def count(self, spark: SparkSession) -> int:
-        if self.current_dir is None:
-            return 0
-        return spark.read.parquet(self.current_dir).count()
+    def count(self, spark: SparkSession = None) -> int:
+        """Footer-metadata row count (no Spark job) — drain-poll probe."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        for _ in range(8):  # generation may flip mid-read; retry
+            d = self.current_dir
+            if d is None:
+                return 0
+            try:
+                return sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                )
+            except FileNotFoundError:
+                continue
+        return 0
 
     def snapshot(self) -> list[dict]:
         if self.current_dir is None:
