@@ -249,3 +249,64 @@ def blocked_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list:
+    ``(id, component)`` where component = min node id in the cluster.
+
+    The missing piece between pairwise near-dup detection and the
+    actual dedup decision: LSH/Jaccard emit PAIRS, but "keep one doc
+    per duplicate group" needs the transitive closure of those pairs
+    (A~B, B~C => {A,B,C} one group, one canonical survivor).
+
+    Pregel-style min-label propagation: per iteration one equi-join
+    (edges x labels) + one groupBy-min — both hash-partitioned on node
+    id, no driver-side graph. The driver runs only the convergence
+    loop (count of changed labels per iteration — the standard
+    driver-coordinated fixpoint, O(1) rows to the driver).
+    ``localCheckpoint`` truncates lineage each round so plans stay
+    flat. Iterations = graph diameter; near-dup clusters are
+    shallow (duplicates of one source document), so 3-5 rounds
+    converge. For adversarial long-chain graphs swap the step for
+    alternating large-star/small-star (same join/agg primitives,
+    O(log n) rounds).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(
+            labels.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

@@ -216,6 +216,45 @@ WHERE cos_sim >= CAST({COSINE_THRESHOLD} AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# D7 — near-dup clustering: connected components over the MinHash-LSH
+# verified pairs. Pairs alone aren't a dedup decision — transitivity
+# (A~B, B~C) must collapse to ONE canonical survivor per group. The
+# Spark side is the distributed min-label-propagation operator; the
+# oracle computes the same closure with a recursive CTE (label =
+# min reachable node id).
+# ---------------------------------------------------------------------------
+def d7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=JACCARD_THRESHOLD
+    )
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _d7_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.v AS id, w.label FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # S1 — exact cosine top-k (brute-force ANN baseline).
 # ---------------------------------------------------------------------------
 def s1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +754,7 @@ QUERIES: list[Query] = [
     Query("llm_d4_dedup_ngram_jaccard", d4_dedup_ngram_jaccard, D4_ORACLE),
     Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
     Query("llm_d6_neardup_lsh_gemm", d6_neardup_lsh_gemm, _d6_oracle()),
+    Query("llm_d7_neardup_clusters", d7_neardup_clusters, _d7_oracle()),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
     Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),

@@ -152,3 +152,24 @@ def test_asof_join_takes_matched_right_row_atomically(spark):
     ).collect()[0]
     assert row["rid_asof"] == 101
     assert row["v_asof"] is None  # NOT "old"
+
+
+def test_connected_components_min_label(spark):
+    """Two multi-hop components + a singleton edge pair: every node
+    must get the min node id of its component, regardless of edge
+    direction or chain length."""
+    from table_demo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (40, 2), (2, 1)],
+        "src long, dst long",
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (3, 3), (5, 3), (9, 3), (11, 3),
+        (20, 20), (21, 20),
+        (1, 1), (2, 1), (40, 1),
+    }
