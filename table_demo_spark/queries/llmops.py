@@ -255,6 +255,89 @@ FROM walk GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# T7 — stopword scrubbing / token filtering (text normalization before
+# tokenizer training or dedup). Token-level array ops, not regex: the
+# whole transform is codegen'd higher-order expressions (split ->
+# filter -> join), shuffle-free, and bit-identical across engines.
+# ---------------------------------------------------------------------------
+_T7_STOPWORDS = ("a", "the")
+
+
+def t7_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*_T7_STOPWORDS))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+_T7_LIST = ", ".join(f"'{w}'" for w in _T7_STOPWORDS)
+T7_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         list_filter(string_split(text, ' '),
+                     tok -> tok NOT IN ({_T7_LIST})) AS kept
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       array_to_string(kept, ' ') AS clean_text,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2 — deterministic stratified sampling (training-data subsetting).
+# Membership = pure function of (doc_id, salt), so the sample is
+# identical across reruns, partitionings, and engines — the oracle
+# states the exact same md5-prefix predicate.
+# ---------------------------------------------------------------------------
+_P2_BANDS = [(216, "short", 0.75), (374, "medium", 0.5), (None, "long", 0.25)]
+
+
+def p2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    band = (
+        F.when(F.length("text") < _P2_BANDS[0][0], _P2_BANDS[0][1])
+        .when(F.length("text") < _P2_BANDS[1][0], _P2_BANDS[1][1])
+        .otherwise(_P2_BANDS[2][1])
+    )
+    sampled = stratified_hash_sample(
+        docs.withColumn("band", band),
+        F.col("band"),
+        {name: rate for _, name, rate in _P2_BANDS},
+    )
+    return sampled.select(F.col("doc_id").cast("long").alias("doc_id"), "band")
+
+
+def _p2_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+
+    case = " ".join(
+        f"WHEN '{name}' THEN '{rate_threshold_hex(rate)}'"
+        for _, name, rate in _P2_BANDS
+    )
+    return f"""
+WITH banded AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {_P2_BANDS[0][0]} THEN '{_P2_BANDS[0][1]}'
+              WHEN length(text) < {_P2_BANDS[1][0]} THEN '{_P2_BANDS[1][1]}'
+              ELSE '{_P2_BANDS[2][1]}' END AS band
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, band FROM banded
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 6) <
+      CASE band {case} END
+"""
+
+
+# ---------------------------------------------------------------------------
 # S1 — exact cosine top-k (brute-force ANN baseline).
 # ---------------------------------------------------------------------------
 def s1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +838,8 @@ QUERIES: list[Query] = [
     Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
     Query("llm_d6_neardup_lsh_gemm", d6_neardup_lsh_gemm, _d6_oracle()),
     Query("llm_d7_neardup_clusters", d7_neardup_clusters, _d7_oracle()),
+    Query("llm_p2_stratified_sample", p2_stratified_sample, _p2_oracle()),
+    Query("llm_t7_stopword_scrub", t7_stopword_scrub, T7_ORACLE),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
     Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),

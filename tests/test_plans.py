@@ -137,3 +137,13 @@ def test_whole_stage_codegen_covers_reference_query(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # the scan -> filter -> project -> partial-agg pipeline is one span
     assert "codegen id : 1" in plan, plan
+
+
+def test_hash_sampling_is_shuffle_free_scan_filter(spark):
+    """llm_p2's sampling predicate must evaluate at the scan (a plain
+    codegen'd Filter, zero Exchange): deterministic sampling that
+    shuffled would defeat its purpose at 100 TB."""
+    plan = formatted_plan(_query("llm_p2_stratified_sample")(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
