@@ -385,6 +385,54 @@ WHERE last_ms + {_Q10_TTL_MS} > (SELECT wm FROM fin)
 """
 
 
+# Q11 oracle: Q1's tumbling count, but over the CSV-roundtripped data:
+# coordinates are float32 (serialize/parse casts), which flips the
+# floor() at the synthetic coordinates' exact cell boundaries, and
+# rowtime is second-truncated (never crosses a 1-day window). The CTE
+# mirrors exactly what the file-stream parser yields.
+from table_demo_spark.queries.reference import (  # noqa: E402
+    SQL_CELL,
+    SQL_IN_NYC,
+    TUMBLE_MS,
+    _RIDES_CTE,
+)
+
+Q11_CSV_ORACLE = f"""{_RIDES_CTE},
+csv_rides AS (
+  SELECT ride_id, is_start,
+         date_trunc('second', rowtime) AS rowtime,
+         CAST(start_lon AS FLOAT) AS start_lon,
+         CAST(start_lat AS FLOAT) AS start_lat
+  FROM rides
+),
+departures AS (
+  SELECT
+    ride_id,
+    {SQL_CELL.format(lon='start_lon', lat='start_lat')} AS cell,
+    rowtime
+  FROM csv_rides
+  WHERE is_start AND {SQL_IN_NYC.format(lon='start_lon', lat='start_lat')}
+)
+SELECT
+  cell,
+  (epoch_ms(rowtime) // {TUMBLE_MS}) * {TUMBLE_MS} + {TUMBLE_MS} AS dept_time,
+  count(ride_id) AS dept_cnt
+FROM departures
+GROUP BY cell, (epoch_ms(rowtime) // {TUMBLE_MS}) * {TUMBLE_MS} + {TUMBLE_MS}
+"""
+
+
+def q11_csv_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.queries.streaming import _parquet_sink
+    from table_demo_spark.streaming.queries import run_q11_csv_stream
+
+    sink = _parquet_sink(("cell", "dept_time"))
+    with _state_partitions(spark):
+        _, query = run_q11_csv_stream(spark, sf_dir, sink=sink)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select("cell", "dept_time", "dept_cnt")
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -396,4 +444,5 @@ QUERIES: list[Query] = [
     Query("stream_q8_retract_delete", q8_retract_delete_final, Q8_RETRACT_DELETE_ORACLE),
     Query("stream_q9_debug_sink", q9_debug_sink_final, Q9_DEBUG_ORACLE),
     Query("stream_q10_ttl_expiry", q10_ttl_expiry_final, Q10_TTL_ORACLE),
+    Query("stream_q11_csv_gzip_source", q11_csv_stream_final, Q11_CSV_ORACLE),
 ]

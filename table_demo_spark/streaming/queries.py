@@ -927,6 +927,63 @@ def run_q10_ttl_expiry(
     return sink, query
 
 
+# ---------------------------------------------------------------------------
+# Q11 streaming — gzip-CSV file-stream ingestion (the reference's
+# actual input mode: TaxiRideSource reads a gzipped CSV file,
+# TaxiRideSource.java:109-110). Spark's file source streams the
+# directory incrementally (maxFilesPerTrigger bounds each batch), the
+# gzip codec decompresses transparently, the strict fromString parser
+# types the lines, and the standard Q1 windowed count runs on top —
+# source format and query compose orthogonally.
+# ---------------------------------------------------------------------------
+def run_q11_csv_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 2,
+):
+    """Q1 over the gzip-CSV file stream. Timestamps carry the CSV
+    format's second granularity; day-window counts are unaffected
+    (floor-to-second never crosses a window boundary), so the final
+    state reuses Q1's oracle. Returns (sink, query)."""
+    from table_demo_spark.sources.taxi_csv import (
+        ensure_rides_csv_gz,
+        parse_taxi_csv,
+    )
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    import tempfile
+
+    path = ensure_rides_csv_gz(spark, sf_dir)
+    ckpt = _checkpoint_dir()
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", files_per_trigger)
+        .text(path)
+        .withColumnRenamed("value", "line")
+    )
+    rides = parse_taxi_csv(lines)
+    departures = (
+        rides.filter(F.col("is_start") & in_nyc("start_lon", "start_lat"))
+        .select(
+            "ride_id",
+            to_cell_id("start_lon", "start_lat").alias("cell"),
+            F.col("start_time").alias("rowtime"),
+        )
+        .withWatermark("rowtime", WATERMARK)
+    )
+    out = q1_stream(departures)
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q11-"), ("cell", "dept_time")
+    )
+    query = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    return sink, query
+
+
 class ChainedAggSink:
     """The level-2 aggregation of Q3 as a retract-changelog consumer:
     maintains the histogram (dept_cnt -> cnt_freq) from accumulate /
