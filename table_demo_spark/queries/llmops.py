@@ -461,6 +461,56 @@ S3_ORACLE = _ivf_oracle()
 
 
 # ---------------------------------------------------------------------------
+# S4 — symmetric int8 embedding quantization (index/storage compression:
+# 4x smaller vectors before ANN indexing or shipping to a feature
+# store). Per-vector scale = max|x| / 127; q = floor(x/scale + 0.5) —
+# floor-based rounding instead of round() because engines disagree on
+# half-way ties, and floor is exact IEEE both sides. Pure higher-order
+# expressions at the scan: shuffle-free, codegen'd.
+# ---------------------------------------------------------------------------
+def s4_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+        .cast("double")
+        / F.lit(127.0)
+    )
+    with_scale = emb.withColumn("scale", scale)
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+        )
+        .cast("long"),
+    )
+    return with_scale.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "scale",
+        qvec.alias("qvec"),
+    )
+
+
+S4_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / CAST(127.0 AS DOUBLE) AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       scale,
+       list_transform(embedding,
+         x -> CASE WHEN scale = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(CAST(x AS DOUBLE) / scale
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END) AS qvec
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +634,89 @@ FROM (SELECT unnest({_TOKS}) AS token FROM documents)
 GROUP BY token
 ORDER BY cnt DESC, token ASC
 LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# T8 — TF-IDF top terms per document. Corpus-level term statistics:
+# tf per (doc, term), document frequency per term, salience = the
+# log-free ratio tf * N / df (monotone in the classic tf*ln(N/df), so
+# ranking is identical, but pure rational double arithmetic stays
+# bit-identical across engines — libm ln() is not). Plan: explode ->
+# two hash aggs -> equi-join term stats back -> per-doc top-3 window.
+# Every stage partitions on its key; term stats are corpus-wide but
+# term-partitioned (no driver materialization).
+# ---------------------------------------------------------------------------
+_T8_TOPK = 3
+
+
+def t8_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = terms.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "salience",
+            (F.col("tf").cast("double") * F.col("n").cast("double"))
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _T8_TOPK)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "salience",
+            "rank",
+        )
+    )
+
+
+T8_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, token
+),
+docfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+         (CAST(tf.tf AS DOUBLE) * n.n) / CAST(docfreq.df AS DOUBLE)
+           AS salience
+  FROM tf JOIN docfreq USING (token), n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, salience,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, token ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_T8_TOPK}
 """
 
 
@@ -840,6 +973,8 @@ QUERIES: list[Query] = [
     Query("llm_d7_neardup_clusters", d7_neardup_clusters, _d7_oracle()),
     Query("llm_p2_stratified_sample", p2_stratified_sample, _p2_oracle()),
     Query("llm_t7_stopword_scrub", t7_stopword_scrub, T7_ORACLE),
+    Query("llm_t8_tfidf_topk", t8_tfidf_topk, T8_ORACLE),
+    Query("llm_s4_quantize_int8", s4_quantize_int8, S4_ORACLE),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
     Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),
