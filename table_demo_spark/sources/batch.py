@@ -82,7 +82,14 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     cheap and the alternative is one task doing all the CPU work.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Estimate scan parallelism from the input file count — touching
+    # df.rdd here would force an RDD conversion and analyzer churn on
+    # every hot construction path just to read a partition count.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. in-memory test frames)
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 
