@@ -575,6 +575,7 @@ class ParquetHistogramSink:
     distributed work, zero driver-side rows."""
 
     def __init__(self, path: str):
+        import json
         import os
         import re
 
@@ -586,6 +587,17 @@ class ParquetHistogramSink:
             if (m := re.fullmatch(r"gen=(\d+)", d))
         ]
         self._gen = max(gens, default=0)
+        # Replay guard: delta application is NOT idempotent (unlike a
+        # key-overwrite upsert), and foreachBatch may re-deliver the
+        # last uncommitted batch after a restart — each generation
+        # records the batch id it applied, and a replayed id is a
+        # no-op. Recovered from disk so the guard survives the process.
+        self._last_batch = -1
+        if self._gen > 0:
+            meta = os.path.join(self._gen_dir(self._gen), "_BATCH.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    self._last_batch = json.load(f)["batch_id"]
         self._spark = None
 
     def _gen_dir(self, gen: int) -> str:
@@ -596,10 +608,15 @@ class ParquetHistogramSink:
         return self._gen_dir(self._gen) if self._gen > 0 else None
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
         import shutil
 
         self._spark = batch_df.sparkSession
+        if batch_id <= self._last_batch:
+            return  # replayed batch: deltas already folded in
         if batch_df.isEmpty():
+            self._last_batch = batch_id
             return
         deltas = batch_df.groupBy("dept_cnt").agg(
             F.sum("delta").alias("cnt_freq")
@@ -616,8 +633,11 @@ class ParquetHistogramSink:
         )
         nxt = self._gen_dir(self._gen + 1)
         hist.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_BATCH.json"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
         old = self.current_dir
         self._gen += 1
+        self._last_batch = batch_id
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
 
@@ -657,6 +677,8 @@ def run_q3_stream(
     speed: float = 2_000_000.0,
     threshold: int = 0,
     ttl_ms: int | None = None,
+    sink: "ParquetHistogramSink | None" = None,
+    ckpt: str | None = None,
 ):
     """Single-pass distributed chained agg: stateful per-cell count
     emitting a retract/accumulate changelog, folded into a durable
@@ -665,7 +687,7 @@ def run_q3_stream(
     (ParquetHistogramSink, query)."""
     import tempfile
 
-    ckpt = _checkpoint_dir()
+    ckpt = ckpt or _checkpoint_dir()
     departures = stream_departures(
         stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
     )
@@ -680,7 +702,9 @@ def run_q3_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
-    sink = ParquetHistogramSink(tempfile.mkdtemp(prefix="tds-hist-"))
+    sink = sink if sink is not None else ParquetHistogramSink(
+        tempfile.mkdtemp(prefix="tds-hist-")
+    )
     query = (
         deltas.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt)

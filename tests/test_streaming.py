@@ -220,6 +220,50 @@ def test_q3_stream_state_is_executor_side(spark):
     assert sum(hist.values()) == state_rows
 
 
+def test_q3_stream_recovery_does_not_double_apply_deltas(
+    spark, tmp_path, batch_frames
+):
+    """Kill the chained agg mid-stream and restart from the checkpoint
+    with a FRESH sink object (real process-restart shape): the replayed
+    uncommitted batch must be a no-op (delta folding is not naturally
+    idempotent — the persisted batch-id guard makes it so), and the
+    final histogram must equal the batch answer exactly."""
+    import time
+
+    from table_demo_spark.streaming.queries import (
+        ParquetHistogramSink,
+        run_q3_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    sink_path = str(tmp_path / "hist")
+
+    _, q = run_q3_stream(
+        spark, SF_SMOKE, speed=100_000.0, threshold=2,
+        sink=ParquetHistogramSink(sink_path), ckpt=ckpt,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+
+    sink2 = ParquetHistogramSink(sink_path)  # recovered from disk
+    _, q2 = run_q3_stream(
+        spark, SF_SMOKE, speed=SPEED, threshold=2, sink=sink2, ckpt=ckpt
+    )
+    _run_until_done(q2)
+
+    got = sorted((d["dept_cnt"], d["cnt_freq"]) for d in sink2.snapshot())
+    dep = batch_frames["departures"]
+    per_cell = dep.groupby("cell")["ride_id"].count()
+    per_cell = per_cell[per_cell > 2]
+    want = sorted((int(k), int(v)) for k, v in per_cell.value_counts().items())
+    assert got == want
+
+
 def test_q8_retract_deletes_from_durable_sink(spark, batch_frames):
     """A cell crossing the count gate must be DELETED from the parquet
     upsert sink (the ElasticUpsertTableSink delete dispatch, end to
