@@ -70,6 +70,37 @@ def binary_meta(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=BINARY_META_SCHEMA)
 
 
+FEATURE_DIMS = 8
+FEATURE_SCHEMA = "doc_id long, features array<double>"
+_FEATURE_SALT = b"#feat"
+
+
+def feature_extract(docs_with_payload: DataFrame) -> DataFrame:
+    """Per-payload feature vector via Arrow-batched mapInPandas — the
+    embedding-model-inference execution shape: one Python worker per
+    partition, whole Arrow batches in, a float vector column out. The
+    extractor body here is a deterministic stand-in (md5-derived
+    unit-interval values — no model weights in this container); a real
+    pipeline swaps the per-batch body for an ONNX/torch forward pass
+    and keeps the identical plumbing, schema, and partitioning."""
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload) + _FEATURE_SALT).hexdigest()
+                feats.append(
+                    [
+                        int(digest[4 * j : 4 * j + 4], 16) / 65535.0
+                        for j in range(FEATURE_DIMS)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return docs_with_payload.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_no int, frame_hex string"
 
 

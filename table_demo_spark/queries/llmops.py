@@ -963,6 +963,45 @@ FROM (SELECT doc_id, hx, unnest(range(0, n_frames, {FRAME_EVERY})) AS fno FROM h
 """
 
 
+
+# ---------------------------------------------------------------------------
+# M3 — feature extraction over binary payloads (the embedding-inference
+# execution shape: Arrow-batched mapInPandas, vector column out). The
+# stand-in extractor derives each dim from a 4-hex-char slice of
+# md5(payload + salt) scaled to [0,1] — deterministic, so the oracle
+# restates it with hex arithmetic (instr over the hex alphabet; the
+# integers are exact in doubles, and int/65535.0 is one identical
+# double op both sides).
+# ---------------------------------------------------------------------------
+def m3_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.feature_extract(multimodal.with_binary_payload(docs))
+
+
+def _hex4_to_int_sql(h: str, pos: int) -> str:
+    """SQL for int(substr(h, pos, 4), 16) via hex-alphabet positions."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {pos + k}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    return f"({terms})"
+
+
+def _m3_oracle() -> str:
+    from table_demo_spark.operators.multimodal import FEATURE_DIMS
+
+    dims = ", ".join(
+        f"CAST({_hex4_to_int_sql('d', 4 * j + 1)} AS DOUBLE)"
+        f" / CAST(65535.0 AS DOUBLE)"
+        for j in range(FEATURE_DIMS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, md5(text || '#feat') AS d FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, [{dims}] AS features
+FROM h
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -986,5 +1025,6 @@ QUERIES: list[Query] = [
     Query("llm_t6_winnow_fingerprints", t6_winnow_fingerprints, T6_ORACLE),
     Query("llm_m1_binary_meta", m1_binary_meta, M1_ORACLE),
     Query("llm_m2_frame_sample", m2_frame_sample, M2_ORACLE),
+    Query("llm_m3_feature_extract", m3_feature_extract, _m3_oracle()),
     Query("llm_p1_prep_pipeline", p1_prep_pipeline, P1_ORACLE),
 ]
