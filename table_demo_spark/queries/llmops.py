@@ -484,10 +484,16 @@ def s4_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long"),
     )
+    # The driver's compare sorts rows by every column, which requires
+    # scalar (hashable) values — so the integer vector is serialized to
+    # an exact '-'-joined signature instead of an array column. Integer
+    # formatting is engine-identical, so the signature is lossless.
     return with_scale.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         "scale",
-        qvec.alias("qvec"),
+        F.concat_ws(
+            "-", F.transform(qvec, lambda x: x.cast("string"))
+        ).alias("qvec_sig"),
     )
 
 
@@ -501,11 +507,11 @@ WITH s AS (
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CASE WHEN scale = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
                    ELSE CAST(floor(CAST(x AS DOUBLE) / scale
                                    + CAST(0.5 AS DOUBLE)) AS BIGINT)
-              END) AS qvec
+              END), '-') AS qvec_sig
 FROM s
 """
 
@@ -975,7 +981,15 @@ FROM (SELECT doc_id, hx, unnest(range(0, n_frames, {FRAME_EVERY})) AS fno FROM h
 # ---------------------------------------------------------------------------
 def m3_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.feature_extract(multimodal.with_binary_payload(docs))
+    feats = multimodal.feature_extract(multimodal.with_binary_payload(docs))
+    # posexplode to (doc_id, dim, feature): the driver's compare sorts
+    # rows by every column, so the vector is flattened to scalar rows —
+    # the feature stays a double, letting the driver's round(6) own the
+    # float formatting on both sides.
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("features").alias("dim", "feature"),
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "feature")
 
 
 def _hex4_to_int_sql(h: str, pos: int) -> str:
@@ -990,15 +1004,17 @@ def _hex4_to_int_sql(h: str, pos: int) -> str:
 def _m3_oracle() -> str:
     from table_demo_spark.operators.multimodal import FEATURE_DIMS
 
-    dims = ", ".join(
+    dim_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, CAST({j} AS BIGINT) AS dim, "
         f"CAST({_hex4_to_int_sql('d', 4 * j + 1)} AS DOUBLE)"
-        f" / CAST(65535.0 AS DOUBLE)"
+        f" / CAST(65535.0 AS DOUBLE) AS feature FROM h"
         for j in range(FEATURE_DIMS)
     )
     return f"""
 WITH h AS (SELECT doc_id, md5(text || '#feat') AS d FROM documents)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, [{dims}] AS features
-FROM h
+SELECT CAST(doc_id AS BIGINT) AS doc_id, dim, feature FROM (
+  {dim_rows}
+)
 """
 
 
