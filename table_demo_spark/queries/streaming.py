@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.reference import (
@@ -433,6 +434,62 @@ def q11_csv_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.snapshot_df(spark).select("cell", "dept_time", "dept_cnt")
 
 
+def q12_left_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q12_left_join_stream
+
+    sink = _append_sink()
+    with _state_partitions(spark):
+        _, query = q12_left_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, sink.count)
+    out = sink.snapshot_df(spark)
+    # Null purchase columns (expired unmatched clicks) -> -1 sentinels:
+    # the driver's compare needs stable int64 dtype on both sides, and
+    # nullable-long -> pandas would drift to float64/object.
+    return out.select(
+        "user_id",
+        "click_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("long").alias("purchase_id"),
+        "click_ms",
+        F.coalesce(F.col("purchase_ms"), F.lit(-1)).cast("long").alias("purchase_ms"),
+    )
+
+
+# Left-outer stream-stream join: matches emit exactly once (as inner);
+# an unmatched click emits with nulls only after the watermark passes
+# the end of its match window (click_ms + within). Clicks in the
+# trailing watermark horizon stay buffered forever — the oracle keeps
+# matched pairs plus exactly the expired unmatched clicks. The query's
+# event-time watermark is the MIN over its two inputs' watermarks, and
+# each input sees only its own filtered sub-stream — so the final
+# watermark is least(max click ts, max purchase ts) - delay, NOT the
+# global max over all events.
+Q12_LEFT_JOIN_ORACLE = f"""
+WITH fin AS (
+  SELECT least(
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+  ) - {WATERMARK_MS} AS wm
+),
+c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ms, p.purchase_ms
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.purchase_ms >= c.click_ms
+   AND p.purchase_ms <= c.click_ms + {_Q5_WITHIN_MS}
+)
+SELECT user_id, click_id, purchase_id, click_ms, purchase_ms FROM matched
+UNION ALL
+SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT) AS purchase_id,
+       c.click_ms, CAST(-1 AS BIGINT) AS purchase_ms
+FROM c
+ANTI JOIN matched m ON c.click_id = m.click_id
+WHERE c.click_ms + {_Q5_WITHIN_MS} < (SELECT wm FROM fin)
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -445,4 +502,5 @@ QUERIES: list[Query] = [
     Query("stream_q9_debug_sink", q9_debug_sink_final, Q9_DEBUG_ORACLE),
     Query("stream_q10_ttl_expiry", q10_ttl_expiry_final, Q10_TTL_ORACLE),
     Query("stream_q11_csv_gzip_source", q11_csv_stream_final, Q11_CSV_ORACLE),
+    Query("stream_q12_left_outer_join", q12_left_join_final, Q12_LEFT_JOIN_ORACLE),
 ]

@@ -402,6 +402,70 @@ def q5_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# Q12 streaming — stream-stream LEFT OUTER interval join.
+#
+# The attribution-funnel completion of Q5: every click emits, matched
+# or not. Matches emit in the processing batch (same as inner); a
+# click with no purchase is held in state until the watermark passes
+# the end of its match window (click_time + within), then emits once
+# with nulls. State is therefore bounded by the interval + watermark
+# horizon on both sides — the unmatched-row emission is exactly
+# Spark's watermark-driven outer-join eviction, which is the 100 TB
+# shape (no unbounded buffering of the unmatched side).
+# ---------------------------------------------------------------------------
+def q12_left_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_ms: int = 10 * 60_000,
+    sink=None,
+):
+    """Left-outer click→purchase attribution: every click paired with
+    purchases by the same user within ``within_ms``, or emitted with
+    null purchase columns once its window expires. Returns (sink, query)."""
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("rowtime").alias("click_time"),
+        )
+        .withWatermark("click_time", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("rowtime").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_time").alias("click_ms"),
+        F.unix_millis("purchase_time").alias("purchase_ms"),
+    )
+    sink = sink if sink is not None else MemoryUpsertSink(
+        ("click_id", "purchase_id")
+    )
+    return sink, _start_append(joined, sink, ckpt)
+
+
+# ---------------------------------------------------------------------------
 # Q6 streaming — streaming deduplication.
 #
 # The LLM-pipeline dedup family (operators/dedup.py) run continuously:
