@@ -331,3 +331,72 @@ def cosine_neardup_pairs_lsh_gemm(
     return src.groupBy("__bucket").applyInPandas(
         gemm, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic near-duplicate pruning.
+
+    Vectors are clustered (nearest-centroid assignment, the same
+    broadcast-argmax as :func:`ivf_topk`), then ONLY within-cluster
+    pairs are compared; a vector is flagged ``is_dup`` when its cluster
+    holds a lower-id vector with cosine >= ``threshold`` — the kept
+    representative per semantic group is the min id, so the decision
+    is deterministic under any partitioning.
+
+    Scale shape: assignment is a broadcast cross join (centroid table
+    is tiny by construction), the pairwise stage is one shuffle on
+    centroid id with per-cluster GEMM inside ``applyInPandas`` — work
+    is O(sum_c |cluster_c|^2), never global O(n^2), and nothing
+    touches the driver. Centroid *selection* is the same deterministic
+    stub as ivf_topk (first ``n_centroids`` ids — swap in KMeans
+    without changing the plan shape).
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        "centroid_id",
+        cosine(vec_col, "cent_vec").alias("cent_sim"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("__id", "__vec", "centroid_id")
+    )
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["__id"].argsort()
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.stack(pdf["__vec"].to_numpy()[order]).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        # is_dup[i] = any earlier (lower-id) row in the cluster >= thr
+        above = sims >= threshold
+        is_dup = np.array(
+            [above[i, :i].any() for i in range(len(ids))], dtype=bool
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["centroid_id"].iloc[0],
+                "is_dup": is_dup,
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        flag, schema="vec_id long, cluster long, is_dup boolean"
+    )

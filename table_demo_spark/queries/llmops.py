@@ -781,14 +781,15 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_oracle() -> str:
+def _winnow_ctes() -> str:
+    """Shared winnowing CTE chain ending in m(doc_id, fps) — used by
+    the T6 oracle and the D9 containment oracle."""
     k, w, base, mod = T.WINNOW_K, T.WINNOW_W, T.ROLL_BASE, T.ROLL_MOD
     powers = [base ** (k - 1 - i) % mod for i in range(k)]
     gram = " + ".join(
         f"codes[CAST(pos + {i} AS BIGINT)] * {p}" for i, p in enumerate(powers)
     )
-    return f"""
-WITH g AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
+    return f"""g AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
 cc AS (
   SELECT doc_id, n,
          list_transform(range(1, n + 1),
@@ -807,7 +808,12 @@ m AS (
            list_transform(range(1, greatest(len(hashes) - {w} + 1, 0) + 1),
                           s -> list_min(hashes[CAST(s AS BIGINT):CAST(s + {w} - 1 AS BIGINT)])))) AS fps
   FROM h
-)
+)"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_winnow_ctes()}
 SELECT doc_id,
        len(fps) AS n_fps,
        array_to_string(fps, '-') AS fp_sig
@@ -1018,6 +1024,251 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, dim, feature FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# D8 — semantic dedup (SemDedup): centroid-clustered embedding space,
+# within-cluster cosine pruning, keep-min-id representative. The
+# cluster restriction is what makes it the 100 TB shape: pairwise work
+# is per-cluster, a single shuffle on centroid id (operator docstring:
+# operators/similarity.py::semantic_dedup_flags).
+# ---------------------------------------------------------------------------
+def d8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup_flags(
+        load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD
+    )
+
+
+def _d8_oracle() -> str:
+    nc = similarity.N_CENTROIDS
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC,
+                      c.centroid_id ASC) AS crank
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+   AND {_sql_cosine('a.embedding', 'b.embedding')} >= CAST({COSINE_THRESHOLD} AS DOUBLE)
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.centroid_id AS BIGINT) AS cluster,
+       d.vec_id IS NOT NULL AS is_dup
+FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D9 — winnow-fingerprint containment pairs: partial-overlap / near-
+# containment detection (a copied paragraph inside an otherwise new
+# document — a case Jaccard-style whole-document dedup misses).
+# Inverted-index shape: explode fingerprints, equi-join on fingerprint
+# value (hash-partitions; never all-pairs), count shared fingerprints,
+# containment = shared / min(|fps|). The same index answers "which
+# corpus docs contain this span" at 100 TB.
+# ---------------------------------------------------------------------------
+_D9_THRESHOLD = 0.6
+
+
+def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.with_winnow_fingerprints(docs, "text", out="fps").select(
+        "doc_id", F.size("fps").alias("n_fps"), F.col("fps")
+    )
+    ex = fps.select("doc_id", "n_fps", F.explode("fps").alias("fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_fps").alias("n_a"),
+            F.col("b.n_fps").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    containment = F.col("shared").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.withColumn("containment", containment)
+        .filter(F.col("containment") >= _D9_THRESHOLD)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("shared").cast("long").alias("shared_fps"),
+            "containment",
+        )
+    )
+
+
+def _d9_oracle() -> str:
+    return f"""
+WITH {_winnow_ctes()},
+ex AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM m),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_fps AS n_a, b.n_fps AS n_b,
+         count(*) AS shared
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(shared AS BIGINT) AS shared_fps,
+       CAST(shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+      >= CAST({_D9_THRESHOLD} AS DOUBLE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T9 — repetition signals (Gopher-style quality filters): duplicate-
+# bigram mass, top-bigram mass, distinct-token ratio. Repetitive docs
+# (boilerplate, scraper loops, degenerate generations) show high dup
+# mass and low distinct ratio. Distributed shape: explode bigrams ->
+# (doc, bigram) count -> per-doc agg — two map-side-combined shuffles
+# keyed by doc, linear in corpus size (never per-doc quadratic), then
+# a doc-keyed join back to the shuffle-free distinct-token ratio.
+# ---------------------------------------------------------------------------
+def t9_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("toks"))
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
+    )
+    bg = base.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_occ"),
+        F.max("c").cast("long").alias("top_occ"),
+    )
+    stats = base.select(
+        "doc_id",
+        F.when(
+            F.size("toks") > 0,
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+    )
+    frac = lambda num: F.when(  # noqa: E731
+        F.col("n_bigrams") > 0,
+        num.cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return stats.join(agg, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        frac(F.col("dup_occ")).alias("dup_bigram_frac"),
+        frac(F.col("top_occ")).alias("top_bigram_frac"),
+        "distinct_ratio",
+    )
+
+
+T9_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 1),
+                               i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+  FROM tok WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_occ,
+         CAST(max(c) AS BIGINT) AS top_occ
+  FROM cnt GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN a.n_bigrams > 0
+            THEN CAST(a.dup_occ AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+       CASE WHEN a.n_bigrams > 0
+            THEN CAST(a.top_occ AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+       CASE WHEN len(t.toks) > 0
+            THEN CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                 / CAST(len(t.toks) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS distinct_ratio
+FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 — token-budget sequence packing: assign documents to contiguous
+# fixed-budget training bins (the pre-tokenization packing step that
+# turns a document set into equal-length training sequences). Greedy
+# contiguous fill in deterministic (lang, doc_id) order via one
+# prefix-sum window — a single shuffle on lang; documents straddling a
+# boundary spill into the next bin (split/continuation is the
+# trainer's choice). At 100 TB the partition key widens to
+# (lang, shard) with shard-local bin ids — same plan, bounded
+# partitions.
+# ---------------------------------------------------------------------------
+_P3_BUDGET = 512
+
+
+def p3_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.floor(start / _P3_BUDGET).cast("long").alias("bin_id"),
+        (start % _P3_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+P3_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM sized
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {_P3_BUDGET} AS BIGINT) AS bin_id,
+       CAST(start % {_P3_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -1026,7 +1277,11 @@ QUERIES: list[Query] = [
     Query("llm_d5_embedding_neardup", d5_embedding_neardup, D5_ORACLE),
     Query("llm_d6_neardup_lsh_gemm", d6_neardup_lsh_gemm, _d6_oracle()),
     Query("llm_d7_neardup_clusters", d7_neardup_clusters, _d7_oracle()),
+    Query("llm_d8_semantic_dedup", d8_semantic_dedup, _d8_oracle()),
+    Query("llm_d9_containment_pairs", d9_containment_pairs, _d9_oracle()),
     Query("llm_p2_stratified_sample", p2_stratified_sample, _p2_oracle()),
+    Query("llm_p3_sequence_pack", p3_sequence_pack, P3_ORACLE),
+    Query("llm_t9_repetition_signals", t9_repetition_signals, T9_ORACLE),
     Query("llm_t7_stopword_scrub", t7_stopword_scrub, T7_ORACLE),
     Query("llm_t8_tfidf_topk", t8_tfidf_topk, T8_ORACLE),
     Query("llm_s4_quantize_int8", s4_quantize_int8, S4_ORACLE),
