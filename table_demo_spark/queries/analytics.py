@@ -709,6 +709,76 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# A23 — market share (TPC-H Q8 shape): a six-table snowflake join with
+# a ratio-to-total window on top. The join graph is the optimizer
+# showcase: nation/region are broadcast (never shuffle the fact),
+# supplier joins as a plain equi-join — at 100 TB supplier is
+# millions of rows, not broadcastable, and AQE may still pick a
+# broadcast at small SFs. The share divides per-(year, nation) volume
+# by the year total via a window over the tiny aggregated result.
+# ---------------------------------------------------------------------------
+def a23_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            (
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("v"),
+        )
+    )
+    agg = vol.groupBy("o_year", "supp_nation").agg(
+        F.sum("v").cast("double").alias("volume")
+    )
+    w = Window.partitionBy("o_year")
+    return agg.withColumn(
+        "mkt_share", F.col("volume") / F.sum("volume").over(w)
+    )
+
+
+A23_ORACLE = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+),
+agg AS (
+  SELECT o_year, supp_nation, CAST(sum(v) AS DOUBLE) AS volume
+  FROM vol GROUP BY o_year, supp_nation
+)
+SELECT CAST(o_year AS BIGINT) AS o_year, supp_nation, volume,
+       volume / sum(volume) OVER (PARTITION BY o_year) AS mkt_share
+FROM agg
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -732,4 +802,5 @@ QUERIES: list[Query] = [
     Query("an_a20_pivot", a20_pivot, A20_ORACLE),
     Query("an_a21_correlated_subquery", a21_correlated_subquery, A21_ORACLE),
     Query("an_a22_lag_gaps", a22_lag_gaps, A22_ORACLE),
+    Query("an_a23_market_share", a23_market_share, A23_ORACLE),
 ]
