@@ -45,6 +45,11 @@ HEADLINE = [
     "an_a20_pivot",
     "an_a21_correlated_subquery",
     "an_a22_lag_gaps",
+    "an_a23_market_share",
+    "llm_d8_semantic_dedup",
+    "llm_d9_containment_pairs",
+    "llm_t9_repetition_signals",
+    "llm_p3_sequence_pack",
     # full replay -> stateful operator -> sink drains
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
