@@ -750,8 +750,10 @@ def a23_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("volume")
     )
     w = Window.partitionBy("o_year")
+    # round(6): the year-total is a float sum whose addition order is
+    # engine/partitioning-dependent — the ratio agrees only to ~1 ulp.
     return agg.withColumn(
-        "mkt_share", F.col("volume") / F.sum("volume").over(w)
+        "mkt_share", F.round(F.col("volume") / F.sum("volume").over(w), 6)
     )
 
 
@@ -774,7 +776,7 @@ agg AS (
   FROM vol GROUP BY o_year, supp_nation
 )
 SELECT CAST(o_year AS BIGINT) AS o_year, supp_nation, volume,
-       volume / sum(volume) OVER (PARTITION BY o_year) AS mkt_share
+       round(volume / sum(volume) OVER (PARTITION BY o_year), 6) AS mkt_share
 FROM agg
 """
 

@@ -80,8 +80,11 @@ _PYTHON_ALLOWED = {
     "llm_t6_winnow_fingerprints",  # ArrowEvalPython (numpy winnowing)
     "llm_m1_binary_meta",  # MapInPandas (binary payload headers)
     "llm_m2_frame_sample",  # MapInPandas (frame sampling stub)
+    "llm_m3_feature_extract",  # MapInPandas (feature-extraction stand-in)
     "llm_d5_embedding_neardup",  # FlatMapGroupsInPandas (block GEMM)
     "llm_d6_neardup_lsh_gemm",  # FlatMapGroupsInPandas (bucket GEMM)
+    "llm_d8_semantic_dedup",  # FlatMapGroupsInPandas (per-cluster GEMM)
+    "llm_d9_containment_pairs",  # ArrowEvalPython (numpy winnowing)
 }
 
 
@@ -137,6 +140,50 @@ def test_whole_stage_codegen_covers_reference_query(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # the scan -> filter -> project -> partial-agg pipeline is one span
     assert "codegen id : 1" in plan, plan
+
+
+def test_sequence_packing_is_single_shuffle(spark):
+    """llm_p3's prefix-sum packing must be one Exchange (the lang
+    window partitioning) — a second shuffle would mean the bin
+    assignment isn't a pure window computation."""
+    import re
+
+    plan = formatted_plan(_query("llm_p3_sequence_pack")(spark, SF_SMOKE))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchange == 1, plan
+
+
+def test_market_share_join_graph_has_no_sort_merge(spark):
+    """an_a23's six-table snowflake must resolve every dimension join
+    as broadcast at fixture scale — zero SortMergeJoin — and keep the
+    share window over the aggregated (tiny) result."""
+    plan = formatted_plan(_query("an_a23_market_share")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_repetition_signals_aggregate_partially(spark):
+    """llm_t9's bigram counting must map-side combine before each
+    shuffle — the linear-in-corpus claim depends on it."""
+    plan = formatted_plan(_query("llm_t9_repetition_signals")(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_semantic_dedup_has_no_driver_materialization(spark):
+    """llm_d8 must build without toPandas/broadcast on the driver, and
+    the per-cluster GEMM must be the distributed applyInPandas shape."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization in operator build")
+
+    with mock.patch.object(DataFrame, "toPandas", boom), mock.patch.object(
+        type(spark.sparkContext), "broadcast", boom
+    ):
+        df8 = _query("llm_d8_semantic_dedup")(spark, SF_SMOKE)
+    assert "FlatMapGroupsInPandas" in formatted_plan(df8)
 
 
 def test_hash_sampling_is_shuffle_free_scan_filter(spark):
