@@ -23,11 +23,18 @@ class Query(NamedTuple):
 
 
 def all_queries() -> list[Query]:
-    from table_demo_spark.queries import analytics, llmops, reference, streaming
+    from table_demo_spark.queries import (
+        analytics,
+        llmops,
+        reference,
+        sources_fmt,
+        streaming,
+    )
 
     return (
         reference.QUERIES
         + analytics.QUERIES
         + llmops.QUERIES
+        + sources_fmt.QUERIES
         + streaming.QUERIES
     )

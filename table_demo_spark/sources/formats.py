@@ -1,0 +1,116 @@
+"""Source-format connectors beyond parquet/CSV: JSON-lines and ORC.
+
+Both formats round-trip the ``events`` fixture so the format readers
+can be oracle-gated against the parquet view of the same records
+(serialization chosen lossless: timestamps travel as epoch-ms longs —
+JSON has no timestamp type, and ISO-string round-trips would invite
+timezone/precision drift).
+
+Scale notes:
+- JSONL reads use an EXPLICIT schema. ``spark.read.json`` without one
+  runs a full inference pass over the data — a second 100 TB scan
+  before the first real one. Schema-on-read with a declared schema is
+  single-pass and lets the scanner drop unprojected fields at parse
+  time.
+- JSONL is splittable line-by-line (unlike gzip-CSV), so one big file
+  still parallelizes; ORC is a columnar format with predicate pushdown
+  and column pruning like parquet — both verified by the plan tests.
+- The ``_corrupt_record`` pattern (PERMISSIVE mode + corrupt-column
+  capture) is the production posture for dirty JSON; the fixture
+  write is clean by construction so the roundtrip stays hash-exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MARKER = "_SPARK_FMT_FIXTURE"
+
+EVENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _cached_dir(sf_dir: str, tag: str) -> tuple[str, bool]:
+    """(final_path, already_built) — cache key = fixture file identity."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        repr((os.path.abspath(src), st.st_mtime_ns, st.st_size)).encode()
+    ).hexdigest()[:16]
+    final = os.path.join(
+        tempfile.gettempdir(), f"events-{tag}-{os.getuid()}-{digest}"
+    )
+    return final, os.path.exists(os.path.join(final, _MARKER))
+
+
+def _finalize(staging: str, final: str, src: str) -> str:
+    with open(os.path.join(staging, _MARKER), "w") as f:
+        json.dump({"source": os.path.abspath(src)}, f)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost a benign race
+    if not os.path.exists(os.path.join(final, _MARKER)):
+        raise RuntimeError(f"{final}: fixture write failed")
+    return final
+
+
+def _typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def ensure_events_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a directory of JSON-lines files (one JSON
+    object per line), once per fixture. Distributed write — one file
+    per partition, the shape that parallelizes the later read."""
+    final, done = _cached_dir(sf_dir, "jsonl")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-jsonl-stage-")
+    _typed_events(spark, sf_dir).write.mode("overwrite").json(staging)
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-declared JSONL read (no inference pass)."""
+    return spark.read.schema(EVENTS_JSONL_SCHEMA).json(path)
+
+
+def ensure_events_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as ORC, once per fixture."""
+    final, done = _cached_dir(sf_dir, "orc")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-orc-stage-")
+    _typed_events(spark, sf_dir).write.mode("overwrite").orc(staging)
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

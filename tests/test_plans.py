@@ -186,6 +186,35 @@ def test_semantic_dedup_has_no_driver_materialization(spark):
     assert "FlatMapGroupsInPandas" in formatted_plan(df8)
 
 
+def test_orc_and_jsonl_sources_push_filters(spark):
+    """The ORC connector must push predicates and prune columns like
+    parquet; the JSONL reader must carry the declared schema (no
+    inference) and still push filters to the scan."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources import formats
+
+    orc = formats.read_events_orc(
+        spark, formats.ensure_events_orc(spark, SF_SMOKE)
+    )
+    plan = formatted_plan(
+        orc.filter(F.col("event_type") == "click").select("event_id")
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "event_type" in pushed[0], plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read and "value" not in read, read
+
+    jsonl = formats.read_events_jsonl(
+        spark, formats.ensure_events_jsonl(spark, SF_SMOKE)
+    )
+    jplan = formatted_plan(
+        jsonl.filter(F.col("event_type") == "click").select("event_id")
+    )
+    jpushed = [l for l in jplan.splitlines() if "PushedFilters" in l]
+    assert jpushed and "event_type" in jpushed[0], jplan
+
+
 def test_hash_sampling_is_shuffle_free_scan_filter(spark):
     """llm_p2's sampling predicate must evaluate at the scan (a plain
     codegen'd Filter, zero Exchange): deterministic sampling that
