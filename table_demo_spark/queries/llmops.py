@@ -1072,18 +1072,40 @@ FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
 # document — a case Jaccard-style whole-document dedup misses).
 # Inverted-index shape: explode fingerprints, equi-join on fingerprint
 # value (hash-partitions; never all-pairs), count shared fingerprints,
-# containment = shared / min(|fps|). The same index answers "which
-# corpus docs contain this span" at 100 TB.
+# containment = shared / min(|retained fps|).
+#
+# STOP-FINGERPRINTS: fingerprints whose document frequency exceeds
+# max(5, 1% of corpus) are dropped before the join. A span shared by
+# thousands of documents is boilerplate, not containment evidence, and
+# it is also the join's quadratic skew source (a fingerprint with df=d
+# contributes d^2 candidate increments — on the template-heavy fixture
+# the cap cuts sf0.1 pair work from 588M to ~42k and the runtime from
+# 122 s to seconds). Same trick, same justification as stopword
+# removal; the cap is relative so the semantics are scale-invariant.
 # ---------------------------------------------------------------------------
 _D9_THRESHOLD = 0.6
+_D9_MAXDF_FRAC = 0.01
+_D9_MAXDF_MIN = 5
 
 
 def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fps = T.with_winnow_fingerprints(docs, "text", out="fps").select(
-        "doc_id", F.size("fps").alias("n_fps"), F.col("fps")
+    fps = T.with_winnow_fingerprints(docs, "text", out="fps")
+    ex0 = fps.select("doc_id", F.explode("fps").alias("fp"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(_D9_MAXDF_MIN),
+        F.ceil(F.col("n_docs") * _D9_MAXDF_FRAC),
+    ).cast("long")
+    keep = (
+        ex0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("fp")
     )
-    ex = fps.select("doc_id", "n_fps", F.explode("fps").alias("fp"))
+    ex = ex0.join(keep, "fp")
+    n = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
@@ -1094,16 +1116,18 @@ def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_fps").alias("n_a"),
-            F.col("b.n_fps").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_b"))
     containment = F.col("shared").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
     ).cast("double")
     return (
-        pairs.withColumn("containment", containment)
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("containment", containment)
         .filter(F.col("containment") >= _D9_THRESHOLD)
         .select(
             F.col("doc_a").cast("long").alias("doc_a"),
@@ -1117,19 +1141,28 @@ def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _d9_oracle() -> str:
     return f"""
 WITH {_winnow_ctes()},
-ex AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM m),
+ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+keep AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM ex0 GROUP BY fp)
+  WHERE df <= greatest({_D9_MAXDF_MIN},
+                       CAST(ceil({_D9_MAXDF_FRAC}
+                                 * (SELECT count(*) FROM documents)) AS BIGINT))
+),
+ex AS (SELECT doc_id, fp FROM ex0 JOIN keep USING (fp)),
+n AS (SELECT doc_id, count(*) AS n_fps FROM ex GROUP BY doc_id),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_fps AS n_a, b.n_fps AS n_b,
-         count(*) AS shared
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        CAST(shared AS BIGINT) AS shared_fps,
-       CAST(shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+       CAST(shared AS DOUBLE) / CAST(least(na.n_fps, nb.n_fps) AS DOUBLE)
+         AS containment
 FROM pairs
-WHERE CAST(shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+JOIN n na ON doc_a = na.doc_id
+JOIN n nb ON doc_b = nb.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(least(na.n_fps, nb.n_fps) AS DOUBLE)
       >= CAST({_D9_THRESHOLD} AS DOUBLE)
 """
 
