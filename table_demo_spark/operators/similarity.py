@@ -400,3 +400,60 @@ def semantic_dedup_flags(
     return assigned.groupBy("centroid_id").applyInPandas(
         flag, schema="vec_id long, cluster long, is_dup boolean"
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means refinement of the IVF centroid set
+    (the production replacement for ivf_topk's deterministic-stub
+    centroid *selection* — same seeding, so the first assignment is
+    identical, then ``iters`` improvement steps).
+
+    Each iteration is two map-side-combined shuffles, all native:
+    broadcast-argmax assignment (centroids are k rows — broadcast at
+    any corpus scale), then per-(cluster, dim) mean via posexplode +
+    hash aggregate. Nothing ever collects to the driver; the corpus is
+    scanned once per iteration. Cluster means are rounded to 6
+    decimals each step — float summation order differs across
+    partitionings/engines, and the rounding pins the fixpoint so the
+    result is bit-stable and SQL-reproducible (a raw avg would drift
+    in the last ulp and could flip a later argmax). Clusters that lose
+    all members drop out (standard Lloyd degeneracy; k shrinks).
+
+    Returns (centroid_id, dim, val) — the exploded centroid matrix
+    after ``iters`` iterations.
+    """
+    cent = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    src = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    means = None
+    for _ in range(iters):
+        scored = src.crossJoin(F.broadcast(cent)).select(
+            "__id", "__vec", "cid", cosine("__vec", "cv").alias("s")
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("s").desc(), F.col("cid").asc())
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cid", "__vec")
+        )
+        dims = assigned.select("cid", F.posexplode("__vec").alias("d", "x"))
+        means = dims.groupBy("cid", "d").agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("v")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "v"))).alias("s"))
+            .select("cid", F.transform("s", lambda p: p.v).alias("cv"))
+        )
+    return means.select(
+        F.col("cid").cast("long").alias("centroid_id"),
+        F.col("d").cast("long").alias("dim"),
+        F.col("v").alias("val"),
+    )

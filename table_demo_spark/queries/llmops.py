@@ -517,6 +517,66 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# S5 — distributed k-means centroid refinement (Lloyd's algorithm over
+# DataFrame ops): the production upgrade path for the IVF / SemDedup
+# centroid stub, run for a FIXED iteration count so the whole
+# computation is deterministic and the oracle can unroll the same
+# iterations as SQL CTEs. Per-step centroid means are rounded (float
+# summation order is partitioning-dependent; rounding pins the
+# fixpoint bit-identically across engines). Output is the exploded
+# centroid matrix (centroid_id, dim, val).
+# ---------------------------------------------------------------------------
+_S5_ITERS = 2
+
+
+def s5_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_refine(
+        load_table(spark, sf_dir, "embeddings"), iters=_S5_ITERS
+    )
+
+
+def _s5_oracle() -> str:
+    k, dim = similarity.N_CENTROIDS, similarity.DIM
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(1, _S5_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT cid, d,
+         round(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)), 6) AS v
+  FROM a{i} CROSS JOIN (SELECT unnest(range(0, {dim})) AS d)
+  GROUP BY cid, d
+)"""
+        )
+        if i < _S5_ITERS:
+            parts.append(
+                f"cent{i} AS (SELECT cid, list(v ORDER BY d) AS cv "
+                f"FROM m{i} GROUP BY cid)"
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(d AS BIGINT) AS dim,
+       v AS val
+FROM m{_S5_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,6 +1378,7 @@ QUERIES: list[Query] = [
     Query("llm_t7_stopword_scrub", t7_stopword_scrub, T7_ORACLE),
     Query("llm_t8_tfidf_topk", t8_tfidf_topk, T8_ORACLE),
     Query("llm_s4_quantize_int8", s4_quantize_int8, S4_ORACLE),
+    Query("llm_s5_kmeans_refine", s5_kmeans_refine, _s5_oracle()),
     Query("llm_s1_ann_topk", s1_ann_topk, S1_ORACLE),
     Query("llm_s2_ann_lsh_topk", s2_ann_lsh_topk, S2_ORACLE),
     Query("llm_s3_ann_ivf_topk", s3_ann_ivf_topk, S3_ORACLE),
