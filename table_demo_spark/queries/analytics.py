@@ -781,6 +781,41 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# A24 — explicit GROUPING SETS (SQL dialect): non-hierarchical grouping
+# combinations that neither ROLLUP (a4) nor CUBE (a14) expresses, plus
+# grouping() indicators to disambiguate real NULLs from grouped-out
+# columns. Executes as one pass with an Expand node — not a UNION of
+# re-scans, which is the difference at 100 TB.
+# ---------------------------------------------------------------------------
+def a24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_a24")  # idempotent re-register
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders_a24
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+A24_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -805,4 +840,5 @@ QUERIES: list[Query] = [
     Query("an_a21_correlated_subquery", a21_correlated_subquery, A21_ORACLE),
     Query("an_a22_lag_gaps", a22_lag_gaps, A22_ORACLE),
     Query("an_a23_market_share", a23_market_share, A23_ORACLE),
+    Query("an_a24_grouping_sets", a24_grouping_sets, A24_ORACLE),
 ]
