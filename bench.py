@@ -46,15 +46,18 @@ HEADLINE = [
     "an_a21_correlated_subquery",
     "an_a22_lag_gaps",
     "an_a23_market_share",
+    "an_a24_grouping_sets",
     "llm_d8_semantic_dedup",
     "llm_d9_containment_pairs",
     "llm_t9_repetition_signals",
     "llm_p3_sequence_pack",
+    "llm_s5_kmeans_refine",
     # full replay -> stateful operator -> sink drains
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
     "stream_q4_session_window",
+    "stream_q12_left_outer_join",
 ]
 
 
