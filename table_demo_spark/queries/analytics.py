@@ -816,6 +816,197 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
 
 
+# ---------------------------------------------------------------------------
+# A25 — min-cost supplier (TPC-H Q2 shape, partsupp-free): for each
+# STANDARD part, the EUROPE supplier(s) with the lowest observed unit
+# price. The classic formulation is a correlated `= (SELECT min(...))`;
+# the Spark-first plan replaces the self-join decorrelation with a
+# window-min over the part key — ONE hash shuffle on p_partkey instead
+# of two scans + a join. Equality on the double unit price is safe:
+# both sides derive it from the same rows with one division, and min()
+# selects an exact member of that set.
+# ---------------------------------------------------------------------------
+def a25_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    costs = (
+        li.join(
+            # part is a dimension: broadcast, and the p_type filter
+            # prunes it before the join at any scale factor
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .distinct()
+    )
+
+
+A25_ORACLE = """
+WITH costs AS (
+  SELECT p_partkey, p_name, s_name, n_name,
+         l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT DISTINCT p_partkey, p_name, s_name, n_name, unit_cost
+FROM (
+  SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM costs
+)
+WHERE unit_cost = min_cost
+"""
+
+
+# ---------------------------------------------------------------------------
+# A26 — conditional aggregation (SQL FILTER clause): several
+# differently-filtered aggregates in ONE scan + ONE shuffle, instead of
+# N filtered subqueries UNION'd back together — the difference between
+# one pass and N passes over 100 TB.
+# ---------------------------------------------------------------------------
+def a26_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_a26")  # idempotent re-register
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                 AS finished_revenue,
+               CAST(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                    AS DOUBLE) AS max_open_price
+        FROM orders_a26
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+A26_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+         AS finished_revenue,
+       CAST(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+         AS max_open_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A27 — distribution window functions (ntile / percent_rank /
+# cume_dist) folded to a decile summary. The order key is
+# (o_totalprice, o_orderkey): the unique tiebreaker makes ntile's
+# row-numbering — and therefore the whole result — deterministic across
+# engines and partitionings. One shuffle on the partition key, then a
+# per-group summary keeps the declared output small.
+# ---------------------------------------------------------------------------
+def a27_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+        F.max("pr").alias("max_percent_rank"),
+        F.max("cd").alias("max_cume_dist"),
+    )
+
+
+A27_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, decile,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo_price,
+       max(o_totalprice) AS hi_price,
+       max(pr) AS max_percent_rank,
+       max(cd) AS max_cume_dist
+FROM ranked
+GROUP BY o_orderpriority, decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# A28 — unpivot (wide -> long): melt a per-flag aggregate's measure
+# columns into (measure, value) rows with the native Expand-based
+# `DataFrame.unpivot` — one pass, no re-scan per measure. The oracle
+# spells the same reshape as a standard UNION ALL (the portable form).
+# ---------------------------------------------------------------------------
+def a28_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+A28_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_items
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM wide
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -841,4 +1032,8 @@ QUERIES: list[Query] = [
     Query("an_a22_lag_gaps", a22_lag_gaps, A22_ORACLE),
     Query("an_a23_market_share", a23_market_share, A23_ORACLE),
     Query("an_a24_grouping_sets", a24_grouping_sets, A24_ORACLE),
+    Query("an_a25_min_cost_supplier", a25_min_cost_supplier, A25_ORACLE),
+    Query("an_a26_conditional_agg", a26_conditional_agg, A26_ORACLE),
+    Query("an_a27_distribution_windows", a27_distribution_windows, A27_ORACLE),
+    Query("an_a28_unpivot", a28_unpivot, A28_ORACLE),
 ]
