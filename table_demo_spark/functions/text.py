@@ -251,3 +251,40 @@ def simhash32(toks: Column) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training scrub). The patterns are deliberately
+# conservative regexes expressible identically in Java (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and word boundaries
+# only — no lookaround, so both engines produce the same non-overlapping
+# left-to-right match sets. Applied in declaration order; order is part
+# of the contract (an email is redacted before its digits could be
+# mistaken for a phone fragment).
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(text) -> dict[str, Column]:
+    """Per-class match counts (computed on the UNREDACTED text)."""
+    col = _c(text)
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text) -> Column:
+    """Replace every PII match with its class tag, in declaration order.
+
+    A chain of native ``regexp_replace`` calls — codegen'd JVM regex at
+    the scan, shuffle-free, no Python on the hot path.
+    """
+    col = _c(text)
+    for _, pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col

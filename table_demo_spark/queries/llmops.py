@@ -1362,6 +1362,173 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# T10 — PII redaction (pre-training scrub). The fixture corpus contains
+# no PII, so the query first derives a synthetic contact line from the
+# events table (pure function of user_id/event_id — deterministic across
+# engines), then applies the engine's redaction chain and counts
+# per-class matches. Everything is native regexp expressions at the
+# scan: shuffle-free, codegen'd, pushdown-safe.
+# ---------------------------------------------------------------------------
+_T10_FMT = "user %d mail u%d@example.com tel +1-555-%04d host 10.%d.%d.%d re %s"
+
+
+def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.format_string(
+        _T10_FMT,
+        F.col("user_id"),
+        F.col("user_id"),
+        F.col("event_id") % 10000,
+        F.col("user_id") % 256,
+        F.col("event_id") % 256,
+        (F.col("user_id") + F.col("event_id")) % 256,
+        F.col("event_type"),
+    )
+    counts = T.pii_counts(raw)
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        T.redact_pii(raw).alias("clean"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
+    )
+
+
+def _t10_oracle() -> str:
+    raw = (
+        f"printf('{_T10_FMT}', user_id, user_id, event_id % 10000, "
+        "user_id % 256, event_id % 256, (user_id + event_id) % 256, "
+        "event_type)"
+    )
+    clean = raw
+    for _, pat, tag in T.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({raw}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in T.PII_PATTERNS
+    )
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       {clean} AS clean,
+       {counts}
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# D10 — paragraph-level exact dedup (Dolma/CCNet-style): documents are
+# chunked into fixed 20-token "paragraphs"; a chunk seen earlier in the
+# corpus (order = first (doc_id, chunk_idx) occurrence) is dropped, and
+# each document is reassembled from its surviving chunks. Finer-grained
+# than d1's whole-document dedup — boilerplate shared across documents
+# disappears while the unique remainder survives.
+#
+# Scale shape: chunking is per-row array expressions (split + slice —
+# tokens are NEVER exploded, only the ~n_tokens/20 chunks are); the
+# canonical-occurrence pass is one hash shuffle on chunk_text, the
+# reassembly one shuffle on doc_id. No driver participation.
+# ---------------------------------------------------------------------------
+_D10_CHUNK = 20
+
+
+def d10_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / _D10_CHUNK).cast("int")
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * _D10_CHUNK + 1, _D10_CHUNK), " "
+    )
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
+    ex = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )  # null (dropped by collect_list) for non-canonical chunks
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+_D10_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, (i - 1) // {_D10_CHUNK} AS chunk_idx,
+         string_agg(w, ' ' ORDER BY i) AS chunk_text
+  FROM toks GROUP BY doc_id, (i - 1) // {_D10_CHUNK}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_text
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S6 — ANN recall evaluation: IVF (s3) approximate neighbors scored
+# against the brute-force (s1) ground truth, per query. The quality
+# gate every production ANN deployment runs before swapping index
+# parameters: recall@k = |approx ∩ exact| / k. Both neighbor sets are
+# k rows per query, so the join is trivially small no matter the corpus
+# size — evaluation cost is dominated by the two searches themselves.
+# ---------------------------------------------------------------------------
+def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.brute_force_topk(emb, queries_df, k=ANN_K)
+    approx = similarity.ivf_topk(emb, queries_df, k=ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
+_S6_ORACLE = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({S1_ORACLE})),
+approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({S3_ORACLE}))
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(hit) AS BIGINT) AS n_hit,
+       CAST(count(hit) AS DOUBLE) / count(*) AS recall
+FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+GROUP BY query_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -1392,4 +1559,7 @@ QUERIES: list[Query] = [
     Query("llm_m2_frame_sample", m2_frame_sample, M2_ORACLE),
     Query("llm_m3_feature_extract", m3_feature_extract, _m3_oracle()),
     Query("llm_p1_prep_pipeline", p1_prep_pipeline, P1_ORACLE),
+    Query("llm_t10_pii_redact", t10_pii_redact, _t10_oracle()),
+    Query("llm_d10_paragraph_dedup", d10_paragraph_dedup, _D10_ORACLE),
+    Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
 ]
