@@ -1007,6 +1007,43 @@ SELECT l_returnflag, 'n_items' AS measure, n_items AS value FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# A29 — shuffle-free fact-fact join via bucketed storage: orders and
+# lineitem are materialized hash-clustered on the order key into the
+# same bucket count, then joined WITHOUT either side shuffling — the
+# plan is a per-bucket merge (zero Exchange; pinned in
+# tests/test_plans.py). This is the declared 100 TB answer to the one
+# plan shape AQE can't fix: two fact tables meeting on a key. The
+# result aggregates revenue per order priority, so the oracle is the
+# plain (layout-independent) join — bucketing must change the plan,
+# never the answer.
+# ---------------------------------------------------------------------------
+def a29_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources.bucketed import bucketed_pair
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bo, bl = bucketed_pair(
+        spark, sf_dir,
+        orders, "orders_bkt", "o_orderkey",
+        li, "lineitem_bkt", "l_orderkey",
+    )
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+A29_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1036,4 +1073,5 @@ QUERIES: list[Query] = [
     Query("an_a26_conditional_agg", a26_conditional_agg, A26_ORACLE),
     Query("an_a27_distribution_windows", a27_distribution_windows, A27_ORACLE),
     Query("an_a28_unpivot", a28_unpivot, A28_ORACLE),
+    Query("an_a29_bucketed_join", a29_bucketed_join, A29_ORACLE),
 ]

@@ -223,3 +223,45 @@ def test_hash_sampling_is_shuffle_free_scan_filter(spark):
     assert "Exchange" not in plan, plan
     assert "Filter" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_fact_join_has_no_exchange(spark):
+    """a29: orders x lineitem both bucketed on the order key into the
+    same bucket count must join with ZERO Exchange nodes — the storage
+    layout, not the network, provides the co-partitioning. Broadcast is
+    disabled so the test can't pass vacuously via a broadcast join."""
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.sources.bucketed import bucketed_pair
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = bucketed_pair(
+            spark, SF_SMOKE,
+            load_table(spark, SF_SMOKE, "orders"), "orders_bkt", "o_orderkey",
+            load_table(spark, SF_SMOKE, "lineitem"), "lineitem_bkt", "l_orderkey",
+        )
+        plan = formatted_plan(bo.join(bl, bo.o_orderkey == bl.l_orderkey))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_unbucketed_fact_join_shuffles_both_sides(spark):
+    """Control for the bucketed test: the SAME join over plain parquet
+    reads must shuffle both sides — proving the Exchange elision above
+    is the bucketing's doing, not a planner accident."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources.batch import load_table
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        plan = formatted_plan(orders.join(li, orders.o_orderkey == li.l_orderkey))
+        assert plan.count("Exchange") >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
