@@ -310,3 +310,61 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with a held-out benchmark/eval corpus (the
+    GPT-3/Pile-style n-gram overlap check, reference-free).
+
+    Scale shape (the asymmetry is the whole design): the benchmark
+    side is tiny and bounded (eval sets, not training data), so its
+    distinct n-gram set is the broadcast side of the join; the
+    training side — the 100 TB one — streams through in a single pass:
+    tokenize -> distinct n-grams -> explode -> broadcast-hash-join ->
+    one hash shuffle on doc_id for the per-doc rollup. No sort-merge
+    join, no shuffle of the benchmark, no second pass over the
+    payload (gram count is carried alongside the exploded rows).
+
+    Returns one row per training doc: ``doc_id, n_grams, n_hits,
+    contaminated`` where ``n_hits`` counts *distinct* overlapping
+    n-grams.
+    """
+    grams_of = lambda c: F.array_distinct(word_ngrams(tokens(c), n))  # noqa: E731
+    bench_grams = (
+        benchmark.select(F.explode(grams_of(text_col)).alias("gram")).distinct()
+    )
+    # Two-step projection: the gram array materializes once per row under
+    # the Generate; size() and explode_outer() both reference the column
+    # attribute instead of re-running tokenize+shingle.
+    with_grams = train.select(
+        F.col(id_col).alias("doc_id"), grams_of(text_col).alias("grams")
+    )
+    exploded = with_grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+    return (
+        exploded.join(
+            F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

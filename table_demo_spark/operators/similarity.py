@@ -197,6 +197,43 @@ def cosine_neardup_pairs(
 N_GEMM_BLOCKS = 8
 
 
+def _foldleft_cosine_fn():
+    """Build a pairwise-cosine kernel that sums *sequentially*
+    (fold-left) over the vector dimension.
+
+    BLAS ``A @ B.T`` sums in pairwise/SIMD order and lands within
+    ~1 ulp of the sequential fold — close enough for retrieval, but a
+    hash-exact oracle (DuckDB ``list_reduce``, Spark ``F.aggregate``)
+    folds left, so the engine computes the same order: one vectorized
+    outer-product accumulation per dimension. Cost is D fused
+    multiply-add sweeps over the n*m sim matrix (~2-3x BLAS at D=64)
+    on work that is O(n*m*D) either way; bit-equality across every
+    execution path is what keeps near-threshold comparisons stable.
+
+    Factory shape on purpose: the returned nested function pickles BY
+    VALUE into ``applyInPandas`` closures (a module-level helper would
+    pickle by reference and require ``table_demo_spark`` on the Spark
+    worker's import path — not true under a vanilla driver session).
+    """
+    import numpy as np
+
+    def fold(mat_a, mat_b):
+        def norms(mat):
+            acc = mat[:, 0] * mat[:, 0]
+            for d in range(1, mat.shape[1]):
+                acc = acc + mat[:, d] * mat[:, d]
+            return np.sqrt(acc)
+
+        norms_a = norms(mat_a)
+        norms_b = norms(mat_b) if mat_b is not mat_a else norms_a
+        dot = mat_a[:, 0][:, None] * mat_b[:, 0][None, :]
+        for d in range(1, mat_a.shape[1]):
+            dot = dot + mat_a[:, d][:, None] * mat_b[:, d][None, :]
+        return dot / np.outer(norms_a, norms_b)
+
+    return fold
+
+
 def cosine_neardup_pairs_gemm(
     corpus: DataFrame,
     threshold: float,
@@ -257,6 +294,8 @@ def cosine_neardup_pairs_gemm(
         "__vec",
     )
 
+    _fold = _foldleft_cosine_fn()
+
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
@@ -268,9 +307,7 @@ def cosine_neardup_pairs_gemm(
         ids_b = b["__id"].to_numpy()
         mat_a = np.stack(a["__vec"].to_numpy()).astype("float64")
         mat_b = mat_a if diag else np.stack(b["__vec"].to_numpy()).astype("float64")
-        norms_a = np.linalg.norm(mat_a, axis=1)
-        norms_b = norms_a if diag else np.linalg.norm(mat_b, axis=1)
-        sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
+        sims = _fold(mat_a, mat_b)
         mask = sims >= threshold
         if diag:
             # triangular: keep each unordered pair once, drop self-pairs
@@ -318,11 +355,12 @@ def cosine_neardup_pairs_lsh_gemm(
         lsh_bucket(F.col(vec_col), N_PLANES, DIM).alias("__bucket"),
     )
 
+    _fold = _foldleft_cosine_fn()
+
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["__id"].to_numpy()
         mat = np.stack(pdf["__vec"].to_numpy()).astype("float64")
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = _fold(mat, mat)
         ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(
             {"vec_a": ids[ai], "vec_b": ids[bi], "cos_sim": sims[ai, bi]}
@@ -378,12 +416,13 @@ def semantic_dedup_flags(
         .select("__id", "__vec", "centroid_id")
     )
 
+    _fold = _foldleft_cosine_fn()
+
     def flag(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["__id"].argsort()
         ids = pdf["__id"].to_numpy()[order]
         mat = np.stack(pdf["__vec"].to_numpy()[order]).astype("float64")
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = _fold(mat, mat)
         # is_dup[i] = any earlier (lower-id) row in the cluster >= thr
         above = sims >= threshold
         is_dup = np.array(

@@ -1529,6 +1529,109 @@ GROUP BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T11 — unigram corpus-frequency quality score (the CCNet/Gopher-style
+# LM filter with integer-exact arithmetic: docs made of corpus-rare
+# tokens score low; every per-doc stat is a ratio of two exact longs,
+# so the only float op is one final IEEE division — hash-stable across
+# engines, unlike a log-prob sum whose order-dependent rounding isn't).
+#
+# Scale shape: one explode pass builds the token stream; the vocabulary
+# aggregate is map-side combined (Heaps' law keeps |vocab| sublinear in
+# corpus size); the freq join is an equi-join on token (Catalyst
+# broadcasts it while the vocab fits, falls back to a hash join beyond
+# — either plan has no quadratic stage); one doc_id rollup ends it.
+# ---------------------------------------------------------------------------
+T11_RARE_K = 200  # corpus count below which a token counts as "rare"
+
+
+def t11_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    rare = F.when(F.col("tok_freq") < T11_RARE_K, 1).otherwise(0)
+    return (
+        toks.join(freqs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tok_freq").cast("long").alias("sum_freq"),
+            F.sum(rare).cast("long").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            "n_rare",
+            (F.col("sum_freq") / F.col("n_tokens")).alias("avg_tok_freq"),
+            (F.col("n_rare") / F.col("n_tokens")).alias("rare_frac"),
+        )
+    )
+
+
+T11_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_freq FROM tok GROUP BY tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok_freq) AS BIGINT) AS sum_freq,
+       CAST(sum(CASE WHEN tok_freq < {T11_RARE_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(sum(tok_freq) AS DOUBLE) / count(*) AS avg_tok_freq,
+       CAST(sum(CASE WHEN tok_freq < {T11_RARE_K} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS rare_frac
+FROM tok JOIN freq USING (tok)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D11 — benchmark decontamination (n-gram overlap vs a held-out set).
+# ---------------------------------------------------------------------------
+DECON_N = 5
+DECON_BENCH_SOURCES = ("src0", "src1")
+
+
+def d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin(*DECON_BENCH_SOURCES)
+    return dedup.decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), n=DECON_N
+    )
+
+
+def _d11_oracle() -> str:
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(1, DECON_N + 1))
+    srcs = ", ".join(f"'{s}'" for s in DECON_BENCH_SOURCES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - {DECON_N - 1}, 0)),
+           i -> {concat})) AS grams
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram
+          FROM g WHERE source IN ({srcs})),
+train AS (SELECT doc_id, grams FROM g WHERE source NOT IN ({srcs})),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM train),
+h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tr JOIN bench USING (gram) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.grams) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM train t LEFT JOIN h USING (doc_id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -1561,5 +1664,7 @@ QUERIES: list[Query] = [
     Query("llm_p1_prep_pipeline", p1_prep_pipeline, P1_ORACLE),
     Query("llm_t10_pii_redact", t10_pii_redact, _t10_oracle()),
     Query("llm_d10_paragraph_dedup", d10_paragraph_dedup, _D10_ORACLE),
+    Query("llm_d11_decontaminate", d11_decontaminate, _d11_oracle()),
+    Query("llm_t11_unigram_freq_score", t11_unigram_freq_score, T11_ORACLE),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
 ]

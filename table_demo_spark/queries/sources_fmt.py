@@ -38,7 +38,41 @@ def s2_orc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s3_text_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_text(spark, sf_dir)
+    return formats.read_events_text(spark, path).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+
+
+_PARTITIONED_ORACLE = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+FROM events
+WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def s4_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read: the event_type filter must resolve to
+    `PartitionFilters` on the scan (directories for the other three
+    event types are never opened) — asserted by the plan test."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_partitioned(spark, sf_dir)
+    return (
+        formats.read_events_partitioned(spark, path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    )
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
+    Query("src_s3_text_events", s3_text_events, _EVENTS_ORACLE),
+    Query("src_s4_partitioned_events", s4_partitioned_events, _PARTITIONED_ORACLE),
 ]

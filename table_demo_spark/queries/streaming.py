@@ -490,6 +490,32 @@ WHERE c.click_ms + {_Q5_WITHIN_MS} < (SELECT wm FROM fin)
 """
 
 
+def q13_sliding_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q13_sliding_stream
+
+    sink = _parquet_sink(("event_type", "win_start"))
+    with _state_partitions(spark):
+        _, query = q13_sliding_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select("event_type", "win_start", "n")
+
+
+# Sliding-window update-mode agg: disorder (60s) < watermark delay
+# (61s) means no window is ever resurrected after state eviction, so
+# the final upsert state equals the batch hopping-window aggregate
+# (same argument as q1; window family = an_a15's oracle shape grouped
+# by event_type).
+_Q13_DAY = 86_400_000
+Q13_SLIDING_ORACLE = f"""
+SELECT event_type, ws AS win_start, count(*) AS n
+FROM (
+  SELECT event_type, (epoch_ms(ts) // {_Q13_DAY} - off) * {_Q13_DAY} AS ws
+  FROM events, (SELECT unnest([0, 1]) AS off)
+)
+GROUP BY event_type, ws
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -503,4 +529,5 @@ QUERIES: list[Query] = [
     Query("stream_q10_ttl_expiry", q10_ttl_expiry_final, Q10_TTL_ORACLE),
     Query("stream_q11_csv_gzip_source", q11_csv_stream_final, Q11_CSV_ORACLE),
     Query("stream_q12_left_outer_join", q12_left_join_final, Q12_LEFT_JOIN_ORACLE),
+    Query("stream_q13_sliding_window", q13_sliding_final, Q13_SLIDING_ORACLE),
 ]

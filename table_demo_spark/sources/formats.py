@@ -114,3 +114,84 @@ def ensure_events_orc(spark: SparkSession, sf_dir: str) -> str:
 
 def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+TEXT_LINE_SEP = "\t"
+
+
+def ensure_events_text(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as plain text lines (one TAB-delimited record
+    per line, ``to_csv`` quoting rules), once per fixture. This is the
+    raw-line ingestion shape: the *reader* is format-blind
+    (``spark.read.text``) and the record parser is an in-query
+    expression — the reference's strict toString/fromString contract
+    (`TaxiRide.java:71-129`) re-expressed as ``to_csv``/``from_csv``."""
+    final, done = _cached_dir(sf_dir, "textln")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-text-stage-")
+    (
+        _typed_events(spark, sf_dir)
+        .select(
+            F.to_csv(
+                F.struct(
+                    "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+                ),
+                {"sep": TEXT_LINE_SEP},
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-source read + strict in-query record parse.
+
+    ``spark.read.text`` is splittable by line and carries exactly one
+    string column, so the parse (``from_csv`` with a declared schema —
+    never inference) happens inside the projection, fully
+    codegen-compatible; a malformed line yields nulls in PERMISSIVE
+    mode rather than killing the scan (the production posture)."""
+    parsed = spark.read.text(path).select(
+        F.from_csv(
+            F.col("value"),
+            EVENTS_JSONL_SCHEMA.simpleString(),
+            {"sep": TEXT_LINE_SEP},
+        ).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as hive-partitioned parquet
+    (``event_type=<v>/part-*.parquet``), once per fixture.
+
+    Partition layout is THE 100 TB table design: a filter on the
+    partition column prunes whole directories at planning time
+    (`PartitionFilters` in the scan, zero I/O for dropped partitions),
+    and dynamic partition writes scale out per partition value. The
+    partition column travels in the directory name, not the data
+    files, so it costs no storage and no scan bytes."""
+    final, done = _cached_dir(sf_dir, "hivepart")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-part-stage-")
+    (
+        _typed_events(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the hive-partitioned layout; ``basePath`` keeps the
+    partition column typed as a data column in the result."""
+    df = spark.read.option("basePath", path).parquet(path)
+    # partition-discovery yields event_type last; restore fixture order
+    return df.select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )

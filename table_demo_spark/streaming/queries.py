@@ -1129,3 +1129,51 @@ def run_q3_chained_agg_via_adapter(
         .start()
     )
     return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q13 streaming — sliding (hopping) window aggregation.
+#
+# Completes the streaming window family (tumble=q1, session=q4,
+# over-range=q2): each event lands in window_size/slide overlapping
+# windows; Spark's native windowed aggregation expands the assignment
+# JVM-side and the watermark evicts a window's state once it can no
+# longer change. Update mode + keyed upsert = the reference's
+# continuously-updated result table, key inferred from the GROUP BY
+# ((event_type, window) -> (event_type, win_start)).
+# ---------------------------------------------------------------------------
+def q13_sliding_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    size: str = "2 days",
+    slide: str = "1 day",
+    sink=None,
+):
+    """Per-event-type count over hopping windows into a durable
+    ParquetUpsertSink. Returns (sink, query)."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt).withWatermark(
+        "rowtime", WATERMARK
+    )
+    out = (
+        ev.groupBy("event_type", F.window("rowtime", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", F.unix_millis(F.col("w.start")).alias("win_start"), "n"
+        )
+    )
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q13-"), ("event_type", "win_start")
+    )
+    query = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.apply_batch)
+        .start()
+    )
+    return sink, query

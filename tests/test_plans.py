@@ -265,3 +265,31 @@ def test_unbucketed_fact_join_shuffles_both_sides(spark):
         assert plan.count("Exchange") >= 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """src_s4's event_type filter must land in PartitionFilters — whole
+    hive directories skipped at planning time, zero I/O for the other
+    three event types. A filter that only reaches PushedFilters would
+    still open every file."""
+    plan = formatted_plan(_query("src_s4_partitioned_events")(spark, SF_SMOKE))
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part, plan
+    assert "event_type" in part[0], part[0]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """llm_d11: the benchmark n-gram set must broadcast (BuildRight of
+    a BroadcastHashJoin); the 100 TB training side must shuffle exactly
+    once (the doc_id rollup)."""
+    import re
+
+    plan = formatted_plan(_query("llm_d11_decontaminate")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_exchange = len(
+        re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    )
+    # one exchange for the (small) benchmark distinct, one for the
+    # training-side doc_id rollup — nothing else
+    assert n_exchange <= 2, plan
