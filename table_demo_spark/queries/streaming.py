@@ -66,22 +66,38 @@ class _state_partitions:
 
 def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     """Process all available data, then wait for watermark-driven
-    no-data batches (event-time timeouts) to finish flushing: poll the
-    sink until its size is stable across several checks.
+    no-data batches (event-time timeouts) to finish flushing.
 
     quiet_polls > 1 is only needed for watermark-GATED emission (append
     mode over stateful ops: q2's event-time timeouts, q4's session
     close) where output trails data by no-data watermark batches.
     Update-mode aggregations and inner stream-stream joins emit within
-    the data batch itself — one confirming poll suffices."""
+    the data batch itself — one confirming poll suffices.
+
+    The quiesce criterion is (batchId, watermark, sink size) all stable
+    across ``quiet_polls`` observations taken while no trigger is
+    active: no-data batches fire engine-side on watermark advance, so
+    the loop only *observes* (status + progress reads, no extra batch
+    executions), and a poll taken mid-batch never counts toward
+    stability — a slow flush batch can't be mistaken for quiescence."""
     query.processAllAvailable()
-    prev, stable, deadline = -1, 0, time.time() + timeout_s
+    prev, stable, deadline = None, 0, time.time() + timeout_s
     while stable < quiet_polls and time.time() < deadline:
-        query.processAllAvailable()
-        cur = size_fn()
+        if query.status.get("isTriggerActive") or query.status.get(
+            "isDataAvailable"
+        ):
+            query.processAllAvailable()
+            stable, prev = 0, None
+            continue
+        lp = query.lastProgress or {}
+        cur = (
+            lp.get("batchId"),
+            (lp.get("eventTime") or {}).get("watermark"),
+            size_fn(),
+        )
         stable = stable + 1 if cur == prev else 0
         prev = cur
-        time.sleep(0.25)
+        time.sleep(0.1)
     query.stop()
 
 

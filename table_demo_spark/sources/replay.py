@@ -517,4 +517,17 @@ class ReplayDataSource(DataSource):
 
 
 def register_replay_source(spark) -> None:
+    # The data-source class ships to Python workers via cloudpickle.
+    # By default a module-level class pickles BY REFERENCE, which
+    # requires `table_demo_spark` on every worker's import path — not
+    # true under a vanilla driver session (the driver adds the repo to
+    # its own sys.path only). Registering this module for by-value
+    # pickling makes the source self-contained on the wire; replay.py
+    # deliberately imports nothing else from the package so the
+    # by-value closure stays small.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(ReplayDataSource)
