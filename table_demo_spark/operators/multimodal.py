@@ -126,3 +126,58 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_hex"])
 
     return docs_with_payload.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_BYTES_PER_MS = 2  # synthetic PCM: 1 channel x 16-bit x 1 kHz
+AUDIO_CHUNK_MS = 40
+AUDIO_HOP_MS = 30
+AUDIO_HEAD_BYTES = 8
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, chunk_no long, start_ms long, end_ms long, head_hex string"
+)
+
+
+def audio_chunks(
+    docs_with_payload: DataFrame,
+    chunk_ms: int = AUDIO_CHUNK_MS,
+    hop_ms: int = AUDIO_HOP_MS,
+) -> DataFrame:
+    """Overlapping fixed-duration chunk extraction over audio payloads
+    — the ASR-preprocessing execution shape (windowed chunks with hop
+    overlap, boundaries computed from the PCM byte-rate metadata).
+
+    Arrow-batched ``mapInPandas``; the chunk *grid* math (duration from
+    byte length, only complete windows, start/end timestamps) is real;
+    the per-chunk content op is a deterministic head-bytes stand-in —
+    a real pipeline swaps it for a codec/feature call (same plumbing,
+    same explode shape as :func:`frame_sample`).
+    """
+    bpm = AUDIO_BYTES_PER_MS
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                dur_ms = len(b) // bpm
+                n_chunks = (
+                    (dur_ms - chunk_ms) // hop_ms + 1 if dur_ms >= chunk_ms else 0
+                )
+                for cno in range(n_chunks):
+                    start = cno * hop_ms
+                    off = start * bpm
+                    rows.append(
+                        (
+                            doc_id,
+                            cno,
+                            start,
+                            start + chunk_ms,
+                            b[off : off + AUDIO_HEAD_BYTES].hex().upper(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_no", "start_ms", "end_ms", "head_hex"],
+            )
+
+    return docs_with_payload.mapInPandas(chunk, schema=AUDIO_CHUNK_SCHEMA)

@@ -1044,6 +1044,49 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# A30 — ordered array aggregation (string_agg / array_agg ORDER BY):
+# top-3 order keys per customer by spend, serialized deterministically.
+# collect_list has no intra-group order guarantee under parallel
+# aggregation, so the engine imposes it structurally: collect structs
+# keyed by the window rank, array_sort (rank is unique per group),
+# then project + join — order-stable at any partitioning. Keys
+# serialize as longs (float formatting never enters the output).
+# ---------------------------------------------------------------------------
+def a30_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    top = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return top.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "o_orderkey"))),
+                lambda s: s.o_orderkey.cast("string"),
+            ),
+            ",",
+        ).alias("top_keys"),
+    )
+
+
+A30_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_top,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys
+FROM ranked
+WHERE rn <= 3
+GROUP BY o_custkey
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1074,4 +1117,5 @@ QUERIES: list[Query] = [
     Query("an_a27_distribution_windows", a27_distribution_windows, A27_ORACLE),
     Query("an_a28_unpivot", a28_unpivot, A28_ORACLE),
     Query("an_a29_bucketed_join", a29_bucketed_join, A29_ORACLE),
+    Query("an_a30_array_agg", a30_array_agg, A30_ORACLE),
 ]

@@ -1632,6 +1632,146 @@ FROM train t LEFT JOIN h USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# M4 — audio chunking (third modality next to image meta / video
+# frames): overlapping fixed-duration windows with boundaries computed
+# from the PCM byte rate; content op is a deterministic head-bytes
+# stand-in (codec stubbed, grid math real).
+# ---------------------------------------------------------------------------
+def m4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_chunks(multimodal.with_binary_payload(docs))
+
+
+def _m4_oracle() -> str:
+    bpm = multimodal.AUDIO_BYTES_PER_MS
+    chunk, hop = multimodal.AUDIO_CHUNK_MS, multimodal.AUDIO_HOP_MS
+    head = multimodal.AUDIO_HEAD_BYTES
+    return f"""
+WITH au AS (
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) // {bpm} AS dur_ms
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, payload_hex,
+         unnest(range(0, CASE WHEN dur_ms >= {chunk}
+                              THEN (dur_ms - {chunk}) // {hop} + 1
+                              ELSE 0 END)) AS chunk_no
+  FROM au
+)
+SELECT doc_id,
+       CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(chunk_no * {hop} AS BIGINT) AS start_ms,
+       CAST(chunk_no * {hop} + {chunk} AS BIGINT) AS end_ms,
+       substring(payload_hex, CAST(chunk_no * {hop} * {bpm} * 2 + 1 AS BIGINT),
+                 {head * 2}) AS head_hex
+FROM grid
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — full curation pipeline v2: decontaminate -> rare-token quality
+# gate -> exact dedup -> per-language corpus stats. The round-2
+# operators composed end-to-end the way a real training-data run
+# chains them; every stage is the already-oracle-gated operator, so
+# the pipeline oracle is the same CTEs composed.
+#
+# Scale shape: decontamination broadcasts the benchmark n-grams; the
+# vocabulary aggregate and the doc-level stats are the t11 shapes; the
+# dedup is the single-shuffle window-min; the three doc-keyed frames
+# then join on doc_id (co-partitioned hash joins) and roll up by lang.
+# ---------------------------------------------------------------------------
+P4_RARE_FRAC_MAX = 0.2
+
+
+def p4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin(*DECON_BENCH_SOURCES)
+    train, bench = docs.filter(~is_bench), docs.filter(is_bench)
+
+    decon = dedup.decontaminate(train, bench, n=DECON_N).select(
+        "doc_id", "contaminated"
+    )
+    toks = train.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    rare = F.when(F.col("tok_freq") < T11_RARE_K, 1).otherwise(0)
+    stats = (
+        toks.join(freqs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+        )
+    )
+    dd = dedup.exact_dedup(train).select("doc_id", "is_dup")
+    return (
+        train.select("doc_id", "lang")
+        .join(decon, "doc_id")
+        .join(stats, "doc_id")
+        .join(dd, "doc_id")
+        .filter(
+            (~F.col("contaminated"))
+            & (~F.col("is_dup"))
+            & (F.col("n_rare") / F.col("n_tokens") <= P4_RARE_FRAC_MAX)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _p4_oracle() -> str:
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(1, DECON_N + 1))
+    srcs = ", ".join(f"'{s}'" for s in DECON_BENCH_SOURCES)
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, source, lang, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - {DECON_N - 1}, 0)),
+           i -> {concat})) AS grams
+  FROM tok0
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram
+          FROM g WHERE source IN ({srcs})),
+train AS (SELECT doc_id, lang, toks FROM tok0 WHERE source NOT IN ({srcs})),
+tr AS (SELECT g.doc_id, unnest(g.grams) AS gram FROM g
+       WHERE g.source NOT IN ({srcs})),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM tr JOIN bench USING (gram) GROUP BY 1),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM train),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c < {T11_RARE_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM tok JOIN freq USING (tok) GROUP BY doc_id
+),
+fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint
+       FROM train),
+canon AS (SELECT fingerprint, min(doc_id) AS canonical_id
+          FROM fp GROUP BY fingerprint)
+SELECT t.lang,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
+FROM train t
+JOIN stats s USING (doc_id)
+JOIN fp USING (doc_id)
+JOIN canon USING (fingerprint)
+LEFT JOIN hits h USING (doc_id)
+WHERE coalesce(h.n_hits, 0) = 0
+  AND t.doc_id = canon.canonical_id
+  AND CAST(s.n_rare AS DOUBLE) / s.n_tokens <= CAST({P4_RARE_FRAC_MAX} AS DOUBLE)
+GROUP BY t.lang
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -1666,5 +1806,7 @@ QUERIES: list[Query] = [
     Query("llm_d10_paragraph_dedup", d10_paragraph_dedup, _D10_ORACLE),
     Query("llm_d11_decontaminate", d11_decontaminate, _d11_oracle()),
     Query("llm_t11_unigram_freq_score", t11_unigram_freq_score, T11_ORACLE),
+    Query("llm_p4_curation_pipeline", p4_curation_pipeline, _p4_oracle()),
+    Query("llm_m4_audio_chunks", m4_audio_chunks, _m4_oracle()),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
 ]

@@ -81,6 +81,7 @@ _PYTHON_ALLOWED = {
     "llm_m1_binary_meta",  # MapInPandas (binary payload headers)
     "llm_m2_frame_sample",  # MapInPandas (frame sampling stub)
     "llm_m3_feature_extract",  # MapInPandas (feature-extraction stand-in)
+    "llm_m4_audio_chunks",  # MapInPandas (audio chunk grid, codec stubbed)
     "llm_d5_embedding_neardup",  # FlatMapGroupsInPandas (block GEMM)
     "llm_d6_neardup_lsh_gemm",  # FlatMapGroupsInPandas (bucket GEMM)
     "llm_d8_semantic_dedup",  # FlatMapGroupsInPandas (per-cluster GEMM)
