@@ -1087,6 +1087,73 @@ GROUP BY o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# A31 — batch MERGE INTO (key-based upsert/delete of a changeset):
+# open orders get a 100.00 price adjustment (update), '5-LOW' priority
+# orders are removed (delete), and a shifted-key copy of 'F'-status
+# orders arrives as fresh inserts — one full-outer hash join, struct-
+# atomic row replacement (operators/merge.py).
+# ---------------------------------------------------------------------------
+_A31_KEY_SHIFT = 10_000_000
+
+
+def a31_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    # ops are disjoint per key (delete wins): a changeset must carry at
+    # most one row per key or the merge join fans out
+    updates = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") != "5-LOW")
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+    deletes = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    inserts = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(_A31_KEY_SHIFT)
+    )
+    source = (
+        updates.withColumn("__op", F.lit("U"))
+        .unionByName(inserts.withColumn("__op", F.lit("U")))
+        .unionByName(deletes.withColumn("__op", F.lit("D")))
+    )
+    return merge_into(orders, source, ["o_orderkey"])
+
+
+A31_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + CAST(100.0 AS DOUBLE) AS o_totalprice,
+         o_orderpriority, 'U' AS op
+  FROM base WHERE o_orderstatus = 'O' AND o_orderpriority <> '5-LOW'
+  UNION ALL
+  SELECT o_orderkey + {_A31_KEY_SHIFT}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority, 'U' AS op
+  FROM base WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority, 'D' AS op
+  FROM base WHERE o_orderpriority = '5-LOW'
+)
+SELECT
+  coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+  CASE WHEN s.op IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END
+    AS o_custkey,
+  CASE WHEN s.op IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END
+    AS o_orderstatus,
+  CASE WHEN s.op IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END
+    AS o_totalprice,
+  CASE WHEN s.op IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END
+    AS o_orderpriority
+FROM base t FULL OUTER JOIN src s USING (o_orderkey)
+WHERE s.op IS NULL OR s.op <> 'D'
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1118,4 +1185,5 @@ QUERIES: list[Query] = [
     Query("an_a28_unpivot", a28_unpivot, A28_ORACLE),
     Query("an_a29_bucketed_join", a29_bucketed_join, A29_ORACLE),
     Query("an_a30_array_agg", a30_array_agg, A30_ORACLE),
+    Query("an_a31_merge_into", a31_merge_into, A31_ORACLE),
 ]
