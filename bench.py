@@ -52,12 +52,17 @@ HEADLINE = [
     "llm_t9_repetition_signals",
     "llm_p3_sequence_pack",
     "llm_s5_kmeans_refine",
+    "llm_d11_decontaminate",
+    "llm_t11_unigram_freq_score",
+    "llm_p4_curation_pipeline",
+    "an_a31_merge_into",
     # full replay -> stateful operator -> sink drains
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
     "stream_q4_session_window",
     "stream_q12_left_outer_join",
+    "stream_q13_sliding_window",
 ]
 
 

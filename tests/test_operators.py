@@ -173,3 +173,81 @@ def test_connected_components_min_label(spark):
         (20, 20), (21, 20),
         (1, 1), (2, 1), (40, 1),
     }
+
+
+def test_merge_into_upsert_delete_insert(spark):
+    """MERGE semantics against a hand-computed result: matched 'U'
+    replaces the whole row, 'D' removes the key, unmatched 'U'
+    inserts, untouched target rows pass through."""
+    from table_demo_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0, "U"), (3, None, 0.0, "D"), (4, "d", 40.0, "U")],
+        "k long, name string, v double, __op string",
+    )
+    got = sorted(
+        merge_into(target, source, ["k"]).collect(), key=lambda r: r.k
+    )
+    assert [(r.k, r.name, r.v) for r in got] == [
+        (1, "a", 10.0),
+        (2, "B", 99.0),
+        (4, "d", 40.0),
+    ]
+
+
+def test_merge_into_null_column_replaces_atomically(spark):
+    """A 'U' row with a NULL value column must still replace the whole
+    target row (struct-atomic) — never keep the target's old value for
+    just that column."""
+    from table_demo_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, name string, v double")
+    source = spark.createDataFrame(
+        [(1, None, 99.0, "U")], "k long, name string, v double, __op string"
+    )
+    [row] = merge_into(target, source, ["k"]).collect()
+    assert (row.k, row.name, row.v) == (1, None, 99.0)
+
+
+def test_decontaminate_flags_exact_overlaps(spark):
+    """A train doc sharing a 5-gram with the benchmark is contaminated;
+    one with no shared 5-gram is not; short docs (<n tokens) have zero
+    grams and pass clean."""
+    from table_demo_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps right past us"),
+            (2, "completely unrelated words in this sentence here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, bench, n=5).collect()}
+    assert rows[1].contaminated and rows[1].n_hits == 1
+    assert not rows[2].contaminated and rows[2].n_hits == 0
+    assert rows[3].n_grams == 0 and not rows[3].contaminated
+
+
+def test_audio_chunk_grid_matches_reference(spark):
+    """Chunk grid vs a straight-Python reference: boundaries, count,
+    and head bytes for a known payload length."""
+    from table_demo_spark.operators import multimodal as M
+
+    text = "x" * 100  # 100 bytes -> 50 ms at 2 bytes/ms -> one 40ms chunk
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = M.audio_chunks(M.with_binary_payload(docs)).collect()
+    b = text.encode()
+    dur = len(b) // M.AUDIO_BYTES_PER_MS
+    expect_n = (dur - M.AUDIO_CHUNK_MS) // M.AUDIO_HOP_MS + 1
+    assert len(rows) == expect_n == 1
+    assert (rows[0].start_ms, rows[0].end_ms) == (0, M.AUDIO_CHUNK_MS)
+    assert rows[0].head_hex == b[: M.AUDIO_HEAD_BYTES].hex().upper()
