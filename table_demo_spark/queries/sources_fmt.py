@@ -70,9 +70,36 @@ def s4_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s5_permissive_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-and-continue ingestion: the dirty fixture truncates
+    every 50th record; the PERMISSIVE reader must surface exactly the
+    clean rows (malformed ones carry their raw text in _corrupt and
+    are filtered here — one lost row in the clean set or one corrupt
+    row leaking through breaks the hash)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_jsonl_dirty(spark, sf_dir)
+    df = formats.read_events_jsonl_permissive(spark, path)
+    return df.filter(F.col(formats.CORRUPT_COL).isNull()).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+
+
+from table_demo_spark.sources.formats import DIRTY_EVERY  # noqa: E402
+
+_PERMISSIVE_ORACLE = f"""
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+FROM events
+WHERE event_id % {DIRTY_EVERY} <> 0
+"""
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
     Query("src_s3_text_events", s3_text_events, _EVENTS_ORACLE),
     Query("src_s4_partitioned_events", s4_partitioned_events, _PARTITIONED_ORACLE),
+    Query("src_s5_permissive_jsonl", s5_permissive_jsonl, _PERMISSIVE_ORACLE),
 ]

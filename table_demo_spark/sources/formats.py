@@ -195,3 +195,52 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return df.select(
         "event_id", "ts_ms", "user_id", "event_type", "value", "props"
     )
+
+
+DIRTY_EVERY = 50  # every k-th record is written truncated (malformed)
+
+
+def ensure_events_jsonl_dirty(spark, sf_dir: str) -> str:
+    """Materialize a JSONL copy where every ``DIRTY_EVERY``-th record
+    (by event_id) is truncated mid-object — a deterministic stand-in
+    for the malformed lines every real 100 TB JSON crawl contains."""
+    final, done = _cached_dir(sf_dir, "jsonl-dirty")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-jsonl-dirty-stage-")
+    ev = _typed_events(spark, sf_dir)
+    j = F.to_json(
+        F.struct("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    )
+    line = F.when(
+        F.col("event_id") % DIRTY_EVERY == 0,
+        F.expr("substring(j, 1, length(j) - 5)"),
+    ).otherwise(F.col("j"))
+    (
+        ev.withColumn("j", j)
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+CORRUPT_COL = "_corrupt"
+
+
+def read_events_jsonl_permissive(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE read with corrupt-record capture: a malformed line
+    yields nulls + its raw text in ``_corrupt`` instead of failing the
+    scan — quarantine-and-continue, the only viable posture when one
+    bad line in 100 TB must not kill the job. Declared schema as
+    always (no inference pass)."""
+    schema = T.StructType(
+        list(EVENTS_JSONL_SCHEMA.fields)
+        + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )

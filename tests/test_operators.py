@@ -251,3 +251,34 @@ def test_audio_chunk_grid_matches_reference(spark):
     assert len(rows) == expect_n == 1
     assert (rows[0].start_ms, rows[0].end_ms) == (0, M.AUDIO_CHUNK_MS)
     assert rows[0].head_hex == b[: M.AUDIO_HEAD_BYTES].hex().upper()
+
+
+def test_permissive_jsonl_quarantines_corrupt_lines(spark):
+    """Every truncated line must land in _corrupt with its raw text;
+    clean lines parse fully. Counts partition exactly."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources import formats
+    from tests.conftest import SF_SMOKE
+
+    path = formats.ensure_events_jsonl_dirty(spark, SF_SMOKE)
+    # Spark disallows queries touching ONLY the corrupt column on raw
+    # JSON scans (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    # — cache first, the documented workaround.
+    df = formats.read_events_jsonl_permissive(spark, path).cache()
+    total = df.count()
+    bad = df.filter(F.col(formats.CORRUPT_COL).isNotNull())
+    n_bad = bad.count()
+    from table_demo_spark.sources.batch import load_table
+
+    expected_bad = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_id") % formats.DIRTY_EVERY == 0)
+        .count()
+    )
+    assert n_bad == expected_bad > 0
+    # corrupt rows: raw text preserved, typed fields null
+    r = bad.select(formats.CORRUPT_COL, "event_id").first()
+    assert r[formats.CORRUPT_COL].startswith("{") and r["event_id"] is None
+    assert df.filter(F.col(formats.CORRUPT_COL).isNull()).count() == total - n_bad
+    df.unpersist()
