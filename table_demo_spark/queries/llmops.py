@@ -1633,6 +1633,73 @@ FROM train t LEFT JOIN h USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# T12 — HyperLogLog cardinality as pure relational algebra (distinct
+# part keys per lineitem return flag): the sketch is md5-bucketed
+# registers + integer-exact harmonic sum, so estimate AND registers
+# reproduce bit-for-bit in the oracle — see operators/sketch.py. The
+# sketched column is chosen so the per-group cardinality (~2000 at
+# sf0.01) sits in the raw estimator's valid regime (>2.5m); the raw
+# estimate is deliberately uncorrected (no small-range linear
+# counting: its ln() would be the one non-reproducible float op).
+# ---------------------------------------------------------------------------
+def t12_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import hll_cardinality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select("l_returnflag", "l_partkey")
+    return hll_cardinality(vals, ["l_returnflag"], "l_partkey")
+
+
+def _t12_oracle() -> str:
+    from table_demo_spark.operators.sketch import (
+        ALPHA_M2_SCALED,
+        M_REGISTERS,
+        RANK_CAP,
+        VALUE_HEX,
+    )
+
+    full_rank = VALUE_HEX * 4 + 1
+    return f"""
+WITH tok AS (
+  SELECT l_returnflag AS lang, CAST(l_partkey AS VARCHAR) AS tok FROM lineitem
+),
+hashed AS (SELECT lang, tok, md5(tok) AS h FROM tok),
+bits AS (
+  SELECT lang,
+         CAST('0x' || substring(h, 1, 2) AS BIGINT) AS bucket,
+         CAST('0x' || substring(h, 3, {VALUE_HEX}) AS BIGINT) AS v
+  FROM hashed
+),
+ranks AS (
+  SELECT lang, bucket,
+         least(CASE WHEN v > 0 THEN {full_rank} - length(bin(v))
+                    ELSE {RANK_CAP} END, {RANK_CAP}) AS rank
+  FROM bits
+),
+regs AS (SELECT lang, bucket, max(rank) AS m_j FROM ranks GROUP BY 1, 2),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present
+  FROM regs GROUP BY lang
+),
+ex AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+       FROM tok GROUP BY lang),
+final AS (
+  SELECT s.lang, n_registers,
+         CAST({ALPHA_M2_SCALED!r} AS DOUBLE)
+           / (s_present + ({M_REGISTERS} - n_registers)
+              * (1::BIGINT << {RANK_CAP})) AS est_distinct,
+         exact_distinct
+  FROM s JOIN ex USING (lang)
+)
+SELECT lang AS l_returnflag, n_registers, est_distinct, exact_distinct,
+       (est_distinct - exact_distinct) / exact_distinct AS rel_err
+FROM final
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4 — audio chunking (third modality next to image meta / video
 # frames): overlapping fixed-duration windows with boundaries computed
 # from the PCM byte rate; content op is a deterministic head-bytes
@@ -1808,5 +1875,6 @@ QUERIES: list[Query] = [
     Query("llm_t11_unigram_freq_score", t11_unigram_freq_score, T11_ORACLE),
     Query("llm_p4_curation_pipeline", p4_curation_pipeline, _p4_oracle()),
     Query("llm_m4_audio_chunks", m4_audio_chunks, _m4_oracle()),
+    Query("llm_t12_hll_cardinality", t12_hll_cardinality, _t12_oracle()),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
 ]
