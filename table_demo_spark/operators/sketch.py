@@ -88,3 +88,78 @@ def hll_cardinality(
             / F.col("exact_distinct")
         ).alias("rel_err"),
     )
+
+
+CMS_DEPTH = 4
+CMS_HEX = 13  # md5 hex chars parsed per hash (52-bit domain, then % width)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = 16,
+) -> DataFrame:
+    """Count-Min-sketch frequency estimates for the top-``k`` values —
+    the frequency twin of :func:`hll_cardinality`, and like it built
+    from deterministic relational expressions only: counters are plain
+    integer sums, the point estimate is min over ``depth`` counters,
+    so sketch state and estimates are bit-identical in any engine.
+
+    Returns (value, est_cnt, true_cnt, overcount) for the top-k values
+    by estimated count (CMS never undercounts: overcount >= 0 always —
+    the defining one-sided error). The candidate set probed here is
+    every distinct value, which verifies the whole sketch; a production
+    run probes a small candidate list against the same counter table.
+
+    Scale shape: the counter table is depth x width rows REGARDLESS of
+    input size (two map-side-combined aggregations build it), and the
+    probe join broadcasts it. The default ``width`` is fixture-small on
+    purpose so collisions actually occur and the one-sided error is
+    exercised; size width ~ e/epsilon for a real corpus.
+    """
+    val = F.col(value_col).cast("string")
+
+    def pos(j: int) -> F.Column:
+        h = F.md5(F.concat(val, F.lit(f"#cms{j}")))
+        return (
+            F.conv(F.substring(h, 1, CMS_HEX), 16, 10).cast("long") % width
+        ).cast("int")
+
+    positions = F.array(
+        *[
+            F.struct(F.lit(j).alias("depth"), pos(j).alias("col"))
+            for j in range(depth)
+        ]
+    )
+    exploded = df.select(val.alias("v"), F.explode(positions).alias("p")).select(
+        "v", F.col("p.depth").alias("depth"), F.col("p.col").alias("col")
+    )
+    counters = exploded.groupBy("depth", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    probes = exploded.distinct()
+    est = (
+        probes.join(F.broadcast(counters), ["depth", "col"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    truth = df.select(val.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("est_cnt").desc(), F.col("v").asc())
+    return (
+        est.join(truth, "v")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("v").alias("value"),
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+            "rank",
+        )
+    )

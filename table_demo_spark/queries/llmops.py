@@ -1700,6 +1700,58 @@ FROM final
 
 
 # ---------------------------------------------------------------------------
+# T13 — Count-Min heavy hitters over the token stream: the frequency
+# twin of T12's HLL, integer-exact end-to-end (counters are sums, the
+# estimate is a min) — see operators/sketch.py. Fixture-small width
+# (16) forces real collisions so the one-sided error shows up.
+# ---------------------------------------------------------------------------
+_T13_WIDTH = 16
+_T13_K = 20
+
+
+def t13_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
+    return cms_heavy_hitters(toks, "tok", k=_T13_K, width=_T13_WIDTH)
+
+
+def _t13_oracle() -> str:
+    from table_demo_spark.operators.sketch import CMS_DEPTH, CMS_HEX
+
+    return f"""
+WITH vals AS (
+  SELECT unnest({_TOKS}) AS v FROM documents
+),
+ex AS (
+  SELECT v, j AS depth,
+         CAST('0x' || substring(md5(v || '#cms' || j), 1, {CMS_HEX}) AS BIGINT)
+           % {_T13_WIDTH} AS col
+  FROM vals, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+),
+counters AS (
+  SELECT depth, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM ex GROUP BY depth, col
+),
+probes AS (SELECT DISTINCT v, depth, col FROM ex),
+est AS (
+  SELECT v, min(cnt) AS est_cnt
+  FROM probes JOIN counters USING (depth, col)
+  GROUP BY v
+),
+truth AS (SELECT v, CAST(count(*) AS BIGINT) AS true_cnt FROM vals GROUP BY v),
+ranked AS (
+  SELECT est.v AS value, est_cnt, true_cnt, est_cnt - true_cnt AS overcount,
+         row_number() OVER (ORDER BY est_cnt DESC, est.v ASC) AS rank
+  FROM est JOIN truth ON est.v = truth.v
+)
+SELECT value, est_cnt, true_cnt, overcount, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_T13_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4 — audio chunking (third modality next to image meta / video
 # frames): overlapping fixed-duration windows with boundaries computed
 # from the PCM byte rate; content op is a deterministic head-bytes
@@ -1876,5 +1928,6 @@ QUERIES: list[Query] = [
     Query("llm_p4_curation_pipeline", p4_curation_pipeline, _p4_oracle()),
     Query("llm_m4_audio_chunks", m4_audio_chunks, _m4_oracle()),
     Query("llm_t12_hll_cardinality", t12_hll_cardinality, _t12_oracle()),
+    Query("llm_t13_cms_heavy_hitters", t13_cms_heavy_hitters, _t13_oracle()),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
 ]

@@ -282,3 +282,21 @@ def test_permissive_jsonl_quarantines_corrupt_lines(spark):
     assert r[formats.CORRUPT_COL].startswith("{") and r["event_id"] is None
     assert df.filter(F.col(formats.CORRUPT_COL).isNull()).count() == total - n_bad
     df.unpersist()
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    """The defining CMS property: overcount >= 0 always; with width
+    >> distinct values (no collisions) the estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3}") for i in range(40)], "doc_id long, text string"
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    narrow = cms_heavy_hitters(toks, "tok", k=100, width=4).collect()
+    assert all(r.overcount >= 0 for r in narrow)
+    wide = cms_heavy_hitters(toks, "tok", k=100, width=4096).collect()
+    assert all(r.overcount == 0 for r in wide)
+    assert {r.value for r in wide} == {f"w{i}" for i in range(7)}
