@@ -1154,6 +1154,165 @@ WHERE s.op IS NULL OR s.op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# A32 — changelog materialization (CDC fold to current state): a
+# three-version synthetic CDC feed over orders — v1 inserts every key,
+# v2 updates open orders' price, v3 deletes the '5-LOW' keys — folded
+# with operators/cdc.materialize_changelog. Unlike A31 (one changeset,
+# unique keys), keys here repeat across versions and the latest op must
+# win; the fold is a max_by aggregation (map-side combined), not a
+# window sort. Reference semantics: ElasticUpsertTableSink.scala:116-148
+# applied as one batch.
+# ---------------------------------------------------------------------------
+def a32_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.cdc import materialize_changelog
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = base.select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("version"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    v2 = (
+        base.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .select(
+            "o_orderkey",
+            F.lit(2).cast("long").alias("version"),
+            F.lit("U").alias("op"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    v3 = base.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.lit(3).cast("long").alias("version"),
+        F.lit("D").alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    changelog = v1.unionByName(v2).unionByName(v3)
+    return materialize_changelog(changelog, ["o_orderkey"])
+
+
+A32_ORACLE = """
+WITH changelog AS (
+  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'I' AS op,
+         o_custkey, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, CAST(2 AS BIGINT), 'U',
+         o_custkey, o_orderstatus, o_totalprice + CAST(10.0 AS DOUBLE)
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, CAST(3 AS BIGINT), 'D',
+         o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderstatus = 'P'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM changelog
+)
+SELECT o_orderkey, version, o_custkey, o_orderstatus, o_totalprice
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A33 — histogram quantile estimation: equi-width histogram (bucket =
+# floor(price/1000)) per return flag, then p50/p95/p99 by linear
+# interpolation inside the straddling bucket. This is the 100 TB
+# quantile strategy: ONE map-side-combined groupBy builds the histogram
+# (shuffled bytes = O(#groups x #buckets), ~100 rows/group), and the
+# window/interpolation runs over that tiny table. Contrast an_a19,
+# which uses exact percentile_approx — this shape is fully mergeable
+# and deterministic, the property a19's sketch gives up.
+# ---------------------------------------------------------------------------
+_A33_W = 1000.0  # bucket width in price units
+
+
+def a33_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    hist = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / F.lit(_A33_W)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy("bucket")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("l_returnflag")))
+    )
+
+    def est(q: float) -> F.Column:
+        rank = F.lit(q) * F.col("n")
+        interp = F.col("bucket") * F.lit(_A33_W) + F.lit(_A33_W) * (
+            rank - F.col("cum_prev")
+        ) / F.col("cnt")
+        return F.min(
+            F.when(F.col("cum") >= rank, F.struct("bucket", interp.alias("e")))
+        )["e"]
+
+    return cum.groupBy("l_returnflag").agg(
+        est(0.5).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+        est(0.99).alias("p99_est"),
+    )
+
+
+A33_ORACLE = """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+           AS bucket,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) - cnt
+           AS cum_prev,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+),
+est AS (
+  SELECT l_returnflag, bucket, cnt, cum, cum_prev, n,
+         bucket * CAST(1000.0 AS DOUBLE)
+           + CAST(1000.0 AS DOUBLE)
+             * (CAST(0.5 AS DOUBLE) * n - cum_prev) / cnt AS e50,
+         bucket * CAST(1000.0 AS DOUBLE)
+           + CAST(1000.0 AS DOUBLE)
+             * (CAST(0.95 AS DOUBLE) * n - cum_prev) / cnt AS e95,
+         bucket * CAST(1000.0 AS DOUBLE)
+           + CAST(1000.0 AS DOUBLE)
+             * (CAST(0.99 AS DOUBLE) * n - cum_prev) / cnt AS e99
+  FROM cum
+)
+SELECT l_returnflag,
+       min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * n
+                THEN struct_pack(bucket := bucket, e := e50) END).e
+         AS p50_est,
+       min(CASE WHEN cum >= CAST(0.95 AS DOUBLE) * n
+                THEN struct_pack(bucket := bucket, e := e95) END).e
+         AS p95_est,
+       min(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * n
+                THEN struct_pack(bucket := bucket, e := e99) END).e
+         AS p99_est
+FROM est GROUP BY l_returnflag
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1186,4 +1345,6 @@ QUERIES: list[Query] = [
     Query("an_a29_bucketed_join", a29_bucketed_join, A29_ORACLE),
     Query("an_a30_array_agg", a30_array_agg, A30_ORACLE),
     Query("an_a31_merge_into", a31_merge_into, A31_ORACLE),
+    Query("an_a32_cdc_materialize", a32_cdc_materialize, A32_ORACLE),
+    Query("an_a33_histogram_quantiles", a33_histogram_quantiles, A33_ORACLE),
 ]

@@ -532,6 +532,36 @@ GROUP BY event_type, ws
 """
 
 
+def q14_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q14_topk
+
+    sink = _parquet_sink(("cell",))
+    with _state_partitions(spark):
+        _, query = run_q14_topk(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    # read-path k-selection over the materialized view: TakeOrdered
+    # (per-partition heap, k rows to the driver), never a global sort
+    return (
+        sink.snapshot_df(spark)
+        .orderBy(F.col("dept_cnt").desc(), F.col("cell"))
+        .limit(_Q14_K)
+        .select("cell", "dept_cnt")
+    )
+
+
+# Continuous top-k: the upsert view's final state equals the batch
+# per-cell count (q3-level-1 argument), so top-k over it equals batch
+# top-k with the same (count desc, cell) tiebreak.
+_Q14_K = 10
+Q14_TOPK_ORACLE = f"""{_DEPARTURES_CTE}
+SELECT cell, CAST(count(*) AS BIGINT) AS dept_cnt
+FROM departures
+GROUP BY cell
+ORDER BY dept_cnt DESC, cell
+LIMIT {_Q14_K}
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -546,4 +576,5 @@ QUERIES: list[Query] = [
     Query("stream_q11_csv_gzip_source", q11_csv_stream_final, Q11_CSV_ORACLE),
     Query("stream_q12_left_outer_join", q12_left_join_final, Q12_LEFT_JOIN_ORACLE),
     Query("stream_q13_sliding_window", q13_sliding_final, Q13_SLIDING_ORACLE),
+    Query("stream_q14_topk", q14_topk_final, Q14_TOPK_ORACLE),
 ]

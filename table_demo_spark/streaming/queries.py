@@ -1177,3 +1177,46 @@ def q13_sliding_stream(
         .start()
     )
     return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q14 streaming — continuous top-k (materialized-view serving pattern).
+#
+# Top-k over an unbounded stream can't be emitted incrementally by a
+# watermarked operator (any cell's next event can reorder the board),
+# so the scale-honest shape is the one real systems use: maintain the
+# continuous per-key aggregate as a durable upserted materialized view
+# (update mode, R12), and apply the k-selection on the read path —
+# Spark's TakeOrderedAndProject (per-partition heap + driver merge of
+# k rows, never a global sort). State is O(#cells), the same bound the
+# reference's continuous aggregate carries.
+# ---------------------------------------------------------------------------
+def run_q14_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink=None,
+):
+    """Continuous per-cell departure count into a durable upsert sink.
+    Returns (sink, query); callers take top-k from ``snapshot_df``."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    departures = stream_departures(
+        stream_rides(spark, sf_dir, speed, frontier_key=ckpt)
+    )
+    counts = departures.groupBy("cell").agg(
+        F.count("ride_id").alias("dept_cnt")
+    )
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q14-"), ("cell",)
+    )
+    query = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.apply_batch)
+        .start()
+    )
+    return sink, query
