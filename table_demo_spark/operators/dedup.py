@@ -111,6 +111,77 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from banded minhash
+    signatures: explode band keys, self-equi-join on (band, key) —
+    hash-partitionable, never all-pairs. Shared by every verifier
+    (Jaccard, edit distance)."""
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    rel_threshold: float = 0.3,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy near-dup pairs: LSH candidates verified by NORMALIZED
+    Levenshtein distance — dist / max(len) <= ``rel_threshold`` over
+    the normalized token stream.
+
+    Edit distance is the right verifier when near-dups differ by
+    small in-place edits (OCR noise, template fill-ins) that shuffle
+    few tokens but break shingle sets disproportionately; Jaccard
+    (minhash_lsh_pairs) is the right one for block moves. Candidates
+    come from the same banded-minhash equi-join either way — only the
+    per-pair verdict differs, and levenshtein() is a JVM built-in,
+    codegen'd per candidate pair.
+
+    Scale: O(len_a * len_b) per CANDIDATE pair (never per corpus
+    pair); the LSH S-curve bounds candidates, the same argument as
+    minhash_lsh_pairs. No driver state, three equi-join shuffles."""
+    sh = shingle_sets(docs, n, id_col, text_col)
+    cands = lsh_candidates(minhash_signatures(sh))
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(tokens(text_col), " ").alias("norm"),
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    dist = F.levenshtein("norm_a", "norm_b").cast("long")
+    rel = dist.cast("double") / F.greatest(
+        F.length("norm_a"), F.length("norm_b")
+    ).cast("double")
+    return (
+        cands.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", dist.alias("edit_dist"), rel.alias("rel_dist"))
+        .filter(F.col("rel_dist") <= rel_threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -128,28 +199,7 @@ def minhash_lsh_pairs(
     """
     sh = shingle_sets(docs, n, id_col, text_col).cache()
     sig = minhash_signatures(sh)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = lsh_candidates(sig)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

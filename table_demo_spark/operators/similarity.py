@@ -496,3 +496,115 @@ def kmeans_refine(
         F.col("d").cast("long").alias("dim"),
         F.col("v").alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain approximate similarity.
+# ---------------------------------------------------------------------------
+PQ_M = 4  # subspaces
+PQ_KS = 8  # codewords per subspace
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization top-k by asymmetric distance computation
+    (ADC) — the IVF-PQ index family's compression half (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The vector space is split into ``m`` orthogonal subspaces of
+    dim/m dims; each corpus sub-vector is replaced by the id of its
+    nearest codeword (squared-L2 argmin) from that subspace's
+    ``ks``-entry codebook. A corpus vector then occupies m small ints
+    instead of dim floats (here 4 codes for 64 floats — 64x), and the
+    query-to-vector inner product is approximated by m table lookups:
+    score(q, x) = sum_s <q_s, codeword[s, code_s(x)]>, folded in
+    subspace order so the double sum is bit-reproducible.
+
+    Scale shape: the codebook (m*ks rows) broadcasts everywhere it is
+    used; corpus encoding is a broadcast-join argmin over the corpus
+    partitioning (no shuffle of the corpus); the ADC join is
+    corpus-codes x broadcast per-query lookup tables, grouped with
+    map-side combine. Candidate *restriction* is deliberately out of
+    scope — compose with the LSH/IVF bucketing (lsh_topk/ivf_topk) for
+    IVF-PQ; this operator contributes the compressed-distance kernel
+    that makes 100 TB of embeddings fit an index tier.
+
+    Codeword selection is the same deterministic stub as ivf_topk
+    (sub-vectors of the first ``ks`` corpus ids), keeping assignment
+    exactly reproducible in the ANSI-SQL oracle; production swaps in
+    per-subspace k-means without touching the plan shape.
+    """
+    d = dim // m
+    subs = F.array(*[F.lit(i) for i in range(m)])
+
+    def per_sub(df: DataFrame, out_id: str) -> DataFrame:
+        """(id, s, sub-vector) rows — m per input vector."""
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(subs).alias("s"),
+            F.col(vec_col).alias("__v"),
+        ).select(out_id, "s", F.slice("__v", F.col("s") * d + 1, d).alias("sub"))
+
+    cb = per_sub(corpus.filter(F.col(id_col) < ks), "code").withColumnRenamed(
+        "sub", "cw"
+    )
+
+    def l2sq(a: str, b: str) -> F.Column:
+        diffs = F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    # encode: nearest codeword per (corpus vector, subspace)
+    corp = per_sub(corpus, "neighbor_id")
+    w_enc = Window.partitionBy("neighbor_id", "s").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    codes = (
+        corp.join(F.broadcast(cb), "s")
+        .select("neighbor_id", "s", "code", l2sq("sub", "cw").alias("dist"))
+        .withColumn("__rn", F.row_number().over(w_enc))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "s", "code")
+    )
+
+    # per-query ADC lookup tables: <q_s, codeword> for every (s, code)
+    from table_demo_spark.functions.vector import dot
+
+    qtab = (
+        per_sub(queries, "query_id")
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "s", "code", dot("sub", "cw").alias("ip"))
+    )
+
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "ip"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ip"],
+            ).alias("adc_ip")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_ip").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)

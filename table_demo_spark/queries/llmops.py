@@ -125,6 +125,69 @@ D2_ORACLE = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# D12 — fuzzy near-dup: the same banded-minhash candidates as D2,
+# verified by normalized Levenshtein instead of Jaccard (the in-place-
+# edit near-dup detector; operators/dedup.edit_distance_pairs).
+# ---------------------------------------------------------------------------
+D12_REL_THRESHOLD = 0.3
+
+
+def d12_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), rel_threshold=D12_REL_THRESHOLD
+    )
+
+
+def _fuzzy_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> substr(md5(s || "
+        f"'#{i // dedup.HASHES_PER_DIGEST}'), "
+        f"{(i % dedup.HASHES_PER_DIGEST) * 5 + 1}, 5))) AS mh{i}"
+        for i in range(dedup.N_MINHASH)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * dedup.ROWS_PER_BAND + r}' for r in range(dedup.ROWS_PER_BAND))}) AS key FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+),
+norm AS (
+  SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist,
+         CAST(levenshtein(na.norm, nb.norm) AS DOUBLE)
+           / CAST(greatest(length(na.norm), length(nb.norm)) AS DOUBLE)
+           AS rel_dist
+  FROM cands
+  JOIN norm na ON na.doc_id = doc_a
+  JOIN norm nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, edit_dist, rel_dist
+FROM verified
+WHERE rel_dist <= CAST({D12_REL_THRESHOLD} AS DOUBLE)
+"""
+
+
+D12_ORACLE = _fuzzy_oracle()
+
+
+# ---------------------------------------------------------------------------
 # D3 — SimHash signatures (single-pass near-dup candidates).
 # ---------------------------------------------------------------------------
 def d3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1530,6 +1593,69 @@ GROUP BY query_id
 
 
 # ---------------------------------------------------------------------------
+# S7 — product-quantization ADC top-k (operators/similarity.pq_topk):
+# vectors compressed to m=4 codes over per-subspace codebooks; query
+# similarity approximated by m table lookups folded in subspace order.
+# The compression kernel of the IVF-PQ index family.
+# ---------------------------------------------------------------------------
+def s7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.pq_topk(emb, queries_df, k=ANN_K)
+
+
+def _pq_oracle() -> str:
+    m, ks, dim = similarity.PQ_M, similarity.PQ_KS, similarity.DIM
+    d = dim // m
+    slices = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, embedding[{s * d + 1}:{(s + 1) * d}] AS sub"
+        " FROM embeddings"
+        for s in range(m)
+    )
+    l2sq = (
+        "list_reduce(list_transform(list_zip(c.sub, b.cw), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH sub AS (
+  {slices}
+),
+cb AS (SELECT vec_id AS code, s, sub AS cw FROM sub WHERE vec_id < {ks}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, s, code FROM (
+    SELECT c.vec_id, c.s, b.code,
+           row_number() OVER (PARTITION BY c.vec_id, c.s
+                              ORDER BY {l2sq} ASC, b.code ASC) AS rn
+    FROM sub c JOIN cb b USING (s))
+  WHERE rn = 1
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, q.s, b.code,
+         {_sql_dot("q.sub", "b.cw")} AS ip
+  FROM sub q JOIN cb b USING (s)
+  WHERE q.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(ip ORDER BY a.s), (x, y) -> x + y) AS adc_ip
+  FROM assigned a JOIN qtab t ON a.s = t.s AND a.code = t.code
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_ip DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+S7_ORACLE = _pq_oracle()
+
+
+# ---------------------------------------------------------------------------
 # T11 — unigram corpus-frequency quality score (the CCNet/Gopher-style
 # LM filter with integer-exact arithmetic: docs made of corpus-rare
 # tokens score low; every per-doc stat is a ratio of two exact longs,
@@ -1752,6 +1878,105 @@ FROM ranked WHERE rank <= {_T13_K}
 
 
 # ---------------------------------------------------------------------------
+# T14 — bigram LM fluency score (the bigram upgrade of T11's unigram
+# filter): per doc, how "predictable" its word-to-word transitions are
+# under the corpus's own bigram statistics. All aggregates are exact
+# longs — per-bigram corpus count c_bg, per-context count c_ctx (#
+# bigram instances starting with the word), predictability test
+# 2*c_bg >= c_ctx by integer cross-multiplication (P(w2|w1) >= 0.5
+# without ever forming the float), and a single final IEEE division
+# per ratio — so results hash-match despite parallel summation.
+# log-prob scoring is deliberately avoided: libm ln() is not required
+# to round identically across engines, integer ratios are.
+#
+# Scale: bigram explode is linear in tokens; both count tables are
+# map-side-combined groupBys; the two enrichment joins are equi-joins
+# on (bg) and (w1) — Zipf skew on hot bigrams is AQE-split, and the
+# final per-doc rollup shuffles one row per bigram instance. No
+# quadratic stage, no driver state.
+# ---------------------------------------------------------------------------
+def t14_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    bg_counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    return (
+        pairs.join(bg_counts, "bg")
+        .join(ctx_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c_bg").cast("long").alias("sum_bg_cnt"),
+            F.sum("c_ctx").cast("long").alias("sum_ctx_cnt"),
+            F.sum(
+                F.when(F.lit(2) * F.col("c_bg") >= F.col("c_ctx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_predictable"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bg_cnt",
+            "sum_ctx_cnt",
+            "n_predictable",
+            (F.col("sum_bg_cnt") / F.col("sum_ctx_cnt")).alias("mle_mass"),
+            (F.col("n_predictable") / F.col("n_bigrams")).alias(
+                "predictable_frac"
+            ),
+        )
+    )
+
+
+T14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+flat AS (
+  SELECT doc_id, p.w1 AS w1, p.bg AS bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - 1),
+                                 i -> struct_pack(w1 := toks[i+1],
+                                                  bg := toks[i+1] || ' ' || toks[i+2])))
+             AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM flat GROUP BY bg),
+ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_ctx FROM flat GROUP BY w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c_bg) AS BIGINT) AS sum_bg_cnt,
+       CAST(sum(c_ctx) AS BIGINT) AS sum_ctx_cnt,
+       CAST(sum(CASE WHEN 2 * c_bg >= c_ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_predictable,
+       CAST(sum(c_bg) AS DOUBLE) / CAST(sum(c_ctx) AS DOUBLE) AS mle_mass,
+       CAST(sum(CASE WHEN 2 * c_bg >= c_ctx THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS predictable_frac
+FROM flat JOIN bgc USING (bg) JOIN ctx USING (w1)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4 — audio chunking (third modality next to image meta / video
 # frames): overlapping fixed-duration windows with boundaries computed
 # from the PCM byte rate; content op is a deterministic head-bytes
@@ -1924,10 +2149,13 @@ QUERIES: list[Query] = [
     Query("llm_t10_pii_redact", t10_pii_redact, _t10_oracle()),
     Query("llm_d10_paragraph_dedup", d10_paragraph_dedup, _D10_ORACLE),
     Query("llm_d11_decontaminate", d11_decontaminate, _d11_oracle()),
+    Query("llm_d12_fuzzy_dedup", d12_fuzzy_dedup, D12_ORACLE),
     Query("llm_t11_unigram_freq_score", t11_unigram_freq_score, T11_ORACLE),
     Query("llm_p4_curation_pipeline", p4_curation_pipeline, _p4_oracle()),
     Query("llm_m4_audio_chunks", m4_audio_chunks, _m4_oracle()),
     Query("llm_t12_hll_cardinality", t12_hll_cardinality, _t12_oracle()),
     Query("llm_t13_cms_heavy_hitters", t13_cms_heavy_hitters, _t13_oracle()),
+    Query("llm_t14_bigram_lm", t14_bigram_lm, T14_ORACLE),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
+    Query("llm_s7_pq_topk", s7_pq_topk, S7_ORACLE),
 ]
