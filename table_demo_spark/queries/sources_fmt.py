@@ -96,10 +96,42 @@ WHERE event_id % {DIRTY_EVERY} <> 0
 """
 
 
+def s6_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as table maintenance: fragment the events
+    fixture into 64 tiny parquet files, compact with
+    operators/layout.compact_files, and read the compacted table back
+    in full. Content identity under rewrite is the correctness
+    contract (one duplicated or lost row breaks the hash); the
+    file-count collapse itself is pinned by
+    tests/test_operators.py::test_compact_files_reduces_count."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.layout import compact_files
+    from table_demo_spark.sources.batch import load_table
+
+    base = tempfile.mkdtemp(prefix="tds-compact-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.repartition(64).write.parquet(f"{base}/fragmented")
+    compact_files(spark, f"{base}/fragmented", f"{base}/compacted")
+    return spark.read.parquet(f"{base}/compacted").select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
     Query("src_s3_text_events", s3_text_events, _EVENTS_ORACLE),
     Query("src_s4_partitioned_events", s4_partitioned_events, _PARTITIONED_ORACLE),
     Query("src_s5_permissive_jsonl", s5_permissive_jsonl, _PERMISSIVE_ORACLE),
+    Query("src_s6_compacted_events", s6_compacted_events, _EVENTS_ORACLE),
 ]

@@ -300,3 +300,115 @@ def test_cms_never_undercounts_and_is_exact_when_wide(spark):
     wide = cms_heavy_hitters(toks, "tok", k=100, width=4096).collect()
     assert all(r.overcount == 0 for r in wide)
     assert {r.value for r in wide} == {f"w{i}" for i in range(7)}
+
+
+def test_zorder_write_prunes_row_groups(spark):
+    """The point of z-ordering: a 2-d box predicate must be excludable
+    by per-file (row-group) min/max statistics on BOTH columns for most
+    files, while a random layout excludes nothing."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from table_demo_spark.operators.layout import zorder_write
+    from table_demo_spark.sources.batch import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="tds-ztest-")
+    zorder_write(
+        ev, f"{base}/z", "user_id", "value",
+        x_range=(0, 150), y_range=(0, 500), n_files=16,
+    )
+    # random layout control: same data, same file count, no clustering
+    ev.repartition(16).write.parquet(f"{base}/rand")
+
+    def intersecting(path: str) -> tuple[int, int]:
+        u_lo, u_hi, v_lo, v_hi = 40, 60, 100.0, 200.0
+        total = hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                su = md.row_group(rg).column(names["user_id"]).statistics
+                sv = md.row_group(rg).column(names["value"]).statistics
+                if (
+                    su.min <= u_hi and su.max >= u_lo
+                    and sv.min <= v_hi and sv.max >= v_lo
+                ):
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = intersecting(f"{base}/z")
+    r_hit, r_total = intersecting(f"{base}/rand")
+    assert r_hit == r_total  # random layout: every row group intersects
+    assert z_hit < z_total // 2  # z-order: most row groups skippable
+
+
+def test_materialize_changelog_latest_op_wins(spark):
+    """Delete->reinsert and update-after-update fold to the latest op;
+    a trailing delete removes the key entirely."""
+    from table_demo_spark.operators.cdc import materialize_changelog
+
+    rows = [
+        # key 1: insert, update, update — latest update wins
+        (1, 1, "I", "a"), (1, 2, "U", "b"), (1, 3, "U", "c"),
+        # key 2: insert then delete — gone
+        (2, 1, "I", "x"), (2, 2, "D", "x"),
+        # key 3: insert, delete, re-insert — alive with the new payload
+        (3, 1, "I", "old"), (3, 2, "D", "old"), (3, 3, "I", "new"),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, version long, op string, payload string"
+    )
+    got = {
+        r.k: (r.version, r.payload)
+        for r in materialize_changelog(log, ["k"]).collect()
+    }
+    assert got == {1: (3, "c"), 3: (3, "new")}
+
+
+def test_pq_topk_shape_and_determinism(spark):
+    """PQ ADC returns exactly k ranked neighbors per query, never the
+    query itself, and is bit-deterministic across runs."""
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    a = similarity.pq_topk(emb, q, k=5).collect()
+    assert len(a) == 4 * 5
+    by_q = {}
+    for r in a:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    b = similarity.pq_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_compact_files_reduces_count(spark):
+    """Compaction glues 64 fragment files into ceil(bytes/target)
+    outputs without changing content."""
+    import glob
+    import tempfile
+
+    from table_demo_spark.operators.layout import compact_files
+    from table_demo_spark.sources.batch import load_table
+
+    base = tempfile.mkdtemp(prefix="tds-ctest-")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    ev.repartition(64).write.parquet(f"{base}/frag")
+    n = compact_files(spark, f"{base}/frag", f"{base}/out", target_bytes=1 << 20)
+    files = glob.glob(f"{base}/out/part-*.parquet")
+    assert len(files) == n < 8
+    a = sorted(r.event_id for r in spark.read.parquet(f"{base}/out").collect())
+    b = sorted(r.event_id for r in ev.collect())
+    assert a == b

@@ -294,3 +294,43 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     # one exchange for the (small) benchmark distinct, one for the
     # training-side doc_id rollup — nothing else
     assert n_exchange <= 2, plan
+
+
+def test_cdc_fold_is_single_shuffle_aggregation(spark):
+    """a32's changelog fold must be a map-side-combined aggregation
+    (one Exchange, partial max_by before it), never a window sort of
+    the full changelog — shuffled bytes must scale with distinct keys,
+    not change events."""
+    import re
+
+    plan = formatted_plan(_query("an_a32_cdc_materialize")(spark, SF_SMOKE))
+    # node-detail headers ("(12) Exchange") count physical nodes once;
+    # the bare string appears twice per node (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_histogram_quantiles_aggregate_before_window(spark):
+    """a33's window/interpolation must run over the tiny histogram,
+    not the raw rows: the plan is scan -> partial+final count agg ->
+    window, with the scan pruned to the two needed columns."""
+    plan = formatted_plan(_query("an_a33_histogram_quantiles")(spark, SF_SMOKE))
+    first_agg = plan.index("HashAggregate")
+    first_window = plan.index("Window")
+    assert first_agg > first_window  # formatted plan prints root first:
+    # the Window node appears above (after) the histogram aggregate,
+    # i.e. the aggregate executes first
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read
+
+
+def test_fuzzy_and_pq_have_no_cartesian_products(spark):
+    """d12 (LSH candidates + levenshtein) and s7 (PQ ADC) must stay
+    equi-join shaped: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere — the no-O(n^2)-stage guarantee."""
+    for name in ("llm_d12_fuzzy_dedup", "llm_s7_pq_topk"):
+        plan = formatted_plan(_query(name)(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
