@@ -56,6 +56,11 @@ HEADLINE = [
     "llm_t11_unigram_freq_score",
     "llm_p4_curation_pipeline",
     "an_a31_merge_into",
+    "an_a32_cdc_materialize",
+    "an_a33_histogram_quantiles",
+    "an_a34_zorder_skipping",
+    "llm_s7_pq_topk",
+    "llm_t14_bigram_lm",
     # full replay -> stateful operator -> sink drains
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
@@ -63,6 +68,8 @@ HEADLINE = [
     "stream_q4_session_window",
     "stream_q12_left_outer_join",
     "stream_q13_sliding_window",
+    "stream_q14_topk",
+    "stream_q15_running_totals",
 ]
 
 

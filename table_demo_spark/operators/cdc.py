@@ -32,6 +32,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def scd2_history(
+    changelog: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn the changelog into
+    versioned history rows with validity intervals.
+
+    Every non-delete change becomes a row valid from its version until
+    the key's next change (any op — an update supersedes, a delete
+    closes); the open interval (``valid_to`` null) marks the current
+    row, unless the key's last op is a delete, in which case the key
+    has no current row.
+
+    Scale shape: one hash shuffle on the key + a per-key window sort.
+    Unlike `materialize_changelog` (aggregation — keeps one row), SCD2
+    inherently keeps every version, so the window's O(changes per key)
+    sort is the semantic minimum, and per-key version chains bound the
+    sort partitions (no global sort).
+    """
+    from pyspark.sql import Window
+
+    payload = [
+        c for c in changelog.columns if c not in (*keys, version_col, op_col)
+    ]
+    w = Window.partitionBy(*keys).orderBy(version_col)
+    hist = changelog.withColumn("valid_to", F.lead(version_col).over(w))
+    return hist.filter(F.col(op_col) != F.lit("D")).select(
+        *keys,
+        F.col(version_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        *payload,
+    )
+
+
 def materialize_changelog(
     changelog: DataFrame,
     keys: list[str],

@@ -1164,9 +1164,9 @@ WHERE s.op IS NULL OR s.op <> 'D'
 # window sort. Reference semantics: ElasticUpsertTableSink.scala:116-148
 # applied as one batch.
 # ---------------------------------------------------------------------------
-def a32_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from table_demo_spark.operators.cdc import materialize_changelog
-
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared synthetic CDC feed over orders (v1 insert / v2 update
+    open orders / v3 delete 'P'-status) used by a32 and a36."""
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -1198,12 +1198,16 @@ def a32_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_totalprice",
     )
-    changelog = v1.unionByName(v2).unionByName(v3)
-    return materialize_changelog(changelog, ["o_orderkey"])
+    return v1.unionByName(v2).unionByName(v3)
 
 
-A32_ORACLE = """
-WITH changelog AS (
+def a32_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.cdc import materialize_changelog
+
+    return materialize_changelog(_cdc_changelog(spark, sf_dir), ["o_orderkey"])
+
+
+_CDC_CHANGELOG_CTE = """changelog AS (
   SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'I' AS op,
          o_custkey, o_orderstatus, o_totalprice
   FROM orders
@@ -1215,7 +1219,11 @@ WITH changelog AS (
   SELECT o_orderkey, CAST(3 AS BIGINT), 'D',
          o_custkey, o_orderstatus, o_totalprice
   FROM orders WHERE o_orderstatus = 'P'
-),
+)"""
+
+
+A32_ORACLE = f"""
+WITH {_CDC_CHANGELOG_CTE},
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey
                                ORDER BY version DESC) AS rn
@@ -1313,6 +1321,160 @@ FROM est GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# A34 — z-order clustered storage + 2-d box predicate: events are
+# rewritten clustered by the Morton key of (user_id, value)
+# (operators/layout.py), then a two-dimensional range filter reads the
+# copy. Correctness: layout changes must never change content — the
+# result equals the same filter over the raw table. The skipping
+# payoff (row groups whose min/max exclude the box are never read) is
+# pinned by tests/test_operators.py::test_zorder_write_prunes_row_groups.
+# ---------------------------------------------------------------------------
+_A34_BOX = dict(u_lo=40, u_hi=60, v_lo=100.0, v_hi=200.0)
+
+
+def a34_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from table_demo_spark.operators.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="tds-zorder-") + "/events"
+    zorder_write(
+        ev, path, "user_id", "value", x_range=(0, 150), y_range=(0, 500)
+    )
+    b = _A34_BOX
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(b["u_lo"], b["u_hi"])
+        & F.col("value").between(b["v_lo"], b["v_hi"])
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+A34_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id BETWEEN {_A34_BOX["u_lo"]} AND {_A34_BOX["u_hi"]}
+  AND value BETWEEN CAST({_A34_BOX["v_lo"]} AS DOUBLE)
+                AND CAST({_A34_BOX["v_hi"]} AS DOUBLE)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A35 — conversion funnel (event-sequence analytics): for every signup,
+# did a click by the same user precede it within 1 hour? The funnel
+# predicate is a conditional carry-forward — last(click_ts ignorenulls)
+# over the user's event sequence — which is the scalable form of
+# sequence matching: one window over one shuffle on user_id, no
+# self-join of events to events, no per-user collect. Daily rollup of
+# signup count, conversions, and rate.
+# ---------------------------------------------------------------------------
+_A35_WINDOW_MS = 3_600_000
+_A35_DAY_MS = 86_400_000
+
+
+def a35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_ms")),
+        ignorenulls=True,
+    ).over(w)
+    signups = (
+        ev.withColumn("last_click_ms", last_click)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.floor(F.col("ts_ms") / F.lit(_A35_DAY_MS)).alias("day"),
+            (
+                F.col("last_click_ms").isNotNull()
+                & (F.col("ts_ms") - F.col("last_click_ms") <= _A35_WINDOW_MS)
+            ).alias("converted"),
+        )
+    )
+    return signups.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        (
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("conv_rate"),
+    )
+
+
+A35_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, event_id FROM events
+),
+flagged AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_ms
+  FROM ev
+),
+signups AS (
+  SELECT CAST(floor(ts_ms / {_A35_DAY_MS}) AS BIGINT) AS day,
+         (last_click_ms IS NOT NULL
+          AND ts_ms - last_click_ms <= {_A35_WINDOW_MS}) AS converted
+  FROM flagged WHERE event_type = 'signup'
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS conv_rate
+FROM signups GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# A36 — SCD Type 2 history build (operators/cdc.scd2_history): the
+# same CDC feed as A32 folded the *other* way — every non-delete
+# change becomes a versioned row with a validity interval
+# [valid_from, valid_to); the open interval is the current row, and a
+# trailing delete leaves the key with history but no current row.
+# ---------------------------------------------------------------------------
+def a36_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.cdc import scd2_history
+
+    return scd2_history(_cdc_changelog(spark, sf_dir), ["o_orderkey"])
+
+
+A36_ORACLE = f"""
+WITH {_CDC_CHANGELOG_CTE},
+hist AS (
+  SELECT *,
+         lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+           AS valid_to
+  FROM changelog
+)
+SELECT o_orderkey, version AS valid_from, valid_to,
+       valid_to IS NULL AS is_current,
+       o_custkey, o_orderstatus, o_totalprice
+FROM hist WHERE op <> 'D'
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1347,4 +1509,7 @@ QUERIES: list[Query] = [
     Query("an_a31_merge_into", a31_merge_into, A31_ORACLE),
     Query("an_a32_cdc_materialize", a32_cdc_materialize, A32_ORACLE),
     Query("an_a33_histogram_quantiles", a33_histogram_quantiles, A33_ORACLE),
+    Query("an_a34_zorder_skipping", a34_zorder_skipping, A34_ORACLE),
+    Query("an_a35_funnel", a35_funnel, A35_ORACLE),
+    Query("an_a36_scd2_history", a36_scd2_history, A36_ORACLE),
 ]

@@ -562,6 +562,31 @@ LIMIT {_Q14_K}
 """
 
 
+def q15_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q15_running_totals
+
+    sink = _parquet_sink(("user_id",))
+    with _state_partitions(spark):
+        _, query = run_q15_running_totals(
+            spark, sf_dir, speed=DRIVER_SPEED, sink=sink
+        )
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select("user_id", "n_events", "sum_cents")
+
+
+# transformWithState running totals: integer cents in state make the
+# final per-user totals equal the batch aggregate exactly, independent
+# of micro-batch slicing. round() on exact-2-decimal doubles is the
+# same integer both engines.
+Q15_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -577,4 +602,5 @@ QUERIES: list[Query] = [
     Query("stream_q12_left_outer_join", q12_left_join_final, Q12_LEFT_JOIN_ORACLE),
     Query("stream_q13_sliding_window", q13_sliding_final, Q13_SLIDING_ORACLE),
     Query("stream_q14_topk", q14_topk_final, Q14_TOPK_ORACLE),
+    Query("stream_q15_running_totals", q15_running_totals_final, Q15_TOTALS_ORACLE),
 ]

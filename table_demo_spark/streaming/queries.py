@@ -38,6 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -1219,4 +1223,153 @@ def run_q14_topk(
         .foreachBatch(sink.apply_batch)
         .start()
     )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q15 streaming — per-user running totals on transformWithState.
+#
+# The modern Spark 4 arbitrary-state API (transformWithStateInPandas):
+# unlike applyInPandasWithState's single opaque state tuple, the
+# StatefulProcessor owns named, individually-typed state variables
+# with per-variable TTL, timers, and Arrow-batched input — the
+# designated successor for every custom stateful operator in this
+# repo. This query keeps one ValueState of exact integer totals
+# (event count, value cents) per user: integer state means the
+# running sum is associativity-proof, so the final emitted totals
+# hash-match the batch aggregate no matter how the replay slices
+# micro-batches.
+# ---------------------------------------------------------------------------
+_Q15_OUT = "user_id long, n_events long, sum_cents long"
+
+
+def _running_totals_processor() -> StatefulProcessor:
+    """Built inside a function so cloudpickle serializes the class BY
+    VALUE: the transformWithState Python runner is a separate process
+    that must not need this repo on its import path (the driver's
+    session is vanilla — PYTHONPATH is not propagated)."""
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def tws_available() -> bool:
+    """transformWithState needs the protobuf state-server client; this
+    container ships pyspark without google.protobuf (and installs are
+    off), so the capability is probed, never assumed."""
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _running_totals_fallback(ev: DataFrame) -> DataFrame:
+    """Same operator on the GroupState API (applyInPandasWithState) —
+    semantically identical for a single ValueState; used where the
+    transformWithState runtime is unavailable."""
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_Q15_OUT,
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_q15_running_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink=None,
+):
+    """Per-user exact running totals into a durable upsert sink.
+    Returns (sink, query). Uses transformWithStateInPandas (named
+    per-variable state, the Spark 4 successor API) when its protobuf
+    runtime is present; the GroupState fallback is bit-identical."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    ev = _replay_events(spark, sf_dir, speed, frontier_key=ckpt).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    sink = sink if sink is not None else ParquetUpsertSink(
+        tempfile.mkdtemp(prefix="tds-q15-"), ("user_id",)
+    )
+
+    def start(totals: DataFrame):
+        return (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.apply_batch)
+            .start()
+        )
+
+    if not tws_available():
+        return sink, start(_running_totals_fallback(ev))
+
+    # transformWithState requires the RocksDB state store; the provider
+    # conf is read at query START, so it stays set until then and is
+    # restored afterwards (queries already running are unaffected —
+    # they bound their provider at their own start).
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_running_totals_processor(),
+            outputStructType=_Q15_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        query = start(totals)
+    finally:
+        if saved is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return sink, query
