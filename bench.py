@@ -70,6 +70,13 @@ HEADLINE = [
     "stream_q13_sliding_window",
     "stream_q14_topk",
     "stream_q15_running_totals",
+    "llm_d13_substring_dedup",
+    "llm_p5_chunk_overlap",
+    "llm_p6_domain_mix",
+    "llm_p7_shard_assign",
+    "llm_m5_payload_sig_dedup",
+    "an_a37_date_spine",
+    "stream_q16_hll_distinct",
 ]
 
 

@@ -26,10 +26,17 @@ _HEX_WIDTH = 6  # 24 bits of md5 — rate resolution 1/16^6 ≈ 6e-8
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """Hex literal h such that P[prefix6(md5) < h] == rate."""
+    """Hex literal h such that P[prefix6(md5) < h] == rate.
+
+    rate 1.0 returns 'g' — one char lexicographically above every hex
+    digit, so the comparison keeps all rows. (The naive 7-char literal
+    '1000000' would sort BELOW most 6-char coordinates.)"""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(rate * 16**_HEX_WIDTH), f"0{_HEX_WIDTH}x")
+    n = int(rate * 16**_HEX_WIDTH)
+    if n >= 16**_HEX_WIDTH:
+        return "g"
+    return format(n, f"0{_HEX_WIDTH}x")
 
 
 def sample_hash_expr(key: Column, salt: str) -> Column:

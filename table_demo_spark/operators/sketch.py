@@ -32,15 +32,16 @@ RANK_CAP = 50  # keeps 2^(50 - M_j) a positive BIGINT
 ALPHA_M2_SCALED = (0.7213 / (1 + 1.079 / M_REGISTERS)) * M_REGISTERS * M_REGISTERS * float(1 << RANK_CAP)
 
 
-def hll_cardinality(
+def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
-    """Per-group HLL distinct estimate + exact distinct + rel. error.
+    """The sketch state: (group..., bucket, m_j) register rows.
 
-    Returns (group..., n_registers, est_distinct, exact_distinct,
-    rel_err). The raw bias-corrected estimate (no small-range linear
-    counting) — documented, deterministic, oracle-checkable.
-    """
+    Registers are MERGEABLE by per-(group, bucket) max — merging
+    partial registers from any partitioning of the input (micro-batches
+    included) yields exactly the registers of the whole input, because
+    max is associative, commutative, and idempotent. This is what makes
+    the sketch streaming- and shard-safe with no replay guard."""
     h = F.md5(F.col(value_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     v = F.conv(F.substring(h, 3, VALUE_HEX), 16, 10).cast("long")
@@ -50,12 +51,16 @@ def hll_cardinality(
         ),
         F.lit(RANK_CAP),
     )
-    regs = (
+    return (
         df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("m_j"))
     )
-    scaled = (
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll registers up to (group..., n_registers, est_distinct)."""
+    return (
         regs.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_registers"),
@@ -74,7 +79,20 @@ def hll_cardinality(
                 * F.expr(f"shiftleft(CAST(1 AS BIGINT), {RANK_CAP})")
             ),
         )
+        .drop("s_present")
     )
+
+
+def hll_cardinality(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL distinct estimate + exact distinct + rel. error.
+
+    Returns (group..., n_registers, est_distinct, exact_distinct,
+    rel_err). The raw bias-corrected estimate (no small-range linear
+    counting) — documented, deterministic, oracle-checkable.
+    """
+    scaled = hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
     exact = df.groupBy(*group_cols).agg(
         F.countDistinct(value_col).cast("long").alias("exact_distinct")
     )

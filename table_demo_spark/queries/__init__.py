@@ -25,6 +25,7 @@ class Query(NamedTuple):
 def all_queries() -> list[Query]:
     from table_demo_spark.queries import (
         analytics,
+        corpus,
         llmops,
         reference,
         sources_fmt,
@@ -35,6 +36,7 @@ def all_queries() -> list[Query]:
         reference.QUERIES
         + analytics.QUERIES
         + llmops.QUERIES
+        + corpus.QUERIES
         + sources_fmt.QUERIES
         + streaming.QUERIES
     )

@@ -1475,6 +1475,67 @@ FROM hist WHERE op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# A37 — date-spine densification via recursive CTE.
+#
+# Gap-free daily reporting: a WITH RECURSIVE spine generates every day
+# of the window, then left-joins the (sparse) daily aggregate, zero-
+# filling days with no orders. Spark 4 executes the recursion natively
+# (UnionLoop); the recursion is O(#days) driver-side metadata — the
+# heavy side (the fact aggregation) stays fully distributed, and the
+# 90-row spine joins broadcast. The window stays < the default
+# recursion depth limit (100 levels) so the query runs on a vanilla
+# session.
+# ---------------------------------------------------------------------------
+_SPINE_START, _SPINE_END = "1995-01-01", "1995-03-31"
+
+
+def a37_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE'{_SPINE_START}'
+  UNION ALL
+  SELECT date_add(day, 1) FROM spine WHERE day < DATE'{_SPINE_END}'
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(o_totalprice) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP'{_SPINE_START} 00:00:00'
+    AND o_orderdate <= TIMESTAMP'{_SPINE_END} 00:00:00'
+  GROUP BY 1
+)
+SELECT unix_millis(CAST(s.day AS TIMESTAMP)) AS day_ms,
+       coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN daily ON s.day = daily.day
+""")
+
+
+A37_ORACLE = f"""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE'{_SPINE_START}'
+  UNION ALL
+  SELECT day + 1 FROM spine WHERE day < DATE'{_SPINE_END}'
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(o_totalprice) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP'{_SPINE_START} 00:00:00'
+    AND o_orderdate <= TIMESTAMP'{_SPINE_END} 00:00:00'
+  GROUP BY 1
+)
+SELECT epoch_ms(CAST(s.day AS TIMESTAMP)) AS day_ms,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily ON s.day = daily.day
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1512,4 +1573,5 @@ QUERIES: list[Query] = [
     Query("an_a34_zorder_skipping", a34_zorder_skipping, A34_ORACLE),
     Query("an_a35_funnel", a35_funnel, A35_ORACLE),
     Query("an_a36_scd2_history", a36_scd2_history, A36_ORACLE),
+    Query("an_a37_date_spine", a37_date_spine, A37_ORACLE),
 ]

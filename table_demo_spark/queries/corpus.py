@@ -1,0 +1,243 @@
+"""Corpus-preparation queries: substring dedup, chunking, mixing,
+sharding, payload-signature dedup.
+
+Round-2 additions to the LLM-pipeline family (SURVEY §2 north-star
+scope): the span-level dedup of Lee et al. 2022, the RAG-style
+overlapping chunker, data-dependent domain mixing, the deterministic
+pre-training shard shuffle, and multimodal payload-signature dedup.
+Oracle SQL is generated from the same Python constants as the Spark
+implementations (window length, chunk geometry, LCG constants), so
+both sides stay in lock-step by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table_demo_spark.operators import chunking, mixing
+from table_demo_spark.queries import Query
+from table_demo_spark.sources.batch import load_table
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# D13 — substring-level exact dedup (duplicated K-token spans).
+# ---------------------------------------------------------------------------
+
+
+def d13_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.substring_dup_stats(docs, "text")
+
+
+_K = chunking.SUBSTR_K
+D13_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(range(1, len(toks) - {_K} + 2)) AS i, toks
+      FROM t WHERE len(toks) >= {_K}),
+h AS (SELECT doc_id, md5(array_to_string(toks[i:i+{_K}-1], ' ')) AS wh FROM w),
+f AS (SELECT wh, count(DISTINCT doc_id) > 1 AS dup FROM h GROUP BY wh),
+per AS (SELECT h.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM h JOIN f USING (wh) GROUP BY h.doc_id)
+SELECT d.doc_id,
+       coalesce(n_windows, 0) AS n_windows,
+       coalesce(n_dup, 0) AS n_dup_windows,
+       CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+            ELSE coalesce(n_dup, 0) * 1.0 / n_windows END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# P5 — overlapping token-window chunking.
+# ---------------------------------------------------------------------------
+
+
+def p5_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, "text")
+
+
+_CS, _CT = chunking.CHUNK_SIZE, chunking.CHUNK_STRIDE
+P5_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_CT})) AS start
+      FROM t)
+SELECT doc_id,
+       CAST((start - 1) // {_CT} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(toks[start:start+{_CS}-1]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start:start+{_CS}-1], ' ')) AS chunk_sig
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# P6 — domain mixing toward target weights.
+#
+# Weights are derived from the source id (1 + idx % 4) purely so the
+# fixture exercises unequal targets; production passes any weight
+# expression or a weights-table join.
+# ---------------------------------------------------------------------------
+MIX_BUDGET = 0.5
+
+
+def _weight():
+    return (
+        F.expr("CAST(substring(source, 4) AS INT)") % 4 + 1
+    ).cast("double")
+
+
+def p6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.domain_mix(docs, "source", _weight(), MIX_BUDGET)
+
+
+P6_ORACLE = f"""
+WITH sizes AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_domain,
+         CAST(1 + (CAST(substring(source, 4) AS INT) % 4) AS DOUBLE) AS w
+  FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n_domain,
+         least(1.0, CAST({MIX_BUDGET} AS DOUBLE)
+                      * (SELECT sum(n_domain) FROM sizes)
+                      * (w / (SELECT sum(w) FROM sizes))
+                      / n_domain) AS rate
+  FROM sizes),
+kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 6)
+        < printf('%06x', CAST(floor(least(rate, 1.0) * 16777216.0) AS INT))
+  GROUP BY d.source)
+SELECT r.source, r.n_domain, r.rate,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+# ---------------------------------------------------------------------------
+# P7 — deterministic shard assignment + balance report.
+# ---------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+def p7_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.shard_balance_report(
+        docs, "doc_id", N_SHARDS, bytes_col="n_chars"
+    )
+
+
+P7_ORACLE = f"""
+WITH c AS (
+  SELECT n_chars,
+         (doc_id * {mixing.LCG_A} + {mixing.LCG_C}) % {mixing.LCG_M} AS coord
+  FROM documents)
+SELECT CAST(coord % {N_SHARDS} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(coord) AS min_coord,
+       max(coord) AS max_coord,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes
+FROM c GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# M5 — multimodal payload-signature near-dup (pHash plumbing).
+#
+# The corpus is documents ∪ a simulated re-crawl (every 7th doc
+# re-ingested under a new id with an identical binary payload) — the
+# situation payload dedup exists for. The signature here is a 60-bit
+# md5 prefix of the raw bytes; a real perceptual hash (pHash/aHash over
+# the decoded image) drops into the same column and the banding / XOR
+# verify below is unchanged — banding on 4 signature substrings keeps
+# candidate generation an equi-join (SimHash's S-curve argument,
+# operators/dedup.py), and the Hamming verify runs only on band
+# collisions.
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 4
+_RECRAWL_OFFSET = 1_000_000
+_BANDS = [(1, 4), (5, 4), (9, 4), (13, 3)]  # 15 hex chars = 60 bits
+
+
+def m5_payload_sig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    h = F.md5(F.encode(F.col("text"), "utf-8"))
+    sig = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    bands = F.array(
+        *[F.substring(h, pos, ln) for pos, ln in _BANDS]
+    )
+    signed = corpus.select(
+        "doc_id", sig.alias("sig"), F.posexplode(bands).alias("band_idx", "band")
+    )
+    a, b = signed.alias("a"), signed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        .cast("int")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
+def _m5_oracle() -> str:
+    band_exprs = ", ".join(
+        f"substring(h, {pos}, {ln})" for pos, ln in _BANDS
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET}, text FROM documents WHERE doc_id % 7 = 0),
+sigs AS (
+  SELECT doc_id, md5(text) AS h FROM corpus),
+signed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(h, 1, 15) AS BIGINT) AS sig,
+         unnest([{band_exprs}]) AS band,
+         generate_subscripts([{band_exprs}], 1) AS band_idx
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM signed a JOIN signed b
+    ON a.band_idx = b.band_idx AND a.band = b.band
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+"""
+
+
+QUERIES: list[Query] = [
+    Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
+    Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
+    Query("llm_p6_domain_mix", p6_domain_mix, P6_ORACLE),
+    Query("llm_p7_shard_assign", p7_shard_assign, P7_ORACLE),
+    Query("llm_m5_payload_sig_dedup", m5_payload_sig_dedup, _m5_oracle()),
+]

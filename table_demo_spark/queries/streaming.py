@@ -587,6 +587,56 @@ GROUP BY user_id
 """
 
 
+def q16_hll_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import hll_estimate
+    from table_demo_spark.streaming.queries import run_q16_hll_sketch
+
+    with _state_partitions(spark):
+        sink, query = run_q16_hll_sketch(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return hll_estimate(sink.snapshot_df(spark), ["event_type"]).select(
+        "event_type", "n_registers", "est_distinct"
+    )
+
+
+def _q16_oracle() -> str:
+    # The streamed sketch's registers are bit-identical to the batch
+    # sketch's (max-merge is order/partition-invariant), so the oracle
+    # is the batch HLL formula over the whole events table.
+    from table_demo_spark.operators.sketch import (
+        ALPHA_M2_SCALED,
+        M_REGISTERS,
+        RANK_CAP,
+        VALUE_HEX,
+    )
+
+    full_rank = VALUE_HEX * 4 + 1
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS tok FROM events
+),
+bits AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(tok), 1, 2) AS BIGINT) AS bucket,
+         CAST('0x' || substring(md5(tok), 3, {VALUE_HEX}) AS BIGINT) AS val
+  FROM v),
+ranks AS (
+  SELECT event_type, bucket,
+         least(CASE WHEN val > 0 THEN {full_rank} - length(bin(val))
+                    ELSE {RANK_CAP} END, {RANK_CAP}) AS rank
+  FROM bits),
+regs AS (SELECT event_type, bucket, max(rank) AS m_j
+         FROM ranks GROUP BY 1, 2)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_registers,
+       CAST({ALPHA_M2_SCALED!r} AS DOUBLE)
+         / (sum(1::BIGINT << ({RANK_CAP} - m_j))
+            + ({M_REGISTERS} - count(*)) * (1::BIGINT << {RANK_CAP}))
+         AS est_distinct
+FROM regs GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -603,4 +653,5 @@ QUERIES: list[Query] = [
     Query("stream_q13_sliding_window", q13_sliding_final, Q13_SLIDING_ORACLE),
     Query("stream_q14_topk", q14_topk_final, Q14_TOPK_ORACLE),
     Query("stream_q15_running_totals", q15_running_totals_final, Q15_TOTALS_ORACLE),
+    Query("stream_q16_hll_distinct", q16_hll_final, _q16_oracle()),
 ]

@@ -710,7 +710,10 @@ class ParquetHistogramSink:
             shutil.rmtree(old, ignore_errors=True)
 
     def snapshot_df(self, spark: SparkSession) -> DataFrame:
-        assert self.current_dir is not None, "no batch written yet"
+        if self.current_dir is None:
+            # no deltas ever crossed the threshold (legitimate at small
+            # scale) — the histogram is empty, not an error
+            return spark.createDataFrame([], "dept_cnt long, cnt_freq long")
         return spark.read.parquet(self.current_dir)
 
     def count(self, spark: SparkSession = None) -> int:
@@ -1372,4 +1375,131 @@ def run_q15_running_totals(
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q16 streaming — continuous distinct-count via a mergeable HLL sketch.
+#
+# The scale-native answer to "how many distinct users so far, per
+# event type" on an unbounded stream: COUNT(DISTINCT) state grows with
+# the key domain, but HLL registers are FIXED-SIZE (groups x 256 rows)
+# and merge by per-bucket max — associative, commutative, IDEMPOTENT.
+# Idempotence is the operational win over the delta-histogram sink
+# (ParquetHistogramSink above): a replayed micro-batch cannot move a
+# register backward, so no batch-id replay guard is needed; merging is
+# safe under at-least-once delivery by construction. Because the
+# registers are bit-deterministic (operators/sketch.py), the streamed
+# sketch equals the batch sketch exactly — a full hash-check oracle on
+# an *approximate* operator.
+# ---------------------------------------------------------------------------
+class ParquetSketchSink:
+    """Durable HLL register store: (group..., bucket, m_j) maintained
+    by distributed max-merge per micro-batch, generation-flip writes so
+    readers never see a half-written table."""
+
+    def __init__(self, path: str, group_cols: tuple[str, ...]):
+        import os
+        import re
+
+        self.path = path
+        self.group_cols = list(group_cols)
+        os.makedirs(path, exist_ok=True)
+        gens = [
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"gen=(\d+)", d))
+        ]
+        self._gen = max(gens, default=0)
+        self._spark = None
+
+    def _gen_dir(self, gen: int) -> str:
+        return f"{self.path}/gen={gen}"
+
+    @property
+    def current_dir(self) -> str | None:
+        return self._gen_dir(self._gen) if self._gen > 0 else None
+
+    def apply_batch(self, batch_regs: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        self._spark = batch_regs.sparkSession
+        if batch_regs.isEmpty():
+            return
+        if self.current_dir is not None:
+            cur = self._spark.read.parquet(self.current_dir)
+            merged = cur.unionByName(batch_regs)
+        else:
+            merged = batch_regs
+        regs = merged.groupBy(*self.group_cols, "bucket").agg(
+            F.max("m_j").alias("m_j")
+        )
+        nxt = self._gen_dir(self._gen + 1)
+        regs.write.mode("overwrite").parquet(nxt)
+        old = self.current_dir
+        self._gen += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def count(self, spark: SparkSession = None) -> int:
+        """Footer-metadata register count (no Spark job)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        for _ in range(8):  # generation may flip mid-read; retry
+            d = self.current_dir
+            if d is None:
+                return 0
+            try:
+                return sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                )
+            except FileNotFoundError:
+                continue
+        return 0
+
+    def snapshot_df(self, spark: SparkSession) -> DataFrame:
+        if self.current_dir is None:
+            # an empty stream has an empty sketch, not an error
+            cols = ", ".join(f"{c} string" for c in self.group_cols)
+            return spark.createDataFrame([], f"{cols}, bucket int, m_j int")
+        return spark.read.parquet(self.current_dir)
+
+
+def run_q16_hll_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink: "ParquetSketchSink | None" = None,
+):
+    """Continuous per-event-type distinct-user sketch. Each micro-batch
+    computes its partial registers DISTRIBUTED (map-side-combined max),
+    then max-merges them into the durable store — O(groups x 256) state
+    regardless of stream length. Returns (sink, query)."""
+    import tempfile
+
+    from table_demo_spark.operators.sketch import hll_registers
+
+    ckpt = _checkpoint_dir()
+    ev = _replay_events(spark, sf_dir, speed, frontier_key=ckpt).select(
+        "event_type", "user_id"
+    )
+    sink = sink if sink is not None else ParquetSketchSink(
+        tempfile.mkdtemp(prefix="tds-q16-"), ("event_type",)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink.apply_batch(
+            hll_registers(batch_df, ["event_type"], "user_id"), batch_id
+        )
+
+    query = (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(handle)
+        .start()
+    )
     return sink, query

@@ -412,3 +412,78 @@ def test_compact_files_reduces_count(spark):
     a = sorted(r.event_id for r in spark.read.parquet(f"{base}/out").collect())
     b = sorted(r.event_id for r in ev.collect())
     assert a == b
+
+
+def test_substring_dup_stats_edges(spark):
+    from table_demo_spark.operators.chunking import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),  # windows: abcdefgh, bcdefghi
+            (2, "a b c d e f g h x"),  # shares window 1 with doc 1
+            (3, "q r s"),              # < K tokens -> zero windows
+            (4, "z " * 4),             # < K tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in substring_dup_stats(docs, "text", k=8).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_chunk_documents_geometry(spark):
+    from table_demo_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, "text", size=32, stride=24).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 70 tokens, stride 24 -> starts 1, 25, 49; last chunk truncated
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in rows] == [
+        (1, 32),
+        (25, 32),
+        (49, 22),
+    ]
+    # neighbouring chunks overlap by size - stride = 8 tokens
+    assert rows[0]["chunk_sig"] != rows[1]["chunk_sig"]
+
+
+def test_domain_mix_rate_cap_and_determinism(spark):
+    from table_demo_spark.operators.mixing import domain_mix, domain_mix_rows
+
+    rows = [(i, "small" if i < 4 else "big") for i in range(104)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = F.when(F.col("source") == "small", F.lit(10.0)).otherwise(F.lit(1.0))
+    rep = {r["source"]: r for r in domain_mix(df, "source", w, 0.5).collect()}
+    # small domain's target (0.5*104*10/11 ~ 47) exceeds its 4 rows:
+    # rate capped at 1.0, all rows kept — never upsampled
+    assert rep["small"]["rate"] == 1.0
+    assert rep["small"]["n_kept"] == 4
+    assert 0.0 < rep["big"]["rate"] < 1.0
+    # membership is a pure hash of the row: stable under repartitioning
+    a = {r["doc_id"] for r in domain_mix_rows(df, "source", w, 0.5).collect()}
+    b = {
+        r["doc_id"]
+        for r in domain_mix_rows(
+            df.repartition(13), "source", w, 0.5
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shard_assign_covers_all_shards(spark):
+    from table_demo_spark.operators.mixing import shard_balance_report
+
+    df = spark.range(0, 512).withColumnRenamed("id", "k")
+    rep = shard_balance_report(df, "k", 8).collect()
+    assert {r["shard"] for r in rep} == set(range(8))
+    assert sum(r["n_rows"] for r in rep) == 512
