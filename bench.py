@@ -77,6 +77,9 @@ HEADLINE = [
     "llm_m5_payload_sig_dedup",
     "an_a37_date_spine",
     "stream_q16_hll_distinct",
+    "llm_d14_url_dedup",
+    "an_a38_multi_predicate",
+    "an_a39_time_travel_diff",
 ]
 
 

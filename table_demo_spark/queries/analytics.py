@@ -1536,6 +1536,143 @@ FROM spine s LEFT JOIN daily ON s.day = daily.day
 """
 
 
+# ---------------------------------------------------------------------------
+# A38 — disjunctive multi-predicate scan (TPC-H Q19 shape).
+#
+# OR-of-AND predicate groups spanning a fact⋈dim join. The plan
+# properties that matter at 100 TB: the lineitem-only conjuncts
+# (l_quantity ranges) are extracted by Catalyst from the disjunction
+# and pushed to the fact scan as a derived filter, part broadcasts
+# (200k rows), and the whole residual predicate evaluates inside
+# whole-stage codegen — no UDF, no second pass.
+# ---------------------------------------------------------------------------
+def a38_multi_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    g3 = (F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40)
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(g1 | g2 | g3)
+        .withColumn(
+            "match_group",
+            F.when(g1, "brand1_small").when(g2, "brand2_mid").otherwise("promo_bulk"),
+        )
+        .groupBy("match_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+A38_ORACLE = """
+WITH m AS (
+  SELECT CASE
+           WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20 THEN 'brand1_small'
+           WHEN p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 35 THEN 'brand2_mid'
+           WHEN p_type = 'PROMO' AND l_quantity >= 40 THEN 'promo_bulk'
+         END AS match_group,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT match_group, count(*) AS n_items,
+       CAST(sum(revenue) AS DOUBLE) AS revenue
+FROM m WHERE match_group IS NOT NULL
+GROUP BY match_group
+"""
+
+
+# ---------------------------------------------------------------------------
+# A39 — time-travel snapshot diff over a versioned table.
+#
+# version 1 = the base orders projection; version 2 = the same table
+# after the a31 MERGE changeset. Both snapshots round-trip through a
+# VersionedParquetTable (retained version=N directories), then the
+# query reads v1 and v2 back BY VERSION and diffs them per status —
+# the "what changed between snapshots" audit a lakehouse VERSION AS OF
+# exists for. Decimal-cast sums keep the price delta bit-exact at any
+# aggregation parallelism.
+# ---------------------------------------------------------------------------
+def a39_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from table_demo_spark.operators.layout import VersionedParquetTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tbl = VersionedParquetTable(tempfile.mkdtemp(prefix="tds-a39-"))
+    tbl.write_version(base)
+    tbl.write_version(a31_merge_into(spark, sf_dir))
+
+    def _stats(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(_dec("o_totalprice")).alias(s),
+        )
+
+    v1 = _stats(tbl.read_version(spark, 1), "n_v1", "sum_v1")
+    v2 = _stats(tbl.read_version(spark, 2), "n_v2", "sum_v2")
+    return (
+        v1.join(v2, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+            (
+                F.coalesce("sum_v2", F.lit(0).cast("decimal(18,2)"))
+                - F.coalesce("sum_v1", F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("price_delta"),
+        )
+    )
+
+
+# the merged-state CTE is A31's oracle re-scoped as a named CTE
+_A39_MERGED = (
+    A31_ORACLE.strip()
+    .removeprefix("WITH ")
+    .replace(")\nSELECT", "),\nmerged AS (SELECT", 1)
+    + ")"
+)
+
+A39_ORACLE = f"""
+WITH {_A39_MERGED},
+v1 AS (
+  SELECT o_orderstatus, count(*) AS n_v1,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_v1
+  FROM orders GROUP BY 1),
+v2 AS (
+  SELECT o_orderstatus, count(*) AS n_v2,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_v2
+  FROM merged GROUP BY 1)
+SELECT coalesce(v1.o_orderstatus, v2.o_orderstatus) AS o_orderstatus,
+       coalesce(n_v1, 0) AS n_v1,
+       coalesce(n_v2, 0) AS n_v2,
+       CAST(coalesce(sum_v2, CAST(0 AS DECIMAL(18,2)))
+            - coalesce(sum_v1, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_delta
+FROM v1 FULL OUTER JOIN v2 USING (o_orderstatus)
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1574,4 +1711,6 @@ QUERIES: list[Query] = [
     Query("an_a35_funnel", a35_funnel, A35_ORACLE),
     Query("an_a36_scd2_history", a36_scd2_history, A36_ORACLE),
     Query("an_a37_date_spine", a37_date_spine, A37_ORACLE),
+    Query("an_a38_multi_predicate", a38_multi_predicate, A38_ORACLE),
+    Query("an_a39_time_travel_diff", a39_time_travel_diff, A39_ORACLE),
 ]

@@ -234,10 +234,85 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
 """
 
 
+# ---------------------------------------------------------------------------
+# D14 — URL canonicalization dedup.
+#
+# The fixture has no URL column, so crawl-shaped URLs are synthesized
+# deterministically from (source, doc_id): mixed-case host, www
+# prefix, trailing slash, tracking params, fragment — exactly the
+# variance canonicalization exists to collapse. The operator itself
+# (functions/text.py canonical_url) is the real thing: pure native
+# regex/array projection, one groupBy on the canonical key.
+# ---------------------------------------------------------------------------
+
+
+def _synth_url():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/Articles/"),
+        (d % 50).cast("string"),
+        F.lit("/?utm_source=feed&ref=r"),
+        (d % 2).cast("string"),
+        F.lit("&utm_campaign=c"),
+        (d % 3).cast("string"),
+        F.lit("#sec"),
+        (d % 5).cast("string"),
+    )
+
+
+def d14_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", canonical_url(_synth_url()).alias("canonical_url")
+    )
+    return urls.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+D14_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://WWW.' || source || '.Example.COM/Articles/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || '/?utm_source=feed&ref=r' || CAST(doc_id % 2 AS VARCHAR)
+           || '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+           || '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         'https://'
+         || regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                           '^www\\.', '')
+         || regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                           '/$', '')
+         || CASE WHEN array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        x -> NOT regexp_matches(x, '^(utm_|fbclid|gclid|msclkid)')
+                             AND x <> '')), '&') <> ''
+                 THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        x -> NOT regexp_matches(x, '^(utm_|fbclid|gclid|msclkid)')
+                             AND x <> '')), '&')
+                 ELSE '' END AS canonical_url
+  FROM u)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS canonical_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
     Query("llm_p6_domain_mix", p6_domain_mix, P6_ORACLE),
     Query("llm_p7_shard_assign", p7_shard_assign, P7_ORACLE),
     Query("llm_m5_payload_sig_dedup", m5_payload_sig_dedup, _m5_oracle()),
+    Query("llm_d14_url_dedup", d14_url_dedup, D14_ORACLE),
 ]

@@ -487,3 +487,22 @@ def test_shard_assign_covers_all_shards(spark):
     rep = shard_balance_report(df, "k", 8).collect()
     assert {r["shard"] for r in rep} == set(range(8))
     assert sum(r["n_rows"] for r in rep) == 512
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from table_demo_spark.operators.layout import VersionedParquetTable
+
+    tbl = VersionedParquetTable(str(tmp_path / "vt"))
+    df1 = spark.range(0, 5).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 9).withColumnRenamed("id", "k")
+    assert tbl.write_version(df1) == 1
+    assert tbl.write_version(df2) == 2
+    assert tbl.history() == [1, 2]
+    # snapshot reads pin a version; latest is the default
+    assert tbl.read_version(spark, 1).count() == 5
+    assert tbl.read_version(spark).count() == 9
+    # historical versions are immutable — no overwrite path exists
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tbl.read_version(spark, 3)

@@ -334,3 +334,34 @@ def test_fuzzy_and_pq_have_no_cartesian_products(spark):
         plan = formatted_plan(_query(name)(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_substring_dedup_has_no_cartesian_and_partial_aggs(spark):
+    """d13 shuffles on the md5 window hash (uniform keys) and doc_id
+    only; candidate generation is equi-join shaped — no cross join —
+    and every aggregation is partial-before-final."""
+    plan = formatted_plan(_query("llm_d13_substring_dedup")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_chunker_is_shuffle_free(spark):
+    """p5 is one projection + generator over the scan: embarrassingly
+    parallel, zero Exchange nodes."""
+    plan = formatted_plan(_query("llm_p5_chunk_overlap")(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode executes JVM-side
+
+
+def test_shard_assignment_is_row_local(spark):
+    """p7's shard/coord derivation is pure row-local arithmetic — the
+    only Exchange is the final n_shards-key rollup."""
+    plan = formatted_plan(_query("llm_p7_shard_assign")(spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2  # partial->final of one rollup
+    assert "partial_count" in plan
+
+
+def test_domain_mix_keep_predicate_is_not_a_python_node(spark):
+    plan = formatted_plan(_query("llm_p6_domain_mix")(spark, SF_SMOKE))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
