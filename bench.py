@@ -80,6 +80,7 @@ HEADLINE = [
     "llm_d14_url_dedup",
     "an_a38_multi_predicate",
     "an_a39_time_travel_diff",
+    "stream_q17_fanout",
 ]
 
 

@@ -330,3 +330,40 @@ def canonical_url(url) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+
+
+def register_text_sql_functions(spark) -> None:
+    """SQL-dialect names for the text extension library.
+
+    Mirrors the reference's register-by-name UDF catalog
+    (TaxiRideQueries.scala:39-43) for the north-star operators, but via
+    Spark 4 SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>): the body is a native expression, so unlike
+    ``spark.udf.register`` of a Python callable the SQL dialect stays
+    whole-stage-codegen'd — zero Python anywhere. Idempotent
+    (CREATE OR REPLACE), like taxi.register_sql_functions.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(t STRING) "
+        "RETURNS INT RETURN size(split(trim(lower(t)), '\\\\s+'))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(t STRING) "
+        "RETURNS STRING RETURN md5(array_join(split(trim(lower(t)), '\\\\s+'), ' '))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION canonical_url(u STRING) "
+        "RETURNS STRING RETURN concat("
+        " 'https://',"
+        " regexp_replace(lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),"
+        "                '^www\\\\.', ''),"
+        " regexp_replace(regexp_extract(u, '^https?://[^/?#]+([^?#]*)', 1),"
+        "                '/$', ''),"
+        " CASE WHEN array_join(array_sort(filter("
+        "        split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),"
+        f"        x -> NOT x rlike '{TRACKING_PARAM_RE}' AND x != '')), '&') != ''"
+        "      THEN concat('?', array_join(array_sort(filter("
+        "        split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),"
+        f"        x -> NOT x rlike '{TRACKING_PARAM_RE}' AND x != '')), '&'))"
+        "      ELSE '' END)"
+    )

@@ -637,6 +637,67 @@ FROM regs GROUP BY event_type
 """
 
 
+def q17_fanout_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import hll_estimate
+    from table_demo_spark.streaming.queries import run_q17_fanout
+
+    with _state_partitions(spark):
+        archive, sketch, query = run_q17_fanout(
+            spark, sf_dir, speed=DRIVER_SPEED
+        )
+        _drain(query, lambda: archive.count(spark), quiet_polls=1)
+    counts = (
+        archive.snapshot_df(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    est = hll_estimate(sketch.snapshot_df(spark), ["event_type"]).select(
+        "event_type", "est_distinct"
+    )
+    return counts.join(est, "event_type").select(
+        "event_type", "n_events", F.col("est_distinct").alias("est_users")
+    )
+
+
+def _q17_oracle() -> str:
+    # archive count = plain per-type count; sketch estimate = the batch
+    # HLL formula (register max-merge is partition-invariant)
+    from table_demo_spark.operators.sketch import (
+        ALPHA_M2_SCALED,
+        M_REGISTERS,
+        RANK_CAP,
+        VALUE_HEX,
+    )
+
+    full_rank = VALUE_HEX * 4 + 1
+    return f"""
+WITH bits AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+           AS bucket,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, {VALUE_HEX})
+              AS BIGINT) AS val
+  FROM events),
+regs AS (
+  SELECT event_type, bucket,
+         max(least(CASE WHEN val > 0 THEN {full_rank} - length(bin(val))
+                        ELSE {RANK_CAP} END, {RANK_CAP})) AS m_j
+  FROM bits GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+         CAST({ALPHA_M2_SCALED!r} AS DOUBLE)
+           / (sum(1::BIGINT << ({RANK_CAP} - m_j))
+              + ({M_REGISTERS} - count(*)) * (1::BIGINT << {RANK_CAP}))
+           AS est_users
+  FROM regs GROUP BY event_type),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type)
+SELECT event_type, n_events, est_users
+FROM cnt JOIN est USING (event_type)
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -654,4 +715,5 @@ QUERIES: list[Query] = [
     Query("stream_q14_topk", q14_topk_final, Q14_TOPK_ORACLE),
     Query("stream_q15_running_totals", q15_running_totals_final, Q15_TOTALS_ORACLE),
     Query("stream_q16_hll_distinct", q16_hll_final, _q16_oracle()),
+    Query("stream_q17_fanout", q17_fanout_final, _q17_oracle()),
 ]

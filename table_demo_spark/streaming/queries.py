@@ -1503,3 +1503,92 @@ def run_q16_hll_sketch(
         .start()
     )
     return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q17 streaming — multi-sink fan-out from a single stream read.
+#
+# One replay stream, one foreachBatch, TWO durable materializations:
+# (a) a raw-event parquet archive and (b) the HLL register store of
+# q16. The batch is persisted once and both sinks consume it — the
+# scan/shuffle work is amortized across sinks instead of running one
+# streaming query per target (at 100 TB the source read dominates, so
+# N independent queries cost N reads; fan-out costs one). Each sink
+# keeps its own idempotency story under at-least-once delivery: the
+# archive writes each micro-batch to its own batch=<id> directory
+# (replay overwrites the same directory — same contents), and the
+# register max-merge is idempotent by algebra.
+# ---------------------------------------------------------------------------
+class ParquetBatchArchive:
+    """Append-archive written from foreachBatch: one batch=<id>
+    directory per micro-batch, hive-partitioned so the read path can
+    prune or audit by batch."""
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.path}/batch={batch_id}"
+        )
+
+    def count(self, spark: SparkSession = None) -> int:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{self.path}/batch=*/*.parquet")
+        )
+
+    def snapshot_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.path).parquet(
+            f"{self.path}/batch=*"
+        )
+
+
+def run_q17_fanout(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    archive: "ParquetBatchArchive | None" = None,
+    sketch: "ParquetSketchSink | None" = None,
+):
+    """Single stream -> (raw archive, HLL register store). Returns
+    (archive, sketch, query)."""
+    import tempfile
+
+    from table_demo_spark.operators.sketch import hll_registers
+
+    ckpt = _checkpoint_dir()
+    ev = _replay_events(spark, sf_dir, speed, frontier_key=ckpt).select(
+        "event_id", "event_type", "user_id"
+    )
+    archive = archive if archive is not None else ParquetBatchArchive(
+        tempfile.mkdtemp(prefix="tds-q17-archive-")
+    )
+    sketch = sketch if sketch is not None else ParquetSketchSink(
+        tempfile.mkdtemp(prefix="tds-q17-sketch-"), ("event_type",)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            archive.apply_batch(batch_df, batch_id)
+            sketch.apply_batch(
+                hll_registers(batch_df, ["event_type"], "user_id"), batch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    query = (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(handle)
+        .start()
+    )
+    return archive, sketch, query

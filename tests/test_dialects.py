@@ -82,3 +82,42 @@ def test_reference_udf_names_callable_from_sql(spark):
         math.floor((abs(-74.05) - abs(-74.0)) / 0.0014)
         + math.floor((41.0 - 40.75) / 0.00125) * 250
     )
+
+
+def test_text_sql_functions_match_column_library(spark):
+    """SQL-registered extension functions (Spark 4 SQL scalar UDFs,
+    native-expression bodies) agree with the Column library, and the
+    SQL dialect stays Python-free."""
+    from table_demo_spark.functions import text as T
+    from table_demo_spark.functions.text import register_text_sql_functions
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    register_text_sql_functions(spark)
+    register_text_sql_functions(spark)  # idempotent re-registration
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    docs.createOrReplaceTempView("d_sqludf")
+    url = (
+        "concat('https://WWW.', source, '.Ex.COM/A/', "
+        "CAST(doc_id % 7 AS STRING), '/?utm_x=1&b=2&a=', "
+        "CAST(doc_id % 3 AS STRING), '#f')"
+    )
+    via_sql = spark.sql(
+        f"SELECT doc_id, ws_token_count(text) AS n, "
+        f"doc_fingerprint(text) AS fp, canonical_url({url}) AS cu "
+        f"FROM d_sqludf"
+    )
+    import pyspark.sql.functions as F
+
+    from table_demo_spark.functions.text import canonical_url, tokens
+
+    via_col = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n"),
+        F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
+        canonical_url(F.expr(url)).alias("cu"),
+    )
+    assert via_sql.exceptAll(via_col).count() == 0
+    assert via_col.exceptAll(via_sql).count() == 0
+    plan = via_sql._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -606,3 +606,34 @@ def test_upsert_key_inference_ignores_window_lookalike_columns(spark):
     plan = infer_plan(agg)
     assert plan.upsert_keys == ("window_type",)
     assert plan.output_mode == "update"
+
+
+def test_fanout_sinks_are_idempotent_under_batch_replay(spark, tmp_path):
+    """at-least-once delivery: re-delivering a micro-batch must leave
+    both fan-out sinks unchanged (archive: same batch=<id> dir
+    overwritten with same contents; registers: max-merge idempotent)."""
+    from table_demo_spark.operators.sketch import hll_registers
+    from table_demo_spark.streaming.queries import (
+        ParquetBatchArchive,
+        ParquetSketchSink,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "click", 10), (2, "view", 11), (3, "click", 10)],
+        "event_id long, event_type string, user_id long",
+    )
+    archive = ParquetBatchArchive(str(tmp_path / "arch"))
+    sketch = ParquetSketchSink(str(tmp_path / "sk"), ("event_type",))
+    for _ in range(2):  # deliver batch 0 twice
+        archive.apply_batch(batch, 0)
+        sketch.apply_batch(hll_registers(batch, ["event_type"], "user_id"), 0)
+    assert archive.count() == 3
+    regs = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in sketch.snapshot_df(spark).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in hll_registers(batch, ["event_type"], "user_id").collect()
+    }
+    assert regs == want
