@@ -81,6 +81,8 @@ HEADLINE = [
     "an_a38_multi_predicate",
     "an_a39_time_travel_diff",
     "stream_q17_fanout",
+    "an_a40_cohort_retention",
+    "llm_p8_epoch_plan",
 ]
 
 

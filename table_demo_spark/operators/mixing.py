@@ -163,3 +163,77 @@ def shard_balance_report(
     if bytes_col is not None:
         aggs.append(F.sum(F.col(bytes_col)).cast("long").alias("n_bytes"))
     return sharded.groupBy("shard").agg(*aggs)
+
+
+def epoch_plan(
+    df: DataFrame,
+    domain_col: str,
+    weight: Column,
+    budget_factor: float,
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Oversampling plan: epochs + fractional pass per domain.
+
+    The counterpart to :func:`domain_mix` for targets LARGER than the
+    corpus: a domain whose target exceeds its size is repeated
+    ``full_epochs`` times wholesale plus one deterministic fractional
+    pass (hash-sampled at ``frac_rate``), the standard epoch-based
+    up-sampling rule for training mixes. Returns per-domain
+    (domain, n_domain, target_n, full_epochs, frac_rate, n_effective)
+    where n_effective = full_epochs * n_domain + |fractional pass| —
+    the materialization itself is a union of full copies + the sampled
+    remainder, all deterministic.
+
+    Scale shape: identical to domain_mix — one tiny per-domain
+    aggregate, broadcast back, row-local hash predicate for the
+    fractional membership."""
+    sizes = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_domain"),
+        F.first(weight).alias("w"),
+    )
+    tot = F.sum("n_domain").over(Window.partitionBy())
+    wsum = F.sum("w").over(Window.partitionBy())
+    plan = sizes.select(
+        domain_col,
+        "n_domain",
+        (
+            F.lit(budget_factor) * tot * (F.col("w") / wsum)
+        ).alias("target_n"),
+    ).select(
+        domain_col,
+        "n_domain",
+        "target_n",
+        F.floor(F.col("target_n") / F.col("n_domain")).cast("long").alias(
+            "full_epochs"
+        ),
+        (
+            F.col("target_n") / F.col("n_domain")
+            - F.floor(F.col("target_n") / F.col("n_domain"))
+        ).alias("frac_rate"),
+    )
+    coord = sample_hash_expr(F.col(key_col), salt)
+    thr = F.format_string(
+        f"%0{_HEX_WIDTH}x",
+        F.floor(F.col("frac_rate") * F.lit(float(16**_HEX_WIDTH))).cast("int"),
+    )
+    frac_kept = (
+        df.join(plan, domain_col)
+        .filter(coord < thr)
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frac"))
+    )
+    return (
+        plan.join(frac_kept, domain_col, "left")
+        .select(
+            domain_col,
+            "n_domain",
+            "target_n",
+            "full_epochs",
+            "frac_rate",
+            (
+                F.col("full_epochs") * F.col("n_domain")
+                + F.coalesce("n_frac", F.lit(0).cast("long"))
+            ).alias("n_effective"),
+        )
+    )

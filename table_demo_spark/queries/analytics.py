@@ -1673,6 +1673,45 @@ FROM v1 FULL OUTER JOIN v2 USING (o_orderstatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# A40 — cohort retention.
+#
+# The classic product-analytics rollup: users are cohorted by their
+# first active day; retention counts how many of each cohort are
+# active N days later. Two aggregations and one join — the cohort
+# frame is one row per user (broadcastable at any realistic user
+# count relative to the event fact), and the day index is exact
+# integer epoch-day arithmetic, portable to the oracle verbatim.
+# ---------------------------------------------------------------------------
+def a40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000)
+           ).cast("long")
+    active = ev.select("user_id", day.alias("d")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+A40_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(date_trunc('day', ts)) // 86400000 AS d
+  FROM events),
+cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM active GROUP BY user_id)
+SELECT cohort_day, d - cohort_day AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM active JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1713,4 +1752,5 @@ QUERIES: list[Query] = [
     Query("an_a37_date_spine", a37_date_spine, A37_ORACLE),
     Query("an_a38_multi_predicate", a38_multi_predicate, A38_ORACLE),
     Query("an_a39_time_travel_diff", a39_time_travel_diff, A39_ORACLE),
+    Query("an_a40_cohort_retention", a40_cohort_retention, A40_ORACLE),
 ]

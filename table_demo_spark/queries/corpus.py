@@ -308,6 +308,46 @@ FROM canon GROUP BY canonical_url
 """
 
 
+# ---------------------------------------------------------------------------
+# P8 — epoch oversampling plan (the up-sampling counterpart to P6).
+# ---------------------------------------------------------------------------
+EPOCH_BUDGET = 2.2
+
+
+def p8_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing.epoch_plan(docs, "source", _weight(), EPOCH_BUDGET)
+
+
+P8_ORACLE = f"""
+WITH sizes AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_domain,
+         CAST(1 + (CAST(substring(source, 4) AS INT) % 4) AS DOUBLE) AS w
+  FROM documents GROUP BY source),
+plan AS (
+  SELECT source, n_domain,
+         CAST({EPOCH_BUDGET} AS DOUBLE)
+           * (SELECT sum(n_domain) FROM sizes)
+           * (w / (SELECT sum(w) FROM sizes)) AS target_n
+  FROM sizes),
+plan2 AS (
+  SELECT source, n_domain, target_n,
+         CAST(floor(target_n / n_domain) AS BIGINT) AS full_epochs,
+         target_n / n_domain - floor(target_n / n_domain) AS frac_rate
+  FROM plan),
+frac AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_frac
+  FROM documents d JOIN plan2 p USING (source)
+  WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 1, 6)
+        < printf('%06x', CAST(floor(frac_rate * 16777216.0) AS INT))
+  GROUP BY d.source)
+SELECT p.source, p.n_domain, p.target_n, p.full_epochs, p.frac_rate,
+       p.full_epochs * p.n_domain + coalesce(f.n_frac, 0) AS n_effective
+FROM plan2 p LEFT JOIN frac f USING (source)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -315,4 +355,5 @@ QUERIES: list[Query] = [
     Query("llm_p7_shard_assign", p7_shard_assign, P7_ORACLE),
     Query("llm_m5_payload_sig_dedup", m5_payload_sig_dedup, _m5_oracle()),
     Query("llm_d14_url_dedup", d14_url_dedup, D14_ORACLE),
+    Query("llm_p8_epoch_plan", p8_epoch_plan, P8_ORACLE),
 ]
