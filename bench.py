@@ -83,6 +83,7 @@ HEADLINE = [
     "stream_q17_fanout",
     "an_a40_cohort_retention",
     "llm_p8_epoch_plan",
+    "an_a41_pagerank",
 ]
 
 

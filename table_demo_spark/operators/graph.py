@@ -1,0 +1,69 @@
+"""Distributed graph operators: PageRank by unrolled relational steps.
+
+PageRank is the canonical "iterative compute on a relational engine"
+shape (alongside the connected-components dedup clustering in
+operators/dedup.py and the k-means refinement in similarity.py): each
+iteration is one equi-join (edge ⋈ rank on src) + one aggregation
+(contributions by dst) + one left join back to the node set. Unrolling
+a fixed iteration count into a single plan lets Catalyst pipeline the
+iterations and keeps the whole computation declarative — no driver
+loop over actions, no RDDs.
+
+Determinism: float contribution sums are summation-order dependent at
+the 1e-16 level, so each iteration's rank is rounded to 9 decimals —
+absorbing partitioning noise while leaving the semantics intact (the
+same discipline as the k-means oracle's round(avg, 6); ranks are
+O(1/N) with per-sum error ~1e-15, far below the rounding grain).
+
+Scale shape: ranks and degrees are O(|V|) frames hash-partitioned by
+node id; contributions shuffle on dst — the same key every iteration,
+so a real deployment co-partitions edges once and every join after
+that is shuffle-free on the edge side. Dangling nodes (outdeg 0) are
+not redistributed — callers ensure none exist (an undirected edge set
+has none) or accept the rank leak, as documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ROUND = 9
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> DataFrame:
+    """Ranks after ``iters`` power iterations from the uniform vector.
+
+    ``edges``: (src, dst) pairs, pre-deduplicated; every node must
+    appear as a src (undirected graphs: include both directions).
+    Returns (node, pr)."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_frame = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    pr = nodes.crossJoin(n_frame).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        pr = (
+            nodes.crossJoin(n_frame)
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "n",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
+                    ROUND,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

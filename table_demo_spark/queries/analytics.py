@@ -1712,6 +1712,85 @@ GROUP BY cohort_day, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# A41 — PageRank over the customer–supplier interaction graph.
+#
+# Nodes: customers and suppliers; undirected edges wherever a customer
+# ordered from a supplier (distinct pairs via orders ⋈ lineitem, both
+# directions materialized so no node dangles). Three power iterations
+# unrolled into one declarative plan (operators/graph.py); the oracle
+# unrolls the identical iterations in SQL, kmeans-style.
+# ---------------------------------------------------------------------------
+_A41_ITERS = 3
+_A41_TOPK = 20
+
+
+def a41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=_A41_ITERS)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _A41_TOPK)
+        .select("rank", "node", "pr")
+    )
+
+
+def _a41_oracle() -> str:
+    from table_demo_spark.operators.graph import DAMPING, ROUND
+
+    parts = [
+        """pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _A41_ITERS + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.dst, sum(p.pr / o.outdeg) AS c
+  FROM edges e JOIN pr{i - 1} p ON e.src = p.node
+               JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+pr{i} AS (
+  SELECT node,
+         round(CAST({1.0 - DAMPING} AS DOUBLE) / n
+               + CAST({DAMPING} AS DOUBLE) * coalesce(c, 0.0), {ROUND}) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON node = c{i}.dst)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT rank, node, pr FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pr DESC, node ASC) AS BIGINT)
+           AS rank,
+         node, pr
+  FROM pr{_A41_ITERS})
+WHERE rank <= {_A41_TOPK}
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1753,4 +1832,5 @@ QUERIES: list[Query] = [
     Query("an_a38_multi_predicate", a38_multi_predicate, A38_ORACLE),
     Query("an_a39_time_travel_diff", a39_time_travel_diff, A39_ORACLE),
     Query("an_a40_cohort_retention", a40_cohort_retention, A40_ORACLE),
+    Query("an_a41_pagerank", a41_pagerank, _a41_oracle()),
 ]

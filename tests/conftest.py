@@ -28,3 +28,10 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_lazy(spark):
+    """Callable returning the session — lets hypothesis-driven tests
+    take the (function-scope-incompatible) session fixture lazily."""
+    return lambda: spark

@@ -108,3 +108,98 @@ def test_hour_of_day_and_to_long(spark):
     for r in df.collect():
         assert r["mod"] == r["ms"] % 86_400_000  # TaxiFunctions.scala:84
         assert r["back"] == r["ms"]  # toLong is epoch-ms, not seconds
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operator properties: chunk coverage, URL canonicalization
+# idempotence, LCG shard stability. Hypothesis generates the inputs;
+# one Spark job evaluates the whole batch (properties are cheap, the
+# session round-trip is not).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=2, max_value=64),
+    overlap=st.integers(min_value=0, max_value=32),
+)
+def test_chunk_geometry_properties(n_tokens, size, overlap):
+    """Pure-geometry property (no Spark needed): starts 1, 1+stride, …
+    cover every token index, neighbouring chunks overlap by
+    size - stride, and no chunk is empty."""
+    stride = max(1, size - overlap)
+    starts = list(range(1, n_tokens + 1, stride))
+    covered = set()
+    for s in starts:
+        chunk = range(s, min(s + size - 1, n_tokens) + 1)
+        assert len(chunk) > 0
+        covered.update(chunk)
+    assert covered == set(range(1, n_tokens + 1))
+    for a, b in zip(starts, starts[1:]):
+        got_overlap = max(0, (a + size - 1) - b + 1)
+        assert got_overlap == max(0, size - stride) or a + size - 1 >= n_tokens
+
+
+_url_part = st.text(
+    alphabet="abcdefgzXYZ019", min_size=1, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    host=_url_part,
+    path=st.lists(_url_part, max_size=3),
+    www=st.booleans(),
+    params=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "utm_x", "gclid", "z"]), _url_part),
+        max_size=4,
+    ),
+    frag=st.booleans(),
+)
+def test_canonical_url_is_idempotent_and_order_insensitive(
+    spark_lazy, host, path, www, params, frag
+):
+    from table_demo_spark.functions.text import canonical_url
+
+    spark = spark_lazy()
+    base = ("https://" + ("WWW." if www else "") + host + ".eX.com/"
+            + "/".join(path))
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = base + (("?" + q) if q else "") + ("#f" if frag else "")
+    url_rev = base + (
+        ("?" + "&".join(f"{k}={v}" for k, v in reversed(params))) if q else ""
+    )
+    rows = (
+        spark.createDataFrame([(url, url_rev)], "u string, v string")
+        .select(
+            canonical_url("u").alias("cu"),
+            canonical_url("v").alias("cv"),
+        )
+        .collect()[0]
+    )
+    # param order never splits dedup groups
+    assert rows["cu"] == rows["cv"]
+    # canonical form is a fixed point
+    fixed = (
+        spark.createDataFrame([(rows["cu"],)], "u string")
+        .select(canonical_url("u").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert fixed == rows["cu"]
+    assert "#" not in rows["cu"] and "utm_" not in rows["cu"]
+    assert "gclid" not in rows["cu"]
+
+
+def test_lcg_shard_is_stable_under_repartition(spark):
+    from table_demo_spark.operators.mixing import shard_assign
+
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shard"] for r in shard_assign(df, "k", 16).collect()}
+    b = {
+        r["k"]: r["shard"]
+        for r in shard_assign(df.repartition(7), "k", 16).collect()
+    }
+    assert a == b
