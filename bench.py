@@ -84,6 +84,7 @@ HEADLINE = [
     "an_a40_cohort_retention",
     "llm_p8_epoch_plan",
     "an_a41_pagerank",
+    "an_a42_spatial_join",
 ]
 
 

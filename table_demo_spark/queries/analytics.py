@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
-from table_demo_spark.sources.batch import load_table
+from table_demo_spark.queries.reference import _RIDES_CTE, SQL_IN_NYC
+from table_demo_spark.sources.batch import load_table, rides_view
 
 
 def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
@@ -1791,6 +1792,104 @@ WHERE rank <= {_A41_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# A42 — grid-bucketed spatial join (point-in-polygon at scale).
+#
+# Naive point-in-box over N points x M zones is a cross join; the
+# scale shape maps each zone to the taxi grid cells it covers (a few
+# thousand cells per zone — a broadcastable dim regardless of point
+# count), equi-joins points on their cell id, and runs the exact
+# containment check only on cell collisions. Monotonicity of the cell
+# function guarantees the enumerated [x_lo..x_hi] x [y_lo..y_hi] cell
+# rectangle is a superset of the zone's cells — no false negatives;
+# false positives die in the exact verify. Zones may overlap (a point
+# counts in each zone containing it).
+# ---------------------------------------------------------------------------
+_ZONES = [
+    # (zone, lon_min, lon_max, lat_min, lat_max)
+    ("downtown", -74.02, -73.95, 40.70, 40.78),
+    ("midtown", -73.99, -73.90, 40.74, 40.85),
+    ("airport", -73.88, -73.80, 40.60, 40.70),
+    ("harbor", -74.05, -73.98, 40.55, 40.64),
+]
+
+
+def a42_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+
+    rides = rides_view(spark, sf_dir)
+    pts = rides.filter(
+        F.col("is_start") & in_nyc("start_lon", "start_lat")
+    ).select(
+        F.col("start_lon").alias("lon"),
+        F.col("start_lat").alias("lat"),
+        to_cell_id("start_lon", "start_lat").alias("cell"),
+    )
+    boxes = spark.createDataFrame(
+        _ZONES, "zone string, lon_min double, lon_max double, "
+        "lat_min double, lat_max double"
+    )
+    # zone -> covered cell rectangle (floor of the same grid formula at
+    # the box corners; monotone in lon/lat, hence a superset)
+    x_of = lambda lon: F.floor((F.lit(74.05) - F.abs(lon)) / F.lit(0.0014))
+    y_of = lambda lat: F.floor((F.lit(41.0) - lat) / F.lit(0.00125))
+    zone_cells = (
+        boxes.select(
+            "*",
+            F.explode(
+                F.sequence(x_of(F.col("lon_min")), x_of(F.col("lon_max")))
+            ).alias("x"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(y_of(F.col("lat_max")), y_of(F.col("lat_min")))
+            ).alias("y"),
+        )
+        .select(
+            "zone", "lon_min", "lon_max", "lat_min", "lat_max",
+            (F.col("x") + F.col("y") * 250).cast("int").alias("cell"),
+        )
+    )
+    hits = (
+        pts.join(F.broadcast(zone_cells), "cell")
+        .filter(
+            F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+            & F.col("lat").between(F.col("lat_min"), F.col("lat_max"))
+        )
+        .groupBy("zone")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    )
+    return boxes.select("zone").join(hits, "zone", "left").select(
+        "zone", F.coalesce("n_points", F.lit(0).cast("long")).alias("n_points")
+    )
+
+
+_A42_VALUES = ", ".join(
+    f"('{z}', CAST({a} AS DOUBLE), CAST({b} AS DOUBLE), "
+    f"CAST({c} AS DOUBLE), CAST({d} AS DOUBLE))"
+    for z, a, b, c, d in _ZONES
+)
+
+A42_ORACLE = f"""{_RIDES_CTE},
+pts AS (
+  SELECT start_lon AS lon, start_lat AS lat
+  FROM rides
+  WHERE is_start AND {SQL_IN_NYC.format(lon="start_lon", lat="start_lat")}),
+boxes AS (
+  SELECT * FROM (VALUES {_A42_VALUES})
+    AS b(zone, lon_min, lon_max, lat_min, lat_max)),
+hits AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n_points
+  FROM pts JOIN boxes
+    ON lon BETWEEN lon_min AND lon_max
+   AND lat BETWEEN lat_min AND lat_max
+  GROUP BY zone)
+SELECT b.zone, coalesce(h.n_points, 0) AS n_points
+FROM boxes b LEFT JOIN hits h USING (zone)
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1833,4 +1932,5 @@ QUERIES: list[Query] = [
     Query("an_a39_time_travel_diff", a39_time_travel_diff, A39_ORACLE),
     Query("an_a40_cohort_retention", a40_cohort_retention, A40_ORACLE),
     Query("an_a41_pagerank", a41_pagerank, _a41_oracle()),
+    Query("an_a42_spatial_join", a42_spatial_join, A42_ORACLE),
 ]

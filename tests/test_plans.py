@@ -365,3 +365,11 @@ def test_domain_mix_keep_predicate_is_not_a_python_node(spark):
     plan = formatted_plan(_query("llm_p6_domain_mix")(spark, SF_SMOKE))
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_spatial_join_is_bucketed_broadcast(spark):
+    """a42's point-in-zone runs as a broadcast equi-join on cell id —
+    never a cross join of points x zones."""
+    plan = formatted_plan(_query("an_a42_spatial_join")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
