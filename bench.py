@@ -85,6 +85,12 @@ HEADLINE = [
     "llm_p8_epoch_plan",
     "an_a41_pagerank",
     "an_a42_spatial_join",
+    "llm_d15_bloom_filter",
+    "llm_t15_bpe_pairs",
+    "llm_s8_rand_projection",
+    "llm_p9_weighted_sample",
+    "an_a43_skyline",
+    "an_a44_triangle_count",
 ]
 
 

@@ -76,3 +76,64 @@ def stratified_hash_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(strata == value, F.lit(rate_threshold_hex(rate))).otherwise(thr)
     return df.filter(coord < thr)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
+#
+# Pipelines often want "k docs per stratum, probability proportional
+# to weight" (length-weighted eval subsets, importance-weighted
+# mixture draws). A-Res makes that a pure rank: give each row priority
+# ln(u)/w with u ~ U(0,1] and keep the k largest per group — provably
+# equivalent to sequential weighted draws without replacement
+# (Efraimidis & Spirakis 2006). With u derived from md5 the draw is a
+# pure function of the row, so it is partitioning-stable and
+# reproducible cross-engine, same discipline as hash_sample above.
+#
+# Scale shape: per-row codegen'd priority + one top-k-per-group window
+# (map-side partial via rank pushdown at scale: a real deployment adds
+# a per-partition top-k before the shuffle; at fixture scale the plain
+# window is the honest plan). Priorities are rounded to 9 decimals so
+# the ln() ulp gap between engines can't flip a rank boundary; ties
+# (astronomically rare post-round) break on the key.
+# ---------------------------------------------------------------------------
+
+_U_WIDTH = 6  # 24 bits of md5 -> u in (0, 1], resolution 1/16^6
+_PRIORITY_ROUND = 9
+
+
+def weighted_priority(key: Column, weight: Column, salt: str) -> Column:
+    """round(ln((h+1)/16^6) / w, 9) — h the 24-bit md5 prefix. +1 keeps
+    u > 0 (ln defined) and makes u=1 reachable, matching U(0,1]."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"#{salt}"))), 1, _U_WIDTH
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**_U_WIDTH))
+    return F.round(F.log(u) / weight.cast("double"), _PRIORITY_ROUND)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Top-k per group by A-Res priority (desc), key asc on ties.
+    Weights must be > 0. Adds ``draw_rank``; drops the float priority
+    from the output so downstream comparisons stay integer/string."""
+    from pyspark.sql import Window
+
+    pr = weighted_priority(F.col(key_col), F.col(weight_col), salt)
+    w = Window.partitionBy(group_col).orderBy(
+        pr.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("draw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("draw_rank") <= k)
+    )

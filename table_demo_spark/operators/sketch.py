@@ -181,3 +181,83 @@ def cms_heavy_hitters(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a broadcastable relational bitset.
+#
+# The classical training-data use: "have we already crawled/ingested
+# this document?" against a reference corpus too big to equi-join
+# per-probe. The filter state here is the SET of set-bit positions —
+# at most BLOOM_M rows no matter how many keys were inserted — so the
+# membership test is a broadcast join, never a shuffle of the probe
+# side against the reference side. Positions are md5-derived
+# (BLOOM_M = 16^BLOOM_M_HEX, so a hex prefix IS the position — no
+# modulo bias, and the DuckDB oracle states the identical arithmetic).
+#
+# Scale shape: build = one narrow pass over the reference + a
+# <=BLOOM_M-row distinct; probe = codegen'd position computation + a
+# broadcast left join + a count-per-key agg. False positives are the
+# documented price (P ~ (1 - e^(-kn/m))^k); the fixture query surfaces
+# them explicitly (bloom_hit vs true_member).
+# ---------------------------------------------------------------------------
+
+BLOOM_M_HEX = 3  # 3 hex chars -> m = 4096 bit positions
+BLOOM_M = 16**BLOOM_M_HEX
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_positions(key, salt: str, k: int):
+    """Array of k bit positions for a key: position_i is the first
+    BLOOM_M_HEX hex chars of md5(key#salt<i>) parsed base-16."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f"#{salt}{i}"))),
+                    1,
+                    BLOOM_M_HEX,
+                ),
+                16,
+                10,
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, salt: str = "bloom", k: int = BLOOM_K
+) -> DataFrame:
+    """The filter: distinct set-bit positions (column ``pos``), <=
+    BLOOM_M rows — a sparse bitset any engine can re-derive."""
+    return (
+        df.select(F.explode(_bloom_positions(F.col(key_col), salt, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    salt: str = "bloom",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test: a key MAY be present iff all k of its positions
+    are set. ``bits`` is broadcast (bounded by BLOOM_M rows); the agg
+    counts matched positions per row, so duplicate positions within a
+    key's own array (hash collisions) still total k when all are set.
+    All probe columns are carried through (grouped on — rows are
+    expected unique per probe row, e.g. keyed by an id column)."""
+    cols = probe.columns
+    exploded = probe.select(
+        "*",
+        F.explode(_bloom_positions(F.col(key_col), salt, k)).alias("pos"),
+    )
+    hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
+    return (
+        exploded.join(hit, "pos", "left")
+        .groupBy(*cols)
+        .agg((F.count("__set") == k).alias("bloom_hit"))
+    )

@@ -1890,6 +1890,138 @@ FROM boxes b LEFT JOIN hits h USING (zone)
 """
 
 
+# ---------------------------------------------------------------------------
+# A43 — skyline (Pareto frontier): parts no other part dominates on
+# (price min, size max).
+#
+# The naive formulation is an O(n²) dominance anti-join; the engine
+# computes it with ONE sort of the price-reduced frame instead:
+#   q dominates p  <=>  (max size at a strictly cheaper price) >= p.size
+#                       OR (max size at p's own price) > p.size
+# so a per-price max + a running max over prices ascending decides
+# membership. Scale shape: hash agg to |distinct prices| rows, one
+# window sort over that reduced frame, one equi-join back on price —
+# O(n log d) total, no self-join. The oracle states the quadratic
+# NOT EXISTS definition, pinning the rewrite's equivalence.
+# ---------------------------------------------------------------------------
+
+
+def a43_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = per_price.withColumn("run_lt", F.max("pmax").over(w))
+    dominated = (
+        F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("p_size"))
+    ) | (F.col("pmax") > F.col("p_size"))
+    return (
+        part.join(lt, "p_retailprice")
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+A43_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+# ---------------------------------------------------------------------------
+# A44 — triangle counting on the part co-purchase graph.
+#
+# Parts are connected when they appear in the same order; triangles
+# (the clustering signal) are enumerated with the canonical ordered
+# two-join: edges oriented u < v, path (u,v)->(v,w), closed by the
+# (u,w) edge — each triangle counted exactly once. Scale shape: the
+# pair-generation self-join is bounded per order (TPC-H orders hold
+# <= 7 items), and the ordered orientation halves both join inputs;
+# a production deployment additionally orients edges low-degree ->
+# high-degree to bound intermediate paths by O(|E|^1.5) (documented,
+# not needed at fixture scale — the orientation changes no counts).
+# Per-node participation explodes each triangle to its three corners.
+# ---------------------------------------------------------------------------
+
+_A44_TOPK = 15
+
+
+def a44_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+    counts = corners.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("tri_cnt")
+    )
+    w = Window.orderBy(F.col("tri_cnt").desc(), F.col("part").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _A44_TOPK)
+        .select("rank", "part", "tri_cnt")
+    )
+
+
+A44_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+),
+corners AS (
+  SELECT x AS part FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+c AS (SELECT part, CAST(count(*) AS BIGINT) AS tri_cnt
+      FROM corners GROUP BY part)
+SELECT CAST(row_number() OVER (ORDER BY tri_cnt DESC, part ASC) AS BIGINT)
+         AS rank,
+       part, tri_cnt
+FROM c
+QUALIFY rank <= {_A44_TOPK}
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -1933,4 +2065,6 @@ QUERIES: list[Query] = [
     Query("an_a40_cohort_retention", a40_cohort_retention, A40_ORACLE),
     Query("an_a41_pagerank", a41_pagerank, _a41_oracle()),
     Query("an_a42_spatial_join", a42_spatial_join, A42_ORACLE),
+    Query("an_a43_skyline", a43_skyline, A43_ORACLE),
+    Query("an_a44_triangle_count", a44_triangle_count, A44_ORACLE),
 ]

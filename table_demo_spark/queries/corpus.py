@@ -348,6 +348,54 @@ FROM plan2 p LEFT JOIN frac f USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# P9 — weighted sampling without replacement (Efraimidis–Spirakis).
+#
+# "k docs per language, probability proportional to length" — the
+# shape every importance-weighted subset draw takes. Priority
+# ln(u)/w with u from the doc's md5 makes the draw a pure function of
+# the row (operators/sampling.py), so the sample is identical under
+# any partitioning and in any engine; the oracle states the same
+# arithmetic. Rounded to 9 decimals before ranking so a ln() ulp
+# difference between engines cannot flip a rank boundary.
+# ---------------------------------------------------------------------------
+
+_P9_K = 5
+
+
+def p9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    picked = weighted_sample_per_group(
+        docs, group_col="lang", key_col="doc_id", weight_col="n_chars", k=_P9_K
+    )
+    return picked.select("lang", "draw_rank", "doc_id", "n_chars")
+
+
+def _p9_oracle() -> str:
+    from table_demo_spark.operators.sampling import _PRIORITY_ROUND, _U_WIDTH
+
+    denom = float(16**_U_WIDTH)
+    return f"""
+WITH pr AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || '#wsample'), 1, {_U_WIDTH}) AS BIGINT) + 1.0)
+                  / {denom!r})
+               / CAST(n_chars AS DOUBLE), {_PRIORITY_ROUND}) AS p
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY p DESC, doc_id ASC) AS BIGINT)
+         AS draw_rank,
+       doc_id, n_chars
+FROM pr
+QUALIFY draw_rank <= {_P9_K}
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -356,4 +404,5 @@ QUERIES: list[Query] = [
     Query("llm_m5_payload_sig_dedup", m5_payload_sig_dedup, _m5_oracle()),
     Query("llm_d14_url_dedup", d14_url_dedup, D14_ORACLE),
     Query("llm_p8_epoch_plan", p8_epoch_plan, P8_ORACLE),
+    Query("llm_p9_weighted_sample", p9_weighted_sample, _p9_oracle()),
 ]

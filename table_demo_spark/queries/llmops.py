@@ -2116,6 +2116,199 @@ GROUP BY t.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# D15 — Bloom-filter membership against a reference corpus.
+#
+# "Was this document already ingested?" asked of a reference set too
+# large to equi-join per probe: the filter is a <=4096-row sparse
+# bitset (operators/sketch.py), so the probe is a broadcast join. The
+# fixture splits documents into reference (even doc_id) and probes
+# everything, surfacing the bloom's one-sided error directly:
+# bloom_hit is true for every true member (no false negatives) and
+# occasionally true for non-members (false_positive column).
+# ---------------------------------------------------------------------------
+
+
+def d15_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select("text").distinct()
+    bits = bloom_build(ref, "text")
+    probed = bloom_probe(docs.select("doc_id", "text"), "text", bits)
+    member = ref.withColumn("__m", F.lit(1))
+    return (
+        probed.join(member, "text", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("__m").isNotNull().alias("true_member"),
+            (F.col("bloom_hit") & F.col("__m").isNull()).alias("false_positive"),
+        )
+    )
+
+
+def _d15_oracle() -> str:
+    from table_demo_spark.operators.sketch import BLOOM_K, BLOOM_M_HEX
+
+    return f"""
+WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT CAST('0x' || substring(md5(text || '#bloom' || i), 1,
+                       {BLOOM_M_HEX}) AS BIGINT) AS pos
+  FROM ref, ks
+),
+probe AS (
+  SELECT doc_id, text,
+         CAST('0x' || substring(md5(text || '#bloom' || i), 1,
+              {BLOOM_M_HEX}) AS BIGINT) AS pos
+  FROM documents, ks
+),
+hits AS (
+  SELECT doc_id, count(b.pos) = {BLOOM_K} AS bloom_hit
+  FROM probe p LEFT JOIN bits b USING (pos) GROUP BY doc_id
+)
+SELECT d.doc_id, h.bloom_hit,
+       r.text IS NOT NULL AS true_member,
+       h.bloom_hit AND r.text IS NULL AS false_positive
+FROM documents d
+JOIN hits h USING (doc_id)
+LEFT JOIN ref r ON d.text = r.text
+"""
+
+
+# ---------------------------------------------------------------------------
+# T15 — BPE merge-step statistics: adjacent character-pair counts.
+#
+# The first step of byte-pair-encoding vocabulary induction is "count
+# every adjacent symbol pair across the corpus, merge the most
+# frequent" — this computes that count table (and the would-be merge
+# ranking) over whitespace words. One explode + one hash agg; the
+# final top-k window runs over the post-agg frame (bounded by the
+# distinct-pair vocabulary, NOT the corpus), which is the scale story.
+# End-of-word markers are deliberately omitted (documented deviation
+# from Sennrich et al.'s w</w> convention — pair identity only).
+# ---------------------------------------------------------------------------
+
+_T15_TOPK = 25
+
+
+def t15_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(T.tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _T15_TOPK)
+        .select("rank", "pair", "cnt")
+    )
+
+
+T15_ORACLE = f"""
+WITH w AS (
+  SELECT w FROM (SELECT unnest({_TOKS}) AS w FROM documents) WHERE length(w) >= 2
+),
+p AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w)
+),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+       pair, cnt
+FROM c
+QUALIFY rank <= {_T15_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8 — random sign projection (Johnson–Lindenstrauss sketch).
+#
+# Dimensionality reduction for embedding pipelines: project 64-dim
+# vectors onto 4-dim with a fixed ±1 sign matrix derived from
+# md5 parity — the Achlioptas (2003) database-friendly JL variant.
+# The sign matrix is a compile-time constant baked into BOTH the Spark
+# expression and the oracle SQL, so the projection is reproducible in
+# any engine. Per-row codegen'd arithmetic, zero shuffles; the fold is
+# strictly left-to-right in both engines (0.0 + t1 + t2 + ...), so
+# the double sums are bit-identical before the defensive round(6).
+# The sign-bit bucket is the projection's LSH use: equal buckets =
+# same orthant, the standard random-hyperplane partitioner.
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 4
+_RP_IN = 64
+
+
+def _rp_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp{d}#{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for j in range(_RP_IN)
+        ]
+        for d in range(_RP_OUT)
+    ]
+
+
+def s8_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    cols = []
+    for d in range(_RP_OUT):
+        arr = F.array(*[F.lit(s) for s in signs[d]])
+        prod = F.zip_with(
+            F.col("embedding"), arr, lambda x, y: x.cast("double") * y
+        )
+        cols.append(
+            F.round(
+                F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias(f"rp{d}")
+        )
+    projected = emb.select("vec_id", *cols)
+    bucket = F.lit(0)
+    for d in range(_RP_OUT):
+        bucket = bucket + F.when(F.col(f"rp{d}") > 0, F.lit(1 << d)).otherwise(
+            F.lit(0)
+        )
+    return projected.withColumn("bucket", bucket.cast("int"))
+
+
+def _s8_oracle() -> str:
+    signs = _rp_signs()
+    dims = []
+    for d in range(_RP_OUT):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({signs[d][j]})"
+            for j in range(_RP_IN)
+        )
+        dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
+    bucket = " + ".join(
+        f"(CASE WHEN rp{d} > 0 THEN {1 << d} ELSE 0 END)" for d in range(_RP_OUT)
+    )
+    return f"""
+WITH proj AS (SELECT vec_id, {", ".join(dims)} FROM embeddings)
+SELECT vec_id, rp0, rp1, rp2, rp3, CAST({bucket} AS INTEGER) AS bucket
+FROM proj
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -2158,4 +2351,7 @@ QUERIES: list[Query] = [
     Query("llm_t14_bigram_lm", t14_bigram_lm, T14_ORACLE),
     Query("llm_s6_ann_recall", s6_ann_recall, _S6_ORACLE),
     Query("llm_s7_pq_topk", s7_pq_topk, S7_ORACLE),
+    Query("llm_d15_bloom_filter", d15_bloom_filter, _d15_oracle()),
+    Query("llm_t15_bpe_pairs", t15_bpe_pairs, T15_ORACLE),
+    Query("llm_s8_rand_projection", s8_rand_projection, _s8_oracle()),
 ]

@@ -506,3 +506,106 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         tbl.read_version(spark, 3)
+
+
+def test_bloom_has_no_false_negatives_and_bounded_bits(spark):
+    """Every inserted key must probe true (one-sided error), the bitset
+    never exceeds BLOOM_M rows, and non-members are mostly rejected at
+    this fill factor."""
+    from table_demo_spark.operators.sketch import BLOOM_M, bloom_build, bloom_probe
+
+    keys = spark.range(0, 300).selectExpr("concat('key-', id) AS k")
+    bits = bloom_build(keys, "k")
+    assert bits.count() <= BLOOM_M
+    hits = bloom_probe(keys, "k", bits).collect()
+    assert all(r.bloom_hit for r in hits)  # no false negatives, ever
+    others = spark.range(1000, 1400).selectExpr("concat('key-', id) AS k")
+    fp = [r for r in bloom_probe(others, "k", bits).collect() if r.bloom_hit]
+    # 900 set bits of 4096, k=3 -> fp rate ~(900/4096)^3 ~ 1%; allow 10x
+    assert len(fp) <= 40
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(spark):
+    """The A-Res draw is a pure function of the rows (same result on
+    re-run and under different partitioning), and heavier rows are
+    picked more often than light ones at matched counts."""
+    from table_demo_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [("g", i, 1000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got1 = {r.id for r in weighted_sample_per_group(df, "grp", "id", "w", 10).collect()}
+    got2 = {
+        r.id
+        for r in weighted_sample_per_group(
+            df.repartition(7), "grp", "id", "w", 10
+        ).collect()
+    }
+    assert got1 == got2
+    # 50 heavy rows at weight 1000 vs 50 light at 1: essentially all
+    # 10 draws should be heavy (P[light in top-10] is negligible)
+    assert sum(1 for i in got1 if i < 50) >= 9
+
+
+def test_triangle_count_on_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; corner participation:
+    the two nodes of the shared edge sit in both."""
+    from pyspark.sql import functions as F
+
+    # orders: {1,2,3} {1,2,4} {1,3,4} -> edges of K4 minus (3,4)... build
+    # via the same co-occurrence shape the query uses
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (20, 4), (30, 1), (30, 3), (30, 4)],
+        "l_orderkey long, l_partkey long",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
+    )
+    got = sorted((r.x, r.y, r.z) for r in tri.collect())
+    # edges: 12,13,14,23,24,34? (3,4) co-occur in order 30 -> K4 complete:
+    # triangles of K4 = 4: (1,2,3),(1,2,4),(1,3,4),(2,3,4)
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_skyline_rewrite_matches_quadratic_definition(spark):
+    """The sorted-rewrite must equal the NOT EXISTS dominance filter on
+    a frame with duplicate prices, duplicate points, and ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pts = [(1, 5.0, 10), (2, 5.0, 12), (3, 4.0, 12), (4, 6.0, 20),
+           (5, 4.0, 12), (6, 3.0, 1), (7, 7.0, 20), (8, 6.0, 19)]
+    part = spark.createDataFrame(pts, "p_partkey long, p_retailprice double, p_size int")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
+    w = Window.orderBy(F.col("p_retailprice").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lt = per_price.withColumn("run_lt", F.max("pmax").over(w))
+    dominated = (
+        F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("p_size"))
+    ) | (F.col("pmax") > F.col("p_size"))
+    got = sorted(
+        r.p_partkey for r in part.join(lt, "p_retailprice").filter(~dominated).collect()
+    )
+    # brute force
+    sky = []
+    for p in pts:
+        dom = any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+        if not dom:
+            sky.append(p[0])
+    assert got == sorted(sky)

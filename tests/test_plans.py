@@ -373,3 +373,51 @@ def test_spatial_join_is_bucketed_broadcast(spark):
     plan = formatted_plan(_query("an_a42_spatial_join")(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_is_broadcast_join(spark):
+    """d15's membership test joins the probe side against the <=4096-row
+    bitset via broadcast — no shuffle of the probe side on bit position,
+    and the whole path stays JVM-side."""
+    plan = formatted_plan(_query("llm_d15_bloom_filter")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_rand_projection_is_shuffle_free_scan(spark):
+    """s8's JL projection is per-row codegen'd arithmetic: zero
+    Exchanges, no Python eval."""
+    plan = formatted_plan(_query("llm_s8_rand_projection")(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_skyline_has_no_self_join(spark):
+    """a43 computes the Pareto frontier without the quadratic dominance
+    anti-join: no CartesianProduct / broadcast nested loop, and the
+    price-reduced agg is partial-then-final."""
+    plan = formatted_plan(_query("an_a43_skyline")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan
+
+
+def test_bpe_pairs_aggregates_before_topk_window(spark):
+    """t15's top-k window runs over the post-agg pair vocabulary; the
+    corpus-sized explode feeds a partial-then-final count, never the
+    window sort."""
+    plan = formatted_plan(_query("llm_t15_bpe_pairs")(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    # top-down formatted text: the Window must sit ABOVE (before) the
+    # aggregation that reduces the corpus to the pair vocabulary
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_weighted_sample_priority_is_codegen(spark):
+    """p9's A-Res priority is a row-local expression (md5+ln), not a
+    Python UDF; the only shuffle is the per-group ranking window."""
+    plan = formatted_plan(_query("llm_p9_weighted_sample")(spark, SF_SMOKE))
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
