@@ -91,6 +91,10 @@ HEADLINE = [
     "llm_p9_weighted_sample",
     "an_a43_skyline",
     "an_a44_triangle_count",
+    "an_a45_waiting_suppliers",
+    "an_a46_mad_outliers",
+    "llm_p10_curriculum",
+    "stream_q18_cdc_apply",
 ]
 
 

@@ -2022,6 +2022,166 @@ QUALIFY rank <= {_A44_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# A45 — TPC-H Q21 shape: suppliers who alone held up multi-supplier
+# orders ("late" adapted to the fixture's columns: shipped more than
+# 60 days after the order date; finalized orders only).
+#
+# The reference formulation is a correlated EXISTS + NOT EXISTS pair
+# on lineitem — the oracle states exactly that. The engine computes
+# the set-based rewrite instead: ONE pass over lineitem derives
+# per-order supplier stats (distinct suppliers, distinct late
+# suppliers), and the predicate becomes a row-local filter after an
+# equi-join — no correlated re-scans of the fact table. Scale shape:
+# two hash aggs over lineitem + broadcast dim joins; the quadratic
+# per-row subqueries the SQL implies never run.
+# ---------------------------------------------------------------------------
+
+_A45_LATE_DAYS = 60
+_A45_TOPK = 10
+
+
+def a45_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == orders.o_orderkey,
+    ).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.date_add(F.col("o_orderdate").cast("date"), _A45_LATE_DAYS),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    culprit = (
+        lo.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    counts = (
+        culprit.join(F.broadcast(supplier), culprit.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _A45_TOPK)
+        .select("rank", "s_name", "numwait")
+    )
+
+
+A45_ORACLE = f"""
+WITH lo AS (
+  SELECT l.*, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+culprit AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lo l1
+  WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL {_A45_LATE_DAYS} DAY
+    AND EXISTS (
+      SELECT 1 FROM lo l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM lo l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l3.o_orderdate + INTERVAL {_A45_LATE_DAYS} DAY)
+),
+counts AS (
+  SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+  FROM culprit c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  GROUP BY s.s_name
+)
+SELECT CAST(row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS BIGINT)
+         AS rank,
+       s_name, numwait
+FROM counts
+QUALIFY rank <= {_A45_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A46 — robust outlier detection: median absolute deviation per group.
+#
+# Exact medians (percentile(0.5), linear midpoint on even counts —
+# identical semantics in DuckDB's median()) over customer balances per
+# nation, MAD as the robust spread, outliers = |x - med| > 3 * MAD.
+# Every derived float is rounded to 6 decimals BEFORE the comparison,
+# in both engines, so the outlier predicate is decided on identical
+# values. Scale shape: two grouped exact-percentile aggs with the
+# 25-row medians broadcast back — at 100 TB the exact percentile
+# becomes approx_percentile / the a33 histogram sketch (documented
+# trade; shapes identical).
+# ---------------------------------------------------------------------------
+
+
+def a46_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("n_name", "c_acctbal")
+    med = c.groupBy("n_name").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "n_name").withColumn(
+        "adev", F.round(F.abs(F.col("c_acctbal") - F.col("med")), 6)
+    )
+    mad = dev.groupBy("n_name").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "n_name")
+    return (
+        flagged.groupBy("n_name")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select("n_name", "med", "mad", "n_cust", "n_outliers")
+    )
+
+
+A46_ORACLE = """
+WITH c AS (
+  SELECT n.n_name, cu.c_acctbal
+  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+),
+med AS (SELECT n_name, round(median(c_acctbal), 6) AS med FROM c GROUP BY n_name),
+dev AS (
+  SELECT c.n_name, round(abs(c.c_acctbal - m.med), 6) AS adev, m.med
+  FROM c JOIN med m USING (n_name)
+),
+mad AS (SELECT n_name, round(median(adev), 6) AS mad FROM dev GROUP BY n_name)
+SELECT d.n_name,
+       any_value(d.med) AS med,
+       any_value(ma.mad) AS mad,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CASE WHEN d.adev > CAST(3.0 AS DOUBLE) * ma.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (n_name)
+GROUP BY d.n_name
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2067,4 +2227,6 @@ QUERIES: list[Query] = [
     Query("an_a42_spatial_join", a42_spatial_join, A42_ORACLE),
     Query("an_a43_skyline", a43_skyline, A43_ORACLE),
     Query("an_a44_triangle_count", a44_triangle_count, A44_ORACLE),
+    Query("an_a45_waiting_suppliers", a45_waiting_suppliers, A45_ORACLE),
+    Query("an_a46_mad_outliers", a46_mad_outliers, A46_ORACLE),
 ]

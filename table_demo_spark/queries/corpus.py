@@ -396,6 +396,70 @@ QUALIFY draw_rank <= {_P9_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# P10 — curriculum binning: order the corpus by a difficulty proxy and
+# cut it into equal-depth training phases.
+#
+# Curriculum learning pipelines need a deterministic "phase" label per
+# document (easy -> hard). Difficulty here is mean word length
+# (chars/token — a standard readability proxy); phases are ntile(4)
+# per language over (difficulty, doc_id), so the binning is exactly
+# reproducible: same corpus, same phases, any engine, any
+# partitioning. Scale shape: row-local difficulty expression + one
+# ranking window per language; equal-depth cuts at 100 TB switch to
+# approx-quantile boundaries (a33's sketch) applied as a row-local
+# CASE — same labels up to boundary ties, documented trade.
+# ---------------------------------------------------------------------------
+
+_P10_PHASES = 4
+
+
+def p10_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.round(
+            F.length("text").cast("double") / F.size(toks).cast("double"), 6
+        ).alias("difficulty"),
+    ).filter(F.size(toks) > 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("difficulty").asc(), F.col("doc_id").asc()
+    )
+    phased = scored.withColumn("phase", F.ntile(_P10_PHASES).over(w).cast("long"))
+    return phased.groupBy("lang", "phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+    )
+
+
+P10_ORACLE = f"""
+WITH scored AS (
+  SELECT lang, doc_id,
+         round(CAST(length(text) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE), 6) AS difficulty
+  FROM documents
+  WHERE len({_TOKS}) > 0
+),
+phased AS (
+  SELECT lang, difficulty,
+         CAST(ntile({_P10_PHASES}) OVER (PARTITION BY lang
+              ORDER BY difficulty ASC, doc_id ASC) AS BIGINT) AS phase
+  FROM scored
+)
+SELECT lang, phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(difficulty) AS min_difficulty,
+       max(difficulty) AS max_difficulty
+FROM phased
+GROUP BY lang, phase
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -405,4 +469,5 @@ QUERIES: list[Query] = [
     Query("llm_d14_url_dedup", d14_url_dedup, D14_ORACLE),
     Query("llm_p8_epoch_plan", p8_epoch_plan, P8_ORACLE),
     Query("llm_p9_weighted_sample", p9_weighted_sample, _p9_oracle()),
+    Query("llm_p10_curriculum", p10_curriculum, P10_ORACLE),
 ]

@@ -698,6 +698,38 @@ FROM cnt JOIN est USING (event_type)
 """
 
 
+def q18_cdc_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q18_cdc_apply
+
+    with _state_partitions(spark):
+        sink, query = run_q18_cdc_apply(spark, sf_dir, speed=DRIVER_SPEED)
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "user_id",
+        "last_event_type",
+        "value_cents",
+        F.col("ts").alias("last_ts_ms"),
+    )
+
+
+# Version-merged CDC state is order-invariant, so the final table is
+# exactly the batch "newest change per user" with deletes filtered.
+Q18_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       ts_ms AS last_ts_ms
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -716,4 +748,5 @@ QUERIES: list[Query] = [
     Query("stream_q15_running_totals", q15_running_totals_final, Q15_TOTALS_ORACLE),
     Query("stream_q16_hll_distinct", q16_hll_final, _q16_oracle()),
     Query("stream_q17_fanout", q17_fanout_final, _q17_oracle()),
+    Query("stream_q18_cdc_apply", q18_cdc_final, Q18_CDC_ORACLE),
 ]

@@ -1592,3 +1592,72 @@ def run_q17_fanout(
         .start()
     )
     return archive, sketch, query
+
+
+# ---------------------------------------------------------------------------
+# Q18 streaming — CDC changelog apply with version-merged state.
+#
+# The event stream interpreted as a keyed changelog: each event is a
+# change to its user's state ('error' events are deletes), and the
+# materialized table must equal the batch "latest change per key"
+# regardless of replay disorder or micro-batch slicing. ParquetUpsert-
+# Sink's later-batch-wins rule is NOT sufficient here (a batch can
+# carry an out-of-order old change); the VersionedCdcSink merges by
+# the (ts, event_id) version and keeps versioned tombstones, so the
+# final state is order-invariant — the property the oracle checks.
+# ---------------------------------------------------------------------------
+
+
+def run_q18_cdc_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink=None,
+):
+    """Returns (sink, query). Each micro-batch is first reduced
+    DISTRIBUTED to its newest change per key (max_by over the version
+    struct — partial-aggregating, map-side combined), then version-
+    merged into the durable store."""
+    import tempfile
+
+    from table_demo_spark.streaming.upsert import VersionedCdcSink
+
+    ckpt = _checkpoint_dir()
+    ev = _replay_events(spark, sf_dir, speed, frontier_key=ckpt).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sink = sink if sink is not None else VersionedCdcSink(
+        tempfile.mkdtemp(prefix="tds-q18-"),
+        key_cols=("user_id",),
+        version_cols=("ts", "event_id"),
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ver = F.struct(F.col("ts"), F.col("event_id"))
+        last = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "event_type", "value"), ver
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("last_event_type"),
+                F.round(F.col("s.value") * 100).cast("long").alias("value_cents"),
+                F.when(F.col("s.event_type") == "error", "D")
+                .otherwise("U")
+                .alias("__op"),
+            )
+        )
+        sink.apply_changelog(last, batch_id)
+
+    query = (
+        ev.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(handle)
+        .start()
+    )
+    return sink, query

@@ -637,3 +637,29 @@ def test_fanout_sinks_are_idempotent_under_batch_replay(spark, tmp_path):
         for r in hll_registers(batch, ["event_type"], "user_id").collect()
     }
     assert regs == want
+
+
+def test_versioned_cdc_sink_disorder_and_tombstones(spark, tmp_path):
+    """Out-of-order old changes must not regress a key, and a late old
+    upsert must not resurrect a versioned delete — the two properties
+    later-batch-wins merging cannot give."""
+    from table_demo_spark.streaming.upsert import VersionedCdcSink
+
+    sink = VersionedCdcSink(str(tmp_path / "cdc"), ("k",), ("v",))
+    b = lambda rows: spark.createDataFrame(rows, "k long, v long, x string, __op string")
+    sink.apply_changelog(b([(1, 10, "new", "U"), (2, 5, "b", "U")]), 0)
+    # batch 1 carries an OLDER change for k=1 and a versioned delete of k=2
+    sink.apply_changelog(b([(1, 3, "stale", "U"), (2, 7, "", "D")]), 1)
+    got = {r.k: (r.v, r.x) for r in sink.snapshot_df(spark).collect()}
+    assert got == {1: (10, "new")}  # k=1 kept newest, k=2 deleted
+    # a late upsert OLDER than the tombstone must stay dead...
+    sink.apply_changelog(b([(2, 6, "zombie", "U")]), 2)
+    assert 2 not in {r.k for r in sink.snapshot_df(spark).collect()}
+    # ...but a NEWER change after the delete re-creates the key
+    sink.apply_changelog(b([(2, 9, "reborn", "U")]), 3)
+    got = {r.k: r.x for r in sink.snapshot_df(spark).collect()}
+    assert got[2] == "reborn"
+    # replaying an old batch (at-least-once) changes nothing
+    before = sorted(map(tuple, sink.snapshot_df(spark).collect()))
+    sink.apply_changelog(b([(1, 3, "stale", "U"), (2, 7, "", "D")]), 1)
+    assert sorted(map(tuple, sink.snapshot_df(spark).collect())) == before
