@@ -95,6 +95,8 @@ HEADLINE = [
     "an_a46_mad_outliers",
     "llm_p10_curriculum",
     "stream_q18_cdc_apply",
+    "llm_m6_vad_segments",
+    "stream_q19_anti_join",
 ]
 
 

@@ -2117,6 +2117,79 @@ GROUP BY t.lang
 
 
 # ---------------------------------------------------------------------------
+# M6 — voice-activity-style segmentation over binary payloads.
+#
+# The ASR-pipeline shape: per-frame energy extraction (Arrow-batched,
+# numpy-vectorized — operators/multimodal.py) followed by DECLARATIVE
+# gaps-and-islands segmentation into contiguous active runs. Energy is
+# an integer byte-sum, so the whole chain is engine-exact; a real
+# pipeline swaps byte-sum for RMS over decoded PCM and keeps every
+# other node. The oracle recomputes frame energies by walking the
+# payload hex (byte-exact, encoding-agnostic) and states the same
+# islands rewrite.
+# ---------------------------------------------------------------------------
+
+
+def m6_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.multimodal import (
+        vad_frame_energy,
+        vad_segments,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vad_segments(vad_frame_energy(with_binary_payload(docs)))
+
+
+def _m6_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        VAD_FRAME_BYTES,
+        VAD_THRESHOLD,
+    )
+
+    fb = VAD_FRAME_BYTES
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // {fb} AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+         substring(hx, CAST(fno * {2 * fb} + 1 AS INT), {2 * fb}) AS fh
+  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS fno FROM h)
+),
+e AS (
+  SELECT doc_id, frame_no,
+         CAST(sum(CAST('0x' || substring(fh, CAST(j * 2 + 1 AS INT), 2)
+                       AS BIGINT)) AS BIGINT) AS energy
+  FROM f, (SELECT unnest(range(0, {fb})) AS j)
+  GROUP BY doc_id, frame_no
+),
+act AS (SELECT * FROM e WHERE energy > {VAD_THRESHOLD}),
+isl AS (
+  SELECT doc_id, frame_no, energy,
+         frame_no - row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_no) AS grp
+  FROM act
+),
+seg AS (
+  SELECT doc_id, grp,
+         min(frame_no) AS start_frame,
+         max(frame_no) AS end_frame,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(energy) AS BIGINT) AS total_energy
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            AS BIGINT) AS seg_no,
+       start_frame, end_frame, n_frames, total_energy
+FROM seg
+"""
+
+
+# ---------------------------------------------------------------------------
 # D15 — Bloom-filter membership against a reference corpus.
 #
 # "Was this document already ingested?" asked of a reference set too
@@ -2354,4 +2427,5 @@ QUERIES: list[Query] = [
     Query("llm_d15_bloom_filter", d15_bloom_filter, _d15_oracle()),
     Query("llm_t15_bpe_pairs", t15_bpe_pairs, T15_ORACLE),
     Query("llm_s8_rand_projection", s8_rand_projection, _s8_oracle()),
+    Query("llm_m6_vad_segments", m6_vad_segments, _m6_oracle()),
 ]

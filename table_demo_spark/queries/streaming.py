@@ -730,6 +730,45 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q19_anti_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q19_anti_join_stream
+
+    sink = _append_sink()
+    with _state_partitions(spark):
+        _, query = q19_anti_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, sink.count)
+    return sink.snapshot_df(spark).select("view_id", "user_id", "view_ms")
+
+
+# Anti-join emission is watermark-gated: an unmatched view appears only
+# after the watermark passes the end of its match window. Views still
+# inside the trailing horizon stay buffered — the oracle keeps exactly
+# the EXPIRED unmatched views. The join watermark is the min over the
+# two filtered sub-streams (same rule as q12's oracle).
+Q19_ANTI_JOIN_ORACLE = f"""
+WITH fin AS (
+  SELECT least(
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'view'),
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+  ) - {WATERMARK_MS} AS wm
+),
+v AS (SELECT event_id AS view_id, user_id, epoch_ms(ts) AS view_ms
+      FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT DISTINCT v.view_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.purchase_ms >= v.view_ms
+   AND p.purchase_ms <= v.view_ms + {_Q5_WITHIN_MS}
+)
+SELECT v.view_id, v.user_id, v.view_ms
+FROM v
+ANTI JOIN matched m ON v.view_id = m.view_id
+WHERE v.view_ms + {_Q5_WITHIN_MS} < (SELECT wm FROM fin)
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -749,4 +788,5 @@ QUERIES: list[Query] = [
     Query("stream_q16_hll_distinct", q16_hll_final, _q16_oracle()),
     Query("stream_q17_fanout", q17_fanout_final, _q17_oracle()),
     Query("stream_q18_cdc_apply", q18_cdc_final, Q18_CDC_ORACLE),
+    Query("stream_q19_anti_join", q19_anti_join_final, Q19_ANTI_JOIN_ORACLE),
 ]

@@ -1661,3 +1661,68 @@ def run_q18_cdc_apply(
         .start()
     )
     return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q19 streaming — watermarked stream-stream ANTI join.
+#
+# "Views that were never followed by a purchase from the same user
+# within the window" — the negative-space twin of the q12 attribution
+# join. Structured Streaming has no anti-join operator; the faithful
+# composition is the watermarked LEFT OUTER interval join filtered to
+# null right side: an unmatched left row is emitted (with nulls)
+# exactly once, once the watermark proves no match can still arrive —
+# which is precisely anti-join semantics under event time. State and
+# eviction are identical to the outer join's.
+# ---------------------------------------------------------------------------
+
+
+def q19_anti_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_ms: int = 10 * 60_000,
+    sink=None,
+):
+    """Unconverted views: (view_id, user_id, view_time) with no
+    same-user purchase in [view, view+within]. Returns (sink, query)."""
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("rowtime").alias("view_time"),
+        )
+        .withWatermark("view_time", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("rowtime").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", WATERMARK)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("view_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        ),
+        "leftOuter",
+    )
+    orphans = joined.filter(F.col("purchase_id").isNull()).select(
+        "view_id",
+        "user_id",
+        F.unix_millis("view_time").alias("view_ms"),
+    )
+    if sink is None:
+        from table_demo_spark.streaming.upsert import MemoryUpsertSink
+
+        sink = MemoryUpsertSink(("view_id",))
+    return sink, _start_append(orphans, sink, ckpt)
