@@ -135,6 +135,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop caches an operator may have pinned (e.g. dedup's
+        # shingle-set reuse): each headline entry is timed
+        # self-contained, and leaked cache blocks otherwise accumulate
+        # across the suite until the heap fills.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -95,3 +95,46 @@ def materialize_changelog(
     return latest.filter(F.col("__last.__op") != F.lit("D")).select(
         *keys, version_col, "__last.*"
     ).drop("__op")
+
+
+def merge_agg_states(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: merge
+    a materialized per-key aggregate STATE with the partial aggregate
+    of a new DELTA batch — full-outer on the key, null-safe addition
+    per measure. count/sum/min/max-style (self-maintainable) views
+    update in O(|delta| + |touched keys|) instead of a full recompute;
+    this merge is exactly Spark's own partial->final aggregation
+    contract applied across BATCHES rather than partitions, so
+    merge(agg(base), agg(delta)) == agg(base ∪ delta) by algebra (the
+    property tests pin it). AVG travels as (sum, count); non-
+    distributive aggregates (exact distinct, median) need their
+    mergeable sketch form instead (HLL in operators/sketch.py).
+
+    Scale shape: the delta side is aggregated before the merge, so the
+    join shuffles O(#touched keys); with the state table bucketed on
+    the key the merge is shuffle-free on the state side.
+    """
+    from pyspark.sql import functions as F
+
+    s = state.alias("s")
+    d = delta.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key_cols]
+    merged = s.join(d, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in key_cols
+    ]
+    sums = [
+        (
+            F.coalesce(F.col(f"s.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        )
+        .cast("long")
+        .alias(c)
+        for c in sum_cols
+    ]
+    return merged.select(*keys, *sums)

@@ -2190,6 +2190,130 @@ FROM seg
 
 
 # ---------------------------------------------------------------------------
+# T16 — vocabulary growth curve (Heaps' law diagnostic).
+#
+# "How fast does the vocabulary grow as the corpus grows?" — the
+# curve that decides tokenizer vocab sizes and dedup aggressiveness.
+# Computed exactly and integer-only: each token's FIRST occurrence
+# position (min doc_id — one map-side-combined agg over the exploded
+# corpus), then for each 10% corpus prefix the count of tokens first
+# seen by that cut. No sampling, no floats; one shuffle on token.
+# ---------------------------------------------------------------------------
+
+_T16_DECILES = 10
+
+
+def t16_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")
+    )
+    cuts = (
+        spark.range(1, _T16_DECILES + 1)
+        .withColumnRenamed("id", "decile")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "decile",
+            (
+                F.col("mn")
+                + ((F.col("mx") - F.col("mn")) * F.col("decile"))
+                / F.lit(_T16_DECILES)
+            )
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    return (
+        first.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        .select("decile", "vocab_size")
+    )
+
+
+T16_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+bounds AS (SELECT max(doc_id) AS mx, min(doc_id) AS mn FROM documents),
+cuts AS (
+  SELECT CAST(d AS BIGINT) AS decile,
+         CAST(mn + ((mx - mn) * d) // {_T16_DECILES} AS BIGINT) AS cut
+  FROM bounds, (SELECT unnest(range(1, {_T16_DECILES} + 1)) AS d)
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS vocab_size
+FROM first, cuts
+WHERE first_doc <= cut
+GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# T17 — Zipf rank-bucket histogram.
+#
+# The rank-frequency decay diagnostic, kept integer-exact (a float
+# log-log regression slope would hash-differ across engines at ulp
+# scale): tokens ranked by frequency, grouped into power-of-two rank
+# buckets [2^k, 2^(k+1)), each bucket reporting token count and total
+# occurrences. Under Zipf, total occurrences per bucket is roughly
+# constant — visible directly in the integers. Ranking happens on the
+# post-agg vocabulary frame (same scale story as t15).
+# ---------------------------------------------------------------------------
+
+
+def t17_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    bucket = F.floor(F.log2("rank")).cast("long")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min("rank").alias("rank_lo"),
+            F.max("rank").alias("rank_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("total_cnt"),
+        )
+        .select("bucket", "rank_lo", "rank_hi", "n_tokens", "total_cnt")
+    )
+
+
+T17_ORACLE = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+           AS rank
+  FROM counts
+)
+SELECT CAST(floor(log2(rank)) AS BIGINT) AS bucket,
+       min(rank) AS rank_lo,
+       max(rank) AS rank_hi,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS total_cnt
+FROM ranked
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # D15 — Bloom-filter membership against a reference corpus.
 #
 # "Was this document already ingested?" asked of a reference set too
@@ -2206,12 +2330,20 @@ def d15_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.operators.sketch import bloom_build, bloom_probe
 
     docs = load_table(spark, sf_dir, "documents")
-    ref = docs.filter(F.col("doc_id") % 2 == 0).select("text").distinct()
-    bits = bloom_build(ref, "text")
-    probed = bloom_probe(docs.select("doc_id", "text"), "text", bits)
+    # Fingerprint-first: every downstream op (positions, membership
+    # join, distinct) works on the 32-char digest, never shuffles
+    # multi-KB text — the d1 exact-dedup content-identity convention.
+    ref = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    bits = bloom_build(ref, "fp")
+    probe = docs.select("doc_id", F.md5("text").alias("fp"))
+    probed = bloom_probe(probe, "fp", bits)
     member = ref.withColumn("__m", F.lit(1))
     return (
-        probed.join(member, "text", "left")
+        probed.join(member, "fp", "left")
         .select(
             "doc_id",
             "bloom_hit",
@@ -2225,29 +2357,32 @@ def _d15_oracle() -> str:
     from table_demo_spark.operators.sketch import BLOOM_K, BLOOM_M_HEX
 
     return f"""
-WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+WITH ref AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
 ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
 bits AS (
-  SELECT DISTINCT CAST('0x' || substring(md5(text || '#bloom' || i), 1,
+  SELECT DISTINCT CAST('0x' || substring(md5(fp || '#bloom' || i), 1,
                        {BLOOM_M_HEX}) AS BIGINT) AS pos
   FROM ref, ks
 ),
 probe AS (
-  SELECT doc_id, text,
-         CAST('0x' || substring(md5(text || '#bloom' || i), 1,
+  SELECT doc_id, md5(text) AS fp FROM documents
+),
+pp AS (
+  SELECT doc_id, fp,
+         CAST('0x' || substring(md5(fp || '#bloom' || i), 1,
               {BLOOM_M_HEX}) AS BIGINT) AS pos
-  FROM documents, ks
+  FROM probe, ks
 ),
 hits AS (
-  SELECT doc_id, count(b.pos) = {BLOOM_K} AS bloom_hit
-  FROM probe p LEFT JOIN bits b USING (pos) GROUP BY doc_id
+  SELECT doc_id, any_value(fp) AS fp,
+         count(b.pos) = {BLOOM_K} AS bloom_hit
+  FROM pp LEFT JOIN bits b USING (pos) GROUP BY doc_id
 )
-SELECT d.doc_id, h.bloom_hit,
-       r.text IS NOT NULL AS true_member,
-       h.bloom_hit AND r.text IS NULL AS false_positive
-FROM documents d
-JOIN hits h USING (doc_id)
-LEFT JOIN ref r ON d.text = r.text
+SELECT h.doc_id, h.bloom_hit,
+       r.fp IS NOT NULL AS true_member,
+       h.bloom_hit AND r.fp IS NULL AS false_positive
+FROM hits h
+LEFT JOIN ref r ON h.fp = r.fp
 """
 
 
@@ -2428,4 +2563,6 @@ QUERIES: list[Query] = [
     Query("llm_t15_bpe_pairs", t15_bpe_pairs, T15_ORACLE),
     Query("llm_s8_rand_projection", s8_rand_projection, _s8_oracle()),
     Query("llm_m6_vad_segments", m6_vad_segments, _m6_oracle()),
+    Query("llm_t16_vocab_growth", t16_vocab_growth, T16_ORACLE),
+    Query("llm_t17_zipf_buckets", t17_zipf_buckets, T17_ORACLE),
 ]

@@ -61,6 +61,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
     )
+    if master.startswith("local"):
+        # In local mode the executors live inside the driver JVM; the
+        # 1g default heap cannot host 32 executor threads running the
+        # full headline suite back-to-back. Only applies before JVM
+        # start (getOrCreate reusing a live session ignores it) and
+        # only to our own local entry points — the external driver's
+        # vanilla session is untouched. Sized well inside the 128 GiB
+        # host; -Xmx is a cap, not a reservation.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

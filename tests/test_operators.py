@@ -609,3 +609,32 @@ def test_skyline_rewrite_matches_quadratic_definition(spark):
         if not dom:
             sky.append(p[0])
     assert got == sorted(sky)
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    """The IVM guarantee: merge(agg(base), agg(delta)) == agg(base ∪
+    delta), including keys present in only one side."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.cdc import merge_agg_states
+
+    rows = [(i % 7, i, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, i long, v long")
+    base, delta = df.filter("i < 120"), df.filter("i >= 120")
+    # make some keys delta-only
+    delta = delta.union(
+        spark.createDataFrame([(99, 500, 5), (99, 501, 6)], "k long, i long, v long")
+    )
+    full = base.union(delta)
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    got = sorted(
+        map(tuple, merge_agg_states(agg(base), agg(delta), ["k"], ["n", "s"]).collect())
+    )
+    want = sorted(map(tuple, agg(full).collect()))
+    assert got == want
