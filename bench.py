@@ -97,6 +97,12 @@ HEADLINE = [
     "stream_q18_cdc_apply",
     "llm_m6_vad_segments",
     "stream_q19_anti_join",
+    "llm_t16_vocab_growth",
+    "llm_t17_zipf_buckets",
+    "an_a47_incremental_mv",
+    "llm_s9_maxsim_topk",
+    "llm_p11_group_split",
+    "llm_m7_image_patches",
 ]
 
 

@@ -258,3 +258,48 @@ def vad_segments(
         "doc_id", "seg_no", "start_frame", "end_frame", "n_frames",
         "total_energy",
     )
+
+
+IMG_WIDTH = 32  # synthetic raster geometry: 1 byte/px, fixed width
+PATCH = 8  # square patch side
+PATCH_SIG_BYTES = 4
+PATCH_SCHEMA = (
+    "doc_id long, prow long, pcol long, offset long, patch_sig string"
+)
+
+
+def image_patches(docs_with_payload: DataFrame) -> DataFrame:
+    """ViT-style patch grid over image payloads: the payload is a
+    row-major raster (1 byte/px, fixed width); patches are the PATCH x
+    PATCH grid cells, each emitted with its (row, col) index and byte
+    offset — the exact tiling a vision tokenizer performs before
+    embedding. Complete patch rows only (the crop-to-multiple
+    convention). The per-patch content op is a head-bytes signature
+    stand-in; a real pipeline decodes and embeds per patch in the same
+    Arrow batch loop (same plumbing as frame_sample/audio_chunks).
+    """
+
+    def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                height = len(b) // IMG_WIDTH
+                for prow in range(height // PATCH):
+                    for pcol in range(IMG_WIDTH // PATCH):
+                        off = prow * PATCH * IMG_WIDTH + pcol * PATCH
+                        rows.append(
+                            (
+                                doc_id,
+                                prow,
+                                pcol,
+                                off,
+                                b[off : off + PATCH_SIG_BYTES].hex().upper(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "prow", "pcol", "offset", "patch_sig"],
+            )
+
+    return docs_with_payload.mapInPandas(tile, schema=PATCH_SCHEMA)

@@ -460,6 +460,89 @@ GROUP BY lang, phase
 """
 
 
+# ---------------------------------------------------------------------------
+# P11 — group-consistent train/val/test split.
+#
+# Splitting per-document leaks near-duplicates and same-source
+# material across splits; the pipeline-correct unit is the GROUP (here
+# the source): hash the source once, every doc inherits its split.
+# Deterministic md5 thresholds (the sampling.py discipline), so the
+# assignment is reproducible on any engine and stable under
+# re-partitioning — and cross-split source leakage is structurally
+# zero, which the query surfaces as a checked column rather than a
+# claim. Row-local predicate at the scan; one agg.
+# ---------------------------------------------------------------------------
+
+_P11_BANDS = (("train", 0.8), ("val", 0.9))  # else "test"
+
+
+def p11_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sampling import (
+        rate_threshold_hex,
+        sample_hash_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    coord = sample_hash_expr(F.col("source"), "split")
+    split = (
+        F.when(coord < F.lit(rate_threshold_hex(_P11_BANDS[0][1])), "train")
+        .when(coord < F.lit(rate_threshold_hex(_P11_BANDS[1][1])), "val")
+        .otherwise("test")
+    )
+    tagged = docs.withColumn("split", split)
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    # structural leak check: a source must belong to exactly one split
+    leak = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_sources")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(leak)).select(
+        "split", "n_sources", "n_docs", "n_chars_total", "leaked_sources"
+    )
+
+
+def _p11_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+
+    t_train = rate_threshold_hex(_P11_BANDS[0][1])
+    t_val = rate_threshold_hex(_P11_BANDS[1][1])
+    return f"""
+WITH tagged AS (
+  SELECT *,
+         CASE WHEN substring(md5(source || '#split'), 1, 6) < '{t_train}'
+                THEN 'train'
+              WHEN substring(md5(source || '#split'), 1, 6) < '{t_val}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+  FROM tagged GROUP BY split
+),
+leak AS (
+  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_sources
+  FROM (SELECT source, count(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY source)
+)
+SELECT split, n_sources, n_docs, n_chars_total, leaked_sources
+FROM per_split, leak
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -470,4 +553,5 @@ QUERIES: list[Query] = [
     Query("llm_p8_epoch_plan", p8_epoch_plan, P8_ORACLE),
     Query("llm_p9_weighted_sample", p9_weighted_sample, _p9_oracle()),
     Query("llm_p10_curriculum", p10_curriculum, P10_ORACLE),
+    Query("llm_p11_group_split", p11_group_split, _p11_oracle()),
 ]

@@ -2314,6 +2314,177 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# M7 — ViT patch-grid tiling over image payloads.
+#
+# The vision-tokenizer front end: a row-major raster is cut into the
+# PATCH x PATCH grid, each patch carrying (row, col, byte offset) and
+# a content signature — exactly the tiling that feeds patch
+# embeddings. Geometry math is real and oracle-checked by walking the
+# payload hex; the per-patch content op is the usual codec stand-in
+# (operators/multimodal.py). Same Arrow-batched mapInPandas shape as
+# the frame/audio extractors.
+# ---------------------------------------------------------------------------
+
+
+def m7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.multimodal import (
+        image_patches,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_patches(with_binary_payload(docs))
+
+
+def _m7_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        IMG_WIDTH,
+        PATCH,
+        PATCH_SIG_BYTES,
+    )
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // {IMG_WIDTH}) // {PATCH} AS n_prows
+  FROM documents
+),
+g AS (
+  SELECT doc_id, hx,
+         CAST(pr AS BIGINT) AS prow, CAST(pc AS BIGINT) AS pcol
+  FROM h,
+       (SELECT unnest(range(0, {IMG_WIDTH // PATCH})) AS pc),
+       LATERAL (SELECT unnest(range(0, n_prows)) AS pr)
+)
+SELECT doc_id, prow, pcol,
+       CAST(prow * {PATCH * IMG_WIDTH} + pcol * {PATCH} AS BIGINT) AS offset,
+       substring(hx,
+                 CAST((prow * {PATCH * IMG_WIDTH} + pcol * {PATCH}) * 2 + 1
+                      AS INT),
+                 {PATCH_SIG_BYTES * 2}) AS patch_sig
+FROM g
+"""
+#
+# score(q, d) = sum over query tokens of the max dot product against
+# any document token — the late-interaction ranking function, computed
+# RELATIONALLY: (1) token texts dedupe to vocabularies, (2) the dot
+# table is vocab_q x vocab_d (bounded by vocabulary product, not
+# corpus size), (3) per-(doc, query-token) max is a grouped agg, (4)
+# per-(query, doc) sum + top-k window. Token "embeddings" are
+# 8-dim integer vectors derived from md5 hex digits (deterministic
+# stand-in — swap for real token vectors and the relational shape is
+# unchanged); all arithmetic is integer, so the scores are engine-
+# exact. Production path at 100 TB: per-token ANN candidate pruning
+# before step (3) (the s2/s3 equi-join shapes), documented not needed
+# at fixture scale.
+# ---------------------------------------------------------------------------
+
+_S9_QT = 4  # query tokens per query doc
+_S9_DT = 32  # document tokens per corpus doc
+_S9_DIM = 8
+_S9_TOPK = 5
+
+
+def _s9_tokvec(col):
+    """8 signed ints in [-8, 7] from the token's md5 hex digits."""
+    h = F.md5(F.concat(col, F.lit("#te")))
+    return F.array(
+        *[
+            (F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long") - 8)
+            for d in range(_S9_DIM)
+        ]
+    )
+
+
+def s9_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    qt = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("qdoc"),
+            F.explode(F.slice(toks, 1, _S9_QT)).alias("qt"),
+        )
+        .distinct()
+    )
+    dt = docs.select(
+        F.col("doc_id").alias("ddoc"),
+        F.explode(F.slice(toks, 1, _S9_DT)).alias("dt"),
+    ).distinct()
+    qv = qt.select("qt").distinct().withColumn("qvec", _s9_tokvec(F.col("qt")))
+    dv = dt.select("dt").distinct().withColumn("dvec", _s9_tokvec(F.col("dt")))
+    dot = F.aggregate(
+        F.zip_with("qvec", "dvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(qv)
+        .crossJoin(dv)
+        .select("qt", "dt", dot.alias("dot"))
+    )
+    best = (
+        dt.join(pairs, "dt")
+        .groupBy("ddoc", "qt")
+        .agg(F.max("dot").alias("best"))
+    )
+    score = (
+        qt.join(best, "qt")
+        .groupBy("qdoc", "ddoc")
+        .agg(F.sum("best").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("ddoc").asc())
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _S9_TOPK)
+        .select("qdoc", "rank", "ddoc", "score")
+    )
+
+
+def _s9_oracle() -> str:
+    dot_terms = " + ".join(
+        f"(CAST('0x' || substring(md5(qt || '#te'), {d + 1}, 1) AS BIGINT) - 8)"
+        f" * (CAST('0x' || substring(md5(dt || '#te'), {d + 1}, 1) AS BIGINT) - 8)"
+        for d in range(_S9_DIM)
+    )
+    return f"""
+WITH qt AS (
+  SELECT DISTINCT doc_id AS qdoc, unnest(({_TOKS})[1:{_S9_QT}]) AS qt
+  FROM documents WHERE doc_id % 100 = 0
+),
+dt AS (
+  SELECT DISTINCT doc_id AS ddoc, unnest(({_TOKS})[1:{_S9_DT}]) AS dt
+  FROM documents
+),
+qv AS (SELECT DISTINCT qt FROM qt),
+dv AS (SELECT DISTINCT dt FROM dt),
+pairs AS (
+  SELECT qt, dt, {dot_terms} AS dot FROM qv CROSS JOIN dv
+),
+best AS (
+  SELECT d.ddoc, p.qt, max(p.dot) AS best
+  FROM dt d JOIN pairs p USING (dt)
+  GROUP BY d.ddoc, p.qt
+),
+score AS (
+  SELECT q.qdoc, b.ddoc, CAST(sum(b.best) AS BIGINT) AS score
+  FROM qt q JOIN best b USING (qt)
+  GROUP BY q.qdoc, b.ddoc
+)
+SELECT qdoc, rank, ddoc, score
+FROM (
+  SELECT qdoc, ddoc, score,
+         CAST(row_number() OVER (PARTITION BY qdoc
+              ORDER BY score DESC, ddoc ASC) AS BIGINT) AS rank
+  FROM score
+)
+WHERE rank <= {_S9_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # D15 — Bloom-filter membership against a reference corpus.
 #
 # "Was this document already ingested?" asked of a reference set too
@@ -2565,4 +2736,6 @@ QUERIES: list[Query] = [
     Query("llm_m6_vad_segments", m6_vad_segments, _m6_oracle()),
     Query("llm_t16_vocab_growth", t16_vocab_growth, T16_ORACLE),
     Query("llm_t17_zipf_buckets", t17_zipf_buckets, T17_ORACLE),
+    Query("llm_s9_maxsim_topk", s9_maxsim_topk, _s9_oracle()),
+    Query("llm_m7_image_patches", m7_image_patches, _m7_oracle()),
 ]

@@ -87,6 +87,7 @@ _PYTHON_ALLOWED = {
     "llm_d8_semantic_dedup",  # FlatMapGroupsInPandas (per-cluster GEMM)
     "llm_d9_containment_pairs",  # ArrowEvalPython (numpy winnowing)
     "llm_m6_vad_segments",  # MapInPandas (numpy-vectorized frame energy)
+    "llm_m7_image_patches",  # MapInPandas (patch-grid tiling)
 }
 
 
