@@ -103,6 +103,8 @@ HEADLINE = [
     "llm_s9_maxsim_topk",
     "llm_p11_group_split",
     "llm_m7_image_patches",
+    "llm_d16_minhash_calibration",
+    "src_s7_schema_evolution",
 ]
 
 

@@ -2314,6 +2314,114 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# D16 — MinHash estimator calibration.
+#
+# The dedup-threshold tuning loop every pipeline runs before a 100 TB
+# sweep: over the LSH candidate pairs, compare the signature-based
+# similarity evidence (# matching minhash components, 0..18) against
+# the EXACT shingle Jaccard — the curve tells you what a given match
+# count actually means on your corpus (E[matches] = k * J). Kept
+# integer-exact end-to-end: the calibration table is (mh_matches,
+# n_pairs, sum |A∩B|, sum |A∪B|); downstream ratio-taking is the
+# caller's one division. Reuses d2's signatures/candidates verbatim —
+# the eval costs one extra equi-join pass over candidates, never a
+# corpus rescan.
+# ---------------------------------------------------------------------------
+
+
+def d16_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, n=2)
+    sig = dedup.minhash_signatures(sh)
+    cands = dedup.lsh_candidates(sig)
+    k = dedup.N_MINHASH
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    pairs = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            matches.alias("mh_matches"),
+            inter.alias("inter"),
+            (F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter).alias(
+                "uni"
+            ),
+        )
+    )
+    return pairs.groupBy("mh_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("inter").cast("long").alias("sum_inter"),
+        F.sum("uni").cast("long").alias("sum_union"),
+    )
+
+
+def _d16_oracle() -> str:
+    k = dedup.N_MINHASH
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> substr(md5(s || "
+        f"'#{i // dedup.HASHES_PER_DIGEST}'), "
+        f"{(i % dedup.HASHES_PER_DIGEST) * 5 + 1}, 5))) AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * dedup.ROWS_PER_BAND + r}' for r in range(dedup.ROWS_PER_BAND))}) AS key FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT CAST({match_terms} AS BIGINT) AS mh_matches,
+         CAST(len(list_filter(ga.shingles,
+                              x -> list_contains(gb.shingles, x)))
+              AS BIGINT) AS inter,
+         CAST(len(ga.shingles) + len(gb.shingles) AS BIGINT) AS ab
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN sh ga ON ga.doc_id = c.doc_a
+  JOIN sh gb ON gb.doc_id = c.doc_b
+)
+SELECT mh_matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS sum_inter,
+       CAST(sum(ab - inter) AS BIGINT) AS sum_union
+FROM m
+GROUP BY mh_matches
+"""
+
+
+# ---------------------------------------------------------------------------
 # M7 — ViT patch-grid tiling over image payloads.
 #
 # The vision-tokenizer front end: a row-major raster is cut into the
@@ -2738,4 +2846,5 @@ QUERIES: list[Query] = [
     Query("llm_t17_zipf_buckets", t17_zipf_buckets, T17_ORACLE),
     Query("llm_s9_maxsim_topk", s9_maxsim_topk, _s9_oracle()),
     Query("llm_m7_image_patches", m7_image_patches, _m7_oracle()),
+    Query("llm_d16_minhash_calibration", d16_minhash_calibration, _d16_oracle()),
 ]

@@ -11,6 +11,7 @@ JSON schema, splittability, columnar pushdown).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 
@@ -127,6 +128,36 @@ def s6_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved dataset read: v1 parquet files predate the
+    (value, props) columns, v2 files carry them; ``mergeSchema``
+    reconciles to the widest schema with NULLs for the missing
+    columns (sources/formats.py read_events_evolved). NULL value ->
+    -1.0 sentinel for dtype-stable comparison; has_value records
+    which generation served the row."""
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_evolved(spark, sf_dir)
+    ev = formats.read_events_evolved(spark, path)
+    return ev.select(
+        "event_id",
+        "ts_ms",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("value"),
+        F.col("value").isNotNull().alias("has_value"),
+    )
+
+
+_EVOLVED_ORACLE = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+       CASE WHEN event_id % 2 = 0 THEN CAST(-1.0 AS DOUBLE)
+            ELSE value END AS value,
+       event_id % 2 = 1 AS has_value
+FROM events
+"""
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
@@ -134,4 +165,5 @@ QUERIES: list[Query] = [
     Query("src_s4_partitioned_events", s4_partitioned_events, _PARTITIONED_ORACLE),
     Query("src_s5_permissive_jsonl", s5_permissive_jsonl, _PERMISSIVE_ORACLE),
     Query("src_s6_compacted_events", s6_compacted_events, _EVENTS_ORACLE),
+    Query("src_s7_schema_evolution", s7_schema_evolution, _EVOLVED_ORACLE),
 ]

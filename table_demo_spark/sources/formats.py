@@ -244,3 +244,38 @@ def read_events_jsonl_permissive(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def ensure_events_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a SCHEMA-EVOLVED parquet directory, once per
+    fixture: v1 files carry the original narrow schema (event_id,
+    ts_ms, user_id, event_type — "before the pipeline logged values"),
+    v2 files add (value, props). This is the directory every
+    long-lived dataset becomes after a schema migration; the read
+    path must reconcile both generations."""
+    final, done = _cached_dir(sf_dir, "evolved")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-evolved-stage-")
+    ev = _typed_events(spark, sf_dir)
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts_ms", "user_id", "event_type"
+    )
+    v2 = ev.filter(F.col("event_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(os.path.join(staging, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(staging, "v=2"))
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema`` unions the per-file
+    footers into the widest schema; rows from narrow files surface
+    NULL for columns that postdate them. At 100 TB prefer declaring
+    the target schema explicitly (one footer pass saved, same
+    semantics) — mergeSchema is the discovery tool, the declared
+    schema is the production read."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
