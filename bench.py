@@ -105,6 +105,8 @@ HEADLINE = [
     "llm_m7_image_patches",
     "llm_d16_minhash_calibration",
     "src_s7_schema_evolution",
+    "llm_d17_simhash_pairs",
+    "an_a48_max_concurrency",
 ]
 
 

@@ -418,3 +418,65 @@ def decontaminate(
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+SIMHASH_BANDS = 4  # 4 x 8-bit slices of the 32-bit signature
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded bucket join + exact
+    Hamming verify (Charikar 2002 / the Google near-dup pipeline,
+    Manku et al. 2007).
+
+    By pigeonhole, two 32-bit signatures within Hamming distance
+    ``hamming_max`` < SIMHASH_BANDS must agree EXACTLY on at least one
+    of the 4 byte-slices — so candidates come from an equi-join on
+    (band, slice value), never an all-pairs scan, and the verifier is
+    one codegen'd ``bit_count(xor)`` per candidate. Same
+    candidates-then-verify shape as the minhash family; SimHash is the
+    right tool when near-dups differ by a few tokens (bit flips are
+    proportional to edited token weight), minhash when they share
+    shingle sets.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias("slice"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
+    return cands.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= hamming_max)

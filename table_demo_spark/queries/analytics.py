@@ -2289,6 +2289,71 @@ FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# A48 — sweep-line maximum concurrency.
+#
+# "Peak simultaneous sessions" — the classic interval-overlap maximum,
+# computed without interval self-joins: each interval contributes a
+# (+1 at start, -1 at end) event, one running sum over the
+# time-ordered points gives the live count, its max is the peak.
+# Half-open [start, end) semantics: at a boundary instant the -1
+# sorts before the +1. O(n log n) via one per-group window sort vs
+# the O(n²) overlap join. Intervals here: each event holds a
+# "session" open for 30 minutes.
+# ---------------------------------------------------------------------------
+
+_A48_HOLD_MS = 30 * 60_000
+
+
+def a48_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("ms")
+    )
+    pts = ev.select(
+        "event_type", F.col("ms").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ms") + F.lit(_A48_HOLD_MS)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("cur", F.sum("delta").over(w))
+    peak = F.max("cur").over(Window.partitionBy("event_type"))
+    flagged = run.withColumn("peak", peak).filter(F.col("cur") == F.col("peak"))
+    return flagged.groupBy("event_type").agg(
+        F.first("peak").cast("long").alias("peak_concurrent"),
+        F.min("t").cast("long").alias("first_peak_ms"),
+    )
+
+
+A48_ORACLE = f"""
+WITH ev AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+pts AS (
+  SELECT event_type, ms AS t, 1 AS delta FROM ev
+  UNION ALL
+  SELECT event_type, ms + {_A48_HOLD_MS} AS t, -1 AS delta FROM ev
+),
+run AS (
+  SELECT event_type, t,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS cur
+  FROM pts
+),
+pk AS (SELECT event_type, max(cur) AS peak FROM run GROUP BY event_type)
+SELECT r.event_type,
+       CAST(p.peak AS BIGINT) AS peak_concurrent,
+       CAST(min(r.t) AS BIGINT) AS first_peak_ms
+FROM run r JOIN pk p ON r.event_type = p.event_type AND r.cur = p.peak
+GROUP BY r.event_type, p.peak
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2337,4 +2402,5 @@ QUERIES: list[Query] = [
     Query("an_a45_waiting_suppliers", a45_waiting_suppliers, A45_ORACLE),
     Query("an_a46_mad_outliers", a46_mad_outliers, A46_ORACLE),
     Query("an_a47_incremental_mv", a47_incremental_mv, A47_ORACLE),
+    Query("an_a48_max_concurrency", a48_max_concurrency, A48_ORACLE),
 ]

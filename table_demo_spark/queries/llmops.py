@@ -2314,6 +2314,58 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# D17 — SimHash near-dup pairs: banded bucket join + Hamming verify.
+#
+# Completes d3 (which produces the signatures) into a pair finder the
+# way Manku et al. 2007 deploy it: by pigeonhole, Hamming distance
+# <= 3 over 32 bits forces exact agreement on one of the 4 byte
+# slices, so candidates are an equi-join on (band, slice) and the
+# verifier is one codegen'd bit_count(xor). Integer-exact end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def d17_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _d17_oracle() -> str:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS slice FROM sig"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN substr(md5(t), CAST(b + 1 AS INT), 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS w
+  FROM tok, (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {dedup.SIMHASH_HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # D16 — MinHash estimator calibration.
 #
 # The dedup-threshold tuning loop every pipeline runs before a 100 TB
@@ -2847,4 +2899,5 @@ QUERIES: list[Query] = [
     Query("llm_s9_maxsim_topk", s9_maxsim_topk, _s9_oracle()),
     Query("llm_m7_image_patches", m7_image_patches, _m7_oracle()),
     Query("llm_d16_minhash_calibration", d16_minhash_calibration, _d16_oracle()),
+    Query("llm_d17_simhash_pairs", d17_simhash_pairs, _d17_oracle()),
 ]
