@@ -107,6 +107,7 @@ HEADLINE = [
     "src_s7_schema_evolution",
     "llm_d17_simhash_pairs",
     "an_a48_max_concurrency",
+    "llm_t18_blocklist_filter",
 ]
 
 

@@ -2314,6 +2314,64 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# T18 — blocklist content filtering.
+#
+# The safety-scrub pass every corpus gets: flag documents whose tokens
+# hit a term blocklist, with per-doc hit counts and distinct terms
+# hit. Implemented as token explode -> broadcast equi-join against the
+# blocklist (the multi-pattern match a regex alternation would do in
+# one pass, but partition-parallel, pushdown-friendly, and exact on
+# token boundaries — no substring false positives). The blocklist is
+# a table, not a code literal: updating it is a data change. Counts
+# integer-exact; the doc set is a left join so clean docs keep zeroes.
+# ---------------------------------------------------------------------------
+
+_T18_BLOCKLIST = ("the", "waste", "error", "noise")  # fixture stand-ins
+
+
+def t18_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [(t,) for t in _T18_BLOCKLIST], "term string"
+    )
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(bl), toks.tok == bl.term)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+    )
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
+    )
+
+
+def _t18_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _T18_BLOCKLIST)
+    return f"""
+WITH bl(term) AS (VALUES {terms}),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+  FROM toks JOIN bl ON tok = term
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_terms, 0) AS n_terms,
+       coalesce(h.n_hits, 0) > 0 AS blocked
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D17 — SimHash near-dup pairs: banded bucket join + Hamming verify.
 #
 # Completes d3 (which produces the signatures) into a pair finder the
@@ -2900,4 +2958,5 @@ QUERIES: list[Query] = [
     Query("llm_m7_image_patches", m7_image_patches, _m7_oracle()),
     Query("llm_d16_minhash_calibration", d16_minhash_calibration, _d16_oracle()),
     Query("llm_d17_simhash_pairs", d17_simhash_pairs, _d17_oracle()),
+    Query("llm_t18_blocklist_filter", t18_blocklist_filter, _t18_oracle()),
 ]
