@@ -108,6 +108,8 @@ HEADLINE = [
     "llm_d17_simhash_pairs",
     "an_a48_max_concurrency",
     "llm_t18_blocklist_filter",
+    "llm_p12_length_batching",
+    "llm_t19_boilerplate_prefix",
 ]
 
 

@@ -543,6 +543,80 @@ FROM per_split, leak
 """
 
 
+# ---------------------------------------------------------------------------
+# P12 — length-bucketed batching with padding-waste accounting.
+#
+# Training batches pad every sequence to the batch max, so batching
+# random-length docs together burns FLOPs on pad tokens; bucketing by
+# length first bounds the waste. The operator assigns each doc to
+# (power-of-two length bucket, batch index within bucket) — ordering
+# by (n_tokens, doc_id) so assignment is deterministic — and reports
+# per bucket the batch count and the exact padding waste
+# sum(batch_max - len). Integer-exact; one ranking window per bucket
+# (the same post-agg-bounded window shape as t15/t17).
+# ---------------------------------------------------------------------------
+
+_P12_BATCH = 8
+
+
+def p12_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    lens = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    bucket = F.floor(F.log2("n_tokens")).cast("long")
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = (
+        lens.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / F.lit(_P12_BATCH))
+            .cast("long"),
+        )
+    )
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").alias("mx"),
+        F.sum("n_tokens").alias("sm"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.col("mx") * F.col("n_docs") - F.col("sm"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+P12_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({_TOKS}) > 0
+),
+batched AS (
+  SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket, n_tokens,
+         CAST((row_number() OVER (PARTITION BY CAST(floor(log2(n_tokens)) AS BIGINT)
+                                  ORDER BY n_tokens, doc_id) - 1)
+              // {_P12_BATCH} AS BIGINT) AS batch_id
+  FROM lens
+),
+per_batch AS (
+  SELECT bucket, batch_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         max(n_tokens) AS mx, sum(n_tokens) AS sm
+  FROM batched GROUP BY bucket, batch_id
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(mx * n_docs - sm) AS BIGINT) AS padding_waste
+FROM per_batch GROUP BY bucket
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -554,4 +628,5 @@ QUERIES: list[Query] = [
     Query("llm_p9_weighted_sample", p9_weighted_sample, _p9_oracle()),
     Query("llm_p10_curriculum", p10_curriculum, P10_ORACLE),
     Query("llm_p11_group_split", p11_group_split, _p11_oracle()),
+    Query("llm_p12_length_batching", p12_length_batching, P12_ORACLE),
 ]

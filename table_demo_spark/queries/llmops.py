@@ -2314,6 +2314,75 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# T19 — boilerplate-prefix detection.
+#
+# Crawled corpora repeat per-site headers ("cookie notice...",
+# nav bars) at the start of most pages; loss-masking or stripping
+# them needs the docs flagged first. Detector: the DOMINANT document
+# prefix per source (most frequent 32-char prefix, ties to the
+# lexicographically smallest), required to repeat (count >= 2); docs
+# carrying their source's dominant repeated prefix are flagged. One
+# hash agg over (source, prefix) + a per-source top-1 window over the
+# aggregated frame + a broadcast join back — no text rescans.
+# ---------------------------------------------------------------------------
+
+_T19_PREFIX = 32
+
+
+def t19_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id", "source", F.substring("text", 1, _T19_PREFIX).alias("prefix")
+    )
+    counts = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("prefix").asc()
+    )
+    dominant = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cnt") >= 2))
+        .select("source", "prefix", F.col("cnt").alias("dom_cnt"))
+    )
+    return pref.join(F.broadcast(dominant), ["source", "prefix"], "left").select(
+        "doc_id",
+        "source",
+        F.col("dom_cnt").isNotNull().alias("is_boilerplate"),
+        F.coalesce("dom_cnt", F.lit(0)).cast("long").alias("dom_cnt"),
+    )
+
+
+T19_ORACLE = f"""
+WITH pref AS (
+  SELECT doc_id, source, substring(text, 1, {_T19_PREFIX}) AS prefix
+  FROM documents
+),
+counts AS (
+  SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+  FROM pref GROUP BY source, prefix
+),
+dominant AS (
+  SELECT source, prefix, cnt AS dom_cnt
+  FROM (
+    SELECT source, prefix, cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, prefix ASC) AS rn
+    FROM counts
+  )
+  WHERE rn = 1 AND cnt >= 2
+)
+SELECT p.doc_id, p.source,
+       d.dom_cnt IS NOT NULL AS is_boilerplate,
+       coalesce(d.dom_cnt, 0) AS dom_cnt
+FROM pref p
+LEFT JOIN dominant d ON p.source = d.source AND p.prefix = d.prefix
+"""
+
+
+# ---------------------------------------------------------------------------
 # T18 — blocklist content filtering.
 #
 # The safety-scrub pass every corpus gets: flag documents whose tokens
@@ -2959,4 +3028,5 @@ QUERIES: list[Query] = [
     Query("llm_d16_minhash_calibration", d16_minhash_calibration, _d16_oracle()),
     Query("llm_d17_simhash_pairs", d17_simhash_pairs, _d17_oracle()),
     Query("llm_t18_blocklist_filter", t18_blocklist_filter, _t18_oracle()),
+    Query("llm_t19_boilerplate_prefix", t19_boilerplate_prefix, T19_ORACLE),
 ]
