@@ -203,3 +203,89 @@ def test_lcg_shard_is_stable_under_repartition(spark):
         for r in shard_assign(df.repartition(7), "k", 16).collect()
     }
     assert a == b
+
+
+def test_skyline_rewrite_matches_bruteforce_on_random_frames(spark):
+    """Randomized check of the a43 sort-rewrite against the quadratic
+    dominance definition — duplicate prices, duplicate points, and
+    degenerate (all-equal) frames included. Batched: one Spark job
+    over many random frames via a frame-id partition column."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for fid in range(25):
+        n = int(rng.integers(1, 30))
+        prices = rng.integers(0, 8, n) * 1.5  # force duplicate prices
+        sizes = rng.integers(0, 10, n)
+        rows += [
+            (fid, i, float(p), int(sz))
+            for i, (p, sz) in enumerate(zip(prices, sizes))
+        ]
+    rows += [(98, 0, 1.0, 1), (99, 0, 2.0, 2), (99, 1, 2.0, 2)]  # edges
+    df = spark.createDataFrame(
+        rows, "fid int, pid long, price double, size int"
+    )
+    per_price = df.groupBy("fid", "price").agg(F.max("size").alias("pmax"))
+    w = (
+        Window.partitionBy("fid")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = per_price.withColumn("run_lt", F.max("pmax").over(w))
+    dominated = (
+        F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("size"))
+    ) | (F.col("pmax") > F.col("size"))
+    got = {
+        (r.fid, r.pid)
+        for r in df.join(lt, ["fid", "price"]).filter(~dominated).collect()
+    }
+    by_fid: dict[int, list] = {}
+    for fid, pid, p, sz in rows:
+        by_fid.setdefault(fid, []).append((pid, p, sz))
+    want = set()
+    for fid, pts in by_fid.items():
+        for pid, p, sz in pts:
+            dom = any(
+                qp <= p and qs >= sz and (qp < p or qs > sz)
+                for _, qp, qs in pts
+            )
+            if not dom:
+                want.add((fid, pid))
+    assert got == want
+
+
+def test_ivm_merge_randomized_splits(spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) for arbitrary split points
+    and key skews — the self-maintainability property, batched into a
+    handful of Spark jobs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.cdc import merge_agg_states
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(rng.integers(0, 9)), i, int(rng.integers(-50, 50)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v long")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    want = sorted(map(tuple, agg(df).collect()))
+    for cut in (0, 37, 150, 299, 300):
+        a, b = df.filter(F.col("i") < cut), df.filter(F.col("i") >= cut)
+        got = sorted(
+            map(
+                tuple,
+                merge_agg_states(agg(a), agg(b), ["k"], ["n", "s"]).collect(),
+            )
+        )
+        assert got == want, f"cut={cut}"
