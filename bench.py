@@ -110,6 +110,7 @@ HEADLINE = [
     "llm_t18_blocklist_filter",
     "llm_p12_length_batching",
     "llm_t19_boilerplate_prefix",
+    "llm_t20_bpe_train",
 ]
 
 

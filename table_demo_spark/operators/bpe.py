@@ -1,0 +1,123 @@
+"""Distributed BPE vocabulary training — fully declarative merge rounds.
+
+Byte-pair-encoding training alternates (1) count adjacent token
+pairs, (2) pick the most frequent, (3) rewrite every sequence with
+the pair merged greedily left-to-right non-overlapping. Step (3) is
+the part engines usually punt to per-row Python; here it is pure
+relational algebra, which is what lets the rewrite run partition-
+parallel over a 100 TB corpus:
+
+- pair at position i matches the round's top pair (the top pair
+  frame is BROADCAST into the plan — the chosen merge never touches
+  the driver);
+- greedy non-overlap == run-length parity: within each maximal run
+  of consecutive matching positions, exactly the even offsets are
+  merged ("x x x" -> "[x x] x"). Runs are gaps-and-islands
+  (pos - row_number over matches), parity is (pos - run_start) % 2;
+- the rewrite keeps a row unless its left neighbor merged, replaces
+  merged heads with the joined token, and renumbers positions for
+  the next round.
+
+Each round is 2 shuffles on doc_id (the lead/lag windows) + 1 pair
+count agg; ``iters`` rounds unroll into one plan the same way
+operators/graph.py unrolls PageRank. Merged tokens embed the
+non-whitespace separator SEP, so later rounds can merge merged
+tokens unambiguously — true BPE, not bigram capping.
+
+The DuckDB oracle (queries/llmops.py) is generated from the same
+constants by the same loop, stating the identical parity rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Unit separator: cannot appear in whitespace-split tokens, so pair
+# keys and merged tokens stay unambiguous even once merged tokens
+# (which embed SEP) participate in later rounds. A space separator
+# would collide ("a b"+"c" vs "a"+"b c").
+SEP = "\x1f"
+
+
+def _tokens_positions(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+
+
+def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """(merge_row, rewritten) — merge_row is 1 row (round, pair, cnt)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    paired = tp.withColumn("nxt", F.lead("tok").over(w))
+    counts = (
+        paired.filter(F.col("nxt").isNotNull())
+        .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wtop = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    top = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(F.col("pair").alias("top_pair"), F.col("cnt").alias("top_cnt"))
+    )
+    marked = paired.crossJoin(F.broadcast(top)).withColumn(
+        "m",
+        F.col("nxt").isNotNull()
+        & (F.concat_ws(SEP, "tok", "nxt") == F.col("top_pair")),
+    )
+    wm = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "grp",
+        F.when(
+            F.col("m"),
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id", "m").orderBy("pos")
+            ),
+        ),
+    )
+    wrun = Window.partitionBy("doc_id", "grp")
+    accepted = runs.withColumn(
+        "acc",
+        F.col("m")
+        & (((F.col("pos") - F.min("pos").over(wrun)) % 2) == 0),
+    )
+    with_prev = accepted.withColumn(
+        "prev_acc",
+        F.coalesce(F.lag("acc").over(wm), F.lit(False)),
+    )
+    rewritten = (
+        with_prev.filter(~F.col("prev_acc"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("acc"), F.concat_ws(SEP, "tok", "nxt")
+            ).otherwise(F.col("tok")).alias("tok"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+            - 1,
+        )
+    )
+    merge_row = top.select(
+        F.lit(rnd).cast("long").alias("round"),
+        F.col("top_pair").alias("merge_pair"),
+        F.col("top_cnt").alias("pair_cnt"),
+    )
+    return merge_row, rewritten
+
+
+def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFrame:
+    """(round, merge_pair, pair_cnt, n_tokens_after) per round."""
+    tp = _tokens_positions(docs, text_col)
+    out = None
+    for r in range(1, iters + 1):
+        merge_row, tp = _one_round(tp, r)
+        after = tp.agg(F.count(F.lit(1)).cast("long").alias("n_tokens_after"))
+        row = merge_row.crossJoin(F.broadcast(after))
+        out = row if out is None else out.unionByName(row)
+    return out

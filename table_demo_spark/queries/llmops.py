@@ -2314,6 +2314,96 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# T20 — distributed BPE vocabulary training (unrolled merge rounds).
+#
+# True iterated BPE — count pairs, take the argmax, REWRITE the whole
+# corpus with the merge applied greedily non-overlapping, repeat —
+# with the rewrite expressed as pure relational algebra (run-parity
+# islands; operators/bpe.py). The chosen merge is broadcast into the
+# next round's plan, so training never touches the driver. The oracle
+# unrolls the identical CTE chain per round; output shows each round's
+# merge, its count, and the shrinking corpus size.
+# ---------------------------------------------------------------------------
+
+_T20_ITERS = 3
+
+
+def t20_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.bpe import SEP, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_train(docs, iters=_T20_ITERS)
+    # render the control-char separator as '+' for a readable pair
+    return out.select(
+        "round",
+        F.translate("merge_pair", SEP, "+").alias("merge_pair"),
+        "pair_cnt",
+        "n_tokens_after",
+    )
+
+
+def _t20_oracle() -> str:
+    sep = "chr(31)"
+    parts = [
+        f"""r0 AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+)"""
+    ]
+    selects = []
+    for k in range(1, _T20_ITERS + 1):
+        p = f"r{k - 1}"
+        parts.append(f"""{p}a AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM {p}
+),
+r{k}top AS (
+  SELECT tok || {sep} || nxt AS top_pair, CAST(count(*) AS BIGINT) AS top_cnt
+  FROM {p}a WHERE nxt IS NOT NULL
+  GROUP BY 1 ORDER BY top_cnt DESC, top_pair ASC LIMIT 1
+),
+{p}b AS (
+  SELECT a.*, t.top_pair,
+         a.nxt IS NOT NULL AND a.tok || {sep} || a.nxt = t.top_pair AS m
+  FROM {p}a a CROSS JOIN r{k}top t
+),
+{p}c AS (
+  SELECT *, CASE WHEN m THEN pos - row_number() OVER
+                  (PARTITION BY doc_id, m ORDER BY pos) END AS grp
+  FROM {p}b
+),
+{p}d AS (
+  SELECT *, m AND (pos - min(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0
+              AS acc
+  FROM {p}c
+),
+{p}e AS (
+  SELECT *, coalesce(lag(acc) OVER (PARTITION BY doc_id ORDER BY pos),
+                     false) AS prev_acc
+  FROM {p}d
+),
+r{k} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS pos,
+         CASE WHEN acc THEN tok || {sep} || nxt ELSE tok END AS tok
+  FROM {p}e WHERE NOT prev_acc
+)""")
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS round, "
+            f"replace(top_pair, {sep}, '+') AS merge_pair, "
+            f"top_cnt AS pair_cnt, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM r{k}) AS n_tokens_after "
+            f"FROM r{k}top"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\n{union}"
+
+
+# ---------------------------------------------------------------------------
 # T19 — boilerplate-prefix detection.
 #
 # Crawled corpora repeat per-site headers ("cookie notice...",
@@ -3029,4 +3119,5 @@ QUERIES: list[Query] = [
     Query("llm_d17_simhash_pairs", d17_simhash_pairs, _d17_oracle()),
     Query("llm_t18_blocklist_filter", t18_blocklist_filter, _t18_oracle()),
     Query("llm_t19_boilerplate_prefix", t19_boilerplate_prefix, T19_ORACLE),
+    Query("llm_t20_bpe_train", t20_bpe_train, _t20_oracle()),
 ]

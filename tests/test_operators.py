@@ -638,3 +638,27 @@ def test_merge_agg_states_equals_full_recompute(spark):
     )
     want = sorted(map(tuple, agg(full).collect()))
     assert got == want
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """Hand-checked BPE rounds: 'a a a a b' corpus. Round 1: pair
+    (a,a) occurs 3x (overlapping), greedy non-overlap merges
+    positions 0 and 2 -> [aa, aa, b]. Round 2 merges (aa,aa)."""
+    from table_demo_spark.operators.bpe import SEP, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a c")], "doc_id long, text string"
+    )
+    rows = {r.round: r for r in bpe_train(docs, iters=2).collect()}
+    r1 = rows[1]
+    # pairs round 1: doc1 (a,a)x3 (a,b); doc2 (a,a)x1 (a,c) -> (a,a)=4
+    assert r1.merge_pair == f"a{SEP}a" and r1.pair_cnt == 4
+    # doc1 'a a a a b' -> [aa, aa, b]; doc2 'a a c' -> [aa, c]: 5 total
+    assert r1.n_tokens_after == 5
+    r2 = rows[2]
+    # round 2 pairs: doc1 (aa,aa),(aa,b); doc2 (aa,c) -> top (aa,aa)=1
+    # tie-break lexicographic among count-1 pairs:
+    # 'a\x1fa\x1faa' < 'a\x1fa\x1fb'? compare strings: 'aa+aa','aa+b','aa+c'
+    assert r2.pair_cnt == 1
+    assert r2.merge_pair == f"a{SEP}a{SEP}a{SEP}a"  # (aa,aa) wins ties
+    assert r2.n_tokens_after == 4
