@@ -111,6 +111,8 @@ HEADLINE = [
     "llm_p12_length_batching",
     "llm_t19_boilerplate_prefix",
     "llm_t20_bpe_train",
+    "an_a49_custdist",
+    "an_a50_hot_key_join",
 ]
 
 

@@ -54,3 +54,34 @@ def salted_agg(
         *keys, F.spark_partition_id().alias("__salt")
     ).agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def split_hot_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_threshold: int,
+) -> DataFrame:
+    """Hot/cold split join — the explicit form of skew-join handling
+    for when AQE can't save you (first shuffle already OOMs a task, or
+    the engine predates runtime replanning): keys whose fact-side
+    frequency reaches ``hot_threshold`` join via a BROADCAST of just
+    the dim rows for those keys (a small set by construction — few
+    keys are hot), while the cold long tail takes the ordinary
+    shuffle join; the union is the full join result.
+
+    This differs from salting: salting spreads one hot key across
+    reducers but still shuffles the fact side; the split avoids
+    shuffling hot fact rows entirely. Cost: one extra pass to count
+    key frequencies (reusable if the stats are maintained as a table).
+    Inner-join semantics; every row routes to exactly one branch, so
+    no dedup is needed.
+    """
+    counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt"))
+    hot_keys = counts.filter(F.col("__cnt") >= hot_threshold).select(key)
+    fact_hot = fact.join(F.broadcast(hot_keys), key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), key, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot_keys), key, "left_semi")
+    return fact_hot.join(F.broadcast(dim_hot), key).unionByName(
+        fact_cold.join(dim, key)
+    )

@@ -2354,6 +2354,87 @@ GROUP BY r.event_type, p.peak
 """
 
 
+# ---------------------------------------------------------------------------
+# A49 — TPC-H Q13 shape: customer order-count distribution.
+#
+# The left-outer + double-aggregation idiom: customers joined to
+# their (filtered) orders — zero-order customers MUST survive, which
+# is why the filter lives in the JOIN CONDITION, not a WHERE — then
+# the per-customer counts are themselves histogrammed. count(o) over
+# a null-extended join counts matches only, giving the 0 bucket for
+# free.
+# ---------------------------------------------------------------------------
+
+
+def a49_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+A49_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# A50 — hot/cold split join (explicit skew-join handling).
+#
+# Keys at or above the frequency threshold join via a broadcast of
+# just their dim rows; the cold tail takes the ordinary shuffle join
+# (operators/skew.py split_hot_join — complements a13's salted agg
+# and the AQE runtime path). The oracle is the PLAIN join + agg: hash
+# equality proves the split is semantics-preserving, which is the
+# point — it's a pure execution-strategy rewrite.
+# ---------------------------------------------------------------------------
+
+_A50_HOT = 40
+
+
+def a50_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.skew import split_hot_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = split_hot_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", _A50_HOT
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+A50_ORACLE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2403,4 +2484,6 @@ QUERIES: list[Query] = [
     Query("an_a46_mad_outliers", a46_mad_outliers, A46_ORACLE),
     Query("an_a47_incremental_mv", a47_incremental_mv, A47_ORACLE),
     Query("an_a48_max_concurrency", a48_max_concurrency, A48_ORACLE),
+    Query("an_a49_custdist", a49_custdist, A49_ORACLE),
+    Query("an_a50_hot_key_join", a50_hot_key_join, A50_ORACLE),
 ]
