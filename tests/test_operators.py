@@ -662,3 +662,24 @@ def test_bpe_train_greedy_merge_semantics(spark):
     assert r2.pair_cnt == 1
     assert r2.merge_pair == f"a{SEP}a{SEP}a{SEP}a"  # (aa,aa) wins ties
     assert r2.n_tokens_after == 4
+
+
+def test_split_hot_join_equals_plain_join(spark):
+    """The hot/cold split is a pure execution rewrite: result equals
+    the plain inner join for thresholds that route rows to both
+    branches, to only-hot, and to only-cold."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.skew import split_hot_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 1, 2, 2, 3) for i in range(2)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "k long, name string"
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    for thr in (1, 5, 100):
+        got = sorted(map(tuple, split_hot_join(fact, dim, "k", thr).collect()))
+        assert got == want, f"threshold {thr}"
