@@ -113,6 +113,7 @@ HEADLINE = [
     "llm_t20_bpe_train",
     "an_a49_custdist",
     "an_a50_hot_key_join",
+    "llm_s10_maxsim_pruned",
 ]
 
 

@@ -2691,6 +2691,144 @@ GROUP BY mh_matches
 
 
 # ---------------------------------------------------------------------------
+# S10 — MaxSim with per-token candidate pruning (the ANN'd variant).
+#
+# The scale path S9's docstring names, made concrete: query and
+# document tokens are bucketed by their vector's sign orthant (the
+# random-hyperplane LSH the s8 projection also uses), and the dot
+# table is built per-bucket — an EQUI-join instead of s9's vocabulary
+# cross join, so the max stage only sees same-orthant candidates.
+# Approximate by construction (a document token in another orthant
+# can't contribute, and query tokens with no same-bucket candidate
+# drop out of the sum) but fully deterministic, so the oracle states
+# the identical pruning and the hash check still gates it. s9 vs s10
+# is the exact/approx pair, same as s1 vs s2 for whole-vector search.
+# ---------------------------------------------------------------------------
+
+
+def _s9_tokbucket(col):
+    """Sign-orthant bucket of the md5 token vector: bit d set iff
+    component d > 0 (hex digit >= 9, since v = digit - 8)."""
+    h = F.md5(F.concat(col, F.lit("#te")))
+    b = F.lit(0)
+    for d in range(_S9_DIM):
+        b = b + F.when(
+            F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int") >= 9,
+            F.lit(1 << d),
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def s10_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    qt = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("qdoc"),
+            F.explode(F.slice(toks, 1, _S9_QT)).alias("qt"),
+        )
+        .distinct()
+    )
+    dt = docs.select(
+        F.col("doc_id").alias("ddoc"),
+        F.explode(F.slice(toks, 1, _S9_DT)).alias("dt"),
+    ).distinct()
+    qv = (
+        qt.select("qt")
+        .distinct()
+        .withColumn("qvec", _s9_tokvec(F.col("qt")))
+        .withColumn("bucket", _s9_tokbucket(F.col("qt")))
+    )
+    dv = (
+        dt.select("dt")
+        .distinct()
+        .withColumn("dvec", _s9_tokvec(F.col("dt")))
+        .withColumn("bucket", _s9_tokbucket(F.col("dt")))
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "dvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(qv)
+        .join(dv, "bucket")
+        .select("qt", "dt", dot.alias("dot"))
+    )
+    best = (
+        dt.join(pairs, "dt")
+        .groupBy("ddoc", "qt")
+        .agg(F.max("dot").alias("best"))
+    )
+    score = (
+        qt.join(best, "qt")
+        .groupBy("qdoc", "ddoc")
+        .agg(F.sum("best").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("qdoc").orderBy(
+        F.col("score").desc(), F.col("ddoc").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _S9_TOPK)
+        .select("qdoc", "rank", "ddoc", "score")
+    )
+
+
+def _s10_oracle() -> str:
+    dot_terms = " + ".join(
+        f"(CAST('0x' || substring(md5(qt || '#te'), {d + 1}, 1) AS BIGINT) - 8)"
+        f" * (CAST('0x' || substring(md5(dt || '#te'), {d + 1}, 1) AS BIGINT) - 8)"
+        for d in range(_S9_DIM)
+    )
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN CAST('0x' || substring(md5({col} || '#te'), {d + 1}, 1)"
+            f" AS BIGINT) >= 9 THEN {1 << d} ELSE 0 END)"
+            for d in range(_S9_DIM)
+        )
+
+    return f"""
+WITH qt AS (
+  SELECT DISTINCT doc_id AS qdoc, unnest(({_TOKS})[1:{_S9_QT}]) AS qt
+  FROM documents WHERE doc_id % 100 = 0
+),
+dt AS (
+  SELECT DISTINCT doc_id AS ddoc, unnest(({_TOKS})[1:{_S9_DT}]) AS dt
+  FROM documents
+),
+qv AS (SELECT qt, {bucket("qt")} AS bucket FROM (SELECT DISTINCT qt FROM qt)),
+dv AS (SELECT dt, {bucket("dt")} AS bucket FROM (SELECT DISTINCT dt FROM dt)),
+pairs AS (
+  SELECT qt, dt, {dot_terms} AS dot
+  FROM qv JOIN dv USING (bucket)
+),
+best AS (
+  SELECT d.ddoc, p.qt, max(p.dot) AS best
+  FROM dt d JOIN pairs p USING (dt)
+  GROUP BY d.ddoc, p.qt
+),
+score AS (
+  SELECT q.qdoc, b.ddoc, CAST(sum(b.best) AS BIGINT) AS score
+  FROM qt q JOIN best b USING (qt)
+  GROUP BY q.qdoc, b.ddoc
+)
+SELECT qdoc, rank, ddoc, score
+FROM (
+  SELECT qdoc, ddoc, score,
+         CAST(row_number() OVER (PARTITION BY qdoc
+              ORDER BY score DESC, ddoc ASC) AS BIGINT) AS rank
+  FROM score
+)
+WHERE rank <= {_S9_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # M7 — ViT patch-grid tiling over image payloads.
 #
 # The vision-tokenizer front end: a row-major raster is cut into the
@@ -3120,4 +3258,5 @@ QUERIES: list[Query] = [
     Query("llm_t18_blocklist_filter", t18_blocklist_filter, _t18_oracle()),
     Query("llm_t19_boilerplate_prefix", t19_boilerplate_prefix, T19_ORACLE),
     Query("llm_t20_bpe_train", t20_bpe_train, _t20_oracle()),
+    Query("llm_s10_maxsim_pruned", s10_maxsim_pruned, _s10_oracle()),
 ]
