@@ -663,3 +663,32 @@ def test_versioned_cdc_sink_disorder_and_tombstones(spark, tmp_path):
     before = sorted(map(tuple, sink.snapshot_df(spark).collect()))
     sink.apply_changelog(b([(1, 3, "stale", "U"), (2, 7, "", "D")]), 1)
     assert sorted(map(tuple, sink.snapshot_df(spark).collect())) == before
+
+
+def test_streaming_state_rows_bounded_by_key_domain(spark):
+    """The scale claim behind the stateful queries, enforced on
+    engine metrics: after a full drain, the state store holds at most
+    one row per live key — the q6 dedup state is exactly the distinct
+    key set, never the event count (150 users x 5 types vs 10k
+    events at sf0.001 would differ by 13x if per-event state leaked)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import q6_dedup_stream
+
+    sink, query = q6_dedup_stream(spark, SF_SMOKE, speed=SPEED)
+    query.processAllAvailable()
+    lp = query.lastProgress
+    query.stop()
+    n_keys = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    state = (lp or {}).get("stateOperators") or []
+    assert state, "expected a stateful operator in the progress report"
+    total_state_rows = sum(op["numRowsTotal"] for op in state)
+    assert total_state_rows <= n_keys, (
+        f"state leaked: {total_state_rows} rows for {n_keys} keys"
+    )
