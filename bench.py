@@ -114,6 +114,7 @@ HEADLINE = [
     "an_a49_custdist",
     "an_a50_hot_key_join",
     "llm_s10_maxsim_pruned",
+    "an_a51_bfs_reachability",
 ]
 
 

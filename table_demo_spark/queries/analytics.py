@@ -2435,6 +2435,100 @@ GROUP BY p.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# A51 — bounded-depth BFS reachability (unrolled frontier expansion).
+#
+# "What can we reach in <= 3 hops from this seed set?" — the
+# recommendation/impact-analysis traversal, expressed as unrolled
+# joins like PageRank's iterations: each hop joins the frontier to
+# the edge list, subtracts already-visited nodes (left_anti), and
+# unions into the visited set. On the bulk co-purchase graph (a44's
+# sparse edges), seeded from one brand's parts. Per hop: one equi-
+# join + one anti-join — both hash-partitioned on the node id; the
+# visited set stays deduplicated so frontiers can't re-expand.
+# ---------------------------------------------------------------------------
+
+_A51_HOPS = 3
+_A51_BRAND = "Brand#11"
+
+
+def a51_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _A44_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part")
+    seed = part.filter(F.col("p_brand") == _A51_BRAND).select(
+        F.col("p_partkey").alias("node")
+    )
+    counts = [(0, seed)]
+    visited, frontier = seed, seed
+    for hop in range(1, _A51_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        counts.append((hop, nxt))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    out = None
+    for hop, frame in counts:
+        row = frame.agg(
+            F.lit(hop).cast("long").alias("hop"),
+            F.count(F.lit(1)).cast("long").alias("n_new_nodes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+A51_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= {_A44_MIN_QTY}),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+h0 AS (SELECT p_partkey AS node FROM part WHERE p_brand = '{_A51_BRAND}'),
+v0 AS (SELECT node FROM h0),
+h1 AS (
+  SELECT DISTINCT e.dst AS node FROM h0 f JOIN edges e ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM v0)
+),
+v1 AS (SELECT node FROM v0 UNION SELECT node FROM h1),
+h2 AS (
+  SELECT DISTINCT e.dst AS node FROM h1 f JOIN edges e ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM v1)
+),
+v2 AS (SELECT node FROM v1 UNION SELECT node FROM h2),
+h3 AS (
+  SELECT DISTINCT e.dst AS node FROM h2 f JOIN edges e ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM v2)
+)
+SELECT CAST(0 AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_new_nodes FROM h0
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) FROM h1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM h2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM h3
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2486,4 +2580,5 @@ QUERIES: list[Query] = [
     Query("an_a48_max_concurrency", a48_max_concurrency, A48_ORACLE),
     Query("an_a49_custdist", a49_custdist, A49_ORACLE),
     Query("an_a50_hot_key_join", a50_hot_key_join, A50_ORACLE),
+    Query("an_a51_bfs_reachability", a51_bfs_reachability, A51_ORACLE),
 ]
