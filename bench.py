@@ -115,6 +115,7 @@ HEADLINE = [
     "an_a50_hot_key_join",
     "llm_s10_maxsim_pruned",
     "an_a51_bfs_reachability",
+    "llm_p13_corpus_manifest",
 ]
 
 

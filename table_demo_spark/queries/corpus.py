@@ -617,6 +617,48 @@ FROM per_batch GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# P13 — reproducibility manifest: order-invariant per-shard digests.
+#
+# Dataset versioning needs a content digest per shard that any engine,
+# any partitioning, any row order reproduces bit-for-bit — and that
+# updates INCREMENTALLY under CDC (xor is its own inverse: adding a
+# doc xors its hash in, deleting xors it back out, no rescan). Digest:
+# bit_xor over each doc's 60-bit md5 prefix, per LCG shard (p7's
+# assignment), alongside row/byte counts. One map-side-combined agg.
+# ---------------------------------------------------------------------------
+
+
+def p13_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (mixing.lcg_coord(F.col("doc_id")) % N_SHARDS).cast("int")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(shard.alias("shard"), h.alias("h"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.bit_xor("h").alias("content_digest"),
+        )
+    )
+
+
+P13_ORACLE = f"""
+WITH c AS (
+  SELECT CAST((doc_id * {mixing.LCG_A} + {mixing.LCG_C}) % {mixing.LCG_M}
+              % {N_SHARDS} AS INT) AS shard,
+         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h,
+         n_chars
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       CAST(bit_xor(h) AS BIGINT) AS content_digest
+FROM c GROUP BY shard
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d13_substring_dedup", d13_substring_dedup, D13_ORACLE),
     Query("llm_p5_chunk_overlap", p5_chunk_overlap, P5_ORACLE),
@@ -629,4 +671,5 @@ QUERIES: list[Query] = [
     Query("llm_p10_curriculum", p10_curriculum, P10_ORACLE),
     Query("llm_p11_group_split", p11_group_split, _p11_oracle()),
     Query("llm_p12_length_batching", p12_length_batching, P12_ORACLE),
+    Query("llm_p13_corpus_manifest", p13_corpus_manifest, P13_ORACLE),
 ]
