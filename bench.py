@@ -116,6 +116,8 @@ HEADLINE = [
     "llm_s10_maxsim_pruned",
     "an_a51_bfs_reachability",
     "llm_p13_corpus_manifest",
+    "llm_d18_ingest_dedup",
+    "llm_m8_modality_router",
 ]
 
 

@@ -2691,6 +2691,140 @@ GROUP BY mh_matches
 
 
 # ---------------------------------------------------------------------------
+# M8 — modality router: magic-byte detection over binary payloads.
+#
+# Ingest routing: mixed blob feeds split by container format before
+# any decoder runs — detected from the leading magic bytes, a pure
+# byte-prefix comparison that never touches a codec. The fixture
+# synthesizes the mix (doc_id % 3 selects PNG-magic / JPEG-magic /
+# raw-text payloads, built with unhex so the oracle constructs the
+# IDENTICAL bytes); the router is a codegen'd CASE over hex(prefix).
+# Routing stats per (modality, lang) prove the split; unknowns stay
+# explicitly visible rather than silently dropped.
+# ---------------------------------------------------------------------------
+
+_M8_PNG = "89504E470D0A1A0A"
+_M8_JPEG = "FFD8FFE0"
+
+
+def m8_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.unhex(F.lit(_M8_PNG)), F.encode("text", "utf-8")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.unhex(F.lit(_M8_JPEG)), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    tagged = docs.select("doc_id", "lang", payload.alias("payload"))
+    prefix = F.hex(F.substring("payload", 1, 8))
+    modality = (
+        F.when(prefix.startswith(_M8_PNG), "png")
+        .when(prefix.startswith(_M8_JPEG), "jpeg")
+        .otherwise("unknown")
+    )
+    return (
+        tagged.select("lang", modality.alias("modality"), "payload")
+        .groupBy("modality", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("payload")).cast("long").alias("n_bytes"),
+        )
+    )
+
+
+M8_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN unhex('{_M8_PNG}') || encode(text)
+              WHEN doc_id % 3 = 1 THEN unhex('{_M8_JPEG}') || encode(text)
+              ELSE encode(text) END AS payload
+  FROM documents
+),
+routed AS (
+  SELECT lang, payload,
+         CASE WHEN substring(hex(payload), 1, {len(_M8_PNG)}) = '{_M8_PNG}'
+                THEN 'png'
+              WHEN substring(hex(payload), 1, {len(_M8_JPEG)}) = '{_M8_JPEG}'
+                THEN 'jpeg'
+              ELSE 'unknown' END AS modality
+  FROM tagged
+)
+SELECT modality, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS n_bytes
+FROM routed
+GROUP BY modality, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# D18 — cross-corpus ingest dedup (exact).
+#
+# The daily-ingest question d15's Bloom filter answers approximately,
+# answered exactly: which documents of the new crawl (odd doc_id) are
+# NOT already in the ingested corpus (even doc_id), by content
+# fingerprint. One anti-join on the 32-char digest — the exact-verify
+# stage a production pipeline runs AFTER the bloom prefilter has
+# discarded the bulk (compose d15 -> d18; at 100 TB the anti-join
+# then only sees bloom-positive rows). Also reports the duplicate
+# count per new doc's fingerprint within the crawl itself.
+# ---------------------------------------------------------------------------
+
+
+def d18_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ingested = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    crawl = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    fresh = crawl.join(ingested, "fp", "left_anti")
+    crawl_dupes = fresh.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_crawl"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return (
+        fresh.join(crawl_dupes, "fp")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_in_crawl",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+D18_ORACLE = """
+WITH ingested AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+crawl AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+),
+fresh AS (
+  SELECT c.doc_id, c.fp FROM crawl c
+  ANTI JOIN ingested i ON c.fp = i.fp
+),
+d AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_in_crawl,
+         min(doc_id) AS canonical_id
+  FROM fresh GROUP BY fp
+)
+SELECT f.doc_id, d.canonical_id, d.n_in_crawl,
+       f.doc_id = d.canonical_id AS is_canonical
+FROM fresh f JOIN d USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
 # S10 — MaxSim with per-token candidate pruning (the ANN'd variant).
 #
 # The scale path S9's docstring names, made concrete: query and
@@ -3259,4 +3393,6 @@ QUERIES: list[Query] = [
     Query("llm_t19_boilerplate_prefix", t19_boilerplate_prefix, T19_ORACLE),
     Query("llm_t20_bpe_train", t20_bpe_train, _t20_oracle()),
     Query("llm_s10_maxsim_pruned", s10_maxsim_pruned, _s10_oracle()),
+    Query("llm_d18_ingest_dedup", d18_ingest_dedup, D18_ORACLE),
+    Query("llm_m8_modality_router", m8_modality_router, M8_ORACLE),
 ]
