@@ -118,6 +118,13 @@ HEADLINE = [
     "llm_p13_corpus_manifest",
     "llm_d18_ingest_dedup",
     "llm_m8_modality_router",
+    "an_a52_important_parts",
+    "an_a53_top_supplier",
+    "an_a54_supplier_relationship",
+    "an_a55_small_qty_revenue",
+    "an_a56_large_volume_customers",
+    "an_a57_excess_shipment_suppliers",
+    "an_a58_global_sales_opportunity",
 ]
 
 

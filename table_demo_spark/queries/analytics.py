@@ -2529,6 +2529,364 @@ SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM h3
 """
 
 
+# ---------------------------------------------------------------------------
+# A52 — important parts (TPC-H Q11 shape): per-part inventory value
+# restricted to one region's suppliers, kept only if the part's value
+# exceeds a fixed fraction of the regional total. The plan shape under
+# test: a grouped aggregate compared against a GLOBAL scalar aggregate
+# — Spark realizes the scalar as a 1-row broadcast (crossJoin of the
+# re-aggregated per-part frame), never a second scan-wide shuffle.
+# Decimal sums keep both engines bit-identical; the threshold compare
+# is integer-scaled (value * 2000 > total) so no float fraction enters.
+# ---------------------------------------------------------------------------
+
+_A52_REGION = "ASIA"
+_A52_SCALE = 2000  # keep parts with value > total/2000
+
+
+def a52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _A52_REGION)
+    dim = F.broadcast(
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    value = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_part = (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("__val"))
+    )
+    total = per_part.agg(F.sum("__val").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__val") * _A52_SCALE > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__val").cast("double").alias("part_value"),
+        )
+    )
+
+
+A52_ORACLE = f"""
+WITH regional AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_A52_REGION}'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM regional
+WHERE val * {_A52_SCALE} > (SELECT sum(val) FROM regional)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A53 — top supplier (TPC-H Q15 shape): quarterly revenue per supplier,
+# then the supplier(s) achieving the maximum. The "view + max join"
+# shape: the per-supplier aggregate is computed once, re-aggregated to
+# a 1-row max, and equi-filtered against it via broadcast — exact
+# DECIMAL revenue makes the equality join safe across engines.
+# ---------------------------------------------------------------------------
+
+_A53_START, _A53_END = "1996-01-01", "1996-04-01"
+
+
+def a53_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A53_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_A53_END).cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("__rev")
+    )
+    best = revenue.agg(F.max("__rev").alias("__best"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("__rev") == F.col("__best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+A53_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_A53_START}'
+    AND l_shipdate < TIMESTAMP '{_A53_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A54 — parts/supplier relationship (TPC-H Q16 shape): how many
+# distinct qualifying suppliers ship each (brand, size) family,
+# excluding one brand and a NOT-IN denylist of suppliers (negative
+# account balance). Supplier-part pairs come from lineitem (the
+# fixture set has no partsupp); the denylist is a broadcast anti-join;
+# the distinct count shuffles once on (brand, size).
+# ---------------------------------------------------------------------------
+
+_A54_EXCL_BRAND = "Brand#11"
+
+
+def a54_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != _A54_EXCL_BRAND
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+A54_ORACLE = f"""
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{_A54_EXCL_BRAND}'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# A55 — small-quantity-order revenue (TPC-H Q17 shape): average weekly
+# revenue lost to orders below 20% of a part's average quantity. The
+# correlated per-part AVG becomes a grouped aggregate re-joined to the
+# fact table (Catalyst's decorrelation, written explicitly). The
+# average is exact-DECIMAL-sum / count — deterministic in both engines
+# — so the 0.2*avg threshold compares identically.
+# ---------------------------------------------------------------------------
+
+_A55_BRAND = "Brand#21"
+
+
+def a55_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == _A55_BRAND)
+    fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = fact.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("__avg_qty")
+    )
+    return (
+        fact.join(F.broadcast(avg_qty), fact.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_weekly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+A55_ORACLE = f"""
+WITH fact AS (
+  SELECT l.* FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{_A55_BRAND}'
+),
+avg_qty AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS aq
+  FROM fact GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_weekly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM fact f JOIN avg_qty a ON f.l_partkey = a.l_partkey
+WHERE f.l_quantity < 0.2 * a.aq
+"""
+
+
+# ---------------------------------------------------------------------------
+# A56 — large-volume customers (TPC-H Q18 shape): orders whose total
+# quantity clears a threshold, joined back to orders + customer. The
+# HAVING-subquery-IN shape collapses to groupBy + semi-equi-join; the
+# order-level aggregate shuffles on l_orderkey once and the qualifying
+# key set is tiny, so the back-join broadcasts it.
+# ---------------------------------------------------------------------------
+
+_A56_MIN_QTY = 300
+
+
+def a56_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > _A56_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+A56_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_totalprice,
+       CAST(t.qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_A56_MIN_QTY}
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A57 — excess-shipment suppliers (TPC-H Q20 shape): suppliers that
+# shipped an outsized quantity of any name-prefixed part family in one
+# year, listed with their nation. Two nested IN-subqueries in the
+# reference formulation; here the inner one is a LIKE-filtered
+# broadcast dim join and the outer one a semi join on the qualifying
+# supplier keys — the fact table is touched once.
+# ---------------------------------------------------------------------------
+
+_A57_PREFIX = "small"
+_A57_YEAR_START, _A57_YEAR_END = "1997-01-01", "1998-01-01"
+_A57_MIN_QTY = 50
+
+
+def a57_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A57_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_A57_YEAR_END).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(_A57_PREFIX)
+    )
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > _A57_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+A57_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{_A57_PREFIX}%'
+    AND l.l_shipdate >= TIMESTAMP '{_A57_YEAR_START}'
+    AND l.l_shipdate < TIMESTAMP '{_A57_YEAR_END}'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_A57_MIN_QTY}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A58 — global sales opportunity (TPC-H Q22 shape): well-funded
+# customers who never ordered, grouped by a derived "country code"
+# (custkey mod 5 — the fixtures have no phone column). Three shapes in
+# one plan: a global scalar subquery (avg positive balance, exact
+# DECIMAL sum / count so both engines agree bit-for-bit), an anti join
+# against orders, and a final small aggregate.
+# ---------------------------------------------------------------------------
+
+
+_A58_SINCE = "1999-07-01"  # "no orders in the recent period" cutoff
+
+
+def a58_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_A58_SINCE).cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy((F.col("c_custkey") % 5).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+A58_ORACLE = f"""
+SELECT CAST(c_custkey % 5 AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{_A58_SINCE}')
+GROUP BY c_custkey % 5
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2581,4 +2939,11 @@ QUERIES: list[Query] = [
     Query("an_a49_custdist", a49_custdist, A49_ORACLE),
     Query("an_a50_hot_key_join", a50_hot_key_join, A50_ORACLE),
     Query("an_a51_bfs_reachability", a51_bfs_reachability, A51_ORACLE),
+    Query("an_a52_important_parts", a52_important_parts, A52_ORACLE),
+    Query("an_a53_top_supplier", a53_top_supplier, A53_ORACLE),
+    Query("an_a54_supplier_relationship", a54_supplier_relationship, A54_ORACLE),
+    Query("an_a55_small_qty_revenue", a55_small_qty_revenue, A55_ORACLE),
+    Query("an_a56_large_volume_customers", a56_large_volume_customers, A56_ORACLE),
+    Query("an_a57_excess_shipment_suppliers", a57_excess_shipment_suppliers, A57_ORACLE),
+    Query("an_a58_global_sales_opportunity", a58_global_sales_opportunity, A58_ORACLE),
 ]
