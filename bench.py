@@ -125,6 +125,12 @@ HEADLINE = [
     "an_a56_large_volume_customers",
     "an_a57_excess_shipment_suppliers",
     "an_a58_global_sales_opportunity",
+    "llm_s11_mips_topk",
+    "llm_t21_readability",
+    "llm_m9_scene_cuts",
+    "stream_q20_semi_join",
+    "an_a59_hll_rollup",
+    "an_a60_event_paths",
 ]
 
 

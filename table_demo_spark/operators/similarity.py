@@ -608,3 +608,76 @@ def pq_topk(
         "neighbor_id",
         F.row_number().over(w).cast("long").alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k via the norm-augmentation
+    reduction (Bachrach et al., RecSys 2014; Shrivastava & Li, NIPS
+    2014): append ``aug = sqrt(M^2 - |x|^2)`` to every corpus vector —
+    ``M`` being the max corpus norm, a 1-row broadcast scalar — and
+    ``0.0`` to every query. Every augmented corpus vector then has
+    norm exactly M, so *cosine* ranking in the augmented space equals
+    *inner-product* ranking in the original space: the rewrite that
+    lets any cosine-LSH / IVF index family (lsh_topk, ivf_topk) answer
+    MIPS queries unchanged.
+
+    The returned score is the exact inner product: the fold runs over
+    the augmented arrays (DIM+1 terms) but the query's trailing 0.0
+    contributes an exact +0.0, so the value is bit-identical to the
+    plain DIM-term dot product the oracle computes — ranking and hash
+    both stay engine-neutral (ties break by neighbor id).
+
+    Scale: one corpus-wide max (partial-agg'd), broadcast of one row +
+    the query set; the corpus is scanned once. The augmented column is
+    what an LSH/IVF bucketing would consume at 100 TB.
+    """
+    from table_demo_spark.functions.vector import dot, norm2
+
+    m = corpus.agg(F.max(norm2(F.col(vec_col))).alias("__m"))
+    c = (
+        corpus.crossJoin(F.broadcast(m))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.concat(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.col("__m") * F.col("__m")
+                            - norm2(F.col(vec_col)) * norm2(F.col(vec_col)),
+                        )
+                    )
+                ),
+            ).alias("c_aug"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("q_aug"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        dot("q_aug", "c_aug").alias("ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "ip",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)

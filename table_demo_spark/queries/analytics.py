@@ -2887,6 +2887,179 @@ GROUP BY c_custkey % 5
 """
 
 
+# ---------------------------------------------------------------------------
+# A59 — hierarchical sketch rollup (the hypertable / continuous-
+# aggregate shape): distinct users per (event_type, day) as HLL
+# registers, then the per-type total derived by MERGING the daily
+# registers (per-bucket max) — never by rescanning the fact table.
+# This is the TimescaleDB/Druid rollup contract: register mergeability
+# (max is associative/commutative/idempotent) makes the coarse level
+# O(days x 256) regardless of fact volume, and the same merge serves
+# any ad-hoc date range. Estimates use the bit-exact integer HLL of
+# operators/sketch.py, so the oracle reproduces them exactly; exact
+# distincts ride along to show the error.
+# ---------------------------------------------------------------------------
+
+
+def a59_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.date_trunc("DAY", F.col("ts"))).alias("day_ms"),
+        "user_id",
+    )
+    daily_regs = hll_registers(ev, ["event_type", "day_ms"], "user_id")
+    daily = hll_estimate(daily_regs, ["event_type", "day_ms"]).join(
+        ev.groupBy("event_type", "day_ms").agg(
+            F.countDistinct("user_id").cast("long").alias("exact_distinct")
+        ),
+        ["event_type", "day_ms"],
+    )
+    merged_regs = daily_regs.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    total = (
+        hll_estimate(merged_regs, ["event_type"])
+        .join(
+            ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").cast("long").alias("exact_distinct")
+            ),
+            ["event_type"],
+        )
+        .withColumn("day_ms", F.lit(-1).cast("long"))
+    )
+    cols = ["event_type", "day_ms", "n_registers", "est_distinct", "exact_distinct"]
+    return daily.select(*cols).unionByName(total.select(*cols))
+
+
+def _a59_oracle() -> str:
+    from table_demo_spark.operators.sketch import (
+        ALPHA_M2_SCALED,
+        M_REGISTERS,
+        RANK_CAP,
+        VALUE_HEX,
+    )
+
+    full_rank = VALUE_HEX * 4 + 1
+    est = (
+        f"CAST({ALPHA_M2_SCALED!r} AS DOUBLE) / (s_present + "
+        f"({M_REGISTERS} - n_registers) * (1::BIGINT << {RANK_CAP}))"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         CAST(user_id AS VARCHAR) AS tok
+  FROM events
+),
+ranks AS (
+  SELECT event_type, day_ms,
+         CAST('0x' || substring(md5(tok), 1, 2) AS BIGINT) AS bucket,
+         least(CASE WHEN CAST('0x' || substring(md5(tok), 3, {VALUE_HEX}) AS BIGINT) > 0
+                    THEN {full_rank} - length(bin(CAST('0x' || substring(md5(tok), 3, {VALUE_HEX}) AS BIGINT)))
+                    ELSE {RANK_CAP} END, {RANK_CAP}) AS rank
+  FROM base
+),
+daily_regs AS (
+  SELECT event_type, day_ms, bucket, max(rank) AS m_j
+  FROM ranks GROUP BY 1, 2, 3
+),
+daily_s AS (
+  SELECT event_type, day_ms,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present
+  FROM daily_regs GROUP BY 1, 2
+),
+daily_exact AS (
+  SELECT event_type, day_ms, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY 1, 2
+),
+merged_regs AS (
+  SELECT event_type, bucket, max(m_j) AS m_j FROM daily_regs GROUP BY 1, 2
+),
+total_s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present
+  FROM merged_regs GROUP BY 1
+),
+total_exact AS (
+  SELECT event_type, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY 1
+)
+SELECT s.event_type, s.day_ms, n_registers, {est} AS est_distinct, e.exact_distinct
+FROM daily_s s JOIN daily_exact e USING (event_type, day_ms)
+UNION ALL
+SELECT s.event_type, CAST(-1 AS BIGINT) AS day_ms, n_registers,
+       {est} AS est_distinct, e.exact_distinct
+FROM total_s s JOIN total_exact e USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A60 — event-path transition matrix (Markov path analytics): for each
+# user's event sequence (ordered by ts, event_id tiebreak), count
+# consecutive event_type transitions and derive per-source transition
+# probabilities and ranks. One lag window per user partition (the sort
+# is partition-local after the hash shuffle on user_id), one
+# map-side-combined count agg over a bounded (|types|^2) key space,
+# and the probability denominator is a window sum over that tiny
+# aggregated frame. Probabilities are long/long double divisions —
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+
+def a60_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    wr = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double"), 6
+        ).alias("p"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+A60_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p,
+       CAST(row_number() OVER (PARTITION BY from_type
+                               ORDER BY n DESC, to_type ASC) AS BIGINT) AS rank
+FROM trans
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -2946,4 +3119,6 @@ QUERIES: list[Query] = [
     Query("an_a56_large_volume_customers", a56_large_volume_customers, A56_ORACLE),
     Query("an_a57_excess_shipment_suppliers", a57_excess_shipment_suppliers, A57_ORACLE),
     Query("an_a58_global_sales_opportunity", a58_global_sales_opportunity, A58_ORACLE),
+    Query("an_a59_hll_rollup", a59_hll_rollup, _a59_oracle()),
+    Query("an_a60_event_paths", a60_event_paths, A60_ORACLE),
 ]

@@ -3337,6 +3337,192 @@ FROM proj
 """
 
 
+# ---------------------------------------------------------------------------
+# S11 — exact maximum-inner-product top-k (MIPS) via norm augmentation
+# (operators/similarity.mips_topk). The rewrite that turns any cosine
+# index (s2's LSH, s3's IVF) into a MIPS index: corpus vectors gain a
+# sqrt(M^2-|x|^2) dimension, queries a 0.0 — augmented-cosine ranking
+# equals inner-product ranking. The score folds over the augmented
+# arrays but the trailing +0.0 term is exact, so it hash-matches the
+# oracle's plain dot product; DuckDB side adds the same +0.0.
+# ---------------------------------------------------------------------------
+def s11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.mips_topk(emb, queries_df, k=ANN_K)
+
+
+S11_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ({_sql_dot('q_vec', 'c_vec')} + CAST(0 AS DOUBLE)) AS ip
+  FROM c JOIN q ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ip, rank FROM (
+  SELECT query_id, neighbor_id, ip,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# T21 — readability scoring (Flesch reading-ease adapted to the
+# sentence-free synthetic corpus): "sentence" = 15-token clause
+# (n_sentences = ceil(words/15), documented convention), syllables =
+# vowel-group runs ([aeiouy]+) over the lowered text — the standard
+# syllable proxy. Score = 206.835 - 1.015*(W/S) - 84.6*(Syl/W), every
+# ratio an integer/integer double division, identical in both engines;
+# banded into reading levels for downstream curriculum filtering.
+# All native expressions — one scan, no shuffle.
+# ---------------------------------------------------------------------------
+_T21_CLAUSE = 15
+
+
+def t21_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    ).withColumn(
+        "n_sentences",
+        F.ceil(F.col("n_words") / F.lit(_T21_CLAUSE)).cast("long"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+        ),
+        6,
+    )
+    return base.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch"),
+        F.when(flesch >= 90, F.lit("easy"))
+        .when(flesch >= 60, F.lit("standard"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+        .alias("band"),
+    )
+
+
+T21_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_words,
+         CAST(ceil(len({_TOKS}) / CAST({_T21_CLAUSE} AS DOUBLE)) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_sentences, n_syllables,
+         round(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+               6) AS flesch
+  FROM base WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+       CASE WHEN flesch >= 90 THEN 'easy'
+            WHEN flesch >= 60 THEN 'standard'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# M9 — scene-cut detection over sampled video frames: each sampled
+# frame gets a 32-bit signature (first 8 hex chars of md5(frame_hex) —
+# the pHash stand-in, same convention as m5's payload signatures), and
+# a cut is declared where the Hamming distance to the previous sampled
+# frame exceeds the threshold. Execution shape: mapInPandas frame
+# explode (m2) -> native lag window per doc -> bit_count(xor) — the
+# per-title ordering is a partition-local sort, never global.
+# ---------------------------------------------------------------------------
+_M9_EVERY = 2
+_M9_CUT_BITS = 20
+
+
+def m9_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(
+        multimodal.with_binary_payload(docs),
+        frame_bytes=FRAME_BYTES,
+        every=_M9_EVERY,
+    )
+    sig = F.conv(F.substring(F.md5(F.col("frame_hex")), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    scored = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        sig.alias("sig"),
+    ).withColumn("prev_sig", F.lag("sig").over(w))
+    return (
+        scored.filter(F.col("prev_sig").isNotNull())
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("prev_sig"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") >= _M9_CUT_BITS)
+        .select("doc_id", "frame_no", "hamming")
+    )
+
+
+M9_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+         substr(hx, CAST(fno * {2 * FRAME_BYTES} + 1 AS BIGINT),
+                {2 * FRAME_BYTES}) AS frame_hex
+  FROM (SELECT doc_id, hx, unnest(range(0, n_frames, {_M9_EVERY})) AS fno FROM h)
+),
+sigs AS (
+  SELECT doc_id, frame_no,
+         CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT) AS sig,
+         lag(CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_sig
+  FROM frames
+)
+SELECT doc_id, frame_no,
+       CAST(bit_count(xor(sig, prev_sig)) AS BIGINT) AS hamming
+FROM sigs
+WHERE prev_sig IS NOT NULL
+  AND bit_count(xor(sig, prev_sig)) >= {_M9_CUT_BITS}
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -3395,4 +3581,7 @@ QUERIES: list[Query] = [
     Query("llm_s10_maxsim_pruned", s10_maxsim_pruned, _s10_oracle()),
     Query("llm_d18_ingest_dedup", d18_ingest_dedup, D18_ORACLE),
     Query("llm_m8_modality_router", m8_modality_router, M8_ORACLE),
+    Query("llm_s11_mips_topk", s11_mips_topk, S11_ORACLE),
+    Query("llm_t21_readability", t21_readability, T21_ORACLE),
+    Query("llm_m9_scene_cuts", m9_scene_cuts, M9_ORACLE),
 ]

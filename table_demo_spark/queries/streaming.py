@@ -769,6 +769,35 @@ WHERE v.view_ms + {_Q5_WITHIN_MS} < (SELECT wm FROM fin)
 """
 
 
+def q20_semi_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q20_semi_join_stream
+
+    sink = _append_sink()
+    with _state_partitions(spark):
+        _, query = q20_semi_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
+        _drain(query, sink.count)
+    return sink.snapshot_df(spark).select("view_id", "user_id", "view_ms")
+
+
+# Semi-join emission is NOT watermark-gated: the left row emits the
+# moment its first match arrives (and only once). A qualifying
+# purchase always arrives while its view is still buffered — the view
+# evicts only once wm > view_ms + within, and a purchase is at most
+# the watermark delay late, so purchase_ms > wm at arrival while
+# purchase_ms <= view_ms + within. Final state = exactly the distinct
+# matched views, no expiry filter (contrast Q19's oracle).
+Q20_SEMI_JOIN_ORACLE = f"""
+WITH v AS (SELECT event_id AS view_id, user_id, epoch_ms(ts) AS view_ms
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase')
+SELECT DISTINCT v.view_id, v.user_id, v.view_ms
+FROM v JOIN p ON v.user_id = p.user_id
+ AND p.purchase_ms >= v.view_ms
+ AND p.purchase_ms <= v.view_ms + {_Q5_WITHIN_MS}
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -789,4 +818,5 @@ QUERIES: list[Query] = [
     Query("stream_q17_fanout", q17_fanout_final, _q17_oracle()),
     Query("stream_q18_cdc_apply", q18_cdc_final, Q18_CDC_ORACLE),
     Query("stream_q19_anti_join", q19_anti_join_final, Q19_ANTI_JOIN_ORACLE),
+    Query("stream_q20_semi_join", q20_semi_join_final, Q20_SEMI_JOIN_ORACLE),
 ]

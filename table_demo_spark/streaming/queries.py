@@ -1726,3 +1726,57 @@ def q19_anti_join_stream(
 
         sink = MemoryUpsertSink(("view_id",))
     return sink, _start_append(orphans, sink, ckpt)
+
+
+def q20_semi_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_ms: int = 10 * 60_000,
+    sink=None,
+):
+    """Converted views — the left-semi complement of q19's anti join:
+    (view_id, user_id, view_time) rows for views with at least one
+    same-user purchase in [view, view+within]. A semi join emits the
+    left row exactly once on its FIRST match (no purchase columns, no
+    duplicate emission for multi-purchase users), and the time bound +
+    watermark let the join evict both buffers — bounded state at any
+    scale. Returns (sink, query)."""
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("rowtime").alias("view_time"),
+        )
+        .withWatermark("view_time", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("rowtime").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", WATERMARK)
+    )
+    converted = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("view_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("view_time") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        ),
+        "leftSemi",
+    ).select(
+        "view_id",
+        "user_id",
+        F.unix_millis("view_time").alias("view_ms"),
+    )
+    if sink is None:
+        from table_demo_spark.streaming.upsert import MemoryUpsertSink
+
+        sink = MemoryUpsertSink(("view_id",))
+    return sink, _start_append(converted, sink, ckpt)

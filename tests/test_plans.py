@@ -88,6 +88,7 @@ _PYTHON_ALLOWED = {
     "llm_d9_containment_pairs",  # ArrowEvalPython (numpy winnowing)
     "llm_m6_vad_segments",  # MapInPandas (numpy-vectorized frame energy)
     "llm_m7_image_patches",  # MapInPandas (patch-grid tiling)
+    "llm_m9_scene_cuts",  # MapInPandas (frame sampling stub feeding lag window)
 }
 
 
@@ -423,3 +424,42 @@ def test_weighted_sample_priority_is_codegen(spark):
     plan = formatted_plan(_query("llm_p9_weighted_sample")(spark, SF_SMOKE))
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_tpch_scalar_subquery_shapes_broadcast(spark):
+    """a52/a53/a58's global scalar aggregates must reach the fact side
+    as a 1-row broadcast (BroadcastExchange / BroadcastNestedLoopJoin),
+    never a SortMergeJoin — the shape that keeps a Q11/Q15/Q22-style
+    HAVING-vs-global-total plan at one fact shuffle at 100 TB."""
+    for name in (
+        "an_a52_important_parts",
+        "an_a53_top_supplier",
+        "an_a58_global_sales_opportunity",
+    ):
+        plan = formatted_plan(_query(name)(spark, SF_SMOKE))
+        assert "BroadcastExchange" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_tpch_semi_anti_shapes_broadcast(spark):
+    """a54's NOT-IN denylist and a57's nested-IN qualifying set join
+    the fact table via broadcast hash semi/anti joins."""
+    for name, kind in (
+        ("an_a54_supplier_relationship", "LeftAnti"),
+        ("an_a57_excess_shipment_suppliers", "LeftSemi"),
+    ):
+        plan = formatted_plan(_query(name)(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert kind in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_mips_topk_has_no_cartesian_and_no_python(spark):
+    """s11's norm augmentation is pure codegen: the corpus-max norm is
+    a broadcast scalar, the query join a broadcast nested loop (tiny
+    query set) — no CartesianProduct, no Python node."""
+    plan = formatted_plan(_query("llm_s11_mips_topk")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, (marker, plan)
