@@ -131,6 +131,10 @@ HEADLINE = [
     "stream_q20_semi_join",
     "an_a59_hll_rollup",
     "an_a60_event_paths",
+    "an_a61_shortest_path",
+    "llm_p14_interleave_schedule",
+    "stream_q21_dead_letter",
+    "llm_t22_rake_keywords",
 ]
 
 

@@ -3060,6 +3060,91 @@ FROM trans
 """
 
 
+# ---------------------------------------------------------------------------
+# A61 — bounded-round weighted shortest path (unrolled Bellman-Ford on
+# the min-plus semiring): 3 relaxation rounds from a brand's seed set
+# over the co-purchase graph (a44's edges, deterministic integer
+# weights). Each round is one equi-join (dist x edges on the node id)
+# + one min agg — the same per-iteration shape as PageRank (a41) and
+# BFS (a51), but on (min, +) instead of (sum, x) / set union: the
+# three classic graph semirings, all as relational algebra. Distances
+# stay BIGINT-exact; co-partitioning edges by src makes every round's
+# join shuffle-free on the edge side at 100 TB.
+# ---------------------------------------------------------------------------
+
+_A61_ROUNDS = 3
+_A61_BRAND = "Brand#17"
+
+
+def a61_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _A44_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("long")
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    dist = part.filter(F.col("p_brand") == _A61_BRAND).select(
+        F.col("p_partkey").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_A61_ROUNDS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def _a61_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+r{rnd} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM {prev} p JOIN edges e ON p.node = e.src
+  ) GROUP BY node
+)"""
+
+
+A61_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= {_A44_MIN_QTY}),
+edges AS (
+  SELECT src, dst, CAST((src + dst) % 7 + 1 AS BIGINT) AS w FROM (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  )
+),
+r0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       FROM part WHERE p_brand = '{_A61_BRAND}'),
+{",".join(_a61_round_sql(f"r{i}", i + 1).strip() for i in range(_A61_ROUNDS))}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM r{_A61_ROUNDS}
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3121,4 +3206,5 @@ QUERIES: list[Query] = [
     Query("an_a58_global_sales_opportunity", a58_global_sales_opportunity, A58_ORACLE),
     Query("an_a59_hll_rollup", a59_hll_rollup, _a59_oracle()),
     Query("an_a60_event_paths", a60_event_paths, A60_ORACLE),
+    Query("an_a61_shortest_path", a61_shortest_path, A61_ORACLE),
 ]

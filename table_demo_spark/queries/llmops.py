@@ -3523,6 +3523,183 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# P14 — weighted interleave schedule (the training-data-loader order):
+# given per-domain mixture weights, assign every document the exact
+# rational position at which a weighted round-robin would emit it —
+# domain d's k-th doc goes to (2k-1)/(2*w_d) — so sorting by the key
+# yields a deterministic low-discrepancy interleaving whose every
+# prefix matches the target mixture (the epoch-free "sample by weight
+# without RNG" order real LLM loaders use). Keys are kept INTEGER
+# exact: (2k-1) * (LCM/w_d) with LCM over the weight domain, so no
+# float division enters the sort. Shape: one row_number window per
+# domain partition + a pure projection — the global order is defined
+# by the key, never materialized by a global sort.
+# ---------------------------------------------------------------------------
+_P14_WEIGHT_MOD = 4  # w(src_i) = i % 4 + 1 in {1..4}
+_P14_LCM = 12  # lcm(1,2,3,4)
+
+
+def p14_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+        % _P14_WEIGHT_MOD
+        + 1
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        w.cast("long").alias("weight"),
+        rn.alias("domain_rank"),
+        ((2 * rn - 1) * (F.lit(_P14_LCM) / w).cast("long"))
+        .cast("long")
+        .alias("order_key"),
+    )
+
+
+P14_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(w AS BIGINT) AS weight,
+       CAST(rn AS BIGINT) AS domain_rank,
+       CAST((2 * rn - 1) * ({_P14_LCM} // w) AS BIGINT) AS order_key
+FROM (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+           % {_P14_WEIGHT_MOD} + 1 AS w,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T22 — RAKE keyword extraction (Rose et al. 2010): candidate phrases
+# are the maximal stopword-free token runs (phrase id = running
+# stopword count per doc — one window), each word scores
+# degree/frequency over the whole corpus (degree = sum of the lengths
+# of phrases containing it), and each doc reports its top phrase by
+# summed word score. Distributed shape: the running-count window is
+# partition-local per doc; word stats are two map-side-combined aggs
+# over the exploded corpus; the phrase score re-join is an equi-join
+# on the word. Word scores are rounded to 9 dp and summed as exact
+# DECIMAL so the phrase score is identical under any partitioning.
+# ---------------------------------------------------------------------------
+def t22_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("ord", "tok")
+    )
+    is_stop = F.col("tok").isin(*T.STOPWORDS_EN)
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    marked = (
+        toks.withColumn(
+            "phrase_id",
+            F.sum(F.when(is_stop, 1).otherwise(0)).over(w),
+        )
+        .filter(~is_stop)
+        .filter(F.col("tok") != "")
+    )
+    phrases = marked.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    freq = marked.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    degree = (
+        marked.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(F.sum("plen").cast("long").alias("degree"))
+    )
+    score = F.round(
+        F.col("degree").cast("double") / F.col("freq").cast("double"), 9
+    ).cast("decimal(28,9)")
+    word_scores = freq.join(degree, "tok").select("tok", score.alias("wscore"))
+    scored = (
+        marked.join(word_scores, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore").alias("pscore"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("pscore").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("top_phrase"),
+            "plen",
+            F.col("pscore").cast("double").alias("score"),
+        )
+    )
+
+
+_SW_IN = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+T22_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS ord FROM tok),
+words AS (
+  SELECT doc_id, CAST(ord AS BIGINT) AS ord,
+         toks[CAST(ord AS INT)] AS tok
+  FROM pos
+),
+marked AS (
+  SELECT doc_id, ord, tok,
+         sum(CASE WHEN tok IN ({_SW_IN}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY ord) AS phrase_id
+  FROM words
+),
+runs AS (
+  SELECT * FROM marked WHERE tok NOT IN ({_SW_IN}) AND tok <> ''
+),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(tok, ' ' ORDER BY ord) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY doc_id, phrase_id
+),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM runs GROUP BY tok),
+degree AS (
+  SELECT r.tok, CAST(sum(p.plen) AS BIGINT) AS degree
+  FROM runs r JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY r.tok
+),
+wscores AS (
+  SELECT f.tok,
+         CAST(round(CAST(d.degree AS DOUBLE) / CAST(f.freq AS DOUBLE), 9)
+              AS DECIMAL(28,9)) AS wscore
+  FROM freq f JOIN degree d USING (tok)
+),
+scored AS (
+  SELECT r.doc_id, r.phrase_id, sum(w.wscore) AS pscore
+  FROM runs r JOIN wscores w USING (tok)
+  GROUP BY r.doc_id, r.phrase_id
+),
+ranked AS (
+  SELECT s.doc_id, p.phrase, p.plen, s.pscore,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.pscore DESC, p.phrase ASC) AS rn
+  FROM scored s JOIN phrases p USING (doc_id, phrase_id)
+)
+SELECT doc_id, phrase AS top_phrase, plen, CAST(pscore AS DOUBLE) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -3584,4 +3761,6 @@ QUERIES: list[Query] = [
     Query("llm_s11_mips_topk", s11_mips_topk, S11_ORACLE),
     Query("llm_t21_readability", t21_readability, T21_ORACLE),
     Query("llm_m9_scene_cuts", m9_scene_cuts, M9_ORACLE),
+    Query("llm_p14_interleave_schedule", p14_interleave_schedule, P14_ORACLE),
+    Query("llm_t22_rake_keywords", t22_rake_keywords, T22_ORACLE),
 ]

@@ -798,6 +798,52 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q21_dead_letter_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import run_q21_dead_letter
+
+    with _state_partitions(spark):
+        counts, dlq, query = run_q21_dead_letter(spark, sf_dir)
+        _drain(query, lambda: counts.count() + dlq.count(), quiet_polls=1)
+    ok_rows = counts.snapshot_df(spark).select(
+        F.lit("ok").alias("kind"),
+        F.col("cell").cast("string").alias("key"),
+        F.col("n").cast("long").alias("n"),
+    )
+    dlq_rows = (
+        dlq.snapshot_df(spark)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("dlq").alias("kind"), F.col("line").alias("key"), "n")
+    )
+    return ok_rows.unionByName(dlq_rows)
+
+
+def _q21_oracle() -> str:
+    from table_demo_spark.sources.taxi_csv import DIRTY_MOD
+
+    return f"""{_RIDES_CTE},
+csv_rides AS (
+  SELECT ride_id, is_start,
+         CAST(start_lon AS FLOAT) AS start_lon,
+         CAST(start_lat AS FLOAT) AS start_lat
+  FROM rides
+),
+good AS (
+  SELECT {SQL_CELL.format(lon='start_lon', lat='start_lat')} AS cell
+  FROM csv_rides
+  WHERE ride_id % {DIRTY_MOD} <> 0 AND is_start
+    AND {SQL_IN_NYC.format(lon='start_lon', lat='start_lat')}
+)
+SELECT 'ok' AS kind, CAST(cell AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM good GROUP BY cell
+UNION ALL
+SELECT 'dlq' AS kind, 'CORRUPT,' || CAST(ride_id AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM rides WHERE ride_id % {DIRTY_MOD} = 0 GROUP BY ride_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -819,4 +865,5 @@ QUERIES: list[Query] = [
     Query("stream_q18_cdc_apply", q18_cdc_final, Q18_CDC_ORACLE),
     Query("stream_q19_anti_join", q19_anti_join_final, Q19_ANTI_JOIN_ORACLE),
     Query("stream_q20_semi_join", q20_semi_join_final, Q20_SEMI_JOIN_ORACLE),
+    Query("stream_q21_dead_letter", q21_dead_letter_final, _q21_oracle()),
 ]

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 TIME_FMT = "yyyy-MM-dd HH:mm:ss"  # TaxiRide.java:41-42 (UTC)
 
 _GZ_MARKER = "_CSV_GZ_READY.json"
+DIRTY_MOD = 97  # dead-letter fixture: corrupt every 97th ride's lines
 
 
 def shaped_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,12 +51,19 @@ def shaped_rides(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ensure_rides_csv_gz(spark: SparkSession, sf_dir: str) -> str:
+def ensure_rides_csv_gz(
+    spark: SparkSession, sf_dir: str, dirty: bool = False
+) -> str:
     """Materialize the reference's input format — a directory of
     gzip-compressed CSV files of ``TaxiRide.toString`` lines
     (TaxiRideSource.java:109-110 wraps the data file in a
     GZIPInputStream) — from the parquet fixture, once, cached by
     fixture identity. Returns the directory path.
+
+    ``dirty=True`` writes the dead-letter variant: every line whose
+    ride_id % DIRTY_MOD == 0 is replaced by the unparseable
+    ``CORRUPT,<ride_id>`` (wrong arity — fails TaxiRide.fromString's
+    validation), deterministically, for exercising quarantine paths.
 
     Gzip streams are not splittable, so the scale shape is MANY .gz
     files (one task each), which the partitioned text write gives
@@ -69,7 +77,7 @@ def ensure_rides_csv_gz(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     digest = hashlib.md5(
-        repr((os.path.abspath(src), st.st_mtime_ns, st.st_size)).encode()
+        repr((os.path.abspath(src), st.st_mtime_ns, st.st_size, dirty)).encode()
     ).hexdigest()[:16]
     final = os.path.join(
         tempfile.gettempdir(), f"taxi-csv-gz-{os.getuid()}-{digest}"
@@ -78,19 +86,23 @@ def ensure_rides_csv_gz(spark: SparkSession, sf_dir: str) -> str:
         return final
 
     shaped = shaped_rides(spark, sf_dir)
-    lines = shaped.select(
-        ride_to_csv_line(
-            F.col("ride_id"),
-            F.col("is_start"),
-            F.col("start_time"),
-            F.col("end_time"),
-            F.col("start_lon"),
-            F.col("start_lat"),
-            F.col("end_lon"),
-            F.col("end_lat"),
-            F.col("passenger_cnt"),
-        ).alias("value")
+    line = ride_to_csv_line(
+        F.col("ride_id"),
+        F.col("is_start"),
+        F.col("start_time"),
+        F.col("end_time"),
+        F.col("start_lon"),
+        F.col("start_lat"),
+        F.col("end_lon"),
+        F.col("end_lat"),
+        F.col("passenger_cnt"),
     )
+    if dirty:
+        line = F.when(
+            F.col("ride_id") % DIRTY_MOD == 0,
+            F.concat(F.lit("CORRUPT,"), F.col("ride_id").cast("string")),
+        ).otherwise(line)
+    lines = shaped.select(line.alias("value"))
     staging = tempfile.mkdtemp(prefix="taxi-csv-gz-stage-")
     lines.write.mode("overwrite").option("compression", "gzip").text(staging)
     with open(os.path.join(staging, _GZ_MARKER), "w") as f:
@@ -137,6 +149,15 @@ def _coord(tok: Column) -> Column:
     return F.when(F.length(tok) > 0, tok.cast("float")).otherwise(
         F.lit(0.0).cast("float")
     )
+
+
+def is_valid_ride_line(line: Column) -> Column:
+    """``TaxiRide.fromString``'s validity predicate (arity + event
+    type, TaxiRide.java:94-101) as a routing expression — the
+    PERMISSIVE complement of :func:`parse_taxi_csv`'s strict raise,
+    for dead-letter-queue pipelines."""
+    toks = F.split(line, ",", -1)
+    return (F.size(toks) == 9) & F.element_at(toks, 2).isin("START", "END")
 
 
 def parse_taxi_csv(

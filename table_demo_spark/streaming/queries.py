@@ -1780,3 +1780,150 @@ def q20_semi_join_stream(
 
         sink = MemoryUpsertSink(("view_id",))
     return sink, _start_append(converted, sink, ckpt)
+
+
+class ParquetCountSink:
+    """Durable additive count store: (group..., n) maintained by
+    distributed sum-merge per micro-batch — the counting twin of
+    ParquetSketchSink's max-merge (sum is associative/commutative, so
+    partial counts from any micro-batch slicing merge exactly;
+    generation-flip writes keep readers consistent). NOT idempotent
+    under batch replay by algebra (sum double-counts) — exactly-once
+    comes from foreachBatch's batch-id contract, same as an upsert
+    sink's delete path."""
+
+    def __init__(self, path: str, group_cols: tuple[str, ...]):
+        import os
+        import re
+
+        self.path = path
+        self.group_cols = list(group_cols)
+        os.makedirs(path, exist_ok=True)
+        gens = [
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"gen=(\d+)", d))
+        ]
+        self._gen = max(gens, default=0)
+        self._applied = set()
+
+    def _gen_dir(self, gen: int) -> str:
+        return f"{self.path}/gen={gen}"
+
+    @property
+    def current_dir(self) -> str | None:
+        return self._gen_dir(self._gen) if self._gen > 0 else None
+
+    def apply_batch(self, batch_counts: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        if batch_id in self._applied:  # replayed batch: already summed
+            return
+        spark = batch_counts.sparkSession
+        if batch_counts.isEmpty():
+            self._applied.add(batch_id)
+            return
+        if self.current_dir is not None:
+            cur = spark.read.parquet(self.current_dir)
+            merged = cur.unionByName(batch_counts)
+        else:
+            merged = batch_counts
+        counts = merged.groupBy(*self.group_cols).agg(
+            F.sum("n").cast("long").alias("n")
+        )
+        nxt = self._gen_dir(self._gen + 1)
+        counts.write.mode("overwrite").parquet(nxt)
+        old = self.current_dir
+        self._gen += 1
+        self._applied.add(batch_id)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def count(self, spark: SparkSession = None) -> int:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        for _ in range(8):
+            d = self.current_dir
+            if d is None:
+                return 0
+            try:
+                return sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                )
+            except FileNotFoundError:
+                continue
+        return 0
+
+    def snapshot_df(self, spark: SparkSession) -> DataFrame:
+        if self.current_dir is None:
+            cols = ", ".join(f"{c} string" for c in self.group_cols)
+            return spark.createDataFrame([], f"{cols}, n long")
+        return spark.read.parquet(self.current_dir)
+
+
+def run_q21_dead_letter(
+    spark: SparkSession,
+    sf_dir: str,
+    counts: "ParquetCountSink | None" = None,
+    dlq: "ParquetBatchArchive | None" = None,
+    files_per_trigger: int = 2,
+):
+    """Dirty gzip-CSV stream with a dead-letter queue: lines failing
+    ``TaxiRide.fromString``'s validation (taxi_csv.is_valid_ride_line)
+    are quarantined to a DLQ archive; valid lines parse and feed the
+    continuous per-cell departure count (sum-merged, distributed).
+    One stream read, two durable sinks (q17's fan-out contract) — the
+    production PERMISSIVE complement of the strict S2 parser, and the
+    streaming analog of src_s5's corrupt-record quarantine.
+    Returns (counts, dlq, query)."""
+    import tempfile
+
+    from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+    from table_demo_spark.sources.taxi_csv import (
+        ensure_rides_csv_gz,
+        is_valid_ride_line,
+        parse_taxi_csv,
+    )
+
+    path = ensure_rides_csv_gz(spark, sf_dir, dirty=True)
+    ckpt = _checkpoint_dir()
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", files_per_trigger)
+        .text(path)
+        .withColumnRenamed("value", "line")
+    )
+    counts = counts if counts is not None else ParquetCountSink(
+        tempfile.mkdtemp(prefix="tds-q21-counts-"), ("cell",)
+    )
+    dlq = dlq if dlq is not None else ParquetBatchArchive(
+        tempfile.mkdtemp(prefix="tds-q21-dlq-")
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            ok = is_valid_ride_line(F.col("line"))
+            dlq.apply_batch(batch_df.filter(~ok), batch_id)
+            good = parse_taxi_csv(batch_df.filter(ok))
+            batch_counts = (
+                good.filter(
+                    F.col("is_start") & in_nyc("start_lon", "start_lat")
+                )
+                .groupBy(to_cell_id("start_lon", "start_lat").alias("cell"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            counts.apply_batch(batch_counts, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    query = (
+        lines.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(handle)
+        .start()
+    )
+    return counts, dlq, query
