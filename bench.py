@@ -135,6 +135,9 @@ HEADLINE = [
     "llm_p14_interleave_schedule",
     "stream_q21_dead_letter",
     "llm_t22_rake_keywords",
+    "llm_d19_quality_dedup",
+    "llm_m10_pair_audit",
+    "llm_t23_domain_drift",
 ]
 
 

@@ -3700,6 +3700,248 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# D19 — quality-ranked canonical dedup: like d1's exact dedup but the
+# survivor of each duplicate group is chosen by POLICY (highest
+# quality score, doc_id tiebreak), not by min id — the production
+# rule ("keep the best copy") for LLM corpora. The fingerprint
+# ignores stopwords, so copies differing only in function words
+# collapse into one group while their quality scores (which DO see
+# stopword ratio) differ — making the policy observable. Same
+# single-shuffle shape as d1: one window over the fingerprint
+# partition, ordered (quality desc, doc_id asc), first_value picks
+# the canonical; the tokenize+hash projection runs once per row.
+# ---------------------------------------------------------------------------
+def d19_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    content = F.filter(toks, lambda t: ~t.isin(*T.STOPWORDS_EN))
+    quality = T.quality_score(
+        F.size(toks).cast("long"),
+        T.stopword_ratio(toks, T.STOPWORDS_EN),
+        T.avg_token_len(toks),
+    )
+    base = docs.select(
+        "doc_id",
+        F.md5(F.array_join(content, " ")).alias("fingerprint"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    canonical = F.first("doc_id").over(w)
+    return base.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_dup"),
+        "fingerprint",
+        "quality",
+    )
+
+
+D19_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(toks, t -> t NOT IN ({_SW_IN})), ' '))
+           AS fingerprint,
+         (CASE WHEN len(toks) BETWEEN 10 AND 80 THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN len(toks) > 0
+                  AND CAST(len(list_filter(toks, t -> t IN ({_SW_IN}))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) >= CAST(0.05 AS DOUBLE)
+                 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN len(toks) > 0
+                  AND CAST(list_reduce(list_transform(toks, t -> length(t)),
+                                       (a, b) -> a + b) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+                      BETWEEN CAST(3.0 AS DOUBLE) AND CAST(8.0 AS DOUBLE)
+                 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+           AS quality
+  FROM tok
+)
+SELECT doc_id,
+       first_value(doc_id) OVER (PARTITION BY fingerprint
+                                 ORDER BY quality DESC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+         AS canonical_id,
+       doc_id <> first_value(doc_id) OVER (PARTITION BY fingerprint
+                                           ORDER BY quality DESC, doc_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND UNBOUNDED FOLLOWING)
+         AS is_dup,
+       fingerprint,
+       quality
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# M10 — multimodal pair audit (dataset-alignment QA): documents and
+# embeddings are expected to pair by id; the audit full-outer-joins
+# the two modalities, classifies every id (paired / missing_embedding
+# / missing_doc), checks vector dimensionality on the embedding side,
+# and reports counts per status. The join shuffles both sides once on
+# the id; the report is a bounded aggregate. This is the audit run
+# before any image-text / audio-text training job. (The fixture is
+# fully paired by construction, so deterministic gaps are injected —
+# docs missing their embedding at id % 10 == 3, orphan vectors at
+# id % 17 == 5 — to exercise all three statuses.)
+# ---------------------------------------------------------------------------
+_M10_DROP_VEC = 10  # embeddings dropped where id % 10 == 3
+_M10_DROP_DOC = 17  # documents dropped where id % 17 == 5
+
+
+def m10_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _M10_DROP_DOC != 5)
+        .select(F.col("doc_id").alias("id"), F.lit(True).alias("has_doc"))
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _M10_DROP_VEC != 3)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.lit(True).alias("has_vec"),
+            (F.size("embedding") == similarity.DIM).alias("dim_ok"),
+        )
+    )
+    joined = docs.join(emb, "id", "full_outer")
+    status = (
+        F.when(F.col("has_doc").isNotNull() & F.col("has_vec").isNotNull(), "paired")
+        .when(F.col("has_doc").isNotNull(), "missing_embedding")
+        .otherwise("missing_doc")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("dim_ok").isNotNull() & ~F.col("dim_ok"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_dim"),
+    )
+
+
+M10_ORACLE = f"""
+WITH d AS (SELECT doc_id AS id, TRUE AS has_doc FROM documents
+           WHERE doc_id % {_M10_DROP_DOC} <> 5),
+e AS (SELECT vec_id AS id, TRUE AS has_vec,
+             len(embedding) = {similarity.DIM} AS dim_ok
+      FROM embeddings WHERE vec_id % {_M10_DROP_VEC} <> 3),
+j AS (SELECT COALESCE(d.id, e.id) AS id, d.has_doc, e.has_vec, e.dim_ok
+      FROM d FULL OUTER JOIN e ON d.id = e.id)
+SELECT CASE WHEN has_doc IS NOT NULL AND has_vec IS NOT NULL THEN 'paired'
+            WHEN has_doc IS NOT NULL THEN 'missing_embedding'
+            ELSE 'missing_doc' END AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dim_ok IS NOT NULL AND NOT dim_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim
+FROM j
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T23 — per-domain distribution drift (corpus QA / domain-shift
+# report): total-variation distance between each source's token
+# distribution and the whole corpus's. Log-free by design (same
+# stance as t14: libm ln() is not cross-engine reproducible; ratios
+# of longs are): TVD_s = 1/2 * sum_t |p_s(t) - p_c(t)| over the FULL
+# vocabulary, computed without materializing the source x vocab grid
+# via the identity sum_{t not in s} p_c(t) = 1 - sum_{t in s} p_c(t),
+# so only (source, token) pairs that EXIST are touched:
+# 2*TVD_s = 1 + sum_{t in s} (|p_s - p_c| - p_c). Per-term values are
+# rounded to 12 dp and summed as exact DECIMAL, so the fold is
+# partition-order-proof. Also reports each source's most divergent
+# present token. Shapes: three map-side-combined count aggs + one
+# equi-join on the token + one per-source rollup.
+# ---------------------------------------------------------------------------
+def t23_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_st")
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").cast("long").alias("n_s"))
+    c_tok = st.groupBy("tok").agg(F.sum("n_st").cast("long").alias("n_ct"))
+    n_c = st.agg(F.sum("n_st").cast("long").alias("n_c"))
+    joined = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(c_tok, "tok")
+        .crossJoin(F.broadcast(n_c))
+    )
+    p_s = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("n_ct").cast("double") / F.col("n_c").cast("double")
+    gap = F.abs(p_s - p_c)
+    term = F.round(gap - p_c, 12).cast("decimal(28,12)")
+    per_tok = joined.select(
+        "source", "tok", "n_s", gap.alias("gap"), term.alias("term")
+    )
+    agg = per_tok.groupBy("source").agg(
+        F.max("n_s").alias("n_toks"),
+        ((F.sum("term").cast("double") + F.lit(1.0)) / F.lit(2.0)).alias(
+            "tvd"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("gap").desc(), F.col("tok").asc()
+    )
+    top = (
+        per_tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("tok").alias("top_token"),
+                F.round("gap", 12).alias("top_gap"))
+    )
+    return agg.join(top, "source").select(
+        "source", "n_toks", "tvd", "top_token", "top_gap"
+    )
+
+
+T23_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+),
+st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+       FROM toks WHERE tok <> '' GROUP BY source, tok),
+s_tot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+c_tok AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_ct FROM st GROUP BY tok),
+n_c AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_c FROM st),
+per_tok AS (
+  SELECT st.source, st.tok, s_tot.n_s,
+         abs(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+             - CAST(n_ct AS DOUBLE) / CAST(n_c AS DOUBLE)) AS gap,
+         CAST(round(abs(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                        - CAST(n_ct AS DOUBLE) / CAST(n_c AS DOUBLE))
+                    - CAST(n_ct AS DOUBLE) / CAST(n_c AS DOUBLE), 12)
+              AS DECIMAL(28,12)) AS term
+  FROM st JOIN s_tot USING (source) JOIN c_tok USING (tok), n_c
+),
+agg AS (
+  SELECT source, max(n_s) AS n_toks,
+         (CAST(sum(term) AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS tvd
+  FROM per_tok GROUP BY source
+),
+top AS (
+  SELECT source, tok AS top_token, round(gap, 12) AS top_gap
+  FROM (SELECT source, tok, gap,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY gap DESC, tok ASC) AS rn
+        FROM per_tok)
+  WHERE rn = 1
+)
+SELECT a.source, a.n_toks, a.tvd, t.top_token, t.top_gap
+FROM agg a JOIN top t USING (source)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -3763,4 +4005,7 @@ QUERIES: list[Query] = [
     Query("llm_m9_scene_cuts", m9_scene_cuts, M9_ORACLE),
     Query("llm_p14_interleave_schedule", p14_interleave_schedule, P14_ORACLE),
     Query("llm_t22_rake_keywords", t22_rake_keywords, T22_ORACLE),
+    Query("llm_d19_quality_dedup", d19_quality_dedup, D19_ORACLE),
+    Query("llm_m10_pair_audit", m10_pair_audit, M10_ORACLE),
+    Query("llm_t23_domain_drift", t23_domain_drift, T23_ORACLE),
 ]
