@@ -138,6 +138,8 @@ HEADLINE = [
     "llm_d19_quality_dedup",
     "llm_m10_pair_audit",
     "llm_t23_domain_drift",
+    "src_s8_quoted_csv",
+    "stream_q22_full_outer_join",
 ]
 
 

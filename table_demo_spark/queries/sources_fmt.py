@@ -158,6 +158,28 @@ FROM events
 """
 
 
+def s8_quoted_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 quoted-CSV roundtrip: the props column is JSON (commas
+    + double quotes in every row), so the write must quote-wrap and
+    quote-double and the read must undo both exactly; floats travel as
+    scaled-integer cents because float->text->float is the one lossy
+    leg of CSV. The oracle is the parquet view — any mangling breaks
+    the hash on the props value itself."""
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_quoted_csv(spark, sf_dir)
+    return formats.read_events_quoted_csv(spark, path).select(
+        "event_id", "ts_ms", "user_id", "event_type", "props", "value_cents"
+    )
+
+
+_QUOTED_CSV_ORACLE = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, props,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
@@ -166,4 +188,5 @@ QUERIES: list[Query] = [
     Query("src_s5_permissive_jsonl", s5_permissive_jsonl, _PERMISSIVE_ORACLE),
     Query("src_s6_compacted_events", s6_compacted_events, _EVENTS_ORACLE),
     Query("src_s7_schema_evolution", s7_schema_evolution, _EVOLVED_ORACLE),
+    Query("src_s8_quoted_csv", s8_quoted_csv, _QUOTED_CSV_ORACLE),
 ]

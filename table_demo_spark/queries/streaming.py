@@ -844,6 +844,57 @@ FROM rides WHERE ride_id % {DIRTY_MOD} = 0 GROUP BY ride_id
 """
 
 
+def q22_full_outer_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.streaming.queries import q22_full_outer_join_stream
+
+    sink = _append_sink()
+    with _state_partitions(spark):
+        _, query = q22_full_outer_join_stream(
+            spark, sf_dir, speed=DRIVER_SPEED, sink=sink
+        )
+        _drain(query, sink.count)
+    return sink.snapshot_df(spark).select(
+        "user_id", "click_id", "purchase_id", "click_ms", "purchase_ms"
+    )
+
+
+# Full-outer emission: matches as inner; unmatched clicks flush when
+# wm > click_ms + within (same as Q12's left rows); unmatched
+# purchases flush when wm > purchase_ms (their match window closes at
+# their own timestamp, since matching clicks satisfy click_ms in
+# [purchase_ms - within, purchase_ms]). wm = min over the two filtered
+# sub-streams' (max ts - delay), as in Q12/Q19.
+Q22_FULL_OUTER_ORACLE = f"""
+WITH fin AS (
+  SELECT least(
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'click'),
+    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'purchase')
+  ) - {WATERMARK_MS} AS wm
+),
+c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ms, p.purchase_ms
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.purchase_ms >= c.click_ms
+   AND p.purchase_ms <= c.click_ms + {_Q5_WITHIN_MS}
+)
+SELECT user_id, click_id, purchase_id, click_ms, purchase_ms FROM matched
+UNION ALL
+SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT), c.click_ms,
+       CAST(-1 AS BIGINT)
+FROM c ANTI JOIN matched m ON c.click_id = m.click_id
+WHERE c.click_ms + {_Q5_WITHIN_MS} < (SELECT wm FROM fin)
+UNION ALL
+SELECT p.user_id, CAST(-1 AS BIGINT), p.purchase_id, CAST(-1 AS BIGINT),
+       p.purchase_ms
+FROM p ANTI JOIN matched m ON p.purchase_id = m.purchase_id
+WHERE p.purchase_ms < (SELECT wm FROM fin)
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -866,4 +917,5 @@ QUERIES: list[Query] = [
     Query("stream_q19_anti_join", q19_anti_join_final, Q19_ANTI_JOIN_ORACLE),
     Query("stream_q20_semi_join", q20_semi_join_final, Q20_SEMI_JOIN_ORACLE),
     Query("stream_q21_dead_letter", q21_dead_letter_final, _q21_oracle()),
+    Query("stream_q22_full_outer_join", q22_full_outer_final, Q22_FULL_OUTER_ORACLE),
 ]

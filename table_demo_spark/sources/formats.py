@@ -279,3 +279,49 @@ def read_events_evolved(spark: SparkSession, path: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+EVENTS_CSV_SCHEMA = (
+    "event_id long, ts_ms long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def ensure_events_quoted_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as RFC-4180 CSV WITH headers, quoting, and
+    escapes, once per fixture. The props column is JSON — embedded
+    commas and double quotes in every row — so the write exercises
+    quote-wrapping and quote-doubling, and the read must undo both
+    losslessly (the roundtrip oracle catches any mangling). value is
+    serialized as scaled-integer cents (exact) because float->text->
+    float is the one leg of a CSV roundtrip that is NOT identity."""
+    final, done = _cached_dir(sf_dir, "quoted-csv")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-csv-stage-")
+    ev = _typed_events(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    ).drop("value")
+    (
+        ev.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')  # RFC 4180: quotes escape by doubling
+        .csv(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_quoted_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-declared, header-aware quoted-CSV read (no inference
+    pass — at 100 TB an inference read doubles the scan)."""
+    return (
+        spark.read.schema(
+            "event_id long, ts_ms long, user_id long, event_type string, "
+            "props string, value_cents long"
+        )
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

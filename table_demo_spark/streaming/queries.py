@@ -1927,3 +1927,63 @@ def run_q21_dead_letter(
         .start()
     )
     return counts, dlq, query
+
+
+def q22_full_outer_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    within_ms: int = 10 * 60_000,
+    sink=None,
+):
+    """Full-outer click<->purchase attribution — completes the
+    stream-stream join-mode matrix (inner q5, left-outer q12, semi
+    q20, anti q19): matches emit as inner; an unmatched CLICK emits
+    null-extended when the watermark passes click_time + within (no
+    future purchase can land in its window); an unmatched PURCHASE
+    emits null-extended when the watermark passes purchase_time (the
+    latest matching click_time equals the purchase time, so its match
+    window closes at its own timestamp). Both emissions ARE the state
+    evictions — neither buffer outlives the interval + watermark
+    horizon. Returns (sink, query)."""
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("rowtime").alias("click_time"),
+        )
+        .withWatermark("click_time", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("rowtime").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {within_ms} MILLISECONDS")
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.unix_millis("click_time"), F.lit(-1)).alias("click_ms"),
+        F.coalesce(F.unix_millis("purchase_time"), F.lit(-1)).alias(
+            "purchase_ms"
+        ),
+    )
+    if sink is None:
+        sink = MemoryUpsertSink(("click_id", "purchase_id"))
+    return sink, _start_append(joined, sink, ckpt)

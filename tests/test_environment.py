@@ -1,0 +1,107 @@
+"""TableEnvironment facade: the reference's four-call API surface
+(scan / sql / scan_stream / write_to_sink) wired over one catalog.
+The pieces are each oracle-gated elsewhere; these tests assert the
+WIRING — dialect equivalence through the shared catalog, and
+mode/key inference reaching the sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tenv(spark):
+    from table_demo_spark.environment import TableEnvironment
+
+    return TableEnvironment(spark, SF_SMOKE)
+
+
+def test_scan_and_sql_share_one_catalog(tenv):
+    """Q1's fluent form over scan('rides') equals the SQL form over
+    the same registered view + UDFs (dialect equivalence, the
+    reference's departuresPerTenMinsTumble vs ...SQL pair)."""
+    from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+
+    fluent = (
+        tenv.scan("rides")
+        .filter(F.col("is_start") & in_nyc("start_lon", "start_lat"))
+        .groupBy(to_cell_id("start_lon", "start_lat").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    via_sql = tenv.sql(
+        """
+        SELECT toCellId(start_lon, start_lat) AS cell, count(*) AS cnt
+        FROM rides
+        WHERE is_start AND inNyc(start_lon, start_lat)
+        GROUP BY toCellId(start_lon, start_lat)
+        """
+    )
+    a = {(r.cell, r.cnt) for r in fluent.collect()}
+    b = {(r.cell, r.cnt) for r in via_sql.collect()}
+    assert a == b and a
+
+
+def test_write_to_sink_infers_upsert_keys_batch(tenv):
+    """The GROUP BY columns become the sink's upsert key (the
+    reference planner's setKeyFields), and the batch path materializes
+    the final state."""
+    agg = (
+        tenv.scan("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sink, query = tenv.write_to_sink(agg)
+    assert query is None
+    assert sink.key_cols == ("o_orderstatus",)
+    got = {(r["o_orderstatus"], r["n"]) for r in sink.snapshot()}
+    want = {(r.o_orderstatus, r.n) for r in agg.collect()}
+    assert got == want
+
+
+def test_write_to_sink_streaming_roundtrip(tenv, spark):
+    """Entry point C end-to-end through the facade: scan_stream ->
+    continuous per-cell count -> write_to_sink (update mode, inferred
+    key = grouping column) drains to the batch answer."""
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import stream_departures
+
+    out = (
+        stream_departures(tenv.scan_stream("rides", speed=5e8))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("dept_cnt"))
+    )
+    plan = tenv.infer(out)
+    assert plan.output_mode == "update"
+    assert plan.upsert_keys == ("cell",)
+    with _state_partitions(spark):
+        sink, query = tenv.write_to_sink(out)
+        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
+    from table_demo_spark.functions.taxi import in_nyc, to_cell_id
+
+    want = {
+        (r.cell, r.dept_cnt)
+        for r in (
+            tenv.scan("rides")
+            .filter(F.col("is_start") & in_nyc("start_lon", "start_lat"))
+            .groupBy(to_cell_id("start_lon", "start_lat").alias("cell"))
+            .agg(F.count("*").cast("long").alias("dept_cnt"))
+            .collect()
+        )
+    }
+    got = {(r["cell"], r["dept_cnt"]) for r in sink.snapshot()}
+    assert got == want
+
+
+def test_write_to_sink_rejects_projected_away_key(tenv):
+    """Q1's projection renames window.end; the facade must refuse to
+    guess and name the fix (explicit sink or keep grouping columns)."""
+    import pytest as _pytest
+
+    from table_demo_spark.streaming.queries import q1_stream, stream_departures
+
+    out = q1_stream(stream_departures(tenv.scan_stream("rides", speed=5e8)))
+    with _pytest.raises(ValueError, match="explicit sink"):
+        tenv.write_to_sink(out)

@@ -463,3 +463,39 @@ def test_mips_topk_has_no_cartesian_and_no_python(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, (marker, plan)
+
+
+def test_quality_dedup_is_single_shuffle(spark):
+    """d19 keeps d1's one-Exchange window shape even with the policy
+    ordering — canonical selection must not add a join-back."""
+    import re
+
+    plan = formatted_plan(_query("llm_d19_quality_dedup")(spark, SF_SMOKE))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchange == 1, plan
+
+
+def test_domain_drift_has_no_grid_and_no_cartesian(spark):
+    """t23's TVD fold must stay O(existing (source, token) pairs): the
+    corpus-total and per-source totals arrive as broadcasts, the token
+    join is a hash join, and no CartesianProduct materializes a
+    source x vocab grid (the single-row total crossJoin compiles to a
+    broadcast nested loop)."""
+    plan = formatted_plan(_query("llm_t23_domain_drift")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_event_paths_aggregate_partially(spark):
+    """a60's transition count must map-side combine after the lag
+    window so only ~|types|^2 rows reach the final shuffle."""
+    plan = formatted_plan(_query("an_a60_event_paths")(spark, SF_SMOKE))
+    assert "partial_count" in plan, plan
+
+
+def test_top3_per_group_uses_window_group_limit(spark):
+    """a7's rank<=3 filter must push into the window sort as a
+    WindowGroupLimit (per-partition top-k heap before the shuffle) —
+    the Spark 3.5+ optimization that makes grouped top-k scale."""
+    plan = formatted_plan(_query("an_a7_window_rank")(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan

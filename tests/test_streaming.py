@@ -692,3 +692,25 @@ def test_streaming_state_rows_bounded_by_key_domain(spark):
     assert total_state_rows <= n_keys, (
         f"state leaked: {total_state_rows} rows for {n_keys} keys"
     )
+
+
+def test_parquet_count_sink_is_replay_idempotent(spark):
+    """q21's sum-merge sink is NOT idempotent by algebra (sums double-
+    count), so exactly-once rests on the foreachBatch batch-id guard:
+    re-applying a batch id must be a no-op, and a new id must merge."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.streaming.queries import ParquetCountSink
+
+    sink = ParquetCountSink(tempfile.mkdtemp(prefix="tds-cnt-"), ("k",))
+    b0 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, n long")
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b0, 0)  # replayed batch: must not double-count
+    b1 = spark.createDataFrame([("a", 5)], "k string, n long")
+    sink.apply_batch(b1, 1)
+    got = {
+        (r.k, r.n) for r in sink.snapshot_df(spark).collect()
+    }
+    assert got == {("a", 7), ("b", 3)}
