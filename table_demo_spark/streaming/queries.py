@@ -1788,11 +1788,17 @@ class ParquetCountSink:
     ParquetSketchSink's max-merge (sum is associative/commutative, so
     partial counts from any micro-batch slicing merge exactly;
     generation-flip writes keep readers consistent). NOT idempotent
-    under batch replay by algebra (sum double-counts) — exactly-once
-    comes from foreachBatch's batch-id contract, same as an upsert
-    sink's delete path."""
+    under batch replay by algebra (sum double-counts), so the applied
+    high-water batch id is PERSISTED inside each generation directory
+    (_applied.json, written before the pointer flips): after a process
+    restart the rebuilt sink re-reads it and foreachBatch's replay of
+    the last uncommitted batch is skipped — the restart-safety rule the
+    upsert sinks get for free from merge idempotency."""
+
+    _APPLIED = "_applied.json"
 
     def __init__(self, path: str, group_cols: tuple[str, ...]):
+        import json
         import os
         import re
 
@@ -1805,7 +1811,13 @@ class ParquetCountSink:
             if (m := re.fullmatch(r"gen=(\d+)", d))
         ]
         self._gen = max(gens, default=0)
-        self._applied = set()
+        self._max_applied = -1
+        if self._gen > 0:
+            try:
+                with open(os.path.join(self._gen_dir(self._gen), self._APPLIED)) as f:
+                    self._max_applied = json.load(f)["max_batch_id"]
+            except (OSError, ValueError, KeyError):
+                pass  # pre-upgrade dir: first replayed batch may re-sum
 
     def _gen_dir(self, gen: int) -> str:
         return f"{self.path}/gen={gen}"
@@ -1815,13 +1827,20 @@ class ParquetCountSink:
         return self._gen_dir(self._gen) if self._gen > 0 else None
 
     def apply_batch(self, batch_counts: DataFrame, batch_id: int) -> None:
+        import json
+        import os
         import shutil
 
-        if batch_id in self._applied:  # replayed batch: already summed
+        if batch_id <= self._max_applied:  # replayed batch: already summed
             return
         spark = batch_counts.sparkSession
         if batch_counts.isEmpty():
-            self._applied.add(batch_id)
+            self._max_applied = batch_id
+            if self.current_dir is not None:
+                with open(
+                    os.path.join(self.current_dir, self._APPLIED), "w"
+                ) as f:
+                    json.dump({"max_batch_id": batch_id}, f)
             return
         if self.current_dir is not None:
             cur = spark.read.parquet(self.current_dir)
@@ -1833,9 +1852,11 @@ class ParquetCountSink:
         )
         nxt = self._gen_dir(self._gen + 1)
         counts.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, self._APPLIED), "w") as f:
+            json.dump({"max_batch_id": batch_id}, f)
         old = self.current_dir
         self._gen += 1
-        self._applied.add(batch_id)
+        self._max_applied = batch_id
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
 

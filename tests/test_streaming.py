@@ -714,3 +714,15 @@ def test_parquet_count_sink_is_replay_idempotent(spark):
         (r.k, r.n) for r in sink.snapshot_df(spark).collect()
     }
     assert got == {("a", 7), ("b", 3)}
+    # Process restart: a NEW sink over the same path must adopt the
+    # persisted high-water batch id, so foreachBatch's replay of the
+    # last batch is a no-op — then resume the merge chain.
+    from table_demo_spark.streaming.queries import ParquetCountSink as _S
+
+    reborn = _S(sink.path, ("k",))
+    reborn.apply_batch(b1, 1)  # replay after restart: skipped
+    reborn.apply_batch(
+        spark.createDataFrame([("b", 1)], "k string, n long"), 2
+    )
+    got = {(r.k, r.n) for r in reborn.snapshot_df(spark).collect()}
+    assert got == {("a", 7), ("b", 4)}
