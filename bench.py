@@ -140,6 +140,8 @@ HEADLINE = [
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",
+    "llm_p15_budget_select",
+    "an_a62_validity_audit",
 ]
 
 

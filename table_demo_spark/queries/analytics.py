@@ -3145,6 +3145,88 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM r{_A61_ROUNDS}
 """
 
 
+# ---------------------------------------------------------------------------
+# A62 — SCD2 validity audit (constraint checking as a query): per key,
+# verify the versioned history a36 builds — version count, at most one
+# open (current) row, zero overlapping intervals, and the legitimate
+# delete-shaped gaps counted rather than flagged. The invariants are
+# emitted as DATA (n_overlaps must scan as all-zero), which is how a
+# warehouse audits table constraints at 100 TB: one hash shuffle on
+# the key, one per-key window pass over version chains — the same
+# bound as building the history itself.
+# ---------------------------------------------------------------------------
+
+
+def a62_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.cdc import scd2_history
+
+    hist = scd2_history(_cdc_changelog(spark, sf_dir), ["o_orderkey"])
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    marked = hist.withColumn("prev_to", F.lag("valid_to").over(w))
+    return marked.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("prev_to") > F.col("valid_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("prev_to") < F.col("valid_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.col("valid_to") - F.col("valid_from"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered_versions"),
+    )
+
+
+A62_ORACLE = f"""
+WITH {_CDC_CHANGELOG_CTE},
+hist AS (
+  SELECT o_orderkey, version AS valid_from,
+         lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+           AS valid_to, op
+  FROM changelog
+),
+rows_kept AS (SELECT * FROM hist WHERE op <> 'D'),
+marked AS (
+  SELECT o_orderkey, valid_from, valid_to,
+         lag(valid_to) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+           AS prev_to
+  FROM rows_kept
+)
+SELECT o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(sum(CASE WHEN prev_to IS NOT NULL AND prev_to > valid_from
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+       CAST(sum(CASE WHEN prev_to IS NOT NULL AND prev_to < valid_from
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - valid_from
+                     ELSE 0 END) AS BIGINT) AS covered_versions
+FROM marked
+GROUP BY o_orderkey
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3207,4 +3289,5 @@ QUERIES: list[Query] = [
     Query("an_a59_hll_rollup", a59_hll_rollup, _a59_oracle()),
     Query("an_a60_event_paths", a60_event_paths, A60_ORACLE),
     Query("an_a61_shortest_path", a61_shortest_path, A61_ORACLE),
+    Query("an_a62_validity_audit", a62_validity_audit, A62_ORACLE),
 ]

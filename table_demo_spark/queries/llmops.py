@@ -3942,6 +3942,94 @@ FROM agg a JOIN top t USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# P15 — token-budget selection (the dataset-assembly allocator): given
+# a total token budget and per-domain mixture weights, each domain
+# gets budget * w_d / sum(w) tokens and fills it with its best
+# documents first (quality desc, doc_id tiebreak) — a doc is kept iff
+# its inclusive running token sum fits the domain budget. Pure
+# integers end-to-end (budget divisible by the weight total, exact
+# cumsum window); one quality projection + one ranking window per
+# domain partition. Complements p14 (ordering of the selected set)
+# and p6 (rate-based mixing): this is the SELECTION step.
+# ---------------------------------------------------------------------------
+_P15_BUDGET = 25_000  # tokens; weight total is 50 => 500 * w per domain
+
+
+def p15_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    w_d = (
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+        % _P14_WEIGHT_MOD
+        + 1
+    )
+    quality = T.quality_score(
+        F.size(toks).cast("long"),
+        T.stopword_ratio(toks, T.STOPWORDS_EN),
+        T.avg_token_len(toks),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        (w_d * (_P15_BUDGET // 50)).cast("long").alias("domain_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("domain_budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "quality")
+    )
+
+
+def _p15_oracle() -> str:
+    quality_sql = f"""
+         (CASE WHEN len(toks) BETWEEN 10 AND 80 THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN len(toks) > 0
+                  AND CAST(len(list_filter(toks, t -> t IN ({_SW_IN}))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) >= CAST(0.05 AS DOUBLE)
+                 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN len(toks) > 0
+                  AND CAST(list_reduce(list_transform(toks, t -> length(t)),
+                                       (a, b) -> a + b) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+                      BETWEEN CAST(3.0 AS DOUBLE) AND CAST(8.0 AS DOUBLE)
+                 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+    """
+    return f"""
+WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {quality_sql} AS quality,
+         CAST((CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT)
+               % {_P14_WEIGHT_MOD} + 1) * {_P15_BUDGET // 50} AS BIGINT)
+           AS domain_budget
+  FROM tok
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, quality, domain_budget,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, n_tokens, cum_tokens, quality
+FROM cum WHERE cum_tokens <= domain_budget
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -4008,4 +4096,5 @@ QUERIES: list[Query] = [
     Query("llm_d19_quality_dedup", d19_quality_dedup, D19_ORACLE),
     Query("llm_m10_pair_audit", m10_pair_audit, M10_ORACLE),
     Query("llm_t23_domain_drift", t23_domain_drift, T23_ORACLE),
+    Query("llm_p15_budget_select", p15_budget_select, _p15_oracle()),
 ]
