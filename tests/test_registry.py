@@ -1,0 +1,40 @@
+"""Registry-order pins.
+
+The external driver's CORRECTNESS check samples roughly the first 50
+registry entries in registration order.  Round 2 silently evicted every
+llm_*/src_*/stream_* query from that window by registering all 62 an_*
+queries first.  These pins make the driver-visible slate an explicit,
+reviewed artifact: any future registration change that would evict a
+family from driver-verified coverage fails here first.
+"""
+
+from __future__ import annotations
+
+from table_demo_spark.queries import DRIVER_SAMPLE, all_queries
+
+
+def test_driver_sample_is_exactly_the_first_50() -> None:
+    queries = all_queries()
+    assert len(DRIVER_SAMPLE) == 50
+    assert [q.name for q in queries[:50]] == list(DRIVER_SAMPLE)
+
+
+def test_driver_sample_spans_every_family() -> None:
+    prefixes = {name.split("_", 1)[0] for name in DRIVER_SAMPLE}
+    assert prefixes == {"ref", "an", "llm", "src", "stream"}
+    # The LLM extension is the north star: every sub-family (dedup,
+    # similarity, text, multimodal, pipeline) must stay driver-visible.
+    llm_kinds = {
+        name.split("_")[1][0] for name in DRIVER_SAMPLE if name.startswith("llm_")
+    }
+    assert {"d", "s", "t", "m", "p"} <= llm_kinds
+
+
+def test_registry_has_no_duplicates_and_no_drops() -> None:
+    queries = all_queries()
+    names = [q.name for q in queries]
+    assert len(names) == len(set(names))
+    # Reordering must not drop anything: every sampled name resolves and
+    # the registry keeps at least round 2's 178 entries.
+    assert set(DRIVER_SAMPLE) <= set(names)
+    assert len(names) >= 178
