@@ -56,11 +56,18 @@ def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    wtop = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    top = (
-        counts.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .select(F.col("pair").alias("top_pair"), F.col("cnt").alias("top_cnt"))
+    # Top-1 pair needs no sort at all: a single min_by aggregate with
+    # map-side partials. Ordering key (-cnt, pair) == (cnt DESC,
+    # pair ASC), the same deterministic tie-break the oracle states.
+    # Unlike a global row_number window this never funnels the
+    # corpus-sized pair vocabulary through one task.
+    top = counts.agg(
+        F.min_by(
+            F.struct(F.col("pair"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("pair")),
+        ).alias("t")
+    ).select(
+        F.col("t.pair").alias("top_pair"), F.col("t.cnt").alias("top_cnt")
     )
     marked = paired.crossJoin(F.broadcast(top)).withColumn(
         "m",

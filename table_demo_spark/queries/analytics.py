@@ -1743,10 +1743,12 @@ def a41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     ranks = pagerank(edges, iters=_A41_ITERS)
+    # Distributed top-k (TakeOrderedAndProject), then number the k
+    # survivors — the ranking window never sees the O(|V|) frame.
+    top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(_A41_TOPK)
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (
-        ranks.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _A41_TOPK)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "node", "pr")
     )
 

@@ -2268,7 +2268,7 @@ GROUP BY decile
 
 
 def t17_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from table_demo_spark.operators.rank import distributed_rank
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -2276,8 +2276,12 @@ def t17_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    # Full rank over the whole vocabulary (bucketing needs every rank,
+    # not a top-k) — two-pass range-partitioned rank, never a
+    # single-task global sort (operators/rank.py).
+    ranked = distributed_rank(
+        counts, [F.col("cnt").desc(), F.col("tok").asc()], "rank"
+    )
     bucket = F.floor(F.log2("rank")).cast("long")
     return (
         ranked.groupBy(bucket.alias("bucket"))
@@ -3238,10 +3242,15 @@ def t15_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # Distributed top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, k-row merge on
+    # the driver) — NOT a single-task sort of the whole pair vocabulary,
+    # which grows with the corpus. Only the k survivors are then
+    # numbered; that window runs over a bounded k-row frame.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(_T15_TOPK)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _T15_TOPK)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "pair", "cnt")
     )
 

@@ -407,15 +407,43 @@ def test_skyline_has_no_self_join(spark):
     assert "partial_max" in plan
 
 
-def test_bpe_pairs_aggregates_before_topk_window(spark):
-    """t15's top-k window runs over the post-agg pair vocabulary; the
-    corpus-sized explode feeds a partial-then-final count, never the
-    window sort."""
+def test_bpe_pairs_topk_is_take_ordered_not_global_sort(spark):
+    """t15's top-k is TakeOrderedAndProject (per-partition partial
+    top-k, k-row driver merge) over the post-agg pair vocabulary — the
+    r2 verdict's global-sort fix. The corpus-sized explode feeds a
+    partial-then-final count; no Exchange SinglePartition anywhere
+    (the rank-numbering window sees only the k survivors)."""
     plan = formatted_plan(_query("llm_t15_bpe_pairs")(spark, SF_SMOKE))
     assert "partial_count" in plan
-    # top-down formatted text: the Window must sit ABOVE (before) the
-    # aggregation that reduces the corpus to the pair vocabulary
-    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_no_single_task_global_sort_rankings(spark):
+    """r2 verdict 'What's wrong #1': the four ranking queries that
+    compiled to an unpartitioned row_number window (single-task sort of
+    a corpus-derived frame) must stay fixed:
+    - t15 / a41: distributed top-k via TakeOrderedAndProject;
+    - t20: per-round top-1 pair via min_by aggregate with map-side
+      partials (partial_min_by), no sort on the pair-count frame;
+    - t17: two-pass range-partitioned rank (operators/rank.py) —
+      Exchange rangepartitioning on the ordering, per-partition local
+      ranks, bounded offset frame.
+    Pin: none of the four plans may contain Exchange SinglePartition,
+    nor a Sort whose leading key is the corpus-derived count column."""
+    import re
+
+    expectations = {
+        "llm_t15_bpe_pairs": "TakeOrderedAndProject",
+        "an_a41_pagerank": "TakeOrderedAndProject",
+        "llm_t20_bpe_train": "partial_min_by",
+        "llm_t17_zipf_buckets": "rangepartitioning",
+    }
+    for name, marker in expectations.items():
+        plan = formatted_plan(_query(name)(spark, SF_SMOKE))
+        assert marker in plan, f"{name}: expected {marker}\n{plan}"
+        assert "Exchange SinglePartition" not in plan, name
+        assert not re.search(r"Sort \[cnt#\d+L? DESC", plan), name
 
 
 def test_weighted_sample_priority_is_codegen(spark):
