@@ -74,7 +74,9 @@ class TableEnvironment:
         if name == "rides":
             return stream_rides(self.spark, self.sf_dir, speed, max_delay_ms)
         if name == "events":
-            return stream_events_typed(self.spark, self.sf_dir, speed)
+            return stream_events_typed(
+                self.spark, self.sf_dir, speed, max_delay_ms=max_delay_ms
+            )
         raise KeyError(f"no stream table {name!r}")
 
     # -- sink binding with mode/key inference (K1) ---------------------

@@ -559,10 +559,14 @@ def stream_events_typed(
     spark: SparkSession,
     sf_dir: str,
     speed: float = 600.0,
+    max_delay_ms: int = 60_000,
     frontier_key: str | None = None,
 ) -> DataFrame:
     """Replay source projected to the full typed event shape."""
-    raw = _replay_events(spark, sf_dir, speed, frontier_key=frontier_key)
+    raw = _replay_events(
+        spark, sf_dir, speed, max_delay_ms=max_delay_ms,
+        frontier_key=frontier_key,
+    )
     return raw.select(
         "event_id",
         "user_id",
@@ -1801,23 +1805,36 @@ class ParquetCountSink:
         import json
         import os
         import re
+        import shutil
 
         self.path = path
         self.group_cols = list(group_cols)
         os.makedirs(path, exist_ok=True)
-        gens = [
+        gens = sorted(
             int(m.group(1))
             for d in os.listdir(path)
             if (m := re.fullmatch(r"gen=(\d+)", d))
-        ]
-        self._gen = max(gens, default=0)
+        )
+        self._gen = 0
         self._max_applied = -1
-        if self._gen > 0:
+        # A generation dir without _applied.json is an UNCOMMITTED
+        # write: apply_batch writes gen=N+1's parquet first and the
+        # marker second, so a crash between the two leaves a marker-less
+        # max generation while gen=N (only rmtree'd after the marker
+        # write) still exists. Resetting _max_applied to -1 here would
+        # double-count the checkpoint's replay of the already-summed
+        # batch — instead discard the torn write and fall back to the
+        # newest committed generation.
+        while gens:
+            g = gens[-1]
             try:
-                with open(os.path.join(self._gen_dir(self._gen), self._APPLIED)) as f:
+                with open(os.path.join(self._gen_dir(g), self._APPLIED)) as f:
                     self._max_applied = json.load(f)["max_batch_id"]
+                self._gen = g
+                break
             except (OSError, ValueError, KeyError):
-                pass  # pre-upgrade dir: first replayed batch may re-sum
+                shutil.rmtree(self._gen_dir(g), ignore_errors=True)
+                gens.pop()
 
     def _gen_dir(self, gen: int) -> str:
         return f"{self.path}/gen={gen}"
@@ -1871,12 +1888,20 @@ class ParquetCountSink:
             if d is None:
                 return 0
             try:
-                return sum(
-                    pq.ParquetFile(f).metadata.num_rows
-                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                files = glob.glob(os.path.join(d, "*.parquet"))
+                total = sum(
+                    pq.ParquetFile(f).metadata.num_rows for f in files
                 )
             except FileNotFoundError:
                 continue
+            # A generation flip can rmtree d between current_dir and the
+            # glob: the glob then returns [] without raising and a bare
+            # return would report a transient 0 to progress callbacks.
+            # Re-check the pointer (and, for torn reads, the dir) and
+            # retry if the generation moved under us.
+            if self.current_dir != d or (not files and not os.path.isdir(d)):
+                continue
+            return total
         return 0
 
     def snapshot_df(self, spark: SparkSession) -> DataFrame:

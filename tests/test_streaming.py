@@ -726,3 +726,35 @@ def test_parquet_count_sink_is_replay_idempotent(spark):
     )
     got = {(r.k, r.n) for r in reborn.snapshot_df(spark).collect()}
     assert got == {("a", 7), ("b", 4)}
+
+
+def test_parquet_count_sink_discards_torn_generation(spark):
+    """Crash-window recovery: apply_batch writes gen=N+1's parquet
+    BEFORE its _applied.json marker, so a crash between the two leaves
+    a marker-less max generation alongside the still-intact gen=N. A
+    rebuilt sink must treat that as an uncommitted write — discard it
+    and resume from gen=N with its high-water batch id — NOT reset
+    _max_applied to -1 (which would re-sum the checkpoint's replay of
+    the already-applied batch and double-count)."""
+    import os
+    import tempfile
+
+    from table_demo_spark.streaming.queries import ParquetCountSink
+
+    sink = ParquetCountSink(tempfile.mkdtemp(prefix="tds-cnt-torn-"), ("k",))
+    b0 = spark.createDataFrame([("a", 2)], "k string, n long")
+    sink.apply_batch(b0, 0)
+    committed = sink.current_dir
+    # Simulate the torn write: gen=2 parquet exists, marker does not.
+    torn = spark.createDataFrame([("a", 99)], "k string, n long")
+    torn.write.mode("overwrite").parquet(f"{sink.path}/gen=2")
+    assert os.path.isdir(f"{sink.path}/gen=2")
+
+    reborn = ParquetCountSink(sink.path, ("k",))
+    assert reborn.current_dir == committed
+    assert not os.path.isdir(f"{sink.path}/gen=2")  # torn gen discarded
+    reborn.apply_batch(b0, 0)  # checkpoint replay: must be a no-op
+    b1 = spark.createDataFrame([("a", 1)], "k string, n long")
+    reborn.apply_batch(b1, 1)
+    got = {(r.k, r.n) for r in reborn.snapshot_df(spark).collect()}
+    assert got == {("a", 3)}
