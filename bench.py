@@ -137,6 +137,9 @@ HEADLINE = [
     "llm_t22_rake_keywords",
     "llm_d19_quality_dedup",
     "llm_m10_pair_audit",
+    "llm_m11_decoded_luma",
+    "llm_m12_resize_luma",
+    "llm_m13_wav_energy",
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",

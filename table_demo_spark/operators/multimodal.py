@@ -6,10 +6,13 @@ storage), metadata travels in typed sibling columns, and all decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` — one Python
 process per partition, zero-copy batches, never row-at-a-time.
 
-The decode step itself is STUBBED (``decode_image`` raises
-NotImplementedError — codec libraries are not in this container); the
-Spark-side plumbing — schema, batch iteration, partition shape — is
-real and oracle-tested via the deterministic byte-level features.
+Decode is REAL for uncompressed formats: ``decode_image`` /
+``resize_image`` parse and re-encode binary PPM, and
+``decoded_pcm_stats`` walks RIFF/WAVE chunks, all via the pure-numpy
+codecs in operators/codecs.py — the decoded-value statistics are
+oracle-gated (llm_m11/m12/m13). Compressed formats (JPEG/PNG/MP3)
+remain the documented external-codec extension point; their stand-in
+byte-level features keep the identical plumbing.
 """
 
 from __future__ import annotations
@@ -31,23 +34,33 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload. STUB: codec libs (PIL/cv2) are not
-    available in this environment."""
+    """Decode an image payload to an (h, w, 3) uint8 numpy raster.
+
+    REAL for binary PPM (P6) via the pure-numpy parser in
+    operators/codecs.py — no codec library needed for uncompressed
+    formats. Compressed formats (JPEG/PNG/...) remain the documented
+    external-codec extension point: sniff their magic here and wire
+    PIL/cv2; the surrounding mapInPandas plumbing is codec-agnostic."""
+    from table_demo_spark.operators.codecs import PPM_MAGIC, decode_ppm
+
+    data = bytes(payload)
+    if data.startswith(PPM_MAGIC):
+        return decode_ppm(data)
     raise NotImplementedError(
-        "image decode requires PIL/cv2; wire your codec here — the "
-        "surrounding mapInPandas plumbing is codec-agnostic"
+        "only uncompressed PPM decodes in-container; wire PIL/cv2 for "
+        "compressed formats — the mapInPandas plumbing is codec-agnostic"
     )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB: requires a codec (PIL/cv2).
-    Production shape: runs inside the same mapInPandas batch loop as
-    :func:`binary_meta` / :func:`frame_sample` — decode, resize,
-    re-encode per batch element, Arrow-transfer the new binary column."""
-    raise NotImplementedError(
-        "image resize requires PIL/cv2; wire your codec here — the "
-        "surrounding mapInPandas plumbing is codec-agnostic"
-    )
+    """Resize an image payload (nearest-neighbor, integer-exact index
+    mapping) and re-encode in the same format. REAL for binary PPM;
+    runs inside the same mapInPandas batch loop as :func:`binary_meta`
+    / :func:`frame_sample` — decode, resize, re-encode per batch
+    element, Arrow-transfer the new binary column."""
+    from table_demo_spark.operators.codecs import encode_ppm, resize_nearest
+
+    return encode_ppm(resize_nearest(decode_image(payload), width, height))
 
 
 def binary_meta(docs_with_payload: DataFrame) -> DataFrame:
@@ -303,3 +316,184 @@ def image_patches(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(tile, schema=PATCH_SCHEMA)
+
+
+# -- REAL decode path: PPM / WAV payloads with decoded-value features -------
+#
+# The payload bytes are deterministic md5-stream rasters (every engine
+# can restate the generator), ENCODED into real container formats
+# (binary PPM / RIFF WAVE). The extractors below decode those actual
+# bytes with operators/codecs.py and compute integer statistics over
+# the DECODED values — a header-offset or byte-order bug anywhere in
+# encode or decode shifts the raster and breaks the cross-engine hash
+# against the oracle's analytic restatement of the same md5 stream.
+
+PPM_W, PPM_H = 32, 16  # 1536 raster bytes = 96 md5 blocks
+_PPM_BLOCKS = (PPM_W * PPM_H * 3) // 16
+WAV_SAMPLES = 256  # 512 PCM bytes = 32 md5 blocks
+WAV_RATE = 16_000
+_WAV_BLOCKS = (WAV_SAMPLES * 2) // 16
+LUMA_R, LUMA_G, LUMA_B = 299, 587, 114  # ITU-R BT.601, milli-weights
+RESIZE_W, RESIZE_H = 16, 8
+
+
+def _md5_stream(key: str, n_blocks: int, salt: str) -> bytes:
+    import hashlib
+
+    return b"".join(
+        bytes.fromhex(hashlib.md5(f"{key}{salt}{i}".encode()).hexdigest())
+        for i in range(n_blocks)
+    )
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real binary-PPM image per document, pixel
+    bytes drawn from the doc's md5 stream (byte o = hex pair o%16 of
+    md5('<doc_id>#img<o//16>'))."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_ppm
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _PPM_BLOCKS, "#img"), dtype=np.uint8
+                    ).reshape(PPM_H, PPM_W, 3)
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real RIFF/WAVE PCM16 clip per document,
+    sample s = little-endian int16 from md5-stream bytes (2s, 2s+1)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_wav
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _WAV_BLOCKS, "#wav"), dtype="<i2"
+                    ).astype(np.int16),
+                    WAV_RATE,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+DECODED_LUMA_SCHEMA = (
+    "doc_id long, width long, height long, mean_luma_milli long, "
+    "luma_bucket long"
+)
+
+
+def decoded_luma(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each PPM payload and compute integer luma statistics over
+    the DECODED pixels: mean_luma_milli = sum(299 R + 587 G + 114 B)
+    // (w*h), bucketed by 32000 milli-luma. Vectorized numpy inside the
+    Arrow batch; dimensions come from the parsed header, not metadata."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([LUMA_R, LUMA_G, LUMA_B], dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image(payload)
+                h, w = arr.shape[:2]
+                total = int((arr.astype(np.int64) * weights).sum())
+                mean_milli = total // (w * h)
+                rows.append((doc_id, w, h, mean_milli, mean_milli // 32_000))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_luma_milli",
+                    "luma_bucket",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=DECODED_LUMA_SCHEMA)
+
+
+RESIZED_LUMA_SCHEMA = (
+    "doc_id long, width long, height long, mean_luma_milli long"
+)
+
+
+def resized_luma(
+    docs_with_payload: DataFrame,
+    out_w: int = RESIZE_W,
+    out_h: int = RESIZE_H,
+) -> DataFrame:
+    """decode -> resize_image (nearest-neighbor re-encode) -> decode ->
+    luma over the RESIZED raster: exercises the full resize round-trip,
+    not just the parser. Output dimensions come from re-parsing the
+    resized payload's header."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([LUMA_R, LUMA_G, LUMA_B], dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = resize_image(payload, out_w, out_h)
+                arr = decode_image(resized)
+                h, w = arr.shape[:2]
+                total = int((arr.astype(np.int64) * weights).sum())
+                rows.append((doc_id, w, h, total // (w * h)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_luma_milli"],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=RESIZED_LUMA_SCHEMA)
+
+
+PCM_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+    "mean_abs_milli long"
+)
+
+
+def decoded_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each WAV payload (RIFF chunk walk) and compute integer
+    amplitude statistics over the DECODED int16 samples: sum of
+    absolute values and its per-sample milli-mean."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                sum_abs = int(np.abs(samples.astype(np.int64)).sum())
+                n = len(samples)
+                rows.append(
+                    (doc_id, rate, n, sum_abs, (sum_abs * 1000) // n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "sum_abs",
+                    "mean_abs_milli",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=PCM_STATS_SCHEMA)

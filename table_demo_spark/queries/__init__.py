@@ -61,7 +61,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t15_bpe_pairs",
     "llm_t20_bpe_train",
     "llm_m1_binary_meta",
-    "llm_m3_feature_extract",
+    "llm_m11_decoded_luma",
     "llm_p1_prep_pipeline",
     "llm_p3_sequence_pack",
     # source formats

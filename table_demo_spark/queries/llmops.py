@@ -4039,6 +4039,126 @@ FROM cum WHERE cum_tokens <= domain_budget
 """
 
 
+# ---------------------------------------------------------------------------
+# M11/M12/M13 — REAL codec decode, oracle-gated on decoded values.
+#
+# The payloads are genuine container-format files (binary PPM rasters,
+# RIFF/WAVE PCM16 clips) whose content bytes come from a deterministic
+# md5 stream both engines can restate. Spark ENCODES the payload, then
+# the query DECODES it with the pure-numpy parsers in
+# operators/codecs.py and aggregates the decoded pixel/PCM values; the
+# DuckDB oracle computes the same statistics analytically from the md5
+# stream — so any header-offset, byte-order, or resize-index bug in
+# encode OR decode shifts the raster and fails the value hash. This is
+# the decode -> resize -> feature path the reference-style m-family
+# stand-ins could not exercise.
+# ---------------------------------------------------------------------------
+
+_PPM_BYTES_CTE = f"""
+blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#img' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._PPM_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+)"""
+
+_LUMA_W_SQL = (
+    f"CASE WHEN o % 3 = 0 THEN {multimodal.LUMA_R} "
+    f"WHEN o % 3 = 1 THEN {multimodal.LUMA_G} "
+    f"ELSE {multimodal.LUMA_B} END"
+)
+
+
+def m11_decoded_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decoded_luma(multimodal.with_ppm_payload(docs))
+
+
+M11_ORACLE = f"""
+WITH {_PPM_BYTES_CTE},
+luma AS (
+  SELECT doc_id,
+         CAST(sum(({_LUMA_W_SQL}) * b) AS BIGINT)
+           // {multimodal.PPM_W * multimodal.PPM_H} AS mean_luma_milli
+  FROM bytes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({multimodal.PPM_W} AS BIGINT) AS width,
+       CAST({multimodal.PPM_H} AS BIGINT) AS height,
+       mean_luma_milli,
+       mean_luma_milli // 32000 AS luma_bucket
+FROM luma
+"""
+
+
+def m12_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resized_luma(multimodal.with_ppm_payload(docs))
+
+
+M12_ORACLE = f"""
+WITH {_PPM_BYTES_CTE},
+grid AS (
+  SELECT y2, x2, c,
+         ((y2 * {multimodal.PPM_H}) // {multimodal.RESIZE_H}
+            * {multimodal.PPM_W}
+          + (x2 * {multimodal.PPM_W}) // {multimodal.RESIZE_W}) * 3 + c AS o,
+         CASE WHEN c = 0 THEN {multimodal.LUMA_R}
+              WHEN c = 1 THEN {multimodal.LUMA_G}
+              ELSE {multimodal.LUMA_B} END AS w
+  FROM (SELECT unnest(range(0, {multimodal.RESIZE_H})) AS y2),
+       (SELECT unnest(range(0, {multimodal.RESIZE_W})) AS x2),
+       (SELECT unnest(range(0, 3)) AS c)
+)
+SELECT doc_id,
+       CAST({multimodal.RESIZE_W} AS BIGINT) AS width,
+       CAST({multimodal.RESIZE_H} AS BIGINT) AS height,
+       CAST(sum(g.w * b.b) AS BIGINT)
+         // {multimodal.RESIZE_W * multimodal.RESIZE_H} AS mean_luma_milli
+FROM bytes b JOIN grid g USING (o)
+GROUP BY doc_id
+"""
+
+
+def m13_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decoded_pcm_stats(multimodal.with_wav_payload(docs))
+
+
+M13_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#wav' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._WAV_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+)
+SELECT doc_id,
+       CAST({multimodal.WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(abs(v)) * 1000 // count(*) AS BIGINT) AS mean_abs_milli
+FROM sv GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -4106,4 +4226,7 @@ QUERIES: list[Query] = [
     Query("llm_m10_pair_audit", m10_pair_audit, M10_ORACLE),
     Query("llm_t23_domain_drift", t23_domain_drift, T23_ORACLE),
     Query("llm_p15_budget_select", p15_budget_select, _p15_oracle()),
+    Query("llm_m11_decoded_luma", m11_decoded_luma, M11_ORACLE),
+    Query("llm_m12_resize_luma", m12_resize_luma, M12_ORACLE),
+    Query("llm_m13_wav_energy", m13_wav_energy, M13_ORACLE),
 ]

@@ -683,3 +683,94 @@ def test_split_hot_join_equals_plain_join(spark):
     for thr in (1, 5, 100):
         got = sorted(map(tuple, split_hot_join(fact, dim, "k", thr).collect()))
         assert got == want, f"threshold {thr}"
+
+
+def test_ppm_codec_roundtrip_and_header_robustness():
+    """encode_ppm -> decode_ppm is the identity on (h, w, 3) uint8
+    rasters, and the parser honors Netpbm header freedoms (comments,
+    whitespace runs) plus rejects truncation — the properties the
+    decoded-value oracles (m11/m12) lean on."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+    # header freedoms: comment lines and extra whitespace before fields
+    raster = arr.tobytes()
+    hand = b"P6\n# a comment\n 9\t5\n# another\n255\n" + raster
+    assert (decode_ppm(hand) == arr).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(encode_ppm(arr)[:-1])  # truncated raster
+
+    # nearest-neighbor index law: out[y, x] == in[(y*h)//oh, (x*w)//ow]
+    out = resize_nearest(arr, 4, 2)
+    assert out.shape == (2, 4, 3)
+    for y in range(2):
+        for x in range(4):
+            assert (out[y, x] == arr[(y * 5) // 2, (x * 9) // 4]).all()
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode_wav -> decode_wav preserves int16 samples and the sample
+    rate; the decoder walks chunk lists (extra chunks before data) and
+    rejects non-PCM16-mono formats."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import decode_wav, encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    data = encode_wav(samples, 8000)
+    rate, got = decode_wav(data)
+    assert rate == 8000
+    assert (got == samples).all()
+
+    # tolerate an extra chunk between fmt and data (word-aligned walk)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd size
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    # fix RIFF size field
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    rate2, got2 = decode_wav(spliced)
+    assert rate2 == 8000 and (got2 == samples).all()
+
+    stereo = data[:22] + struct.pack("<H", 2) + data[24:]
+    with _pytest.raises(ValueError):
+        decode_wav(stereo)
+
+
+def test_decode_image_dispatches_and_rejects_unknown(spark):
+    """decode_image parses real PPM payloads produced by the fixture
+    builder; non-PPM magic still routes to the documented
+    NotImplementedError extension point."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators import multimodal
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    row = multimodal.with_ppm_payload(docs).collect()[0]
+    arr = multimodal.decode_image(row.payload)
+    assert arr.shape == (multimodal.PPM_H, multimodal.PPM_W, 3)
+    assert arr.dtype == np.uint8
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")

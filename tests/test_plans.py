@@ -89,6 +89,9 @@ _PYTHON_ALLOWED = {
     "llm_m6_vad_segments",  # MapInPandas (numpy-vectorized frame energy)
     "llm_m7_image_patches",  # MapInPandas (patch-grid tiling)
     "llm_m9_scene_cuts",  # MapInPandas (frame sampling stub feeding lag window)
+    "llm_m11_decoded_luma",  # MapInPandas (real PPM decode, numpy luma)
+    "llm_m12_resize_luma",  # MapInPandas (PPM decode+resize round-trip)
+    "llm_m13_wav_energy",  # MapInPandas (real RIFF/WAVE PCM decode)
 }
 
 
