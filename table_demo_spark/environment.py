@@ -26,7 +26,7 @@ sink.
 
 from __future__ import annotations
 
-import tempfile
+from table_demo_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -113,7 +113,7 @@ class TableEnvironment:
         if not df.isStreaming:
             sink.foreach_batch()(df, 0)
             return sink, None
-        ckpt = checkpoint or tempfile.mkdtemp(prefix="tds-tenv-ckpt-")
+        ckpt = checkpoint or scratch_dir("tds-tenv-ckpt-")
         query = (
             df.writeStream.outputMode(plan.output_mode)
             .option("checkpointLocation", ckpt)

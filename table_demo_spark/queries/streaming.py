@@ -44,24 +44,47 @@ WATERMARK_MS = 61_000  # streaming/queries.py WATERMARK
 # drain a whole fixture in a couple of micro-batches, so per-partition
 # state-store open/commit overhead dominates over parallelism — fewer,
 # fatter state partitions win (measured at sf0.1: 32 -> 4 partitions cuts
-# the full q1 drain from 8.2s to 5.3s). A real cluster deployment sizes
-# this to executor count instead; AQE cannot (streaming state partition
-# count is fixed at the first checkpoint).
+# the full q1 drain from 8.2s to 5.3s). Round 3 re-A/B'd 4 vs 2 vs 1
+# INTERLEAVED (sequential A/Bs drift): 2 and 4 are indistinguishable
+# within the box's ±6% noise on q1/q2/q22, and the Python-stateful
+# group (q3/q15/q16) leans toward 4 — keeping 4. A real cluster
+# deployment sizes this to executor count instead; AQE cannot
+# (streaming state partition count is fixed at the first checkpoint).
 STATE_PARTITIONS = "4"
 
 
 class _state_partitions:
-    """Scope spark.sql.shuffle.partitions around one streaming run."""
+    """Scope streaming-drain session confs around one run.
 
-    def __init__(self, spark: SparkSession):
+    ``no_data=False`` additionally disables no-data micro-batches for
+    queries whose output emits within the data batch itself (the
+    ``quiet_polls=1`` drains: update-mode aggregations, inner joins) —
+    the trailing watermark-advance batch only performs state cleanup
+    there, and skipping it saves ~0.5 s per drain (round-3 A/B:
+    q1 3.3 -> 2.9 s). Watermark-GATED emission (append-mode timeouts,
+    session close, outer-join null padding) MUST keep no-data batches:
+    their output trails data by watermark advances."""
+
+    def __init__(self, spark: SparkSession, no_data: bool = True):
         self._spark = spark
+        self._no_data = no_data
 
     def __enter__(self):
-        self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
+        conf = self._spark.conf
+        self._saved = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
+        self._saved_nd = conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        if not self._no_data:
+            conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        conf = self._spark.conf
+        conf.set("spark.sql.shuffle.partitions", self._saved)
+        conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", self._saved_nd
+        )
 
 
 def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
@@ -101,16 +124,29 @@ def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     query.stop()
 
 
+def _rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Materialize a small driver-side snapshot as a DataFrame via the
+    Arrow path (pandas -> Arrow batches): one JVM-side conversion
+    instead of 32 Python-worker pickle tasks — measured 4x faster per
+    materialization (BASELINE.md round-3 A/B). Column names are parsed
+    from the DDL schema string; the explicit schema governs dtypes."""
+    import pandas as pd
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    cols = [f.strip().split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(list(rows), columns=cols)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def _parquet_sink(key_cols: tuple[str, ...]):
     """Durable upsert sink in a fresh temp dir — the driver-gated
     update/changelog streaming queries write through the
     production-shaped parquet MERGE target, never a driver-resident
     dict."""
-    import tempfile
-
+    from table_demo_spark.scratch import scratch_dir
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
-    return ParquetUpsertSink(tempfile.mkdtemp(prefix="tds-sink-"), key_cols)
+    return ParquetUpsertSink(scratch_dir("tds-sink-"), key_cols)
 
 
 def _append_sink():
@@ -118,21 +154,20 @@ def _append_sink():
     fresh temp dir — for append-mode streams keys never update, so
     each micro-batch writes only its own files (no merge; the scale
     shape for unbounded appends)."""
-    import tempfile
-
+    from table_demo_spark.scratch import scratch_dir
     from table_demo_spark.streaming.upsert import ParquetAppendSink
 
-    return ParquetAppendSink(tempfile.mkdtemp(prefix="tds-appsink-"))
+    return ParquetAppendSink(scratch_dir("tds-appsink-"))
 
 
 def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q1_stream
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
         _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
-    return spark.createDataFrame(
-        sink.snapshot(), schema="cell int, dept_time long, dept_cnt long"
+    return _rows_df(
+        spark, sink.snapshot(), "cell int, dept_time long, dept_cnt long"
     )
 
 
@@ -151,7 +186,7 @@ def q2_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q3_stream
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = run_q3_stream(
             spark, sf_dir, speed=DRIVER_SPEED, threshold=Q3_THRESHOLD
         )
@@ -227,7 +262,7 @@ def q5_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q5_join_stream
 
     sink = _append_sink()
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = q5_join_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
         _drain(query, sink.count, quiet_polls=1)
     return sink.snapshot_df(spark).select(
@@ -260,7 +295,7 @@ def q6_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q6_dedup_stream
 
     sink = _append_sink()
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = q6_dedup_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
         _drain(query, sink.count, quiet_polls=1)
     return sink.snapshot_df(spark).select("user_id", "event_type")
@@ -275,11 +310,11 @@ Q6_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 def q7_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q7_enrich_stream
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = q7_enrich_stream(spark, sf_dir, speed=DRIVER_SPEED)
         _drain(query, sink.snapshot, quiet_polls=1)
-    return spark.createDataFrame(
-        sink.snapshot(), schema="c_mktsegment string, n_events long, revenue double"
+    return _rows_df(
+        spark, sink.snapshot(), "c_mktsegment string, n_events long, revenue double"
     )
 
 
@@ -298,7 +333,7 @@ def q8_retract_delete_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q8_retract_delete
 
     sink = _parquet_sink(("cell",))
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = run_q8_retract_delete(
             spark, sf_dir, speed=DRIVER_SPEED, limit=_Q8_LIMIT, sink=sink
         )
@@ -324,13 +359,14 @@ HAVING count(*) <= {_Q8_LIMIT}
 def q9_debug_sink_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q9_debug_sink
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = run_q9_debug_sink(spark, sf_dir, speed=DRIVER_SPEED)
         _drain(query, lambda: len(sink.log()), quiet_polls=1)
     assert len(sink.log()) >= len(sink.snapshot())  # every change logged
-    return spark.createDataFrame(
+    return _rows_df(
+        spark,
         sink.snapshot(),
-        schema="event_type string, n_events long, revenue double",
+        "event_type string, n_events long, revenue double",
     )
 
 
@@ -444,7 +480,7 @@ def q11_csv_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q11_csv_stream
 
     sink = _parquet_sink(("cell", "dept_time"))
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = run_q11_csv_stream(spark, sf_dir, sink=sink)
         _drain(query, sink.count, quiet_polls=1)
     return sink.snapshot_df(spark).select("cell", "dept_time", "dept_cnt")
@@ -510,7 +546,7 @@ def q13_sliding_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import q13_sliding_stream
 
     sink = _parquet_sink(("event_type", "win_start"))
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = q13_sliding_stream(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
         _drain(query, lambda: sink.count(spark), quiet_polls=1)
     return sink.snapshot_df(spark).select("event_type", "win_start", "n")
@@ -536,7 +572,7 @@ def q14_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q14_topk
 
     sink = _parquet_sink(("cell",))
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = run_q14_topk(spark, sf_dir, speed=DRIVER_SPEED, sink=sink)
         _drain(query, lambda: sink.count(spark), quiet_polls=1)
     # read-path k-selection over the materialized view: TakeOrdered
@@ -566,7 +602,7 @@ def q15_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q15_running_totals
 
     sink = _parquet_sink(("user_id",))
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         _, query = run_q15_running_totals(
             spark, sf_dir, speed=DRIVER_SPEED, sink=sink
         )
@@ -591,7 +627,7 @@ def q16_hll_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.operators.sketch import hll_estimate
     from table_demo_spark.streaming.queries import run_q16_hll_sketch
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = run_q16_hll_sketch(spark, sf_dir, speed=DRIVER_SPEED)
         _drain(query, lambda: sink.count(spark), quiet_polls=1)
     return hll_estimate(sink.snapshot_df(spark), ["event_type"]).select(
@@ -641,7 +677,7 @@ def q17_fanout_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.operators.sketch import hll_estimate
     from table_demo_spark.streaming.queries import run_q17_fanout
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         archive, sketch, query = run_q17_fanout(
             spark, sf_dir, speed=DRIVER_SPEED
         )
@@ -701,7 +737,7 @@ FROM cnt JOIN est USING (event_type)
 def q18_cdc_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q18_cdc_apply
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         sink, query = run_q18_cdc_apply(spark, sf_dir, speed=DRIVER_SPEED)
         _drain(query, lambda: sink.count(spark), quiet_polls=1)
     return sink.snapshot_df(spark).select(
@@ -801,7 +837,7 @@ FROM v JOIN p ON v.user_id = p.user_id
 def q21_dead_letter_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_demo_spark.streaming.queries import run_q21_dead_letter
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, no_data=False):
         counts, dlq, query = run_q21_dead_letter(spark, sf_dir)
         _drain(query, lambda: counts.count() + dlq.count(), quiet_polls=1)
     ok_rows = counts.snapshot_df(spark).select(

@@ -57,6 +57,7 @@ from table_demo_spark.sources.replay import (
     ensure_emit_ordered,
     register_replay_source,
 )
+from table_demo_spark.scratch import scratch_dir
 from table_demo_spark.streaming.upsert import MemoryUpsertSink, foreach_batch_upsert
 
 WATERMARK = "61 seconds"
@@ -67,9 +68,8 @@ def _checkpoint_dir() -> str:
     and as the replay source's frontier discriminator — concurrent
     queries with identical replay options must not share a pacing
     frontier (see sources/replay.py)."""
-    import tempfile
 
-    return tempfile.mkdtemp(prefix="tds-ckpt-")
+    return scratch_dir("tds-ckpt-")
 
 
 def _replay_events(
@@ -760,7 +760,6 @@ def run_q3_stream(
     parquet histogram. ``ttl_ms`` mirrors the reference's idle-state
     retention (TaxiRideQueries.scala:99). Returns
     (ParquetHistogramSink, query)."""
-    import tempfile
 
     ckpt = ckpt or _checkpoint_dir()
     departures = stream_departures(
@@ -778,7 +777,7 @@ def run_q3_stream(
         ),
     )
     sink = sink if sink is not None else ParquetHistogramSink(
-        tempfile.mkdtemp(prefix="tds-hist-")
+        scratch_dir("tds-hist-")
     )
     query = (
         deltas.writeStream.outputMode("update")
@@ -846,7 +845,6 @@ def run_q8_retract_delete(
 ):
     """Start the gated aggregate into a durable ParquetUpsertSink via
     the changelog dispatch path. Returns (sink, query)."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
@@ -862,7 +860,7 @@ def run_q8_retract_delete(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q8-"), ("cell",)
+        scratch_dir("tds-q8-"), ("cell",)
     )
     query = (
         changelog.writeStream.outputMode("update")
@@ -999,7 +997,6 @@ def run_q10_ttl_expiry(
 ):
     """Per-cell departure count with event-time idle-state retention
     into the durable changelog sink. Returns (sink, query)."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
@@ -1015,7 +1012,7 @@ def run_q10_ttl_expiry(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q10-"), ("cell",)
+        scratch_dir("tds-q10-"), ("cell",)
     )
     query = (
         changelog.writeStream.outputMode("update")
@@ -1051,7 +1048,6 @@ def run_q11_csv_stream(
     )
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
-    import tempfile
 
     path = ensure_rides_csv_gz(spark, sf_dir)
     ckpt = _checkpoint_dir()
@@ -1072,7 +1068,7 @@ def run_q11_csv_stream(
     )
     out = q1_stream(departures)
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q11-"), ("cell", "dept_time")
+        scratch_dir("tds-q11-"), ("cell", "dept_time")
     )
     query = (
         out.writeStream.outputMode("update")
@@ -1163,7 +1159,6 @@ def q13_sliding_stream(
 ):
     """Per-event-type count over hopping windows into a durable
     ParquetUpsertSink. Returns (sink, query)."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
@@ -1179,7 +1174,7 @@ def q13_sliding_stream(
         )
     )
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q13-"), ("event_type", "win_start")
+        scratch_dir("tds-q13-"), ("event_type", "win_start")
     )
     query = (
         out.writeStream.outputMode("update")
@@ -1210,7 +1205,6 @@ def run_q14_topk(
 ):
     """Continuous per-cell departure count into a durable upsert sink.
     Returns (sink, query); callers take top-k from ``snapshot_df``."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
@@ -1222,7 +1216,7 @@ def run_q14_topk(
         F.count("ride_id").alias("dept_cnt")
     )
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q14-"), ("cell",)
+        scratch_dir("tds-q14-"), ("cell",)
     )
     query = (
         counts.writeStream.outputMode("update")
@@ -1330,7 +1324,6 @@ def run_q15_running_totals(
     Returns (sink, query). Uses transformWithStateInPandas (named
     per-variable state, the Spark 4 successor API) when its protobuf
     runtime is present; the GroupState fallback is bit-identical."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
@@ -1340,7 +1333,7 @@ def run_q15_running_totals(
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     sink = sink if sink is not None else ParquetUpsertSink(
-        tempfile.mkdtemp(prefix="tds-q15-"), ("user_id",)
+        scratch_dir("tds-q15-"), ("user_id",)
     )
 
     def start(totals: DataFrame):
@@ -1483,7 +1476,6 @@ def run_q16_hll_sketch(
     computes its partial registers DISTRIBUTED (map-side-combined max),
     then max-merges them into the durable store — O(groups x 256) state
     regardless of stream length. Returns (sink, query)."""
-    import tempfile
 
     from table_demo_spark.operators.sketch import hll_registers
 
@@ -1492,7 +1484,7 @@ def run_q16_hll_sketch(
         "event_type", "user_id"
     )
     sink = sink if sink is not None else ParquetSketchSink(
-        tempfile.mkdtemp(prefix="tds-q16-"), ("event_type",)
+        scratch_dir("tds-q16-"), ("event_type",)
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -1564,7 +1556,6 @@ def run_q17_fanout(
 ):
     """Single stream -> (raw archive, HLL register store). Returns
     (archive, sketch, query)."""
-    import tempfile
 
     from table_demo_spark.operators.sketch import hll_registers
 
@@ -1573,10 +1564,10 @@ def run_q17_fanout(
         "event_id", "event_type", "user_id"
     )
     archive = archive if archive is not None else ParquetBatchArchive(
-        tempfile.mkdtemp(prefix="tds-q17-archive-")
+        scratch_dir("tds-q17-archive-")
     )
     sketch = sketch if sketch is not None else ParquetSketchSink(
-        tempfile.mkdtemp(prefix="tds-q17-sketch-"), ("event_type",)
+        scratch_dir("tds-q17-sketch-"), ("event_type",)
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -1622,7 +1613,6 @@ def run_q18_cdc_apply(
     DISTRIBUTED to its newest change per key (max_by over the version
     struct — partial-aggregating, map-side combined), then version-
     merged into the durable store."""
-    import tempfile
 
     from table_demo_spark.streaming.upsert import VersionedCdcSink
 
@@ -1631,7 +1621,7 @@ def run_q18_cdc_apply(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     sink = sink if sink is not None else VersionedCdcSink(
-        tempfile.mkdtemp(prefix="tds-q18-"),
+        scratch_dir("tds-q18-"),
         key_cols=("user_id",),
         version_cols=("ts", "event_id"),
     )
@@ -1926,7 +1916,6 @@ def run_q21_dead_letter(
     production PERMISSIVE complement of the strict S2 parser, and the
     streaming analog of src_s5's corrupt-record quarantine.
     Returns (counts, dlq, query)."""
-    import tempfile
 
     from table_demo_spark.functions.taxi import in_nyc, to_cell_id
     from table_demo_spark.sources.taxi_csv import (
@@ -1943,10 +1932,10 @@ def run_q21_dead_letter(
         .withColumnRenamed("value", "line")
     )
     counts = counts if counts is not None else ParquetCountSink(
-        tempfile.mkdtemp(prefix="tds-q21-counts-"), ("cell",)
+        scratch_dir("tds-q21-counts-"), ("cell",)
     )
     dlq = dlq if dlq is not None else ParquetBatchArchive(
-        tempfile.mkdtemp(prefix="tds-q21-dlq-")
+        scratch_dir("tds-q21-dlq-")
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

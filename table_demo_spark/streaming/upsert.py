@@ -326,9 +326,9 @@ def run_to_upsert_sink(
 
 
 def _tmp_checkpoint() -> str:
-    import tempfile
+    from table_demo_spark.scratch import scratch_dir
 
-    return tempfile.mkdtemp(prefix="tds-ckpt-")
+    return scratch_dir("tds-ckpt-")
 
 
 class VersionedCdcSink:
