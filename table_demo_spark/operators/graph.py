@@ -39,29 +39,35 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> Data
     appear as a src (undirected graphs: include both directions).
     Returns (node, pr).
 
-    Deliberately NOT persisted: the edge frame is consumed 2 + iters
-    times, but measured A/B at sf0.1 shows ``edges.persist()`` is ~2x
-    SLOWER (14s vs 7s) — caching materializes 1.2M rows through the
-    block manager and fences off whole-stage codegen and AQE runtime
-    replanning, while the "recomputed" lineage is two column-pruned
-    scans + a broadcast join whose shuffle output Spark already
-    dedupes via ReusedExchange. The materialize-the-iteration-
-    invariant rule only pays when the invariant's lineage is
-    expensive relative to its size; on a cluster the equivalent is
-    checkpointing edges partitioned by src (co-located iteration
-    joins), decided by the same measurement."""
+    The iteration invariant — edges joined with out-degrees — is
+    repartitioned by ``src`` ONCE before the loop. Every iteration's
+    join then sees the identical edge-side Exchange subtree, which
+    Spark dedupes via ReusedExchange: the corpus-sized edge shuffle
+    executes once instead of once per iteration. Interleaved A/B at
+    sf0.1 (1.2M edges, 3 iterations): base 9.2-13.5 s with 0
+    ReusedExchange, co-partitioned 6.0 s — pinned by
+    tests/test_plans.py::test_pagerank_reuses_edge_exchange.
+
+    Deliberately NOT persisted: the same A/B shows
+    ``.repartition("src").persist()`` at 9.9-11.0 s — caching
+    materializes the edges through the block manager and fences off
+    whole-stage codegen, while ReusedExchange already gives the
+    reuse for free from shuffle files. The materialize-the-iteration-
+    invariant rule only pays when reuse can't come from an exchange
+    (operators/bpe.py's rewrite is the opposite call, decided by the
+    same measurement discipline)."""
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_frame = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
+    edge_deg = edges.join(outdeg, "src").repartition("src")
     pr = nodes.crossJoin(n_frame).select(
         "node", "n", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(iters):
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(outdeg, "src")
+            edge_deg.join(pr, edge_deg.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )

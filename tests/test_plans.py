@@ -422,6 +422,24 @@ def test_bpe_pairs_topk_is_take_ordered_not_global_sort(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_pagerank_reuses_edge_exchange(spark):
+    """a41's iteration invariant (edges ⋈ out-degree, repartitioned by
+    src once) must compile to an identical per-iteration edge-side
+    Exchange subtree that Spark dedupes via ReusedExchange — the
+    corpus-sized edge shuffle executes once, not once per iteration
+    (interleaved A/B at sf0.1: 9.2-13.5 s -> 6.0 s). AQE applies the
+    reuse rule at runtime, so the pin inspects the statically planned
+    tree with adaptive execution scoped off."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _query("an_a41_pagerank")(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert "ReusedExchange" in plan
+
+
 def test_no_single_task_global_sort_rankings(spark):
     """r2 verdict 'What's wrong #1': the four ranking queries that
     compiled to an unpartitioned row_number window (single-task sort of
