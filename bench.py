@@ -143,6 +143,7 @@ HEADLINE = [
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",
+    "stream_q23_http_upsert",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

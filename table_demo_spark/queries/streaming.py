@@ -931,6 +931,51 @@ WHERE p.purchase_ms < (SELECT wm FROM fin)
 """
 
 
+def q23_http_upsert_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 through a NETWORK-boundary sink: the ES-stub HTTP server +
+    bulk upsert client (streaming/http_sink.py). Each micro-batch
+    partition posts its own idempotent bulk request from the executor;
+    the injected 503 on the first bulk request forces the retry path
+    on the wire during the drain, and the final store must still equal
+    the batch Q1 answer exactly (same oracle as stream_q1) — retry +
+    replay convergence, verified by value hash, not argued."""
+    from table_demo_spark.streaming.http_sink import EsStubServer, HttpUpsertSink
+    from table_demo_spark.streaming.queries import (
+        _checkpoint_dir,
+        q1_stream,
+        stream_departures,
+        stream_rides,
+    )
+
+    server = EsStubServer()
+    try:
+        server.fail_next(1)  # first bulk POST 503s -> client must retry
+        sink = HttpUpsertSink(server.url, ("cell", "dept_time"))
+        ckpt = _checkpoint_dir()
+        with _state_partitions(spark, no_data=False):
+            out = q1_stream(
+                stream_departures(
+                    stream_rides(
+                        spark, sf_dir, DRIVER_SPEED, frontier_key=ckpt
+                    )
+                )
+            )
+            query = (
+                out.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink.foreach_batch())
+                .start()
+            )
+            _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
+        rows = sink.snapshot()
+        assert server.request_count > server.applied_count  # retry happened
+    finally:
+        server.close()
+    return _rows_df(
+        spark, rows, "cell int, dept_time long, dept_cnt long"
+    )
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -954,4 +999,5 @@ QUERIES: list[Query] = [
     Query("stream_q20_semi_join", q20_semi_join_final, Q20_SEMI_JOIN_ORACLE),
     Query("stream_q21_dead_letter", q21_dead_letter_final, _q21_oracle()),
     Query("stream_q22_full_outer_join", q22_full_outer_final, Q22_FULL_OUTER_ORACLE),
+    Query("stream_q23_http_upsert", q23_http_upsert_final, Q1_ORACLE),
 ]

@@ -184,12 +184,18 @@ class ParquetUpsertSink:
             if d is None:
                 return 0
             try:
-                return sum(
-                    pq.ParquetFile(f).metadata.num_rows
-                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                files = glob.glob(os.path.join(d, "*.parquet"))
+                total = sum(
+                    pq.ParquetFile(f).metadata.num_rows for f in files
                 )
             except FileNotFoundError:
                 continue
+            # rmtree between pointer read and glob empties the glob
+            # without raising — re-check and retry instead of reporting
+            # a transient 0 to the drain's stability probe.
+            if self.current_dir != d or (not files and not os.path.isdir(d)):
+                continue
+            return total
         return 0
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:

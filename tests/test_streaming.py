@@ -758,3 +758,108 @@ def test_parquet_count_sink_discards_torn_generation(spark):
     reborn.apply_batch(b1, 1)
     got = {(r.k, r.n) for r in reborn.snapshot_df(spark).collect()}
     assert got == {("a", 3)}
+
+
+def test_http_sink_retry_replay_and_delete_dispatch(spark):
+    """The network-boundary sink (streaming/http_sink.py) against
+    ElasticUpsertTableSink semantics: (1) 5xx responses are retried
+    with backoff until the bulk lands; (2) replaying a batch after a
+    crash converges (bulk index/delete are idempotent per doc id) —
+    the restart-safety rule the ES sink relies on; (3) changelog rows
+    flagged 'D' dispatch to bulk delete actions."""
+    from table_demo_spark.streaming.http_sink import (
+        EsStubServer,
+        HttpUpsertSink,
+    )
+
+    server = EsStubServer()
+    try:
+        sink = HttpUpsertSink(server.url, ("k",))
+
+        # (1) retry: first two requests 503 without applying
+        server.fail_next(2)
+        sink.upsert([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+        assert server.request_count >= 3  # 2 failures + 1 success
+        assert server.docs() == {"a": {"k": "a", "v": 1}, "b": {"k": "b", "v": 2}}
+
+        # (2) replay idempotency: re-sending the same batch (crash
+        # between sink write and checkpoint commit) changes nothing
+        before = server.docs()
+        sink.upsert([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+        assert server.docs() == before
+        # later batch still wins after a replays
+        sink.upsert([{"k": "a", "v": 9}])
+        sink.upsert([{"k": "a", "v": 9}])  # its replay
+        assert server.docs()["a"] == {"k": "a", "v": 9}
+
+        # (3) changelog dispatch through the executor-side path
+        batch = spark.createDataFrame(
+            [("a", 5, "U"), ("b", 2, "D"), ("c", 7, "I")],
+            "k string, v long, __op string",
+        )
+        sink.foreach_batch_changelog("__op")(batch, 0)
+        got = server.docs()
+        assert "b" not in got
+        assert got["a"] == {"k": "a", "v": 5} and got["c"] == {"k": "c", "v": 7}
+        # deleting an absent key is a no-op, not an error
+        sink.delete(["zzz"])
+    finally:
+        server.close()
+
+
+def test_http_sink_stream_restart_converges(spark, tmp_path):
+    """Restart test: run a small stream through the HTTP sink to
+    completion, then restart from the SAME checkpoint with the same
+    source — Structured Streaming replays the last epoch's foreachBatch
+    if its commit wasn't recorded; either way the store must equal the
+    batch answer afterwards (idempotent replay across a process
+    boundary, the parquet sinks' torn-write discipline expressed over
+    a socket)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.http_sink import (
+        EsStubServer,
+        HttpUpsertSink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    server = EsStubServer()
+    try:
+        sink = HttpUpsertSink(server.url, ("event_type",))
+        src = str(tmp_path / "src")
+        load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "event_type"
+        ).write.mode("overwrite").parquet(src)
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema("event_id long, event_type string")
+                .parquet(src)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            q = (
+                stream.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink.foreach_batch())
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        first = {d["event_type"]: d["n"] for d in sink.snapshot()}
+        run_once()  # restart from the same checkpoint: replay or no-op
+        second = {d["event_type"]: d["n"] for d in sink.snapshot()}
+        want = {
+            r.event_type: r.n
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        assert first == want and second == want
+    finally:
+        server.close()
