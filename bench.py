@@ -140,10 +140,14 @@ HEADLINE = [
     "llm_m11_decoded_luma",
     "llm_m12_resize_luma",
     "llm_m13_wav_energy",
+    "llm_t24_heldout_lm_filter",
+    "llm_s12_two_stage_rerank",
+    "llm_p16_decontaminated_split",
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",
     "stream_q23_http_upsert",
+    "stream_q24_http_retract_delete",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

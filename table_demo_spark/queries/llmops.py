@@ -4159,6 +4159,334 @@ FROM sv GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T24 — held-out bigram-LM quality filter (the CCNet-style shape).
+#
+# T14 scores documents under the corpus's OWN statistics (each doc's
+# bigrams count toward the model that judges it). The production
+# quality filter trains the LM on one split and scores the other:
+# train = even doc_ids, held-out = odd. Scoring is add-one-smoothed
+# P(w2|w1) = (c_bg + 1) / (c_ctx + V) kept integer-exact — the
+# "confident" test P >= 0.5 is the cross-multiplication
+# 2*(c_bg + 1) >= c_ctx + V, and the keep gate (half the bigrams seen
+# in training) is 2*n_seen >= n_bigrams — no float ever formed, so
+# the hash gate is exact. log-perplexity is deliberately avoided
+# (libm ln() is not required to round identically across engines).
+#
+# Scale: identical plan family to t14 — linear explode, two map-side-
+# combined count tables LEFT-joined back on (bg) and (w1), V as a
+# 1-row broadcast. Training-set growth only grows the count tables.
+# ---------------------------------------------------------------------------
+
+
+def t24_heldout_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i + 1).alias("w1"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    train = pairs.filter(F.col("doc_id") % 2 == 0)
+    held = pairs.filter(F.col("doc_id") % 2 == 1)
+    c_bg = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_ctx = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = train.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        held.join(c_bg, "bg", "left")
+        .join(c_ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    seen = F.col("c_bg").isNotNull()
+    confident = (
+        F.lit(2) * (F.coalesce("c_bg", F.lit(0)) + 1)
+        >= F.coalesce("c_ctx", F.lit(0)) + F.col("v")
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(seen.cast("int")).cast("long").alias("n_seen"),
+        F.sum(F.col("c_ctx").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_ctx_known"),
+        F.sum(confident.cast("int")).cast("long").alias("n_confident"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_seen",
+        "n_ctx_known",
+        "n_confident",
+        (F.lit(2) * F.col("n_seen") >= F.col("n_bigrams")).alias("keep"),
+    )
+
+
+T24_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+flat AS (
+  SELECT doc_id, p.w1 AS w1, p.bg AS bg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - 1),
+             i -> struct_pack(
+               w1 := toks[CAST(i + 1 AS INT)],
+               bg := toks[CAST(i + 1 AS INT)] || ' '
+                     || toks[CAST(i + 2 AS INT)]))) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+train AS (SELECT * FROM flat WHERE doc_id % 2 = 0),
+held AS (SELECT * FROM flat WHERE doc_id % 2 = 1),
+cbg AS (SELECT bg, count(*) AS c_bg FROM train GROUP BY bg),
+cctx AS (SELECT w1, count(*) AS c_ctx FROM train GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM train),
+scored AS (
+  SELECT h.doc_id, b.c_bg, c.c_ctx, v.v
+  FROM held h
+  LEFT JOIN cbg b USING (bg)
+  LEFT JOIN cctx c USING (w1)
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c_bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen,
+         CAST(sum(CASE WHEN c_ctx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctx_known,
+         CAST(sum(CASE WHEN 2 * (coalesce(c_bg, 0) + 1)
+                        >= coalesce(c_ctx, 0) + v THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_confident
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_seen, n_ctx_known, n_confident,
+       2 * n_seen >= n_bigrams AS keep
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# S12 — two-stage retrieval: quantized coarse search + exact rerank.
+#
+# The production ANN serving shape: stage 1 scores EVERY candidate with
+# the cheap int8-quantized dot product (s4's symmetric quantization —
+# 4x smaller vectors, integer arithmetic, SIMD-friendly) and keeps a
+# candidate pool per query; stage 2 reranks only the pool with exact
+# float cosine. The coarse score is a PURE INTEGER (sum of int8*int8
+# products, |dot| <= 64*127^2 << 2^63), so stage 1 is hash-exact
+# across engines with no rounding discipline needed; only the k
+# reranked rows ever touch floats, and the output is ranks, not
+# scores.
+#
+# Scale: queries broadcast (small by definition); the corpus is
+# scanned once; both ranking windows partition BY QUERY (never
+# global); the rerank joins back to the float vectors on a candidate
+# set of size |Q| * pool — independent of corpus size.
+# ---------------------------------------------------------------------------
+
+_S12_POOL = 3 * ANN_K
+
+
+def _quantized(df: DataFrame, id_alias: str, q_alias: str, v_alias: str) -> DataFrame:
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+        .cast("double")
+        / F.lit(127.0)
+    )
+    with_scale = df.withColumn("__scale", scale)
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("__scale") == 0.0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("__scale") + F.lit(0.5)))
+        .cast("long"),
+    )
+    return with_scale.select(
+        F.col("vec_id").alias(id_alias),
+        qvec.alias(q_alias),
+        F.col("embedding").alias(v_alias),
+    )
+
+
+def s12_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from table_demo_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), "query_id", "qq", "q_vec"
+    )
+    c = _quantized(emb, "neighbor_id", "cq", "c_vec")
+    int_dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", "q_vec", "c_vec", int_dot.alias("int_dot")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("int_dot").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        coarse.withColumn("coarse_rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("coarse_rank") <= _S12_POOL)
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        cosine("q_vec", "c_vec").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "coarse_rank", "rank")
+    )
+
+
+def _s12_oracle() -> str:
+    qvec_sql = (
+        "list_transform(embedding, x -> CASE WHEN scale = CAST(0.0 AS DOUBLE)"
+        " THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(x AS DOUBLE) / scale"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT) END)"
+    )
+    int_dot = (
+        f"list_reduce(list_transform(range(0, {similarity.DIM}),"
+        f" i -> q.qq[CAST(i + 1 AS INT)] * c.cq[CAST(i + 1 AS INT)]),"
+        f" (x, y) -> x + y)"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / CAST(127.0 AS DOUBLE) AS scale
+  FROM embeddings
+),
+qz AS (SELECT vec_id, embedding, {qvec_sql} AS qq FROM s),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, qq FROM qz
+      WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, qq AS cq FROM qz),
+coarse AS (
+  SELECT query_id, neighbor_id, q_vec, c_vec,
+         {int_dot} AS int_dot
+  FROM c JOIN q ON query_id <> neighbor_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, q_vec, c_vec,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY int_dot DESC, neighbor_id ASC) AS BIGINT)
+           AS coarse_rank
+  FROM coarse
+  QUALIFY coarse_rank <= {_S12_POOL}
+)
+SELECT query_id, neighbor_id, coarse_rank, rank FROM (
+  SELECT query_id, neighbor_id, coarse_rank,
+         CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY {_sql_cosine('q_vec', 'c_vec')} DESC,
+                         neighbor_id ASC) AS BIGINT) AS rank
+  FROM pool
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# P16 — decontamination-aware train/test split.
+#
+# Splitting a corpus for evaluation is only sound if no training
+# document is a near-duplicate of a test document — otherwise the
+# "held-out" set leaks. The split itself is the house hash convention
+# (md5(doc_id || '#split16') first hex in {{0,1}} => test, ~12.5%);
+# contamination is D2's banded-MinHash candidates verified by exact
+# Jaccard at the same threshold, and any TRAIN doc near-dup to a TEST
+# doc is quarantined (dropped from train, never silently kept).
+#
+# Scale: the pair discovery is exactly d2's equi-join cascade; the
+# split label is a row-local expression; the quarantine set is a tiny
+# doc_id frame broadcast into one left join.
+# ---------------------------------------------------------------------------
+
+
+def p16_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split16"))), 1, 1
+    ).isin("0", "1")
+    labeled = docs.select(
+        "doc_id", is_test.alias("is_test")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, n=2, threshold=JACCARD_THRESHOLD)
+    la = labeled.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_test").alias("test_a")
+    )
+    lb = labeled.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_test").alias("test_b")
+    )
+    cross = pairs.join(la, "doc_a").join(lb, "doc_b")
+    contaminated = (
+        cross.filter(~F.col("test_a") & F.col("test_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            cross.filter(F.col("test_a") & ~F.col("test_b")).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+        .withColumn("__quarantine", F.lit(True))
+    )
+    return (
+        labeled.join(F.broadcast(contaminated), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_test"), "test")
+            .when(F.col("__quarantine"), "quarantined")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
+def _p16_oracle() -> str:
+    return f"""
+WITH labeled AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR) || '#split16'), 1, 1)
+           IN ('0', '1') AS is_test
+  FROM documents
+),
+pairs AS (SELECT doc_a, doc_b FROM ({D2_ORACLE})),
+cross_p AS (
+  SELECT p.doc_a, p.doc_b, a.is_test AS test_a, b.is_test AS test_b
+  FROM pairs p
+  JOIN labeled a ON a.doc_id = p.doc_a
+  JOIN labeled b ON b.doc_id = p.doc_b
+),
+contaminated AS (
+  SELECT doc_a AS doc_id FROM cross_p WHERE NOT test_a AND test_b
+  UNION
+  SELECT doc_b AS doc_id FROM cross_p WHERE test_a AND NOT test_b
+)
+SELECT l.doc_id,
+       CASE WHEN l.is_test THEN 'test'
+            WHEN c.doc_id IS NOT NULL THEN 'quarantined'
+            ELSE 'train' END AS split
+FROM labeled l LEFT JOIN contaminated c USING (doc_id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -4229,4 +4557,7 @@ QUERIES: list[Query] = [
     Query("llm_m11_decoded_luma", m11_decoded_luma, M11_ORACLE),
     Query("llm_m12_resize_luma", m12_resize_luma, M12_ORACLE),
     Query("llm_m13_wav_energy", m13_wav_energy, M13_ORACLE),
+    Query("llm_t24_heldout_lm_filter", t24_heldout_lm_filter, T24_ORACLE),
+    Query("llm_s12_two_stage_rerank", s12_two_stage_rerank, _s12_oracle()),
+    Query("llm_p16_decontaminated_split", p16_decontaminated_split, _p16_oracle()),
 ]

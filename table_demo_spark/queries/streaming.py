@@ -976,6 +976,33 @@ def q23_http_upsert_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_http_retract_delete_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8's retract->delete changelog through the NETWORK sink: 'D'
+    rows become bulk delete actions on the wire
+    (ElasticUpsertTableSink.scala:140-147 dispatch over a real
+    socket), with an injected 503 forcing a retried bulk request mid-
+    drain. Final store must equal the gated aggregate exactly — a
+    lingering deleted key, a lost delete, or a double-applied replay
+    all fail the hash (same oracle as stream_q8)."""
+    from table_demo_spark.streaming.http_sink import EsStubServer, HttpUpsertSink
+    from table_demo_spark.streaming.queries import run_q8_retract_delete
+
+    server = EsStubServer()
+    try:
+        server.fail_next(1)
+        sink = HttpUpsertSink(server.url, ("cell",))
+        with _state_partitions(spark, no_data=False):
+            _, query = run_q8_retract_delete(
+                spark, sf_dir, speed=DRIVER_SPEED, limit=_Q8_LIMIT, sink=sink
+            )
+            _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
+        rows = sink.snapshot()
+        assert server.request_count > server.applied_count  # retry happened
+    finally:
+        server.close()
+    return _rows_df(spark, rows, "cell int, dept_cnt long")
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -1000,4 +1027,9 @@ QUERIES: list[Query] = [
     Query("stream_q21_dead_letter", q21_dead_letter_final, _q21_oracle()),
     Query("stream_q22_full_outer_join", q22_full_outer_final, Q22_FULL_OUTER_ORACLE),
     Query("stream_q23_http_upsert", q23_http_upsert_final, Q1_ORACLE),
+    Query(
+        "stream_q24_http_retract_delete",
+        q24_http_retract_delete_final,
+        Q8_RETRACT_DELETE_ORACLE,
+    ),
 ]

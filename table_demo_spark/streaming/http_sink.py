@@ -216,6 +216,12 @@ class HttpUpsertSink:
 
         return apply
 
+    def apply_changelog(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Drop-in for the parquet sink's changelog entry point, so the
+        run_q8-style retract->delete queries can bind this sink
+        unchanged."""
+        self.foreach_batch_changelog("__op")(batch_df, batch_id)
+
     def foreach_batch_changelog(
         self, op_col: str = "__op"
     ) -> Callable[[DataFrame, int], None]:

@@ -422,6 +422,30 @@ def test_bpe_pairs_topk_is_take_ordered_not_global_sort(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_round3_additions_have_scale_safe_shapes(spark):
+    """t24 (held-out LM filter): linear explode + two map-side-combined
+    count tables left-joined back, V as a 1-row broadcast — partial
+    aggregation present, no cartesian. s12 (two-stage rerank): both
+    ranking windows partition by query (no single-partition sort), the
+    corpus is scanned once against broadcast queries. p16
+    (decontaminated split): d2's equi-join cascade + broadcast
+    quarantine join — no cartesian."""
+    for name, banned, required in (
+        ("llm_t24_heldout_lm_filter", ("CartesianProduct",), ("partial_count",)),
+        (
+            "llm_s12_two_stage_rerank",
+            ("CartesianProduct", "Exchange SinglePartition"),
+            (),
+        ),
+        ("llm_p16_decontaminated_split", ("CartesianProduct",), ()),
+    ):
+        plan = formatted_plan(_query(name)(spark, SF_SMOKE))
+        for marker in banned:
+            assert marker not in plan, (name, marker)
+        for marker in required:
+            assert marker in plan, (name, marker)
+
+
 def test_pagerank_reuses_edge_exchange(spark):
     """a41's iteration invariant (edges ⋈ out-degree, repartitioned by
     src once) must compile to an identical per-iteration edge-side
