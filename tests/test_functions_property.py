@@ -289,3 +289,57 @@ def test_ivm_merge_randomized_splits(spark):
             )
         )
         assert got == want, f"cut={cut}"
+
+
+# -- round-3: codec + distributed-rank properties ---------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_property(h, w, seed):
+    """decode(encode(x)) == x for every raster shape, and the resize
+    index law holds for arbitrary (possibly non-divisible) geometries."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    oh, ow = max(1, h // 2), max(1, w // 3)
+    out = resize_nearest(arr, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    for y in range(oh):
+        for x in range(ow):
+            assert (out[y, x] == arr[(y * h) // oh, (x * w) // ow]).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=64,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """decode(encode(x)) preserves every int16 sample (including the
+    extremes and odd lengths whose data chunk needs word-align padding
+    handling) and the sample rate."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    got_rate, got = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert (got == arr).all()

@@ -774,3 +774,35 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_distributed_rank_equals_global_row_number(spark):
+    """operators/rank.py must produce the identical dense 1..N ranking
+    as an unpartitioned row_number window (the shape it replaces), on
+    a frame with heavy count ties resolved by the unique key — for
+    several partition counts, including more partitions than rows."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.rank import distributed_rank
+
+    rng = random.Random(11)
+    rows = [(f"tok{i}", rng.randint(1, 8)) for i in range(500)]
+    df = spark.createDataFrame(rows, "tok string, cnt long")
+    order = [F.col("cnt").desc(), F.col("tok").asc()]
+    want = {
+        (r.tok, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    for n_parts in (1, 7, 32, 1000):
+        got = {
+            (r.tok, r.rank)
+            for r in distributed_rank(
+                df, order, "rank", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, f"num_partitions={n_parts}"
