@@ -148,6 +148,7 @@ HEADLINE = [
     "stream_q22_full_outer_join",
     "stream_q23_http_upsert",
     "stream_q24_http_retract_delete",
+    "stream_q25_streaming_neardup",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

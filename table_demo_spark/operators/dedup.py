@@ -111,11 +111,10 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) candidate pairs from banded minhash
-    signatures: explode band keys, self-equi-join on (band, key) —
-    hash-partitionable, never all-pairs. Shared by every verifier
-    (Jaccard, edit distance)."""
+def band_keys_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the banded-minhash bucket keys, exploded
+    one row per band. Shared by the batch self-join candidates and the
+    streaming band-store join (streaming/queries.run_q25)."""
     band_keys = F.array(
         *[
             F.md5(
@@ -126,7 +125,15 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from banded minhash
+    signatures: explode band keys, self-equi-join on (band, key) —
+    hash-partitionable, never all-pairs. Shared by every verifier
+    (Jaccard, edit distance)."""
+    bands = band_keys_frame(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -1003,6 +1003,32 @@ def q24_http_retract_delete_final(spark: SparkSession, sf_dir: str) -> DataFrame
     return _rows_df(spark, rows, "cell int, dept_cnt long")
 
 
+def _q25_oracle() -> str:
+    # The streaming pipeline converges to batch d2's answer exactly.
+    from table_demo_spark.queries.llmops import D2_ORACLE
+
+    return D2_ORACLE
+
+
+def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MinHash-LSH near-dup over crawl shards (streaming
+    d2): row-local banded signatures -> stateful bucket membership ->
+    per-batch exact-Jaccard verify -> pair-keyed upsert sink. The
+    final sink must equal batch d2 EXACTLY (same bands, same
+    threshold) — arrival order never changes the answer, cross-band
+    duplicate candidates converge by upsert idempotency."""
+    from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
+    from table_demo_spark.streaming.queries import run_q25_streaming_neardup
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q25_streaming_neardup(
+            spark, sf_dir, threshold=JACCARD_THRESHOLD
+        )
+        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+    spark.catalog.clearCache()  # the persisted static shingle frame
+    return sink.snapshot_df(spark).select("doc_a", "doc_b", "jaccard")
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -1031,5 +1057,10 @@ QUERIES: list[Query] = [
         "stream_q24_http_retract_delete",
         q24_http_retract_delete_final,
         Q8_RETRACT_DELETE_ORACLE,
+    ),
+    Query(
+        "stream_q25_streaming_neardup",
+        q25_streaming_neardup_final,
+        _q25_oracle(),
     ),
 ]
