@@ -143,6 +143,7 @@ HEADLINE = [
     "llm_t24_heldout_lm_filter",
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",
+    "llm_t25_bpe_encode",
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",

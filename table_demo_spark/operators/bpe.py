@@ -47,34 +47,19 @@ def _tokens_positions(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """(merge_row, rewritten) — merge_row is 1 row (round, pair, cnt)."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    paired = tp.withColumn("nxt", F.lead("tok").over(w))
-    counts = (
-        paired.filter(F.col("nxt").isNotNull())
-        .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    # Top-1 pair needs no sort at all: a single min_by aggregate with
-    # map-side partials. Ordering key (-cnt, pair) == (cnt DESC,
-    # pair ASC), the same deterministic tie-break the oracle states.
-    # Unlike a global row_number window this never funnels the
-    # corpus-sized pair vocabulary through one task.
-    top = counts.agg(
-        F.min_by(
-            F.struct(F.col("pair"), F.col("cnt")),
-            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("pair")),
-        ).alias("t")
-    ).select(
-        F.col("t.pair").alias("top_pair"), F.col("t.cnt").alias("top_cnt")
-    )
+def apply_merge(paired: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite a (doc_id, pos, tok, nxt) frame with the single merge
+    pair in the 1-row broadcast ``top`` frame — the greedy
+    non-overlapping run-parity rewrite (module docstring). Shared by
+    training (_one_round) and tokenizer APPLICATION (bpe_train_apply's
+    held-out chain): applying a learned vocabulary is the identical
+    relational rewrite with a fixed pair instead of a learned one."""
+    wm = Window.partitionBy("doc_id").orderBy("pos")
     marked = paired.crossJoin(F.broadcast(top)).withColumn(
         "m",
         F.col("nxt").isNotNull()
         & (F.concat_ws(SEP, "tok", "nxt") == F.col("top_pair")),
     )
-    wm = Window.partitionBy("doc_id").orderBy("pos")
     runs = marked.withColumn(
         "grp",
         F.when(
@@ -95,7 +80,7 @@ def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         "prev_acc",
         F.coalesce(F.lag("acc").over(wm), F.lit(False)),
     )
-    rewritten = (
+    return (
         with_prev.filter(~F.col("prev_acc"))
         .select(
             "doc_id",
@@ -110,6 +95,40 @@ def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             - 1,
         )
     )
+
+
+def _paired(tp: DataFrame) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return tp.withColumn("nxt", F.lead("tok").over(w))
+
+
+def _top_pair(paired: DataFrame) -> DataFrame:
+    """1-row (top_pair, top_cnt) frame from a paired token frame."""
+    counts = (
+        paired.filter(F.col("nxt").isNotNull())
+        .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # Top-1 pair needs no sort at all: a single min_by aggregate with
+    # map-side partials. Ordering key (-cnt, pair) == (cnt DESC,
+    # pair ASC), the same deterministic tie-break the oracle states.
+    # Unlike a global row_number window this never funnels the
+    # corpus-sized pair vocabulary through one task.
+    return counts.agg(
+        F.min_by(
+            F.struct(F.col("pair"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("pair")),
+        ).alias("t")
+    ).select(
+        F.col("t.pair").alias("top_pair"), F.col("t.cnt").alias("top_cnt")
+    )
+
+
+def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """(merge_row, rewritten) — merge_row is 1 row (round, pair, cnt)."""
+    paired = _paired(tp)
+    top = _top_pair(paired)
+    rewritten = apply_merge(paired, top)
     merge_row = top.select(
         F.lit(rnd).cast("long").alias("round"),
         F.col("top_pair").alias("merge_pair"),
@@ -138,3 +157,39 @@ def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFr
         row = merge_row.crossJoin(F.broadcast(after))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def bpe_train_apply(
+    train_docs: DataFrame,
+    apply_docs: DataFrame,
+    iters: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train merges on one corpus, TOKENIZE another with them — the
+    train -> apply split t20's self-training lacks (a production
+    tokenizer is learned once and applied to every later crawl).
+
+    Per round, the top pair comes from the TRAIN chain's counts only;
+    both chains are rewritten with that (broadcast) pair via the same
+    run-parity ``apply_merge`` — application is the identical
+    relational rewrite with a fixed pair, so the apply path inherits
+    training's partition-parallel scale shape. Both chains persist per
+    round (bpe_train's measured A/B). Returns per-apply-doc stats:
+    (doc_id, n_before, n_after, n_merged) where n_merged counts tokens
+    containing a learned merge (the SEP marker)."""
+    tp_train = _tokens_positions(train_docs, text_col)
+    tp_apply = _tokens_positions(apply_docs, text_col)
+    before = tp_apply.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    for _ in range(iters):
+        top = _top_pair(_paired(tp_train))
+        tp_train = apply_merge(_paired(tp_train), top).persist()
+        tp_apply = apply_merge(_paired(tp_apply), top).persist()
+    after = tp_apply.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(F.col("tok").contains(SEP).cast("int"))
+        .cast("long")
+        .alias("n_merged"),
+    )
+    return before.join(after, "doc_id")

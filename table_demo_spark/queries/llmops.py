@@ -4487,6 +4487,109 @@ FROM labeled l LEFT JOIN contaminated c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# T25 — BPE train -> APPLY (tokenize a held-out corpus with learned
+# merges). t20 trains on the corpus it rewrites; a production
+# tokenizer is learned once (train split, even doc_ids) and applied
+# to every later crawl (held-out split, odd doc_ids). Per round the
+# top pair comes from the TRAIN chain only; both chains rewrite with
+# that broadcast pair via the same run-parity relational rewrite
+# (operators/bpe.py::apply_merge) — application inherits training's
+# partition-parallel shape. The oracle unrolls BOTH chains per round.
+# Output: per held-out doc, token counts before/after and how many
+# final tokens contain a learned merge.
+# ---------------------------------------------------------------------------
+
+_T25_ITERS = 3
+
+
+def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.bpe import bpe_train_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    return bpe_train_apply(train, held, iters=_T25_ITERS)
+
+
+def _t25_oracle() -> str:
+    sep = "chr(31)"
+
+    def rewrite(p: str, nxt: str, top: str) -> str:
+        """CTE chunk rewriting frame ``p`` into ``nxt`` using ``top``."""
+        return f"""{p}a AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM {p}
+),
+{p}b AS (
+  SELECT a.*, t.top_pair,
+         a.nxt IS NOT NULL AND a.tok || {sep} || a.nxt = t.top_pair AS m
+  FROM {p}a a CROSS JOIN {top} t
+),
+{p}c AS (
+  SELECT *, CASE WHEN m THEN pos - row_number() OVER
+                  (PARTITION BY doc_id, m ORDER BY pos) END AS grp
+  FROM {p}b
+),
+{p}d AS (
+  SELECT *, m AND (pos - min(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0
+              AS acc
+  FROM {p}c
+),
+{p}e AS (
+  SELECT *, coalesce(lag(acc) OVER (PARTITION BY doc_id ORDER BY pos),
+                     false) AS prev_acc
+  FROM {p}d
+),
+{nxt} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS pos,
+         CASE WHEN acc THEN tok || {sep} || nxt ELSE tok END AS tok
+  FROM {p}e WHERE NOT prev_acc
+)"""
+
+    parts = [
+        f"""t0 AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+),
+h0 AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 1),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+)"""
+    ]
+    for k in range(1, _T25_ITERS + 1):
+        parts.append(f"""top{k}pre AS (
+  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t{k - 1}
+),
+top{k} AS (
+  SELECT tok || {sep} || nxt AS top_pair, CAST(count(*) AS BIGINT) AS top_cnt
+  FROM top{k}pre WHERE nxt IS NOT NULL
+  GROUP BY 1 ORDER BY top_cnt DESC, top_pair ASC LIMIT 1
+),
+{rewrite(f't{k - 1}', f't{k}', f'top{k}')},
+{rewrite(f'h{k - 1}', f'h{k}', f'top{k}')}""")
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+before AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before FROM h0 GROUP BY doc_id
+),
+after AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CASE WHEN contains(tok, {sep}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_merged
+  FROM h{_T25_ITERS} GROUP BY doc_id
+)
+SELECT doc_id, n_before, n_after, n_merged
+FROM before JOIN after USING (doc_id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -4560,4 +4663,5 @@ QUERIES: list[Query] = [
     Query("llm_t24_heldout_lm_filter", t24_heldout_lm_filter, T24_ORACLE),
     Query("llm_s12_two_stage_rerank", s12_two_stage_rerank, _s12_oracle()),
     Query("llm_p16_decontaminated_split", p16_decontaminated_split, _p16_oracle()),
+    Query("llm_t25_bpe_encode", t25_bpe_encode, _t25_oracle()),
 ]
