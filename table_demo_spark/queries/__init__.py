@@ -47,6 +47,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
+    "stream_q25_streaming_neardup",
     # LLM-pipeline flagships (dedup / ANN / text / multimodal / pipeline)
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
@@ -73,7 +74,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a10_sessionize",
     "an_a12_asof_join",
     "an_a13_salted_agg",
-    "an_a17_anti_join",
     "an_a24_grouping_sets",
     "an_a29_bucketed_join",
     "an_a31_merge_into",
