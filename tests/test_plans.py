@@ -438,6 +438,11 @@ def test_round3_additions_have_scale_safe_shapes(spark):
             (),
         ),
         ("llm_p16_decontaminated_split", ("CartesianProduct",), ()),
+        (
+            "llm_t25_bpe_encode",
+            ("CartesianProduct", "Exchange SinglePartition"),
+            ("partial_min_by",),
+        ),
     ):
         plan = formatted_plan(_query(name)(spark, SF_SMOKE))
         for marker in banned:
