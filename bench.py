@@ -144,6 +144,7 @@ HEADLINE = [
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",
     "llm_t25_bpe_encode",
+    "llm_t26_quantile_sketch",
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",
     "stream_q22_full_outer_join",

@@ -261,3 +261,68 @@ def bloom_probe(
         .groupBy(*cols)
         .agg((F.count("__set") == k).alias("bloom_hit"))
     )
+
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: int,
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+    suffix: str = "",
+) -> DataFrame:
+    """Histogram-sketch quantiles: per group, the smallest exclusive
+    bin upper edge ``(bin+1)*bin_width`` covering the pct-th value —
+    the quantile triplet of the sketch family (HLL cardinality, CMS
+    frequency, histogram rank). One row per group with ``p{pct}``
+    columns; ``bin_width=1`` degenerates to the exact discrete
+    quantile's exclusive upper bound ``q+1``, so the estimate error is
+    provably ``< bin_width`` and measurable by running both widths.
+
+    Scale shape (why this beats exact percentile at 100 TB): the only
+    row-sized stage is the ``groupBy(group, bin)`` count, which is
+    map-side combined down to at most ``groups x (max_value /
+    bin_width)`` rows — sketch state is FIXED-SIZE regardless of input
+    rows, mergeable by per-bin sum (associative + commutative), hence
+    shard- and streaming-safe. The cumulative window then runs over
+    bin rows only (bounded by the value range, not the data), so no
+    full-data sort ever happens — Spark's exact ``percentile`` would
+    shuffle every value to its group's reducer and sort there. All
+    arithmetic is integer (threshold test ``100*cum >= pct*total`` by
+    cross-multiplication), so results hash-match any engine at any
+    parallelism."""
+    from pyspark.sql import Window
+
+    bins = (
+        df.select(
+            *group_cols,
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    part = Window.partitionBy(*group_cols)
+    cum_w = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = bins.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(part).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(pct) * F.col("total"),
+                (F.col("bin") + 1) * bin_width,
+            )
+        )
+        .cast("long")
+        .alias(f"p{pct}{suffix}")
+        for pct in pcts
+    ]
+    return c.groupBy(*group_cols).agg(*aggs)

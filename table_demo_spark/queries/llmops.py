@@ -4590,6 +4590,86 @@ FROM before JOIN after USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# T26 — histogram-sketch quantiles (curation length cutoffs at corpus
+# scale). Completes the sketch trio — HLL (t12, cardinality), CMS
+# (t13, frequency), histogram (t26, rank): per language, p50/p90/p99
+# of document length from a fixed-width binned histogram, alongside
+# the exact discrete quantile (the same operator at bin_width=1), so
+# the sketch's error bound (< bin width, here 256) is computed, not
+# asserted. Exact percentile shuffles and sorts EVERY row per group;
+# the histogram's state is groups x bins regardless of input rows —
+# mergeable by per-bin sum, the only quantile shape that survives
+# 100 TB (cf. Spark's own approx_percentile / t-digest, whose state
+# is engine-internal and not cross-engine reproducible).
+# ---------------------------------------------------------------------------
+
+_T26_BIN_W = 256
+
+
+def t26_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import binned_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("lang", F.col("n_chars").alias("v"))
+    est = binned_quantiles(vals, ["lang"], "v", _T26_BIN_W, suffix="_est")
+    exact = binned_quantiles(vals, ["lang"], "v", 1, suffix="_exact")
+    j = est.join(exact, "lang")
+    return j.select(
+        "lang",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        F.greatest(
+            F.col("p50_est") - F.col("p50_exact"),
+            F.col("p90_est") - F.col("p90_exact"),
+            F.col("p99_est") - F.col("p99_exact"),
+        )
+        .cast("long")
+        .alias("max_err"),
+    ).orderBy("lang")
+
+
+def _t26_oracle() -> str:
+    from table_demo_spark.operators.sketch import QUANTILE_PCTS
+
+    def side(width: int, tag: str) -> str:
+        picks = ",\n         ".join(
+            f"CAST(min(CASE WHEN 100*cum >= {pct}*total"
+            f" THEN (bin+1)*{width} END) AS BIGINT) AS p{pct}_{tag}"
+            for pct in QUANTILE_PCTS
+        )
+        return f"""b_{tag} AS (
+  SELECT lang, v // {width} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+c_{tag} AS (
+  SELECT lang, bin, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM b_{tag}
+),
+q_{tag} AS (
+  SELECT lang,
+         {picks}
+  FROM c_{tag} GROUP BY lang
+)"""
+
+    return f"""
+WITH vals AS (SELECT lang, n_chars AS v FROM documents),
+{side(_T26_BIN_W, "est")},
+{side(1, "exact")}
+SELECT lang, p50_est, p90_est, p99_est, p50_exact, p90_exact, p99_exact,
+       CAST(greatest(p50_est - p50_exact, p90_est - p90_exact,
+                     p99_est - p99_exact) AS BIGINT) AS max_err
+FROM q_est JOIN q_exact USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -4664,4 +4744,5 @@ QUERIES: list[Query] = [
     Query("llm_s12_two_stage_rerank", s12_two_stage_rerank, _s12_oracle()),
     Query("llm_p16_decontaminated_split", p16_decontaminated_split, _p16_oracle()),
     Query("llm_t25_bpe_encode", t25_bpe_encode, _t25_oracle()),
+    Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
 ]

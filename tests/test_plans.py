@@ -443,6 +443,15 @@ def test_round3_additions_have_scale_safe_shapes(spark):
             ("CartesianProduct", "Exchange SinglePartition"),
             ("partial_min_by",),
         ),
+        # t26 (histogram quantiles): sketch state is the (lang, bin)
+        # count — map-side combined (partial_count), and the cum-sum
+        # windows hash-partition by lang over bin rows only; nothing
+        # funnels the row-sized frame through one task.
+        (
+            "llm_t26_quantile_sketch",
+            ("CartesianProduct", "Exchange SinglePartition"),
+            ("partial_count",),
+        ),
     ):
         plan = formatted_plan(_query(name)(spark, SF_SMOKE))
         for marker in banned:
