@@ -343,3 +343,51 @@ def test_wav_roundtrip_property(samples, rate):
     got_rate, got = decode_wav(encode_wav(arr, rate))
     assert got_rate == rate
     assert (got == arr).all()
+
+
+def test_binned_quantiles_match_discrete_definition_on_random_frames(spark):
+    """Randomized check of the t26 histogram-sketch operator against
+    the discrete-quantile definition computed in straight Python: at
+    bin_width=1 each p{pct} equals q+1 where q is the smallest value
+    whose cumulative count covers pct% (ceil semantics); at width W it
+    equals the exclusive upper edge of q's bin, W*(q//W + 1) — so the
+    estimate error is bounded by W by construction. Duplicates, single
+    -value groups, and values straddling bin edges included. Batched:
+    one Spark job over many random groups via the group column."""
+    import math
+
+    import numpy as np
+
+    from table_demo_spark.operators.sketch import binned_quantiles
+
+    rng = np.random.default_rng(11)
+    w = 16
+    rows, expected = [], {}
+    for gid in range(20):
+        n = int(rng.integers(1, 60))
+        # cluster around bin edges to exercise the boundary cases
+        vals = sorted(
+            int(v)
+            for v in np.concatenate(
+                [rng.integers(0, 200, n), rng.choice([0, 15, 16, 17, 31, 32], 3)]
+            )
+        )
+        rows += [(gid, v) for v in vals]
+        exp = {}
+        for pct in (50, 90, 99):
+            k = math.ceil(pct / 100 * len(vals))  # 100*cum >= pct*total
+            q = vals[k - 1]
+            exp[f"p{pct}_exact"] = q + 1
+            exp[f"p{pct}_est"] = w * (q // w + 1)
+        expected[gid] = exp
+    df = spark.createDataFrame(rows, "gid int, v long")
+    est = binned_quantiles(df, ["gid"], "v", w, suffix="_est")
+    exact = binned_quantiles(df, ["gid"], "v", 1, suffix="_exact")
+    got = {
+        r["gid"]: r.asDict()
+        for r in est.join(exact, "gid").collect()
+    }
+    assert set(got) == set(expected)
+    for gid, exp in expected.items():
+        for col, want in exp.items():
+            assert got[gid][col] == want, (gid, col, got[gid], exp)
