@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_m11_decoded_luma",
     "llm_m12_resize_luma",
     "llm_m13_wav_energy",
+    "llm_m14_png_luma",
     "llm_t24_heldout_lm_filter",
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",
@@ -198,14 +199,18 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver archives only the TAIL of this line
+    # (last ~2000 chars), so the headline totals go LAST — the per-query
+    # map may be truncated, but value/n_queries/sf always survive.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "value": total,
             }
         )
     )

@@ -7,9 +7,10 @@ the part engines usually punt to per-row Python; here it is pure
 relational algebra, which is what lets the rewrite run partition-
 parallel over a 100 TB corpus:
 
-- pair at position i matches the round's top pair (the top pair
-  frame is BROADCAST into the plan — the chosen merge never touches
-  the driver);
+- pair at position i matches the round's top pair (the learned pair
+  is a single row — collected once per round and re-broadcast as a
+  literal, the same O(1) bytes Spark's own broadcast exchange ships
+  through the driver — which truncates lineage between rounds);
 - greedy non-overlap == run-length parity: within each maximal run
   of consecutive matching positions, exactly the even offsets are
   merged ("x x x" -> "[x x] x"). Runs are gaps-and-islands
@@ -124,39 +125,58 @@ def _top_pair(paired: DataFrame) -> DataFrame:
     )
 
 
-def _one_round(tp: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """(merge_row, rewritten) — merge_row is 1 row (round, pair, cnt)."""
-    paired = _paired(tp)
-    top = _top_pair(paired)
-    rewritten = apply_merge(paired, top)
-    merge_row = top.select(
-        F.lit(rnd).cast("long").alias("round"),
-        F.col("top_pair").alias("merge_pair"),
-        F.col("top_cnt").alias("pair_cnt"),
+def _collect_top(paired: DataFrame) -> tuple[DataFrame, str, int]:
+    """Execute one round's top-pair aggregate and return it re-bound
+    as a 1-row LITERAL frame (plus its values). The learned merge is
+    O(1) bytes — the same single row Spark's own broadcast exchange
+    would ship through the driver — and re-binding it as a literal
+    TRUNCATES the logical plan between rounds: round r+1's lineage no
+    longer references round r's aggregation subtree, which is what
+    lets superseded per-round caches actually be freed (ADVICE r3; a
+    lazily-chained plan must keep every prior round cached or
+    recompute quadratically). The aggregate itself stays fully
+    distributed: min_by with map-side partials, pinned by
+    tests/test_plans.py::test_bpe_round_top_pair_is_min_by_aggregate."""
+    row = _top_pair(paired).collect()[0]
+    spark = paired.sparkSession
+    lit = spark.createDataFrame(
+        [(row["top_pair"], int(row["top_cnt"]))],
+        "top_pair string, top_cnt long",
     )
-    return merge_row, rewritten
+    return lit, row["top_pair"], int(row["top_cnt"])
 
 
 def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFrame:
     """(round, merge_pair, pair_cnt, n_tokens_after) per round.
 
-    Each round's rewritten corpus IS persisted — the opposite call to
-    operators/graph.py's pagerank, decided by the same A/B: here the
-    re-derived lineage is two full window passes over the exploded
-    corpus and every round has three consumers (next round's count,
-    next round's rewrite, the n_tokens_after audit), so recompute
-    grows quadratically with rounds; measured at sf0.1, per-round
-    persist is 7.2s -> 4.6s. Materialize-the-iteration-invariant pays
-    exactly when lineage cost x consumer count beats cache overhead."""
+    The loop is EAGER: each round's rewritten corpus is persisted and
+    materialized (the count doubles as the n_tokens_after audit), then
+    the previous round's cache is freed — block-manager memory is
+    bounded at TWO cached corpus rewrites no matter how many rounds
+    run (r3 held every round cached: 2x iters frames, a leak at real
+    vocab sizes; per-round cost curve at 32 rounds in docs/SCALE.md).
+    Persist-per-round itself is the measured A/B from r3 (7.2s ->
+    4.6s at sf0.1): the rewrite lineage is two window passes with
+    multiple consumers, so recompute grows quadratically without it."""
+    spark = docs.sparkSession
     tp = _tokens_positions(docs, text_col)
-    out = None
+    prev = None
+    rows = []
     for r in range(1, iters + 1):
-        merge_row, tp = _one_round(tp, r)
-        tp = tp.persist()
-        after = tp.agg(F.count(F.lit(1)).cast("long").alias("n_tokens_after"))
-        row = merge_row.crossJoin(F.broadcast(after))
-        out = row if out is None else out.unionByName(row)
-    return out
+        paired = _paired(tp)
+        top_lit, pair, cnt = _collect_top(paired)
+        tp = apply_merge(paired, top_lit).persist()
+        n_after = tp.count()  # materializes the round into cache
+        if prev is not None:
+            prev.unpersist()
+        prev = tp
+        rows.append((r, pair, cnt, int(n_after)))
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "round long, merge_pair string, pair_cnt long, n_tokens_after long",
+    )
 
 
 def bpe_train_apply(
@@ -170,22 +190,36 @@ def bpe_train_apply(
     tokenizer is learned once and applied to every later crawl).
 
     Per round, the top pair comes from the TRAIN chain's counts only;
-    both chains are rewritten with that (broadcast) pair via the same
-    run-parity ``apply_merge`` — application is the identical
+    both chains are rewritten with that (literal, broadcast) pair via
+    the same run-parity ``apply_merge`` — application is the identical
     relational rewrite with a fixed pair, so the apply path inherits
-    training's partition-parallel scale shape. Both chains persist per
-    round (bpe_train's measured A/B). Returns per-apply-doc stats:
-    (doc_id, n_before, n_after, n_merged) where n_merged counts tokens
-    containing a learned merge (the SEP marker)."""
+    training's partition-parallel scale shape. The loop is eager with
+    the same bounded-cache discipline as :func:`bpe_train` (two live
+    rounds x two chains; superseded rounds unpersisted, the train
+    chain released entirely once merges are learned). Returns
+    per-apply-doc stats: (doc_id, n_before, n_after, n_merged) where
+    n_merged counts tokens containing a learned merge (the SEP
+    marker); the returned frame reads the final cached apply chain."""
     tp_train = _tokens_positions(train_docs, text_col)
     tp_apply = _tokens_positions(apply_docs, text_col)
     before = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )
+    prev_t = prev_a = None
     for _ in range(iters):
-        top = _top_pair(_paired(tp_train))
-        tp_train = apply_merge(_paired(tp_train), top).persist()
-        tp_apply = apply_merge(_paired(tp_apply), top).persist()
+        pt = _paired(tp_train)
+        top_lit, _, _ = _collect_top(pt)
+        tp_train = apply_merge(pt, top_lit).persist()
+        tp_apply = apply_merge(_paired(tp_apply), top_lit).persist()
+        tp_train.count()
+        tp_apply.count()
+        if prev_t is not None:
+            prev_t.unpersist()
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_t, prev_a = tp_train, tp_apply
+    if prev_t is not None:
+        prev_t.unpersist()  # merges learned; train chain not in result
     after = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_after"),
         F.sum(F.col("tok").contains(SEP).cast("int"))

@@ -1,18 +1,24 @@
-"""Pure-numpy codecs for uncompressed media formats (PPM, WAV).
+"""Pure-numpy codecs for media formats (PPM, WAV, PNG).
 
-The container has no PIL/cv2/ffmpeg, but uncompressed formats need no
-codec library: binary PPM (P6) is a text header + raw RGB raster, and
-RIFF/WAVE PCM is a fixed 44-byte header + little-endian samples. These
-implementations make the m-family's decode -> resize -> feature path
-REAL end-to-end — `decode_image` parses actual image bytes and the
-downstream statistics depend on the decoded pixel values — while
-compressed formats (JPEG/PNG/MP3) remain the documented external-codec
-extension point in operators/multimodal.py.
+The container has no PIL/cv2/ffmpeg, but these formats need no codec
+library: binary PPM (P6) is a text header + raw RGB raster, RIFF/WAVE
+PCM is a fixed 44-byte header + little-endian samples, and PNG is
+zlib-compressed (stdlib!) scanlines under five byte-level prediction
+filters. These implementations make the m-family's decode -> resize ->
+feature path REAL end-to-end — `decode_image` parses actual image
+bytes (including a COMPRESSED format) and the downstream statistics
+depend on the decoded pixel values — while codec-heavy formats
+(JPEG/MP3/H.264) remain the documented external-codec extension point
+in operators/multimodal.py.
 
 Format references (public): the Netpbm P6 format spec (header
 ``P6\\n<w> <h>\\n<maxval>\\n`` then ``3*w*h`` raw bytes, ``#`` comments
-allowed in the header) and the Microsoft RIFF/WAVE container (chunked:
-``RIFF<size>WAVE`` then ``fmt `` and ``data`` chunks; PCM16 mono).
+allowed in the header); the Microsoft RIFF/WAVE container (chunked:
+``RIFF<size>WAVE`` then ``fmt `` and ``data`` chunks; PCM16 mono);
+and the PNG specification (RFC 2083 / W3C PNG): 8-byte signature,
+length-type-data-CRC chunks, IHDR/IDAT/IEND, zlib-deflated image data,
+one filter-type byte per scanline selecting None/Sub/Up/Average/Paeth
+byte predictors at bytes-per-pixel offset.
 
 Everything is deterministic integer math — nearest-neighbor resize
 uses ``src = (dst * src_dim) // dst_dim`` — so a DuckDB oracle can
@@ -23,11 +29,13 @@ to decoded-pixel results, not just plumbing.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 PPM_MAGIC = b"P6"
 WAV_MAGIC = b"RIFF"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 # -- PPM (binary Netpbm, P6) ------------------------------------------------
@@ -80,6 +88,181 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
     xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return arr[ys][:, xs]
+
+
+# -- PNG (8-bit greyscale/RGB/RGBA, non-interlaced) -------------------------
+#
+# Filters operate on SCANLINE BYTES at bytes-per-pixel offset (PNG
+# spec §6): for byte x with left = raw[x-bpp], up = prior[x],
+# ul = prior[x-bpp] (0 beyond the left edge):
+#   0 None    raw[x]
+#   1 Sub     raw[x] - left            (mod 256)
+#   2 Up      raw[x] - up              (mod 256)
+#   3 Average raw[x] - (left+up)//2    (mod 256)
+#   4 Paeth   raw[x] - PaethPredictor(left, up, ul)   (mod 256)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA
+
+
+def _paeth_row(raw: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
+    """Per-byte Paeth predictor for one scanline (int32 in/out)."""
+    out = np.empty_like(raw)
+    for x in range(len(raw)):
+        a = int(raw[x - bpp]) if x >= bpp else 0  # left (reconstructed)
+        b = int(prior[x])
+        c = int(prior[x - bpp]) if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            out[x] = a
+        elif pb <= pc:
+            out[x] = b
+        else:
+            out[x] = c
+    return out
+
+
+def _unfilter_row(
+    ftype: int, flt: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (uint8) from its filtered bytes."""
+    n = len(flt)
+    raw = flt.astype(np.int32)
+    prior32 = prior.astype(np.int32)
+    if ftype == 0:
+        pass
+    elif ftype == 2:  # Up is fully vectorizable
+        raw = (raw + prior32) & 0xFF
+    elif ftype in (1, 3, 4):  # left-dependent: sequential along x
+        for x in range(n):
+            left = raw[x - bpp] if x >= bpp else 0
+            if ftype == 1:
+                raw[x] = (raw[x] + left) & 0xFF
+            elif ftype == 3:
+                raw[x] = (raw[x] + (left + prior32[x]) // 2) & 0xFF
+            else:
+                a, b = int(left), int(prior32[x])
+                c = int(prior32[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw[x] = (raw[x] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return raw.astype(np.uint8)
+
+
+def _filter_row(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply filter ``ftype`` to one reconstructed scanline (uint8)."""
+    raw32 = raw.astype(np.int32)
+    prior32 = prior.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), raw32[:-bpp]])
+    ul = np.concatenate([np.zeros(bpp, np.int32), prior32[:-bpp]])
+    if ftype == 0:
+        flt = raw32
+    elif ftype == 1:
+        flt = raw32 - left
+    elif ftype == 2:
+        flt = raw32 - prior32
+    elif ftype == 3:
+        flt = raw32 - (left + prior32) // 2
+    elif ftype == 4:
+        flt = raw32 - _paeth_row(raw32, prior32, bpp)
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (flt & 0xFF).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 raster -> PNG bytes (color type 2, 8-bit,
+    non-interlaced). Filter type cycles ``y % 5`` per scanline so every
+    decoder filter path (None/Sub/Up/Average/Paeth) is exercised by any
+    image taller than 4 rows — a decoder with one broken predictor
+    cannot round-trip these payloads."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
+    h, w = arr.shape[:2]
+    bpp = 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    prior = np.zeros(w * bpp, dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        raw = arr[y].reshape(-1)
+        ftype = y % 5
+        lines.append(ftype)
+        lines.extend(_filter_row(ftype, raw, prior, bpp).tobytes())
+        prior = raw
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8. Walks the chunk list with
+    CRC verification, inflates the concatenated IDAT stream, and
+    reverses the per-scanline filters. Supports 8-bit greyscale / RGB /
+    RGBA (color types 0/2/6), non-interlaced — the subset a metadata-
+    tagged training corpus normalizes to before this stage."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    w, h, depth, ctype_id, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} comp={comp} filter={filt} "
+            f"interlace={interlace} (8-bit non-interlaced only)"
+        )
+    if ctype_id not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype_id}")
+    channels = _PNG_CHANNELS[ctype_id]
+    bpp = channels
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"inflated size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        flt = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prior = _unfilter_row(ftype, flt, prior, bpp)
+        out[y] = prior
+    return out.reshape(h, w, channels)
 
 
 # -- WAV (RIFF PCM16 mono) --------------------------------------------------

@@ -34,21 +34,37 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to an (h, w, 3) uint8 numpy raster.
+    """Decode an image payload to an (h, w, 3) uint8 numpy raster,
+    dispatching on magic bytes.
 
-    REAL for binary PPM (P6) via the pure-numpy parser in
-    operators/codecs.py — no codec library needed for uncompressed
-    formats. Compressed formats (JPEG/PNG/...) remain the documented
-    external-codec extension point: sniff their magic here and wire
-    PIL/cv2; the surrounding mapInPandas plumbing is codec-agnostic."""
-    from table_demo_spark.operators.codecs import PPM_MAGIC, decode_ppm
+    REAL for binary PPM (P6) AND for PNG — the zlib+filters decoder in
+    operators/codecs.py handles a genuinely COMPRESSED wire format with
+    stdlib-only tools (8-bit grey/RGB/RGBA, non-interlaced; greyscale
+    is broadcast to 3 channels, RGBA drops alpha). Transform-coded
+    formats (JPEG/WebP/AVIF) remain the documented external-codec
+    extension point: sniff their magic here and wire PIL/cv2; the
+    surrounding mapInPandas plumbing is codec-agnostic."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        PNG_MAGIC,
+        PPM_MAGIC,
+        decode_png,
+        decode_ppm,
+    )
 
     data = bytes(payload)
     if data.startswith(PPM_MAGIC):
         return decode_ppm(data)
+    if data.startswith(PNG_MAGIC):
+        arr = decode_png(data)
+        if arr.shape[2] == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3]
     raise NotImplementedError(
-        "only uncompressed PPM decodes in-container; wire PIL/cv2 for "
-        "compressed formats — the mapInPandas plumbing is codec-agnostic"
+        "PPM and PNG decode in-container; wire PIL/cv2 for transform-"
+        "coded formats (JPEG/WebP) — the mapInPandas plumbing is "
+        "codec-agnostic"
     )
 
 
@@ -361,6 +377,38 @@ def with_ppm_payload(docs: DataFrame) -> DataFrame:
                     np.frombuffer(
                         _md5_stream(str(doc_id), _PPM_BLOCKS, "#img"), dtype=np.uint8
                     ).reshape(PPM_H, PPM_W, 3)
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+PNG_W, PNG_H = 24, 16  # 1152 raster bytes = 72 md5 blocks
+_PNG_BLOCKS = (PNG_W * PNG_H * 3) // 16
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real PNG image per document — the pixel
+    bytes are the doc's md5 stream (salt '#png'), run through the full
+    zlib-deflate + cycling scanline filters of codecs.encode_png. The
+    decode side must invert BOTH the compression and all five filter
+    predictors to recover the raster the oracle restates analytically."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_png
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _PNG_BLOCKS, "#png"),
+                        dtype=np.uint8,
+                    ).reshape(PNG_H, PNG_W, 3)
                 )
                 for doc_id in pdf["doc_id"]
             ]

@@ -21,6 +21,19 @@ The ordering must be a total order (no ties across rows), otherwise
 rows equal under the ordering may straddle a range boundary and the
 offset arithmetic would double-count; callers rank grouped frames
 where the last key is unique (e.g. the token itself).
+
+INVARIANT (exchange reuse): the local-rank subtree and the
+sizes/offsets subtree both contain the same ``repartitionByRange``
+exchange; correctness requires Spark to dedupe them into ONE physical
+exchange (``ReusedExchange``), because two independently executed
+range exchanges would sample partition boundaries independently and
+could assign rows to different ``spark_partition_id`` buckets between
+the subtrees, corrupting the offset arithmetic.
+``spark.sql.exchange.reuse.enabled`` defaults to true and the planner
+rule fires on the identical subtrees; the invariant is pinned by
+``tests/test_plans.py::test_distributed_rank_reuses_range_exchange``
+(statically, AQE scoped off, like the pagerank pin) so any future
+plan or config drift fails loudly instead of silently mis-ranking.
 """
 
 from __future__ import annotations

@@ -4124,6 +4124,49 @@ GROUP BY doc_id
 """
 
 
+def m14_png_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m11's decoded-luma statistics over PNG payloads — the decode
+    path now crosses a genuinely COMPRESSED format: zlib inflate + the
+    five scanline filter predictors (operators/codecs.py decode_png),
+    all stdlib+numpy. The oracle restates the md5-stream raster
+    analytically, so a bug anywhere in deflate framing, CRC handling,
+    or any single filter predictor shifts decoded pixels and fails the
+    value hash (the encoder cycles filter types per scanline, so all
+    five predictors are on the hash path for every image)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decoded_luma(multimodal.with_png_payload(docs))
+
+
+_PNG_BYTES_CTE = f"""
+blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#png' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._PNG_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+)"""
+
+
+M14_ORACLE = f"""
+WITH {_PNG_BYTES_CTE},
+luma AS (
+  SELECT doc_id,
+         CAST(sum(({_LUMA_W_SQL}) * b) AS BIGINT)
+           // {multimodal.PNG_W * multimodal.PNG_H} AS mean_luma_milli
+  FROM bytes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({multimodal.PNG_W} AS BIGINT) AS width,
+       CAST({multimodal.PNG_H} AS BIGINT) AS height,
+       mean_luma_milli,
+       mean_luma_milli // 32000 AS luma_bucket
+FROM luma
+"""
+
+
 def m13_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decoded_pcm_stats(multimodal.with_wav_payload(docs))
@@ -4738,6 +4781,7 @@ QUERIES: list[Query] = [
     Query("llm_t23_domain_drift", t23_domain_drift, T23_ORACLE),
     Query("llm_p15_budget_select", p15_budget_select, _p15_oracle()),
     Query("llm_m11_decoded_luma", m11_decoded_luma, M11_ORACLE),
+    Query("llm_m14_png_luma", m14_png_luma, M14_ORACLE),
     Query("llm_m12_resize_luma", m12_resize_luma, M12_ORACLE),
     Query("llm_m13_wav_energy", m13_wav_energy, M13_ORACLE),
     Query("llm_t24_heldout_lm_filter", t24_heldout_lm_filter, T24_ORACLE),

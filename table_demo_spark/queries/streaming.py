@@ -132,10 +132,21 @@ def _rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     from the DDL schema string; the explicit schema governs dtypes."""
     import pandas as pd
 
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     cols = [f.strip().split()[0] for f in schema.split(",")]
     pdf = pd.DataFrame(list(rows), columns=cols)
-    return spark.createDataFrame(pdf, schema=schema)
+    # Scope the Arrow conf to this one conversion: the shared session
+    # must not observe a leaked global (ADVICE r3) — every other query
+    # in the run sees the caller's setting restored.
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.createDataFrame(pdf, schema=schema)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _parquet_sink(key_cols: tuple[str, ...]):
@@ -1012,21 +1023,25 @@ def _q25_oracle() -> str:
 
 def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous MinHash-LSH near-dup over crawl shards (streaming
-    d2): row-local banded signatures -> stateful bucket membership ->
-    per-batch exact-Jaccard verify -> pair-keyed upsert sink. The
-    final sink must equal batch d2 EXACTLY (same bands, same
+    d2): row-local banded signatures -> durable BUCKETED band/shingle
+    stores (per-batch probe shuffles only the batch, never the
+    history) -> per-batch exact-Jaccard verify -> pair-keyed upsert
+    sink. The final sink must equal batch d2 EXACTLY (same bands, same
     threshold) — arrival order never changes the answer, cross-band
-    duplicate candidates converge by upsert idempotency."""
+    and replayed duplicate candidates converge by upsert idempotency.
+    The 4-shard default run crosses one compaction boundary
+    (Q25_COMPACT_EVERY=4), so store compaction is driver-gated too."""
     from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
     from table_demo_spark.streaming.queries import run_q25_streaming_neardup
 
     with _state_partitions(spark, no_data=False):
-        sink, query = run_q25_streaming_neardup(
+        sink, query, cleanup = run_q25_streaming_neardup(
             spark, sf_dir, threshold=JACCARD_THRESHOLD
         )
         _drain(query, lambda: sink.count(spark), quiet_polls=1)
-    spark.catalog.clearCache()  # the persisted static shingle frame
-    return sink.snapshot_df(spark).select("doc_a", "doc_b", "jaccard")
+    out = sink.snapshot_df(spark).select("doc_a", "doc_b", "jaccard")
+    cleanup()  # the sink snapshot is store-independent parquet
+    return out
 
 
 QUERIES: list[Query] = [

@@ -2028,21 +2028,34 @@ def q22_full_outer_join_stream(
 # Q25 streaming — continuous near-duplicate detection (streaming MinHash
 # LSH): the LLM-crawl-ingest shape. Documents arrive as parquet shards
 # (one crawl drop per micro-batch). The stream itself is STATELESS;
-# all state is RELATIONAL — a durable band-store table (doc_id, band,
-# key) accumulated across batches. Per micro-batch, foreachBatch:
+# all state is RELATIONAL — two durable HASH-BUCKETED tables
+# accumulated across batches:
 #
-#   1. computes the batch's banded MinHash keys with the efficient
-#      explode+groupBy batch form (operators/dedup.py — inside
-#      foreachBatch the micro-batch is an ordinary DataFrame, so the
-#      streaming path reuses the batch operator verbatim);
-#   2. candidates = new-keys ⋈ band-store (new x old) UNION new-keys
-#      self-join (new x new) — hash-partitioned equi-joins on
-#      (band, key), never all-pairs;
-#   3. verifies candidates by exact Jaccard against the static shingle
-#      frame and MERGEs survivors into an upsert sink keyed by the
+#   band-store    (doc_id, band, key)  bucketed by `key`
+#   shingle-store (doc_id, shingles)   bucketed by `doc_id`
+#
+# Per micro-batch, foreachBatch:
+#
+#   1. computes the batch's shingle sets and banded MinHash keys with
+#      the efficient explode+groupBy batch form (operators/dedup.py —
+#      inside foreachBatch the micro-batch is an ordinary DataFrame,
+#      so the streaming path reuses the batch operator verbatim), and
+#      appends the batch's shingles to the shingle-store;
+#   2. candidates = new-keys self-join (new x new) UNION new-keys ⋈
+#      band-store (new x old). Both are equi-joins, never all-pairs;
+#      the store side of the probe is a BUCKETED scan on the join key,
+#      so only the batch side shuffles — the accumulated history is
+#      never re-partitioned (Exchange elision pinned in
+#      tests/test_plans.py::test_q25_probe_join_elides_store_exchange);
+#   3. verifies candidates by exact Jaccard against the SHINGLE-STORE
+#      (bucketed on doc_id — again only the batch-sized candidate side
+#      shuffles) and MERGEs survivors into an upsert sink keyed by the
 #      pair (cross-band and replayed duplicates converge by upsert
 #      idempotency);
-#   4. appends the new keys to the band-store.
+#   4. appends the new keys to the band-store;
+#   5. every Q25_COMPACT_EVERY batches, compacts both stores: rewrite
+#      deduplicated into a fresh generation (bounds file count AND
+#      removes replay-duplicated rows).
 #
 # Why relational state instead of applyInPandasWithState buckets: the
 # (band, key) domain has ~6 groups per document — at crawl scale that
@@ -2051,14 +2064,187 @@ def q22_full_outer_join_stream(
 # join is one co-partitioned JVM equi-join (measured 6-8s) AND is the
 # shape that survives 100 TB: bucket membership lives in a durable
 # hash-partitioned table that outlives the job, not in per-group
-# Python objects. A restart replays the last batch; every step is
-# idempotent under replay (candidate re-verify upserts the same rows,
-# band-store duplicate keys only re-create known candidates).
+# Python objects (and not in executor memory: r3's `.persist()`ed
+# full-corpus shingle frame is gone — corpus state lives on disk,
+# bucketed, so memory is bounded by the BATCH, not the corpus).
+#
+# Replay idempotency (ADVICE r3): a crash after the store appends but
+# before the epoch commit replays the batch against stores that
+# already contain the batch's own rows. Three read-side guards make
+# the replay converge to the identical sink state: the probe join
+# filters self-pairs (doc_a != doc_b), candidate pairs are
+# `.distinct()`ed before verification, and verified pairs are
+# deduplicated on the pair key before the upsert MERGE. The duplicate
+# store rows themselves are swept by the next compaction. Store
+# generation pointers are driver-resident here; on a real deployment
+# they live in the table format's snapshot log (Delta/Iceberg), with
+# the same replay argument.
 #
 # Final state == batch d2 exactly (same bands, same verify threshold):
 # every co-bucket pair is emitted once both members have arrived, so
 # arrival order never changes the answer.
 # ---------------------------------------------------------------------------
+
+Q25_BUCKETS = 8
+Q25_COMPACT_EVERY = 4  # fires within the default 4-shard driver run
+
+
+class BucketedStateStore:
+    """Durable relational state for streaming operators: an external
+    parquet table hash-bucketed on the probe key, appended per batch,
+    periodically compacted into a fresh generation.
+
+    The bucket spec lives in the session catalog, which is what lets
+    Catalyst prove the store side of a probe join is already
+    partitioned on the join key and elide its Exchange — each
+    micro-batch shuffles only ITS OWN rows, never the accumulated
+    history (the r3 scale fix: the store used to be a plain parquet
+    directory re-shuffled on every probe). Appends pre-partition the
+    batch on the bucket column so each writer task emits one bucket
+    file (file count per batch = n_buckets, bounded further by
+    compaction)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_name: str,
+        bucket_col: str,
+        n_buckets: int = Q25_BUCKETS,
+    ):
+        from table_demo_spark.scratch import scratch_dir
+
+        self.spark = spark
+        self.base = base_name
+        self.bucket_col = bucket_col
+        self.n_buckets = n_buckets
+        self.gen = 0
+        self.root = scratch_dir(f"tds-{base_name}-")
+
+    @property
+    def table(self) -> str:
+        return f"{self.base}_g{self.gen}"
+
+    def _path(self, gen: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"g{gen}")
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def frame(self) -> DataFrame:
+        # Streaming micro-batches append through a CLONED session
+        # whose writes do not invalidate THIS session's relation
+        # cache — without the refresh, reads inside foreachBatch serve
+        # the file listing from the first batch forever (observed:
+        # cross-batch pairs silently dropped by the verify join).
+        self.spark.catalog.refreshTable(self.table)
+        return self.spark.table(self.table)
+
+    def append(self, df: DataFrame) -> None:
+        (
+            df.repartition(self.n_buckets, self.bucket_col)
+            .write.format("parquet")
+            .mode("append")
+            .bucketBy(self.n_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .option("path", self._path(self.gen))
+            .saveAsTable(self.table)
+        )
+
+    def compact(self, dedup_cols: list[str]) -> None:
+        """Rewrite the store deduplicated into generation gen+1, then
+        drop the old generation — bounds both file count (appends
+        accumulate n_buckets files per batch) and replay-duplicated
+        rows. The new generation is written to a different location
+        before the old table is dropped, so a failure mid-compaction
+        leaves the old generation intact."""
+        import shutil
+
+        if not self.exists():
+            return
+        old_table, old_path = self.table, self._path(self.gen)
+        self.gen += 1
+        (
+            self.spark.table(old_table)
+            .dropDuplicates(dedup_cols)
+            .repartition(self.n_buckets, self.bucket_col)
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(self.n_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .option("path", self._path(self.gen))
+            .saveAsTable(self.table)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        shutil.rmtree(old_path, ignore_errors=True)
+
+    def drop(self) -> None:
+        import shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def q25_band_skey(keys: DataFrame) -> DataFrame:
+    """(doc_id, skey) — the band-store schema. The band index is
+    EMBEDDED in the bucket key (``band || ':' || md5``) so the probe
+    is a single-key equi-join on exactly the store's bucket column; a
+    separate band-equality predicate would be folded into the join
+    keys by the optimizer and defeat the bucket spec (two-key required
+    distribution vs one-key bucketing — observed in the plan pin)."""
+    return keys.select(
+        "doc_id", F.concat_ws(":", "band", "key").alias("skey")
+    )
+
+
+def q25_probe_join(new_b: DataFrame, store: DataFrame) -> DataFrame:
+    """THIS batch's band keys ⋈ the durable band-store. The equi-join
+    key is exactly the store's bucket column (`skey`), so the store
+    side scans in-place with NO Exchange. Self-matches are filtered: a
+    replayed batch meets its own keys already in the store (ADVICE
+    r3), and a (x,x) pair must never reach the sink."""
+    old = store.select(F.col("doc_id").alias("doc_a"), "skey")
+    return (
+        new_b.join(old, "skey")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+    )
+
+
+def q25_verify(
+    cands: DataFrame, store_sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    doc_id-bucketed shingle-store: the batch-sized candidate side
+    shuffles onto doc_id; the corpus-sized store side is a bucketed
+    scan. Candidates are deduplicated BEFORE the verify joins (each
+    pair pays the array intersection once) and verified pairs are
+    deduplicated on the pair key (replayed store rows would otherwise
+    fan out duplicate rows into the upsert MERGE)."""
+    sa = store_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = store_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.distinct()
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> str:
@@ -2100,20 +2286,22 @@ def run_q25_streaming_neardup(
     threshold: float,
     sink=None,
     files_per_trigger: int = 1,
+    n_shards: int = 4,
 ):
     """Continuous LSH near-dup over the staged crawl shards. Returns
-    (sink, query); the sink converges to the batch d2 pair set."""
-    import os
+    (sink, query, cleanup); the sink converges to the batch d2 pair
+    set. ``cleanup()`` drops the two bucketed state-store tables —
+    call it after the final sink snapshot is taken."""
+    import uuid
 
     from table_demo_spark.operators.dedup import (
         band_keys_frame,
         minhash_signatures,
         shingle_sets,
     )
-    from table_demo_spark.sources.batch import load_table
     from table_demo_spark.streaming.upsert import ParquetUpsertSink
 
-    shards = ensure_docs_shards(spark, sf_dir)
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
     ckpt = _checkpoint_dir()
     docs = (
         spark.readStream.schema("doc_id long, text string, source string")
@@ -2123,67 +2311,39 @@ def run_q25_streaming_neardup(
     )
     if sink is None:
         sink = ParquetUpsertSink(scratch_dir("tds-q25-"), ("doc_a", "doc_b"))
-    band_store = scratch_dir("tds-q25-bands-")
-    sh_static = shingle_sets(load_table(spark, sf_dir, "documents")).persist()
-    sa = sh_static.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sh_static.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    run_id = uuid.uuid4().hex[:10]
+    bands = BucketedStateStore(spark, f"tds_q25_bands_{run_id}", "skey")
+    shingles = BucketedStateStore(spark, f"tds_q25_sh_{run_id}", "doc_id")
 
     def apply(batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
             return
-        new_keys = band_keys_frame(
-            minhash_signatures(shingle_sets(batch_docs))
+        sh_new = shingle_sets(batch_docs).persist()
+        # Shingle-store append FIRST: the verify step must see the
+        # batch's own docs (a pair may be new x new).
+        shingles.append(sh_new)
+        new_keys = q25_band_skey(
+            band_keys_frame(minhash_signatures(sh_new))
         ).persist()
-        a = new_keys.select(
-            F.col("doc_id").alias("doc_a"), "band", "key"
+        a = new_keys.select(F.col("doc_id").alias("doc_a"), "skey")
+        b = new_keys.select(F.col("doc_id").alias("doc_b"), "skey")
+        cands = (
+            a.join(b, "skey")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
         )
-        b = new_keys.select(
-            F.col("doc_id").alias("doc_b"), "band", "key"
-        )
-        new_new = a.join(b, ["band", "key"]).filter(
-            F.col("doc_a") < F.col("doc_b")
-        )
-        cands = new_new.select("doc_a", "doc_b")
-        store_files = os.path.join(band_store, "*.parquet")
-        import glob as _glob
-
-        if _glob.glob(store_files):
-            old = spark.read.parquet(band_store)
-            new_old = (
-                b.join(
-                    old.select(
-                        F.col("doc_id").alias("doc_a"), "band", "key"
-                    ),
-                    ["band", "key"],
-                )
-                .select(
-                    F.least("doc_a", "doc_b").alias("doc_a"),
-                    F.greatest("doc_a", "doc_b").alias("doc_b"),
-                )
-            )
-            cands = cands.unionByName(new_old)
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        verified = (
-            cands.distinct()
-            .join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                (inter.cast("double") / union.cast("double")).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        if bands.exists():
+            cands = cands.unionByName(q25_probe_join(b, bands.frame()))
+        verified = q25_verify(cands, shingles.frame(), threshold)
         sink.apply_batch(verified, batch_id)
-        new_keys.select("doc_id", "band", "key").write.mode("append").parquet(
-            band_store
-        )
+        # Band-store append AFTER the probe: the batch must not meet
+        # its own keys on the first (non-replayed) execution.
+        bands.append(new_keys)
+        sh_new.unpersist()
         new_keys.unpersist()
+        if (batch_id + 1) % Q25_COMPACT_EVERY == 0:
+            bands.compact(["doc_id", "skey"])
+            shingles.compact(["doc_id"])
 
     query = (
         docs.writeStream.outputMode("append")
@@ -2191,4 +2351,9 @@ def run_q25_streaming_neardup(
         .foreachBatch(apply)
         .start()
     )
-    return sink, query
+
+    def cleanup() -> None:
+        bands.drop()
+        shingles.drop()
+
+    return sink, query, cleanup

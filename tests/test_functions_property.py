@@ -345,6 +345,95 @@ def test_wav_roundtrip_property(samples, rate):
     assert (got == arr).all()
 
 
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    """decode(encode(x)) == x for every raster shape: the encoder
+    cycles filter types per scanline, so any image with h >= 5 pushes
+    all five predictors (None/Sub/Up/Average/Paeth) through zlib and
+    back."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
+
+
+def test_png_decoder_golden_vectors():
+    """Decoder-only golden test — hand-built PNG bytes, filtered BY
+    HAND per the PNG spec, never touching encode_png: breaks the
+    inverse-pair circularity a round-trip test cannot (an encoder and
+    decoder wrong in the same way still round-trip). Covers Sub and Up
+    filters, RGBA alpha-drop via decode_image, greyscale broadcast,
+    and CRC rejection."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from table_demo_spark.operators.codecs import decode_png
+    from table_demo_spark.operators.multimodal import decode_image
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 2x2 RGB: row0 Sub-filtered, row1 Up-filtered (hand-computed).
+    # pixels: row0 = (10,20,30),(13,25,37); row1 = (11,22,33),(15,28,41)
+    r0 = bytes([1, 10, 20, 30, 3, 5, 7])
+    r1 = bytes([2, 1, 2, 3, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        magic
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(r0 + r1))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[10, 20, 30], [13, 25, 37]], [[11, 22, 33], [15, 28, 41]]],
+        dtype=np.uint8,
+    )
+    assert (decode_png(png) == want).all()
+
+    # greyscale (color type 0) broadcasts to 3 channels in decode_image
+    g_ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    g_png = (
+        magic
+        + chunk(b"IHDR", g_ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 7, 9])))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(g_png) == [[[7, 7, 7], [9, 9, 9]]]).all()
+
+    # RGBA (color type 6): decode_image drops alpha
+    a_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    a_png = (
+        magic
+        + chunk(b"IHDR", a_ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 200])))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(a_png) == [[[1, 2, 3]]]).all()
+
+    # corrupted CRC must be rejected, not silently decoded
+    bad = bytearray(png)
+    bad[-17] ^= 0xFF  # a byte inside the IDAT crc/body region
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
 def test_binned_quantiles_match_discrete_definition_on_random_frames(spark):
     """Randomized check of the t26 histogram-sketch operator against
     the discrete-quantile definition computed in straight Python: at
