@@ -145,6 +145,7 @@ HEADLINE = [
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",
     "llm_t25_bpe_encode",
+    "llm_t27_bpe_sample_train",
     "llm_t26_quantile_sketch",
     "llm_t23_domain_drift",
     "src_s8_quoted_csv",

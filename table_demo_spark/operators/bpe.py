@@ -146,33 +146,63 @@ def _collect_top(paired: DataFrame) -> tuple[DataFrame, str, int]:
     return lit, row["top_pair"], int(row["top_cnt"])
 
 
+def _materialize_round(
+    df: DataFrame, prev_dir: str | None
+) -> tuple[DataFrame, str, int]:
+    """Materialize one round's rewritten corpus to scratch parquet and
+    read it back, deleting the superseded round's files.
+
+    This is TRUE lineage truncation, which ``persist()`` is not: a
+    persisted round keeps its full upstream plan nested inside the
+    InMemoryRelation, so after r rounds the logical/explain tree holds
+    r nested generations — measured at sf0.1 the per-round wall time
+    compounded ~1.3x/round (1.2s at round 7 -> 6.4s at round 12) and
+    the driver OOM'd in plan stringification at round 13. The scratch
+    round-trip makes every round's plan a fresh parquet scan: flat
+    per-round cost at 32 rounds (docs/SCALE.md), state bounded at one
+    on-disk round per chain. The row count reads parquet footer
+    metadata only. At cluster scale the scratch dir is durable shared
+    storage and this becomes the standard checkpoint-per-iteration
+    pattern."""
+    import shutil
+
+    from table_demo_spark.scratch import scratch_dir
+
+    d = scratch_dir("tds-bpe-round-")
+    df.write.mode("overwrite").parquet(d)
+    out = df.sparkSession.read.parquet(d)
+    n = out.count()
+    if prev_dir is not None:
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    return out, d, int(n)
+
+
 def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFrame:
     """(round, merge_pair, pair_cnt, n_tokens_after) per round.
 
-    The loop is EAGER: each round's rewritten corpus is persisted and
-    materialized (the count doubles as the n_tokens_after audit), then
-    the previous round's cache is freed — block-manager memory is
-    bounded at TWO cached corpus rewrites no matter how many rounds
-    run (r3 held every round cached: 2x iters frames, a leak at real
-    vocab sizes; per-round cost curve at 32 rounds in docs/SCALE.md).
-    Persist-per-round itself is the measured A/B from r3 (7.2s ->
-    4.6s at sf0.1): the rewrite lineage is two window passes with
-    multiple consumers, so recompute grows quadratically without it."""
+    The loop is EAGER with O(1) driver/executor state per round: the
+    learned pair is collected (1 row) and re-broadcast as a literal,
+    the rewritten corpus is checkpointed to scratch parquet
+    (:func:`_materialize_round` — true lineage truncation; r3's
+    persist-per-round kept every generation nested in the plan and
+    compounded per-round cost), and the superseded round's files are
+    deleted. Block-manager and plan size are flat no matter how many
+    rounds run — the 32-round curve is in docs/SCALE.md."""
     spark = docs.sparkSession
     tp = _tokens_positions(docs, text_col)
-    prev = None
+    cur_dir = None
     rows = []
     for r in range(1, iters + 1):
         paired = _paired(tp)
         top_lit, pair, cnt = _collect_top(paired)
-        tp = apply_merge(paired, top_lit).persist()
-        n_after = tp.count()  # materializes the round into cache
-        if prev is not None:
-            prev.unpersist()
-        prev = tp
-        rows.append((r, pair, cnt, int(n_after)))
-    if prev is not None:
-        prev.unpersist()
+        tp, cur_dir, n_after = _materialize_round(
+            apply_merge(paired, top_lit), cur_dir
+        )
+        rows.append((r, pair, cnt, n_after))
+    if cur_dir is not None:
+        import shutil
+
+        shutil.rmtree(cur_dir, ignore_errors=True)  # result is literal
     return spark.createDataFrame(
         rows,
         "round long, merge_pair string, pair_cnt long, n_tokens_after long",
@@ -194,32 +224,33 @@ def bpe_train_apply(
     the same run-parity ``apply_merge`` — application is the identical
     relational rewrite with a fixed pair, so the apply path inherits
     training's partition-parallel scale shape. The loop is eager with
-    the same bounded-cache discipline as :func:`bpe_train` (two live
-    rounds x two chains; superseded rounds unpersisted, the train
-    chain released entirely once merges are learned). Returns
+    the same scratch-checkpoint discipline as :func:`bpe_train` (one
+    on-disk round per chain, superseded rounds deleted, the train
+    chain's files released entirely once merges are learned). Returns
     per-apply-doc stats: (doc_id, n_before, n_after, n_merged) where
     n_merged counts tokens containing a learned merge (the SEP
-    marker); the returned frame reads the final cached apply chain."""
+    marker). The returned frame scans the FINAL apply-chain scratch
+    files, so that one directory outlives the call (tmpfs, one round's
+    tokens; freed on reboot or by the caller's scratch lifecycle)."""
+    import shutil
+
     tp_train = _tokens_positions(train_docs, text_col)
     tp_apply = _tokens_positions(apply_docs, text_col)
     before = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )
-    prev_t = prev_a = None
+    dir_t = dir_a = None
     for _ in range(iters):
         pt = _paired(tp_train)
         top_lit, _, _ = _collect_top(pt)
-        tp_train = apply_merge(pt, top_lit).persist()
-        tp_apply = apply_merge(_paired(tp_apply), top_lit).persist()
-        tp_train.count()
-        tp_apply.count()
-        if prev_t is not None:
-            prev_t.unpersist()
-        if prev_a is not None:
-            prev_a.unpersist()
-        prev_t, prev_a = tp_train, tp_apply
-    if prev_t is not None:
-        prev_t.unpersist()  # merges learned; train chain not in result
+        tp_train, dir_t, _ = _materialize_round(
+            apply_merge(pt, top_lit), dir_t
+        )
+        tp_apply, dir_a, _ = _materialize_round(
+            apply_merge(_paired(tp_apply), top_lit), dir_a
+        )
+    if dir_t is not None:
+        shutil.rmtree(dir_t, ignore_errors=True)  # merges learned
     after = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_after"),
         F.sum(F.col("tok").contains(SEP).cast("int"))

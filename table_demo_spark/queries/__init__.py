@@ -75,6 +75,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t17_zipf_buckets",
     "llm_t25_bpe_encode",
     "llm_t26_quantile_sketch",
+    "llm_t27_bpe_sample_train",
     "llm_m12_resize_luma",
     "llm_m13_wav_energy",
     "llm_m14_png_luma",

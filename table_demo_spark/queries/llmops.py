@@ -4555,7 +4555,14 @@ def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_apply(train, held, iters=_T25_ITERS)
 
 
-def _t25_oracle() -> str:
+def _bpe_train_apply_oracle(
+    train_where: str, apply_where: str, iters: int
+) -> str:
+    """Shared oracle generator for the BPE train->apply queries (t25,
+    t27): unroll ``iters`` rounds where the top pair comes from the
+    TRAIN chain (t*) only and both chains rewrite with it; the two
+    WHERE clauses select the train/apply corpora from the same
+    ``documents`` table the Spark side filters."""
     sep = "chr(31)"
 
     def rewrite(p: str, nxt: str, top: str) -> str:
@@ -4596,16 +4603,16 @@ def _t25_oracle() -> str:
     parts = [
         f"""t0 AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0),
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents {train_where}),
        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
 ),
 h0 AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
-  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 2 = 1),
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents {apply_where}),
        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
 )"""
     ]
-    for k in range(1, _T25_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(f"""top{k}pre AS (
   SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
   FROM t{k - 1}
@@ -4626,11 +4633,55 @@ after AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
          CAST(sum(CASE WHEN contains(tok, {sep}) THEN 1 ELSE 0 END) AS BIGINT)
            AS n_merged
-  FROM h{_T25_ITERS} GROUP BY doc_id
+  FROM h{iters} GROUP BY doc_id
 )
 SELECT doc_id, n_before, n_after, n_merged
 FROM before JOIN after USING (doc_id)
 """
+
+
+def _t25_oracle() -> str:
+    return _bpe_train_apply_oracle(
+        "WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1", _T25_ITERS
+    )
+
+
+# ---------------------------------------------------------------------------
+# T27 — BPE sample-train -> full-corpus apply (the PRODUCTION tokenizer
+# pattern at 100 TB): vocabulary statistics converge on a small sample,
+# so the merge loop — whose per-round cost is dominated by rewriting
+# whatever corpus it trains on — runs over a deterministic hash sample
+# (operators/sampling.py, ~25% here; in production more like 0.1%),
+# and only the LEARNED merges are applied to the full corpus via the
+# same run-parity rewrite. Train cost scales with the SAMPLE, apply
+# cost is one rewrite pass per round over the corpus with zero
+# pair-count aggregations. The oracle states the identical sample
+# predicate from the same constants. Per-round cost curve at 32 rounds
+# in docs/SCALE.md (the eager bounded-cache loop holds two rounds).
+# ---------------------------------------------------------------------------
+
+_T27_RATE = 0.25
+_T27_SALT = "bpetrain"
+_T27_ITERS = 3
+
+
+def t27_bpe_sample_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.bpe import bpe_train_apply
+    from table_demo_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = hash_sample(docs, _T27_RATE, key_col="doc_id", salt=_T27_SALT)
+    return bpe_train_apply(train, docs, iters=_T27_ITERS)
+
+
+def _t27_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+
+    predicate = (
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#{_T27_SALT}'), 1, 6)"
+        f" < '{rate_threshold_hex(_T27_RATE)}'"
+    )
+    return _bpe_train_apply_oracle(predicate, "", _T27_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -4788,5 +4839,6 @@ QUERIES: list[Query] = [
     Query("llm_s12_two_stage_rerank", s12_two_stage_rerank, _s12_oracle()),
     Query("llm_p16_decontaminated_split", p16_decontaminated_split, _p16_oracle()),
     Query("llm_t25_bpe_encode", t25_bpe_encode, _t25_oracle()),
+    Query("llm_t27_bpe_sample_train", t27_bpe_sample_train, _t27_oracle()),
     Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
 ]
