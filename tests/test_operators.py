@@ -756,9 +756,10 @@ def test_wav_codec_roundtrip_and_chunk_walk():
 
 
 def test_decode_image_dispatches_and_rejects_unknown(spark):
-    """decode_image parses real PPM payloads produced by the fixture
-    builder; non-PPM magic still routes to the documented
-    NotImplementedError extension point."""
+    """decode_image parses real PPM and PNG payloads produced by the
+    fixture builders; transform-coded magic (JPEG) still routes to the
+    documented NotImplementedError extension point, and a corrupt PNG
+    fails loudly rather than decoding garbage."""
     import numpy as np
     import pytest as _pytest
 
@@ -772,8 +773,16 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
     assert arr.shape == (multimodal.PPM_H, multimodal.PPM_W, 3)
     assert arr.dtype == np.uint8
 
+    png_row = multimodal.with_png_payload(docs).collect()[0]
+    png = multimodal.decode_image(png_row.payload)
+    assert png.shape == (multimodal.PNG_H, multimodal.PNG_W, 3)
+    assert png.dtype == np.uint8
+
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)  # JPEG/JFIF
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")  # truncated PNG
 
 
 def test_distributed_rank_equals_global_row_number(spark):

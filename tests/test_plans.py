@@ -92,6 +92,7 @@ _PYTHON_ALLOWED = {
     "llm_m11_decoded_luma",  # MapInPandas (real PPM decode, numpy luma)
     "llm_m12_resize_luma",  # MapInPandas (PPM decode+resize round-trip)
     "llm_m13_wav_energy",  # MapInPandas (real RIFF/WAVE PCM decode)
+    "llm_m14_png_luma",  # MapInPandas (real PNG inflate+unfilter decode)
 }
 
 
