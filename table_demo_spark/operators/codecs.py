@@ -1,24 +1,30 @@
-"""Pure-numpy codecs for media formats (PPM, WAV, PNG).
+"""Pure-numpy codecs for media formats (PPM, WAV, PNG, animated GIF).
 
 The container has no PIL/cv2/ffmpeg, but these formats need no codec
 library: binary PPM (P6) is a text header + raw RGB raster, RIFF/WAVE
-PCM is a fixed 44-byte header + little-endian samples, and PNG is
+PCM is a fixed 44-byte header + little-endian samples, PNG is
 zlib-compressed (stdlib!) scanlines under five byte-level prediction
-filters. These implementations make the m-family's decode -> resize ->
-feature path REAL end-to-end — `decode_image` parses actual image
-bytes (including a COMPRESSED format) and the downstream statistics
-depend on the decoded pixel values — while codec-heavy formats
-(JPEG/MP3/H.264) remain the documented external-codec extension point
-in operators/multimodal.py.
+filters, and GIF is variable-width LZW over palette indices in a
+sub-block framed container. These implementations make the m-family's
+decode -> resize -> feature path REAL end-to-end — `decode_image`
+parses actual image bytes (including COMPRESSED formats) and the
+downstream statistics depend on the decoded pixel values — while
+codec-heavy formats (JPEG/MP3/H.264) remain the documented
+external-codec extension point in operators/multimodal.py.
 
 Format references (public): the Netpbm P6 format spec (header
 ``P6\\n<w> <h>\\n<maxval>\\n`` then ``3*w*h`` raw bytes, ``#`` comments
 allowed in the header); the Microsoft RIFF/WAVE container (chunked:
 ``RIFF<size>WAVE`` then ``fmt `` and ``data`` chunks; PCM16 mono);
-and the PNG specification (RFC 2083 / W3C PNG): 8-byte signature,
+the PNG specification (RFC 2083 / W3C PNG): 8-byte signature,
 length-type-data-CRC chunks, IHDR/IDAT/IEND, zlib-deflated image data,
 one filter-type byte per scanline selecting None/Sub/Up/Average/Paeth
-byte predictors at bytes-per-pixel offset.
+byte predictors at bytes-per-pixel offset; and the GIF89a
+specification (CompuServe, 1990): logical screen descriptor + global
+color table, per-frame image descriptors, and image data as
+variable-code-width LZW (clear/EOI codes, LSB-first bit packing,
+code width grows 9->12 as the string table fills) split into
+<=255-byte sub-blocks.
 
 Everything is deterministic integer math — nearest-neighbor resize
 uses ``src = (dst * src_dim) // dst_dim`` — so a DuckDB oracle can
@@ -263,6 +269,211 @@ def decode_png(data: bytes) -> np.ndarray:
         prior = _unfilter_row(ftype, flt, prior, bpp)
         out[y] = prior
     return out.reshape(h, w, channels)
+
+
+# -- GIF (animated, 8-bit indexed, greyscale GCT) ---------------------------
+#
+# Image data is GIF-variant LZW over palette indices: min code size 8,
+# clear = 256, end-of-information = 257, first dynamic code 258; code
+# width starts at 9 bits and grows to at most 12 as the string table
+# fills (both sides grow when the next free code reaches 1<<width);
+# at 4096 entries the encoder emits CLEAR and both sides reset. Codes
+# are packed LSB-first into bytes, and the byte stream is framed into
+# <=255-byte sub-blocks each preceded by its length, terminated by a
+# zero-length block.
+
+GIF_MAGIC = b"GIF89a"
+_GIF_MIN_CODE_SIZE = 8
+_GIF_MAX_WIDTH = 12
+
+
+def _lzw_encode(indices: bytes) -> bytes:
+    """GIF-variant LZW: palette-index bytes -> packed code stream."""
+    clear = 1 << _GIF_MIN_CODE_SIZE
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = _GIF_MIN_CODE_SIZE + 1
+    emit(clear, width)
+    buf = b""
+    for byte in indices:
+        nb = buf + bytes([byte])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], width)
+        table[nb] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < _GIF_MAX_WIDTH:
+            width += 1
+        if next_code == (1 << _GIF_MAX_WIDTH):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = _GIF_MIN_CODE_SIZE + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """GIF-variant LZW: packed code stream -> palette-index bytes."""
+    clear = 1 << _GIF_MIN_CODE_SIZE
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = _GIF_MIN_CODE_SIZE + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = _GIF_MIN_CODE_SIZE + 1
+        prev = None
+
+    reset()
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(f"LZW decoded {len(out)} bytes, want {n_expected}")
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+GIF_GREY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """(n, h, w) uint8 palette-index frames -> animated GIF89a bytes
+    with a 256-entry greyscale global color table. Each frame gets a
+    graphic-control extension (delay in centiseconds) and its own
+    LZW-compressed image data."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError(f"expected (n, h, w) uint8, got {frames.shape} {frames.dtype}")
+    n, h, w = frames.shape
+    out = bytearray()
+    out.extend(GIF_MAGIC)
+    # logical screen descriptor: GCT present, 8-bit color res, 256 entries
+    out.extend(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+    out.extend(GIF_GREY_PALETTE)
+    for f in range(n):
+        out.extend(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00")
+        out.extend(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.append(_GIF_MIN_CODE_SIZE)
+        out.extend(_gif_subblocks(_lzw_encode(frames[f].tobytes())))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF bytes -> ((n, h, w) uint8 palette indices, (256, 3) uint8
+    palette). Walks the block structure: logical screen descriptor +
+    global color table, skips extensions, LZW-decodes each image
+    descriptor's sub-block stream. Full-frame, GCT-only images (the
+    subset the fixture encoder emits; per-frame local color tables and
+    interlace raise)."""
+    if not data.startswith(GIF_MAGIC[:3]):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(
+        data[pos : pos + 3 * gct_n], dtype=np.uint8
+    ).reshape(gct_n, 3)
+    if gct_n < 256:
+        palette = np.vstack([palette, np.zeros((256 - gct_n, 3), np.uint8)])
+    pos += 3 * gct_n
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        introducer = data[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{introducer:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if fpacked & 0x80:
+            raise ValueError("local color tables not supported")
+        if fpacked & 0x40:
+            raise ValueError("interlaced frames not supported")
+        if (left, top, fw, fh) != (0, 0, w, h):
+            raise ValueError("partial-frame images not supported")
+        mcs = data[pos]
+        pos += 1
+        if mcs != _GIF_MIN_CODE_SIZE:
+            raise ValueError(f"min code size {mcs} != {_GIF_MIN_CODE_SIZE}")
+        lzw = bytearray()
+        while data[pos] != 0:
+            size = data[pos]
+            lzw.extend(data[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), fw * fh)
+        frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw))
+    return np.stack(frames), palette
 
 
 # -- WAV (RIFF PCM16 mono) --------------------------------------------------

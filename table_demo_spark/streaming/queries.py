@@ -1277,7 +1277,12 @@ def _running_totals_processor() -> StatefulProcessor:
 def tws_available() -> bool:
     """transformWithState needs the protobuf state-server client; this
     container ships pyspark without google.protobuf (and installs are
-    off), so the capability is probed, never assumed."""
+    off), so the capability is probed, never assumed.
+
+    Re-probed round 4 (2026-08-14): ``import google.protobuf`` still
+    raises ModuleNotFoundError in-container, so q15 (and q3 level 1)
+    continue on the GroupState fallback. If the probe ever flips,
+    run_q15 picks up the modern API with no code change."""
     try:
         from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
