@@ -141,6 +141,7 @@ HEADLINE = [
     "llm_m12_resize_luma",
     "llm_m13_wav_energy",
     "llm_m14_png_luma",
+    "llm_m15_gif_scene_cuts",
     "llm_t24_heldout_lm_filter",
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",

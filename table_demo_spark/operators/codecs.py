@@ -374,9 +374,15 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
         else:
             raise ValueError(f"corrupt LZW stream: code {code}")
         out.extend(entry)
-        if prev is not None:
+        if prev is not None and len(table) < (1 << _GIF_MAX_WIDTH):
             table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
+            # The decoder's table lags the encoder by ONE entry (the
+            # entry for a code is only completed when the NEXT code
+            # arrives), so the width must grow one entry early:
+            # when the encoder switches to width+1 after assigning
+            # code (1<<width)-1, the decoder's table holds only
+            # (1<<width)-1 entries.
+            if len(table) == (1 << width) - 1 and width < _GIF_MAX_WIDTH:
                 width += 1
         prev = entry
     if len(out) != n_expected:
@@ -428,6 +434,14 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     interlace raise)."""
     if not data.startswith(GIF_MAGIC[:3]):
         raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF")
+
+    def _byte(p: int) -> int:
+        if p >= len(data):
+            raise ValueError("truncated GIF")
+        return data[p]
+
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     if not packed & 0x80:
@@ -441,18 +455,20 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     pos += 3 * gct_n
     frames: list[np.ndarray] = []
     while pos < len(data):
-        introducer = data[pos]
+        introducer = _byte(pos)
         pos += 1
         if introducer == 0x3B:  # trailer
             break
         if introducer == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while data[pos] != 0:
+            while _byte(pos) != 0:
                 pos += 1 + data[pos]
             pos += 1
             continue
         if introducer != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{introducer:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF")
         left, top, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
         if fpacked & 0x80:
@@ -461,13 +477,15 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             raise ValueError("interlaced frames not supported")
         if (left, top, fw, fh) != (0, 0, w, h):
             raise ValueError("partial-frame images not supported")
-        mcs = data[pos]
+        mcs = _byte(pos)
         pos += 1
         if mcs != _GIF_MIN_CODE_SIZE:
             raise ValueError(f"min code size {mcs} != {_GIF_MIN_CODE_SIZE}")
         lzw = bytearray()
-        while data[pos] != 0:
+        while _byte(pos) != 0:
             size = data[pos]
+            if pos + 1 + size > len(data):
+                raise ValueError("truncated GIF")
             lzw.extend(data[pos + 1 : pos + 1 + size])
             pos += 1 + size
         pos += 1

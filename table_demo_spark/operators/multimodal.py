@@ -47,8 +47,10 @@ def decode_image(payload: bytes) -> "object":
     import numpy as np
 
     from table_demo_spark.operators.codecs import (
+        GIF_MAGIC,
         PNG_MAGIC,
         PPM_MAGIC,
+        decode_gif,
         decode_png,
         decode_ppm,
     )
@@ -61,6 +63,11 @@ def decode_image(payload: bytes) -> "object":
         if arr.shape[2] == 1:
             return np.repeat(arr, 3, axis=2)
         return arr[:, :, :3]
+    if data.startswith(GIF_MAGIC[:3]):
+        # still-image view of an animated GIF: first frame, palette-
+        # mapped to RGB (LZW decode + palette lookup, codecs.decode_gif)
+        frames, palette = decode_gif(data)
+        return palette[frames[0]]
     raise NotImplementedError(
         "PPM and PNG decode in-container; wire PIL/cv2 for transform-"
         "coded formats (JPEG/WebP) — the mapInPandas plumbing is "
@@ -417,6 +424,67 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         build, schema="doc_id long, payload binary"
     )
+
+
+GIF_FRAMES = 4
+GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
+#                        9->10-bit width boundary on every frame, so the
+#                        variable-code-width path is on the value-hash path
+_GIF_BLOCKS = (GIF_FRAMES * GIF_H * GIF_W) // 16  # 128 md5 blocks
+
+
+def with_gif_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real animated GIF89a per document — the
+    palette-index bytes of the ``GIF_FRAMES`` frames are the doc's md5
+    stream (salt '#gif'), run through variable-code-width LZW + the
+    sub-block framing of codecs.encode_gif. Random index bytes push the
+    per-frame LZW string table past 254 entries, so the decoder's
+    width-growth synchronization is exercised by every payload."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_gif
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _GIF_BLOCKS, "#gif"),
+                        dtype=np.uint8,
+                    ).reshape(GIF_FRAMES, GIF_H, GIF_W)
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+GIF_FRAME_SCHEMA = "doc_id long, frame_no long, frame_hex string"
+
+
+def gif_frames(docs_with_payload: DataFrame) -> DataFrame:
+    """LZW-decode each animated-GIF payload and emit one row per frame
+    with the hex of its DECODED palette-index bytes — the real-codec
+    version of :func:`frame_sample`'s explode shape. Any bug in the
+    sub-block walk, code-width synchronization, or table reset corrupts
+    frame_hex and everything downstream of it."""
+    from table_demo_spark.operators.codecs import decode_gif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _palette = decode_gif(bytes(payload))
+                for fno in range(frames.shape[0]):
+                    rows.append((doc_id, fno, frames[fno].tobytes().hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_hex"]
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=GIF_FRAME_SCHEMA)
 
 
 def with_wav_payload(docs: DataFrame) -> DataFrame:

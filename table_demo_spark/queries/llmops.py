@@ -4167,6 +4167,80 @@ FROM luma
 """
 
 
+# ---------------------------------------------------------------------------
+# M15 — m9's scene-cut lag-window over REAL animated-GIF frames: the
+# payload is a genuine GIF89a container (variable-code-width LZW +
+# sub-block framing, operators/codecs.py), each DECODED frame gets the
+# m9-convention 32-bit signature (first 8 hex chars of md5(frame_hex)),
+# and a cut is declared where the Hamming distance to the previous
+# frame exceeds the threshold. The oracle restates the md5-stream
+# index bytes analytically, so a bug anywhere in the LZW decoder —
+# width synchronization, table reset, sub-block walk — corrupts
+# frame_hex and fails the value hash. Execution shape: mapInPandas
+# decode-explode -> native lag window per doc -> bit_count(xor);
+# the per-title ordering is a partition-local sort, never global.
+# ---------------------------------------------------------------------------
+_M15_CUT_BITS = 20
+
+
+def m15_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.gif_frames(multimodal.with_gif_payload(docs))
+    sig = F.conv(F.substring(F.md5(F.col("frame_hex")), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    scored = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        sig.alias("sig"),
+    ).withColumn("prev_sig", F.lag("sig").over(w))
+    return (
+        scored.filter(F.col("prev_sig").isNotNull())
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("prev_sig"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") >= _M15_CUT_BITS)
+        .select("doc_id", "frame_no", "hamming")
+    )
+
+
+_M15_FRAME_HEX = 2 * multimodal.GIF_H * multimodal.GIF_W
+
+M15_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#gif' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._GIF_BLOCKS})) AS i)
+),
+hx AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS hx
+  FROM blocks GROUP BY doc_id
+),
+frames AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+         substr(hx, CAST(f * {_M15_FRAME_HEX} + 1 AS BIGINT),
+                {_M15_FRAME_HEX}) AS frame_hex
+  FROM hx, (SELECT unnest(range(0, {multimodal.GIF_FRAMES})) AS f)
+),
+sigs AS (
+  SELECT doc_id, frame_no,
+         CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT) AS sig,
+         lag(CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_sig
+  FROM frames
+)
+SELECT doc_id, frame_no,
+       CAST(bit_count(xor(sig, prev_sig)) AS BIGINT) AS hamming
+FROM sigs
+WHERE prev_sig IS NOT NULL
+  AND bit_count(xor(sig, prev_sig)) >= {_M15_CUT_BITS}
+"""
+
+
 def m13_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decoded_pcm_stats(multimodal.with_wav_payload(docs))
@@ -4841,4 +4915,5 @@ QUERIES: list[Query] = [
     Query("llm_t25_bpe_encode", t25_bpe_encode, _t25_oracle()),
     Query("llm_t27_bpe_sample_train", t27_bpe_sample_train, _t27_oracle()),
     Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
+    Query("llm_m15_gif_scene_cuts", m15_gif_scene_cuts, M15_ORACLE),
 ]

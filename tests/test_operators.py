@@ -755,6 +755,47 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         decode_wav(stereo)
 
 
+def test_gif_codec_roundtrip_width_growth_and_reset():
+    """encode_gif -> decode_gif preserves frames and palette on
+    high-entropy input. 64x64 random frames (4096 index bytes each)
+    push the LZW string table past the 9->10->11->12-bit width
+    boundaries AND through the 4096-entry clear/reset — the exact
+    paths where a decoder/encoder width desynchronization corrupts the
+    stream (the codes read at the wrong width raise 'corrupt LZW
+    stream' long before the frame completes)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (3, 64, 64), dtype=np.uint8)
+    data = encode_gif(frames)
+    decoded, palette = decode_gif(data)
+    assert (decoded == frames).all()
+    assert palette.shape == (256, 3)
+    assert (palette[:, 0] == np.arange(256)).all()  # greyscale GCT
+
+    # raw LZW roundtrip large enough to force the 4096-entry reset
+    big = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(big), len(big)) == big
+
+    # low-entropy frames stay on the narrow-width path
+    flat = np.tile(np.arange(16, dtype=np.uint8), (2, 32, 4))
+    dec2, _ = decode_gif(encode_gif(flat))
+    assert (dec2 == flat).all()
+
+    # truncation anywhere raises ValueError, never IndexError
+    for cut in (8, 20, len(data) // 2, len(data) - 3):
+        with _pytest.raises(ValueError):
+            decode_gif(data[:cut])
+
+
 def test_decode_image_dispatches_and_rejects_unknown(spark):
     """decode_image parses real PPM and PNG payloads produced by the
     fixture builders; transform-coded magic (JPEG) still routes to the
@@ -777,6 +818,11 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
     png = multimodal.decode_image(png_row.payload)
     assert png.shape == (multimodal.PNG_H, multimodal.PNG_W, 3)
     assert png.dtype == np.uint8
+
+    gif_row = multimodal.with_gif_payload(docs).collect()[0]
+    gif = multimodal.decode_image(gif_row.payload)  # first frame, RGB
+    assert gif.shape == (multimodal.GIF_H, multimodal.GIF_W, 3)
+    assert gif.dtype == np.uint8
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)  # JPEG/JFIF

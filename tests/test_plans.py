@@ -93,6 +93,7 @@ _PYTHON_ALLOWED = {
     "llm_m12_resize_luma",  # MapInPandas (PPM decode+resize round-trip)
     "llm_m13_wav_energy",  # MapInPandas (real RIFF/WAVE PCM decode)
     "llm_m14_png_luma",  # MapInPandas (real PNG inflate+unfilter decode)
+    "llm_m15_gif_scene_cuts",  # MapInPandas (real GIF LZW decode feeding lag window)
 }
 
 
