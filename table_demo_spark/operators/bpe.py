@@ -146,67 +146,213 @@ def _collect_top(paired: DataFrame) -> tuple[DataFrame, str, int]:
     return lit, row["top_pair"], int(row["top_cnt"])
 
 
-def _materialize_round(
-    df: DataFrame, prev_dir: str | None
-) -> tuple[DataFrame, str, int]:
-    """Materialize one round's rewritten corpus to scratch parquet and
-    read it back, deleting the superseded round's files.
+_CHECKPOINT_EVERY = 4  # scratch-checkpoint cadence (rounds)
 
-    This is TRUE lineage truncation, which ``persist()`` is not: a
+
+def _scratch_checkpoint(
+    df: DataFrame, count: bool
+) -> tuple[DataFrame, str, int | None]:
+    """Write one round's rewritten corpus to scratch parquet and read
+    it back — TRUE lineage truncation, which ``persist()`` is not: a
     persisted round keeps its full upstream plan nested inside the
-    InMemoryRelation, so after r rounds the logical/explain tree holds
-    r nested generations — measured at sf0.1 the per-round wall time
-    compounded ~1.3x/round (1.2s at round 7 -> 6.4s at round 12) and
-    the driver OOM'd in plan stringification at round 13. The scratch
-    round-trip makes every round's plan a fresh parquet scan: flat
-    per-round cost at 32 rounds (docs/SCALE.md), state bounded at one
-    on-disk round per chain. The row count reads parquet footer
-    metadata only. At cluster scale the scratch dir is durable shared
-    storage and this becomes the standard checkpoint-per-iteration
-    pattern."""
-    import shutil
-
+    InMemoryRelation. The read-back frame's plan is a flat parquet
+    scan. The optional row count reads parquet footer metadata only.
+    At cluster scale the scratch dir is durable shared storage and
+    this is the standard checkpoint-per-iteration pattern."""
     from table_demo_spark.scratch import scratch_dir
 
     d = scratch_dir("tds-bpe-round-")
     df.write.mode("overwrite").parquet(d)
     out = df.sparkSession.read.parquet(d)
-    n = out.count()
-    if prev_dir is not None:
-        shutil.rmtree(prev_dir, ignore_errors=True)
-    return out, d, int(n)
+    n = int(out.count()) if count else None
+    return out, d, n
+
+
+class _ChainState:
+    """Bounded materialization for one merge-loop chain, balancing the
+    r3 and r4 failure modes (both measured, docs/SCALE.md):
+
+    - persist-EVERY-round (r3) is cheap per round but nests one
+      InMemoryRelation generation per round into the plan — per-round
+      wall time compounded ~1.3x/round and the driver OOM'd in plan
+      stringification at round 13;
+    - scratch-checkpoint-EVERY-round (r4) bounds the plan at one
+      generation but pays a parquet write+read+count per round — a
+      2.1x constant-factor regression at the registered queries'
+      3-round operating point.
+
+    So: persist between checkpoints (at most TWO cached generations —
+    a round's cache may only be dropped once its successor's cache is
+    populated, which happens during the next round's top-pair
+    collect), and scratch-checkpoint every ``_CHECKPOINT_EVERY``
+    rounds, unpersisting the cached generations and deleting the
+    superseded scratch dir. Plan depth and block-manager state are
+    bounded by the cadence no matter how many rounds run; rounds
+    below the cadence (every registered query) never touch disk."""
+
+    def __init__(self) -> None:
+        self.dir: str | None = None
+        self.caches: list[DataFrame] = []
+
+    def advance(
+        self, df: DataFrame, round_no: int, count: bool = True
+    ) -> tuple[DataFrame, int | None]:
+        import shutil
+
+        if round_no % _CHECKPOINT_EVERY == 0:
+            out, d, n = _scratch_checkpoint(df, count)
+            for c in self.caches:
+                c.unpersist()
+            self.caches = []
+            if self.dir is not None:
+                shutil.rmtree(self.dir, ignore_errors=True)
+            self.dir = d
+            return out, n
+        cached = df.persist()
+        n = int(cached.count()) if count else None
+        self.caches.append(cached)
+        while len(self.caches) > 2:
+            self.caches.pop(0).unpersist()
+        return cached, n
+
+    def release(self) -> None:
+        import shutil
+
+        for c in self.caches:
+            c.unpersist()
+        self.caches = []
+        if self.dir is not None:
+            shutil.rmtree(self.dir, ignore_errors=True)
+            self.dir = None
 
 
 def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFrame:
     """(round, merge_pair, pair_cnt, n_tokens_after) per round.
 
-    The loop is EAGER with O(1) driver/executor state per round: the
-    learned pair is collected (1 row) and re-broadcast as a literal,
-    the rewritten corpus is checkpointed to scratch parquet
-    (:func:`_materialize_round` — true lineage truncation; r3's
-    persist-per-round kept every generation nested in the plan and
-    compounded per-round cost), and the superseded round's files are
-    deleted. Block-manager and plan size are flat no matter how many
-    rounds run — the 32-round curve is in docs/SCALE.md."""
+    The loop is EAGER with bounded driver/executor state: the learned
+    pair is collected (1 row) and re-broadcast as a literal (which
+    truncates the TOP side's lineage), and the rewritten corpus
+    advances through :class:`_ChainState` — memory persist per round,
+    scratch checkpoint every ``_CHECKPOINT_EVERY`` rounds. All scratch
+    and cache state is released before returning (the result is a
+    literal frame)."""
     spark = docs.sparkSession
     tp = _tokens_positions(docs, text_col)
-    cur_dir = None
+    chain = _ChainState()
     rows = []
     for r in range(1, iters + 1):
         paired = _paired(tp)
         top_lit, pair, cnt = _collect_top(paired)
-        tp, cur_dir, n_after = _materialize_round(
-            apply_merge(paired, top_lit), cur_dir
-        )
+        tp, n_after = chain.advance(apply_merge(paired, top_lit), r)
         rows.append((r, pair, cnt, n_after))
-    if cur_dir is not None:
-        import shutil
-
-        shutil.rmtree(cur_dir, ignore_errors=True)  # result is literal
+    chain.release()
     return spark.createDataFrame(
         rows,
         "round long, merge_pair string, pair_cnt long, n_tokens_after long",
     )
+
+
+def bpe_learn(
+    docs: DataFrame, iters: int = 3, text_col: str = "text"
+) -> list[str]:
+    """Learn ``iters`` merges and return the SEP-joined pair strings
+    in priority (learning) order — the artifact a production tokenizer
+    ships. The loop is :func:`bpe_train`'s (eager, bounded chain
+    state) without the per-round row counts; feed the result to
+    :func:`bpe_apply_vocab` for the one-pass corpus tokenization."""
+    tp = _tokens_positions(docs, text_col)
+    chain = _ChainState()
+    merges: list[str] = []
+    for r in range(1, iters + 1):
+        paired = _paired(tp)
+        top_lit, pair, _cnt = _collect_top(paired)
+        tp, _ = chain.advance(apply_merge(paired, top_lit), r, count=False)
+        merges.append(pair)
+    chain.release()
+    return merges
+
+
+BPE_APPLY_SCHEMA = "doc_id long, n_before long, n_after long, n_merged long"
+
+
+def bpe_apply_vocab(
+    docs: DataFrame, merges: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize a corpus with a LEARNED merge list in ONE corpus pass —
+    the production apply path. The per-round relational rewrite is the
+    right *training* shape (pair counts need the corpus), but
+    *application* cost there is one full-corpus rewrite per merge; a
+    real tokenizer has ~30k merges, so apply must be one pass that
+    carries the whole vocabulary with it.
+
+    The merge list (O(vocab) bytes) ships to every task as a closure
+    constant — the same bytes a broadcast variable would ship — and an
+    Arrow-batched ``mapInPandas`` applies ALL merges per document in
+    priority order. Tokenization stays JVM-side (the identical
+    ``split(trim(lower(text)))`` expression as ``_tokens_positions``,
+    so the Python side cannot diverge on whitespace/locale semantics);
+    per document, each merge is a greedy left-to-right non-overlapping
+    scan — exactly ``apply_merge``'s run-parity semantics, proven
+    equivalent by the t28 oracle gate which unrolls the relational
+    rewrite round by round. A merged token IS its SEP-joined pair
+    string, so matching compares ``tok + SEP + nxt`` against the pair
+    string and no ambiguous splitting of SEP-embedded tokens occurs.
+    A per-doc substring prefilter (pair in SEP-joined doc; false
+    positives harmless, false negatives impossible) skips absent
+    merges at C speed, which is the common case once the vocabulary
+    outgrows any one document.
+
+    Returns the same per-doc stats frame as :func:`bpe_train_apply`:
+    (doc_id, n_before, n_after, n_merged). Zero shuffles, zero
+    per-merge jobs: one corpus scan regardless of vocabulary size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    merge_list = list(merges)
+
+    def tokenize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                toks = list(toks)
+                n_before = len(toks)
+                joined = SEP.join(toks)
+                for pair in merge_list:
+                    if pair not in joined:
+                        continue
+                    merged = []
+                    i = 0
+                    n = len(toks)
+                    changed = False
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and toks[i] + SEP + toks[i + 1] == pair
+                        ):
+                            merged.append(pair)
+                            i += 2
+                            changed = True
+                        else:
+                            merged.append(toks[i])
+                            i += 1
+                    if changed:
+                        toks = merged
+                        joined = SEP.join(toks)
+                n_merged = sum(1 for t in toks if SEP in t)
+                out_rows.append((doc_id, n_before, len(toks), n_merged))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "n_before", "n_after", "n_merged"],
+            )
+
+    toks_df = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    return toks_df.mapInPandas(tokenize_batches, schema=BPE_APPLY_SCHEMA)
 
 
 def bpe_train_apply(
@@ -223,15 +369,19 @@ def bpe_train_apply(
     both chains are rewritten with that (literal, broadcast) pair via
     the same run-parity ``apply_merge`` — application is the identical
     relational rewrite with a fixed pair, so the apply path inherits
-    training's partition-parallel scale shape. The loop is eager with
-    the same scratch-checkpoint discipline as :func:`bpe_train` (one
-    on-disk round per chain, superseded rounds deleted, the train
-    chain's files released entirely once merges are learned). Returns
-    per-apply-doc stats: (doc_id, n_before, n_after, n_merged) where
-    n_merged counts tokens containing a learned merge (the SEP
-    marker). The returned frame scans the FINAL apply-chain scratch
-    files, so that one directory outlives the call (tmpfs, one round's
-    tokens; freed on reboot or by the caller's scratch lifecycle)."""
+    training's partition-parallel scale shape. The train chain is
+    eager (its top-pair collect executes each round) with
+    :class:`_ChainState`'s bounded persist+checkpoint discipline; the
+    APPLY chain builds lazily — its rounds have no per-round consumer,
+    so all rounds between checkpoints fuse into ONE execution (every
+    rewrite window partitions by doc_id, so the fused plan is one
+    Exchange plus in-partition sorts) — and is scratch-checkpointed on
+    the cadence plus once at the end. Returns per-apply-doc stats:
+    (doc_id, n_before, n_after, n_merged) where n_merged counts tokens
+    containing a learned merge (the SEP marker). The returned frame
+    scans the FINAL apply-chain scratch files, so that one directory
+    outlives the call (tmpfs, one round's tokens; freed on reboot or
+    by the caller's scratch lifecycle)."""
     import shutil
 
     tp_train = _tokens_positions(train_docs, text_col)
@@ -239,18 +389,26 @@ def bpe_train_apply(
     before = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )
-    dir_t = dir_a = None
-    for _ in range(iters):
+    t_chain = _ChainState()
+    dir_a = None
+    on_scratch = False
+    for r in range(1, iters + 1):
         pt = _paired(tp_train)
         top_lit, _, _ = _collect_top(pt)
-        tp_train, dir_t, _ = _materialize_round(
-            apply_merge(pt, top_lit), dir_t
-        )
-        tp_apply, dir_a, _ = _materialize_round(
-            apply_merge(_paired(tp_apply), top_lit), dir_a
-        )
-    if dir_t is not None:
-        shutil.rmtree(dir_t, ignore_errors=True)  # merges learned
+        tp_train, _ = t_chain.advance(apply_merge(pt, top_lit), r, count=False)
+        tp_apply = apply_merge(_paired(tp_apply), top_lit)
+        on_scratch = False
+        if r % _CHECKPOINT_EVERY == 0:
+            tp_apply, d, _ = _scratch_checkpoint(tp_apply, count=False)
+            if dir_a is not None:
+                shutil.rmtree(dir_a, ignore_errors=True)
+            dir_a = d
+            on_scratch = True
+    t_chain.release()  # merges learned
+    if not on_scratch:
+        tp_apply, d, _ = _scratch_checkpoint(tp_apply, count=False)
+        if dir_a is not None:
+            shutil.rmtree(dir_a, ignore_errors=True)
     after = tp_apply.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_after"),
         F.sum(F.col("tok").contains(SEP).cast("int"))

@@ -4666,7 +4666,7 @@ def _bpe_train_apply_oracle(
                      false) AS prev_acc
   FROM {p}d
 ),
-{nxt} AS (
+{nxt} AS MATERIALIZED (
   SELECT doc_id,
          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
               AS BIGINT) AS pos,
@@ -4674,13 +4674,18 @@ def _bpe_train_apply_oracle(
   FROM {p}e WHERE NOT prev_acc
 )"""
 
+    # Chain CTEs are MATERIALIZED: t{{k}} is referenced twice (next
+    # round's pair count + its own rewrite), so an inlining planner
+    # would expand the recursive chain with branching factor 2 —
+    # exponential in rounds (observed as file-handle exhaustion at 32
+    # rounds). Materialization forces one evaluation per round: linear.
     parts = [
-        f"""t0 AS (
+        f"""t0 AS MATERIALIZED (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents {train_where}),
        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
 ),
-h0 AS (
+h0 AS MATERIALIZED (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents {apply_where}),
        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
@@ -4756,6 +4761,42 @@ def _t27_oracle() -> str:
         f" < '{rate_threshold_hex(_T27_RATE)}'"
     )
     return _bpe_train_apply_oracle(predicate, "", _T27_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# T28 — the PRODUCTION tokenizer apply path: learn a 32-merge
+# vocabulary on the hash sample (t27's train split), then tokenize the
+# FULL corpus in ONE mapInPandas pass that carries the whole merge
+# list (operators/bpe.py::bpe_apply_vocab). t25/t27's per-round
+# relational rewrite is the right TRAINING shape but its apply cost is
+# one full-corpus rewrite per merge — a real tokenizer has ~30k
+# merges, so apply must be rounds-independent: broadcast the learned
+# vocabulary, one corpus scan, priority-ordered greedy merging per
+# document. The oracle unrolls all 32 rounds of the relational
+# rewrite, so the gate PROVES the one-pass greedy application
+# equivalent to the round-by-round run-parity semantics on every doc.
+# ---------------------------------------------------------------------------
+_T28_ITERS = 32
+
+
+def t28_bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.bpe import bpe_apply_vocab, bpe_learn
+    from table_demo_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = hash_sample(docs, _T27_RATE, key_col="doc_id", salt=_T27_SALT)
+    merges = bpe_learn(train, iters=_T28_ITERS)
+    return bpe_apply_vocab(docs, merges)
+
+
+def _t28_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+
+    predicate = (
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#{_T27_SALT}'), 1, 6)"
+        f" < '{rate_threshold_hex(_T27_RATE)}'"
+    )
+    return _bpe_train_apply_oracle(predicate, "", _T28_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -4916,4 +4957,5 @@ QUERIES: list[Query] = [
     Query("llm_t27_bpe_sample_train", t27_bpe_sample_train, _t27_oracle()),
     Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
     Query("llm_m15_gif_scene_cuts", m15_gif_scene_cuts, M15_ORACLE),
+    Query("llm_t28_bpe_vocab_apply", t28_bpe_vocab_apply, _t28_oracle()),
 ]

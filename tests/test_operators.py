@@ -664,6 +664,50 @@ def test_bpe_train_greedy_merge_semantics(spark):
     assert r2.n_tokens_after == 4
 
 
+def test_bpe_apply_vocab_equals_relational_rewrite(spark):
+    """The one-pass vectorized apply (bpe_apply_vocab) must produce
+    the identical per-doc stats as the per-round relational rewrite
+    (bpe_train_apply) for the same learned vocabulary — including the
+    interactions the single pass must get right: priority order,
+    overlapping candidate pairs (a,a runs), merges consuming tokens a
+    later merge would have used, and merged tokens participating in
+    later merges. 6 merges crosses a _CHECKPOINT_EVERY boundary, so
+    both chain-materialization modes are on the path."""
+    from table_demo_spark.operators.bpe import (
+        SEP,
+        bpe_apply_vocab,
+        bpe_learn,
+        bpe_train_apply,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "a a a a b c d"),
+            (2, "a a c a b"),
+            (3, "b c d a a b c"),
+            (4, "d d a b c a a"),
+        ],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [
+            (10, "a a a b c d d"),
+            (11, "c a b x y"),
+            (12, "q r s"),  # no merges apply
+            (13, ""),
+        ],
+        "doc_id long, text string",
+    )
+    iters = 6
+    want = sorted(
+        map(tuple, bpe_train_apply(train, held, iters=iters).collect())
+    )
+    merges = bpe_learn(train, iters=iters)
+    assert len(merges) == iters and all(SEP in m for m in merges)
+    got = sorted(map(tuple, bpe_apply_vocab(held, merges).collect()))
+    assert got == want
+
+
 def test_split_hot_join_equals_plain_join(spark):
     """The hot/cold split is a pure execution rewrite: result equals
     the plain inner join for thresholds that route rows to both

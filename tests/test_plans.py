@@ -94,6 +94,7 @@ _PYTHON_ALLOWED = {
     "llm_m13_wav_energy",  # MapInPandas (real RIFF/WAVE PCM decode)
     "llm_m14_png_luma",  # MapInPandas (real PNG inflate+unfilter decode)
     "llm_m15_gif_scene_cuts",  # MapInPandas (real GIF LZW decode feeding lag window)
+    "llm_t28_bpe_vocab_apply",  # MapInPandas (one-pass vocab apply, merge list in closure)
 }
 
 
