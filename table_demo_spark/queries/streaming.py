@@ -87,6 +87,58 @@ class _state_partitions:
         )
 
 
+# Transient executor/worker spawn failures at stream start: under heavy
+# concurrent load a Python worker can fail to connect back before the
+# stream has processed a single offset (observed once in the driver's
+# 32-core concurrent run, CORRECTNESS_r04 stream_q7; reproduces green
+# solo with identical code). At cluster scale transient worker/executor
+# spawn failures are normal and the harness must absorb them: the
+# *_final wrappers get ONE bounded retry — a full re-run of the wrapper
+# body, which creates a fresh sink and a fresh checkpoint, so the retry
+# is a from-scratch run, never a resume of partial state. The retry is
+# deliberately narrow: only worker-connect failure signatures, and only
+# when NO micro-batch committed (a failure after committed offsets may
+# be a real defect and must surface).
+_WORKER_CONNECT_MARKERS = (
+    "Python worker failed to connect back",
+    "Python worker exited unexpectedly",
+)
+
+
+class _TransientStreamStartError(RuntimeError):
+    """A stream died with a worker-spawn signature before committing
+    any micro-batch — a from-scratch retry is sound."""
+
+
+def _raise_drain_failure(query, exc: Exception) -> None:
+    """Re-raise ``exc`` as retryable iff it matches a worker-connect
+    signature and the stream committed nothing."""
+    msg = str(exc)
+    if any(m in msg for m in _WORKER_CONNECT_MARKERS):
+        try:
+            committed = bool(query.recentProgress)
+        except Exception:
+            committed = True  # can't prove zero offsets -> don't retry
+        if not committed:
+            raise _TransientStreamStartError(msg) from exc
+    raise exc
+
+
+def _with_start_retry(fn):
+    """Wrap a ``*_final`` driver query with one bounded from-scratch
+    retry on :class:`_TransientStreamStartError` (see above)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            return fn(spark, sf_dir)
+        except _TransientStreamStartError:
+            return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     """Process all available data, then wait for watermark-driven
     no-data batches (event-time timeouts) to finish flushing.
@@ -103,13 +155,19 @@ def _drain(query, size_fn, quiet_polls: int = 4, timeout_s: float = 120.0):
     the loop only *observes* (status + progress reads, no extra batch
     executions), and a poll taken mid-batch never counts toward
     stability — a slow flush batch can't be mistaken for quiescence."""
-    query.processAllAvailable()
+    try:
+        query.processAllAvailable()
+    except Exception as e:
+        _raise_drain_failure(query, e)
     prev, stable, deadline = None, 0, time.time() + timeout_s
     while stable < quiet_polls and time.time() < deadline:
         if query.status.get("isTriggerActive") or query.status.get(
             "isDataAvailable"
         ):
-            query.processAllAvailable()
+            try:
+                query.processAllAvailable()
+            except Exception as e:
+                _raise_drain_failure(query, e)
             stable, prev = 0, None
             continue
         lp = query.lastProgress or {}
@@ -1079,3 +1137,7 @@ QUERIES: list[Query] = [
         _q25_oracle(),
     ),
 ]
+
+# Every stream wrapper gets the bounded worker-spawn retry (fresh
+# sink + fresh checkpoint per attempt; see _with_start_retry).
+QUERIES = [q._replace(spark_fn=_with_start_retry(q.spark_fn)) for q in QUERIES]

@@ -863,3 +863,76 @@ def test_http_sink_stream_restart_converges(spark, tmp_path):
         assert first == want and second == want
     finally:
         server.close()
+
+
+def test_drain_retry_classifies_and_retries_worker_spawn_failures():
+    """The bounded stream-start retry must (a) re-run the wrapper
+    exactly once on a worker-connect failure with zero committed
+    batches, (b) NOT retry other failures, (c) NOT retry when any
+    micro-batch committed, and (d) surface the second failure if the
+    retry also dies — the narrow contract that absorbs transient
+    executor/worker spawn flakes without masking real defects."""
+    import pytest as _pytest
+
+    from table_demo_spark.queries.streaming import (
+        _TransientStreamStartError,
+        _raise_drain_failure,
+        _with_start_retry,
+    )
+
+    class _FakeQuery:
+        def __init__(self, progress):
+            self.recentProgress = progress
+
+    # classification: marker + no progress -> retryable
+    with _pytest.raises(_TransientStreamStartError):
+        _raise_drain_failure(
+            _FakeQuery([]),
+            RuntimeError("Python worker failed to connect back"),
+        )
+    # marker but a committed batch -> NOT retryable
+    with _pytest.raises(RuntimeError) as ei:
+        _raise_drain_failure(
+            _FakeQuery([{"batchId": 0}]),
+            RuntimeError("Python worker failed to connect back"),
+        )
+    assert not isinstance(ei.value, _TransientStreamStartError)
+    # other failures -> NOT retryable
+    with _pytest.raises(ValueError):
+        _raise_drain_failure(_FakeQuery([]), ValueError("schema mismatch"))
+
+    # retry loop: one bounded re-run, success on second attempt
+    calls = []
+
+    @_with_start_retry
+    def flaky(spark, sf_dir):
+        calls.append(1)
+        if len(calls) == 1:
+            raise _TransientStreamStartError("worker flake")
+        return "ok"
+
+    assert flaky(None, None) == "ok" and len(calls) == 2
+
+    # both attempts failing surfaces the error (no infinite retry)
+    calls2 = []
+
+    @_with_start_retry
+    def dead(spark, sf_dir):
+        calls2.append(1)
+        raise _TransientStreamStartError("persistent")
+
+    with _pytest.raises(_TransientStreamStartError):
+        dead(None, None)
+    assert len(calls2) == 2
+
+    # non-transient errors pass straight through, one attempt only
+    calls3 = []
+
+    @_with_start_retry
+    def broken(spark, sf_dir):
+        calls3.append(1)
+        raise ValueError("real bug")
+
+    with _pytest.raises(ValueError):
+        broken(None, None)
+    assert len(calls3) == 1
