@@ -1087,8 +1087,10 @@ def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink. The final sink must equal batch d2 EXACTLY (same bands, same
     threshold) — arrival order never changes the answer, cross-band
     and replayed duplicate candidates converge by upsert idempotency.
-    The 4-shard default run crosses one compaction boundary
-    (Q25_COMPACT_EVERY=4), so store compaction is driver-gated too."""
+    The 4-shard default run crosses the geometric size trigger
+    (Q25_COMPACT_MIN_ROWS at sf0.01), so store compaction is
+    driver-gated too; retention stays infinite here — that is what
+    makes the final state equal batch d2 exactly."""
     from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
     from table_demo_spark.streaming.queries import run_q25_streaming_neardup
 

@@ -2058,9 +2058,14 @@ def q22_full_outer_join_stream(
 #      pair (cross-band and replayed duplicates converge by upsert
 #      idempotency);
 #   4. appends the new keys to the band-store;
-#   5. every Q25_COMPACT_EVERY batches, compacts both stores: rewrite
-#      deduplicated into a fresh generation (bounds file count AND
-#      removes replay-duplicated rows).
+#   5. compacts a store when its uncompacted delta exceeds
+#      max(Q25_COMPACT_MIN_ROWS, size at last compaction) — the
+#      geometric LSM-style trigger (BucketedStateStore.should_compact):
+#      rewrite deduplicated into a fresh generation (bounds file count
+#      AND removes replay-duplicated rows) at O(delta) cost per
+#      rewrite, never the r4 fixed-cadence O(history)/batch. With the
+#      retention knob set, rows older than the window are dropped
+#      during the same rewrite (state TTL riding compaction).
 #
 # Why relational state instead of applyInPandasWithState buckets: the
 # (band, key) domain has ~6 groups per document — at crawl scale that
@@ -2091,7 +2096,12 @@ def q22_full_outer_join_stream(
 # ---------------------------------------------------------------------------
 
 Q25_BUCKETS = 8
-Q25_COMPACT_EVERY = 4  # fires within the default 4-shard driver run
+# Size-triggered compaction floor: with the geometric trigger below,
+# compaction fires once the uncompacted delta exceeds max(this floor,
+# the store size at the last compaction). Low enough that the gated
+# sf0.01 run exercises the compaction path; production tunes it to
+# shard-sized deltas.
+Q25_COMPACT_MIN_ROWS = 1_000
 
 
 class BucketedStateStore:
@@ -2124,6 +2134,12 @@ class BucketedStateStore:
         self.n_buckets = n_buckets
         self.gen = 0
         self.root = scratch_dir(f"tds-{base_name}-")
+        # Compaction-policy counters (driver-resident, like the
+        # generation pointer; a restart re-learns them from the first
+        # post-restart compaction — they steer a performance policy,
+        # never correctness).
+        self.rows_since_compact = 0
+        self.rows_at_compact = 0
 
     @property
     def table(self) -> str:
@@ -2156,23 +2172,53 @@ class BucketedStateStore:
             .option("path", self._path(self.gen))
             .saveAsTable(self.table)
         )
+        # Row count for the compaction trigger: the caller appends
+        # persisted batch frames, so this count reads the cache the
+        # write just populated — no recomputation.
+        self.rows_since_compact += df.count()
 
-    def compact(self, dedup_cols: list[str]) -> None:
+    def should_compact(self, min_rows: int = Q25_COMPACT_MIN_ROWS) -> bool:
+        """Geometric (LSM-style) trigger: compact once the uncompacted
+        DELTA exceeds max(min_rows, store size at last compaction) —
+        i.e. the store has at least doubled. At compaction time
+        store_size <= 2x delta, so every rewrite costs O(delta), never
+        O(history): a row appended once is rewritten O(log n) times
+        over the store's lifetime instead of once per fixed-cadence
+        compaction (the r4 design's amortized O(history)/batch). The
+        read-side guards (self-pair filter, candidate distinct,
+        pair-key dedup) make replay-duplicated rows harmless in the
+        meantime, so deferring dedup is sound."""
+        return self.rows_since_compact >= max(min_rows, self.rows_at_compact)
+
+    def compact(self, dedup_cols: list[str], keep=None) -> None:
         """Rewrite the store deduplicated into generation gen+1, then
         drop the old generation — bounds both file count (appends
         accumulate n_buckets files per batch) and replay-duplicated
-        rows. The new generation is written to a different location
-        before the old table is dropped, so a failure mid-compaction
-        leaves the old generation intact."""
+        rows. ``keep`` (an optional boolean Column) is the state-
+        retention knob: rows failing the predicate are dropped during
+        the rewrite — the reference's idle-state retention
+        (TaxiRideQueries.scala:99 withIdleStateRetentionTime) applied
+        to relational state, with expiry riding the compaction the way
+        TTLs ride LSM compactions. The new generation is written to a
+        different location before the old table is dropped, so a
+        failure mid-compaction leaves the old generation intact."""
         import shutil
 
         if not self.exists():
             return
         old_table, old_path = self.table, self._path(self.gen)
+        # Appends run through the micro-batch's CLONED session: refresh
+        # THIS session's relation cache or the rewrite reads a stale
+        # file listing and silently drops the latest appends (latent in
+        # the r4 fixed-cadence design, where compaction only ever ran
+        # after the final data batch; fatal with mid-run triggers).
+        self.spark.catalog.refreshTable(old_table)
         self.gen += 1
+        base = self.spark.table(old_table)
+        if keep is not None:
+            base = base.filter(keep)
         (
-            self.spark.table(old_table)
-            .dropDuplicates(dedup_cols)
+            base.dropDuplicates(dedup_cols)
             .repartition(self.n_buckets, self.bucket_col)
             .write.format("parquet")
             .mode("overwrite")
@@ -2183,6 +2229,8 @@ class BucketedStateStore:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {old_table}")
         shutil.rmtree(old_path, ignore_errors=True)
+        self.rows_at_compact = self.frame().count()  # parquet footers
+        self.rows_since_compact = 0
 
     def drop(self) -> None:
         import shutil
@@ -2292,11 +2340,21 @@ def run_q25_streaming_neardup(
     sink=None,
     files_per_trigger: int = 1,
     n_shards: int = 4,
+    retention_batches: int | None = None,
 ):
     """Continuous LSH near-dup over the staged crawl shards. Returns
     (sink, query, cleanup); the sink converges to the batch d2 pair
     set. ``cleanup()`` drops the two bucketed state-store tables —
-    call it after the final sink snapshot is taken."""
+    call it after the final sink snapshot is taken.
+
+    ``retention_batches`` is the state-retention (TTL) knob: when set,
+    store rows whose ``seen_batch`` is more than that many batches old
+    are dropped at the next compaction — a doc whose band keys expired
+    can no longer pair with NEW arrivals (its already-emitted pairs
+    stay in the sink). This is the reference's idle-state retention
+    semantics applied to relational state; the registered driver query
+    leaves it None (infinite retention), which is what makes the final
+    state equal batch d2 exactly."""
     import uuid
 
     from table_demo_spark.operators.dedup import (
@@ -2326,7 +2384,7 @@ def run_q25_streaming_neardup(
         sh_new = shingle_sets(batch_docs).persist()
         # Shingle-store append FIRST: the verify step must see the
         # batch's own docs (a pair may be new x new).
-        shingles.append(sh_new)
+        shingles.append(sh_new.withColumn("seen_batch", F.lit(batch_id)))
         new_keys = q25_band_skey(
             band_keys_frame(minhash_signatures(sh_new))
         ).persist()
@@ -2343,12 +2401,21 @@ def run_q25_streaming_neardup(
         sink.apply_batch(verified, batch_id)
         # Band-store append AFTER the probe: the batch must not meet
         # its own keys on the first (non-replayed) execution.
-        bands.append(new_keys)
+        bands.append(new_keys.withColumn("seen_batch", F.lit(batch_id)))
         sh_new.unpersist()
         new_keys.unpersist()
-        if (batch_id + 1) % Q25_COMPACT_EVERY == 0:
-            bands.compact(["doc_id", "skey"])
-            shingles.compact(["doc_id"])
+        # Size-triggered (geometric) compaction — cost bounded by the
+        # delta, not the history; expiry rides the rewrite when the
+        # retention knob is set.
+        keep = (
+            F.col("seen_batch") > batch_id - retention_batches
+            if retention_batches is not None
+            else None
+        )
+        if bands.should_compact():
+            bands.compact(["doc_id", "skey"], keep=keep)
+        if shingles.should_compact():
+            shingles.compact(["doc_id"], keep=keep)
 
     query = (
         docs.writeStream.outputMode("append")

@@ -936,3 +936,56 @@ def test_drain_retry_classifies_and_retries_worker_spawn_failures():
     with _pytest.raises(ValueError):
         broken(None, None)
     assert len(calls3) == 1
+
+
+def test_bucketed_store_geometric_compaction_and_ttl(spark):
+    """BucketedStateStore's size-triggered compaction: the trigger
+    fires when the uncompacted delta exceeds max(floor, size at last
+    compaction) — so rewrite cost is always O(delta) — and the
+    ``keep`` predicate drops expired rows during the rewrite (the
+    state-retention knob). Replay-duplicated rows are swept by the
+    dedup columns."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.streaming.queries import BucketedStateStore
+
+    store = BucketedStateStore(
+        spark, f"test_q25_ttl_{uuid.uuid4().hex[:8]}", "skey"
+    )
+    try:
+        def batch(batch_id, n):
+            return spark.createDataFrame(
+                [(batch_id * 1000 + i, f"k{i % 7}", batch_id) for i in range(n)],
+                "doc_id long, skey string, seen_batch long",
+            )
+
+        # floor not reached -> no trigger
+        store.append(batch(0, 10))
+        assert not store.should_compact(min_rows=100)
+        # floor crossed -> trigger; compaction resets the counters
+        store.append(batch(1, 95))
+        assert store.should_compact(min_rows=100)
+        store.compact(["doc_id", "skey"])
+        assert store.rows_at_compact == 105 and store.rows_since_compact == 0
+        # geometric: the next trigger needs a delta >= the store size
+        # at last compaction (105), not the floor
+        store.append(batch(2, 100))
+        assert not store.should_compact(min_rows=100)
+        store.append(batch(3, 10))
+        assert store.should_compact(min_rows=100)
+
+        # replay dup sweep: re-append batch 3 (same rows), compact
+        store.append(batch(3, 10))
+        store.compact(["doc_id", "skey"])
+        assert store.frame().count() == 215  # 105 + 100 + 10, dups gone
+
+        # TTL: drop everything older than batch 2 during the rewrite
+        store.compact(["doc_id", "skey"], keep=F.col("seen_batch") >= 2)
+        got = store.frame()
+        assert got.count() == 110
+        assert got.agg(F.min("seen_batch")).collect()[0][0] == 2
+        assert store.rows_at_compact == 110
+    finally:
+        store.drop()
