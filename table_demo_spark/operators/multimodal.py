@@ -369,6 +369,20 @@ def _md5_stream(key: str, n_blocks: int, salt: str) -> bytes:
     )
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """doc_id frame repartitioned to the cluster's parallelism. The
+    payload builders' cost is CPU-bound Python (encode) and everything
+    downstream of them is CPU-bound decode, so their parallelism must
+    not be inherited from the input's FILE layout — a single-file
+    fixture would otherwise serialize the whole codec path into one
+    task (measured: m14's full-corpus PNG decode 10.4 s on the 1-file
+    sf0.1 fixture vs 4.0 s on a 10x corpus stored as 32 files). The
+    shuffle moves only doc_id longs — O(docs) bytes, negligible
+    against the codec work it parallelizes."""
+    ids = docs.select("doc_id")
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def with_ppm_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a real binary-PPM image per document, pixel
     bytes drawn from the doc's md5 stream (byte o = hex pair o%16 of
@@ -389,7 +403,7 @@ def with_ppm_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
     )
 
@@ -421,7 +435,7 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
     )
 
@@ -457,7 +471,7 @@ def with_gif_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
     )
 
@@ -507,7 +521,7 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
     )
 

@@ -4532,8 +4532,15 @@ WHERE rank <= {ANN_K}
 # doc is quarantined (dropped from train, never silently kept).
 #
 # Scale: the pair discovery is exactly d2's equi-join cascade; the
-# split label is a row-local expression; the quarantine set is a tiny
-# doc_id frame broadcast into one left join.
+# split label is a row-local expression; the quarantine set joins back
+# in one left join WITHOUT a forced broadcast hint — in a clean corpus
+# it is tiny and the planner broadcasts it anyway, but in a
+# duplicate-heavy crawl (the realistic case) nearly every train doc
+# can be near-dup to some test doc, making the quarantine set O(docs);
+# a forced F.broadcast() there OOMs the driver (observed at the 10x
+# fixture, whose shifted copies are mutual near-dups). Leaving the
+# decision to the size threshold keeps the fast path when it is valid
+# and degrades to a shuffle join when it is not.
 # ---------------------------------------------------------------------------
 
 
@@ -4553,19 +4560,23 @@ def p16_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("is_test").alias("test_b")
     )
     cross = pairs.join(la, "doc_a").join(lb, "doc_b")
+    # One pass over the mixed pairs (the TRAIN member of each is the
+    # contaminated doc) — the two-filter UNION formulation executed the
+    # whole d2 cascade once per branch, and in a duplicate-heavy corpus
+    # the branches' concurrent broadcast builds exhausted driver memory
+    # (observed at the 10x fixture).
     contaminated = (
-        cross.filter(~F.col("test_a") & F.col("test_b"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(
-            cross.filter(F.col("test_a") & ~F.col("test_b")).select(
-                F.col("doc_b").alias("doc_id")
-            )
+        cross.filter(F.col("test_a") != F.col("test_b"))
+        .select(
+            F.when(F.col("test_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
         )
         .distinct()
         .withColumn("__quarantine", F.lit(True))
     )
     return (
-        labeled.join(F.broadcast(contaminated), "doc_id", "left")
+        labeled.join(contaminated, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_test"), "test")

@@ -1279,7 +1279,7 @@ def tws_available() -> bool:
     container ships pyspark without google.protobuf (and installs are
     off), so the capability is probed, never assumed.
 
-    Re-probed round 4 (2026-08-14): ``import google.protobuf`` still
+    Re-probed round 5 (2026-08-14): ``import google.protobuf`` still
     raises ModuleNotFoundError in-container, so q15 (and q3 level 1)
     continue on the GroupState fallback. If the probe ever flips,
     run_q15 picks up the modern API with no code change."""
