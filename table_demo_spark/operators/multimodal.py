@@ -378,9 +378,12 @@ def _spread_ids(docs: DataFrame) -> DataFrame:
     task (measured: m14's full-corpus PNG decode 10.4 s on the 1-file
     sf0.1 fixture vs 4.0 s on a 10x corpus stored as 32 files). The
     shuffle moves only doc_id longs — O(docs) bytes, negligible
-    against the codec work it parallelizes."""
-    ids = docs.select("doc_id")
-    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    against the codec work it parallelizes — and is skipped entirely
+    when the scan already has enough file splits (fan_out's guard), so
+    a 100 TB multi-file input adds no Exchange."""
+    from table_demo_spark.sources.batch import fan_out
+
+    return fan_out(docs.select("doc_id"))
 
 
 def with_ppm_payload(docs: DataFrame) -> DataFrame:

@@ -44,13 +44,55 @@ _TS_COLUMNS = {
 }
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to the Python workers, once per SparkContext.
+
+    Workers resolve ``table_demo_spark`` through their own sys.path —
+    NOT the driver's runtime ``sys.path`` edits. When the driver
+    happens to run with the repo as its cwd, workers find the package
+    by cwd inheritance (local mode) and everything works by accident;
+    any other launch directory — and every real cluster, where
+    executors share nothing with the driver — breaks the first
+    closure that references a module-level function
+    (``ModuleNotFoundError`` at unpickle, observed running the driver
+    contract from a scratch cwd). Zipping the package (~100 KB of .py)
+    to scratch and ``addPyFile``-ing it makes the engine cwd- and
+    cluster-agnostic: the standard ``--py-files`` submission, done for
+    the caller."""
+    import os
+    import zipfile
+
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import table_demo_spark
+
+    from table_demo_spark.scratch import scratch_dir
+
+    pkg_dir = os.path.dirname(os.path.abspath(table_demo_spark.__file__))
+    zpath = os.path.join(scratch_dir("tds-pyfiles-"), "table_demo_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
-    """The engine's two session invariants, enforced on ANY session the
+    """The engine's session invariants, enforced on ANY session the
     caller hands us (the driver builds a vanilla one): nanos timestamps
-    readable, and UTC so NTZ->LTZ casts are deterministic. Both are
-    runtime SQL confs, safe to set repeatedly."""
+    readable, UTC so NTZ->LTZ casts are deterministic, and the package
+    importable on Python workers. All safe to apply repeatedly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_package_on_workers(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -163,8 +163,9 @@ def ensure_emit_ordered(
     if os.path.exists(os.path.join(final, _MARKER)):
         return final
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from table_demo_spark.sources.batch import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     df = spark.read.parquet(path)
     src_cols = list(df.columns)
 

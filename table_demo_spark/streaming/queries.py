@@ -2309,6 +2309,9 @@ def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> s
     import shutil
     import tempfile
 
+    from table_demo_spark.sources.batch import _ensure_session_confs
+
+    _ensure_session_confs(spark)  # incl. shipping the package to workers
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     digest = hashlib.md5(
