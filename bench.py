@@ -142,8 +142,9 @@ HEADLINE = [
     "llm_m13_wav_energy",
     "llm_m14_png_luma",
     "llm_m15_gif_scene_cuts",
-    # llm_t28_bpe_vocab_apply is deliberately NOT here: its wall time
-    # is 32 sequential sample-train rounds (pure job latency on tiny
+    # llm_t28_bpe_vocab_apply and stream_q26_stream_tokenize are
+    # deliberately NOT here: their wall time is dominated by the
+    # sequential sample-train rounds (pure job latency on tiny
     # per-round data), which would swamp the headline total without
     # measuring dataflow. The apply pass itself is one corpus scan;
     # scale rationale in docs/SCALE.md, rationale in BASELINE.md.

@@ -1104,6 +1104,37 @@ def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q26_stream_tokenize_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous one-pass BPE tokenization of the crawl with an
+    offline-learned vocabulary (streaming t28): merges learned batch-
+    side on the deterministic hash sample, each micro-batch tokenized
+    by a STATELESS Arrow-batched map — no state store, no watermark,
+    O(batch) per trigger — into the native parquet append sink. Final
+    sink contents = per-doc stats for the whole corpus, gated against
+    the fully unrolled relational rewrite oracle."""
+    from table_demo_spark.streaming.queries import run_q26_stream_tokenize
+
+    sink = None
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q26_stream_tokenize(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "n_before", "n_after", "n_merged"
+    )
+
+
+def _q26_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+    from table_demo_spark.queries.llmops import _bpe_train_apply_oracle
+    from table_demo_spark.streaming.queries import _Q26_ITERS
+
+    predicate = (
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#bpetrain'), 1, 6)"
+        f" < '{rate_threshold_hex(0.25)}'"
+    )
+    return _bpe_train_apply_oracle(predicate, "", _Q26_ITERS)
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -1138,6 +1169,7 @@ QUERIES: list[Query] = [
         q25_streaming_neardup_final,
         _q25_oracle(),
     ),
+    Query("stream_q26_stream_tokenize", q26_stream_tokenize_final, _q26_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

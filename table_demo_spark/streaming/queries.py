@@ -2336,6 +2336,56 @@ def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> s
     return final
 
 
+# ---------------------------------------------------------------------------
+# Q26 streaming — tokenize the crawl AS IT ARRIVES with an offline-
+# learned BPE vocabulary: the production inference split. The merge
+# list is learned batch-side on the deterministic hash sample (t27/t28's
+# convention — in production, once, on yesterday's corpus snapshot) and
+# shipped into a STATELESS one-pass mapInPandas over each micro-batch
+# (operators/bpe.py::bpe_apply_vocab — the identical operator object
+# works on a streaming frame because it is a pure per-row map: no
+# state store, no watermark, append mode, O(batch) per trigger). The
+# sink is the native parquet append sink; its final contents are the
+# per-doc token stats for the whole corpus — exactly the batch t28
+# semantics, so the oracle is the unrolled relational rewrite again.
+# ---------------------------------------------------------------------------
+_Q26_ITERS = 8
+
+
+def run_q26_stream_tokenize(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+    iters: int = _Q26_ITERS,
+):
+    """Learn merges on the hash sample (batch), then tokenize the
+    staged crawl shards continuously. Returns (sink, query)."""
+    from table_demo_spark.operators.bpe import bpe_apply_vocab, bpe_learn
+    from table_demo_spark.operators.sampling import hash_sample
+    from table_demo_spark.sources.batch import load_table
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn(
+        hash_sample(docs_batch, 0.25, key_col="doc_id", salt="bpetrain"),
+        iters=iters,
+    )
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+    )
+    out = bpe_apply_vocab(stream, merges)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q26-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 def run_q25_streaming_neardup(
     spark: SparkSession,
     sf_dir: str,
