@@ -905,3 +905,62 @@ def test_distributed_rank_equals_global_row_number(spark):
             ).collect()
         }
         assert got == want, f"num_partitions={n_parts}"
+
+
+def _reference_bpe_train(token_docs, iters):
+    """Independent driver-side BPE reference: same greedy run-parity
+    semantics, implemented with none of the engine's relational
+    machinery — counts pairs with a dict, picks (max count, lexico
+    smallest pair string), merges left-to-right non-overlapping."""
+    from collections import Counter
+
+    from table_demo_spark.operators.bpe import SEP
+
+    docs = [list(t) for t in token_docs]
+    merges = []
+    for _ in range(iters):
+        counts = Counter()
+        for toks in docs:
+            for a, b in zip(toks, toks[1:]):
+                counts[a + SEP + b] += 1
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        nxt_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] + SEP + toks[i + 1] == pair:
+                    out.append(pair)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt_docs.append(out)
+        docs = nxt_docs
+    return merges
+
+
+def test_bpe_learn_matches_independent_reference(spark):
+    """The distributed trainer must learn the IDENTICAL merge sequence
+    as an independent pure-Python implementation of BPE on real
+    fixture text — an implementation-diversity check the relational
+    oracle (generated from the same constants) cannot provide. Runs
+    8 rounds so the sequence crosses a checkpoint cadence boundary."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.bpe import bpe_learn
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    # tokenize with the engine's own expression so the reference sees
+    # the identical token streams
+    token_docs = [
+        r[0]
+        for r in docs.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).collect()
+    ]
+    want = _reference_bpe_train(token_docs, iters=8)
+    got = bpe_learn(docs, iters=8)
+    assert got == want
