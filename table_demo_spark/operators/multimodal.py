@@ -630,3 +630,48 @@ def decoded_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, schema=PCM_STATS_SCHEMA)
+
+
+PCM_VAD_FRAME_SAMPLES = 32
+PCM_VAD_THRESHOLD = 524_288  # ~mean abs-sum of a 32-sample uniform frame
+
+
+def decoded_pcm_frame_energy(docs_with_payload: DataFrame) -> DataFrame:
+    """Per-frame integer energy over DECODED PCM — the real-codec
+    version of :func:`vad_frame_energy`: decode each RIFF/WAVE payload
+    (chunk walk, codecs.decode_wav), window the int16 samples into
+    fixed non-overlapping frames (complete frames only) and emit the
+    per-frame sum of absolute amplitudes, numpy-vectorized inside the
+    Arrow batch. Feed the result to :func:`vad_segments` — the
+    declarative gaps-and-islands segmentation is decode-agnostic, so
+    composing real decode + existing segmentation changes no plan
+    shape downstream."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_wav
+
+    n = PCM_VAD_FRAME_SAMPLES
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fnos: list = []
+            energies: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                k = len(samples) // n
+                if k == 0:
+                    continue
+                e = (
+                    np.abs(samples[: k * n].astype(np.int64))
+                    .reshape(k, n)
+                    .sum(axis=1)
+                )
+                ids.extend([doc_id] * k)
+                fnos.extend(range(k))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": fnos, "energy": energies}
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=VAD_FRAME_SCHEMA)

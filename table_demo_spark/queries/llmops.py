@@ -4241,6 +4241,79 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# M16 — m6's VAD segmentation over REAL decoded PCM: decode each
+# RIFF/WAVE payload (chunk walk), window the int16 samples into
+# 32-sample frames with integer abs-sum energies (numpy inside the
+# Arrow batch), then the EXISTING declarative gaps-and-islands
+# segmentation (multimodal.vad_segments) — real codec + unchanged
+# downstream plan. The oracle restates the PCM samples analytically
+# from the md5 stream (m13's CTEs) and the same segmentation in SQL,
+# so a decode bug anywhere breaks the integer value hash.
+# ---------------------------------------------------------------------------
+
+
+def m16_pcm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.decoded_pcm_frame_energy(
+        multimodal.with_wav_payload(docs)
+    )
+    return multimodal.vad_segments(
+        frames, threshold=multimodal.PCM_VAD_THRESHOLD
+    )
+
+
+M16_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#wav' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._WAV_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+),
+fr AS (
+  SELECT doc_id, s // {multimodal.PCM_VAD_FRAME_SAMPLES} AS frame_no,
+         CAST(sum(abs(v)) AS BIGINT) AS energy
+  FROM sv GROUP BY doc_id, s // {multimodal.PCM_VAD_FRAME_SAMPLES}
+),
+act AS (
+  SELECT doc_id, frame_no, energy FROM fr
+  WHERE energy > {multimodal.PCM_VAD_THRESHOLD}
+),
+g AS (
+  SELECT *, frame_no - row_number() OVER
+            (PARTITION BY doc_id ORDER BY frame_no) AS grp
+  FROM act
+),
+seg AS (
+  SELECT doc_id,
+         CAST(min(frame_no) AS BIGINT) AS start_frame,
+         CAST(max(frame_no) AS BIGINT) AS end_frame,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(energy) AS BIGINT) AS total_energy
+  FROM g GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            AS BIGINT) AS seg_no,
+       start_frame, end_frame, n_frames, total_energy
+FROM seg
+"""
+
+
 def m13_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decoded_pcm_stats(multimodal.with_wav_payload(docs))
@@ -4969,4 +5042,5 @@ QUERIES: list[Query] = [
     Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
     Query("llm_m15_gif_scene_cuts", m15_gif_scene_cuts, M15_ORACLE),
     Query("llm_t28_bpe_vocab_apply", t28_bpe_vocab_apply, _t28_oracle()),
+    Query("llm_m16_pcm_vad_segments", m16_pcm_vad_segments, M16_ORACLE),
 ]

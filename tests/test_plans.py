@@ -95,6 +95,7 @@ _PYTHON_ALLOWED = {
     "llm_m14_png_luma",  # MapInPandas (real PNG inflate+unfilter decode)
     "llm_m15_gif_scene_cuts",  # MapInPandas (real GIF LZW decode feeding lag window)
     "llm_t28_bpe_vocab_apply",  # MapInPandas (one-pass vocab apply, merge list in closure)
+    "llm_m16_pcm_vad_segments",  # MapInPandas (real RIFF decode + frame energies)
 }
 
 
