@@ -2394,6 +2394,7 @@ def run_q25_streaming_neardup(
     files_per_trigger: int = 1,
     n_shards: int = 4,
     retention_batches: int | None = None,
+    compact_min_rows: int = Q25_COMPACT_MIN_ROWS,
 ):
     """Continuous LSH near-dup over the staged crawl shards. Returns
     (sink, query, cleanup); the sink converges to the batch d2 pair
@@ -2465,9 +2466,9 @@ def run_q25_streaming_neardup(
             if retention_batches is not None
             else None
         )
-        if bands.should_compact():
+        if bands.should_compact(min_rows=compact_min_rows):
             bands.compact(["doc_id", "skey"], keep=keep)
-        if shingles.should_compact():
+        if shingles.should_compact(min_rows=compact_min_rows):
             shingles.compact(["doc_id"], keep=keep)
 
     query = (

@@ -989,3 +989,45 @@ def test_bucketed_store_geometric_compaction_and_ttl(spark):
         assert store.rows_at_compact == 110
     finally:
         store.drop()
+
+
+def test_q25_retention_ttl_limits_pairs_to_window(spark, tmp_path):
+    """End-to-end state-retention semantics: with retention_batches=1
+    and per-batch compaction, a doc's band keys survive exactly one
+    batch beyond its arrival, so pairs form only within a batch or
+    between ADJACENT batches — the reference's idle-state-retention
+    behavior on relational state. On a 12-doc corpus of mutual
+    near-duplicates staged as 4 shards (3 docs per micro-batch) the
+    pair CARDINALITY is batch-assignment-invariant: full run C(12,2) =
+    66, retention run 4*C(3,2) + 3*3*3 = 39. Already-emitted pairs are
+    never retracted (subset relation), and each batch's probe runs
+    before its compaction (adjacent pairs always found)."""
+    from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
+    from table_demo_spark.streaming.queries import run_q25_streaming_neardup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(i, text, "src0") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    def run(**kw):
+        sink, query, cleanup = run_q25_streaming_neardup(
+            spark, sf, threshold=JACCARD_THRESHOLD, n_shards=4, **kw
+        )
+        query.processAllAvailable()
+        query.stop()
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in sink.snapshot_df(spark).collect()
+        }
+        cleanup()
+        return pairs
+
+    full = run()
+    assert len(full) == 66  # C(12,2): every doc pairs with every other
+    ttl = run(retention_batches=1, compact_min_rows=1)
+    assert ttl <= full
+    assert len(ttl) == 39  # 4*C(3,2) within + 3*9 adjacent
