@@ -428,6 +428,49 @@ WHERE rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# S13 — FILTERED vector search (the production vector-store staple):
+# top-k cosine restricted to corpus rows passing a metadata predicate
+# (an IN-list of allowed classes). Strategy is PRE-filter — the
+# predicate applies before any distance work and, as an IN-list,
+# reaches the parquet scan as a pushed filter (plan-pinned:
+# In(label, ...) in PushedFilters — a modulo/arithmetic predicate
+# would NOT push, which is why the allowed set is enumerated), and
+# recall over the filtered set is exact by construction
+# (post-filtering an unfiltered top-k would return < k results
+# whenever the neighborhood is dominated by filtered-out classes).
+# At scale the same pre-filter composes with the IVF/LSH bucketed
+# variants unchanged: filter -> bucket -> probe.
+# ---------------------------------------------------------------------------
+_S13_LABELS = (0, 2, 4, 6, 8)
+
+
+def s13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label").isin(*_S13_LABELS))
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.brute_force_topk(corpus, queries_df, k=ANN_K)
+
+
+S13_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings
+      WHERE label IN {_S13_LABELS}),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cosine('q_vec', 'c_vec')} AS cos_sim
+  FROM c JOIN q ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # S2 — LSH-bucketed approximate top-k (the scale path).
 # ---------------------------------------------------------------------------
 def s2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5043,4 +5086,5 @@ QUERIES: list[Query] = [
     Query("llm_m15_gif_scene_cuts", m15_gif_scene_cuts, M15_ORACLE),
     Query("llm_t28_bpe_vocab_apply", t28_bpe_vocab_apply, _t28_oracle()),
     Query("llm_m16_pcm_vad_segments", m16_pcm_vad_segments, M16_ORACLE),
+    Query("llm_s13_filtered_ann", s13_filtered_ann, S13_ORACLE),
 ]

@@ -964,3 +964,66 @@ def test_bpe_learn_matches_independent_reference(spark):
     want = _reference_bpe_train(token_docs, iters=8)
     got = bpe_learn(docs, iters=8)
     assert got == want
+
+
+def test_codec_roundtrips_property():
+    """Property tests over the pure-numpy codecs: encode->decode is
+    the identity for arbitrary shapes, including the degenerate ones
+    (1x1 images, single-sample audio, 1-frame GIFs) where header
+    arithmetic and filter/predictor edge cases live."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_gif,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(arr)) == arr).all()
+        assert (decode_png(encode_png(arr)) == arr).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 4),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def gif_roundtrip(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        decoded, palette = decode_gif(encode_gif(frames))
+        assert (decoded == frames).all()
+        assert palette.shape == (256, 3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 600),
+        rate=st.sampled_from([8_000, 16_000, 44_100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, n).astype(np.int16)
+        got_rate, got = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate and (got == samples).all()
+
+    image_roundtrip()
+    gif_roundtrip()
+    wav_roundtrip()

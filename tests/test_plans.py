@@ -678,3 +678,12 @@ def test_top3_per_group_uses_window_group_limit(spark):
     the Spark 3.5+ optimization that makes grouped top-k scale."""
     plan = formatted_plan(_query("an_a7_window_rank")(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_filtered_ann_predicate_reaches_scan(spark):
+    """llm_s13's metadata pre-filter must appear as a pushed IN-list
+    on the embeddings scan — the property that makes filtered vector
+    search skip row groups instead of scoring then discarding."""
+    plan = formatted_plan(_query("llm_s13_filtered_ann")(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(label" in l.replace(" ", "") for l in pushed), plan
