@@ -149,6 +149,9 @@ HEADLINE = [
     # measuring dataflow. The apply pass itself is one corpus scan;
     # scale rationale in docs/SCALE.md, rationale in BASELINE.md.
     "llm_t24_heldout_lm_filter",
+    "llm_t29_gopher_rules",
+    "llm_s13_filtered_ann",
+    "llm_m16_pcm_vad_segments",
     "llm_s12_two_stage_rerank",
     "llm_p16_decontaminated_split",
     "llm_t25_bpe_encode",

@@ -4211,6 +4211,135 @@ FROM luma
 
 
 # ---------------------------------------------------------------------------
+# T29 — the Gopher quality-rule gate (Rae et al. 2021, "Scaling
+# Language Models", appendix A1.1): the published composite document
+# filter — word-count bounds, mean-word-length band, symbol-to-word
+# ratio (hash/ellipsis), bullet- and ellipsis-line fractions, and a
+# minimum count of distinct English stopwords. Every rule is stated
+# in INTEGER cross-multiplied form (no float ratios anywhere), so the
+# keep/reject decision and the first-failing-rule label are bit-exact
+# across engines. Thresholds follow the paper where the fixture makes
+# sense (3..10 mean word length, 10% symbol ratio, 90% bullet, 30%
+# ellipsis, >= 2 distinct stopwords); the word-count floor is scaled
+# to the fixture's short documents. Plan: one projection over the
+# corpus — row-local, shuffle-free, trivially 100 TB-parallel.
+# ---------------------------------------------------------------------------
+_T29_MIN_WORDS, _T29_MAX_WORDS = 10, 100_000
+_T29_STOPS = T.STOPWORDS_EN  # the, a, of, and, to, in, is
+
+
+def t29_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_hash = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("long") for w in _T29_STOPS
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("n_word_chars"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ell_lines.alias("n_ell_lines"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    words_ok = F.col("n_words").between(_T29_MIN_WORDS, _T29_MAX_WORDS)
+    mean_ok = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    symbol_ok = 10 * F.col("n_symbols") <= F.col("n_words")
+    bullet_ok = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    ell_ok = 10 * F.col("n_ell_lines") <= 3 * F.col("n_lines")
+    stop_ok = F.col("n_stop") >= 2
+    reason = (
+        F.when(~words_ok, "word_count")
+        .when(~mean_ok, "mean_word_length")
+        .when(~symbol_ok, "symbol_ratio")
+        .when(~bullet_ok, "bullet_lines")
+        .when(~ell_ok, "ellipsis_lines")
+        .when(~stop_ok, "stopwords")
+        .otherwise("pass")
+    )
+    return base.select(
+        "doc_id", "n_words", "n_word_chars", "n_symbols", "n_stop",
+        (words_ok & mean_ok & symbol_ok & bullet_ok & ell_ok & stop_ok)
+        .alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+_T29_STOP_SQL = " + ".join(
+    f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+    for w in _T29_STOPS
+)
+
+T29_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+              AS BIGINT) AS n_word_chars,
+         CAST(len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+                l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+           AS n_ell_lines,
+         CAST({_T29_STOP_SQL} AS BIGINT) AS n_stop
+  FROM tok
+),
+flags AS (
+  SELECT *,
+         n_words BETWEEN {_T29_MIN_WORDS} AND {_T29_MAX_WORDS} AS words_ok,
+         3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+           AS mean_ok,
+         10 * n_symbols <= n_words AS symbol_ok,
+         10 * n_bullet <= 9 * n_lines AS bullet_ok,
+         10 * n_ell_lines <= 3 * n_lines AS ell_ok,
+         n_stop >= 2 AS stop_ok
+  FROM base
+)
+SELECT doc_id, n_words, n_word_chars, n_symbols, n_stop,
+       words_ok AND mean_ok AND symbol_ok AND bullet_ok AND ell_ok
+         AND stop_ok AS keep,
+       CASE WHEN NOT words_ok THEN 'word_count'
+            WHEN NOT mean_ok THEN 'mean_word_length'
+            WHEN NOT symbol_ok THEN 'symbol_ratio'
+            WHEN NOT bullet_ok THEN 'bullet_lines'
+            WHEN NOT ell_ok THEN 'ellipsis_lines'
+            WHEN NOT stop_ok THEN 'stopwords'
+            ELSE 'pass' END AS fail_reason
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
 # M15 — m9's scene-cut lag-window over REAL animated-GIF frames: the
 # payload is a genuine GIF89a container (variable-code-width LZW +
 # sub-block framing, operators/codecs.py), each DECODED frame gets the
@@ -5087,4 +5216,5 @@ QUERIES: list[Query] = [
     Query("llm_t28_bpe_vocab_apply", t28_bpe_vocab_apply, _t28_oracle()),
     Query("llm_m16_pcm_vad_segments", m16_pcm_vad_segments, M16_ORACLE),
     Query("llm_s13_filtered_ann", s13_filtered_ann, S13_ORACLE),
+    Query("llm_t29_gopher_rules", t29_gopher_rules, T29_ORACLE),
 ]
