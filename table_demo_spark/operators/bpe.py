@@ -352,7 +352,16 @@ def bpe_apply_vocab(
         "doc_id",
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
     )
-    return toks_df.mapInPandas(tokenize_batches, schema=BPE_APPLY_SCHEMA)
+    # CPU-bound Python must not inherit a small input's file layout
+    # (a single-file corpus would serialize the whole merge pass into
+    # one task); fan_out's guard skips the shuffle when the scan
+    # already has enough splits — and for streaming frames (q26)
+    # always spreads the one-file micro-batch across the cluster.
+    from table_demo_spark.sources.batch import fan_out
+
+    return fan_out(toks_df).mapInPandas(
+        tokenize_batches, schema=BPE_APPLY_SCHEMA
+    )
 
 
 def bpe_train_apply(
