@@ -196,6 +196,13 @@ def main() -> None:
 
     registry["stream_q1_tumble_upsert"](spark, "/root/testdata/sf0.001")
     ensure_emit_ordered(spark, f"{sf_dir}/events.parquet")
+    # Warm the Arrow/pandas worker pool too: the first MapInPandas
+    # stage pays Python-worker spawn + Arrow init (~1 s), which would
+    # otherwise land on whichever m-family query happens to run first
+    # and masquerade as its regression.
+    registry["llm_m1_binary_meta"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
