@@ -687,3 +687,26 @@ def test_filtered_ann_predicate_reaches_scan(spark):
     plan = formatted_plan(_query("llm_s13_filtered_ann")(spark, SF_SMOKE))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("In(label" in l.replace(" ", "") for l in pushed), plan
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    """llm_t29's composite quality gate is one row-local projection:
+    ZERO exchanges — the shape that lets a 100 TB corpus be filtered
+    at scan speed."""
+    import re
+
+    plan = formatted_plan(_query("llm_t29_gopher_rules")(spark, SF_SMOKE))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
+
+
+def test_vocab_apply_is_single_exchange_no_join(spark):
+    """llm_t28's one-pass apply must carry NO join (the merge list
+    travels in the task closure) and at most the fan_out round-robin
+    Exchange — a per-merge join or corpus re-shuffle would reintroduce
+    the rounds-proportional cost the operator exists to remove."""
+    import re
+
+    plan = formatted_plan(_query("llm_t28_bpe_vocab_apply")(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex <= 1, plan
