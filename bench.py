@@ -199,8 +199,11 @@ def main() -> None:
     # Warm the Arrow/pandas worker pool too: the first MapInPandas
     # stage pays Python-worker spawn + Arrow init (~1 s), which would
     # otherwise land on whichever m-family query happens to run first
-    # and masquerade as its regression.
-    registry["llm_m1_binary_meta"](spark, "/root/testdata/sf0.001").write.format(
+    # and masquerade as its regression. m11 (not m1) also exercises the
+    # md5-payload builder + fan-out shuffle path the codec family
+    # shares, so its ~1 s first-stage cost stops landing on the first
+    # m-family headline entry.
+    registry["llm_m11_decoded_luma"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
 
