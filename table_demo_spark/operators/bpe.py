@@ -136,8 +136,14 @@ def _collect_top(paired: DataFrame) -> tuple[DataFrame, str, int]:
     lazily-chained plan must keep every prior round cached or
     recompute quadratically). The aggregate itself stays fully
     distributed: min_by with map-side partials, pinned by
-    tests/test_plans.py::test_bpe_round_top_pair_is_min_by_aggregate."""
+    tests/test_plans.py::test_bpe_round_top_pair_is_min_by_aggregate.
+
+    Returns (None, None, None) when the corpus has no adjacent pair
+    left (every doc down to one token) — callers stop with the merges
+    learned so far instead of crashing on the null aggregate row."""
     row = _top_pair(paired).collect()[0]
+    if row["top_pair"] is None:
+        return None, None, None
     spark = paired.sparkSession
     lit = spark.createDataFrame(
         [(row["top_pair"], int(row["top_cnt"]))],
@@ -240,12 +246,16 @@ def bpe_train(docs: DataFrame, iters: int = 3, text_col: str = "text") -> DataFr
     tp = _tokens_positions(docs, text_col)
     chain = _ChainState()
     rows = []
-    for r in range(1, iters + 1):
-        paired = _paired(tp)
-        top_lit, pair, cnt = _collect_top(paired)
-        tp, n_after = chain.advance(apply_merge(paired, top_lit), r)
-        rows.append((r, pair, cnt, n_after))
-    chain.release()
+    try:
+        for r in range(1, iters + 1):
+            paired = _paired(tp)
+            top_lit, pair, cnt = _collect_top(paired)
+            if top_lit is None:  # corpus exhausted: no pair left
+                break
+            tp, n_after = chain.advance(apply_merge(paired, top_lit), r)
+            rows.append((r, pair, cnt, n_after))
+    finally:
+        chain.release()
     return spark.createDataFrame(
         rows,
         "round long, merge_pair string, pair_cnt long, n_tokens_after long",
@@ -263,12 +273,18 @@ def bpe_learn(
     tp = _tokens_positions(docs, text_col)
     chain = _ChainState()
     merges: list[str] = []
-    for r in range(1, iters + 1):
-        paired = _paired(tp)
-        top_lit, pair, _cnt = _collect_top(paired)
-        tp, _ = chain.advance(apply_merge(paired, top_lit), r, count=False)
-        merges.append(pair)
-    chain.release()
+    try:
+        for r in range(1, iters + 1):
+            paired = _paired(tp)
+            top_lit, pair, _cnt = _collect_top(paired)
+            if top_lit is None:  # corpus exhausted: no pair left
+                break
+            tp, _ = chain.advance(
+                apply_merge(paired, top_lit), r, count=False
+            )
+            merges.append(pair)
+    finally:
+        chain.release()
     return merges
 
 
@@ -401,19 +417,25 @@ def bpe_train_apply(
     t_chain = _ChainState()
     dir_a = None
     on_scratch = False
-    for r in range(1, iters + 1):
-        pt = _paired(tp_train)
-        top_lit, _, _ = _collect_top(pt)
-        tp_train, _ = t_chain.advance(apply_merge(pt, top_lit), r, count=False)
-        tp_apply = apply_merge(_paired(tp_apply), top_lit)
-        on_scratch = False
-        if r % _CHECKPOINT_EVERY == 0:
-            tp_apply, d, _ = _scratch_checkpoint(tp_apply, count=False)
-            if dir_a is not None:
-                shutil.rmtree(dir_a, ignore_errors=True)
-            dir_a = d
-            on_scratch = True
-    t_chain.release()  # merges learned
+    try:
+        for r in range(1, iters + 1):
+            pt = _paired(tp_train)
+            top_lit, _, _ = _collect_top(pt)
+            if top_lit is None:  # train corpus exhausted: no pair left
+                break
+            tp_train, _ = t_chain.advance(
+                apply_merge(pt, top_lit), r, count=False
+            )
+            tp_apply = apply_merge(_paired(tp_apply), top_lit)
+            on_scratch = False
+            if r % _CHECKPOINT_EVERY == 0:
+                tp_apply, d, _ = _scratch_checkpoint(tp_apply, count=False)
+                if dir_a is not None:
+                    shutil.rmtree(dir_a, ignore_errors=True)
+                dir_a = d
+                on_scratch = True
+    finally:
+        t_chain.release()  # merges learned
     if not on_scratch:
         tp_apply, d, _ = _scratch_checkpoint(tp_apply, count=False)
         if dir_a is not None:

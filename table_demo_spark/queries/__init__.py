@@ -64,7 +64,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t20_bpe_train",
     "llm_t25_bpe_encode",
     "llm_t28_bpe_vocab_apply",
+    "llm_t29_gopher_rules",
     "llm_m15_gif_scene_cuts",
+    "llm_m16_pcm_vad_segments",
+    "llm_s13_filtered_ann",
+    "stream_q26_stream_tokenize",
     "llm_p1_prep_pipeline",
     "an_a1_pricing_summary",
     "src_s1_jsonl_events",
@@ -73,17 +77,13 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a43_skyline",
     "an_a44_triangle_count",
     "an_a46_mad_outliers",
-    "an_a47_incremental_mv",
-    "an_a48_max_concurrency",
     "an_a51_bfs_reachability",
     "an_a61_shortest_path",
     "stream_q11_csv_gzip_source",
-    "stream_q13_sliding_window",
     "stream_q14_topk",
     "stream_q16_hll_distinct",
     "stream_q18_cdc_apply",
     "stream_q22_full_outer_join",
-    "llm_m3_feature_extract",
     "llm_m6_vad_segments",
     "llm_m9_scene_cuts",
     "llm_s5_kmeans_refine",

@@ -1098,7 +1098,14 @@ def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink, query, cleanup = run_q25_streaming_neardup(
             spark, sf_dir, threshold=JACCARD_THRESHOLD
         )
-        _drain(query, lambda: sink.count(spark), quiet_polls=1)
+        try:
+            _drain(query, lambda: sink.count(spark), quiet_polls=1)
+        except BaseException:
+            # A retried attempt builds fresh stores; drop this
+            # attempt's catalog tables + scratch instead of orphaning
+            # them for the session lifetime.
+            cleanup()
+            raise
     out = sink.snapshot_df(spark).select("doc_a", "doc_b", "jaccard")
     cleanup()  # the sink snapshot is store-independent parquet
     return out

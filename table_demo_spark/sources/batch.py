@@ -44,7 +44,7 @@ _TS_COLUMNS = {
 }
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -65,7 +65,10 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     import os
     import zipfile
 
-    key = id(spark.sparkContext)
+    # Keyed by applicationId, not id(sc): CPython reuses object
+    # addresses, so a stop-and-recreate sequence could silently skip
+    # the ship for the new context.
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_CONTEXTS:
         return
     import table_demo_spark

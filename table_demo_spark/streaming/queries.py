@@ -2140,6 +2140,7 @@ class BucketedStateStore:
         # never correctness).
         self.rows_since_compact = 0
         self.rows_at_compact = 0
+        self.last_appended_batch = -1
 
     @property
     def table(self) -> str:
@@ -2162,7 +2163,7 @@ class BucketedStateStore:
         self.spark.catalog.refreshTable(self.table)
         return self.spark.table(self.table)
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, batch_id: int | None = None) -> None:
         (
             df.repartition(self.n_buckets, self.bucket_col)
             .write.format("parquet")
@@ -2174,8 +2175,15 @@ class BucketedStateStore:
         )
         # Row count for the compaction trigger: the caller appends
         # persisted batch frames, so this count reads the cache the
-        # write just populated — no recomputation.
-        self.rows_since_compact += df.count()
+        # write just populated — no recomputation. A REPLAYED batch
+        # (batch_id not beyond the last seen) appends duplicate rows
+        # that the read-side guards neutralize and compaction sweeps —
+        # but it must not double-count into the trigger, or the
+        # geometric bound degrades toward compact-every-batch.
+        if batch_id is None or batch_id > self.last_appended_batch:
+            self.rows_since_compact += df.count()
+        if batch_id is not None:
+            self.last_appended_batch = max(self.last_appended_batch, batch_id)
 
     def should_compact(self, min_rows: int = Q25_COMPACT_MIN_ROWS) -> bool:
         """Geometric (LSM-style) trigger: compact once the uncompacted
@@ -2438,7 +2446,9 @@ def run_q25_streaming_neardup(
         sh_new = shingle_sets(batch_docs).persist()
         # Shingle-store append FIRST: the verify step must see the
         # batch's own docs (a pair may be new x new).
-        shingles.append(sh_new.withColumn("seen_batch", F.lit(batch_id)))
+        shingles.append(
+            sh_new.withColumn("seen_batch", F.lit(batch_id)), batch_id
+        )
         new_keys = q25_band_skey(
             band_keys_frame(minhash_signatures(sh_new))
         ).persist()
@@ -2455,7 +2465,9 @@ def run_q25_streaming_neardup(
         sink.apply_batch(verified, batch_id)
         # Band-store append AFTER the probe: the batch must not meet
         # its own keys on the first (non-replayed) execution.
-        bands.append(new_keys.withColumn("seen_batch", F.lit(batch_id)))
+        bands.append(
+            new_keys.withColumn("seen_batch", F.lit(batch_id)), batch_id
+        )
         sh_new.unpersist()
         new_keys.unpersist()
         # Size-triggered (geometric) compaction — cost bounded by the

@@ -1027,3 +1027,19 @@ def test_codec_roundtrips_property():
     image_roundtrip()
     gif_roundtrip()
     wav_roundtrip()
+
+
+def test_bpe_learn_stops_on_exhausted_corpus(spark):
+    """A degenerate corpus (every doc one token after few merges) must
+    stop the merge loop with the merges learned so far — never crash
+    on the null top-pair aggregate (code-review finding r5)."""
+    from table_demo_spark.operators.bpe import bpe_learn, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b")], "doc_id long, text string"
+    )
+    # round 1 merges (a,a); afterwards no adjacent pair exists anywhere
+    merges = bpe_learn(docs, iters=5)
+    assert len(merges) == 1
+    rows = bpe_train(docs, iters=5).collect()
+    assert len(rows) == 1 and rows[0].n_tokens_after == 2

@@ -976,8 +976,13 @@ def test_bucketed_store_geometric_compaction_and_ttl(spark):
         store.append(batch(3, 10))
         assert store.should_compact(min_rows=100)
 
-        # replay dup sweep: re-append batch 3 (same rows), compact
-        store.append(batch(3, 10))
+        # replay dup sweep: re-append batch 3 (same rows) WITH its
+        # batch id — the duplicate rows land (and compaction sweeps
+        # them) but the trigger counter must not double-count
+        before_counter = store.rows_since_compact
+        store.append(batch(3, 10), batch_id=3)
+        store.append(batch(3, 10), batch_id=3)  # replayed
+        assert store.rows_since_compact == before_counter + 10
         store.compact(["doc_id", "skey"])
         assert store.frame().count() == 215  # 105 + 100 + 10, dups gone
 
