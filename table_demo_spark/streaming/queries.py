@@ -2141,6 +2141,7 @@ class BucketedStateStore:
         self.rows_since_compact = 0
         self.rows_at_compact = 0
         self.last_appended_batch = -1
+        self.appends_since_compact = 0
 
     @property
     def table(self) -> str:
@@ -2182,6 +2183,7 @@ class BucketedStateStore:
         # geometric bound degrades toward compact-every-batch.
         if batch_id is None or batch_id > self.last_appended_batch:
             self.rows_since_compact += df.count()
+            self.appends_since_compact += 1
         if batch_id is not None:
             self.last_appended_batch = max(self.last_appended_batch, batch_id)
 
@@ -2195,7 +2197,14 @@ class BucketedStateStore:
         compaction (the r4 design's amortized O(history)/batch). The
         read-side guards (self-pair filter, candidate distinct,
         pair-key dedup) make replay-duplicated rows harmless in the
-        meantime, so deferring dedup is sound."""
+        meantime, so deferring dedup is sound.
+
+        A store whose delta is a SINGLE append never compacts: one
+        append is already one bucketed generation — rewriting it
+        merges nothing and sweeps nothing, pure wasted I/O (it was the
+        first batch's no-op rewrite in the original trigger)."""
+        if self.appends_since_compact < 2:
+            return False
         return self.rows_since_compact >= max(min_rows, self.rows_at_compact)
 
     def compact(self, dedup_cols: list[str], keep=None) -> None:
@@ -2239,6 +2248,7 @@ class BucketedStateStore:
         shutil.rmtree(old_path, ignore_errors=True)
         self.rows_at_compact = self.frame().count()  # parquet footers
         self.rows_since_compact = 0
+        self.appends_since_compact = 0
 
     def drop(self) -> None:
         import shutil

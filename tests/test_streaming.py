@@ -997,16 +997,19 @@ def test_bucketed_store_geometric_compaction_and_ttl(spark):
 
 
 def test_q25_retention_ttl_limits_pairs_to_window(spark, tmp_path):
-    """End-to-end state-retention semantics: with retention_batches=1
-    and per-batch compaction, a doc's band keys survive exactly one
-    batch beyond its arrival, so pairs form only within a batch or
-    between ADJACENT batches — the reference's idle-state-retention
-    behavior on relational state. On a 12-doc corpus of mutual
-    near-duplicates staged as 4 shards (3 docs per micro-batch) the
-    pair CARDINALITY is batch-assignment-invariant: full run C(12,2) =
-    66, retention run 4*C(3,2) + 3*3*3 = 39. Already-emitted pairs are
-    never retracted (subset relation), and each batch's probe runs
-    before its compaction (adjacent pairs always found)."""
+    """End-to-end state-retention semantics: TTL expiry rides
+    compaction, so with retention_batches=1 and the minimum trigger
+    floor, compaction fires at batches 1 and 3 (single-append deltas
+    never compact) and drops keys older than the window each time —
+    batch-0 keys are gone before batch 2 probes, batch-1/2 keys
+    survive until after batch 3's probe. Surviving cross pairs are
+    therefore b0xb1, b1xb2, b1xb3, b2xb3; b0x{b2,b3} are expired. On
+    a 12-doc corpus of mutual near-duplicates staged as 4 shards
+    (3 docs per micro-batch) the pair CARDINALITY is
+    batch-assignment-invariant: full run C(12,2) = 66, retention run
+    4*C(3,2) + 4*3*3 = 48. Already-emitted pairs are never retracted
+    (subset relation), and each batch's probe runs before its
+    compaction."""
     from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
     from table_demo_spark.streaming.queries import run_q25_streaming_neardup
 
@@ -1035,4 +1038,4 @@ def test_q25_retention_ttl_limits_pairs_to_window(spark, tmp_path):
     assert len(full) == 66  # C(12,2): every doc pairs with every other
     ttl = run(retention_batches=1, compact_min_rows=1)
     assert ttl <= full
-    assert len(ttl) == 39  # 4*C(3,2) within + 3*9 adjacent
+    assert len(ttl) == 48  # 12 within + 9*(b0b1 + b1b2 + b1b3 + b2b3)
