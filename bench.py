@@ -163,6 +163,7 @@ HEADLINE = [
     "stream_q23_http_upsert",
     "stream_q24_http_retract_delete",
     "stream_q25_streaming_neardup",
+    "stream_q27_available_now",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

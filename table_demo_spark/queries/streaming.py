@@ -1142,6 +1142,41 @@ def _q26_oracle() -> str:
     return _bpe_train_apply_oracle(predicate, "", _Q26_ITERS)
 
 
+def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow incremental batch: the per-(lang, source)
+    corpus rollup runs as a self-terminating streaming invocation,
+    then runs AGAIN from the same checkpoint — the production
+    schedule-a-stream pattern. The second invocation sees no new files
+    and must leave the keyed upsert sink byte-identical; the oracle is
+    the plain batch GROUP BY, so any reprocessing (double counts) or
+    offset loss (missing shards) breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q27_available_now
+
+    def await_done(query):
+        try:
+            query.awaitTermination(180)
+        except Exception as e:
+            _raise_drain_failure(query, e)
+
+    with _state_partitions(spark, no_data=False):
+        sink, query, ckpt = run_q27_available_now(spark, sf_dir)
+        await_done(query)
+        _, query2, _ = run_q27_available_now(
+            spark, sf_dir, sink=sink, checkpoint=ckpt
+        )
+        await_done(query2)
+    return sink.snapshot_df(spark).select(
+        "lang", "source", "n_docs", "sum_chars"
+    )
+
+
+Q27_AVAILABLE_NOW_ORACLE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+
 QUERIES: list[Query] = [
     Query("stream_q1_tumble_upsert", q1_stream_final, Q1_ORACLE),
     Query("stream_q2_over_range", q2_stream_final, Q2_STREAM_ORACLE),
@@ -1177,6 +1212,11 @@ QUERIES: list[Query] = [
         _q25_oracle(),
     ),
     Query("stream_q26_stream_tokenize", q26_stream_tokenize_final, _q26_oracle()),
+    Query(
+        "stream_q27_available_now",
+        q27_available_now_final,
+        Q27_AVAILABLE_NOW_ORACLE,
+    ),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2355,6 +2355,56 @@ def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> s
 
 
 # ---------------------------------------------------------------------------
+# Q27 streaming — Trigger.AvailableNow: the INCREMENTAL-BATCH mode
+# (run the pipeline on a schedule; each invocation processes exactly
+# the data that arrived since the last one, then terminates). This is
+# how production "hourly batch over a streaming source" jobs run:
+# same query, same checkpoint, exactly-once across invocations. The
+# pipeline is an update-mode aggregation over the crawl shards into
+# the keyed parquet upsert sink; the driver wrapper invokes it TWICE
+# from the same checkpoint — the second invocation must terminate
+# without reprocessing (no new files), leaving the sink unchanged,
+# which puts the exactly-once restart semantics on the value-hash
+# path, not just in a test.
+# ---------------------------------------------------------------------------
+
+
+def run_q27_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    n_shards: int = 4,
+    checkpoint: str | None = None,
+):
+    """One AvailableNow invocation of the per-(lang, source) corpus
+    rollup. Returns (sink, query, checkpoint); the query terminates on
+    its own once all currently-available shards are processed."""
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    if sink is None:
+        sink = ParquetUpsertSink(
+            scratch_dir("tds-q27-"), ("lang", "source")
+        )
+    ckpt = checkpoint or _checkpoint_dir()
+    docs = spark.readStream.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).parquet(shards)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    query = (
+        agg.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    return sink, query, ckpt
+
+
+# ---------------------------------------------------------------------------
 # Q26 streaming — tokenize the crawl AS IT ARRIVES with an offline-
 # learned BPE vocabulary: the production inference split. The merge
 # list is learned batch-side on the deterministic hash sample (t27/t28's
