@@ -69,6 +69,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m16_pcm_vad_segments",
     "llm_s13_filtered_ann",
     "stream_q26_stream_tokenize",
+    "stream_q27_available_now",
     "llm_p1_prep_pipeline",
     "an_a1_pricing_summary",
     "src_s1_jsonl_events",
@@ -79,7 +80,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a46_mad_outliers",
     "an_a51_bfs_reachability",
     "an_a61_shortest_path",
-    "stream_q11_csv_gzip_source",
     "stream_q14_topk",
     "stream_q16_hll_distinct",
     "stream_q18_cdc_apply",
