@@ -4413,6 +4413,32 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+# Shared md5-stream -> signed PCM sample restatement (the analytic
+# inverse of multimodal.with_wav_payload): used by BOTH m13 and m16 so
+# a change to the WAV payload construction cannot silently gate two
+# different PCM streams.
+_WAV_PCM_CTE = f"""blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#wav' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._WAV_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+)"""
+
+
 # ---------------------------------------------------------------------------
 # M16 — m6's VAD segmentation over REAL decoded PCM: decode each
 # RIFF/WAVE payload (chunk walk), window the int16 samples into
@@ -4436,26 +4462,7 @@ def m16_pcm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M16_ORACLE = f"""
-WITH blocks AS (
-  SELECT doc_id, i,
-         md5(CAST(doc_id AS VARCHAR) || '#wav' || i) AS h
-  FROM documents, (SELECT unnest(range(0, {multimodal._WAV_BLOCKS})) AS i)
-),
-bytes AS (
-  SELECT doc_id, i * 16 + j AS o,
-         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
-  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
-),
-sm AS (
-  SELECT doc_id, o // 2 AS s,
-         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
-  FROM bytes GROUP BY doc_id, o // 2
-),
-sv AS (
-  SELECT doc_id, s,
-         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
-  FROM sm
-),
+WITH {_WAV_PCM_CTE},
 fr AS (
   SELECT doc_id, s // {multimodal.PCM_VAD_FRAME_SAMPLES} AS frame_no,
          CAST(sum(abs(v)) AS BIGINT) AS energy
@@ -4492,26 +4499,7 @@ def m13_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 M13_ORACLE = f"""
-WITH blocks AS (
-  SELECT doc_id, i,
-         md5(CAST(doc_id AS VARCHAR) || '#wav' || i) AS h
-  FROM documents, (SELECT unnest(range(0, {multimodal._WAV_BLOCKS})) AS i)
-),
-bytes AS (
-  SELECT doc_id, i * 16 + j AS o,
-         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
-  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
-),
-sm AS (
-  SELECT doc_id, o // 2 AS s,
-         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
-  FROM bytes GROUP BY doc_id, o // 2
-),
-sv AS (
-  SELECT doc_id,
-         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
-  FROM sm
-)
+WITH {_WAV_PCM_CTE}
 SELECT doc_id,
        CAST({multimodal.WAV_RATE} AS BIGINT) AS sample_rate,
        CAST(count(*) AS BIGINT) AS n_samples,

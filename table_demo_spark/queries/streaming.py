@@ -1103,7 +1103,14 @@ def q25_streaming_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         except BaseException:
             # A retried attempt builds fresh stores; drop this
             # attempt's catalog tables + scratch instead of orphaning
-            # them for the session lifetime.
+            # them for the session lifetime. Stop the query FIRST —
+            # a failure raised from the polling loop (not the stream)
+            # leaves it active, and dropping its stores under a live
+            # foreachBatch would crash the stream instead of ending it.
+            try:
+                query.stop()
+            except Exception:
+                pass
             cleanup()
             raise
     out = sink.snapshot_df(spark).select("doc_a", "doc_b", "jaccard")
@@ -1154,9 +1161,14 @@ def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def await_done(query):
         try:
-            query.awaitTermination(180)
+            done = query.awaitTermination(180)
         except Exception as e:
             _raise_drain_failure(query, e)
+        if not done:  # still running: never reuse its checkpoint
+            query.stop()
+            raise TimeoutError(
+                "AvailableNow invocation exceeded 180s before terminating"
+            )
 
     with _state_partitions(spark, no_data=False):
         sink, query, ckpt = run_q27_available_now(spark, sf_dir)

@@ -2470,8 +2470,10 @@ def run_q25_streaming_neardup(
     call it after the final sink snapshot is taken.
 
     ``retention_batches`` is the state-retention (TTL) knob: when set,
-    store rows whose ``seen_batch`` is more than that many batches old
-    are dropped at the next compaction — a doc whose band keys expired
+    store rows whose ``seen_batch`` is that many batches old OR older
+    (``seen_batch <= current - retention``, the strict window the TTL
+    integration test pins) are dropped at the next compaction — a doc
+    whose band keys expired
     can no longer pair with NEW arrivals (its already-emitted pairs
     stay in the sink). This is the reference's idle-state retention
     semantics applied to relational state; the registered driver query
