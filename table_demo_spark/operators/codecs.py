@@ -1,16 +1,20 @@
-"""Pure-numpy codecs for media formats (PPM, WAV, PNG, animated GIF).
+"""Pure-numpy codecs for media formats (PPM, WAV, PNG, GIF, JPEG).
 
 The container has no PIL/cv2/ffmpeg, but these formats need no codec
 library: binary PPM (P6) is a text header + raw RGB raster, RIFF/WAVE
 PCM is a fixed 44-byte header + little-endian samples, PNG is
 zlib-compressed (stdlib!) scanlines under five byte-level prediction
-filters, and GIF is variable-width LZW over palette indices in a
-sub-block framed container. These implementations make the m-family's
-decode -> resize -> feature path REAL end-to-end — `decode_image`
-parses actual image bytes (including COMPRESSED formats) and the
-downstream statistics depend on the decoded pixel values — while
-codec-heavy formats (JPEG/MP3/H.264) remain the documented
-external-codec extension point in operators/multimodal.py.
+filters, GIF is variable-width LZW over palette indices in a
+sub-block framed container, and baseline JPEG (greyscale) is an
+8x8-DCT transform code with canonical Huffman entropy coding —
+implemented here from the ITU-T T.81 spec with numpy alone. These
+implementations make the m-family's decode -> resize -> feature path
+REAL end-to-end — `decode_image` parses actual image bytes
+(including COMPRESSED and TRANSFORM-CODED formats) and the
+downstream statistics depend on the decoded values — while the
+remaining codec-library formats (WebP/MP3/H.264, progressive or
+chroma-subsampled JPEG) stay the documented external-codec extension
+point in operators/multimodal.py.
 
 Format references (public): the Netpbm P6 format spec (header
 ``P6\\n<w> <h>\\n<maxval>\\n`` then ``3*w*h`` raw bytes, ``#`` comments
@@ -537,3 +541,487 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     return sample_rate, np.frombuffer(pcm, dtype="<i2").astype(np.int16)
+
+
+# -- JPEG (baseline sequential DCT, greyscale, JFIF) ------------------------
+#
+# The one transform-coded format in the codec family: ITU-T T.81
+# baseline process (SOF0) over a single 8-bit luminance component.
+# Pipeline per the spec: level shift (-128), 8x8 forward DCT,
+# uniform quantization (Annex K.1 luminance table), zigzag scan,
+# DC DPCM + AC zero-run-length coding, canonical Huffman entropy
+# coding (Annex K.3/K.5 tables), 0xFF byte stuffing, JFIF marker
+# framing (SOI/APP0/DQT/SOF0/DHT/SOS/EOI). The decoder walks the
+# marker stream (skipping APPn/COM), rebuilds the canonical Huffman
+# codes from BITS/HUFFVAL exactly as T.81 Annex C prescribes, handles
+# restart markers (RSTn: bit realignment + DC predictor reset), and
+# exposes both the full IDCT raster and the quantized-DC plane.
+#
+# The quantized DC path is INTEGER-EXACT and oracle-statable: for an
+# 8x8 block with pixel sum S, the orthonormal FDCT gives
+# F(0,0) = (S - 64*128)/8, and with the K.1 DC step q00 = 16 the
+# denominator 8*q00 = 128 is a power of two, so
+#     qDC = round_half_away((S - 8192) / 128)
+# is exact integer arithmetic on both engines. The encoder computes
+# the DC term with this integer formula (it IS the DCT DC value,
+# computed without float error) so encoder, decoder, and SQL oracle
+# agree bit-for-bit; the lossy AC path is exercised by roundtrip and
+# property tests instead.
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# Annex K.1 luminance quantization table (row-major).
+JPEG_QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 (DC luminance) and K.5 (AC luminance) Huffman specs:
+# BITS[i] = number of codes of length i+1; HUFFVAL in code order.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Zigzag scan order (T.81 Figure 5): _JPEG_ZIGZAG[k] = row-major index
+# of the k-th coefficient in scan order.
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix D: F = D @ block @ D.T."""
+    x = np.arange(8, dtype=np.float64)
+    d = np.cos((2.0 * x[None, :] + 1.0) * x[:, None] * np.pi / 16.0) / 2.0
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _round_half_away(num: int, den: int) -> int:
+    """round(num/den) with ties away from zero; den > 0; pure ints."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((2 * -num + den) // (2 * den))
+
+
+def jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code generation: {symbol: (code, length)}. Codes
+    are assigned in HUFFVAL order, counting up within each length and
+    doubling at each length step (canonical Huffman)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_JPEG_DC_CODES = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_CODES = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+# Decoder side: {(length, code): symbol}.
+_JPEG_DC_DECODE = {(ln, c): s for s, (c, ln) in _JPEG_DC_CODES.items()}
+_JPEG_AC_DECODE = {(ln, c): s for s, (c, ln) in _JPEG_AC_CODES.items()}
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def restart_marker(self, n: int) -> None:
+        """Byte-align with 1-fill bits, then emit RSTn (markers are
+        written raw — only entropy bytes are stuffed)."""
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 + n])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, extra-bits value) per T.81 F.1.2.1: negative values
+    are sent as v + 2^size - 1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _jpeg_segment(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """(h, w) uint8 greyscale raster -> baseline JFIF bytes.
+
+    Arbitrary dimensions: the raster is edge-replicated up to the next
+    multiple of 8 (the decoder crops back to the SOF0 dimensions).
+    DC is quantized with the exact integer formula
+    round_half_away((S - 8192) / 128); AC with
+    sign * floor(|F|/q + 1/2) in float64. With ``restart_interval``
+    > 0 a DRI segment is written and a byte-aligned RSTn marker (DC
+    predictor reset) is emitted every that-many MCUs (T.81 B.2.1) —
+    the mechanism real encoders use so a corrupted scan only loses
+    one interval.
+    """
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w) uint8 greyscale, got {arr.shape} {arr.dtype}")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"bad dimensions {h}x{w}")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    # Forward DCT + quantization for all blocks at once.
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+    )
+    shifted = blocks - 128.0
+    coefs = np.einsum("ux,byxz,vz->byuv", _JPEG_DCT, shifted, _JPEG_DCT)
+    q = np.sign(coefs) * np.floor(np.abs(coefs) / JPEG_QUANT[None, None] + 0.5)
+    q = q.astype(np.int32)
+    # Overwrite DC with the exact integer quantization (no float path):
+    sums = blocks.reshape(ph // 8, pw // 8, 64).sum(axis=2).astype(np.int64)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            q[by, bx, 0, 0] = _round_half_away(int(sums[by, bx]) - 8192, 128)
+
+    writer = _JpegBitWriter()
+    pred = 0
+    mcu = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart_marker((mcu // restart_interval - 1) % 8)
+                pred = 0
+            mcu += 1
+            zz = q[by, bx].reshape(64)[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, extra = _jpeg_magnitude(diff)
+            code, length = _JPEG_DC_CODES[size]
+            writer.put(code, length)
+            if size:
+                writer.put(extra, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if k > last_nz:
+                    code, length = _JPEG_AC_CODES[0x00]  # EOB
+                    writer.put(code, length)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _JPEG_AC_CODES[0xF0]  # ZRL
+                    writer.put(code, length)
+                    run -= 16
+                size, extra = _jpeg_magnitude(v)
+                code, length = _JPEG_AC_CODES[(run << 4) | size]
+                writer.put(code, length)
+                writer.put(extra, size)
+                run = 0
+    entropy = writer.flush()
+
+    zz_quant = JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _jpeg_segment(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    out += _jpeg_segment(0xDB, b"\x00" + zz_quant)  # DQT, Pq=0 Tq=0
+    out += _jpeg_segment(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+    out += _jpeg_segment(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += _jpeg_segment(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += _jpeg_segment(0xDD, struct.pack(">H", restart_interval))  # DRI
+    out += _jpeg_segment(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy segment: un-stuffs
+    0xFF00; restart boundaries are synced explicitly by the caller
+    (T.81 B.2.1 — intervals are byte-aligned with fill bits, so the
+    in-flight accumulator is discarded, never decoded across)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
+            if d[self.pos + 1] != 0x00:
+                raise ValueError("JPEG entropy stream ran into a marker")
+            self.pos += 2  # stuffed data byte
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def sync_restart(self) -> None:
+        """Discard fill bits and consume the next RSTn marker. Between
+        intervals the stream holds at most one fill byte (possibly FF
+        with its stuffed 00) before the marker — anything else is
+        corruption."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        for _ in range(2):  # marker now, or after one fill unit
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG: missing restart marker")
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            if d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+                self.pos += 2  # 0xFF fill byte, stuffed
+            else:
+                self.pos += 1  # plain fill byte
+        raise ValueError("restart marker not found at interval boundary")
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        b = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(extra: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map size-bit magnitude bits to a value."""
+    if size == 0:
+        return 0
+    if extra < (1 << (size - 1)):
+        return extra - (1 << size) + 1
+    return extra
+
+
+def _decode_jpeg_coefficients(
+    data: bytes,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Parse markers + entropy-decode: -> (quantized coefficient
+    blocks (n_by, n_bx, 8, 8) int32 in natural order, quant table
+    (8, 8) int32, true height, true width)."""
+    if not data.startswith(JPEG_MAGIC[:2]):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: np.ndarray | None = None
+    dc_table: dict[tuple[int, int], int] | None = None
+    ac_table: dict[tuple[int, int], int] | None = None
+    h = w = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: no SOS marker")
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                if tq == 0:
+                    zz = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+                    nat = np.zeros(64, dtype=np.int32)
+                    nat[_JPEG_ZIGZAG] = zz
+                    quant = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise ValueError(
+                    f"only 8-bit single-component baseline supported "
+                    f"(precision={precision}, components={ncomp})"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled components not supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                table = {
+                    (ln, c): s
+                    for s, (c, ln) in jpeg_canonical_codes(bits, vals).items()
+                }
+                if th == 0:
+                    if tc == 0:
+                        dc_table = table
+                    else:
+                        ac_table = table
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS: entropy data follows
+            pos += 2 + seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if quant is None or dc_table is None or ac_table is None or h is None:
+        raise ValueError("missing DQT/DHT/SOF0 before SOS")
+
+    n_by, n_bx = -(-h // 8), -(-w // 8)
+    coefs = np.zeros((n_by, n_bx, 64), dtype=np.int32)
+    reader = _JpegBitReader(data, pos)
+    pred = 0
+    mcu = 0
+    for by in range(n_by):
+        for bx in range(n_bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart()
+                pred = 0
+            zz = np.zeros(64, dtype=np.int32)
+            size = reader.huffman(dc_table)
+            diff = _jpeg_extend(reader.bits(size), size)
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = reader.huffman(ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol {sym:#x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _jpeg_extend(reader.bits(size), size)
+                k += 1
+            nat = np.zeros(64, dtype=np.int32)
+            nat[_JPEG_ZIGZAG] = zz
+            coefs[by, bx] = nat
+            mcu += 1
+    return coefs.reshape(n_by, n_bx, 8, 8), quant, h, w
+
+
+def decode_jpeg_dc(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (n_by, n_bx) int32 plane of QUANTIZED DC
+    coefficients — the 1/64-scale "DC thumbnail" extractable without
+    any IDCT (the standard trick for thumbnailing crawl images at
+    scale). Requires full entropy decode (AC codes must be walked to
+    advance the bitstream), so Huffman, DPCM, and marker handling are
+    all on this path."""
+    coefs, _, _, _ = _decode_jpeg_coefficients(data)
+    return coefs[:, :, 0, 0]
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w) uint8 greyscale raster: entropy decode,
+    dequantize, inverse DCT, level shift, clamp, crop to SOF0 dims."""
+    coefs, quant, h, w = _decode_jpeg_coefficients(data)
+    deq = coefs.astype(np.float64) * quant[None, None]
+    blocks = np.einsum("xu,byuv,zv->byxz", _JPEG_DCT.T, deq, _JPEG_DCT.T)
+    n_by, n_bx = coefs.shape[:2]
+    raster = (
+        blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
+    )
+    return np.clip(np.round(raster), 0, 255).astype(np.uint8)[:h, :w]

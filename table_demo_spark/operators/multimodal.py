@@ -6,13 +6,15 @@ storage), metadata travels in typed sibling columns, and all decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` — one Python
 process per partition, zero-copy batches, never row-at-a-time.
 
-Decode is REAL for uncompressed formats: ``decode_image`` /
-``resize_image`` parse and re-encode binary PPM, and
-``decoded_pcm_stats`` walks RIFF/WAVE chunks, all via the pure-numpy
-codecs in operators/codecs.py — the decoded-value statistics are
-oracle-gated (llm_m11/m12/m13). Compressed formats (JPEG/PNG/MP3)
-remain the documented external-codec extension point; their stand-in
-byte-level features keep the identical plumbing.
+Decode is REAL across the codec spectrum: ``decode_image`` /
+``resize_image`` parse binary PPM, PNG (zlib + filter predictors),
+GIF (LZW), and baseline JPEG (Huffman + DCT — a true transform
+code), and ``decoded_pcm_stats`` walks RIFF/WAVE chunks, all via the
+pure-numpy codecs in operators/codecs.py — the decoded-value
+statistics are oracle-gated (llm_m11..m17). Remaining formats
+(WebP/AVIF/MP3/H.264) are the documented external-codec extension
+point; their stand-in byte-level features keep the identical
+plumbing.
 """
 
 from __future__ import annotations
@@ -37,20 +39,25 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an (h, w, 3) uint8 numpy raster,
     dispatching on magic bytes.
 
-    REAL for binary PPM (P6) AND for PNG — the zlib+filters decoder in
-    operators/codecs.py handles a genuinely COMPRESSED wire format with
-    stdlib-only tools (8-bit grey/RGB/RGBA, non-interlaced; greyscale
-    is broadcast to 3 channels, RGBA drops alpha). Transform-coded
-    formats (JPEG/WebP/AVIF) remain the documented external-codec
-    extension point: sniff their magic here and wire PIL/cv2; the
-    surrounding mapInPandas plumbing is codec-agnostic."""
+    REAL for binary PPM (P6), PNG, GIF, AND baseline JPEG — the
+    decoders in operators/codecs.py handle genuinely COMPRESSED wire
+    formats with stdlib-only tools (PNG: zlib + five filter
+    predictors; GIF: variable-width LZW + palette; JPEG: Huffman
+    entropy decode + dequantize + IDCT — a true transform-coded
+    format). Greyscale is broadcast to 3 channels, RGBA drops alpha.
+    Remaining formats (WebP/AVIF, progressive/chroma-subsampled JPEG)
+    are the documented external-codec extension point: sniff their
+    magic here and wire PIL/cv2; the surrounding mapInPandas plumbing
+    is codec-agnostic."""
     import numpy as np
 
     from table_demo_spark.operators.codecs import (
         GIF_MAGIC,
+        JPEG_MAGIC,
         PNG_MAGIC,
         PPM_MAGIC,
         decode_gif,
+        decode_jpeg,
         decode_png,
         decode_ppm,
     )
@@ -68,10 +75,13 @@ def decode_image(payload: bytes) -> "object":
         # mapped to RGB (LZW decode + palette lookup, codecs.decode_gif)
         frames, palette = decode_gif(data)
         return palette[frames[0]]
+    if data.startswith(JPEG_MAGIC[:2]):
+        grey = decode_jpeg(data)
+        return np.repeat(grey[:, :, None], 3, axis=2)
     raise NotImplementedError(
-        "PPM and PNG decode in-container; wire PIL/cv2 for transform-"
-        "coded formats (JPEG/WebP) — the mapInPandas plumbing is "
-        "codec-agnostic"
+        "PPM/PNG/GIF/baseline-JPEG decode in-container; wire PIL/cv2 "
+        "for WebP/AVIF or progressive JPEG — the mapInPandas plumbing "
+        "is codec-agnostic"
     )
 
 
@@ -527,6 +537,86 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
     return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
     )
+
+
+JPEG_W, JPEG_H = 32, 24  # 768 raster bytes = 48 md5 blocks, 12 MCUs
+_JPEG_BLOCKS = (JPEG_W * JPEG_H) // 16
+JPEG_RESTART_INTERVAL = 5  # RSTn markers land INSIDE every image
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real baseline JFIF image per document —
+    greyscale pixels from the doc's md5 stream (salt '#jpg'), run
+    through the full transform-coding pipeline of codecs.encode_jpeg
+    (DCT, Annex-K quantization, zigzag, DC DPCM, Huffman, byte
+    stuffing), with a restart interval of 5 so RSTn handling (bit
+    realignment + predictor reset) is on every payload's decode path."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_jpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _JPEG_BLOCKS, "#jpg"),
+                        dtype=np.uint8,
+                    ).reshape(JPEG_H, JPEG_W),
+                    restart_interval=JPEG_RESTART_INTERVAL,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+JPEG_DC_SCHEMA = (
+    "doc_id long, n_blocks long, dc_min long, dc_max long, dc_sum long, "
+    "dc_checksum long"
+)
+
+
+def jpeg_dc_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Entropy-decode each JPEG payload to its QUANTIZED DC plane (the
+    1/64-scale "DC thumbnail" — the standard trick for classifying or
+    thumbnailing crawl images without a full IDCT) and aggregate it
+    per document. The DC coefficients come out of the Huffman + DPCM
+    decode of the actual bitstream, so marker parsing, canonical code
+    reconstruction, restart sync, and the zero-run AC walk are all on
+    the value-hash path; ``dc_checksum = sum((i+1) * dc_i)`` over
+    raster-order blocks pins the block ORDER, not just the multiset."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_jpeg_dc
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dc = decode_jpeg_dc(bytes(payload)).astype(np.int64).reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        dc.size,
+                        int(dc.min()),
+                        int(dc.max()),
+                        int(dc.sum()),
+                        int((dc * (np.arange(dc.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_blocks", "dc_min", "dc_max", "dc_sum",
+                    "dc_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=JPEG_DC_SCHEMA)
 
 
 DECODED_LUMA_SCHEMA = (

@@ -33,7 +33,7 @@ class Query(NamedTuple):
 # union already covered is recomputed from the committed CORRECTNESS
 # artifacts by tests/test_registry.py).  Over
 # rounds the whole registry accumulates external evidence; the full
-# /tmp/driver_sim.py run (all 193 vs DuckDB) stays the pre-commit gate
+# /tmp/driver_sim.py run (all 199 vs DuckDB) stays the pre-commit gate
 # for everything outside the window.  tests/test_registry.py pins the
 # slate per round.
 DRIVER_SAMPLE: tuple[str, ...] = (
@@ -48,7 +48,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "ref_s1_csv_gzip",
     # semantic core (sink/changelog/TTL modes + family anchors +
     # queries added or reworked this round: q7 retry hardening, t25's
-    # materialization rework, new m15 GIF decode and t28 one-pass apply)
+    # materialization rework, new m15 GIF / m17 JPEG decodes and t28
+    # one-pass apply)
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
@@ -67,6 +68,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t29_gopher_rules",
     "llm_m15_gif_scene_cuts",
     "llm_m16_pcm_vad_segments",
+    "llm_m17_jpeg_dc",
     "llm_s13_filtered_ann",
     "stream_q26_stream_tokenize",
     "stream_q27_available_now",
@@ -79,7 +81,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a44_triangle_count",
     "an_a46_mad_outliers",
     "an_a51_bfs_reachability",
-    "an_a61_shortest_path",
     "stream_q14_topk",
     "stream_q16_hll_distinct",
     "stream_q18_cdc_apply",

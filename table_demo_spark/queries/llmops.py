@@ -5123,6 +5123,69 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# M17 — quantized-DC extraction from REAL baseline JPEG payloads: the
+# payload is a genuine JFIF file (DCT + Annex-K quantization + DC
+# DPCM + canonical Huffman + byte stuffing + restart markers,
+# operators/codecs.py encode_jpeg), and the query entropy-decodes the
+# bitstream back to the quantized DC plane — the production "DC
+# thumbnail" trick: a 1/64-scale view of every crawl image with no
+# IDCT. The oracle is INTEGER-EXACT: for an 8x8 block with pixel sum
+# S, the orthonormal FDCT gives F(0,0) = (S - 8192)/8, and with the
+# Annex-K DC step 16 the quantized DC is round-half-away((S-8192)/128)
+# — pure integer arithmetic both engines state identically (the
+# encoder computes DC with the same integer formula, so no float
+# rounding sits between them). A bug anywhere in marker framing,
+# canonical code reconstruction, the AC zero-run walk (ACs must be
+# decoded to advance the stream), DPCM, or restart sync shifts the DC
+# values and fails the value hash. Execution shape: two chained
+# mapInPandas stages (encode, decode+aggregate) after a fan_out — no
+# join, no driver state, embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def m17_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.jpeg_dc_stats(multimodal.with_jpeg_payload(docs))
+
+
+_JPEG_BPR = multimodal.JPEG_W // 8  # blocks per row
+
+M17_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#jpg' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._JPEG_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+blocksum AS (
+  SELECT doc_id,
+         ((o // {multimodal.JPEG_W}) // 8) * {_JPEG_BPR}
+           + ((o % {multimodal.JPEG_W}) // 8) AS bid,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM bytes GROUP BY 1, 2
+),
+qdc AS (
+  SELECT doc_id, bid,
+         CASE WHEN s >= 8192
+              THEN (2 * (s - 8192) + 128) // 256
+              ELSE -((2 * (8192 - s) + 128) // 256) END AS dc
+  FROM blocksum
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(min(dc) AS BIGINT) AS dc_min,
+       CAST(max(dc) AS BIGINT) AS dc_max,
+       CAST(sum(dc) AS BIGINT) AS dc_sum,
+       CAST(sum((bid + 1) * dc) AS BIGINT) AS dc_checksum
+FROM qdc GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5205,4 +5268,5 @@ QUERIES: list[Query] = [
     Query("llm_m16_pcm_vad_segments", m16_pcm_vad_segments, M16_ORACLE),
     Query("llm_s13_filtered_ann", s13_filtered_ann, S13_ORACLE),
     Query("llm_t29_gopher_rules", t29_gopher_rules, T29_ORACLE),
+    Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
 ]

@@ -840,11 +840,99 @@ def test_gif_codec_roundtrip_width_growth_and_reset():
             decode_gif(data[:cut])
 
 
+def test_jpeg_codec_golden_tables_roundtrip_and_dc_exactness():
+    """Baseline-JPEG codec against three independent references:
+    (1) the canonical Huffman codes derived from the Annex-K BITS/
+    HUFFVAL specs must equal the published T.81 codewords (EOB=1010,
+    ZRL=11111111001, ...); (2) decode_jpeg_dc(encode_jpeg(img)) must
+    equal the ANALYTIC integer formula round_half_away((S-8192)/128)
+    per 8x8 block — the same arithmetic the llm_m17 oracle states in
+    SQL, computed here without touching the encoder's DCT; (3) full
+    IDCT roundtrip on smooth content stays within a few grey levels
+    (transform coding is lossy on noise, near-exact on smooth). Also:
+    restart-marker streams decode identically to unmarked ones, odd
+    (non-multiple-of-8) dimensions pad and crop correctly, and the
+    truncation / progressive / marker-collision paths raise
+    ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _JPEG_AC_CODES,
+        _JPEG_DC_CODES,
+        _round_half_away,
+        decode_jpeg,
+        decode_jpeg_dc,
+        encode_jpeg,
+    )
+
+    # (1) published T.81 Annex K codewords
+    assert _JPEG_DC_CODES[0] == (0b00, 2)
+    assert _JPEG_DC_CODES[2] == (0b011, 3)
+    assert _JPEG_DC_CODES[6] == (0b1110, 4)
+    assert _JPEG_DC_CODES[11] == (0b111111110, 9)
+    assert _JPEG_AC_CODES[0x00] == (0b1010, 4)  # EOB
+    assert _JPEG_AC_CODES[0x01] == (0b00, 2)
+    assert _JPEG_AC_CODES[0x02] == (0b01, 2)
+    assert _JPEG_AC_CODES[0x11] == (0b1100, 4)
+    assert _JPEG_AC_CODES[0xF0] == (0b11111111001, 11)  # ZRL
+
+    def analytic_dc(img):
+        h, w = img.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+        sums = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph // 8, pw // 8, 64)
+            .sum(axis=2, dtype=np.int64)
+        )
+        return np.vectorize(
+            lambda s: _round_half_away(int(s) - 8192, 128)
+        )(sums)
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (24, 32), (17, 23), (64, 48)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data = encode_jpeg(img)
+        assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
+        dec = decode_jpeg(data)
+        assert dec.shape == (h, w) and dec.dtype == np.uint8
+        assert np.array_equal(decode_jpeg_dc(data), analytic_dc(img))  # (2)
+
+    # (3) smooth content: tight full-IDCT roundtrip
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = (
+        (np.sin(x / 9.0) * 40 + np.cos(y / 11.0) * 40) + 128
+    ).clip(0, 255).astype(np.uint8)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(smooth)).astype(int) - smooth.astype(int)
+    )
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+    # restart markers: DRI emitted, stream decodes identically
+    img = rng.integers(0, 256, (40, 48), dtype=np.uint8)
+    plain, marked = encode_jpeg(img), encode_jpeg(img, restart_interval=4)
+    assert b"\xff\xdd" in marked
+    assert any(bytes([0xFF, 0xD0 + i]) in marked for i in range(8))
+    assert np.array_equal(decode_jpeg(marked), decode_jpeg(plain))
+    assert np.array_equal(decode_jpeg_dc(marked), decode_jpeg_dc(plain))
+
+    # error paths: ValueError, never IndexError/garbage
+    for cut in (1, 10, len(plain) // 2, len(plain) - 3):
+        with _pytest.raises(ValueError):
+            decode_jpeg(plain[:cut])
+    with _pytest.raises(ValueError):  # progressive (SOF2)
+        decode_jpeg(plain.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
 def test_decode_image_dispatches_and_rejects_unknown(spark):
-    """decode_image parses real PPM and PNG payloads produced by the
-    fixture builders; transform-coded magic (JPEG) still routes to the
-    documented NotImplementedError extension point, and a corrupt PNG
-    fails loudly rather than decoding garbage."""
+    """decode_image parses real PPM/PNG/GIF/JPEG payloads produced by
+    the fixture builders; codec-library magic (WebP) still routes to
+    the documented NotImplementedError extension point, and a corrupt
+    PNG fails loudly rather than decoding garbage."""
     import numpy as np
     import pytest as _pytest
 
@@ -868,8 +956,14 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
     assert gif.shape == (multimodal.GIF_H, multimodal.GIF_W, 3)
     assert gif.dtype == np.uint8
 
+    jpg_row = multimodal.with_jpeg_payload(docs).collect()[0]
+    jpg = multimodal.decode_image(jpg_row.payload)  # grey -> 3 channels
+    assert jpg.shape == (multimodal.JPEG_H, multimodal.JPEG_W, 3)
+    assert jpg.dtype == np.uint8
+    assert (jpg[:, :, 0] == jpg[:, :, 1]).all()
+
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)  # JPEG/JFIF
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP
 
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")  # truncated PNG
@@ -976,11 +1070,15 @@ def test_codec_roundtrips_property():
     import numpy as np
 
     from table_demo_spark.operators.codecs import (
+        _round_half_away,
         decode_gif,
+        decode_jpeg,
+        decode_jpeg_dc,
         decode_png,
         decode_ppm,
         decode_wav,
         encode_gif,
+        encode_jpeg,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -1024,9 +1122,39 @@ def test_codec_roundtrips_property():
         got_rate, got = decode_wav(encode_wav(samples, rate))
         assert got_rate == rate and (got == samples).all()
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ri=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def jpeg_dc_exact(h, w, ri, seed):
+        # JPEG is lossy, so the property is the integer-exact DC plane
+        # (the llm_m17 oracle arithmetic), not pixel identity — across
+        # arbitrary dims (pad/crop path) and restart intervals.
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+        sums = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph // 8, pw // 8, 64)
+            .sum(axis=2, dtype=np.int64)
+        )
+        want = np.vectorize(
+            lambda s: _round_half_away(int(s) - 8192, 128)
+        )(sums)
+        data = encode_jpeg(img, restart_interval=ri)
+        assert np.array_equal(decode_jpeg_dc(data), want)
+        dec = decode_jpeg(data)
+        assert dec.shape == (h, w) and dec.dtype == np.uint8
+
     image_roundtrip()
     gif_roundtrip()
     wav_roundtrip()
+    jpeg_dc_exact()
 
 
 def test_bpe_learn_stops_on_exhausted_corpus(spark):

@@ -96,6 +96,7 @@ _PYTHON_ALLOWED = {
     "llm_m15_gif_scene_cuts",  # MapInPandas (real GIF LZW decode feeding lag window)
     "llm_t28_bpe_vocab_apply",  # MapInPandas (one-pass vocab apply, merge list in closure)
     "llm_m16_pcm_vad_segments",  # MapInPandas (real RIFF decode + frame energies)
+    "llm_m17_jpeg_dc",  # MapInPandas (real JPEG entropy decode to DC plane)
 }
 
 
@@ -707,6 +708,21 @@ def test_vocab_apply_is_single_exchange_no_join(spark):
     import re
 
     plan = formatted_plan(_query("llm_t28_bpe_vocab_apply")(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex <= 1, plan
+
+
+def test_jpeg_dc_is_join_free_single_exchange(spark):
+    """llm_m17's encode -> entropy-decode path is two chained
+    mapInPandas stages with per-doc aggregation INSIDE the decode UDF:
+    no join, no groupBy shuffle — at most the fan_out round-robin
+    Exchange that parallelizes the CPU-bound codec work. This is the
+    shape that makes the DC-thumbnail sweep embarrassingly parallel
+    over a 100 TB image corpus."""
+    import re
+
+    plan = formatted_plan(_query("llm_m17_jpeg_dc")(spark, SF_SMOKE))
     assert "Join" not in plan, plan
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_ex <= 1, plan
