@@ -143,6 +143,7 @@ HEADLINE = [
     "llm_m14_png_luma",
     "llm_m15_gif_scene_cuts",
     "llm_m17_jpeg_dc",
+    "llm_m18_jpeg_restart_parallel",
     # llm_t28_bpe_vocab_apply and stream_q26_stream_tokenize are
     # deliberately NOT here: their wall time is dominated by the
     # sequential sample-train rounds (pure job latency on tiny

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from typing import NamedTuple
 
 import numpy as np
 
@@ -888,12 +889,24 @@ def _jpeg_extend(extra: int, size: int) -> int:
     return extra
 
 
-def _decode_jpeg_coefficients(
-    data: bytes,
-) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Parse markers + entropy-decode: -> (quantized coefficient
-    blocks (n_by, n_bx, 8, 8) int32 in natural order, quant table
-    (8, 8) int32, true height, true width)."""
+class _JpegHeader(NamedTuple):
+    """Everything the marker walk yields before entropy data starts."""
+
+    quant: np.ndarray
+    dc_table: dict[tuple[int, int], int]
+    ac_table: dict[tuple[int, int], int]
+    h: int
+    w: int
+    restart_interval: int
+    sos_pos: int
+
+
+def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
+    """Walk the marker stream up to (and including) SOS: -> tables,
+    dimensions, restart interval, and the offset where entropy-coded
+    data begins. Shared by the whole-image decoder and the
+    restart-segment path (split_jpeg_restarts /
+    decode_jpeg_segment_dc)."""
     if not data.startswith(JPEG_MAGIC[:2]):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -964,10 +977,53 @@ def _decode_jpeg_coefficients(
         pos += 2 + seglen
     if quant is None or dc_table is None or ac_table is None or h is None:
         raise ValueError("missing DQT/DHT/SOF0 before SOS")
+    return _JpegHeader(quant, dc_table, ac_table, h, w, restart_interval, pos)
 
+
+def _decode_entropy_block(
+    reader: _JpegBitReader,
+    dc_table: dict[tuple[int, int], int],
+    ac_table: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode ONE 8x8 block: -> (zigzag-order coefficients
+    (64,) int32, updated DC predictor). The AC walk must run even
+    when only DC is wanted — it is what advances the bitstream."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = reader.huffman(dc_table)
+    diff = _jpeg_extend(reader.bits(size), size)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.huffman(ac_table)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"invalid AC symbol {sym:#x}")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _jpeg_extend(reader.bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _decode_jpeg_coefficients(
+    data: bytes,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Parse markers + entropy-decode: -> (quantized coefficient
+    blocks (n_by, n_bx, 8, 8) int32 in natural order, quant table
+    (8, 8) int32, true height, true width)."""
+    hdr = _jpeg_parse_headers(data)
+    h, w, restart_interval = hdr.h, hdr.w, hdr.restart_interval
     n_by, n_bx = -(-h // 8), -(-w // 8)
     coefs = np.zeros((n_by, n_bx, 64), dtype=np.int32)
-    reader = _JpegBitReader(data, pos)
+    reader = _JpegBitReader(data, hdr.sos_pos)
     pred = 0
     mcu = 0
     for by in range(n_by):
@@ -975,32 +1031,14 @@ def _decode_jpeg_coefficients(
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart()
                 pred = 0
-            zz = np.zeros(64, dtype=np.int32)
-            size = reader.huffman(dc_table)
-            diff = _jpeg_extend(reader.bits(size), size)
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = reader.huffman(ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid AC symbol {sym:#x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _jpeg_extend(reader.bits(size), size)
-                k += 1
+            zz, pred = _decode_entropy_block(
+                reader, hdr.dc_table, hdr.ac_table, pred
+            )
             nat = np.zeros(64, dtype=np.int32)
             nat[_JPEG_ZIGZAG] = zz
             coefs[by, bx] = nat
             mcu += 1
-    return coefs.reshape(n_by, n_bx, 8, 8), quant, h, w
+    return coefs.reshape(n_by, n_bx, 8, 8), hdr.quant, h, w
 
 
 def decode_jpeg_dc(data: bytes) -> np.ndarray:
@@ -1025,3 +1063,77 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
     )
     return np.clip(np.round(raster), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def split_jpeg_restarts(data: bytes) -> tuple[bytes, list[bytes]]:
+    """Split a baseline JPEG at its restart-marker boundaries:
+    -> (header bytes through SOS, [entropy bytes per interval]).
+
+    This is what restart markers are FOR (T.81 B.2.1): RSTn is
+    byte-aligned and byte stuffing (FF -> FF 00) guarantees no FF
+    D0..D7 sequence can occur inside entropy data, so the scan can be
+    partitioned by a PURE BYTE SCAN — no entropy decode, no Huffman
+    tables — and each interval is independently decodable (the DC
+    predictor resets to 0 at every marker). That turns one large
+    image into many parallel decode tasks: a single object no longer
+    serializes into a single task, which is the intra-file analogue
+    of fan_out's file-level spread.
+
+    Raises ValueError when the interval structure implied by DRI and
+    the SOF0 dimensions does not match the markers actually present.
+    """
+    hdr = _jpeg_parse_headers(data)
+    n = len(data)
+    segs: list[bytes] = []
+    start = hdr.sos_pos
+    i = hdr.sos_pos
+    closed = False
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0x00:  # stuffed FF: entropy data
+            i += 2
+        elif 0xD0 <= marker <= 0xD7:  # RSTn
+            segs.append(data[start:i])
+            start = i + 2
+            i += 2
+        elif marker == 0xD9:  # EOI
+            segs.append(data[start:i])
+            closed = True
+            break
+        else:
+            raise ValueError(f"unexpected marker {marker:#x} in scan")
+    if not closed:
+        raise ValueError("truncated JPEG: missing EOI")
+    blocks = -(-hdr.h // 8) * (-(-hdr.w // 8))
+    expect = (
+        -(-blocks // hdr.restart_interval) if hdr.restart_interval else 1
+    )
+    if len(segs) != expect:
+        raise ValueError(
+            f"found {len(segs)} restart intervals, DRI/SOF0 imply {expect}"
+        )
+    return data[: hdr.sos_pos], segs
+
+
+def decode_jpeg_segment_dc(header: bytes, seg: bytes, n_mcus: int) -> np.ndarray:
+    """Entropy-decode ONE restart interval standalone: -> (n_mcus,)
+    int32 quantized DC values in scan order. ``header`` is the
+    marker-stream prefix from split_jpeg_restarts (tables travel with
+    the segment — the decoder assumes nothing about the encoder);
+    ``seg`` is the interval's entropy bytes; the DC predictor starts
+    at 0 exactly as it does after a restart marker. The AC walk still
+    runs per block (it advances the bitstream), so Huffman and DPCM
+    bugs surface here the same as in the whole-image decoder."""
+    hdr = _jpeg_parse_headers(header)
+    reader = _JpegBitReader(seg, 0)
+    pred = 0
+    out = np.empty(n_mcus, dtype=np.int32)
+    for k in range(n_mcus):
+        zz, pred = _decode_entropy_block(
+            reader, hdr.dc_table, hdr.ac_table, pred
+        )
+        out[k] = zz[0]
+    return out

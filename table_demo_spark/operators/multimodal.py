@@ -619,6 +619,110 @@ def jpeg_dc_stats(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=JPEG_DC_SCHEMA)
 
 
+JPEG_PAR_W, JPEG_PAR_H = 64, 40  # 2560 raster bytes = 160 md5 blocks
+_JPEG_PAR_BLOCKS = (JPEG_PAR_W * JPEG_PAR_H) // 16
+JPEG_PAR_RESTART = 7  # 40 MCUs -> 6 intervals, the last ragged (5 MCUs)
+
+JPEG_SEGMENT_SCHEMA = (
+    "doc_id long, seg_idx long, n_mcus long, header binary, seg binary"
+)
+
+
+def jpeg_restart_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, n_mcus, header, seg): one row per restart
+    interval of a per-document baseline JFIF payload (greyscale pixels
+    from the doc's md5 stream, salt '#jp2', 64x40, DRI=7 so the last
+    interval is ragged). Encode and split happen in ONE Arrow stage —
+    the split is a pure byte scan (codecs.split_jpeg_restarts: byte
+    stuffing guarantees RSTn cannot occur inside entropy data), so no
+    entropy work is duplicated. Every output row is independently
+    decodable: the Huffman/quant tables travel in ``header`` and the
+    DC predictor resets to 0 at each marker (T.81 B.2.1)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        encode_jpeg,
+        split_jpeg_restarts,
+    )
+
+    n_blocks = (JPEG_PAR_W // 8) * (JPEG_PAR_H // 8)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = encode_jpeg(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _JPEG_PAR_BLOCKS, "#jp2"),
+                        dtype=np.uint8,
+                    ).reshape(JPEG_PAR_H, JPEG_PAR_W),
+                    restart_interval=JPEG_PAR_RESTART,
+                )
+                header, segs = split_jpeg_restarts(payload)
+                for i, seg in enumerate(segs):
+                    n = min(JPEG_PAR_RESTART, n_blocks - i * JPEG_PAR_RESTART)
+                    rows.append((doc_id, i, n, header, seg))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seg_idx", "n_mcus", "header", "seg"]
+            )
+
+    return _spread_ids(docs).mapInPandas(build, schema=JPEG_SEGMENT_SCHEMA)
+
+
+JPEG_PARALLEL_SCHEMA = (
+    "doc_id long, n_segments long, n_blocks long, dc_sum long, "
+    "seg_checksum long"
+)
+
+
+def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
+    """Entropy-decode every restart interval INDEPENDENTLY, then
+    aggregate the quantized-DC plane per document. The segment rows
+    are round-robin re-spread before the CPU-bound decode stage, so
+    intervals of the SAME image land on different tasks — intra-file
+    parallelism, the reason restart markers exist: at crawl scale a
+    single large image (a 100-megapixel scan at DRI=64 is ~1500
+    independent intervals) never serializes into one task.
+    ``seg_checksum = sum((seg_idx+1) * seg_dc_sum)`` pins interval
+    ASSIGNMENT, not just the DC multiset — a split off by one MCU or
+    a predictor carried across a marker shifts it."""
+    from table_demo_spark.operators.codecs import decode_jpeg_segment_dc
+    from table_demo_spark.sources.batch import fan_out
+
+    def seg_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, seg_idx, n_mcus, header, seg in zip(
+                pdf["doc_id"],
+                pdf["seg_idx"],
+                pdf["n_mcus"],
+                pdf["header"],
+                pdf["seg"],
+            ):
+                dc = decode_jpeg_segment_dc(
+                    bytes(header), bytes(seg), int(n_mcus)
+                )
+                rows.append(
+                    (doc_id, seg_idx, int(n_mcus), int(dc.sum(dtype="int64")))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seg_idx", "n_mcus", "seg_dc_sum"]
+            )
+
+    decoded = fan_out(segments).mapInPandas(
+        seg_decode,
+        schema="doc_id long, seg_idx long, n_mcus long, seg_dc_sum long",
+    )
+    return decoded.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("n_mcus").cast("long").alias("n_blocks"),
+        F.sum("seg_dc_sum").cast("long").alias("dc_sum"),
+        F.sum((F.col("seg_idx") + F.lit(1)) * F.col("seg_dc_sum"))
+        .cast("long")
+        .alias("seg_checksum"),
+    )
+
+
 DECODED_LUMA_SCHEMA = (
     "doc_id long, width long, height long, mean_luma_milli long, "
     "luma_bucket long"

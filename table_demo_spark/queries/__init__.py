@@ -48,8 +48,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "ref_s1_csv_gzip",
     # semantic core (sink/changelog/TTL modes + family anchors +
     # queries added or reworked this round: q7 retry hardening, t25's
-    # materialization rework, new m15 GIF / m17 JPEG decodes and t28
-    # one-pass apply)
+    # materialization rework, new m15 GIF / m17-m18 JPEG decodes and
+    # t28 one-pass apply)
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
@@ -61,7 +61,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
     "llm_s1_ann_topk",
-    "llm_t1_text_stats",
     "llm_t20_bpe_train",
     "llm_t25_bpe_encode",
     "llm_t28_bpe_vocab_apply",
@@ -69,6 +68,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m15_gif_scene_cuts",
     "llm_m16_pcm_vad_segments",
     "llm_m17_jpeg_dc",
+    "llm_m18_jpeg_restart_parallel",
     "llm_s13_filtered_ann",
     "stream_q26_stream_tokenize",
     "stream_q27_available_now",

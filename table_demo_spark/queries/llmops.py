@@ -5186,6 +5186,76 @@ FROM qdc GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M18 — restart-marker-parallel JPEG decode: intra-FILE parallelism.
+# m17 parallelizes across images; m18 parallelizes WITHIN one. The
+# scan of each per-doc JFIF payload (64x40, DRI=7) is split at its
+# byte-aligned RSTn boundaries by a pure byte scan (byte stuffing
+# guarantees no false marker inside entropy data — this is what
+# restart markers are FOR, T.81 B.2.1), the interval rows are
+# round-robin re-spread, and each interval is entropy-decoded
+# INDEPENDENTLY (tables travel with the row; the DC predictor resets
+# at every marker). At crawl scale this is the difference between a
+# 100-megapixel scan decoding as ~1500 parallel tasks vs one. The
+# oracle states the same integer DC arithmetic as m17 (per-block
+# round-half-away((S-8192)/128)) grouped by seg_idx = bid // 7;
+# seg_checksum = sum((seg_idx+1) * seg_dc_sum) pins interval
+# ASSIGNMENT — a split off by one MCU, a predictor carried across a
+# marker, or a ragged-tail miscount all shift it. Shape: fan_out ->
+# encode+split mapInPandas -> segment re-spread -> decode mapInPandas
+# -> single groupBy — no join, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def m18_jpeg_restart_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.jpeg_parallel_dc_stats(
+        multimodal.jpeg_restart_segments(docs)
+    )
+
+
+_JPEG_PAR_BPR = multimodal.JPEG_PAR_W // 8  # blocks per row
+
+M18_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#jp2' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._JPEG_PAR_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+blocksum AS (
+  SELECT doc_id,
+         ((o // {multimodal.JPEG_PAR_W}) // 8) * {_JPEG_PAR_BPR}
+           + ((o % {multimodal.JPEG_PAR_W}) // 8) AS bid,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM bytes GROUP BY 1, 2
+),
+qdc AS (
+  SELECT doc_id, bid,
+         CASE WHEN s >= 8192
+              THEN (2 * (s - 8192) + 128) // 256
+              ELSE -((2 * (8192 - s) + 128) // 256) END AS dc
+  FROM blocksum
+),
+seg AS (
+  SELECT doc_id, bid // {multimodal.JPEG_PAR_RESTART} AS seg_idx,
+         CAST(count(*) AS BIGINT) AS n_mcus,
+         CAST(sum(dc) AS BIGINT) AS sdc
+  FROM qdc GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(n_mcus) AS BIGINT) AS n_blocks,
+       CAST(sum(sdc) AS BIGINT) AS dc_sum,
+       CAST(sum((seg_idx + 1) * sdc) AS BIGINT) AS seg_checksum
+FROM seg GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5269,4 +5339,5 @@ QUERIES: list[Query] = [
     Query("llm_s13_filtered_ann", s13_filtered_ann, S13_ORACLE),
     Query("llm_t29_gopher_rules", t29_gopher_rules, T29_ORACLE),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
+    Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
 ]

@@ -928,6 +928,56 @@ def test_jpeg_codec_golden_tables_roundtrip_and_dc_exactness():
         decode_jpeg(b"not a jpeg")
 
 
+def test_jpeg_restart_split_segments_decode_independently():
+    """split_jpeg_restarts is a pure byte scan whose segments, decoded
+    STANDALONE (tables re-parsed from the shipped header, DC predictor
+    reset per marker), reproduce the whole-image DC plane exactly —
+    across ragged final intervals, DRI=0 (one segment), and DRI larger
+    than the image. Truncation and foreign in-scan markers raise
+    ValueError, never a silent misdecode."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_jpeg_dc,
+        decode_jpeg_segment_dc,
+        encode_jpeg,
+        split_jpeg_restarts,
+    )
+
+    rng = np.random.default_rng(20260814)
+    for h, w, ri in [
+        (24, 32, 5),
+        (40, 64, 7),
+        (8, 8, 1),
+        (17, 33, 4),
+        (16, 24, 0),
+        (16, 16, 100),
+    ]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data = encode_jpeg(img, restart_interval=ri)
+        want = decode_jpeg_dc(data).reshape(-1)
+        header, segs = split_jpeg_restarts(data)
+        step = ri if ri else want.size
+        assert len(segs) == -(-want.size // step)
+        got = np.concatenate(
+            [
+                decode_jpeg_segment_dc(
+                    header, seg, min(step, want.size - i * step)
+                )
+                for i, seg in enumerate(segs)
+            ]
+        )
+        assert np.array_equal(got, want), (h, w, ri)
+
+    data = encode_jpeg(
+        rng.integers(0, 256, (24, 32), dtype=np.uint8), restart_interval=5
+    )
+    with pytest.raises(ValueError):
+        split_jpeg_restarts(data[:-2])  # EOI removed
+    with pytest.raises(ValueError):  # foreign marker spliced into scan
+        split_jpeg_restarts(data[:-2] + b"\xff\xc0" + data[-2:])
+
+
 def test_decode_image_dispatches_and_rejects_unknown(spark):
     """decode_image parses real PPM/PNG/GIF/JPEG payloads produced by
     the fixture builders; codec-library magic (WebP) still routes to

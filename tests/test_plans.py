@@ -97,6 +97,7 @@ _PYTHON_ALLOWED = {
     "llm_t28_bpe_vocab_apply",  # MapInPandas (one-pass vocab apply, merge list in closure)
     "llm_m16_pcm_vad_segments",  # MapInPandas (real RIFF decode + frame energies)
     "llm_m17_jpeg_dc",  # MapInPandas (real JPEG entropy decode to DC plane)
+    "llm_m18_jpeg_restart_parallel",  # MapInPandas (per-interval JPEG decode)
 }
 
 
@@ -726,3 +727,24 @@ def test_jpeg_dc_is_join_free_single_exchange(spark):
     assert "Join" not in plan, plan
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_ex <= 1, plan
+
+
+def test_jpeg_restart_parallel_plan_shape(spark):
+    """llm_m18 splits each JPEG scan at restart-marker boundaries and
+    decodes the intervals independently: two MapInPandas stages
+    (encode+split, per-interval decode) separated by a round-robin
+    Exchange that spreads intervals of the SAME image across tasks,
+    then a single hash-partition groupBy — and no join anywhere. The
+    segment re-spread is the point: intra-file parallelism, so one
+    large media object never serializes into one task."""
+    import re
+
+    plan = formatted_plan(
+        _query("llm_m18_jpeg_restart_parallel")(spark, SF_SMOKE)
+    )
+    assert "Join" not in plan, plan
+    n_map = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE))
+    assert n_map == 2, plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex <= 3, plan
+    assert "RoundRobinPartitioning" in plan, plan
