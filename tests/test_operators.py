@@ -1200,6 +1200,26 @@ def test_codec_roundtrips_property():
         assert np.array_equal(decode_jpeg_dc(data), want)
         dec = decode_jpeg(data)
         assert dec.shape == (h, w) and dec.dtype == np.uint8
+        # the restart split must reproduce the same DC plane from
+        # independently decoded intervals (m18's path), for every
+        # shape hypothesis finds — including ri=0 (single segment)
+        from table_demo_spark.operators.codecs import (
+            decode_jpeg_segment_dc,
+            split_jpeg_restarts,
+        )
+
+        flat = want.reshape(-1)
+        header, segs = split_jpeg_restarts(data)
+        step = ri if ri else flat.size
+        got = np.concatenate(
+            [
+                decode_jpeg_segment_dc(
+                    header, seg, min(step, flat.size - i * step)
+                )
+                for i, seg in enumerate(segs)
+            ]
+        )
+        assert np.array_equal(got, flat)
 
     image_roundtrip()
     gif_roundtrip()
