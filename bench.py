@@ -166,6 +166,7 @@ HEADLINE = [
     "stream_q24_http_retract_delete",
     "stream_q25_streaming_neardup",
     "stream_q27_available_now",
+    "stream_q28_media_decode",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

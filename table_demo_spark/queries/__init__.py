@@ -60,7 +60,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q25_streaming_neardup",
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
-    "llm_s1_ann_topk",
     "llm_t20_bpe_train",
     "llm_t25_bpe_encode",
     "llm_t28_bpe_vocab_apply",
@@ -72,6 +71,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s13_filtered_ann",
     "stream_q26_stream_tokenize",
     "stream_q27_available_now",
+    "stream_q28_media_decode",
     "llm_p1_prep_pipeline",
     "an_a1_pricing_summary",
     "src_s1_jsonl_events",

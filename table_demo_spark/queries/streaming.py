@@ -1149,6 +1149,31 @@ def _q26_oracle() -> str:
     return _bpe_train_apply_oracle(predicate, "", _Q26_ITERS)
 
 
+def q28_media_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous media decode (streaming m17): each arriving shard's
+    documents get a real baseline-JFIF payload built and entropy-
+    decoded to quantized-DC stats by the SAME stateless Arrow operator
+    chain the batch query uses — no state store, no watermark,
+    O(batch) per trigger, native parquet append sink. Final sink
+    contents = batch m17 exactly (M17_ORACLE verbatim), so a doc
+    dropped or decoded twice at a micro-batch boundary breaks the
+    value hash."""
+    from table_demo_spark.streaming.queries import run_q28_media_decode
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q28_media_decode(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "n_blocks", "dc_min", "dc_max", "dc_sum", "dc_checksum"
+    )
+
+
+def _q28_oracle() -> str:
+    from table_demo_spark.queries.llmops import M17_ORACLE
+
+    return M17_ORACLE
+
+
 def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger.AvailableNow incremental batch: the per-(lang, source)
     corpus rollup runs as a self-terminating streaming invocation,
@@ -1229,6 +1254,7 @@ QUERIES: list[Query] = [
         q27_available_now_final,
         Q27_AVAILABLE_NOW_ORACLE,
     ),
+    Query("stream_q28_media_decode", q28_media_decode_final, _q28_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2454,6 +2454,50 @@ def run_q26_stream_tokenize(
     return sink, query
 
 
+# ---------------------------------------------------------------------------
+# Q28 streaming — decode media AS IT ARRIVES: the continuous-ingestion
+# split of the m-family. Each arriving crawl shard's documents get a
+# real baseline-JFIF payload built and entropy-decoded to quantized-DC
+# statistics by the IDENTICAL stateless operator chain the batch m17
+# query uses (multimodal.with_jpeg_payload -> jpeg_dc_stats): both
+# stages are pure per-row Arrow maps, so they run unchanged on a
+# streaming frame — no state store, no watermark, append mode,
+# O(batch) per trigger. This is what a production media pipeline does
+# with a crawl firehose: decode on arrival, append features, never
+# revisit. The sink's final contents are the per-doc DC stats for the
+# whole corpus — exactly batch m17 — so the oracle is M17_ORACLE
+# verbatim and any micro-batch boundary effect (doc dropped, doc
+# decoded twice) breaks the value hash.
+# ---------------------------------------------------------------------------
+
+
+def run_q28_media_decode(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Continuously decode the staged crawl shards' media payloads.
+    Returns (sink, query)."""
+    from table_demo_spark.operators import multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.jpeg_dc_stats(multimodal.with_jpeg_payload(docs))
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q28-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 def run_q25_streaming_neardup(
     spark: SparkSession,
     sf_dir: str,
