@@ -1118,22 +1118,40 @@ def split_jpeg_restarts(data: bytes) -> tuple[bytes, list[bytes]]:
     return data[: hdr.sos_pos], segs
 
 
+class JpegSegmentDecoder:
+    """Parse a JPEG header ONCE, entropy-decode many restart intervals.
+
+    The header (canonical Huffman table reconstruction) is
+    byte-identical across every interval of a payload — and across
+    payloads from the same encoder config — so callers decoding many
+    segments memoize one decoder per distinct header instead of paying
+    the parse per interval (~7% of per-interval decode cost)."""
+
+    def __init__(self, header: bytes) -> None:
+        self._hdr = _jpeg_parse_headers(header)
+
+    def dc(self, seg: bytes, n_mcus: int) -> np.ndarray:
+        """One interval's entropy bytes -> (n_mcus,) int32 quantized
+        DC values in scan order. The DC predictor starts at 0 exactly
+        as it does after a restart marker; the AC walk still runs per
+        block (it advances the bitstream), so Huffman and DPCM bugs
+        surface here the same as in the whole-image decoder."""
+        hdr = self._hdr
+        reader = _JpegBitReader(seg, 0)
+        pred = 0
+        out = np.empty(n_mcus, dtype=np.int32)
+        for k in range(n_mcus):
+            zz, pred = _decode_entropy_block(
+                reader, hdr.dc_table, hdr.ac_table, pred
+            )
+            out[k] = zz[0]
+        return out
+
+
 def decode_jpeg_segment_dc(header: bytes, seg: bytes, n_mcus: int) -> np.ndarray:
     """Entropy-decode ONE restart interval standalone: -> (n_mcus,)
     int32 quantized DC values in scan order. ``header`` is the
     marker-stream prefix from split_jpeg_restarts (tables travel with
-    the segment — the decoder assumes nothing about the encoder);
-    ``seg`` is the interval's entropy bytes; the DC predictor starts
-    at 0 exactly as it does after a restart marker. The AC walk still
-    runs per block (it advances the bitstream), so Huffman and DPCM
-    bugs surface here the same as in the whole-image decoder."""
-    hdr = _jpeg_parse_headers(header)
-    reader = _JpegBitReader(seg, 0)
-    pred = 0
-    out = np.empty(n_mcus, dtype=np.int32)
-    for k in range(n_mcus):
-        zz, pred = _decode_entropy_block(
-            reader, hdr.dc_table, hdr.ac_table, pred
-        )
-        out[k] = zz[0]
-    return out
+    the segment — the decoder assumes nothing about the encoder).
+    One-shot convenience over JpegSegmentDecoder."""
+    return JpegSegmentDecoder(header).dc(seg, n_mcus)

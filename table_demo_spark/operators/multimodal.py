@@ -686,10 +686,14 @@ def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
     ``seg_checksum = sum((seg_idx+1) * seg_dc_sum)`` pins interval
     ASSIGNMENT, not just the DC multiset — a split off by one MCU or
     a predictor carried across a marker shifts it."""
-    from table_demo_spark.operators.codecs import decode_jpeg_segment_dc
+    from table_demo_spark.operators.codecs import JpegSegmentDecoder
     from table_demo_spark.sources.batch import fan_out
 
     def seg_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Tables TRAVEL with every row, but the parse is memoized per
+        # distinct header bytes per task (see JpegSegmentDecoder).
+        decoders: dict[bytes, JpegSegmentDecoder] = {}
+
         for pdf in batches:
             rows = []
             for doc_id, seg_idx, n_mcus, header, seg in zip(
@@ -699,9 +703,11 @@ def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
                 pdf["header"],
                 pdf["seg"],
             ):
-                dc = decode_jpeg_segment_dc(
-                    bytes(header), bytes(seg), int(n_mcus)
-                )
+                hdr = bytes(header)
+                dec = decoders.get(hdr)
+                if dec is None:
+                    dec = decoders[hdr] = JpegSegmentDecoder(hdr)
+                dc = dec.dc(bytes(seg), int(n_mcus))
                 rows.append(
                     (doc_id, seg_idx, int(n_mcus), int(dc.sum(dtype="int64")))
                 )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
+from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
 from table_demo_spark.queries.reference import (
     _DEPARTURES_CTE,
     OVER_RANGE_MS,
@@ -1168,12 +1169,6 @@ def q28_media_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q28_oracle() -> str:
-    from table_demo_spark.queries.llmops import M17_ORACLE
-
-    return M17_ORACLE
-
-
 def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger.AvailableNow incremental batch: the per-(lang, source)
     corpus rollup runs as a self-terminating streaming invocation,
@@ -1254,7 +1249,7 @@ QUERIES: list[Query] = [
         q27_available_now_final,
         Q27_AVAILABLE_NOW_ORACLE,
     ),
-    Query("stream_q28_media_decode", q28_media_decode_final, _q28_oracle()),
+    Query("stream_q28_media_decode", q28_media_decode_final, _M17_ORACLE),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh
