@@ -167,6 +167,7 @@ HEADLINE = [
     "stream_q25_streaming_neardup",
     "stream_q27_available_now",
     "stream_q28_media_decode",
+    "stream_q29_ann_index_ingest",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
 ]

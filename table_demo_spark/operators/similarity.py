@@ -135,24 +135,54 @@ def ivf_topk(
     centroids = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
+    lists = _nearest_centroids(
+        corpus, centroids, "neighbor_id", "c_vec", 1, id_col, vec_col
+    ).drop("crank")
+    return ivf_probe(lists, queries, centroids, k, n_probe, id_col, vec_col)
 
-    def nearest(df: DataFrame, out_id: str, vec_out: str, n: int) -> DataFrame:
-        """Top-n centroids per vector by cosine (argmax assignment)."""
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(vec_out),
-            "centroid_id",
-            cosine(vec_col, "cent_vec").alias("cent_sim"),
-        )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("cent_sim").desc(), F.col("centroid_id").asc()
-        )
-        return scored.select(
-            out_id, vec_out, "centroid_id", F.row_number().over(w).alias("crank")
-        ).filter(F.col("crank") <= n)
 
-    lists = nearest(corpus, "neighbor_id", "c_vec", 1).drop("crank")
-    probes = nearest(queries, "query_id", "q_vec", n_probe).drop("crank")
+def _nearest_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    out_id: str,
+    vec_out: str,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-n centroids per vector by cosine (argmax assignment;
+    tie-break centroid_id ASC). The batch half of IVF assignment."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(vec_out),
+        "centroid_id",
+        cosine(vec_col, "cent_vec").alias("cent_sim"),
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    return scored.select(
+        out_id, vec_out, "centroid_id", F.row_number().over(w).alias("crank")
+    ).filter(F.col("crank") <= n)
+
+
+def ivf_probe(
+    lists: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe half of IVF: route each query to its ``n_probe``
+    nearest centroids' inverted lists (equi-join on centroid id) and
+    exact-rerank the candidates. ``lists`` is (centroid_id,
+    neighbor_id, c_vec) however it was built — batch assignment
+    (ivf_topk) or an index maintained at ingest (stream_q29)."""
+    probes = _nearest_centroids(
+        queries, centroids, "query_id", "q_vec", n_probe, id_col, vec_col
+    ).drop("crank")
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -170,6 +200,45 @@ def ivf_topk(
             F.row_number().over(w).cast("long").alias("rank"),
         )
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign_inline(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION — the
+    streaming-safe form of ``_nearest_centroids(.., n=1)``.
+
+    The centroid table travels as plan literals instead of a joined
+    relation, which is legitimate ONLY because it is bounded by
+    construction (N_CENTROIDS rows — the same rule that lets t28's
+    vocabulary ride in the task closure). With no join and no window
+    the expression runs unchanged on streaming frames, where window
+    functions and stateful aggregation are unsupported in append mode.
+
+    Bit-parity with the batch half: cosine folds the identical
+    expression tree (the literal array's doubles are the exact f64
+    widenings of the stored f32 values, as is the batch side's
+    ``cast("double")``), and the argmax tie-break (cos DESC,
+    centroid_id ASC) is encoded as ``array_max`` over
+    ``struct(sim, -centroid_id)`` — max sim first, then min id."""
+    entries = [
+        F.struct(
+            cosine(vec_col, F.array(*[F.lit(float(v)) for v in vec])).alias(
+                "s"
+            ),
+            F.lit(-cid).cast("long").alias("negc"),
+        )
+        for cid, vec in cent_rows
+    ]
+    best = F.array_max(F.array(*entries))
+    return df.select(
+        (-best["negc"]).cast("long").alias("centroid_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
     )
 
 

@@ -48,14 +48,14 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "ref_s1_csv_gzip",
     # semantic core (sink/changelog/TTL modes + family anchors +
     # queries added or reworked this round: q7 retry hardening, t25's
-    # materialization rework, new m15 GIF / m17-m18 JPEG decodes and
-    # t28 one-pass apply)
+    # materialization rework, new m15 GIF / m17-m18 JPEG decodes, t28
+    # one-pass apply, and the q28/q29 continuous media-decode and
+    # index-at-ingest splits)
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
     "stream_q7_enrich_agg",
     "stream_q8_retract_delete",
-    "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     "stream_q25_streaming_neardup",
     "llm_d1_dedup_exact",
@@ -72,6 +72,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q26_stream_tokenize",
     "stream_q27_available_now",
     "stream_q28_media_decode",
+    "stream_q29_ann_index_ingest",
     "llm_p1_prep_pipeline",
     "an_a1_pricing_summary",
     "src_s1_jsonl_events",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
+from table_demo_spark.queries.llmops import S3_ORACLE as _S3_ORACLE
 from table_demo_spark.queries.reference import (
     _DEPARTURES_CTE,
     OVER_RANGE_MS,
@@ -1169,6 +1170,54 @@ def q28_media_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_ann_index_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintained at ingest (streaming s3): arriving
+    embeddings are routed into centroid-partitioned inverted lists by
+    a stateless literal-centroid projection; after the drain the probe
+    reads ONLY the probed centroids' partitions (IN-list directory
+    pruning — the on-disk layout is the index) and exact-reranks.
+    Result must equal batch llm_s3 exactly: a vector routed to the
+    wrong list, dropped, or indexed twice breaks the value hash."""
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import ANN_K, N_QUERY_VECS
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import run_q29_ann_index_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query, _ = run_q29_ann_index_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        F.col("vec_id") < similarity.N_CENTROIDS
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    # Directory pruning: only the union of probed centroids' partitions
+    # is scanned (bounded: <= N_QUERY_VECS * N_PROBE ids).
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in similarity._nearest_centroids(
+            queries_df, centroids, "query_id", "q_vec", similarity.N_PROBE
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    store = (
+        sink.snapshot_df(spark)
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "neighbor_id",
+            "c_vec",
+        )
+    )
+    return similarity.ivf_probe(store, queries_df, centroids, k=ANN_K)
+
+
 def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger.AvailableNow incremental batch: the per-(lang, source)
     corpus rollup runs as a self-terminating streaming invocation,
@@ -1250,6 +1299,7 @@ QUERIES: list[Query] = [
         Q27_AVAILABLE_NOW_ORACLE,
     ),
     Query("stream_q28_media_decode", q28_media_decode_final, _M17_ORACLE),
+    Query("stream_q29_ann_index_ingest", q29_ann_index_ingest_final, _S3_ORACLE),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2318,8 +2318,10 @@ def q25_verify(
     )
 
 
-def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> str:
-    """Stage the documents fixture as n_shards parquet files (one
+def _ensure_table_shards(
+    spark: SparkSession, sf_dir: str, table: str, key_col: str, n_shards: int
+) -> str:
+    """Stage a fixture table as n_shards parquet files (one
     micro-batch each under maxFilesPerTrigger=1), once, cached by
     fixture identity."""
     import hashlib
@@ -2330,20 +2332,20 @@ def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> s
     from table_demo_spark.sources.batch import _ensure_session_confs
 
     _ensure_session_confs(spark)  # incl. shipping the package to workers
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
     digest = hashlib.md5(
         repr((os.path.abspath(src), st.st_mtime_ns, st.st_size, n_shards)).encode()
     ).hexdigest()[:16]
     final = os.path.join(
-        tempfile.gettempdir(), f"docs-shards-{os.getuid()}-{digest}"
+        tempfile.gettempdir(), f"{table}-shards-{os.getuid()}-{digest}"
     )
     if os.path.isdir(final):
         return final
-    staging = tempfile.mkdtemp(prefix="docs-shards-stage-")
+    staging = tempfile.mkdtemp(prefix=f"{table}-shards-stage-")
     (
         spark.read.parquet(src)
-        .repartitionByRange(n_shards, "doc_id")
+        .repartitionByRange(n_shards, key_col)
         .write.mode("overwrite")
         .parquet(staging)
     )
@@ -2352,6 +2354,16 @@ def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> s
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # concurrent stager won
     return final
+
+
+def ensure_docs_shards(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> str:
+    return _ensure_table_shards(spark, sf_dir, "documents", "doc_id", n_shards)
+
+
+def ensure_embeddings_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> str:
+    return _ensure_table_shards(spark, sf_dir, "embeddings", "vec_id", n_shards)
 
 
 # ---------------------------------------------------------------------------
@@ -2496,6 +2508,61 @@ def run_q28_media_decode(
         sink = ParquetAppendSink(scratch_dir("tds-q28-"))
     query = sink.bind_stream(out, _checkpoint_dir())
     return sink, query
+
+
+# ---------------------------------------------------------------------------
+# Q29 streaming — ANN index maintained AT INGEST: the s-family's
+# continuous split, and how a production vector store actually works
+# (centroids trained offline; arriving vectors are routed into
+# inverted lists as they land; queries probe the lists, never the
+# firehose). Assignment is ivf_assign_inline — a PURE PROJECTION whose
+# bounded-by-construction centroid table travels as plan literals, so
+# it runs on the streaming frame with no join, no window, no state
+# (bit-parity with the batch argmax is proven by
+# test_ivf_inline_assignment_matches_batch). The sink is the native
+# parquet file sink PARTITIONED BY centroid_id: the on-disk layout IS
+# the inverted-file index, and the probe's IN-list prunes whole
+# centroid directories at scan time. After the drain, ivf_probe over
+# the store must equal batch llm_s3 exactly (oracle = S3_ORACLE), so
+# a vector routed to the wrong list, dropped, or indexed twice breaks
+# the value hash.
+# ---------------------------------------------------------------------------
+
+
+def run_q29_ann_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Continuously route arriving embeddings into centroid-partitioned
+    inverted lists. Returns (sink, query, cent_rows)."""
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The centroid table is bounded by construction (N_CENTROIDS rows)
+    # — the only kind of relation allowed to materialize driver-side.
+    cent_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < similarity.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    shards = ensure_embeddings_shards(spark, sf_dir, n_shards)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+    )
+    lists = similarity.ivf_assign_inline(stream, cent_rows)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q29-"), ("centroid_id",))
+    query = sink.bind_stream(lists, _checkpoint_dir())
+    return sink, query, cent_rows
 
 
 def run_q25_streaming_neardup(

@@ -210,30 +210,40 @@ class ParquetAppendSink:
     O(batch) shape (the reference's append fast path,
     ElasticUpsertTableSink.scala:86,96-114)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, partition_by: tuple[str, ...] = ()):
         self.path = path
+        self.partition_by = tuple(partition_by)
 
     def bind_stream(self, df: DataFrame, checkpoint: str):
-        return (
+        writer = (
             df.writeStream.outputMode("append")
             .format("parquet")
             .option("path", self.path)
             .option("checkpointLocation", checkpoint)
-            .start()
         )
+        if self.partition_by:
+            # Hive-style partition directories (the file sink's commit
+            # log tracks them) — e.g. one inverted list per centroid
+            # for stream_q29, so the probe's IN-list prunes whole
+            # directories at scan time.
+            writer = writer.partitionBy(*self.partition_by)
+        return writer.start()
 
     def count(self, spark=None) -> int:
         """Footer-metadata row count over written part files — the
         drain-poll probe (may briefly overcount files not yet in the
         commit log; polling only needs stability, and the final read
-        goes through the log)."""
+        goes through the log). Recursive so partitioned layouts
+        (partition_by) are counted too."""
         import glob
         import os
 
         import pyarrow.parquet as pq
 
         total = 0
-        for f in glob.glob(os.path.join(self.path, "part-*.parquet")):
+        for f in glob.glob(
+            os.path.join(self.path, "**", "part-*.parquet"), recursive=True
+        ):
             try:
                 total += pq.ParquetFile(f).metadata.num_rows
             except (FileNotFoundError, OSError):

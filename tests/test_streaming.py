@@ -1070,3 +1070,73 @@ def test_q25_retention_ttl_limits_pairs_to_window(spark, tmp_path):
         assert len(ttl) == expected
     else:  # unequal split: exact order unknown -> assert strict bounds
         assert within < len(ttl) < 66
+
+
+def test_q29_index_at_ingest_layout_prunes_and_matches_batch(spark):
+    """stream_q29's sink layout IS the inverted-file index: one Hive
+    partition directory per centroid; the probe scan carries the
+    IN-list as a PartitionFilter (directory pruning, not row
+    filtering), and ivf_probe over the streamed store reproduces the
+    batch IVF top-k bit-for-bit. Also pins the literal-projection
+    assignment (ivf_assign_inline) against the batch window argmax —
+    the bit-parity claim the q29 docstring makes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators import similarity as S
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import run_q29_ann_index_ingest
+    from tests.test_plans import formatted_plan
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = emb.filter(F.col("vec_id") < S.N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    cent_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch_assign = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in S._nearest_centroids(
+            emb, cent, "neighbor_id", "c_vec", 1
+        ).collect()
+    }
+    inline_assign = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in S.ivf_assign_inline(emb, cent_rows).collect()
+    }
+    assert inline_assign == batch_assign
+
+    with _state_partitions(spark, no_data=False):
+        sink, query, _ = run_q29_ann_index_ingest(spark, SF_SMOKE)
+        _drain(query, sink.count, quiet_polls=1)
+
+    parts = {d for d in os.listdir(sink.path) if d.startswith("centroid_id=")}
+    assert len(parts) > 1  # Hive layout: the directories are the lists
+
+    store = sink.snapshot_df(spark)
+    pruned = store.filter(F.col("centroid_id").isin([0, 1]))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+
+    full = store.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "neighbor_id",
+        "c_vec",
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_probe(full, queries_df, cent, k=5).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_topk(emb, queries_df, k=5).collect()
+    }
+    assert got == want
