@@ -166,6 +166,22 @@ def _nearest_centroids(
     ).filter(F.col("crank") <= n)
 
 
+def ivf_route(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Route each query to its ``n_probe`` nearest centroids:
+    (query_id, q_vec, centroid_id). Callers that also need the probed
+    centroid-id set (e.g. to prune a partitioned store) compute this
+    once and pass it to :func:`ivf_probe` via ``probes=``."""
+    return _nearest_centroids(
+        queries, centroids, "query_id", "q_vec", n_probe, id_col, vec_col
+    ).drop("crank")
+
+
 def ivf_probe(
     lists: DataFrame,
     queries: DataFrame,
@@ -174,15 +190,17 @@ def ivf_probe(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The probe half of IVF: route each query to its ``n_probe``
     nearest centroids' inverted lists (equi-join on centroid id) and
     exact-rerank the candidates. ``lists`` is (centroid_id,
     neighbor_id, c_vec) however it was built — batch assignment
-    (ivf_topk) or an index maintained at ingest (stream_q29)."""
-    probes = _nearest_centroids(
-        queries, centroids, "query_id", "q_vec", n_probe, id_col, vec_col
-    ).drop("crank")
+    (ivf_topk) or an index maintained at ingest (stream_q29). Pass a
+    precomputed ``probes`` (from :func:`ivf_route`) to avoid routing
+    twice."""
+    if probes is None:
+        probes = ivf_route(queries, centroids, n_probe, id_col, vec_col)
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -56,6 +56,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q3_chained_agg",
     "stream_q7_enrich_agg",
     "stream_q8_retract_delete",
+    "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     "stream_q25_streaming_neardup",
     "llm_d1_dedup_exact",
@@ -74,7 +75,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q28_media_decode",
     "stream_q29_ann_index_ingest",
     "llm_p1_prep_pipeline",
-    "an_a1_pricing_summary",
     "src_s1_jsonl_events",
     # r5 rotation: first driver rows for these (never sampled r1-r4;
     # tests/test_registry.py recomputes the union from the artifacts)

@@ -1195,17 +1195,13 @@ def q29_ann_index_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cent_vec"),
     )
     queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    # Directory pruning: only the union of probed centroids' partitions
-    # is scanned (bounded: <= N_QUERY_VECS * N_PROBE ids).
-    probe_ids = sorted(
-        r["centroid_id"]
-        for r in similarity._nearest_centroids(
-            queries_df, centroids, "query_id", "q_vec", similarity.N_PROBE
-        )
-        .select("centroid_id")
-        .distinct()
-        .collect()
-    )
+    # Route ONCE: the collected probe set (bounded: <= N_QUERY_VECS *
+    # N_PROBE rows by construction) yields both the partition-pruning
+    # IN-list and the probe relation the rerank joins against.
+    routed = similarity.ivf_route(queries_df, centroids)
+    probe_rows = routed.collect()
+    probe_ids = sorted({r["centroid_id"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, routed.schema)
     store = (
         sink.snapshot_df(spark)
         .filter(F.col("centroid_id").isin(probe_ids))
@@ -1215,7 +1211,9 @@ def q29_ann_index_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_vec",
         )
     )
-    return similarity.ivf_probe(store, queries_df, centroids, k=ANN_K)
+    return similarity.ivf_probe(
+        store, queries_df, centroids, k=ANN_K, probes=probes
+    )
 
 
 def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -748,3 +748,35 @@ def test_jpeg_restart_parallel_plan_shape(spark):
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_ex <= 3, plan
     assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_partitioned_store_in_list_prunes_directories(spark, tmp_path):
+    """The scale mechanism stream_q29's store relies on, pinned where
+    scale claims live: a centroid_id-partitioned parquet store probed
+    with an IN-list is pruned at the DIRECTORY level — the predicate
+    appears as a PartitionFilter on the scan and the scan's input
+    files stay confined to the probed partitions. (q29's end-to-end
+    variant over the streamed store is
+    tests/test_streaming.py::test_q29_index_at_ingest_layout_prunes_and_matches_batch.)"""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf-store")
+    (
+        spark.range(100)
+        .select(
+            (F.col("id") % 8).alias("centroid_id"),
+            F.col("id").alias("neighbor_id"),
+        )
+        .write.partitionBy("centroid_id")
+        .parquet(path)
+    )
+    pruned = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([2, 5])
+    )
+    plan = formatted_plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # The IN-list must ride the scan's PartitionFilters (directory
+    # pruning at listing time), not its data PushedFilters.
+    assert pf and "centroid_id" in pf[0] and "IN" in pf[0].upper(), plan
+    # And row counts confirm only the probed directories contribute.
+    assert pruned.count() == 25  # 100 ids % 8 -> 2 of 8 residues
