@@ -170,6 +170,7 @@ HEADLINE = [
     "stream_q29_ann_index_ingest",
     "llm_p15_budget_select",
     "an_a62_validity_audit",
+    "an_a63_profile_knn",
 ]
 
 

@@ -75,7 +75,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q28_media_decode",
     "stream_q29_ann_index_ingest",
     "llm_p1_prep_pipeline",
-    "src_s1_jsonl_events",
+    "an_a63_profile_knn",
     # r5 rotation: first driver rows for these (never sampled r1-r4;
     # tests/test_registry.py recomputes the union from the artifacts)
     "an_a43_skyline",

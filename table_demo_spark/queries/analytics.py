@@ -3229,6 +3229,108 @@ GROUP BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# A63 — behavioral-profile KNN: top-k most-similar users by activity
+# profile. Each user's events reduce to an 8-dim integer vector (sum
+# of value-cents per 3-hour time-of-day bucket — PAA over the event
+# series, stated in cents so both engines do exact BIGINT arithmetic
+# after one shared float round), then a bounded probe set (user_id <
+# A63_PROBES, bounded by construction like s1's query budget) scans
+# the profile table for exact L2^2 top-k. The scale shape is the
+# feature-store + brute-force-ANN pattern on a DERIVED table: the
+# per-user aggregation is the reduction (events shuffle once,
+# map-side partials; profiles are |users| rows, orders of magnitude
+# smaller than events), the probe side broadcasts, and the profile
+# side streams — at larger probe budgets the s-family's LSH/IVF paths
+# apply unchanged to the profile vectors.
+# ---------------------------------------------------------------------------
+
+A63_BUCKETS = 8  # 3-hour time-of-day buckets
+A63_PROBES = 8
+A63_K = 5
+
+
+def a63_profile_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        (F.hour("ts") / 3).cast("int").alias("b"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    prof = cents.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == b, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"p{b}")
+            for b in range(A63_BUCKETS)
+        ]
+    )
+    probes = prof.filter(F.col("user_id") < A63_PROBES).select(
+        F.col("user_id").alias("probe_user"),
+        *[F.col(f"p{b}").alias(f"q{b}") for b in range(A63_BUCKETS)],
+    )
+    dist = sum(
+        (F.col(f"q{b}") - F.col(f"p{b}")) * (F.col(f"q{b}") - F.col(f"p{b}"))
+        for b in range(A63_BUCKETS)
+    )
+    pairs = (
+        prof.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("probe_user"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("neighbor_user"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy(
+        F.col("dist").asc(), F.col("neighbor_user").asc()
+    )
+    return pairs.select(
+        "probe_user",
+        "neighbor_user",
+        "dist",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= A63_K)
+
+
+def _a63_oracle() -> str:
+    prof_cols = ", ".join(
+        f"CAST(COALESCE(sum(CASE WHEN b = {b} THEN c END), 0) AS BIGINT) AS p{b}"
+        for b in range(A63_BUCKETS)
+    )
+    dist = " + ".join(
+        f"(q.p{b} - p.p{b}) * (q.p{b} - p.p{b})" for b in range(A63_BUCKETS)
+    )
+    return f"""
+WITH cents AS (
+  SELECT user_id, CAST(hour(ts) // 3 AS INT) AS b,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+prof AS (
+  SELECT user_id, {prof_cols}
+  FROM cents GROUP BY user_id
+),
+pairs AS (
+  SELECT q.user_id AS probe_user, p.user_id AS neighbor_user,
+         CAST({dist} AS BIGINT) AS dist
+  FROM prof q JOIN prof p ON p.user_id <> q.user_id
+  WHERE q.user_id < {A63_PROBES}
+),
+ranked AS (
+  SELECT probe_user, neighbor_user, dist,
+         row_number() OVER (
+           PARTITION BY probe_user
+           ORDER BY dist ASC, neighbor_user ASC) AS rnk
+  FROM pairs
+)
+SELECT probe_user, neighbor_user, dist, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {A63_K}
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3292,4 +3394,5 @@ QUERIES: list[Query] = [
     Query("an_a60_event_paths", a60_event_paths, A60_ORACLE),
     Query("an_a61_shortest_path", a61_shortest_path, A61_ORACLE),
     Query("an_a62_validity_audit", a62_validity_audit, A62_ORACLE),
+    Query("an_a63_profile_knn", a63_profile_knn, _a63_oracle()),
 ]

@@ -750,6 +750,23 @@ def test_jpeg_restart_parallel_plan_shape(spark):
     assert "RoundRobinPartitioning" in plan, plan
 
 
+def test_profile_knn_broadcasts_bounded_probes_only(spark):
+    """a63's pair generation must be a BroadcastNestedLoopJoin whose
+    BUILD side is the bounded probe set — never a CartesianProduct or
+    a sort-merge over profiles — with the events reduction map-side
+    partial. The profile table side streams: at 100 TB the per-user
+    aggregation is the reduction and only the query budget broadcasts."""
+    import re
+
+    plan = formatted_plan(_query("an_a63_profile_knn")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_" in plan, plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex <= 3, plan
+
+
 def test_partitioned_store_in_list_prunes_directories(spark, tmp_path):
     """The scale mechanism stream_q29's store relies on, pinned where
     scale claims live: a centroid_id-partitioned parquet store probed
