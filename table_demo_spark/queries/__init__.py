@@ -26,14 +26,14 @@ class Query(NamedTuple):
 # registry entries in registration order.  Round 2 registered ref_* then
 # all 62 an_* first, which pushed every llm_*/src_*/stream_* query out of
 # the sampled window.  DRIVER_SAMPLE pins an explicit front slate:
-# ref_* (all 8) + a 15-slot semantic core that keeps the SURVEY §2
-# sink/state modes and this round's reworked flagships under direct
+# ref_* (all 8) + a minimal semantic core that keeps every SURVEY §2
+# sink/state mode and this round's reworked flagships under direct
 # driver evidence, followed by a ROTATING block of queries that have
-# never had a driver-issued correctness row (r5 rotation; the
+# never had a driver-issued correctness row (r6 rotation; the
 # union already covered is recomputed from the committed CORRECTNESS
 # artifacts by tests/test_registry.py).  Over
 # rounds the whole registry accumulates external evidence; the full
-# /tmp/driver_sim.py run (all 199 vs DuckDB) stays the pre-commit gate
+# /tmp/driver_sim.py run (all 203+ vs DuckDB) stays the pre-commit gate
 # for everything outside the window.  tests/test_registry.py pins the
 # slate per round.
 DRIVER_SAMPLE: tuple[str, ...] = (
@@ -46,55 +46,55 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "ref_q5_geo_points",
     "ref_s2_csv_roundtrip",
     "ref_s1_csv_gzip",
-    # semantic core (sink/changelog/TTL modes + family anchors +
-    # queries added or reworked this round: q7 retry hardening, t25's
-    # materialization rework, new m15 GIF / m17-m18 JPEG decodes, t28
-    # one-pass apply, and the q28/q29 continuous media-decode and
-    # index-at-ingest splits)
+    # semantic core: the streaming rows SURVEY §2 cites directly
+    # (K1-K4, R11-R13, R16 need stream_q1/q2/q3/q8/q9/q10), plus the
+    # queries reworked this round (m15's GIF codec made spec-correct
+    # per r5 ADVICE; q25's deterministic TTL compaction) and one src_*
+    # anchor for family coverage
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
-    "stream_q7_enrich_agg",
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     "stream_q25_streaming_neardup",
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
-    "llm_t20_bpe_train",
-    "llm_t25_bpe_encode",
-    "llm_t28_bpe_vocab_apply",
-    "llm_t29_gopher_rules",
     "llm_m15_gif_scene_cuts",
-    "llm_m16_pcm_vad_segments",
-    "llm_m17_jpeg_dc",
-    "llm_m18_jpeg_restart_parallel",
-    "llm_s13_filtered_ann",
-    "stream_q26_stream_tokenize",
-    "stream_q27_available_now",
-    "stream_q28_media_decode",
-    "stream_q29_ann_index_ingest",
-    "llm_p1_prep_pipeline",
-    "an_a63_profile_knn",
-    # r5 rotation: first driver rows for these (never sampled r1-r4;
-    # tests/test_registry.py recomputes the union from the artifacts)
-    "an_a43_skyline",
-    "an_a44_triangle_count",
-    "an_a46_mad_outliers",
-    "an_a51_bfs_reachability",
-    "stream_q14_topk",
-    "stream_q16_hll_distinct",
-    "stream_q18_cdc_apply",
-    "stream_q22_full_outer_join",
-    "llm_m6_vad_segments",
-    "llm_m9_scene_cuts",
-    "llm_s5_kmeans_refine",
-    "llm_s8_rand_projection",
-    "llm_t8_tfidf_topk",
-    "llm_t14_bigram_lm",
-    "llm_t16_vocab_growth",
     "src_s7_schema_evolution",
-    "src_s8_quoted_csv",
+    # r6 rotation: first driver rows for these (never sampled r1-r5;
+    # tests/test_registry.py recomputes the union from the artifacts)
+    "an_a45_waiting_suppliers",
+    "an_a47_incremental_mv",
+    "an_a48_max_concurrency",
+    "an_a49_custdist",
+    "an_a50_hot_key_join",
+    "an_a52_important_parts",
+    "an_a53_top_supplier",
+    "an_a54_supplier_relationship",
+    "an_a55_small_qty_revenue",
+    "an_a56_large_volume_customers",
+    "an_a57_excess_shipment_suppliers",
+    "an_a58_global_sales_opportunity",
+    "an_a61_shortest_path",
+    "stream_q11_csv_gzip_source",
+    "stream_q12_left_outer_join",
+    "stream_q13_sliding_window",
+    "stream_q15_running_totals",
+    "stream_q17_fanout",
+    "stream_q19_anti_join",
+    "stream_q20_semi_join",
+    "stream_q21_dead_letter",
+    "llm_d6_neardup_lsh_gemm",
+    "llm_d8_semantic_dedup",
+    "llm_d9_containment_pairs",
+    "llm_d10_paragraph_dedup",
+    "llm_s4_quantize_int8",
+    "llm_s6_ann_recall",
+    "llm_s10_maxsim_pruned",
+    "llm_t7_stopword_scrub",
+    "llm_t9_repetition_signals",
+    "llm_p2_stratified_sample",
 )
 
 
