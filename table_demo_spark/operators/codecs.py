@@ -281,11 +281,17 @@ def decode_png(data: bytes) -> np.ndarray:
 # Image data is GIF-variant LZW over palette indices: min code size 8,
 # clear = 256, end-of-information = 257, first dynamic code 258; code
 # width starts at 9 bits and grows to at most 12 as the string table
-# fills (both sides grow when the next free code reaches 1<<width);
-# at 4096 entries the encoder emits CLEAR and both sides reset. Codes
-# are packed LSB-first into bytes, and the byte stream is framed into
-# <=255-byte sub-blocks each preceded by its length, terminated by a
-# zero-length block.
+# fills, following the GIF89a convention: the decoder widens when its
+# table reaches 1<<width entries, and the encoder — whose table runs
+# one entry ahead of the decoder's — widens one assignment later, when
+# the next free code reaches (1<<width)+1. At 4096 entries the encoder
+# emits CLEAR and both sides reset (the decoder also tolerates
+# deferred-clear streams by freezing its full table until a CLEAR
+# arrives). Codes are packed LSB-first into bytes, and the byte stream
+# is framed into <=255-byte sub-blocks each preceded by its length,
+# terminated by a zero-length block. Interop with standards encoders is
+# regression-pinned against a checked-in real-world GIF fixture
+# (tests/fixtures/earth.gif, from the public Tk 8.6 demo images).
 
 GIF_MAGIC = b"GIF89a"
 _GIF_MIN_CODE_SIZE = 8
@@ -322,7 +328,10 @@ def _lzw_encode(indices: bytes) -> bytes:
         emit(table[buf], width)
         table[nb] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < _GIF_MAX_WIDTH:
+        # GIF89a: widen only once a code that NEEDS width+1 bits has
+        # been assigned — one entry later than the decoder, whose table
+        # lags this one by a single entry.
+        if next_code == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
             width += 1
         if next_code == (1 << _GIF_MAX_WIDTH):
             emit(clear, width)
@@ -338,14 +347,16 @@ def _lzw_encode(indices: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, n_expected: int) -> bytes:
+def _lzw_decode(
+    data: bytes, n_expected: int, min_code_size: int = _GIF_MIN_CODE_SIZE
+) -> bytes:
     """GIF-variant LZW: packed code stream -> palette-index bytes."""
-    clear = 1 << _GIF_MIN_CODE_SIZE
+    clear = 1 << min_code_size
     eoi = clear + 1
     acc = 0
     nbits = 0
     pos = 0
-    width = _GIF_MIN_CODE_SIZE + 1
+    width = min_code_size + 1
     table: list[bytes] = []
     prev: bytes | None = None
     out = bytearray()
@@ -353,7 +364,7 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
     def reset() -> None:
         nonlocal table, width, prev
         table = [bytes([i]) for i in range(clear)] + [b"", b""]
-        width = _GIF_MIN_CODE_SIZE + 1
+        width = min_code_size + 1
         prev = None
 
     reset()
@@ -381,13 +392,11 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
         out.extend(entry)
         if prev is not None and len(table) < (1 << _GIF_MAX_WIDTH):
             table.append(prev + entry[:1])
-            # The decoder's table lags the encoder by ONE entry (the
-            # entry for a code is only completed when the NEXT code
-            # arrives), so the width must grow one entry early:
-            # when the encoder switches to width+1 after assigning
-            # code (1<<width)-1, the decoder's table holds only
-            # (1<<width)-1 entries.
-            if len(table) == (1 << width) - 1 and width < _GIF_MAX_WIDTH:
+            # GIF89a rule: widen when the table is full at the current
+            # width (the next append would need width+1 bits). The
+            # encoder, whose table runs one entry ahead, widens at
+            # next_code == (1<<width)+1 — the two stay in lockstep.
+            if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
                 width += 1
         prev = entry
     if len(out) != n_expected:
@@ -484,8 +493,8 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             raise ValueError("partial-frame images not supported")
         mcs = _byte(pos)
         pos += 1
-        if mcs != _GIF_MIN_CODE_SIZE:
-            raise ValueError(f"min code size {mcs} != {_GIF_MIN_CODE_SIZE}")
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"min code size {mcs} outside GIF89a range 2..8")
         lzw = bytearray()
         while _byte(pos) != 0:
             size = data[pos]
@@ -494,7 +503,7 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             lzw.extend(data[pos + 1 : pos + 1 + size])
             pos += 1 + size
         pos += 1
-        idx = _lzw_decode(bytes(lzw), fw * fh)
+        idx = _lzw_decode(bytes(lzw), fw * fh, mcs)
         frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw))
     return np.stack(frames), palette
 

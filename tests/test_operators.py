@@ -840,6 +840,37 @@ def test_gif_codec_roundtrip_width_growth_and_reset():
             decode_gif(data[:cut])
 
 
+def test_gif_decoder_interop_with_standards_encoded_gif():
+    """Real-format interop regression (r5 ADVICE): the decoder must
+    follow the GIF89a width schedule — widen when the string table
+    reaches 1<<width entries — not a rule merely self-consistent with
+    our encoder. tests/fixtures/earth.gif is a standards-encoded
+    real-world GIF (Tk 8.6 demo image, 320x200, 256-entry GCT); its
+    LZW stream passes every 9->10->11->12-bit width boundary, so any
+    desynchronization raises 'corrupt LZW stream' within a few hundred
+    bytes instead of decoding all 64000 pixels."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_gif, encode_gif
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "earth.gif")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    frames, palette = decode_gif(data)
+    assert frames.shape == (1, 200, 320)
+    assert frames.dtype == np.uint8
+    # content pin: stable across decoder changes iff decode is correct
+    assert int(frames.sum()) == 5682517
+    assert palette.shape == (256, 3)
+    # our encoder must emit streams a standards decoder accepts; the
+    # decoder IS the standard rule now, so re-encode + decode of a
+    # real-world index stream exercises both sides' width schedules
+    again, _ = decode_gif(encode_gif(frames))
+    assert np.array_equal(frames, again)
+
+
 def test_jpeg_codec_golden_tables_roundtrip_and_dc_exactness():
     """Baseline-JPEG codec against three independent references:
     (1) the canonical Huffman codes derived from the Annex-K BITS/
