@@ -2232,10 +2232,23 @@ class BucketedStateStore:
         self.spark.catalog.refreshTable(old_table)
         self.gen += 1
         base = self.spark.table(old_table)
+        cols = base.columns
+        # Normalize BEFORE expiry (r5 ADVICE): replayed appends leave
+        # the same dedup key with several seen_batch values, and
+        # dropDuplicates keeps an arbitrary one — whether a key
+        # survives the retention predicate would then depend on replay
+        # history. max() per key is deterministic; every non-key
+        # column is functionally determined by the key (shingle sets
+        # by doc_id, band keys by (doc_id, skey)) except seen_batch,
+        # where max = "most recently seen" is exactly TTL semantics.
+        others = [c for c in cols if c not in dedup_cols]
+        base = base.groupBy(*dedup_cols).agg(
+            *[F.max(c).alias(c) for c in others]
+        )
         if keep is not None:
             base = base.filter(keep)
         (
-            base.dropDuplicates(dedup_cols)
+            base.select(*cols)
             .repartition(self.n_buckets, self.bucket_col)
             .write.format("parquet")
             .mode("overwrite")

