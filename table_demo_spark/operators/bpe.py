@@ -55,12 +55,37 @@ def apply_merge(paired: DataFrame, top: DataFrame) -> DataFrame:
     training (_one_round) and tokenizer APPLICATION (bpe_train_apply's
     held-out chain): applying a learned vocabulary is the identical
     relational rewrite with a fixed pair instead of a learned one."""
-    wm = Window.partitionBy("doc_id").orderBy("pos")
     marked = paired.crossJoin(F.broadcast(top)).withColumn(
         "m",
         F.col("nxt").isNotNull()
         & (F.concat_ws(SEP, "tok", "nxt") == F.col("top_pair")),
     )
+    return _run_parity_rewrite(marked)
+
+
+def apply_merge_batch(paired: DataFrame, pairs: list[str]) -> DataFrame:
+    """Rewrite a (doc_id, pos, tok, nxt) frame with a BATCH of
+    pairwise-token-disjoint merge pairs in ONE pass. Disjointness is
+    what makes a single run-parity rewrite equal the sequential
+    per-pair rewrites: a position can match at most one batch pair
+    (two pairs claiming adjacent positions would share the middle
+    token), so every maximal run of consecutive matches is a run of
+    the SAME pair and the existing parity rule applies verbatim. The
+    batch ships as an IN-list literal — O(batch) bytes in the plan,
+    no join."""
+    marked = paired.withColumn(
+        "m",
+        F.col("nxt").isNotNull()
+        & F.concat_ws(SEP, "tok", "nxt").isin(pairs),
+    )
+    return _run_parity_rewrite(marked)
+
+
+def _run_parity_rewrite(marked: DataFrame) -> DataFrame:
+    """Greedy non-overlapping merge of every marked (m) position:
+    gaps-and-islands runs, even-parity acceptance, consumed-neighbor
+    drop, position renumber (module docstring)."""
+    wm = Window.partitionBy("doc_id").orderBy("pos")
     runs = marked.withColumn(
         "grp",
         F.when(
@@ -103,13 +128,18 @@ def _paired(tp: DataFrame) -> DataFrame:
     return tp.withColumn("nxt", F.lead("tok").over(w))
 
 
-def _top_pair(paired: DataFrame) -> DataFrame:
-    """1-row (top_pair, top_cnt) frame from a paired token frame."""
-    counts = (
+def _pair_counts(paired: DataFrame) -> DataFrame:
+    """(pair, cnt) adjacent-pair counts from a paired token frame."""
+    return (
         paired.filter(F.col("nxt").isNotNull())
         .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def _top_pair(paired: DataFrame) -> DataFrame:
+    """1-row (top_pair, top_cnt) frame from a paired token frame."""
+    counts = _pair_counts(paired)
     # Top-1 pair needs no sort at all: a single min_by aggregate with
     # map-side partials. Ordering key (-cnt, pair) == (cnt DESC,
     # pair ASC), the same deterministic tie-break the oracle states.
@@ -378,6 +408,326 @@ def bpe_apply_vocab(
     return fan_out(toks_df).mapInPandas(
         tokenize_batches, schema=BPE_APPLY_SCHEMA
     )
+
+
+def _plan_batch(
+    cands: list[tuple[str, int, list[tuple[str, str]]]],
+    merged_symbols: set[str],
+) -> list[tuple[str, int]]:
+    """The merge-batching rule: from candidates (pair key, count,
+    variant (tok, nxt) list) sorted by (cnt DESC, pair ASC), pick the
+    pairs that provably reproduce sequential greedy order when merged
+    together in one rewrite. Always returns at least the top-1 (a
+    1-element batch is exactly the classic round, which is sound
+    unconditionally).
+
+    Counting and matching are keyed by the SEP-joined CONCAT string —
+    the canonical relational semantics shared by the oracle chain and
+    every trainer — but a key can be produced by several distinct
+    (tok, nxt) splits once merged tokens (which embed SEP) exist, so
+    token-level reasoning uses each key's actual variant tokens,
+    never a re-split of the key string.
+
+    Acceptance is the longest prefix satisfying, in order:
+
+    1. PAIRWISE TOKEN-DISJOINT (union over variants): earlier batch
+       merges then leave later batch pairs' counts AND accepted
+       positions unchanged — at sequential round j, q_j still has its
+       scanned count — and consecutive matched positions always
+       belong to the SAME key (two different keys on adjacent
+       positions would share the middle token), so one run-parity
+       rewrite applies them all. The prefix stops at the first
+       interferer; its count is the CUT.
+    2. STRICT CUT: only counts > cut are kept (when the whole top-B
+       is disjoint the last candidate's count is the cut — keys
+       beyond the collected B are unseen but bounded by it). Every
+       key outside the prefix has count <= cut at scan time, merging
+       only DESTROYS adjacencies of non-batch tokens, and a BRAND-NEW
+       key (one involving a just-merged symbol) is born from consumed
+       adjacencies of some excluded key sharing a batch token, so its
+       count is <= cut too: everything else stays strictly below
+       every accepted pair at its round.
+    3. HAZARD GUARD — a pair whose merge can create or boost a key
+       ABOVE the cut closes the batch (it is accepted only as the
+       LAST element, so its effects land after every in-batch
+       comparison and the next scan recounts exactly). Two hazards:
+
+       a. ALIAS: a new adjacency's key can COINCIDE with a
+          pre-existing key (e.g. merging (x,y) beside w creates
+          w||SEP||x||SEP||y — the same string the pre-existing
+          adjacency (w||SEP||x, y) counts under), holding old+new
+          count above the cut. Any such overlap must span a SEP
+          boundary, so the alternative split's partner token always
+          contains SEP — i.e. it is a previously-MERGED symbol, and
+          the trainer knows every merged symbol it created.
+          :func:`_alias_risk` enumerates the possible split
+          positions of w||P and P||w and checks each required
+          partner shape against the merged-symbol inventory — a
+          positional test, not mere atom sharing, so unrelated
+          merges don't close batches. The first scan of a corpus
+          has no merged symbols and batches at full width.
+       b. SELF-OVERLAP: a new key born beside a merged occurrence is
+          bounded by the count of the CONSUMED neighbor key — which
+          is <= cut for every key except the merged pair itself. A
+          self-pair like (c,c) on runs 'c c c' consumes its own
+          occurrences and spawns c||c||c with count up to its OWN
+          (above-cut) count. The string test: some variant's y is a
+          key prefix (y||SEP...) or x is a key suffix (...SEP||x).
+
+    Ties WITHIN the accepted prefix are fine: their counts are
+    untouched, so sequential resolves them by pair ASC — the order
+    they already hold in the sorted prefix. The
+    adversarial-alphabet hypothesis property test and a 3000-case
+    randomized hunt (tests/test_operators.py) attack these arguments
+    empirically — the self-overlap clause was FOUND by that hunt, not
+    foreseen; the t31 oracle gates the rule on the real corpus."""
+    used: set[str] = set()
+    batch: list[tuple[str, int]] = []
+    cut: int | None = None
+    closed = False
+    for pair, cnt, variants in cands:
+        if closed:
+            cut = cnt
+            break
+        toks = {t for tn in variants for t in tn}
+        if toks & used:
+            cut = cnt
+            break
+        self_overlap = any(
+            pair.startswith(y + SEP) or pair.endswith(SEP + x)
+            for x, y in variants
+        )
+        batch.append((pair, cnt))
+        used |= toks
+        if self_overlap or _alias_risk(pair, variants, merged_symbols):
+            closed = True  # accepted, but nothing may follow it
+    else:
+        if len(batch) == len(cands):
+            cut = batch[-1][1]  # unseen tail bounded by last candidate
+    if cut is not None:
+        batch = [(p, c) for p, c in batch if c > cut]
+    return batch or [(cands[0][0], cands[0][1])]
+
+
+def _alias_risk(
+    pair: str,
+    variants: list[tuple[str, str]],
+    merged_symbols: set[str],
+) -> bool:
+    """True iff merging ``pair`` beside some neighbor token could
+    produce an adjacency whose key string COINCIDES with a
+    pre-existing key. The new key is w||P or P||w; a coinciding
+    pre-existing adjacency is a different SEP-split (a, b) of the
+    same string, and whichever of a/b crosses or abuts the P region
+    necessarily contains SEP — i.e. it is a merged symbol. Enumerate
+    each possible split position and test the required partner shape
+    against the merged-symbol inventory (every SEP-containing token
+    in the corpus is a previously-merged key, by construction):
+
+    - split inside w:            partner ends with SEP||P
+    - split inside trailing w:   partner starts with P||SEP
+    - split at the x|y boundary: partner ends with SEP||x
+                                 (or, right side, starts with y||SEP)
+    - split inside x:            partner is a proper SEP-suffix of P
+                                 longer than y, or starts with
+                                 (suffix of x)||SEP||y||SEP
+    - split inside y:            partner is a proper SEP-prefix of P
+                                 longer than x, or ends with
+                                 SEP||x||SEP||(prefix of y)
+    - split at the w|P boundary: partner would be a token equal to P
+                                 itself, which cannot pre-exist (a
+                                 token's string is the key that
+                                 merged it, and P is only now being
+                                 merged) — no test needed."""
+    for x, y in variants:
+        xa, ya = x.split(SEP), y.split(SEP)
+        for s in merged_symbols:
+            if s.endswith(SEP + pair) or s.startswith(pair + SEP):
+                return True
+            if s.endswith(SEP + x) or s.startswith(y + SEP):
+                return True
+            if pair.endswith(SEP + s) and len(s) > len(y):
+                return True
+            if pair.startswith(s + SEP) and len(s) > len(x):
+                return True
+            if any(
+                s.endswith(SEP + x + SEP + SEP.join(ya[:i]))
+                for i in range(1, len(ya))
+            ):
+                return True
+            if any(
+                s.startswith(SEP.join(xa[i:]) + SEP + y + SEP)
+                for i in range(1, len(xa))
+            ):
+                return True
+    return False
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    iters: int = 16,
+    batch: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_train` semantics — identical output, byte-for-byte —
+    with MULTIPLE merges learned per corpus scan. Classic BPE training
+    costs one pair-count scan per merge; at a production ~30k-merge
+    vocabulary that is ~30k sequential jobs. Each round here collects
+    the top-``batch`` pairs with their variant splits (one TakeOrdered
+    job — map-side partial top-k, no global sort), keeps the provably
+    order-preserving batch (:func:`_plan_batch`), and applies ALL of
+    them in one run-parity rewrite (:func:`apply_merge_batch`), so a
+    scan amortizes across up to ``batch`` merges. Scan count tracks
+    the corpus's TIE STRUCTURE: counts that separate (Zipfian natural
+    text) batch at full width, while ties at the cut must run
+    one-per-scan — a tied accepted pair can be outranked at its
+    sequential round, on the name tie-break, by a key the earlier
+    merges only just created, so exactness forbids batching through a
+    tie plateau. The worst case degrades to the classic one-per-scan,
+    never below it. Measured (docs/SCALE.md): sf0.01 fixture — dense
+    synthetic ties, near the worst case — 16 merges in 11 scans, 64
+    in 59; a Zipfian-weighted variant of the same corpus batches far
+    wider.
+
+    Per accepted pair, ``pair_cnt`` is its count in the shared scan
+    (equal to its count at its own sequential round — earlier batch
+    merges are token-disjoint) and ``n_tokens_after`` is reconstructed
+    from the per-pair merged-occurrence counts: occurrences are also
+    unchanged by disjoint earlier merges, so
+    n_after(j) = n_before_scan - sum(occ_1..occ_j)."""
+    spark = docs.sparkSession
+    tp = _tokens_positions(docs, text_col)
+    chain = _ChainState()
+    rows: list[tuple[int, str, int, int]] = []
+    merged_symbols: set[str] = set()
+    try:
+        n_tokens = tp.count()
+        r = 0
+        while len(rows) < iters:
+            paired = _paired(tp)
+            cands = [
+                (
+                    row["pair"],
+                    int(row["cnt"]),
+                    [(v["tok"], v["nxt"]) for v in row["variants"]],
+                )
+                for row in paired.filter(F.col("nxt").isNotNull())
+                .groupBy(F.concat_ws(SEP, "tok", "nxt").alias("pair"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.collect_set(F.struct("tok", "nxt")).alias("variants"),
+                )
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(batch)
+                .collect()
+            ]
+            if not cands:
+                break
+            picked = _plan_batch(cands, merged_symbols)[: iters - len(rows)]
+            merged_symbols |= {p for p, _ in picked}
+            r += 1
+            tp, _ = chain.advance(
+                apply_merge_batch(paired, [p for p, _ in picked]),
+                r,
+                count=False,
+            )
+            occ = {
+                row["tok"]: int(row["occ"])
+                for row in tp.filter(
+                    F.col("tok").isin([p for p, _ in picked])
+                )
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("occ"))
+                .collect()
+            }
+            for pair, cnt in picked:
+                # each merged occurrence replaces two tokens with one
+                n_tokens -= occ.get(pair, 0)
+                rows.append((len(rows) + 1, pair, cnt, n_tokens))
+    finally:
+        chain.release()
+    return spark.createDataFrame(
+        rows,
+        "round long, merge_pair string, pair_cnt long, n_tokens_after long",
+    )
+
+
+BPE_TRAIN_SCHEMA = (
+    "round long, merge_pair string, pair_cnt long, n_tokens_after long"
+)
+
+
+def bpe_train_local(docs: DataFrame, iters: int, text_col: str = "text") -> DataFrame:
+    """Train a WHOLE BPE vocabulary in ONE Spark action — the bounded-
+    sample fast path. Production tokenizers train on a size-bounded
+    sample (statistics converge long before the corpus is exhausted),
+    and a sample bounded BY CONSTRUCTION fits a single task at any
+    corpus scale — so the merge loop, which is inherently sequential
+    (round r+1's counts depend on round r's rewrite), runs where
+    sequential loops belong: inside one executor task, not as
+    O(vocab) driver-orchestrated jobs. Tokenization stays JVM-side
+    (the identical split(trim(lower())) expression as
+    ``_tokens_positions``) so Python cannot diverge on whitespace
+    semantics; the task then runs the count/argmax/greedy-rewrite
+    loop in plain Python over the in-memory sample.
+
+    Job count is O(1) in the vocabulary size — the caller picks
+    ``iters`` freely; 64 merges and 8 merges are the same single
+    action (pinned by tests/test_operators.py). Output rows are
+    byte-identical to :func:`bpe_train`'s relational chain (same
+    (cnt DESC, pair ASC) tie-break, same greedy left-to-right
+    non-overlapping rewrite), gated by the t30 oracle."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n_iters = int(iters)
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus: list[list[str]] = []
+        for pdf in batches:
+            corpus.extend(list(t) for t in pdf["toks"])
+        out: list[tuple[int, str, int, int]] = []
+        n_tokens = sum(len(t) for t in corpus)
+        for r in range(1, n_iters + 1):
+            counts: Counter[str] = Counter()
+            for toks in corpus:
+                for a, b in zip(toks, toks[1:]):
+                    counts[a + SEP + b] += 1
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            merged_occ = 0
+            for d, toks in enumerate(corpus):
+                if pair not in SEP.join(toks):
+                    continue
+                nt: list[str] = []
+                i, n = 0, len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] + SEP + toks[i + 1] == pair:
+                        nt.append(pair)
+                        merged_occ += 1
+                        i += 2
+                    else:
+                        nt.append(toks[i])
+                        i += 1
+                corpus[d] = nt
+            n_tokens -= merged_occ
+            out.append((r, pair, counts[pair], n_tokens))
+        yield pd.DataFrame(
+            out,
+            columns=["round", "merge_pair", "pair_cnt", "n_tokens_after"],
+        )
+
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
+    )
+    # ONE task holds the whole (bounded-by-construction) sample: the
+    # loop is sequential by nature, so concentrating it is the
+    # optimal physical strategy — parallelism belongs to the APPLY
+    # pass (bpe_apply_vocab), which is where the corpus-sized work is.
+    return toks.repartition(1).mapInPandas(train, schema=BPE_TRAIN_SCHEMA)
 
 
 def bpe_train_apply(

@@ -92,9 +92,10 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s4_quantize_int8",
     "llm_s6_ann_recall",
     "llm_s10_maxsim_pruned",
-    "llm_t7_stopword_scrub",
-    "llm_t9_repetition_signals",
     "llm_p2_stratified_sample",
+    # r6 new work: single-action and merge-batched BPE training
+    "llm_t30_bpe_local_train",
+    "llm_t31_bpe_batched_train",
 )
 
 

@@ -1272,3 +1272,164 @@ def test_bpe_learn_stops_on_exhausted_corpus(spark):
     assert len(merges) == 1
     rows = bpe_train(docs, iters=5).collect()
     assert len(rows) == 1 and rows[0].n_tokens_after == 2
+
+
+def _py_pair_counts(corpus):
+    from collections import Counter
+
+    from table_demo_spark.operators.bpe import SEP
+
+    c = Counter()
+    for toks in corpus:
+        for a, b in zip(toks, toks[1:]):
+            c[a + SEP + b] += 1
+    return c
+
+
+def _py_merge_one(toks, pair):
+    from table_demo_spark.operators.bpe import SEP
+
+    out, i, n = [], 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] + SEP + toks[i + 1] == pair:
+            out.append(pair)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _py_sequential_bpe(corpus, iters):
+    corpus = [list(t) for t in corpus]
+    hist = []
+    for _ in range(iters):
+        c = _py_pair_counts(corpus)
+        if not c:
+            break
+        pair = min(c, key=lambda p: (-c[p], p))
+        hist.append((pair, c[pair]))
+        corpus = [_py_merge_one(t, pair) for t in corpus]
+    return hist
+
+
+def test_plan_batch_batching_equals_sequential_property():
+    """The merge-batching rule's correctness claim, attacked head-on:
+    for randomized corpora drawn from a TINY alphabet (maximal tie
+    density, token sharing, and SEP-embedded alias opportunities once
+    merged symbols re-merge — the adversarial regime for every clause
+    of the rule), batching with _plan_batch must reproduce the
+    sequential greedy merge history EXACTLY, including the
+    (cnt DESC, pair ASC) tie-breaks and self-pair runs like
+    'x x x x'. Deep iters (12) force merged-symbol re-merging, which
+    is what exercises the alias guard."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators.bpe import SEP, _plan_batch
+
+    def variants(work):
+        v = defaultdict(set)
+        for toks in work:
+            for a, b in zip(toks, toks[1:]):
+                v[a + SEP + b].add((a, b))
+        return v
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]),
+                min_size=1,
+                max_size=14,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=2, max_value=5),
+    )
+    def check(corpus, batch):
+        iters = 12
+        seq = _py_sequential_bpe(corpus, iters)
+        work = [list(t) for t in corpus]
+        hist = []
+        merged: set[str] = set()
+        while len(hist) < iters:
+            c = _py_pair_counts(work)
+            if not c:
+                break
+            var = variants(work)
+            cands = sorted(c, key=lambda p: (-c[p], p))[:batch]
+            picked = _plan_batch(
+                [(p, c[p], sorted(var[p])) for p in cands], merged
+            )
+            merged |= {p for p, _ in picked}
+            for pair, cnt in picked[: iters - len(hist)]:
+                hist.append((pair, cnt))
+                work = [_py_merge_one(t, pair) for t in work]
+        assert hist == seq
+
+    check()
+
+
+def test_bpe_batched_and_local_trainers_match_sequential(spark):
+    """End-to-end cross-implementation equivalence on a corpus built
+    to hit every hazard at once: interfering ties at the batch
+    boundary, self-pair runs, and pairs whose merge spawns new pairs
+    that tie with later candidates. All three trainers must emit
+    byte-identical (round, merge_pair, pair_cnt, n_tokens_after)."""
+    from table_demo_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_batched,
+        bpe_train_local,
+    )
+
+    texts = [
+        "x x x x y z y z",
+        "w x y w x y q r",
+        "a b a b c d c d",
+        "b c b c d a d a",
+        "q r q r w x w x",
+        "z y z y x w x w",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = [tuple(r) for r in bpe_train(docs, iters=10).collect()]
+    bat = [
+        tuple(r) for r in bpe_train_batched(docs, iters=10, batch=4).collect()
+    ]
+    loc = [tuple(r) for r in bpe_train_local(docs, iters=10).collect()]
+    assert bat == seq
+    assert loc == seq
+
+
+def test_bpe_local_train_job_count_independent_of_vocab_size(spark):
+    """t30's scale claim, pinned where it lives: training the WHOLE
+    vocabulary is ONE action whose Spark job count does not grow with
+    the number of merges (the classic loop runs O(iters) jobs). 8
+    merges and 32 merges must schedule exactly the same jobs."""
+    from table_demo_spark.operators.bpe import bpe_train_local
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 4)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(iters: int) -> int:
+        group = f"t30-jobcount-{iters}"
+        sc.setJobGroup(group, "t30 job-count pin")
+        try:
+            out = bpe_train_local(docs, iters=iters).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(out) >= 1
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n8, n32 = jobs_for(8), jobs_for(32)
+    assert n8 == n32, (n8, n32)
+    assert n32 <= 3, n32  # one action; AQE may stage the exchange

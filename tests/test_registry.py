@@ -57,3 +57,29 @@ def test_registry_has_no_duplicates_and_no_drops() -> None:
     # the registry keeps at least round 2's 178 entries.
     assert set(DRIVER_SAMPLE) <= set(names)
     assert len(names) >= 178
+
+
+def test_bench_headline_partitions_the_registry() -> None:
+    """r5 verdict #4 ('no silent caps'): every registry query is
+    either timed by bench.py's HEADLINE or carries an explicit
+    one-line exclusion reason. A new query that lands in neither
+    fails here — exclusion is a reviewed decision, never a default."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    names = {q.name for q in all_queries()}
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.EXCLUDED)
+    assert headline <= names, headline - names
+    assert excluded <= names, excluded - names
+    assert not headline & excluded, headline & excluded
+    assert headline | excluded == names, names - headline - excluded
+    for name, reason in bench.EXCLUDED.items():
+        assert len(reason) > 20, (name, reason)
