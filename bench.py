@@ -183,6 +183,7 @@ HEADLINE = [
     "llm_d7_neardup_clusters",
     "llm_t30_bpe_local_train",
     "llm_t31_bpe_batched_train",
+    "llm_s14_ivf_kmeans_topk",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

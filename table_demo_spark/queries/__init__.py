@@ -88,14 +88,15 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_d6_neardup_lsh_gemm",
     "llm_d8_semantic_dedup",
     "llm_d9_containment_pairs",
-    "llm_d10_paragraph_dedup",
     "llm_s4_quantize_int8",
     "llm_s6_ann_recall",
     "llm_s10_maxsim_pruned",
     "llm_p2_stratified_sample",
-    # r6 new work: single-action and merge-batched BPE training
+    # r6 new work: single-action and merge-batched BPE training,
+    # trained-centroid IVF routing
     "llm_t30_bpe_local_train",
     "llm_t31_bpe_batched_train",
+    "llm_s14_ivf_kmeans_topk",
 )
 
 

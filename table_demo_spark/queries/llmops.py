@@ -641,7 +641,10 @@ def s5_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s5_oracle() -> str:
+def _s5_chain() -> str:
+    """The s5 Lloyd-refinement CTE chain body (cent0 .. m{iters}) —
+    shared between s5's own oracle and queries that ROUTE with the
+    trained centroids (s14)."""
     k, dim = similarity.N_CENTROIDS, similarity.DIM
     parts = [
         f"cent0 AS (SELECT vec_id AS cid, "
@@ -673,12 +676,97 @@ def _s5_oracle() -> str:
                 f"cent{i} AS (SELECT cid, list(v ORDER BY d) AS cv "
                 f"FROM m{i} GROUP BY cid)"
             )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _s5_oracle() -> str:
     return f"""
-WITH {body}
+WITH {_s5_chain()}
 SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(d AS BIGINT) AS dim,
        v AS val
 FROM m{_S5_ITERS}
+"""
+
+
+def _s5_chain_and_cent() -> str:
+    """The s5 chain re-exposed as a `cent` relation
+    (centroid_id, cent_vec) for routing oracles."""
+    return f"""{_s5_chain()},
+cent AS (
+  SELECT cid AS centroid_id, list(v ORDER BY d) AS cent_vec
+  FROM m{_S5_ITERS} GROUP BY cid
+)"""
+
+
+# ---------------------------------------------------------------------------
+# S14 — IVF routed by TRAINED centroids (r5 verdict #3: "production
+# swaps k-means without touching the plan" — prove it, don't say it).
+# The routing table is s5's Lloyd-refined centroid matrix instead of
+# the deterministic first-N stub; list building and probing are the
+# UNCHANGED ivf building blocks (_nearest_centroids / ivf_probe), so
+# the plan keeps the stub path's shape: broadcast-argmax assignment
+# (centroids are k rows at any corpus scale), equi-join probe where
+# the corpus side hash-partitions and never broadcasts. The oracle
+# restates the same refinement chain (rounded means, so both engines
+# route with bit-identical centroids) and then the same IVF SQL. The
+# partitioned-store variant of this claim — trained centroids feeding
+# ivf_assign_inline's literal routing, PartitionFilters intact — is
+# pinned by tests/test_plans.py::
+# test_kmeans_centroids_swap_into_partitioned_store_routing.
+# ---------------------------------------------------------------------------
+def s14_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = similarity.kmeans_refine(emb, iters=_S5_ITERS)
+    centroids = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s"))
+        .select(
+            "centroid_id", F.transform("s", lambda p: p.val).alias("cent_vec")
+        )
+    )
+    lists = similarity._nearest_centroids(
+        emb, centroids, "neighbor_id", "c_vec", 1
+    ).drop("crank")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_probe(lists, queries_df, centroids, k=ANN_K)
+
+
+def _s14_oracle() -> str:
+    npb = similarity.N_PROBE
+    return f"""
+WITH {_s5_chain_and_cent()},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id, crank FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC,
+                      c.centroid_id ASC) AS crank
+    FROM embeddings e CROSS JOIN cent c
+  )
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id
+  FROM assigned WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+  FROM assigned WHERE crank <= {npb} AND vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         max({_sql_cosine('q_vec', 'c_vec')}) AS cos_sim
+  FROM lists JOIN probes USING (centroid_id)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
 """
 
 
@@ -5444,6 +5532,7 @@ QUERIES: list[Query] = [
     Query("llm_t29_gopher_rules", t29_gopher_rules, T29_ORACLE),
     Query("llm_t30_bpe_local_train", t30_bpe_local_train, _t30_oracle()),
     Query("llm_t31_bpe_batched_train", t31_bpe_batched_train, _t31_oracle()),
+    Query("llm_s14_ivf_kmeans_topk", s14_ivf_kmeans_topk, _s14_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
 ]

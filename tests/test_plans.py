@@ -805,3 +805,62 @@ def test_partitioned_store_in_list_prunes_directories(spark, tmp_path):
     assert pf and "centroid_id" in pf[0] and "IN" in pf[0].upper(), plan
     # And row counts confirm only the probed directories contribute.
     assert pruned.count() == 25  # 100 ids % 8 -> 2 of 8 residues
+
+
+def test_kmeans_centroids_swap_into_partitioned_store_routing(spark, tmp_path):
+    """q29's docs claim 'production swaps k-means centroids without
+    touching the plan' — prove it (r5 verdict #3). Train s5's Lloyd
+    centroids, feed them to ivf_assign_inline as the literal routing
+    table (bounded by construction: k x dim values), write the
+    centroid-partitioned store, probe with an IN-list: the probe must
+    still prune at the DIRECTORY level (PartitionFilters), and every
+    routed row must land in the list its trained centroid dictates
+    (bit-parity with the batch argmax assignment)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators.similarity import (
+        _nearest_centroids,
+        ivf_assign_inline,
+        kmeans_refine,
+    )
+    from table_demo_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    means = kmeans_refine(emb, k=8, iters=1)
+    grouped = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s"))
+        .select("centroid_id", F.transform("s", lambda p: p.val).alias("cv"))
+        .collect()
+    )
+    cent_rows = sorted(
+        (int(r["centroid_id"]), list(r["cv"])) for r in grouped
+    )
+    routed = ivf_assign_inline(emb, cent_rows)
+
+    # bit-parity with the batch argmax over the SAME trained centroids
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows],
+        "centroid_id long, cent_vec array<double>",
+    )
+    batch = (
+        _nearest_centroids(emb, cent_df, "neighbor_id", "c_vec", 1)
+        .select("neighbor_id", "centroid_id")
+        .collect()
+    )
+    want = {r["neighbor_id"]: r["centroid_id"] for r in batch}
+    got = {
+        r["neighbor_id"]: r["centroid_id"]
+        for r in routed.select("neighbor_id", "centroid_id").collect()
+    }
+    assert got == want
+
+    # the store layout + directory pruning survive the swap
+    path = str(tmp_path / "ivf-kmeans-store")
+    routed.withColumn("c_vec", F.col("c_vec").cast("string")).write.partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin([0, 3]))
+    plan = formatted_plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "centroid_id" in pf[0] and "IN" in pf[0].upper(), plan
