@@ -624,6 +624,49 @@ _JPEG_AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K.2 chrominance quantization table (row-major).
+JPEG_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.4 (DC chrominance) and K.6 (AC chrominance) Huffman specs.
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # Zigzag scan order (T.81 Figure 5): _JPEG_ZIGZAG[k] = row-major index
 # of the k-th coefficient in scan order.
 _JPEG_ZIGZAG = np.array(
@@ -677,6 +720,8 @@ def jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
 
 _JPEG_DC_CODES = jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
 _JPEG_AC_CODES = jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+_JPEG_DC_CODES_C = jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+_JPEG_AC_CODES_C = jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
 # Decoder side: {(length, code): symbol}.
 _JPEG_DC_DECODE = {(ln, c): s for s, (c, ln) in _JPEG_DC_CODES.items()}
 _JPEG_AC_DECODE = {(ln, c): s for s, (c, ln) in _JPEG_AC_CODES.items()}
@@ -899,7 +944,8 @@ def _jpeg_extend(extra: int, size: int) -> int:
 
 
 class _JpegHeader(NamedTuple):
-    """Everything the marker walk yields before entropy data starts."""
+    """Everything the marker walk yields before entropy data starts
+    (single-component view — the legacy greyscale decode path)."""
 
     quant: np.ndarray
     dc_table: dict[tuple[int, int], int]
@@ -910,18 +956,43 @@ class _JpegHeader(NamedTuple):
     sos_pos: int
 
 
-def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
-    """Walk the marker stream up to (and including) SOS: -> tables,
-    dimensions, restart interval, and the offset where entropy-coded
-    data begins. Shared by the whole-image decoder and the
-    restart-segment path (split_jpeg_restarts /
-    decode_jpeg_segment_dc)."""
+class _JpegComp(NamedTuple):
+    comp_id: int
+    hsamp: int
+    vsamp: int
+    tq: int  # quant table id
+
+
+class _JpegHeaderMulti(NamedTuple):
+    """Multi-component marker-walk result (SOF0 baseline, 1 or 3
+    components)."""
+
+    quants: dict[int, np.ndarray]  # tq -> (8, 8) natural order
+    dc_tables: dict[int, dict[tuple[int, int], int]]  # th -> decode map
+    ac_tables: dict[int, dict[tuple[int, int], int]]
+    comps: list[_JpegComp]  # SOF order
+    sos_tables: dict[int, tuple[int, int]]  # comp_id -> (td, ta)
+    h: int
+    w: int
+    restart_interval: int
+    sos_pos: int
+
+
+def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
+    """Walk the marker stream up to (and including) SOS: -> all quant
+    and Huffman tables by id, per-component sampling factors and table
+    assignments, dimensions, restart interval, and the offset where
+    entropy-coded data begins. Shared by the greyscale decoder (via
+    the :func:`_jpeg_parse_headers` adapter), the restart-segment
+    path, and the 4:2:0 color decoder."""
     if not data.startswith(JPEG_MAGIC[:2]):
         raise ValueError("not a JPEG payload")
     pos = 2
-    quant: np.ndarray | None = None
-    dc_table: dict[tuple[int, int], int] | None = None
-    ac_table: dict[tuple[int, int], int] | None = None
+    quants: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    comps: list[_JpegComp] = []
+    sos_tables: dict[int, tuple[int, int]] = {}
     h = w = None
     restart_interval = 0
     while True:
@@ -943,21 +1014,27 @@ def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
                 pq, tq = body[p] >> 4, body[p] & 0x0F
                 if pq != 0:
                     raise ValueError("only 8-bit quant tables supported")
-                if tq == 0:
-                    zz = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
-                    nat = np.zeros(64, dtype=np.int32)
-                    nat[_JPEG_ZIGZAG] = zz
-                    quant = nat.reshape(8, 8)
+                zz = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_JPEG_ZIGZAG] = zz
+                quants[tq] = nat.reshape(8, 8)
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit single-component baseline supported "
+                    f"only 8-bit 1- or 3-component baseline supported "
                     f"(precision={precision}, components={ncomp})"
                 )
-            if body[7] != 0x11:
-                raise ValueError("subsampled components not supported")
+            comps = [
+                _JpegComp(
+                    body[6 + 3 * i],
+                    body[7 + 3 * i] >> 4,
+                    body[7 + 3 * i] & 0x0F,
+                    body[8 + 3 * i],
+                )
+                for i in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -971,22 +1048,52 @@ def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
                     (ln, c): s
                     for s, (c, ln) in jpeg_canonical_codes(bits, vals).items()
                 }
-                if th == 0:
-                    if tc == 0:
-                        dc_table = table
-                    else:
-                        ac_table = table
+                if tc == 0:
+                    dc_tables[th] = table
+                else:
+                    ac_tables[th] = table
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS: entropy data follows
+            ns = body[0]
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                sos_tables[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
             pos += 2 + seglen
             break
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if quant is None or dc_table is None or ac_table is None or h is None:
+    if not quants or not dc_tables or not ac_tables or h is None or not comps:
         raise ValueError("missing DQT/DHT/SOF0 before SOS")
-    return _JpegHeader(quant, dc_table, ac_table, h, w, restart_interval, pos)
+    return _JpegHeaderMulti(
+        quants, dc_tables, ac_tables, comps, sos_tables, h, w,
+        restart_interval, pos,
+    )
+
+
+def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
+    """Single-component adapter over :func:`_jpeg_parse_headers_multi`
+    — the greyscale decode / restart-split paths' unchanged view."""
+    hdr = _jpeg_parse_headers_multi(data)
+    if len(hdr.comps) != 1:
+        raise ValueError(
+            f"single-component path on a {len(hdr.comps)}-component JPEG"
+            " — use decode_jpeg_color"
+        )
+    comp = hdr.comps[0]
+    if (comp.hsamp, comp.vsamp) != (1, 1):
+        raise ValueError("subsampled components not supported")
+    td, ta = hdr.sos_tables.get(comp.comp_id, (0, 0))
+    return _JpegHeader(
+        hdr.quants[comp.tq],
+        hdr.dc_tables[td],
+        hdr.ac_tables[ta],
+        hdr.h,
+        hdr.w,
+        hdr.restart_interval,
+        hdr.sos_pos,
+    )
 
 
 def _decode_entropy_block(
@@ -1072,6 +1179,286 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
     )
     return np.clip(np.round(raster), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _jpeg_quantize_plane(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(ph, pw) uint8 plane (dims multiples of 8) -> quantized
+    coefficient blocks (ph//8, pw//8, 8, 8) int32, with the DC term
+    overwritten by the exact integer formula
+    round_half_away((S - 8192) / (8 * q00)) so encoder, decoder, and
+    SQL oracle agree bit-for-bit on DC for ANY quant table."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+    )
+    coefs = np.einsum("ux,byxz,vz->byuv", _JPEG_DCT, blocks - 128.0, _JPEG_DCT)
+    q = (np.sign(coefs) * np.floor(np.abs(coefs) / quant[None, None] + 0.5)).astype(
+        np.int32
+    )
+    sums = blocks.reshape(ph // 8, pw // 8, 64).sum(axis=2).astype(np.int64)
+    den = 8 * int(quant[0, 0])
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            q[by, bx, 0, 0] = _round_half_away(int(sums[by, bx]) - 8192, den)
+    return q
+
+
+def _jpeg_write_block(
+    writer: _JpegBitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-write ONE zigzag-ordered block; returns the new DC
+    predictor. (The greyscale encoder keeps its fused loop; this is
+    the shared per-block form the interleaved color scan uses.)"""
+    diff = int(zz[0]) - pred
+    size, extra = _jpeg_magnitude(diff)
+    code, length = dc_codes[size]
+    writer.put(code, length)
+    if size:
+        writer.put(extra, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            writer.put(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.put(code, length)
+            run -= 16
+        size, extra = _jpeg_magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.put(code, length)
+        writer.put(extra, size)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg_color(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    restart_interval: int = 0,
+) -> bytes:
+    """YCbCr 4:2:0 component planes -> baseline JFIF bytes (SOF0,
+    3 components, Y sampled 2x2 against 1x1 chroma — the layout of
+    essentially every camera/web JPEG).
+
+    Takes the COMPONENT PLANES, not RGB: per T.81 the codec is
+    component-agnostic (the RGB<->YCbCr transform is JFIF metadata,
+    not entropy coding), and taking planes keeps the integer-exact DC
+    oracle per component. ``cb``/``cr`` arrive already at half
+    resolution (ceil(h/2), ceil(w/2)) — how the subsampling happened
+    is the caller's (tested float) business, what the codec owns is
+    the interleaved-MCU scan. Y pads to 16-pixel multiples
+    (edge-replicated), chroma to the matching 8-multiples; MCU =
+    4 Y blocks (raster order) + Cb + Ca with per-component DC
+    predictors (T.81 A.2.3); luma uses the Annex K.1/K.3/K.5 tables,
+    chroma K.2/K.4/K.6. DC terms are integer-exact per component
+    (round_half_away((S-8192)/128) luma, /136 chroma)."""
+    if y.ndim != 2 or y.dtype != np.uint8:
+        raise ValueError(f"expected (h, w) uint8 luma, got {y.shape} {y.dtype}")
+    h, w = y.shape
+    ch, cw = -(-h // 2), -(-w // 2)
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(
+            f"chroma planes must be ({ch}, {cw}), got {cb.shape} {cr.shape}"
+        )
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"bad dimensions {h}x{w}")
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    yp = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    cbp = np.pad(cb, ((0, ph // 2 - ch), (0, pw // 2 - cw)), mode="edge")
+    crp = np.pad(cr, ((0, ph // 2 - ch), (0, pw // 2 - cw)), mode="edge")
+
+    qy = _jpeg_quantize_plane(yp, JPEG_QUANT)
+    qcb = _jpeg_quantize_plane(cbp, JPEG_QUANT_CHROMA)
+    qcr = _jpeg_quantize_plane(crp, JPEG_QUANT_CHROMA)
+
+    writer = _JpegBitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    n_mcuy, n_mcux = ph // 16, pw // 16
+    mcu = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart_marker((mcu // restart_interval - 1) % 8)
+                preds = {"y": 0, "cb": 0, "cr": 0}
+            mcu += 1
+            for r in range(2):
+                for c in range(2):
+                    zz = qy[2 * my + r, 2 * mx + c].reshape(64)[_JPEG_ZIGZAG]
+                    preds["y"] = _jpeg_write_block(
+                        writer, zz, preds["y"], _JPEG_DC_CODES, _JPEG_AC_CODES
+                    )
+            for name, q in (("cb", qcb), ("cr", qcr)):
+                zz = q[my, mx].reshape(64)[_JPEG_ZIGZAG]
+                preds[name] = _jpeg_write_block(
+                    writer, zz, preds[name], _JPEG_DC_CODES_C, _JPEG_AC_CODES_C
+                )
+    entropy = writer.flush()
+
+    zq_l = JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    zq_c = JPEG_QUANT_CHROMA.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _jpeg_segment(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _jpeg_segment(0xDB, b"\x00" + zq_l + b"\x01" + zq_c)
+    out += _jpeg_segment(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, quant 0
+        + b"\x02\x11\x01"  # Cb: 1x1, quant 1
+        + b"\x03\x11\x01",  # Cr: 1x1, quant 1
+    )
+    out += _jpeg_segment(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += _jpeg_segment(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += _jpeg_segment(
+        0xC4, b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+    )
+    out += _jpeg_segment(
+        0xC4, b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C)
+    )
+    if restart_interval:
+        out += _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+    out += _jpeg_segment(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg_coefficients_color(
+    data: bytes,
+) -> tuple[dict[str, np.ndarray], _JpegHeaderMulti]:
+    """Parse + entropy-decode a 3-component 4:2:0 baseline scan:
+    -> ({'y': (2*n_mcuy, 2*n_mcux, 8, 8), 'cb': (n_mcuy, n_mcux, 8,
+    8), 'cr': ...} quantized int32 natural-order blocks, header).
+    Interleaved MCU order (T.81 A.2.3) with per-component DC
+    predictors; restart markers reset all three."""
+    hdr = _jpeg_parse_headers_multi(data)
+    if len(hdr.comps) != 3:
+        raise ValueError("decode_jpeg_color needs a 3-component JPEG")
+    samps = [(c.hsamp, c.vsamp) for c in hdr.comps]
+    if samps != [(2, 2), (1, 1), (1, 1)]:
+        raise ValueError(f"only 4:2:0 (2x2,1x1,1x1) supported, got {samps}")
+    n_mcuy, n_mcux = -(-hdr.h // 16), -(-hdr.w // 16)
+    names = ("y", "cb", "cr")
+    out = {
+        "y": np.zeros((2 * n_mcuy, 2 * n_mcux, 64), dtype=np.int32),
+        "cb": np.zeros((n_mcuy, n_mcux, 64), dtype=np.int32),
+        "cr": np.zeros((n_mcuy, n_mcux, 64), dtype=np.int32),
+    }
+    tables = {}
+    for name, comp in zip(names, hdr.comps):
+        td, ta = hdr.sos_tables.get(comp.comp_id, (0, 0))
+        tables[name] = (hdr.dc_tables[td], hdr.ac_tables[ta])
+    reader = _JpegBitReader(data, hdr.sos_pos)
+    preds = {n: 0 for n in names}
+    mcu = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if hdr.restart_interval and mcu and mcu % hdr.restart_interval == 0:
+                reader.sync_restart()
+                preds = {n: 0 for n in names}
+            mcu += 1
+            for r in range(2):
+                for c in range(2):
+                    zz, preds["y"] = _decode_entropy_block(
+                        reader, *tables["y"], preds["y"]
+                    )
+                    nat = np.zeros(64, dtype=np.int32)
+                    nat[_JPEG_ZIGZAG] = zz
+                    out["y"][2 * my + r, 2 * mx + c] = nat
+            for name in ("cb", "cr"):
+                zz, preds[name] = _decode_entropy_block(
+                    reader, *tables[name], preds[name]
+                )
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_JPEG_ZIGZAG] = zz
+                out[name][my, mx] = nat
+    return (
+        {n: a.reshape(a.shape[0], a.shape[1], 8, 8) for n, a in out.items()},
+        hdr,
+    )
+
+
+def decode_jpeg_dc_color(
+    data: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """3-component 4:2:0 JPEG bytes -> (y_dc, cb_dc, cr_dc) int32
+    planes of QUANTIZED per-component DC coefficients — the color "DC
+    thumbnail" (1/64-scale luma + 1/256-scale chroma views) with no
+    IDCT. Like the greyscale path, the full AC walk runs per block to
+    advance the bitstream, so the whole interleaved entropy layer is
+    on this path."""
+    coefs, _ = _decode_jpeg_coefficients_color(data)
+    return (
+        coefs["y"][:, :, 0, 0],
+        coefs["cb"][:, :, 0, 0],
+        coefs["cr"][:, :, 0, 0],
+    )
+
+
+def _jpeg_idct_plane(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    deq = coefs.astype(np.float64) * quant[None, None]
+    blocks = np.einsum("xu,byuv,zv->byxz", _JPEG_DCT.T, deq, _JPEG_DCT.T)
+    n_by, n_bx = coefs.shape[:2]
+    raster = blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
+    return np.clip(np.round(raster), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_color(data: bytes) -> np.ndarray:
+    """3-component 4:2:0 baseline JPEG bytes -> (h, w, 3) uint8 RGB:
+    per-component IDCT, nearest-neighbor 2x chroma upsampling, JFIF
+    YCbCr -> RGB (BT.601 full-range), clamp, crop to SOF0 dims."""
+    coefs, hdr = _decode_jpeg_coefficients_color(data)
+    tq = {n: hdr.quants[c.tq] for n, c in zip(("y", "cb", "cr"), hdr.comps)}
+    h, w = hdr.h, hdr.w
+    yp = _jpeg_idct_plane(coefs["y"], tq["y"])[:h, :w].astype(np.float64)
+    cbp = _jpeg_idct_plane(coefs["cb"], tq["cb"])
+    crp = _jpeg_idct_plane(coefs["cr"], tq["cr"])
+    cbu = cbp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(np.float64)
+    cru = crp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w].astype(np.float64)
+    r = yp + 1.402 * (cru - 128.0)
+    g = yp - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0)
+    b = yp + 1.772 * (cbu - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def rgb_to_ycbcr420(
+    rgb: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB -> (y, cb, cr) planes with 2x2 box-averaged
+    chroma subsampling (JFIF BT.601 full-range; floats rounded
+    half-up). The encode-side companion to :func:`decode_jpeg_color`;
+    float math is on the tested-roundtrip path, never the oracle."""
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = y.shape
+    ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+    cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+    crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+    cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    to8 = lambda a: np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb2), to8(cr2)
 
 
 def split_jpeg_restarts(data: bytes) -> tuple[bytes, list[bytes]]:

@@ -619,6 +619,99 @@ def jpeg_dc_stats(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=JPEG_DC_SCHEMA)
 
 
+JPEG_C_W, JPEG_C_H = 32, 32  # Y: 1024 bytes = 64 blocks; 2x2 MCUs
+_JPEG_C_Y_BLOCKS = (JPEG_C_W * JPEG_C_H) // 16
+_JPEG_C_C_BLOCKS = (JPEG_C_W * JPEG_C_H) // 64  # half-res chroma plane
+JPEG_C_RESTART = 3  # 4 MCUs -> one RSTn inside every payload
+
+
+def with_color_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real 3-component 4:2:0 baseline JFIF image
+    per document — Y/Cb/Cr planes from three independent md5 streams
+    (salts '#jy'/'#jcb'/'#jcr', chroma generated at half resolution
+    exactly as stored), run through the full interleaved-MCU color
+    pipeline of codecs.encode_jpeg_color (per-component DC predictors,
+    luma + chroma Annex-K tables, restart interval 3 so color restart
+    sync is on every decode path)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_jpeg_color
+
+    ch, cw = JPEG_C_H // 2, JPEG_C_W // 2
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def plane(doc_id, blocks, salt, h, w):
+            return np.frombuffer(
+                _md5_stream(str(doc_id), blocks, salt), dtype=np.uint8
+            ).reshape(h, w)
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_color(
+                    plane(d, _JPEG_C_Y_BLOCKS, "#jy", JPEG_C_H, JPEG_C_W),
+                    plane(d, _JPEG_C_C_BLOCKS, "#jcb", ch, cw),
+                    plane(d, _JPEG_C_C_BLOCKS, "#jcr", ch, cw),
+                    restart_interval=JPEG_C_RESTART,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+JPEG_COLOR_DC_SCHEMA = (
+    "doc_id long, n_y_blocks long, n_c_blocks long, "
+    "y_dc_sum long, y_dc_checksum long, "
+    "cb_dc_sum long, cb_dc_checksum long, "
+    "cr_dc_sum long, cr_dc_checksum long"
+)
+
+
+def color_jpeg_dc_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Entropy-decode each color JPEG payload to its three QUANTIZED
+    per-component DC planes (the color "DC thumbnail") and aggregate
+    per document. Everything in the interleaved color entropy layer —
+    4-tables-by-id Huffman reconstruction, per-component DPCM, the
+    4xY+Cb+Cr MCU walk, chroma quantization, restart sync resetting
+    all three predictors — is on the value-hash path; the per-plane
+    ``sum((i+1) * dc_i)`` checksums pin block ORDER per component."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_jpeg_dc_color
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(plane: np.ndarray) -> tuple[int, int]:
+            flat = plane.astype(np.int64).reshape(-1)
+            return int(flat.sum()), int(
+                (flat * (np.arange(flat.size) + 1)).sum()
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y, cb, cr = decode_jpeg_dc_color(bytes(payload))
+                ys, yc = stats(y)
+                cbs, cbc = stats(cb)
+                crs, crc = stats(cr)
+                rows.append(
+                    (doc_id, y.size, cb.size, ys, yc, cbs, cbc, crs, crc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_y_blocks", "n_c_blocks",
+                    "y_dc_sum", "y_dc_checksum",
+                    "cb_dc_sum", "cb_dc_checksum",
+                    "cr_dc_sum", "cr_dc_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=JPEG_COLOR_DC_SCHEMA)
+
+
 JPEG_PAR_W, JPEG_PAR_H = 64, 40  # 2560 raster bytes = 160 md5 blocks
 _JPEG_PAR_BLOCKS = (JPEG_PAR_W * JPEG_PAR_H) // 16
 JPEG_PAR_RESTART = 7  # 40 MCUs -> 6 intervals, the last ragged (5 MCUs)

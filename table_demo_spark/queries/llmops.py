@@ -5448,6 +5448,85 @@ FROM seg GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M19 — COLOR (YCbCr 4:2:0) baseline JPEG: the m-family's one
+# within-reach real-format gap (r5 verdict #5) — the layout of
+# essentially every camera/web JPEG. The payload is a genuine
+# 3-component JFIF file (interleaved 4xY+Cb+Cr MCUs, per-component DC
+# predictors, luma K.1/K.3/K.5 + chroma K.2/K.4/K.6 tables, DRI=3 so
+# restart sync resets ALL THREE predictors inside every payload); the
+# query entropy-decodes the per-component quantized DC planes — the
+# color "DC thumbnail". The oracle is INTEGER-EXACT per component
+# (m17's trick, per quant table): qDC = round_half_away((S-8192)/128)
+# for luma (q00=16), /136 for chroma (K.2 q00=17) — no float sits
+# between the engines, and per-plane order checksums pin the MCU
+# walk. Real-format interop is pinned separately against Java ImageIO
+# (tests/test_operators.py decodes a camera 4:2:0 kitten from Spark's
+# own mllib data and matches ImageIO within MAD<1).
+# ---------------------------------------------------------------------------
+
+
+def m19_color_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.color_jpeg_dc_stats(
+        multimodal.with_color_jpeg_payload(docs)
+    )
+
+
+def _m19_plane_sql(tag: str, salt: str, n_blocks: int, width: int, q00: int) -> str:
+    """Per-plane CTE chain: md5-stream bytes -> raster-order 8x8 block
+    sums -> integer quantized DC -> (doc_id, sum, order-checksum)."""
+    bpr = width // 8
+    den = 8 * q00
+    return f"""blocks_{tag} AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '{salt}' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {n_blocks})) AS i)
+),
+bytes_{tag} AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks_{tag}, (SELECT unnest(range(0, 16)) AS j)
+),
+blocksum_{tag} AS (
+  SELECT doc_id,
+         ((o // {width}) // 8) * {bpr} + ((o % {width}) // 8) AS bid,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM bytes_{tag} GROUP BY 1, 2
+),
+qdc_{tag} AS (
+  SELECT doc_id, bid,
+         CASE WHEN s >= 8192
+              THEN (2 * (s - 8192) + {den}) // {2 * den}
+              ELSE -((2 * (8192 - s) + {den}) // {2 * den}) END AS dc
+  FROM blocksum_{tag}
+),
+agg_{tag} AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_{tag},
+         CAST(sum(dc) AS BIGINT) AS {tag}_dc_sum,
+         CAST(sum((bid + 1) * dc) AS BIGINT) AS {tag}_dc_checksum
+  FROM qdc_{tag} GROUP BY doc_id
+)"""
+
+
+def _m19_oracle() -> str:
+    w, h = multimodal.JPEG_C_W, multimodal.JPEG_C_H
+    yb, cb = multimodal._JPEG_C_Y_BLOCKS, multimodal._JPEG_C_C_BLOCKS
+    return f"""
+WITH {_m19_plane_sql("y", "#jy", yb, w, 16)},
+{_m19_plane_sql("cb", "#jcb", cb, w // 2, 17)},
+{_m19_plane_sql("cr", "#jcr", cb, w // 2, 17)}
+SELECT doc_id,
+       n_y AS n_y_blocks,
+       n_cb AS n_c_blocks,
+       y_dc_sum, y_dc_checksum,
+       cb_dc_sum, cb_dc_checksum,
+       cr_dc_sum, cr_dc_checksum
+FROM agg_y JOIN agg_cb USING (doc_id) JOIN agg_cr USING (doc_id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5535,4 +5614,5 @@ QUERIES: list[Query] = [
     Query("llm_s14_ivf_kmeans_topk", s14_ivf_kmeans_topk, _s14_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
+    Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
 ]

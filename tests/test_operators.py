@@ -1433,3 +1433,136 @@ def test_bpe_local_train_job_count_independent_of_vocab_size(spark):
     n8, n32 = jobs_for(8), jobs_for(32)
     assert n8 == n32, (n8, n32)
     assert n32 <= 3, n32  # one action; AQE may stage the exchange
+
+
+def test_color_jpeg_codec_dc_exactness_and_golden_vectors():
+    """4:2:0 color JPEG against three independent anchors: (1) the
+    integer DC formula per component (luma /128, chroma K.2 /136) on
+    random planes; (2) interleaved-MCU golden vectors — a constant
+    image's scan is fully predictable (every AC is EOB, DC diffs are
+    zero after the first block of each component), so the entropy
+    payload is pinned byte-for-byte; (3) roundtrip with restart
+    markers across odd dimensions."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _round_half_away,
+        decode_jpeg_color,
+        decode_jpeg_dc_color,
+        encode_jpeg_color,
+        rgb_to_ycbcr420,
+    )
+
+    rng = np.random.default_rng(19)
+
+    # (1) per-component integer DC exactness
+    y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = encode_jpeg_color(y, cb, cr, restart_interval=3)
+    ydc, cbdc, crdc = decode_jpeg_dc_color(data)
+
+    def expect_dc(plane, q00):
+        ph, pw = plane.shape
+        s = (
+            plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph // 8, pw // 8, 64)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        out = np.zeros_like(s, dtype=np.int64)
+        for i in range(s.shape[0]):
+            for j in range(s.shape[1]):
+                out[i, j] = _round_half_away(int(s[i, j]) - 8192, 8 * q00)
+        return out
+
+    assert np.array_equal(ydc, expect_dc(y, 16))
+    assert np.array_equal(cbdc, expect_dc(cb, 17))
+    assert np.array_equal(crdc, expect_dc(cr, 17))
+
+    # (2) golden vectors for the interleaved scan: constant planes.
+    # Y=128 -> qDC 0 everywhere; Cb=130 -> S=8320, qDC=round(128/136)=1
+    # with diff 1 only in the first MCU's Cb block; Cr=126 -> -1.
+    yc = np.full((16, 16), 128, np.uint8)
+    cbc = np.full((8, 8), 130, np.uint8)
+    crc = np.full((8, 8), 126, np.uint8)
+    d2 = encode_jpeg_color(yc, cbc, crc)
+    y2, cb2, cr2 = decode_jpeg_dc_color(d2)
+    assert y2.tolist() == [[0, 0], [0, 0]]
+    assert cb2.tolist() == [[1]] and cr2.tolist() == [[-1]]
+    # entropy payload (between SOS body and EOI), hand-assembled:
+    # 4x luma blocks: DC size-0 code '00' + EOB '1010';
+    # Cb: DC size-1 '010' + extra '1' + EOB '00'; Cr: '011'+'0'+'00'
+    # (chroma K.4: size0='00',size1='010'... wait K.4 canonical: bits
+    # 0,3,... -> sizes 0,1,2 get 2-bit codes '00','01','10').
+    sos_end = d2.rindex(b"\xff\xd9")
+    scan = d2[d2.index(b"\xff\xda") :]
+    entropy = scan[2 + int.from_bytes(scan[2:4], "big") : len(scan) - 2]
+    bits = ""
+    # luma DC size 0 = '00' (K.3), luma EOB = '1010' (K.5)
+    bits += ("00" + "1010") * 4
+    # chroma DC (K.4 canonical): size 0 -> '00', size 1 -> '01'
+    # Cb diff +1: size 1, extra bit '1'; EOB (K.6) = '00'
+    bits += "01" + "1" + "00"
+    # Cr diff -1: size 1, extra bit '0'; EOB
+    bits += "01" + "0" + "00"
+    bits += "1" * (-len(bits) % 8)  # byte-align with 1-fill
+    want = bytes(
+        int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+    )
+    assert entropy == want, (entropy.hex(), want.hex())
+    assert d2[sos_end:] == b"\xff\xd9"
+
+    # (3) odd dims + restart roundtrip via the RGB companion
+    rgb = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(*rgb_to_ycbcr420(rgb), 2))
+    assert out.shape == (37, 29, 3)
+    # smooth content survives near-exactly (transform coding sanity)
+    gx, gy = np.linspace(0, 255, 48), np.linspace(0, 200, 40)
+    smooth = np.clip(
+        np.stack(
+            [np.add.outer(gy, gx * 0.5), np.add.outer(gy * 0.3, gx),
+             np.tile(gx, (40, 1))],
+            axis=-1,
+        ), 0, 255,
+    ).astype(np.uint8)
+    dec = decode_jpeg_color(encode_jpeg_color(*rgb_to_ycbcr420(smooth)))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 4.0
+
+    # truncation anywhere raises ValueError, never IndexError
+    for cut in (8, 30, len(data) // 2, len(data) - 3):
+        with _pytest.raises(ValueError):
+            decode_jpeg_color(data[:cut])
+
+
+def test_color_jpeg_decoder_interop_with_imageio(spark):
+    """Real-format interop: tests/fixtures/kitten.jpg is a camera
+    4:2:0 baseline JPEG from Apache Spark's own mllib sample data
+    (data/mllib/images/origin/kittens/DP802813.jpg). Our pure-numpy
+    decoder must agree with Java ImageIO (Spark's `image` data source
+    — an entirely independent implementation) within tight tolerance;
+    the residual is IDCT rounding + chroma upsampling choice (ours
+    nearest, libjpeg's triangular), both bounded to a few LSBs."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_jpeg_color
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "kitten.jpg")
+    with open(path, "rb") as fh:
+        rgb = decode_jpeg_color(fh.read())
+    assert rgb.shape == (313, 199, 3)
+
+    row = (
+        spark.read.format("image").load(path).select("image.*").collect()[0]
+    )
+    assert (row.height, row.width, row.nChannels) == (313, 199, 3)
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[:, :, ::-1]  # Spark image source is BGR
+    diff = np.abs(ref.astype(int) - rgb.astype(int))
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.percentile(diff, 99) <= 3, np.percentile(diff, 99)

@@ -99,6 +99,7 @@ _PYTHON_ALLOWED = {
     "llm_m17_jpeg_dc",  # MapInPandas (real JPEG entropy decode to DC plane)
     "llm_m18_jpeg_restart_parallel",  # MapInPandas (per-interval JPEG decode)
     "llm_t30_bpe_local_train",  # MapInPandas (whole merge loop in ONE task over the bounded sample)
+    "llm_m19_color_jpeg_dc",  # MapInPandas (real 4:2:0 color JPEG entropy decode)
 }
 
 
