@@ -185,6 +185,7 @@ HEADLINE = [
     "llm_t31_bpe_batched_train",
     "llm_s14_ivf_kmeans_topk",
     "llm_m19_color_jpeg_dc",
+    "stream_q30_color_decode",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

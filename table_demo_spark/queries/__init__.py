@@ -89,7 +89,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_d8_semantic_dedup",
     "llm_d9_containment_pairs",
     "llm_s4_quantize_int8",
-    "llm_s10_maxsim_pruned",
     "llm_p2_stratified_sample",
     # r6 new work: single-action and merge-batched BPE training,
     # trained-centroid IVF routing, 4:2:0 color JPEG decode
@@ -97,6 +96,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t31_bpe_batched_train",
     "llm_s14_ivf_kmeans_topk",
     "llm_m19_color_jpeg_dc",
+    "stream_q30_color_decode",
 )
 
 

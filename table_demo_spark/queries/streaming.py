@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
+from table_demo_spark.queries.llmops import _m19_oracle
+
+_M19_ORACLE = _m19_oracle()
 from table_demo_spark.queries.llmops import S3_ORACLE as _S3_ORACLE
 from table_demo_spark.queries.reference import (
     _DEPARTURES_CTE,
@@ -1170,6 +1173,26 @@ def q28_media_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous COLOR media decode (streaming m19): arriving shards'
+    documents get a real 3-component 4:2:0 JFIF payload built and
+    entropy-decoded to per-component quantized-DC stats by the SAME
+    stateless Arrow chain batch m19 uses — interleaved MCU walk,
+    chroma tables, restart sync all on the streaming path. Final sink
+    contents = batch m19 exactly (its oracle verbatim)."""
+    from table_demo_spark.streaming.queries import run_q30_color_media_decode
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q30_color_media_decode(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "n_y_blocks", "n_c_blocks",
+        "y_dc_sum", "y_dc_checksum",
+        "cb_dc_sum", "cb_dc_checksum",
+        "cr_dc_sum", "cr_dc_checksum",
+    )
+
+
 def q29_ann_index_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index maintained at ingest (streaming s3): arriving
     embeddings are routed into centroid-partitioned inverted lists by
@@ -1298,6 +1321,7 @@ QUERIES: list[Query] = [
     ),
     Query("stream_q28_media_decode", q28_media_decode_final, _M17_ORACLE),
     Query("stream_q29_ann_index_ingest", q29_ann_index_ingest_final, _S3_ORACLE),
+    Query("stream_q30_color_decode", q30_color_decode_final, _M19_ORACLE),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2523,6 +2523,38 @@ def run_q28_media_decode(
     return sink, query
 
 
+def run_q30_color_media_decode(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """q28's continuous-decode shape over the COLOR (4:2:0) codec:
+    each arriving shard's documents get a real 3-component JFIF
+    payload built and entropy-decoded to per-component quantized-DC
+    stats by the same stateless Arrow chain batch m19 uses — no state,
+    no watermark, O(batch) per trigger. Returns (sink, query)."""
+    from table_demo_spark.operators import multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.color_jpeg_dc_stats(
+        multimodal.with_color_jpeg_payload(docs)
+    )
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q30-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 # ---------------------------------------------------------------------------
 # Q29 streaming — ANN index maintained AT INGEST: the s-family's
 # continuous split, and how a production vector store actually works
