@@ -186,6 +186,7 @@ HEADLINE = [
     "llm_s14_ivf_kmeans_topk",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
+    "llm_m20_color_jpeg_parallel",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -1475,10 +1475,15 @@ def split_jpeg_restarts(data: bytes) -> tuple[bytes, list[bytes]]:
     serializes into a single task, which is the intra-file analogue
     of fan_out's file-level spread.
 
+    The byte scan is component-agnostic — greyscale and interleaved
+    4:2:0 color scans split identically; only the expected interval
+    count depends on the MCU geometry (per-block for 1x1 single
+    component, per-16x16-MCU for 2x2 color).
+
     Raises ValueError when the interval structure implied by DRI and
     the SOF0 dimensions does not match the markers actually present.
     """
-    hdr = _jpeg_parse_headers(data)
+    hdr = _jpeg_parse_headers_multi(data)
     n = len(data)
     segs: list[bytes] = []
     start = hdr.sos_pos
@@ -1503,9 +1508,12 @@ def split_jpeg_restarts(data: bytes) -> tuple[bytes, list[bytes]]:
             raise ValueError(f"unexpected marker {marker:#x} in scan")
     if not closed:
         raise ValueError("truncated JPEG: missing EOI")
-    blocks = -(-hdr.h // 8) * (-(-hdr.w // 8))
+    if len(hdr.comps) == 1:
+        mcus = -(-hdr.h // 8) * (-(-hdr.w // 8))
+    else:
+        mcus = -(-hdr.h // 16) * (-(-hdr.w // 16))
     expect = (
-        -(-blocks // hdr.restart_interval) if hdr.restart_interval else 1
+        -(-mcus // hdr.restart_interval) if hdr.restart_interval else 1
     )
     if len(segs) != expect:
         raise ValueError(
@@ -1551,3 +1559,47 @@ def decode_jpeg_segment_dc(header: bytes, seg: bytes, n_mcus: int) -> np.ndarray
     the segment — the decoder assumes nothing about the encoder).
     One-shot convenience over JpegSegmentDecoder."""
     return JpegSegmentDecoder(header).dc(seg, n_mcus)
+
+
+class JpegColorSegmentDecoder:
+    """The color (4:2:0 interleaved) counterpart of
+    :class:`JpegSegmentDecoder`: parse the 3-component header ONCE,
+    entropy-decode many restart intervals independently. Every
+    interval starts with all three DC predictors at 0 (T.81 B.2.1),
+    exactly as the whole-image decoder resets them at each RSTn, so
+    intervals decode in any order on any task."""
+
+    def __init__(self, header: bytes) -> None:
+        hdr = _jpeg_parse_headers_multi(header)
+        if len(hdr.comps) != 3:
+            raise ValueError("color segment decoder needs a 3-component JPEG")
+        samps = [(c.hsamp, c.vsamp) for c in hdr.comps]
+        if samps != [(2, 2), (1, 1), (1, 1)]:
+            raise ValueError(f"only 4:2:0 supported, got {samps}")
+        self._tables = []
+        for comp in hdr.comps:
+            td, ta = hdr.sos_tables.get(comp.comp_id, (0, 0))
+            self._tables.append((hdr.dc_tables[td], hdr.ac_tables[ta]))
+
+    def dc(
+        self, seg: bytes, n_mcus: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One interval's entropy bytes -> ((n_mcus, 4) Y quantized
+        DCs in sub-block raster order, (n_mcus,) Cb, (n_mcus,) Cr),
+        MCUs in scan order. The full AC walk runs per block — it is
+        what advances the bitstream."""
+        reader = _JpegBitReader(seg, 0)
+        preds = [0, 0, 0]
+        y = np.empty((n_mcus, 4), dtype=np.int32)
+        cb = np.empty(n_mcus, dtype=np.int32)
+        cr = np.empty(n_mcus, dtype=np.int32)
+        (ydc, yac), (cbdc, cbac), (crdc, crac) = self._tables
+        for k in range(n_mcus):
+            for s in range(4):
+                zz, preds[0] = _decode_entropy_block(reader, ydc, yac, preds[0])
+                y[k, s] = zz[0]
+            zz, preds[1] = _decode_entropy_block(reader, cbdc, cbac, preds[1])
+            cb[k] = zz[0]
+            zz, preds[2] = _decode_entropy_block(reader, crdc, crac, preds[2])
+            cr[k] = zz[0]
+        return y, cb, cr

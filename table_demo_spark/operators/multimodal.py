@@ -822,6 +822,118 @@ def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
     )
 
 
+JPEG_PC_W, JPEG_PC_H = 64, 32  # color: MCU grid 2x4 = 8 MCUs
+_JPEG_PC_Y_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 16
+_JPEG_PC_C_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 64
+JPEG_PC_RESTART = 3  # 8 MCUs -> 3 intervals, the last ragged (2 MCUs)
+_JPEG_PC_MCUS = (JPEG_PC_W // 16) * (JPEG_PC_H // 16)
+
+
+def color_jpeg_restart_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, n_mcus, header, seg): one row per restart
+    interval of a per-document COLOR (4:2:0) JFIF payload (Y/Cb/Cr
+    planes from md5 streams '#cy'/'#ccb'/'#ccr', 64x32, DRI=3 so the
+    last interval is ragged). Same shape as the greyscale m18
+    builder: encode + pure-byte-scan split in ONE Arrow stage; every
+    output row is independently decodable (tables travel in
+    ``header``, all three DC predictors reset at each marker)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        encode_jpeg_color,
+        split_jpeg_restarts,
+    )
+
+    ch, cw = JPEG_PC_H // 2, JPEG_PC_W // 2
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def plane(doc_id, blocks, salt, h, w):
+            return np.frombuffer(
+                _md5_stream(str(doc_id), blocks, salt), dtype=np.uint8
+            ).reshape(h, w)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = encode_jpeg_color(
+                    plane(doc_id, _JPEG_PC_Y_BLOCKS, "#cy", JPEG_PC_H, JPEG_PC_W),
+                    plane(doc_id, _JPEG_PC_C_BLOCKS, "#ccb", ch, cw),
+                    plane(doc_id, _JPEG_PC_C_BLOCKS, "#ccr", ch, cw),
+                    restart_interval=JPEG_PC_RESTART,
+                )
+                header, segs = split_jpeg_restarts(payload)
+                for i, seg in enumerate(segs):
+                    n = min(
+                        JPEG_PC_RESTART, _JPEG_PC_MCUS - i * JPEG_PC_RESTART
+                    )
+                    rows.append((doc_id, i, n, header, seg))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seg_idx", "n_mcus", "header", "seg"]
+            )
+
+    return _spread_ids(docs).mapInPandas(build, schema=JPEG_SEGMENT_SCHEMA)
+
+
+JPEG_COLOR_PARALLEL_SCHEMA = (
+    "doc_id long, seg_idx long, n_mcus long, "
+    "y_dc_sum long, cb_dc_sum long, cr_dc_sum long, "
+    "y_checksum long, cb_checksum long, cr_checksum long"
+)
+
+
+def color_jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
+    """Entropy-decode every COLOR restart interval INDEPENDENTLY
+    (round-robin re-spread first — intervals of the same image on
+    different tasks) and emit per-interval per-component DC stats.
+    The order checksums pin the interleaved walk WITHIN each interval:
+    Y over the flattened 4-per-MCU sub-block order (sum((4k+sub+1) *
+    dc)), chroma over MCU scan order — an MCU border shifted by one,
+    a sub-block swap, or any predictor carried across a marker shifts
+    them."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import JpegColorSegmentDecoder
+    from table_demo_spark.sources.batch import fan_out
+
+    def seg_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders: dict[bytes, JpegColorSegmentDecoder] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, seg_idx, n_mcus, header, seg in zip(
+                pdf["doc_id"], pdf["seg_idx"], pdf["n_mcus"],
+                pdf["header"], pdf["seg"],
+            ):
+                hdr = bytes(header)
+                dec = decoders.get(hdr)
+                if dec is None:
+                    dec = decoders[hdr] = JpegColorSegmentDecoder(hdr)
+                y, cb, cr = dec.dc(bytes(seg), int(n_mcus))
+                yf = y.reshape(-1).astype(np.int64)
+                cb = cb.astype(np.int64)
+                cr = cr.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id, seg_idx, int(n_mcus),
+                        int(yf.sum()), int(cb.sum()), int(cr.sum()),
+                        int((yf * (np.arange(yf.size) + 1)).sum()),
+                        int((cb * (np.arange(cb.size) + 1)).sum()),
+                        int((cr * (np.arange(cr.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "seg_idx", "n_mcus",
+                    "y_dc_sum", "cb_dc_sum", "cr_dc_sum",
+                    "y_checksum", "cb_checksum", "cr_checksum",
+                ],
+            )
+
+    return fan_out(segments).mapInPandas(
+        seg_decode, schema=JPEG_COLOR_PARALLEL_SCHEMA
+    )
+
+
 DECODED_LUMA_SCHEMA = (
     "doc_id long, width long, height long, mean_luma_milli long, "
     "luma_bucket long"

@@ -5527,6 +5527,112 @@ FROM agg_y JOIN agg_cb USING (doc_id) JOIN agg_cr USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# M20 — restart-marker-parallel COLOR JPEG decode: m18's intra-file
+# parallelism for the dominant real-world format (m19's 4:2:0 layout).
+# The scan of each per-doc color payload (64x32, 8 MCUs, DRI=3) is
+# split at byte-aligned RSTn boundaries by the same pure byte scan —
+# stuffing makes the split component-agnostic — and each interval is
+# decoded INDEPENDENTLY (all three DC predictors start at 0). At crawl
+# scale this is a 100-megapixel photo decoding as hundreds of parallel
+# tasks. The oracle restates m19's per-component integer DC arithmetic
+# with interval assignment and INTRA-interval interleaved order
+# (Y sub-block index 4k+sub, chroma MCU index k) — a split off by one
+# MCU, a sub-block swap, or a predictor crossing a marker shifts the
+# checksums. Shape: fan_out -> encode+split mapInPandas -> segment
+# re-spread -> decode mapInPandas — no join, no driver state.
+# ---------------------------------------------------------------------------
+
+
+def m20_color_jpeg_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.color_jpeg_parallel_dc_stats(
+        multimodal.color_jpeg_restart_segments(docs)
+    )
+
+
+def _m20_oracle() -> str:
+    w, h = multimodal.JPEG_PC_W, multimodal.JPEG_PC_H
+    yb, cbl = multimodal._JPEG_PC_Y_BLOCKS, multimodal._JPEG_PC_C_BLOCKS
+    dri = multimodal.JPEG_PC_RESTART
+    n_mcux = w // 16
+    cw = w // 2
+
+    def luma() -> str:
+        return f"""yb AS (
+  SELECT doc_id, i, md5(CAST(doc_id AS VARCHAR) || '#cy' || i) AS hx
+  FROM documents, (SELECT unnest(range(0, {yb})) AS i)
+),
+ybytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(hx, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM yb, (SELECT unnest(range(0, 16)) AS j)
+),
+ysum AS (
+  SELECT doc_id, (o // {w}) // 8 AS by, (o % {w}) // 8 AS bx,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM ybytes GROUP BY 1, 2, 3
+),
+yq AS (
+  SELECT doc_id,
+         (by // 2) * {n_mcux} + (bx // 2) AS m,
+         2 * (by % 2) + (bx % 2) AS sub,
+         CASE WHEN s >= 8192
+              THEN (2 * (s - 8192) + 128) // 256
+              ELSE -((2 * (8192 - s) + 128) // 256) END AS dc
+  FROM ysum
+),
+yseg AS (
+  SELECT doc_id, m // {dri} AS seg_idx,
+         CAST(sum(dc) AS BIGINT) AS y_dc_sum,
+         CAST(sum((4 * (m % {dri}) + sub + 1) * dc) AS BIGINT)
+           AS y_checksum
+  FROM yq GROUP BY 1, 2
+)"""
+
+    def chroma(tag: str, salt: str) -> str:
+        return f"""{tag}b AS (
+  SELECT doc_id, i, md5(CAST(doc_id AS VARCHAR) || '{salt}' || i) AS hx
+  FROM documents, (SELECT unnest(range(0, {cbl})) AS i)
+),
+{tag}bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(hx, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM {tag}b, (SELECT unnest(range(0, 16)) AS j)
+),
+{tag}sum AS (
+  SELECT doc_id,
+         ((o // {cw}) // 8) * {n_mcux} + ((o % {cw}) // 8) AS m,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM {tag}bytes GROUP BY 1, 2
+),
+{tag}seg AS (
+  SELECT doc_id, m // {dri} AS seg_idx,
+         CAST(count(*) AS BIGINT) AS n_mcus_{tag},
+         CAST(sum(dc) AS BIGINT) AS {tag}_dc_sum,
+         CAST(sum(((m % {dri}) + 1) * dc) AS BIGINT) AS {tag}_checksum
+  FROM (
+    SELECT doc_id, m,
+           CASE WHEN s >= 8192
+                THEN (2 * (s - 8192) + 136) // 272
+                ELSE -((2 * (8192 - s) + 136) // 272) END AS dc
+    FROM {tag}sum
+  ) GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH {luma()},
+{chroma("cb", "#ccb")},
+{chroma("cr", "#ccr")}
+SELECT doc_id,
+       CAST(seg_idx AS BIGINT) AS seg_idx,
+       n_mcus_cb AS n_mcus, y_dc_sum, cb_dc_sum, cr_dc_sum,
+       y_checksum, cb_checksum, cr_checksum
+FROM yseg JOIN cbseg USING (doc_id, seg_idx)
+          JOIN crseg USING (doc_id, seg_idx)
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5615,4 +5721,5 @@ QUERIES: list[Query] = [
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
+    Query("llm_m20_color_jpeg_parallel", m20_color_jpeg_parallel, _m20_oracle()),
 ]

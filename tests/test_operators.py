@@ -1566,3 +1566,55 @@ def test_color_jpeg_decoder_interop_with_imageio(spark):
     diff = np.abs(ref.astype(int) - rgb.astype(int))
     assert diff.mean() < 1.0, diff.mean()
     assert np.percentile(diff, 99) <= 3, np.percentile(diff, 99)
+
+
+def test_color_jpeg_segment_decoder_matches_whole_image():
+    """Every restart interval of a color scan must decode
+    independently (all three predictors reset) to exactly the DC
+    values the whole-image decoder produces — in MCU scan order with
+    the 4-per-MCU Y sub-block raster order — including the ragged
+    last interval, and the generalized byte-scan split must still
+    validate greyscale scans."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        JpegColorSegmentDecoder,
+        decode_jpeg_dc_color,
+        decode_jpeg_segment_dc,
+        encode_jpeg,
+        encode_jpeg_color,
+        split_jpeg_restarts,
+    )
+
+    rng = np.random.default_rng(20)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    data = encode_jpeg_color(y, cb, cr, restart_interval=3)
+    header, segs = split_jpeg_restarts(data)
+    assert len(segs) == 3  # 8 MCUs at DRI=3: 3 + 3 + ragged 2
+
+    ydc, cbdc, crdc = decode_jpeg_dc_color(data)
+    dec = JpegColorSegmentDecoder(header)
+    got_y, got_cb, got_cr = [], [], []
+    for si, seg in enumerate(segs):
+        n = min(3, 8 - si * 3)
+        ys, cbs, crs = dec.dc(seg, n)
+        got_y.append(ys)
+        got_cb.append(cbs)
+        got_cr.append(crs)
+    got_y = np.concatenate(got_y)
+    got_cb = np.concatenate(got_cb)
+    got_cr = np.concatenate(got_cr)
+    for m in range(8):
+        my, mx = divmod(m, 4)
+        for s in range(4):
+            r, c = divmod(s, 2)
+            assert got_y[m, s] == ydc[2 * my + r, 2 * mx + c]
+        assert got_cb[m] == cbdc[my, mx]
+        assert got_cr[m] == crdc[my, mx]
+
+    g = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    h2, s2 = split_jpeg_restarts(encode_jpeg(g, restart_interval=7))
+    assert len(s2) == -(-(40 // 8) * (64 // 8) // 7)
+    assert decode_jpeg_segment_dc(h2, s2[0], 7).shape == (7,)

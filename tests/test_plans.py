@@ -100,6 +100,7 @@ _PYTHON_ALLOWED = {
     "llm_m18_jpeg_restart_parallel",  # MapInPandas (per-interval JPEG decode)
     "llm_t30_bpe_local_train",  # MapInPandas (whole merge loop in ONE task over the bounded sample)
     "llm_m19_color_jpeg_dc",  # MapInPandas (real 4:2:0 color JPEG entropy decode)
+    "llm_m20_color_jpeg_parallel",  # MapInPandas (per-interval color JPEG decode)
 }
 
 
@@ -865,3 +866,21 @@ def test_kmeans_centroids_swap_into_partitioned_store_routing(spark, tmp_path):
     plan = formatted_plan(pruned)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "centroid_id" in pf[0] and "IN" in pf[0].upper(), plan
+
+
+def test_color_restart_parallel_decode_respreads_segments(spark):
+    """m20 must keep m18's intra-object-parallel shape on the color
+    path: two Arrow stages (encode+split, per-interval decode)
+    separated by a round-robin Exchange that spreads intervals of the
+    SAME image across tasks — and no join anywhere (the per-segment
+    stats ARE the output; assignment/order proofs live in the
+    checksums, not a shuffle)."""
+    import re
+
+    plan = formatted_plan(
+        _query("llm_m20_color_jpeg_parallel")(spark, SF_SMOKE)
+    )
+    assert "Join" not in plan, plan
+    n_map = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE))
+    assert n_map == 2, plan
+    assert "RoundRobinPartitioning" in plan, plan
