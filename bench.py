@@ -187,6 +187,7 @@ HEADLINE = [
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",
+    "llm_m21_flac_pcm",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

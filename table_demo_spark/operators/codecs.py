@@ -1603,3 +1603,429 @@ class JpegColorSegmentDecoder:
             zz, preds[2] = _decode_entropy_block(reader, crdc, crac, preds[2])
             cr[k] = zz[0]
         return y, cb, cr
+
+
+# -- FLAC (fixed-predictor subset, mono 16-bit) ------------------------------
+#
+# A real lossless audio codec from the public FLAC format spec
+# (xiph.org/flac/format.html): fLaC magic + STREAMINFO metadata block,
+# then self-synchronizing frames — 14-bit sync code, coded frame
+# number, CRC-8-protected header, one mono subframe per frame
+# (CONSTANT / VERBATIM / FIXED order 0-4), rice-coded residuals
+# (unary quotient + k-bit remainder over the zigzag mapping), and a
+# CRC-16 over the whole frame. Everything is integer and bit-exact —
+# FLAC is lossless — so decode(encode(pcm)) == pcm EXACTLY and the
+# decoded samples are oracle-statable. LPC subframes (order 32
+# linear predictors) are the documented negative space: fixed
+# predictors are the spec's own fast path and cover the compression
+# machinery (prediction, rice, framing, both CRCs) end to end.
+
+FLAC_MAGIC = b"fLaC"
+
+# 4-bit sample-rate codes from the frame-header table (subset).
+_FLAC_RATES = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+_FLAC_RATES_INV = {v: k for k, v in _FLAC_RATES.items()}
+
+# Fixed-predictor residual: res = x convolved with these (order -> taps).
+_FLAC_FIXED = {
+    0: [1],
+    1: [1, -1],
+    2: [1, -2, 1],
+    3: [1, -3, 3, -1],
+    4: [1, -4, 6, -4, 1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    """MSB-first bit packer (no byte stuffing — FLAC doesn't stuff)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte_i, bit_i = divmod(self.bitpos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
+            self.bitpos += 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code (corrupt FLAC)")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = -(-self.bitpos // 8) * 8
+
+    def bytepos(self) -> int:
+        assert self.bitpos % 8 == 0
+        return self.bitpos // 8
+
+
+def _flac_coded_number(n: int) -> bytes:
+    """Frame-number coding (the UTF-8-style variable-length integer
+    from the frame-header spec)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits_left = n.bit_length()
+    nbytes = 2
+    while bits_left > 6 - nbytes + 5 * (nbytes - 1) + 1:
+        # capacity of an nbytes sequence: (7 - nbytes) + 6*(nbytes-1)
+        if (7 - nbytes) + 6 * (nbytes - 1) >= bits_left:
+            break
+        nbytes += 1
+        if nbytes > 7:
+            raise ValueError("frame number too large")
+    while (7 - nbytes) + 6 * (nbytes - 1) < bits_left:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | ((n >> shift) & ((1 << (7 - nbytes)) - 1)))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _flac_read_coded_number(reader: _BitReader) -> int:
+    first = reader.bits(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("invalid FLAC coded number")
+    n = first & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        byte = reader.bits(8)
+        if byte & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded-number continuation")
+        n = (n << 6) | (byte & 0x3F)
+    return n
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    blocksize: int = 1024,
+) -> bytes:
+    """1-D int16 mono samples -> FLAC bytes (fixed-predictor subset).
+
+    Per block, the encoder picks the fixed predictor order (0-4)
+    minimizing the residual magnitude sum — the spec's own fast
+    estimation — then rice-codes the residuals in one partition with
+    k chosen from the mean magnitude. A constant block becomes a
+    CONSTANT subframe. Lossless by construction: decode_flac returns
+    the exact samples."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError(
+            f"expected 1-D int16, got {samples.shape} {samples.dtype}"
+        )
+    if sample_rate not in _FLAC_RATES:
+        raise ValueError(f"unsupported sample rate {sample_rate}")
+    if not 16 <= blocksize <= 65535:
+        raise ValueError(f"bad blocksize {blocksize}")
+    n = samples.size
+    out = bytearray()
+    out += FLAC_MAGIC
+    # STREAMINFO, last-metadata flag set
+    info = bytearray()
+    info += struct.pack(">HH", blocksize, blocksize)
+    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    # sample_rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += bytes(16)  # raw-PCM MD5 unknown
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    x = samples.astype(np.int64)
+    for f, start in enumerate(range(0, n, blocksize)):
+        blk = x[start : start + blocksize]
+        bs = blk.size
+        hdr = _BitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed-blocksize stream
+        hdr.put(0b0111, 4)  # blocksize: 16-bit at end of header
+        hdr.put(_FLAC_RATES[sample_rate], 4)
+        hdr.put(0b0000, 4)  # mono
+        hdr.put(0b100, 3)  # 16 bps
+        hdr.put(0, 1)  # reserved
+        hdr.align()
+        header = hdr.bytes() + _flac_coded_number(f) + struct.pack(">H", bs - 1)
+        header += bytes([_crc8(header)])
+
+        body = _BitWriter()
+        if np.all(blk == blk[0]):
+            body.put(0, 1)
+            body.put(0b000000, 6)  # CONSTANT
+            body.put(0, 1)
+            body.put(int(blk[0]) & 0xFFFF, 16)
+        else:
+            best_o, best_res, best_cost = 0, blk, None
+            for o, taps in _FLAC_FIXED.items():
+                if bs <= o:
+                    continue
+                res = np.convolve(blk, taps)[o : bs] if o else blk
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_o, best_res, best_cost = o, res, cost
+            o, res = best_o, best_res.astype(np.int64)
+            body.put(0, 1)
+            body.put(8 + o, 6)  # FIXED order o
+            body.put(0, 1)  # no wasted bits
+            for w in blk[:o]:
+                body.put(int(w) & 0xFFFF, 16)
+            u = (res << 1) ^ (res >> 63)  # zigzag
+            mean = int(u.mean()) if u.size else 0
+            k = min(14, max(0, int(mean).bit_length() - 1))
+            body.put(0b00, 2)  # rice, 4-bit params
+            body.put(0, 4)  # partition order 0
+            body.put(k, 4)
+            for uv in u:
+                body.unary(int(uv) >> k)
+                if k:
+                    body.put(int(uv) & ((1 << k) - 1), k)
+        body.align()
+        frame = header + body.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """FLAC bytes -> (sample_rate, 1-D int16 samples). Verifies the
+    sync code, header CRC-8, and frame CRC-16 of every frame; supports
+    the encoder's subset (mono 16-bit, CONSTANT/VERBATIM/FIXED
+    subframes, rice partition order >= 0) plus multi-partition rice
+    residuals from standards encoders."""
+    if not data.startswith(FLAC_MAGIC):
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sample_rate = None
+    total = None
+    # metadata blocks
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            packed = int.from_bytes(body[10:18], "big")
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if channels != 1 or bps != 16:
+                raise ValueError(
+                    f"only mono 16-bit supported ({channels} ch, {bps} bps)"
+                )
+        pos += 4 + blen
+        if last:
+            break
+    if sample_rate is None:
+        raise ValueError("missing STREAMINFO")
+    out: list[np.ndarray] = []
+    got = 0
+    while pos < len(data) and (total == 0 or got < total):
+        reader = _BitReader(data, pos)
+        if reader.bits(14) != 0b11111111111110:
+            raise ValueError(f"bad FLAC sync at byte {pos}")
+        reader.bits(1)
+        reader.bits(1)
+        bs_code = reader.bits(4)
+        sr_code = reader.bits(4)
+        chan = reader.bits(4)
+        ss_code = reader.bits(3)
+        reader.bits(1)
+        if chan != 0:
+            raise ValueError("only mono frames supported")
+        if ss_code != 0b100:
+            raise ValueError("only 16-bit frames supported")
+        _flac_read_coded_number(reader)
+        if bs_code == 0b0110:
+            bs = reader.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = reader.bits(16) + 1
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"bad blocksize code {bs_code}")
+        if sr_code in _FLAC_RATES_INV:
+            pass  # table rate; STREAMINFO stays authoritative
+        elif sr_code == 0b1100:
+            reader.bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            reader.bits(16)
+        elif sr_code != 0b0000:
+            raise ValueError(f"bad sample-rate code {sr_code}")
+        hdr_crc = reader.bits(8)
+        hdr_end = reader.bytepos() if reader.bitpos % 8 == 0 else None
+        if hdr_end is None:
+            raise ValueError("misaligned FLAC header")
+        if _crc8(data[pos : hdr_end - 1]) != hdr_crc:
+            raise ValueError("FLAC header CRC-8 mismatch")
+        # subframe
+        if reader.bits(1) != 0:
+            raise ValueError("bad subframe padding bit")
+        stype = reader.bits(6)
+        wasted = 0
+        if reader.bits(1):
+            wasted = 1 + reader.unary()
+        eff = 16 - wasted
+        if stype == 0:  # CONSTANT
+            v = reader.bits(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            blk = np.full(bs, v << wasted, dtype=np.int64)
+        elif stype == 1:  # VERBATIM
+            vals = np.empty(bs, dtype=np.int64)
+            for i in range(bs):
+                v = reader.bits(eff)
+                if v >= 1 << (eff - 1):
+                    v -= 1 << eff
+                vals[i] = v
+            blk = vals << wasted
+        elif 8 <= stype <= 12:  # FIXED order o
+            o = stype - 8
+            warm = np.empty(o, dtype=np.int64)
+            for i in range(o):
+                v = reader.bits(eff)
+                if v >= 1 << (eff - 1):
+                    v -= 1 << eff
+                warm[i] = v
+            method = reader.bits(2)
+            if method not in (0, 1):
+                raise ValueError("reserved residual coding method")
+            pbits = 4 if method == 0 else 5
+            porder = reader.bits(4)
+            nparts = 1 << porder
+            res = np.empty(bs - o, dtype=np.int64)
+            ri = 0
+            for p in range(nparts):
+                cnt = (bs >> porder) - (o if p == 0 else 0)
+                k = reader.bits(pbits)
+                if k == (1 << pbits) - 1:  # escape: raw n-bit residuals
+                    nb = reader.bits(5)
+                    for _ in range(cnt):
+                        v = reader.bits(nb) if nb else 0
+                        if nb and v >= 1 << (nb - 1):
+                            v -= 1 << nb
+                        res[ri] = v
+                        ri += 1
+                else:
+                    for _ in range(cnt):
+                        u = (reader.unary() << k) | (
+                            reader.bits(k) if k else 0
+                        )
+                        res[ri] = (u >> 1) ^ -(u & 1)  # un-zigzag
+                        ri += 1
+            blk = np.empty(bs, dtype=np.int64)
+            blk[:o] = warm
+            for i in range(o, bs):
+                if o == 0:
+                    pred = 0
+                elif o == 1:
+                    pred = blk[i - 1]
+                elif o == 2:
+                    pred = 2 * blk[i - 1] - blk[i - 2]
+                elif o == 3:
+                    pred = 3 * blk[i - 1] - 3 * blk[i - 2] + blk[i - 3]
+                else:
+                    pred = (
+                        4 * blk[i - 1] - 6 * blk[i - 2]
+                        + 4 * blk[i - 3] - blk[i - 4]
+                    )
+                blk[i] = res[i - o] + pred
+            blk <<= wasted
+        else:
+            raise ValueError(f"unsupported subframe type {stype} (LPC?)")
+        reader.align()
+        end = reader.bytepos()
+        if end + 2 > len(data):
+            raise ValueError("truncated FLAC frame")
+        crc = struct.unpack(">H", data[end : end + 2])[0]
+        if _crc16(data[pos:end]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        out.append(blk)
+        got += bs
+        pos = end + 2
+    pcm = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    if total and pcm.size != total:
+        raise ValueError(f"decoded {pcm.size} samples, STREAMINFO says {total}")
+    if pcm.size and (pcm.max() > 32767 or pcm.min() < -32768):
+        raise ValueError("decoded samples out of int16 range (corrupt FLAC)")
+    return int(sample_rate), pcm.astype(np.int16)

@@ -822,6 +822,89 @@ def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
     )
 
 
+_FLAC_BLOCKS = 256  # 4096 md5 bytes = 2048 int16 samples
+FLAC_SAMPLES = _FLAC_BLOCKS * 8
+FLAC_BLOCKSIZE = 512  # 4 frames per payload
+FLAC_RATE = 16_000
+
+
+def with_flac_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real FLAC file per document — int16
+    samples from the doc's md5 stream (salt '#flc'), compressed
+    through codecs.encode_flac (fixed-predictor selection, rice-coded
+    residuals, CRC-8 headers, CRC-16 frames; blocksize 512 so every
+    payload spans multiple frames and the inter-frame sync/CRC path
+    is always exercised)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_flac
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_flac(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _FLAC_BLOCKS, "#flc"),
+                        dtype="<i2",
+                    ).astype(np.int16),
+                    FLAC_RATE,
+                    blocksize=FLAC_BLOCKSIZE,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+FLAC_PCM_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, "
+    "pcm_sum long, pcm_abs_sum long, pcm_checksum long"
+)
+
+
+def flac_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each FLAC payload back to PCM (sync + CRC-8 + CRC-16
+    verified per frame, fixed-predictor reconstruction, rice decode)
+    and aggregate the samples per document. FLAC is lossless, so the
+    oracle states the stats ANALYTICALLY from the md5 stream — any
+    bit lost anywhere in the compression pipeline breaks the value
+    hash; ``pcm_checksum = sum((i+1) * s_i)`` pins sample ORDER across
+    frame boundaries (a frame decoded out of order or a warmup sample
+    miscounted shifts it)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_flac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm = decode_flac(bytes(payload))
+                v = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        v.size,
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int((v * (np.arange(v.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "pcm_sum", "pcm_abs_sum", "pcm_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=FLAC_PCM_SCHEMA)
+
+
 JPEG_PC_W, JPEG_PC_H = 64, 32  # color: MCU grid 2x4 = 8 MCUs
 _JPEG_PC_Y_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 16
 _JPEG_PC_C_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 64

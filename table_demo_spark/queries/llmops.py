@@ -5633,6 +5633,60 @@ FROM yseg JOIN cbseg USING (doc_id, seg_idx)
 """
 
 
+# ---------------------------------------------------------------------------
+# M21 — REAL lossless compressed audio: FLAC (fixed-predictor subset,
+# public xiph.org format spec). The payload is a genuine multi-frame
+# FLAC file — fixed-predictor selection (orders 0-4), rice-coded
+# zigzag residuals, CRC-8-protected frame headers, CRC-16 frames —
+# and the query decodes it back to PCM. FLAC is LOSSLESS and pure
+# integer end to end, so the oracle states the decoded samples
+# ANALYTICALLY from the md5 stream (the m13 WAV trick, but through a
+# real compression pipeline): any bit mangled by prediction, rice
+# coding, framing, or either CRC breaks the value hash, and the
+# order-pinning checksum catches frames decoded out of order. LPC
+# subframes are the documented negative space (codecs.py). Shape:
+# two chained mapInPandas stages after fan_out, no joins — the same
+# embarrassingly-parallel profile as the image codecs.
+# ---------------------------------------------------------------------------
+
+
+def m21_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.flac_pcm_stats(multimodal.with_flac_payload(docs))
+
+
+def _m21_oracle() -> str:
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#flc' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._FLAC_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+)
+SELECT doc_id,
+       CAST({multimodal.FLAC_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS pcm_sum,
+       CAST(sum(abs(v)) AS BIGINT) AS pcm_abs_sum,
+       CAST(sum((s + 1) * v) AS BIGINT) AS pcm_checksum
+FROM sv GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5722,4 +5776,5 @@ QUERIES: list[Query] = [
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
     Query("llm_m20_color_jpeg_parallel", m20_color_jpeg_parallel, _m20_oracle()),
+    Query("llm_m21_flac_pcm", m21_flac_pcm, _m21_oracle()),
 ]

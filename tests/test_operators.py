@@ -1618,3 +1618,73 @@ def test_color_jpeg_segment_decoder_matches_whole_image():
     h2, s2 = split_jpeg_restarts(encode_jpeg(g, restart_interval=7))
     assert len(s2) == -(-(40 // 8) * (64 // 8) // 7)
     assert decode_jpeg_segment_dc(h2, s2[0], 7).shape == (7,)
+
+
+def test_flac_codec_lossless_crc_and_golden_header():
+    """FLAC (fixed-predictor subset) against its anchors: (1) LOSSLESS
+    roundtrip on every signal shape — white noise (verbatim-ish k),
+    ramps and sines (fixed predictors bite), constants (CONSTANT
+    subframe), ragged final block; (2) CRC-8/CRC-16 verification —
+    a single flipped bit anywhere in a frame must raise, never return
+    wrong samples; (3) golden header bytes — magic, STREAMINFO layout,
+    and the first frame's sync/header fields are pinned against
+    hand-assembled values from the public spec."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _crc8,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(21)
+    shapes = {
+        "noise": rng.integers(-32768, 32768, 5000).astype(np.int16),
+        "ramp": (np.arange(4000) * 3 % 9000 - 4500).astype(np.int16),
+        "sine": (10000 * np.sin(np.arange(6000) / 30)).astype(np.int16),
+        "const": np.full(3000, -12345, np.int16),
+        "ragged": rng.integers(-100, 100, 1024 + 7).astype(np.int16),
+        "extremes": np.array([-32768, 32767] * 50, np.int16),
+    }
+    for name, s in shapes.items():
+        data = encode_flac(s)
+        rate, out = decode_flac(data)
+        assert rate == 16_000 and np.array_equal(out, s), name
+    # smooth signals actually compress (the codec is not a wrapper)
+    assert len(encode_flac(shapes["sine"])) < 0.3 * 2 * shapes["sine"].size
+
+    # golden header: magic + STREAMINFO packing + first frame header
+    s = np.arange(100, dtype=np.int16)
+    data = encode_flac(s, blocksize=64)
+    assert data[:4] == b"fLaC"
+    assert data[4] == 0x80 and data[5:8] == b"\x00\x00\x22"  # last, len 34
+    assert data[8:10] == b"\x00\x40" and data[10:12] == b"\x00\x40"
+    packed = int.from_bytes(data[18:26], "big")
+    assert packed >> 44 == 16_000  # sample rate
+    assert ((packed >> 41) & 7) + 1 == 1  # mono
+    assert ((packed >> 36) & 0x1F) + 1 == 16  # bps
+    assert packed & ((1 << 36) - 1) == 100  # total samples
+    frame = data[4 + 4 + 34 :]
+    # sync (14 bits) + reserved + fixed-blocksize: 0xFF 0xF8
+    assert frame[0] == 0xFF and frame[1] == 0xF8
+    # blocksize code 0b0111, rate code 0b0101 (16 kHz)
+    assert frame[2] == 0x75
+    # mono 0b0000 + bps 0b100 + reserved 0
+    assert frame[3] == 0x08
+    assert frame[4] == 0x00  # frame number 0
+    assert frame[5:7] == b"\x00\x3f"  # blocksize-1 = 63
+    assert frame[7] == _crc8(frame[:7])  # header CRC
+
+    # corruption anywhere in entropy data raises (CRC-16)
+    noisy = bytearray(encode_flac(shapes["noise"]))
+    for at in (60, len(noisy) // 2, len(noisy) - 10):
+        bad = bytearray(noisy)
+        bad[at] ^= 0x10
+        with _pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+    # truncation raises, never IndexError
+    good = encode_flac(shapes["ramp"])
+    for cut in (3, 20, 50, len(good) // 2):
+        with _pytest.raises(ValueError):
+            decode_flac(good[:cut])
