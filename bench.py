@@ -188,6 +188,7 @@ HEADLINE = [
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",
     "llm_m21_flac_pcm",
+    "an_a64_label_propagation",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

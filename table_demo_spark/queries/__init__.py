@@ -86,7 +86,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q20_semi_join",
     "stream_q21_dead_letter",
     "llm_d6_neardup_lsh_gemm",
-    "llm_s4_quantize_int8",
     "llm_p2_stratified_sample",
     # r6 new work: single-action and merge-batched BPE training,
     # trained-centroid IVF routing, 4:2:0 color JPEG decode
@@ -97,6 +96,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",
     "llm_m21_flac_pcm",
+    "an_a64_label_propagation",
 )
 
 

@@ -3331,6 +3331,118 @@ FROM ranked WHERE rnk <= {A63_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# A64 — label-propagation COMMUNITY detection over the co-purchase
+# graph (synchronous LPA, the classic near-linear community algorithm
+# — Raghavan et al. 2007). Distinct from the min-label propagation the
+# dedup operator uses for connected components: each round every node
+# adopts the MODE of its neighbors' labels (tie -> smallest label), so
+# dense cliques converge to one label while bridges don't bleed
+# communities together the way min-label does. Determinism: synchronous
+# rounds, fixed iteration count, total tie order — the oracle unrolls
+# the identical rounds. Scale shape: per round ONE equi-join
+# (bidirected edges x labels, both hash-partitioned on node) + ONE
+# (node, label) count agg + ONE min_by top-1 agg — all with map-side
+# partials, no windows, so no per-node neighbor list ever materializes
+# in one task; rounds unroll lazily like pagerank (a41), whose
+# measured persist-is-slower result applies unchanged at 3 rounds.
+# ---------------------------------------------------------------------------
+
+_A64_ITERS = 3
+
+
+def _a64_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _A44_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def a64_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _a64_edges(spark, sf_dir)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_A64_ITERS):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = cnt.groupBy("node").agg(
+            F.min_by(
+                F.col("label"),
+                F.struct((-F.col("c")).alias("nc"), F.col("label")),
+            ).alias("label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("label").cast("long").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), F.asc("community"))
+    )
+
+
+def _a64_oracle() -> str:
+    parts = [
+        f"""und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= {_A44_MIN_QTY}) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= {_A44_MIN_QTY}) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM edges
+)"""
+    ]
+    for r in range(1, _A64_ITERS + 1):
+        parts.append(f"""c{r} AS (
+  SELECT e.v AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{r - 1} l ON e.u = l.node
+  GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM c{r}
+  ) WHERE rk = 1
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM l{_A64_ITERS} GROUP BY label
+ORDER BY n_members DESC, community ASC
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3395,4 +3507,5 @@ QUERIES: list[Query] = [
     Query("an_a61_shortest_path", a61_shortest_path, A61_ORACLE),
     Query("an_a62_validity_audit", a62_validity_audit, A62_ORACLE),
     Query("an_a63_profile_knn", a63_profile_knn, _a63_oracle()),
+    Query("an_a64_label_propagation", a64_label_propagation, _a64_oracle()),
 ]

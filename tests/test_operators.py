@@ -1688,3 +1688,30 @@ def test_flac_codec_lossless_crc_and_golden_header():
     for cut in (3, 20, 50, len(good) // 2):
         with _pytest.raises(ValueError):
             decode_flac(good[:cut])
+
+
+def test_png_decoder_interop_with_imageio(spark):
+    """Real-format PNG interop: tests/fixtures/bgra.png is a
+    real-world RGBA PNG from Apache Spark's own mllib sample data
+    (data/mllib/images/origin/multi-channel/BGRA.png). PNG is
+    LOSSLESS, so our pure-numpy decoder must agree with Java ImageIO
+    (Spark's `image` data source) BIT-EXACTLY — a stronger anchor
+    than the JPEG interop's tolerance band."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_png
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "bgra.png")
+    with open(path, "rb") as fh:
+        rgba = decode_png(fh.read())
+    assert rgba.shape == (100, 100, 4)
+
+    row = spark.read.format("image").load(path).select("image.*").collect()[0]
+    assert (row.height, row.width, row.nChannels) == (100, 100, 4)
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, 4
+    )
+    # Spark's image source stores BGRA; ours is RGBA
+    assert np.array_equal(ref[:, :, [2, 1, 0, 3]], rgba)

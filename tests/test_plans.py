@@ -885,3 +885,15 @@ def test_color_restart_parallel_decode_respreads_segments(spark):
     n_map = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE))
     assert n_map == 2, plan
     assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_label_propagation_uses_minby_aggregates_not_windows(spark):
+    """a64's per-round mode-label pick must be a min_by aggregate with
+    map-side partials — a row_number window would funnel every node's
+    neighbor-label multiset through per-node window partitions; the
+    agg shape is what survives high-degree hub nodes at scale."""
+    plan = formatted_plan(
+        _query("an_a64_label_propagation")(spark, SF_SMOKE)
+    )
+    assert "partial_min_by" in plan, plan
+    assert "RunningWindowFunction" not in plan and "Window" not in plan, plan
