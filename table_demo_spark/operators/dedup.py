@@ -260,6 +260,25 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+# Geometric length-bucket boundaries with step ratio >= 1.25: two
+# lengths inside the 20% band (min >= 0.8*max <=> max <= 1.25*min)
+# always land in the SAME or ADJACENT buckets, so the band join
+# becomes an equi-join on (lang, bucket) with a one-bucket probe.
+def _jaccard_bucket_bounds() -> list[int]:
+    bounds = [1]
+    while bounds[-1] < 1 << 20:
+        bounds.append(max(bounds[-1] + 1, -(-bounds[-1] * 5 // 4)))
+    return bounds
+
+
+_JACCARD_BUCKET_BOUNDS = _jaccard_bucket_bounds()
+
+
+def _length_bucket(col: F.Column) -> F.Column:
+    bounds = F.array(*[F.lit(b) for b in _JACCARD_BUCKET_BOUNDS])
+    return F.size(F.filter(bounds, lambda b: b <= col))
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -269,37 +288,70 @@ def blocked_jaccard_pairs(
     """Exact n-gram Jaccard inside (lang, length-band) blocks.
 
     Blocking predicate uses integer math (5*|d| <= max) so the oracle
-    reproduces it exactly. Quadratic within blocks — the precision tool;
-    use minhash_lsh_pairs at scale.
-    """
+    reproduces it exactly. Quadratic within blocks — the precision
+    tool; use minhash_lsh_pairs at scale.
+
+    Execution shape (reworked in r6 after the bench blind-spot closure
+    caught the original at 186 s / sf0.1): the original joined on
+    ``lang`` ALONE — five distinct keys, so the whole 'en' block's
+    pairs sort-merged through ONE task with array_intersect evaluated
+    inside the join condition. Now the band rides the JOIN KEY: every
+    doc gets a geometric length bucket (ratio-1.25 integer ladder, so
+    banded pairs are at most one bucket apart), the right side probes
+    (bucket, bucket+1), and candidates carry only integers — the
+    shingle arrays attach by doc_id equi-join AFTER the band filter
+    has cut the pair set ~4x, and the intersection is computed ONCE
+    per surviving pair. Key cardinality is langs x occupied buckets
+    (parallel, AQE-splittable) instead of langs."""
     assert length_band_pct == 20, "integer blocking is specialized to 20%"
     sh = shingle_sets(docs, n)
-    meta = docs.select(F.col("doc_id"), "lang", "n_chars").join(sh, "doc_id")
-    a = meta.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
-        F.col("shingles").alias("sh_a"),
+    meta = docs.select(F.col("doc_id"), "lang", "n_chars").withColumn(
+        "bkt", _length_bucket(F.col("n_chars"))
     )
-    b = meta.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("shingles").alias("sh_b"),
+    left = meta.select(
+        F.col("doc_id").alias("doc_l"),
+        F.col("lang").alias("lang_l"),
+        F.col("n_chars").alias("nc_l"),
+        F.col("bkt").alias("bkt_l"),
+    )
+    right = meta.select(
+        F.col("doc_id").alias("doc_r"),
+        F.col("lang").alias("lang_r"),
+        F.col("n_chars").alias("nc_r"),
+        F.col("bkt").alias("bkt_r"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jkey"),
+    )
+    # Exactly-once pair matching: same-bucket pairs keep the doc order
+    # rule (each unordered pair appears in both role assignments);
+    # adjacent-bucket pairs match only with the higher bucket on the
+    # left, which is already unique.
+    cands = left.join(
+        right,
+        (F.col("lang_l") == F.col("lang_r"))
+        & (F.col("bkt_l") == F.col("jkey"))
+        & (
+            F.abs(F.col("nc_l") - F.col("nc_r")) * 5
+            <= F.greatest("nc_l", "nc_r")
+        )
+        & (
+            ((F.col("jkey") == F.col("bkt_r")) & (F.col("doc_l") < F.col("doc_r")))
+            | (F.col("jkey") == F.col("bkt_r") + 1)
+        ),
+    ).select(
+        F.least("doc_l", "doc_r").alias("doc_a"),
+        F.greatest("doc_l", "doc_r").alias("doc_b"),
+    )
+    paired = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.abs(F.col("nc_a") - F.col("nc_b")) * 5
-                <= F.greatest("nc_a", "nc_b")
-            ),
-        )
-        .select(
+        paired.select(
             "doc_a",
             "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
