@@ -189,6 +189,7 @@ HEADLINE = [
     "llm_m20_color_jpeg_parallel",
     "llm_m21_flac_pcm",
     "an_a64_label_propagation",
+    "llm_m22_progressive_jpeg_dc",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -964,8 +964,9 @@ class _JpegComp(NamedTuple):
 
 
 class _JpegHeaderMulti(NamedTuple):
-    """Multi-component marker-walk result (SOF0 baseline, 1 or 3
-    components)."""
+    """Multi-component marker-walk result (SOF0 baseline / SOF2
+    progressive, 1 or 3 components; for progressive streams the
+    fields describe the FIRST scan)."""
 
     quants: dict[int, np.ndarray]  # tq -> (8, 8) natural order
     dc_tables: dict[int, dict[tuple[int, int], int]]  # th -> decode map
@@ -976,6 +977,9 @@ class _JpegHeaderMulti(NamedTuple):
     w: int
     restart_interval: int
     sos_pos: int
+    progressive: bool = False
+    scan_comps: tuple[int, ...] = ()  # first scan's comp ids, order
+    scan_spec: tuple[int, int, int, int] = (0, 63, 0, 0)  # Ss,Se,Ah,Al
 
 
 def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
@@ -995,6 +999,9 @@ def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
     sos_tables: dict[int, tuple[int, int]] = {}
     h = w = None
     restart_interval = 0
+    progressive = False
+    scan_comps: tuple[int, ...] = ()
+    scan_spec = (0, 63, 0, 0)
     while True:
         if pos + 4 > len(data):
             raise ValueError("truncated JPEG: no SOS marker")
@@ -1019,11 +1026,12 @@ def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
                 nat[_JPEG_ZIGZAG] = zz
                 quants[tq] = nat.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit 1- or 3-component baseline supported "
+                    f"only 8-bit 1- or 3-component supported "
                     f"(precision={precision}, components={ncomp})"
                 )
             comps = [
@@ -1035,8 +1043,10 @@ def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
                 )
                 for i in range(ncomp)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) / progressive (SOF2) supported"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(body):
@@ -1060,15 +1070,20 @@ def _jpeg_parse_headers_multi(data: bytes) -> _JpegHeaderMulti:
             for i in range(ns):
                 cid = body[1 + 2 * i]
                 sos_tables[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+            scan_comps = tuple(body[1 + 2 * i] for i in range(ns))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            scan_spec = (ss, se, ahal >> 4, ahal & 0x0F)
             pos += 2 + seglen
             break
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if not quants or not dc_tables or not ac_tables or h is None or not comps:
-        raise ValueError("missing DQT/DHT/SOF0 before SOS")
+    if not quants or not dc_tables or h is None or not comps:
+        raise ValueError("missing DQT/DHT/SOF before SOS")
+    if not ac_tables and not (progressive and scan_spec[1] == 0):
+        raise ValueError("missing AC Huffman tables")
     return _JpegHeaderMulti(
         quants, dc_tables, ac_tables, comps, sos_tables, h, w,
-        restart_interval, pos,
+        restart_interval, pos, progressive, scan_comps, scan_spec,
     )
 
 
@@ -1076,6 +1091,11 @@ def _jpeg_parse_headers(data: bytes) -> _JpegHeader:
     """Single-component adapter over :func:`_jpeg_parse_headers_multi`
     — the greyscale decode / restart-split paths' unchanged view."""
     hdr = _jpeg_parse_headers_multi(data)
+    if hdr.progressive:
+        raise ValueError(
+            "progressive stream on the baseline path — use"
+            " decode_jpeg_progressive_dc"
+        )
     if len(hdr.comps) != 1:
         raise ValueError(
             f"single-component path on a {len(hdr.comps)}-component JPEG"
@@ -1348,6 +1368,11 @@ def _decode_jpeg_coefficients_color(
     Interleaved MCU order (T.81 A.2.3) with per-component DC
     predictors; restart markers reset all three."""
     hdr = _jpeg_parse_headers_multi(data)
+    if hdr.progressive:
+        raise ValueError(
+            "progressive stream on the baseline color path — use"
+            " decode_jpeg_progressive_dc"
+        )
     if len(hdr.comps) != 3:
         raise ValueError("decode_jpeg_color needs a 3-component JPEG")
     samps = [(c.hsamp, c.vsamp) for c in hdr.comps]
@@ -1603,6 +1628,161 @@ class JpegColorSegmentDecoder:
             zz, preds[2] = _decode_entropy_block(reader, crdc, crac, preds[2])
             cr[k] = zz[0]
         return y, cb, cr
+
+
+# -- Progressive JPEG (SOF2): DC-scan decode --------------------------------
+#
+# Most large web JPEGs are progressive: the image arrives as a
+# sequence of scans — a DC scan first (optionally with the low Al
+# bits deferred), then AC bands refined over further scans. For a
+# training-data pipeline the FIRST scan is the prize: it alone yields
+# the quantized-DC thumbnail (the same 1/64-scale view m17 extracts
+# from baseline files) without decoding the other 90% of the bytes.
+# decode_jpeg_progressive_dc parses the marker stream, entropy-decodes
+# ONLY the first scan (interleaved or single-component, generic
+# HxV sampling factors, successive-approximation shift Al), and
+# returns the per-component DC planes. Later scans are untouched —
+# that is the point.
+
+
+def encode_jpeg_progressive_dc(
+    arr: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """(h, w) uint8 greyscale raster -> progressive JFIF bytes whose
+    single scan is the full-precision DC scan (Ss=Se=0, Ah=Al=0) —
+    the 'DC-only progressive' layout real encoders emit first. DC
+    quantization uses the same exact integer formula as encode_jpeg,
+    so the decoded DC plane is oracle-statable identically."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w) uint8, got {arr.shape} {arr.dtype}")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"bad dimensions {h}x{w}")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.int64)
+    )
+    sums = blocks.reshape(ph // 8, pw // 8, 64).sum(axis=2)
+
+    writer = _JpegBitWriter()
+    pred = 0
+    mcu = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart_marker((mcu // restart_interval - 1) % 8)
+                pred = 0
+            mcu += 1
+            dc = _round_half_away(int(sums[by, bx]) - 8192, 128)
+            size, extra = _jpeg_magnitude(dc - pred)
+            pred = dc
+            code, length = _JPEG_DC_CODES[size]
+            writer.put(code, length)
+            if size:
+                writer.put(extra, size)
+    entropy = writer.flush()
+
+    zz_quant = JPEG_QUANT.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jpeg_segment(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _jpeg_segment(0xDB, b"\x00" + zz_quant)
+    out += _jpeg_segment(
+        0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    )  # SOF2
+    out += _jpeg_segment(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    if restart_interval:
+        out += _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+    # SOS: 1 component, DC scan Ss=0 Se=0 Ah=0 Al=0
+    out += _jpeg_segment(0xDA, b"\x01\x01\x00\x00\x00\x00")
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive_dc(data: bytes) -> dict[str, np.ndarray]:
+    """Progressive (SOF2) JPEG bytes -> {component name: int32 DC
+    plane} from the FIRST scan only. The plane holds the quantized DC
+    coefficients as coded in scan 1, shifted left by the scan's
+    successive-approximation Al (so they approximate the full DC to
+    within 2^Al); component names are 'y'/'cb'/'cr' for 3-component
+    streams, 'y' for greyscale. Generic HxV sampling factors: the
+    interleaved MCU walk visits hsamp x vsamp blocks per component
+    per MCU (T.81 A.2.3); a single-component first scan walks that
+    component's own block grid. Later scans are never read."""
+    hdr = _jpeg_parse_headers_multi(data)
+    if not hdr.progressive:
+        raise ValueError("not a progressive (SOF2) stream")
+    ss, se, _ah, al = hdr.scan_spec
+    if ss != 0 or se != 0:
+        raise ValueError("first scan is not a DC scan")
+    names = ["y", "cb", "cr"][: len(hdr.comps)]
+    by_id = {c.comp_id: (names[i], c) for i, c in enumerate(hdr.comps)}
+    max_h = max(c.hsamp for c in hdr.comps)
+    max_v = max(c.vsamp for c in hdr.comps)
+    n_mcux = -(-hdr.w // (8 * max_h))
+    n_mcuy = -(-hdr.h // (8 * max_v))
+    planes = {
+        names[i]: np.zeros(
+            (n_mcuy * c.vsamp, n_mcux * c.hsamp), dtype=np.int32
+        )
+        for i, c in enumerate(hdr.comps)
+    }
+    reader = _JpegBitReader(data, hdr.sos_pos)
+    preds = {n: 0 for n in names}
+
+    def read_dc(name: str, table) -> int:
+        size = reader.huffman(table)
+        preds[name] += _jpeg_extend(reader.bits(size), size)
+        return preds[name] << al
+
+    if len(hdr.scan_comps) > 1:  # interleaved DC scan over all comps
+        mcu = 0
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                if (
+                    hdr.restart_interval
+                    and mcu
+                    and mcu % hdr.restart_interval == 0
+                ):
+                    reader.sync_restart()
+                    preds.update({n: 0 for n in names})
+                mcu += 1
+                for cid in hdr.scan_comps:
+                    name, comp = by_id[cid]
+                    td, _ = hdr.sos_tables.get(cid, (0, 0))
+                    table = hdr.dc_tables[td]
+                    for r in range(comp.vsamp):
+                        for c in range(comp.hsamp):
+                            planes[name][
+                                my * comp.vsamp + r, mx * comp.hsamp + c
+                            ] = read_dc(name, table)
+    else:  # non-interleaved: the component's own block grid
+        cid = hdr.scan_comps[0]
+        name, comp = by_id[cid]
+        td, _ = hdr.sos_tables.get(cid, (0, 0))
+        table = hdr.dc_tables[td]
+        rows = -(-(hdr.h * comp.vsamp) // (8 * max_v))
+        cols = -(-(hdr.w * comp.hsamp) // (8 * max_h))
+        planes[name] = np.zeros((rows, cols), dtype=np.int32)
+        mcu = 0
+        for by in range(rows):
+            for bx in range(cols):
+                if (
+                    hdr.restart_interval
+                    and mcu
+                    and mcu % hdr.restart_interval == 0
+                ):
+                    reader.sync_restart()
+                    preds[name] = 0
+                mcu += 1
+                planes[name][by, bx] = read_dc(name, table)
+    return planes
 
 
 # -- FLAC (fixed-predictor subset, mono 16-bit) ------------------------------

@@ -822,6 +822,79 @@ def jpeg_parallel_dc_stats(segments: DataFrame) -> DataFrame:
     )
 
 
+JPEG_PROG_W, JPEG_PROG_H = 32, 24  # same grid as m17's baseline payloads
+_JPEG_PROG_BLOCKS = (JPEG_PROG_W * JPEG_PROG_H) // 16
+JPEG_PROG_RESTART = 4  # 12 MCUs -> RSTn inside every payload
+
+
+def with_progressive_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real PROGRESSIVE (SOF2) JFIF file per
+    document whose single scan is the full-precision DC scan — the
+    'DC-only progressive' prefix real encoders emit first. Pixels from
+    the doc's md5 stream (salt '#jpr'); restart interval 4 so the
+    progressive restart path is always exercised."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_jpeg_progressive_dc
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_progressive_dc(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _JPEG_PROG_BLOCKS, "#jpr"),
+                        dtype=np.uint8,
+                    ).reshape(JPEG_PROG_H, JPEG_PROG_W),
+                    restart_interval=JPEG_PROG_RESTART,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def progressive_jpeg_dc_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode ONLY the first (DC) scan of each progressive payload —
+    the crawl-thumbnail trick that skips ~90% of a progressive file's
+    bytes — and aggregate the quantized DC plane per document; same
+    output schema and checksum discipline as the baseline m17."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_jpeg_progressive_dc
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dc = (
+                    decode_jpeg_progressive_dc(bytes(payload))["y"]
+                    .astype(np.int64)
+                    .reshape(-1)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        dc.size,
+                        int(dc.min()),
+                        int(dc.max()),
+                        int(dc.sum()),
+                        int((dc * (np.arange(dc.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_blocks", "dc_min", "dc_max", "dc_sum",
+                    "dc_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=JPEG_DC_SCHEMA)
+
+
 _FLAC_BLOCKS = 256  # 4096 md5 bytes = 2048 int16 samples
 FLAC_SAMPLES = _FLAC_BLOCKS * 8
 FLAC_BLOCKSIZE = 512  # 4 frames per payload

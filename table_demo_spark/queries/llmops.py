@@ -5687,6 +5687,66 @@ FROM sv GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M22 — PROGRESSIVE JPEG first-scan (DC) decode: most large web JPEGs
+# are progressive (SOF2), arriving as a DC scan plus later AC
+# refinement scans. The crawl-thumbnail move is to decode ONLY the
+# first scan — the quantized-DC plane with no IDCT and without
+# touching the other ~90% of the file's bytes. The payload is a real
+# DC-only progressive JFIF (SOF2, single full-precision DC scan,
+# restart markers); the oracle is m17's integer DC arithmetic
+# verbatim on the '#jpr' stream — the DC quantization is the same
+# exact formula, only the container is progressive. Real multi-scan
+# interop (interleaved 3-component first scan, (2,1) sampling, Al=1
+# successive approximation) is pinned against a real-world
+# progressive photo + Java ImageIO in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+def m22_progressive_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.progressive_jpeg_dc_stats(
+        multimodal.with_progressive_jpeg_payload(docs)
+    )
+
+
+_JPEG_PROG_BPR = multimodal.JPEG_PROG_W // 8
+
+M22_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#jpr' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._JPEG_PROG_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+blocksum AS (
+  SELECT doc_id,
+         ((o // {multimodal.JPEG_PROG_W}) // 8) * {_JPEG_PROG_BPR}
+           + ((o % {multimodal.JPEG_PROG_W}) // 8) AS bid,
+         CAST(sum(b) AS BIGINT) AS s
+  FROM bytes GROUP BY 1, 2
+),
+qdc AS (
+  SELECT doc_id, bid,
+         CASE WHEN s >= 8192
+              THEN (2 * (s - 8192) + 128) // 256
+              ELSE -((2 * (8192 - s) + 128) // 256) END AS dc
+  FROM blocksum
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(min(dc) AS BIGINT) AS dc_min,
+       CAST(max(dc) AS BIGINT) AS dc_max,
+       CAST(sum(dc) AS BIGINT) AS dc_sum,
+       CAST(sum((bid + 1) * dc) AS BIGINT) AS dc_checksum
+FROM qdc GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -5777,4 +5837,5 @@ QUERIES: list[Query] = [
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
     Query("llm_m20_color_jpeg_parallel", m20_color_jpeg_parallel, _m20_oracle()),
     Query("llm_m21_flac_pcm", m21_flac_pcm, _m21_oracle()),
+    Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
 ]

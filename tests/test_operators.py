@@ -1715,3 +1715,96 @@ def test_png_decoder_interop_with_imageio(spark):
     )
     # Spark's image source stores BGRA; ours is RGBA
     assert np.array_equal(ref[:, :, [2, 1, 0, 3]], rgba)
+
+
+def test_progressive_jpeg_dc_scan_codec():
+    """DC-only progressive roundtrip: encode_jpeg_progressive_dc's
+    single scan decodes to exactly the integer-quantized DC plane
+    (same formula as baseline m17), with restart markers resetting
+    the predictor; the baseline decoders must refuse SOF2 streams
+    with a pointed error instead of misreading them."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _round_half_away,
+        decode_jpeg,
+        decode_jpeg_dc,
+        decode_jpeg_progressive_dc,
+        encode_jpeg_progressive_dc,
+    )
+
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    data = encode_jpeg_progressive_dc(arr, restart_interval=4)
+    planes = decode_jpeg_progressive_dc(data)
+    assert set(planes) == {"y"}
+    got = planes["y"]
+    assert got.shape == (3, 4)
+    s = (
+        arr.reshape(3, 8, 4, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(3, 4, 64)
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    for i in range(3):
+        for j in range(4):
+            assert got[i, j] == _round_half_away(int(s[i, j]) - 8192, 128)
+
+    for fn in (decode_jpeg, decode_jpeg_dc):
+        with _pytest.raises(ValueError, match="progressive"):
+            fn(data)
+    for cut in (8, 40, len(data) // 2):
+        with _pytest.raises(ValueError):
+            decode_jpeg_progressive_dc(data[:cut])
+
+
+def test_progressive_jpeg_interop_with_real_photo(spark):
+    """Real-format interop: tests/fixtures/progressive.jpg is a
+    real-world multi-scan progressive photo (SOF2, interleaved
+    3-component DC first scan, (2,1)/(1,1)/(1,1) sampling,
+    successive-approximation Al=1). Decoding ONLY its first scan must
+    yield a luma DC plane that matches Java ImageIO's FULL decode
+    block-averaged — each dequantized DC is 8x the block mean minus
+    the level shift, so agreement within quantization + Al truncation
+    proves the scan walk, generic sampling, and DPCM are right while
+    ~90% of the file's bytes stay untouched."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        _jpeg_parse_headers_multi,
+        decode_jpeg_progressive_dc,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "progressive.jpg"
+    )
+    with open(path, "rb") as fh:
+        data = fh.read()
+    hdr = _jpeg_parse_headers_multi(data)
+    assert hdr.progressive and hdr.scan_spec[:2] == (0, 0)
+    al = hdr.scan_spec[3]
+    q00 = int(hdr.quants[hdr.comps[0].tq][0, 0])
+    planes = decode_jpeg_progressive_dc(data)
+    ydc = planes["y"].astype(np.float64)
+
+    row = spark.read.format("image").load(path).select("image.*").collect()[0]
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    ).astype(np.float64)
+    # luma from BGR, per-8x8-block means over the Y sampling grid
+    luma = 0.114 * ref[:, :, 0] + 0.587 * ref[:, :, 1] + 0.299 * ref[:, :, 2]
+    h, w = luma.shape
+    ph, pw = ydc.shape[0] * 8, ydc.shape[1] * 8
+    pad = np.pad(luma, ((0, ph - h), (0, pw - w)), mode="edge")
+    means = pad.reshape(ydc.shape[0], 8, ydc.shape[1], 8).mean(axis=(1, 3))
+    approx_means = (ydc * q00) / 8.0 + 128.0
+    diff = np.abs(approx_means - means)
+    # tolerance: quantization (q00/2) + Al truncation (q00 * 2^al),
+    # scaled to the pixel domain (/8), plus edge-block padding slack
+    tol = (q00 * (0.5 + (1 << al))) / 8.0 + 2.0
+    assert float(np.median(diff)) <= tol, (np.median(diff), tol)
+    assert float(np.percentile(diff, 95)) <= 3 * tol, np.percentile(diff, 95)
