@@ -190,6 +190,7 @@ HEADLINE = [
     "llm_m21_flac_pcm",
     "an_a64_label_propagation",
     "llm_m22_progressive_jpeg_dc",
+    "llm_t32_linear_quality_classifier",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -5688,6 +5688,77 @@ FROM sv GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# T32 — hashed-linear quality classifier (the fastText-filter shape:
+# CCNet/LLaMA-style pipelines gate crawl text with a linear model over
+# hashed bag-of-words features). The MODEL SHIPS AS ARITHMETIC, not a
+# join: bucket(token) = md5 hash mod K, weight(bucket) = a second
+# deterministic hash mapped to [-1000, 1000] — integer end to end, so
+# scoring is scan + explode + hash-agg with map-side partials and the
+# decision threshold is exact. At 100 TB this is the shape that
+# matters: a real trained weight vector would ride the plan as K
+# literals (bounded by construction, like t28's merge list) or a
+# broadcast — either way, zero shuffles beyond the per-doc sum.
+# ---------------------------------------------------------------------------
+
+_T32_BUCKETS = 1024
+_T32_SALT = "#qcls"
+
+
+def t32_linear_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("tok"), F.lit(_T32_SALT))), 1, 8), 16, 10)
+        .cast("long")
+        % _T32_BUCKETS
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    scored = toks.select("doc_id", weight.alias("w"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("score"),
+        )
+        .select(
+            "doc_id", "n_tokens", "score",
+            (F.col("score") >= 0).alias("keep"),
+        )
+    )
+
+
+T32_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST('0x' || substring(
+             md5('w' || CAST(
+               CAST('0x' || substring(md5(tok || '{_T32_SALT}'), 1, 8) AS BIGINT)
+               % {_T32_BUCKETS} AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000
+           AS wv
+  FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wv) AS BIGINT) AS score,
+       sum(wv) >= 0 AS keep
+FROM w GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # M22 — PROGRESSIVE JPEG first-scan (DC) decode: most large web JPEGs
 # are progressive (SOF2), arriving as a DC scan plus later AC
 # refinement scans. The crawl-thumbnail move is to decode ONLY the
@@ -5838,4 +5909,5 @@ QUERIES: list[Query] = [
     Query("llm_m20_color_jpeg_parallel", m20_color_jpeg_parallel, _m20_oracle()),
     Query("llm_m21_flac_pcm", m21_flac_pcm, _m21_oracle()),
     Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
+    Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

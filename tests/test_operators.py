@@ -1689,6 +1689,25 @@ def test_flac_codec_lossless_crc_and_golden_header():
         with _pytest.raises(ValueError):
             decode_flac(good[:cut])
 
+    # multi-byte coded frame numbers (>127 frames) roundtrip, and the
+    # coding matches UTF-8 exactly in the codepoint range (the spec's
+    # own framing of the scheme)
+    from table_demo_spark.operators.codecs import (
+        _BitReader,
+        _flac_coded_number,
+        _flac_read_coded_number,
+    )
+
+    many = rng.integers(-3000, 3000, 16 * 300).astype(np.int16)
+    _, out2 = decode_flac(encode_flac(many, blocksize=16))
+    assert np.array_equal(out2, many)
+    for v in (0, 127, 128, 2047, 2048, 65535, 65536, 1 << 20, 1 << 30):
+        assert _flac_read_coded_number(
+            _BitReader(_flac_coded_number(v))
+        ) == v
+    for v in (0x41, 0x7FF, 0x800, 0xFFFF):
+        assert _flac_coded_number(v) == chr(v).encode("utf-8")
+
 
 def test_png_decoder_interop_with_imageio(spark):
     """Real-format PNG interop: tests/fixtures/bgra.png is a
