@@ -191,6 +191,7 @@ HEADLINE = [
     "an_a64_label_propagation",
     "llm_m22_progressive_jpeg_dc",
     "llm_t32_linear_quality_classifier",
+    "stream_q31_temporal_enrich",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

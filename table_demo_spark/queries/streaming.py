@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
+from table_demo_spark.queries.analytics import A12_ORACLE as _A12_ORACLE
 from table_demo_spark.queries.llmops import _m19_oracle
 
 _M19_ORACLE = _m19_oracle()
@@ -1193,6 +1194,26 @@ def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table enrichment at ingest (streaming a12): each
+    arriving purchase is enriched per micro-batch with the click
+    version valid AS OF its own event time, by the UNCHANGED batch
+    as-of operator against the offline-built versioned dimension.
+    Final upsert state = the batch as-of join exactly (A12_ORACLE
+    verbatim): an event enriched with a later-versioned click, dropped,
+    or enriched twice breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q31_temporal_enrich
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q31_temporal_enrich(
+            spark, sf_dir, speed=DRIVER_SPEED
+        )
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "event_id", "user_id", "purchase_ms", "click_id", "click_ms"
+    )
+
+
 def q29_ann_index_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index maintained at ingest (streaming s3): arriving
     embeddings are routed into centroid-partitioned inverted lists by
@@ -1322,6 +1343,7 @@ QUERIES: list[Query] = [
     Query("stream_q28_media_decode", q28_media_decode_final, _M17_ORACLE),
     Query("stream_q29_ann_index_ingest", q29_ann_index_ingest_final, _S3_ORACLE),
     Query("stream_q30_color_decode", q30_color_decode_final, _M19_ORACLE),
+    Query("stream_q31_temporal_enrich", q31_temporal_enrich_final, _A12_ORACLE),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -406,6 +406,81 @@ def q5_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# Q31 streaming — TEMPORAL TABLE enrichment at ingest (the as-of
+# join's streaming form — Flink's signature Table API feature beyond
+# the reference demo's own surface: enrich each arriving event with
+# the dimension VERSION that was valid at the event's own time, not
+# the latest one). The versioned dimension here is loaded once
+# (offline-built, like q29's centroids); each micro-batch runs the
+# UNCHANGED batch as-of operator (operators/asof.py — the q28
+# pattern: the batch operator IS the per-trigger transform), so the
+# enrichment is stateless per trigger and the final upsert state
+# equals the batch a12 as-of join exactly. A dimension that itself
+# evolves at ingest would ride the q25 bucketed-store pattern
+# (append versions, probe as-of per batch) — the documented
+# extension; the per-batch operator below is identical either way.
+# ---------------------------------------------------------------------------
+def run_q31_temporal_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink=None,
+):
+    """Arriving purchases enriched with the as-of click version.
+    Returns (sink, query)."""
+    from table_demo_spark.operators.asof import asof_join
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    ckpt = _checkpoint_dir()
+    ev = stream_events_typed(spark, sf_dir, speed, frontier_key=ckpt)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("rowtime").alias("p_ts")
+    )
+    # versioned dimension, built once (same frame as batch a12's
+    # right side: dedup ties on (user, ts), max event_id wins)
+    clicks_dim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("c_ts"), "click_id")
+    )
+
+    if sink is None:
+        sink = ParquetUpsertSink(scratch_dir("tds-q31-"), ("event_id",))
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = asof_join(
+            batch_df,
+            clicks_dim,
+            on="user_id",
+            left_ts="p_ts",
+            right_ts="c_ts",
+            value_cols=["click_id", "c_ts"],
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_millis("p_ts").alias("purchase_ms"),
+            F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("click_id"),
+            F.coalesce(F.unix_millis("c_ts_asof"), F.lit(-1)).alias(
+                "click_ms"
+            ),
+        )
+        sink.apply_batch(out, batch_id)
+
+    query = (
+        purchases.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return sink, query
+
+
+# ---------------------------------------------------------------------------
 # Q12 streaming — stream-stream LEFT OUTER interval join.
 #
 # The attribution-funnel completion of Q5: every click emits, matched
