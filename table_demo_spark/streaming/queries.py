@@ -438,13 +438,19 @@ def run_q31_temporal_enrich(
         "event_id", "user_id", F.col("rowtime").alias("p_ts")
     )
     # versioned dimension, built once (same frame as batch a12's
-    # right side: dedup ties on (user, ts), max event_id wins)
+    # right side: dedup ties on (user, ts), max event_id wins) and
+    # PERSISTED: without it every micro-batch would re-scan and
+    # re-aggregate the dimension — a real trigger cadence pays that
+    # per trigger. Bounded by construction (it is a dimension table),
+    # so caching it is the correct call here, unlike the measured
+    # persist-is-slower cases in the iterative plans (BASELINE.md).
     clicks_dim = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
         .select("user_id", F.col("ts").alias("c_ts"), "click_id")
+        .persist()
     )
 
     if sink is None:
