@@ -192,6 +192,7 @@ HEADLINE = [
     "llm_m22_progressive_jpeg_dc",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
+    "llm_d20_semantic_dedup_kmeans",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -464,6 +464,7 @@ def semantic_dedup_flags(
     n_centroids: int = N_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023): semantic near-duplicate pruning.
 
@@ -478,16 +479,20 @@ def semantic_dedup_flags(
     is tiny by construction), the pairwise stage is one shuffle on
     centroid id with per-cluster GEMM inside ``applyInPandas`` — work
     is O(sum_c |cluster_c|^2), never global O(n^2), and nothing
-    touches the driver. Centroid *selection* is the same deterministic
-    stub as ivf_topk (first ``n_centroids`` ids — swap in KMeans
-    without changing the plan shape).
+    touches the driver. Centroid *selection* defaults to the same
+    deterministic stub as ivf_topk (first ``n_centroids`` ids); pass
+    ``centroids`` (a (centroid_id, cent_vec) frame — e.g.
+    kmeans_refine output, see llm_d20) to route by TRAINED clusters
+    through the identical plan.
     """
     import numpy as np
     import pandas as pd
 
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),

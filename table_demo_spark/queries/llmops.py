@@ -1321,6 +1321,58 @@ FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
 
 
 # ---------------------------------------------------------------------------
+# D20 — SemDedup routed by TRAINED centroids: d8 with s5's
+# Lloyd-refined cluster matrix instead of the first-N stub (the dedup
+# family's counterpart to s14; together they retire the "production
+# swaps k-means" comment everywhere it appeared). The pairwise
+# within-cluster GEMM, the min-id representative rule, and the plan
+# shape are UNCHANGED — only the routing table differs, and the oracle
+# restates the same refinement chain so both engines cluster with
+# bit-identical centroids.
+# ---------------------------------------------------------------------------
+
+
+def d20_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = similarity.kmeans_refine(emb, iters=_S5_ITERS)
+    centroids = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("s"))
+        .select(
+            "centroid_id", F.transform("s", lambda p: p.val).alias("cent_vec")
+        )
+    )
+    return similarity.semantic_dedup_flags(
+        emb, COSINE_THRESHOLD, centroids=centroids
+    )
+
+
+def _d20_oracle() -> str:
+    return f"""
+WITH {_s5_chain_and_cent()},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cent_vec')} DESC,
+                      c.centroid_id ASC) AS crank
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE crank = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+   AND {_sql_cosine('a.embedding', 'b.embedding')} >= CAST({COSINE_THRESHOLD} AS DOUBLE)
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.centroid_id AS BIGINT) AS cluster,
+       d.vec_id IS NOT NULL AS is_dup
+FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # D9 — winnow-fingerprint containment pairs: partial-overlap / near-
 # containment detection (a copied paragraph inside an otherwise new
 # document — a case Jaccard-style whole-document dedup misses).
@@ -5882,6 +5934,7 @@ QUERIES: list[Query] = [
     Query("llm_p14_interleave_schedule", p14_interleave_schedule, P14_ORACLE),
     Query("llm_t22_rake_keywords", t22_rake_keywords, T22_ORACLE),
     Query("llm_d19_quality_dedup", d19_quality_dedup, D19_ORACLE),
+    Query("llm_d20_semantic_dedup_kmeans", d20_semantic_dedup_kmeans, _d20_oracle()),
     Query("llm_m10_pair_audit", m10_pair_audit, M10_ORACLE),
     Query("llm_t23_domain_drift", t23_domain_drift, T23_ORACLE),
     Query("llm_p15_budget_select", p15_budget_select, _p15_oracle()),
