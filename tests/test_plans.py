@@ -103,6 +103,7 @@ _PYTHON_ALLOWED = {
     "llm_m20_color_jpeg_parallel",  # MapInPandas (per-interval color JPEG decode)
     "llm_m21_flac_pcm",  # MapInPandas (real FLAC encode + decode to PCM stats)
     "llm_m22_progressive_jpeg_dc",  # MapInPandas (progressive JPEG first-scan decode)
+    "llm_d20_semantic_dedup_kmeans",  # FlatMapGroupsInPandas (per-cluster GEMM, trained routing)
 }
 
 
