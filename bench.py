@@ -193,6 +193,8 @@ HEADLINE = [
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "llm_d20_semantic_dedup_kmeans",
+    "an_a65_returned_item_reporting",
+    "src_s9_multiline_json",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -64,8 +64,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s7_schema_evolution",
     # r6 rotation: first driver rows for these (never sampled r1-r5;
     # tests/test_registry.py recomputes the union from the artifacts)
-    "an_a50_hot_key_join",
-    "an_a52_important_parts",
     "an_a53_top_supplier",
     "an_a54_supplier_relationship",
     "an_a55_small_qty_revenue",
@@ -97,6 +95,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "llm_d20_semantic_dedup_kmeans",
+    "an_a65_returned_item_reporting",
+    "src_s9_multiline_json",
 )
 
 

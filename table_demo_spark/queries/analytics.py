@@ -3443,6 +3443,60 @@ ORDER BY n_members DESC, community ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# A65 — TPC-H Q10 analog (returned-item reporting): customers ranked
+# by revenue LOST to returns — lineitems with l_returnflag = 'R'
+# joined through orders to customer and nation, exact-DECIMAL revenue,
+# top 20. Completes the classic reporting set (Q1/Q2/Q3-ish/Q8/Q11/
+# Q13/Q15-Q22 analogs already present). Plan shape: fact-side scan
+# with the returnflag PUSHED to parquet, broadcast dims, map-side
+# partial sum, TakeOrdered top-k — zero novel machinery, which is the
+# point of plan-shape coverage.
+# ---------------------------------------------------------------------------
+def a65_returned_item_reporting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+A65_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS lost_revenue,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3508,4 +3562,5 @@ QUERIES: list[Query] = [
     Query("an_a62_validity_audit", a62_validity_audit, A62_ORACLE),
     Query("an_a63_profile_knn", a63_profile_knn, _a63_oracle()),
     Query("an_a64_label_propagation", a64_label_propagation, _a64_oracle()),
+    Query("an_a65_returned_item_reporting", a65_returned_item_reporting, A65_ORACLE),
 ]

@@ -180,6 +180,21 @@ FROM events
 """
 
 
+def s9_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file JSON arrays (the API-dump / export shape): each file
+    is ONE JSON value, parsed under ``multiLine`` — deliberately the
+    anti-JSONL: not line-splittable, so read parallelism equals file
+    count and the 100 TB guidance is 'shard at WRITE time' (the
+    builder emits one array per shard). Same rows as every other
+    events source — the oracle is shared."""
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_multiline_json(spark, sf_dir)
+    return formats.read_events_multiline_json(spark, path).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
@@ -189,4 +204,5 @@ QUERIES: list[Query] = [
     Query("src_s6_compacted_events", s6_compacted_events, _EVENTS_ORACLE),
     Query("src_s7_schema_evolution", s7_schema_evolution, _EVOLVED_ORACLE),
     Query("src_s8_quoted_csv", s8_quoted_csv, _QUOTED_CSV_ORACLE),
+    Query("src_s9_multiline_json", s9_multiline_json, _EVENTS_ORACLE),
 ]

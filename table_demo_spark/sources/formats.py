@@ -325,3 +325,57 @@ def read_events_quoted_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+
+
+MULTILINE_SHARDS = 8
+
+
+def ensure_events_multiline_json(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as ``MULTILINE_SHARDS`` whole-file JSON
+    ARRAYS (one pretty-ish array per file) — the API-dump shape real
+    crawls deliver constantly, and the one JSON layout that is NOT
+    line-splittable: a reader must parse a whole file as one value, so
+    parallelism is exactly the file count (the intra-object story of
+    docs/SCALE.md's m18 note, at the container level). The array
+    strings are BUILT distributed (per-shard concat of to_json rows —
+    the corpus never collects to the driver) and land one file per
+    shard via partitionBy."""
+    final, done = _cached_dir(sf_dir, "mljson")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-mljson-stage-")
+    ev = _typed_events(spark, sf_dir)
+    j = F.to_json(
+        F.struct("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    )
+    shards = (
+        ev.select((F.col("event_id") % MULTILINE_SHARDS).alias("shard"), j.alias("j"))
+        .groupBy("shard")
+        .agg(
+            F.concat(
+                F.lit("[\n"),
+                F.concat_ws(",\n", F.collect_list("j")),
+                F.lit("\n]"),
+            ).alias("body")
+        )
+    )
+    (
+        shards.repartition(MULTILINE_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_multiline_json(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file JSON-array read: ``multiLine`` makes Spark parse each
+    FILE as one JSON value (the array explodes to rows). The file glob
+    targets the data files directly so the shard= directory layer is
+    plumbing, not a schema column."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "shard=*", "part-*")))
+    return spark.read.schema(EVENTS_JSONL_SCHEMA).option(
+        "multiLine", "true"
+    ).json(files)
