@@ -194,6 +194,10 @@ HEADLINE = [
     "stream_q31_temporal_enrich",
     "llm_d20_semantic_dedup_kmeans",
     "an_a65_returned_item_reporting",
+    "an_a66_local_supplier_volume",
+    "an_a67_volume_shipping",
+    "an_a68_promotion_effect",
+    "an_a69_product_profit",
     "src_s9_multiline_json",
 ]
 

@@ -3497,6 +3497,267 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# A66 — local supplier volume (TPC-H Q5 analog): revenue from orders
+# where the CUSTOMER and the SUPPLIER sit in the same nation of one
+# region. What distinguishes Q5 from a plain star join (a2) is the
+# c_nationkey = s_nationkey equality BETWEEN two dimension paths of
+# the same fact row — the classic "local" constraint. Plan shape:
+# one fact scan with the orderdate range pushed to parquet, all four
+# dims broadcast, the nation equality applied as a post-join filter on
+# broadcast columns (no extra shuffle), single hash-agg on n_name.
+# ---------------------------------------------------------------------------
+
+_A66_REGION = "ASIA"
+_A66_START, _A66_END = "1995-01-01", "1997-01-01"
+
+
+def a66_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_A66_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_A66_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _A66_REGION
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+A66_ORACLE = f"""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{_A66_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_A66_START}'
+  AND o_orderdate < TIMESTAMP '{_A66_END}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A67 — volume shipping (TPC-H Q7 analog): bilateral trade between two
+# nations — supplier in one, customer in the other, both directions,
+# revenue split by shipment year. The disjunctive nation-pair
+# predicate ((A,B) or (B,A)) runs on broadcast dimension columns after
+# the fact join; years come from l_shipdate. One fact-side shuffle
+# (the orders join), then a 4-group hash-agg — the nation filter
+# prunes >99% of rows before the agg at any scale.
+# ---------------------------------------------------------------------------
+
+_A67_NATION1, _A67_NATION2 = "NATION_3", "NATION_7"
+_A67_START, _A67_END = "1995-01-01", "1997-01-01"
+
+
+def a67_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A67_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_A67_END).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    pair = (
+        (F.col("supp_nation") == _A67_NATION1)
+        & (F.col("cust_nation") == _A67_NATION2)
+    ) | (
+        (F.col("supp_nation") == _A67_NATION2)
+        & (F.col("cust_nation") == _A67_NATION1)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+A67_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_A67_NATION1}' AND n2.n_name = '{_A67_NATION2}')
+       OR (n1.n_name = '{_A67_NATION2}' AND n2.n_name = '{_A67_NATION1}'))
+  AND l_shipdate >= TIMESTAMP '{_A67_START}'
+  AND l_shipdate < TIMESTAMP '{_A67_END}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A68 — promotion effect (TPC-H Q14 analog): the share of one month's
+# revenue that came from promotional parts, as a percentage. Both the
+# numerator (conditional sum) and denominator are EXACT decimal sums;
+# only the final ratio is floating — two deterministic doubles divided
+# once, rounded to 9 places, so the value hash is engine-stable. Plan:
+# one month of lineitem (pushed down) broadcast-joined to part, single
+# ungrouped agg — a map-side-partial two-counter scan at any scale.
+# ---------------------------------------------------------------------------
+
+_A68_TYPE = "PROMO"
+_A68_START, _A68_END = "1996-03-01", "1996-04-01"
+
+
+def a68_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A68_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_A68_END).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == _A68_TYPE, rev)).alias("__p"),
+            F.sum(rev).alias("__t"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.coalesce(F.col("__p"), F.lit(0)).cast("double")
+                / F.col("__t").cast("double"),
+                9,
+            ).alias("promo_revenue_pct"),
+            F.col("__p").cast("double").alias("promo_revenue"),
+            F.col("__t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+A68_ORACLE = f"""
+WITH agg AS (
+  SELECT sum(CASE WHEN p_type = '{_A68_TYPE}'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2))) END) AS p,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS t
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{_A68_START}'
+    AND l_shipdate < TIMESTAMP '{_A68_END}'
+)
+SELECT round(CAST(100 AS DOUBLE) * CAST(coalesce(p, 0) AS DOUBLE)
+             / CAST(t AS DOUBLE), 9) AS promo_revenue_pct,
+       CAST(p AS DOUBLE) AS promo_revenue,
+       CAST(t AS DOUBLE) AS total_revenue
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# A69 — product-type profit (TPC-H Q9 analog): yearly gross profit per
+# supplier nation on one part family. The fixture set has no partsupp,
+# so cost is the part's retail price times quantity (the same
+# join-shape: fact row -> part cost attribute), profit =
+# disc_price - cost, all EXACT DECIMAL until the final cast. Plan:
+# p_name LIKE filter broadcast into the fact scan, supplier+nation
+# broadcast, one orders join for the year, hash-agg on
+# (nation, year). LIKE on a broadcast dim prunes the fact early.
+# ---------------------------------------------------------------------------
+
+_A69_NAME_FRAG = "red"
+
+
+def a69_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(_A69_NAME_FRAG)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+A69_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{_A69_NAME_FRAG}%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3563,4 +3824,8 @@ QUERIES: list[Query] = [
     Query("an_a63_profile_knn", a63_profile_knn, _a63_oracle()),
     Query("an_a64_label_propagation", a64_label_propagation, _a64_oracle()),
     Query("an_a65_returned_item_reporting", a65_returned_item_reporting, A65_ORACLE),
+    Query("an_a66_local_supplier_volume", a66_local_supplier_volume, A66_ORACLE),
+    Query("an_a67_volume_shipping", a67_volume_shipping, A67_ORACLE),
+    Query("an_a68_promotion_effect", a68_promotion_effect, A68_ORACLE),
+    Query("an_a69_product_profit", a69_product_profit, A69_ORACLE),
 ]
