@@ -773,3 +773,4 @@ def mips_topk(
         "ip",
         F.row_number().over(w).cast("long").alias("rank"),
     ).filter(F.col("rank") <= k)
+

@@ -771,6 +771,208 @@ WHERE rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# S15 — HYBRID retrieval: lexical BM25-family ranking fused with
+# vector cosine ranking by Reciprocal Rank Fusion (Cormack et al.,
+# SIGIR 2009 — the fusion every production RAG stack runs; the two
+# retrievers see the same corpus through documents/embeddings'
+# aligned ids). Determinism discipline: the lexical score uses the
+# BM25 term shape with a RATIONAL idf ((N - df + 0.5)/(df + 0.5) —
+# the raw RSJ odds, monotone where the usual log is) so every score
+# is a fixed-order chain of IEEE +,*,/ on identical doubles — no
+# transcendental whose libm could differ between engines. RRF adds
+# two such terms per doc; ties break by doc id.
+#
+# Scale shape: ONE documents scan (tf/dl projections, no explode —
+# tf is a filtered-size over the token array) + a 1-row global
+# (N, sum_dl, df_t) aggregate that broadcasts; each retriever's
+# top-L is orderBy+limit — TakeOrderedAndProject, the per-partition
+#-heap global top-k, never a single-partition window over the
+# corpus; ranks are then assigned inside the L-row result (bounded
+# by construction). The fusion is a full outer join of two L-row
+# frames. At 100 TB: two corpus scans (text tier, vector tier), two
+# tree-reduced top-Ls, O(L) everything after.
+# ---------------------------------------------------------------------------
+
+_S15_TERMS = ("stream", "window", "join", "filter")
+_S15_K1, _S15_B = 1.2, 0.75
+_S15_TOPL = 20  # depth of each retriever's list
+_S15_RRF_K = 60
+_S15_PROBE = 0  # query vector = embedding of vec 0
+_S15_OUT_K = 10
+
+
+def s15_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from table_demo_spark.functions.vector import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    def _tf(term: str):
+        # one-arg lambda via closure: a default-arg lambda would change
+        # the HOF arity and break resolution (see verify SKILL gotchas)
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(_S15_TERMS)]
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), *tf_cols
+    )
+    glob = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_S15_TERMS))
+        ],
+    )
+    k1, b = F.lit(_S15_K1), F.lit(_S15_B)
+    one, half = F.lit(1.0), F.lit(0.5)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(_S15_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = (n - df + half) / (df + half)
+        denom = tf + k1 * (one - b + b * (F.col("dl").cast("double") / avgdl))
+        score = score + idf * ((tf * (k1 + one)) / denom)
+    lex = (
+        base.crossJoin(F.broadcast(glob))
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_S15_TOPL)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == _S15_PROBE).select(
+        F.col("embedding").alias("q_vec")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine("q_vec", "embedding").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(_S15_TOPL)
+    )
+    w_vec = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    vec = vec.select(
+        "doc_id", F.row_number().over(w_vec).cast("long").alias("vec_rank")
+    )
+    rrf_k = F.lit(float(_S15_RRF_K))
+    contrib_lex = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (rrf_k + F.col("lex_rank").cast("double")),
+    ).otherwise(F.lit(0.0))
+    contrib_vec = F.when(
+        F.col("vec_rank").isNotNull(),
+        F.lit(1.0) / (rrf_k + F.col("vec_rank").cast("double")),
+    ).otherwise(F.lit(0.0))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        F.round(contrib_lex + contrib_vec, 9).alias("rrf_score"),
+    )
+    w_f = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_f).cast("long")
+        )
+        .filter(F.col("fused_rank") <= _S15_OUT_K)
+    )
+
+
+def _s15_oracle() -> str:
+    n_t = len(_S15_TERMS)
+    tf_sel = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_S15_TERMS)
+    )
+    df_sel = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(n_t)
+    )
+    terms = []
+    for i in range(n_t):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        df = f"CAST(df_{i} AS DOUBLE)"
+        idf = (
+            f"((CAST(n_docs AS DOUBLE) - {df} + CAST(0.5 AS DOUBLE))"
+            f" / ({df} + CAST(0.5 AS DOUBLE)))"
+        )
+        denom = (
+            f"({tf} + CAST({_S15_K1} AS DOUBLE) * (CAST(1.0 AS DOUBLE)"
+            f" - CAST({_S15_B} AS DOUBLE) + CAST({_S15_B} AS DOUBLE)"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE)))))"
+        )
+        terms.append(
+            f"{idf} * (({tf} * (CAST({_S15_K1} AS DOUBLE)"
+            f" + CAST(1.0 AS DOUBLE))) / {denom})"
+        )
+    score = "CAST(0.0 AS DOUBLE)"
+    for t in terms:
+        score = f"({score} + {t})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_sel}
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl, {df_sel}
+  FROM base
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS lex_rank
+  FROM (SELECT doc_id, {score} AS bm25 FROM base CROSS JOIN stats)
+  QUALIFY lex_rank <= {_S15_TOPL}
+),
+vec AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT)
+           AS vec_rank
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           {_sql_cosine('q.embedding', 'e.embedding')} AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings
+                WHERE vec_id = {_S15_PROBE}) q
+  )
+  QUALIFY vec_rank <= {_S15_TOPL}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+         round((CASE WHEN lex_rank IS NOT NULL
+                     THEN CAST(1.0 AS DOUBLE)
+                          / (CAST({_S15_RRF_K}.0 AS DOUBLE)
+                             + CAST(lex_rank AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN vec_rank IS NOT NULL
+                       THEN CAST(1.0 AS DOUBLE)
+                            / (CAST({_S15_RRF_K}.0 AS DOUBLE)
+                               + CAST(vec_rank AS DOUBLE))
+                       ELSE CAST(0.0 AS DOUBLE) END), 9) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_S15_OUT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5956,6 +6158,7 @@ QUERIES: list[Query] = [
     Query("llm_t30_bpe_local_train", t30_bpe_local_train, _t30_oracle()),
     Query("llm_t31_bpe_batched_train", t31_bpe_batched_train, _t31_oracle()),
     Query("llm_s14_ivf_kmeans_topk", s14_ivf_kmeans_topk, _s14_oracle()),
+    Query("llm_s15_hybrid_rrf", s15_hybrid_rrf, _s15_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),

@@ -931,3 +931,21 @@ def test_blocked_jaccard_bands_ride_the_join_key(spark):
             break
     else:
         raise AssertionError("candidate join with jkey not found:\n" + plan)
+
+
+
+def test_hybrid_rrf_topk_is_take_ordered_not_global_window(spark):
+    """llm_s15's two retriever top-Ls must compile to
+    TakeOrderedAndProject (per-partition heap + tree reduce) — never a
+    single-partition window over the corpus; rank assignment happens
+    only inside the L-row result. The 1-row stats frame and the probe
+    vector broadcast. The only permitted sort-merge is the FULL OUTER
+    fusion of the two L-row lists (bounded by construction) — a
+    sort-merge anywhere corpus-sized would fail the count below."""
+    import re
+
+    plan = formatted_plan(_query("llm_s15_hybrid_rrf")(spark, SF_SMOKE))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # lex, vec, fused
+    assert "CartesianProduct" not in plan, plan
+    smj = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert smj in ([], ["FullOuter"]), plan
