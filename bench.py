@@ -191,6 +191,7 @@ HEADLINE = [
     "llm_m21_flac_pcm",
     "an_a64_label_propagation",
     "llm_m22_progressive_jpeg_dc",
+    "llm_m23_image_phash_neardup",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "llm_d20_semantic_dedup_kmeans",

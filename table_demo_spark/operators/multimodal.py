@@ -1236,3 +1236,98 @@ def decoded_pcm_frame_energy(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, schema=VAD_FRAME_SCHEMA)
+
+
+# --- perceptual image hashing (aHash) -------------------------------------
+
+AH_GRID = 8  # 8x8 block grid -> 64-bit hash
+AH_BANDS = 4  # bands of 16 bits each for the Hamming candidate join
+AH_BAND_BITS = 64 // AH_BANDS
+_AH_BLK_H = PNG_H // AH_GRID  # 2 rows per block
+_AH_BLK_W = PNG_W // AH_GRID  # 3 cols per block
+
+
+def with_png_pair_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, variant, payload): TWO real PNG images per document —
+    variant 0 is the doc's md5-stream raster (same bytes as
+    with_png_payload), variant 1 is the same raster with ONE pixel's
+    green channel saturated ((0,0,G) -> 255): a small, localized edit
+    of the kind perceptual dedup exists to catch (re-encodes,
+    watermarks, hot pixels) — it shifts one block sum and the global
+    mean by <= 587*255 milli-luma units, so the variant's aHash differs from
+    the original's in at most a few borderline bits. Both variants
+    run through the full zlib-deflate + scanline-filter PNG encoder,
+    so the downstream hash works on genuinely decoded pixels, not on
+    the generator's arrays."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_png
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, variants, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                raster = np.frombuffer(
+                    _md5_stream(str(doc_id), _PNG_BLOCKS, "#png"),
+                    dtype=np.uint8,
+                ).reshape(PNG_H, PNG_W, 3)
+                edited = raster.copy()
+                edited[0, 0, 1] = 255
+                for variant, arr in ((0, raster), (1, edited)):
+                    ids.append(doc_id)
+                    variants.append(variant)
+                    payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "variant": variants, "payload": payloads}
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, variant int, payload binary"
+    )
+
+
+def image_ahash_bands(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, variant, band0..band3): 64-bit average-hash of each
+    decoded image, split into ``AH_BANDS`` 16-bit integers for the
+    banded Hamming join. The hash is INTEGER-EXACT end to end: per
+    8x8-grid block, luma sum S = sum(299r + 587g + 114b) over the
+    block's pixels (the repo's integer milli-luma convention);
+    bit_i = (64 * S_i > T) where T is the whole-image luma sum
+    — block-mean-vs-image-mean with the division cleared, so the
+    ANSI-SQL oracle states the identical comparison. Decode is the
+    REAL codec path (zlib inflate + filter inversion via
+    decode_image), one image per batch element, embarrassingly
+    parallel."""
+    import numpy as np
+
+    n_blocks = AH_GRID * AH_GRID
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bands: list[list[int]] = [[] for _ in range(AH_BANDS)]
+            for payload in pdf["payload"]:
+                arr = decode_image(payload).astype(np.int64)
+                luma = (
+                    LUMA_R * arr[:, :, 0]
+                    + LUMA_G * arr[:, :, 1]
+                    + LUMA_B * arr[:, :, 2]
+                )
+                s = luma.reshape(
+                    AH_GRID, _AH_BLK_H, AH_GRID, _AH_BLK_W
+                ).sum(axis=(1, 3))
+                total = int(s.sum())
+                bits = (n_blocks * s.reshape(-1) > total).astype(np.int64)
+                for j in range(AH_BANDS):
+                    val = 0
+                    for b in range(AH_BAND_BITS):
+                        val |= int(bits[j * AH_BAND_BITS + b]) << b
+                    out_bands[j].append(val)
+            cols = {"doc_id": pdf["doc_id"], "variant": pdf["variant"]}
+            for j in range(AH_BANDS):
+                cols[f"band{j}"] = pd.Series(out_bands[j], dtype="int64")
+            yield pd.DataFrame(cols)
+
+    schema = "doc_id long, variant int, " + ", ".join(
+        f"band{j} long" for j in range(AH_BANDS)
+    )
+    return docs_with_payload.mapInPandas(extract, schema=schema)

@@ -6072,6 +6072,139 @@ FROM qdc GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M23 — PERCEPTUAL image near-dup (aHash + banded Hamming join): the
+# image-corpus counterpart of MinHash-LSH text dedup (the LAION /
+# DataComp curation staple). Each document yields two REAL PNGs — the
+# original and a one-pixel-edited variant — which are DECODED through
+# the full zlib+filter codec path, average-hashed on the decoded
+# pixels (64 integer block-mean-vs-image-mean bits, division cleared
+# by cross-multiplication), and the hash is split into 4 x 16-bit
+# bands. Candidate pairs come from a banded EQUI-join (any shared
+# band — the same pigeonhole that powers MinHash LSH: Hamming <= 3
+# guarantees a shared band; never an all-pairs comparison), then the
+# exact Hamming distance (sum of bit_count(xor(band))) keeps pairs
+# under the threshold. Everything after decode is engine-neutral
+# integer arithmetic, so the oracle restates hash, banding, and
+# distance bit-for-bit from the md5-stream raster.
+#
+# Scale shape: codec work is embarrassingly parallel mapInPandas
+# (fan_out-spread); the candidate join is equi-join-shaped on
+# (band_idx, band_value) with both band frames carrying their full
+# hash columns, so NO join-back to a corpus-sized table afterwards;
+# the distinct collapses duplicate candidates found via multiple
+# bands. Exactly d2's LSH geometry with images in place of shingles.
+# ---------------------------------------------------------------------------
+
+_M23_HAMMING_MAX = 6
+
+
+def m23_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_ahash_bands(
+        multimodal.with_png_pair_payloads(docs)
+    ).select(
+        (F.col("doc_id") * 2 + F.col("variant")).cast("long").alias("img_key"),
+        *[f"band{j}" for j in range(multimodal.AH_BANDS)],
+    )
+    band_arr = F.array(*[f"band{j}" for j in range(multimodal.AH_BANDS)])
+    bands = hashes.select(
+        "img_key",
+        *[f"band{j}" for j in range(multimodal.AH_BANDS)],
+        F.posexplode(band_arr).alias("j", "val"),
+    )
+    left = bands.select(
+        F.col("img_key").alias("a_key"),
+        *[F.col(f"band{j}").alias(f"a_band{j}") for j in range(multimodal.AH_BANDS)],
+        "j",
+        "val",
+    )
+    right = bands.select(
+        F.col("img_key").alias("b_key"),
+        *[F.col(f"band{j}").alias(f"b_band{j}") for j in range(multimodal.AH_BANDS)],
+        "j",
+        "val",
+    )
+    hamming = None
+    for j in range(multimodal.AH_BANDS):
+        term = F.bit_count(
+            F.col(f"a_band{j}").bitwiseXOR(F.col(f"b_band{j}"))
+        ).cast("long")
+        hamming = term if hamming is None else hamming + term
+    return (
+        left.join(right, ["j", "val"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _M23_HAMMING_MAX)
+        .distinct()
+    )
+
+
+def _m23_oracle() -> str:
+    grid = multimodal.AH_GRID
+    n_blocks = grid * grid
+    bw = multimodal.PNG_W // grid  # block width in px
+    bh = multimodal.PNG_H // grid  # block height in px
+    band_bits = multimodal.AH_BAND_BITS
+    luma_w = (
+        f"CASE o % 3 WHEN 0 THEN {multimodal.LUMA_R} "
+        f"WHEN 1 THEN {multimodal.LUMA_G} ELSE {multimodal.LUMA_B} END"
+    )
+    xor_sum = " + ".join(
+        f"CAST(bit_count(xor(a.band{j}, b.band{j})) AS BIGINT)"
+        for j in range(multimodal.AH_BANDS)
+    )
+    band_eq = " OR ".join(
+        f"a.band{j} = b.band{j}" for j in range(multimodal.AH_BANDS)
+    )
+    band_cols = ", ".join(
+        f"CAST(sum(CASE WHEN blk // {band_bits} = {j} THEN bit "
+        f"* (CAST(1 AS BIGINT) << (blk % {band_bits})) END) AS BIGINT)"
+        f" AS band{j}"
+        for j in range(multimodal.AH_BANDS)
+    )
+    return f"""
+WITH {_PNG_BYTES_CTE},
+-- the variant's one-pixel edit: (0,0,G) -> 255, i.e. byte o=1
+delta AS (
+  SELECT doc_id, {multimodal.LUMA_G} * (255 - b) AS d
+  FROM bytes WHERE o = 1
+),
+blksum AS (
+  SELECT doc_id,
+         (((o // 3) // {multimodal.PNG_W}) // {bh}) * {grid}
+           + (((o // 3) % {multimodal.PNG_W}) // {bw}) AS blk,
+         CAST(sum(({luma_w}) * b) AS BIGINT) AS s
+  FROM bytes GROUP BY 1, 2
+),
+variants AS (
+  SELECT doc_id, 0 AS variant, blk, s FROM blksum
+  UNION ALL
+  SELECT v.doc_id, 1, blk,
+         CASE WHEN blk = 0 THEN s + d ELSE s END
+  FROM blksum v JOIN delta USING (doc_id)
+),
+tot AS (
+  SELECT doc_id, variant, CAST(sum(s) AS BIGINT) AS t
+  FROM variants GROUP BY 1, 2
+),
+bits AS (
+  SELECT v.doc_id, v.variant, blk,
+         CASE WHEN {n_blocks} * s > t THEN 1 ELSE 0 END AS bit
+  FROM variants v JOIN tot USING (doc_id, variant)
+),
+hashes AS (
+  SELECT CAST(doc_id * 2 + variant AS BIGINT) AS img_key, {band_cols}
+  FROM bits GROUP BY 1
+)
+SELECT DISTINCT a.img_key AS a_key, b.img_key AS b_key,
+       {xor_sum} AS hamming
+FROM hashes a JOIN hashes b
+  ON a.img_key < b.img_key AND ({band_eq})
+WHERE {xor_sum} <= {_M23_HAMMING_MAX}
+"""
+
+
 QUERIES: list[Query] = [
     Query("llm_d1_dedup_exact", d1_dedup_exact, D1_ORACLE),
     Query("llm_d2_dedup_minhash_lsh", d2_dedup_minhash_lsh, D2_ORACLE),
@@ -6165,5 +6298,6 @@ QUERIES: list[Query] = [
     Query("llm_m20_color_jpeg_parallel", m20_color_jpeg_parallel, _m20_oracle()),
     Query("llm_m21_flac_pcm", m21_flac_pcm, _m21_oracle()),
     Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
+    Query("llm_m23_image_phash_neardup", m23_image_phash_neardup, _m23_oracle()),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

@@ -1827,3 +1827,52 @@ def test_progressive_jpeg_interop_with_real_photo(spark):
     tol = (q00 * (0.5 + (1 << al))) / 8.0 + 2.0
     assert float(np.median(diff)) <= tol, (np.median(diff), tol)
     assert float(np.percentile(diff, 95)) <= 3 * tol, np.percentile(diff, 95)
+
+
+def test_image_ahash_is_robust_to_one_pixel_edit(spark):
+    """m23's contract: the one-pixel variant's aHash stays within the
+    Hamming threshold of the original (perceptual robustness), and the
+    banded join finds EVERY original<->variant pair — Hamming <= 3
+    guarantees a shared 16-bit band by pigeonhole."""
+    from tests.conftest import SF_SMOKE
+
+    from table_demo_spark.operators import multimodal
+    from table_demo_spark.queries.llmops import m23_image_phash_neardup
+    from table_demo_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    pairs = m23_image_phash_neardup(spark, SF_SMOKE).collect()
+    true_pairs = [r for r in pairs if r.a_key // 2 == r.b_key // 2]
+    assert len(true_pairs) == n_docs  # every original<->variant found
+    assert all(r.hamming <= 3 for r in true_pairs)
+    # and the hash genuinely came from DECODED pixels: recompute one
+    # hash from the raw generator raster and compare
+    import numpy as np
+
+    doc_id = 0
+    raster = np.frombuffer(
+        multimodal._md5_stream(str(doc_id), multimodal._PNG_BLOCKS, "#png"),
+        dtype=np.uint8,
+    ).reshape(multimodal.PNG_H, multimodal.PNG_W, 3).astype(np.int64)
+    luma = (
+        multimodal.LUMA_R * raster[:, :, 0]
+        + multimodal.LUMA_G * raster[:, :, 1]
+        + multimodal.LUMA_B * raster[:, :, 2]
+    )
+    s = luma.reshape(
+        multimodal.AH_GRID,
+        multimodal.PNG_H // multimodal.AH_GRID,
+        multimodal.AH_GRID,
+        multimodal.PNG_W // multimodal.AH_GRID,
+    ).sum(axis=(1, 3)).reshape(-1)
+    bits = (multimodal.AH_GRID**2 * s > s.sum()).astype(int)
+    want0 = sum(int(bits[b]) << b for b in range(multimodal.AH_BAND_BITS))
+    got = (
+        multimodal.image_ahash_bands(
+            multimodal.with_png_pair_payloads(docs.filter(F.col("doc_id") == doc_id))
+        )
+        .filter(F.col("variant") == 0)
+        .collect()[0]
+    )
+    assert got.band0 == want0

@@ -104,6 +104,7 @@ _PYTHON_ALLOWED = {
     "llm_m21_flac_pcm",  # MapInPandas (real FLAC encode + decode to PCM stats)
     "llm_m22_progressive_jpeg_dc",  # MapInPandas (progressive JPEG first-scan decode)
     "llm_d20_semantic_dedup_kmeans",  # FlatMapGroupsInPandas (per-cluster GEMM, trained routing)
+    "llm_m23_image_phash_neardup",  # MapInPandas (PNG encode/decode + aHash on decoded pixels)
 }
 
 
@@ -949,3 +950,18 @@ def test_hybrid_rrf_topk_is_take_ordered_not_global_window(spark):
     assert "CartesianProduct" not in plan, plan
     smj = re.findall(r"SortMergeJoin (\w+)", plan)
     assert smj in ([], ["FullOuter"]), plan
+
+
+def test_image_phash_candidates_are_banded_equi_join(spark):
+    """llm_m23's candidate generation must be an EQUI-join on
+    (band_idx, band_value) — the MinHash-LSH geometry applied to
+    perceptual hashes — never a cartesian/nested-loop over images,
+    and both join inputs must already carry their full hash columns
+    so no corpus-sized join-back follows the candidate filter."""
+    plan = formatted_plan(
+        _query("llm_m23_image_phash_neardup")(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    key_lines = [l for l in plan.splitlines() if "keys" in l and "val" in l]
+    assert key_lines, plan
