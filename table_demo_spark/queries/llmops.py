@@ -6099,14 +6099,12 @@ FROM qdc GROUP BY doc_id
 _M23_HAMMING_MAX = 6
 
 
-def m23_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = multimodal.image_ahash_bands(
-        multimodal.with_png_pair_payloads(docs)
-    ).select(
-        (F.col("doc_id") * 2 + F.col("variant")).cast("long").alias("img_key"),
-        *[f"band{j}" for j in range(multimodal.AH_BANDS)],
-    )
+def phash_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded Hamming near-dup join over an aHash table
+    (img_key, band0..band3): equi-join candidates on any shared
+    16-bit band (each side carries its full hash columns, so no
+    join-back), exact bit_count Hamming verify, canonical a<b pairs.
+    Shared by batch m23 and the q32 ingest-index probe."""
     band_arr = F.array(*[f"band{j}" for j in range(multimodal.AH_BANDS)])
     bands = hashes.select(
         "img_key",
@@ -6138,6 +6136,23 @@ def m23_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _M23_HAMMING_MAX)
         .distinct()
     )
+
+
+def image_hash_frame(docs: DataFrame) -> DataFrame:
+    """(img_key, band0..band3) for every (doc, variant) image — the
+    m23 codec+hash chain projected to the index schema q32 appends at
+    ingest."""
+    return multimodal.image_ahash_bands(
+        multimodal.with_png_pair_payloads(docs)
+    ).select(
+        (F.col("doc_id") * 2 + F.col("variant")).cast("long").alias("img_key"),
+        *[f"band{j}" for j in range(multimodal.AH_BANDS)],
+    )
+
+
+def m23_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_pairs(image_hash_frame(docs))
 
 
 def _m23_oracle() -> str:

@@ -35,6 +35,9 @@ from table_demo_spark.queries.llmops import _m19_oracle
 
 _M19_ORACLE = _m19_oracle()
 from table_demo_spark.queries.llmops import S3_ORACLE as _S3_ORACLE
+from table_demo_spark.queries.llmops import _m23_oracle
+
+_M23_ORACLE = _m23_oracle()
 from table_demo_spark.queries.reference import (
     _DEPARTURES_CTE,
     OVER_RANGE_MS,
@@ -1293,6 +1296,27 @@ def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q32_phash_index_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image-dedup index maintained at ingest
+    (streaming m23): arriving documents' PNG variants are decoded and
+    aHashed by the SAME stateless Arrow chain batch m23 uses, the
+    (img_key, bands) rows append to the store, and the post-drain
+    probe runs the UNCHANGED banded-Hamming join over the store.
+    Result must equal batch llm_m23 exactly (its oracle verbatim) —
+    an image hashed twice, dropped at a micro-batch boundary, or
+    banded differently on the stream breaks the value hash."""
+    from table_demo_spark.queries.llmops import phash_pairs
+    from table_demo_spark.streaming.queries import run_q32_phash_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q32_phash_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return phash_pairs(sink.snapshot_df(spark)).select(
+        "a_key", "b_key", "hamming"
+    )
+
+
 Q27_AVAILABLE_NOW_ORACLE = """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1344,6 +1368,7 @@ QUERIES: list[Query] = [
     Query("stream_q29_ann_index_ingest", q29_ann_index_ingest_final, _S3_ORACLE),
     Query("stream_q30_color_decode", q30_color_decode_final, _M19_ORACLE),
     Query("stream_q31_temporal_enrich", q31_temporal_enrich_final, _A12_ORACLE),
+    Query("stream_q32_phash_index_ingest", q32_phash_index_final, _M23_ORACLE),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -1360,7 +1360,7 @@ def tws_available() -> bool:
     container ships pyspark without google.protobuf (and installs are
     off), so the capability is probed, never assumed.
 
-    Re-probed round 5 (2026-08-14): ``import google.protobuf`` still
+    Re-probed round 6 (2026-08-15): ``import google.protobuf`` still
     raises ModuleNotFoundError in-container, so q15 (and q3 level 1)
     continue on the GroupState fallback. If the probe ever flips,
     run_q15 picks up the modern API with no code change."""
@@ -2689,6 +2689,43 @@ def run_q29_ann_index_ingest(
         sink = ParquetAppendSink(scratch_dir("tds-q29-"), ("centroid_id",))
     query = sink.bind_stream(lists, _checkpoint_dir())
     return sink, query, cent_rows
+
+
+def run_q32_phash_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Perceptual-hash index maintained AT INGEST (streaming m23):
+    each arriving shard's documents get their two real PNG variants
+    built, DECODED through the zlib+filter codec path, and aHashed on
+    the decoded pixels — the identical stateless Arrow chain batch
+    m23 uses — and the (img_key, band0..band3) rows append to the
+    native parquet sink. The store IS the image-dedup index: the
+    post-drain probe runs the UNCHANGED banded-Hamming join
+    (llmops.phash_pairs) over it and must equal batch m23 exactly, so
+    an image hashed twice, dropped at a micro-batch boundary, or
+    routed with a wrong band breaks the value hash. No state store,
+    no watermark, O(batch) codec work per trigger. Returns
+    (sink, query)."""
+    from table_demo_spark.queries.llmops import image_hash_frame
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = image_hash_frame(docs)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q32-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
 
 
 def run_q25_streaming_neardup(
