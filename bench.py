@@ -202,6 +202,7 @@ HEADLINE = [
     "an_a68_promotion_effect",
     "an_a69_product_profit",
     "src_s9_multiline_json",
+    "src_s10_binary_file_images",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

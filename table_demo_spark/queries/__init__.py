@@ -65,19 +65,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # r6 rotation: first driver rows for these (never sampled r1-r5;
     # tests/test_registry.py recomputes the union from the artifacts)
     "an_a53_top_supplier",
-    "an_a54_supplier_relationship",
-    "an_a55_small_qty_revenue",
-    "an_a56_large_volume_customers",
-    "an_a57_excess_shipment_suppliers",
     "an_a58_global_sales_opportunity",
     "an_a61_shortest_path",
     "stream_q11_csv_gzip_source",
-    "stream_q12_left_outer_join",
     "stream_q13_sliding_window",
-    "stream_q15_running_totals",
-    "stream_q17_fanout",
     "stream_q19_anti_join",
-    "stream_q20_semi_join",
     "stream_q21_dead_letter",
     "llm_d6_neardup_lsh_gemm",
     "llm_p2_stratified_sample",
@@ -97,6 +89,16 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_d20_semantic_dedup_kmeans",
     "an_a65_returned_item_reporting",
     "src_s9_multiline_json",
+    # r6 late additions: TPC-H Q5/Q7/Q14/Q9 analogs, hybrid RRF
+    # retrieval, perceptual image near-dup (batch + at-ingest)
+    "an_a66_local_supplier_volume",
+    "an_a67_volume_shipping",
+    "an_a68_promotion_effect",
+    "an_a69_product_profit",
+    "llm_s15_hybrid_rrf",
+    "llm_m23_image_phash_neardup",
+    "stream_q32_phash_index_ingest",
+    "src_s10_binary_file_images",
 )
 
 

@@ -195,6 +195,31 @@ def s9_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s10_binary_file_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``binaryFile`` source over a directory of REAL
+    PNG files — the object-store layout multimodal corpora actually
+    arrive in (one opaque file per image, id in the file name).
+    ``pathGlobFilter`` prunes non-image files at LISTING time, the
+    doc id is one regexp over the path column, and the payloads are
+    decoded through the full zlib+filter codec chain to luma stats —
+    so the oracle is batch m14's, verbatim: a file dropped by the
+    listing, truncated by the reader, or mis-keyed by the path parse
+    breaks the value hash. Parallelism is per-file (binary objects
+    are unsplittable), exactly the right unit at 100 TB of images."""
+    from table_demo_spark.operators import multimodal
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_docs_png_files(spark, sf_dir)
+    files = formats.read_docs_binary_files(spark, path)
+    return multimodal.decoded_luma(files.select("doc_id", "payload"))
+
+
+def _m14_oracle() -> str:
+    from table_demo_spark.queries.llmops import M14_ORACLE
+
+    return M14_ORACLE
+
+
 QUERIES: list[Query] = [
     Query("src_s1_jsonl_events", s1_jsonl_events, _EVENTS_ORACLE),
     Query("src_s2_orc_events", s2_orc_events, _EVENTS_ORACLE),
@@ -205,4 +230,5 @@ QUERIES: list[Query] = [
     Query("src_s7_schema_evolution", s7_schema_evolution, _EVOLVED_ORACLE),
     Query("src_s8_quoted_csv", s8_quoted_csv, _QUOTED_CSV_ORACLE),
     Query("src_s9_multiline_json", s9_multiline_json, _EVENTS_ORACLE),
+    Query("src_s10_binary_file_images", s10_binary_file_images, _m14_oracle()),
 ]

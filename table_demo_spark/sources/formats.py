@@ -379,3 +379,72 @@ def read_events_multiline_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENTS_JSONL_SCHEMA).option(
         "multiLine", "true"
     ).json(files)
+
+
+def _cached_dir_for(src: str, tag: str) -> tuple[str, bool]:
+    """_cached_dir generalized to any fixture file (not just events)."""
+    st = os.stat(src)
+    digest = hashlib.md5(
+        repr((os.path.abspath(src), st.st_mtime_ns, st.st_size)).encode()
+    ).hexdigest()[:16]
+    final = os.path.join(
+        tempfile.gettempdir(), f"fixture-{tag}-{os.getuid()}-{digest}"
+    )
+    return final, os.path.exists(os.path.join(final, _MARKER))
+
+
+def ensure_docs_png_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize every document's PNG (the md5-stream raster through
+    the real zlib+filter encoder) as an INDIVIDUAL ``doc_<id>.png``
+    file — the object-store layout crawl images actually arrive in.
+    The write is distributed: executors encode and write their own
+    partitions' files (fan_out-spread so a single-file fixture does
+    not serialize the codec work), the driver only renames the staged
+    directory into place once."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    final, done = _cached_dir_for(src, "docs-png")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="docs-png-stage-")
+
+    from table_demo_spark.operators.multimodal import with_png_payload
+    from table_demo_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = with_png_payload(docs)
+
+    def write_files(rows) -> list:
+        import os as _os
+
+        n = 0
+        for row in rows:
+            name = _os.path.join(staging, f"doc_{row['doc_id']}.png")
+            with open(name, "wb") as fh:
+                fh.write(row["payload"])
+            n += 1
+        return [n]
+
+    payloads.rdd.mapPartitions(lambda it: write_files(it)).sum()
+    return _finalize(staging, final, src)
+
+
+def read_docs_binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """Spark's native ``binaryFile`` source over the PNG directory:
+    one row per file with (path, modificationTime, length, content).
+    ``pathGlobFilter`` prunes non-image files (the fixture marker) at
+    LISTING time — no bytes of a filtered file are ever read — and
+    parallelism is one task per file group, the right unit for opaque
+    binary objects. The doc id travels in the file name, recovered
+    with one regexp over the path column."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

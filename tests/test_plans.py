@@ -105,6 +105,7 @@ _PYTHON_ALLOWED = {
     "llm_m22_progressive_jpeg_dc",  # MapInPandas (progressive JPEG first-scan decode)
     "llm_d20_semantic_dedup_kmeans",  # FlatMapGroupsInPandas (per-cluster GEMM, trained routing)
     "llm_m23_image_phash_neardup",  # MapInPandas (PNG encode/decode + aHash on decoded pixels)
+    "src_s10_binary_file_images",  # MapInPandas (PNG decode of binaryFile payloads)
 }
 
 
