@@ -78,9 +78,23 @@ def main() -> None:
     shutil.rmtree(tmp)
     print("events", spark.read.parquet(dest).count())
 
+    # TPC-H facts: 10x with shifted ORDER keys only — customers,
+    # suppliers and parts stay the originals, so the fixture models
+    # the production shape (facts grow, dimensions do not) and every
+    # dim join keeps its selectivity.
+    for table, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        dest = os.path.join(out, f"{table}.parquet")
+        if os.path.islink(dest):
+            os.remove(dest)
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+        tenfold(table, key, False).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        print(table, spark.read.parquet(dest).count())
+
     # remaining dims: symlink the originals
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"{src}/{t}.parquet", dst)
