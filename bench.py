@@ -201,6 +201,10 @@ HEADLINE = [
     "an_a67_volume_shipping",
     "an_a68_promotion_effect",
     "an_a69_product_profit",
+    "an_a70_shipping_priority",
+    "an_a71_order_priority",
+    "an_a72_revenue_forecast",
+    "an_a73_shipping_delay",
     "src_s9_multiline_json",
     "src_s10_binary_file_images",
 ]

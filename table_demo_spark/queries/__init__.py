@@ -64,12 +64,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s7_schema_evolution",
     # r6 rotation: first driver rows for these (never sampled r1-r5;
     # tests/test_registry.py recomputes the union from the artifacts)
-    "an_a53_top_supplier",
-    "an_a58_global_sales_opportunity",
     "an_a61_shortest_path",
     "stream_q11_csv_gzip_source",
-    "stream_q13_sliding_window",
-    "stream_q19_anti_join",
     "stream_q21_dead_letter",
     "llm_d6_neardup_lsh_gemm",
     "llm_p2_stratified_sample",
@@ -99,6 +95,10 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m23_image_phash_neardup",
     "stream_q32_phash_index_ingest",
     "src_s10_binary_file_images",
+    "an_a70_shipping_priority",
+    "an_a71_order_priority",
+    "an_a72_revenue_forecast",
+    "an_a73_shipping_delay",
 )
 
 

@@ -3758,6 +3758,210 @@ ORDER BY 1, 2 DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# A70 — shipping priority (TPC-H Q3 analog): top-10 unshipped orders
+# by outstanding revenue for one market segment as of a cutoff date.
+# The two HALF-OPEN date predicates sit on DIFFERENT tables (order
+# placed before the cutoff, lineitem shipped after it) and both push
+# to their respective parquet scans; the revenue agg groups on
+# (orderkey, orderdate) — fact-key grouping, map-side partials — and
+# the top-10 is TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+_A70_SEGMENT = "BUILDING"
+_A70_CUTOFF = "1996-06-01"
+
+
+def a70_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _A70_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_A70_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_A70_CUTOFF).cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+A70_ORACLE = f"""
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{_A70_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_A70_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_A70_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A71 — order-priority checking (TPC-H Q4 analog): how many orders of
+# each priority had at least one LATE line (shipped > 60 days after
+# the order date; the fixture has no commit/receipt dates, so
+# lateness is measured against o_orderdate). The EXISTS becomes a
+# LEFT SEMI join with a composite equi + range condition — each
+# order counted ONCE however many lines were late, which is exactly
+# what distinguishes Q4's shape from a plain join-and-count.
+# ---------------------------------------------------------------------------
+
+_A71_START, _A71_END = "1996-01-01", "1996-07-01"
+_A71_LATE_DAYS = 60
+
+
+def a71_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_A71_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_A71_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (F.col("l_shipdate") > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_A71_LATE_DAYS} DAYS"))
+    return (
+        orders.join(
+            li, (orders.o_orderkey == li.l_orderkey) & late, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+A71_ORACLE = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{_A71_START}'
+  AND o_orderdate < TIMESTAMP '{_A71_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {_A71_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# A72 — forecasting revenue change (TPC-H Q6): the purest pushdown
+# showcase — three range predicates, no join, one ungrouped sum.
+# Discount bounds compare as exact DECIMALs (the fixture's discounts
+# are hundredths, exact at scale 2), so the boundary rows are
+# included identically in both engines; revenue is price*discount,
+# exact DECIMAL until the final cast.
+# ---------------------------------------------------------------------------
+
+_A72_START, _A72_END = "1996-01-01", "1997-01-01"
+_A72_DISC_LO, _A72_DISC_HI = "0.05", "0.07"
+_A72_MAX_QTY = 24
+
+
+def a72_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A72_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_A72_END).cast("timestamp"))
+        & (_dec("l_discount") >= F.lit(_A72_DISC_LO).cast("decimal(18,2)"))
+        & (_dec("l_discount") <= F.lit(_A72_DISC_HI).cast("decimal(18,2)"))
+        & (F.col("l_quantity") < _A72_MAX_QTY)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+A72_ORACLE = f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_A72_START}'
+  AND l_shipdate < TIMESTAMP '{_A72_END}'
+  AND CAST(l_discount AS DECIMAL(18,2)) >= CAST({_A72_DISC_LO} AS DECIMAL(18,2))
+  AND CAST(l_discount AS DECIMAL(18,2)) <= CAST({_A72_DISC_HI} AS DECIMAL(18,2))
+  AND l_quantity < {_A72_MAX_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A73 — shipping-delay distribution (TPC-H Q12 analog): for each
+# delay bucket (on-time / 30 / 60 / 90+ days from order to ship —
+# the fixture has no shipmode, so the bucket IS the shipping-quality
+# dimension), how many lines belong to high-priority vs low-priority
+# orders. Q12's signature is the CASE-aggregated priority split
+# after a fact-fact join; the bucket expression is integer date
+# arithmetic (datediff), engine-neutral.
+# ---------------------------------------------------------------------------
+
+_A73_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def a73_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "00-29")
+        .when(delay < 60, "30-59")
+        .when(delay < 90, "60-89")
+        .otherwise("90+")
+    )
+    is_high = F.col("o_orderpriority").isin(*_A73_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+A73_ORACLE = f"""
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN '00-29'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 60 THEN '30-59'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 90 THEN '60-89'
+            ELSE '90+' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -3828,4 +4032,8 @@ QUERIES: list[Query] = [
     Query("an_a67_volume_shipping", a67_volume_shipping, A67_ORACLE),
     Query("an_a68_promotion_effect", a68_promotion_effect, A68_ORACLE),
     Query("an_a69_product_profit", a69_product_profit, A69_ORACLE),
+    Query("an_a70_shipping_priority", a70_shipping_priority, A70_ORACLE),
+    Query("an_a71_order_priority", a71_order_priority, A71_ORACLE),
+    Query("an_a72_revenue_forecast", a72_revenue_forecast, A72_ORACLE),
+    Query("an_a73_shipping_delay", a73_shipping_delay, A73_ORACLE),
 ]
