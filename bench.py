@@ -192,6 +192,7 @@ HEADLINE = [
     "an_a64_label_propagation",
     "llm_m22_progressive_jpeg_dc",
     "llm_m23_image_phash_neardup",
+    "llm_m24_flac_resample",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "stream_q32_phash_index_ingest",

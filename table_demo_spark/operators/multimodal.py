@@ -1331,3 +1331,49 @@ def image_ahash_bands(docs_with_payload: DataFrame) -> DataFrame:
         f"band{j} long" for j in range(AH_BANDS)
     )
     return docs_with_payload.mapInPandas(extract, schema=schema)
+
+
+def flac_resample_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each FLAC payload and DECIMATE-BY-2 through a crude
+    integer half-band filter — the 16 kHz -> 8 kHz feature-extract
+    step speech pipelines run before VAD/ASR frontends:
+    ``y_k = floor((s_{2k-1} + 2*s_{2k} + s_{2k+1}) / 4)`` with
+    zero-padded edges (a 3-tap [1,2,1]/4 anti-alias kernel, the
+    simplest filter that is not a bare sample drop). Everything after
+    the lossless decode is INTEGER arithmetic with floor division, so
+    the oracle states the resampled stream analytically from the md5
+    PCM (lag/lead over the sample index) — a tap misaligned by one
+    sample, a wrong edge pad, or floor-vs-truncate on negatives all
+    shift the checksum."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_flac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm = decode_flac(bytes(payload))
+                v = pcm.astype(np.int64)
+                padded = np.concatenate(([0], v, [0]))
+                filt = padded[:-2] + 2 * padded[1:-1] + padded[2:]
+                y = np.floor_divide(filt[0::2], 4)
+                rows.append(
+                    (
+                        doc_id,
+                        rate // 2,
+                        y.size,
+                        int(y.sum()),
+                        int(np.abs(y).sum()),
+                        int((y * (np.arange(y.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "pcm_sum", "pcm_abs_sum", "pcm_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=FLAC_PCM_SCHEMA)

@@ -64,7 +64,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s7_schema_evolution",
     # r6 rotation: first driver rows for these (never sampled r1-r5;
     # tests/test_registry.py recomputes the union from the artifacts)
-    "an_a61_shortest_path",
     "stream_q11_csv_gzip_source",
     "stream_q21_dead_letter",
     "llm_d6_neardup_lsh_gemm",
@@ -99,6 +98,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a71_order_priority",
     "an_a72_revenue_forecast",
     "an_a73_shipping_delay",
+    "llm_m24_flac_resample",
 )
 
 

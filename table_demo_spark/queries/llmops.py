@@ -5941,6 +5941,70 @@ FROM sv GROUP BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# M24 — audio RESAMPLING over real compressed audio: decode FLAC,
+# decimate-by-2 through the integer [1,2,1]/4 half-band kernel
+# (zero-padded edges, floor division) — the 16 kHz -> 8 kHz
+# feature-extract step speech pipelines run before VAD/ASR. The
+# entire filter is integer arithmetic after a LOSSLESS decode, so the
+# oracle restates the resampled stream analytically from the md5 PCM
+# (lag/lead over the sample index, the same floor) — a tap misaligned
+# by one sample, a wrong edge pad, or truncate-instead-of-floor on a
+# negative sum all shift pcm_checksum. Execution shape: the resample
+# runs INSIDE the same Arrow batch as the decode (one mapInPandas,
+# no extra plan node over m21), embarrassingly parallel.
+# ---------------------------------------------------------------------------
+def m24_flac_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.flac_resample_stats(multimodal.with_flac_payload(docs))
+
+
+def _m24_oracle() -> str:
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#flc' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._FLAC_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+),
+filt AS (
+  SELECT doc_id, s,
+         coalesce(lag(v) OVER (PARTITION BY doc_id ORDER BY s), 0)
+           + 2 * v
+           + coalesce(lead(v) OVER (PARTITION BY doc_id ORDER BY s), 0)
+           AS fv
+  FROM sv
+),
+y AS (
+  SELECT doc_id, s // 2 AS k,
+         CAST(floor(fv / 4.0) AS BIGINT) AS yv
+  FROM filt WHERE s % 2 = 0
+)
+SELECT doc_id,
+       CAST({multimodal.FLAC_RATE // 2} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(yv) AS BIGINT) AS pcm_sum,
+       CAST(sum(abs(yv)) AS BIGINT) AS pcm_abs_sum,
+       CAST(sum((k + 1) * yv) AS BIGINT) AS pcm_checksum
+FROM y GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # T32 — hashed-linear quality classifier (the fastText-filter shape:
 # CCNet/LLaMA-style pipelines gate crawl text with a linear model over
@@ -6314,5 +6378,6 @@ QUERIES: list[Query] = [
     Query("llm_m21_flac_pcm", m21_flac_pcm, _m21_oracle()),
     Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
     Query("llm_m23_image_phash_neardup", m23_image_phash_neardup, _m23_oracle()),
+    Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

@@ -106,6 +106,7 @@ _PYTHON_ALLOWED = {
     "llm_d20_semantic_dedup_kmeans",  # FlatMapGroupsInPandas (per-cluster GEMM, trained routing)
     "llm_m23_image_phash_neardup",  # MapInPandas (PNG encode/decode + aHash on decoded pixels)
     "src_s10_binary_file_images",  # MapInPandas (PNG decode of binaryFile payloads)
+    "llm_m24_flac_resample",  # MapInPandas (FLAC decode + integer half-band decimation)
 }
 
 
