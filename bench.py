@@ -193,6 +193,7 @@ HEADLINE = [
     "llm_m22_progressive_jpeg_dc",
     "llm_m23_image_phash_neardup",
     "llm_m24_flac_resample",
+    "llm_t33_shingle_novelty",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "stream_q32_phash_index_ingest",
@@ -206,6 +207,7 @@ HEADLINE = [
     "an_a71_order_priority",
     "an_a72_revenue_forecast",
     "an_a73_shipping_delay",
+    "an_a74_audience_overlap",
     "src_s9_multiline_json",
     "src_s10_binary_file_images",
 ]

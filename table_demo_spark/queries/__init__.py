@@ -64,8 +64,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s7_schema_evolution",
     # r6 rotation: first driver rows for these (never sampled r1-r5;
     # tests/test_registry.py recomputes the union from the artifacts)
-    "stream_q11_csv_gzip_source",
-    "stream_q21_dead_letter",
     "llm_d6_neardup_lsh_gemm",
     "llm_p2_stratified_sample",
     # r6 new work: single-action and merge-batched BPE training,
@@ -99,6 +97,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a72_revenue_forecast",
     "an_a73_shipping_delay",
     "llm_m24_flac_resample",
+    "llm_t33_shingle_novelty",
+    "an_a74_audience_overlap",
 )
 
 

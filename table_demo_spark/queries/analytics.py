@@ -3962,6 +3962,128 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# A74 — audience overlap by SKETCH ALGEBRA: |A ∩ B| for two behavior
+# cohorts (clickers vs purchasers) estimated from HLL registers via
+# inclusion-exclusion — est_a + est_b - est_union, where the union
+# estimate comes from MERGING the two cohorts' registers (per-bucket
+# max), never from rescanning the fact table. This is the sketch-
+# warehouse contract on top of a59's rollup: registers are the only
+# state exchanged, so any number of cohort sketches built on separate
+# days/clusters compose into pairwise overlaps at O(m) cost. The
+# sketch is the repo's bit-exact integer HLL, so both engines derive
+# IDENTICAL estimates; the exact overlap (distinct-user semi-join)
+# rides along to show the error.
+# ---------------------------------------------------------------------------
+
+_A74_COHORT_A, _A74_COHORT_B = "click", "purchase"
+
+
+def a74_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_demo_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def cohort(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    regs_a = hll_registers(cohort(_A74_COHORT_A), [], "user_id")
+    regs_b = hll_registers(cohort(_A74_COHORT_B), [], "user_id")
+    regs_u = (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(regs, []).select(
+            F.col("est_distinct").alias(name)
+        )
+
+    exact = (
+        cohort(_A74_COHORT_A)
+        .distinct()
+        .join(cohort(_A74_COHORT_B).distinct(), "user_id", "left_semi")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    return (
+        est(regs_a, "est_a")
+        .crossJoin(est(regs_b, "est_b"))
+        .crossJoin(est(regs_u, "est_union"))
+        .crossJoin(exact)
+        .select(
+            F.round("est_a", 6).alias("est_a"),
+            F.round("est_b", 6).alias("est_b"),
+            F.round("est_union", 6).alias("est_union"),
+            F.round(
+                (F.col("est_a") + F.col("est_b")) - F.col("est_union"), 6
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
+
+
+def _a74_oracle() -> str:
+    from table_demo_spark.operators.sketch import (
+        ALPHA_M2_SCALED,
+        M_REGISTERS,
+        RANK_CAP,
+        VALUE_HEX,
+    )
+
+    full_rank = VALUE_HEX * 4 + 1
+
+    def est(tag: str) -> str:
+        return (
+            f"CAST({ALPHA_M2_SCALED!r} AS DOUBLE) / (s_present_{tag} + "
+            f"({M_REGISTERS} - n_registers_{tag}) * (1::BIGINT << {RANK_CAP}))"
+        )
+
+    return f"""
+WITH ranks AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) AS bucket,
+         least(CASE WHEN CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, {VALUE_HEX}) AS BIGINT) > 0
+                    THEN {full_rank} - length(bin(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, {VALUE_HEX}) AS BIGINT)))
+                    ELSE {RANK_CAP} END, {RANK_CAP}) AS rank
+  FROM events
+  WHERE event_type IN ('{_A74_COHORT_A}', '{_A74_COHORT_B}')
+),
+regs AS (
+  SELECT event_type, bucket, max(rank) AS m_j FROM ranks GROUP BY 1, 2
+),
+regs_u AS (SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY 1),
+s_a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers_a,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present_a
+  FROM regs WHERE event_type = '{_A74_COHORT_A}'
+),
+s_b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers_b,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present_b
+  FROM regs WHERE event_type = '{_A74_COHORT_B}'
+),
+s_u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_registers_u,
+         CAST(sum(1::BIGINT << ({RANK_CAP} - m_j)) AS BIGINT) AS s_present_u
+  FROM regs_u
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{_A74_COHORT_A}'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{_A74_COHORT_B}'
+  )
+)
+SELECT round({est('a')}, 6) AS est_a,
+       round({est('b')}, 6) AS est_b,
+       round({est('u')}, 6) AS est_union,
+       round(({est('a')} + {est('b')}) - {est('u')}, 6) AS est_overlap,
+       exact_overlap
+FROM s_a CROSS JOIN s_b CROSS JOIN s_u CROSS JOIN exact
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4036,4 +4158,5 @@ QUERIES: list[Query] = [
     Query("an_a71_order_priority", a71_order_priority, A71_ORACLE),
     Query("an_a72_revenue_forecast", a72_revenue_forecast, A72_ORACLE),
     Query("an_a73_shipping_delay", a73_shipping_delay, A73_ORACLE),
+    Query("an_a74_audience_overlap", a74_audience_overlap, _a74_oracle()),
 ]

@@ -5942,6 +5942,74 @@ FROM sv GROUP BY doc_id
 
 
 
+
+# ---------------------------------------------------------------------------
+# T33 — shingle NOVELTY score: per document, the fraction of its
+# distinct 2-gram shingles whose FIRST corpus occurrence (by doc id —
+# the fixture's stand-in for ingest order) is this document. The
+# data-valuation / curriculum signal ("how much does this doc add
+# that the corpus does not already have") that near-dup pair emission
+# (d2/d4) does not expose: a doc can evade every pairwise threshold
+# yet be 95% reheated n-grams. Shape: d1's window-min trick on the
+# exploded shingle frame — ONE window partitioned by gram assigns
+# first_doc with a map-side partial min, then a per-doc hash-agg;
+# no self-join, no pair materialization, integer end to end (the
+# permille is one floor of an exact-double ratio).
+# ---------------------------------------------------------------------------
+def t33_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs)
+    g = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    flagged = g.withColumn("first_doc", first)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.floor(
+                F.col("n_novel").cast("double")
+                * 1000
+                / F.col("n_shingles").cast("double")
+            )
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )
+
+
+T33_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+f AS (
+  SELECT doc_id, gram,
+         min(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(floor(CAST(n_novel AS DOUBLE) * 1000
+                  / CAST(n_shingles AS DOUBLE)) AS BIGINT)
+         AS novelty_permille
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # M24 — audio RESAMPLING over real compressed audio: decode FLAC,
 # decimate-by-2 through the integer [1,2,1]/4 half-band kernel
@@ -6379,5 +6447,6 @@ QUERIES: list[Query] = [
     Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
     Query("llm_m23_image_phash_neardup", m23_image_phash_neardup, _m23_oracle()),
     Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
+    Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]
