@@ -15,7 +15,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     # normalize datetimes to epoch ms for engine-neutral comparison
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
-            out[c] = out[c].astype("int64") // 1_000_000
+            # Resolution-safe: DuckDB returns datetime64[us], Spark ns;
+            # convert to ms explicitly instead of assuming ns int64
+            # (the driver_sim / driver-contract form).
+            out[c] = out[c].astype("datetime64[ms]").astype("int64")
     out = out.sort_values(by=list(out.columns), ignore_index=True)
     return out
 
