@@ -97,12 +97,11 @@ class TableEnvironment:
         if sink is None:
             missing = [k for k in plan.upsert_keys if k not in df.columns]
             if missing:
-                # e.g. Q1 projects window.end to dept_time: the plan
-                # key 'window' no longer names an output column. The
-                # reference planner traces keys through projections;
-                # here the caller either keeps grouping columns in the
-                # output or binds an explicit sink (run_q1_stream does
-                # the latter with ('cell', 'dept_time')).
+                # infer_plan traces keys through projections like the
+                # reference planner (Q1's window.end -> dept_time rename
+                # binds without help), so reaching here means a grouping
+                # column was genuinely destroyed (e.g. folded into an
+                # arbitrary expression) — refuse to guess.
                 raise ValueError(
                     f"inferred upsert keys {plan.upsert_keys} not all in "
                     f"output columns {tuple(df.columns)} (missing "

@@ -95,13 +95,69 @@ def test_write_to_sink_streaming_roundtrip(tenv, spark):
     assert got == want
 
 
-def test_write_to_sink_rejects_projected_away_key(tenv):
-    """Q1's projection renames window.end; the facade must refuse to
-    guess and name the fix (explicit sink or keep grouping columns)."""
-    import pytest as _pytest
-
+def test_write_to_sink_traces_q1_keys_through_projection(tenv, spark):
+    """The reference planner derives the upsert key from the GROUP BY
+    *through subsequent projections* (ElasticUpsertTableSink.scala:51-55
+    via Flink's UpdatingPlanChecker: ``'w.end.cast(LONG) as 'deptTime``
+    still keys on (cell, deptTime)).  A user porting Q1 verbatim must
+    bind WITHOUT an explicit sink: the window key renames through the
+    ``unix_millis(w.end) AS dept_time`` projection, and a watermarked
+    single window agg is append-only (the sink's appendOnly fast path,
+    :76-80)."""
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
     from table_demo_spark.streaming.queries import q1_stream, stream_departures
 
     out = q1_stream(stream_departures(tenv.scan_stream("rides", speed=5e8)))
+    plan = tenv.infer(out)
+    assert plan.upsert_keys == ("cell", "dept_time")
+    assert plan.is_append_only  # single watermarked window agg
+    with _state_partitions(spark):
+        sink, query = tenv.write_to_sink(out)  # no explicit sink
+        assert sink.key_cols == ("cell", "dept_time")
+        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
+    # Append mode emits exactly the watermark-closed windows: every
+    # emitted row must match the batch answer (subset, nonempty).
+    want = {
+        (r.cell, r.dept_time, r.dept_cnt)
+        for r in q1_stream(
+            stream_departures(tenv.scan("rides")).withWatermark("rowtime", "1 hour")
+        ).collect()
+    }
+    got = {(r["cell"], r["dept_time"], r["dept_cnt"]) for r in sink.snapshot()}
+    assert got and got <= want
+
+
+def test_write_to_sink_rejects_destroyed_key(tenv):
+    """Key tracing follows renames, not arbitrary expressions: folding
+    the grouping column into an expression destroys the key and the
+    facade must refuse to guess and name the fix (explicit sink or keep
+    grouping columns)."""
+    import pytest as _pytest
+
+    agg = (
+        tenv.scan("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.concat(F.col("o_orderstatus"), F.col("n")).alias("mix"), "n")
+    )
     with _pytest.raises(ValueError, match="explicit sink"):
-        tenv.write_to_sink(out)
+        tenv.write_to_sink(agg)
+
+
+def test_infer_plan_traces_cast_rename_and_window_alias(tenv):
+    """Tracing unit shapes: Cast-wrapped identity renames follow the
+    key; a second rename chains; an expression that merges two columns
+    drops it (name survives for the diagnostic)."""
+    dep = tenv.scan("orders")
+    base = dep.groupBy("o_orderstatus").agg(F.count("*").cast("long").alias("n"))
+    assert tenv.infer(
+        base.select(F.col("o_orderstatus").cast("string").alias("status"), "n")
+    ).upsert_keys == ("status",)
+    assert tenv.infer(
+        base.select(F.col("o_orderstatus").alias("s1"), "n").select(
+            F.col("s1").alias("s2"), "n"
+        )
+    ).upsert_keys == ("s2",)
+    assert tenv.infer(
+        base.select(F.concat("o_orderstatus", "n").alias("mix"), "n")
+    ).upsert_keys == ("o_orderstatus",)
