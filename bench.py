@@ -193,6 +193,7 @@ HEADLINE = [
     "llm_m22_progressive_jpeg_dc",
     "llm_m23_image_phash_neardup",
     "llm_m24_flac_resample",
+    "llm_m25_flac_lpc",
     "llm_t33_shingle_novelty",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",

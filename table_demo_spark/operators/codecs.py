@@ -38,6 +38,7 @@ to decoded-pixel results, not just plumbing.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import NamedTuple
@@ -1791,14 +1792,22 @@ def decode_jpeg_progressive_dc(data: bytes) -> dict[str, np.ndarray]:
 # (xiph.org/flac/format.html): fLaC magic + STREAMINFO metadata block,
 # then self-synchronizing frames — 14-bit sync code, coded frame
 # number, CRC-8-protected header, one mono subframe per frame
-# (CONSTANT / VERBATIM / FIXED order 0-4), rice-coded residuals
-# (unary quotient + k-bit remainder over the zigzag mapping), and a
-# CRC-16 over the whole frame. Everything is integer and bit-exact —
-# FLAC is lossless — so decode(encode(pcm)) == pcm EXACTLY and the
-# decoded samples are oracle-statable. LPC subframes (order 32
-# linear predictors) are the documented negative space: fixed
-# predictors are the spec's own fast path and cover the compression
-# machinery (prediction, rice, framing, both CRCs) end to end.
+# (CONSTANT / VERBATIM / FIXED order 0-4, plus LPC orders 1-32),
+# rice-coded residuals (unary quotient + k-bit remainder over the
+# zigzag mapping), and a CRC-16 over the whole frame. Everything is
+# integer and bit-exact — FLAC is lossless — so decode(encode(pcm)) ==
+# pcm EXACTLY and the decoded samples are oracle-statable.
+#
+# LPC subframes (the general quantized-coefficient linear predictor
+# real-world encoders emit on nearly every frame) carry the
+# coefficients IN the bitstream — precision-1 (4 bits), a signed
+# 5-bit right-shift, then `order` signed precision-bit coefficients —
+# and reconstruct with pure integer arithmetic:
+#   x[i] = residual[i] + ((sum_j c_j * x[i-1-j]) >> shift)
+# (arithmetic shift, i.e. floor). How an encoder ESTIMATES the
+# coefficients is unconstrained by the spec (float math is fine);
+# losslessness never depends on it because the residual is computed
+# with the same quantized integer prediction the decoder runs.
 
 FLAC_MAGIC = b"fLaC"
 
@@ -1953,6 +1962,63 @@ def _flac_read_coded_number(reader: _BitReader) -> int:
     return n
 
 
+def _flac_stream_header(n: int, sample_rate: int, blocksize: int) -> bytes:
+    """fLaC magic + STREAMINFO (last-metadata flag set)."""
+    info = bytearray()
+    info += struct.pack(">HH", blocksize, blocksize)
+    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    # sample_rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += bytes(16)  # raw-PCM MD5 unknown
+    return (
+        FLAC_MAGIC + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    )
+
+
+def _flac_frame_header(f: int, bs: int, sample_rate: int) -> bytes:
+    """CRC-8-terminated frame header (mono, 16 bps, 16-bit blocksize
+    at end of header)."""
+    hdr = _BitWriter()
+    hdr.put(0b11111111111110, 14)
+    hdr.put(0, 1)  # reserved
+    hdr.put(0, 1)  # fixed-blocksize stream
+    hdr.put(0b0111, 4)  # blocksize: 16-bit at end of header
+    hdr.put(_FLAC_RATES[sample_rate], 4)
+    hdr.put(0b0000, 4)  # mono
+    hdr.put(0b100, 3)  # 16 bps
+    hdr.put(0, 1)  # reserved
+    hdr.align()
+    header = hdr.bytes() + _flac_coded_number(f) + struct.pack(">H", bs - 1)
+    return header + bytes([_crc8(header)])
+
+
+def _write_rice(body: _BitWriter, res: np.ndarray) -> None:
+    """Partition-order-0 rice residual with k from the mean zigzag
+    magnitude (the spec's own estimator)."""
+    u = (res << 1) ^ (res >> 63)  # zigzag
+    mean = int(u.mean()) if u.size else 0
+    k = min(14, max(0, int(mean).bit_length() - 1))
+    body.put(0b00, 2)  # rice, 4-bit params
+    body.put(0, 4)  # partition order 0
+    body.put(k, 4)
+    for uv in u:
+        body.unary(int(uv) >> k)
+        if k:
+            body.put(int(uv) & ((1 << k) - 1), k)
+
+
+def _flac_validate(samples: np.ndarray, sample_rate: int, blocksize: int):
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError(
+            f"expected 1-D int16, got {samples.shape} {samples.dtype}"
+        )
+    if sample_rate not in _FLAC_RATES:
+        raise ValueError(f"unsupported sample rate {sample_rate}")
+    if not 16 <= blocksize <= 65535:
+        raise ValueError(f"bad blocksize {blocksize}")
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 16_000,
@@ -1966,44 +2032,14 @@ def encode_flac(
     k chosen from the mean magnitude. A constant block becomes a
     CONSTANT subframe. Lossless by construction: decode_flac returns
     the exact samples."""
-    if samples.ndim != 1 or samples.dtype != np.int16:
-        raise ValueError(
-            f"expected 1-D int16, got {samples.shape} {samples.dtype}"
-        )
-    if sample_rate not in _FLAC_RATES:
-        raise ValueError(f"unsupported sample rate {sample_rate}")
-    if not 16 <= blocksize <= 65535:
-        raise ValueError(f"bad blocksize {blocksize}")
+    _flac_validate(samples, sample_rate, blocksize)
     n = samples.size
-    out = bytearray()
-    out += FLAC_MAGIC
-    # STREAMINFO, last-metadata flag set
-    info = bytearray()
-    info += struct.pack(">HH", blocksize, blocksize)
-    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
-    # sample_rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
-    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
-    info += packed.to_bytes(8, "big")
-    info += bytes(16)  # raw-PCM MD5 unknown
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
-
+    out = bytearray(_flac_stream_header(n, sample_rate, blocksize))
     x = samples.astype(np.int64)
     for f, start in enumerate(range(0, n, blocksize)):
         blk = x[start : start + blocksize]
         bs = blk.size
-        hdr = _BitWriter()
-        hdr.put(0b11111111111110, 14)
-        hdr.put(0, 1)  # reserved
-        hdr.put(0, 1)  # fixed-blocksize stream
-        hdr.put(0b0111, 4)  # blocksize: 16-bit at end of header
-        hdr.put(_FLAC_RATES[sample_rate], 4)
-        hdr.put(0b0000, 4)  # mono
-        hdr.put(0b100, 3)  # 16 bps
-        hdr.put(0, 1)  # reserved
-        hdr.align()
-        header = hdr.bytes() + _flac_coded_number(f) + struct.pack(">H", bs - 1)
-        header += bytes([_crc8(header)])
-
+        header = _flac_frame_header(f, bs, sample_rate)
         body = _BitWriter()
         if np.all(blk == blk[0]):
             body.put(0, 1)
@@ -2025,16 +2061,7 @@ def encode_flac(
             body.put(0, 1)  # no wasted bits
             for w in blk[:o]:
                 body.put(int(w) & 0xFFFF, 16)
-            u = (res << 1) ^ (res >> 63)  # zigzag
-            mean = int(u.mean()) if u.size else 0
-            k = min(14, max(0, int(mean).bit_length() - 1))
-            body.put(0b00, 2)  # rice, 4-bit params
-            body.put(0, 4)  # partition order 0
-            body.put(k, 4)
-            for uv in u:
-                body.unary(int(uv) >> k)
-                if k:
-                    body.put(int(uv) & ((1 << k) - 1), k)
+            _write_rice(body, res)
         body.align()
         frame = header + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
@@ -2042,12 +2069,171 @@ def encode_flac(
     return bytes(out)
 
 
-def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+def _estimate_lpc(blk: np.ndarray, order: int) -> np.ndarray | None:
+    """Float LPC coefficient estimation: solve the autocorrelation
+    normal equations (Toeplitz R a = r). The spec leaves estimation to
+    the encoder; float math here is safe because the residual below is
+    computed with the QUANTIZED integer coefficients the decoder reads
+    back — losslessness never depends on this step."""
+    x = blk.astype(np.float64)
+    n = x.size
+    ac = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    )
+    if ac[0] <= 0:
+        return None
+    r_mat = np.empty((order, order))
+    for i in range(order):
+        for j in range(order):
+            r_mat[i, j] = ac[abs(i - j)]
+    r_mat += np.eye(order) * (ac[0] * 1e-9)  # ridge: near-singular blocks
+    try:
+        return np.linalg.solve(r_mat, ac[1 : order + 1])
+    except np.linalg.LinAlgError:
+        return None
+
+
+def _quantize_lpc(
+    coefs: np.ndarray, precision: int
+) -> tuple[np.ndarray, int] | None:
+    """Float coefficients -> (precision-bit signed ints, right-shift):
+    the largest shift (<= 15) that keeps every rounded coefficient in
+    the signed precision-bit range."""
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax <= 0:
+        return None
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(np.round(coefs * (1 << shift)), -lim, lim - 1).astype(np.int64)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def encode_flac_lpc(
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    blocksize: int = 1024,
+    order: int = 8,
+    precision: int = 12,
+) -> bytes:
+    """1-D int16 mono samples -> FLAC bytes where EVERY subframe is an
+    LPC subframe — the general quantized-coefficient predictor
+    real-world encoders emit on nearly every frame (fixed predictors,
+    ``encode_flac``, are the spec's fast path).
+
+    Per block: estimate order-``order`` float coefficients from the
+    autocorrelation normal equations, quantize to ``precision``-bit
+    signed ints with a derived right-shift, compute the residual with
+    the SAME integer prediction the decoder runs
+    (``x[i] - ((sum c_j x[i-1-j]) >> shift)``), rice-code it. Blocks
+    where estimation degenerates (constant/silence) fall back to the
+    order-1 identity predictor ``c = [1 << shift]`` — still an LPC
+    subframe, still lossless. Lossless by construction for any input:
+    decode_flac returns the exact samples."""
+    _flac_validate(samples, sample_rate, blocksize)
+    if not 1 <= order <= 32:
+        raise ValueError(f"LPC order {order} out of range 1-32")
+    if not 2 <= precision <= 15:
+        raise ValueError(f"precision {precision} out of range 2-15")
+    n = samples.size
+    out = bytearray(_flac_stream_header(n, sample_rate, blocksize))
+    x = samples.astype(np.int64)
+    for f, start in enumerate(range(0, n, blocksize)):
+        blk = x[start : start + blocksize]
+        bs = blk.size
+        if bs < 2:
+            # degenerate 1-sample tail: no room for warm-up + residual;
+            # VERBATIM is the spec's own raw fallback
+            header = _flac_frame_header(f, bs, sample_rate)
+            body = _BitWriter()
+            body.put(0, 1)
+            body.put(0b000001, 6)  # VERBATIM
+            body.put(0, 1)
+            for w in blk:
+                body.put(int(w) & 0xFFFF, 16)
+            body.align()
+            frame = header + body.bytes()
+            frame += struct.pack(">H", _crc16(frame))
+            out += frame
+            continue
+        o = min(order, bs - 1)
+        est = _estimate_lpc(blk, o) if o >= 1 else None
+        quant = _quantize_lpc(est, precision) if est is not None else None
+        if quant is None:
+            o, quant = 1, (np.array([1], dtype=np.int64), 0)
+        q, shift = quant
+        o = q.size
+        # Integer residual with the quantized predictor (exact int64:
+        # |sum| <= 32 * 2^(precision-1) * 2^15 < 2^31). conv[i] =
+        # sum_j q_j * blk[i-j], so the prediction sum for sample i is
+        # conv[i-1].
+        conv = np.convolve(blk, q)
+        pred = conv[o - 1 : bs - 1] >> shift  # arithmetic shift = floor
+        res = blk[o:] - pred
+
+        header = _flac_frame_header(f, bs, sample_rate)
+        body = _BitWriter()
+        body.put(0, 1)
+        body.put(31 + o, 6)  # LPC order o
+        body.put(0, 1)  # no wasted bits
+        for w in blk[:o]:
+            body.put(int(w) & 0xFFFF, 16)
+        body.put(precision - 1, 4)
+        body.put(shift, 5)
+        for c in q:
+            body.put(int(c) & ((1 << precision) - 1), precision)
+        _write_rice(body, res)
+        body.align()
+        frame = header + body.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+def _read_rice_residual(reader: _BitReader, bs: int, order: int) -> np.ndarray:
+    """Residual section shared by FIXED and LPC subframes: coding
+    method (2), partition order (4), then per partition a rice
+    parameter (4/5 bits, all-ones = escape to raw n-bit residuals)."""
+    method = reader.bits(2)
+    if method not in (0, 1):
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    porder = reader.bits(4)
+    nparts = 1 << porder
+    res = np.empty(bs - order, dtype=np.int64)
+    ri = 0
+    for p in range(nparts):
+        cnt = (bs >> porder) - (order if p == 0 else 0)
+        k = reader.bits(pbits)
+        if k == (1 << pbits) - 1:  # escape: raw n-bit residuals
+            nb = reader.bits(5)
+            for _ in range(cnt):
+                v = reader.bits(nb) if nb else 0
+                if nb and v >= 1 << (nb - 1):
+                    v -= 1 << nb
+                res[ri] = v
+                ri += 1
+        else:
+            for _ in range(cnt):
+                u = (reader.unary() << k) | (reader.bits(k) if k else 0)
+                res[ri] = (u >> 1) ^ -(u & 1)  # un-zigzag
+                ri += 1
+    return res
+
+
+def decode_flac(
+    data: bytes, return_subframe_types: bool = False
+) -> tuple[int, np.ndarray] | tuple[int, np.ndarray, list[int]]:
     """FLAC bytes -> (sample_rate, 1-D int16 samples). Verifies the
     sync code, header CRC-8, and frame CRC-16 of every frame; supports
-    the encoder's subset (mono 16-bit, CONSTANT/VERBATIM/FIXED
-    subframes, rice partition order >= 0) plus multi-partition rice
-    residuals from standards encoders."""
+    mono 16-bit CONSTANT/VERBATIM/FIXED (orders 0-4) and LPC
+    (orders 1-32, quantized-coefficient integer prediction) subframes,
+    multi-partition rice residuals, and the raw-escape rice code.
+    With ``return_subframe_types`` the per-frame 6-bit subframe type
+    codes are appended to the result (0=CONSTANT, 1=VERBATIM,
+    8+o=FIXED order o, 31+o=LPC order o)."""
     if not data.startswith(FLAC_MAGIC):
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -2077,6 +2263,7 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     if sample_rate is None:
         raise ValueError("missing STREAMINFO")
     out: list[np.ndarray] = []
+    stypes: list[int] = []
     got = 0
     while pos < len(data) and (total == 0 or got < total):
         reader = _BitReader(data, pos)
@@ -2147,32 +2334,7 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
                 if v >= 1 << (eff - 1):
                     v -= 1 << eff
                 warm[i] = v
-            method = reader.bits(2)
-            if method not in (0, 1):
-                raise ValueError("reserved residual coding method")
-            pbits = 4 if method == 0 else 5
-            porder = reader.bits(4)
-            nparts = 1 << porder
-            res = np.empty(bs - o, dtype=np.int64)
-            ri = 0
-            for p in range(nparts):
-                cnt = (bs >> porder) - (o if p == 0 else 0)
-                k = reader.bits(pbits)
-                if k == (1 << pbits) - 1:  # escape: raw n-bit residuals
-                    nb = reader.bits(5)
-                    for _ in range(cnt):
-                        v = reader.bits(nb) if nb else 0
-                        if nb and v >= 1 << (nb - 1):
-                            v -= 1 << nb
-                        res[ri] = v
-                        ri += 1
-                else:
-                    for _ in range(cnt):
-                        u = (reader.unary() << k) | (
-                            reader.bits(k) if k else 0
-                        )
-                        res[ri] = (u >> 1) ^ -(u & 1)  # un-zigzag
-                        ri += 1
+            res = _read_rice_residual(reader, bs, o)
             blk = np.empty(bs, dtype=np.int64)
             blk[:o] = warm
             for i in range(o, bs):
@@ -2191,8 +2353,48 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
                     )
                 blk[i] = res[i - o] + pred
             blk <<= wasted
+        elif 32 <= stype <= 63:  # LPC order o = stype - 31
+            o = stype - 31
+            if o >= bs:
+                raise ValueError(f"LPC order {o} >= blocksize {bs}")
+            warm = np.empty(o, dtype=np.int64)
+            for i in range(o):
+                v = reader.bits(eff)
+                if v >= 1 << (eff - 1):
+                    v -= 1 << eff
+                warm[i] = v
+            prec = reader.bits(4)
+            if prec == 0b1111:
+                raise ValueError("invalid LPC coefficient precision")
+            prec += 1
+            shift = reader.bits(5)
+            if shift >= 16:
+                shift -= 32  # two's complement
+            if shift < 0:
+                # the spec marks negative shifts obsolete; no encoder
+                # emits them
+                raise ValueError("negative LPC shift unsupported")
+            coefs = np.empty(o, dtype=np.int64)
+            for i in range(o):
+                v = reader.bits(prec)
+                if v >= 1 << (prec - 1):
+                    v -= 1 << prec
+                coefs[i] = v
+            res = _read_rice_residual(reader, bs, o)
+            blk = np.empty(bs, dtype=np.int64)
+            blk[:o] = warm
+            # x[i] = res + ((sum_j c_j * x[i-1-j]) >> shift); Python
+            # ints keep the pre-shift dot product exact and >> is the
+            # arithmetic (floor) shift the spec requires on negatives.
+            cof = [int(c) for c in coefs]
+            for i in range(o, bs):
+                acc = 0
+                for j in range(o):
+                    acc += cof[j] * int(blk[i - 1 - j])
+                blk[i] = res[i - o] + (acc >> shift)
+            blk <<= wasted
         else:
-            raise ValueError(f"unsupported subframe type {stype} (LPC?)")
+            raise ValueError(f"unsupported subframe type {stype}")
         reader.align()
         end = reader.bytepos()
         if end + 2 > len(data):
@@ -2201,6 +2403,7 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         if _crc16(data[pos:end]) != crc:
             raise ValueError("FLAC frame CRC-16 mismatch")
         out.append(blk)
+        stypes.append(stype)
         got += bs
         pos = end + 2
     pcm = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
@@ -2208,4 +2411,6 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"decoded {pcm.size} samples, STREAMINFO says {total}")
     if pcm.size and (pcm.max() > 32767 or pcm.min() < -32768):
         raise ValueError("decoded samples out of int16 range (corrupt FLAC)")
+    if return_subframe_types:
+        return int(sample_rate), pcm.astype(np.int16), stypes
     return int(sample_rate), pcm.astype(np.int16)

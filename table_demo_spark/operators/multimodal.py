@@ -978,6 +978,108 @@ def flac_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=FLAC_PCM_SCHEMA)
 
 
+_FLAC_LPC_ORDER = 8
+_FLAC_LPC_PRECISION = 12
+FLAC_LPC_FRAMES = FLAC_SAMPLES // FLAC_BLOCKSIZE  # every frame is LPC
+
+
+def _flac_lpc_pcm(doc_id) -> "np.ndarray":
+    """The m25 PCM: a 4-tap moving average (floor division,
+    zero-padded left) of the doc's md5 int16 stream (salt '#flp').
+    White md5 noise has no sample-to-sample correlation, so an LPC
+    predictor trained on it is near-zero — smoothing makes the signal
+    a genuine MA process with nonzero predictor taps, so the LPC path
+    (coefficient quantization, shifted integer dot product, warm-up
+    handoff across frames) is exercised with real arithmetic. The
+    transform is lag-statable in SQL (the m24 trick, on the encode
+    side instead of the decode side)."""
+    import numpy as np
+
+    m = np.frombuffer(
+        _md5_stream(str(doc_id), _FLAC_BLOCKS, "#flp"), dtype="<i2"
+    ).astype(np.int64)
+    sm = np.convolve(m, np.ones(4, dtype=np.int64))[: m.size] // 4
+    return sm.astype(np.int16)
+
+
+def with_flac_lpc_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real FLAC file per document where EVERY
+    subframe is an LPC subframe (codecs.encode_flac_lpc: order-8
+    predictor estimated per block, 12-bit quantized coefficients with
+    derived shift carried in the bitstream, rice-coded integer
+    residual) — the general-predictor path real-world encoders emit on
+    nearly every frame, m21's documented negative space until now."""
+    import numpy as np  # noqa: F401  (dtype context for _flac_lpc_pcm)
+
+    from table_demo_spark.operators.codecs import encode_flac_lpc
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_flac_lpc(
+                    _flac_lpc_pcm(doc_id),
+                    FLAC_RATE,
+                    blocksize=FLAC_BLOCKSIZE,
+                    order=_FLAC_LPC_ORDER,
+                    precision=_FLAC_LPC_PRECISION,
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+FLAC_LPC_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, n_lpc_subframes long, "
+    "pcm_sum long, pcm_abs_sum long, pcm_checksum long"
+)
+
+
+def flac_lpc_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each LPC-subframe FLAC payload back to PCM (sync + both
+    CRCs verified per frame, quantized-coefficient integer prediction,
+    rice decode) and aggregate the samples per document. FLAC is
+    lossless, so the oracle states the stats ANALYTICALLY from the
+    md5-derived smoothed stream; ``n_lpc_subframes`` comes from the
+    decoded subframe-type codes and pins that the general LPC path —
+    not a fixed-predictor fallback — produced every frame."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_flac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm, stypes = decode_flac(
+                    bytes(payload), return_subframe_types=True
+                )
+                v = pcm.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        v.size,
+                        sum(1 for t in stypes if 32 <= t <= 63),
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int((v * (np.arange(v.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_lpc_subframes",
+                    "pcm_sum", "pcm_abs_sum", "pcm_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=FLAC_LPC_SCHEMA)
+
+
 JPEG_PC_W, JPEG_PC_H = 64, 32  # color: MCU grid 2x4 = 8 MCUs
 _JPEG_PC_Y_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 16
 _JPEG_PC_C_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 64

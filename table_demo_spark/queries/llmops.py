@@ -6074,6 +6074,72 @@ FROM y GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# M25 — LPC-subframe FLAC: the general quantized-coefficient linear
+# predictor real-world encoders emit on nearly every frame (m21 covers
+# the spec's fixed-predictor fast path; LPC was its documented
+# negative space). The payload PCM is a 4-tap moving average of the
+# md5 stream — a genuine MA process, so the per-block predictor taps
+# are nonzero and the LPC machinery (precision/shift carried in the
+# bitstream, shifted integer dot product, warm-up handoff across
+# frames) does real arithmetic rather than degenerating to
+# near-identity. FLAC stays lossless end to end, so the oracle states
+# the decoded samples ANALYTICALLY: the same md5 stream smoothed with
+# lag() + floor (the m24 trick on the ENCODE side), plus a literal
+# n_lpc_subframes = frames-per-payload that the Spark side derives
+# from the decoded subframe-type codes — a fixed-predictor or
+# verbatim fallback on any frame breaks the hash. Shape: two chained
+# mapInPandas stages after fan-out, no joins — the image-codec
+# profile, embarrassingly parallel at any scale.
+# ---------------------------------------------------------------------------
+
+
+def m25_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.flac_lpc_pcm_stats(multimodal.with_flac_lpc_payload(docs))
+
+
+def _m25_oracle() -> str:
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#flp' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._FLAC_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+),
+smooth AS (
+  SELECT doc_id, s,
+         CAST(floor((v
+             + coalesce(lag(v, 1) OVER w, 0)
+             + coalesce(lag(v, 2) OVER w, 0)
+             + coalesce(lag(v, 3) OVER w, 0)) / 4.0) AS BIGINT) AS y
+  FROM sv WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+)
+SELECT doc_id,
+       CAST({multimodal.FLAC_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST({multimodal.FLAC_LPC_FRAMES} AS BIGINT) AS n_lpc_subframes,
+       CAST(sum(y) AS BIGINT) AS pcm_sum,
+       CAST(sum(abs(y)) AS BIGINT) AS pcm_abs_sum,
+       CAST(sum((s + 1) * y) AS BIGINT) AS pcm_checksum
+FROM smooth GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T32 — hashed-linear quality classifier (the fastText-filter shape:
 # CCNet/LLaMA-style pipelines gate crawl text with a linear model over
 # hashed bag-of-words features). The MODEL SHIPS AS ARITHMETIC, not a
@@ -6447,6 +6513,7 @@ QUERIES: list[Query] = [
     Query("llm_m22_progressive_jpeg_dc", m22_progressive_jpeg_dc, M22_ORACLE),
     Query("llm_m23_image_phash_neardup", m23_image_phash_neardup, _m23_oracle()),
     Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
+    Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

@@ -107,6 +107,7 @@ _PYTHON_ALLOWED = {
     "llm_m23_image_phash_neardup",  # MapInPandas (PNG encode/decode + aHash on decoded pixels)
     "src_s10_binary_file_images",  # MapInPandas (PNG decode of binaryFile payloads)
     "llm_m24_flac_resample",  # MapInPandas (FLAC decode + integer half-band decimation)
+    "llm_m25_flac_lpc",  # MapInPandas (LPC-subframe FLAC encode + decode to PCM stats)
 }
 
 
