@@ -198,6 +198,7 @@ HEADLINE = [
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "stream_q32_phash_index_ingest",
+    "stream_q33_centroid_drift",
     "llm_d20_semantic_dedup_kmeans",
     "an_a65_returned_item_reporting",
     "an_a66_local_supplier_volume",

@@ -93,9 +93,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q19_anti_join",
     "stream_q20_semi_join",
     "stream_q21_dead_letter",
-    # r7 new work: LPC-subframe FLAC decode; stream_q33_centroid_drift
-    # appended when it lands to reach 50 at round end.
+    # r7 new work: LPC-subframe FLAC decode, centroid-drift ANN ingest
     "llm_m25_flac_lpc",
+    "stream_q33_centroid_drift",
 )
 
 

@@ -1297,6 +1297,91 @@ def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q33_centroid_drift_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN ingest with centroid DRIFT (q29 production-shaped): the
+    first half of the corpus routes with the stream-start centroids
+    (gen 0); the sink then retrains — one rounded Lloyd step over its
+    OWN gen-0 inverted lists — and the second half re-routes against
+    the new matrix (gen 1). Final state = the full routing table; the
+    oracle restates both generations analytically (the s14
+    literal-centroid trick, chained: cent1 is SQL-stated as the
+    rounded per-cluster means of the cent0 assignment over the first
+    half). A row routed with the wrong generation's centroids,
+    retrained from the wrong subset, or double-written on a replayed
+    batch breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q33_centroid_drift
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q33_centroid_drift(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        F.col("neighbor_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("gen").cast("long").alias("gen"),
+    )
+
+
+def _q33_oracle() -> str:
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import _sql_cosine
+
+    k, dim = similarity.N_CENTROIDS, similarity.DIM
+    return f"""
+WITH cent0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {k}
+),
+bound AS (
+  -- rank-based half split (vec_ids need not be dense): the max id
+  -- among the first 2*ceil(N/4) ids in ascending order
+  SELECT max(vec_id) AS hv FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 2 * ((SELECT (count(*) + 3) // 4 FROM embeddings))
+),
+a0 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent0 c
+    WHERE e.vec_id <= (SELECT hv FROM bound)
+  ) WHERE rk = 1
+),
+m AS (
+  SELECT cid, d,
+         round(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)), 6) AS v
+  FROM a0 CROSS JOIN (SELECT unnest(range(0, {dim})) AS d)
+  GROUP BY cid, d
+),
+cent1 AS (
+  SELECT c0.cid, coalesce(m1.cv, c0.cv) AS cv
+  FROM cent0 c0 LEFT JOIN (
+    SELECT cid, list(v ORDER BY d) AS cv FROM m GROUP BY cid
+  ) m1 ON c0.cid = m1.cid
+),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                      c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cent1 c
+    WHERE e.vec_id > (SELECT hv FROM bound)
+  ) WHERE rk = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+       CAST(0 AS BIGINT) AS gen
+FROM a0
+UNION ALL
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+       CAST(1 AS BIGINT) AS gen
+FROM a1
+"""
+
+
 def q32_phash_index_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image-dedup index maintained at ingest
     (streaming m23): arriving documents' PNG variants are decoded and
@@ -1369,6 +1454,7 @@ QUERIES: list[Query] = [
     Query("stream_q30_color_decode", q30_color_decode_final, _M19_ORACLE),
     Query("stream_q31_temporal_enrich", q31_temporal_enrich_final, _A12_ORACLE),
     Query("stream_q32_phash_index_ingest", q32_phash_index_final, _M23_ORACLE),
+    Query("stream_q33_centroid_drift", q33_centroid_drift_final, _q33_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2460,6 +2460,198 @@ def ensure_embeddings_shards(
     return _ensure_table_shards(spark, sf_dir, "embeddings", "vec_id", n_shards)
 
 
+def ensure_q33_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Stage embeddings as 4 single-file shards with EXPLICIT vec_id
+    ranges (shard i = [i*S, (i+1)*S), S = ceil(N/4)) and strictly
+    increasing mtimes in range order. q33's final state depends on
+    ARRIVAL ORDER (which centroid generation routed each row), so
+    unlike the convergent-state shard fixtures this one pins the order
+    two ways: FileStreamSource processes oldest-first (probed
+    deterministic 3/3 under scrambled write order), and the range
+    split makes "generation" a pure function of vec_id — exactly what
+    the DuckDB oracle states."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from table_demo_spark.sources.batch import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        repr(
+            (os.path.abspath(src), st.st_mtime_ns, st.st_size, "q33-rank")
+        ).encode()
+    ).hexdigest()[:16]
+    final = os.path.join(
+        tempfile.gettempdir(), f"q33-shards-{os.getuid()}-{digest}"
+    )
+    if os.path.isdir(final):
+        return final
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    s = (n + 3) // 4
+    # RANK-based boundaries, not value ranges: vec_ids need not be
+    # dense (the 10x fixture key-shifts them), and the oracle states
+    # the same split via row_number. The global-window sort is fixture
+    # STAGING cost only (at production scale this is one
+    # repartitionByRange write).
+    from pyspark.sql import Window
+
+    ranked = emb.select(
+        "vec_id",
+        F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+    )
+    cuts = {
+        int(r["rn"]): int(r["vec_id"])
+        for r in ranked.filter(
+            F.col("rn").isin([s, 2 * s, 3 * s])
+        ).collect()
+    }
+    hi = [cuts.get(s), cuts.get(2 * s), cuts.get(3 * s)]  # None => +inf
+    staging = tempfile.mkdtemp(prefix="q33-shards-stage-")
+    for i in range(4):
+        part_dir = os.path.join(staging, f"_s{i}")
+        if i > 0 and hi[i - 1] is None:
+            cond = F.lit(False)  # fewer than i*s rows: shard is empty
+        else:
+            cond = F.lit(True)
+            if i > 0:
+                cond = cond & (F.col("vec_id") > hi[i - 1])
+            if i < 3 and hi[i] is not None:
+                cond = cond & (F.col("vec_id") <= hi[i])
+        (
+            emb.filter(cond)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        pf = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        os.rename(pf, os.path.join(staging, f"shard-{i}.parquet"))
+        shutil.rmtree(part_dir)
+    base = st.st_mtime  # stable across rebuilds of the same fixture
+    for i in range(4):
+        os.utime(
+            os.path.join(staging, f"shard-{i}.parquet"),
+            (base + 10 * i, base + 10 * i),
+        )
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent stager won
+    return final
+
+
+Q33_RETRAIN_AFTER_BATCH = 1  # retrain once batches 0..1 (vec_id < 2S) landed
+
+
+def run_q33_centroid_drift(spark: SparkSession, sf_dir: str, sink=None):
+    """ANN ingest with CENTROID DRIFT (the q29 index, production-
+    shaped): a real ingest pipeline re-trains its router periodically
+    instead of routing forever with the centroids fixed at stream
+    start. Arrivals route through ivf_assign_inline with the CURRENT
+    literal centroid matrix; after the retrain boundary (2 of 4
+    shards = the first half of the vec_id space) the sink derives
+    generation-1 centroids with one rounded Lloyd step — per-cluster
+    per-dim round(avg, 6) over the vectors ALREADY IN THE STORE, i.e.
+    the index retrains itself from its own inverted lists, one
+    bounded distributed agg (k x dim rows to the driver) — and later
+    arrivals re-route against the new matrix.
+
+    Exactly-once without a keyed merge: each micro-batch writes its
+    rows under a b=<batch_id> partition with DYNAMIC partition
+    overwrite, so a replayed batch overwrites exactly its own subtree
+    (routing is deterministic, so the rewrite is byte-stable). The
+    store stays Hive-partitioned by (b, gen, centroid_id) — a probe
+    filtering on centroid_id/gen prunes whole directories
+    (PartitionFilters), pinned by
+    tests/test_streaming.py::test_q33_store_probe_is_partition_pruned.
+
+    Returns (sink, query)."""
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent0 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < similarity.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    shards = ensure_q33_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    if sink is None:
+        sink = ParquetAppendSink(
+            scratch_dir("tds-q33-"), ("b", "gen", "centroid_id")
+        )
+    state = {"cent": cent0, "gen": 0}
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        routed = similarity.ivf_assign_inline(batch_df, state["cent"]).select(
+            F.lit(batch_id).cast("long").alias("b"),
+            F.lit(state["gen"]).cast("long").alias("gen"),
+            "centroid_id",
+            "neighbor_id",
+            "c_vec",
+        )
+        (
+            routed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("b", "gen", "centroid_id")
+            .parquet(sink.path)
+        )
+        if state["gen"] == 0 and batch_id >= Q33_RETRAIN_AFTER_BATCH:
+            # One Lloyd step over the index's own gen-0 lists. Rounded
+            # means (s5 discipline): float summation order is
+            # partitioning-dependent, round(.,6) pins the matrix
+            # bit-identically across engines. A cluster with no gen-0
+            # members keeps its generation-0 centroid.
+            cloned = batch_df.sparkSession
+            means = (
+                cloned.read.parquet(sink.path)
+                .filter(F.col("gen") == 0)
+                .select(
+                    "centroid_id", F.posexplode("c_vec").alias("d", "x")
+                )
+                .groupBy("centroid_id", "d")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+                .collect()  # bounded: k x dim rows
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(int(r["centroid_id"]), {})[int(r["d"])] = (
+                    float(r["v"])
+                )
+            state["cent"] = [
+                (
+                    cid,
+                    [by_cid[cid][d] for d in range(len(vec))]
+                    if cid in by_cid
+                    else vec,
+                )
+                for cid, vec in cent0
+            ]
+            state["gen"] = 1
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
 # ---------------------------------------------------------------------------
 # Q27 streaming — Trigger.AvailableNow: the INCREMENTAL-BATCH mode
 # (run the pipeline on a schedule; each invocation processes exactly

@@ -1140,3 +1140,87 @@ def test_q29_index_at_ingest_layout_prunes_and_matches_batch(spark):
         for r in S.ivf_topk(emb, queries_df, k=5).collect()
     }
     assert got == want
+
+
+def test_q33_store_probe_is_partition_pruned_and_retrain_routes(spark):
+    """stream_q33's store swap must stay an index: Hive partition dirs
+    per (b, gen, centroid_id), a probe filtering on gen/centroid_id
+    prunes whole directories (PartitionFilters, not row filters), and
+    the two generations route with DIFFERENT matrices — gen-1
+    assignments must match re-routing the second half against the
+    rounded Lloyd means of the store's own gen-0 lists (the retrain's
+    defining property), and differ from a no-drift routing for at
+    least one vector at fixture scale (drift actually moved the
+    router)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators import similarity as S
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import run_q33_centroid_drift
+    from tests.test_plans import formatted_plan
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q33_centroid_drift(spark, SF_SMOKE)
+        _drain(query, sink.count, quiet_polls=1)
+
+    # layout: batch dirs at the top, gen + centroid below
+    tops = {d for d in os.listdir(sink.path) if d.startswith("b=")}
+    assert len(tops) == 4, tops
+
+    store = sink.snapshot_df(spark)
+    pruned = store.filter(
+        (F.col("gen") == 1) & F.col("centroid_id").isin([0, 1])
+    )
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan, plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "gen" in pf_line and "centroid_id" in pf_line, pf_line
+
+    # retrain property: gen-1 rows == second half re-routed with the
+    # rounded Lloyd means of the gen-0 lists
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    # rank-based half boundary (vec_ids need not be dense)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    bound = ids[2 * ((n + 3) // 4) - 1]  # max id of the first half
+    gen0 = store.filter(F.col("gen") == 0)
+    assert gen0.agg(F.max("neighbor_id")).collect()[0][0] <= bound
+    means = (
+        gen0.select("centroid_id", F.posexplode("c_vec").alias("d", "x"))
+        .groupBy("centroid_id", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cid.setdefault(int(r["centroid_id"]), {})[int(r["d"])] = float(r["v"])
+    cent0 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    cent1 = [
+        (cid, [by_cid[cid][d] for d in range(len(v))] if cid in by_cid else v)
+        for cid, v in cent0
+    ]
+    second = emb.filter(F.col("vec_id") > bound)
+    want = {
+        (r["neighbor_id"], r["centroid_id"])
+        for r in S.ivf_assign_inline(second, cent1).collect()
+    }
+    got = {
+        (r["neighbor_id"], int(r["centroid_id"]))
+        for r in store.filter(F.col("gen") == 1)
+        .select("neighbor_id", "centroid_id")
+        .collect()
+    }
+    assert got == want
+    nodrift = {
+        (r["neighbor_id"], r["centroid_id"])
+        for r in S.ivf_assign_inline(second, cent0).collect()
+    }
+    assert want != nodrift  # the retrain moved at least one routing
