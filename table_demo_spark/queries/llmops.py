@@ -949,18 +949,21 @@ vec AS (
   QUALIFY vec_rank <= {_S15_TOPL}
 ),
 fused AS (
+  -- every rank reference qualified (lex./vec.): the output aliases
+  -- lex_rank/vec_rank would otherwise shadow the nullable join
+  -- columns the CASEs must see
   SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-         CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
-         CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
-         round((CASE WHEN lex_rank IS NOT NULL
+         CAST(coalesce(lex.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(vec.vec_rank, 0) AS BIGINT) AS vec_rank,
+         round((CASE WHEN lex.lex_rank IS NOT NULL
                      THEN CAST(1.0 AS DOUBLE)
                           / (CAST({_S15_RRF_K}.0 AS DOUBLE)
-                             + CAST(lex_rank AS DOUBLE))
+                             + CAST(lex.lex_rank AS DOUBLE))
                      ELSE CAST(0.0 AS DOUBLE) END
-                + CASE WHEN vec_rank IS NOT NULL
+                + CASE WHEN vec.vec_rank IS NOT NULL
                        THEN CAST(1.0 AS DOUBLE)
                             / (CAST({_S15_RRF_K}.0 AS DOUBLE)
-                               + CAST(vec_rank AS DOUBLE))
+                               + CAST(vec.vec_rank AS DOUBLE))
                        ELSE CAST(0.0 AS DOUBLE) END), 9) AS rrf_score
   FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
 )

@@ -400,7 +400,16 @@ def ensure_docs_png_files(spark: SparkSession, sf_dir: str) -> str:
     The write is distributed: executors encode and write their own
     partitions' files (fan_out-spread so a single-file fixture does
     not serialize the codec work), the driver only renames the staged
-    directory into place once."""
+    directory into place once.
+
+    LOCAL-MODE ASSUMPTION: executors write with plain ``open()`` into
+    a driver-created staging directory, which requires driver and
+    executors to share a filesystem — true on local[k] (this repo's
+    fixture machinery) but silently incomplete on a multi-node
+    cluster. On a real deployment this builder is the one piece that
+    must write through a shared store instead (s3://... via Spark's
+    binary write, or ``toLocalIterator`` on the driver); the READ side
+    (src_s10's binaryFile source) is cluster-correct as is."""
     src = os.path.join(sf_dir, "documents.parquet")
     final, done = _cached_dir_for(src, "docs-png")
     if done:
