@@ -1828,27 +1828,40 @@ _FLAC_FIXED = {
 }
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header.
+    Table-driven (one lookup per byte; the bit-serial definition lives
+    in _crc_table)."""
+    crc = 0
+    table = _CRC8_TABLE
+    for byte in data:
+        crc = table[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame.
+    Table-driven (one lookup per byte)."""
     crc = 0
+    table = _CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = (table[(crc >> 8) ^ byte] ^ (crc << 8)) & 0xFFFF
     return crc
 
 
@@ -1891,22 +1904,40 @@ class _BitReader:
         self.bitpos = pos * 8
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte_i, bit_i = divmod(self.bitpos, 8)
-            if byte_i >= len(self.data):
-                raise ValueError("truncated FLAC stream")
-            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
-            self.bitpos += 1
-        return v
+        """Read n bits in one int.from_bytes over the covering byte
+        span (the per-bit shift loop was the decode hot spot)."""
+        if n == 0:
+            return 0
+        start = self.bitpos
+        end = start + n
+        byte_end = (end + 7) >> 3
+        if byte_end > len(self.data):
+            raise ValueError("truncated FLAC stream")
+        word = int.from_bytes(self.data[start >> 3 : byte_end], "big")
+        self.bitpos = end
+        return (word >> ((byte_end << 3) - end)) & ((1 << n) - 1)
 
     def unary(self) -> int:
+        """Count leading zero bits up to the terminating one — scanned
+        a byte at a time (bit_length finds the first set bit)."""
+        data = self.data
+        pos = self.bitpos
         q = 0
-        while self.bits(1) == 0:
-            q += 1
+        while True:
+            byte_i = pos >> 3
+            if byte_i >= len(data):
+                raise ValueError("truncated FLAC stream")
+            bit_i = pos & 7
+            rest = data[byte_i] & (0xFF >> bit_i)
+            if rest:
+                first_one = 8 - rest.bit_length()
+                q += first_one - bit_i
+                self.bitpos = (byte_i << 3) + first_one + 1
+                return q
+            q += 8 - bit_i
+            pos = (byte_i + 1) << 3
             if q > 1 << 20:
                 raise ValueError("runaway unary code (corrupt FLAC)")
-        return q
 
     def align(self) -> None:
         self.bitpos = -(-self.bitpos // 8) * 8
@@ -2335,24 +2366,26 @@ def decode_flac(
                     v -= 1 << eff
                 warm[i] = v
             res = _read_rice_residual(reader, bs, o)
-            blk = np.empty(bs, dtype=np.int64)
-            blk[:o] = warm
-            for i in range(o, bs):
-                if o == 0:
-                    pred = 0
-                elif o == 1:
-                    pred = blk[i - 1]
-                elif o == 2:
-                    pred = 2 * blk[i - 1] - blk[i - 2]
-                elif o == 3:
-                    pred = 3 * blk[i - 1] - 3 * blk[i - 2] + blk[i - 3]
-                else:
-                    pred = (
-                        4 * blk[i - 1] - 6 * blk[i - 2]
-                        + 4 * blk[i - 3] - blk[i - 4]
-                    )
-                blk[i] = res[i - o] + pred
-            blk <<= wasted
+            # plain-int recurrence (numpy scalar indexing in a
+            # sequential loop is ~5x slower than list arithmetic)
+            vals = [int(w) for w in warm]
+            if o == 0:
+                vals = res.tolist()
+            else:
+                for r in res.tolist():
+                    if o == 1:
+                        pred = vals[-1]
+                    elif o == 2:
+                        pred = 2 * vals[-1] - vals[-2]
+                    elif o == 3:
+                        pred = 3 * vals[-1] - 3 * vals[-2] + vals[-3]
+                    else:
+                        pred = (
+                            4 * vals[-1] - 6 * vals[-2]
+                            + 4 * vals[-3] - vals[-4]
+                        )
+                    vals.append(r + pred)
+            blk = np.array(vals, dtype=np.int64) << wasted
         elif 32 <= stype <= 63:  # LPC order o = stype - 31
             o = stype - 31
             if o >= bs:
@@ -2381,18 +2414,18 @@ def decode_flac(
                     v -= 1 << prec
                 coefs[i] = v
             res = _read_rice_residual(reader, bs, o)
-            blk = np.empty(bs, dtype=np.int64)
-            blk[:o] = warm
             # x[i] = res + ((sum_j c_j * x[i-1-j]) >> shift); Python
             # ints keep the pre-shift dot product exact and >> is the
             # arithmetic (floor) shift the spec requires on negatives.
             cof = [int(c) for c in coefs]
-            for i in range(o, bs):
+            rng = range(1, o + 1)
+            vals = [int(w) for w in warm]
+            for r in res.tolist():
                 acc = 0
-                for j in range(o):
-                    acc += cof[j] * int(blk[i - 1 - j])
-                blk[i] = res[i - o] + (acc >> shift)
-            blk <<= wasted
+                for j in rng:
+                    acc += cof[j - 1] * vals[-j]
+                vals.append(r + (acc >> shift))
+            blk = np.array(vals, dtype=np.int64) << wasted
         else:
             raise ValueError(f"unsupported subframe type {stype}")
         reader.align()
