@@ -194,6 +194,7 @@ HEADLINE = [
     "llm_m23_image_phash_neardup",
     "llm_m24_flac_resample",
     "llm_m25_flac_lpc",
+    "llm_m26_stereo_flac",
     "llm_t33_shingle_novelty",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",

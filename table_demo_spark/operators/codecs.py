@@ -1993,13 +1993,15 @@ def _flac_read_coded_number(reader: _BitReader) -> int:
     return n
 
 
-def _flac_stream_header(n: int, sample_rate: int, blocksize: int) -> bytes:
+def _flac_stream_header(
+    n: int, sample_rate: int, blocksize: int, channels: int = 1
+) -> bytes:
     """fLaC magic + STREAMINFO (last-metadata flag set)."""
     info = bytearray()
     info += struct.pack(">HH", blocksize, blocksize)
     info += b"\x00\x00\x00" * 2  # min/max framesize unknown
     # sample_rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
-    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
+    packed = (sample_rate << 44) | ((channels - 1) << 41) | (15 << 36) | n
     info += packed.to_bytes(8, "big")
     info += bytes(16)  # raw-PCM MD5 unknown
     return (
@@ -2007,16 +2009,20 @@ def _flac_stream_header(n: int, sample_rate: int, blocksize: int) -> bytes:
     )
 
 
-def _flac_frame_header(f: int, bs: int, sample_rate: int) -> bytes:
-    """CRC-8-terminated frame header (mono, 16 bps, 16-bit blocksize
-    at end of header)."""
+def _flac_frame_header(
+    f: int, bs: int, sample_rate: int, chan_code: int = 0b0000
+) -> bytes:
+    """CRC-8-terminated frame header (16 bps, 16-bit blocksize at end
+    of header; ``chan_code`` is the 4-bit channel-assignment field:
+    0=mono, 1=independent stereo, 8=left/side, 9=right/side,
+    10=mid/side)."""
     hdr = _BitWriter()
     hdr.put(0b11111111111110, 14)
     hdr.put(0, 1)  # reserved
     hdr.put(0, 1)  # fixed-blocksize stream
     hdr.put(0b0111, 4)  # blocksize: 16-bit at end of header
     hdr.put(_FLAC_RATES[sample_rate], 4)
-    hdr.put(0b0000, 4)  # mono
+    hdr.put(chan_code, 4)
     hdr.put(0b100, 3)  # 16 bps
     hdr.put(0, 1)  # reserved
     hdr.align()
@@ -2072,27 +2078,78 @@ def encode_flac(
         bs = blk.size
         header = _flac_frame_header(f, bs, sample_rate)
         body = _BitWriter()
-        if np.all(blk == blk[0]):
-            body.put(0, 1)
-            body.put(0b000000, 6)  # CONSTANT
-            body.put(0, 1)
-            body.put(int(blk[0]) & 0xFFFF, 16)
-        else:
-            best_o, best_res, best_cost = 0, blk, None
-            for o, taps in _FLAC_FIXED.items():
-                if bs <= o:
-                    continue
-                res = np.convolve(blk, taps)[o : bs] if o else blk
-                cost = int(np.abs(res).sum())
-                if best_cost is None or cost < best_cost:
-                    best_o, best_res, best_cost = o, res, cost
-            o, res = best_o, best_res.astype(np.int64)
-            body.put(0, 1)
-            body.put(8 + o, 6)  # FIXED order o
-            body.put(0, 1)  # no wasted bits
-            for w in blk[:o]:
-                body.put(int(w) & 0xFFFF, 16)
-            _write_rice(body, res)
+        _write_fixed_subframe(body, blk, 16)
+        body.align()
+        frame = header + body.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+def _write_fixed_subframe(body: _BitWriter, blk: np.ndarray, eff: int) -> None:
+    """One CONSTANT/FIXED subframe at ``eff`` sample bits (16 for a
+    plain channel, 17 for a stereo side channel): pick the fixed
+    predictor order 0-4 minimizing the residual magnitude sum (the
+    spec's own fast estimation), rice-code the residual."""
+    bs = blk.size
+    if np.all(blk == blk[0]):
+        body.put(0, 1)
+        body.put(0b000000, 6)  # CONSTANT
+        body.put(0, 1)
+        body.put(int(blk[0]) & ((1 << eff) - 1), eff)
+        return
+    best_o, best_res, best_cost = 0, blk, None
+    for o, taps in _FLAC_FIXED.items():
+        if bs <= o:
+            continue
+        res = np.convolve(blk, taps)[o:bs] if o else blk
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_o, best_res, best_cost = o, res, cost
+    o, res = best_o, best_res.astype(np.int64)
+    body.put(0, 1)
+    body.put(8 + o, 6)  # FIXED order o
+    body.put(0, 1)  # no wasted bits
+    for w in blk[:o]:
+        body.put(int(w) & ((1 << eff) - 1), eff)
+    _write_rice(body, res)
+
+
+def encode_flac_stereo(
+    left: np.ndarray,
+    right: np.ndarray,
+    sample_rate: int = 16_000,
+    blocksize: int = 1024,
+) -> bytes:
+    """Stereo int16 -> FLAC bytes with MID/SIDE channel decorrelation
+    on every frame — how real-world encoders ship stereo audio: the
+    two channels are usually near-identical, so coding
+    ``mid = (l + r) >> 1`` and ``side = l - r`` (the side channel gets
+    one extra bit of dynamic range, bps+1, per the spec) collapses the
+    inter-channel redundancy before the per-channel predictor runs.
+    Each frame carries channel assignment 0b1010 and two subframes
+    (mid at 16 bits, side at 17); reconstruction is pure integer
+    (``mid = (mid << 1) | (side & 1); l = (mid + side) >> 1;
+    r = (mid - side) >> 1``), so the codec stays lossless for ANY
+    stereo input."""
+    _flac_validate(left, sample_rate, blocksize)
+    _flac_validate(right, sample_rate, blocksize)
+    if left.size != right.size:
+        raise ValueError(f"channel lengths differ: {left.size}/{right.size}")
+    n = left.size
+    out = bytearray(_flac_stream_header(n, sample_rate, blocksize, channels=2))
+    lx = left.astype(np.int64)
+    rx = right.astype(np.int64)
+    for f, start in enumerate(range(0, n, blocksize)):
+        lb = lx[start : start + blocksize]
+        rb = rx[start : start + blocksize]
+        bs = lb.size
+        mid = (lb + rb) >> 1
+        side = lb - rb
+        header = _flac_frame_header(f, bs, sample_rate, chan_code=0b1010)
+        body = _BitWriter()
+        _write_fixed_subframe(body, mid, 16)
+        _write_fixed_subframe(body, side, 17)
         body.align()
         frame = header + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
@@ -2254,17 +2311,121 @@ def _read_rice_residual(reader: _BitReader, bs: int, order: int) -> np.ndarray:
     return res
 
 
+def _read_subframe(reader: _BitReader, bs: int, eff_base: int):
+    """One subframe at ``eff_base`` sample bits (16, or 17 for a
+    stereo side channel): padding bit, 6-bit type, wasted-bits flag,
+    then CONSTANT/VERBATIM/FIXED/LPC payload. Returns
+    (int64 samples, subframe type code)."""
+    if reader.bits(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = reader.bits(6)
+    wasted = 0
+    if reader.bits(1):
+        wasted = 1 + reader.unary()
+    eff = eff_base - wasted
+    if stype == 0:  # CONSTANT
+        v = reader.bits(eff)
+        if v >= 1 << (eff - 1):
+            v -= 1 << eff
+        blk = np.full(bs, v << wasted, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        vals = np.empty(bs, dtype=np.int64)
+        for i in range(bs):
+            v = reader.bits(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            vals[i] = v
+        blk = vals << wasted
+    elif 8 <= stype <= 12:  # FIXED order o
+        o = stype - 8
+        warm = np.empty(o, dtype=np.int64)
+        for i in range(o):
+            v = reader.bits(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            warm[i] = v
+        res = _read_rice_residual(reader, bs, o)
+        # plain-int recurrence (numpy scalar indexing in a
+        # sequential loop is ~5x slower than list arithmetic)
+        vals = [int(w) for w in warm]
+        if o == 0:
+            vals = res.tolist()
+        else:
+            for r in res.tolist():
+                if o == 1:
+                    pred = vals[-1]
+                elif o == 2:
+                    pred = 2 * vals[-1] - vals[-2]
+                elif o == 3:
+                    pred = 3 * vals[-1] - 3 * vals[-2] + vals[-3]
+                else:
+                    pred = (
+                        4 * vals[-1] - 6 * vals[-2]
+                        + 4 * vals[-3] - vals[-4]
+                    )
+                vals.append(r + pred)
+        blk = np.array(vals, dtype=np.int64) << wasted
+    elif 32 <= stype <= 63:  # LPC order o = stype - 31
+        o = stype - 31
+        if o >= bs:
+            raise ValueError(f"LPC order {o} >= blocksize {bs}")
+        warm = np.empty(o, dtype=np.int64)
+        for i in range(o):
+            v = reader.bits(eff)
+            if v >= 1 << (eff - 1):
+                v -= 1 << eff
+            warm[i] = v
+        prec = reader.bits(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        prec += 1
+        shift = reader.bits(5)
+        if shift >= 16:
+            shift -= 32  # two's complement
+        if shift < 0:
+            # the spec marks negative shifts obsolete; no encoder
+            # emits them
+            raise ValueError("negative LPC shift unsupported")
+        coefs = np.empty(o, dtype=np.int64)
+        for i in range(o):
+            v = reader.bits(prec)
+            if v >= 1 << (prec - 1):
+                v -= 1 << prec
+            coefs[i] = v
+        res = _read_rice_residual(reader, bs, o)
+        # x[i] = res + ((sum_j c_j * x[i-1-j]) >> shift); Python
+        # ints keep the pre-shift dot product exact and >> is the
+        # arithmetic (floor) shift the spec requires on negatives.
+        cof = [int(c) for c in coefs]
+        rng = range(1, o + 1)
+        vals = [int(w) for w in warm]
+        for r in res.tolist():
+            acc = 0
+            for j in rng:
+                acc += cof[j - 1] * vals[-j]
+            vals.append(r + (acc >> shift))
+        blk = np.array(vals, dtype=np.int64) << wasted
+    else:
+        raise ValueError(f"unsupported subframe type {stype}")
+    return blk, stype
+
+
 def decode_flac(
     data: bytes, return_subframe_types: bool = False
 ) -> tuple[int, np.ndarray] | tuple[int, np.ndarray, list[int]]:
-    """FLAC bytes -> (sample_rate, 1-D int16 samples). Verifies the
-    sync code, header CRC-8, and frame CRC-16 of every frame; supports
-    mono 16-bit CONSTANT/VERBATIM/FIXED (orders 0-4) and LPC
-    (orders 1-32, quantized-coefficient integer prediction) subframes,
-    multi-partition rice residuals, and the raw-escape rice code.
-    With ``return_subframe_types`` the per-frame 6-bit subframe type
-    codes are appended to the result (0=CONSTANT, 1=VERBATIM,
-    8+o=FIXED order o, 31+o=LPC order o)."""
+    """FLAC bytes -> (sample_rate, int16 samples — 1-D for mono,
+    shape (2, n) [left; right] for stereo). Verifies the sync code,
+    header CRC-8, and frame CRC-16 of every frame; supports 16-bit
+    CONSTANT/VERBATIM/FIXED (orders 0-4) and LPC (orders 1-32,
+    quantized-coefficient integer prediction) subframes,
+    multi-partition rice residuals, the raw-escape rice code, and all
+    four stereo channel assignments (independent, left/side,
+    right/side, mid/side — the side channel reads at bps+1 and the
+    inter-channel reconstruction is pure integer). With
+    ``return_subframe_types`` the 6-bit subframe type codes are
+    appended to the result in read order (one per frame for mono, two
+    per frame for stereo; 0=CONSTANT, 1=VERBATIM, 8+o=FIXED order o,
+    31+o=LPC order o)."""
     if not data.startswith(FLAC_MAGIC):
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -2284,9 +2445,10 @@ def decode_flac(
             channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
-            if channels != 1 or bps != 16:
+            if channels not in (1, 2) or bps != 16:
                 raise ValueError(
-                    f"only mono 16-bit supported ({channels} ch, {bps} bps)"
+                    f"only mono/stereo 16-bit supported ({channels} ch, "
+                    f"{bps} bps)"
                 )
         pos += 4 + blen
         if last:
@@ -2294,6 +2456,7 @@ def decode_flac(
     if sample_rate is None:
         raise ValueError("missing STREAMINFO")
     out: list[np.ndarray] = []
+    out_r: list[np.ndarray] = []  # right channel (stereo only)
     stypes: list[int] = []
     got = 0
     while pos < len(data) and (total == 0 or got < total):
@@ -2307,8 +2470,10 @@ def decode_flac(
         chan = reader.bits(4)
         ss_code = reader.bits(3)
         reader.bits(1)
-        if chan != 0:
-            raise ValueError("only mono frames supported")
+        if channels == 1 and chan != 0b0000:
+            raise ValueError(f"mono stream with channel assignment {chan}")
+        if channels == 2 and chan not in (0b0001, 0b1000, 0b1001, 0b1010):
+            raise ValueError(f"bad stereo channel assignment {chan}")
         if ss_code != 0b100:
             raise ValueError("only 16-bit frames supported")
         _flac_read_coded_number(reader)
@@ -2336,98 +2501,28 @@ def decode_flac(
             raise ValueError("misaligned FLAC header")
         if _crc8(data[pos : hdr_end - 1]) != hdr_crc:
             raise ValueError("FLAC header CRC-8 mismatch")
-        # subframe
-        if reader.bits(1) != 0:
-            raise ValueError("bad subframe padding bit")
-        stype = reader.bits(6)
-        wasted = 0
-        if reader.bits(1):
-            wasted = 1 + reader.unary()
-        eff = 16 - wasted
-        if stype == 0:  # CONSTANT
-            v = reader.bits(eff)
-            if v >= 1 << (eff - 1):
-                v -= 1 << eff
-            blk = np.full(bs, v << wasted, dtype=np.int64)
-        elif stype == 1:  # VERBATIM
-            vals = np.empty(bs, dtype=np.int64)
-            for i in range(bs):
-                v = reader.bits(eff)
-                if v >= 1 << (eff - 1):
-                    v -= 1 << eff
-                vals[i] = v
-            blk = vals << wasted
-        elif 8 <= stype <= 12:  # FIXED order o
-            o = stype - 8
-            warm = np.empty(o, dtype=np.int64)
-            for i in range(o):
-                v = reader.bits(eff)
-                if v >= 1 << (eff - 1):
-                    v -= 1 << eff
-                warm[i] = v
-            res = _read_rice_residual(reader, bs, o)
-            # plain-int recurrence (numpy scalar indexing in a
-            # sequential loop is ~5x slower than list arithmetic)
-            vals = [int(w) for w in warm]
-            if o == 0:
-                vals = res.tolist()
-            else:
-                for r in res.tolist():
-                    if o == 1:
-                        pred = vals[-1]
-                    elif o == 2:
-                        pred = 2 * vals[-1] - vals[-2]
-                    elif o == 3:
-                        pred = 3 * vals[-1] - 3 * vals[-2] + vals[-3]
-                    else:
-                        pred = (
-                            4 * vals[-1] - 6 * vals[-2]
-                            + 4 * vals[-3] - vals[-4]
-                        )
-                    vals.append(r + pred)
-            blk = np.array(vals, dtype=np.int64) << wasted
-        elif 32 <= stype <= 63:  # LPC order o = stype - 31
-            o = stype - 31
-            if o >= bs:
-                raise ValueError(f"LPC order {o} >= blocksize {bs}")
-            warm = np.empty(o, dtype=np.int64)
-            for i in range(o):
-                v = reader.bits(eff)
-                if v >= 1 << (eff - 1):
-                    v -= 1 << eff
-                warm[i] = v
-            prec = reader.bits(4)
-            if prec == 0b1111:
-                raise ValueError("invalid LPC coefficient precision")
-            prec += 1
-            shift = reader.bits(5)
-            if shift >= 16:
-                shift -= 32  # two's complement
-            if shift < 0:
-                # the spec marks negative shifts obsolete; no encoder
-                # emits them
-                raise ValueError("negative LPC shift unsupported")
-            coefs = np.empty(o, dtype=np.int64)
-            for i in range(o):
-                v = reader.bits(prec)
-                if v >= 1 << (prec - 1):
-                    v -= 1 << prec
-                coefs[i] = v
-            res = _read_rice_residual(reader, bs, o)
-            # x[i] = res + ((sum_j c_j * x[i-1-j]) >> shift); Python
-            # ints keep the pre-shift dot product exact and >> is the
-            # arithmetic (floor) shift the spec requires on negatives.
-            cof = [int(c) for c in coefs]
-            rng = range(1, o + 1)
-            vals = [int(w) for w in warm]
-            for r in res.tolist():
-                acc = 0
-                for j in rng:
-                    acc += cof[j - 1] * vals[-j]
-                vals.append(r + (acc >> shift))
-            blk = np.array(vals, dtype=np.int64) << wasted
+        # subframes (side channel reads at bps+1)
+        if channels == 1:
+            blk, st = _read_subframe(reader, bs, 16)
+            out.append(blk)
+            stypes.append(st)
         else:
-            raise ValueError(f"unsupported subframe type {stype}")
+            effs = {0b0001: (16, 16), 0b1000: (16, 17),
+                    0b1001: (17, 16), 0b1010: (16, 17)}[chan]
+            c0, st0 = _read_subframe(reader, bs, effs[0])
+            c1, st1 = _read_subframe(reader, bs, effs[1])
+            stypes += [st0, st1]
+            if chan == 0b0001:  # independent L, R
+                lch, rch = c0, c1
+            elif chan == 0b1000:  # left/side: R = L - side
+                lch, rch = c0, c0 - c1
+            elif chan == 0b1001:  # right/side: channel 0 IS the side
+                lch, rch = c1 + c0, c1
+            else:  # mid/side (integer-exact inverse)
+                m2 = (c0 << 1) | (c1 & 1)
+                lch, rch = (m2 + c1) >> 1, (m2 - c1) >> 1
+            out.append(lch)
+            out_r.append(rch)
         reader.align()
         end = reader.bytepos()
         if end + 2 > len(data):
@@ -2435,13 +2530,16 @@ def decode_flac(
         crc = struct.unpack(">H", data[end : end + 2])[0]
         if _crc16(data[pos:end]) != crc:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        out.append(blk)
-        stypes.append(stype)
         got += bs
         pos = end + 2
     pcm = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
-    if total and pcm.size != total:
-        raise ValueError(f"decoded {pcm.size} samples, STREAMINFO says {total}")
+    if channels == 2:
+        right = np.concatenate(out_r) if out_r else np.empty(0, dtype=np.int64)
+        pcm = np.stack([pcm, right])
+    if total and pcm.shape[-1] != total:
+        raise ValueError(
+            f"decoded {pcm.shape[-1]} samples, STREAMINFO says {total}"
+        )
     if pcm.size and (pcm.max() > 32767 or pcm.min() < -32768):
         raise ValueError("decoded samples out of int16 range (corrupt FLAC)")
     if return_subframe_types:

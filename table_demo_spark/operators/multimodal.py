@@ -1080,6 +1080,113 @@ def flac_lpc_pcm_stats(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=FLAC_LPC_SCHEMA)
 
 
+_FLAC_SD_BLOCKS = _FLAC_BLOCKS // 2  # 2048 bytes -> one small d per sample
+
+
+def _flac_stereo_pcm(doc_id) -> tuple["np.ndarray", "np.ndarray"]:
+    """The m26 stereo pair: LEFT = the '#fls' md5 stream smoothed by
+    the 4-tap moving average and halved (one floor-div by 8 — nested
+    integer floors compose), RIGHT = LEFT minus a small per-sample
+    delta d in [-16, 16] from the '#fsd' byte stream. Real stereo
+    audio is two near-identical channels; this pair makes the side
+    channel (L - R = d) genuinely small, so mid/side decorrelation has
+    something real to win — and every step is lag/mod-statable in
+    SQL."""
+    import numpy as np
+
+    m = np.frombuffer(
+        _md5_stream(str(doc_id), _FLAC_BLOCKS, "#fls"), dtype="<i2"
+    ).astype(np.int64)
+    left = np.convolve(m, np.ones(4, dtype=np.int64))[: m.size] // 8
+    d = (
+        np.frombuffer(
+            _md5_stream(str(doc_id), _FLAC_SD_BLOCKS, "#fsd"), dtype=np.uint8
+        ).astype(np.int64)
+        % 33
+        - 16
+    )
+    return left.astype(np.int16), (left - d).astype(np.int16)
+
+
+def with_stereo_flac_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real STEREO FLAC file per document —
+    mid/side channel decorrelation on every frame, the side subframe
+    at bps+1 (codecs.encode_flac_stereo), fixed-predictor subframes
+    per channel."""
+    from table_demo_spark.operators.codecs import encode_flac_stereo
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                left, right = _flac_stereo_pcm(doc_id)
+                payloads.append(
+                    encode_flac_stereo(
+                        left, right, FLAC_RATE, blocksize=FLAC_BLOCKSIZE
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+FLAC_STEREO_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, n_subframes long, "
+    "l_sum long, l_abs_sum long, l_checksum long, "
+    "r_sum long, r_abs_sum long, r_checksum long"
+)
+
+
+def stereo_flac_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each stereo FLAC payload (both CRCs per frame, two
+    subframes per frame, the integer mid/side inverse) and aggregate
+    per channel. Lossless, so the oracle restates both channels
+    analytically from the md5 streams; a swapped channel, a
+    mis-shifted mid, or a side read at 16 instead of 17 bits breaks
+    the per-channel checksums. ``n_subframes`` (= 2 x frames) pins
+    that every frame decoded through the two-subframe stereo path."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_flac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, pcm, stypes = decode_flac(
+                    bytes(payload), return_subframe_types=True
+                )
+                lv = pcm[0].astype(np.int64)
+                rv = pcm[1].astype(np.int64)
+                idx = np.arange(lv.size) + 1
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        lv.size,
+                        len(stypes),
+                        int(lv.sum()),
+                        int(np.abs(lv).sum()),
+                        int((lv * idx).sum()),
+                        int(rv.sum()),
+                        int(np.abs(rv).sum()),
+                        int((rv * idx).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_subframes",
+                    "l_sum", "l_abs_sum", "l_checksum",
+                    "r_sum", "r_abs_sum", "r_checksum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=FLAC_STEREO_SCHEMA)
+
+
 JPEG_PC_W, JPEG_PC_H = 64, 32  # color: MCU grid 2x4 = 8 MCUs
 _JPEG_PC_Y_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 16
 _JPEG_PC_C_BLOCKS = (JPEG_PC_W * JPEG_PC_H) // 64

@@ -6143,6 +6143,93 @@ FROM smooth GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# M26 — STEREO FLAC with mid/side channel decorrelation: after LPC
+# (m25), the other thing every real-world FLAC file has that the
+# mono subset lacked. Each frame carries channel assignment 0b1010
+# and TWO subframes — mid = (l+r)>>1 at 16 bits, side = l-r at the
+# spec's bps+1 = 17 bits — and the decoder runs the integer-exact
+# inverse (mid<<1 | side&1, then half-sum/half-difference). The
+# payload's right channel is LEFT minus a small md5-derived delta, so
+# the side channel is genuinely small and decorrelation genuinely
+# compresses (the reason the mode exists). Lossless end to end:
+# the oracle restates BOTH channels analytically — left is the
+# smoothed '#fls' stream (one floor-div by 8: the MA4 and the
+# halving compose), right subtracts the '#fsd' byte deltas — and the
+# per-channel checksums catch a swapped channel, a mis-shifted mid,
+# or a side subframe read at 16 instead of 17 bits. n_subframes
+# (2 x frames) pins the two-subframe stereo path. Shape: m21's
+# embarrassingly-parallel two-stage Arrow profile.
+# ---------------------------------------------------------------------------
+
+
+def m26_stereo_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.stereo_flac_stats(
+        multimodal.with_stereo_flac_payload(docs)
+    )
+
+
+def _m26_oracle() -> str:
+    n_frames = multimodal.FLAC_SAMPLES // multimodal.FLAC_BLOCKSIZE
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#fls' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._FLAC_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+sm AS (
+  SELECT doc_id, o // 2 AS s,
+         sum(CASE WHEN o % 2 = 0 THEN b ELSE 256 * b END) AS val
+  FROM bytes GROUP BY doc_id, o // 2
+),
+sv AS (
+  SELECT doc_id, s,
+         CASE WHEN val >= 32768 THEN val - 65536 ELSE val END AS v
+  FROM sm
+),
+lch AS (
+  SELECT doc_id, s,
+         CAST(floor((v
+             + coalesce(lag(v, 1) OVER w, 0)
+             + coalesce(lag(v, 2) OVER w, 0)
+             + coalesce(lag(v, 3) OVER w, 0)) / 8.0) AS BIGINT) AS l
+  FROM sv WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+),
+dblocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#fsd' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._FLAC_SD_BLOCKS})) AS i)
+),
+dv AS (
+  SELECT doc_id, i * 16 + j AS s,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT)
+           % 33 - 16 AS d
+  FROM dblocks, (SELECT unnest(range(0, 16)) AS j)
+),
+ch AS (
+  SELECT l.doc_id, l.s, l.l, l.l - d.d AS r
+  FROM lch l JOIN dv d ON l.doc_id = d.doc_id AND l.s = d.s
+)
+SELECT doc_id,
+       CAST({multimodal.FLAC_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST({2 * n_frames} AS BIGINT) AS n_subframes,
+       CAST(sum(l) AS BIGINT) AS l_sum,
+       CAST(sum(abs(l)) AS BIGINT) AS l_abs_sum,
+       CAST(sum((s + 1) * l) AS BIGINT) AS l_checksum,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(abs(r)) AS BIGINT) AS r_abs_sum,
+       CAST(sum((s + 1) * r) AS BIGINT) AS r_checksum
+FROM ch GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # T32 — hashed-linear quality classifier (the fastText-filter shape:
 # CCNet/LLaMA-style pipelines gate crawl text with a linear model over
 # hashed bag-of-words features). The MODEL SHIPS AS ARITHMETIC, not a
@@ -6517,6 +6604,7 @@ QUERIES: list[Query] = [
     Query("llm_m23_image_phash_neardup", m23_image_phash_neardup, _m23_oracle()),
     Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
     Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
+    Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

@@ -1864,6 +1864,98 @@ def test_flac_lpc_codec_lossless_and_spec_frame():
     assert np.array_equal(out_fixed, out_lpc) and np.array_equal(out_lpc, s)
 
 
+def test_flac_stereo_codec_all_channel_assignments():
+    """Stereo FLAC (llm_m26): (1) encode_flac_stereo (mid/side on
+    every frame, side subframe at bps+1 = 17 bits) round-trips
+    LOSSLESSLY across correlated/independent/extreme/constant pairs
+    and compresses correlated channels harder than independent ones
+    (the reason the mode exists); (2) ALL FOUR spec channel
+    assignments decode — independent, left/side, right/side, mid/side
+    frames are assembled per assignment and must reconstruct the same
+    stereo block; (3) corruption/truncation still raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators.codecs import (
+        _BitWriter,
+        _crc16,
+        _flac_frame_header,
+        _flac_stream_header,
+        _write_fixed_subframe,
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    rng = np.random.default_rng(26)
+    sm = np.convolve(
+        rng.integers(-32768, 32768, 4000), np.ones(4, np.int64)
+    )[:4000] // 8
+    left = sm.astype(np.int16)
+    d = (rng.integers(0, 256, 4000) % 33 - 16).astype(np.int64)
+    pairs = {
+        "correlated": (left, (sm - d).astype(np.int16)),
+        "independent": (
+            rng.integers(-32768, 32768, 4000).astype(np.int16),
+            rng.integers(-32768, 32768, 4000).astype(np.int16),
+        ),
+        "extremes": (
+            np.array([32767, -32768] * 200, np.int16),
+            np.array([-32768, 32767] * 200, np.int16),
+        ),
+        "const": (np.full(1000, 7, np.int16), np.full(1000, -7, np.int16)),
+        "ragged": (
+            rng.integers(-999, 999, 512 + 9).astype(np.int16),
+            rng.integers(-999, 999, 512 + 9).astype(np.int16),
+        ),
+    }
+    for name, (lft, rgt) in pairs.items():
+        data = encode_flac_stereo(lft, rgt, blocksize=512)
+        rate, pcm, st = decode_flac(data, return_subframe_types=True)
+        assert rate == 16_000 and pcm.shape == (2, lft.size), name
+        assert np.array_equal(pcm[0], lft), name
+        assert np.array_equal(pcm[1], rgt), name
+        assert len(st) == 2 * -(-lft.size // 512), name
+    assert len(encode_flac_stereo(*pairs["correlated"])) < 0.7 * len(
+        encode_flac_stereo(*pairs["independent"])
+    )
+
+    # all four channel assignments reconstruct the same stereo block
+    lft, rgt = (a[:512].astype(np.int64) for a in pairs["correlated"])
+    mid, side = (lft + rgt) >> 1, lft - rgt
+
+    def one_frame(chan_code: int, c0, c1, eff0: int, eff1: int) -> bytes:
+        stream = bytearray(_flac_stream_header(512, 16_000, 512, channels=2))
+        header = _flac_frame_header(0, 512, 16_000, chan_code=chan_code)
+        body = _BitWriter()
+        _write_fixed_subframe(body, c0, eff0)
+        _write_fixed_subframe(body, c1, eff1)
+        body.align()
+        frame = header + body.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        return bytes(stream) + frame
+
+    assemblies = {
+        0b0001: (lft, rgt, 16, 16),  # independent
+        0b1000: (lft, side, 16, 17),  # left/side
+        0b1001: (side, rgt, 17, 16),  # right/side (side is channel 0)
+        0b1010: (mid, side, 16, 17),  # mid/side
+    }
+    for code, (c0, c1, e0, e1) in assemblies.items():
+        _, pcm = decode_flac(one_frame(code, c0, c1, e0, e1))
+        assert np.array_equal(pcm[0], lft), bin(code)
+        assert np.array_equal(pcm[1], rgt), bin(code)
+
+    good = encode_flac_stereo(*pairs["correlated"], blocksize=512)
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0x20
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_flac(good[: len(good) // 3])
+
+
 def test_png_decoder_interop_with_imageio(spark):
     """Real-format PNG interop: tests/fixtures/bgra.png is a
     real-world RGBA PNG from Apache Spark's own mllib sample data

@@ -108,6 +108,7 @@ _PYTHON_ALLOWED = {
     "src_s10_binary_file_images",  # MapInPandas (PNG decode of binaryFile payloads)
     "llm_m24_flac_resample",  # MapInPandas (FLAC decode + integer half-band decimation)
     "llm_m25_flac_lpc",  # MapInPandas (LPC-subframe FLAC encode + decode to PCM stats)
+    "llm_m26_stereo_flac",  # MapInPandas (stereo mid/side FLAC encode + decode to per-channel stats)
 }
 
 
