@@ -196,6 +196,7 @@ HEADLINE = [
     "llm_m25_flac_lpc",
     "llm_m26_stereo_flac",
     "llm_t33_shingle_novelty",
+    "llm_t34_classifier_auc",
     "llm_t32_linear_quality_classifier",
     "stream_q31_temporal_enrich",
     "stream_q32_phash_index_ingest",

@@ -6301,6 +6301,201 @@ FROM w GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# T34 — CLASSIFIER EVALUATION at corpus scale: exact ROC-AUC
+# (Mann-Whitney U with tie handling) plus a threshold sweep
+# (confusion counts, precision/recall) for the t32 hashed-linear
+# quality classifier, judged against the t29 Gopher rule gate as
+# ground truth — the eval loop every filtered-pretraining pipeline
+# runs before trusting a model-based filter. Everything is integer
+# until two final floors: U is computed from the SCORE-GROUPED
+# relation (pos_s, neg_s, cumulative negs below s), so ties
+# contribute pos_s*neg_s (the standard half-credit, x2 to stay
+# integer) and the global ordered prefix-sum runs over DISTINCT
+# SCORES — the compressed boundary (t26's argument), not a
+# per-document global rank; per-threshold predictions are the
+# cross-multiplied ``score >= thr * n_tokens`` (average-weight
+# thresholds, no division). Permilles via integer div in BOTH
+# engines — no float boundary can flip a digit.
+# ---------------------------------------------------------------------------
+
+_T34_THRS = (-300, -100, -30, 0, 30, 100, 300)
+
+
+def t34_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = t32_linear_quality_classifier(spark, sf_dir).select(
+        "doc_id", "n_tokens", "score"
+    )
+    labels = t29_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("label")
+    )
+    j = scored.join(labels, "doc_id")
+    by_score = j.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    # U*2 = sum over scores of (2 * pos_s * negs_below + pos_s * neg_s)
+    tot = ranked.agg(
+        F.sum(
+            2 * F.col("pos") * F.col("cumneg") + F.col("pos") * F.col("neg")
+        )
+        .cast("long")
+        .alias("u2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    auc = tot.select(
+        F.expr("1000 * u2 div (2 * n_pos * n_neg)")
+        .cast("long")
+        .alias("auc_permille")
+    )
+    thrs = spark.createDataFrame([(t,) for t in _T34_THRS], "thr long")
+    pred = j.join(F.broadcast(thrs)).select(
+        "thr",
+        "label",
+        (F.col("score") >= F.col("thr") * F.col("n_tokens"))
+        .cast("long")
+        .alias("pred"),
+    )
+    conf = pred.groupBy("thr").agg(
+        F.sum(F.col("pred") * F.col("label")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label")))
+        .cast("long")
+        .alias("tn"),
+    )
+    return conf.crossJoin(F.broadcast(auc)).select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("1000 * tp div (tp + fp)"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("precision_permille"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("1000 * tp div (tp + fn)"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("recall_permille"),
+        "auc_permille",
+    )
+
+
+def _t34_oracle() -> str:
+    thr_rows = ", ".join(f"({t})" for t in _T34_THRS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(
+           CAST('0x' || substring(
+             md5('w' || CAST(
+               CAST('0x' || substring(md5(tok || '{_T32_SALT}'), 1, 8)
+                    AS BIGINT) % {_T32_BUCKETS} AS VARCHAR)), 1, 8)
+                AS BIGINT) % 2001 - 1000
+         ) AS BIGINT) AS score
+  FROM toks GROUP BY doc_id
+),
+gtok AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+gbase AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+              AS BIGINT) AS n_word_chars,
+         CAST(len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+                l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+           AS n_ell_lines,
+         CAST({_T29_STOP_SQL} AS BIGINT) AS n_stop
+  FROM gtok
+),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN n_words BETWEEN {_T29_MIN_WORDS} AND {_T29_MAX_WORDS}
+               AND 3 * n_words <= n_word_chars
+               AND n_word_chars <= 10 * n_words
+               AND 10 * n_symbols <= n_words
+               AND 10 * n_bullet <= 9 * n_lines
+               AND 10 * n_ell_lines <= 3 * n_lines
+               AND n_stop >= 2
+              THEN 1 ELSE 0 END AS label
+  FROM gbase
+),
+j AS (
+  SELECT s.doc_id, s.n_tokens, s.score, l.label
+  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
+),
+by_score AS (
+  SELECT score,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(1 - label) AS BIGINT) AS neg
+  FROM j GROUP BY score
+),
+ranked AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM by_score
+),
+tot AS (
+  SELECT CAST(sum(2 * pos * cumneg + pos * neg) AS BIGINT) AS u2,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg
+  FROM ranked
+),
+auc AS (
+  SELECT CAST(1000 * u2 // (2 * n_pos * n_neg) AS BIGINT) AS auc_permille
+  FROM tot
+),
+thrs(thr) AS (VALUES {thr_rows}),
+pred AS (
+  SELECT t.thr, j.label,
+         CASE WHEN j.score >= t.thr * j.n_tokens THEN 1 ELSE 0 END AS p
+  FROM j CROSS JOIN thrs t
+),
+conf AS (
+  SELECT thr,
+         CAST(sum(p * label) AS BIGINT) AS tp,
+         CAST(sum(p * (1 - label)) AS BIGINT) AS fp,
+         CAST(sum((1 - p) * label) AS BIGINT) AS fn,
+         CAST(sum((1 - p) * (1 - label)) AS BIGINT) AS tn
+  FROM pred GROUP BY thr
+)
+SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp > 0 THEN 1000 * tp // (tp + fp)
+                 ELSE -1 END AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN tp + fn > 0 THEN 1000 * tp // (tp + fn)
+                 ELSE -1 END AS BIGINT) AS recall_permille,
+       auc_permille
+FROM conf CROSS JOIN auc
+"""
+
+
+# ---------------------------------------------------------------------------
 # M22 — PROGRESSIVE JPEG first-scan (DC) decode: most large web JPEGs
 # are progressive (SOF2), arriving as a DC scan plus later AC
 # refinement scans. The crawl-thumbnail move is to decode ONLY the
@@ -6605,6 +6800,7 @@ QUERIES: list[Query] = [
     Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
     Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
     Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
+    Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]
