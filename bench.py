@@ -185,6 +185,7 @@ HEADLINE = [
     "llm_t31_bpe_batched_train",
     "llm_s14_ivf_kmeans_topk",
     "llm_s15_hybrid_rrf",
+    "llm_s16_binary_hamming",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -65,6 +65,98 @@ def brute_force_topk(
     )
 
 
+def sign_signature(vec_col: str) -> "F.Column":
+    """Pack the DIM sign bits of a float vector into ONE BIGINT-wide
+    signature (bit d set iff ``vec[d] >= 0``). Stated as a sum of
+    distinct powers with the d=63 term negative — exactly the
+    two's-complement value of the OR-packed word — because plain SUM
+    is the one fold both engines (Spark expression tree, DuckDB
+    group-by) evaluate identically; a `1 << 63` literal would
+    overflow signed 64-bit in either. Pure projection: no shuffle, no
+    UDF, codegen-able."""
+    terms = []
+    for d in range(DIM):
+        power = (-9223372036854775807 - 1) if d == 63 else (1 << d)
+        terms.append(
+            F.when(
+                F.element_at(F.col(vec_col), d + 1) >= 0,
+                F.lit(power).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def binary_hamming_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN (the production binary-embedding
+    pattern): stage 1 ranks by Hamming distance between 64-bit SIGN
+    signatures — ``bit_count(xor)`` over ONE long per document — and
+    keeps ``candidates`` per query; stage 2 joins ONLY those candidate
+    ids back to the corpus for exact cosine rerank. The float arrays
+    are read once to derive the signature and dropped BEFORE the
+    broadcast join and the per-query window shuffle, so the ranking
+    stage moves (id, sig, hamming) rows — a 64x reduction of the
+    shuffled vector bytes (in a real deployment the signature column
+    is precomputed at ingest and the scan itself narrows too); the
+    rerank join is |Q| x candidates rows.
+
+    Returns (query_id, neighbor_id, hamming, rank) with rank 1..k by
+    descending exact cosine within the candidate set (ids break
+    ties)."""
+    sig = sign_signature(vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), sig.alias("c_sig"))
+    q = queries.select(F.col(id_col).alias("query_id"), sig.alias("q_sig"))
+    ham = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = ham.withColumn("crank", F.row_number().over(wh)).filter(
+        F.col("crank") <= candidates
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    rer = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine("q_vec", "c_vec").alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rer.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -428,6 +428,75 @@ WHERE rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# S16 — BINARY-quantization ANN (the production binary-embedding
+# pattern: 1 bit per dimension, Hamming prefilter, exact rerank —
+# what vector stores run when float vectors are too wide to scan).
+# DIM = 64, so each vector's sign bits pack into exactly ONE BIGINT;
+# stage 1 is bit_count(xor) over (id, sig) pairs — the float arrays
+# drop out before the ranking shuffle, a 64x reduction of the moved
+# vector bytes (at ingest the signature would be a precomputed
+# column) — and stage 2 joins only |Q| x C candidate ids back for
+# exact cosine. Integer-exact end to end: the
+# signature is a sum of distinct powers (d=63 negative — the
+# two's-complement identity), Hamming is integer, and the rerank
+# reuses the family's deterministic tie-breaks, so the oracle
+# restates every stage bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_S16_CANDIDATES = 32
+
+
+def s16_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.binary_hamming_rerank(
+        emb, queries_df, k=ANN_K, candidates=_S16_CANDIDATES
+    )
+
+
+def _s16_oracle() -> str:
+    sig_term = (
+        "CASE WHEN embedding[CAST(d + 1 AS INT)] >= 0 THEN "
+        "CASE WHEN d = 63 THEN -9223372036854775807 - 1 "
+        "ELSE (CAST(1 AS BIGINT) << d) END ELSE 0 END"
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, CAST(sum({sig_term}) AS BIGINT) AS sig
+  FROM embeddings, (SELECT unnest(range(0, {similarity.DIM})) AS d)
+  GROUP BY vec_id
+),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+  FROM sigs c JOIN sigs q ON q.vec_id < {N_QUERY_VECS}
+                         AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT query_id, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS crank
+    FROM ham
+  ) WHERE crank <= {_S16_CANDIDATES}
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, hamming, rank FROM (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # S13 — FILTERED vector search (the production vector-store staple):
 # top-k cosine restricted to corpus rows passing a metadata predicate
 # (an IN-list of allowed classes). Strategy is PRE-filter — the
@@ -6801,6 +6870,7 @@ QUERIES: list[Query] = [
     Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
     Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),
+    Query("llm_s16_binary_hamming", s16_binary_hamming_rerank, _s16_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),
     Query("llm_t32_linear_quality_classifier", t32_linear_quality_classifier, T32_ORACLE),
 ]

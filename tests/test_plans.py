@@ -985,3 +985,29 @@ def test_t27_sample_train_job_count_is_pinned(spark):
     _query("llm_t27_bpe_sample_train")(spark, SF_SMOKE).count()
     after = len(st.getJobIdsForGroup(None) or [])
     assert after - before <= 27, f"t27 now runs {after - before} jobs (was 27)"
+
+
+def test_binary_hamming_candidate_shuffle_carries_no_vectors(spark):
+    """llm_s16's scale claim: the float arrays drop out BEFORE the
+    per-query candidate ranking — the window/sort stage that shuffles
+    corpus-sized data must see only (id, sig, hamming) longs, never an
+    array column (64x the bytes). The rerank join-back may read
+    arrays, so the pin checks the Sort/Window operator lines, not the
+    whole plan."""
+    import re
+
+    plan = formatted_plan(_query("llm_s16_binary_hamming")(spark, SF_SMOKE))
+    # split the formatted plan into per-operator detail blocks
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    ham_rank_blocks = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) (Sort|Window|WindowGroupLimit|Exchange)", b)
+        and "hamming" in b
+    ]
+    assert ham_rank_blocks, plan
+    for b in ham_rank_blocks:
+        assert "embedding" not in b and "_vec#" not in b, b
+    # candidate generation broadcasts the bounded query set, never the
+    # corpus side of a nested loop
+    assert "CartesianProduct" not in plan, plan
