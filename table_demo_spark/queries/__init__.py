@@ -56,10 +56,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     "src_s7_schema_evolution",
-    # r7 rotation: first driver rows for these 33 (never sampled
+    # r7 rotation: first driver rows for these 30 (never sampled
     # r1-r6; tests/test_registry.py recomputes the covered union from
-    # the committed CORRECTNESS_r*.json artifacts).  The remaining 26
-    # never-verified queries rotate in r8, closing the union 234/234.
+    # the committed CORRECTNESS_r*.json artifacts).  The remaining 29
+    # never-verified queries (26 + a56/a57/a58, displaced by r7's new
+    # work below) rotate in r8, closing the union 237/237.
     "an_a45_waiting_suppliers",
     "an_a47_incremental_mv",
     "an_a48_max_concurrency",
@@ -69,9 +70,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a53_top_supplier",
     "an_a54_supplier_relationship",
     "an_a55_small_qty_revenue",
-    "an_a56_large_volume_customers",
-    "an_a57_excess_shipment_suppliers",
-    "an_a58_global_sales_opportunity",
     "an_a61_shortest_path",
     "llm_d8_semantic_dedup",
     "llm_d9_containment_pairs",
@@ -93,9 +91,13 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q19_anti_join",
     "stream_q20_semi_join",
     "stream_q21_dead_letter",
-    # r7 new work: LPC-subframe FLAC decode, centroid-drift ANN ingest
+    # r7 new work: LPC-subframe + stereo FLAC decode, centroid-drift
+    # ANN ingest, classifier evaluation, binary-quantization ANN
     "llm_m25_flac_lpc",
     "stream_q33_centroid_drift",
+    "llm_m26_stereo_flac",
+    "llm_t34_classifier_auc",
+    "llm_s16_binary_hamming",
 )
 
 
