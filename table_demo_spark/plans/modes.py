@@ -139,24 +139,34 @@ def _strip_casts(expr):
 _WINDOW_BOUND = re.compile(r"\.(?:`)?(start|end)(?:`)?\b", re.IGNORECASE)
 
 
-def _extracts_window_bound(expr) -> bool:
-    """Does the expression tree extract ``.start`` / ``.end`` from its
+def _extracts_window_bound(expr) -> str | None:
+    """Which window bound does the expression tree extract from its
     (single) window-struct input — e.g. ``unix_millis(w.end)`` or
-    ``CAST(w.end AS LONG)``?  Checked structurally (a GetStructField
-    node naming start/end) with the rendered SQL as fallback."""
+    ``CAST(w.end AS LONG)``?  Returns ``"end"``, ``"start"``, or None.
+    Checked structurally (a GetStructField node naming start/end) with
+    the rendered SQL as fallback; ``end`` wins if one expression
+    somehow touches both (Flink's UpdatingPlanChecker forwards the
+    window END — ElasticUpsertTableSink.scala:51-55)."""
 
-    def any_node(e) -> bool:
+    def any_node(e) -> str | None:
+        found: str | None = None
         if e.getClass().getSimpleName() == "GetStructField":
             try:
-                if str(e.extractFieldName()).lower() in ("start", "end"):
-                    return True
+                name = str(e.extractFieldName()).lower()
+                if name in ("start", "end"):
+                    found = name
             except Exception:
-                if _WINDOW_BOUND.search(str(e.sql())):
-                    return True
+                m = _WINDOW_BOUND.search(str(e.sql()))
+                if m:
+                    found = m.group(1).lower()
+        if found == "end":
+            return "end"
         for i in range(e.children().size()):
-            if any_node(e.children().apply(i)):
-                return True
-        return False
+            sub = any_node(e.children().apply(i))
+            if sub == "end":
+                return "end"
+            found = found or sub
+        return found
 
     return any_node(expr)
 
@@ -231,6 +241,12 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
     original diagnostic."""
     by_id = {k.expr_id: k for k in keys if k.expr_id is not None}
     carried: dict[str, _Key] = {}
+    # which bound an already-carried WINDOW key was traced through:
+    # Flink's UpdatingPlanChecker forwards the window END
+    # (ElasticUpsertTableSink.scala:51-55 via the plan checker), and
+    # for session windows only the end identifies the instance — so an
+    # alias extracting .end REPLACES one extracting .start (ADVICE r7).
+    carried_bound: dict[str, str] = {}
     plist = project.projectList()
     for i in range(plist.size()):
         ne = plist.apply(i)
@@ -246,11 +262,16 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
         if len(refs) != 1:
             continue
         k = by_id.get(refs[0].exprId().toString())
-        if k is None or k.expr_id in carried:
+        if k is None:
+            continue
+        bound = _extracts_window_bound(ne.child()) if k.is_window else None
+        if k.expr_id in carried and not (
+            bound == "end" and carried_bound.get(k.expr_id) == "start"
+        ):
             continue
         core = _strip_casts(ne.child())
         identity = core.getClass().getSimpleName() == "AttributeReference"
-        window_bound = k.is_window and _extracts_window_bound(ne.child())
+        window_bound = k.is_window and bound is not None
         if identity or window_bound:
             carried[k.expr_id] = _Key(
                 ne.exprId().toString(),
@@ -259,6 +280,8 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
                 # window struct — later projects treat it as identity
                 k.is_window and not window_bound,
             )
+            if window_bound:
+                carried_bound[k.expr_id] = bound
     return [carried.get(k.expr_id, _Key(None, k.name, k.is_window)) for k in keys]
 
 

@@ -56,46 +56,43 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     "src_s7_schema_evolution",
-    # r7 rotation: first driver rows for these 30 (never sampled
-    # r1-r6; tests/test_registry.py recomputes the covered union from
-    # the committed CORRECTNESS_r*.json artifacts).  The remaining 29
-    # never-verified queries (26 + a56/a57/a58, displaced by r7's new
-    # work below) rotate in r8, closing the union 237/237.
-    "an_a45_waiting_suppliers",
-    "an_a47_incremental_mv",
-    "an_a48_max_concurrency",
-    "an_a49_custdist",
-    "an_a50_hot_key_join",
-    "an_a52_important_parts",
-    "an_a53_top_supplier",
-    "an_a54_supplier_relationship",
-    "an_a55_small_qty_revenue",
-    "an_a61_shortest_path",
-    "llm_d8_semantic_dedup",
-    "llm_d9_containment_pairs",
-    "llm_d10_paragraph_dedup",
-    "llm_s4_quantize_int8",
-    "llm_s6_ann_recall",
-    "llm_t7_stopword_scrub",
-    "llm_t9_repetition_signals",
-    "llm_m3_feature_extract",
-    "llm_m4_audio_chunks",
-    "llm_p4_curation_pipeline",
-    "llm_p5_chunk_overlap",
-    "llm_p6_domain_mix",
-    "stream_q11_csv_gzip_source",
-    "stream_q12_left_outer_join",
-    "stream_q13_sliding_window",
-    "stream_q15_running_totals",
-    "stream_q17_fanout",
-    "stream_q19_anti_join",
-    "stream_q20_semi_join",
-    "stream_q21_dead_letter",
-    # r7 new work: LPC-subframe + stereo FLAC decode, centroid-drift
-    # ANN ingest, classifier evaluation, binary-quantization ANN
-    "llm_m25_flac_lpc",
+    # r8 rotation: the FINAL 29 never-driver-verified queries (the
+    # exact set CORRECTNESS_r01..r07 leave uncovered; recomputed by
+    # tests/test_registry.py from the committed artifacts).  A green
+    # r8 run closes the driver-evidence union at 237/237.
+    "an_a56_large_volume_customers",
+    "an_a57_excess_shipment_suppliers",
+    "an_a58_global_sales_opportunity",
+    "llm_d14_url_dedup",
+    "llm_d15_bloom_filter",
+    "llm_d17_simhash_pairs",
+    "llm_d18_ingest_dedup",
+    "llm_d19_quality_dedup",
+    "llm_m5_payload_sig_dedup",
+    "llm_m7_image_patches",
+    "llm_m8_modality_router",
+    "llm_m10_pair_audit",
+    "llm_p7_shard_assign",
+    "llm_p8_epoch_plan",
+    "llm_p10_curriculum",
+    "llm_p11_group_split",
+    "llm_p12_length_batching",
+    "llm_p13_corpus_manifest",
+    "llm_p14_interleave_schedule",
+    "llm_p15_budget_select",
+    "llm_s10_maxsim_pruned",
+    "llm_s11_mips_topk",
+    "llm_t11_unigram_freq_score",
+    "llm_t18_blocklist_filter",
+    "llm_t19_boilerplate_prefix",
+    "llm_t21_readability",
+    "llm_t22_rake_keywords",
+    "llm_t23_domain_drift",
+    "llm_t24_heldout_lm_filter",
+    # r8 new/reworked work pins: d4 second-key sub-bucketing rework,
+    # q33 restart-safe retrain state, t34 single-class zero guard
+    "llm_d4_dedup_ngram_jaccard",
     "stream_q33_centroid_drift",
-    "llm_m26_stereo_flac",
     "llm_t34_classifier_auc",
     "llm_s16_binary_hamming",
 )

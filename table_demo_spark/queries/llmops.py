@@ -6418,8 +6418,15 @@ def t34_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
     )
+    # Single-class guard (ADVICE r7): if the gate yields only one label
+    # at some SF, emit -1 on BOTH engines (precision/recall's existing
+    # convention) instead of Spark-NULL vs DuckDB div-by-zero error.
     auc = tot.select(
-        F.expr("1000 * u2 div (2 * n_pos * n_neg)")
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("1000 * u2 div (2 * n_pos * n_neg)"),
+        )
+        .otherwise(F.lit(-1))
         .cast("long")
         .alias("auc_permille")
     )
@@ -6537,7 +6544,9 @@ tot AS (
   FROM ranked
 ),
 auc AS (
-  SELECT CAST(1000 * u2 // (2 * n_pos * n_neg) AS BIGINT) AS auc_permille
+  SELECT CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                   THEN 1000 * u2 // (2 * n_pos * n_neg)
+                   ELSE -1 END AS BIGINT) AS auc_permille
   FROM tot
 ),
 thrs(thr) AS (VALUES {thr_rows}),

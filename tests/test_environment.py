@@ -161,3 +161,31 @@ def test_infer_plan_traces_cast_rename_and_window_alias(tenv):
     assert tenv.infer(
         base.select(F.concat("o_orderstatus", "n").alias("mix"), "n")
     ).upsert_keys == ("o_orderstatus",)
+
+
+def test_infer_plan_prefers_window_end_when_both_bounds_projected(tenv):
+    """When a projection extracts BOTH window.start and window.end, the
+    traced upsert key must be the END alias regardless of projection
+    order — Flink's UpdatingPlanChecker forwards the window end
+    (ElasticUpsertTableSink.scala:51-55), and for session windows the
+    start does not uniquely identify the window instance (ADVICE r7)."""
+    ev = tenv.scan("events")
+    win = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # .start aliased FIRST in the projectList — .end must still win
+    proj = win.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        "n",
+    )
+    keys = tenv.infer(proj).upsert_keys
+    assert "w_end" in keys and "w_start" not in keys, keys
+    # and symmetric order gives the same answer
+    proj2 = win.select(
+        F.col("window.end").alias("w_end2"),
+        F.col("window.start").alias("w_start2"),
+        "n",
+    )
+    keys2 = tenv.infer(proj2).upsert_keys
+    assert "w_end2" in keys2 and "w_start2" not in keys2, keys2
