@@ -2548,7 +2548,118 @@ def ensure_q33_shards(spark: SparkSession, sf_dir: str) -> str:
 Q33_RETRAIN_AFTER_BATCH = 1  # retrain once batches 0..1 (vec_id < 2S) landed
 
 
-def run_q33_centroid_drift(spark: SparkSession, sf_dir: str, sink=None):
+def _q33_make_apply(sink, cent0):
+    """Build stream_q33's foreachBatch closure + its router state.
+
+    Factored out of run_q33_centroid_drift so the restart semantics are
+    unit-testable without the streaming machinery: a FRESH (state,
+    apply) pair replaying a post-boundary batch must converge to the
+    same store contents as the uninterrupted run.
+
+    Restart correctness rests on three rules (r7/r8 ADVICE):
+
+    1. **Hydration.** Driver state (`{cent, gen}`) dies with the
+       process; the first batch a restarted query sees may be a REPLAY
+       of a post-retrain batch. The checkpoint guarantees every batch
+       `< batch_id` committed, so the store's gen-0 inverted lists are
+       complete — rebuild the gen-1 matrix from them (the identical
+       rounded Lloyd step the boundary batch ran) before routing.
+    2. **Retrain before the empty-batch return.** The retrain trigger
+       depends on `batch_id`, not on rows: an empty shard AT the
+       boundary must still flip the generation, else gen-0/gen-1
+       routing shifts vs the oracle's fixed split.
+    3. **Full-subtree overwrite.** Each batch statically overwrites its
+       entire `b=<batch_id>/` directory (not dynamic-partition
+       overwrite): a pre-crash write that landed under a different gen
+       value is wiped by the replay instead of surviving beside it.
+
+    Returns (state, apply)."""
+    import glob as _glob
+    import os
+
+    from table_demo_spark.operators import similarity
+
+    def _lloyd_means(session) -> dict[int, dict[int, float]]:
+        # One Lloyd step over the index's own gen-0 lists. Rounded
+        # means (s5 discipline): float summation order is
+        # partitioning-dependent, round(.,6) pins the matrix
+        # bit-identically across engines. A cluster with no gen-0
+        # members keeps its generation-0 centroid.
+        if not _glob.glob(
+            os.path.join(sink.path, "**", "part-*.parquet"), recursive=True
+        ):
+            return {}  # nothing committed yet: retrain is the identity
+        session.catalog.refreshByPath(sink.path)
+        means = (
+            session.read.parquet(sink.path)
+            .filter(F.col("gen") == 0)
+            .select("centroid_id", F.posexplode("c_vec").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+            .collect()  # bounded: k x dim rows
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["d"])] = float(
+                r["v"]
+            )
+        return by_cid
+
+    state = {"cent": cent0, "gen": 0, "hydrated": False}
+
+    def _retrain(session) -> None:
+        by_cid = _lloyd_means(session)
+        state["cent"] = [
+            (
+                cid,
+                [by_cid[cid][d] for d in range(len(vec))]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in cent0
+        ]
+        state["gen"] = 1
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        if not state["hydrated"]:
+            state["hydrated"] = True
+            if state["gen"] == 0 and batch_id > Q33_RETRAIN_AFTER_BATCH:
+                # Restarted mid-stream past the retrain boundary:
+                # batches 0..boundary are committed, so recomputing the
+                # rounded Lloyd means over the stored gen-0 lists
+                # reproduces cent1 exactly (rule 1 above).
+                _retrain(session)
+        if not batch_df.isEmpty():
+            routed = similarity.ivf_assign_inline(
+                batch_df, state["cent"]
+            ).select(
+                F.lit(state["gen"]).cast("long").alias("gen"),
+                "centroid_id",
+                "neighbor_id",
+                "c_vec",
+            )
+            # Static overwrite of the whole b=<batch_id>/ subtree (rule
+            # 3): byte-stable on clean replay AND wipes a torn pre-crash
+            # write that routed under the other generation. `b` comes
+            # back at read time via Hive partition discovery on the
+            # directory name, exactly as partitionBy produced before.
+            (
+                routed.write.mode("overwrite")
+                .partitionBy("gen", "centroid_id")
+                .parquet(os.path.join(sink.path, f"b={batch_id}"))
+            )
+        if state["gen"] == 0 and batch_id >= Q33_RETRAIN_AFTER_BATCH:
+            # Rule 2: trigger depends on batch_id only — runs even when
+            # this batch carried no rows.
+            _retrain(session)
+
+    return state, apply
+
+
+def run_q33_centroid_drift(
+    spark: SparkSession, sf_dir: str, sink=None, checkpoint: str | None = None
+):
     """ANN ingest with CENTROID DRIFT (the q29 index, production-
     shaped): a real ingest pipeline re-trains its router periodically
     instead of routing forever with the centroids fixed at stream
@@ -2561,13 +2672,15 @@ def run_q33_centroid_drift(spark: SparkSession, sf_dir: str, sink=None):
     bounded distributed agg (k x dim rows to the driver) — and later
     arrivals re-route against the new matrix.
 
-    Exactly-once without a keyed merge: each micro-batch writes its
-    rows under a b=<batch_id> partition with DYNAMIC partition
-    overwrite, so a replayed batch overwrites exactly its own subtree
-    (routing is deterministic, so the rewrite is byte-stable). The
-    store stays Hive-partitioned by (b, gen, centroid_id) — a probe
-    filtering on centroid_id/gen prunes whole directories
-    (PartitionFilters), pinned by
+    Exactly-once across RESTARTS, not just within one run: each
+    micro-batch statically overwrites its whole b=<batch_id>/ subtree,
+    and a restarted query rehydrates the router generation from the
+    committed store before routing its first (possibly replayed)
+    batch — see _q33_make_apply for the three rules and
+    tests/test_streaming.py::test_q33_restart_replay_matches_uninterrupted_run
+    for the kill-and-restart proof. The store stays Hive-partitioned by
+    (b, gen, centroid_id) — a probe filtering on centroid_id/gen prunes
+    whole directories (PartitionFilters), pinned by
     tests/test_streaming.py::test_q33_store_probe_is_partition_pruned.
 
     Returns (sink, query)."""
@@ -2592,61 +2705,12 @@ def run_q33_centroid_drift(spark: SparkSession, sf_dir: str, sink=None):
         sink = ParquetAppendSink(
             scratch_dir("tds-q33-"), ("b", "gen", "centroid_id")
         )
-    state = {"cent": cent0, "gen": 0}
-
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        routed = similarity.ivf_assign_inline(batch_df, state["cent"]).select(
-            F.lit(batch_id).cast("long").alias("b"),
-            F.lit(state["gen"]).cast("long").alias("gen"),
-            "centroid_id",
-            "neighbor_id",
-            "c_vec",
-        )
-        (
-            routed.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("b", "gen", "centroid_id")
-            .parquet(sink.path)
-        )
-        if state["gen"] == 0 and batch_id >= Q33_RETRAIN_AFTER_BATCH:
-            # One Lloyd step over the index's own gen-0 lists. Rounded
-            # means (s5 discipline): float summation order is
-            # partitioning-dependent, round(.,6) pins the matrix
-            # bit-identically across engines. A cluster with no gen-0
-            # members keeps its generation-0 centroid.
-            cloned = batch_df.sparkSession
-            means = (
-                cloned.read.parquet(sink.path)
-                .filter(F.col("gen") == 0)
-                .select(
-                    "centroid_id", F.posexplode("c_vec").alias("d", "x")
-                )
-                .groupBy("centroid_id", "d")
-                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
-                .collect()  # bounded: k x dim rows
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cid.setdefault(int(r["centroid_id"]), {})[int(r["d"])] = (
-                    float(r["v"])
-                )
-            state["cent"] = [
-                (
-                    cid,
-                    [by_cid[cid][d] for d in range(len(vec))]
-                    if cid in by_cid
-                    else vec,
-                )
-                for cid, vec in cent0
-            ]
-            state["gen"] = 1
+    _, apply = _q33_make_apply(sink, cent0)
 
     query = (
         stream.writeStream.outputMode("append")
         .foreachBatch(apply)
-        .option("checkpointLocation", _checkpoint_dir())
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
         .start()
     )
     return sink, query

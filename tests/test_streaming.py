@@ -1224,3 +1224,101 @@ def test_q33_store_probe_is_partition_pruned_and_retrain_routes(spark):
         for r in S.ivf_assign_inline(second, cent0).collect()
     }
     assert want != nodrift  # the retrain moved at least one routing
+
+
+def test_q33_restart_replay_matches_uninterrupted_run(spark, tmp_path):
+    """r7/r8 ADVICE (medium): a query restarted from checkpoint AFTER
+    the retrain must not re-route replayed batches with gen-0 centroids
+    or leave the pre-crash gen-1 subtree beside the replay's rows.
+
+    Crash forgery: drain fully, then delete the LAST commit marker —
+    offsets/3 exists without commits/3, so the restarted query
+    re-executes batch 3 from a FRESH driver (state dict reborn at
+    gen 0). Pre-fix this duplicated b=3 across gen values / flipped its
+    gen; post-fix hydration + full-subtree overwrite make the final
+    store equal the uninterrupted run, row for row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q33_centroid_drift
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (int(r["b"]), int(r["gen"]), int(r["centroid_id"]), r["neighbor_id"])
+            for r in s.snapshot_df(spark)
+            .select("b", "gen", "centroid_id", "neighbor_id")
+            .collect()
+        }
+
+    # uninterrupted reference run
+    with _state_partitions(spark, no_data=False):
+        ref_sink, q = run_q33_centroid_drift(spark, SF_SMOKE)
+        _drain(q, ref_sink.count, quiet_polls=1)
+    want = rows(ref_sink)
+    assert {b for (b, _, _, _) in want} == {0, 1, 2, 3}
+    assert any(g == 1 for (_, g, _, _) in want)
+
+    # crash-replay run against an explicit checkpoint
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(
+        str(tmp_path / "store"), ("b", "gen", "centroid_id")
+    )
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q33_centroid_drift(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    os.remove(os.path.join(ckpt, "commits", "3"))
+    crc = os.path.join(ckpt, "commits", ".3.crc")
+    if os.path.exists(crc):  # local-fs checksum shadow of the marker
+        os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q33_centroid_drift(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
+    # the replayed batch landed at gen 1, with no gen-0 residue
+    gens_b3 = {g for (b, g, _, _) in rows(sink) if b == 3}
+    assert gens_b3 == {1}, gens_b3
+
+
+def test_q33_empty_boundary_batch_still_retrains(spark, tmp_path):
+    """r7 ADVICE (low): the retrain trigger depends on batch_id, not on
+    rows — an empty shard AT the boundary must still flip the
+    generation, and a fresh closure hydrating at a later batch must
+    rebuild the identical gen-1 matrix."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators import similarity as S
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import _q33_make_apply
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent0 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    sink = ParquetAppendSink(
+        str(tmp_path / "store"), ("b", "gen", "centroid_id")
+    )
+    state, apply = _q33_make_apply(sink, cent0)
+    apply(emb.limit(40), 0)
+    assert state["gen"] == 0
+    apply(emb.limit(0), 1)  # EMPTY boundary batch
+    assert state["gen"] == 1  # retrain fired anyway
+    assert state["cent"] != cent0  # and actually moved the matrix
+
+    # hydration parity: a reborn closure replaying batch 2 rebuilds the
+    # same gen-1 matrix from the committed store
+    state2, apply2 = _q33_make_apply(sink, cent0)
+    apply2(emb.limit(5), 2)
+    assert state2["gen"] == 1
+    assert state2["cent"] == state["cent"]
