@@ -145,8 +145,14 @@ def _extracts_window_bound(expr) -> str | None:
     ``CAST(w.end AS LONG)``?  Returns ``"end"``, ``"start"``, or None.
     Checked structurally (a GetStructField node naming start/end) with
     the rendered SQL as fallback; ``end`` wins if one expression
-    somehow touches both (Flink's UpdatingPlanChecker forwards the
-    window END — ElasticUpsertTableSink.scala:51-55)."""
+    somehow touches both. ``end`` as the canonical bound is a demo-
+    derived choice, not a planner citation: the reference only ever
+    projects ``'w.end`` (TaxiRideQueries.scala Q1 — the sink key it
+    hands ElasticUpsertTableSink.scala:51-55 is whatever the plan
+    checker forwarded), and in Flink's planner start/end of one window
+    form a single key group, so either bound identifies the instance —
+    we pick END as the group's representative because it is the only
+    bound the reference demo materializes (ADVICE r8)."""
 
     def any_node(e) -> str | None:
         found: str | None = None
@@ -241,11 +247,15 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
     original diagnostic."""
     by_id = {k.expr_id: k for k in keys if k.expr_id is not None}
     carried: dict[str, _Key] = {}
-    # which bound an already-carried WINDOW key was traced through:
-    # Flink's UpdatingPlanChecker forwards the window END
-    # (ElasticUpsertTableSink.scala:51-55 via the plan checker), and
-    # for session windows only the end identifies the instance — so an
-    # alias extracting .end REPLACES one extracting .start (ADVICE r7).
+    # How an already-carried WINDOW key was traced: "start"/"end" for a
+    # bound extraction, "struct" for an identity carry of the raw
+    # window struct. Replacement rule (explicit, ADVICE r7+r8): an
+    # alias extracting .end REPLACES one extracting .start (end is the
+    # canonical representative of the window key group — see
+    # _extracts_window_bound), but NEVER replaces a carried struct: the
+    # struct holds both bounds, a strictly stronger key than either
+    # one, so struct-vs-bound coexistence resolves to the struct
+    # regardless of projection order.
     carried_bound: dict[str, str] = {}
     plist = project.projectList()
     for i in range(plist.size()):
@@ -253,8 +263,18 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
         cls = ne.getClass().getSimpleName()
         if cls == "AttributeReference":
             k = by_id.get(ne.exprId().toString())
-            if k is not None and k.expr_id not in carried:
+            if k is not None and (
+                k.expr_id not in carried
+                # struct beats a bound carried earlier in the list —
+                # order-independence of the precedence rule
+                or (
+                    k.is_window
+                    and carried_bound.get(k.expr_id) in ("start", "end")
+                )
+            ):
                 carried[k.expr_id] = k
+                if k.is_window:
+                    carried_bound[k.expr_id] = "struct"
             continue
         if cls != "Alias":
             continue
@@ -265,12 +285,20 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
         if k is None:
             continue
         bound = _extracts_window_bound(ne.child()) if k.is_window else None
-        if k.expr_id in carried and not (
-            bound == "end" and carried_bound.get(k.expr_id) == "start"
-        ):
-            continue
         core = _strip_casts(ne.child())
         identity = core.getClass().getSimpleName() == "AttributeReference"
+        if k.expr_id in carried:
+            prev = carried_bound.get(k.expr_id)
+            end_over_start = bound == "end" and prev == "start"
+            # an identity alias of the raw struct also beats a bound
+            struct_over_bound = (
+                k.is_window
+                and identity
+                and bound is None
+                and prev in ("start", "end")
+            )
+            if not (end_over_start or struct_over_bound):
+                continue
         window_bound = k.is_window and bound is not None
         if identity or window_bound:
             carried[k.expr_id] = _Key(
@@ -282,6 +310,8 @@ def _trace_through_project(keys: list[_Key], project) -> list[_Key]:
             )
             if window_bound:
                 carried_bound[k.expr_id] = bound
+            elif k.is_window:
+                carried_bound[k.expr_id] = "struct"
     return [carried.get(k.expr_id, _Key(None, k.name, k.is_window)) for k in keys]
 
 

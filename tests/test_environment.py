@@ -189,3 +189,23 @@ def test_infer_plan_prefers_window_end_when_both_bounds_projected(tenv):
     )
     keys2 = tenv.infer(proj2).upsert_keys
     assert "w_end2" in keys2 and "w_start2" not in keys2, keys2
+
+
+def test_infer_plan_projected_window_struct_beats_bound_alias(tenv):
+    """ADVICE r8 (modes.py carried_bound): when the RAW window struct is
+    projected alongside a bound extraction, the struct is the key in
+    BOTH projection orders — it carries both bounds, a strictly
+    stronger key than either one, so the 'end replaces start' rule must
+    not fire against it."""
+    ev = tenv.scan("events")
+    win = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # struct first, .end alias later: the struct must survive
+    proj = win.select("window", F.col("window.end").alias("w_end"), "n")
+    keys = tenv.infer(proj).upsert_keys
+    assert "window" in keys and "w_end" not in keys, keys
+    # .end alias first, struct later: same answer (order-independent)
+    proj2 = win.select(F.col("window.end").alias("w_end"), "window", "n")
+    keys2 = tenv.infer(proj2).upsert_keys
+    assert "window" in keys2 and "w_end" not in keys2, keys2
