@@ -28,14 +28,15 @@ class Query(NamedTuple):
 # the sampled window.  DRIVER_SAMPLE pins an explicit front slate:
 # ref_* (all 8) + a minimal semantic core that keeps every SURVEY §2
 # sink/state mode and this round's reworked flagships under direct
-# driver evidence, followed by a ROTATING block of queries that have
-# never had a driver-issued correctness row (r6 rotation; the
-# union already covered is recomputed from the committed CORRECTNESS
-# artifacts by tests/test_registry.py).  Over
-# rounds the whole registry accumulates external evidence; the full
-# /tmp/driver_sim.py run (all 203+ vs DuckDB) stays the pre-commit gate
-# for everything outside the window.  tests/test_registry.py pins the
-# slate per round.
+# driver evidence, followed by a ROTATING block.  Rounds 1-8 rotated
+# never-verified queries until the driver-evidence union closed at
+# 237/237 (r8); from r9 the block is LEAST-RECENTLY-VERIFIED (LRU):
+# each round >=20 slots go to the queries whose newest committed
+# CORRECTNESS_r*.json row is oldest, so no query's external evidence
+# ages past ~12 rounds (237/20) as the code keeps changing.  The full
+# /tmp/driver_sim.py run (all 237+ vs DuckDB) stays the pre-commit gate
+# for everything outside the window.  tests/test_registry.py enforces
+# the regime per round.
 DRIVER_SAMPLE: tuple[str, ...] = (
     # reference demo surface (all 8, pinned every round)
     "ref_q1_tumble",
@@ -47,54 +48,54 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "ref_s2_csv_roundtrip",
     "ref_s1_csv_gzip",
     # semantic core: the streaming rows SURVEY §2 cites directly
-    # (K1-K4, R11-R13, R16 need stream_q1/q2/q3/q8/q9/q10), plus one
-    # src_* anchor for family coverage
+    # (K1-K4, R11-R13, R16 need stream_q1/q2/q3/q8/q9/q10)
     "stream_q1_tumble_upsert",
     "stream_q2_over_range",
     "stream_q3_chained_agg",
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    "src_s7_schema_evolution",
-    # r8 rotation: the FINAL 29 never-driver-verified queries (the
-    # exact set CORRECTNESS_r01..r07 leave uncovered; recomputed by
-    # tests/test_registry.py from the committed artifacts).  A green
-    # r8 run closes the driver-evidence union at 237/237.
-    "an_a56_large_volume_customers",
-    "an_a57_excess_shipment_suppliers",
-    "an_a58_global_sales_opportunity",
-    "llm_d14_url_dedup",
-    "llm_d15_bloom_filter",
-    "llm_d17_simhash_pairs",
-    "llm_d18_ingest_dedup",
-    "llm_d19_quality_dedup",
-    "llm_m5_payload_sig_dedup",
-    "llm_m7_image_patches",
-    "llm_m8_modality_router",
-    "llm_m10_pair_audit",
-    "llm_p7_shard_assign",
-    "llm_p8_epoch_plan",
-    "llm_p10_curriculum",
-    "llm_p11_group_split",
-    "llm_p12_length_batching",
-    "llm_p13_corpus_manifest",
-    "llm_p14_interleave_schedule",
-    "llm_p15_budget_select",
-    "llm_s10_maxsim_pruned",
-    "llm_s11_mips_topk",
-    "llm_t11_unigram_freq_score",
-    "llm_t18_blocklist_filter",
-    "llm_t19_boilerplate_prefix",
-    "llm_t21_readability",
-    "llm_t22_rake_keywords",
-    "llm_t23_domain_drift",
-    "llm_t24_heldout_lm_filter",
-    # r8 new/reworked work pins: d4 second-key sub-bucketing rework,
-    # q33 restart-safe retrain state, t34 single-class zero guard
-    "llm_d4_dedup_ngram_jaccard",
+    # r9 reworked-flagship pin: q33 restart-replay hydration +
+    # full-subtree overwrite (the r7/r8 medium ADVICE fix)
     "stream_q33_centroid_drift",
-    "llm_t34_classifier_auc",
-    "llm_s16_binary_hamming",
+    # r9 LRU rotation: family/kind anchors from the stale end (src +
+    # llm_p last verified r3) ...
+    "src_s4_partitioned_events",
+    "llm_p3_sequence_pack",
+    # ... the whole last-verified-r1 cohort ...
+    "llm_d3_dedup_simhash",
+    "llm_m2_frame_sample",
+    "llm_s2_ann_lsh_topk",
+    "llm_t3_token_topk",
+    "llm_t4_fingerprints",
+    "llm_t5_token_counts",
+    # ... and 25 of the 28 last-verified-r2 an_* queries (a38/a39/a42
+    # stay for the r10 rotation).
+    "an_a3_top_customers",
+    "an_a4_rollup",
+    "an_a5_semi_join",
+    "an_a6_set_ops",
+    "an_a7_window_rank",
+    "an_a8_distinct_agg",
+    "an_a11_json_extract",
+    "an_a14_cube",
+    "an_a15_sliding_window",
+    "an_a16_part_filter",
+    "an_a17_anti_join",
+    "an_a18_full_outer",
+    "an_a19_percentiles",
+    "an_a20_pivot",
+    "an_a21_correlated_subquery",
+    "an_a22_lag_gaps",
+    "an_a23_market_share",
+    "an_a25_min_cost_supplier",
+    "an_a26_conditional_agg",
+    "an_a27_distribution_windows",
+    "an_a28_unpivot",
+    "an_a30_array_agg",
+    "an_a32_cdc_materialize",
+    "an_a33_histogram_quantiles",
+    "an_a37_date_spine",
 )
 
 

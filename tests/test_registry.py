@@ -20,22 +20,35 @@ def test_driver_sample_is_the_registry_prefix() -> None:
     assert [q.name for q in queries[:n]] == list(DRIVER_SAMPLE)
 
 
-def test_driver_sample_rotates_to_unseen_queries() -> None:
-    """r3 verdict 'What's missing #1': the slate must not freeze — each
-    round >=20 slots go to queries with no driver-issued correctness
-    row in any prior round (the union over every committed
-    CORRECTNESS_r*.json artifact)."""
+def test_driver_sample_rotates_to_least_recently_verified() -> None:
+    """Post-closure LRU regime (r8 verdict 'Next round #2'): the
+    never-verified set emptied when the driver-evidence union closed at
+    237/237 in r8, so freshness now means RECENCY — each round >=20
+    sample slots must go to queries whose newest committed
+    CORRECTNESS_r*.json row is oldest (last_seen <= the 40th-smallest
+    last_seen over the whole registry, ties inclusive; a query with no
+    row yet — i.e. registered this round — counts as oldest of all).
+    This bounds every query's evidence age at ~registry/20 rounds and,
+    by construction, fails at round START until the sample is rotated:
+    the previous round's slate was just verified, so it no longer
+    overlaps the stale cohort."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
-            seen |= set(json.load(fh))
-    first_time = [name for name in DRIVER_SAMPLE if name not in seen]
-    assert len(first_time) >= 20, first_time
+            for name in json.load(fh):
+                last[name] = max(last.get(name, 0), rnd)
+    names = [q.name for q in all_queries()]
+    ages = sorted(last.get(n, 0) for n in names)
+    threshold = ages[min(39, len(ages) - 1)]
+    due = [n for n in DRIVER_SAMPLE if last.get(n, 0) <= threshold]
+    assert len(due) >= 20, (threshold, due)
 
 
 def test_driver_sample_spans_every_family() -> None:
