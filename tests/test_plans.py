@@ -906,36 +906,34 @@ def test_label_propagation_uses_minby_aggregates_not_windows(spark):
     assert "RunningWindowFunction" not in plan and "Window" not in plan, plan
 
 
-def test_blocked_jaccard_bands_ride_the_join_key(spark):
-    """d4's r6 rework, pinned: the candidate join must carry the
-    length BUCKET in its equi-keys (five lang keys alone sort-merge an
-    entire language's pairs through one task — measured 186 s at
-    sf0.1), and the shingle intersection must never run inside a join
-    CONDITION — arrays attach by doc_id only after the integer band
-    filter, so the intersect runs once per surviving pair."""
+def test_blocked_jaccard_prefix_index_feeds_the_candidate_join(spark):
+    """d4's r9 rework (PPJoin prefix filtering), pinned: candidates
+    must come from the (lang, prefix-token) inverted index — the
+    candidate join's equi-keys carry the shingle TOKEN (plus lang), so
+    key cardinality is the prefix vocabulary (parallel, AQE-skew-
+    splittable), and no join CONDITION anywhere in the plan evaluates
+    the full-array intersection — arrays attach by doc_id only after
+    the prefix+band filter, so the intersect runs once per surviving
+    pair (591k -> vs the r6 band join's 770k candidates at sf0.1;
+    19.3 s -> 9.8 s warm solo)."""
     plan = formatted_plan(
         _query("llm_d4_dedup_ngram_jaccard")(spark, SF_SMOKE)
     )
-    key_lines = [
-        l for l in plan.splitlines()
-        if "keys" in l and ("lang" in l or "jkey" in l)
-    ]
-    assert any("jkey" in l for l in key_lines), plan
-    # The CANDIDATE join (the one keyed on the bucket probe) must stay
-    # integer-only: its condition may never evaluate the shingle
-    # intersection. (Catalyst pushing the jaccard filter into the
-    # later doc_id ATTACH join is fine — that runs once per surviving
-    # pair.)
     lines = plan.splitlines()
+    key_lines = [l for l in lines if "keys" in l and "lang" in l]
+    assert any(" s#" in l or "[s#" in l for l in key_lines), plan
+    # The CANDIDATE join (keyed on the token) must stay array-free in
+    # its condition; Catalyst pushing the jaccard filter into the later
+    # doc_id ATTACH join is fine — that runs once per surviving pair.
     for i, l in enumerate(lines):
-        if "Right keys" in l and "jkey" in l:
+        if "Left keys" in l and ("[s#" in l or " s#" in l):
             cond = next(
                 (c for c in lines[i : i + 4] if "Join condition" in c), ""
             )
             assert "array_intersect" not in cond, cond
             break
     else:
-        raise AssertionError("candidate join with jkey not found:\n" + plan)
+        raise AssertionError("token-keyed candidate join not found:\n" + plan)
 
 
 
