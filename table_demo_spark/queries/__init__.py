@@ -55,9 +55,12 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r9 reworked-flagship pin: q33 restart-replay hydration +
-    # full-subtree overwrite (the r7/r8 medium ADVICE fix)
+    # r9 reworked/new pins: q33 restart-replay hydration + full-subtree
+    # overwrite (the r7/r8 medium ADVICE fix); d4 PPJoin prefix
+    # filtering; s17 cascade rerank (new)
     "stream_q33_centroid_drift",
+    "llm_d4_dedup_ngram_jaccard",
+    "llm_s17_cascade_rerank",
     # r9 LRU rotation: family/kind anchors from the stale end (src +
     # llm_p last verified r3) ...
     "src_s4_partitioned_events",

@@ -1045,6 +1045,149 @@ QUALIFY fused_rank <= {_S15_OUT_K}
 
 
 # ---------------------------------------------------------------------------
+# S17 — cascade rerank: the exact LAST stage of the production
+# retrieval stack (s15's RRF fusion is stage one). The fused top-K
+# candidates — bounded O(K) by construction — are re-scored with a
+# deterministic cross-interaction function over the full (query, doc)
+# pair: the features a first-stage retriever structurally cannot use
+# because they require touching both sides together. Stand-in for a
+# cross-encoder forward pass with the same dataflow shape: per-pair
+# scoring over a bounded candidate list, zero additional corpus scans.
+#   cos   full-precision query-doc cosine (0 when the doc has no
+#         embedding — at sf0.1 embeddings cover only 2000 of 5000 docs)
+#   cov   fraction of query terms present in the doc
+#   prox  windowed co-occurrence: ordered query-term position pairs
+#         within _S17_WIN tokens, squashed to co/(1+co)
+# score = round(0.6*cos + 0.3*cov + 0.1*squash(prox), 9).
+# At 100 TB the added cost over s15 is K broadcast-joined rows.
+# ---------------------------------------------------------------------------
+
+_S17_WIN = 8  # co-occurrence window, in token positions
+_S17_W_COS, _S17_W_COV, _S17_W_PROX = 0.6, 0.3, 0.1
+
+
+def s17_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from table_demo_spark.functions.vector import cosine
+
+    cands = s15_hybrid_rrf(spark, sf_dir).select("doc_id", "fused_rank")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == _S15_PROBE).select(
+        F.col("embedding").alias("q_vec")
+    )
+    toks = T.tokens("text")
+    # positions of any query term (Spark indexes from 0, DuckDB from 1
+    # — only position DIFFERENCES reach the score, so parity holds)
+    pos = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(x.isin(*_S15_TERMS), i).otherwise(F.lit(-1)),
+        ),
+        lambda p: p >= 0,
+    )
+
+    def _has(term: str):
+        # one-arg lambda via closure (default-arg lambdas change HOF
+        # arity — verify SKILL gotcha)
+        return F.exists(toks, lambda x: x == F.lit(term)).cast("int")
+
+    cov_cnt = _has(_S15_TERMS[0])
+    for t in _S15_TERMS[1:]:
+        cov_cnt = cov_cnt + _has(t)
+    co = F.aggregate(
+        F.transform(
+            pos,
+            lambda p: F.size(
+                F.filter(pos, lambda q: (q > p) & ((q - p) <= F.lit(_S17_WIN)))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    scored = (
+        cands.join(docs, "doc_id", "left")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "fused_rank",
+            F.round(
+                F.lit(_S17_W_COS)
+                * F.coalesce(cosine("q_vec", "embedding"), F.lit(0.0))
+                + F.lit(_S17_W_COV)
+                * (cov_cnt.cast("double") / F.lit(float(len(_S15_TERMS))))
+                + F.lit(_S17_W_PROX)
+                * (co.cast("double") / (F.lit(1.0) + co.cast("double"))),
+                9,
+            ).alias("cross_score"),
+        )
+    )
+    w = Window.orderBy(F.col("cross_score").desc(), F.col("doc_id").asc())
+    return scored.withColumn(
+        "final_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def _s17_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _S15_TERMS)
+    cov = " + ".join(
+        f"CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        " THEN 1 ELSE 0 END"
+        for t in _S15_TERMS
+    )
+    return f"""
+WITH cand AS (
+  SELECT doc_id, fused_rank FROM ({_s15_oracle()})
+),
+tok AS (
+  SELECT doc_id, toks,
+         list_filter(
+           list_transform(toks, (x, i) -> CASE WHEN x IN ({terms_in})
+                                               THEN i ELSE -1 END),
+           p -> p >= 0) AS pos
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+feat AS (
+  SELECT c.doc_id, c.fused_rank,
+         COALESCE({_sql_cosine('q.embedding', 'e.embedding')},
+                  CAST(0.0 AS DOUBLE)) AS cos_sim,
+         ({cov}) AS cov_cnt,
+         COALESCE(CAST(list_sum(list_transform(t.pos,
+             p -> len(list_filter(t.pos,
+                      q -> q > p AND q - p <= {_S17_WIN}))))
+           AS BIGINT), 0) AS co
+  FROM cand c
+  LEFT JOIN tok t ON t.doc_id = c.doc_id
+  LEFT JOIN embeddings e ON e.vec_id = c.doc_id
+  CROSS JOIN (SELECT embedding FROM embeddings
+              WHERE vec_id = {_S15_PROBE}) q
+),
+rescored AS (
+  SELECT doc_id, fused_rank,
+         round(CAST({_S17_W_COS} AS DOUBLE) * cos_sim
+             + CAST({_S17_W_COV} AS DOUBLE)
+               * (CAST(cov_cnt AS DOUBLE)
+                  / CAST({len(_S15_TERMS)} AS DOUBLE))
+             + CAST({_S17_W_PROX} AS DOUBLE)
+               * (CAST(co AS DOUBLE)
+                  / (CAST(1.0 AS DOUBLE) + CAST(co AS DOUBLE))), 9)
+           AS cross_score
+  FROM feat
+)
+SELECT doc_id, fused_rank, cross_score,
+       CAST(row_number() OVER (ORDER BY cross_score DESC, doc_id ASC)
+            AS BIGINT) AS final_rank
+FROM rescored
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6868,6 +7011,7 @@ QUERIES: list[Query] = [
     Query("llm_t31_bpe_batched_train", t31_bpe_batched_train, _t31_oracle()),
     Query("llm_s14_ivf_kmeans_topk", s14_ivf_kmeans_topk, _s14_oracle()),
     Query("llm_s15_hybrid_rrf", s15_hybrid_rrf, _s15_oracle()),
+    Query("llm_s17_cascade_rerank", s17_cascade_rerank, _s17_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
