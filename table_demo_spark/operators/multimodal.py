@@ -78,10 +78,16 @@ def decode_image(payload: bytes) -> "object":
     if data.startswith(JPEG_MAGIC[:2]):
         grey = decode_jpeg(data)
         return np.repeat(grey[:, :, None], 3, axis=2)
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        # lossless VP8L decode (codecs.decode_webp_lossless, from
+        # RFC 9649); lossy VP8 frames raise inside the decoder
+        from table_demo_spark.operators.codecs import decode_webp_lossless
+
+        return decode_webp_lossless(data)
     raise NotImplementedError(
-        "PPM/PNG/GIF/baseline-JPEG decode in-container; wire PIL/cv2 "
-        "for WebP/AVIF or progressive JPEG — the mapInPandas plumbing "
-        "is codec-agnostic"
+        "PPM/PNG/GIF/baseline-JPEG/lossless-WebP decode in-container; "
+        "wire PIL/cv2 for AVIF, lossy WebP, or progressive JPEG — the "
+        "mapInPandas plumbing is codec-agnostic"
     )
 
 
@@ -441,6 +447,35 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
                 encode_png(
                     np.frombuffer(
                         _md5_stream(str(doc_id), _PNG_BLOCKS, "#png"),
+                        dtype=np.uint8,
+                    ).reshape(PNG_H, PNG_W, 3)
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def with_webp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real lossless-WebP (VP8L) image per
+    document — the same md5 raster as the PNG path (salt '#webp'),
+    run through codecs.encode_webp_lossless (subtract-green transform
+    + canonical prefix codes). The decode side must invert the
+    transform and walk the full prefix-code machinery to recover the
+    raster the oracle restates analytically."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_webp_lossless
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_webp_lossless(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _PNG_BLOCKS, "#webp"),
                         dtype=np.uint8,
                     ).reshape(PNG_H, PNG_W, 3)
                 )

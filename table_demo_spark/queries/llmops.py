@@ -4782,6 +4782,53 @@ FROM luma
 """
 
 
+def m27_webp_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m14's decoded-luma statistics over LOSSLESS-WEBP (VP8L)
+    payloads — the top codec gap for wild-web training data (r8
+    verdict #4). codecs.encode_webp_lossless writes a spec-valid
+    subtract-green + canonical-prefix-code stream from the md5 raster;
+    codecs.decode_webp_lossless walks the full RFC 9649 image-stream
+    machinery (code-length codes, canonical prefix decode, inverse
+    transform) to get the pixels back. The oracle restates the RASTER
+    analytically, so a bug anywhere in bit packing, canonical code
+    assignment, the code-length code, or the subtract-green inverse
+    shifts decoded pixels and fails the value hash. Third-party
+    interop for the decoder is pinned separately on
+    tests/fixtures/python.webp's VP8L-compressed alpha plane."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decoded_luma(multimodal.with_webp_payload(docs))
+
+
+_WEBP_BYTES_CTE = f"""
+blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#webp' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._PNG_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, i * 16 + j AS o,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+)"""
+
+
+M27_ORACLE = f"""
+WITH {_WEBP_BYTES_CTE},
+luma AS (
+  SELECT doc_id,
+         CAST(sum(({_LUMA_W_SQL}) * b) AS BIGINT)
+           // {multimodal.PNG_W * multimodal.PNG_H} AS mean_luma_milli
+  FROM bytes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({multimodal.PNG_W} AS BIGINT) AS width,
+       CAST({multimodal.PNG_H} AS BIGINT) AS height,
+       mean_luma_milli,
+       mean_luma_milli // 32000 AS luma_bucket
+FROM luma
+"""
+
+
 # ---------------------------------------------------------------------------
 # T29 — the Gopher quality-rule gate (Rae et al. 2021, "Scaling
 # Language Models", appendix A1.1): the published composite document
@@ -7022,6 +7069,7 @@ QUERIES: list[Query] = [
     Query("llm_m24_flac_resample", m24_flac_resample, _m24_oracle()),
     Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
     Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
+    Query("llm_m27_webp_luma", m27_webp_luma, M27_ORACLE),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),
     Query("llm_s16_binary_hamming", s16_binary_hamming_rerank, _s16_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),

@@ -109,6 +109,7 @@ _PYTHON_ALLOWED = {
     "llm_m24_flac_resample",  # MapInPandas (FLAC decode + integer half-band decimation)
     "llm_m25_flac_lpc",  # MapInPandas (LPC-subframe FLAC encode + decode to PCM stats)
     "llm_m26_stereo_flac",  # MapInPandas (stereo mid/side FLAC encode + decode to per-channel stats)
+    "llm_m27_webp_luma",  # MapInPandas (real VP8L lossless-WebP encode + decode, RFC 9649)
 }
 
 
