@@ -1010,10 +1010,11 @@ def test_jpeg_restart_split_segments_decode_independently():
 
 
 def test_decode_image_dispatches_and_rejects_unknown(spark):
-    """decode_image parses real PPM/PNG/GIF/JPEG payloads produced by
-    the fixture builders; codec-library magic (WebP) still routes to
-    the documented NotImplementedError extension point, and a corrupt
-    PNG fails loudly rather than decoding garbage."""
+    """decode_image parses real PPM/PNG/GIF/JPEG/lossless-WebP payloads
+    produced by the fixture builders; lossy VP8 fails loudly inside the
+    WebP decoder; unsniffed magic (AVIF) still routes to the documented
+    NotImplementedError extension point; and a corrupt PNG fails loudly
+    rather than decoding garbage."""
     import numpy as np
     import pytest as _pytest
 
@@ -1043,8 +1044,20 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
     assert jpg.dtype == np.uint8
     assert (jpg[:, :, 0] == jpg[:, :, 1]).all()
 
+    # lossless WebP decodes for real since r9 (m27)
+    webp_row = multimodal.with_webp_payload(docs).collect()[0]
+    webp = multimodal.decode_image(webp_row.payload)
+    assert webp.shape == (multimodal.PNG_H, multimodal.PNG_W, 3)
+    assert webp.dtype == np.uint8
+
+    with _pytest.raises(ValueError):
+        # lossy VP8 frames fail loudly inside the WebP decoder
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP
+        multimodal.decode_image(
+            b"\x00\x00\x00\x1cftypavif"
+        )  # AVIF stays the documented extension point
 
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")  # truncated PNG
