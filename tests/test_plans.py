@@ -110,6 +110,7 @@ _PYTHON_ALLOWED = {
     "llm_m25_flac_lpc",  # MapInPandas (LPC-subframe FLAC encode + decode to PCM stats)
     "llm_m26_stereo_flac",  # MapInPandas (stereo mid/side FLAC encode + decode to per-channel stats)
     "llm_m27_webp_luma",  # MapInPandas (real VP8L lossless-WebP encode + decode, RFC 9649)
+    "llm_s18_graph_beam_search",  # FlatMapGroupsInPandas (per-probe-bucket fold-left GEMM graph build)
 }
 
 
