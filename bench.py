@@ -189,6 +189,8 @@ HEADLINE = [
     "llm_s17_cascade_rerank",
     "llm_m27_webp_luma",
     "llm_s18_graph_beam_search",
+    "llm_s19_graph_recall",
+    "llm_m28_webp_anim_cuts",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

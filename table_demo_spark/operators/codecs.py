@@ -3191,29 +3191,30 @@ def decode_webp_lossless_stream(
     return _vp8l_decode_image_stream(br, w, h, is_level0)
 
 
-def _riff_chunks(data: bytes) -> dict[bytes, bytes]:
+def _riff_chunk_list(data: bytes) -> list[tuple[bytes, bytes]]:
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF) file")
-    chunks: dict[bytes, bytes] = {}
+    chunks: list[tuple[bytes, bytes]] = []
     pos = 12
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        chunks[tag] = data[pos + 8 : pos + 8 + size]
+        chunks.append((tag, data[pos + 8 : pos + 8 + size]))
         pos += 8 + size + (size & 1)
     return chunks
 
 
-def decode_webp_lossless(data: bytes):
-    """RIFF 'WEBP' + VP8L chunk -> (h, w, 3) uint8 RGB raster."""
+def _riff_chunks(data: bytes) -> dict[bytes, bytes]:
+    return dict(_riff_chunk_list(data))
+
+
+def _decode_vp8l_payload(payload: bytes):
+    """A full VP8L chunk payload (signature + header + stream) ->
+    (h, w, 3) uint8 RGB raster."""
     import numpy as np
 
-    chunks = _riff_chunks(data)
-    if b"VP8L" not in chunks:
-        raise ValueError("WebP: no VP8L chunk (lossy VP8 not supported)")
-    payload = chunks[b"VP8L"]
     if payload[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _Vp8lBitReader(payload[1:])
@@ -3229,6 +3230,92 @@ def decode_webp_lossless(data: bytes):
     out[:, :, 1] = (arr >> 8) & 0xFF
     out[:, :, 2] = arr & 0xFF
     return out
+
+
+def decode_webp_lossless(data: bytes):
+    """RIFF 'WEBP' + VP8L chunk -> (h, w, 3) uint8 RGB raster."""
+    chunks = _riff_chunks(data)
+    if b"VP8L" not in chunks:
+        raise ValueError("WebP: no VP8L chunk (lossy VP8 not supported)")
+    return _decode_vp8l_payload(chunks[b"VP8L"])
+
+
+def _webp_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    out = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_anim(frames, durations_ms: int = 40) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> animated WebP (container spec: VP8X
+    with the ANIM flag, one ANIM chunk, one ANMF chunk per frame, each
+    carrying a lossless VP8L frame at the full canvas)."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    vp8x = bytes([0x02, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack(
+        "<I", h - 1
+    )[:3]
+    anim = struct.pack("<I", 0) + struct.pack("<H", 0)  # bg BGRA + loops
+    body = _webp_chunk(b"VP8X", vp8x) + _webp_chunk(b"ANIM", anim)
+    for i in range(n):
+        inner = encode_webp_lossless(frames[i])
+        vp8l_chunk = inner[12:]  # strip the frame's own RIFF header
+        anmf = (
+            struct.pack("<I", 0)[:3]          # frame_x / 2
+            + struct.pack("<I", 0)[:3]        # frame_y / 2
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3]
+            + struct.pack("<I", durations_ms)[:3]
+            + bytes([0])                      # blend over, keep canvas
+            + vp8l_chunk
+        )
+        body += _webp_chunk(b"ANMF", anmf)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp_anim(data: bytes):
+    """Animated WebP -> ((n, h, w, 3) uint8 RGB frames, durations_ms).
+    Only full-canvas VP8L frames are supported (what encode_webp_anim
+    writes; lossy ANMF frames raise)."""
+    import struct
+
+    import numpy as np
+
+    chunks = _riff_chunk_list(data)
+    tags = [t for t, _ in chunks]
+    if b"VP8X" not in tags:
+        raise ValueError("WebP: no VP8X chunk (not extended format)")
+    vp8x = dict(chunks)[b"VP8X"]
+    if not vp8x[0] & 0x02:
+        raise ValueError("WebP: ANIM flag not set")
+    frames, durations = [], []
+    for tag, payload in chunks:
+        if tag != b"ANMF":
+            continue
+        fw = 1 + (payload[6] | payload[7] << 8 | payload[8] << 16)
+        fh = 1 + (payload[9] | payload[10] << 8 | payload[11] << 16)
+        dur = payload[12] | payload[13] << 8 | payload[14] << 16
+        sub = payload[16:]
+        stag = sub[0:4]
+        if stag != b"VP8L":
+            raise ValueError(f"ANMF: unsupported frame codec {stag!r}")
+        size = struct.unpack("<I", sub[4:8])[0]
+        arr = _decode_vp8l_payload(sub[8 : 8 + size])
+        if arr.shape[:2] != (fh, fw):
+            raise ValueError("ANMF: frame dims disagree with VP8L header")
+        frames.append(arr)
+        durations.append(dur)
+    if not frames:
+        raise ValueError("WebP: no ANMF frames")
+    return np.stack(frames), durations
 
 
 def webp_info(data: bytes) -> dict:
@@ -3265,6 +3352,9 @@ def webp_info(data: bytes) -> dict:
         info["alpha_compression"] = a[0] & 3
         info["alpha_filter"] = (a[0] >> 2) & 3
         info["alpha_preprocess"] = (a[0] >> 4) & 3
+    n_anmf = sum(1 for t, _ in _riff_chunk_list(data) if t == b"ANMF")
+    if n_anmf:
+        info["n_frames"] = n_anmf
     return info
 
 

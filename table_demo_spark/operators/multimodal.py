@@ -549,6 +549,60 @@ def gif_frames(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=GIF_FRAME_SCHEMA)
 
 
+WEBP_ANIM_FRAMES = 4
+WEBP_ANIM_H, WEBP_ANIM_W = 8, 16
+_WEBPA_BLOCKS = (WEBP_ANIM_FRAMES * WEBP_ANIM_H * WEBP_ANIM_W * 3) // 16
+
+
+def with_webp_anim_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real ANIMATED WebP per document — 4
+    full-canvas VP8L frames over the md5 raster (salt '#webpa'),
+    through codecs.encode_webp_anim (VP8X + ANIM + per-frame ANMF)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_webp_anim
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_webp_anim(
+                    np.frombuffer(
+                        _md5_stream(str(doc_id), _WEBPA_BLOCKS, "#webpa"),
+                        dtype=np.uint8,
+                    ).reshape(
+                        WEBP_ANIM_FRAMES, WEBP_ANIM_H, WEBP_ANIM_W, 3
+                    )
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def webp_anim_frames(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each animated-WebP payload and emit one row per frame
+    with the hex of its DECODED RGB raster — gif_frames' shape over the
+    VP8L codec. Any bug in the ANMF walk or the per-frame VP8L decode
+    corrupts frame_hex and everything downstream."""
+    from table_demo_spark.operators.codecs import decode_webp_anim
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _durs = decode_webp_anim(bytes(payload))
+                for fno in range(frames.shape[0]):
+                    rows.append((doc_id, fno, frames[fno].tobytes().hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_hex"]
+            )
+
+    return docs_with_payload.mapInPandas(extract, schema=GIF_FRAME_SCHEMA)
+
+
 def with_wav_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a real RIFF/WAVE PCM16 clip per document,
     sample s = little-endian int16 from md5-stream bytes (2s, 2s+1)."""

@@ -1353,6 +1353,61 @@ def s18_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s19_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@B evaluation of s18's graph search against exact
+    brute-force top-B (the s6 eval pattern applied to the graph
+    index) — how production validates an ANN structure before serving
+    from it. Exact side excludes the query vector itself (standard
+    recall convention); integer millis so the metric hash-matches.
+    Expected to be LOW on the isotropic random fixture (the graph has
+    no cluster structure to navigate — the eval's honesty is the
+    point): the metric reports it, it does not hide it."""
+    from table_demo_spark.functions.vector import cosine
+
+    beam = s18_graph_beam_search(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _S18_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != _S18_PROBE)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine("embedding", "qv").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(_S18_B)
+        .select("vec_id")
+    )
+    hits = beam.join(exact, "vec_id")
+    return hits.agg(
+        F.lit(_S18_B).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        (F.count(F.lit(1)) * 1000 / F.lit(_S18_B))
+        .cast("long")
+        .alias("recall_milli"),
+    )
+
+
+def _s19_oracle() -> str:
+    return f"""
+WITH beam AS ({_s18_oracle()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {_S18_PROBE}
+  ) WHERE rn <= {_S18_B}
+)
+SELECT CAST({_S18_B} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(*) * 1000 // {_S18_B} AS BIGINT) AS recall_milli
+FROM beam b JOIN exact x ON x.vec_id = b.vec_id
+"""
+
+
 def _s18_oracle() -> str:
     signs = _rp_signs()
     dims = []
@@ -5067,6 +5122,78 @@ FROM luma
 """
 
 
+_M28_CUT_BITS = 20
+_M28_FRAME_HEX = multimodal.WEBP_ANIM_H * multimodal.WEBP_ANIM_W * 3 * 2
+
+
+def m28_webp_anim_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m15's scene-cut detection over ANIMATED WEBP: 4 full-canvas
+    VP8L frames per document (codecs.encode_webp_anim / decode_webp_anim
+    — the VP8X + ANIM + ANMF container walk), frame signature = first
+    32 md5 bits of the DECODED RGB raster hex, a cut where consecutive
+    signatures differ by >= 20 Hamming bits. The oracle restates the
+    raster slices analytically, so a bug in the ANMF chunk walk, the
+    per-frame VP8L decode, or frame ordering shifts frame_hex and
+    fails the value hash."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.webp_anim_frames(
+        multimodal.with_webp_anim_payload(docs)
+    )
+    sig = F.conv(F.substring(F.md5(F.col("frame_hex")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    scored = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        sig.alias("sig"),
+    ).withColumn("prev_sig", F.lag("sig").over(w))
+    return (
+        scored.filter(F.col("prev_sig").isNotNull())
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("prev_sig"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") >= _M28_CUT_BITS)
+        .select("doc_id", "frame_no", "hamming")
+    )
+
+
+M28_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#webpa' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._WEBPA_BLOCKS})) AS i)
+),
+hx AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS hx
+  FROM blocks GROUP BY doc_id
+),
+frames AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+         substr(hx, CAST(f * {_M28_FRAME_HEX} + 1 AS BIGINT),
+                {_M28_FRAME_HEX}) AS frame_hex
+  FROM hx, (SELECT unnest(range(0, {multimodal.WEBP_ANIM_FRAMES})) AS f)
+),
+sigs AS (
+  SELECT doc_id, frame_no,
+         CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT) AS sig,
+         lag(CAST('0x' || substr(md5(frame_hex), 1, 8) AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_sig
+  FROM frames
+)
+SELECT doc_id, frame_no,
+       CAST(bit_count(xor(sig, prev_sig)) AS BIGINT) AS hamming
+FROM sigs
+WHERE prev_sig IS NOT NULL
+  AND bit_count(xor(sig, prev_sig)) >= {_M28_CUT_BITS}
+"""
+
+
 # ---------------------------------------------------------------------------
 # T29 — the Gopher quality-rule gate (Rae et al. 2021, "Scaling
 # Language Models", appendix A1.1): the published composite document
@@ -7298,6 +7425,7 @@ QUERIES: list[Query] = [
     Query("llm_s15_hybrid_rrf", s15_hybrid_rrf, _s15_oracle()),
     Query("llm_s17_cascade_rerank", s17_cascade_rerank, _s17_oracle()),
     Query("llm_s18_graph_beam_search", s18_graph_beam_search, _s18_oracle()),
+    Query("llm_s19_graph_recall", s19_graph_recall, _s19_oracle()),
     Query("llm_m17_jpeg_dc", m17_jpeg_dc, M17_ORACLE),
     Query("llm_m18_jpeg_restart_parallel", m18_jpeg_restart_parallel, M18_ORACLE),
     Query("llm_m19_color_jpeg_dc", m19_color_jpeg_dc, _m19_oracle()),
@@ -7309,6 +7437,7 @@ QUERIES: list[Query] = [
     Query("llm_m25_flac_lpc", m25_flac_lpc, _m25_oracle()),
     Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
     Query("llm_m27_webp_luma", m27_webp_luma, M27_ORACLE),
+    Query("llm_m28_webp_anim_cuts", m28_webp_anim_cuts, M28_ORACLE),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),
     Query("llm_s16_binary_hamming", s16_binary_hamming_rerank, _s16_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),

@@ -2469,3 +2469,28 @@ def test_graph_beam_search_navigates_beyond_entry(spark):
         .collect()[0]["c"]
     )
     assert scores[0] >= entry_score
+
+
+def test_webp_anim_roundtrip_and_container_info():
+    """Animated WebP: encode_webp_anim -> decode_webp_anim is
+    frame-exact; webp_info reports the ANIM flag, canvas, and the ANMF
+    frame count from the ordered chunk walk (a dict walk would
+    collapse the repeated ANMF tags)."""
+    import numpy as np
+
+    from table_demo_spark.operators import codecs as C
+    from table_demo_spark.operators import multimodal as M
+
+    raster = np.frombuffer(
+        M._md5_stream("7", M._WEBPA_BLOCKS, "#webpa"), dtype=np.uint8
+    ).reshape(M.WEBP_ANIM_FRAMES, M.WEBP_ANIM_H, M.WEBP_ANIM_W, 3)
+    data = C.encode_webp_anim(raster, durations_ms=40)
+    frames, durs = C.decode_webp_anim(data)
+    assert (frames == raster).all()
+    assert durs == [40] * M.WEBP_ANIM_FRAMES
+    info = C.webp_info(data)
+    assert info["has_anim"] and info["n_frames"] == M.WEBP_ANIM_FRAMES
+    assert (info["canvas_w"], info["canvas_h"]) == (
+        M.WEBP_ANIM_W,
+        M.WEBP_ANIM_H,
+    )

@@ -111,6 +111,8 @@ _PYTHON_ALLOWED = {
     "llm_m26_stereo_flac",  # MapInPandas (stereo mid/side FLAC encode + decode to per-channel stats)
     "llm_m27_webp_luma",  # MapInPandas (real VP8L lossless-WebP encode + decode, RFC 9649)
     "llm_s18_graph_beam_search",  # FlatMapGroupsInPandas (per-probe-bucket fold-left GEMM graph build)
+    "llm_s19_graph_recall",  # FlatMapGroupsInPandas (s18 graph build feeding the recall eval)
+    "llm_m28_webp_anim_cuts",  # MapInPandas (animated-WebP ANMF walk + per-frame VP8L decode)
 }
 
 
