@@ -191,6 +191,8 @@ HEADLINE = [
     "llm_s18_graph_beam_search",
     "llm_s19_graph_recall",
     "llm_m28_webp_anim_cuts",
+    "llm_m29_mp3_frame_walk",
+    "llm_m30_h264_nal_walk",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -3480,3 +3480,194 @@ def encode_webp_lossless(arr) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# =====================================================================
+# MP3 (MPEG-1 Audio Layer III) FRAME-HEADER layer — from the public
+# ISO/IEC 11172-3 header layout: the ingest-triage surface a training
+# pipeline needs (frame walk, bitrate/samplerate tables, frame-length
+# arithmetic, duration accounting) implemented for real; full audio
+# decode (huffman + IMDCT + polyphase synthesis) stays a documented
+# extension point, stated honestly here rather than stubbed silently.
+# =====================================================================
+
+MP3_BITRATES_KBPS = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)  # MPEG-1 Layer III bitrate_index 0..14 (0 = free, 15 = invalid)
+MP3_SAMPLERATES = (44100, 48000, 32000)  # samplerate_index 0..2
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def mp3_frame_length(bitrate_kbps: int, samplerate: int, padding: int) -> int:
+    """ISO 11172-3: FrameLen = floor(144 * bitrate / samplerate) + pad."""
+    return (144 * bitrate_kbps * 1000) // samplerate + padding
+
+
+def encode_mp3_frames(
+    specs: list[tuple[int, int]],
+    payload: bytes,
+    samplerate_index: int = 0,
+) -> bytes:
+    """Build a structurally valid MPEG-1 Layer III frame sequence:
+    one (bitrate_index, padding) spec per frame, payload bytes drawn
+    sequentially from `payload` to fill each frame body. Headers are
+    bit-exact per the spec (sync 0x7FF, version 11=MPEG-1, layer
+    01=III, no CRC, mono); bodies are opaque bytes (no side info /
+    huffman data — valid for header walking, not for audio decode)."""
+    out = bytearray()
+    pos = 0
+    sr = MP3_SAMPLERATES[samplerate_index]
+    for bitrate_index, padding in specs:
+        if not 1 <= bitrate_index <= 14:
+            raise ValueError("MP3: bitrate_index out of range")
+        kbps = MP3_BITRATES_KBPS[bitrate_index]
+        flen = mp3_frame_length(kbps, sr, padding)
+        b0 = 0xFF
+        b1 = 0b11111011  # sync(3) + version 11 + layer 01 + no-CRC 1
+        b2 = (bitrate_index << 4) | (samplerate_index << 2) | (padding << 1)
+        b3 = 0b11000000  # channel mode 11 = mono/single channel
+        body = payload[pos : pos + flen - 4]
+        if len(body) < flen - 4:
+            raise ValueError("MP3: payload underrun")
+        pos += flen - 4
+        out += bytes([b0, b1, b2, b3]) + body
+    return bytes(out)
+
+
+def decode_mp3_frames(data: bytes) -> list[dict]:
+    """Walk an MPEG-1 Layer III frame sequence by header arithmetic
+    (no byte scanning: each header's frame length positions the next
+    sync, and a broken walk desyncs immediately). Returns one dict per
+    frame: bitrate_kbps, samplerate, padding, frame_len."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("MP3: truncated header")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost sync at byte {pos}")
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if version != 3 or layer != 1:
+            raise ValueError("MP3: only MPEG-1 Layer III supported")
+        bitrate_index = (b2 >> 4) & 0xF
+        samplerate_index = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if bitrate_index in (0, 15) or samplerate_index == 3:
+            raise ValueError("MP3: invalid bitrate/samplerate index")
+        kbps = MP3_BITRATES_KBPS[bitrate_index]
+        sr = MP3_SAMPLERATES[samplerate_index]
+        flen = mp3_frame_length(kbps, sr, padding)
+        if pos + flen > len(data):
+            raise ValueError("MP3: frame overruns payload")
+        frames.append(
+            {
+                "bitrate_kbps": kbps,
+                "samplerate": sr,
+                "padding": padding,
+                "frame_len": flen,
+            }
+        )
+        pos += flen
+    return frames
+
+
+# =====================================================================
+# H.264 / AVC (ISO/IEC 14496-10) NAL-unit layer — Annex B byte-stream
+# walking with REAL emulation-prevention (RBSP unescaping): the
+# structure-triage surface for video training data. Slice/macroblock
+# decode is the documented extension point.
+# =====================================================================
+
+
+def h264_escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte: any 00 00 followed by
+    00/01/02/03 in the raw payload becomes 00 00 03 xx on the wire."""
+    out = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def h264_unescape_rbsp(data: bytes) -> bytes:
+    """Remove emulation_prevention_three_byte (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(data):
+        byte = data[i]
+        if zeros >= 2 and byte == 3 and i + 1 < len(data) and data[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def encode_annexb(nals: list[tuple[int, int, bytes]]) -> bytes:
+    """(nal_ref_idc, nal_unit_type, rbsp payload) -> Annex B byte
+    stream: 4-byte start code before parameter sets / IDR, 3-byte
+    before other NALs (the common packaging), header byte
+    forbidden_zero(1) | ref_idc(2) | type(5), payload escaped. Every
+    RBSP gets the spec's rbsp_trailing_bits byte (0x80) appended — the
+    stop bit is what disambiguates a payload's trailing zero bytes
+    from the NEXT NAL's start code (a raw payload ending in 00 00
+    would otherwise be swallowed by the start-code scan)."""
+    out = bytearray()
+    for ref_idc, ntype, rbsp in nals:
+        start = (
+            b"\x00\x00\x00\x01" if ntype in (5, 7, 8) else b"\x00\x00\x01"
+        )
+        out += start
+        out.append(((ref_idc & 3) << 5) | (ntype & 0x1F))
+        out += h264_escape_rbsp(rbsp + b"\x80")
+    return bytes(out)
+
+
+def decode_annexb(data: bytes) -> list[dict]:
+    """Walk an Annex B stream: find start codes, split NAL units,
+    unescape each RBSP. Returns dicts with ref_idc, nal_type, rbsp."""
+    starts = []
+    i = 0
+    n = len(data)
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts or starts[0][0] != 0:
+        raise ValueError("H264: stream must begin with a start code")
+    nals = []
+    for k, (s, body_start) in enumerate(starts):
+        body_end = starts[k + 1][0] if k + 1 < len(starts) else n
+        hdr = data[body_start]
+        if hdr & 0x80:
+            raise ValueError("H264: forbidden_zero_bit set")
+        body = data[body_start + 1 : body_end]
+        # trailing_zero_8bits belong to the byte stream, not the NAL
+        body = body.rstrip(b"\x00")
+        rbsp = h264_unescape_rbsp(body)
+        if not rbsp or rbsp[-1] != 0x80:
+            raise ValueError("H264: missing rbsp_trailing_bits stop byte")
+        nals.append(
+            {
+                "ref_idc": (hdr >> 5) & 3,
+                "nal_type": hdr & 0x1F,
+                "rbsp": rbsp[:-1],
+            }
+        )
+    return nals

@@ -603,6 +603,170 @@ def webp_anim_frames(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(extract, schema=GIF_FRAME_SCHEMA)
 
 
+MP3_FRAMES = 6
+MP3_SR_INDEX = 0  # 44100 Hz
+
+
+def _mp3_specs(doc_id: int) -> list[tuple[int, int]]:
+    """Deterministic per-frame (bitrate_index, padding): cycles the
+    whole MPEG-1 Layer III bitrate table across the corpus."""
+    return [
+        (1 + (doc_id * 7 + i * 3) % 14, (doc_id + i) % 2)
+        for i in range(MP3_FRAMES)
+    ]
+
+
+def with_mp3_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a structurally valid MPEG-1 Layer III frame
+    sequence per document (codecs.encode_mp3_frames — real header
+    bits + frame-length arithmetic; bodies are md5 filler, since the
+    header WALK is the operator under test)."""
+    from table_demo_spark.operators.codecs import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLERATES,
+        encode_mp3_frames,
+        mp3_frame_length,
+    )
+
+    sr = MP3_SAMPLERATES[MP3_SR_INDEX]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                specs = _mp3_specs(int(doc_id))
+                need = sum(
+                    mp3_frame_length(MP3_BITRATES_KBPS[b], sr, p) - 4
+                    for b, p in specs
+                )
+                filler = _md5_stream(
+                    str(doc_id), -(-need // 16), "#mp3"
+                )[:need]
+                payloads.append(
+                    encode_mp3_frames(specs, filler, MP3_SR_INDEX)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def mp3_frame_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Header-walk each MP3 payload (codecs.decode_mp3_frames) and
+    emit one row per frame with the PARSED header fields — a wrong
+    bitrate table entry, samplerate, or frame-length formula desyncs
+    the walk and corrupts every later frame."""
+    from table_demo_spark.operators.codecs import decode_mp3_frames
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fno, fr in enumerate(decode_mp3_frames(bytes(payload))):
+                    rows.append(
+                        (
+                            doc_id,
+                            fno,
+                            fr["bitrate_kbps"],
+                            fr["padding"],
+                            fr["frame_len"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "bitrate_kbps", "padding",
+                    "frame_len",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, frame_no long, bitrate_kbps long, "
+            "padding long, frame_len long"
+        ),
+    )
+
+
+H264_NALS = 6
+H264_TYPES = (7, 8, 5, 1, 1, 1)  # SPS, PPS, IDR, 3 non-IDR slices
+H264_REF_IDC = {7: 3, 8: 3, 5: 2, 1: 0}
+_H264_RAW = 48          # md5 bytes per NAL before the escape motif
+_H264_MOTIF_AT = 20     # where the forced 00 00 00 00 01 goes
+_H264_BLOCKS = (H264_NALS * _H264_RAW) // 16
+
+
+def with_h264_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an H.264 Annex B byte stream per document —
+    SPS/PPS/IDR/slice NAL sequence, each RBSP a 48-byte md5 slice with
+    a start-code-colliding motif (00 00 00 00 01) spliced in at byte
+    20, so EVERY NAL exercises emulation-prevention escaping on the
+    wire (plus whatever 00-runs the md5 bytes supply)."""
+    from table_demo_spark.operators.codecs import encode_annexb
+
+    motif = b"\x00\x00\x00\x00\x01"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                stream = _md5_stream(str(doc_id), _H264_BLOCKS, "#h264")
+                nals = []
+                for i, ntype in enumerate(H264_TYPES):
+                    raw = stream[i * _H264_RAW : (i + 1) * _H264_RAW]
+                    rbsp = (
+                        raw[:_H264_MOTIF_AT] + motif + raw[_H264_MOTIF_AT:]
+                    )
+                    nals.append((H264_REF_IDC[ntype], ntype, rbsp))
+                payloads.append(encode_annexb(nals))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_nal_units(docs_with_payload: DataFrame) -> DataFrame:
+    """Walk each Annex B payload (codecs.decode_annexb) and emit one
+    row per NAL with the parsed header fields and the UNESCAPED RBSP
+    hex — a start-code scan or emulation-prevention bug shifts bytes
+    and breaks the downstream content hash."""
+    from table_demo_spark.operators.codecs import decode_annexb
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, nal in enumerate(decode_annexb(bytes(payload))):
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            nal["nal_type"],
+                            nal["ref_idc"],
+                            len(nal["rbsp"]),
+                            nal["rbsp"].hex(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "nal_no", "nal_type", "ref_idc",
+                    "rbsp_len", "rbsp_hex",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, nal_no long, nal_type long, ref_idc long, "
+            "rbsp_len long, rbsp_hex string"
+        ),
+    )
+
+
 def with_wav_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): a real RIFF/WAVE PCM16 clip per document,
     sample s = little-endian int16 from md5-stream bytes (2s, 2s+1)."""

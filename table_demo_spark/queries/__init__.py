@@ -65,6 +65,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s18_graph_beam_search",
     "llm_s19_graph_recall",
     "llm_m28_webp_anim_cuts",
+    "llm_m29_mp3_frame_walk",
+    "llm_m30_h264_nal_walk",
     # r9 LRU rotation: family/kind anchors from the stale end (src +
     # llm_p last verified r3) ...
     "src_s4_partitioned_events",
@@ -76,8 +78,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t3_token_topk",
     "llm_t4_fingerprints",
     "llm_t5_token_counts",
-    # ... and 21 of the 28 last-verified-r2 an_* queries (a30/a32/a33/
-    # a37/a38/a39/a42 stay for the r10 rotation).
+    # ... and 19 of the 28 last-verified-r2 an_* queries (a27/a28/a30/
+    # a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
     "an_a3_top_customers",
     "an_a4_rollup",
     "an_a5_semi_join",
@@ -97,8 +99,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a23_market_share",
     "an_a25_min_cost_supplier",
     "an_a26_conditional_agg",
-    "an_a27_distribution_windows",
-    "an_a28_unpivot",
 )
 
 

@@ -5194,6 +5194,102 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 ingest triage: header-walk structurally valid MPEG-1
+    Layer III frame sequences (codecs.encode_mp3_frames /
+    decode_mp3_frames — real sync bits, bitrate/samplerate tables,
+    and the floor(144*bitrate/samplerate)+padding frame-length
+    arithmetic that positions each next sync; full audio decode is
+    the documented extension point). The oracle restates every header
+    field analytically from doc_id, so one wrong bitrate-table entry
+    or length formula desyncs the walk and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.mp3_frame_stats(multimodal.with_mp3_payload(docs))
+
+
+def _m29_oracle() -> str:
+    from table_demo_spark.operators.codecs import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLERATES,
+    )
+
+    table = ", ".join(str(k) for k in MP3_BITRATES_KBPS[1:])
+    sr = MP3_SAMPLERATES[multimodal.MP3_SR_INDEX]
+    return f"""
+WITH f AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+         list_extract([{table}],
+                      CAST(1 + (doc_id * 7 + i * 3) % 14 AS INT)) AS kbps,
+         (doc_id + i) % 2 AS pad
+  FROM documents,
+       (SELECT unnest(range(0, {multimodal.MP3_FRAMES})) AS i)
+)
+SELECT doc_id, frame_no,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(pad AS BIGINT) AS padding,
+       CAST(144 * kbps * 1000 // {sr} + pad AS BIGINT) AS frame_len
+FROM f
+"""
+
+
+def m30_h264_nal_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 structure triage: walk Annex B byte streams — start-code
+    scan (3- and 4-byte forms), NAL header split, trailing_zero_8bits
+    handling, and REAL emulation-prevention unescaping (every payload
+    carries a spliced 00 00 00 00 01 motif, so the escape machinery is
+    on the value-hash path for every NAL; slice decode is the
+    documented extension point). sig = first 32 md5 bits of the
+    UNESCAPED RBSP hex — a one-byte escaping error anywhere flips
+    it."""
+    docs = load_table(spark, sf_dir, "documents")
+    nals = multimodal.h264_nal_units(multimodal.with_h264_payload(docs))
+    sig = F.conv(F.substring(F.md5(F.col("rbsp_hex")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return nals.select(
+        "doc_id", "nal_no", "nal_type", "ref_idc", "rbsp_len",
+        sig.alias("sig"),
+    )
+
+
+def _m30_oracle() -> str:
+    types = ", ".join(str(t) for t in multimodal.H264_TYPES)
+    refs = ", ".join(
+        str(multimodal.H264_REF_IDC[t]) for t in multimodal.H264_TYPES
+    )
+    raw_hex = multimodal._H264_RAW * 2
+    cut = multimodal._H264_MOTIF_AT * 2
+    rbsp_len = multimodal._H264_RAW + 5
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#h264' || i) AS h
+  FROM documents,
+       (SELECT unnest(range(0, {multimodal._H264_BLOCKS})) AS i)
+),
+hx AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS hx
+  FROM blocks GROUP BY doc_id
+),
+nals AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS nal_no,
+         CAST(list_extract([{types}], CAST(i + 1 AS INT)) AS BIGINT)
+           AS nal_type,
+         CAST(list_extract([{refs}], CAST(i + 1 AS INT)) AS BIGINT)
+           AS ref_idc,
+         substr(hx, CAST(i * {raw_hex} + 1 AS BIGINT), {cut})
+           || '0000000001'
+           || substr(hx, CAST(i * {raw_hex} + {cut} + 1 AS BIGINT),
+                     {raw_hex - cut}) AS rbsp_hex
+  FROM hx, (SELECT unnest(range(0, {multimodal.H264_NALS})) AS i)
+)
+SELECT doc_id, nal_no, nal_type, ref_idc,
+       CAST({rbsp_len} AS BIGINT) AS rbsp_len,
+       CAST('0x' || substr(md5(rbsp_hex), 1, 8) AS BIGINT) AS sig
+FROM nals
+"""
+
+
 # ---------------------------------------------------------------------------
 # T29 — the Gopher quality-rule gate (Rae et al. 2021, "Scaling
 # Language Models", appendix A1.1): the published composite document
@@ -7438,6 +7534,8 @@ QUERIES: list[Query] = [
     Query("llm_m26_stereo_flac", m26_stereo_flac, _m26_oracle()),
     Query("llm_m27_webp_luma", m27_webp_luma, M27_ORACLE),
     Query("llm_m28_webp_anim_cuts", m28_webp_anim_cuts, M28_ORACLE),
+    Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
+    Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),
     Query("llm_s16_binary_hamming", s16_binary_hamming_rerank, _s16_oracle()),
     Query("llm_t33_shingle_novelty", t33_shingle_novelty, T33_ORACLE),

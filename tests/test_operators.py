@@ -2494,3 +2494,63 @@ def test_webp_anim_roundtrip_and_container_info():
         M.WEBP_ANIM_W,
         M.WEBP_ANIM_H,
     )
+
+
+def test_mp3_frame_walk_roundtrip_and_desync():
+    """MP3 header layer: encode -> walk recovers every header field;
+    corrupting one frame-length input desyncs the walk loudly."""
+    import pytest as _pytest
+
+    from table_demo_spark.operators import codecs as C
+    from table_demo_spark.operators import multimodal as M
+
+    specs = M._mp3_specs(123)
+    need = sum(
+        C.mp3_frame_length(C.MP3_BITRATES_KBPS[b], 44100, p) - 4
+        for b, p in specs
+    )
+    filler = M._md5_stream("123", -(-need // 16), "#mp3")[:need]
+    data = C.encode_mp3_frames(specs, filler)
+    frames = C.decode_mp3_frames(data)
+    assert [(f["bitrate_kbps"], f["padding"]) for f in frames] == [
+        (C.MP3_BITRATES_KBPS[b], p) for b, p in specs
+    ]
+    assert sum(f["frame_len"] for f in frames) == len(data)
+    # flip the first frame's padding bit: lengths shift by one byte and
+    # the walk must lose sync instead of mis-parsing
+    broken = bytearray(data)
+    broken[2] ^= 0b10
+    with _pytest.raises(ValueError, match="sync|overruns|truncated"):
+        C.decode_mp3_frames(bytes(broken))
+
+
+def test_h264_annexb_walk_and_emulation_prevention():
+    """H.264 Annex B layer: escape/unescape invert each other on
+    adversarial payloads; the stream walk recovers types and payloads;
+    forbidden_zero_bit rejects loudly."""
+    import pytest as _pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    for raw in (
+        b"",
+        b"\x00\x00\x00",
+        b"\x00\x00\x01\x00\x00\x02\x00\x00\x03\x00\x00\x04",
+        bytes(range(256)),
+    ):
+        wire = C.h264_escape_rbsp(raw)
+        assert C.h264_unescape_rbsp(wire) == raw
+        assert b"\x00\x00\x01" not in wire and b"\x00\x00\x00" not in wire
+    nals = [
+        (3, 7, b"\x00\x00\x01sps"),
+        (3, 8, b"pps\x00\x00"),
+        (2, 5, b"\x00" * 9),
+        (0, 1, b"slice\x00\x00\x02"),
+    ]
+    enc = C.encode_annexb(nals)
+    dec = C.decode_annexb(enc)
+    assert [(d["ref_idc"], d["nal_type"], d["rbsp"]) for d in dec] == nals
+    bad = bytearray(enc)
+    bad[4] |= 0x80  # set forbidden_zero_bit on the first NAL header
+    with _pytest.raises(ValueError, match="forbidden_zero_bit"):
+        C.decode_annexb(bytes(bad))

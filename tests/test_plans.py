@@ -113,6 +113,8 @@ _PYTHON_ALLOWED = {
     "llm_s18_graph_beam_search",  # FlatMapGroupsInPandas (per-probe-bucket fold-left GEMM graph build)
     "llm_s19_graph_recall",  # FlatMapGroupsInPandas (s18 graph build feeding the recall eval)
     "llm_m28_webp_anim_cuts",  # MapInPandas (animated-WebP ANMF walk + per-frame VP8L decode)
+    "llm_m29_mp3_frame_walk",  # MapInPandas (MPEG-1 Layer III header walk)
+    "llm_m30_h264_nal_walk",  # MapInPandas (Annex B start-code scan + RBSP unescape)
 }
 
 
