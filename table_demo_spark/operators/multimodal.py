@@ -616,11 +616,9 @@ def _mp3_specs(doc_id: int) -> list[tuple[int, int]]:
     ]
 
 
-def with_mp3_payload(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload): a structurally valid MPEG-1 Layer III frame
-    sequence per document (codecs.encode_mp3_frames — real header
-    bits + frame-length arithmetic; bodies are md5 filler, since the
-    header WALK is the operator under test)."""
+def _mp3_payload_bytes(doc_id: int) -> bytes:
+    """The per-doc MP3 payload (pure function of doc_id) — shared by
+    with_mp3_payload and the streaming media-triage operator."""
     from table_demo_spark.operators.codecs import (
         MP3_BITRATES_KBPS,
         MP3_SAMPLERATES,
@@ -629,22 +627,25 @@ def with_mp3_payload(docs: DataFrame) -> DataFrame:
     )
 
     sr = MP3_SAMPLERATES[MP3_SR_INDEX]
+    specs = _mp3_specs(doc_id)
+    need = sum(
+        mp3_frame_length(MP3_BITRATES_KBPS[b], sr, p) - 4 for b, p in specs
+    )
+    filler = _md5_stream(str(doc_id), -(-need // 16), "#mp3")[:need]
+    return encode_mp3_frames(specs, filler, MP3_SR_INDEX)
+
+
+def with_mp3_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a structurally valid MPEG-1 Layer III frame
+    sequence per document (codecs.encode_mp3_frames — real header
+    bits + frame-length arithmetic; bodies are md5 filler, since the
+    header WALK is the operator under test)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                specs = _mp3_specs(int(doc_id))
-                need = sum(
-                    mp3_frame_length(MP3_BITRATES_KBPS[b], sr, p) - 4
-                    for b, p in specs
-                )
-                filler = _md5_stream(
-                    str(doc_id), -(-need // 16), "#mp3"
-                )[:need]
-                payloads.append(
-                    encode_mp3_frames(specs, filler, MP3_SR_INDEX)
-                )
+            payloads = [
+                _mp3_payload_bytes(int(doc_id)) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return _spread_ids(docs).mapInPandas(
@@ -698,33 +699,96 @@ _H264_MOTIF_AT = 20     # where the forced 00 00 00 00 01 goes
 _H264_BLOCKS = (H264_NALS * _H264_RAW) // 16
 
 
+def _h264_payload_bytes(doc_id: int) -> bytes:
+    """The per-doc Annex B stream (pure function of doc_id) — shared
+    by with_h264_payload and the streaming media-triage operator."""
+    from table_demo_spark.operators.codecs import encode_annexb
+
+    motif = b"\x00\x00\x00\x00\x01"
+    stream = _md5_stream(str(doc_id), _H264_BLOCKS, "#h264")
+    nals = []
+    for i, ntype in enumerate(H264_TYPES):
+        raw = stream[i * _H264_RAW : (i + 1) * _H264_RAW]
+        rbsp = raw[:_H264_MOTIF_AT] + motif + raw[_H264_MOTIF_AT:]
+        nals.append((H264_REF_IDC[ntype], ntype, rbsp))
+    return encode_annexb(nals)
+
+
 def with_h264_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): an H.264 Annex B byte stream per document —
     SPS/PPS/IDR/slice NAL sequence, each RBSP a 48-byte md5 slice with
     a start-code-colliding motif (00 00 00 00 01) spliced in at byte
     20, so EVERY NAL exercises emulation-prevention escaping on the
     wire (plus whatever 00-runs the md5 bytes supply)."""
-    from table_demo_spark.operators.codecs import encode_annexb
-
-    motif = b"\x00\x00\x00\x00\x01"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                stream = _md5_stream(str(doc_id), _H264_BLOCKS, "#h264")
-                nals = []
-                for i, ntype in enumerate(H264_TYPES):
-                    raw = stream[i * _H264_RAW : (i + 1) * _H264_RAW]
-                    rbsp = (
-                        raw[:_H264_MOTIF_AT] + motif + raw[_H264_MOTIF_AT:]
-                    )
-                    nals.append((H264_REF_IDC[ntype], ntype, rbsp))
-                payloads.append(encode_annexb(nals))
+            payloads = [
+                _h264_payload_bytes(int(doc_id)) for doc_id in pdf["doc_id"]
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
+    )
+
+
+def media_triage(docs: DataFrame) -> DataFrame:
+    """One ingest-triage row per document: build + structure-parse the
+    audio (MP3 header walk) AND video (Annex B NAL walk) payloads in a
+    single Arrow pass — the summary a crawler emits before deciding
+    what reaches deep decode. nal_sig_xor folds every NAL's 32-bit
+    unescaped-RBSP md5 signature with XOR (order-insensitive, so the
+    oracle can restate it with bit_xor)."""
+    import hashlib
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_mp3_frames,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = decode_mp3_frames(_mp3_payload_bytes(did))
+                nals = decode_annexb(_h264_payload_bytes(did))
+                sig_xor = 0
+                for nal in nals:
+                    sig_xor ^= int(
+                        hashlib.md5(
+                            nal["rbsp"].hex().encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                rows.append(
+                    (
+                        did,
+                        len(frames),
+                        sum(f["frame_len"] for f in frames),
+                        max(f["bitrate_kbps"] for f in frames),
+                        len(nals),
+                        sum(1 for n in nals if n["nal_type"] == 5),
+                        sum(len(n["rbsp"]) for n in nals),
+                        sig_xor,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mp3_frames", "mp3_bytes", "mp3_kbps_max",
+                    "n_nals", "n_idr", "rbsp_bytes", "nal_sig_xor",
+                ],
+            )
+
+    return docs.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, mp3_frames long, mp3_bytes long, "
+            "mp3_kbps_max long, n_nals long, n_idr long, "
+            "rbsp_bytes long, nal_sig_xor long"
+        ),
     )
 
 

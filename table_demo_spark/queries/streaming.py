@@ -1197,6 +1197,89 @@ def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_media_triage_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality STRUCTURE triage at ingest (streaming m29+m30):
+    each arriving shard's documents get real MP3 frame sequences and
+    H.264 Annex B streams built and header-walked in one stateless
+    Arrow pass — frame-length arithmetic, start-code scan, and
+    emulation-prevention unescaping all on the streaming path (the
+    per-NAL signature XOR folds the unescaped bytes into the value
+    hash). Final sink contents = the analytic per-doc combination of
+    the m29 and m30 oracles, so a doc dropped or triaged twice at a
+    micro-batch boundary breaks the hash."""
+    from table_demo_spark.streaming.queries import run_q34_media_triage
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q34_media_triage(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "mp3_frames", "mp3_bytes", "mp3_kbps_max",
+        "n_nals", "n_idr", "rbsp_bytes", "nal_sig_xor",
+    )
+
+
+def _q34_oracle() -> str:
+    from table_demo_spark.operators import multimodal
+    from table_demo_spark.operators.codecs import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLERATES,
+    )
+
+    table = ", ".join(str(k) for k in MP3_BITRATES_KBPS[1:])
+    sr = MP3_SAMPLERATES[multimodal.MP3_SR_INDEX]
+    raw_hex = multimodal._H264_RAW * 2
+    cut = multimodal._H264_MOTIF_AT * 2
+    rbsp_len = multimodal._H264_RAW + 5
+    n_idr = sum(1 for t in multimodal.H264_TYPES if t == 5)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         list_extract([{table}],
+                      CAST(1 + (doc_id * 7 + i * 3) % 14 AS INT)) AS kbps,
+         (doc_id + i) % 2 AS pad
+  FROM documents,
+       (SELECT unnest(range(0, {multimodal.MP3_FRAMES})) AS i)
+),
+mp3 AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS mp3_frames,
+         CAST(sum(144 * kbps * 1000 // {sr} + pad) AS BIGINT) AS mp3_bytes,
+         CAST(max(kbps) AS BIGINT) AS mp3_kbps_max
+  FROM f GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#h264' || i) AS h
+  FROM documents,
+       (SELECT unnest(range(0, {multimodal._H264_BLOCKS})) AS i)
+),
+hx AS (
+  SELECT doc_id, string_agg(h, '' ORDER BY i) AS hx
+  FROM blocks GROUP BY doc_id
+),
+nals AS (
+  SELECT doc_id,
+         substr(hx, CAST(i * {raw_hex} + 1 AS BIGINT), {cut})
+           || '0000000001'
+           || substr(hx, CAST(i * {raw_hex} + {cut} + 1 AS BIGINT),
+                     {raw_hex - cut}) AS rbsp_hex
+  FROM hx, (SELECT unnest(range(0, {multimodal.H264_NALS})) AS i)
+),
+h264 AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_nals,
+         CAST({n_idr} AS BIGINT) AS n_idr,
+         CAST(count(*) * {rbsp_len} AS BIGINT) AS rbsp_bytes,
+         CAST(bit_xor(CAST('0x' || substr(md5(rbsp_hex), 1, 8) AS BIGINT))
+              AS BIGINT) AS nal_sig_xor
+  FROM nals GROUP BY doc_id
+)
+SELECT m.doc_id, m.mp3_frames, m.mp3_bytes, m.mp3_kbps_max,
+       h.n_nals, h.n_idr, h.rbsp_bytes, h.nal_sig_xor
+FROM mp3 m JOIN h264 h ON h.doc_id = m.doc_id
+"""
+
+
 def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-table enrichment at ingest (streaming a12): each
     arriving purchase is enriched per micro-batch with the click
@@ -1455,6 +1538,7 @@ QUERIES: list[Query] = [
     Query("stream_q31_temporal_enrich", q31_temporal_enrich_final, _A12_ORACLE),
     Query("stream_q32_phash_index_ingest", q32_phash_index_final, _M23_ORACLE),
     Query("stream_q33_centroid_drift", q33_centroid_drift_final, _q33_oracle()),
+    Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

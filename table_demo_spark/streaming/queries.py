@@ -2892,6 +2892,36 @@ def run_q30_color_media_decode(
     return sink, query
 
 
+def run_q34_media_triage(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """q28's continuous shape over the STRUCTURE-layer codecs: each
+    arriving shard's documents get real MP3 frame sequences and H.264
+    Annex B streams built and header-walked (multimodal.media_triage —
+    one Arrow pass, no state, no watermark, O(batch) per trigger) into
+    one triage row per doc. Returns (sink, query)."""
+    from table_demo_spark.operators import multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.media_triage(docs)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q34-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 # ---------------------------------------------------------------------------
 # Q29 streaming — ANN index maintained AT INGEST: the s-family's
 # continuous split, and how a production vector store actually works
