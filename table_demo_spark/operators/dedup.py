@@ -260,6 +260,66 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+# Geometric length-bucket boundaries with step ratio >= 1.25: two
+# lengths inside the 20% band (min >= 0.8*max <=> max <= 1.25*min)
+# always land in the SAME or ADJACENT buckets, so the band join
+# becomes an equi-join on (lang, bucket) with a one-bucket probe.
+def _jaccard_bucket_bounds() -> list[int]:
+    bounds = [1]
+    while bounds[-1] < 1 << 20:
+        bounds.append(max(bounds[-1] + 1, -(-bounds[-1] * 5 // 4)))
+    return bounds
+
+
+_JACCARD_BUCKET_BOUNDS = _jaccard_bucket_bounds()
+
+
+def _length_bucket(col: F.Column) -> F.Column:
+    bounds = F.array(*[F.lit(b) for b in _JACCARD_BUCKET_BOUNDS])
+    return F.size(F.filter(bounds, lambda b: b <= col))
+
+
+def _jaccard_candidates_band(meta: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) banded candidates via the r6 (lang x geometric
+    length-bucket) equi-join: every doc gets a ratio-1.25 integer
+    bucket (banded pairs are at most one bucket apart), the right side
+    probes (bucket, bucket+1), candidates carry integers only. Each
+    unordered pair is produced exactly ONCE — no dedup shuffle."""
+    bucketed = meta.withColumn("bkt", _length_bucket(F.col("n_chars")))
+    left = bucketed.select(
+        F.col("doc_id").alias("doc_l"),
+        F.col("lang").alias("lang_l"),
+        F.col("n_chars").alias("nc_l"),
+        F.col("bkt").alias("bkt_l"),
+    )
+    right = bucketed.select(
+        F.col("doc_id").alias("doc_r"),
+        F.col("lang").alias("lang_r"),
+        F.col("n_chars").alias("nc_r"),
+        F.col("bkt").alias("bkt_r"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jkey"),
+    )
+    # Exactly-once pair matching: same-bucket pairs keep the doc order
+    # rule; adjacent-bucket pairs match only with the higher bucket on
+    # the left, which is already unique.
+    return left.join(
+        right,
+        (F.col("lang_l") == F.col("lang_r"))
+        & (F.col("bkt_l") == F.col("jkey"))
+        & (
+            F.abs(F.col("nc_l") - F.col("nc_r")) * 5
+            <= F.greatest("nc_l", "nc_r")
+        )
+        & (
+            ((F.col("jkey") == F.col("bkt_r")) & (F.col("doc_l") < F.col("doc_r")))
+            | (F.col("jkey") == F.col("bkt_r") + 1)
+        ),
+    ).select(
+        F.least("doc_l", "doc_r").alias("doc_a"),
+        F.greatest("doc_l", "doc_r").alias("doc_b"),
+    )
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -272,74 +332,41 @@ def blocked_jaccard_pairs(
     reproduces it exactly. The precision tool; use minhash_lsh_pairs
     when even the pruned candidate set is too large.
 
-    Execution shape (third rework, r9 — prefix filtering): r6 replaced
-    the lang-only join (186 s / sf0.1) with a (lang x geometric
-    length-bucket) band join, but that still intersected the full
-    shingle arrays of EVERY banded pair (770k candidates for 79 true
-    pairs at sf0.1, ~17 s). Now candidates come from a PPJoin-style
-    prefix inverted index (Xiao et al., WWW'08 — public algorithm):
-    order each doc's shingles rarest-first by global document
-    frequency; a pair with Jaccard >= t shares >= ceil(t*max(|x|,|y|))
-    shingles, so the first |x| - ceil(t*|x|) + 1 shingles of x and the
-    first |y| - ceil(t*|y|) + 1 of y must overlap (prefix-filter
-    lemma; our per-side prefix lengths are >= the lemma's, which only
-    weakens the filter — exactness is preserved). Candidates are the
-    distinct doc pairs sharing a (lang, prefix-token) key and passing
-    the integer band — the full arrays attach and intersect only for
-    this residual set (~100x smaller than the band join's). Skewed
-    prefix tokens (a stopword bigram in many short docs) are the
-    AQE-skew-join case at scale; rarest-first ordering keeps them
-    rare by construction."""
-    assert length_band_pct == 20, "integer blocking is specialized to 20%"
-    from pyspark.sql import Window
+    Execution shape (fourth rework, r9 — the measured winner of a
+    three-way A/B): the r6 (lang x geometric length-bucket) band join
+    generates candidates — one row per unordered pair, integers only,
+    NO dedup shuffle — and shingle identity is a 60-bit md5 slice, so
+    the per-pair intersection runs over LONG arrays instead of string
+    arrays. The A/B that settled it (sf0.1 warm / key-shifted 10x
+    dup-heavy fixture): band+strings 19.3 s / 96 s; PPJoin prefix
+    index+strings (Xiao et al. WWW'08) 9.8 s / 405 s — the token
+    join's per-pair multiplicity explodes when copies share every
+    prefix token (158M pre-distinct rows, a 149 s distinct);
+    band+longs 9.2 s / 33 s — dominates BOTH corpora, because the
+    real cost was never candidate count but the string array_intersect
+    (~3x slower per pair and 3-4x more shuffle bytes than longs).
 
-    sh = shingle_sets(docs, n)
+    Hashing note (md5-as-cross-engine-hash discipline, module
+    docstring): Jaccard is computed over 60-bit md5 slices of the
+    distinct shingles; both engines hash identically, so results stay
+    bit-equal, and a 60-bit collision (~2^-60 per shingle pair) is the
+    same negligible, deterministic event on both sides.
+
+    Skewed (lang, bucket) keys are the AQE-skew-join case at scale."""
+    assert length_band_pct == 20, "integer blocking is specialized to 20%"
+    sh = shingle_sets(docs, n).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                "shingles",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("shingles"),
+    )
     meta = docs.select(F.col("doc_id"), "lang", "n_chars")
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
-    )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first total order (df, then shingle text as tie-break);
-    # per-doc rank partitions by doc_id — parallel at any scale
-    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
-    pref = (
-        ex.join(freq, "s")
-        .withColumn("rk", rk)
-        .filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
-        .select("doc_id", "s")
-    )
-    idx = pref.join(meta, "doc_id")
-    left = idx.select(
-        "s",
-        F.col("lang").alias("lang_l"),
-        F.col("doc_id").alias("doc_l"),
-        F.col("n_chars").alias("nc_l"),
-    )
-    right = idx.select(
-        "s",
-        F.col("lang").alias("lang_r"),
-        F.col("doc_id").alias("doc_r"),
-        F.col("n_chars").alias("nc_r"),
-    )
-    cands = (
-        left.join(
-            right,
-            (F.col("lang_l") == F.col("lang_r"))
-            & (left["s"] == right["s"])
-            & (F.col("doc_l") < F.col("doc_r"))
-            & (
-                F.abs(F.col("nc_l") - F.col("nc_r")) * 5
-                <= F.greatest("nc_l", "nc_r")
-            ),
-        )
-        .select(
-            F.col("doc_l").alias("doc_a"), F.col("doc_r").alias("doc_b")
-        )
-        .distinct()  # a pair sharing k prefix tokens appears k times
-    )
+    cands = _jaccard_candidates_band(meta)
     paired = cands.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",

@@ -223,7 +223,12 @@ def d4_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D4_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 m AS (
-  SELECT d.doc_id, d.lang, d.n_chars, sh.shingles
+  -- 60-bit md5 slice per shingle: the Spark side intersects LONG
+  -- arrays (3x faster than strings, bit-identical hash both engines)
+  SELECT d.doc_id, d.lang, d.n_chars,
+         list_distinct(list_transform(sh.shingles,
+             s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+           AS shingles
   FROM documents d JOIN sh ON d.doc_id = sh.doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

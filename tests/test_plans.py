@@ -912,34 +912,37 @@ def test_label_propagation_uses_minby_aggregates_not_windows(spark):
     assert "RunningWindowFunction" not in plan and "Window" not in plan, plan
 
 
-def test_blocked_jaccard_prefix_index_feeds_the_candidate_join(spark):
-    """d4's r9 rework (PPJoin prefix filtering), pinned: candidates
-    must come from the (lang, prefix-token) inverted index — the
-    candidate join's equi-keys carry the shingle TOKEN (plus lang), so
-    key cardinality is the prefix vocabulary (parallel, AQE-skew-
-    splittable), and no join CONDITION anywhere in the plan evaluates
-    the full-array intersection — arrays attach by doc_id only after
-    the prefix+band filter, so the intersect runs once per surviving
-    pair (591k -> vs the r6 band join's 770k candidates at sf0.1;
-    19.3 s -> 9.8 s warm solo)."""
+def test_blocked_jaccard_band_keys_and_hashed_shingles(spark):
+    """d4's r9 final shape (winner of the three-way A/B in its
+    docstring), pinned: (1) the candidate join carries the length
+    BUCKET in its equi-keys (lang alone sort-merges a whole language
+    through one task — 186 s at sf0.1); (2) the candidate join's
+    condition never evaluates the shingle intersection (arrays attach
+    by doc_id after the integer band filter); (3) shingle identity is
+    hashed to 60-bit longs ONCE PER DOC — md5 must appear in Project
+    nodes only, never inside a join condition, so the intersect runs
+    over long arrays and hashing is O(corpus), not O(pairs)."""
     plan = formatted_plan(
         _query("llm_d4_dedup_ngram_jaccard")(spark, SF_SMOKE)
     )
     lines = plan.splitlines()
-    key_lines = [l for l in lines if "keys" in l and "lang" in l]
-    assert any(" s#" in l or "[s#" in l for l in key_lines), plan
-    # The CANDIDATE join (keyed on the token) must stay array-free in
-    # its condition; Catalyst pushing the jaccard filter into the later
-    # doc_id ATTACH join is fine — that runs once per surviving pair.
+    key_lines = [
+        l for l in lines if "keys" in l and ("lang" in l or "jkey" in l)
+    ]
+    assert any("jkey" in l for l in key_lines), plan
     for i, l in enumerate(lines):
-        if "Left keys" in l and ("[s#" in l or " s#" in l):
+        if "Right keys" in l and "jkey" in l:
             cond = next(
                 (c for c in lines[i : i + 4] if "Join condition" in c), ""
             )
             assert "array_intersect" not in cond, cond
             break
     else:
-        raise AssertionError("token-keyed candidate join not found:\n" + plan)
+        raise AssertionError("candidate join with jkey not found:\n" + plan)
+    assert "md5" in plan, plan  # per-doc hashing happens in-plan...
+    for l in lines:
+        if "Join condition" in l:
+            assert "md5" not in l, l  # ...but never per-pair
 
 
 
