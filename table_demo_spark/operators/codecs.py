@@ -3148,11 +3148,8 @@ def _vp8l_inv_color_transform(res, w: int, h: int, size_bits: int, cm):
     for pos in range(w * h):
         x, y = pos % w, pos // w
         el = int(cm[(y >> size_bits) * blocks_w + (x >> size_bits)])
-        g2r = (el >> 16) & 0xFF  # stored: blue byte=g2r? see below
-        g2b = (el >> 8) & 0xFF
-        r2b = el & 0xFF
-        # spec element layout: green_to_red in BLUE channel,
-        # green_to_blue in GREEN channel, red_to_blue in RED channel
+        # spec element layout: green_to_red in the BLUE channel,
+        # green_to_blue in GREEN, red_to_blue in RED
         g2r, g2b, r2b = el & 0xFF, (el >> 8) & 0xFF, (el >> 16) & 0xFF
         px = int(res[pos])
         a = (px >> 24) & 0xFF

@@ -480,3 +480,130 @@ def test_binned_quantiles_match_discrete_definition_on_random_frames(spark):
     for gid, exp in expected.items():
         for col, want in exp.items():
             assert got[gid][col] == want, (gid, col, got[gid], exp)
+
+
+# ---------------------------------------------------------------------------
+# r9 codec-layer property tests: roundtrip invariants over adversarial
+# randomized inputs (no Spark session needed — pure codec layer).
+# ---------------------------------------------------------------------------
+
+
+def test_vp8l_roundtrip_property():
+    """encode_webp_lossless . decode_webp_lossless == id for random
+    rasters of arbitrary small shapes, including degenerate 1-pixel
+    and single-row/column images and constant rasters (single-symbol
+    prefix codes on every channel)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators.codecs import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+        constant=st.booleans(),
+    )
+    def check(w, h, seed, constant):
+        rng = np.random.default_rng(seed)
+        if constant:
+            arr = np.full((h, w, 3), seed % 256, dtype=np.uint8)
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_webp_lossless(encode_webp_lossless(arr)) == arr).all()
+
+    check()
+
+
+def test_annexb_roundtrip_property():
+    """Annex B escape/unescape and the full NAL walk are inverses for
+    arbitrary payload bytes — including zero-runs and embedded start
+    codes — and the escaped wire never contains a start-code or an
+    unprotected zero-triple."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        encode_annexb,
+        h264_escape_rbsp,
+        h264_unescape_rbsp,
+    )
+
+    payload = st.binary(min_size=0, max_size=64)
+    zeroish = st.lists(
+        st.sampled_from([0, 0, 0, 1, 2, 3, 255]), min_size=0, max_size=64
+    ).map(bytes)
+
+    @settings(max_examples=50, deadline=None)
+    @given(raw=st.one_of(payload, zeroish))
+    def check_escape(raw):
+        wire = h264_escape_rbsp(raw)
+        assert h264_unescape_rbsp(wire) == raw
+        assert b"\x00\x00\x00" not in wire
+        assert b"\x00\x00\x01" not in wire
+        assert b"\x00\x00\x02" not in wire
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        payloads=st.lists(st.one_of(payload, zeroish), min_size=1, max_size=5),
+        types=st.lists(st.sampled_from([1, 5, 6, 7, 8]), min_size=5, max_size=5),
+    )
+    def check_walk(payloads, types):
+        nals = [
+            (3 if t in (5, 7, 8) else 0, t, p)
+            for p, t in zip(payloads, types)
+        ]
+        dec = decode_annexb(encode_annexb(nals))
+        assert [(d["ref_idc"], d["nal_type"], d["rbsp"]) for d in dec] == nals
+
+    check_escape()
+    check_walk()
+
+
+def test_mp3_walk_property():
+    """Any spec list over the full bitrate table walks back exactly,
+    and total length equals the header arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators.codecs import (
+        MP3_BITRATES_KBPS,
+        decode_mp3_frames,
+        encode_mp3_frames,
+        mp3_frame_length,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        specs=st.lists(
+            st.tuples(st.integers(1, 14), st.integers(0, 1)),
+            min_size=1,
+            max_size=8,
+        ),
+        sr_idx=st.integers(0, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(specs, sr_idx, seed):
+        from table_demo_spark.operators.codecs import MP3_SAMPLERATES
+
+        sr = MP3_SAMPLERATES[sr_idx]
+        need = sum(
+            mp3_frame_length(MP3_BITRATES_KBPS[b], sr, p) - 4
+            for b, p in specs
+        )
+        rng = np.random.default_rng(seed)
+        filler = rng.integers(0, 256, need, dtype=np.uint8).tobytes()
+        data = encode_mp3_frames(specs, filler, sr_idx)
+        frames = decode_mp3_frames(data)
+        assert [(f["bitrate_kbps"], f["padding"]) for f in frames] == [
+            (MP3_BITRATES_KBPS[b], p) for b, p in specs
+        ]
+        assert all(f["samplerate"] == sr for f in frames)
+        assert sum(f["frame_len"] for f in frames) == len(data)
+
+    check()
