@@ -56,8 +56,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
     # r9 reworked/new pins: q33 restart-replay hydration + full-subtree
-    # overwrite (the r7/r8 medium ADVICE fix); d4 PPJoin prefix
-    # filtering; s17 cascade rerank (new)
+    # overwrite (the r7/r8 medium ADVICE fix); d4 band join + hashed
+    # shingles (three-way A/B); the 8 new r9 queries
     "stream_q33_centroid_drift",
     "llm_d4_dedup_ngram_jaccard",
     "llm_s17_cascade_rerank",
@@ -79,8 +79,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t3_token_topk",
     "llm_t4_fingerprints",
     "llm_t5_token_counts",
-    # ... and 17 of the 28 last-verified-r2 an_* queries (a25/a26/a27/
-    # a28/a30/a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
+    # ... and 18 of the 28 last-verified-r2 an_* queries (a26/a27/a28/
+    # a30/a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
     "an_a3_top_customers",
     "an_a4_rollup",
     "an_a5_semi_join",
@@ -98,6 +98,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a21_correlated_subquery",
     "an_a22_lag_gaps",
     "an_a23_market_share",
+    "an_a25_min_cost_supplier",
 )
 
 
