@@ -68,6 +68,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m29_mp3_frame_walk",
     "llm_m30_h264_nal_walk",
     "stream_q34_media_triage",
+    "stream_q35_graph_ingest",
     # r9 LRU rotation: family/kind anchors from the stale end (src +
     # llm_p last verified r3) ...
     "src_s4_partitioned_events",
@@ -79,8 +80,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t3_token_topk",
     "llm_t4_fingerprints",
     "llm_t5_token_counts",
-    # ... and 18 of the 28 last-verified-r2 an_* queries (a26/a27/a28/
-    # a30/a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
+    # ... and 17 of the 28 last-verified-r2 an_* queries (a25/a26/a27/
+    # a28/a30/a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
     "an_a3_top_customers",
     "an_a4_rollup",
     "an_a5_semi_join",
@@ -98,7 +99,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a21_correlated_subquery",
     "an_a22_lag_gaps",
     "an_a23_market_share",
-    "an_a25_min_cost_supplier",
 )
 
 

@@ -1280,6 +1280,86 @@ FROM mp3 m JOIN h264 h ON h.doc_id = m.doc_id
 """
 
 
+def q35_graph_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained navigable ANN graph (streaming s18 —
+    the third leg of the vector-store lifecycle after q29's routed
+    ingest and q33's router retrain): each arriving vector's top-M
+    cosine edges among the vectors seen SO FAR (multi-probe LSH
+    candidates, fold-left GEMM scoring). The oracle restates arrival
+    order analytically (the q33 shards are rank-quartiles of vec_id),
+    so an edge computed against the wrong prefix of the stream — or a
+    batch dropped/duplicated on replay — breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q35_graph_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q35_graph_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q35_oracle() -> str:
+    from table_demo_spark.queries.llmops import (
+        _RP_IN,
+        _RP_OUT,
+        _S18_M,
+        _rp_signs,
+        _sql_cosine,
+    )
+
+    signs = _rp_signs()
+    dims = []
+    for d in range(_RP_OUT):
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({signs[d][j]})"
+            for j in range(_RP_IN)
+        )
+        dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
+    bucket = " + ".join(
+        f"(CASE WHEN rp{d} > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_RP_OUT)
+    )
+    probes = ", ".join(
+        ["b"] + [f"xor(b, {1 << j})" for j in range(_RP_OUT)]
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY vec_id) AS rn,
+         count(*) OVER () AS n,
+         {", ".join(dims)}
+  FROM embeddings
+),
+nodes AS (
+  -- shard = the q33 rank-quartile the vector ARRIVES in
+  SELECT vec_id, embedding,
+         CAST({bucket} AS INTEGER) AS b,
+         CAST((rn - 1) // ((n + 3) // 4) AS BIGINT) AS shard
+  FROM base
+),
+probes AS (
+  SELECT vec_id AS src, embedding AS sv, shard AS sh,
+         unnest([{probes}]) AS pb
+  FROM nodes
+),
+cand AS (
+  SELECT p.src, n.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY p.src
+           ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
+                    n.vec_id ASC) AS rn
+  FROM probes p
+  JOIN nodes n
+    ON n.b = p.pb AND n.vec_id <> p.src AND n.shard <= p.sh
+)
+SELECT src, dst, CAST(rn AS BIGINT) AS rank
+FROM cand WHERE rn <= {_S18_M}
+"""
+
+
 def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-table enrichment at ingest (streaming a12): each
     arriving purchase is enriched per micro-batch with the click
@@ -1539,6 +1619,7 @@ QUERIES: list[Query] = [
     Query("stream_q32_phash_index_ingest", q32_phash_index_final, _M23_ORACLE),
     Query("stream_q33_centroid_drift", q33_centroid_drift_final, _q33_oracle()),
     Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
+    Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

@@ -2892,6 +2892,138 @@ def run_q30_color_media_decode(
     return sink, query
 
 
+def run_q35_graph_ingest(
+    spark: SparkSession, sf_dir: str, sink=None, checkpoint: str | None = None
+):
+    """s18's navigable ANN graph maintained INCREMENTALLY at ingest —
+    the missing third of the production vector-store lifecycle (q29
+    routes arrivals, q33 retrains the router, q35 keeps the search
+    graph current): each arriving vector connects to its top-M cosine
+    neighbors among the vectors ALREADY SEEN (earlier batches + its own
+    batch), candidates restricted to its multi-probe LSH buckets and
+    scored by the fold-left GEMM kernel (bit-parity with the oracle's
+    cosine fold).
+
+    Restart-correct BY CONSTRUCTION (the q33 lessons applied from day
+    one): the vector store and the edge store each write their whole
+    b=<batch_id>/ subtree statically, and the candidate read filters
+    the vector store to b <= batch_id — a replayed batch sees exactly
+    the pre-crash prefix regardless of what later batches left behind
+    (partition-pruned, so the filter is a directory skip, not a scan).
+
+    Returns (sink, query); sink holds (b, src, dst, rank)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import (
+        _RP_OUT,
+        _S18_M,
+        _rp_bucket_col,
+    )
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_q33_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q35-"), ("b",))
+    vec_dir = sink.path.rstrip("/") + "-vecs"
+    _fold = similarity._foldleft_cosine_fn()
+    top_m = _S18_M
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "w": []})
+        srcs = pdf[pdf["side"] == 0]
+        dsts = pdf[pdf["side"] == 1]
+        if srcs.empty or dsts.empty:
+            return empty
+        ids_s = srcs["nid"].to_numpy()
+        ids_d = dsts["nid"].to_numpy()
+        mat_s = np.stack(srcs["nvec"].to_numpy()).astype("float64")
+        mat_d = np.stack(dsts["nvec"].to_numpy()).astype("float64")
+        sims = _fold(mat_s, mat_d)
+        sims[ids_s[:, None] == ids_d[None, :]] = -np.inf
+        out_s, out_d, out_w = [], [], []
+        for i in range(len(ids_s)):
+            row = sims[i]
+            order = np.lexsort((ids_d, -row))[:top_m]
+            keep = order[np.isfinite(row[order])]
+            out_s.extend([ids_s[i]] * len(keep))
+            out_d.extend(ids_d[keep])
+            out_w.extend(row[keep])
+        return pd.DataFrame({"src": out_s, "dst": out_d, "w": out_w})
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        vecs = batch_df.select("vec_id", "embedding")
+        (
+            vecs.write.mode("overwrite")
+            .parquet(os.path.join(vec_dir, f"b={batch_id}"))
+        )
+        session.catalog.refreshByPath(vec_dir)
+        seen = (
+            session.read.parquet(vec_dir)
+            .filter(F.col("b") <= batch_id)  # replay-deterministic prefix
+            .select("vec_id", "embedding")
+        )
+        probes = F.explode(
+            F.array(
+                F.col("bk"),
+                *[
+                    F.col("bk").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_RP_OUT)
+                ],
+            )
+        )
+        new_side = (
+            vecs.withColumn("bk", _rp_bucket_col())
+            .select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("nvec"),
+                probes.alias("pb"),
+                F.lit(0).alias("side"),
+            )
+        )
+        seen_side = seen.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            _rp_bucket_col().alias("pb"),
+            F.lit(1).alias("side"),
+        )
+        cand_edges = new_side.unionByName(seen_side).groupBy("pb").applyInPandas(
+            knn, schema="src long, dst long, w double"
+        )
+        win = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("dst").asc()
+        )
+        edges = (
+            cand_edges.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= top_m)
+            .select("src", "dst", F.col("rn").cast("long").alias("rank"))
+        )
+        (
+            edges.write.mode("overwrite")
+            .parquet(os.path.join(sink.path, f"b={batch_id}"))
+        )
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
 def run_q34_media_triage(
     spark: SparkSession,
     sf_dir: str,

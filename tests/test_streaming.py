@@ -1322,3 +1322,47 @@ def test_q33_empty_boundary_batch_still_retrains(spark, tmp_path):
     apply2(emb.limit(5), 2)
     assert state2["gen"] == 1
     assert state2["cent"] == state["cent"]
+
+
+def test_q35_restart_replay_matches_uninterrupted_run(spark, tmp_path):
+    """q35's by-construction restart claim, proven the q33 way: drain,
+    forge a crash (delete the last commit marker + its .crc shadow),
+    restart — the replayed batch must recompute its edges against
+    exactly the pre-crash PREFIX (the b <= batch_id filter) and the
+    final edge store must equal the uninterrupted run's."""
+    import os
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q35_graph_ingest
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (int(r["b"]), int(r["src"]), int(r["dst"]), int(r["rank"]))
+            for r in s.snapshot_df(spark)
+            .select("b", "src", "dst", "rank")
+            .collect()
+        }
+
+    with _state_partitions(spark, no_data=False):
+        ref_sink, q = run_q35_graph_ingest(spark, SF_SMOKE)
+        _drain(q, ref_sink.count, quiet_polls=1)
+    want = rows(ref_sink)
+    assert {b for (b, _, _, _) in want} == {0, 1, 2, 3}
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("b",))
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q35_graph_ingest(spark, SF_SMOKE, sink=sink, checkpoint=ckpt)
+        _drain(q, sink.count, quiet_polls=1)
+    os.remove(os.path.join(ckpt, "commits", "3"))
+    crc = os.path.join(ckpt, "commits", ".3.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q35_graph_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
