@@ -55,50 +55,50 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r9 reworked/new pins: q33 restart-replay hydration + full-subtree
-    # overwrite (the r7/r8 medium ADVICE fix); d4 band join + hashed
-    # shingles (three-way A/B); the 8 new r9 queries
-    "stream_q33_centroid_drift",
-    "llm_d4_dedup_ngram_jaccard",
-    "llm_s17_cascade_rerank",
+    # r10 reworked pins: the ANN-graph family's candidate space is
+    # being re-scaled this round (corpus-scaled RP bits, bucket-
+    # partitioned q35 store, hot-bucket capping — the r9 verdict's one
+    # `weak`), and m27's VP8L decoder takes the two ADVICE interop
+    # fixes (predictor-11 tie-break, mode-13 truncation).
     "llm_m27_webp_luma",
     "llm_s18_graph_beam_search",
     "llm_s19_graph_recall",
-    "llm_m28_webp_anim_cuts",
-    "llm_m29_mp3_frame_walk",
-    "llm_m30_h264_nal_walk",
-    "stream_q34_media_triage",
     "stream_q35_graph_ingest",
-    # r9 LRU rotation: family/kind anchors from the stale end (src +
-    # llm_p last verified r3) ...
-    "src_s4_partitioned_events",
-    "llm_p3_sequence_pack",
-    # ... the whole last-verified-r1 cohort ...
-    "llm_d3_dedup_simhash",
-    "llm_m2_frame_sample",
-    "llm_s2_ann_lsh_topk",
-    "llm_t3_token_topk",
-    "llm_t4_fingerprints",
-    "llm_t5_token_counts",
-    # ... and 17 of the 28 last-verified-r2 an_* queries (a25/a26/a27/
-    # a28/a30/a32/a33/a37/a38/a39/a42 stay for the r10 rotation).
-    "an_a3_top_customers",
-    "an_a4_rollup",
-    "an_a5_semi_join",
-    "an_a6_set_ops",
-    "an_a7_window_rank",
-    "an_a8_distinct_agg",
-    "an_a11_json_extract",
-    "an_a14_cube",
-    "an_a15_sliding_window",
-    "an_a16_part_filter",
-    "an_a17_anti_join",
-    "an_a18_full_outer",
-    "an_a19_percentiles",
-    "an_a20_pivot",
-    "an_a21_correlated_subquery",
-    "an_a22_lag_gaps",
-    "an_a23_market_share",
+    # r10 LRU rotation (threshold: last verified <= r4): the 11
+    # held-back r2-era an_* queries ...
+    "an_a25_min_cost_supplier",
+    "an_a26_conditional_agg",
+    "an_a27_distribution_windows",
+    "an_a28_unpivot",
+    "an_a30_array_agg",
+    "an_a32_cdc_materialize",
+    "an_a33_histogram_quantiles",
+    "an_a37_date_spine",
+    "an_a38_multi_predicate",
+    "an_a39_time_travel_diff",
+    "an_a42_spatial_join",
+    # ... family/kind anchors from the r4 shelf (src + llm_p) ...
+    "src_s1_jsonl_events",
+    "llm_p9_weighted_sample",
+    # ... and 17 of the 25 last-verified-r3 queries (the remaining
+    # r3/r4 cohort rolls into the r11 rotation).
+    "an_a9_interval_join",
+    "an_a10_sessionize",
+    "an_a12_asof_join",
+    "an_a13_salted_agg",
+    "an_a24_grouping_sets",
+    "an_a29_bucketed_join",
+    "an_a41_pagerank",
+    "an_a59_hll_rollup",
+    "an_a60_event_paths",
+    "stream_q4_session_window",
+    "llm_d5_embedding_neardup",
+    "llm_d11_decontaminate",
+    "llm_m1_binary_meta",
+    "llm_m11_decoded_luma",
+    "llm_s3_ann_ivf_topk",
+    "llm_s7_pq_topk",
+    "llm_t2_lang_id",
 )
 
 
