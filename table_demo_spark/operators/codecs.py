@@ -3040,7 +3040,10 @@ def _vp8l_select(l: int, t: int, tl: int) -> int:
         p = lc + tc - tlc
         pa += abs(p - lc)  # predict == left?
         pb += abs(p - tc)
-    return l if pa <= pb else t
+    # RFC 9649 Select(): `if (pL < pT) return L else return T` — ties
+    # go to TOP (libwebp agrees). `<=` here mis-decoded third-party
+    # streams whenever pL == pT and L != T.
+    return l if pa < pb else t
 
 
 def _clamp255(v: int) -> int:
@@ -3062,7 +3065,12 @@ def _vp8l_clamp_add_sub_half(l: int, t: int, tl: int) -> int:
     out = 0
     for sh in (24, 16, 8, 0):
         a = (ave >> sh) & 0xFF
-        c = _clamp255(a + (a - ((tl >> sh) & 0xFF)) // 2)
+        # RFC 9649 ClampAddSubtractHalf: `clamp(a + (a - b) / 2)` with
+        # C integer division, which truncates TOWARD ZERO; Python `//`
+        # floors, off by one for negative odd deltas (a=10, tl=13:
+        # spec 9, floor-div 8).
+        d = a - ((tl >> sh) & 0xFF)
+        c = _clamp255(a + (abs(d) // 2) * (1 if d >= 0 else -1))
         out |= c << sh
     return out
 

@@ -2314,6 +2314,73 @@ def test_webp_vp8l_vector_predictor_transform():
     assert (out == want).all(), out
 
 
+def _vp8l_predictor_vector(mode: int, residuals: list[int]) -> "object":
+    """Hand-build a 2x2 VP8L stream whose single predictor block uses
+    `mode`, decode it, and return the HxWx3 RGB array."""
+    from table_demo_spark.operators import codecs as C
+
+    bw = C._Vp8lBitWriter()
+    bw.bits(1, 14)  # width 2
+    bw.bits(1, 14)  # height 2
+    bw.bits(0, 1)
+    bw.bits(0, 3)
+    bw.bits(1, 1)   # transform present
+    bw.bits(0, 2)   # PREDICTOR
+    bw.bits(0, 3)   # size_bits - 2 = 0 -> block size 4
+    bw.bits(0, 1)   # subimage: no cache
+    mode_px = (0 << 24) | (0 << 16) | (mode << 8) | 0
+    emit = _vp8l_literal_codes(bw, [mode_px])
+    emit(mode_px)
+    bw.bits(0, 1)   # end of transform list
+    bw.bits(0, 1)   # no cache
+    bw.bits(0, 1)   # no meta codes
+    emit = _vp8l_literal_codes(bw, residuals)
+    for p in residuals:
+        emit(p)
+    return C.decode_webp_lossless(_vp8l_wrap(bw))
+
+
+def test_webp_vp8l_vector_select_tie_returns_top():
+    """r9 ADVICE pin: RFC 9649 Select() returns LEFT only when
+    pL < pT — a Manhattan-distance TIE returns TOP (libwebp agrees).
+    Constructed tie: TL=5, L=3, T=7 on every channel, so per channel
+    p = 3+7-5 = 5 and pL = pT = 8; the spec result is T (all-7), and
+    the pre-fix `<=` comparison returned L (all-3)."""
+    import numpy as np
+
+    residuals = [
+        (6 << 24) | (5 << 16) | (5 << 8) | 5,        # (0,0) -> all 5
+        (2 << 24) | (2 << 16) | (2 << 8) | 2,        # (1,0) -> all 7
+        (254 << 24) | (254 << 16) | (254 << 8) | 254,  # (0,1) -> all 3
+        0,                                            # (1,1): Select
+    ]
+    out = _vp8l_predictor_vector(11, residuals)
+    want = np.array(
+        [[[5, 5, 5], [7, 7, 7]], [[3, 3, 3], [7, 7, 7]]], dtype=np.uint8
+    )
+    assert (out == want).all(), out
+
+
+def test_webp_vp8l_vector_clamp_half_truncates_toward_zero():
+    """r9 ADVICE pin: ClampAddSubtractHalf is `clamp(a + (a - b) / 2)`
+    with C division (truncation TOWARD ZERO). avg(L,T)=10, TL=13 gives
+    delta -3: spec 10 + (-1) = 9; Python floor division gave 8."""
+    import numpy as np
+
+    residuals = [
+        (14 << 24) | (13 << 16) | (13 << 8) | 13,     # (0,0) -> all 13
+        (253 << 24) | (253 << 16) | (253 << 8) | 253,  # (1,0) -> all 10
+        (253 << 24) | (253 << 16) | (253 << 8) | 253,  # (0,1) -> all 10
+        0,                                             # (1,1): mode 13
+    ]
+    out = _vp8l_predictor_vector(13, residuals)
+    want = np.array(
+        [[[13, 13, 13], [10, 10, 10]], [[10, 10, 10], [9, 9, 9]]],
+        dtype=np.uint8,
+    )
+    assert (out == want).all(), out
+
+
 def test_webp_vp8l_vector_color_indexing_packed():
     """Hand-built stream with a COLOR_INDEXING transform: 4-entry
     delta-coded palette, 2-bit pixel packing (4 pixels in one packed
