@@ -1218,11 +1218,16 @@ _S18_ENTRY = 0   # graph entry point
 _S18_PROBE = 1   # query = embedding of vec 1
 
 
-def _rp_bucket_col(vec_col: str = "embedding"):
-    """s8's rounded random-projection bucket as a reusable Column."""
-    signs = _rp_signs()
+def _rp_bucket_col(vec_col: str = "embedding", bits: int | None = None):
+    """s8's rounded random-projection bucket as a reusable Column.
+    ``bits`` scales the bucket space with the corpus (the graph family
+    passes ``similarity.graph_bits(n)``); None keeps s8's fixed 4-dim
+    JL-sketch default (_RP_OUT, defined below with s8)."""
+    if bits is None:
+        bits = _RP_OUT
+    signs = _rp_signs(bits)
     b = F.lit(0)
-    for d in range(_RP_OUT):
+    for d in range(bits):
         arr = F.array(*[F.lit(s) for s in signs[d]])
         prod = F.zip_with(
             F.col(vec_col), arr, lambda x, y: x.cast("double") * y
@@ -1232,77 +1237,64 @@ def _rp_bucket_col(vec_col: str = "embedding"):
     return b.cast("int")
 
 
-def s18_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s18_graph_edges(emb: DataFrame, bits: int) -> DataFrame:
+    """The navigable graph's edge set: per-vector top-M cosine
+    neighbors among its multi-probe LSH candidates (own bucket + the
+    ``bits`` Hamming-1 buckets). Build = the d6 bucketed-GEMM shape —
+    one shuffle on the probe bucket, fold-left kernel for bit-parity
+    with the oracle's cosine fold (an interpreted higher-order-function
+    cosine over the candidate pairs measured 27 s at sf0.1; the GEMM
+    build is ~3 s). Each (src, dst) candidate lands in exactly ONE
+    (probe-bucket, salt) group (dst's own bucket, dst's salt — see
+    similarity.bucket_knn_edges), so per-group top-M union + a global
+    top-M window is exact and duplicate-free. ``bits`` comes from
+    similarity.graph_bits(n): the r9 fixed 16-bucket space made
+    per-bucket GEMM work grow ~n^2; corpus-scaled bits pin the mean
+    bucket at GRAPH_TARGET_BUCKET so candidate work stays ~linear
+    (measured: the sf0.1->10x build went 20.0 s -> see docs/SCALE.md)."""
     from pyspark.sql import Window
 
-    from table_demo_spark.functions.vector import cosine
-
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    nodes = emb.select("vec_id", "embedding", _rp_bucket_col().alias("b"))
-    # graph build = the d6 bucketed-GEMM shape: one shuffle on the
-    # probe bucket, fold-left kernel for bit-parity with the oracle's
-    # cosine fold (an interpreted higher-order-function cosine over the
-    # ~1.25M candidate pairs measured 27 s at sf0.1; the GEMM build is
-    # ~3 s). Each (src, dst) candidate lands in exactly ONE probe group
-    # (dst's own bucket), so per-group top-M union + a global top-M
-    # window is exact and duplicate-free.
+    nodes = emb.select(
+        "vec_id", "embedding", _rp_bucket_col(bits=bits).alias("b")
+    )
     src_rows = nodes.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("nvec"),
         F.explode(
             F.array(
                 F.col("b"),
-                *[F.col("b").bitwiseXOR(F.lit(1 << j)) for j in range(_RP_OUT)],
+                *[F.col("b").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
             )
         ).alias("pb"),
-        F.lit(0).alias("side"),
+        F.lit(1).alias("new"),
     )
     dst_rows = nodes.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("nvec"),
         F.col("b").alias("pb"),
-        F.lit(1).alias("side"),
+        F.lit(1).alias("new"),
     )
-    grouped = src_rows.unionByName(dst_rows)
-    _fold = similarity._foldleft_cosine_fn()
-    top_m = _S18_M
-
-    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": [], "dst": [], "w": []})
-        srcs = pdf[pdf["side"] == 0]
-        dsts = pdf[pdf["side"] == 1]
-        if srcs.empty or dsts.empty:
-            return empty
-        ids_s = srcs["nid"].to_numpy()
-        ids_d = dsts["nid"].to_numpy()
-        mat_s = np.stack(srcs["nvec"].to_numpy()).astype("float64")
-        mat_d = np.stack(dsts["nvec"].to_numpy()).astype("float64")
-        sims = _fold(mat_s, mat_d)
-        sims[ids_s[:, None] == ids_d[None, :]] = -np.inf  # no self-edges
-        out_s, out_d, out_w = [], [], []
-        for i in range(len(ids_s)):
-            row = sims[i]
-            order = np.lexsort((ids_d, -row))[:top_m]
-            keep = order[np.isfinite(row[order])]
-            out_s.extend([ids_s[i]] * len(keep))
-            out_d.extend(ids_d[keep])
-            out_w.extend(row[keep])
-        return pd.DataFrame({"src": out_s, "dst": out_d, "w": out_w})
-
-    cand_edges = grouped.groupBy("pb").applyInPandas(
-        bucket_knn, schema="src long, dst long, w double"
-    )
+    cand_edges = similarity.bucket_knn_edges(src_rows, dst_rows, _S18_M)
     win = Window.partitionBy("src").orderBy(
         F.col("w").desc(), F.col("dst").asc()
     )
-    edges = (
+    return (
         cand_edges.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= _S18_M)
         .select("src", "dst")
     )
+
+
+def s18_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = similarity.graph_bits(emb.count())
+    edges = s18_graph_edges(emb, bits)
+    return beam_walk(spark, emb, edges)
+
+
+def beam_walk(spark: SparkSession, emb: DataFrame, edges: DataFrame) -> DataFrame:
+    from table_demo_spark.functions.vector import cosine
+
     # The walk is DRIVER-COORDINATED over bounded-by-construction
     # frames (beam <= B rows, expansion <= B*M rows — the centroid-
     # means / BPE-merge-table exception to the no-collect rule): a
@@ -1413,22 +1405,61 @@ FROM beam b JOIN exact x ON x.vec_id = b.vec_id
 """
 
 
-def _s18_oracle() -> str:
-    signs = _rp_signs()
+def _graph_edges_sql() -> str:
+    """Shared oracle CTE chain ``bits, nodes, probes, edges`` for the
+    ANN-graph family (s18/s19/q35/s20): corpus-scaled bit count
+    restated as a pure-integer CASE ladder (bit-for-bit with
+    similarity.graph_bits — no float log2 edge cases), projections
+    generated for all GRAPH_BITS_MAX dims with only the first ``nb``
+    contributing to the bucket, and a dynamic-length Hamming-1 probe
+    list. ``edges`` carries (src, dst, rn) with rn <= M."""
+    signs = _rp_signs(similarity.GRAPH_BITS_MAX)
     dims = []
-    for d in range(_RP_OUT):
+    for d in range(similarity.GRAPH_BITS_MAX):
         terms = " + ".join(
             f"CAST(embedding[{j + 1}] AS DOUBLE) * ({signs[d][j]})"
             for j in range(_RP_IN)
         )
         dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
+    ladder = " ".join(
+        f"WHEN nv <= {similarity.GRAPH_TARGET_BUCKET << b} THEN {b}"
+        for b in range(similarity.GRAPH_BITS_MIN, similarity.GRAPH_BITS_MAX)
+    )
     bucket = " + ".join(
-        f"(CASE WHEN rp{d} > 0 THEN {1 << d} ELSE 0 END)"
-        for d in range(_RP_OUT)
+        f"(CASE WHEN {d} < bt.nb AND rp{d} > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(similarity.GRAPH_BITS_MAX)
     )
-    probes = ", ".join(
-        ["b"] + [f"xor(b, {1 << j})" for j in range(_RP_OUT)]
-    )
+    return f"""
+bits AS (
+  SELECT CASE {ladder} ELSE {similarity.GRAPH_BITS_MAX} END AS nb
+  FROM (SELECT count(*) AS nv FROM embeddings)
+),
+nodes AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS b
+  FROM (SELECT vec_id, embedding, {", ".join(dims)} FROM embeddings)
+  CROSS JOIN bits bt
+),
+probes AS (
+  SELECT vec_id AS src, embedding AS sv,
+         unnest(list_prepend(b, list_transform(range(0, bt.nb),
+                j -> xor(b, CAST((1 << j) AS INTEGER))))) AS pb
+  FROM nodes CROSS JOIN bits bt
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, rn FROM (
+    SELECT p.src, n.vec_id AS dst,
+           -- RAW cosine (no rounding): the Spark side ranks on the
+           -- fold-left GEMM values, bit-identical to this fold
+           row_number() OVER (
+             PARTITION BY p.src
+             ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
+                      n.vec_id ASC) AS rn
+    FROM probes p JOIN nodes n ON n.b = p.pb AND n.vec_id <> p.src
+  ) WHERE rn <= {_S18_M}
+)"""
+
+
+def _s18_oracle() -> str:
     rounds = []
     for i in range(1, _S18_ROUNDS + 1):
         rounds.append(f"""
@@ -1453,26 +1484,7 @@ beam{i} AS MATERIALIZED (
 )""")
     chain = ",".join(rounds)
     return f"""
-WITH nodes AS (
-  SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS b
-  FROM (SELECT vec_id, embedding, {", ".join(dims)} FROM embeddings)
-),
-probes AS (
-  SELECT vec_id AS src, embedding AS sv, unnest([{probes}]) AS pb
-  FROM nodes
-),
-edges AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT p.src, n.vec_id AS dst,
-           -- RAW cosine (no rounding): the Spark side ranks on the
-           -- fold-left GEMM values, bit-identical to this fold
-           row_number() OVER (
-             PARTITION BY p.src
-             ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
-                      n.vec_id ASC) AS rn
-    FROM probes p JOIN nodes n ON n.b = p.pb AND n.vec_id <> p.src
-  ) WHERE rn <= {_S18_M}
-),
+WITH {_graph_edges_sql()},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
 beam0 AS MATERIALIZED (
   SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qv')}, 9) AS cos_sim
@@ -4203,7 +4215,7 @@ _RP_OUT = 4
 _RP_IN = 64
 
 
-def _rp_signs() -> list[list[float]]:
+def _rp_signs(nbits: int = _RP_OUT) -> list[list[float]]:
     import hashlib
 
     return [
@@ -4213,7 +4225,7 @@ def _rp_signs() -> list[list[float]]:
             else -1.0
             for j in range(_RP_IN)
         ]
-        for d in range(_RP_OUT)
+        for d in range(nbits)
     ]
 
 

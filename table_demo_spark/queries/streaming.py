@@ -1283,81 +1283,64 @@ FROM mp3 m JOIN h264 h ON h.doc_id = m.doc_id
 def q35_graph_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained navigable ANN graph (streaming s18 —
     the third leg of the vector-store lifecycle after q29's routed
-    ingest and q33's router retrain): each arriving vector's top-M
-    cosine edges among the vectors seen SO FAR (multi-probe LSH
-    candidates, fold-left GEMM scoring). The oracle restates arrival
-    order analytically (the q33 shards are rank-quartiles of vec_id),
-    so an edge computed against the wrong prefix of the stream — or a
-    batch dropped/duplicated on replay — breaks the value hash."""
-    from table_demo_spark.streaming.queries import run_q35_graph_ingest
+    ingest and q33's router retrain). The queryable result is the
+    CURRENT graph: per-src top-M over the whole emission log
+    (q35_final_edges). Because each batch scores exactly the pairs
+    involving a new vector — arrivals toward everything seen, AND
+    back-edges from already-ingested vectors toward arrivals in their
+    probe buckets — that compaction equals llm_s18's batch-built edge
+    set on the same corpus, so the oracle is the STATIC graph SQL: a
+    vector dropped, duplicated, scored against the wrong prefix, or a
+    missing back-edge breaks the value hash."""
+    from table_demo_spark.streaming.queries import (
+        q35_final_edges,
+        run_q35_graph_ingest,
+    )
 
     with _state_partitions(spark, no_data=False):
         sink, query = run_q35_graph_ingest(spark, sf_dir)
         _drain(query, sink.count, quiet_polls=1)
-    return sink.snapshot_df(spark).select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    return q35_final_edges(sink.snapshot_df(spark))
 
 
 def _q35_oracle() -> str:
-    from table_demo_spark.queries.llmops import (
-        _RP_IN,
-        _RP_OUT,
-        _S18_M,
-        _rp_signs,
-        _sql_cosine,
+    from table_demo_spark.queries.llmops import _graph_edges_sql
+
+    return f"""
+WITH {_graph_edges_sql()}
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(rn AS BIGINT) AS rank
+FROM edges
+"""
+
+
+def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE leg of the vector-store lifecycle, closing its last
+    seam: llm_s18's beam walk runs over the edge store stream_q35
+    maintained incrementally at ingest — not over a batch-built graph.
+    The oracle is llm_s18's full build+walk SQL, so the query is green
+    only if the incrementally-maintained graph IS the batch graph
+    (build ≡ maintain) and the walk over it returns the identical
+    beam (≡ serve)."""
+    from table_demo_spark.queries.llmops import beam_walk
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import (
+        q35_final_edges,
+        run_q35_graph_ingest,
     )
 
-    signs = _rp_signs()
-    dims = []
-    for d in range(_RP_OUT):
-        terms = " + ".join(
-            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({signs[d][j]})"
-            for j in range(_RP_IN)
-        )
-        dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
-    bucket = " + ".join(
-        f"(CASE WHEN rp{d} > 0 THEN {1 << d} ELSE 0 END)"
-        for d in range(_RP_OUT)
-    )
-    probes = ", ".join(
-        ["b"] + [f"xor(b, {1 << j})" for j in range(_RP_OUT)]
-    )
-    return f"""
-WITH base AS (
-  SELECT vec_id, embedding,
-         row_number() OVER (ORDER BY vec_id) AS rn,
-         count(*) OVER () AS n,
-         {", ".join(dims)}
-  FROM embeddings
-),
-nodes AS (
-  -- shard = the q33 rank-quartile the vector ARRIVES in
-  SELECT vec_id, embedding,
-         CAST({bucket} AS INTEGER) AS b,
-         CAST((rn - 1) // ((n + 3) // 4) AS BIGINT) AS shard
-  FROM base
-),
-probes AS (
-  SELECT vec_id AS src, embedding AS sv, shard AS sh,
-         unnest([{probes}]) AS pb
-  FROM nodes
-),
-cand AS (
-  SELECT p.src, n.vec_id AS dst,
-         row_number() OVER (
-           PARTITION BY p.src
-           ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
-                    n.vec_id ASC) AS rn
-  FROM probes p
-  JOIN nodes n
-    ON n.b = p.pb AND n.vec_id <> p.src AND n.shard <= p.sh
-)
-SELECT src, dst, CAST(rn AS BIGINT) AS rank
-FROM cand WHERE rn <= {_S18_M}
-"""
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q35_graph_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    edges = q35_final_edges(sink.snapshot_df(spark)).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return beam_walk(spark, emb, edges)
+
+
+def _s20_oracle() -> str:
+    from table_demo_spark.queries.llmops import _s18_oracle
+
+    return _s18_oracle()
 
 
 def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,6 +1603,7 @@ QUERIES: list[Query] = [
     Query("stream_q33_centroid_drift", q33_centroid_drift_final, _q33_oracle()),
     Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
     Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
+    Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh

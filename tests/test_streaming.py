@@ -1366,3 +1366,34 @@ def test_q35_restart_replay_matches_uninterrupted_run(spark, tmp_path):
         _drain(q2, sink.count, quiet_polls=1)
     spark.catalog.refreshByPath(sink.path)
     assert rows(sink) == want
+
+
+def test_q35_incremental_graph_equals_batch_build(spark):
+    """build ≡ maintain, asserted directly (the s20 oracle pins it
+    externally): per-src top-M compaction of q35's emission log equals
+    llm_s18's batch-built edge set on the same corpus. The back-edges
+    (old src -> new dst) and the kernel's old-old masking are exactly
+    what makes the incremental graph converge to the batch graph."""
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import s18_graph_edges
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import (
+        q35_final_edges,
+        run_q35_graph_ingest,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, q = run_q35_graph_ingest(spark, SF_SMOKE)
+        _drain(q, sink.count, quiet_polls=1)
+    got = {
+        (int(r["src"]), int(r["dst"]), int(r["rank"]))
+        for r in q35_final_edges(sink.snapshot_df(spark)).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bits = similarity.graph_bits(emb.count())
+    want = {
+        (int(r["src"]), int(r["dst"]))
+        for r in s18_graph_edges(emb, bits).collect()
+    }
+    assert {(s, d) for (s, d, _) in got} == want
