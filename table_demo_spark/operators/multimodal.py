@@ -79,15 +79,24 @@ def decode_image(payload: bytes) -> "object":
         grey = decode_jpeg(data)
         return np.repeat(grey[:, :, None], 3, axis=2)
     if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
-        # lossless VP8L decode (codecs.decode_webp_lossless, from
-        # RFC 9649); lossy VP8 frames raise inside the decoder
-        from table_demo_spark.operators.codecs import decode_webp_lossless
+        # lossless -> VP8L decode (RFC 9649); lossy -> the r10 VP8
+        # keyframe decoder (RFC 6386), luma replicated to RGB like the
+        # greyscale-JPEG path (full YUV->RGB CSC is a one-line matrix
+        # away but keeps this dispatcher's integer-exact contract)
+        from table_demo_spark.operators.codecs import (
+            decode_webp_lossless,
+            decode_webp_lossy,
+        )
 
-        return decode_webp_lossless(data)
+        try:
+            return decode_webp_lossless(data)
+        except ValueError:
+            y, _u, _v = decode_webp_lossy(data)
+            return np.repeat(y[:, :, None], 3, axis=2)
     raise NotImplementedError(
-        "PPM/PNG/GIF/baseline-JPEG/lossless-WebP decode in-container; "
-        "wire PIL/cv2 for AVIF, lossy WebP, or progressive JPEG — the "
-        "mapInPandas plumbing is codec-agnostic"
+        "PPM/PNG/GIF/baseline-JPEG/WebP decode in-container; wire "
+        "PIL/cv2 for AVIF or HEIC — the mapInPandas plumbing is "
+        "codec-agnostic"
     )
 
 
@@ -485,6 +494,83 @@ def with_webp_payload(docs: DataFrame) -> DataFrame:
 
     return _spread_ids(docs).mapInPandas(
         build, schema="doc_id long, payload binary"
+    )
+
+
+VP8_MB_W, VP8_MB_H = 2, 2  # 32x32 luma, 4-macroblock DC mosaic
+
+
+def with_lossy_webp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real LOSSY-WebP (VP8 keyframe, RFC 6386)
+    image per document — the 4 signed Y2-DC levels come from the doc's
+    md5 bytes (salt '#vp8', level = byte%128 - 64, level 0 exercising
+    the skip flag), written through the real boolean coder and token
+    trees by codecs.encode_vp8_dc_mosaic. The decode side must walk
+    the full keyframe machinery (header, skip, mode trees, token
+    contexts, Y2 WHT, DC prediction chain) to recover the mosaic the
+    oracle restates analytically; libwebp decodes the same streams to
+    the same planes (pinned in tests/test_operators.py)."""
+    from table_demo_spark.operators.codecs import (
+        encode_vp8_dc_mosaic,
+        encode_webp_lossy,
+    )
+
+    n_mb = VP8_MB_W * VP8_MB_H
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 1, "#vp8")
+                levels = [(raw[i] % 128) - 64 for i in range(n_mb)]
+                payloads.append(
+                    encode_webp_lossy(
+                        encode_vp8_dc_mosaic(levels, VP8_MB_W, VP8_MB_H)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def vp8_mosaic_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Full VP8 keyframe decode per payload (Arrow-batched), reduced
+    to integer luma statistics the oracle can restate: exact mean
+    (sum*1000 // n_pixels) and min/max over the decoded Y plane."""
+    from table_demo_spark.operators.codecs import decode_webp_lossy
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y, _u, _v = decode_webp_lossy(bytes(payload))
+                h, w = y.shape
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(w),
+                        int(h),
+                        int(y.sum()) * 1000 // (w * h),
+                        int(y.min()),
+                        int(y.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_y_milli", "y_min", "y_max",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_y_milli long, y_min long, y_max long"
+        ),
     )
 
 

@@ -65,6 +65,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s19_graph_recall",
     "stream_q35_graph_ingest",
     "llm_s20_serve_ingested",
+    "llm_m31_vp8_mosaic_luma",
     # r10 LRU rotation (threshold: last verified <= r4): the 11
     # held-back r2-era an_* queries ...
     "an_a25_min_cost_supplier",

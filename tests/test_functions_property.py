@@ -607,3 +607,38 @@ def test_mp3_walk_property():
         assert sum(f["frame_len"] for f in frames) == len(data)
 
     check()
+
+
+def test_vp8_bool_coder_roundtrip_property():
+    """RFC 6386 boolean arithmetic coder: any (probability, bit)
+    sequence round-trips through encode -> flush -> decode, including
+    carry-propagation chains (probabilities near 1 produce long 0xFF
+    runs in the low end)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators.codecs import (
+        _Vp8BoolDecoder,
+        _Vp8BoolEncoder,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=254),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=600,
+        )
+    )
+    def check(seq):
+        enc = _Vp8BoolEncoder()
+        for p, b in seq:
+            enc.put(p, b)
+        dec = _Vp8BoolDecoder(enc.flush())
+        for p, b in seq:
+            assert dec.get(p) == b
+
+    check()
