@@ -197,6 +197,7 @@ HEADLINE = [
     "stream_q35_graph_ingest",
     "llm_s20_serve_ingested",
     "llm_m31_vp8_mosaic_luma",
+    "llm_m32_mp3_sideinfo",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

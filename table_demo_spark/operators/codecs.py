@@ -4988,3 +4988,235 @@ def encode_webp_lossy(vp8_payload: bytes) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# MP3 side-info + scale-factor layer (ISO/IEC 11172-3 section 2.4.1.7
+# / 2.4.2.7) — the next honest layer under m29's frame walk: parse the
+# 17-byte mono side info per frame (both long- and short-block
+# layouts), follow main_data_begin through the bit reservoir, and
+# decode the part2 scale factors with scfsi sharing. Spectrum
+# (Huffman) decode remains the documented extension point — its bit
+# budget is reported per granule as part2_3_length - part2.
+# ---------------------------------------------------------------------------
+
+# scalefac_compress -> (slen1, slen2) (ISO 11172-3 table B.6 shape)
+MP3_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+# scfsi band groups over the 21 long-block scalefactor bands
+MP3_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def encode_mp3_sideinfo_frames(
+    frames, bitrate_index: int = 9, samplerate_index: int = 0
+) -> bytes:
+    """Build MPEG-1 Layer III mono frames with REAL side info and
+    scale factors. ``frames`` is a list of
+    ``(scfsi, [(global_gain, scalefac_compress, scalefacs[21])] * 2)``
+    — long blocks, no bit reservoir (main_data_begin = 0), zero
+    spectrum (part2_3_length == part2, big_values == 0), granule 1's
+    scfsi-shared groups not transmitted per the spec."""
+    out = bytearray()
+    sr = MP3_SAMPLERATES[samplerate_index]
+    kbps = MP3_BITRATES_KBPS[bitrate_index]
+    flen = mp3_frame_length(kbps, sr, 0)
+    for scfsi, granules in frames:
+        if len(granules) != 2:
+            raise ValueError("MP3: two granules per MPEG-1 frame")
+        b2 = (bitrate_index << 4) | (samplerate_index << 2)
+        header = bytes([0xFF, 0b11111011, b2, 0b11000000])
+        side = _BitWriter()
+        side.put(0, 9)  # main_data_begin: no reservoir
+        side.put(0, 5)  # private bits (mono)
+        side.put(scfsi & 0xF, 4)
+        sf_bits = []
+        for g, (gain, sc, sfs) in enumerate(granules):
+            slen1, slen2 = MP3_SLEN[sc & 0xF]
+            part2 = 0
+            for band in range(21):
+                slen = slen1 if band < 11 else slen2
+                copied = g == 1 and any(
+                    lo <= band < hi
+                    and (scfsi >> (3 - gi)) & 1
+                    for gi, (lo, hi) in enumerate(MP3_SCFSI_GROUPS)
+                )
+                if not copied:
+                    part2 += slen
+            side.put(part2, 12)  # part2_3_length: zero spectrum
+            side.put(0, 9)       # big_values
+            side.put(gain & 0xFF, 8)
+            side.put(sc & 0xF, 4)
+            side.put(0, 1)       # windows_switching_flag: long blocks
+            side.put(0, 15)      # table_select x3
+            side.put(0, 4)       # region0_count
+            side.put(0, 3)       # region1_count
+            side.put(0, 1)       # preflag
+            side.put(0, 1)       # scalefac_scale
+            side.put(0, 1)       # count1table_select
+            sf_bits.append(part2)
+        side_bytes = side.out
+        assert side.nbits == 0 and len(side_bytes) == 17
+        main = _BitWriter()
+        for g, (gain, sc, sfs) in enumerate(granules):
+            slen1, slen2 = MP3_SLEN[sc & 0xF]
+            if len(sfs) != 21:
+                raise ValueError("MP3: 21 long-block scalefactors")
+            for band in range(21):
+                slen = slen1 if band < 11 else slen2
+                copied = g == 1 and any(
+                    lo <= band < hi and (scfsi >> (3 - gi)) & 1
+                    for gi, (lo, hi) in enumerate(MP3_SCFSI_GROUPS)
+                )
+                if copied:
+                    continue
+                if sfs[band] >> slen:
+                    raise ValueError("MP3: scalefactor exceeds slen")
+                if slen:
+                    main.put(sfs[band], slen)
+        main.align()
+        body = bytes(side_bytes) + bytes(main.out)
+        if len(body) > flen - 4:
+            raise ValueError("MP3: side info + scalefacs overflow frame")
+        out += header + body + b"\x00" * (flen - 4 - len(body))
+    return bytes(out)
+
+
+def decode_mp3_sideinfo(data: bytes) -> list[dict]:
+    """Walk MPEG-1 Layer III mono frames and decode the side info and
+    part2 scale factors of each granule, following main_data_begin
+    through the bit reservoir (each frame's main data may start inside
+    earlier frames' bodies). Returns one dict per frame with granule
+    lists: global_gain, scalefac_compress, block_type, part2_bits,
+    huffman_bits (part2_3_length - part2 — the undecoded spectrum
+    budget, the documented next layer), and the EFFECTIVE 21
+    scalefactors (scfsi-shared groups copied from granule 0).
+    Truncated side info, a reservoir pointer before the first byte,
+    or part2 exceeding part2_3_length all fail loudly."""
+    frames = []
+    reservoir = bytearray()  # all main-data bytes seen so far
+    starts = []  # reservoir offset where each frame's own body begins
+    pos = 0
+    pending = []
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("MP3: truncated header")
+        b0, b1, b2, _b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost sync at byte {pos}")
+        if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
+            raise ValueError("MP3: only MPEG-1 Layer III supported")
+        if b1 & 1 == 0:
+            raise ValueError("MP3: CRC frames not supported")
+        bitrate_index = (b2 >> 4) & 0xF
+        samplerate_index = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if bitrate_index in (0, 15) or samplerate_index == 3:
+            raise ValueError("MP3: invalid bitrate/samplerate index")
+        flen = mp3_frame_length(
+            MP3_BITRATES_KBPS[bitrate_index],
+            MP3_SAMPLERATES[samplerate_index],
+            padding,
+        )
+        if pos + flen > len(data):
+            raise ValueError("MP3: truncated frame body")
+        side_raw = data[pos + 4:pos + 21]
+        if len(side_raw) < 17:
+            raise ValueError("MP3: truncated side info")
+        starts.append(len(reservoir))
+        reservoir += data[pos + 21:pos + flen]
+        pending.append(side_raw)
+        pos += flen
+
+    for idx, side_raw in enumerate(pending):
+        br = _BitReader(bytes(side_raw))
+        main_data_begin = br.bits(9)
+        br.bits(5)  # private
+        scfsi = br.bits(4)
+        gr = []
+        for _g in range(2):
+            info = {
+                "part2_3_length": br.bits(12),
+                "big_values": br.bits(9),
+                "global_gain": br.bits(8),
+                "scalefac_compress": br.bits(4),
+            }
+            if br.bits(1):  # windows_switching_flag
+                info["block_type"] = br.bits(2)
+                if info["block_type"] == 0:
+                    raise ValueError("MP3: reserved block_type 0 with "
+                                     "window switching")
+                info["mixed_block"] = br.bits(1)
+                br.bits(10)  # table_select x2
+                br.bits(9)   # subblock_gain x3
+            else:
+                info["block_type"] = 0
+                info["mixed_block"] = 0
+                br.bits(15)  # table_select x3
+                br.bits(4)   # region0_count
+                br.bits(3)   # region1_count
+            br.bits(1)  # preflag
+            br.bits(1)  # scalefac_scale
+            br.bits(1)  # count1table_select
+            gr.append(info)
+        md_start = starts[idx] - main_data_begin
+        if md_start < 0:
+            raise ValueError("MP3: bit reservoir underrun "
+                             f"(main_data_begin {main_data_begin})")
+        mr = _BitReader(bytes(reservoir))
+        mr.bitpos = md_start * 8
+        granules = []
+        sf_prev = None
+        for g, info in enumerate(gr):
+            slen1, slen2 = MP3_SLEN[info["scalefac_compress"]]
+            part2 = 0
+            if info["block_type"] == 2:
+                if scfsi:
+                    raise ValueError("MP3: scfsi with short blocks")
+                n1 = 17 if info["mixed_block"] else 18
+                sfs = [mr.bits(slen1) for _ in range(n1)]
+                sfs += [mr.bits(slen2) for _ in range(18)]
+                part2 = n1 * slen1 + 18 * slen2
+            else:
+                sfs = []
+                for band in range(21):
+                    slen = slen1 if band < 11 else slen2
+                    copied = g == 1 and any(
+                        lo <= band < hi and (scfsi >> (3 - gi)) & 1
+                        for gi, (lo, hi) in enumerate(MP3_SCFSI_GROUPS)
+                    )
+                    if copied:
+                        sfs.append(sf_prev[band])
+                    else:
+                        sfs.append(mr.bits(slen))
+                        part2 += slen
+            if part2 > info["part2_3_length"]:
+                raise ValueError(
+                    "MP3: scalefactors exceed part2_3_length "
+                    f"({part2} > {info['part2_3_length']})"
+                )
+            huff = info["part2_3_length"] - part2
+            mr.bitpos += huff  # skip the (undecoded) spectrum bits
+            if mr.bitpos > len(reservoir) * 8:
+                raise ValueError("MP3: main data truncated")
+            granules.append(
+                {
+                    "global_gain": info["global_gain"],
+                    "scalefac_compress": info["scalefac_compress"],
+                    "block_type": info["block_type"],
+                    "part2_bits": part2,
+                    "huffman_bits": huff,
+                    "scalefacs": sfs,
+                }
+            )
+            if g == 0:
+                sf_prev = sfs
+        frames.append(
+            {
+                "main_data_begin": main_data_begin,
+                "scfsi": scfsi,
+                "granules": granules,
+            }
+        )
+    return frames

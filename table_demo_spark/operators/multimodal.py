@@ -574,6 +574,102 @@ def vp8_mosaic_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+MP3SI_FRAMES = 4
+_MP3SI_FRAME_BYTES = 47  # scfsi + 2x(gain, compress) + 2x21 scalefac bytes
+_MP3SI_BLOCKS = (MP3SI_FRAMES * _MP3SI_FRAME_BYTES + 15) // 16
+
+
+def _mp3si_frames(raw: bytes):
+    """The md5-byte -> side-info field layout the m32 oracle restates:
+    per frame f at offset o = 47f: scfsi = b[o]%16, per granule g
+    (gain, scalefac_compress) = (b[o+1+2g], b[o+2+2g]%16), and the 21
+    long-block scalefactors of granule g at b[o+5+21g+band] masked to
+    the band's slen (scfsi-shared groups of granule 1 are ignored by
+    the encoder per the spec — the decode must COPY them)."""
+    from table_demo_spark.operators.codecs import MP3_SLEN
+
+    frames = []
+    for f in range(MP3SI_FRAMES):
+        o = f * _MP3SI_FRAME_BYTES
+        scfsi = raw[o] % 16
+        grs = []
+        for g in range(2):
+            sc = raw[o + 2 + 2 * g] % 16
+            slen1, slen2 = MP3_SLEN[sc]
+            sfs = [
+                raw[o + 5 + 21 * g + band]
+                % (1 << (slen1 if band < 11 else slen2))
+                for band in range(21)
+            ]
+            grs.append((raw[o + 1 + 2 * g], sc, sfs))
+        frames.append((scfsi, grs))
+    return frames
+
+
+def with_mp3_sideinfo_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): MPEG-1 Layer III frames with REAL side info
+    and part2 scale factors (codecs.encode_mp3_sideinfo_frames) — the
+    layer under m29's header walk. Decoding must parse the 17-byte
+    side info bit layout, the slen table, and scfsi sharing to recover
+    the fields the oracle restates analytically."""
+    from table_demo_spark.operators.codecs import encode_mp3_sideinfo_frames
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_mp3_sideinfo_frames(
+                    _mp3si_frames(
+                        _md5_stream(str(doc_id), _MP3SI_BLOCKS, "#mp3si")
+                    )
+                )
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def mp3_sideinfo_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Full side-info + scale-factor decode per payload, reduced to
+    the integer aggregates the oracle can restate: global-gain sum,
+    transmitted part2 bit total, and the EFFECTIVE scalefactor sum
+    (scfsi-copied groups counted at granule 0's values)."""
+    from table_demo_spark.operators.codecs import decode_mp3_sideinfo
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_mp3_sideinfo(bytes(payload))
+                gain = part2 = sf = huff = 0
+                for fr in frames:
+                    for g in fr["granules"]:
+                        gain += g["global_gain"]
+                        part2 += g["part2_bits"]
+                        sf += sum(g["scalefacs"])
+                        huff += g["huffman_bits"]
+                rows.append(
+                    (int(doc_id), len(frames), gain, part2, sf, huff)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "gain_sum",
+                    "part2_sum", "sf_sum", "huffman_bits_sum",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n_frames long, gain_sum long, "
+            "part2_sum long, sf_sum long, huffman_bits_sum long"
+        ),
+    )
+
+
 GIF_FRAMES = 4
 GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
 #                        9->10-bit width boundary on every frame, so the

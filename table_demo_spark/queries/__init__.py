@@ -66,6 +66,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q35_graph_ingest",
     "llm_s20_serve_ingested",
     "llm_m31_vp8_mosaic_luma",
+    "llm_m32_mp3_sideinfo",
     # r10 LRU rotation (threshold: last verified <= r4): the 11
     # held-back r2-era an_* queries ...
     "an_a25_min_cost_supplier",
@@ -92,7 +93,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a29_bucketed_join",
     "an_a41_pagerank",
     "an_a59_hll_rollup",
-    "an_a60_event_paths",
     "stream_q4_session_window",
     "llm_d5_embedding_neardup",
     "llm_d11_decontaminate",

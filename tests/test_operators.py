@@ -2672,3 +2672,92 @@ def test_graph_bits_scales_with_corpus():
     # monotone non-decreasing over a sweep
     vals = [graph_bits(n) for n in range(0, 300_000, 977)]
     assert vals == sorted(vals)
+
+
+def test_mp3_sideinfo_roundtrip_with_scfsi_sharing():
+    """Side-info + scale-factor layer (m32): fields round-trip through
+    the real 17-byte bit layout, and granule 1's scfsi-shared band
+    groups — NOT transmitted per the spec — are copied from granule 0
+    by the decoder."""
+    import random
+
+    from table_demo_spark.operators import codecs as C
+
+    rng = random.Random(5)
+    frames = []
+    for _ in range(4):
+        scfsi = rng.randrange(16)
+        grs = []
+        for _g in range(2):
+            sc = rng.randrange(16)
+            slen1, slen2 = C.MP3_SLEN[sc]
+            sfs = [
+                rng.randrange(1 << (slen1 if b < 11 else slen2))
+                if (slen1 if b < 11 else slen2) else 0
+                for b in range(21)
+            ]
+            grs.append((rng.randrange(256), sc, sfs))
+        frames.append((scfsi, grs))
+    dec = C.decode_mp3_sideinfo(C.encode_mp3_sideinfo_frames(frames))
+    assert len(dec) == 4
+    for f, (scfsi, grs) in zip(dec, frames):
+        assert f["scfsi"] == scfsi
+        for g in range(2):
+            eff = list(grs[g][2])
+            if g == 1:
+                for gi, (lo, hi) in enumerate(C.MP3_SCFSI_GROUPS):
+                    if (scfsi >> (3 - gi)) & 1:
+                        eff[lo:hi] = grs[0][2][lo:hi]
+            got = f["granules"][g]
+            assert got["global_gain"] == grs[g][0]
+            assert got["scalefacs"] == eff
+            assert got["huffman_bits"] == 0
+
+
+def test_mp3_sideinfo_bit_reservoir_followed():
+    """main_data_begin points INTO earlier frames' bodies (the bit
+    reservoir): a hand-patched second frame whose scale factors live
+    at the end of frame 1's padding must decode them from there."""
+    from table_demo_spark.operators import codecs as C
+
+    sfs = [1] * 11 + [0] * 10  # sc=5 -> slen (1,1): values fit 1 bit
+    frames = [(0, [(10, 5, sfs), (20, 5, sfs)])] * 2
+    data = bytearray(C.encode_mp3_sideinfo_frames(frames))
+    flen = C.mp3_frame_length(C.MP3_BITRATES_KBPS[9], 44100, 0)
+    # move frame 2's part2 bits (2 granules x 21 bits -> 6 bytes) into
+    # the reservoir: copy them to the END of frame 1's body and set
+    # frame 2's main_data_begin = 6 (9-bit field at the side info's
+    # start); zero the original in-frame copy.
+    f2 = flen
+    src = data[f2 + 21:f2 + 27]
+    data[f2 - 6:f2] = src
+    data[f2 + 21:f2 + 27] = b"\x00" * 6
+    data[f2 + 4] = 6 >> 1            # main_data_begin high 8 of 9 bits
+    data[f2 + 5] |= (6 & 1) << 7     # low bit
+    dec = C.decode_mp3_sideinfo(bytes(data))
+    assert dec[1]["main_data_begin"] == 6
+    for g in range(2):
+        assert dec[1]["granules"][g]["scalefacs"] == sfs
+
+
+def test_mp3_sideinfo_failures_are_loud():
+    import pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    frames = [(0, [(10, 5, [1] * 11 + [0] * 10)] * 2)]
+    data = bytearray(C.encode_mp3_sideinfo_frames(frames))
+    # truncated side info
+    with pytest.raises(ValueError):
+        C.decode_mp3_sideinfo(bytes(data[:12]))
+    # reservoir underrun: first frame claims main data before stream
+    bad = bytearray(data)
+    bad[4] = 1  # main_data_begin != 0 on frame 0
+    with pytest.raises(ValueError):
+        C.decode_mp3_sideinfo(bytes(bad))
+    # part2 exceeding part2_3_length: shrink the 12-bit field
+    bad = bytearray(data)
+    bad[6] &= 0x03  # clear part2_3_length high bits of granule 0
+    bad[6 + 1] = 0
+    with pytest.raises(ValueError):
+        C.decode_mp3_sideinfo(bytes(bad))
