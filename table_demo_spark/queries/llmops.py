@@ -1459,6 +1459,148 @@ edges AS MATERIALIZED (
 )"""
 
 
+_S21_NQ = 8  # batched serve: query vectors vec_id < 8
+
+
+def s21_batched_beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query beam SERVE — the production amortization
+    s18 demonstrates for one probe: N query vectors walk the navigable
+    graph TOGETHER, sharing each round's two bounded jobs (one pruned
+    edge-store read for the union of all frontiers, one GEMM-free
+    relational scoring pass of the distinct (query, candidate) pairs
+    against the broadcast query matrix) instead of paying 2 jobs per
+    query per round. The graph is MATERIALIZED to a scratch store
+    first and every round reads it back — serving reads an index, not
+    lineage (and the store read is pruned to the frontier's src keys).
+    Per-round driver state stays bounded by construction
+    (<= NQ * B beam rows, <= NQ * B * M candidate pairs). The oracle
+    restates the per-query walk with PARTITION BY qid windows over the
+    same shared edges CTE."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from table_demo_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = similarity.graph_bits(emb.count())
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="tds-s21-"), "edges.parquet"
+    )
+    s18_graph_edges(emb, bits).write.mode("overwrite").parquet(store)
+    edges = spark.read.parquet(store)
+    queries = emb.filter(F.col("vec_id") < _S21_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def score_pairs(pairs: list[tuple[int, int]]) -> dict:
+        """Exact cosine for the bounded (qid, vec_id) candidate set:
+        one relational pass — candidates join the embeddings table,
+        the NQ-row query matrix is broadcast."""
+        pdf = spark.createDataFrame(pairs, "qid long, vec_id long")
+        rows = (
+            pdf.join(emb, "vec_id")
+            .join(F.broadcast(queries), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.round(cosine("embedding", "qv"), 9).alias("c"),
+            )
+            .collect()
+        )
+        return {(int(r["qid"]), int(r["vec_id"])): float(r["c"]) for r in rows}
+
+    qids = [int(r["qid"]) for r in queries.select("qid").collect()]
+    pool = score_pairs([(q, _S18_ENTRY) for q in qids])
+    beams = {
+        q: sorted(
+            ((v, c) for (qq, v), c in pool.items() if qq == q),
+            key=lambda vc: (-vc[1], vc[0]),
+        )[:_S18_B]
+        for q in qids
+    }
+    for _ in range(_S18_ROUNDS):
+        frontier_srcs = sorted({v for b in beams.values() for v, _ in b})
+        nbr = (
+            edges.filter(F.col("src").isin(frontier_srcs))
+            .select("src", "dst")
+            .collect()
+        )
+        out_edges: dict[int, list[int]] = {}
+        for r in nbr:
+            out_edges.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        pairs = sorted(
+            {
+                (q, d)
+                for q, beam in beams.items()
+                for v, _ in beam
+                for d in out_edges.get(v, ())
+            }
+        )
+        scored = score_pairs(pairs) if pairs else {}
+        for q in qids:
+            merged = dict(beams[q])
+            for (qq, d), c in scored.items():
+                if qq == q:
+                    merged[d] = c
+            beams[q] = sorted(
+                merged.items(), key=lambda vc: (-vc[1], vc[0])
+            )[:_S18_B]
+    rows = [
+        (q, v, c, i + 1)
+        for q in qids
+        for i, (v, c) in enumerate(beams[q])
+    ]
+    return spark.createDataFrame(
+        rows, "qid long, vec_id long, cos_sim double, rank long"
+    )
+
+
+def _s21_oracle() -> str:
+    rounds = []
+    for i in range(1, _S18_ROUNDS + 1):
+        rounds.append(f"""
+cand{i} AS (
+  SELECT DISTINCT b.qid, g.dst AS vec_id
+  FROM beam{i - 1} b JOIN edges g ON g.src = b.vec_id
+),
+sc{i} AS (
+  SELECT c.qid, c.vec_id,
+         round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM cand{i} c
+  JOIN embeddings em ON em.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+),
+beam{i} AS MATERIALIZED (
+  SELECT qid, vec_id, cos_sim FROM (
+    SELECT qid, vec_id, cos_sim,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM (SELECT DISTINCT qid, vec_id, cos_sim FROM
+          (SELECT qid, vec_id, cos_sim FROM beam{i - 1}
+           UNION ALL SELECT qid, vec_id, cos_sim FROM sc{i}))
+  ) WHERE rn <= {_S18_B}
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH {_graph_edges_sql()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_S21_NQ}),
+beam0 AS MATERIALIZED (
+  SELECT q.qid, e.vec_id,
+         round({_sql_cosine('e.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id = {_S18_ENTRY}
+),{chain}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       cos_sim,
+       CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC)
+         AS BIGINT) AS rank
+FROM beam{_S18_ROUNDS}
+"""
+
+
 def _s18_oracle() -> str:
     rounds = []
     for i in range(1, _S18_ROUNDS + 1):
@@ -7706,6 +7848,7 @@ QUERIES: list[Query] = [
     Query("llm_m28_webp_anim_cuts", m28_webp_anim_cuts, M28_ORACLE),
     Query("llm_m31_vp8_mosaic_luma", m31_vp8_mosaic_luma, _m31_oracle()),
     Query("llm_m32_mp3_sideinfo", m32_mp3_sideinfo, _m32_oracle()),
+    Query("llm_s21_batched_beam_serve", s21_batched_beam_serve, _s21_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

@@ -2761,3 +2761,27 @@ def test_mp3_sideinfo_failures_are_loud():
     bad[6 + 1] = 0
     with pytest.raises(ValueError):
         C.decode_mp3_sideinfo(bytes(bad))
+
+
+def test_batched_serve_matches_single_query_walk(spark):
+    """llm_s21's batched walk must agree with llm_s18's single-probe
+    walk for the probe query: same graph, same entry, same rounds —
+    the batching amortizes jobs, never changes results."""
+    from table_demo_spark.queries.llmops import (
+        _S18_PROBE,
+        s18_graph_beam_search,
+        s21_batched_beam_serve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    single = {
+        (int(r["vec_id"]), float(r["cos_sim"]), int(r["rank"]))
+        for r in s18_graph_beam_search(spark, SF_SMOKE).collect()
+    }
+    batched = {
+        (int(r["vec_id"]), float(r["cos_sim"]), int(r["rank"]))
+        for r in s21_batched_beam_serve(spark, SF_SMOKE)
+        .filter(f"qid = {_S18_PROBE}")
+        .collect()
+    }
+    assert batched == single

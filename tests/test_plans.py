@@ -117,6 +117,7 @@ _PYTHON_ALLOWED = {
     "llm_m30_h264_nal_walk",  # MapInPandas (Annex B start-code scan + RBSP unescape)
     "llm_m31_vp8_mosaic_luma",  # MapInPandas (real VP8 keyframe encode + decode, RFC 6386)
     "llm_m32_mp3_sideinfo",  # MapInPandas (MP3 side-info + scale-factor bit walk)
+    "llm_s21_batched_beam_serve",  # FlatMapGroupsInPandas (s18 graph build materialized to the serve store)
 }
 
 
