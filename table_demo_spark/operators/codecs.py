@@ -2807,23 +2807,37 @@ def _vp8l_lz77_code(value: int) -> tuple[int, int, int]:
     return code, rem & ((1 << extra) - 1), extra
 
 
-def _vp8l_dist_table() -> list[tuple[int, int]]:
-    """The 120 2D distance codes, reconstructed from the spec's
-    ordering: all (dx, dy) neighborhood offsets sorted by squared
-    euclidean distance, ties by |dx| ascending, positive dx first.
-    Codes > 120 are plain distances and bypass this table (the only
-    path the encoder emits)."""
-    cand = [
-        (x, y)
-        for y in range(0, 9)
-        for x in range(-8, 9)
-        if y > 0 or x > 0
-    ]
-    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
-    return cand[:120]
-
-
-_VP8L_DIST_TABLE = _vp8l_dist_table()
+# The 120 two-dimensional distance codes (dx, dy) of RFC 9649 section
+# 4.2.2.3, stated EXPLICITLY. An earlier revision reconstructed the
+# table as "neighborhood offsets sorted by squared euclidean distance"
+# — that heuristic matches the first 96 entries but 24 of the tail
+# entries differ from the normative list (e.g. code 97 is (8, 0), not
+# (0, 8)), which mis-decoded third-party palette subimages whose LZ77
+# references use the far window (caught by the libwebp-lossless
+# interop test; this repo's own encoder emits only plain distances
+# > 120, so round-trips could never see it).
+_VP8L_DIST_TABLE = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
 
 
 def _vp8l_plane_to_dist(plane_code: int, width: int) -> int:

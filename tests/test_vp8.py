@@ -258,3 +258,48 @@ def test_vp8_truncated_and_garbage_fail_loudly():
         C.decode_webp_lossy(data[:40] + b"\x00" * 10)
     with pytest.raises(ValueError):
         C.decode_webp_lossy(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_vp8l_decodes_libwebp_lossless_streams_exactly():
+    """VP8L third-party interop via the system libwebp's LOSSLESS
+    encoder: predictor transforms, cross-color, palettes (incl. a
+    ~180-entry palette whose delta row uses far-window 2D LZ77
+    distance codes — the case that exposed the mis-reconstructed tail
+    of the distance-code table), and color-cache streams must decode
+    to the exact source pixels."""
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp.so.7 not available")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    rng = np.random.default_rng(7)
+    for (w, h) in [(16, 16), (33, 17), (64, 48)]:
+        for kind in ("gradient", "noise", "flat", "photo"):
+            yy, xx = np.mgrid[0:h, 0:w]
+            if kind == "gradient":
+                img = np.stack(
+                    [(xx * 5) % 256, (yy * 7) % 256, (xx + yy) % 256], -1
+                ).astype(np.uint8)
+            elif kind == "noise":
+                img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            elif kind == "flat":
+                img = np.full((h, w, 3), 77, np.uint8)
+                img[h // 2:, :] = 200
+            else:  # smooth "photo": palettizes at 16x16 (~180 colors)
+                base = np.sin(xx / 3) * 60 + np.cos(yy / 5) * 60 + 128
+                img = np.stack(
+                    [base, base * 0.8 + 20, 255 - base], -1
+                ).clip(0, 255).astype(np.uint8)
+            out = ctypes.POINTER(ctypes.c_uint8)()
+            n = lib.WebPEncodeLosslessRGB(
+                img.tobytes(), w, h, w * 3, ctypes.byref(out)
+            )
+            assert n > 0
+            data = bytes(np.ctypeslib.as_array(out, shape=(n,)))
+            lib.WebPFree(out)
+            dec = C.decode_webp_lossless(data)
+            assert (dec == img).all(), (w, h, kind)
