@@ -4883,6 +4883,7 @@ VP8_MOSAIC_QI = 40  # y_ac quantizer index for the DC-mosaic encoder
 def encode_vp8_dc_mosaic(
     levels, mb_w: int, mb_h: int,
     filter_type: int = 0, filter_level: int = 0,
+    n_partitions: int = 1,
 ) -> bytes:
     """Minimal spec-valid VP8 keyframe: every macroblock is 16x16
     DC_PRED luma / DC_PRED chroma whose only residual is the signed
@@ -4912,7 +4913,9 @@ def encode_vp8_dc_mosaic(
     be.literal(filter_level, 6)
     be.literal(0, 3)  # sharpness
     be.literal(0, 1)  # lf delta enable
-    be.literal(0, 2)  # log2(dct partitions) = 0 -> 1
+    if n_partitions not in (1, 2, 4, 8):
+        raise ValueError("VP8: 1/2/4/8 token partitions")
+    be.literal(n_partitions.bit_length() - 1, 2)  # log2(dct partitions)
     be.literal(qi, 7)  # y_ac_qi
     for _ in range(5):  # all quantizer deltas absent
         be.literal(0, 1)
@@ -4931,10 +4934,13 @@ def encode_vp8_dc_mosaic(
         be.put(_VP8_KF_UV_PROBS[0], 0)  # uv DC_PRED
     part1 = be.flush()
 
-    # --- token partition ---
-    te = _Vp8BoolEncoder()
+    # --- token partitions (MB row r -> partition r % n_partitions,
+    # each with its own boolean coder and nonzero contexts persisting
+    # across that partition's rows, exactly as the decoder tracks) ---
+    tes = [_Vp8BoolEncoder() for _ in range(n_partitions)]
     above_y2 = [0] * mb_w
     for mby in range(mb_h):
+        te = tes[mby % n_partitions]
         left_y2 = 0
         for mbx in range(mb_w):
             lv = levels[mby * mb_w + mbx]
@@ -4954,7 +4960,11 @@ def encode_vp8_dc_mosaic(
                 te.put(cp(0, _VP8_BANDS[1], 0)[0], 0)
             for _ in range(8):  # U/V blocks: EOB at pos 0
                 te.put(cp(2, _VP8_BANDS[0], 0)[0], 0)
-    tokens = te.flush()
+    parts = [te.flush() for te in tes]
+    sizes = b"".join(
+        bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
+        for p in parts[:-1]
+    )
 
     tag = (0 << 0) | (3 << 1) | (1 << 4) | (len(part1) << 5)
     head = bytes(
@@ -4962,7 +4972,7 @@ def encode_vp8_dc_mosaic(
     ) + b"\x9d\x01\x2a" + bytes(
         [w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F]
     )
-    return head + part1 + tokens
+    return head + part1 + sizes + b"".join(parts)
 
 
 def vp8_mosaic_tiles(levels, mb_w: int, mb_h: int):

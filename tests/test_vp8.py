@@ -303,3 +303,33 @@ def test_vp8l_decodes_libwebp_lossless_streams_exactly():
             lib.WebPFree(out)
             dec = C.decode_webp_lossless(data)
             assert (dec == img).all(), (w, h, kind)
+
+
+def test_vp8_multi_partition_token_layout():
+    """2/4/8 token partitions: MB row r's residuals live in partition
+    r % n with the 3-byte size table between the header and the
+    concatenated partitions; nonzero contexts still flow ACROSS
+    partitions via the above row. Decodes identically to the
+    single-partition stream (and bit-exactly in libwebp when
+    present)."""
+    import random
+
+    lib = _libwebp()
+    rng = random.Random(11)
+    levels = [rng.randrange(-64, 64) for _ in range(12)]
+    tiles = C.vp8_mosaic_tiles(levels, 3, 4)
+    want = np.zeros((64, 48), np.uint8)
+    for my in range(4):
+        for mx in range(3):
+            want[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = tiles[
+                my * 3 + mx
+            ]
+    for nparts in (2, 4, 8):
+        data = C.encode_webp_lossy(
+            C.encode_vp8_dc_mosaic(levels, 3, 4, n_partitions=nparts)
+        )
+        y, u, v = C.decode_webp_lossy(data)
+        assert (y == want).all(), nparts
+        if lib is not None:
+            ry, _ru, _rv = _libwebp_yuv(lib, data)
+            assert (ry == want).all(), nparts
