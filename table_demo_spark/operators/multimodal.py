@@ -670,6 +670,104 @@ def mp3_sideinfo_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+def with_mixed_media_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a MIXED-codec corpus — doc_id % 3 routes to
+    a real PNG (md5 raster '#png'), a lossless WebP/VP8L ('#webp'),
+    or a lossy WebP/VP8 DC mosaic ('#vp8'). The crawl-ingest shape:
+    one binary column, formats discovered by sniffing, every payload
+    decoded through the full codec chain."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        encode_png,
+        encode_vp8_dc_mosaic,
+        encode_webp_lossless,
+        encode_webp_lossy,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                route = int(doc_id) % 3
+                if route == 0:
+                    payloads.append(
+                        encode_png(
+                            np.frombuffer(
+                                _md5_stream(str(doc_id), _PNG_BLOCKS, "#png"),
+                                dtype=np.uint8,
+                            ).reshape(PNG_H, PNG_W, 3)
+                        )
+                    )
+                elif route == 1:
+                    payloads.append(
+                        encode_webp_lossless(
+                            np.frombuffer(
+                                _md5_stream(str(doc_id), _PNG_BLOCKS, "#webp"),
+                                dtype=np.uint8,
+                            ).reshape(PNG_H, PNG_W, 3)
+                        )
+                    )
+                else:
+                    raw = _md5_stream(str(doc_id), 1, "#vp8")
+                    levels = [
+                        (raw[i] % 128) - 64 for i in range(VP8_MB_W * VP8_MB_H)
+                    ]
+                    payloads.append(
+                        encode_webp_lossy(
+                            encode_vp8_dc_mosaic(levels, VP8_MB_W, VP8_MB_H)
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def mixed_media_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Sniff each payload's format from its magic bytes (PNG signature
+    vs RIFF/WEBP with a VP8L or VP8 chunk), decode it through the full
+    codec chain, and emit per-doc luma statistics — the one-pass
+    triage a crawl pipeline runs over a mixed media column."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from table_demo_spark.operators.codecs import PNG_MAGIC
+
+        weights = np.array([LUMA_R, LUMA_G, LUMA_B], dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data.startswith(PNG_MAGIC):
+                    fmt = "png"
+                elif data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+                    fmt = "vp8l" if b"VP8L" in data[12:24] else "vp8"
+                else:
+                    fmt = "unknown"
+                arr = decode_image(data)
+                h, w = arr.shape[:2]
+                total = int((arr.astype(np.int64) * weights).sum())
+                rows.append(
+                    (int(doc_id), fmt, w, h, total // (w * h))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "mean_luma_milli"
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, fmt string, width long, height long, "
+            "mean_luma_milli long"
+        ),
+    )
+
+
 GIF_FRAMES = 4
 GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
 #                        9->10-bit width boundary on every frame, so the
