@@ -5244,3 +5244,131 @@ def decode_mp3_sideinfo(data: bytes) -> list[dict]:
             }
         )
     return frames
+
+
+# ---------------------------------------------------------------------------
+# H.264 SPS layer (ISO/IEC 14496-10 section 7.3.2.1) — the next honest
+# layer under m30's NAL walk: Exp-Golomb-decode the sequence parameter
+# set, the NAL that answers video ingest's first questions (profile,
+# level, DISPLAY dimensions including the 4:2:0 crop-unit rules).
+# Slice/macroblock decode remains the documented extension point.
+# ---------------------------------------------------------------------------
+
+
+def _expgolomb_ue(br: _BitReader) -> int:
+    n = br.unary()  # leading zeros before the marker one
+    return (1 << n) - 1 + br.bits(n)
+
+
+def _expgolomb_se(br: _BitReader) -> int:
+    k = _expgolomb_ue(br)
+    return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+class _ExpGolombWriter(_BitWriter):
+    def ue(self, v: int) -> None:
+        n = (v + 1).bit_length() - 1
+        self.put(0, n)
+        self.put(v + 1, n + 1)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+
+def encode_h264_sps(
+    profile_idc: int,
+    level_idc: int,
+    mb_w: int,
+    mb_h: int,
+    crop=(0, 0, 0, 0),
+    sps_id: int = 0,
+) -> bytes:
+    """Build a spec-valid baseline/main-profile SPS RBSP (no trailing
+    bits or emulation prevention — encode_annexb adds both)."""
+    bw = _ExpGolombWriter()
+    bw.put(profile_idc, 8)
+    bw.put(0, 8)  # constraint flags + reserved
+    bw.put(level_idc, 8)
+    bw.ue(sps_id)
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS extensions not emitted")
+    bw.ue(4)  # log2_max_frame_num_minus4 = 4
+    bw.ue(2)  # pic_order_cnt_type = 2 (no further fields)
+    bw.ue(2)  # max_num_ref_frames
+    bw.put(0, 1)  # gaps_in_frame_num_value_allowed
+    bw.ue(mb_w - 1)
+    bw.ue(mb_h - 1)
+    bw.put(1, 1)  # frame_mbs_only_flag (progressive)
+    bw.put(0, 1)  # direct_8x8_inference_flag
+    left, right, top, bottom = crop
+    if any(crop):
+        bw.put(1, 1)
+        for v in crop:
+            bw.ue(v)
+    else:
+        bw.put(0, 1)
+    bw.put(0, 1)  # vui_parameters_present_flag
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_sps(rbsp: bytes) -> dict:
+    """Parse an SPS RBSP (baseline/extended/main profiles) and derive
+    the DISPLAY dimensions: 16*mb sizes minus the frame-cropping
+    offsets scaled by the 4:2:0 crop units (CropUnitX = 2,
+    CropUnitY = 2 * (2 - frame_mbs_only_flag)); truncation fails
+    loudly via the bit reader."""
+    br = _BitReader(rbsp)
+    profile_idc = br.bits(8)
+    br.bits(8)  # constraint/reserved
+    level_idc = br.bits(8)
+    sps_id = _expgolomb_ue(br)
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format_idc = _expgolomb_ue(br)
+        if chroma_format_idc == 3:
+            br.bits(1)  # separate_colour_plane
+        _expgolomb_ue(br)  # bit_depth_luma_minus8
+        _expgolomb_ue(br)  # bit_depth_chroma_minus8
+        br.bits(1)  # qpprime_y_zero_transform_bypass
+        if br.bits(1):  # seq_scaling_matrix_present
+            raise ValueError("H264: scaling matrices not supported")
+    else:
+        chroma_format_idc = 1  # 4:2:0
+    _expgolomb_ue(br)  # log2_max_frame_num_minus4
+    poc_type = _expgolomb_ue(br)
+    if poc_type == 0:
+        _expgolomb_ue(br)  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        br.bits(1)
+        _expgolomb_se(br)
+        _expgolomb_se(br)
+        for _ in range(_expgolomb_ue(br)):
+            _expgolomb_se(br)
+    _expgolomb_ue(br)  # max_num_ref_frames
+    br.bits(1)  # gaps allowed
+    mb_w = _expgolomb_ue(br) + 1
+    mb_h_units = _expgolomb_ue(br) + 1
+    frame_mbs_only = br.bits(1)
+    if not frame_mbs_only:
+        br.bits(1)  # mb_adaptive_frame_field
+    br.bits(1)  # direct_8x8_inference
+    crop = (0, 0, 0, 0)
+    if br.bits(1):  # frame_cropping_flag
+        crop = tuple(_expgolomb_ue(br) for _ in range(4))
+    # 4:2:0 crop units (14496-10 table 6-1 + eq 7-13..7-16)
+    cux = 2 if chroma_format_idc in (1, 2) else 1
+    cuy = (2 if chroma_format_idc == 1 else 1) * (2 - frame_mbs_only)
+    mb_h = mb_h_units * (2 - frame_mbs_only)
+    width = 16 * mb_w - cux * (crop[0] + crop[1])
+    height = 16 * mb_h - cuy * (crop[2] + crop[3])
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "sps_id": sps_id,
+        "mb_width": mb_w,
+        "mb_height": mb_h,
+        "frame_mbs_only": frame_mbs_only,
+        "crop": crop,
+        "width": width,
+        "height": height,
+    }

@@ -768,6 +768,87 @@ def mixed_media_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+def with_h264_sps_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an Annex B stream per document opening with
+    a REAL Exp-Golomb-coded SPS (fields from the doc's md5 bytes, salt
+    '#sps') followed by two opaque slice-data NALs — the wild-video
+    ingest shape where dimensions/profile must be parsed out of the
+    parameter set, not taken from a container."""
+    from table_demo_spark.operators.codecs import (
+        encode_annexb,
+        encode_h264_sps,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 1, "#sps")
+                prof = (66, 77, 88)[raw[0] % 3]
+                level = 10 + raw[1] % 42
+                mb_w = 1 + raw[2] % 120
+                mb_h = 1 + raw[3] % 68
+                crop = (
+                    tuple(raw[4 + i] % 4 for i in range(4))
+                    if raw[8] % 2
+                    else (0, 0, 0, 0)
+                )
+                sps = encode_h264_sps(prof, level, mb_w, mb_h, crop)
+                payloads.append(
+                    encode_annexb(
+                        [(3, 7, sps), (2, 1, raw[9:16]), (2, 1, raw[:8])]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_sps_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Walk each Annex B stream, Exp-Golomb-parse the SPS NAL, and
+    emit the ingest-triage fields: profile, level, and DISPLAY
+    dimensions after the 4:2:0 frame-cropping rules."""
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_h264_sps,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nals = decode_annexb(bytes(payload))
+                sps = next(n for n in nals if n["nal_type"] == 7)
+                info = decode_h264_sps(sps["rbsp"])
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(nals),
+                        info["profile_idc"],
+                        info["level_idc"],
+                        info["width"],
+                        info["height"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_nals", "profile_idc", "level_idc",
+                    "width", "height",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, n_nals long, profile_idc long, level_idc long, "
+            "width long, height long"
+        ),
+    )
+
+
 GIF_FRAMES = 4
 GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
 #                        9->10-bit width boundary on every frame, so the

@@ -69,6 +69,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m32_mp3_sideinfo",
     "llm_s21_batched_beam_serve",
     "llm_m33_mixed_media_triage",
+    "llm_m34_h264_sps",
     # r10 LRU rotation (threshold: last verified <= r4): the 11
     # held-back r2-era an_* queries ...
     "an_a25_min_cost_supplier",
@@ -90,7 +91,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a9_interval_join",
     "an_a10_sessionize",
     "an_a12_asof_join",
-    "an_a24_grouping_sets",
     "an_a41_pagerank",
     "an_a59_hll_rollup",
     "stream_q4_session_window",

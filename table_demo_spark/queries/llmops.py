@@ -5673,6 +5673,51 @@ FROM (
     return f"{png}\nUNION ALL{vp8l}\nUNION ALL{vp8}"
 
 
+def m34_h264_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m30's next honest layer: Exp-Golomb-parse the SEQUENCE
+    PARAMETER SET of each document's Annex B stream — profile, level,
+    and DISPLAY dimensions including the 4:2:0 frame-cropping units
+    (CropUnitX = 2, CropUnitY = 2 for progressive) — the fields video
+    ingest actually needs before any slice decode. The oracle restates
+    the md5 field layout; a slipped ue(v), a mis-scaled crop, or a
+    missed emulation-prevention byte shifts a dimension and fails the
+    value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_sps_stats(
+        multimodal.with_h264_sps_payload(docs)
+    )
+
+
+def _m34_oracle() -> str:
+    def byte(k: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#sps' "
+            f"|| 0), {2 * k + 1}, 2) AS BIGINT)"
+        )
+
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         (CASE {byte(0)} % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 88 END)
+           AS profile_idc,
+         10 + {byte(1)} % 42 AS level_idc,
+         1 + {byte(2)} % 120 AS mb_w,
+         1 + {byte(3)} % 68 AS mb_h,
+         CASE WHEN {byte(8)} % 2 = 1 THEN {byte(4)} % 4 ELSE 0 END AS cl,
+         CASE WHEN {byte(8)} % 2 = 1 THEN {byte(5)} % 4 ELSE 0 END AS cr,
+         CASE WHEN {byte(8)} % 2 = 1 THEN {byte(6)} % 4 ELSE 0 END AS ct,
+         CASE WHEN {byte(8)} % 2 = 1 THEN {byte(7)} % 4 ELSE 0 END AS cb
+  FROM documents
+)
+SELECT doc_id, CAST(3 AS BIGINT) AS n_nals,
+       CAST(profile_idc AS BIGINT) AS profile_idc,
+       CAST(level_idc AS BIGINT) AS level_idc,
+       CAST(16 * mb_w - 2 * (cl + cr) AS BIGINT) AS width,
+       CAST(16 * mb_h - 2 * (ct + cb) AS BIGINT) AS height
+FROM f
+"""
+
+
 _M28_CUT_BITS = 20
 _M28_FRAME_HEX = multimodal.WEBP_ANIM_H * multimodal.WEBP_ANIM_W * 3 * 2
 
@@ -8089,6 +8134,7 @@ QUERIES: list[Query] = [
     Query("llm_m32_mp3_sideinfo", m32_mp3_sideinfo, _m32_oracle()),
     Query("llm_s21_batched_beam_serve", s21_batched_beam_serve, _s21_oracle()),
     Query("llm_m33_mixed_media_triage", m33_mixed_media_triage, _m33_oracle()),
+    Query("llm_m34_h264_sps", m34_h264_sps, _m34_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

@@ -2785,3 +2785,28 @@ def test_batched_serve_matches_single_query_walk(spark):
         .collect()
     }
     assert batched == single
+
+
+def test_h264_sps_roundtrip_and_crop_units():
+    """SPS layer (m34): Exp-Golomb fields round-trip through the
+    Annex B layer (escape + trailing bits), and display dimensions
+    apply the 4:2:0 crop units (x2 horizontal, x2 vertical for
+    progressive). Truncated SPS fails loudly."""
+    import random
+
+    import pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    rng = random.Random(3)
+    for _ in range(50):
+        mbw, mbh = rng.randrange(1, 121), rng.randrange(1, 69)
+        crop = tuple(rng.randrange(0, 4) for _ in range(4))
+        rbsp = C.encode_h264_sps(77, 40, mbw, mbh, crop)
+        stream = C.encode_annexb([(3, 7, rbsp)])
+        got = C.decode_h264_sps(C.decode_annexb(stream)[0]["rbsp"])
+        assert got["mb_width"] == mbw and got["crop"] == crop
+        assert got["width"] == 16 * mbw - 2 * (crop[0] + crop[1])
+        assert got["height"] == 16 * mbh - 2 * (crop[2] + crop[3])
+    with pytest.raises(ValueError):
+        C.decode_h264_sps(C.encode_h264_sps(66, 30, 40, 30)[:3])

@@ -119,6 +119,7 @@ _PYTHON_ALLOWED = {
     "llm_m32_mp3_sideinfo",  # MapInPandas (MP3 side-info + scale-factor bit walk)
     "llm_s21_batched_beam_serve",  # FlatMapGroupsInPandas (s18 graph build materialized to the serve store)
     "llm_m33_mixed_media_triage",  # MapInPandas (magic-byte sniff + PNG/VP8L/VP8 decode)
+    "llm_m34_h264_sps",  # MapInPandas (Annex B walk + Exp-Golomb SPS parse)
 }
 
 
