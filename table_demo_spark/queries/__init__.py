@@ -55,52 +55,50 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r10 reworked pins: the ANN-graph family's candidate space is
-    # being re-scaled this round (corpus-scaled RP bits, bucket-
-    # partitioned q35 store, hot-bucket capping — the r9 verdict's one
-    # `weak`), and m27's VP8L decoder takes the two ADVICE interop
-    # fixes (predictor-11 tie-break, mode-13 truncation).
-    "llm_m27_webp_luma",
-    "llm_s18_graph_beam_search",
-    "llm_s19_graph_recall",
-    "stream_q35_graph_ingest",
-    "llm_s20_serve_ingested",
-    "llm_m31_vp8_mosaic_luma",
-    "llm_m32_mp3_sideinfo",
-    "llm_s21_batched_beam_serve",
-    "llm_m33_mixed_media_triage",
-    "llm_m34_h264_sps",
-    # r10 LRU rotation (threshold: last verified <= r4): the 11
-    # held-back r2-era an_* queries ...
-    "an_a25_min_cost_supplier",
-    "an_a26_conditional_agg",
-    "an_a27_distribution_windows",
-    "an_a28_unpivot",
-    "an_a30_array_agg",
-    "an_a32_cdc_materialize",
-    "an_a33_histogram_quantiles",
-    "an_a37_date_spine",
-    "an_a38_multi_predicate",
-    "an_a39_time_travel_diff",
-    "an_a42_spatial_join",
-    # ... family/kind anchors from the r4 shelf (src + llm_p) ...
-    "src_s1_jsonl_events",
-    "llm_p9_weighted_sample",
-    # ... and 17 of the 25 last-verified-r3 queries (the remaining
-    # r3/r4 cohort rolls into the r11 rotation).
-    "an_a9_interval_join",
-    "an_a10_sessionize",
-    "an_a12_asof_join",
-    "an_a41_pagerank",
-    "an_a59_hll_rollup",
-    "stream_q4_session_window",
-    "llm_d5_embedding_neardup",
-    "llm_d11_decontaminate",
-    "llm_m1_binary_meta",
-    "llm_m11_decoded_luma",
-    "llm_s3_ann_ivf_topk",
-    "llm_s7_pq_topk",
-    "llm_t2_lang_id",
+    # r11 LRU rotation (threshold: last verified <= r5; the rotation
+    # test recomputes this from the committed CORRECTNESS_r*.json
+    # artifacts).  All 12 of the last-verified-r3 stragglers ...
+    "an_a13_salted_agg",
+    "an_a24_grouping_sets",
+    "an_a29_bucketed_join",
+    "an_a31_merge_into",
+    "an_a34_zorder_skipping",
+    "an_a35_funnel",
+    "an_a36_scd2_history",
+    "an_a40_cohort_retention",
+    "an_a60_event_paths",
+    "an_a62_validity_audit",
+    "llm_t15_bpe_pairs",
+    "llm_t6_winnow_fingerprints",
+    # ... plus 24 of the 26 last-verified-r4 queries (stream_q24 and
+    # stream_q6 roll into the r12 rotation with the r5 cohort; slots
+    # here get swapped for this round's NEW queries as they land —
+    # new queries have no CORRECTNESS row yet, so they count as
+    # oldest-of-all and keep the due-count intact).
+    "llm_d12_fuzzy_dedup",
+    "llm_d13_substring_dedup",
+    "llm_d16_minhash_calibration",
+    "llm_d7_neardup_clusters",
+    "llm_m12_resize_luma",
+    "llm_m13_wav_energy",
+    "llm_m14_png_luma",
+    "llm_p16_decontaminated_split",
+    "llm_s12_two_stage_rerank",
+    "llm_s1_ann_topk",
+    "llm_s9_maxsim_topk",
+    "llm_t10_pii_redact",
+    "llm_t12_hll_cardinality",
+    "llm_t13_cms_heavy_hitters",
+    "llm_t17_zipf_buckets",
+    "llm_t1_text_stats",
+    "llm_t26_quantile_sketch",
+    "llm_t27_bpe_sample_train",
+    "src_s2_orc_events",
+    "src_s3_text_events",
+    "src_s5_permissive_jsonl",
+    "src_s6_compacted_events",
+    "stream_q23_http_upsert",
+    "stream_q5_interval_join",
 )
 
 

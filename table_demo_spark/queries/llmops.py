@@ -1477,17 +1477,15 @@ def s21_batched_beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates the per-query walk with PARTITION BY qid windows over the
     same shared edges CTE."""
     import os
-    import tempfile
 
     from pyspark.sql import Window
 
     from table_demo_spark.functions.vector import cosine
+    from table_demo_spark.scratch import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     bits = similarity.graph_bits(emb.count())
-    store = os.path.join(
-        tempfile.mkdtemp(prefix="tds-s21-"), "edges.parquet"
-    )
+    store = os.path.join(scratch_dir("tds-s21-"), "edges.parquet")
     s18_graph_edges(emb, bits).write.mode("overwrite").parquet(store)
     edges = spark.read.parquet(store)
     queries = emb.filter(F.col("vec_id") < _S21_NQ).select(
@@ -5456,166 +5454,6 @@ def _m33_oracle() -> str:
 
     y2dc = _VP8_DC_Q[VP8_MOSAIC_QI] * 2
     px = multimodal.PNG_W * multimodal.PNG_H
-
-    def fdiv8(x: str) -> str:
-        return f"CAST(floor(({x}) / CAST(8 AS DOUBLE)) AS BIGINT)"
-
-    r = ", ".join(
-        f"{fdiv8(fdiv8(f'{y2dc} * l{k} + 3') + ' + 4')} AS r{k}"
-        for k in range(4)
-    )
-    return f"""
-WITH lev AS (SELECT doc_id, {lv} FROM documents),
-res AS (SELECT doc_id, {r} FROM lev),
-t0 AS (SELECT doc_id, r1, r2, r3,
-              GREATEST(0, LEAST(255, 128 + r0)) AS u0 FROM res),
-t1 AS (SELECT doc_id, r3,
-              GREATEST(0, LEAST(255, u0 + r1)) AS u1,
-              GREATEST(0, LEAST(255, u0 + r2)) AS u2, u0 FROM t0),
-t2 AS (SELECT doc_id, u0, u1, u2,
-              GREATEST(0, LEAST(255,
-                  (16 * u1 + 16 * u2 + 16) // 32 + r3)) AS u3 FROM t1)
-SELECT doc_id,
-       CAST({multimodal.VP8_MB_W * 16} AS BIGINT) AS width,
-       CAST({multimodal.VP8_MB_H * 16} AS BIGINT) AS height,
-       CAST((u0 + u1 + u2 + u3) * 256 * 1000 // {npx} AS BIGINT)
-         AS mean_y_milli,
-       CAST(LEAST(u0, u1, u2, u3) AS BIGINT) AS y_min,
-       CAST(GREATEST(u0, u1, u2, u3) AS BIGINT) AS y_max
-FROM t2
-"""
-
-
-def m32_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m29's next honest layer (r9 verdict #8): parse the MPEG-1
-    Layer III SIDE INFO and part2 SCALE FACTORS of every frame — the
-    17-byte mono side-info bit layout, the scalefac_compress slen
-    table, and scfsi band-group sharing (granule 1's shared groups are
-    NOT transmitted; the decoder must copy granule 0's values). The
-    payload frames carry zero spectrum (part2_3_length == part2), so
-    the remaining Huffman budget pins at 0 — spectrum decode stays the
-    documented extension point. The oracle restates gain/part2/
-    scalefactor aggregates from the md5 field layout; a bit slipped
-    anywhere in the side-info walk, the slen table, or the scfsi copy
-    rule shifts a sum and fails the value hash."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.mp3_sideinfo_stats(
-        multimodal.with_mp3_sideinfo_payload(docs)
-    )
-
-
-def _m32_oracle() -> str:
-    from table_demo_spark.operators.codecs import MP3_SLEN
-
-    nfr = multimodal.MP3SI_FRAMES
-    nblk = multimodal._MP3SI_BLOCKS
-    fb = multimodal._MP3SI_FRAME_BYTES
-
-    def slen(col: str, which: int) -> str:
-        return "CASE " + col + " " + " ".join(
-            f"WHEN {i} THEN {pair[which]}" for i, pair in enumerate(MP3_SLEN)
-        ) + " END"
-
-    return f"""
-WITH bytes AS MATERIALIZED (
-  SELECT doc_id, i * 16 + j AS o,
-         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
-  FROM (
-    SELECT doc_id, i,
-           md5(CAST(doc_id AS VARCHAR) || '#mp3si' || i) AS h
-    FROM documents, (SELECT unnest(range(0, {nblk})) AS i)
-  ), (SELECT unnest(range(0, 16)) AS j)
-),
-hdr AS MATERIALIZED (
-  SELECT s.doc_id, s.o // {fb} AS f,
-         s.b % 16 AS scfsi,
-         g0.b AS gg0, c0.b % 16 AS sc0g,
-         g1.b AS gg1, c1.b % 16 AS sc1g
-  FROM bytes s
-  JOIN bytes g0 ON g0.doc_id = s.doc_id AND g0.o = s.o + 1
-  JOIN bytes c0 ON c0.doc_id = s.doc_id AND c0.o = s.o + 2
-  JOIN bytes g1 ON g1.doc_id = s.doc_id AND g1.o = s.o + 3
-  JOIN bytes c1 ON c1.doc_id = s.doc_id AND c1.o = s.o + 4
-  WHERE s.o % {fb} = 0 AND s.o < {nfr * fb}
-),
-eff AS MATERIALIZED (
-  SELECT b0.doc_id,
-         (CASE WHEN (b0.o % {fb}) - 5 < 11
-               THEN {slen('h.sc0g', 0)} ELSE {slen('h.sc0g', 1)} END) AS sl0,
-         (CASE WHEN (b0.o % {fb}) - 5 < 11
-               THEN {slen('h.sc1g', 0)} ELSE {slen('h.sc1g', 1)} END) AS sl1,
-         b0.b AS raw0, b1.b AS raw1,
-         ((h.scfsi // (CASE WHEN (b0.o % {fb}) - 5 < 6 THEN 8
-                            WHEN (b0.o % {fb}) - 5 < 11 THEN 4
-                            WHEN (b0.o % {fb}) - 5 < 16 THEN 2
-                            ELSE 1 END)) % 2) = 1 AS copied
-  FROM bytes b0
-  JOIN bytes b1 ON b1.doc_id = b0.doc_id AND b1.o = b0.o + 21
-  JOIN hdr h ON h.doc_id = b0.doc_id AND h.f = b0.o // {fb}
-  WHERE b0.o % {fb} BETWEEN 5 AND 25 AND b0.o < {nfr * fb}
-),
-sfagg AS (
-  SELECT doc_id,
-         CAST(sum(sl0 + CASE WHEN copied THEN 0 ELSE sl1 END) AS BIGINT)
-           AS part2_sum,
-         CAST(sum(raw0 % (CAST(1 AS BIGINT) << sl0)
-                  + CASE WHEN copied
-                         THEN raw0 % (CAST(1 AS BIGINT) << sl0)
-                         ELSE raw1 % (CAST(1 AS BIGINT) << sl1) END)
-              AS BIGINT) AS sf_sum
-  FROM eff GROUP BY doc_id
-),
-gagg AS (
-  SELECT doc_id, CAST(sum(gg0 + gg1) AS BIGINT) AS gain_sum
-  FROM hdr GROUP BY doc_id
-)
-SELECT g.doc_id, CAST({nfr} AS BIGINT) AS n_frames, g.gain_sum,
-       s.part2_sum, s.sf_sum, CAST(0 AS BIGINT) AS huffman_bits_sum
-FROM gagg g JOIN sfagg s ON s.doc_id = g.doc_id
-"""
-
-
-def m33_mixed_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass MIXED-codec triage — the crawl-ingest integration of
-    the whole image-codec family: doc_id % 3 routes each document to a
-    real PNG, a lossless WebP (VP8L), or a lossy WebP (VP8 keyframe);
-    the operator sniffs the format from magic bytes, decodes through
-    the full codec chain (zlib inflate + unfilter / RFC 9649 prefix
-    machinery / RFC 6386 keyframe machinery), and emits per-doc luma
-    statistics. The oracle is a 3-branch union of the analytic
-    restatements — PNG and VP8L from their md5 rasters, VP8 from the
-    DC-mosaic tile chain — so a misrouted, misdetected, or misdecoded
-    payload in ANY branch breaks the value hash."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.mixed_media_stats(
-        multimodal.with_mixed_media_payload(docs)
-    )
-
-
-def _m33_oracle() -> str:
-    from table_demo_spark.operators.codecs import _VP8_DC_Q, VP8_MOSAIC_QI
-
-    y2dc = _VP8_DC_Q[VP8_MOSAIC_QI] * 2
-    px = multimodal.PNG_W * multimodal.PNG_H
-
-    def raster_branch(salt: str, route: int, fmt: str) -> str:
-        return f"""
-SELECT doc_id, '{fmt}' AS fmt,
-       CAST({multimodal.PNG_W} AS BIGINT) AS width,
-       CAST({multimodal.PNG_H} AS BIGINT) AS height,
-       CAST(sum(({_LUMA_W_SQL}) * b) AS BIGINT) // {px} AS mean_luma_milli
-FROM (
-  SELECT doc_id, i * 16 + j AS o,
-         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
-  FROM (
-    SELECT doc_id, i,
-           md5(CAST(doc_id AS VARCHAR) || '{salt}' || i) AS h
-    FROM documents
-    WHERE doc_id % 3 = {route}
-  ), (SELECT unnest(range(0, 16)) AS j),
-    (SELECT 1)  -- keep shape
-)
-GROUP BY doc_id"""
 
     def fdiv8(x: str) -> str:
         return f"CAST(floor(({x}) / CAST(8 AS DOUBLE)) AS BIGINT)"
