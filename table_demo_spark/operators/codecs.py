@@ -4883,7 +4883,7 @@ VP8_MOSAIC_QI = 40  # y_ac quantizer index for the DC-mosaic encoder
 def encode_vp8_dc_mosaic(
     levels, mb_w: int, mb_h: int,
     filter_type: int = 0, filter_level: int = 0,
-    n_partitions: int = 1,
+    n_partitions: int = 1, uv_levels=None,
 ) -> bytes:
     """Minimal spec-valid VP8 keyframe: every macroblock is 16x16
     DC_PRED luma / DC_PRED chroma whose only residual is the signed
@@ -4895,8 +4895,20 @@ def encode_vp8_dc_mosaic(
     DC-prediction edge rules.  libwebp decodes these streams to the
     same planes (pinned in tests).  Default filter level 0 keeps the
     oracle exact; tests raise it to cross-validate both loop filters
-    against libwebp."""
+    against libwebp.
+
+    ``uv_levels`` (optional): per-MB ``(lu, lv)`` signed chroma DC
+    coefficients — every 4x4 subblock of the MB's 8x8 U (resp. V)
+    plane carries the same DC token, so each chroma tile reconstructs
+    uniformly to ``clamp(128 + ((uvdc * l + 4) >> 3))`` at the mosaic
+    origin (the llm_m35 color oracle restates exactly this plus the
+    fixed-point CSC).  Chroma nonzero contexts chain across subblocks
+    and macroblocks exactly as the decoder tracks them; a macroblock
+    is skip-flagged only when its Y2 AND chroma levels are all 0."""
     assert len(levels) == mb_w * mb_h
+    if uv_levels is None:
+        uv_levels = [(0, 0)] * (mb_w * mb_h)
+    assert len(uv_levels) == mb_w * mb_h
     w, h = mb_w * 16, mb_h * 16
     qi = VP8_MOSAIC_QI
     coef = _VP8_COEFF_PROBS
@@ -4926,7 +4938,8 @@ def encode_vp8_dc_mosaic(
     p_skip = 128
     be.literal(p_skip, 8)
     for mb in range(mb_w * mb_h):
-        be.put(p_skip, 1 if levels[mb] == 0 else 0)
+        zero = levels[mb] == 0 and uv_levels[mb] == (0, 0)
+        be.put(p_skip, 1 if zero else 0)
         # ymode DC_PRED: kf tree path "1 0 0"
         be.put(_VP8_KF_YMODE_PROBS[0], 1)
         be.put(_VP8_KF_YMODE_PROBS[1], 0)
@@ -4939,27 +4952,47 @@ def encode_vp8_dc_mosaic(
     # across that partition's rows, exactly as the decoder tracks) ---
     tes = [_Vp8BoolEncoder() for _ in range(n_partitions)]
     above_y2 = [0] * mb_w
+    above_uv = {p: [0] * (mb_w * 2) for p in ("u", "v")}
+
+    def put_dc(te, ttype: int, ctx: int, lv: int) -> int:
+        """One 4x4 block whose only coefficient is a DC of magnitude
+        |lv| (EOB at position 1), or a bare EOB when lv == 0; returns
+        the block's nonzero flag for the context chain."""
+        if lv == 0:
+            te.put(cp(ttype, _VP8_BANDS[0], ctx)[0], 0)
+            return 0
+        _vp8_put_token(te, cp(ttype, _VP8_BANDS[0], ctx), abs(lv))
+        te.put(128, 1 if lv < 0 else 0)  # sign
+        nctx = 1 if abs(lv) == 1 else 2
+        te.put(cp(ttype, _VP8_BANDS[1], nctx)[0], 0)  # EOB at position 1
+        return 1
+
     for mby in range(mb_h):
         te = tes[mby % n_partitions]
         left_y2 = 0
+        left_uv = {p: [0, 0] for p in ("u", "v")}
         for mbx in range(mb_w):
-            lv = levels[mby * mb_w + mbx]
-            if lv == 0:
+            mb = mby * mb_w + mbx
+            lv = levels[mb]
+            if lv == 0 and uv_levels[mb] == (0, 0):  # skip-flagged
                 left_y2 = 0
                 above_y2[mbx] = 0
+                for p in ("u", "v"):
+                    left_uv[p][:] = [0, 0]
+                    above_uv[p][mbx * 2:mbx * 2 + 2] = [0, 0]
                 continue
-            ctx = left_y2 + above_y2[mbx]
-            p = cp(1, _VP8_BANDS[0], ctx)
-            _vp8_put_token(te, p, abs(lv))
-            te.put(128, 1 if lv < 0 else 0)  # sign
-            nctx = 1 if abs(lv) == 1 else 2
-            te.put(cp(1, _VP8_BANDS[1], nctx)[0], 0)  # EOB at position 1
-            left_y2 = 1
-            above_y2[mbx] = 1
+            nz = put_dc(te, 1, left_y2 + above_y2[mbx], lv)
+            left_y2 = nz
+            above_y2[mbx] = nz
             for _ in range(16):  # Y blocks: EOB at first coeff (pos 1)
                 te.put(cp(0, _VP8_BANDS[1], 0)[0], 0)
-            for _ in range(8):  # U/V blocks: EOB at pos 0
-                te.put(cp(2, _VP8_BANDS[0], 0)[0], 0)
+            for p, luv in zip(("u", "v"), uv_levels[mb]):
+                for sy in range(2):
+                    for sx in range(2):
+                        ctx = left_uv[p][sy] + above_uv[p][mbx * 2 + sx]
+                        cnz = put_dc(te, 2, ctx, luv)
+                        left_uv[p][sy] = cnz
+                        above_uv[p][mbx * 2 + sx] = cnz
     parts = [te.flush() for te in tes]
     sizes = b"".join(
         bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
@@ -5001,6 +5034,89 @@ def vp8_mosaic_tiles(levels, mb_w: int, mb_h: int):
                 ) >> 5
             tiles[mby * mb_w + mbx] = _clamp255(pred + r)
     return tiles
+
+
+def _vp8_fancy_upsample_plane(c, h: int, w: int):
+    """libwebp's "fancy" 4:2:0 chroma upsampler (upsampling.c's
+    UPSAMPLE_FUNC pair structure, exactly — including its two-step
+    rounding, which is NOT the closed-form (9a+3b+3c+d+8)>>4): output
+    row 0 and, for even heights, row h-1 mirror the boundary chroma
+    row; interior output rows 2r+1/2r+2 blend chroma rows r/r+1.
+    Returns an (h, w) int64 plane."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.int64)
+    out = np.empty((h, w), np.int64)
+    lpp = (w - 1) >> 1
+
+    def pair_rows(T, C):
+        top = np.empty(w, np.int64)
+        bot = np.empty(w, np.int64)
+        top[0] = (3 * T[0] + C[0] + 2) >> 2
+        bot[0] = (3 * C[0] + T[0] + 2) >> 2
+        if lpp >= 1:
+            x = np.arange(1, lpp + 1)
+            tl, t = T[x - 1], T[x]
+            l, cc = C[x - 1], C[x]
+            avg = tl + t + l + cc + 8
+            d12 = (avg + 2 * (t + l)) >> 3
+            d03 = (avg + 2 * (tl + cc)) >> 3
+            top[2 * x - 1] = (d12 + tl) >> 1
+            top[2 * x] = (d03 + t) >> 1
+            bot[2 * x - 1] = (d03 + l) >> 1
+            bot[2 * x] = (d12 + cc) >> 1
+        if not (w & 1):
+            top[w - 1] = (3 * T[lpp] + C[lpp] + 2) >> 2
+            bot[w - 1] = (3 * C[lpp] + T[lpp] + 2) >> 2
+        return top, bot
+
+    out[0] = pair_rows(c[0], c[0])[0]
+    for r in range(c.shape[0] - 1):
+        top, bot = pair_rows(c[r], c[r + 1])
+        out[2 * r + 1] = top
+        if 2 * r + 2 < h:
+            out[2 * r + 2] = bot
+    if not (h & 1) and h > 1:
+        out[h - 1] = pair_rows(c[-1], c[-1])[0]
+    return out
+
+
+def vp8_yuv_to_rgb(y, u, v, fancy: bool = True):
+    """libwebp's fixed-point BT.601 YUV->RGB (yuv.h):
+
+        R = clip8(MultHi(y,19077) + MultHi(v,26149) - 14234)
+        G = clip8(MultHi(y,19077) - MultHi(u,6419)
+                                  - MultHi(v,13320) +  8708)
+        B = clip8(MultHi(y,19077) + MultHi(u,33050) - 17685)
+
+    with MultHi(x, c) = (x * c) >> 8 and clip8(x) = x >> 6 when
+    0 <= x < 2^14 else saturate — every step integer-exact, so the
+    llm_m35 oracle can restate it verbatim in SQL. ``fancy`` selects
+    libwebp's default bilinear-ish chroma upsampler; ``fancy=False``
+    is its ``no_fancy_upsampling`` point sampler.  Returns an
+    (h, w, 3) uint8 RGB array, bit-exact against libwebp's MODE_RGB
+    output (adjudicated in tests/test_vp8.py)."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.int64)
+    h, w = y.shape
+    if fancy:
+        uf = _vp8_fancy_upsample_plane(u, h, w)
+        vf = _vp8_fancy_upsample_plane(v, h, w)
+    else:
+        uf = np.asarray(u, dtype=np.int64).repeat(2, 0).repeat(2, 1)[:h, :w]
+        vf = np.asarray(v, dtype=np.int64).repeat(2, 0).repeat(2, 1)[:h, :w]
+
+    def clip8(x):
+        return np.where(
+            (x & ~16383) == 0, x >> 6, np.where(x < 0, 0, 255)
+        ).astype(np.uint8)
+
+    yy = (y * 19077) >> 8
+    r = clip8(yy + ((vf * 26149) >> 8) - 14234)
+    g = clip8(yy - ((uf * 6419) >> 8) - ((vf * 13320) >> 8) + 8708)
+    b = clip8(yy + ((uf * 33050) >> 8) - 17685)
+    return np.stack([r, g, b], axis=-1)
 
 
 def encode_webp_lossy(vp8_payload: bytes) -> bytes:
