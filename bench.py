@@ -201,6 +201,7 @@ HEADLINE = [
     "llm_s21_batched_beam_serve",
     "llm_m33_mixed_media_triage",
     "llm_m34_h264_sps",
+    "llm_m35_vp8_color_rgb",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

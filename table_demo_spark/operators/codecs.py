@@ -5036,6 +5036,35 @@ def vp8_mosaic_tiles(levels, mb_w: int, mb_h: int):
     return tiles
 
 
+def vp8_mosaic_uv_tiles(levels, mb_w: int, mb_h: int):
+    """Chroma counterpart of :func:`vp8_mosaic_tiles` for ONE 8x8
+    plane (U or V) of the DC mosaic: chroma has no WHT, so the
+    per-pixel residual is the DC-only IDCT (uvdc*l + 4) >> 3 with
+    uvdc = dc_q[qi] (delta 0), and the DC-prediction chain averages
+    the 8-pixel edges ((8*above + 8*left + 8) >> 4 interior).
+    Verified uniform-per-MB against both decode_webp_lossy and the
+    system libwebp in tests/test_vp8.py."""
+    uvdc = _VP8_DC_Q[VP8_MOSAIC_QI]
+    tiles = [0] * (mb_w * mb_h)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            r = (uvdc * levels[mby * mb_w + mbx] + 4) >> 3
+            if mby == 0 and mbx == 0:
+                pred = 128
+            elif mby == 0:
+                pred = tiles[mbx - 1]
+            elif mbx == 0:
+                pred = tiles[(mby - 1) * mb_w]
+            else:
+                pred = (
+                    8 * tiles[(mby - 1) * mb_w + mbx]
+                    + 8 * tiles[mby * mb_w + mbx - 1]
+                    + 8
+                ) >> 4
+            tiles[mby * mb_w + mbx] = _clamp255(pred + r)
+    return tiles
+
+
 def _vp8_fancy_upsample_plane(c, h: int, w: int):
     """libwebp's "fancy" 4:2:0 chroma upsampler (upsampling.c's
     UPSAMPLE_FUNC pair structure, exactly — including its two-step

@@ -80,19 +80,21 @@ def decode_image(payload: bytes) -> "object":
         return np.repeat(grey[:, :, None], 3, axis=2)
     if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
         # lossless -> VP8L decode (RFC 9649); lossy -> the r10 VP8
-        # keyframe decoder (RFC 6386), luma replicated to RGB like the
-        # greyscale-JPEG path (full YUV->RGB CSC is a one-line matrix
-        # away but keeps this dispatcher's integer-exact contract)
+        # keyframe decoder (RFC 6386) + libwebp's fixed-point BT.601
+        # CSC with the default "fancy" chroma upsampler — the RGB
+        # output is bit-exact against libwebp MODE_RGB
+        # (tests/test_vp8.py), keeping the dispatcher integer-exact
         from table_demo_spark.operators.codecs import (
             decode_webp_lossless,
             decode_webp_lossy,
+            vp8_yuv_to_rgb,
         )
 
         try:
             return decode_webp_lossless(data)
         except ValueError:
-            y, _u, _v = decode_webp_lossy(data)
-            return np.repeat(y[:, :, None], 3, axis=2)
+            y, u, v = decode_webp_lossy(data)
+            return vp8_yuv_to_rgb(y, u, v, fancy=True)
     raise NotImplementedError(
         "PPM/PNG/GIF/baseline-JPEG/WebP decode in-container; wire "
         "PIL/cv2 for AVIF or HEIC — the mapInPandas plumbing is "
@@ -570,6 +572,102 @@ def vp8_mosaic_stats(docs_with_payload: DataFrame) -> DataFrame:
         schema=(
             "doc_id long, width long, height long, "
             "mean_y_milli long, y_min long, y_max long"
+        ),
+    )
+
+
+def with_color_webp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a COLOR lossy-WebP (VP8 keyframe) per
+    document — md5 bytes (salt '#vp8c') drive the 4 signed Y2-DC
+    levels (bytes 0-3), the 4 U-plane DC levels (4-7) and the 4
+    V-plane DC levels (8-11), each byte%128 - 64, written through the
+    real boolean coder with the chroma token-context chain
+    (codecs.encode_vp8_dc_mosaic uv_levels). The decode side must
+    recover all three planes AND run libwebp's fixed-point CSC to
+    reproduce the oracle's analytic RGB; libwebp decodes the same
+    streams to the same planes (tests/test_vp8.py)."""
+    from table_demo_spark.operators.codecs import (
+        encode_vp8_dc_mosaic,
+        encode_webp_lossy,
+    )
+
+    n_mb = VP8_MB_W * VP8_MB_H
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 1, "#vp8c")
+                lv = [(raw[i] % 128) - 64 for i in range(3 * n_mb)]
+                payloads.append(
+                    encode_webp_lossy(
+                        encode_vp8_dc_mosaic(
+                            lv[:n_mb], VP8_MB_W, VP8_MB_H,
+                            uv_levels=list(
+                                zip(lv[n_mb:2 * n_mb], lv[2 * n_mb:])
+                            ),
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def vp8_color_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Full VP8 keyframe decode of all three planes per payload
+    (Arrow-batched) + libwebp's fixed-point BT.601 CSC
+    (codecs.vp8_yuv_to_rgb, point-sampled chroma — libwebp's
+    no_fancy_upsampling mode, so each macroblock's RGB is uniform and
+    the oracle can restate the exact per-channel means). A swapped
+    chroma plane, wrong CSC constant, or broken chroma token/context
+    decode shifts a channel mean and fails the value hash; the fancy
+    upsampler is adjudicated bit-exactly against libwebp MODE_RGB in
+    tests/test_vp8.py instead (its cross-tile blend is deliberately
+    kept off the SQL oracle)."""
+    from table_demo_spark.operators.codecs import (
+        decode_webp_lossy,
+        vp8_yuv_to_rgb,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y, u, v = decode_webp_lossy(bytes(payload))
+                rgb = vp8_yuv_to_rgb(y, u, v, fancy=False).astype(np.int64)
+                h, w = y.shape
+                npx = w * h
+                r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(r.sum()) * 1000 // npx,
+                        int(g.sum()) * 1000 // npx,
+                        int(b.sum()) * 1000 // npx,
+                        int(r.min()), int(r.max()),
+                        int(b.min()), int(b.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r_milli", "mean_g_milli", "mean_b_milli",
+                    "r_min", "r_max", "b_min", "b_max",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_r_milli long, mean_g_milli long, mean_b_milli long, "
+            "r_min long, r_max long, b_min long, b_max long"
         ),
     )
 

@@ -99,6 +99,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s6_compacted_events",
     "stream_q23_http_upsert",
     "stream_q5_interval_join",
+    # r11 new queries (no CORRECTNESS row yet -> oldest-of-all)
+    "llm_m35_vp8_color_rgb",
 )
 
 

@@ -5485,14 +5485,36 @@ GROUP BY doc_id"""
     vp8l = png.replace("'png' AS fmt", "'vp8l' AS fmt").replace(
         "'#png'", "'#webp'"
     ).replace("doc_id % 3 = 0", "doc_id % 3 = 1")
+    # decode_image's VP8 branch runs the full fixed-point CSC since
+    # r11 (llm_m35) — at the mosaic's neutral chroma (U = V = 128)
+    # each tile's RGB is clip8((y*19077)>>8 + K_c) with the per-channel
+    # constant folded from libwebp's yuv.h coefficients, and the
+    # triage's BT.601 milli-weights apply to THOSE channels
+    def clip8(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN 0 WHEN ({x}) >= 16384 THEN 255 "
+            f"ELSE ({x}) // 64 END"
+        )
+
+    kr = (128 * 26149) // 256 - 14234
+    kg = -((128 * 6419) // 256) - (128 * 13320) // 256 + 8708
+    kb = (128 * 33050) // 256 - 17685
+    lum = ", ".join(
+        f"{multimodal.LUMA_R} * ({clip8(f'(u{k} * 19077) // 256 + {kr}')})"
+        f" + {multimodal.LUMA_G} * ({clip8(f'(u{k} * 19077) // 256 + {kg}')})"
+        f" + {multimodal.LUMA_B} * ({clip8(f'(u{k} * 19077) // 256 + {kb}')})"
+        f" AS lum{k}"
+        for k in range(4)
+    )
     vp8 = f"""
 SELECT doc_id, 'vp8' AS fmt,
        CAST({multimodal.VP8_MB_W * 16} AS BIGINT) AS width,
        CAST({multimodal.VP8_MB_H * 16} AS BIGINT) AS height,
-       CAST((u0 + u1 + u2 + u3) * 256 * 1000
+       CAST((lum0 + lum1 + lum2 + lum3) * 256
             // {multimodal.VP8_MB_W * multimodal.VP8_MB_H * 256} AS BIGINT)
          AS mean_luma_milli
 FROM (
+  SELECT doc_id, {lum} FROM (
   SELECT doc_id, u0, u1, u2,
          GREATEST(0, LEAST(255,
              (16 * u1 + 16 * u2 + 16) // 32 + r3)) AS u3
@@ -5506,6 +5528,7 @@ FROM (
       FROM (SELECT doc_id, {r} FROM
             (SELECT doc_id, {lv} FROM documents WHERE doc_id % 3 = 2))
     )
+  )
   )
 )"""
     return f"{png}\nUNION ALL{vp8l}\nUNION ALL{vp8}"
@@ -5553,6 +5576,120 @@ SELECT doc_id, CAST(3 AS BIGINT) AS n_nals,
        CAST(16 * mb_w - 2 * (cl + cr) AS BIGINT) AS width,
        CAST(16 * mb_h - 2 * (ct + cb) AS BIGINT) AS height
 FROM f
+"""
+
+
+def m35_vp8_color_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m31's COLOR layer (r10 verdict #2): every document's lossy
+    WebP now carries chroma — 4 U-plane and 4 V-plane DC levels coded
+    through the real chroma token-context chain — and the query
+    decodes all three planes and runs libwebp's fixed-point BT.601
+    YUV->RGB (codecs.vp8_yuv_to_rgb, bit-exact vs libwebp MODE_RGB in
+    tests/test_vp8.py) before reducing to per-channel statistics. The
+    oracle restates the Y2-WHT luma chain, the chroma DC-prediction
+    chain ((8*above + 8*left + 8) >> 4 edge averages, no WHT), and
+    the CSC verbatim in integer SQL — a swapped U/V plane, a wrong
+    CSC constant, a chroma context-chain bug, or a broken clip8
+    shifts a channel mean and fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.vp8_color_stats(
+        multimodal.with_color_webp_payload(docs)
+    )
+
+
+def _m35_oracle() -> str:
+    from table_demo_spark.operators.codecs import _VP8_DC_Q, VP8_MOSAIC_QI
+
+    y2dc = _VP8_DC_Q[VP8_MOSAIC_QI] * 2
+    uvdc = _VP8_DC_Q[VP8_MOSAIC_QI]
+    n_mb = multimodal.VP8_MB_W * multimodal.VP8_MB_H
+    npx = n_mb * 256
+    lv = ", ".join(
+        f"(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#vp8c' ||"
+        f" 0), {2 * k + 1}, 2) AS BIGINT) % 128) - 64 AS l{k}"
+        for k in range(3 * n_mb)
+    )
+
+    # >>3 is an ARITHMETIC shift (floors); DuckDB's integer // truncates
+    # toward zero on negatives, so floor through DOUBLE (divisor 8 is
+    # FP-exact) — same device as the m31 oracle
+    def fdiv8(x: str) -> str:
+        return f"CAST(floor(({x}) / CAST(8 AS DOUBLE)) AS BIGINT)"
+
+    # luma: Y2 WHT spread (D+3)>>3 then DC-only IDCT (+4)>>3;
+    # chroma: no WHT, residual is (uvdc*l + 4)>>3 directly
+    res = ", ".join(
+        [f"{fdiv8(fdiv8(f'{y2dc} * l{k} + 3') + ' + 4')} AS ry{k}"
+         for k in range(n_mb)]
+        + [f"{fdiv8(f'{uvdc} * l{n_mb + k} + 4')} AS ru{k}"
+           for k in range(n_mb)]
+        + [f"{fdiv8(f'{uvdc} * l{2 * n_mb + k} + 4')} AS rv{k}"
+           for k in range(n_mb)]
+    )
+
+    def cl(x: str) -> str:
+        return f"GREATEST(0, LEAST(255, {x}))"
+
+    # DC-prediction chains over the 2x2 mosaic: origin predicts 128,
+    # edge MBs copy left/above, the interior MB averages its 16-pixel
+    # (luma) / 8-pixel (chroma) edges
+    c0 = ", ".join(f"{cl(f'128 + r{p}0')} AS {p}0" for p in ("y", "u", "v"))
+    c1 = ", ".join(
+        f"{cl(f'{p}0 + r{p}{k}')} AS {p}{k}"
+        for p in ("y", "u", "v") for k in (1, 2)
+    )
+    c2 = ", ".join(
+        [f"{cl('(16 * y1 + 16 * y2 + 16) // 32 + ry3')} AS y3"]
+        + [f"{cl(f'(8 * {p}1 + 8 * {p}2 + 8) // 16 + r{p}3')} AS {p}3"
+           for p in ("u", "v")]
+    )
+
+    # libwebp's fixed-point BT.601 (yuv.h): MultHi(x,c) = (x*c)>>8 on
+    # non-negative planes, clip8(x) = x>>6 when 0 <= x < 2^14 else
+    # saturate — restated verbatim per macroblock (point-sampled
+    # chroma keeps every MB's RGB uniform)
+    def clip8(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) < 0 THEN 0 WHEN ({x}) >= 16384 THEN 255 "
+            f"ELSE ({x}) // 64 END"
+        )
+
+    def rgb_k(k: int) -> str:
+        yy = f"(y{k} * 19077) // 256"
+        pr = f"{yy} + (v{k} * 26149) // 256 - 14234"
+        pg = f"{yy} - (u{k} * 6419) // 256 - (v{k} * 13320) // 256 + 8708"
+        pb = f"{yy} + (u{k} * 33050) // 256 - 17685"
+        return (
+            f"{clip8(pr)} AS r{k}, {clip8(pg)} AS g{k}, "
+            f"{clip8(pb)} AS b{k}"
+        )
+
+    rgb = ", ".join(rgb_k(k) for k in range(n_mb))
+
+    def mean(p: str) -> str:
+        return (
+            f"CAST(({p}0 + {p}1 + {p}2 + {p}3) * 256 * 1000 // {npx}"
+            f" AS BIGINT)"
+        )
+
+    return f"""
+WITH lev AS (SELECT doc_id, {lv} FROM documents),
+res AS (SELECT doc_id, {res} FROM lev),
+c0 AS (SELECT *, {c0} FROM res),
+c1 AS (SELECT *, {c1} FROM c0),
+c2 AS (SELECT *, {c2} FROM c1),
+rgb AS (SELECT doc_id, {rgb} FROM c2)
+SELECT doc_id,
+       CAST({multimodal.VP8_MB_W * 16} AS BIGINT) AS width,
+       CAST({multimodal.VP8_MB_H * 16} AS BIGINT) AS height,
+       {mean('r')} AS mean_r_milli,
+       {mean('g')} AS mean_g_milli,
+       {mean('b')} AS mean_b_milli,
+       CAST(LEAST(r0, r1, r2, r3) AS BIGINT) AS r_min,
+       CAST(GREATEST(r0, r1, r2, r3) AS BIGINT) AS r_max,
+       CAST(LEAST(b0, b1, b2, b3) AS BIGINT) AS b_min,
+       CAST(GREATEST(b0, b1, b2, b3) AS BIGINT) AS b_max
+FROM rgb
 """
 
 
@@ -7973,6 +8110,7 @@ QUERIES: list[Query] = [
     Query("llm_s21_batched_beam_serve", s21_batched_beam_serve, _s21_oracle()),
     Query("llm_m33_mixed_media_triage", m33_mixed_media_triage, _m33_oracle()),
     Query("llm_m34_h264_sps", m34_h264_sps, _m34_oracle()),
+    Query("llm_m35_vp8_color_rgb", m35_vp8_color_rgb, _m35_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

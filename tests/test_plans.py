@@ -120,6 +120,7 @@ _PYTHON_ALLOWED = {
     "llm_s21_batched_beam_serve",  # FlatMapGroupsInPandas (s18 graph build materialized to the serve store)
     "llm_m33_mixed_media_triage",  # MapInPandas (magic-byte sniff + PNG/VP8L/VP8 decode)
     "llm_m34_h264_sps",  # MapInPandas (Annex B walk + Exp-Golomb SPS parse)
+    "llm_m35_vp8_color_rgb",  # MapInPandas (color VP8 decode + fixed-point CSC)
 }
 
 

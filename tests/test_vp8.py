@@ -333,3 +333,103 @@ def test_vp8_multi_partition_token_layout():
         if lib is not None:
             ry, _ru, _rv = _libwebp_yuv(lib, data)
             assert (ry == want).all(), nparts
+
+
+def _libwebp_rgb(lib, data: bytes, fancy: bool = True) -> np.ndarray:
+    """MODE_RGB decode via WebPDecode (fancy selects the default
+    bilinear chroma upsampler; fancy=False is no_fancy_upsampling)."""
+    lib.WebPDecode.restype = ctypes.c_int
+    lib.WebPDecode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_Config)
+    ]
+    lib.WebPFreeDecBuffer.argtypes = [ctypes.POINTER(_DecBuffer)]
+    cfg = _Config()
+    ctypes.memset(ctypes.byref(cfg), 0, ctypes.sizeof(cfg))
+    cfg.options.no_fancy_upsampling = 0 if fancy else 1
+    cfg.output.colorspace = 0  # MODE_RGB
+    status = lib.WebPDecode(data, len(data), ctypes.byref(cfg))
+    assert status == 0, f"libwebp VP8StatusCode {status}"
+    b = cfg.output
+    w, h = b.width, b.height
+    r = b.u.RGBA
+    arr = np.ctypeslib.as_array(
+        r.rgba, shape=(h, r.stride)
+    )[:, : w * 3].reshape(h, w, 3).copy()
+    lib.WebPFreeDecBuffer(ctypes.byref(b))
+    return arr
+
+
+def test_vp8_rgb_csc_matches_libwebp():
+    """vp8_yuv_to_rgb is BIT-EXACT against libwebp MODE_RGB in both
+    chroma-upsampling modes (fancy bilinear-ish default and the
+    no_fancy_upsampling point sampler) on the real fixture and on
+    libwebp-encoded color streams with odd dimensions (the fancy
+    upsampler's boundary rows/columns and odd-width tail)."""
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("libwebp.so.7 not available")
+    rng = np.random.default_rng(7)
+    streams = [open(FIXTURE, "rb").read()]
+    for (w, h) in [(48, 32), (33, 17), (16, 16)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 5) % 256, (yy * 7) % 256, (xx + yy) % 256], axis=-1
+        )
+        img = np.clip(
+            img + rng.integers(0, 50, size=(h, w, 3)) - 25, 0, 255
+        ).astype(np.uint8)
+        streams.append(_libwebp_encode(lib, img, 75.0))
+    for i, data in enumerate(streams):
+        y, u, v = C.decode_webp_lossy(data)
+        for fancy in (True, False):
+            got = C.vp8_yuv_to_rgb(y, u, v, fancy=fancy)
+            want = _libwebp_rgb(lib, data, fancy=fancy)
+            assert (got == want).all(), (i, fancy)
+
+
+def test_vp8_color_mosaic_three_way():
+    """Chroma-DC mosaics (encode_vp8_dc_mosaic uv_levels) decode
+    identically in (a) my decoder, (b) libwebp, and (c) the analytic
+    Y/U/V tile chains the llm_m35 oracle restates — including an
+    all-zero skip MB, a luma-only MB, and a chroma-only MB (skip is
+    only legal when Y2 AND chroma are all zero)."""
+    lib = _libwebp()
+    mb_w, mb_h = 3, 2
+    levels = [40, 0, 0, -17, 63, -64]
+    uv = [(5, -7), (0, 0), (-30, 44), (0, 0), (-64, 63), (1, -1)]
+    # MB1: all-zero -> skip; MB3: luma-only; MB2: chroma-only
+    data = C.encode_webp_lossy(
+        C.encode_vp8_dc_mosaic(levels, mb_w, mb_h, uv_levels=uv)
+    )
+    yt = C.vp8_mosaic_tiles(levels, mb_w, mb_h)
+    ut = C.vp8_mosaic_uv_tiles([a for a, _ in uv], mb_w, mb_h)
+    vt = C.vp8_mosaic_uv_tiles([b for _, b in uv], mb_w, mb_h)
+    y, u, v = C.decode_webp_lossy(data)
+    planes = {"y": (y, yt, 16), "u": (u, ut, 8), "v": (v, vt, 8)}
+    for name, (plane, tiles, s) in planes.items():
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                tile = plane[my * s:(my + 1) * s, mx * s:(mx + 1) * s]
+                assert (tile == tiles[my * mb_w + mx]).all(), (
+                    name, my, mx, np.unique(tile), tiles[my * mb_w + mx]
+                )
+    if lib is not None:
+        for mine, ref in zip((y, u, v), _libwebp_yuv(lib, data)):
+            assert (mine == ref).all()
+
+
+def test_decode_image_lossy_webp_full_color():
+    """decode_image's VP8 branch now runs the full fixed-point CSC
+    with the default fancy upsampler — bit-equal to libwebp MODE_RGB
+    on the real fixture (previously luma-replicated grey)."""
+    from table_demo_spark.operators.multimodal import decode_image
+
+    data = open(FIXTURE, "rb").read()
+    got = decode_image(data)
+    y, u, v = C.decode_webp_lossy(data)
+    assert (got == C.vp8_yuv_to_rgb(y, u, v, fancy=True)).all()
+    lib = _libwebp()
+    if lib is not None:
+        assert (got == _libwebp_rgb(lib, data, fancy=True)).all()
+    # chroma actually moves the output: not a grey replication
+    assert not (got[:, :, 0] == got[:, :, 2]).all()
