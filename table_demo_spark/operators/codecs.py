@@ -5427,9 +5427,16 @@ def encode_h264_sps(
     mb_h: int,
     crop=(0, 0, 0, 0),
     sps_id: int = 0,
+    log2_max_frame_num_minus4: int = 4,
+    poc_type: int = 2,
+    log2_max_poc_lsb_minus4: int = 4,
 ) -> bytes:
     """Build a spec-valid baseline/main-profile SPS RBSP (no trailing
-    bits or emulation prevention — encode_annexb adds both)."""
+    bits or emulation prevention — encode_annexb adds both).
+    ``log2_max_frame_num_minus4`` and ``poc_type`` (0 or 2) size the
+    slice header's frame_num / pic_order_cnt_lsb fields — the
+    cross-NAL contract decode_h264_slice_header resolves through the
+    parameter-set store."""
     bw = _ExpGolombWriter()
     bw.put(profile_idc, 8)
     bw.put(0, 8)  # constraint flags + reserved
@@ -5437,8 +5444,12 @@ def encode_h264_sps(
     bw.ue(sps_id)
     if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         raise ValueError("high-profile SPS extensions not emitted")
-    bw.ue(4)  # log2_max_frame_num_minus4 = 4
-    bw.ue(2)  # pic_order_cnt_type = 2 (no further fields)
+    bw.ue(log2_max_frame_num_minus4)
+    if poc_type not in (0, 2):
+        raise ValueError("H264: only poc_type 0/2 emitted")
+    bw.ue(poc_type)
+    if poc_type == 0:
+        bw.ue(log2_max_poc_lsb_minus4)
     bw.ue(2)  # max_num_ref_frames
     bw.put(0, 1)  # gaps_in_frame_num_value_allowed
     bw.ue(mb_w - 1)
@@ -5479,10 +5490,11 @@ def decode_h264_sps(rbsp: bytes) -> dict:
             raise ValueError("H264: scaling matrices not supported")
     else:
         chroma_format_idc = 1  # 4:2:0
-    _expgolomb_ue(br)  # log2_max_frame_num_minus4
+    log2_max_frame_num_minus4 = _expgolomb_ue(br)
     poc_type = _expgolomb_ue(br)
+    log2_max_poc_lsb_minus4 = 0
     if poc_type == 0:
-        _expgolomb_ue(br)  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb_minus4 = _expgolomb_ue(br)
     elif poc_type == 1:
         br.bits(1)
         _expgolomb_se(br)
@@ -5516,4 +5528,254 @@ def decode_h264_sps(rbsp: bytes) -> dict:
         "crop": crop,
         "width": width,
         "height": height,
+        "log2_max_frame_num_minus4": log2_max_frame_num_minus4,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb_minus4": log2_max_poc_lsb_minus4,
     }
+
+
+# ---------------------------------------------------------------------------
+# H.264 PPS + slice-header layer (ISO/IEC 14496-10 sections 7.3.2.2
+# and 7.3.3) — the next honest layer under m34's SPS parse: the slice
+# header is the first NAL whose decode REQUIRES cross-NAL context
+# (slice -> active PPS -> active SPS resolve frame_num / poc_lsb bit
+# widths and the QP base), which is exactly what a video-ingest
+# triage needs to segment streams into pictures. Slice DATA
+# (macroblock entropy decode) remains the documented extension point.
+# ---------------------------------------------------------------------------
+
+H264_SLICE_TYPES = ("P", "B", "I", "SP", "SI")
+
+
+def encode_h264_pps(
+    pps_id: int = 0,
+    sps_id: int = 0,
+    pic_init_qp_minus26: int = 0,
+    chroma_qp_index_offset: int = 0,
+    deblocking_filter_control_present: int = 0,
+    entropy_coding_mode: int = 0,
+) -> bytes:
+    """Build a spec-valid baseline PPS RBSP (7.3.2.2): one slice
+    group, no weighted prediction, no high-profile tail."""
+    bw = _ExpGolombWriter()
+    bw.ue(pps_id)
+    bw.ue(sps_id)
+    bw.put(entropy_coding_mode & 1, 1)
+    bw.put(0, 1)  # bottom_field_pic_order_in_frame_present
+    bw.ue(0)      # num_slice_groups_minus1 (no FMO)
+    bw.ue(0)      # num_ref_idx_l0_default_active_minus1
+    bw.ue(0)      # num_ref_idx_l1_default_active_minus1
+    bw.put(0, 1)  # weighted_pred_flag
+    bw.put(0, 2)  # weighted_bipred_idc
+    bw.se(pic_init_qp_minus26)
+    bw.se(0)      # pic_init_qs_minus26
+    bw.se(chroma_qp_index_offset)
+    bw.put(deblocking_filter_control_present & 1, 1)
+    bw.put(0, 1)  # constrained_intra_pred_flag
+    bw.put(0, 1)  # redundant_pic_cnt_present_flag
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_pps(rbsp: bytes) -> dict:
+    """Parse a PPS RBSP (7.3.2.2). FMO (num_slice_groups > 1) and
+    weighted prediction are parse-supported flags; slice-group maps
+    fail loudly."""
+    br = _BitReader(rbsp)
+    pps = {
+        "pps_id": _expgolomb_ue(br),
+        "sps_id": _expgolomb_ue(br),
+        "entropy_coding_mode": br.bits(1),
+        "bottom_field_poc_present": br.bits(1),
+    }
+    if _expgolomb_ue(br) != 0:  # num_slice_groups_minus1
+        raise ValueError("H264: FMO slice groups not supported")
+    pps["num_ref_idx_l0_default"] = _expgolomb_ue(br) + 1
+    pps["num_ref_idx_l1_default"] = _expgolomb_ue(br) + 1
+    pps["weighted_pred_flag"] = br.bits(1)
+    pps["weighted_bipred_idc"] = br.bits(2)
+    pps["pic_init_qp"] = 26 + _expgolomb_se(br)
+    pps["pic_init_qs"] = 26 + _expgolomb_se(br)
+    pps["chroma_qp_index_offset"] = _expgolomb_se(br)
+    pps["deblocking_filter_control_present"] = br.bits(1)
+    pps["constrained_intra_pred"] = br.bits(1)
+    pps["redundant_pic_cnt_present"] = br.bits(1)
+    return pps
+
+
+def encode_h264_slice_header(
+    sps: dict,
+    pps: dict,
+    slice_type_ue: int,
+    first_mb: int,
+    frame_num: int,
+    slice_qp_delta: int,
+    idr_pic_id=None,
+    poc_lsb: int = 0,
+    direct_spatial_mv: int = 1,
+    cabac_init_idc: int = 0,
+    disable_deblocking_idc: int = 0,
+    alpha_c0_offset_div2: int = 0,
+    beta_offset_div2: int = 0,
+    nal_ref_idc: int = 2,
+) -> bytes:
+    """Write a spec-valid slice header (7.3.3) against decoded
+    sps/pps dicts, followed by NO slice data — callers append opaque
+    bytes for the undecoded macroblock layer. ``idr_pic_id`` not None
+    marks an IDR (nal type 5) header."""
+    bw = _ExpGolombWriter()
+    stype = H264_SLICE_TYPES[slice_type_ue % 5]
+    bw.ue(first_mb)
+    bw.ue(slice_type_ue)
+    bw.ue(pps["pps_id"])
+    bw.put(frame_num, sps["log2_max_frame_num_minus4"] + 4)
+    if idr_pic_id is not None:
+        if stype not in ("I", "SI"):
+            raise ValueError("H264: IDR pictures carry only I/SI slices")
+        bw.ue(idr_pic_id)
+    if sps["poc_type"] == 0:
+        bw.put(poc_lsb, sps["log2_max_poc_lsb_minus4"] + 4)
+    if stype == "B":
+        bw.put(direct_spatial_mv & 1, 1)
+    if stype in ("P", "SP", "B"):
+        bw.put(0, 1)  # num_ref_idx_active_override_flag
+        bw.put(0, 1)  # ref_pic_list_modification_flag_l0
+        if stype == "B":
+            bw.put(0, 1)  # ref_pic_list_modification_flag_l1
+    if idr_pic_id is not None:
+        bw.put(0, 1)  # no_output_of_prior_pics_flag
+        bw.put(0, 1)  # long_term_reference_flag
+    elif nal_ref_idc:
+        bw.put(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    if pps["entropy_coding_mode"] and stype not in ("I", "SI"):
+        bw.ue(cabac_init_idc)
+    bw.se(slice_qp_delta)
+    if pps["deblocking_filter_control_present"]:
+        bw.ue(disable_deblocking_idc)
+        if disable_deblocking_idc != 1:
+            bw.se(alpha_c0_offset_div2)
+            bw.se(beta_offset_div2)
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_slice_header(
+    rbsp: bytes, nal_type: int, nal_ref_idc: int, pps_store: dict,
+    sps_store: dict,
+) -> dict:
+    """Parse a slice header (7.3.3) by resolving its PPS/SPS through
+    the parameter-set stores — frame_num and pic_order_cnt_lsb bit
+    widths come from the ACTIVE SPS, the QP base from the active PPS.
+    Unknown parameter-set ids, weighted-prediction tables, MMCO
+    sequences, and truncation all fail loudly."""
+    br = _BitReader(rbsp)
+    out = {"first_mb": _expgolomb_ue(br)}
+    slice_type_ue = _expgolomb_ue(br)
+    if slice_type_ue > 9:
+        raise ValueError(f"H264: bad slice_type {slice_type_ue}")
+    stype = H264_SLICE_TYPES[slice_type_ue % 5]
+    pps_id = _expgolomb_ue(br)
+    if pps_id not in pps_store:
+        raise ValueError(f"H264: slice references unknown PPS {pps_id}")
+    pps = pps_store[pps_id]
+    if pps["sps_id"] not in sps_store:
+        raise ValueError(
+            f"H264: PPS references unknown SPS {pps['sps_id']}"
+        )
+    sps = sps_store[pps["sps_id"]]
+    out.update(
+        slice_type=stype, slice_type_ue=slice_type_ue, pps_id=pps_id,
+        is_idr=nal_type == 5,
+        frame_num=br.bits(sps["log2_max_frame_num_minus4"] + 4),
+    )
+    if nal_type == 5:
+        if stype not in ("I", "SI"):
+            raise ValueError("H264: IDR pictures carry only I/SI slices")
+        out["idr_pic_id"] = _expgolomb_ue(br)
+    out["poc_lsb"] = (
+        br.bits(sps["log2_max_poc_lsb_minus4"] + 4)
+        if sps["poc_type"] == 0 else 0
+    )
+    if pps["redundant_pic_cnt_present"]:
+        _expgolomb_ue(br)
+    if stype == "B":
+        out["direct_spatial_mv"] = br.bits(1)
+    if stype in ("P", "SP", "B"):
+        if br.bits(1):  # num_ref_idx_active_override_flag
+            _expgolomb_ue(br)
+            if stype == "B":
+                _expgolomb_ue(br)
+        if br.bits(1):  # ref_pic_list_modification_flag_l0
+            while (idc := _expgolomb_ue(br)) != 3:
+                if idc > 3:
+                    raise ValueError("H264: bad modification idc")
+                _expgolomb_ue(br)
+        if stype == "B" and br.bits(1):
+            while (idc := _expgolomb_ue(br)) != 3:
+                if idc > 3:
+                    raise ValueError("H264: bad modification idc")
+                _expgolomb_ue(br)
+    if (pps["weighted_pred_flag"] and stype in ("P", "SP")) or (
+        pps["weighted_bipred_idc"] == 1 and stype == "B"
+    ):
+        raise ValueError("H264: pred_weight_table not supported")
+    if nal_type == 5:
+        br.bits(1)  # no_output_of_prior_pics_flag
+        br.bits(1)  # long_term_reference_flag
+    elif nal_ref_idc:
+        if br.bits(1):  # adaptive_ref_pic_marking_mode_flag
+            while (op := _expgolomb_ue(br)) != 0:
+                if op in (1, 3):
+                    _expgolomb_ue(br)
+                if op == 2:
+                    _expgolomb_ue(br)
+                if op == 3:
+                    _expgolomb_ue(br)
+                if op == 4:
+                    _expgolomb_ue(br)
+                if op == 6:
+                    _expgolomb_ue(br)
+                if op > 6:
+                    raise ValueError("H264: bad MMCO op")
+    out["cabac_init_idc"] = (
+        _expgolomb_ue(br)
+        if pps["entropy_coding_mode"] and stype not in ("I", "SI") else 0
+    )
+    out["slice_qp"] = pps["pic_init_qp"] + _expgolomb_se(br)
+    if pps["deblocking_filter_control_present"]:
+        idc = _expgolomb_ue(br)
+        if idc > 2:
+            raise ValueError(f"H264: bad disable_deblocking_idc {idc}")
+        out["disable_deblocking_idc"] = idc
+        if idc != 1:
+            out["alpha_c0_offset"] = 2 * _expgolomb_se(br)
+            out["beta_offset"] = 2 * _expgolomb_se(br)
+        else:
+            out["alpha_c0_offset"] = out["beta_offset"] = 0
+    else:
+        out["disable_deblocking_idc"] = -1
+        out["alpha_c0_offset"] = out["beta_offset"] = 0
+    return out
+
+
+def decode_h264_stream(data: bytes) -> list[dict]:
+    """Walk an Annex B stream maintaining the parameter-set stores
+    (7.4.1.2 activation): SPS and PPS NALs populate the stores, slice
+    NALs (types 1/5) resolve through them. Returns one dict per
+    slice; a slice before its parameter sets fails loudly."""
+    sps_store, pps_store, slices = {}, {}, []
+    for nal in decode_annexb(data):
+        t = nal["nal_type"]
+        if t == 7:
+            info = decode_h264_sps(nal["rbsp"])
+            sps_store[info["sps_id"]] = info
+        elif t == 8:
+            info = decode_h264_pps(nal["rbsp"])
+            pps_store[info["pps_id"]] = info
+        elif t in (1, 5):
+            slices.append(
+                decode_h264_slice_header(
+                    nal["rbsp"], t, nal["ref_idc"], pps_store, sps_store
+                )
+            )
+    return slices

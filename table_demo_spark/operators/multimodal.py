@@ -947,6 +947,130 @@ def h264_sps_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+H264_N_SLICES = 4
+
+
+def with_h264_slices_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an Annex B stream per document carrying a
+    REAL SPS + PPS + 4 slice NALs (1 IDR/I + 3 md5-chosen P/B/I) whose
+    headers are Exp-Golomb-coded from the doc's md5 bytes (salt
+    '#slc') — frame_num/poc widths vary PER DOCUMENT via the SPS's
+    log2_max_frame_num_minus4 and poc_type, so the decode side must
+    resolve every slice through the parameter-set store to read even
+    one field. Slice DATA stays opaque (2 filler bytes per NAL — the
+    macroblock layer is the documented extension point)."""
+    from table_demo_spark.operators.codecs import (
+        decode_h264_pps,
+        decode_h264_sps,
+        encode_annexb,
+        encode_h264_pps,
+        encode_h264_slice_header,
+        encode_h264_sps,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 2, "#slc")
+                q0 = raw[0] % 21 - 10
+                deblock = raw[1] % 2
+                entropy = (raw[1] // 2) % 2
+                chroma_off = raw[2] % 25 - 12
+                lmfn = raw[3] % 5
+                poc_type = 0 if (raw[3] // 5) % 2 else 2
+                sps_rbsp = encode_h264_sps(
+                    66, 30, 40, 23,
+                    log2_max_frame_num_minus4=lmfn, poc_type=poc_type,
+                )
+                pps_rbsp = encode_h264_pps(
+                    0, 0, pic_init_qp_minus26=q0,
+                    chroma_qp_index_offset=chroma_off,
+                    deblocking_filter_control_present=deblock,
+                    entropy_coding_mode=entropy,
+                )
+                sps = decode_h264_sps(sps_rbsp)
+                pps = decode_h264_pps(pps_rbsp)
+                nals = [(3, 7, sps_rbsp), (3, 8, pps_rbsp)]
+                for s in range(H264_N_SLICES):
+                    b = raw[4 + 7 * s:11 + 7 * s]
+                    sel = 2 if s == 0 else b[0] % 3
+                    stype_ue = sel + 5 * ((b[0] // 3) % 2)
+                    hdr = encode_h264_slice_header(
+                        sps, pps, stype_ue,
+                        first_mb=b[1] % 16,
+                        frame_num=b[2] % (1 << (4 + lmfn)),
+                        slice_qp_delta=b[1] // 16 - 7,
+                        idr_pic_id=b[6] % 32 if s == 0 else None,
+                        poc_lsb=b[3] if poc_type == 0 else 0,
+                        direct_spatial_mv=(b[0] // 8) % 2,
+                        cabac_init_idc=b[4] % 3,
+                        disable_deblocking_idc=b[5] % 3,
+                        alpha_c0_offset_div2=(b[5] // 3) % 13 - 6,
+                        beta_offset_div2=(b[5] // 39) % 7 - 3,
+                    )
+                    nals.append((3 if s == 0 else 2,
+                                 5 if s == 0 else 1, hdr + b"\xa5\x5a"))
+                payloads.append(encode_annexb(nals))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_slices_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Walk each Annex B stream maintaining the SPS/PPS stores and
+    parse every slice header through them (codecs.decode_h264_stream),
+    reduced to per-doc aggregates over the DECODED fields — slice-type
+    mix, frame_num/poc sums (widths from the active SPS), resolved
+    slice QPs (base from the active PPS), CABAC init ids, and the
+    deblocking overrides."""
+    from table_demo_spark.operators.codecs import decode_h264_stream
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                slices = decode_h264_stream(bytes(payload))
+                types = [s["slice_type"] for s in slices]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(slices),
+                        types.count("I"),
+                        types.count("P"),
+                        types.count("B"),
+                        sum(s["first_mb"] for s in slices),
+                        sum(s["frame_num"] for s in slices),
+                        sum(s["slice_qp"] for s in slices),
+                        sum(s["poc_lsb"] for s in slices),
+                        sum(s["cabac_init_idc"] for s in slices),
+                        sum(s["disable_deblocking_idc"] for s in slices),
+                        sum(s["alpha_c0_offset"] for s in slices),
+                        sum(s["beta_offset"] for s in slices),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_slices", "n_i", "n_p", "n_b",
+                    "sum_first_mb", "sum_frame_num", "sum_qp", "sum_poc",
+                    "sum_cabac", "sum_dbl_idc", "sum_alpha", "sum_beta",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, n_slices long, n_i long, n_p long, n_b long, "
+            "sum_first_mb long, sum_frame_num long, sum_qp long, "
+            "sum_poc long, sum_cabac long, sum_dbl_idc long, "
+            "sum_alpha long, sum_beta long"
+        ),
+    )
+
+
 GIF_FRAMES = 4
 GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
 #                        9->10-bit width boundary on every frame, so the

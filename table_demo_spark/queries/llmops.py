@@ -1405,14 +1405,15 @@ FROM beam b JOIN exact x ON x.vec_id = b.vec_id
 """
 
 
-def _graph_edges_sql() -> str:
+def _graph_edges_sql(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
     """Shared oracle CTE chain ``bits, nodes, probes, edges`` for the
-    ANN-graph family (s18/s19/q35/s20): corpus-scaled bit count
+    ANN-graph family (s18/s19/q35/s20/q36): corpus-scaled bit count
     restated as a pure-integer CASE ladder (bit-for-bit with
-    similarity.graph_bits — no float log2 edge cases), projections
-    generated for all GRAPH_BITS_MAX dims with only the first ``nb``
-    contributing to the bucket, and a dynamic-length Hamming-1 probe
-    list. ``edges`` carries (src, dst, rn) with rn <= M."""
+    similarity.graph_bits at the same ``target`` occupancy — no float
+    log2 edge cases), projections generated for all GRAPH_BITS_MAX
+    dims with only the first ``nb`` contributing to the bucket, and a
+    dynamic-length Hamming-1 probe list. ``edges`` carries
+    (src, dst, rn) with rn <= M."""
     signs = _rp_signs(similarity.GRAPH_BITS_MAX)
     dims = []
     for d in range(similarity.GRAPH_BITS_MAX):
@@ -1422,7 +1423,7 @@ def _graph_edges_sql() -> str:
         )
         dims.append(f"round(0.0 + {terms}, 6) AS rp{d}")
     ladder = " ".join(
-        f"WHEN nv <= {similarity.GRAPH_TARGET_BUCKET << b} THEN {b}"
+        f"WHEN nv <= {target << b} THEN {b}"
         for b in range(similarity.GRAPH_BITS_MIN, similarity.GRAPH_BITS_MAX)
     )
     bucket = " + ".join(
@@ -5579,6 +5580,93 @@ FROM f
 """
 
 
+def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m34's next honest layer (r10 verdict #6): parse the PPS and
+    every SLICE HEADER of each document's Annex B stream through the
+    parameter-set stores (14496-10 sections 7.3.2.2 / 7.3.3 /
+    activation 7.4.1.2) — the first NAL whose decode REQUIRES
+    cross-NAL context: frame_num and pic_order_cnt_lsb bit widths
+    come from the ACTIVE SPS (varied per document), the QP base from
+    the active PPS, and the CABAC/deblocking fields from PPS flags.
+    The oracle restates the md5 field layout; a slipped ue(v)
+    anywhere in the header, a wrong conditional (IDR marking bits,
+    B-slice direct flag, ref-list flags), or a mis-wired parameter
+    set shifts a sum and fails the value hash. Slice DATA (macroblock
+    entropy decode) remains the documented extension point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_slices_stats(
+        multimodal.with_h264_slices_payload(docs)
+    )
+
+
+def _m36_oracle() -> str:
+    n_sl = multimodal.H264_N_SLICES
+
+    def hb(k: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#slc'"
+            f" || 0), {2 * k + 1}, 2) AS BIGINT)"
+        )
+
+    def sb(j: int) -> str:
+        o = f"(4 + 7 * s + {j})"
+        return (
+            f"CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#slc'"
+            f" || CAST({o} // 16 AS VARCHAR)),"
+            f" CAST(2 * ({o} % 16) + 1 AS INT), 2) AS BIGINT)"
+        )
+
+    return f"""
+WITH hdr AS (
+  SELECT doc_id,
+         {hb(0)} % 21 - 10 AS q0,
+         {hb(1)} % 2 AS deblock,
+         ({hb(1)} // 2) % 2 AS entropy,
+         {hb(3)} % 5 AS lmfn,
+         ({hb(3)} // 5) % 2 AS poc0
+  FROM documents
+),
+sl AS (
+  SELECT doc_id, s,
+         {sb(0)} AS b0, {sb(1)} AS b1, {sb(2)} AS b2,
+         {sb(3)} AS b3, {sb(4)} AS b4, {sb(5)} AS b5
+  FROM documents, (SELECT unnest(range(0, {n_sl})) AS s)
+),
+fields AS (
+  SELECT sl.doc_id,
+         CASE WHEN s = 0 THEN 2 ELSE b0 % 3 END AS sel,
+         b1 % 16 AS first_mb,
+         b1 // 16 - 7 AS qp_delta,
+         b2 % (CAST(1 AS BIGINT) << CAST(4 + h.lmfn AS INT)) AS frame_num,
+         CASE WHEN h.poc0 = 1 THEN b3 ELSE 0 END AS poc_lsb,
+         CASE WHEN h.entropy = 1
+                   AND (CASE WHEN s = 0 THEN 2 ELSE b0 % 3 END) != 2
+              THEN b4 % 3 ELSE 0 END AS cabac,
+         CASE WHEN h.deblock = 1 THEN b5 % 3 ELSE -1 END AS dbl_idc,
+         CASE WHEN h.deblock = 1 AND b5 % 3 != 1
+              THEN 2 * ((b5 // 3) % 13 - 6) ELSE 0 END AS alpha,
+         CASE WHEN h.deblock = 1 AND b5 % 3 != 1
+              THEN 2 * ((b5 // 39) % 7 - 3) ELSE 0 END AS beta,
+         26 + h.q0 + b1 // 16 - 7 AS qp
+  FROM sl JOIN hdr h ON h.doc_id = sl.doc_id
+)
+SELECT doc_id,
+       CAST({n_sl} AS BIGINT) AS n_slices,
+       CAST(sum(CASE WHEN sel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+       CAST(sum(CASE WHEN sel = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(sum(CASE WHEN sel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(first_mb) AS BIGINT) AS sum_first_mb,
+       CAST(sum(frame_num) AS BIGINT) AS sum_frame_num,
+       CAST(sum(qp) AS BIGINT) AS sum_qp,
+       CAST(sum(poc_lsb) AS BIGINT) AS sum_poc,
+       CAST(sum(cabac) AS BIGINT) AS sum_cabac,
+       CAST(sum(dbl_idc) AS BIGINT) AS sum_dbl_idc,
+       CAST(sum(alpha) AS BIGINT) AS sum_alpha,
+       CAST(sum(beta) AS BIGINT) AS sum_beta
+FROM fields GROUP BY doc_id
+"""
+
+
 def m35_vp8_color_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m31's COLOR layer (r10 verdict #2): every document's lossy
     WebP now carries chroma — 4 U-plane and 4 V-plane DC levels coded
@@ -8111,6 +8199,7 @@ QUERIES: list[Query] = [
     Query("llm_m33_mixed_media_triage", m33_mixed_media_triage, _m33_oracle()),
     Query("llm_m34_h264_sps", m34_h264_sps, _m34_oracle()),
     Query("llm_m35_vp8_color_rgb", m35_vp8_color_rgb, _m35_oracle()),
+    Query("llm_m36_h264_slice_headers", m36_h264_slice_headers, _m36_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

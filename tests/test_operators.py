@@ -2810,3 +2810,112 @@ def test_h264_sps_roundtrip_and_crop_units():
         assert got["height"] == 16 * mbh - 2 * (crop[2] + crop[3])
     with pytest.raises(ValueError):
         C.decode_h264_sps(C.encode_h264_sps(66, 30, 40, 30)[:3])
+
+
+def test_h264_slice_header_hand_pinned_bits():
+    """Slice-header layer (m36): the exact 7.3.3 bit string of an IDR
+    I slice, written out BY HAND against the spec field order —
+    first_mb ue(0)=1, slice_type ue(2)=011, pps ue(0)=1,
+    frame_num u(6)=001101 (width from the SPS's
+    log2_max_frame_num_minus4=2), idr_pic_id ue(7)=0001000,
+    poc_lsb u(5)=10101 (width from log2_max_poc_lsb_minus4=1),
+    dec_ref_pic_marking 00, slice_qp_delta se(4)=0001000,
+    disable_deblocking ue(0)=1, alpha se(-2)=00101, beta se(3)=00110
+    — catching any encoder/decoder bug pair that would cancel in a
+    roundtrip-only test."""
+    from table_demo_spark.operators import codecs as C
+
+    sps = C.decode_h264_sps(
+        C.encode_h264_sps(
+            66, 30, 40, 23,
+            log2_max_frame_num_minus4=2, poc_type=0,
+            log2_max_poc_lsb_minus4=1,
+        )
+    )
+    pps = C.decode_h264_pps(
+        C.encode_h264_pps(
+            0, 0, pic_init_qp_minus26=-5, chroma_qp_index_offset=3,
+            deblocking_filter_control_present=1, entropy_coding_mode=1,
+        )
+    )
+    assert pps["pic_init_qp"] == 21 and pps["chroma_qp_index_offset"] == 3
+    hdr = C.encode_h264_slice_header(
+        sps, pps, 2, 0, 13, 4, idr_pic_id=7, poc_lsb=21,
+        disable_deblocking_idc=0, alpha_c0_offset_div2=-2,
+        beta_offset_div2=3,
+    )
+    want = (
+        "1" "011" "1" "001101" "0001000" "10101" "00" "0001000"
+        "1" "00101" "00110"
+    )
+    got = "".join(f"{b:08b}" for b in hdr)
+    assert got[: len(want)] == want
+    assert set(got[len(want):]) <= {"0"}  # byte-alignment padding only
+    s = C.decode_h264_slice_header(hdr, 5, 3, {0: pps}, {0: sps})
+    assert s["slice_type"] == "I" and s["is_idr"] and s["idr_pic_id"] == 7
+    assert s["frame_num"] == 13 and s["poc_lsb"] == 21
+    assert s["slice_qp"] == 25  # 26 - 5 + 4, base resolved via the PPS
+    assert s["alpha_c0_offset"] == -4 and s["beta_offset"] == 6
+
+
+def test_h264_stream_parameter_set_resolution():
+    """decode_h264_stream resolves every slice through the SPS/PPS
+    stores: P/B/CAVLC/CABAC headers parse, nal_ref_idc gates the
+    marking bit, and missing parameter sets / IDR-with-P /
+    truncation / FMO all fail loudly."""
+    import pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    sps_rbsp = C.encode_h264_sps(
+        66, 30, 40, 23,
+        log2_max_frame_num_minus4=2, poc_type=0, log2_max_poc_lsb_minus4=1,
+    )
+    pps_rbsp = C.encode_h264_pps(
+        0, 0, pic_init_qp_minus26=-5,
+        deblocking_filter_control_present=1, entropy_coding_mode=1,
+    )
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    h_idr = C.encode_h264_slice_header(
+        sps, pps, 7, 0, 13, 4, idr_pic_id=7, poc_lsb=21
+    )
+    h_p = C.encode_h264_slice_header(
+        sps, pps, 5, 11, 44, -9, poc_lsb=30, cabac_init_idc=2,
+        disable_deblocking_idc=1,
+    )
+    h_b = C.encode_h264_slice_header(
+        sps, pps, 1, 3, 63, 10, poc_lsb=1, direct_spatial_mv=0,
+        cabac_init_idc=1, disable_deblocking_idc=2, nal_ref_idc=0,
+    )
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp),
+         (3, 5, h_idr + b"\xa5\x5a"), (2, 1, h_p + b"\x01"),
+         (0, 1, h_b + b"\xff")]
+    )
+    s0, s1, s2 = C.decode_h264_stream(stream)
+    assert s0["slice_type"] == "I" and s0["slice_type_ue"] == 7
+    assert s1["slice_type"] == "P" and s1["cabac_init_idc"] == 2
+    assert s1["frame_num"] == 44 and s1["disable_deblocking_idc"] == 1
+    assert s1["slice_qp"] == 26 - 5 - 9
+    assert s2["slice_type"] == "B" and s2["direct_spatial_mv"] == 0
+    with pytest.raises(ValueError):  # slice before its PPS
+        C.decode_h264_stream(
+            C.encode_annexb([(3, 7, sps_rbsp), (2, 1, h_p + b"\x01")])
+        )
+    with pytest.raises(ValueError):  # PPS referencing a missing SPS
+        C.decode_h264_stream(
+            C.encode_annexb([(3, 8, pps_rbsp), (2, 1, h_p + b"\x01")])
+        )
+    with pytest.raises(ValueError):  # IDR pictures carry only I/SI
+        C.encode_h264_slice_header(sps, pps, 0, 0, 1, 0, idr_pic_id=3)
+    with pytest.raises((ValueError, IndexError)):  # truncated header
+        C.decode_h264_slice_header(h_idr[:2], 5, 3, {0: pps}, {0: sps})
+    # hand-build a PPS with num_slice_groups_minus1 = 1 (FMO)
+    w = C._ExpGolombWriter()
+    for v in (1, 0):
+        w.ue(v)
+    w.put(0, 2)
+    w.ue(1)  # num_slice_groups_minus1 = 1 -> FMO
+    w.align()
+    with pytest.raises(ValueError):
+        C.decode_h264_pps(bytes(w.out))

@@ -121,6 +121,7 @@ _PYTHON_ALLOWED = {
     "llm_m33_mixed_media_triage",  # MapInPandas (magic-byte sniff + PNG/VP8L/VP8 decode)
     "llm_m34_h264_sps",  # MapInPandas (Annex B walk + Exp-Golomb SPS parse)
     "llm_m35_vp8_color_rgb",  # MapInPandas (color VP8 decode + fixed-point CSC)
+    "llm_m36_h264_slice_headers",  # MapInPandas (PPS/slice-header parse via SPS/PPS stores)
 }
 
 
