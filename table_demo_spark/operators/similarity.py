@@ -885,17 +885,19 @@ GRAPH_BITS_MAX = 16
 GRAPH_SALT_CAP = 4096  # max dst rows a single bucket-KNN task may hold
 
 
-def graph_bits(n: int) -> int:
+def graph_bits(n: int, target: int = GRAPH_TARGET_BUCKET) -> int:
     """Random-projection bit count for the ANN-graph family: the
-    smallest ``bits`` with ``n <= GRAPH_TARGET_BUCKET * 2**bits``,
-    clamped to [GRAPH_BITS_MIN, GRAPH_BITS_MAX]. Pure-integer ladder
-    (no log2 float edge cases) so the DuckDB oracle can restate it as
-    a CASE ladder bit-for-bit. The MAX cap is a demo constant, not a
-    design limit: it keeps the oracle's generated sign matrix bounded;
-    at cap the mean bucket holds n / 2**16 vectors, so raise the one
-    constant for deployments beyond ~8M vectors."""
+    smallest ``bits`` with ``n <= target * 2**bits``, clamped to
+    [GRAPH_BITS_MIN, GRAPH_BITS_MAX]. Pure-integer ladder (no log2
+    float edge cases) so the DuckDB oracle can restate it as a CASE
+    ladder bit-for-bit. The MAX cap is a demo constant, not a design
+    limit: it keeps the oracle's generated sign matrix bounded; at cap
+    the mean bucket holds n / 2**16 vectors, so raise the one constant
+    for deployments beyond ~8M vectors. ``target`` is the mean-bucket
+    occupancy the ladder pins (stream_q36 passes a demo-scaled value
+    so the sf fixtures cross reshard boundaries)."""
     bits = GRAPH_BITS_MIN
-    while bits < GRAPH_BITS_MAX and n > (GRAPH_TARGET_BUCKET << bits):
+    while bits < GRAPH_BITS_MAX and n > (target << bits):
         bits += 1
     return bits
 

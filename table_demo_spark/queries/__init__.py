@@ -101,6 +101,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q5_interval_join",
     # r11 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "llm_m35_vp8_color_rgb",
+    "llm_m36_h264_slice_headers",
+    "stream_q36_graph_reshard",
 )
 
 

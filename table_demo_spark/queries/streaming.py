@@ -1314,6 +1314,41 @@ FROM edges
 """
 
 
+def q36_graph_reshard_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_q35 with self-resharding (the r10 verdict's #4): the
+    drain starts at the bucket count the FIRST batch justifies and,
+    when the growing corpus outgrows it, opens a new generation —
+    re-bucketing the whole stored corpus under the re-derived bit
+    count and rebuilding the edge set at it — then continues
+    incrementally. The sf0.01 drive crosses one reshard boundary
+    (4 -> 5 bits at batch 2); the oracle is the STATIC s18 graph SQL
+    at graph_bits(n_total, Q36_TARGET_BUCKET), so the query is green
+    only if resharding PRESERVED the graph: a stale pre-reshard edge
+    surviving compaction, a vector dropped in the re-bucket, or a
+    post-reshard increment scored at the old bits breaks the hash."""
+    from table_demo_spark.streaming.queries import (
+        q36_final_edges,
+        run_q36_graph_reshard,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q36_graph_reshard(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return q36_final_edges(spark, sink)
+
+
+def _q36_oracle() -> str:
+    from table_demo_spark.queries.llmops import _graph_edges_sql
+    from table_demo_spark.streaming.queries import Q36_TARGET_BUCKET
+
+    return f"""
+WITH {_graph_edges_sql(target=Q36_TARGET_BUCKET)}
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(rn AS BIGINT) AS rank
+FROM edges
+"""
+
+
 def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE leg of the vector-store lifecycle, closing its last
     seam: llm_s18's beam walk runs over the edge store stream_q35
@@ -1603,6 +1638,7 @@ QUERIES: list[Query] = [
     Query("stream_q33_centroid_drift", q33_centroid_drift_final, _q33_oracle()),
     Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
     Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
+    Query("stream_q36_graph_reshard", q36_graph_reshard_final, _q36_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
 ]
 

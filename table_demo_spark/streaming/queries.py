@@ -3098,6 +3098,275 @@ def run_q35_graph_ingest(
     return sink, query
 
 
+Q36_TARGET_BUCKET = 16  # demo-scaled mean occupancy: the sf fixtures
+#                         cross reshard boundaries mid-drain (sf0.01:
+#                         4->5 bits at batch 2; sf0.1: 5->6->7); a
+#                         deployment uses GRAPH_TARGET_BUCKET
+
+
+def q36_active_gen(session: SparkSession, meta_dir: str, batch_id: int):
+    """Rehydrate the reshard state (generation, bits) from the
+    COMMITTED meta store — never from driver memory (the q33 restart
+    lesson). Only generations created BEFORE this batch count: a
+    replayed reshard batch must redo its own reshard from the prior
+    generation, not resume on top of its half-written one. Returns
+    (gen, bits) or None before the first generation exists."""
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(meta_dir, "g=*", "*.parquet")):
+        return None
+    session.catalog.refreshByPath(meta_dir)
+    rows = (
+        session.read.parquet(meta_dir)
+        .filter(F.col("created_b") < batch_id)
+        .orderBy(F.col("g").desc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return int(rows[0]["g"]), int(rows[0]["bits"])
+
+
+def run_q36_graph_reshard(
+    spark: SparkSession, sf_dir: str, sink=None, checkpoint: str | None = None
+):
+    """stream_q35 with the RESHARD seam closed (r10 verdict #4): the
+    bucket count is no longer a build-time constant with a manual
+    "rebuild when outgrown" note — the drain DETECTS outgrowth and
+    reshards itself. Every batch re-derives
+    ``similarity.graph_bits(n_seen, Q36_TARGET_BUCKET)``; while it
+    matches the store's generation the batch does q35's incremental
+    work (arrivals + back-edges, pruned candidate read), and when the
+    corpus outgrows the bucket space the batch instead opens
+    generation g+1: ONE job re-buckets the whole stored corpus under
+    the new bit count (rewriting the bucket directories), one batch
+    KNN rebuilds the full edge set at the new bits (the s18 path),
+    and a meta row (g, bits, created_b) commits the generation.
+    Readers use the max generation only; mean bucket occupancy stays
+    pinned at the target across every boundary (tests/test_streaming
+    drives a 4x key-shifted corpus across two reshards).
+
+    Restart-correct BY CONSTRUCTION, reshard included: all three
+    stores (vectors, edges, meta) write whole ``g=<g>/b=<batch>``
+    subtrees statically, and rehydration ignores generations created
+    by the CURRENT batch id — a replayed reshard batch recomputes the
+    same decision from the prior generation's prefix and statically
+    overwrites everything it wrote before the crash (forged-crash
+    test alongside q33's).
+
+    At 100 TB: a reshard is one linear re-bucket + one bucketed KNN
+    over the corpus, paid O(log n) times over the stream's life
+    (bits only ever grows), while every other batch stays O(batch);
+    old generations are dead directories for a janitor, never read.
+
+    Returns (sink, query); sink holds (g, b, src, dst, w, rank)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import _S18_M, _rp_bucket_col
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_q33_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q36-"), ("g", "b"))
+    vec_dir = sink.path.rstrip("/") + "-vecs"
+    meta_dir = sink.path.rstrip("/") + "-meta"
+    top_m = _S18_M
+
+    def ball1(col, bits: int):
+        return F.array(
+            col, *[col.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        )
+
+    def bucketed(df: DataFrame, bits: int) -> DataFrame:
+        return (
+            df.select("vec_id", "embedding")
+            .withColumn("bk", _rp_bucket_col(bits=bits))
+            .withColumn("bkd", F.col("bk").bitwiseAND(F.lit(255)))
+        )
+
+    def emit_edges(session, cand_edges: DataFrame, g: int, batch_id: int):
+        win = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("dst").asc()
+        )
+        (
+            cand_edges.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= top_m)
+            .select(
+                "src", "dst", "w", F.col("rn").cast("long").alias("rank")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink.path, f"g={g}", f"b={batch_id}"))
+        )
+
+    def commit_meta(session, g: int, bits: int, batch_id: int):
+        (
+            session.createDataFrame(
+                [(bits, batch_id)], "bits int, created_b long"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(meta_dir, f"g={g}"))
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        state = q36_active_gen(session, meta_dir, batch_id)
+        stored_n = 0
+        if state is not None:
+            g, bits = state
+            gen_root = os.path.join(vec_dir, f"g={g}")
+            session.catalog.refreshByPath(gen_root)
+            stored_n = (
+                session.read.parquet(gen_root)
+                .filter(F.col("b") < batch_id)
+                .count()
+            )
+        arrivals = batch_df.select("vec_id", "embedding")
+        n_arr = arrivals.count()
+        need = similarity.graph_bits(stored_n + n_arr, Q36_TARGET_BUCKET)
+
+        if state is None or need > bits:
+            # --- RESHARD (or first-generation build): re-bucket the
+            # whole corpus under the new bit count and rebuild the
+            # full edge set at it — the s18 batch path.
+            g2 = 0 if state is None else g + 1
+            corpus = arrivals
+            if state is not None and stored_n:
+                corpus = corpus.unionByName(
+                    session.read.parquet(os.path.join(vec_dir, f"g={g}"))
+                    .filter(F.col("b") < batch_id)
+                    .select("vec_id", "embedding")
+                )
+            gen2_root = os.path.join(vec_dir, f"g={g2}")
+            (
+                bucketed(corpus, need)
+                .write.mode("overwrite")
+                .partitionBy("bkd")
+                .parquet(os.path.join(gen2_root, f"b={batch_id}"))
+            )
+            session.catalog.refreshByPath(gen2_root)
+            rows = (
+                session.read.parquet(gen2_root)
+                .filter(F.col("b") == batch_id)
+                .persist()
+            )
+            src = rows.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("nvec"),
+                F.explode(ball1(F.col("bk"), need)).alias("pb"),
+                F.lit(1).alias("new"),
+            )
+            dst = rows.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("nvec"),
+                F.col("bk").alias("pb"),
+                F.lit(1).alias("new"),
+            )
+            emit_edges(
+                session,
+                similarity.bucket_knn_edges(src, dst, top_m),
+                g2, batch_id,
+            )
+            rows.unpersist()
+            commit_meta(session, g2, need, batch_id)
+            return
+
+        # --- INCREMENTAL (q35's shape, scoped to generation g) ---
+        gen_root = os.path.join(vec_dir, f"g={g}")
+        (
+            bucketed(arrivals, bits)
+            .write.mode("overwrite")
+            .partitionBy("bkd")
+            .parquet(os.path.join(gen_root, f"b={batch_id}"))
+        )
+        session.catalog.refreshByPath(gen_root)
+        own = sorted(
+            int(r["bk"])
+            for r in session.read.parquet(
+                os.path.join(gen_root, f"b={batch_id}")
+            )
+            .select("bk")
+            .distinct()
+            .collect()
+        )
+        ball = sorted(
+            {p for bk in own for p in [bk] + [bk ^ (1 << j) for j in range(bits)]}
+        )
+        seen = q35_candidate_read(session, gen_root, batch_id, ball).persist()
+        new = seen.filter(F.col("b") == batch_id)
+        old = seen.filter(F.col("b") < batch_id)
+        new_src = new.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.explode(ball1(F.col("bk"), bits)).alias("pb"),
+            F.lit(1).alias("new"),
+        )
+        old_src = (
+            old.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("nvec"),
+                F.explode(ball1(F.col("bk"), bits)).alias("pb"),
+                F.lit(0).alias("new"),
+            )
+            .filter(F.col("pb").isin(own))
+        )
+        new_dst = new.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.col("bk").alias("pb"),
+            F.lit(1).alias("new"),
+        )
+        old_dst = old.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.col("bk").alias("pb"),
+            F.lit(0).alias("new"),
+        )
+        emit_edges(
+            session,
+            similarity.bucket_knn_edges(
+                new_src.unionByName(old_src),
+                new_dst.unionByName(old_dst),
+                top_m,
+            ),
+            g, batch_id,
+        )
+        seen.unpersist()
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
+def q36_final_edges(spark: SparkSession, sink) -> DataFrame:
+    """Compact the reshard drain's edge store to the CURRENT graph:
+    max-generation subtree only (older generations are pre-reshard
+    history), then q35's per-src top-M fold. Equals llm_s18's batch
+    graph at graph_bits(n_total, Q36_TARGET_BUCKET) — the oracle pins
+    that the reshard preserved the graph."""
+    store = sink.snapshot_df(spark)
+    gmax = store.agg(F.max("g")).collect()[0][0]
+    return q35_final_edges(
+        store.filter(F.col("g") == gmax).select("src", "dst", "w")
+    )
+
+
 def run_q34_media_triage(
     spark: SparkSession,
     sf_dir: str,

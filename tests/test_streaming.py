@@ -1368,6 +1368,95 @@ def test_q35_restart_replay_matches_uninterrupted_run(spark, tmp_path):
     assert rows(sink) == want
 
 
+def test_q36_reshard_crosses_boundary_and_pins_occupancy(spark):
+    """The reshard drain actually RESHARDS on the fixture (the meta
+    store commits two generations, 4 -> 5 bits at batch 2 where the
+    375-vector prefix outgrows 16 << 4) and mean bucket occupancy
+    stays at or under the target on the active generation at every
+    point a generation was the active one."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import (
+        Q36_TARGET_BUCKET,
+        run_q36_graph_reshard,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, q = run_q36_graph_reshard(spark, SF_SMOKE)
+        _drain(q, sink.count, quiet_polls=1)
+    meta = sorted(
+        (int(r["g"]), int(r["bits"]), int(r["created_b"]))
+        for r in spark.read.parquet(sink.path.rstrip("/") + "-meta").collect()
+    )
+    assert meta == [(0, 4, 0), (1, 5, 2)]
+    vec_dir = sink.path.rstrip("/") + "-vecs"
+    vecs = spark.read.parquet(vec_dir)
+    # generation 0 served batches 0-1 (125, then 250 vectors at 4
+    # bits); generation 1 serves 375 then 500 at 5 bits — each stays
+    # at or under the target occupancy while active
+    for g, bits, upto, n_want in [(0, 4, 1, 250), (1, 5, 3, 500)]:
+        n = vecs.filter((F.col("g") == g) & (F.col("b") <= upto)).count()
+        assert n == n_want
+        assert n / (1 << bits) <= Q36_TARGET_BUCKET
+    # and the NEXT batch would have breached gen 0's target — the
+    # reshard fired exactly when the ladder said so
+    assert 375 / (1 << 4) > Q36_TARGET_BUCKET
+    assert similarity.graph_bits(375, Q36_TARGET_BUCKET) == 5
+
+
+def test_q36_restart_replays_the_reshard_batch(spark, tmp_path):
+    """The forged crash lands ON the reshard batch (commits/2 and
+    commits/3 both deleted): the restarted query must redo the
+    re-bucket + full rebuild from the prior generation's prefix —
+    rehydration ignores the half-committed generation created by the
+    replayed batch id — and the final store must equal the
+    uninterrupted run's, generation labels included."""
+    import os
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q36_graph_reshard
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (int(r["g"]), int(r["b"]), int(r["src"]), int(r["dst"]),
+             int(r["rank"]))
+            for r in s.snapshot_df(spark)
+            .select("g", "b", "src", "dst", "rank")
+            .collect()
+        }
+
+    with _state_partitions(spark, no_data=False):
+        ref_sink, q = run_q36_graph_reshard(spark, SF_SMOKE)
+        _drain(q, ref_sink.count, quiet_polls=1)
+    want = rows(ref_sink)
+    assert {(g, b) for (g, b, _, _, _) in want} == {
+        (0, 0), (0, 1), (1, 2), (1, 3)
+    }
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("g", "b"))
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q36_graph_reshard(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    for n in ("2", "3"):
+        os.remove(os.path.join(ckpt, "commits", n))
+        crc = os.path.join(ckpt, "commits", f".{n}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q36_graph_reshard(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
+
+
 def test_q35_incremental_graph_equals_batch_build(spark):
     """build ≡ maintain, asserted directly (the s20 oracle pins it
     externally): per-src top-M compaction of q35's emission log equals

@@ -9,7 +9,12 @@ embeddings are written as 32 files (multi-file production layout);
 events as ONE file (the replay source reads a single parquet file,
 like the driver fixtures).
 
-Usage: python tools/make_scale10.py [out_dir=/tmp/scale10] [src_sf=/root/testdata/sf0.1]
+Usage: python tools/make_scale10.py [out_dir=/tmp/scale10] \
+           [src_sf=/root/testdata/sf0.1] [copies=10]
+
+A third argument builds the wider fixtures the 100 TB extrapolation
+leans on (e.g. ``/tmp/scale30 /root/testdata/sf0.1 30`` for the r11
+30x keyspace rows in docs/SCALE.md).
 """
 
 from __future__ import annotations
@@ -24,8 +29,11 @@ COPIES = 10
 
 
 def main() -> None:
+    global COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:
+        COPIES = int(sys.argv[3])
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -33,6 +41,11 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # the fixture build unions COPIES full tables through one
+        # shuffle; the 1g local-mode default heap spill-crashes at
+        # 30x (SPILL_OUT_OF_MEMORY) — this is a builder tool, give it
+        # a real heap
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     os.makedirs(out, exist_ok=True)
