@@ -284,6 +284,8 @@ EXCLUDED: dict[str, str] = {
     "stream_q8_retract_delete": "changelog-mode correctness drain (retract->delete); tiny keyed window, mode semantics are the point",
     "stream_q9_debug_sink": "console/debug sink — documented as 'not a scale target' (streaming/upsert.py)",
     "stream_q10_ttl_expiry": "TTL-expiry correctness drain over a small keyed window; expiry rides q25's compaction where it IS timed",
+    "stream_q36_graph_reshard": "deliberately crosses TWO reshard boundaries at sf0.1 (3 full graph rebuilds by design — 36 s solo); steady-state drain cost is timed by stream_q35, reshard scaling rows live in docs/SCALE.md",
+    "llm_s22_serve_resharded": "runs the full q36 reshard drain before the walk (same 3-rebuild cost as stream_q36); the serve-from-store walk itself is timed by llm_s20",
 }
 
 

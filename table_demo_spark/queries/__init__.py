@@ -87,12 +87,10 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s1_ann_topk",
     "llm_s9_maxsim_topk",
     "llm_t10_pii_redact",
-    "llm_t12_hll_cardinality",
-    "llm_t13_cms_heavy_hitters",
-    "llm_t17_zipf_buckets",
     "llm_t1_text_stats",
-    "llm_t26_quantile_sketch",
     "llm_t27_bpe_sample_train",
+    # (t12/t13/t17/t26 swapped out for the four r11 pins below — they
+    # stay oldest-verified and lead the r12 rotation)
     "src_s2_orc_events",
     "src_s3_text_events",
     "src_s5_permissive_jsonl",
@@ -103,6 +101,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m35_vp8_color_rgb",
     "llm_m36_h264_slice_headers",
     "stream_q36_graph_reshard",
+    "llm_s22_serve_resharded",
 )
 
 

@@ -1600,7 +1600,7 @@ FROM beam{_S18_ROUNDS}
 """
 
 
-def _s18_oracle() -> str:
+def _s18_oracle(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
     rounds = []
     for i in range(1, _S18_ROUNDS + 1):
         rounds.append(f"""
@@ -1625,7 +1625,7 @@ beam{i} AS MATERIALIZED (
 )""")
     chain = ",".join(rounds)
     return f"""
-WITH {_graph_edges_sql()},
+WITH {_graph_edges_sql(target=target)},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
 beam0 AS MATERIALIZED (
   SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qv')}, 9) AS cos_sim

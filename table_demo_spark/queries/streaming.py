@@ -1378,6 +1378,36 @@ def _s20_oracle() -> str:
     return _s18_oracle()
 
 
+def s22_serve_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve leg over the SELF-RESHARDED store — closing q36 into
+    the lifecycle chain the way s20 closed q35: llm_s18's beam walk
+    runs over stream_q36's max-generation edge store, whose drain
+    crossed reshard boundaries mid-stream. The oracle is the full
+    batch build+walk SQL at the re-derived bits, so the query is
+    green only if build ≡ maintain ≡ RESHARD ≡ serve — an edge lost
+    or duplicated across a generation boundary changes the beam."""
+    from table_demo_spark.queries.llmops import beam_walk
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import (
+        q36_final_edges,
+        run_q36_graph_reshard,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q36_graph_reshard(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    edges = q36_final_edges(spark, sink).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return beam_walk(spark, emb, edges)
+
+
+def _s22_oracle() -> str:
+    from table_demo_spark.queries.llmops import _s18_oracle
+    from table_demo_spark.streaming.queries import Q36_TARGET_BUCKET
+
+    return _s18_oracle(target=Q36_TARGET_BUCKET)
+
+
 def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-table enrichment at ingest (streaming a12): each
     arriving purchase is enriched per micro-batch with the click
@@ -1640,6 +1670,7 @@ QUERIES: list[Query] = [
     Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
     Query("stream_q36_graph_reshard", q36_graph_reshard_final, _q36_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
+    Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),
 ]
 
 # Every stream wrapper gets the bounded worker-spawn retry (fresh
