@@ -223,26 +223,138 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _png_pack(vals: np.ndarray, depth: int) -> bytes:
+    """(h, w) sample values -> packed scanline bytes per row list
+    (MSB-first within each byte, rows padded to byte boundaries)."""
+    if depth == 8:
+        return [row.tobytes() for row in vals]
+    per = 8 // depth
+    h, w = vals.shape
+    pad = (-w) % per
+    out = []
+    for row in vals:
+        if pad:
+            row = np.concatenate([row, np.zeros(pad, np.uint8)])
+        chunks = row.reshape(-1, per)
+        byte = np.zeros(len(chunks), dtype=np.uint8)
+        for k in range(per):
+            byte |= (chunks[:, k] & ((1 << depth) - 1)) << (
+                depth * (per - 1 - k)
+            )
+        out.append(byte.tobytes())
+    return out
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, depth: int = 4,
+    interlace: bool = True,
+) -> bytes:
+    """(h, w) palette indices + (n, 3) palette -> PNG bytes (color
+    type 3) at bit depth 1/2/4/8, optionally Adam7-interlaced. Filter
+    type cycles y % 5 per scanline WITHIN each pass (sub-byte rows
+    filter over packed bytes with bpp = 1, spec §7.2), so all five
+    predictors sit on the decode path of every pass."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette bit depth {depth}")
+    if int(indices.max(initial=0)) >= min(len(palette), 1 << depth):
+        raise ValueError("palette index out of range for depth")
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    lines = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = indices[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        packed = _png_pack(sub.astype(np.uint8), depth)
+        prior = np.zeros(len(packed[0]), dtype=np.uint8)
+        for y, rowbytes in enumerate(packed):
+            raw = np.frombuffer(rowbytes, dtype=np.uint8)
+            ftype = y % 5
+            lines.append(ftype)
+            lines.extend(_filter_row(ftype, raw, prior, 1).tobytes())
+            prior = raw
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Defilter ``h`` scanlines of ``stride`` bytes starting at byte
+    ``off`` of the inflated stream (each preceded by its filter-type
+    byte). Returns ((h, stride) uint8, next offset)."""
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError(
+            f"inflated size {len(raw)} < expected {off + need}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[off]
+        flt = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prior = _unfilter_row(ftype, flt, prior, bpp)
+        out[y] = prior
+        off += stride + 1
+    return out, off
+
+
+def _png_unpack(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed scanline bytes -> (h, w) sample values for
+    bit depth 1/2/4/8 (MSB-first packing, spec §7.2)."""
+    if depth == 8:
+        return rows[:, :w]
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    # (h, stride, per) -> (h, stride*per), then trim the row tail
+    unpacked = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return unpacked.reshape(rows.shape[0], -1)[:, :w]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8. Walks the chunk list with
-    CRC verification, inflates the concatenated IDAT stream, and
-    reverses the per-scanline filters. Supports 8-bit greyscale / RGB /
-    RGBA (color types 0/2/6), non-interlaced — the subset a metadata-
-    tagged training corpus normalizes to before this stage."""
+    CRC verification, inflates the concatenated IDAT stream, reverses
+    the per-scanline filters, reassembles Adam7 interlaced passes, and
+    maps palette indices through PLTE. Supports 8-bit greyscale / RGB
+    / RGBA (color types 0/2/6) and palette (color type 3) at bit
+    depths 1/2/4/8, both interlace methods — the wild-web PNG surface
+    short of 16-bit and ancillary transparency (tRNS fails loudly
+    rather than silently dropping alpha)."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos = len(PNG_MAGIC)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (size,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + size > len(data):
+            raise ValueError(f"truncated PNG {ctype!r} chunk")
         body = data[pos + 8 : pos + 8 + size]
         (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PLTE size not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            raise ValueError("PNG tRNS transparency not supported")
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -251,30 +363,58 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR chunk")
     w, h, depth, ctype_id, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
-            f"unsupported PNG: depth={depth} comp={comp} filter={filt} "
-            f"interlace={interlace} (8-bit non-interlaced only)"
+            f"unsupported PNG: comp={comp} filter={filt} "
+            f"interlace={interlace}"
         )
-    if ctype_id not in _PNG_CHANNELS:
+    if ctype_id == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported palette bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        channels = 1
+    elif ctype_id in _PNG_CHANNELS:
+        if depth != 8:
+            raise ValueError(
+                f"unsupported PNG: depth={depth} for color type {ctype_id}"
+            )
+        channels = _PNG_CHANNELS[ctype_id]
+    else:
         raise ValueError(f"unsupported PNG color type {ctype_id}")
-    channels = _PNG_CHANNELS[ctype_id]
-    bpp = channels
-    stride = w * channels
+    bits_pp = channels * depth
+    bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+
+    def stride_of(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
+    if interlace == 0:
+        rows, off = _png_defilter(raw, 0, h, stride_of(w), bpp)
+        samples = _png_unpack(rows, w * channels, depth)
+    else:
+        samples = np.zeros((h, w * channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_defilter(raw, off, ph, stride_of(pw), bpp)
+            sub = _png_unpack(rows, pw * channels, depth).reshape(
+                ph, pw, channels
+            )
+            samples.reshape(h, w, channels)[y0::dy, x0::dx] = sub
+    if off != len(raw):
         raise ValueError(
-            f"inflated size {len(raw)} != expected {h * (stride + 1)}"
+            f"inflated size {len(raw)} != consumed {off}"
         )
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        flt = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        prior = _unfilter_row(ftype, flt, prior, bpp)
-        out[y] = prior
-    return out.reshape(h, w, channels)
+    if ctype_id == 3:
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    return samples.reshape(h, w, channels)
 
 
 # -- GIF (animated, 8-bit indexed, greyscale GCT) ---------------------------

@@ -947,6 +947,59 @@ def h264_sps_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+PAL_W, PAL_H = 32, 32  # 1024 4-bit indices = 512 bytes = 32 md5 blocks
+_PAL_BLOCKS = (PAL_W * PAL_H) // 32
+
+
+def _pal_palette():
+    import numpy as np
+
+    i = np.arange(16)
+    return np.stack(
+        [(i * 17) % 256, (255 - i * 13) % 256, (i * 41 + 7) % 256], -1
+    ).astype(np.uint8)
+
+
+def with_palette_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a 4-bit PALETTE, Adam7-INTERLACED PNG per
+    document — the two wild-web PNG axes m14's truecolor path skips.
+    Indices are the doc's md5 NIBBLES (salt '#pal'), the 16-color
+    palette is the analytic formula the oracle restates; the encoder
+    cycles all five filters within every interlace pass, so a broken
+    predictor, a mis-ordered Adam7 pass, a bit-unpack slip, or a
+    palette-map bug shifts decoded pixels and fails the value hash.
+    Third-party interop is pinned separately on Java-ImageIO-written
+    interlaced/palette fixtures (tests/test_operators.py)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import encode_png_palette
+
+    pal = _pal_palette()
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = np.frombuffer(
+                    _md5_stream(str(doc_id), _PAL_BLOCKS, "#pal"),
+                    dtype=np.uint8,
+                )
+                idx = np.empty(raw.size * 2, dtype=np.uint8)
+                idx[0::2] = raw >> 4
+                idx[1::2] = raw & 15
+                payloads.append(
+                    encode_png_palette(
+                        idx.reshape(PAL_H, PAL_W), pal, depth=4,
+                        interlace=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
 H264_N_SLICES = 4
 
 

@@ -88,9 +88,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s9_maxsim_topk",
     "llm_t10_pii_redact",
     "llm_t1_text_stats",
-    "llm_t27_bpe_sample_train",
-    # (t12/t13/t17/t26 swapped out for the four r11 pins below — they
-    # stay oldest-verified and lead the r12 rotation)
+    # (t12/t13/t17/t26/t27 swapped out for the five r11 pins below —
+    # they stay oldest-verified and lead the r12 rotation)
     "src_s2_orc_events",
     "src_s3_text_events",
     "src_s5_permissive_jsonl",
@@ -102,6 +101,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m36_h264_slice_headers",
     "stream_q36_graph_reshard",
     "llm_s22_serve_resharded",
+    "llm_m37_png_palette_luma",
 )
 
 

@@ -5580,6 +5580,59 @@ FROM f
 """
 
 
+def m37_png_palette_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m14's decoded-luma statistics over 4-bit PALETTE, Adam7
+    INTERLACED PNGs — the two wild-web PNG axes the truecolor path
+    skips (small web graphics are routinely indexed + interlaced).
+    The decode crosses zlib inflate, per-PASS scanline defiltering
+    (all five predictors, bpp = 1 over packed bytes), MSB-first 4-bit
+    unpacking, Adam7 reassembly of seven sub-images, and the PLTE
+    map. The oracle restates the md5-NIBBLE index stream through the
+    analytic palette — any slip in pass geometry, bit order, filters,
+    or palette lookup shifts pixels and fails the value hash.
+    Third-party interop pinned on Java-ImageIO-written fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decoded_luma(
+        multimodal.with_palette_png_payload(docs)
+    )
+
+
+def _m37_oracle() -> str:
+    npx = multimodal.PAL_W * multimodal.PAL_H
+    # lum(i) over the analytic 16-color palette: (i*17) and
+    # (255 - 13*i) stay in [0, 255] for i <= 15, only (41*i + 7)
+    # needs the mod
+    lum = (
+        "299 * (i * 17) + 587 * (255 - 13 * i) + 114 * ((i * 41 + 7) % 256)"
+    )
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i AS blk,
+         md5(CAST(doc_id AS VARCHAR) || '#pal' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._PAL_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id,
+         CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT) AS b
+  FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+),
+nibbles AS (
+  SELECT doc_id, CASE WHEN s = 0 THEN b // 16 ELSE b % 16 END AS i
+  FROM bytes, (SELECT unnest(range(0, 2)) AS s)
+),
+luma AS (
+  SELECT doc_id, CAST(sum({lum}) AS BIGINT) // {npx} AS mean_luma_milli
+  FROM nibbles GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({multimodal.PAL_W} AS BIGINT) AS width,
+       CAST({multimodal.PAL_H} AS BIGINT) AS height,
+       mean_luma_milli,
+       mean_luma_milli // 32000 AS luma_bucket
+FROM luma
+"""
+
+
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m34's next honest layer (r10 verdict #6): parse the PPS and
     every SLICE HEADER of each document's Annex B stream through the
@@ -8200,6 +8253,7 @@ QUERIES: list[Query] = [
     Query("llm_m34_h264_sps", m34_h264_sps, _m34_oracle()),
     Query("llm_m35_vp8_color_rgb", m35_vp8_color_rgb, _m35_oracle()),
     Query("llm_m36_h264_slice_headers", m36_h264_slice_headers, _m36_oracle()),
+    Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

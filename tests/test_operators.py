@@ -1996,6 +1996,87 @@ def test_png_decoder_interop_with_imageio(spark):
     assert np.array_equal(ref[:, :, [2, 1, 0, 3]], rgba)
 
 
+def test_png_palette_interlaced_interop_with_imageio(spark):
+    """Adam7 + palette interop: the three fixtures were written by
+    Java ImageIO (a third-party PNG encoder whose interlaced pass
+    layout and 4-bit packing we do not control) over deterministic
+    patterns — our decoder must reproduce the analytic pixels
+    BIT-EXACTLY, and agree with Spark's image source (ImageIO reader)
+    on the interlaced-RGB file."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import decode_png
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 7 + yy * 3) % 256, (xx * 5 + yy * 11) % 256,
+         (xx * xx + yy) % 256], -1
+    ).astype(np.uint8)
+    path = os.path.join(fdir, "interlaced_rgb.png")
+    got = decode_png(open(path, "rb").read())
+    assert np.array_equal(got, rgb)
+    row = spark.read.format("image").load(path).select("image.*").collect()[0]
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )
+    assert np.array_equal(ref[:, :, [2, 1, 0]], got)  # BGR vs RGB
+
+    i = np.arange(16)
+    pal = np.stack(
+        [(i * 17) % 256, (255 - i * 13) % 256, (i * 41 + 7) % 256], -1
+    ).astype(np.uint8)
+    idx = ((xx + 2 * yy) % 16).astype(np.uint8)
+    for f in ("palette4.png", "palette4_interlaced.png"):
+        got = decode_png(open(os.path.join(fdir, f), "rb").read())
+        assert np.array_equal(got, pal[idx]), f
+
+
+def test_png_palette_interlace_roundtrip_and_negatives():
+    """encode_png_palette <-> decode_png across all four bit depths,
+    both interlace methods, and awkward sizes (1-pixel edges, pass
+    geometries where some Adam7 passes are empty). tRNS, truncation
+    mid-pass, and out-of-range palette indices fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    rng = np.random.default_rng(13)
+    for (h, w) in [(1, 1), (2, 3), (7, 7), (16, 16), (19, 31)]:
+        for depth in (1, 2, 4, 8):
+            for inter in (False, True):
+                n = min(1 << depth, 256)
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+                data = C.encode_png_palette(idx, pal, depth, inter)
+                assert np.array_equal(C.decode_png(data), pal[idx]), (
+                    h, w, depth, inter
+                )
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 9), dtype=np.uint8)
+    good = C.encode_png_palette(idx, pal, 4, True)
+    with _pytest.raises(ValueError):  # truncated mid-pass
+        C.decode_png(good[:60])
+    with _pytest.raises(ValueError):  # index exceeds depth
+        C.encode_png_palette(np.full((2, 2), 9, np.uint8), pal, 2)
+    # inject a tRNS chunk: transparency must fail loudly, not drop
+    import struct
+    import zlib
+
+    body = b"\x80"
+    trns = (
+        struct.pack(">I", len(body)) + b"tRNS" + body
+        + struct.pack(">I", zlib.crc32(b"tRNS" + body) & 0xFFFFFFFF)
+    )
+    iend = good.rindex(b"IEND") - 4
+    with _pytest.raises(ValueError, match="tRNS"):
+        C.decode_png(good[:iend] + trns + good[iend:])
+
+
 def test_progressive_jpeg_dc_scan_codec():
     """DC-only progressive roundtrip: encode_jpeg_progressive_dc's
     single scan decodes to exactly the integer-quantized DC plane
