@@ -558,11 +558,14 @@ def _gif_subblocks(data: bytes) -> bytes:
 GIF_GREY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
-def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+def encode_gif(
+    frames: np.ndarray, delay_cs: int = 4, interlace: bool = False
+) -> bytes:
     """(n, h, w) uint8 palette-index frames -> animated GIF89a bytes
     with a 256-entry greyscale global color table. Each frame gets a
     graphic-control extension (delay in centiseconds) and its own
-    LZW-compressed image data."""
+    LZW-compressed image data; ``interlace`` stores each frame's rows
+    in the GIF89a 4-pass order with the descriptor flag set."""
     if frames.ndim != 3 or frames.dtype != np.uint8:
         raise ValueError(f"expected (n, h, w) uint8, got {frames.shape} {frames.dtype}")
     n, h, w = frames.shape
@@ -573,9 +576,15 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
     out.extend(GIF_GREY_PALETTE)
     for f in range(n):
         out.extend(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00")
-        out.extend(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.extend(
+            b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + (b"\x40" if interlace else b"\x00")
+        )
+        rows = frames[f]
+        if interlace:
+            rows = rows[_gif_interlace_order(h)]
         out.append(_GIF_MIN_CODE_SIZE)
-        out.extend(_gif_subblocks(_lzw_encode(frames[f].tobytes())))
+        out.extend(_gif_subblocks(_lzw_encode(rows.tobytes())))
     out.append(0x3B)
     return bytes(out)
 
@@ -628,8 +637,6 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
         pos += 9
         if fpacked & 0x80:
             raise ValueError("local color tables not supported")
-        if fpacked & 0x40:
-            raise ValueError("interlaced frames not supported")
         if (left, top, fw, fh) != (0, 0, w, h):
             raise ValueError("partial-frame images not supported")
         mcs = _byte(pos)
@@ -645,8 +652,22 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             pos += 1 + size
         pos += 1
         idx = _lzw_decode(bytes(lzw), fw * fh, mcs)
-        frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw))
+        frame = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4-pass order
+            out = np.empty_like(frame)
+            out[_gif_interlace_order(fh)] = frame
+            frame = out
+        frames.append(frame)
     return np.stack(frames), palette
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix E 4-pass row order: every 8th row from 0, every
+    8th from 4, every 4th from 2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
 
 
 # -- WAV (RIFF PCM16 mono) --------------------------------------------------

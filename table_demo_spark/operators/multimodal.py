@@ -1137,7 +1137,11 @@ def with_gif_payload(docs: DataFrame) -> DataFrame:
     stream (salt '#gif'), run through variable-code-width LZW + the
     sub-block framing of codecs.encode_gif. Random index bytes push the
     per-frame LZW string table past 254 entries, so the decoder's
-    width-growth synchronization is exercised by every payload."""
+    width-growth synchronization is exercised by every payload; frames
+    are stored INTERLACED (r11), so the 4-pass row reorder sits on the
+    same value hash (the oracle is unchanged — interlace is wire
+    layout, not content). Third-party interop for the interlaced path
+    is pinned on a Java-ImageIO-written fixture."""
     import numpy as np
 
     from table_demo_spark.operators.codecs import encode_gif
@@ -1149,7 +1153,8 @@ def with_gif_payload(docs: DataFrame) -> DataFrame:
                     np.frombuffer(
                         _md5_stream(str(doc_id), _GIF_BLOCKS, "#gif"),
                         dtype=np.uint8,
-                    ).reshape(GIF_FRAMES, GIF_H, GIF_W)
+                    ).reshape(GIF_FRAMES, GIF_H, GIF_W),
+                    interlace=True,
                 )
                 for doc_id in pdf["doc_id"]
             ]

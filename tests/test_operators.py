@@ -3000,3 +3000,33 @@ def test_h264_stream_parameter_set_resolution():
     w.align()
     with pytest.raises(ValueError):
         C.decode_h264_pps(bytes(w.out))
+
+
+def test_gif_interlaced_interop_and_roundtrip():
+    """GIF89a 4-pass interlace: tests/fixtures/interlaced.gif was
+    written by Java ImageIO's GIF writer in progressive mode (a
+    third-party encoder's interlaced row layout) over a deterministic
+    pattern — decode must reproduce it bit-exactly; the repo encoder's
+    interlaced streams roundtrip at awkward heights (passes empty or
+    one row tall)."""
+    import os
+
+    import numpy as np
+
+    from table_demo_spark.operators import codecs as C
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "interlaced.gif"
+    )
+    frames, pal = C.decode_gif(open(path, "rb").read())
+    h, w = 29, 47
+    yy, xx = np.mgrid[0:h, 0:w]
+    assert np.array_equal(frames[0], ((xx * 13 + yy * 29) % 256))
+    assert np.array_equal(
+        pal, np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+    )
+    rng = np.random.default_rng(3)
+    for (hh, ww) in [(1, 5), (2, 3), (8, 8), (9, 4), (29, 47)]:
+        fr = rng.integers(0, 256, (2, hh, ww), dtype=np.uint8)
+        got, _ = C.decode_gif(C.encode_gif(fr, interlace=True))
+        assert np.array_equal(got, fr), (hh, ww)
