@@ -1292,7 +1292,10 @@ def s18_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return beam_walk(spark, emb, edges)
 
 
-def beam_walk(spark: SparkSession, emb: DataFrame, edges: DataFrame) -> DataFrame:
+def beam_walk(
+    spark: SparkSession, emb: DataFrame, edges: DataFrame,
+    entry: int = _S18_ENTRY,
+) -> DataFrame:
     from table_demo_spark.functions.vector import cosine
 
     # The walk is DRIVER-COORDINATED over bounded-by-construction
@@ -1323,7 +1326,7 @@ def beam_walk(spark: SparkSession, emb: DataFrame, edges: DataFrame) -> DataFram
         return {int(r["vec_id"]): float(r["cos_sim"]) for r in rows}
 
     try:
-        pool = score([_S18_ENTRY])
+        pool = score([entry])
         beam = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[:_S18_B]
         for _ in range(_S18_ROUNDS):
             frontier = [vid for vid, _ in beam]
@@ -1405,15 +1408,180 @@ FROM beam b JOIN exact x ON x.vec_id = b.vec_id
 """
 
 
-def _graph_edges_sql(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
+_S23_MAXL = 2  # layers 0..2; P(L>=1)=1/4, P(L>=2)=1/16
+_S23_HOPS = 3  # bounded greedy hops per upper layer
+
+
+def _s23_layer_col():
+    """Cross-engine HNSW layer assignment: trailing-zero-pair count of
+    an md5-derived integer, capped at _S23_MAXL — P(L >= l) = 4^-l,
+    the geometric layer distribution HNSW uses, stated as pure mod
+    arithmetic both engines evaluate identically."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("L"), F.col("vec_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        F.when(h % 16 == 0, F.lit(2))
+        .when(h % 4 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def s23_hnsw_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s18 made genuinely HIERARCHICAL — the full HNSW search shape
+    (Malkov & Yashunin 2016): vectors draw geometric layers
+    (P(L>=l) = 4^-l from an md5 hash both engines restate), each upper
+    layer gets its own navigable graph over its members at ITS OWN
+    corpus-scaled bit count, search enters at the topmost layer's
+    min-id node, greedily descends (bounded _S23_HOPS argmax-neighbor
+    hops per layer — each hop a 1-row driver-coordinated probe over
+    the persisted layer graph), and the layer-0 beam walk finishes
+    from the descended entry. The oracle restates the WHOLE hierarchy
+    — per-layer member sets, per-layer bit ladders and graphs, six
+    greedy-hop CTEs, and the beam rounds — so a wrong layer
+    assignment, a descent that jumps layers, or a beam started at the
+    static entry all break the value hash."""
+    from table_demo_spark.functions.vector import cosine
+    from table_demo_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lay = emb.select("vec_id", "embedding", _s23_layer_col().alias("lv"))
+
+    qv = emb.filter(F.col("vec_id") == _S18_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def score(ids: list[int]) -> dict[int, float]:
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine("embedding", "qv"), 9).alias("cos_sim"),
+            )
+            .collect()
+        )
+        return {int(r["vec_id"]): float(r["cos_sim"]) for r in rows}
+
+    # entry: min id on the topmost occupied layer (1 tiny job)
+    top = lay.orderBy(F.col("lv").desc(), F.col("vec_id").asc()).limit(1)
+    cur = int(top.collect()[0]["vec_id"])
+
+    cur_cos = score([cur])[cur]
+    for lvl in range(_S23_MAXL, 0, -1):
+        members = lay.filter(F.col("lv") >= lvl).select("vec_id", "embedding")
+        bits = similarity.graph_bits(members.count())
+        edges_l = s18_graph_edges(members, bits).persist()
+        try:
+            for _ in range(_S23_HOPS):
+                # one bounded job per hop: the <= M neighbors of cur,
+                # scored in the same pass
+                nb = emb.select(
+                    F.col("vec_id").alias("nb_id"),
+                    F.col("embedding").alias("nb_vec"),
+                )
+                rows = (
+                    edges_l.filter(F.col("src") == cur)
+                    .join(nb, nb["nb_id"] == F.col("dst"))
+                    .crossJoin(F.broadcast(qv))
+                    .select(
+                        "nb_id",
+                        F.round(cosine("nb_vec", "qv"), 9).alias("cos_sim"),
+                    )
+                    .collect()
+                )
+                pool = {int(r["nb_id"]): float(r["cos_sim"]) for r in rows}
+                pool[cur] = cur_cos
+                nxt, nxt_cos = sorted(
+                    pool.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                if nxt == cur:
+                    break  # greedy fixpoint: further hops are no-ops
+                cur, cur_cos = nxt, nxt_cos
+        finally:
+            edges_l.unpersist()
+
+    edges0 = s18_graph_edges(emb, similarity.graph_bits(emb.count()))
+    return beam_walk(spark, emb, edges0, entry=cur)
+
+
+def _s23_oracle() -> str:
+    lay_h = (
+        "CAST('0x' || substring(md5('L' || CAST(vec_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT)"
+    )
+    member = {
+        1: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 1)",
+        2: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 2)",
+    }
+    hops = []
+    prev = "hop_e"
+    for lvl in (2, 1):
+        for i in range(_S23_HOPS):
+            name = f"hop{lvl}_{i}"
+            hops.append(f"""
+{name} AS MATERIALIZED (
+  SELECT vec_id, cos_sim FROM (
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM (
+      SELECT vec_id, cos_sim FROM {prev}
+      UNION ALL
+      SELECT em.vec_id,
+             round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+      FROM {prev} p JOIN edges_l{lvl} g ON g.src = p.vec_id
+      JOIN embeddings em ON em.vec_id = g.dst CROSS JOIN q
+    )
+  ) WHERE rn = 1
+)""")
+            prev = name
+    return f"""
+WITH lay AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN {lay_h} % 16 = 0 THEN 2
+              WHEN {lay_h} % 4 = 0 THEN 1 ELSE 0 END AS lv
+  FROM embeddings
+),
+{_graph_edges_sql()},
+{_graph_edges_sql(suffix="_l1", member_sql=member[1])},
+{_graph_edges_sql(suffix="_l2", member_sql=member[2])},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
+hop_e AS MATERIALIZED (
+  SELECT em.vec_id,
+         round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM embeddings em CROSS JOIN q
+  WHERE em.vec_id = (
+    SELECT vec_id FROM lay ORDER BY lv DESC, vec_id ASC LIMIT 1)
+),{",".join(hops)},
+beam0 AS MATERIALIZED (SELECT vec_id, cos_sim FROM {prev}),
+{_s18_walk_rounds_sql()}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM beam{_S18_ROUNDS}
+"""
+
+
+def _graph_edges_sql(
+    target: int = similarity.GRAPH_TARGET_BUCKET,
+    suffix: str = "",
+    member_sql: str = "TRUE",
+) -> str:
     """Shared oracle CTE chain ``bits, nodes, probes, edges`` for the
-    ANN-graph family (s18/s19/q35/s20/q36): corpus-scaled bit count
-    restated as a pure-integer CASE ladder (bit-for-bit with
+    ANN-graph family (s18/s19/q35/s20/q36/s23): corpus-scaled bit
+    count restated as a pure-integer CASE ladder (bit-for-bit with
     similarity.graph_bits at the same ``target`` occupancy — no float
     log2 edge cases), projections generated for all GRAPH_BITS_MAX
     dims with only the first ``nb`` contributing to the bucket, and a
-    dynamic-length Hamming-1 probe list. ``edges`` carries
-    (src, dst, rn) with rn <= M."""
+    dynamic-length Hamming-1 probe list. ``edges{suffix}`` carries
+    (src, dst, rn) with rn <= M. ``suffix``/``member_sql`` let s23
+    instantiate one chain per HNSW layer over that layer's members
+    (the ladder then counts MEMBERS, so each layer gets its own bit
+    count exactly like the Spark side)."""
     signs = _rp_signs(similarity.GRAPH_BITS_MAX)
     dims = []
     for d in range(similarity.GRAPH_BITS_MAX):
@@ -1430,23 +1598,25 @@ def _graph_edges_sql(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
         f"(CASE WHEN {d} < bt.nb AND rp{d} > 0 THEN {1 << d} ELSE 0 END)"
         for d in range(similarity.GRAPH_BITS_MAX)
     )
+    s = suffix
     return f"""
-bits AS (
+bits{s} AS (
   SELECT CASE {ladder} ELSE {similarity.GRAPH_BITS_MAX} END AS nb
-  FROM (SELECT count(*) AS nv FROM embeddings)
+  FROM (SELECT count(*) AS nv FROM embeddings WHERE {member_sql})
 ),
-nodes AS MATERIALIZED (
+nodes{s} AS MATERIALIZED (
   SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS b
-  FROM (SELECT vec_id, embedding, {", ".join(dims)} FROM embeddings)
-  CROSS JOIN bits bt
+  FROM (SELECT vec_id, embedding, {", ".join(dims)} FROM embeddings
+        WHERE {member_sql})
+  CROSS JOIN bits{s} bt
 ),
-probes AS (
+probes{s} AS (
   SELECT vec_id AS src, embedding AS sv,
          unnest(list_prepend(b, list_transform(range(0, bt.nb),
                 j -> xor(b, CAST((1 << j) AS INTEGER))))) AS pb
-  FROM nodes CROSS JOIN bits bt
+  FROM nodes{s} CROSS JOIN bits{s} bt
 ),
-edges AS MATERIALIZED (
+edges{s} AS MATERIALIZED (
   SELECT src, dst, rn FROM (
     SELECT p.src, n.vec_id AS dst,
            -- RAW cosine (no rounding): the Spark side ranks on the
@@ -1455,7 +1625,7 @@ edges AS MATERIALIZED (
              PARTITION BY p.src
              ORDER BY {_sql_cosine('p.sv', 'n.embedding')} DESC,
                       n.vec_id ASC) AS rn
-    FROM probes p JOIN nodes n ON n.b = p.pb AND n.vec_id <> p.src
+    FROM probes{s} p JOIN nodes{s} n ON n.b = p.pb AND n.vec_id <> p.src
   ) WHERE rn <= {_S18_M}
 )"""
 
@@ -1600,13 +1770,17 @@ FROM beam{_S18_ROUNDS}
 """
 
 
-def _s18_oracle(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
+def _s18_walk_rounds_sql(edges: str = "edges") -> str:
+    """The s18 beam walk's unrolled-round CTE chain (cand/sc/beam per
+    round, starting from a ``beam0``), parameterized on the edge-set
+    CTE name so s23 can run the identical walk over its layer-0
+    graph."""
     rounds = []
     for i in range(1, _S18_ROUNDS + 1):
         rounds.append(f"""
 cand{i} AS (
   SELECT DISTINCT g.dst AS vec_id
-  FROM beam{i - 1} b JOIN edges g ON g.src = b.vec_id
+  FROM beam{i - 1} b JOIN {edges} g ON g.src = b.vec_id
 ),
 sc{i} AS (
   SELECT c.vec_id,
@@ -1623,7 +1797,11 @@ beam{i} AS MATERIALIZED (
            UNION ALL SELECT vec_id, cos_sim FROM sc{i}))
   ) WHERE rn <= {_S18_B}
 )""")
-    chain = ",".join(rounds)
+    return ",".join(rounds)
+
+
+def _s18_oracle(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
+    chain = _s18_walk_rounds_sql()
     return f"""
 WITH {_graph_edges_sql(target=target)},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
@@ -8254,6 +8432,7 @@ QUERIES: list[Query] = [
     Query("llm_m35_vp8_color_rgb", m35_vp8_color_rgb, _m35_oracle()),
     Query("llm_m36_h264_slice_headers", m36_h264_slice_headers, _m36_oracle()),
     Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
+    Query("llm_s23_hnsw_layered", s23_hnsw_layered, _s23_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

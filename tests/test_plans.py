@@ -123,6 +123,7 @@ _PYTHON_ALLOWED = {
     "llm_m35_vp8_color_rgb",  # MapInPandas (color VP8 decode + fixed-point CSC)
     "llm_m36_h264_slice_headers",  # MapInPandas (PPS/slice-header parse via SPS/PPS stores)
     "llm_m37_png_palette_luma",  # MapInPandas (Adam7+palette PNG decode, numpy luma)
+    "llm_s23_hnsw_layered",  # FlatMapGroupsInPandas (per-layer bucket GEMM graph builds)
 }
 
 
