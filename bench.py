@@ -205,6 +205,7 @@ HEADLINE = [
     "llm_m36_h264_slice_headers",
     "llm_m37_png_palette_luma",
     "llm_s23_hnsw_layered",
+    "src_s11_xml_events",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -84,11 +84,10 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m14_png_luma",
     "llm_p16_decontaminated_split",
     "llm_s1_ann_topk",
-    "llm_s9_maxsim_topk",
     "llm_t10_pii_redact",
     "llm_t1_text_stats",
-    # (t12/t13/t17/t26/t27/s12 swapped out for the six r11 pins below —
-    # they stay oldest-verified and lead the r12 rotation)
+    # (t12/t13/t17/t26/t27/s12/s9 swapped out for the seven r11 pins
+    # below — they stay oldest-verified and lead the r12 rotation)
     "src_s2_orc_events",
     "src_s3_text_events",
     "src_s5_permissive_jsonl",
@@ -102,6 +101,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s22_serve_resharded",
     "llm_m37_png_palette_luma",
     "llm_s23_hnsw_layered",
+    "src_s11_xml_events",
 )
 
 

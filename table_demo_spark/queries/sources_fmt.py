@@ -55,6 +55,22 @@ WHERE event_type IN ('click', 'purchase')
 """
 
 
+def s11_xml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-XML ingestion (Spark 4's built-in xml source — the
+    enterprise-feed shape): events written as <event> elements and
+    read back with a DECLARED schema (no sampling inference pass).
+    The oracle is the parquet events table verbatim, so a mis-escaped
+    entity in the JSON-carrying props strings, a dropped record at a
+    file-split boundary, or a double that fails to round-trip through
+    its text form breaks the value hash."""
+    from table_demo_spark.sources import formats
+
+    path = formats.ensure_events_xml(spark, sf_dir)
+    return formats.read_events_xml(spark, path).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value", "props"
+    )
+
+
 def s4_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned read: the event_type filter must resolve to
     `PartitionFilters` on the scan (directories for the other three
@@ -231,4 +247,5 @@ QUERIES: list[Query] = [
     Query("src_s8_quoted_csv", s8_quoted_csv, _QUOTED_CSV_ORACLE),
     Query("src_s9_multiline_json", s9_multiline_json, _EVENTS_ORACLE),
     Query("src_s10_binary_file_images", s10_binary_file_images, _m14_oracle()),
+    Query("src_s11_xml_events", s11_xml_events, _EVENTS_ORACLE),
 ]

@@ -164,6 +164,41 @@ def read_events_text(spark: SparkSession, path: str) -> DataFrame:
     return parsed.select("r.*")
 
 
+def ensure_events_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as XML (Spark 4's native xml source — one
+    <event> element per record under a <events> root per file), once
+    per fixture. XML is the enterprise-feed ingestion shape; the
+    writer's entity escaping must round-trip the JSON-carrying props
+    strings exactly."""
+    final, done = _cached_dir(sf_dir, "xml")
+    if done:
+        return final
+    staging = tempfile.mkdtemp(prefix="events-xml-stage-")
+    (
+        _typed_events(spark, sf_dir)
+        .select("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(staging)
+    )
+    return _finalize(staging, final, os.path.join(sf_dir, "events.parquet"))
+
+
+def read_events_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-declared XML read (never inference — the sampling pass
+    would double the scan and can mistype empty-looking columns);
+    rowTag selects the record elements, entity unescaping is the
+    source's job."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(EVENTS_JSONL_SCHEMA)
+        .load(path)
+    )
+
+
 def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as hive-partitioned parquet
     (``event_type=<v>/part-*.parquet``), once per fixture.
