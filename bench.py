@@ -206,6 +206,7 @@ HEADLINE = [
     "llm_m37_png_palette_luma",
     "llm_s23_hnsw_layered",
     "src_s11_xml_events",
+    "llm_m38_h264_ipcm_pixels",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -5919,6 +5919,149 @@ def decode_h264_slice_header(
     return out
 
 
+def encode_h264_ipcm_slice(
+    sps: dict, pps: dict, luma: "np.ndarray", cb: "np.ndarray",
+    cv: "np.ndarray", frame_num: int = 0, idr_pic_id: int = 0,
+) -> bytes:
+    """Write a spec-valid IDR I slice whose every macroblock is I_PCM
+    (7.3.5/7.4.5: mb_type 25 in I slices — RAW samples, no residual
+    coding), covering the whole picture. I_PCM is the spec's own
+    uncompressed escape hatch, which makes it the honest first
+    slice-DATA layer: the stream decodes to exact pixels through only
+    Exp-Golomb, the pcm alignment rule, and the 4:2:0 sample order —
+    no CAVLC tables. ``luma`` is (16*mb_h, 16*mb_w); cb/cv are the
+    (8*mb_h, 8*mb_w) chroma planes."""
+    import numpy as np
+
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if luma.shape != (16 * mb_h, 16 * mb_w) or cb.shape != (8 * mb_h, 8 * mb_w):
+        raise ValueError("planes must cover the SPS picture size")
+    hdr = encode_h264_slice_header(
+        sps, pps, 7, 0, frame_num, 0, idr_pic_id=idr_pic_id,
+        poc_lsb=0, nal_ref_idc=3,
+    )
+    body = bytearray()
+    # the header writer byte-aligned with zero padding; each I_PCM
+    # macroblock is mb_type ue(25) = 000011010 (9 bits) followed by
+    # pcm_alignment_zero_bit padding, so every sample run starts on a
+    # byte boundary by construction
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            w = _ExpGolombWriter()
+            w.ue(25)  # I_PCM
+            w.align()  # pcm_alignment_zero_bit*
+            body.extend(w.out)
+            body.extend(
+                luma[mby * 16:(mby + 1) * 16, mbx * 16:(mbx + 1) * 16]
+                .astype(np.uint8).tobytes()
+            )
+            for plane in (cb, cv):
+                body.extend(
+                    plane[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+                    .astype(np.uint8).tobytes()
+                )
+    return hdr + bytes(body)
+
+
+def decode_h264_ipcm_slice(
+    rbsp: bytes, nal_type: int, nal_ref_idc: int, pps_store: dict,
+    sps_store: dict,
+):
+    """Parse an all-I_PCM I slice to PIXELS: slice header through the
+    parameter-set stores, then PicSizeInMbs macroblocks of
+    mb_type ue(25) + pcm alignment + raw 4:2:0 samples (7.3.5).
+    Returns (header dict, (h,w) luma, (h/2,w/2) cb, cr). Non-I_PCM
+    macroblocks (entropy-coded residual data) fail loudly — CAVLC
+    remains the documented extension point."""
+    import numpy as np
+
+    hdr = decode_h264_slice_header(
+        rbsp, nal_type, nal_ref_idc, pps_store, sps_store
+    )
+    sps = sps_store[pps_store[hdr["pps_id"]]["sps_id"]]
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    # locate slice_data: walk the header fields on a fresh reader (the
+    # field walk is shared with the header decoder), then consume the
+    # writer's byte-alignment padding
+    br2 = _BitReader(rbsp)
+    _h264_skip_slice_header(br2, nal_type, nal_ref_idc, pps_store, sps_store)
+    br2.align()
+    y = np.empty((16 * mb_h, 16 * mb_w), np.uint8)
+    cb = np.empty((8 * mb_h, 8 * mb_w), np.uint8)
+    cr = np.empty((8 * mb_h, 8 * mb_w), np.uint8)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            mb_type = _expgolomb_ue(br2)
+            if mb_type != 25:
+                raise ValueError(
+                    f"H264: only I_PCM slice data supported, got mb_type"
+                    f" {mb_type} (CAVLC is the documented extension point)"
+                )
+            br2.align()  # pcm_alignment_zero_bit*
+            off = br2.bytepos()
+            if off + 384 > len(rbsp):
+                raise ValueError("H264: truncated I_PCM samples")
+            y[mby * 16:(mby + 1) * 16, mbx * 16:(mbx + 1) * 16] = (
+                np.frombuffer(rbsp, np.uint8, 256, off).reshape(16, 16)
+            )
+            cb[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8] = (
+                np.frombuffer(rbsp, np.uint8, 64, off + 256).reshape(8, 8)
+            )
+            cr[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8] = (
+                np.frombuffer(rbsp, np.uint8, 64, off + 320).reshape(8, 8)
+            )
+            br2.bitpos = (off + 384) * 8
+    return hdr, y, cb, cr
+
+
+def _h264_skip_slice_header(
+    br, nal_type: int, nal_ref_idc: int, pps_store: dict, sps_store: dict
+) -> None:
+    """Advance ``br`` past a slice header (same field walk as
+    decode_h264_slice_header, shared reader) — used by the I_PCM
+    decoder to locate slice_data."""
+    _expgolomb_ue(br)  # first_mb
+    stype = H264_SLICE_TYPES[_expgolomb_ue(br) % 5]
+    pps = pps_store[_expgolomb_ue(br)]
+    sps = sps_store[pps["sps_id"]]
+    br.bits(sps["log2_max_frame_num_minus4"] + 4)
+    if nal_type == 5:
+        _expgolomb_ue(br)  # idr_pic_id
+    if sps["poc_type"] == 0:
+        br.bits(sps["log2_max_poc_lsb_minus4"] + 4)
+    if pps["redundant_pic_cnt_present"]:
+        _expgolomb_ue(br)
+    if stype == "B":
+        br.bits(1)
+    if stype in ("P", "SP", "B"):
+        if br.bits(1):
+            _expgolomb_ue(br)
+            if stype == "B":
+                _expgolomb_ue(br)
+        if br.bits(1):
+            while _expgolomb_ue(br) != 3:
+                _expgolomb_ue(br)
+        if stype == "B" and br.bits(1):
+            while _expgolomb_ue(br) != 3:
+                _expgolomb_ue(br)
+    if nal_type == 5:
+        br.bits(2)
+    elif nal_ref_idc:
+        if br.bits(1):
+            while (op := _expgolomb_ue(br)) != 0:
+                for _ in range(
+                    {1: 1, 2: 1, 3: 2, 4: 1, 6: 1}.get(op, 0)
+                ):
+                    _expgolomb_ue(br)
+    if pps["entropy_coding_mode"] and stype not in ("I", "SI"):
+        _expgolomb_ue(br)
+    _expgolomb_se(br)  # slice_qp_delta
+    if pps["deblocking_filter_control_present"]:
+        if _expgolomb_ue(br) != 1:
+            _expgolomb_se(br)
+            _expgolomb_se(br)
+
+
 def decode_h264_stream(data: bytes) -> list[dict]:
     """Walk an Annex B stream maintaining the parameter-set stores
     (7.4.1.2 activation): SPS and PPS NALs populate the stores, slice

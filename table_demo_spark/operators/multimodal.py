@@ -1124,6 +1124,132 @@ def h264_slices_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+H264_PCM_MB_W, H264_PCM_MB_H = 2, 2  # 32x32 luma + 2x 16x16 chroma
+_PCM_BLOCKS = (
+    H264_PCM_MB_W * H264_PCM_MB_H * (256 + 64 + 64)
+) // 16  # 96 md5 blocks
+
+
+def with_h264_ipcm_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an Annex B stream whose IDR slice decodes to
+    PIXELS — every macroblock is I_PCM (the spec's raw-sample escape
+    hatch, 7.4.5), planes drawn from the doc's md5 stream (salt
+    '#pcm': luma bytes first, then Cb, then Cr) with the first three
+    luma samples PINNED to (0, 0, 1) — a start-code-colliding run in
+    every payload, so the emulation-prevention escape layer sits on
+    the value hash (random bytes alone hit 00 00 0x with probability
+    ~5e-4 per doc — effectively never). The decode side must cross
+    the full stack: start codes, unescape, parameter-set activation,
+    the slice-header field walk, per-MB mb_type + pcm-alignment, and
+    the 4:2:0 sample order."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_h264_pps,
+        decode_h264_sps,
+        encode_annexb,
+        encode_h264_ipcm_slice,
+        encode_h264_pps,
+        encode_h264_sps,
+    )
+
+    mw, mh = H264_PCM_MB_W, H264_PCM_MB_H
+    sps_rbsp = encode_h264_sps(66, 30, mw, mh)
+    pps_rbsp = encode_h264_pps(0, 0)
+    sps = decode_h264_sps(sps_rbsp)
+    pps = decode_h264_pps(pps_rbsp)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = np.frombuffer(
+                    _md5_stream(str(doc_id), _PCM_BLOCKS, "#pcm"),
+                    dtype=np.uint8,
+                )
+                ny, nc = 256 * mw * mh, 64 * mw * mh
+                raw = raw.copy()
+                raw[0:3] = (0, 0, 1)  # forced escape-layer hit
+                y = raw[:ny].reshape(16 * mh, 16 * mw)
+                cb = raw[ny:ny + nc].reshape(8 * mh, 8 * mw)
+                cr = raw[ny + nc:ny + 2 * nc].reshape(8 * mh, 8 * mw)
+                sl = encode_h264_ipcm_slice(
+                    sps, pps, y, cb, cr,
+                    frame_num=int(doc_id) % 16, idr_pic_id=int(doc_id) % 32,
+                )
+                payloads.append(
+                    encode_annexb(
+                        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_ipcm_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each Annex B stream to PIXELS (parameter-set stores +
+    I_PCM slice-data walk) and reduce to integer plane statistics the
+    oracle restates from the md5 stream."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_h264_ipcm_slice,
+        decode_h264_pps,
+        decode_h264_sps,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sps_store, pps_store = {}, {}
+                y = cb = cr = hdr = None
+                for nal in decode_annexb(bytes(payload)):
+                    if nal["nal_type"] == 7:
+                        info = decode_h264_sps(nal["rbsp"])
+                        sps_store[info["sps_id"]] = info
+                    elif nal["nal_type"] == 8:
+                        info = decode_h264_pps(nal["rbsp"])
+                        pps_store[info["pps_id"]] = info
+                    elif nal["nal_type"] == 5:
+                        hdr, y, cb, cr = decode_h264_ipcm_slice(
+                            nal["rbsp"], 5, nal["ref_idc"],
+                            pps_store, sps_store,
+                        )
+                h, w = y.shape
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(hdr["frame_num"]),
+                        int(y.sum()) * 1000 // (w * h),
+                        int(y.min()), int(y.max()),
+                        int(cb.sum()) * 1000 // (cb.size),
+                        int(cr.sum()) * 1000 // (cr.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "frame_num",
+                    "mean_y_milli", "y_min", "y_max",
+                    "mean_cb_milli", "mean_cr_milli",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width long, height long, frame_num long, "
+            "mean_y_milli long, y_min long, y_max long, "
+            "mean_cb_milli long, mean_cr_milli long"
+        ),
+    )
+
+
 GIF_FRAMES = 4
 GIF_H, GIF_W = 16, 32  # 512 index bytes/frame: LZW table crosses the
 #                        9->10-bit width boundary on every frame, so the

@@ -77,7 +77,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # oldest-of-all and keep the due-count intact).
     "llm_d12_fuzzy_dedup",
     "llm_d13_substring_dedup",
-    "llm_d16_minhash_calibration",
     "llm_d7_neardup_clusters",
     "llm_m12_resize_luma",
     "llm_m13_wav_energy",
@@ -86,8 +85,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s1_ann_topk",
     "llm_t10_pii_redact",
     "llm_t1_text_stats",
-    # (t12/t13/t17/t26/t27/s12/s9 swapped out for the seven r11 pins
-    # below — they stay oldest-verified and lead the r12 rotation)
+    # (t12/t13/t17/t26/t27/s12/s9/d16 swapped out for the eight r11
+    # pins below — they stay oldest-verified and lead the r12 rotation)
     "src_s2_orc_events",
     "src_s3_text_events",
     "src_s5_permissive_jsonl",
@@ -102,6 +101,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m37_png_palette_luma",
     "llm_s23_hnsw_layered",
     "src_s11_xml_events",
+    "llm_m38_h264_ipcm_pixels",
 )
 
 

@@ -5811,6 +5811,62 @@ FROM luma
 """
 
 
+def m38_h264_ipcm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m36's next honest layer: decode H.264 slice DATA to PIXELS via
+    I_PCM — the spec's own raw-sample macroblock (7.4.5, mb_type 25 in
+    I slices), so the first pixel-producing layer needs no CAVLC
+    tables, only Exp-Golomb, the pcm byte-alignment rule, and the
+    4:2:0 sample order. Every payload crosses start codes, REAL
+    emulation-prevention unescape (the first three luma samples are
+    pinned to 0,0,1 — a start-code collision the escape layer must
+    neutralize in every single payload), parameter-set activation,
+    and the full slice-header walk before the sample copy; the oracle
+    restates the md5 plane layout with the pinned prefix. Entropy-
+    coded residual macroblocks (CAVLC/CABAC) remain the documented
+    extension point — and any non-I_PCM mb_type fails loudly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_ipcm_stats(
+        multimodal.with_h264_ipcm_payload(docs)
+    )
+
+
+def _m38_oracle() -> str:
+    mw, mh = multimodal.H264_PCM_MB_W, multimodal.H264_PCM_MB_H
+    ny, nc = 256 * mw * mh, 64 * mw * mh
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, i,
+         md5(CAST(doc_id AS VARCHAR) || '#pcm' || i) AS h
+  FROM documents, (SELECT unnest(range(0, {multimodal._PCM_BLOCKS})) AS i)
+),
+bytes AS (
+  SELECT doc_id, o,
+         -- the builder pins luma samples 0..2 to (0,0,1): the planted
+         -- start-code collision the escape layer must neutralize
+         CASE WHEN o < 2 THEN 0 WHEN o = 2 THEN 1 ELSE raw END AS b
+  FROM (
+    SELECT doc_id, i * 16 + j AS o,
+           CAST('0x' || substring(h, CAST(2 * j + 1 AS INT), 2) AS BIGINT)
+             AS raw
+    FROM blocks, (SELECT unnest(range(0, 16)) AS j)
+  )
+)
+SELECT doc_id,
+       CAST({16 * mw} AS BIGINT) AS width,
+       CAST({16 * mh} AS BIGINT) AS height,
+       doc_id % 16 AS frame_num,
+       CAST(sum(CASE WHEN o < {ny} THEN b END) * 1000 // {ny} AS BIGINT)
+         AS mean_y_milli,
+       CAST(min(CASE WHEN o < {ny} THEN b END) AS BIGINT) AS y_min,
+       CAST(max(CASE WHEN o < {ny} THEN b END) AS BIGINT) AS y_max,
+       CAST(sum(CASE WHEN o >= {ny} AND o < {ny + nc} THEN b END) * 1000
+            // {nc} AS BIGINT) AS mean_cb_milli,
+       CAST(sum(CASE WHEN o >= {ny + nc} THEN b END) * 1000
+            // {nc} AS BIGINT) AS mean_cr_milli
+FROM bytes GROUP BY doc_id
+"""
+
+
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m34's next honest layer (r10 verdict #6): parse the PPS and
     every SLICE HEADER of each document's Annex B stream through the
@@ -8433,6 +8489,7 @@ QUERIES: list[Query] = [
     Query("llm_m36_h264_slice_headers", m36_h264_slice_headers, _m36_oracle()),
     Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
     Query("llm_s23_hnsw_layered", s23_hnsw_layered, _s23_oracle()),
+    Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

@@ -3030,3 +3030,58 @@ def test_gif_interlaced_interop_and_roundtrip():
         fr = rng.integers(0, 256, (2, hh, ww), dtype=np.uint8)
         got, _ = C.decode_gif(C.encode_gif(fr, interlace=True))
         assert np.array_equal(got, fr), (hh, ww)
+
+
+def test_h264_ipcm_slice_pixels_roundtrip():
+    """I_PCM slice data (7.4.5): random planes survive the FULL stack
+    — Annex B escaping (random bytes guarantee emulation-prevention
+    hits), parameter-set activation, slice-header walk, per-MB
+    mb_type + pcm alignment, 4:2:0 sample order. Non-I_PCM mb_types
+    and truncated samples fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from table_demo_spark.operators import codecs as C
+
+    rng = np.random.default_rng(21)
+    sps_rbsp = C.encode_h264_sps(66, 30, 3, 2)  # 48x32
+    pps_rbsp = C.encode_h264_pps(
+        0, 0, pic_init_qp_minus26=-3, deblocking_filter_control_present=1
+    )
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    y[0, 0:3] = (0, 0, 1)  # planted start-code collision
+    cb = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    sl = C.encode_h264_ipcm_slice(sps, pps, y, cb, cr, frame_num=5,
+                                  idr_pic_id=2)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    nals = C.decode_annexb(stream)
+    ss = {0: C.decode_h264_sps(nals[0]["rbsp"])}
+    ps = {0: C.decode_h264_pps(nals[1]["rbsp"])}
+    hdr, yd, cbd, crd = C.decode_h264_ipcm_slice(
+        nals[2]["rbsp"], 5, 3, ps, ss
+    )
+    assert hdr["slice_type"] == "I" and hdr["frame_num"] == 5
+    assert hdr["idr_pic_id"] == 2
+    assert np.array_equal(yd, y)
+    assert np.array_equal(cbd, cb) and np.array_equal(crd, cr)
+    # the escape layer really fired on the planted 00 00 01 run
+    assert b"\x00\x00\x03" in stream
+    with _pytest.raises(ValueError, match="truncated I_PCM"):
+        C.decode_h264_ipcm_slice(nals[2]["rbsp"][:100], 5, 3, ps, ss)
+    with _pytest.raises(ValueError, match="I_PCM"):
+        # an I-slice whose first mb_type is NOT 25 (e.g. 0 = I_4x4)
+        hdr_only = C.encode_h264_slice_header(
+            sps, pps, 7, 0, 5, 0, idr_pic_id=2, nal_ref_idc=3
+        )
+        w = C._ExpGolombWriter()
+        w.ue(0)
+        w.align()
+        C.decode_h264_ipcm_slice(
+            hdr_only + bytes(w.out) + b"\x00" * 400, 5, 3, ps, ss
+        )
+    with _pytest.raises(ValueError):
+        C.encode_h264_ipcm_slice(sps, pps, y[:16], cb, cr)

@@ -124,6 +124,7 @@ _PYTHON_ALLOWED = {
     "llm_m36_h264_slice_headers",  # MapInPandas (PPS/slice-header parse via SPS/PPS stores)
     "llm_m37_png_palette_luma",  # MapInPandas (Adam7+palette PNG decode, numpy luma)
     "llm_s23_hnsw_layered",  # FlatMapGroupsInPandas (per-layer bucket GEMM graph builds)
+    "llm_m38_h264_ipcm_pixels",  # MapInPandas (Annex B walk + I_PCM pixel decode)
 }
 
 
