@@ -207,6 +207,7 @@ HEADLINE = [
     "llm_s23_hnsw_layered",
     "src_s11_xml_events",
     "llm_m38_h264_ipcm_pixels",
+    "llm_t35_zstd_dict_roundtrip",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

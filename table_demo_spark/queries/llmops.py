@@ -5811,6 +5811,33 @@ FROM luma
 """
 
 
+def t35_zstd_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-compressed corpus storage (the shard codec a 100 TB
+    text corpus ships with): per-source zstd dictionaries trained on
+    a bounded deterministic sample (driver-side, <= 64 docs x
+    |sources| — the t27 sample-train/full-apply split), broadcast
+    into ONE Arrow pass that compresses and re-decompresses every
+    document through the SYSTEM libzstd (ctypes — a third-party
+    codec, like the libwebp adjudication). The recovered text's
+    md5-prefix rides the value hash: a dictionary mix-up between
+    sources, a truncated frame, or a codec fault breaks the oracle
+    comparison. Measured ratios (the non-restatable quantity) live in
+    docs/SCALE.md."""
+    from table_demo_spark.operators import compress
+
+    docs = load_table(spark, sf_dir, "documents")
+    dicts = compress.train_source_dicts(docs)
+    return compress.dict_roundtrip(docs, dicts)
+
+
+T35_ORACLE = """
+SELECT doc_id, source,
+       CAST(strlen(text) AS BIGINT) AS orig_bytes,  -- strlen = BYTES in DuckDB
+       CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS recovered_sig
+FROM documents
+"""
+
+
 def m38_h264_ipcm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m36's next honest layer: decode H.264 slice DATA to PIXELS via
     I_PCM — the spec's own raw-sample macroblock (7.4.5, mb_type 25 in
@@ -8490,6 +8517,7 @@ QUERIES: list[Query] = [
     Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
     Query("llm_s23_hnsw_layered", s23_hnsw_layered, _s23_oracle()),
     Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
+    Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),
     Query("llm_t34_classifier_auc", t34_classifier_auc, _t34_oracle()),

@@ -3085,3 +3085,37 @@ def test_h264_ipcm_slice_pixels_roundtrip():
         )
     with _pytest.raises(ValueError):
         C.encode_h264_ipcm_slice(sps, pps, y[:16], cb, cr)
+
+
+def test_zstd_dict_training_pays_on_templated_corpus():
+    """The per-source dictionary actually BUYS compression on the
+    shape it exists for (small docs sharing boilerplate): dict-coded
+    frames must be smaller than dict-less ones, and both roundtrip
+    byte-exactly through the system libzstd."""
+    from table_demo_spark.operators.compress import _Zstd
+
+    zs = _Zstd()
+    boiler = (
+        b"<html><head><title>product page</title></head><body>"
+        b"standard header, navigation, breadcrumbs, footer text "
+    )
+    docs = [
+        boiler + f"item {i}: unique description {i * 97 % 1009}".encode()
+        for i in range(80)
+    ]
+    d = zs.train(docs[:64])
+    assert d, "training failed on a clearly dictionary-friendly corpus"
+    with_d = sum(len(zs.compress(x, d)) for x in docs[64:])
+    without = sum(len(zs.compress(x, b"")) for x in docs[64:])
+    assert with_d < without, (with_d, without)
+    for x in docs[64:]:
+        assert zs.decompress(zs.compress(x, d), len(x), d) == x
+        assert zs.decompress(zs.compress(x, b""), len(x), b"") == x
+    # wrong dictionary fails loudly, not silently
+    import pytest as _pytest
+
+    other = zs.train([b"completely different corpus %d" % i for i in range(64)])
+    frame = zs.compress(docs[70], d)
+    if other and other != d:
+        with _pytest.raises(ValueError):
+            zs.decompress(frame, len(docs[70]), other)
