@@ -3119,3 +3119,115 @@ def test_zstd_dict_training_pays_on_templated_corpus():
     if other and other != d:
         with _pytest.raises(ValueError):
             zs.decompress(frame, len(docs[70]), other)
+
+
+def test_h264_slice_header_property_roundtrip():
+    """Hypothesis sweep over the slice-header conditional space:
+    every combination of slice type (incl. the +5 aliases), IDR/non-
+    IDR, CAVLC/CABAC, poc_type 0/2, frame_num width, deblocking
+    presence/idc, direct flag and nal_ref_idc gating must round-trip
+    field-exactly — the branch interactions a handful of hand
+    vectors cannot cover."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators import codecs as C
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        lmfn=st.integers(0, 8),
+        poc0=st.booleans(),
+        entropy=st.booleans(),
+        deblock=st.booleans(),
+        q0=st.integers(-20, 20),
+        sel=st.integers(0, 2),
+        plus5=st.booleans(),
+        idr=st.booleans(),
+        first_mb=st.integers(0, 500),
+        frame_num=st.integers(0, 1 << 12),
+        qpd=st.integers(-10, 10),
+        poc=st.integers(0, 255),
+        direct=st.booleans(),
+        cabac=st.integers(0, 2),
+        didc=st.integers(0, 2),
+        alpha=st.integers(-6, 6),
+        beta=st.integers(-6, 6),
+        refidc=st.integers(0, 3),
+    )
+    def case(lmfn, poc0, entropy, deblock, q0, sel, plus5, idr, first_mb,
+             frame_num, qpd, poc, direct, cabac, didc, alpha, beta, refidc):
+        sps = C.decode_h264_sps(
+            C.encode_h264_sps(
+                66, 30, 12, 9, log2_max_frame_num_minus4=lmfn,
+                poc_type=0 if poc0 else 2, log2_max_poc_lsb_minus4=4,
+            )
+        )
+        pps = C.decode_h264_pps(
+            C.encode_h264_pps(
+                0, 0, pic_init_qp_minus26=q0,
+                deblocking_filter_control_present=int(deblock),
+                entropy_coding_mode=int(entropy),
+            )
+        )
+        stype_ue = (2 if idr else sel) + 5 * plus5
+        fn = frame_num % (1 << (4 + lmfn))
+        hdr = C.encode_h264_slice_header(
+            sps, pps, stype_ue, first_mb, fn, qpd,
+            idr_pic_id=poc % 64 if idr else None,
+            poc_lsb=poc if poc0 else 0,
+            direct_spatial_mv=int(direct), cabac_init_idc=cabac,
+            disable_deblocking_idc=didc, alpha_c0_offset_div2=alpha,
+            beta_offset_div2=beta, nal_ref_idc=refidc,
+        )
+        got = C.decode_h264_slice_header(
+            hdr, 5 if idr else 1, 3 if idr else refidc, {0: pps}, {0: sps}
+        )
+        assert got["first_mb"] == first_mb
+        assert got["slice_type_ue"] == stype_ue
+        assert got["frame_num"] == fn
+        assert got["poc_lsb"] == (poc if poc0 else 0)
+        assert got["slice_qp"] == 26 + q0 + qpd
+        if idr:
+            assert got["idr_pic_id"] == poc % 64
+        if got["slice_type"] == "B":
+            assert got["direct_spatial_mv"] == int(direct)
+        if entropy and got["slice_type"] not in ("I", "SI"):
+            assert got["cabac_init_idc"] == cabac
+        if deblock:
+            assert got["disable_deblocking_idc"] == didc
+            if didc != 1:
+                assert got["alpha_c0_offset"] == 2 * alpha
+                assert got["beta_offset"] == 2 * beta
+        else:
+            assert got["disable_deblocking_idc"] == -1
+
+    case()
+
+
+def test_png_palette_property_roundtrip():
+    """Hypothesis sweep over palette PNG space: any dims 1..24,
+    depth in {1,2,4,8}, both interlace modes, arbitrary indices and
+    palettes round-trip pixel-exactly through encode_png_palette /
+    decode_png."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_demo_spark.operators import codecs as C
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def case(h, w, depth, interlace, seed):
+        rng = np.random.default_rng(seed)
+        n = min(1 << depth, 256)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        got = C.decode_png(C.encode_png_palette(idx, pal, depth, interlace))
+        assert np.array_equal(got, pal[idx])
+
+    case()
