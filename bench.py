@@ -208,6 +208,8 @@ HEADLINE = [
     "src_s11_xml_events",
     "llm_m38_h264_ipcm_pixels",
     "llm_t35_zstd_dict_roundtrip",
+    "an_a75_recursive_bom",
+    "an_a76_variant_json",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -4084,6 +4084,103 @@ FROM s_a CROSS JOIN s_b CROSS JOIN s_u CROSS JOIN exact
 """
 
 
+_A75_ROOTS = 8  # BOM roots: part keys 0..7
+_A75_CATALOG = 1024  # BOM spans part keys < 1024 (depth <= 10 — the
+#                      per-LEVEL sequential join is recursion's real
+#                      cost; the catalog bound keeps it a benchable
+#                      constant while the recursion stays data-driven)
+_A75_DEPTH_CAP = 40  # recursion guard
+
+
+def a75_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup via Spark 4's NATIVE ``WITH
+    RECURSIVE`` — the classic hierarchy recursion the engine
+    previously had to unroll by hand (a37's date spine, a51's BFS,
+    a61's Bellman-Ford are fixed-depth unrolls; this one's depth
+    follows the DATA). The part table carries an implicit binary
+    tree (part k contains parts 2k and 2k+1), so each of the 8
+    roots rolls up the retail cents of its whole subtree — ~log2(|part|) recursion steps, fan-out bounded by the
+    tree. Both engines run the IDENTICAL recursive SQL; DuckDB's
+    inlining hazard does not arise (the recursive CTE is referenced
+    once)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_a75")
+    return spark.sql(f"""
+WITH RECURSIVE bom(root, pkey, cents, depth) AS (
+  SELECT p_partkey, p_partkey,
+         CAST(p_retailprice * 100 AS BIGINT), 0
+  FROM part_a75 WHERE p_partkey < {_A75_ROOTS}
+  UNION ALL
+  SELECT b.root, p.p_partkey,
+         CAST(p.p_retailprice * 100 AS BIGINT), b.depth + 1
+  FROM bom b JOIN part_a75 p
+    ON p.p_partkey IN (b.pkey * 2, b.pkey * 2 + 1)
+  WHERE b.depth < {_A75_DEPTH_CAP} AND p.p_partkey < {_A75_CATALOG}
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM bom GROUP BY root
+""")
+
+
+def _a75_oracle() -> str:
+    return f"""
+WITH RECURSIVE bom AS (
+  SELECT p_partkey AS root, p_partkey AS pkey,
+         CAST(p_retailprice * 100 AS BIGINT) AS cents, 0 AS depth
+  FROM part WHERE p_partkey < {_A75_ROOTS}
+  UNION ALL
+  SELECT b.root, p.p_partkey,
+         CAST(p.p_retailprice * 100 AS BIGINT), b.depth + 1
+  FROM bom b JOIN part p
+    ON p.p_partkey IN (b.pkey * 2, b.pkey * 2 + 1)
+  WHERE b.depth < {_A75_DEPTH_CAP} AND p.p_partkey < {_A75_CATALOG}
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM bom GROUP BY root
+"""
+
+
+def a76_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured events via Spark 4's NATIVE VARIANT type: the
+    props JSON is parsed ONCE into a binary variant column
+    (parse_json) and fields come out typed through variant_get path
+    extraction — the engine-native replacement for repeated
+    get_json_object string re-parsing (a11's shape). Per event type:
+    count, exact sum of the extracted int, and how many exceed the
+    threshold; a parse that silently nulls a field or mistypes the
+    extraction shifts the sums."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_a76"
+    )
+    return spark.sql("""
+WITH v AS (
+  SELECT event_type,
+         variant_get(parse_json(props), '$.k', 'long') AS k
+  FROM events_a76
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM v GROUP BY event_type
+""")
+
+
+A76_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN CAST(props::JSON->>'k' AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4159,4 +4256,6 @@ QUERIES: list[Query] = [
     Query("an_a72_revenue_forecast", a72_revenue_forecast, A72_ORACLE),
     Query("an_a73_shipping_delay", a73_shipping_delay, A73_ORACLE),
     Query("an_a74_audience_overlap", a74_audience_overlap, _a74_oracle()),
+    Query("an_a75_recursive_bom", a75_recursive_bom, _a75_oracle()),
+    Query("an_a76_variant_json", a76_variant_json, A76_ORACLE),
 ]
