@@ -210,6 +210,7 @@ HEADLINE = [
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",
     "an_a76_variant_json",
+    "stream_q37_dict_ingest",
     "llm_m19_color_jpeg_dc",
     "stream_q30_color_decode",
     "llm_m20_color_jpeg_parallel",

@@ -123,6 +123,68 @@ def train_source_dicts(docs: DataFrame) -> dict[str, bytes]:
     return {s: zs.train(texts) for s, texts in by_src.items()}
 
 
+def compress_frames(docs: DataFrame, dicts: dict[str, bytes]) -> DataFrame:
+    """The WRITE half (stream_q37's per-batch map): compress each
+    document with its source's broadcast dictionary and emit the
+    binary frame — what a shard writer appends to the store."""
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zs = _Zstd()
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                raw = text.encode()
+                rows.append(
+                    (int(doc_id), source, len(raw),
+                     zs.compress(raw, dicts.get(source, b"")))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "orig_bytes", "frame"]
+            )
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        apply,
+        schema="doc_id long, source string, orig_bytes long, frame binary",
+    )
+
+
+def decompress_stats(store: DataFrame, dicts: dict[str, bytes]) -> DataFrame:
+    """The READ half: decompress every stored frame with its source's
+    dictionary and emit the t35 columns (recovered md5-prefix on the
+    value hash) — the consumer-side proof that the compressed store
+    IS the corpus."""
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        zs = _Zstd()
+        for pdf in batches:
+            rows = []
+            for doc_id, source, orig_bytes, frame in zip(
+                pdf["doc_id"], pdf["source"], pdf["orig_bytes"], pdf["frame"]
+            ):
+                back = zs.decompress(
+                    bytes(frame), int(orig_bytes), dicts.get(source, b"")
+                )
+                rows.append(
+                    (int(doc_id), source, int(orig_bytes),
+                     int(hashlib.md5(back).hexdigest()[:8], 16))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "source", "orig_bytes", "recovered_sig"],
+            )
+
+    return store.select(
+        "doc_id", "source", "orig_bytes", "frame"
+    ).mapInPandas(
+        apply,
+        schema="doc_id long, source string, orig_bytes long, recovered_sig long",
+    )
+
+
 def dict_roundtrip(docs: DataFrame, dicts: dict[str, bytes]) -> DataFrame:
     """One Arrow-batched pass: compress every document with its
     source's broadcast dictionary, decompress it back, and emit the

@@ -76,15 +76,14 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # new queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact).
     "llm_d7_neardup_clusters",
-    "llm_m13_wav_energy",
     "llm_m14_png_luma",
     "llm_p16_decontaminated_split",
     "llm_s1_ann_topk",
     "llm_t10_pii_redact",
     "llm_t1_text_stats",
-    # (t12/t13/t17/t26/t27/s12/s9/d16/d12/d13/m12 swapped out for the
-    # eleven r11 pins below — they stay oldest-verified and lead the
-    # r12 rotation)
+    # (t12/t13/t17/t26/t27/s12/s9/d16/d12/d13/m12/m13 swapped out for
+    # the twelve r11 pins below — they stay oldest-verified and lead
+    # the r12 rotation)
     "src_s2_orc_events",
     "src_s3_text_events",
     "src_s5_permissive_jsonl",
@@ -103,6 +102,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",
     "an_a76_variant_json",
+    "stream_q37_dict_ingest",
 )
 
 

@@ -1408,6 +1408,29 @@ def _s22_oracle() -> str:
     return _s18_oracle(target=Q36_TARGET_BUCKET)
 
 
+def q37_dict_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-compressed shard store maintained at ingest (t35's
+    streaming leg): per-source dictionaries train offline, the drain
+    appends each arriving shard's documents as zstd frames, and the
+    queryable result DECOMPRESSES the whole store back — oracle =
+    llm_t35's (md5 of the recovered text per doc), so a frame written
+    with the wrong source's dictionary, a truncated append, or a
+    replay duplicate breaks the value hash."""
+    from table_demo_spark.operators import compress
+    from table_demo_spark.streaming.queries import run_q37_dict_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query, dicts = run_q37_dict_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return compress.decompress_stats(sink.snapshot_df(spark), dicts)
+
+
+def _q37_oracle() -> str:
+    from table_demo_spark.queries.llmops import T35_ORACLE
+
+    return T35_ORACLE
+
+
 def q31_temporal_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-table enrichment at ingest (streaming a12): each
     arriving purchase is enriched per micro-batch with the click
@@ -1669,6 +1692,7 @@ QUERIES: list[Query] = [
     Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
     Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
     Query("stream_q36_graph_reshard", q36_graph_reshard_final, _q36_oracle()),
+    Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),
 ]

@@ -2860,6 +2860,39 @@ def run_q28_media_decode(
     return sink, query
 
 
+def run_q37_dict_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Dictionary-compressed SHARD WRITING at ingest (t35's streaming
+    leg — how a 100 TB corpus store is actually produced): per-source
+    zstd dictionaries train OFFLINE on the bounded sample, broadcast
+    into the stream, and each arriving shard's documents append as
+    compressed binary frames. Stateless Arrow map per micro-batch —
+    q26's offline-train/stream-apply split applied to the storage
+    codec. Returns (sink, query)."""
+    from table_demo_spark.operators import compress
+    from table_demo_spark.sources.batch import load_table
+
+    dicts = compress.train_source_dicts(load_table(spark, sf_dir, "documents"))
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+    )
+    out = compress.compress_frames(docs, dicts)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q37-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query, dicts
+
+
 def run_q30_color_media_decode(
     spark: SparkSession,
     sf_dir: str,
