@@ -223,7 +223,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def _png_pack(vals: np.ndarray, depth: int) -> bytes:
+def _png_pack(vals: np.ndarray, depth: int) -> list[bytes]:
     """(h, w) sample values -> packed scanline bytes per row list
     (MSB-first within each byte, rows padded to byte boundaries)."""
     if depth == 8:

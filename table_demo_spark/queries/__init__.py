@@ -55,54 +55,52 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r11 LRU rotation (threshold: last verified <= r5; the rotation
+    # r12 LRU rotation (threshold: last verified <= r5; the rotation
     # test recomputes this from the committed CORRECTNESS_r*.json
-    # artifacts).  All 12 of the last-verified-r3 stragglers ...
-    "an_a13_salted_agg",
-    "an_a24_grouping_sets",
-    "an_a29_bucketed_join",
-    "an_a31_merge_into",
-    "an_a34_zorder_skipping",
-    "an_a35_funnel",
-    "an_a36_scd2_history",
-    "an_a40_cohort_retention",
-    "an_a60_event_paths",
-    "an_a62_validity_audit",
-    "llm_t15_bpe_pairs",
-    "llm_t6_winnow_fingerprints",
-    # ... plus 24 of the 26 last-verified-r4 queries (stream_q24 and
-    # stream_q6 roll into the r12 rotation with the r5 cohort; slots
-    # here get swapped for this round's NEW queries as they land —
+    # artifacts).  The full last-verified-r4 cohort (the 12 names
+    # swapped out of the r11 slate, plus stream_q6/q24 which rolled
+    # over from r11's plan) ...
+    "llm_d12_fuzzy_dedup",
+    "llm_d13_substring_dedup",
+    "llm_d16_minhash_calibration",
+    "llm_m12_resize_luma",
+    "llm_m13_wav_energy",
+    "llm_s12_two_stage_rerank",
+    "llm_s9_maxsim_topk",
+    "llm_t12_hll_cardinality",
+    "llm_t13_cms_heavy_hitters",
+    "llm_t17_zipf_buckets",
+    "llm_t26_quantile_sketch",
+    "llm_t27_bpe_sample_train",
+    "stream_q6_dedup",
+    "stream_q24_http_retract_delete",
+    # ... all 5 last-verified-r5 an_* queries (the family pin) ...
+    "an_a43_skyline",
+    "an_a44_triangle_count",
+    "an_a46_mad_outliers",
+    "an_a51_bfs_reachability",
+    "an_a63_profile_knn",
+    # ... plus 15 of the 26 last-verified-r5 llm/src/stream queries
+    # (the 11 left out — t8/s5/t14/s8/t16/m9/t25/t28/m16/s13/t29 —
+    # stay oldest-verified and lead the r13 rotation).  Trailing
+    # slots get swapped for this round's NEW queries as they land —
     # new queries have no CORRECTNESS row yet, so they count as
-    # oldest-of-all and keep the due-count intact).
-    "llm_d7_neardup_clusters",
-    "llm_m14_png_luma",
-    "llm_p16_decontaminated_split",
-    "llm_s1_ann_topk",
-    "llm_t10_pii_redact",
-    "llm_t1_text_stats",
-    # (t12/t13/t17/t26/t27/s12/s9/d16/d12/d13/m12/m13 swapped out for
-    # the twelve r11 pins below — they stay oldest-verified and lead
-    # the r12 rotation)
-    "src_s2_orc_events",
-    "src_s3_text_events",
-    "src_s5_permissive_jsonl",
-    "src_s6_compacted_events",
-    "stream_q23_http_upsert",
-    "stream_q5_interval_join",
-    # r11 new queries (no CORRECTNESS row yet -> oldest-of-all)
-    "llm_m35_vp8_color_rgb",
-    "llm_m36_h264_slice_headers",
-    "stream_q36_graph_reshard",
-    "llm_s22_serve_resharded",
-    "llm_m37_png_palette_luma",
-    "llm_s23_hnsw_layered",
-    "src_s11_xml_events",
-    "llm_m38_h264_ipcm_pixels",
-    "llm_t35_zstd_dict_roundtrip",
-    "an_a75_recursive_bom",
-    "an_a76_variant_json",
-    "stream_q37_dict_ingest",
+    # oldest-of-all and keep the due-count intact.
+    "llm_p1_prep_pipeline",
+    "llm_m6_vad_segments",
+    "llm_t20_bpe_train",
+    "llm_m17_jpeg_dc",
+    "llm_m18_jpeg_restart_parallel",
+    "src_s8_quoted_csv",
+    "stream_q7_enrich_agg",
+    "stream_q14_topk",
+    "stream_q16_hll_distinct",
+    "stream_q18_cdc_apply",
+    "stream_q22_full_outer_join",
+    "stream_q26_stream_tokenize",
+    "stream_q27_available_now",
+    "stream_q28_media_decode",
+    "stream_q29_ann_index_ingest",
 )
 
 

@@ -4107,11 +4107,11 @@ def a75_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
 WITH RECURSIVE bom(root, pkey, cents, depth) AS (
   SELECT p_partkey, p_partkey,
-         CAST(p_retailprice * 100 AS BIGINT), 0
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0
   FROM part_a75 WHERE p_partkey < {_A75_ROOTS}
   UNION ALL
   SELECT b.root, p.p_partkey,
-         CAST(p.p_retailprice * 100 AS BIGINT), b.depth + 1
+         CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT), b.depth + 1
   FROM bom b JOIN part_a75 p
     ON p.p_partkey IN (b.pkey * 2, b.pkey * 2 + 1)
   WHERE b.depth < {_A75_DEPTH_CAP} AND p.p_partkey < {_A75_CATALOG}
@@ -4128,11 +4128,11 @@ def _a75_oracle() -> str:
     return f"""
 WITH RECURSIVE bom AS (
   SELECT p_partkey AS root, p_partkey AS pkey,
-         CAST(p_retailprice * 100 AS BIGINT) AS cents, 0 AS depth
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, 0 AS depth
   FROM part WHERE p_partkey < {_A75_ROOTS}
   UNION ALL
   SELECT b.root, p.p_partkey,
-         CAST(p.p_retailprice * 100 AS BIGINT), b.depth + 1
+         CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT), b.depth + 1
   FROM bom b JOIN part p
     ON p.p_partkey IN (b.pkey * 2, b.pkey * 2 + 1)
   WHERE b.depth < {_A75_DEPTH_CAP} AND p.p_partkey < {_A75_CATALOG}

@@ -2873,7 +2873,7 @@ def run_q37_dict_ingest(
     into the stream, and each arriving shard's documents append as
     compressed binary frames. Stateless Arrow map per micro-batch —
     q26's offline-train/stream-apply split applied to the storage
-    codec. Returns (sink, query)."""
+    codec. Returns (sink, query, dicts)."""
     from table_demo_spark.operators import compress
     from table_demo_spark.sources.batch import load_table
 
