@@ -5785,6 +5785,37 @@ def encode_h264_slice_header(
     bytes for the undecoded macroblock layer. ``idr_pic_id`` not None
     marks an IDR (nal type 5) header."""
     bw = _ExpGolombWriter()
+    _h264_put_slice_header(
+        bw, sps, pps, slice_type_ue, first_mb, frame_num, slice_qp_delta,
+        idr_pic_id, poc_lsb, direct_spatial_mv, cabac_init_idc,
+        disable_deblocking_idc, alpha_c0_offset_div2, beta_offset_div2,
+        nal_ref_idc,
+    )
+    bw.align()
+    return bytes(bw.out)
+
+
+def _h264_put_slice_header(
+    bw: "_ExpGolombWriter",
+    sps: dict,
+    pps: dict,
+    slice_type_ue: int,
+    first_mb: int,
+    frame_num: int,
+    slice_qp_delta: int,
+    idr_pic_id=None,
+    poc_lsb: int = 0,
+    direct_spatial_mv: int = 1,
+    cabac_init_idc: int = 0,
+    disable_deblocking_idc: int = 0,
+    alpha_c0_offset_div2: int = 0,
+    beta_offset_div2: int = 0,
+    nal_ref_idc: int = 2,
+) -> None:
+    """Slice-header field walk (7.3.3) onto an OPEN writer — no
+    trailing alignment, so slice DATA can continue bit-contiguous
+    (the CAVLC path needs this; I_PCM's writer byte-aligns
+    separately)."""
     stype = H264_SLICE_TYPES[slice_type_ue % 5]
     bw.ue(first_mb)
     bw.ue(slice_type_ue)
@@ -5816,8 +5847,6 @@ def encode_h264_slice_header(
         if disable_deblocking_idc != 1:
             bw.se(alpha_c0_offset_div2)
             bw.se(beta_offset_div2)
-    bw.align()
-    return bytes(bw.out)
 
 
 def decode_h264_slice_header(
@@ -6083,3 +6112,671 @@ def decode_h264_stream(data: bytes) -> list[dict]:
                 )
             )
     return slices
+
+
+# ---------------------------------------------------------------------------
+# H.264 CAVLC residual layer (ISO/IEC 14496-10 section 9.2) — the
+# entropy-coded slice-data layer under m38's I_PCM: coeff_token /
+# trailing-one signs / level_prefix+suffix / total_zeros / run_before,
+# through Intra_16x16 reconstruction (4x4 luma DC Hadamard 8.5.10,
+# dequant 8.5.12.1, the integer inverse 4x4 transform 8.5.12.2, 2x2
+# chroma DC 8.5.11, and Intra16x16/chroma DC prediction 8.3.3/8.3.4).
+#
+# NORMATIVE TABLES, stated explicitly (the r10 VP8L rule: never derive
+# them from roundtrips).  Adjudication, honestly declared: no H.264
+# decoder ships in this container (re-probed r12), so the tables below
+# rest on (a) two independent recalls of the published spec tables —
+# the codeword-column form and the widely-mirrored length/value form —
+# written separately and cross-checked cell by cell, (b) structural
+# validation in tests/test_h264_cavlc.py: every table is prefix-free
+# and its Kraft deficit sits EXACTLY on the all-zeros codewords
+# (H.264's start-code-emulation-avoidance design: CT0 frees the two
+# 16-bit near-zero words, CT2 and TZ[1] and RB[7] free precisely their
+# all-zeros word), and (c) the published Richardson worked example,
+# pinned bit-for-bit (coeff_token(5,3) ctx0 + levels + total_zeros +
+# run_before).  Cells with TotalCoeff >= 13 in contexts 1-2 carry the
+# least external evidence; they are covered by per-cell encode/decode
+# roundtrips only.
+# ---------------------------------------------------------------------------
+
+_CAVLC_CT = (
+    # 0 <= nC < 2
+    {
+        (0, 0): "1",
+        (1, 0): "000101", (1, 1): "01",
+        (2, 0): "00000111", (2, 1): "000100", (2, 2): "001",
+        (3, 0): "000000111", (3, 1): "00000110", (3, 2): "0000101",
+        (3, 3): "00011",
+        (4, 0): "0000000111", (4, 1): "000000110", (4, 2): "00000101",
+        (4, 3): "000011",
+        (5, 0): "00000000111", (5, 1): "0000000110", (5, 2): "000000101",
+        (5, 3): "0000100",
+        (6, 0): "0000000001111", (6, 1): "00000000110", (6, 2): "0000000101",
+        (6, 3): "00000100",
+        (7, 0): "0000000001011", (7, 1): "0000000001110",
+        (7, 2): "00000000101", (7, 3): "000000100",
+        (8, 0): "0000000001000", (8, 1): "0000000001010",
+        (8, 2): "0000000001101", (8, 3): "0000000100",
+        (9, 0): "00000000001111", (9, 1): "00000000001110",
+        (9, 2): "0000000001001", (9, 3): "00000000100",
+        (10, 0): "00000000001011", (10, 1): "00000000001010",
+        (10, 2): "00000000001101", (10, 3): "0000000001100",
+        (11, 0): "000000000001111", (11, 1): "000000000001110",
+        (11, 2): "00000000001001", (11, 3): "00000000001100",
+        (12, 0): "000000000001011", (12, 1): "000000000001010",
+        (12, 2): "000000000001101", (12, 3): "00000000001000",
+        (13, 0): "0000000000001111", (13, 1): "000000000000001",
+        (13, 2): "000000000001001", (13, 3): "000000000001100",
+        (14, 0): "0000000000001011", (14, 1): "0000000000001110",
+        (14, 2): "0000000000001101", (14, 3): "000000000001000",
+        (15, 0): "0000000000000111", (15, 1): "0000000000001010",
+        (15, 2): "0000000000001001", (15, 3): "0000000000001100",
+        (16, 0): "0000000000000100", (16, 1): "0000000000000110",
+        (16, 2): "0000000000000101", (16, 3): "0000000000001000",
+    },
+    # 2 <= nC < 4
+    {
+        (0, 0): "11",
+        (1, 0): "001011", (1, 1): "10",
+        (2, 0): "000111", (2, 1): "00111", (2, 2): "011",
+        (3, 0): "0000111", (3, 1): "001010", (3, 2): "001001", (3, 3): "0101",
+        (4, 0): "00000111", (4, 1): "000110", (4, 2): "000101", (4, 3): "0100",
+        (5, 0): "00000100", (5, 1): "0000110", (5, 2): "0000101",
+        (5, 3): "00110",
+        (6, 0): "000000111", (6, 1): "00000110", (6, 2): "00000101",
+        (6, 3): "001000",
+        (7, 0): "00000001111", (7, 1): "000000110", (7, 2): "000000101",
+        (7, 3): "000100",
+        (8, 0): "00000001011", (8, 1): "00000001110", (8, 2): "00000001101",
+        (8, 3): "0000100",
+        (9, 0): "000000001111", (9, 1): "00000001010", (9, 2): "00000001001",
+        (9, 3): "000000100",
+        (10, 0): "000000001011", (10, 1): "000000001110",
+        (10, 2): "000000001101", (10, 3): "00000001100",
+        (11, 0): "000000001000", (11, 1): "000000001010",
+        (11, 2): "000000001001", (11, 3): "00000001000",
+        (12, 0): "0000000001111", (12, 1): "0000000001110",
+        (12, 2): "0000000001101", (12, 3): "000000001100",
+        (13, 0): "0000000001011", (13, 1): "0000000001010",
+        (13, 2): "0000000001001", (13, 3): "0000000001100",
+        (14, 0): "0000000000111", (14, 1): "00000000001011",
+        (14, 2): "00000000001010", (14, 3): "0000000001000",
+        (15, 0): "00000000001001", (15, 1): "00000000001000",
+        (15, 2): "00000000001101", (15, 3): "0000000000001",
+        (16, 0): "00000000000111", (16, 1): "00000000000110",
+        (16, 2): "00000000000101", (16, 3): "00000000000100",
+    },
+    # 4 <= nC < 8
+    {
+        (0, 0): "1111",
+        (1, 0): "001111", (1, 1): "1110",
+        (2, 0): "001011", (2, 1): "01111", (2, 2): "1101",
+        (3, 0): "001000", (3, 1): "01100", (3, 2): "01110", (3, 3): "1100",
+        (4, 0): "0001111", (4, 1): "01010", (4, 2): "01011", (4, 3): "1011",
+        (5, 0): "0001011", (5, 1): "01000", (5, 2): "01001", (5, 3): "1010",
+        (6, 0): "0001001", (6, 1): "001110", (6, 2): "001101", (6, 3): "1001",
+        (7, 0): "0001000", (7, 1): "001010", (7, 2): "001001", (7, 3): "1000",
+        (8, 0): "00001111", (8, 1): "0001110", (8, 2): "0001101",
+        (8, 3): "01101",
+        (9, 0): "00001011", (9, 1): "00001110", (9, 2): "0001010",
+        (9, 3): "001100",
+        (10, 0): "000001111", (10, 1): "00001010", (10, 2): "00001101",
+        (10, 3): "0001100",
+        (11, 0): "000001011", (11, 1): "000001110", (11, 2): "00001001",
+        (11, 3): "00001100",
+        (12, 0): "000001000", (12, 1): "000001010", (12, 2): "000001101",
+        (12, 3): "00001000",
+        (13, 0): "0000001101", (13, 1): "000000111", (13, 2): "000001001",
+        (13, 3): "000001100",
+        (14, 0): "0000001001", (14, 1): "0000001100", (14, 2): "0000001011",
+        (14, 3): "0000001010",
+        (15, 0): "0000000101", (15, 1): "0000001000", (15, 2): "0000000111",
+        (15, 3): "0000000110",
+        (16, 0): "0000000001", (16, 1): "0000000100", (16, 2): "0000000011",
+        (16, 3): "0000000010",
+    },
+)
+
+# nC == -1: chroma DC, 4:2:0 (Table 9-5 last column)
+_CAVLC_CT_CHROMA = {
+    (0, 0): "01",
+    (1, 0): "000111", (1, 1): "1",
+    (2, 0): "000100", (2, 1): "000110", (2, 2): "001",
+    (3, 0): "000011", (3, 1): "0000011", (3, 2): "0000010", (3, 3): "000101",
+    (4, 0): "000010", (4, 1): "00000011", (4, 2): "00000010", (4, 3): "0000000",
+}
+
+# Table 9-7: total_zeros for 4x4 blocks, indexed by TotalCoeff
+_CAVLC_TZ = {
+    1: {0: "1", 1: "011", 2: "010", 3: "0011", 4: "0010", 5: "00011",
+        6: "00010", 7: "000011", 8: "000010", 9: "0000011", 10: "0000010",
+        11: "00000011", 12: "00000010", 13: "000000011", 14: "000000010",
+        15: "000000001"},
+    2: {0: "111", 1: "110", 2: "101", 3: "100", 4: "011", 5: "0101",
+        6: "0100", 7: "0011", 8: "0010", 9: "00011", 10: "00010",
+        11: "000011", 12: "000010", 13: "000001", 14: "000000"},
+    3: {0: "0101", 1: "111", 2: "110", 3: "101", 4: "0100", 5: "0011",
+        6: "100", 7: "011", 8: "0010", 9: "00011", 10: "00010",
+        11: "000001", 12: "00001", 13: "000000"},
+    4: {0: "00011", 1: "111", 2: "0101", 3: "0100", 4: "110", 5: "101",
+        6: "100", 7: "0011", 8: "011", 9: "0010", 10: "00010",
+        11: "00001", 12: "00000"},
+    5: {0: "0101", 1: "0100", 2: "0011", 3: "111", 4: "110", 5: "101",
+        6: "100", 7: "011", 8: "0010", 9: "00001", 10: "0001",
+        11: "00000"},
+    6: {0: "000001", 1: "00001", 2: "111", 3: "110", 4: "101", 5: "100",
+        6: "011", 7: "010", 8: "0001", 9: "001", 10: "000000"},
+    7: {0: "000001", 1: "00001", 2: "101", 3: "100", 4: "011", 5: "11",
+        6: "010", 7: "0001", 8: "001", 9: "000000"},
+    8: {0: "000001", 1: "0001", 2: "00001", 3: "011", 4: "11", 5: "10",
+        6: "010", 7: "001", 8: "000000"},
+    9: {0: "000001", 1: "000000", 2: "0001", 3: "11", 4: "10", 5: "001",
+        6: "01", 7: "00001"},
+    10: {0: "00001", 1: "00000", 2: "001", 3: "11", 4: "10", 5: "01",
+         6: "0001"},
+    11: {0: "0000", 1: "0001", 2: "001", 3: "010", 4: "1", 5: "011"},
+    12: {0: "0000", 1: "0001", 2: "01", 3: "1", 4: "001"},
+    13: {0: "000", 1: "001", 2: "1", 3: "01"},
+    14: {0: "00", 1: "01", 2: "1"},
+    15: {0: "0", 1: "1"},
+}
+
+# Table 9-9(a): total_zeros for chroma DC (4:2:0, maxNumCoeff 4)
+_CAVLC_TZ_CHROMA = {
+    1: {0: "1", 1: "01", 2: "001", 3: "000"},
+    2: {0: "1", 1: "01", 2: "00"},
+    3: {0: "1", 1: "0"},
+}
+
+# Table 9-10: run_before, indexed by min(zerosLeft, 7)
+_CAVLC_RB = {
+    1: {0: "1", 1: "0"},
+    2: {0: "1", 1: "01", 2: "00"},
+    3: {0: "11", 1: "10", 2: "01", 3: "00"},
+    4: {0: "11", 1: "10", 2: "01", 3: "001", 4: "000"},
+    5: {0: "11", 1: "10", 2: "011", 3: "010", 4: "001", 5: "000"},
+    6: {0: "11", 1: "000", 2: "001", 3: "011", 4: "010", 5: "101",
+        6: "100"},
+    7: {0: "111", 1: "110", 2: "101", 3: "100", 4: "011", 5: "010",
+        6: "001", 7: "0001", 8: "00001", 9: "000001", 10: "0000001",
+        11: "00000001", 12: "000000001", 13: "0000000001",
+        14: "00000000001"},
+}
+
+# 4x4 zigzag scan (Table 8-13, frame coding): scan position -> raster
+H264_ZIGZAG_4x4 = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# LevelScale weights (Table for 8.5.12.1): per qP%6, by raster-position
+# class — corners {(0,0),(0,2),(2,0),(2,2)}, centers {(1,1),(1,3),
+# (3,1),(3,3)}, others
+_H264_LS_CORNER = (10, 11, 13, 14, 16, 18)
+_H264_LS_CENTER = (16, 18, 20, 23, 25, 29)
+_H264_LS_OTHER = (13, 14, 16, 18, 20, 23)
+
+# Chroma QP mapping (Table 8-15) for qPi in [30, 51]; below 30, QPc=qPi
+_H264_CHROMA_QP_TAIL = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
+                        37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+
+
+def h264_levelscale(m: int, i: int, j: int) -> int:
+    """LevelScale(qP%6, i, j) for the flat (no-scaling-list) case."""
+    if (i % 2, j % 2) == (0, 0):
+        return _H264_LS_CORNER[m]
+    if (i % 2, j % 2) == (1, 1):
+        return _H264_LS_CENTER[m]
+    return _H264_LS_OTHER[m]
+
+
+def h264_chroma_qp(q_pi: int) -> int:
+    """qPi -> QPc (Table 8-15)."""
+    if q_pi < 30:
+        return q_pi
+    return _H264_CHROMA_QP_TAIL[min(q_pi, 51) - 30]
+
+
+def _cavlc_decode_tables():
+    """(lazy, cached) decode maps: {(length, value): symbol}."""
+    global _CAVLC_DEC
+    try:
+        return _CAVLC_DEC
+    except NameError:
+        pass
+
+    def inv(tbl):
+        return {(len(c), int(c, 2)): sym for sym, c in tbl.items()}
+
+    _CAVLC_DEC = {
+        "ct": tuple(inv(t) for t in _CAVLC_CT),
+        "ct_chroma": inv(_CAVLC_CT_CHROMA),
+        "tz": {k: inv(t) for k, t in _CAVLC_TZ.items()},
+        "tz_chroma": {k: inv(t) for k, t in _CAVLC_TZ_CHROMA.items()},
+        "rb": {k: inv(t) for k, t in _CAVLC_RB.items()},
+    }
+    return _CAVLC_DEC
+
+
+def _vlc_read(br: "_BitReader", dec: dict, what: str):
+    """Read one codeword from a {(len, value): symbol} map, extending
+    bit by bit (max codeword length in any CAVLC table is 16)."""
+    v = 0
+    for n in range(1, 17):
+        v = (v << 1) | br.bits(1)
+        sym = dec.get((n, v))
+        if sym is not None:
+            return sym
+    raise ValueError(f"H264: invalid {what} codeword")
+
+
+def _cavlc_ct_context(n_c: int) -> int:
+    return 0 if n_c < 2 else 1 if n_c < 4 else 2
+
+
+def cavlc_encode_block(
+    bw: "_BitWriter", coeffs, n_c: int, max_coeff: int
+) -> int:
+    """CAVLC-encode one residual block (9.2, encoder direction).
+    ``coeffs`` are the levels in SCAN order (zigzag for 4x4, raster
+    for the 2x2 chroma DC), length ``max_coeff``.  ``n_c`` is the
+    coeff_token context (-1 for chroma DC).  Returns TotalCoeff."""
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    total = len(nz)
+    # trailing ones: up to three |1| levels at the scan tail
+    t1 = 0
+    while t1 < 3 and t1 < total and abs(nz[total - 1 - t1][1]) == 1:
+        t1 += 1
+    if n_c == -1:
+        code = _CAVLC_CT_CHROMA[(total, t1)]
+        bw.put(int(code, 2), len(code))
+    elif n_c < 8:
+        code = _CAVLC_CT[_cavlc_ct_context(n_c)][(total, t1)]
+        bw.put(int(code, 2), len(code))
+    else:  # 6-bit FLC: xxxxyy, except (0,0) -> 000011
+        bw.put(3 if total == 0 else ((total - 1) << 2) | t1, 6)
+    if total == 0:
+        return 0
+    for k in range(t1):  # trailing-one signs, reverse scan order
+        bw.put(1 if nz[total - 1 - k][1] < 0 else 0, 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for k in range(t1, total):  # remaining levels, reverse scan order
+        level = nz[total - 1 - k][1]
+        lc = 2 * level - 2 if level > 0 else -2 * level - 1
+        if k == t1 and t1 < 3:
+            lc -= 2
+        if suffix_len == 0:
+            if lc < 14:
+                bw.unary(lc)
+            elif lc < 30:
+                bw.unary(14)
+                bw.put(lc - 14, 4)
+            else:
+                esc, width = lc - 30, 12
+                prefix = 15
+                while esc >= (1 << width):
+                    # level_prefix >= 16: each step doubles the suffix
+                    esc -= 1 << width
+                    prefix += 1
+                    width += 1
+                bw.unary(prefix)
+                bw.put(esc, width)
+        else:
+            if lc < (15 << suffix_len):
+                bw.unary(lc >> suffix_len)
+                bw.put(lc & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                esc, width = lc - (15 << suffix_len), 12
+                prefix = 15
+                while esc >= (1 << width):
+                    esc -= 1 << width
+                    prefix += 1
+                    width += 1
+                bw.unary(prefix)
+                bw.put(esc, width)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros + run_before
+    last_idx = nz[-1][0]
+    total_zeros = last_idx + 1 - total
+    if total < max_coeff:
+        tz_tbl = (
+            _CAVLC_TZ_CHROMA[total] if n_c == -1 else _CAVLC_TZ[total]
+        )
+        code = tz_tbl[total_zeros]
+        bw.put(int(code, 2), len(code))
+    zeros_left = total_zeros
+    for k in range(total - 1, 0, -1):  # from last coeff down to second
+        if zeros_left == 0:
+            break
+        run = nz[k][0] - nz[k - 1][0] - 1
+        code = _CAVLC_RB[min(zeros_left, 7)][run]
+        bw.put(int(code, 2), len(code))
+        zeros_left -= run
+    return total
+
+
+def cavlc_decode_block(br: "_BitReader", n_c: int, max_coeff: int):
+    """CAVLC-decode one residual block (9.2, decoder direction).
+    Returns (levels in scan order — length ``max_coeff`` — ,
+    TotalCoeff)."""
+    dec = _cavlc_decode_tables()
+    if n_c == -1:
+        total, t1 = _vlc_read(br, dec["ct_chroma"], "coeff_token")
+    elif n_c < 8:
+        total, t1 = _vlc_read(
+            br, dec["ct"][_cavlc_ct_context(n_c)], "coeff_token"
+        )
+    else:
+        v = br.bits(6)
+        total, t1 = (0, 0) if v == 3 else ((v >> 2) + 1, v & 3)
+    out = [0] * max_coeff
+    if total == 0:
+        return out, 0
+    if total > max_coeff:
+        raise ValueError("H264: coeff_token exceeds block size")
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if br.bits(1) else 1)
+    suffix_len = 1 if total > 10 and t1 < 3 else 0
+    for k in range(t1, total):
+        prefix = br.unary()
+        if prefix > 19:
+            raise ValueError("H264: runaway level_prefix")
+        if suffix_len == 0:
+            sfx_size = 4 if prefix == 14 else (
+                prefix - 3 if prefix >= 15 else 0
+            )
+        else:
+            sfx_size = prefix - 3 if prefix >= 15 else suffix_len
+        lc = (min(15, prefix) << suffix_len) + (
+            br.bits(sfx_size) if sfx_size else 0
+        )
+        if prefix >= 15 and suffix_len == 0:
+            lc += 15
+        if prefix >= 16:
+            lc += (1 << (prefix - 3)) - 4096
+        if k == t1 and t1 < 3:
+            lc += 2
+        level = (lc + 2) >> 1 if lc % 2 == 0 else -((lc + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_coeff:
+        tz_dec = (
+            dec["tz_chroma"][total] if n_c == -1 else dec["tz"][total]
+        )
+        total_zeros = _vlc_read(br, tz_dec, "total_zeros")
+    else:
+        total_zeros = 0
+    runs = [0] * total
+    zeros_left = total_zeros
+    for k in range(total - 1):
+        if zeros_left == 0:
+            break
+        run = _vlc_read(br, dec["rb"][min(zeros_left, 7)], "run_before")
+        runs[total - 1 - k] = run
+        zeros_left -= run
+    runs[0] = zeros_left
+    idx = -1
+    for k in range(total):
+        idx += runs[k] + 1
+        if idx >= max_coeff:
+            raise ValueError("H264: run_before overruns block")
+        out[idx] = levels[total - 1 - k]
+    return out, total
+
+
+def _h264_blk_xy(idx: int) -> tuple[int, int]:
+    """Luma 4x4 coding order (8x8 quadrant raster, then 2x2 raster
+    within) -> spatial (x4, y4) in 4-sample units (Figure 6-10)."""
+    return (
+        ((idx >> 2) & 1) * 2 + (idx & 1),
+        ((idx >> 3) & 1) * 2 + ((idx >> 1) & 1),
+    )
+
+
+def _h264_nc(nnz_cur, nnz_prev, x4: int, y4: int) -> int:
+    """coeff_token context nC for luma block (x4, y4) of the current
+    MB (9.2.1): mean of the available left/right... left/top
+    neighbours' TotalCoeff, rounded up; 0 if neither is available.
+    Single-MB-row scope: the top neighbour never crosses an MB edge
+    (callers enforce mb_height == 1)."""
+    if x4 > 0:
+        na = nnz_cur[y4][x4 - 1]
+    elif nnz_prev is not None:
+        na = nnz_prev[y4][3]
+    else:
+        na = None
+    nb = nnz_cur[y4 - 1][x4] if y4 > 0 else None
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _h264_idct4(d: "np.ndarray") -> "np.ndarray":
+    """Integer inverse 4x4 transform (8.5.12.2) on dequantized
+    coefficients: row pass, column pass, then (x + 32) >> 6.  numpy
+    int64 >> is an arithmetic (floor) shift, matching the spec."""
+    import numpy as np
+
+    d = d.astype(np.int64)
+    e = np.empty((4, 4), np.int64)
+    for r in range(4):
+        d0, d1, d2, d3 = d[r]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        e[r] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    out = np.empty((4, 4), np.int64)
+    for c in range(4):
+        d0, d1, d2, d3 = e[:, c]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        out[:, c] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    return (out + 32) >> 6
+
+
+_H264_HADAMARD4 = (
+    (1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1),
+)
+
+
+def _h264_luma_dc_dequant(f: "np.ndarray", qp: int) -> "np.ndarray":
+    """Intra16x16 luma DC path (8.5.10): inverse 4x4 Hadamard on the
+    parsed levels, then the DC-specific scaling with its qP < 36
+    rounding branch."""
+    import numpy as np
+
+    h = np.array(_H264_HADAMARD4, np.int64)
+    g = h @ f.astype(np.int64) @ h
+    v = h264_levelscale(qp % 6, 0, 0)
+    if qp >= 36:
+        return (g * v) << (qp // 6 - 6)
+    return (g * v + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _h264_chroma_dc_dequant(f: "np.ndarray", qpc: int) -> "np.ndarray":
+    """Chroma DC path (8.5.11): inverse 2x2 Hadamard, then
+    ((g * LS) << (qPc / 6)) >> 5."""
+    import numpy as np
+
+    h = np.array(((1, 1), (1, -1)), np.int64)
+    g = h @ f.astype(np.int64) @ h
+    return ((g * h264_levelscale(qpc % 6, 0, 0)) << (qpc // 6)) >> 5
+
+
+def encode_h264_i16x16_slice(
+    sps: dict, pps: dict, mbs, frame_num: int = 0, idr_pic_id: int = 0,
+) -> bytes:
+    """Write an IDR I slice of Intra_16x16 macroblocks with CAVLC
+    residual data (7.3.5.3 / 9.2) — mb_type 19 (DC prediction,
+    CodedBlockPatternChroma 1, CodedBlockPatternLuma 15).  This is a
+    fixture SYNTHESIZER, not a rate-distortion encoder: each MB dict
+    carries chosen coded-domain levels — ``dc`` (4,4) Hadamard-domain
+    Intra16x16DCLevel, ``ac`` (4,4,4,4) raster [y4][x4] 4x4 AC blocks
+    (position (0,0) must be 0), ``cb_dc``/``cr_dc`` (2,2) chroma DC —
+    and the writer emits the exact spec bitstream for them, slice
+    data bit-contiguous with the header (no alignment).  Single MB
+    row only (mb_height == 1): nC's cross-MB top neighbour is the
+    documented extension point."""
+    if sps["mb_height"] != 1:
+        raise ValueError("H264 CAVLC layer: single MB row only")
+    if len(mbs) != sps["mb_width"]:
+        raise ValueError("one MB dict per SPS mb column")
+    bw = _ExpGolombWriter()
+    _h264_put_slice_header(
+        bw, sps, pps, 7, 0, frame_num, 0,
+        idr_pic_id=idr_pic_id, poc_lsb=0, nal_ref_idc=3,
+    )
+    nnz_prev = None
+    for mb in mbs:
+        bw.ue(19)  # Intra_16x16, pred DC, cbpChroma 1, cbpLuma 15
+        bw.ue(0)   # intra_chroma_pred_mode: DC
+        bw.se(0)   # mb_qp_delta
+        nnz = [[0] * 4 for _ in range(4)]
+        dc_scan = [int(mb["dc"].flat[z]) for z in H264_ZIGZAG_4x4]
+        cavlc_encode_block(bw, dc_scan, _h264_nc(nnz, nnz_prev, 0, 0), 16)
+        for idx in range(16):
+            x4, y4 = _h264_blk_xy(idx)
+            blk = mb["ac"][y4][x4]
+            if blk.flat[0] != 0:
+                raise ValueError("AC block position (0,0) must be 0")
+            scan = [int(blk.flat[z]) for z in H264_ZIGZAG_4x4[1:]]
+            n_c = _h264_nc(nnz, nnz_prev, x4, y4)
+            nnz[y4][x4] = cavlc_encode_block(bw, scan, n_c, 15)
+        for plane in ("cb_dc", "cr_dc"):
+            cavlc_encode_block(
+                bw, [int(v) for v in mb[plane].flat], -1, 4
+            )
+        nnz_prev = nnz
+    bw.put(1, 1)  # rbsp_stop_one_bit
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_i16x16_slice(
+    rbsp: bytes, nal_type: int, nal_ref_idc: int, pps_store: dict,
+    sps_store: dict,
+):
+    """Decode an Intra_16x16 CAVLC slice to PIXELS: slice header
+    through the parameter-set stores, then per MB the 7.3.5 walk —
+    mb_type, intra_chroma_pred_mode, mb_qp_delta, Intra16x16DCLevel,
+    16 ACLevel blocks, 2 chroma DC blocks — with full nC bookkeeping,
+    the 8.5.10/8.5.11/8.5.12 dequant + inverse transforms, and
+    Intra16x16 DC / chroma DC prediction (8.3.3.1 / 8.3.4).  Returns
+    (header, luma, cb, cr, total_coeff).  Non-DC intra prediction
+    modes, chroma AC (cbpChroma 2), and multi-row pictures fail
+    loudly (documented extension points)."""
+    import numpy as np
+
+    hdr = decode_h264_slice_header(
+        rbsp, nal_type, nal_ref_idc, pps_store, sps_store
+    )
+    pps = pps_store[hdr["pps_id"]]
+    sps = sps_store[pps["sps_id"]]
+    if sps["mb_height"] != 1:
+        raise ValueError("H264 CAVLC layer: single MB row only")
+    mb_w = sps["mb_width"]
+    br = _BitReader(rbsp)
+    _h264_skip_slice_header(br, nal_type, nal_ref_idc, pps_store, sps_store)
+    y = np.zeros((16, 16 * mb_w), np.uint8)
+    cb = np.zeros((8, 8 * mb_w), np.uint8)
+    cr = np.zeros((8, 8 * mb_w), np.uint8)
+    qp = hdr["slice_qp"]
+    nnz_prev = None
+    total_coeff = 0
+    for m in range(mb_w):
+        mb_type = _expgolomb_ue(br)
+        if not 1 <= mb_type <= 24:
+            raise ValueError(
+                f"H264: only Intra_16x16 mb_type supported, got {mb_type}"
+            )
+        k = mb_type - 1
+        pred_mode, cbp_chroma = k % 4, (k // 4) % 3
+        cbp_luma = 15 if k >= 12 else 0
+        if pred_mode != 2:
+            raise ValueError(
+                "H264: only Intra_16x16 DC prediction implemented"
+                f" (mode {pred_mode} is the documented extension point)"
+            )
+        if cbp_chroma == 2:
+            raise ValueError(
+                "H264: chroma AC residuals are the documented extension"
+                " point"
+            )
+        if _expgolomb_ue(br) != 0:
+            raise ValueError("H264: only chroma DC prediction implemented")
+        qp = qp + _expgolomb_se(br)  # mb_qp_delta
+        qpc = h264_chroma_qp(qp + pps["chroma_qp_index_offset"])
+        nnz = [[0] * 4 for _ in range(4)]
+        dc_scan, n = cavlc_decode_block(
+            br, _h264_nc(nnz, nnz_prev, 0, 0), 16
+        )
+        total_coeff += n
+        f_dc = np.zeros(16, np.int64)
+        f_dc[list(H264_ZIGZAG_4x4)] = dc_scan
+        dc = _h264_luma_dc_dequant(f_dc.reshape(4, 4), qp)
+        ac = np.zeros((4, 4, 4, 4), np.int64)
+        if cbp_luma:
+            for idx in range(16):
+                x4, y4 = _h264_blk_xy(idx)
+                scan, n = cavlc_decode_block(
+                    br, _h264_nc(nnz, nnz_prev, x4, y4), 15
+                )
+                nnz[y4][x4] = n
+                total_coeff += n
+                flat = np.zeros(16, np.int64)
+                flat[list(H264_ZIGZAG_4x4[1:])] = scan
+                ac[y4][x4] = flat.reshape(4, 4)
+        # luma reconstruction: DC prediction, then per-block dequant
+        # + inverse transform
+        if m == 0:
+            pred = 128
+        else:
+            pred = (int(y[:, 16 * m - 1].astype(np.int64).sum()) + 8) >> 4
+        vshift = qp // 6
+        m6 = qp % 6
+        ls = np.array(
+            [[h264_levelscale(m6, i, j) for j in range(4)]
+             for i in range(4)], np.int64,
+        )
+        for y4 in range(4):
+            for x4 in range(4):
+                d = (ac[y4][x4] * ls) << vshift
+                d[0, 0] = dc[y4, x4]
+                res = _h264_idct4(d)
+                px = np.clip(pred + res, 0, 255).astype(np.uint8)
+                y[4 * y4:4 * y4 + 4, 16 * m + 4 * x4:16 * m + 4 * x4 + 4] = px
+        # chroma: 2x2 DC path, DC-only 4x4 blocks are uniform
+        for plane, tgt in (("cb", cb), ("cr", cr)):
+            if cbp_chroma:
+                scan, n = cavlc_decode_block(br, -1, 4)
+                total_coeff += n
+                dcc = _h264_chroma_dc_dequant(
+                    np.array(scan, np.int64).reshape(2, 2), qpc
+                )
+            else:
+                dcc = np.zeros((2, 2), np.int64)
+            for y2 in range(2):
+                for x2 in range(2):
+                    if m == 0 and x2 == 0:
+                        p = 128
+                    elif x2 == 0:
+                        edge = tgt[4 * y2:4 * y2 + 4, 8 * m - 1]
+                        p = (int(edge.astype(np.int64).sum()) + 2) >> 2
+                    else:
+                        edge = tgt[
+                            4 * y2:4 * y2 + 4, 8 * m + 3
+                        ]
+                        p = (int(edge.astype(np.int64).sum()) + 2) >> 2
+                    res = (int(dcc[y2, x2]) + 32) >> 6
+                    tgt[
+                        4 * y2:4 * y2 + 4, 8 * m + 4 * x2:8 * m + 4 * x2 + 4
+                    ] = np.clip(p + res, 0, 255)
+        nnz_prev = nnz
+    return hdr, y, cb, cr, total_coeff

@@ -2670,3 +2670,174 @@ def flac_resample_stats(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, schema=FLAC_PCM_SCHEMA)
+
+
+H264_CAVLC_MB_W = 4  # 64x16 luma: one MB row, 4 Intra_16x16 macroblocks
+# per-MB plant bytes: 16 luma-DC + 16 blocks x 15 AC + 2x4 chroma DC
+_CAVLC_MB_BYTES = 16 + 16 * 15 + 8
+_CAVLC_BLOCKS = (H264_CAVLC_MB_W * _CAVLC_MB_BYTES) // 16  # 66 md5 blocks
+# the one pinned ESCAPE level (level_prefix >= 15 path): mb 1, spatial
+# block (y4 0, x4 2), raster position 5
+_CAVLC_ESC = (1, 0, 2, 5)
+
+
+def _cavlc_level(b: int) -> int:
+    """Planted AC level from one md5 byte — the same formula the
+    oracle restates: zero with p=150/256, else magnitude 1 (p=1/2)
+    or 2..8, sign from parity."""
+    if b < 150:
+        return 0
+    m = (b - 150) % 14
+    mag = 1 if m < 7 else m - 5
+    return mag if b % 2 == 0 else -mag
+
+
+def with_h264_cavlc_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an Annex B stream whose IDR slice carries
+    CAVLC-coded Intra_16x16 residual data (14496-10 9.2 / 7.3.5.3) —
+    the entropy-coded layer under m38's I_PCM.  Levels are planted
+    from the doc's md5 stream (salt '#cav') in the CODED domain —
+    luma-DC Hadamard levels in [-2,2], sparse AC levels with mixed
+    magnitudes (suffix-length evolution on the wire), chroma 2x2 DC
+    levels — plus one pinned ~4000-levelCode ESCAPE level per doc so
+    the level_prefix >= 15 path sits on every value hash.  Dense
+    blocks drive the nC neighbour ladder through all four coeff_token
+    contexts (left-neighbour means reach >= 8 for the FLC context)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_h264_pps,
+        decode_h264_sps,
+        encode_annexb,
+        encode_h264_i16x16_slice,
+        encode_h264_pps,
+        encode_h264_sps,
+    )
+
+    mw = H264_CAVLC_MB_W
+    sps_rbsp = encode_h264_sps(66, 30, mw, 1)
+    pps_rbsp = encode_h264_pps(0, 0, 16)  # pic_init_qp 42
+    sps = decode_h264_sps(sps_rbsp)
+    pps = decode_h264_pps(pps_rbsp)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), _CAVLC_BLOCKS, "#cav")
+                mbs = []
+                for m in range(mw):
+                    base = m * _CAVLC_MB_BYTES
+                    dc = np.array(
+                        [raw[base + k] % 5 - 2 for k in range(16)],
+                        np.int64,
+                    ).reshape(4, 4)
+                    ac = np.zeros((4, 4, 4, 4), np.int64)
+                    for y4 in range(4):
+                        for x4 in range(4):
+                            o = base + 16 + (4 * y4 + x4) * 15
+                            flat = np.zeros(16, np.int64)
+                            for pos in range(1, 16):
+                                b = raw[o + pos - 1]
+                                if (m, y4, x4, pos) == _CAVLC_ESC:
+                                    flat[pos] = 1000 + 4 * b
+                                else:
+                                    flat[pos] = _cavlc_level(b)
+                            ac[y4][x4] = flat.reshape(4, 4)
+                    cbo = base + 16 + 240
+                    cb_dc = np.array(
+                        [raw[cbo + k] % 7 - 3 for k in range(4)], np.int64
+                    ).reshape(2, 2)
+                    cr_dc = np.array(
+                        [raw[cbo + 4 + k] % 7 - 3 for k in range(4)],
+                        np.int64,
+                    ).reshape(2, 2)
+                    mbs.append(
+                        {"dc": dc, "ac": ac, "cb_dc": cb_dc, "cr_dc": cr_dc}
+                    )
+                sl = encode_h264_i16x16_slice(
+                    sps, pps, mbs,
+                    frame_num=int(doc_id) % 16,
+                    idr_pic_id=int(doc_id) % 32,
+                )
+                payloads.append(
+                    encode_annexb(
+                        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_cavlc_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each Annex B stream to PIXELS through the CAVLC slice
+    walk (parameter-set stores -> slice header -> per-MB coeff_token
+    / levels / total_zeros / run_before -> Hadamard + dequant +
+    integer inverse transform -> DC prediction) and reduce to integer
+    stats the oracle restates end-to-end from the planted levels: the
+    weighted checksum makes every AC coefficient's POSITION
+    hash-relevant (a plain sum would not — the inverse transform's
+    AC basis functions are zero-sum)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_h264_i16x16_slice,
+        decode_h264_pps,
+        decode_h264_sps,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sps_store, pps_store = {}, {}
+                out = None
+                for nal in decode_annexb(bytes(payload)):
+                    t = nal["nal_type"]
+                    if t == 7:
+                        info = decode_h264_sps(nal["rbsp"])
+                        sps_store[info["sps_id"]] = info
+                    elif t == 8:
+                        info = decode_h264_pps(nal["rbsp"])
+                        pps_store[info["pps_id"]] = info
+                    elif t == 5:
+                        out = decode_h264_i16x16_slice(
+                            nal["rbsp"], 5, nal["ref_idc"],
+                            pps_store, sps_store,
+                        )
+                hdr, y, cb, cr, total_coeff = out
+                h, w = y.shape
+                yl = y.astype(np.int64)
+                px = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(hdr["frame_num"]), int(total_coeff),
+                        int(yl.sum()),
+                        int((yl * (1 + px % 7)).sum()),
+                        int(yl.min()), int(yl.max()),
+                        int(cb.astype(np.int64).sum()),
+                        int(cr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "frame_num",
+                    "total_coeff", "sum_y", "wsum_y", "y_min", "y_max",
+                    "sum_cb", "sum_cr",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width long, height long, frame_num long, "
+            "total_coeff long, sum_y long, wsum_y long, y_min long, "
+            "y_max long, sum_cb long, sum_cr long"
+        ),
+    )

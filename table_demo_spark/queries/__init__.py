@@ -101,6 +101,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q27_available_now",
     "stream_q28_media_decode",
     "stream_q29_ann_index_ingest",
+    # r12 new queries (no CORRECTNESS row yet -> oldest-of-all)
+    "llm_m39_h264_cavlc_pixels",
 )
 
 

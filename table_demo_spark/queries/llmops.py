@@ -5894,6 +5894,321 @@ FROM bytes GROUP BY doc_id
 """
 
 
+
+
+def m39_h264_cavlc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m38's next honest layer (r11 verdict #2): H.264 CAVLC residual
+    decode to PIXELS — coeff_token across all four nC contexts (the
+    neighbour-TotalCoeff ladder of 9.2.1, including the 6-bit FLC
+    context), trailing-one signs, level_prefix/suffix with suffix-
+    length evolution AND the level_prefix >= 15 escape (one pinned
+    ~4000-levelCode level per document), total_zeros, run_before —
+    then the full Intra_16x16 reconstruction: 4x4 luma-DC inverse
+    Hadamard (8.5.10), flat-matrix dequant (8.5.12.1), the integer
+    inverse 4x4 transform (8.5.12.2), 2x2 chroma DC (8.5.11), and
+    DC intra prediction chained across macroblocks (8.3.3.1/8.3.4).
+    The oracle restates the ENTIRE pipeline from the planted levels
+    in generated SQL — butterfly passes, floor-exact shifts, clip,
+    and the MB-to-MB prediction chain — so a single wrong codeword,
+    run, sign, dequant weight, or transform term shifts the weighted
+    pixel checksum.  Normative-table adjudication is declared in
+    operators/codecs.py (dual-recall + structural Kraft/prefix
+    validation + the published Richardson worked example, pinned in
+    tests/test_h264_cavlc.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_cavlc_stats(
+        multimodal.with_h264_cavlc_payload(docs)
+    )
+
+
+def _m39_oracle() -> str:
+    """Generate the DuckDB restatement of the m39 pipeline.  QP is
+    pinned at 42 (qP/6 = 7), which makes every spec shift exact in
+    integer SQL: AC dequant = level * V * 128 (even, so the butterfly
+    '>> 1's are exact '// 2'), luma DC = 20 * g (the qP >= 36 branch),
+    chroma DC = 22 * g (QPc = 37 via Table 8-15); the only floors are
+    the final (x + 32) >> 6 per pixel and the prediction means,
+    restated as FP-exact floor()/power-of-two divisions."""
+    H = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+
+    def ls(i: int, j: int) -> int:
+        if (i % 2, j % 2) == (0, 0):
+            return 10
+        if (i % 2, j % 2) == (1, 1):
+            return 16
+        return 13
+
+    def byte(o: str) -> str:
+        blk = f"CAST(({o}) // 16 AS VARCHAR)"
+        off = f"CAST(2 * (({o}) % 16) + 1 AS INT)"
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '#cav' || {blk}), {off}, 2) AS BIGINT)"
+        )
+
+    mbb = 16 + 16 * 15 + 8  # plant bytes per MB
+
+    # inverse-Hadamard luma DC: dc_ij = 20 * sum_kl H[i][k] f_kl H[l][j]
+    dc_cols = []
+    for i in range(4):
+        for j in range(4):
+            terms = []
+            for k in range(4):
+                for l in range(4):
+                    c = H[i][k] * H[l][j]
+                    terms.append(f"{'+' if c > 0 else '-'} f{4 * k + l}")
+            dc_cols.append(f"20 * ({' '.join(terms)}) AS dc{i}{j}")
+
+    # per-block dequantized coefficient columns d0..d15
+    d_cols = ["CASE " + " ".join(
+        f"WHEN y4 = {i} AND x4 = {j} THEN dc{i}{j}"
+        for i in range(4) for j in range(4)
+    ) + " END AS d0"]
+    for k in range(1, 16):
+        d_cols.append(f"a{k} * {ls(k // 4, k % 4) * 128} AS d{k}")
+
+    # butterfly pass 1 (rows) -> f{r}{c}, pass 2 (cols) -> out, pixels
+    f_cols = []
+    for r in range(4):
+        b = 4 * r
+        e0 = f"(d{b} + d{b + 2})"
+        e1 = f"(d{b} - d{b + 2})"
+        e2 = f"(d{b + 1} // 2 - d{b + 3})"
+        e3 = f"(d{b + 1} + d{b + 3} // 2)"
+        f_cols += [
+            f"{e0} + {e3} AS f{r}0", f"{e1} + {e2} AS f{r}1",
+            f"{e1} - {e2} AS f{r}2", f"{e0} - {e3} AS f{r}3",
+        ]
+    r_cols = []
+    for c in range(4):
+        g0 = f"(f0{c} + f2{c})"
+        g1 = f"(f0{c} - f2{c})"
+        g2 = f"(f1{c} // 2 - f3{c})"
+        g3 = f"(f1{c} + f3{c} // 2)"
+        outs = [f"{g0} + {g3}", f"{g1} + {g2}", f"{g1} - {g2}",
+                f"{g0} - {g3}"]
+        for i in range(4):
+            r_cols.append(
+                f"CAST(floor((({outs[i]}) + 32) / 64.0) AS BIGINT)"
+                f" AS r{i}{c}"
+            )
+    r_pick = "CASE " + " ".join(
+        f"WHEN i = {i} AND j = {j} THEN r{i}{j}"
+        for i in range(4) for j in range(4)
+    ) + " END"
+
+    # luma pixel CTEs: pred chain across the 4 MBs
+    px_ctes, px_union = [], []
+    for m in range(4):
+        if m == 0:
+            px_ctes.append(
+                "px0 AS MATERIALIZED (SELECT doc_id, y, x,"
+                " GREATEST(0, LEAST(255, 128 + r)) AS v"
+                " FROM rpx WHERE mb = 0)"
+            )
+        else:
+            px_ctes.append(
+                f"pr{m} AS (SELECT doc_id,"
+                f" CAST(floor((sum(v) + 8) / 16.0) AS BIGINT) AS pred"
+                f" FROM px{m - 1} WHERE x = 15 GROUP BY doc_id)"
+            )
+            px_ctes.append(
+                f"px{m} AS MATERIALIZED (SELECT r.doc_id, r.y, r.x,"
+                f" GREATEST(0, LEAST(255, p.pred + r.r)) AS v"
+                f" FROM rpx r JOIN pr{m} p ON p.doc_id = r.doc_id"
+                f" WHERE r.mb = {m})"
+            )
+        px_union.append(
+            f"SELECT doc_id, y, {16 * m} + x AS gx, v FROM px{m}"
+        )
+
+    # chroma: planted 2x2 f, inverse 2x2 Hadamard, 22*g, uniform blocks
+    g2 = {
+        (0, 0): "(f00 + f01 + f10 + f11)",
+        (0, 1): "(f00 - f01 + f10 - f11)",
+        (1, 0): "(f00 + f01 - f10 - f11)",
+        (1, 1): "(f00 - f01 - f10 + f11)",
+    }
+    k_cols = [
+        f"CAST(floor((22 * {g2[(y2, x2)]} + 32) / 64.0) AS BIGINT)"
+        f" AS k{y2}{x2}"
+        for y2 in range(2) for x2 in range(2)
+    ]
+    cch, c_union = [], []
+    for m in range(4):
+        a0 = (
+            "GREATEST(0, LEAST(255, 128 + k.k00))" if m == 0 else
+            "GREATEST(0, LEAST(255, p.va1 + k.k00))"
+        )
+        b0 = (
+            "GREATEST(0, LEAST(255, 128 + k.k10))" if m == 0 else
+            "GREATEST(0, LEAST(255, p.vb1 + k.k10))"
+        )
+        join = (
+            "" if m == 0 else
+            f" JOIN cpx{m - 1} p ON p.doc_id = k.doc_id"
+            " AND p.plane = k.plane"
+        )
+        cch.append(
+            f"cpx{m} AS MATERIALIZED (SELECT k.doc_id, k.plane,"
+            f" {a0} AS va0,"
+            f" GREATEST(0, LEAST(255, {a0} + k.k01)) AS va1,"
+            f" {b0} AS vb0,"
+            f" GREATEST(0, LEAST(255, {b0} + k.k11)) AS vb1"
+            f" FROM ck k{join} WHERE k.mb = {m})"
+        )
+        c_union.append(f"SELECT * FROM cpx{m}")
+
+    ac_b = byte(f"mb * {mbb} + 16 + (4 * y4 + x4) * 15 + pos - 1")
+    dc_b = byte(f"mb * {mbb} + k")
+    cdc_b = byte(f"mb * {mbb} + 256 + 4 * plane + 2 * i + j")
+    nl = ",\n"
+    px_cte_sql = nl.join(px_ctes)
+    cch_sql = nl.join(cch)
+    px_union_sql = " UNION ALL ".join(px_union)
+    c_union_sql = " UNION ALL ".join(c_union)
+    dc_cols_sql = nl.join(dc_cols)
+    d_cols_sql = nl.join(d_cols)
+    f_cols_sql = nl.join(f_cols)
+    r_cols_sql = nl.join(r_cols)
+    k_cols_sql = nl.join(k_cols)
+    ac_pivot = nl.join(
+        f"max(CASE WHEN pos = {k} THEN lev END) AS a{k}"
+        for k in range(1, 16)
+    )
+    dc_pivot = nl.join(
+        f"max(CASE WHEN k = {k} THEN f END) AS f{k}" for k in range(16)
+    )
+    ck_pivot = nl.join(
+        f"max(CASE WHEN 2 * i + j = {k} THEN f END) AS f{k // 2}{k % 2}"
+        for k in range(4)
+    )
+    return f"""
+WITH ac AS MATERIALIZED (
+  SELECT doc_id, mb, y4, x4, pos,
+         CASE WHEN mb = 1 AND y4 = 0 AND x4 = 2 AND pos = 5
+                THEN 1000 + 4 * b
+              WHEN b < 150 THEN 0
+              ELSE (CASE WHEN (b - 150) % 14 < 7 THEN 1
+                         ELSE (b - 150) % 14 - 5 END)
+                   * (CASE WHEN b % 2 = 0 THEN 1 ELSE -1 END)
+         END AS lev
+  FROM (
+    SELECT doc_id, mb, y4, x4, pos, {ac_b} AS b
+    FROM documents,
+         (SELECT unnest(range(0, 4)) AS mb),
+         (SELECT unnest(range(0, 4)) AS y4),
+         (SELECT unnest(range(0, 4)) AS x4),
+         (SELECT unnest(range(1, 16)) AS pos)
+  )
+),
+dcl AS MATERIALIZED (
+  SELECT doc_id, mb, k, {dc_b} % 5 - 2 AS f
+  FROM documents,
+       (SELECT unnest(range(0, 4)) AS mb),
+       (SELECT unnest(range(0, 16)) AS k)
+),
+cdcf AS MATERIALIZED (
+  SELECT doc_id, mb, plane, i, j, {cdc_b} % 7 - 3 AS f
+  FROM documents,
+       (SELECT unnest(range(0, 4)) AS mb),
+       (SELECT unnest(range(0, 2)) AS plane),
+       (SELECT unnest(range(0, 2)) AS i),
+       (SELECT unnest(range(0, 2)) AS j)
+),
+blkco AS (
+  SELECT doc_id, mb, y4, x4,
+{ac_pivot}
+  FROM ac GROUP BY doc_id, mb, y4, x4
+),
+dcp AS (
+  SELECT doc_id, mb,
+{dc_pivot}
+  FROM dcl GROUP BY doc_id, mb
+),
+gdc AS (
+  SELECT doc_id, mb,
+{dc_cols_sql}
+  FROM dcp
+),
+dmat AS (
+  SELECT b.doc_id, b.mb, b.y4, b.x4,
+{d_cols_sql}
+  FROM blkco b JOIN gdc g ON g.doc_id = b.doc_id AND g.mb = b.mb
+),
+emat AS (
+  SELECT doc_id, mb, y4, x4,
+{f_cols_sql}
+  FROM dmat
+),
+rmat AS (
+  SELECT doc_id, mb, y4, x4,
+{r_cols_sql}
+  FROM emat
+),
+rpx AS MATERIALIZED (
+  SELECT doc_id, mb, y4 * 4 + i AS y, x4 * 4 + j AS x,
+         {r_pick} AS r
+  FROM rmat,
+       (SELECT unnest(range(0, 4)) AS i),
+       (SELECT unnest(range(0, 4)) AS j)
+),
+{px_cte_sql},
+lpx AS ({px_union_sql}),
+lagg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS sum_y,
+         CAST(sum(v * (1 + (y * 64 + gx) % 7)) AS BIGINT) AS wsum_y,
+         CAST(min(v) AS BIGINT) AS y_min,
+         CAST(max(v) AS BIGINT) AS y_max
+  FROM lpx GROUP BY doc_id
+),
+ck AS MATERIALIZED (
+  SELECT doc_id, mb, plane,
+{k_cols_sql}
+  FROM (
+    SELECT doc_id, mb, plane,
+{ck_pivot}
+    FROM cdcf GROUP BY doc_id, mb, plane
+  )
+),
+{cch_sql},
+cagg AS (
+  SELECT doc_id,
+         CAST(16 * sum(CASE WHEN plane = 0
+                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
+           AS sum_cb,
+         CAST(16 * sum(CASE WHEN plane = 1
+                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
+           AS sum_cr
+  FROM ({c_union_sql}) GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_coeff
+  FROM (
+    SELECT doc_id, CASE WHEN lev <> 0 THEN 1 ELSE 0 END AS c FROM ac
+    UNION ALL
+    SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM dcl
+    UNION ALL
+    SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM cdcf
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       d.doc_id % 16 AS frame_num,
+       t.total_coeff,
+       l.sum_y, l.wsum_y, l.y_min, l.y_max,
+       c.sum_cb, c.sum_cr
+FROM documents d
+JOIN tc t ON t.doc_id = d.doc_id
+JOIN lagg l ON l.doc_id = d.doc_id
+JOIN cagg c ON c.doc_id = d.doc_id
+"""
+
+
+
+
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m34's next honest layer (r10 verdict #6): parse the PPS and
     every SLICE HEADER of each document's Annex B stream through the
@@ -8517,6 +8832,7 @@ QUERIES: list[Query] = [
     Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
     Query("llm_s23_hnsw_layered", s23_hnsw_layered, _s23_oracle()),
     Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
+    Query("llm_m39_h264_cavlc_pixels", m39_h264_cavlc_pixels, _m39_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

@@ -1,0 +1,342 @@
+"""H.264 CAVLC layer (ISO/IEC 14496-10 section 9.2) — normative-table
+and codec pins.
+
+Adjudication strategy (no H.264 decoder ships in this container —
+re-probed r12): the tables in operators/codecs.py are validated here
+structurally — every VLC table must be PREFIX-FREE and its Kraft
+deficit must sit EXACTLY on the all-zeros codewords (H.264 avoids
+codewords that could emulate start codes; the spec tables free
+precisely that codespace) — and the most-travelled region is pinned
+against the published Richardson worked example bit-for-bit.  Cells
+with TotalCoeff >= 13 in contexts 1-2 carry per-cell encode/decode
+roundtrips only (declared in the codecs.py table comment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from table_demo_spark.operators import codecs as C
+
+
+def _codes(table):
+    return list(table.values())
+
+
+def _free_space(table, max_len: int):
+    """Codespace not covered by any codeword, as a set of (len, val)
+    leaves at max_len granularity."""
+    leaves = set(range(1 << max_len))
+    for code in table.values():
+        pad = max_len - len(code)
+        base = int(code, 2) << pad
+        for v in range(base, base + (1 << pad)):
+            leaves.discard(v)
+    return leaves
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [("ct0", C._CAVLC_CT[0]), ("ct1", C._CAVLC_CT[1]),
+     ("ct2", C._CAVLC_CT[2]), ("ct_chroma", C._CAVLC_CT_CHROMA)]
+    + [(f"tz{k}", t) for k, t in C._CAVLC_TZ.items()]
+    + [(f"tzc{k}", t) for k, t in C._CAVLC_TZ_CHROMA.items()]
+    + [(f"rb{k}", t) for k, t in C._CAVLC_RB.items()],
+)
+def test_tables_prefix_free(name, table):
+    codes = _codes(table)
+    assert len(set(codes)) == len(codes)
+    for a in codes:
+        for b in codes:
+            assert a == b or not b.startswith(a), (name, a, b)
+
+
+def test_table_kraft_deficits_sit_on_all_zeros_codewords():
+    """The spec's emulation-avoidance design, as a structural pin:
+    each incomplete table's free codespace is exactly the all-zeros
+    (or near-zero) leaves — a transposed or mistyped codeword
+    elsewhere would scatter the free space and fail here."""
+    # ct0: the two 16-bit near-zero words 0x0000 and 0x0001
+    assert _free_space(C._CAVLC_CT[0], 16) == {0, 1}
+    # ct1: 14-bit leaves 0, 1 and 12
+    assert _free_space(C._CAVLC_CT[1], 14) == {0, 1, 12}
+    # ct2: exactly the all-zeros 10-bit word
+    assert _free_space(C._CAVLC_CT[2], 10) == {0}
+    # chroma-DC coeff_token, total_zeros (except tz1), run_before
+    # (except rb7) are complete
+    assert _free_space(C._CAVLC_CT_CHROMA, 8) == set()
+    assert _free_space(C._CAVLC_TZ[1], 9) == {0}
+    for k in range(2, 16):
+        assert _free_space(C._CAVLC_TZ[k], 6) == set(), k
+    assert _free_space(C._CAVLC_RB[7], 11) == {0}
+    for k in range(1, 7):
+        assert _free_space(C._CAVLC_RB[k], 3) == set(), k
+
+
+def test_published_worked_example_bit_exact():
+    """Richardson ("H.264 and MPEG-4 Video Compression"), the CAVLC
+    worked example: zigzag levels [0,3,0,1,-1,-1,0,1,0...], nC=0 ->
+    000010001110010111101101.  Pins coeff_token ctx0 (5,3), the
+    trailing-one signs, the level prefix/suffix algorithm including
+    the suffixLength 0->1 step, total_zeros[5][3], and the
+    run_before rows for zerosLeft 3 and 2 — the most-travelled table
+    region, against an EXTERNAL publication."""
+    levels = [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8
+    bw = C._BitWriter()
+    total = C.cavlc_encode_block(bw, levels, 0, 16)
+    bw.align()
+    assert total == 5
+    got = "".join(f"{b:08b}" for b in bw.out)
+    assert got.startswith("000010001110010111101101")
+    # and the decoder inverts it
+    br = C._BitReader(bytes(bw.out))
+    out, n = C.cavlc_decode_block(br, 0, 16)
+    assert n == 5 and out == levels
+
+
+@pytest.mark.parametrize("n_c", [-1, 0, 2, 4, 8, 16])
+def test_every_coeff_token_cell_roundtrips(n_c):
+    """Encode/decode every reachable (TotalCoeff, TrailingOnes) cell
+    of every context — a prefix collision or level/run bookkeeping
+    slip in ANY cell fails its roundtrip."""
+    max_coeff = 4 if n_c == -1 else 16
+    for total in range(0, max_coeff + 1):
+        for t1 in range(0, min(3, total) + 1):
+            # trailing t1 ones, earlier coeffs magnitude 3 (so they
+            # are not trailing ones), packed at the scan tail
+            levels = [0] * max_coeff
+            vals = [3] * (total - t1) + [1] * t1
+            for k, v in enumerate(vals):
+                levels[max_coeff - total + k] = v if k % 2 == 0 else -v
+            # TrailingOnes is capped at 3: cells where a 4th trailing
+            # one would merge are unreachable with magnitude-1 tails
+            if t1 < min(3, total):
+                has_more_ones = total - t1 > 0
+                if not has_more_ones:
+                    continue
+            bw = C._BitWriter()
+            n = C.cavlc_encode_block(bw, levels, n_c, max_coeff)
+            bw.align()
+            if n != total:
+                continue  # tail magnitudes merged into T1 (by design)
+            br = C._BitReader(bytes(bw.out))
+            out, n2 = C.cavlc_decode_block(br, n_c, max_coeff)
+            assert (out, n2) == (levels, total), (n_c, total, t1)
+
+
+def test_level_escape_ladder_roundtrips():
+    """level_prefix 14 (4-bit suffix), 15 (12-bit) and 16 (13-bit)
+    paths, plus suffix-length evolution up to 6."""
+    for mag in [8, 16, 100, 2048, 2064, 4096, 6200, 8300, 20000]:
+        levels = [mag, -mag, mag, -mag] + [0] * 12
+        bw = C._BitWriter()
+        C.cavlc_encode_block(bw, levels, 0, 16)
+        bw.align()
+        br = C._BitReader(bytes(bw.out))
+        out, _ = C.cavlc_decode_block(br, 0, 16)
+        assert out == levels, mag
+
+
+def _fixture_mbs(seed: int):
+    rng = np.random.RandomState(seed)
+    mbs = []
+    for _ in range(4):
+        ac = np.zeros((4, 4, 4, 4), np.int64)
+        for y4 in range(4):
+            for x4 in range(4):
+                b = rng.randint(0, 256, 16)
+                lv = np.where(
+                    b < 150, 0,
+                    np.where((b - 150) % 14 < 7, 1, (b - 150) % 14 - 5),
+                ) * np.where(b % 2 == 0, 1, -1)
+                lv[0] = 0
+                ac[y4][x4] = lv.reshape(4, 4)
+        mbs.append({
+            "dc": (rng.randint(0, 256, (4, 4)) % 5 - 2).astype(np.int64),
+            "ac": ac,
+            "cb_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64),
+            "cr_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64),
+        })
+    return mbs
+
+
+def _decode_stream(stream: bytes):
+    sps_store, pps_store = {}, {}
+    out = None
+    for nal in C.decode_annexb(stream):
+        t = nal["nal_type"]
+        if t == 7:
+            i = C.decode_h264_sps(nal["rbsp"])
+            sps_store[i["sps_id"]] = i
+        elif t == 8:
+            i = C.decode_h264_pps(nal["rbsp"])
+            pps_store[i["pps_id"]] = i
+        elif t == 5:
+            out = C.decode_h264_i16x16_slice(
+                nal["rbsp"], 5, nal["ref_idc"], pps_store, sps_store
+            )
+    return out
+
+
+def _encode_stream(mbs, frame_num=3):
+    sps_rbsp = C.encode_h264_sps(66, 30, 4, 1)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)  # pic_init_qp 42
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i16x16_slice(sps, pps, mbs, frame_num=frame_num)
+    return C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+
+
+def test_slice_reconstruction_matches_independent_model():
+    """Full slice roundtrip vs a from-scratch numpy restatement of
+    the 8.5.10/8.5.11/8.5.12/8.3.3/8.3.4 math (the same pipeline the
+    m39 SQL oracle restates), including clipping and the MB-to-MB DC
+    prediction chain."""
+    mbs = _fixture_mbs(7)
+    mbs[1]["ac"][0][2][1, 1] = 3000  # escape-path level
+    hdr, y, cb, cr, tc = _decode_stream(_encode_stream(mbs))
+    assert hdr["slice_qp"] == 42 and hdr["frame_num"] == 3
+    planted = sum(
+        int(np.count_nonzero(mb["ac"])) + int(np.count_nonzero(mb["dc"]))
+        + int(np.count_nonzero(mb["cb_dc"]))
+        + int(np.count_nonzero(mb["cr_dc"]))
+        for mb in mbs
+    )
+    assert tc == planted
+    h4 = np.array(C._H264_HADAMARD4, np.int64)
+    h2 = np.array(((1, 1), (1, -1)), np.int64)
+    ls = np.array(
+        [[C.h264_levelscale(0, i, j) for j in range(4)] for i in range(4)],
+        np.int64,
+    )
+    ym = np.zeros((16, 64), np.int64)
+    cm = {"cb_dc": np.zeros((8, 32), np.int64),
+          "cr_dc": np.zeros((8, 32), np.int64)}
+    for m, mb in enumerate(mbs):
+        dc = ((h4 @ mb["dc"] @ h4) * 10) << 1  # qp 42 >= 36 branch
+        pred = 128 if m == 0 else (int(ym[:, 16 * m - 1].sum()) + 8) >> 4
+        for y4 in range(4):
+            for x4 in range(4):
+                d = (mb["ac"][y4][x4] * ls) << 7
+                d[0, 0] = dc[y4, x4]
+                res = C._h264_idct4(d)
+                ym[4 * y4:4 * y4 + 4,
+                   16 * m + 4 * x4:16 * m + 4 * x4 + 4] = np.clip(
+                    pred + res, 0, 255)
+        for key, pl in cm.items():
+            dcc = ((h2 @ mb[key] @ h2) * 11 << 6) >> 5  # QPc 37
+            for y2 in range(2):
+                for x2 in range(2):
+                    if m == 0 and x2 == 0:
+                        p = 128
+                    elif x2 == 0:
+                        p = (int(pl[4 * y2:4 * y2 + 4, 8 * m - 1].sum())
+                             + 2) >> 2
+                    else:
+                        p = (int(pl[4 * y2:4 * y2 + 4, 8 * m + 3].sum())
+                             + 2) >> 2
+                    pl[4 * y2:4 * y2 + 4,
+                       8 * m + 4 * x2:8 * m + 4 * x2 + 4] = np.clip(
+                        p + ((int(dcc[y2, x2]) + 32) >> 6), 0, 255)
+    assert np.array_equal(ym, y.astype(np.int64))
+    assert np.array_equal(cm["cb_dc"], cb.astype(np.int64))
+    assert np.array_equal(cm["cr_dc"], cr.astype(np.int64))
+
+
+def test_nc_ladder_reaches_all_four_contexts():
+    """Dense blocks must drive the neighbour-TotalCoeff ladder into
+    every coeff_token context, including the 6-bit FLC (nC >= 8) —
+    otherwise contexts 1-3 would be dead code validated by unit
+    vectors only (the VP8L untraveled-table trap)."""
+    mbs = _fixture_mbs(11)
+    # MB 0 sparse (TotalCoeff 3 -> nC band 2..3), MB 2 dense (15 ->
+    # the FLC band)
+    for y4 in range(4):
+        for x4 in range(4):
+            sparse = np.zeros(16, np.int64)
+            sparse[1:4] = (2, -2, 3)
+            mbs[0]["ac"][y4][x4] = sparse.reshape(4, 4)
+            flat = np.arange(16, dtype=np.int64) % 3 + 1
+            flat[0] = 0
+            mbs[2]["ac"][y4][x4] = flat.reshape(4, 4)
+    # replicate the decoder's nC walk from the planted TotalCoeffs
+    seen = set()
+    nnz_prev = None
+    for mb in mbs:
+        nnz = [[0] * 4 for _ in range(4)]
+        seen.add(C._cavlc_ct_context(min(C._h264_nc(nnz, nnz_prev, 0, 0), 8)))
+        for idx in range(16):
+            x4, y4 = C._h264_blk_xy(idx)
+            n_c = C._h264_nc(nnz, nnz_prev, x4, y4)
+            seen.add(3 if n_c >= 8 else C._cavlc_ct_context(n_c))
+            nnz[y4][x4] = int(np.count_nonzero(mb["ac"][y4][x4]))
+        nnz_prev = nnz
+    assert seen == {0, 1, 2, 3}
+    # and the dense stream still roundtrips through the real codec
+    hdr, y, cb, cr, tc = _decode_stream(_encode_stream(mbs))
+    assert tc >= 16 * 15
+
+
+def test_loud_failures():
+    mbs = _fixture_mbs(3)
+    stream = _encode_stream(mbs)
+    # truncation inside slice data fails loudly
+    with pytest.raises(ValueError):
+        _decode_stream(stream[: len(stream) - 40])
+    # non-I16x16 mb_type (e.g. I_PCM 25) is rejected by this decoder
+    sps_rbsp = C.encode_h264_sps(66, 30, 4, 1)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    bw = C._ExpGolombWriter()
+    C._h264_put_slice_header(
+        bw, sps, pps, 7, 0, 0, 0, idr_pic_id=0, poc_lsb=0, nal_ref_idc=3
+    )
+    bw.ue(25)
+    bw.align()
+    with pytest.raises(ValueError, match="Intra_16x16"):
+        C.decode_h264_i16x16_slice(
+            bytes(bw.out), 5, 3, {0: pps}, {0: sps}
+        )
+    # multi-row pictures are the documented extension point
+    sps2 = C.decode_h264_sps(C.encode_h264_sps(66, 30, 2, 2))
+    with pytest.raises(ValueError, match="single MB row"):
+        C.encode_h264_i16x16_slice(sps2, pps, [])
+
+
+def test_fixture_corpus_travels_every_context():
+    """The m39 plant itself (first 50 doc ids) must visit all four
+    coeff_token contexts — measured over the full sf0.001 corpus the
+    split is roughly 1k/1k/24k/8k visits for ctx 0/1/2/FLC."""
+    from table_demo_spark.operators import multimodal as M
+
+    seen = set()
+    for doc_id in range(50):
+        raw = M._md5_stream(str(doc_id), M._CAVLC_BLOCKS, "#cav")
+        nnz_prev = None
+        for m in range(4):
+            base = m * M._CAVLC_MB_BYTES
+            nnz = [[0] * 4 for _ in range(4)]
+            for idx in range(16):
+                x4, y4 = C._h264_blk_xy(idx)
+                n_c = C._h264_nc(nnz, nnz_prev, x4, y4)
+                seen.add(3 if n_c >= 8 else C._cavlc_ct_context(n_c))
+                o = base + 16 + (4 * y4 + x4) * 15
+                nnz[y4][x4] = sum(
+                    1 for pos in range(1, 16)
+                    if (m, y4, x4, pos) == M._CAVLC_ESC
+                    or M._cavlc_level(raw[o + pos - 1]) != 0
+                )
+            nnz_prev = nnz
+    assert seen == {0, 1, 2, 3}
+
+
+def test_chroma_qp_mapping_table():
+    """Table 8-15 pins: identity below 30, the published tail above."""
+    assert C.h264_chroma_qp(26) == 26
+    assert C.h264_chroma_qp(29) == 29
+    assert C.h264_chroma_qp(30) == 29
+    assert C.h264_chroma_qp(37) == 34
+    assert C.h264_chroma_qp(42) == 37
+    assert C.h264_chroma_qp(51) == 39

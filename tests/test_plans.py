@@ -125,6 +125,7 @@ _PYTHON_ALLOWED = {
     "llm_m37_png_palette_luma",  # MapInPandas (Adam7+palette PNG decode, numpy luma)
     "llm_s23_hnsw_layered",  # FlatMapGroupsInPandas (per-layer bucket GEMM graph builds)
     "llm_m38_h264_ipcm_pixels",  # MapInPandas (Annex B walk + I_PCM pixel decode)
+    "llm_m39_h264_cavlc_pixels",  # MapInPandas (CAVLC residual decode + Intra_16x16 reconstruction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
 }
 
