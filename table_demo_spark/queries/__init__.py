@@ -103,6 +103,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q29_ann_index_ingest",
     # r12 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "llm_m39_h264_cavlc_pixels",
+    "llm_s24_batched_hnsw_serve",
 )
 
 

@@ -1566,6 +1566,227 @@ FROM beam{_S18_ROUNDS}
 """
 
 
+_S24_NQ = 4  # batched hierarchical serve: query vectors vec_id < 4
+
+
+def s24_batched_hnsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s23's hierarchy served BATCHED — the s21 amortization applied
+    to the HNSW descent (r11 verdict #4): N probes walk the layer
+    hierarchy TOGETHER, sharing each hop's two bounded jobs (one
+    pruned layer-edge read for the union of all probes' current
+    nodes, one relational scoring pass of the distinct (qid,
+    neighbour) pairs against the broadcast query matrix) instead of
+    paying s23's per-probe descent. All probes enter at the shared
+    min-id top-layer node, descend per-probe greedy argmax hops, and
+    finish with s21's batched layer-0 beam from their OWN descended
+    entries. Per-hop driver state stays bounded by construction
+    (<= NQ current nodes, <= NQ * M candidate pairs). The job-count
+    pin lives in tests/test_plans.py; the oracle restates the whole
+    thing — shared layer CTEs, qid-PARTITIONed hop argmax windows,
+    per-qid beam rounds — so a probe descending through another
+    probe's node or a beam started at the static entry breaks the
+    hash."""
+    import os
+
+    from table_demo_spark.functions.vector import cosine
+    from table_demo_spark.scratch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lay = emb.select("vec_id", "embedding", _s23_layer_col().alias("lv"))
+    queries = emb.filter(F.col("vec_id") < _S24_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def score_pairs(pairs: list[tuple[int, int]]) -> dict:
+        pdf = spark.createDataFrame(pairs, "qid long, vec_id long")
+        rows = (
+            pdf.join(emb, "vec_id")
+            .join(F.broadcast(queries), "qid")
+            .select(
+                "qid", "vec_id",
+                F.round(cosine("embedding", "qv"), 9).alias("c"),
+            )
+            .collect()
+        )
+        return {(int(r["qid"]), int(r["vec_id"])): float(r["c"]) for r in rows}
+
+    qids = [int(r["qid"]) for r in queries.select("qid").collect()]
+    entry = int(
+        lay.orderBy(F.col("lv").desc(), F.col("vec_id").asc())
+        .limit(1).collect()[0]["vec_id"]
+    )
+    pool = score_pairs([(q, entry) for q in qids])
+    cur = {q: entry for q in qids}
+    cur_cos = {q: pool[(q, entry)] for q in qids}
+    for lvl in range(_S23_MAXL, 0, -1):
+        members = lay.filter(F.col("lv") >= lvl).select("vec_id", "embedding")
+        bits = similarity.graph_bits(members.count())
+        edges_l = s18_graph_edges(members, bits).persist()
+        try:
+            for _ in range(_S23_HOPS):
+                srcs = sorted(set(cur.values()))
+                nbr = (
+                    edges_l.filter(F.col("src").isin(srcs))
+                    .select("src", "dst")
+                    .collect()
+                )
+                out: dict[int, list[int]] = {}
+                for r in nbr:
+                    out.setdefault(int(r["src"]), []).append(int(r["dst"]))
+                pairs = sorted(
+                    {(q, d) for q in qids for d in out.get(cur[q], ())}
+                )
+                scored = score_pairs(pairs) if pairs else {}
+                moved = False
+                for q in qids:
+                    p = {
+                        d: c for (qq, d), c in scored.items() if qq == q
+                    }
+                    p[cur[q]] = cur_cos[q]
+                    nxt, nxt_cos = sorted(
+                        p.items(), key=lambda kv: (-kv[1], kv[0])
+                    )[0]
+                    if nxt != cur[q]:
+                        cur[q], cur_cos[q] = nxt, nxt_cos
+                        moved = True
+                if not moved:
+                    break  # all probes at their greedy fixpoints
+        finally:
+            edges_l.unpersist()
+    # layer 0: s21's batched beam from the per-probe descended entries,
+    # over a MATERIALIZED edge store (serving reads an index)
+    store = os.path.join(scratch_dir("tds-s24-"), "edges.parquet")
+    s18_graph_edges(emb, similarity.graph_bits(emb.count())).write.mode(
+        "overwrite"
+    ).parquet(store)
+    edges0 = spark.read.parquet(store)
+    beams = {q: [(cur[q], cur_cos[q])] for q in qids}
+    for _ in range(_S18_ROUNDS):
+        frontier_srcs = sorted({v for b in beams.values() for v, _ in b})
+        nbr = (
+            edges0.filter(F.col("src").isin(frontier_srcs))
+            .select("src", "dst")
+            .collect()
+        )
+        out_edges: dict[int, list[int]] = {}
+        for r in nbr:
+            out_edges.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        pairs = sorted(
+            {
+                (q, d)
+                for q, beam in beams.items()
+                for v, _ in beam
+                for d in out_edges.get(v, ())
+            }
+        )
+        scored = score_pairs(pairs) if pairs else {}
+        for q in qids:
+            merged = dict(beams[q])
+            for (qq, d), c in scored.items():
+                if qq == q:
+                    merged[d] = c
+            beams[q] = sorted(
+                merged.items(), key=lambda vc: (-vc[1], vc[0])
+            )[:_S18_B]
+    rows = [
+        (q, v, c, i + 1)
+        for q in qids
+        for i, (v, c) in enumerate(beams[q])
+    ]
+    return spark.createDataFrame(
+        rows, "qid long, vec_id long, cos_sim double, rank long"
+    )
+
+
+def _s24_oracle() -> str:
+    lay_h = (
+        "CAST('0x' || substring(md5('L' || CAST(vec_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT)"
+    )
+    member = {
+        1: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 1)",
+        2: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 2)",
+    }
+    # per-probe greedy descent as qid-PARTITIONed argmax windows over
+    # the SHARED layer CTEs (one chain serves all probes — the s21
+    # amortization, restated)
+    hops = []
+    prev = "hop_e"
+    for lvl in (2, 1):
+        for i in range(_S23_HOPS):
+            name = f"hop{lvl}_{i}"
+            hops.append(f"""
+{name} AS MATERIALIZED (
+  SELECT qid, vec_id, cos_sim FROM (
+    SELECT qid, vec_id, cos_sim,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM (
+      SELECT qid, vec_id, cos_sim FROM {prev}
+      UNION ALL
+      SELECT p.qid, em.vec_id,
+             round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+      FROM {prev} p JOIN edges_l{lvl} g ON g.src = p.vec_id
+      JOIN embeddings em ON em.vec_id = g.dst
+      JOIN q ON q.qid = p.qid
+    )
+  ) WHERE rn = 1
+)""")
+            prev = name
+    rounds = []
+    for i in range(1, _S18_ROUNDS + 1):
+        rounds.append(f"""
+cand{i} AS (
+  SELECT DISTINCT b.qid, g.dst AS vec_id
+  FROM beam{i - 1} b JOIN edges g ON g.src = b.vec_id
+),
+sc{i} AS (
+  SELECT c.qid, c.vec_id,
+         round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM cand{i} c
+  JOIN embeddings em ON em.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+),
+beam{i} AS MATERIALIZED (
+  SELECT qid, vec_id, cos_sim FROM (
+    SELECT qid, vec_id, cos_sim,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM (SELECT DISTINCT qid, vec_id, cos_sim FROM
+          (SELECT qid, vec_id, cos_sim FROM beam{i - 1}
+           UNION ALL SELECT qid, vec_id, cos_sim FROM sc{i}))
+  ) WHERE rn <= {_S18_B}
+)""")
+    return f"""
+WITH lay AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN {lay_h} % 16 = 0 THEN 2
+              WHEN {lay_h} % 4 = 0 THEN 1 ELSE 0 END AS lv
+  FROM embeddings
+),
+{_graph_edges_sql()},
+{_graph_edges_sql(suffix="_l1", member_sql=member[1])},
+{_graph_edges_sql(suffix="_l2", member_sql=member[2])},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_S24_NQ}),
+hop_e AS MATERIALIZED (
+  SELECT q.qid, em.vec_id,
+         round({_sql_cosine('em.embedding', 'q.qv')}, 9) AS cos_sim
+  FROM embeddings em CROSS JOIN q
+  WHERE em.vec_id = (
+    SELECT vec_id FROM lay ORDER BY lv DESC, vec_id ASC LIMIT 1)
+),{",".join(hops)},
+beam0 AS MATERIALIZED (SELECT qid, vec_id, cos_sim FROM {prev}),
+{",".join(rounds)}
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       cos_sim,
+       CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC)
+         AS BIGINT) AS rank
+FROM beam{_S18_ROUNDS}
+"""
+
+
 def _graph_edges_sql(
     target: int = similarity.GRAPH_TARGET_BUCKET,
     suffix: str = "",
@@ -8831,6 +9052,7 @@ QUERIES: list[Query] = [
     Query("llm_m36_h264_slice_headers", m36_h264_slice_headers, _m36_oracle()),
     Query("llm_m37_png_palette_luma", m37_png_palette_luma, _m37_oracle()),
     Query("llm_s23_hnsw_layered", s23_hnsw_layered, _s23_oracle()),
+    Query("llm_s24_batched_hnsw_serve", s24_batched_hnsw_serve, _s24_oracle()),
     Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
     Query("llm_m39_h264_cavlc_pixels", m39_h264_cavlc_pixels, _m39_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),

@@ -2868,6 +2868,32 @@ def test_batched_serve_matches_single_query_walk(spark):
     assert batched == single
 
 
+def test_batched_hnsw_serve_matches_single_probe_hierarchy(spark):
+    """llm_s24's batched hierarchical walk must agree with llm_s23's
+    single-probe descent for the probe query: same layer draws, same
+    shared top-layer entry, same greedy hops and layer-0 beam — the
+    s21-style batching amortizes jobs per hop, never changes the
+    descent."""
+    from table_demo_spark.queries.llmops import (
+        _S18_PROBE,
+        s23_hnsw_layered,
+        s24_batched_hnsw_serve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    single = {
+        (int(r["vec_id"]), float(r["cos_sim"]), int(r["rank"]))
+        for r in s23_hnsw_layered(spark, SF_SMOKE).collect()
+    }
+    batched = {
+        (int(r["vec_id"]), float(r["cos_sim"]), int(r["rank"]))
+        for r in s24_batched_hnsw_serve(spark, SF_SMOKE)
+        .filter(f"qid = {_S18_PROBE}")
+        .collect()
+    }
+    assert batched == single
+
+
 def test_h264_sps_roundtrip_and_crop_units():
     """SPS layer (m34): Exp-Golomb fields round-trip through the
     Annex B layer (escape + trailing bits), and display dimensions

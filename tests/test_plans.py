@@ -124,6 +124,7 @@ _PYTHON_ALLOWED = {
     "llm_m36_h264_slice_headers",  # MapInPandas (PPS/slice-header parse via SPS/PPS stores)
     "llm_m37_png_palette_luma",  # MapInPandas (Adam7+palette PNG decode, numpy luma)
     "llm_s23_hnsw_layered",  # FlatMapGroupsInPandas (per-layer bucket GEMM graph builds)
+    "llm_s24_batched_hnsw_serve",  # FlatMapGroupsInPandas (per-layer graph builds + layer-0 serve store)
     "llm_m38_h264_ipcm_pixels",  # MapInPandas (Annex B walk + I_PCM pixel decode)
     "llm_m39_h264_cavlc_pixels",  # MapInPandas (CAVLC residual decode + Intra_16x16 reconstruction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
@@ -1004,6 +1005,30 @@ def test_t27_sample_train_job_count_is_pinned(spark):
     _query("llm_t27_bpe_sample_train")(spark, SF_SMOKE).count()
     after = len(st.getJobIdsForGroup(None) or [])
     assert after - before <= 27, f"t27 now runs {after - before} jobs (was 27)"
+
+
+def test_s24_batched_hierarchy_job_count_is_pinned(spark):
+    """llm_s24's amortization claim (r11 verdict #4): the descent
+    pays <= 2 jobs per layer-hop for ALL probes together (one pruned
+    edge read for the union of current nodes + one scoring pass),
+    not 2 jobs per probe per hop — so the job count is near-flat in
+    _S24_NQ. Measured 2026-08-16: s23 (ONE probe) runs 50 jobs, s24
+    (FOUR probes) runs 66 — 4x the probes for 1.3x the jobs; a
+    per-probe descent would read ~4x s23 (~200). The fixed overhead
+    is the shared setup (entry pick, entry scoring, per-layer graph
+    builds + counts, the layer-0 store write) and each score_pairs
+    pass costs ~3 jobs (local-frame parallelize + broadcast build +
+    collect)."""
+    from table_demo_spark.queries.llmops import s24_batched_hnsw_serve
+
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    s24_batched_hnsw_serve(spark, SF_SMOKE).count()
+    after = len(st.getJobIdsForGroup(None) or [])
+    assert after - before <= 70, (
+        f"s24 now runs {after - before} jobs - the per-hop batching"
+        " (2 bounded jobs per layer-hop for all probes) regressed"
+    )
 
 
 def test_binary_hamming_candidate_shuffle_carries_no_vectors(spark):
