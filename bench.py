@@ -296,6 +296,8 @@ EXCLUDED: dict[str, str] = {
     "stream_q10_ttl_expiry": "TTL-expiry correctness drain over a small keyed window; expiry rides q25's compaction where it IS timed",
     "stream_q36_graph_reshard": "deliberately crosses TWO reshard boundaries at sf0.1 (3 full graph rebuilds by design — 36 s solo); steady-state drain cost is timed by stream_q35, reshard scaling rows live in docs/SCALE.md",
     "llm_s22_serve_resharded": "runs the full q36 reshard drain before the walk (same 3-rebuild cost as stream_q36); the serve-from-store walk itself is timed by llm_s20",
+    "stream_q38_hnsw_ingest": "runs THREE per-layer q36-style reshard drains in one stream at sf0.1 (layer 0 pays q36's full rebuild cost plus two upper-layer ladders); steady-state per-batch cost is timed by stream_q35, hierarchy scaling rows live in docs/SCALE.md",
+    "llm_s25_serve_hnsw_ingested": "runs the full q38 hierarchical drain before the descent (the 3-ladder cost above); the descent+beam itself is timed by llm_s23/llm_s24",
 }
 
 

@@ -1509,7 +1509,7 @@ def s23_hnsw_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return beam_walk(spark, emb, edges0, entry=cur)
 
 
-def _s23_oracle() -> str:
+def _s23_oracle(target: int = similarity.GRAPH_TARGET_BUCKET) -> str:
     lay_h = (
         "CAST('0x' || substring(md5('L' || CAST(vec_id AS VARCHAR)), 1, 8)"
         " AS BIGINT)"
@@ -1546,9 +1546,9 @@ WITH lay AS MATERIALIZED (
               WHEN {lay_h} % 4 = 0 THEN 1 ELSE 0 END AS lv
   FROM embeddings
 ),
-{_graph_edges_sql()},
-{_graph_edges_sql(suffix="_l1", member_sql=member[1])},
-{_graph_edges_sql(suffix="_l2", member_sql=member[2])},
+{_graph_edges_sql(target=target)},
+{_graph_edges_sql(target=target, suffix="_l1", member_sql=member[1])},
+{_graph_edges_sql(target=target, suffix="_l2", member_sql=member[2])},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_S18_PROBE}),
 hop_e AS MATERIALIZED (
   SELECT em.vec_id,

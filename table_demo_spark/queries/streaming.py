@@ -1349,6 +1349,158 @@ FROM edges
 """
 
 
+def q38_hnsw_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HNSW hierarchy maintained AT INGEST (r11 verdict #3):
+    stream_q36's self-resharding machinery per layer — every arriving
+    vector draws its s23 geometric layer and joins every graph at or
+    below it, each layer an independent generation-aware store
+    resharding at its own corpus-scaled bits. The oracle is s23's
+    STATIC per-layer hierarchy SQL at the re-derived bit counts, so
+    the query is green only if per-layer resharding preserved every
+    layer's graph — a vector filed on the wrong layer, a stale
+    pre-reshard edge, or an upper layer scored at layer-0's bits
+    breaks the hash."""
+    from table_demo_spark.streaming.queries import (
+        q38_final_edges,
+        run_q38_hnsw_ingest,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q38_hnsw_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return q38_final_edges(spark, sink)
+
+
+def _q38_oracle() -> str:
+    from table_demo_spark.queries.llmops import _graph_edges_sql
+    from table_demo_spark.streaming.queries import Q36_TARGET_BUCKET
+
+    lay_h = (
+        "CAST('0x' || substring(md5('L' || CAST(vec_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT)"
+    )
+    member = {
+        0: "TRUE",
+        1: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 1)",
+        2: "vec_id IN (SELECT vec_id FROM lay WHERE lv >= 2)",
+    }
+    chains = ",".join(
+        _graph_edges_sql(
+            target=Q36_TARGET_BUCKET, suffix=f"_l{lv}",
+            member_sql=member[lv],
+        )
+        for lv in (0, 1, 2)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({lv} AS BIGINT) AS lv, CAST(src AS BIGINT) AS src,"
+        f" CAST(dst AS BIGINT) AS dst, CAST(rn AS BIGINT) AS rank"
+        f" FROM edges_l{lv}"
+        for lv in (0, 1, 2)
+    )
+    return f"""
+WITH lay AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN {lay_h} % 16 = 0 THEN 2
+              WHEN {lay_h} % 4 = 0 THEN 1 ELSE 0 END AS lv
+  FROM embeddings
+),
+{chains}
+{union}
+"""
+
+
+def s25_serve_hnsw_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve leg over the INGESTED hierarchy — closing stream_q38
+    into the lifecycle the way s22 closed q36: llm_s23's hierarchical
+    descent (greedy top-layer hops, then the layer-0 beam) runs over
+    stream_q38's per-layer max-generation edge stores, each of which
+    was maintained — and possibly resharded — at ingest. The oracle
+    is s23's full static hierarchy SQL at the re-derived bits, so the
+    query is green only if build == maintain == per-layer reshard ==
+    descend == serve on one hash chain."""
+    from table_demo_spark.functions.vector import cosine
+    from table_demo_spark.queries.llmops import (
+        _S18_PROBE,
+        _S23_HOPS,
+        _S23_MAXL,
+        _s23_layer_col,
+        beam_walk,
+    )
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import (
+        q38_final_edges,
+        run_q38_hnsw_ingest,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q38_hnsw_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    store = q38_final_edges(spark, sink).persist()
+    emb = load_table(spark, sf_dir, "embeddings")
+    lay = emb.select("vec_id", "embedding", _s23_layer_col().alias("lv"))
+    qv = emb.filter(F.col("vec_id") == _S18_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def score(ids: list[int]) -> dict[int, float]:
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine("embedding", "qv"), 9).alias("cos_sim"),
+            )
+            .collect()
+        )
+        return {int(r["vec_id"]): float(r["cos_sim"]) for r in rows}
+
+    try:
+        cur = int(
+            lay.orderBy(F.col("lv").desc(), F.col("vec_id").asc())
+            .limit(1).collect()[0]["vec_id"]
+        )
+        cur_cos = score([cur])[cur]
+        for lvl in range(_S23_MAXL, 0, -1):
+            edges_l = store.filter(F.col("lv") == lvl)
+            nb = emb.select(
+                F.col("vec_id").alias("nb_id"),
+                F.col("embedding").alias("nb_vec"),
+            )
+            for _ in range(_S23_HOPS):
+                rows = (
+                    edges_l.filter(F.col("src") == cur)
+                    .join(nb, nb["nb_id"] == F.col("dst"))
+                    .crossJoin(F.broadcast(qv))
+                    .select(
+                        "nb_id",
+                        F.round(cosine("nb_vec", "qv"), 9).alias("cos_sim"),
+                    )
+                    .collect()
+                )
+                pool = {int(r["nb_id"]): float(r["cos_sim"]) for r in rows}
+                pool[cur] = cur_cos
+                nxt, nxt_cos = sorted(
+                    pool.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                if nxt == cur:
+                    break
+                cur, cur_cos = nxt, nxt_cos
+        return beam_walk(
+            spark, emb,
+            store.filter(F.col("lv") == 0).select("src", "dst"),
+            entry=cur,
+        )
+    finally:
+        store.unpersist()
+
+
+def _s25_oracle() -> str:
+    from table_demo_spark.queries.llmops import _s23_oracle
+    from table_demo_spark.streaming.queries import Q36_TARGET_BUCKET
+
+    return _s23_oracle(Q36_TARGET_BUCKET)
+
+
 def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE leg of the vector-store lifecycle, closing its last
     seam: llm_s18's beam walk runs over the edge store stream_q35
@@ -1692,6 +1844,8 @@ QUERIES: list[Query] = [
     Query("stream_q34_media_triage", q34_media_triage_final, _q34_oracle()),
     Query("stream_q35_graph_ingest", q35_graph_ingest_final, _q35_oracle()),
     Query("stream_q36_graph_reshard", q36_graph_reshard_final, _q36_oracle()),
+    Query("stream_q38_hnsw_ingest", q38_hnsw_ingest_final, _q38_oracle()),
+    Query("llm_s25_serve_hnsw_ingested", s25_serve_hnsw_ingested, _s25_oracle()),
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

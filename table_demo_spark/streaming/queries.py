@@ -3162,6 +3162,190 @@ def q36_active_gen(session: SparkSession, meta_dir: str, batch_id: int):
     return int(rows[0]["g"]), int(rows[0]["bits"])
 
 
+def graph_gen_apply(
+    session: SparkSession,
+    arrivals: DataFrame,
+    batch_id: int,
+    vec_dir: str,
+    meta_dir: str,
+    edge_dir: str,
+    target: int,
+) -> None:
+    """One generation-aware graph-maintenance step — the q36 batch
+    body, extracted so stream_q38 can run it PER HNSW LAYER with
+    layer-scoped stores: re-derive graph_bits over the corpus seen,
+    reshard (re-bucket + full s18 rebuild, meta committed LAST) when
+    the bucket space is outgrown, else q35's incremental work scoped
+    to the active generation.  All writes are static whole-subtree
+    overwrites keyed by (g, batch), so a replayed batch redoes itself
+    byte-stably (the q33/q36 restart discipline)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from table_demo_spark.operators import similarity
+    from table_demo_spark.queries.llmops import _S18_M, _rp_bucket_col
+
+    top_m = _S18_M
+
+    def ball1(col, bits: int):
+        return F.array(
+            col, *[col.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+        )
+
+    def bucketed(df: DataFrame, bits: int) -> DataFrame:
+        return (
+            df.select("vec_id", "embedding")
+            .withColumn("bk", _rp_bucket_col(bits=bits))
+            .withColumn("bkd", F.col("bk").bitwiseAND(F.lit(255)))
+        )
+
+    def emit_edges(cand_edges: DataFrame, g: int):
+        win = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("dst").asc()
+        )
+        (
+            cand_edges.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= top_m)
+            .select(
+                "src", "dst", "w", F.col("rn").cast("long").alias("rank")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(edge_dir, f"g={g}", f"b={batch_id}"))
+        )
+
+    def commit_meta(g: int, bits: int):
+        (
+            session.createDataFrame(
+                [(bits, batch_id)], "bits int, created_b long"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(meta_dir, f"g={g}"))
+        )
+
+    state = q36_active_gen(session, meta_dir, batch_id)
+    stored_n = 0
+    if state is not None:
+        g, bits = state
+        gen_root = os.path.join(vec_dir, f"g={g}")
+        session.catalog.refreshByPath(gen_root)
+        stored_n = (
+            session.read.parquet(gen_root)
+            .filter(F.col("b") < batch_id)
+            .count()
+        )
+    n_arr = arrivals.count()
+    if n_arr == 0:
+        return
+    need = similarity.graph_bits(stored_n + n_arr, target)
+
+    if state is None or need > bits:
+        # --- RESHARD (or first-generation build): re-bucket the
+        # whole corpus under the new bit count and rebuild the
+        # full edge set at it — the s18 batch path.
+        g2 = 0 if state is None else g + 1
+        corpus = arrivals
+        if state is not None and stored_n:
+            corpus = corpus.unionByName(
+                session.read.parquet(os.path.join(vec_dir, f"g={g}"))
+                .filter(F.col("b") < batch_id)
+                .select("vec_id", "embedding")
+            )
+        gen2_root = os.path.join(vec_dir, f"g={g2}")
+        (
+            bucketed(corpus, need)
+            .write.mode("overwrite")
+            .partitionBy("bkd")
+            .parquet(os.path.join(gen2_root, f"b={batch_id}"))
+        )
+        session.catalog.refreshByPath(gen2_root)
+        rows = (
+            session.read.parquet(gen2_root)
+            .filter(F.col("b") == batch_id)
+            .persist()
+        )
+        src = rows.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.explode(ball1(F.col("bk"), need)).alias("pb"),
+            F.lit(1).alias("new"),
+        )
+        dst = rows.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.col("bk").alias("pb"),
+            F.lit(1).alias("new"),
+        )
+        emit_edges(similarity.bucket_knn_edges(src, dst, top_m), g2)
+        rows.unpersist()
+        commit_meta(g2, need)
+        return
+
+    # --- INCREMENTAL (q35's shape, scoped to generation g) ---
+    gen_root = os.path.join(vec_dir, f"g={g}")
+    (
+        bucketed(arrivals, bits)
+        .write.mode("overwrite")
+        .partitionBy("bkd")
+        .parquet(os.path.join(gen_root, f"b={batch_id}"))
+    )
+    session.catalog.refreshByPath(gen_root)
+    own = sorted(
+        int(r["bk"])
+        for r in session.read.parquet(
+            os.path.join(gen_root, f"b={batch_id}")
+        )
+        .select("bk")
+        .distinct()
+        .collect()
+    )
+    ball = sorted(
+        {p for bk in own for p in [bk] + [bk ^ (1 << j) for j in range(bits)]}
+    )
+    seen = q35_candidate_read(session, gen_root, batch_id, ball).persist()
+    new = seen.filter(F.col("b") == batch_id)
+    old = seen.filter(F.col("b") < batch_id)
+    new_src = new.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.explode(ball1(F.col("bk"), bits)).alias("pb"),
+        F.lit(1).alias("new"),
+    )
+    old_src = (
+        old.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nvec"),
+            F.explode(ball1(F.col("bk"), bits)).alias("pb"),
+            F.lit(0).alias("new"),
+        )
+        .filter(F.col("pb").isin(own))
+    )
+    new_dst = new.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.col("bk").alias("pb"),
+        F.lit(1).alias("new"),
+    )
+    old_dst = old.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.col("bk").alias("pb"),
+        F.lit(0).alias("new"),
+    )
+    emit_edges(
+        similarity.bucket_knn_edges(
+            new_src.unionByName(old_src),
+            new_dst.unionByName(old_dst),
+            top_m,
+        ),
+        g,
+    )
+    seen.unpersist()
+
+
+
+
 def run_q36_graph_reshard(
     spark: SparkSession, sf_dir: str, sink=None, checkpoint: str | None = None
 ):
@@ -3195,12 +3379,6 @@ def run_q36_graph_reshard(
     old generations are dead directories for a janitor, never read.
 
     Returns (sink, query); sink holds (g, b, src, dst, w, rank)."""
-    import os
-
-    from pyspark.sql import Window
-
-    from table_demo_spark.operators import similarity
-    from table_demo_spark.queries.llmops import _S18_M, _rp_bucket_col
     from table_demo_spark.streaming.upsert import ParquetAppendSink
 
     shards = ensure_q33_shards(spark, sf_dir)
@@ -3213,170 +3391,16 @@ def run_q36_graph_reshard(
         sink = ParquetAppendSink(scratch_dir("tds-q36-"), ("g", "b"))
     vec_dir = sink.path.rstrip("/") + "-vecs"
     meta_dir = sink.path.rstrip("/") + "-meta"
-    top_m = _S18_M
-
-    def ball1(col, bits: int):
-        return F.array(
-            col, *[col.bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
-        )
-
-    def bucketed(df: DataFrame, bits: int) -> DataFrame:
-        return (
-            df.select("vec_id", "embedding")
-            .withColumn("bk", _rp_bucket_col(bits=bits))
-            .withColumn("bkd", F.col("bk").bitwiseAND(F.lit(255)))
-        )
-
-    def emit_edges(session, cand_edges: DataFrame, g: int, batch_id: int):
-        win = Window.partitionBy("src").orderBy(
-            F.col("w").desc(), F.col("dst").asc()
-        )
-        (
-            cand_edges.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= top_m)
-            .select(
-                "src", "dst", "w", F.col("rn").cast("long").alias("rank")
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(sink.path, f"g={g}", f"b={batch_id}"))
-        )
-
-    def commit_meta(session, g: int, bits: int, batch_id: int):
-        (
-            session.createDataFrame(
-                [(bits, batch_id)], "bits int, created_b long"
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(meta_dir, f"g={g}"))
-        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        session = batch_df.sparkSession
-        state = q36_active_gen(session, meta_dir, batch_id)
-        stored_n = 0
-        if state is not None:
-            g, bits = state
-            gen_root = os.path.join(vec_dir, f"g={g}")
-            session.catalog.refreshByPath(gen_root)
-            stored_n = (
-                session.read.parquet(gen_root)
-                .filter(F.col("b") < batch_id)
-                .count()
-            )
-        arrivals = batch_df.select("vec_id", "embedding")
-        n_arr = arrivals.count()
-        need = similarity.graph_bits(stored_n + n_arr, Q36_TARGET_BUCKET)
-
-        if state is None or need > bits:
-            # --- RESHARD (or first-generation build): re-bucket the
-            # whole corpus under the new bit count and rebuild the
-            # full edge set at it — the s18 batch path.
-            g2 = 0 if state is None else g + 1
-            corpus = arrivals
-            if state is not None and stored_n:
-                corpus = corpus.unionByName(
-                    session.read.parquet(os.path.join(vec_dir, f"g={g}"))
-                    .filter(F.col("b") < batch_id)
-                    .select("vec_id", "embedding")
-                )
-            gen2_root = os.path.join(vec_dir, f"g={g2}")
-            (
-                bucketed(corpus, need)
-                .write.mode("overwrite")
-                .partitionBy("bkd")
-                .parquet(os.path.join(gen2_root, f"b={batch_id}"))
-            )
-            session.catalog.refreshByPath(gen2_root)
-            rows = (
-                session.read.parquet(gen2_root)
-                .filter(F.col("b") == batch_id)
-                .persist()
-            )
-            src = rows.select(
-                F.col("vec_id").alias("nid"),
-                F.col("embedding").alias("nvec"),
-                F.explode(ball1(F.col("bk"), need)).alias("pb"),
-                F.lit(1).alias("new"),
-            )
-            dst = rows.select(
-                F.col("vec_id").alias("nid"),
-                F.col("embedding").alias("nvec"),
-                F.col("bk").alias("pb"),
-                F.lit(1).alias("new"),
-            )
-            emit_edges(
-                session,
-                similarity.bucket_knn_edges(src, dst, top_m),
-                g2, batch_id,
-            )
-            rows.unpersist()
-            commit_meta(session, g2, need, batch_id)
-            return
-
-        # --- INCREMENTAL (q35's shape, scoped to generation g) ---
-        gen_root = os.path.join(vec_dir, f"g={g}")
-        (
-            bucketed(arrivals, bits)
-            .write.mode("overwrite")
-            .partitionBy("bkd")
-            .parquet(os.path.join(gen_root, f"b={batch_id}"))
+        graph_gen_apply(
+            batch_df.sparkSession,
+            batch_df.select("vec_id", "embedding"),
+            batch_id,
+            vec_dir, meta_dir, sink.path, Q36_TARGET_BUCKET,
         )
-        session.catalog.refreshByPath(gen_root)
-        own = sorted(
-            int(r["bk"])
-            for r in session.read.parquet(
-                os.path.join(gen_root, f"b={batch_id}")
-            )
-            .select("bk")
-            .distinct()
-            .collect()
-        )
-        ball = sorted(
-            {p for bk in own for p in [bk] + [bk ^ (1 << j) for j in range(bits)]}
-        )
-        seen = q35_candidate_read(session, gen_root, batch_id, ball).persist()
-        new = seen.filter(F.col("b") == batch_id)
-        old = seen.filter(F.col("b") < batch_id)
-        new_src = new.select(
-            F.col("vec_id").alias("nid"),
-            F.col("embedding").alias("nvec"),
-            F.explode(ball1(F.col("bk"), bits)).alias("pb"),
-            F.lit(1).alias("new"),
-        )
-        old_src = (
-            old.select(
-                F.col("vec_id").alias("nid"),
-                F.col("embedding").alias("nvec"),
-                F.explode(ball1(F.col("bk"), bits)).alias("pb"),
-                F.lit(0).alias("new"),
-            )
-            .filter(F.col("pb").isin(own))
-        )
-        new_dst = new.select(
-            F.col("vec_id").alias("nid"),
-            F.col("embedding").alias("nvec"),
-            F.col("bk").alias("pb"),
-            F.lit(1).alias("new"),
-        )
-        old_dst = old.select(
-            F.col("vec_id").alias("nid"),
-            F.col("embedding").alias("nvec"),
-            F.col("bk").alias("pb"),
-            F.lit(0).alias("new"),
-        )
-        emit_edges(
-            session,
-            similarity.bucket_knn_edges(
-                new_src.unionByName(old_src),
-                new_dst.unionByName(old_dst),
-                top_m,
-            ),
-            g, batch_id,
-        )
-        seen.unpersist()
 
     query = (
         stream.writeStream.outputMode("append")
@@ -3398,6 +3422,98 @@ def q36_final_edges(spark: SparkSession, sink) -> DataFrame:
     return q35_final_edges(
         store.filter(F.col("g") == gmax).select("src", "dst", "w")
     )
+
+
+def run_q38_hnsw_ingest(
+    spark: SparkSession, sf_dir: str, sink=None, checkpoint: str | None = None
+):
+    """The HNSW HIERARCHY maintained at ingest (r11 verdict #3) —
+    stream_q36's self-resharding machinery run PER LAYER: every
+    arriving vector draws its geometric layer (the s23 md5 draw,
+    P(L >= l) = 4^-l) and joins the navigable graph of every layer
+    l <= its own, each layer an INDEPENDENT generation-aware store
+    (layer-scoped vectors/edges/meta directories) resharding at its
+    own corpus-scaled bit count.  Upper layers hold 1/4 and 1/16 of
+    the corpus, so they reshard later and stay cheap; layer 0 is
+    exactly q36.  Restart-correct per layer by construction: each
+    layer's three stores write static ``lv/g/b`` subtrees and
+    rehydrate ignoring generations created by the current batch
+    (forged-crash test drives the crash ON a reshard batch).
+
+    At 100 TB: the hierarchy costs ~4/3 of the flat graph (the
+    geometric series), reshards stay O(corpus_l) per layer, and the
+    result IS s23's static hierarchy — build == maintain == descend
+    (llm_s25 closes the serve leg).
+
+    Returns (sink, query); sink holds (lv, g, b, src, dst, w, rank)."""
+    import os
+
+    from table_demo_spark.queries.llmops import _S23_MAXL, _s23_layer_col
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_q33_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q38-"), ("lv", "g", "b"))
+    vec_base = sink.path.rstrip("/") + "-vecs"
+    meta_base = sink.path.rstrip("/") + "-meta"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        arrivals = batch_df.select(
+            "vec_id", "embedding", _s23_layer_col().alias("lv")
+        )
+        for lv in range(_S23_MAXL + 1):
+            graph_gen_apply(
+                session,
+                arrivals.filter(F.col("lv") >= lv).select(
+                    "vec_id", "embedding"
+                ),
+                batch_id,
+                os.path.join(vec_base, f"lv={lv}"),
+                os.path.join(meta_base, f"lv={lv}"),
+                os.path.join(sink.path, f"lv={lv}"),
+                Q36_TARGET_BUCKET,
+            )
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
+def q38_final_edges(spark: SparkSession, sink) -> DataFrame:
+    """Compact the hierarchical drain's edge store to the CURRENT
+    per-layer graphs: for each layer, max-generation subtree only,
+    then q35's per-src top-M fold.  Equals s23's static per-layer
+    edge sets at graph_bits(n_members_l, Q36_TARGET_BUCKET) — the
+    oracle pins that per-layer resharding preserved every layer's
+    graph."""
+    from table_demo_spark.queries.llmops import _S23_MAXL
+
+    store = sink.snapshot_df(spark)
+    out = None
+    for lv in range(_S23_MAXL + 1):
+        layer = store.filter(F.col("lv") == lv)
+        gmax_rows = layer.agg(F.max("g")).collect()
+        if not gmax_rows or gmax_rows[0][0] is None:
+            continue
+        edges = q35_final_edges(
+            layer.filter(F.col("g") == gmax_rows[0][0]).select(
+                "src", "dst", "w"
+            )
+        ).withColumn("lv", F.lit(lv).cast("long"))
+        out = edges if out is None else out.unionByName(edges)
+    return out.select("lv", "src", "dst", "rank")
 
 
 def run_q34_media_triage(

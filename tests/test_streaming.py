@@ -1457,6 +1457,104 @@ def test_q36_restart_replays_the_reshard_batch(spark, tmp_path):
     assert rows(sink) == want
 
 
+def test_q38_layers_reshard_independently(spark):
+    """The hierarchy's layers run their OWN generation ladders: on
+    the 500-vector fixture layer 0 crosses one reshard boundary
+    (4 -> 5 bits, exactly like q36) while the upper layers — holding
+    ~1/4 and ~1/16 of the corpus — never outgrow their first
+    generation; and every layer's member set is exactly the s23
+    geometric draw."""
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.queries.llmops import _s23_layer_col
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import run_q38_hnsw_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, q = run_q38_hnsw_ingest(spark, SF_SMOKE)
+        _drain(q, sink.count, quiet_polls=1)
+    meta = spark.read.parquet(sink.path.rstrip("/") + "-meta")
+    gens = {
+        lv: sorted(
+            (int(r["g"]), int(r["bits"]))
+            for r in meta.filter(F.col("lv") == lv).collect()
+        )
+        for lv in (0, 1, 2)
+    }
+    assert gens[0] == [(0, 4), (1, 5)]  # the q36 boundary
+    assert [g for g, _ in gens[1]] == [0]
+    assert [g for g, _ in gens[2]] == [0]
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lay = emb.select("vec_id", _s23_layer_col().alias("lv"))
+    vecs = spark.read.parquet(sink.path.rstrip("/") + "-vecs")
+    for lv in (0, 1, 2):
+        want = {
+            int(r["vec_id"])
+            for r in lay.filter(F.col("lv") >= lv).collect()
+        }
+        gmax = max(g for g, _ in gens[lv])
+        got = {
+            int(r["vec_id"])
+            for r in vecs.filter(
+                (F.col("lv") == lv) & (F.col("g") == gmax)
+            ).collect()
+        }
+        assert got == want, lv
+
+
+def test_q38_restart_replays_the_reshard_batch(spark, tmp_path):
+    """q36's forged-crash discipline, hierarchy-wide: the crash lands
+    ON layer 0's reshard batch (commits/2 and /3 deleted), and the
+    restarted drain must redo every layer's work for the replayed
+    batches — layer 0's re-bucket + rebuild from the prior
+    generation, the upper layers' incremental steps — and the final
+    store must equal the uninterrupted run's, layer and generation
+    labels included."""
+    import os
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q38_hnsw_ingest
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (int(r["lv"]), int(r["g"]), int(r["b"]), int(r["src"]),
+             int(r["dst"]), int(r["rank"]))
+            for r in s.snapshot_df(spark)
+            .select("lv", "g", "b", "src", "dst", "rank")
+            .collect()
+        }
+
+    with _state_partitions(spark, no_data=False):
+        ref_sink, q = run_q38_hnsw_ingest(spark, SF_SMOKE)
+        _drain(q, ref_sink.count, quiet_polls=1)
+    want = rows(ref_sink)
+    assert {(lv, g, b) for (lv, g, b, _, _, _) in want} >= {
+        (0, 0, 0), (0, 0, 1), (0, 1, 2), (0, 1, 3)
+    }
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("lv", "g", "b"))
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q38_hnsw_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    for n in ("2", "3"):
+        os.remove(os.path.join(ckpt, "commits", n))
+        crc = os.path.join(ckpt, "commits", f".{n}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q38_hnsw_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
+
+
 def test_q35_incremental_graph_equals_batch_build(spark):
     """build ≡ maintain, asserted directly (the s20 oracle pins it
     externally): per-src top-M compaction of q35's emission log equals
