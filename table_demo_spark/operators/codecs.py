@@ -6764,15 +6764,17 @@ def decode_h264_i16x16_slice(
                 dcc = np.zeros((2, 2), np.int64)
             for y2 in range(2):
                 for x2 in range(2):
-                    if m == 0 and x2 == 0:
+                    # chroma DC prediction (8.3.4.1) uses only the
+                    # MB-BOUNDARY neighbours p[x,-1] / p[-1,y] — with
+                    # the top row unavailable, every block in the
+                    # (x2, y2) half-row predicts from the LEFT MB's
+                    # boundary column rows 4*y2..4*y2+3 (blocks at
+                    # xO=4 fall back to the same left samples, never
+                    # to interior pixels)
+                    if m == 0:
                         p = 128
-                    elif x2 == 0:
-                        edge = tgt[4 * y2:4 * y2 + 4, 8 * m - 1]
-                        p = (int(edge.astype(np.int64).sum()) + 2) >> 2
                     else:
-                        edge = tgt[
-                            4 * y2:4 * y2 + 4, 8 * m + 3
-                        ]
+                        edge = tgt[4 * y2:4 * y2 + 4, 8 * m - 1]
                         p = (int(edge.astype(np.int64).sum()) + 2) >> 2
                     res = (int(dcc[y2, x2]) + 32) >> 6
                     tgt[

@@ -6255,16 +6255,14 @@ def _m39_oracle() -> str:
         f" AS k{y2}{x2}"
         for y2 in range(2) for x2 in range(2)
     ]
+    # chroma DC prediction (8.3.4.1) uses MB-BOUNDARY samples only:
+    # with the top row unavailable, both blocks of half-row y2 predict
+    # from the left MB's boundary column rows 4*y2..4*y2+3 — i.e. the
+    # previous MB's (x2=1, y2) block value (uniform column)
     cch, c_union = [], []
     for m in range(4):
-        a0 = (
-            "GREATEST(0, LEAST(255, 128 + k.k00))" if m == 0 else
-            "GREATEST(0, LEAST(255, p.va1 + k.k00))"
-        )
-        b0 = (
-            "GREATEST(0, LEAST(255, 128 + k.k10))" if m == 0 else
-            "GREATEST(0, LEAST(255, p.vb1 + k.k10))"
-        )
+        pa = "128" if m == 0 else "p.va1"
+        pb = "128" if m == 0 else "p.vb1"
         join = (
             "" if m == 0 else
             f" JOIN cpx{m - 1} p ON p.doc_id = k.doc_id"
@@ -6272,10 +6270,10 @@ def _m39_oracle() -> str:
         )
         cch.append(
             f"cpx{m} AS MATERIALIZED (SELECT k.doc_id, k.plane,"
-            f" {a0} AS va0,"
-            f" GREATEST(0, LEAST(255, {a0} + k.k01)) AS va1,"
-            f" {b0} AS vb0,"
-            f" GREATEST(0, LEAST(255, {b0} + k.k11)) AS vb1"
+            f" GREATEST(0, LEAST(255, {pa} + k.k00)) AS va0,"
+            f" GREATEST(0, LEAST(255, {pa} + k.k01)) AS va1,"
+            f" GREATEST(0, LEAST(255, {pb} + k.k10)) AS vb0,"
+            f" GREATEST(0, LEAST(255, {pb} + k.k11)) AS vb1"
             f" FROM ck k{join} WHERE k.mb = {m})"
         )
         c_union.append(f"SELECT * FROM cpx{m}")

@@ -229,13 +229,10 @@ def test_slice_reconstruction_matches_independent_model():
             dcc = ((h2 @ mb[key] @ h2) * 11 << 6) >> 5  # QPc 37
             for y2 in range(2):
                 for x2 in range(2):
-                    if m == 0 and x2 == 0:
+                    if m == 0:
                         p = 128
-                    elif x2 == 0:
-                        p = (int(pl[4 * y2:4 * y2 + 4, 8 * m - 1].sum())
-                             + 2) >> 2
                     else:
-                        p = (int(pl[4 * y2:4 * y2 + 4, 8 * m + 3].sum())
+                        p = (int(pl[4 * y2:4 * y2 + 4, 8 * m - 1].sum())
                              + 2) >> 2
                     pl[4 * y2:4 * y2 + 4,
                        8 * m + 4 * x2:8 * m + 4 * x2 + 4] = np.clip(
