@@ -6537,19 +6537,25 @@ def _h264_blk_xy(idx: int) -> tuple[int, int]:
     )
 
 
-def _h264_nc(nnz_cur, nnz_prev, x4: int, y4: int) -> int:
+def _h264_nc(nnz_cur, nnz_left, x4: int, y4: int, nnz_top=None) -> int:
     """coeff_token context nC for luma block (x4, y4) of the current
-    MB (9.2.1): mean of the available left/right... left/top
-    neighbours' TotalCoeff, rounded up; 0 if neither is available.
-    Single-MB-row scope: the top neighbour never crosses an MB edge
-    (callers enforce mb_height == 1)."""
+    MB (9.2.1): mean of the available left/top neighbours'
+    TotalCoeff, rounded up; 0 if neither is available.  The left
+    neighbour crosses into ``nnz_left`` (the MB to the left) at
+    x4 == 0; the top neighbour crosses into ``nnz_top`` (the MB
+    above) at y4 == 0."""
     if x4 > 0:
         na = nnz_cur[y4][x4 - 1]
-    elif nnz_prev is not None:
-        na = nnz_prev[y4][3]
+    elif nnz_left is not None:
+        na = nnz_left[y4][3]
     else:
         na = None
-    nb = nnz_cur[y4 - 1][x4] if y4 > 0 else None
+    if y4 > 0:
+        nb = nnz_cur[y4 - 1][x4]
+    elif nnz_top is not None:
+        nb = nnz_top[3][x4]
+    else:
+        nb = None
     if na is not None and nb is not None:
         return (na + nb + 1) >> 1
     if na is not None:
@@ -6621,39 +6627,45 @@ def encode_h264_i16x16_slice(
     Intra16x16DCLevel, ``ac`` (4,4,4,4) raster [y4][x4] 4x4 AC blocks
     (position (0,0) must be 0), ``cb_dc``/``cr_dc`` (2,2) chroma DC —
     and the writer emits the exact spec bitstream for them, slice
-    data bit-contiguous with the header (no alignment).  Single MB
-    row only (mb_height == 1): nC's cross-MB top neighbour is the
-    documented extension point."""
-    if sps["mb_height"] != 1:
-        raise ValueError("H264 CAVLC layer: single MB row only")
-    if len(mbs) != sps["mb_width"]:
-        raise ValueError("one MB dict per SPS mb column")
+    data bit-contiguous with the header (no alignment).  ``mbs`` is
+    one dict per macroblock in RASTER order (row-major over the SPS
+    mb grid); nC's neighbour derivation crosses MB edges in both
+    dimensions (9.2.1)."""
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if len(mbs) != mb_w * mb_h:
+        raise ValueError("one MB dict per SPS grid cell, raster order")
     bw = _ExpGolombWriter()
     _h264_put_slice_header(
         bw, sps, pps, 7, 0, frame_num, 0,
         idr_pic_id=idr_pic_id, poc_lsb=0, nal_ref_idc=3,
     )
-    nnz_prev = None
-    for mb in mbs:
-        bw.ue(19)  # Intra_16x16, pred DC, cbpChroma 1, cbpLuma 15
-        bw.ue(0)   # intra_chroma_pred_mode: DC
-        bw.se(0)   # mb_qp_delta
-        nnz = [[0] * 4 for _ in range(4)]
-        dc_scan = [int(mb["dc"].flat[z]) for z in H264_ZIGZAG_4x4]
-        cavlc_encode_block(bw, dc_scan, _h264_nc(nnz, nnz_prev, 0, 0), 16)
-        for idx in range(16):
-            x4, y4 = _h264_blk_xy(idx)
-            blk = mb["ac"][y4][x4]
-            if blk.flat[0] != 0:
-                raise ValueError("AC block position (0,0) must be 0")
-            scan = [int(blk.flat[z]) for z in H264_ZIGZAG_4x4[1:]]
-            n_c = _h264_nc(nnz, nnz_prev, x4, y4)
-            nnz[y4][x4] = cavlc_encode_block(bw, scan, n_c, 15)
-        for plane in ("cb_dc", "cr_dc"):
+    nnz_store: dict[tuple[int, int], list] = {}
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            bw.ue(19)  # Intra_16x16, pred DC, cbpChroma 1, cbpLuma 15
+            bw.ue(0)   # intra_chroma_pred_mode: DC
+            bw.se(0)   # mb_qp_delta
+            left = nnz_store.get((mx - 1, my))
+            top = nnz_store.get((mx, my - 1))
+            nnz = [[0] * 4 for _ in range(4)]
+            dc_scan = [int(mb["dc"].flat[z]) for z in H264_ZIGZAG_4x4]
             cavlc_encode_block(
-                bw, [int(v) for v in mb[plane].flat], -1, 4
+                bw, dc_scan, _h264_nc(nnz, left, 0, 0, top), 16
             )
-        nnz_prev = nnz
+            for idx in range(16):
+                x4, y4 = _h264_blk_xy(idx)
+                blk = mb["ac"][y4][x4]
+                if blk.flat[0] != 0:
+                    raise ValueError("AC block position (0,0) must be 0")
+                scan = [int(blk.flat[z]) for z in H264_ZIGZAG_4x4[1:]]
+                n_c = _h264_nc(nnz, left, x4, y4, top)
+                nnz[y4][x4] = cavlc_encode_block(bw, scan, n_c, 15)
+            for plane in ("cb_dc", "cr_dc"):
+                cavlc_encode_block(
+                    bw, [int(v) for v in mb[plane].flat], -1, 4
+                )
+            nnz_store[(mx, my)] = nnz
     bw.put(1, 1)  # rbsp_stop_one_bit
     bw.align()
     return bytes(bw.out)
@@ -6664,14 +6676,17 @@ def decode_h264_i16x16_slice(
     sps_store: dict,
 ):
     """Decode an Intra_16x16 CAVLC slice to PIXELS: slice header
-    through the parameter-set stores, then per MB the 7.3.5 walk —
-    mb_type, intra_chroma_pred_mode, mb_qp_delta, Intra16x16DCLevel,
-    16 ACLevel blocks, 2 chroma DC blocks — with full nC bookkeeping,
-    the 8.5.10/8.5.11/8.5.12 dequant + inverse transforms, and
-    Intra16x16 DC / chroma DC prediction (8.3.3.1 / 8.3.4).  Returns
-    (header, luma, cb, cr, total_coeff).  Non-DC intra prediction
-    modes, chroma AC (cbpChroma 2), and multi-row pictures fail
-    loudly (documented extension points)."""
+    through the parameter-set stores, then per MB (raster order over
+    the SPS grid) the 7.3.5 walk — mb_type, intra_chroma_pred_mode,
+    mb_qp_delta, Intra16x16DCLevel, 16 ACLevel blocks, 2 chroma DC
+    blocks — with 2D nC bookkeeping (left and top neighbours cross
+    MB edges, 9.2.1), the 8.5.10/8.5.11/8.5.12 dequant + inverse
+    transforms, Intra16x16 DC prediction over the available MB
+    boundaries (8.3.3.1: both/left/top/neither cases), and chroma DC
+    prediction from MB-boundary samples only (8.3.4.1, including the
+    corner blocks' top/left preferences).  Returns (header, luma,
+    cb, cr, total_coeff).  Non-DC intra prediction modes and chroma
+    AC (cbpChroma 2) fail loudly (documented extension points)."""
     import numpy as np
 
     hdr = decode_h264_slice_header(
@@ -6679,106 +6694,153 @@ def decode_h264_i16x16_slice(
     )
     pps = pps_store[hdr["pps_id"]]
     sps = sps_store[pps["sps_id"]]
-    if sps["mb_height"] != 1:
-        raise ValueError("H264 CAVLC layer: single MB row only")
-    mb_w = sps["mb_width"]
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
     br = _BitReader(rbsp)
     _h264_skip_slice_header(br, nal_type, nal_ref_idc, pps_store, sps_store)
-    y = np.zeros((16, 16 * mb_w), np.uint8)
-    cb = np.zeros((8, 8 * mb_w), np.uint8)
-    cr = np.zeros((8, 8 * mb_w), np.uint8)
+    y = np.zeros((16 * mb_h, 16 * mb_w), np.uint8)
+    cb = np.zeros((8 * mb_h, 8 * mb_w), np.uint8)
+    cr = np.zeros((8 * mb_h, 8 * mb_w), np.uint8)
     qp = hdr["slice_qp"]
-    nnz_prev = None
+    nnz_store: dict[tuple[int, int], list] = {}
     total_coeff = 0
-    for m in range(mb_w):
-        mb_type = _expgolomb_ue(br)
-        if not 1 <= mb_type <= 24:
-            raise ValueError(
-                f"H264: only Intra_16x16 mb_type supported, got {mb_type}"
-            )
-        k = mb_type - 1
-        pred_mode, cbp_chroma = k % 4, (k // 4) % 3
-        cbp_luma = 15 if k >= 12 else 0
-        if pred_mode != 2:
-            raise ValueError(
-                "H264: only Intra_16x16 DC prediction implemented"
-                f" (mode {pred_mode} is the documented extension point)"
-            )
-        if cbp_chroma == 2:
-            raise ValueError(
-                "H264: chroma AC residuals are the documented extension"
-                " point"
-            )
-        if _expgolomb_ue(br) != 0:
-            raise ValueError("H264: only chroma DC prediction implemented")
-        qp = qp + _expgolomb_se(br)  # mb_qp_delta
-        qpc = h264_chroma_qp(qp + pps["chroma_qp_index_offset"])
-        nnz = [[0] * 4 for _ in range(4)]
-        dc_scan, n = cavlc_decode_block(
-            br, _h264_nc(nnz, nnz_prev, 0, 0), 16
-        )
-        total_coeff += n
-        f_dc = np.zeros(16, np.int64)
-        f_dc[list(H264_ZIGZAG_4x4)] = dc_scan
-        dc = _h264_luma_dc_dequant(f_dc.reshape(4, 4), qp)
-        ac = np.zeros((4, 4, 4, 4), np.int64)
-        if cbp_luma:
-            for idx in range(16):
-                x4, y4 = _h264_blk_xy(idx)
-                scan, n = cavlc_decode_block(
-                    br, _h264_nc(nnz, nnz_prev, x4, y4), 15
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb_type = _expgolomb_ue(br)
+            if not 1 <= mb_type <= 24:
+                raise ValueError(
+                    f"H264: only Intra_16x16 mb_type supported, got"
+                    f" {mb_type}"
                 )
-                nnz[y4][x4] = n
-                total_coeff += n
-                flat = np.zeros(16, np.int64)
-                flat[list(H264_ZIGZAG_4x4[1:])] = scan
-                ac[y4][x4] = flat.reshape(4, 4)
-        # luma reconstruction: DC prediction, then per-block dequant
-        # + inverse transform
-        if m == 0:
-            pred = 128
-        else:
-            pred = (int(y[:, 16 * m - 1].astype(np.int64).sum()) + 8) >> 4
-        vshift = qp // 6
-        m6 = qp % 6
-        ls = np.array(
-            [[h264_levelscale(m6, i, j) for j in range(4)]
-             for i in range(4)], np.int64,
-        )
-        for y4 in range(4):
-            for x4 in range(4):
-                d = (ac[y4][x4] * ls) << vshift
-                d[0, 0] = dc[y4, x4]
-                res = _h264_idct4(d)
-                px = np.clip(pred + res, 0, 255).astype(np.uint8)
-                y[4 * y4:4 * y4 + 4, 16 * m + 4 * x4:16 * m + 4 * x4 + 4] = px
-        # chroma: 2x2 DC path, DC-only 4x4 blocks are uniform
-        for plane, tgt in (("cb", cb), ("cr", cr)):
-            if cbp_chroma:
-                scan, n = cavlc_decode_block(br, -1, 4)
-                total_coeff += n
-                dcc = _h264_chroma_dc_dequant(
-                    np.array(scan, np.int64).reshape(2, 2), qpc
+            k = mb_type - 1
+            pred_mode, cbp_chroma = k % 4, (k // 4) % 3
+            cbp_luma = 15 if k >= 12 else 0
+            if pred_mode != 2:
+                raise ValueError(
+                    "H264: only Intra_16x16 DC prediction implemented"
+                    f" (mode {pred_mode} is the documented extension"
+                    " point)"
                 )
+            if cbp_chroma == 2:
+                raise ValueError(
+                    "H264: chroma AC residuals are the documented"
+                    " extension point"
+                )
+            if _expgolomb_ue(br) != 0:
+                raise ValueError(
+                    "H264: only chroma DC prediction implemented"
+                )
+            qp = qp + _expgolomb_se(br)  # mb_qp_delta
+            qpc = h264_chroma_qp(qp + pps["chroma_qp_index_offset"])
+            left = nnz_store.get((mx - 1, my))
+            top = nnz_store.get((mx, my - 1))
+            nnz = [[0] * 4 for _ in range(4)]
+            dc_scan, n = cavlc_decode_block(
+                br, _h264_nc(nnz, left, 0, 0, top), 16
+            )
+            total_coeff += n
+            f_dc = np.zeros(16, np.int64)
+            f_dc[list(H264_ZIGZAG_4x4)] = dc_scan
+            dc = _h264_luma_dc_dequant(f_dc.reshape(4, 4), qp)
+            ac = np.zeros((4, 4, 4, 4), np.int64)
+            if cbp_luma:
+                for idx in range(16):
+                    x4, y4 = _h264_blk_xy(idx)
+                    scan, n = cavlc_decode_block(
+                        br, _h264_nc(nnz, left, x4, y4, top), 15
+                    )
+                    nnz[y4][x4] = n
+                    total_coeff += n
+                    flat = np.zeros(16, np.int64)
+                    flat[list(H264_ZIGZAG_4x4[1:])] = scan
+                    ac[y4][x4] = flat.reshape(4, 4)
+            # Intra16x16 DC prediction (8.3.3.1): mean over the
+            # available MB-boundary samples
+            ox, oy = 16 * mx, 16 * my
+            sums, cnt = 0, 0
+            if mx > 0:
+                sums += int(y[oy:oy + 16, ox - 1].astype(np.int64).sum())
+                cnt += 16
+            if my > 0:
+                sums += int(y[oy - 1, ox:ox + 16].astype(np.int64).sum())
+                cnt += 16
+            if cnt == 32:
+                pred = (sums + 16) >> 5
+            elif cnt == 16:
+                pred = (sums + 8) >> 4
             else:
-                dcc = np.zeros((2, 2), np.int64)
-            for y2 in range(2):
-                for x2 in range(2):
-                    # chroma DC prediction (8.3.4.1) uses only the
-                    # MB-BOUNDARY neighbours p[x,-1] / p[-1,y] — with
-                    # the top row unavailable, every block in the
-                    # (x2, y2) half-row predicts from the LEFT MB's
-                    # boundary column rows 4*y2..4*y2+3 (blocks at
-                    # xO=4 fall back to the same left samples, never
-                    # to interior pixels)
-                    if m == 0:
-                        p = 128
-                    else:
-                        edge = tgt[4 * y2:4 * y2 + 4, 8 * m - 1]
-                        p = (int(edge.astype(np.int64).sum()) + 2) >> 2
-                    res = (int(dcc[y2, x2]) + 32) >> 6
-                    tgt[
-                        4 * y2:4 * y2 + 4, 8 * m + 4 * x2:8 * m + 4 * x2 + 4
-                    ] = np.clip(p + res, 0, 255)
-        nnz_prev = nnz
+                pred = 128
+            vshift = qp // 6
+            m6 = qp % 6
+            ls = np.array(
+                [[h264_levelscale(m6, i, j) for j in range(4)]
+                 for i in range(4)], np.int64,
+            )
+            for y4 in range(4):
+                for x4 in range(4):
+                    d = (ac[y4][x4] * ls) << vshift
+                    d[0, 0] = dc[y4, x4]
+                    res = _h264_idct4(d)
+                    px = np.clip(pred + res, 0, 255).astype(np.uint8)
+                    y[oy + 4 * y4:oy + 4 * y4 + 4,
+                      ox + 4 * x4:ox + 4 * x4 + 4] = px
+            # chroma: 2x2 DC path; prediction per 4x4 block from the
+            # MB-BOUNDARY samples only (8.3.4.1) — corner blocks use
+            # both edges, (4,0) prefers top, (0,4) prefers left
+            cox, coy = 8 * mx, 8 * my
+            for plane, tgt in (("cb", cb), ("cr", cr)):
+                if cbp_chroma:
+                    scan, n = cavlc_decode_block(br, -1, 4)
+                    total_coeff += n
+                    dcc = _h264_chroma_dc_dequant(
+                        np.array(scan, np.int64).reshape(2, 2), qpc
+                    )
+                else:
+                    dcc = np.zeros((2, 2), np.int64)
+                up = (
+                    tgt[coy - 1, cox:cox + 8].astype(np.int64)
+                    if my > 0 else None
+                )
+                lf = (
+                    tgt[coy:coy + 8, cox - 1].astype(np.int64)
+                    if mx > 0 else None
+                )
+                for y2 in range(2):
+                    for x2 in range(2):
+                        su = (
+                            int(up[4 * x2:4 * x2 + 4].sum())
+                            if up is not None else None
+                        )
+                        sl = (
+                            int(lf[4 * y2:4 * y2 + 4].sum())
+                            if lf is not None else None
+                        )
+                        if x2 == y2:  # (0,0) and (4,4): both edges
+                            if su is not None and sl is not None:
+                                p = (su + sl + 4) >> 3
+                            elif sl is not None:
+                                p = (sl + 2) >> 2
+                            elif su is not None:
+                                p = (su + 2) >> 2
+                            else:
+                                p = 128
+                        elif x2 == 1:  # (4,0): top preferred
+                            if su is not None:
+                                p = (su + 2) >> 2
+                            elif sl is not None:
+                                p = (sl + 2) >> 2
+                            else:
+                                p = 128
+                        else:  # (0,4): left preferred
+                            if sl is not None:
+                                p = (sl + 2) >> 2
+                            elif su is not None:
+                                p = (su + 2) >> 2
+                            else:
+                                p = 128
+                        res = (int(dcc[y2, x2]) + 32) >> 6
+                        tgt[
+                            coy + 4 * y2:coy + 4 * y2 + 4,
+                            cox + 4 * x2:cox + 4 * x2 + 4,
+                        ] = np.clip(p + res, 0, 255)
+            nnz_store[(mx, my)] = nnz
     return hdr, y, cb, cr, total_coeff

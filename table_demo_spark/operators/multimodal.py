@@ -2692,7 +2692,9 @@ def _cavlc_level(b: int) -> int:
     return mag if b % 2 == 0 else -mag
 
 
-def with_h264_cavlc_payload(docs: DataFrame) -> DataFrame:
+def with_h264_cavlc_payload(
+    docs: DataFrame, mb_w: int = H264_CAVLC_MB_W, mb_h: int = 1
+) -> DataFrame:
     """(doc_id, payload): an Annex B stream whose IDR slice carries
     CAVLC-coded Intra_16x16 residual data (14496-10 9.2 / 7.3.5.3) —
     the entropy-coded layer under m38's I_PCM.  Levels are planted
@@ -2714,8 +2716,8 @@ def with_h264_cavlc_payload(docs: DataFrame) -> DataFrame:
         encode_h264_sps,
     )
 
-    mw = H264_CAVLC_MB_W
-    sps_rbsp = encode_h264_sps(66, 30, mw, 1)
+    mw, mh = mb_w, mb_h
+    sps_rbsp = encode_h264_sps(66, 30, mw, mh)
     pps_rbsp = encode_h264_pps(0, 0, 16)  # pic_init_qp 42
     sps = decode_h264_sps(sps_rbsp)
     pps = decode_h264_pps(pps_rbsp)
@@ -2724,9 +2726,13 @@ def with_h264_cavlc_payload(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                raw = _md5_stream(str(doc_id), _CAVLC_BLOCKS, "#cav")
+                raw = _md5_stream(
+                    str(doc_id),
+                    (mw * mh * _CAVLC_MB_BYTES) // 16,
+                    "#cav" if mh == 1 else "#cav2",
+                )
                 mbs = []
-                for m in range(mw):
+                for m in range(mw * mh):
                     base = m * _CAVLC_MB_BYTES
                     dc = np.array(
                         [raw[base + k] % 5 - 2 for k in range(16)],

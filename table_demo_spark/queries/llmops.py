@@ -6142,14 +6142,18 @@ def m39_h264_cavlc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _m39_oracle() -> str:
-    """Generate the DuckDB restatement of the m39 pipeline.  QP is
-    pinned at 42 (qP/6 = 7), which makes every spec shift exact in
-    integer SQL: AC dequant = level * V * 128 (even, so the butterfly
-    '>> 1's are exact '// 2'), luma DC = 20 * g (the qP >= 36 branch),
-    chroma DC = 22 * g (QPc = 37 via Table 8-15); the only floors are
-    the final (x + 32) >> 6 per pixel and the prediction means,
-    restated as FP-exact floor()/power-of-two divisions."""
+def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
+    """Generate the DuckDB restatement of the CAVLC pipeline for an
+    mb_w x mb_h Intra_16x16 picture.  QP is pinned at 42 (qP/6 = 7),
+    which makes every spec shift exact in integer SQL: AC dequant =
+    level * V * 128 (even, so the butterfly '>> 1's are exact
+    '// 2'), luma DC = 20 * g (the qP >= 36 branch), chroma DC =
+    22 * g (QPc = 37 via Table 8-15); the only floors are the final
+    (x + 32) >> 6 per pixel and the prediction means.  MBs chain in
+    raster order: each MB's DC prediction reads the reconstructed
+    right edge of its left neighbour and bottom edge of its top
+    neighbour (8.3.3.1 both/left/top/neither cases), and the chroma
+    chain restates 8.3.4.1's boundary-only block rules."""
     H = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
 
     def ls(i: int, j: int) -> int:
@@ -6164,12 +6168,13 @@ def _m39_oracle() -> str:
         off = f"CAST(2 * (({o}) % 16) + 1 AS INT)"
         return (
             "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
-            f" '#cav' || {blk}), {off}, 2) AS BIGINT)"
+            f" '{salt}' || {blk}), {off}, 2) AS BIGINT)"
         )
 
     mbb = 16 + 16 * 15 + 8  # plant bytes per MB
+    n_mb = mb_w * mb_h
+    width = 16 * mb_w
 
-    # inverse-Hadamard luma DC: dc_ij = 20 * sum_kl H[i][k] f_kl H[l][j]
     dc_cols = []
     for i in range(4):
         for j in range(4):
@@ -6180,7 +6185,6 @@ def _m39_oracle() -> str:
                     terms.append(f"{'+' if c > 0 else '-'} f{4 * k + l}")
             dc_cols.append(f"20 * ({' '.join(terms)}) AS dc{i}{j}")
 
-    # per-block dequantized coefficient columns d0..d15
     d_cols = ["CASE " + " ".join(
         f"WHEN y4 = {i} AND x4 = {j} THEN dc{i}{j}"
         for i in range(4) for j in range(4)
@@ -6188,7 +6192,6 @@ def _m39_oracle() -> str:
     for k in range(1, 16):
         d_cols.append(f"a{k} * {ls(k // 4, k % 4) * 128} AS d{k}")
 
-    # butterfly pass 1 (rows) -> f{r}{c}, pass 2 (cols) -> out, pixels
     f_cols = []
     for r in range(4):
         b = 4 * r
@@ -6218,32 +6221,56 @@ def _m39_oracle() -> str:
         for i in range(4) for j in range(4)
     ) + " END"
 
-    # luma pixel CTEs: pred chain across the 4 MBs
+    # luma pixel CTEs: raster MB chain; pred over available edges
     px_ctes, px_union = [], []
-    for m in range(4):
-        if m == 0:
-            px_ctes.append(
-                "px0 AS MATERIALIZED (SELECT doc_id, y, x,"
-                " GREATEST(0, LEAST(255, 128 + r)) AS v"
-                " FROM rpx WHERE mb = 0)"
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            k = my * mb_w + mx
+            edges = []
+            if mx > 0:
+                edges.append(
+                    f"(SELECT doc_id, sum(v) AS s FROM px{k - 1}"
+                    " WHERE x = 15 GROUP BY doc_id)"
+                )
+            if my > 0:
+                edges.append(
+                    f"(SELECT doc_id, sum(v) AS s FROM px{k - mb_w}"
+                    " WHERE y = 15 GROUP BY doc_id)"
+                )
+            if len(edges) == 2:
+                px_ctes.append(
+                    f"pr{k} AS (SELECT l.doc_id,"
+                    " CAST(floor((l.s + t.s + 16) / 32.0) AS BIGINT)"
+                    f" AS pred FROM {edges[0]} l"
+                    f" JOIN {edges[1]} t ON t.doc_id = l.doc_id)"
+                )
+            elif len(edges) == 1:
+                px_ctes.append(
+                    f"pr{k} AS (SELECT doc_id,"
+                    " CAST(floor((s + 8) / 16.0) AS BIGINT) AS pred"
+                    f" FROM {edges[0]})"
+                )
+            if edges:
+                px_ctes.append(
+                    f"px{k} AS MATERIALIZED (SELECT r.doc_id, r.y, r.x,"
+                    " GREATEST(0, LEAST(255, p.pred + r.r)) AS v"
+                    f" FROM rpx r JOIN pr{k} p ON p.doc_id = r.doc_id"
+                    f" WHERE r.mb = {k})"
+                )
+            else:
+                px_ctes.append(
+                    f"px{k} AS MATERIALIZED (SELECT doc_id, y, x,"
+                    " GREATEST(0, LEAST(255, 128 + r)) AS v"
+                    f" FROM rpx WHERE mb = {k})"
+                )
+            px_union.append(
+                f"SELECT doc_id, {16 * my} + y AS gy, {16 * mx} + x AS gx,"
+                f" v FROM px{k}"
             )
-        else:
-            px_ctes.append(
-                f"pr{m} AS (SELECT doc_id,"
-                f" CAST(floor((sum(v) + 8) / 16.0) AS BIGINT) AS pred"
-                f" FROM px{m - 1} WHERE x = 15 GROUP BY doc_id)"
-            )
-            px_ctes.append(
-                f"px{m} AS MATERIALIZED (SELECT r.doc_id, r.y, r.x,"
-                f" GREATEST(0, LEAST(255, p.pred + r.r)) AS v"
-                f" FROM rpx r JOIN pr{m} p ON p.doc_id = r.doc_id"
-                f" WHERE r.mb = {m})"
-            )
-        px_union.append(
-            f"SELECT doc_id, y, {16 * m} + x AS gx, v FROM px{m}"
-        )
 
-    # chroma: planted 2x2 f, inverse 2x2 Hadamard, 22*g, uniform blocks
+    # chroma: 8.3.4.1 boundary-only block rules over the uniform
+    # 4x4 block values — the above MB contributes its (vb0, vb1)
+    # bottom row, the left MB its (va1, vb1) right column
     g2 = {
         (0, 0): "(f00 + f01 + f10 + f11)",
         (0, 1): "(f00 - f01 + f10 - f11)",
@@ -6255,28 +6282,44 @@ def _m39_oracle() -> str:
         f" AS k{y2}{x2}"
         for y2 in range(2) for x2 in range(2)
     ]
-    # chroma DC prediction (8.3.4.1) uses MB-BOUNDARY samples only:
-    # with the top row unavailable, both blocks of half-row y2 predict
-    # from the left MB's boundary column rows 4*y2..4*y2+3 — i.e. the
-    # previous MB's (x2=1, y2) block value (uniform column)
     cch, c_union = [], []
-    for m in range(4):
-        pa = "128" if m == 0 else "p.va1"
-        pb = "128" if m == 0 else "p.vb1"
-        join = (
-            "" if m == 0 else
-            f" JOIN cpx{m - 1} p ON p.doc_id = k.doc_id"
-            " AND p.plane = k.plane"
-        )
-        cch.append(
-            f"cpx{m} AS MATERIALIZED (SELECT k.doc_id, k.plane,"
-            f" GREATEST(0, LEAST(255, {pa} + k.k00)) AS va0,"
-            f" GREATEST(0, LEAST(255, {pa} + k.k01)) AS va1,"
-            f" GREATEST(0, LEAST(255, {pb} + k.k10)) AS vb0,"
-            f" GREATEST(0, LEAST(255, {pb} + k.k11)) AS vb1"
-            f" FROM ck k{join} WHERE k.mb = {m})"
-        )
-        c_union.append(f"SELECT * FROM cpx{m}")
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            k = my * mb_w + mx
+            has_l, has_t = mx > 0, my > 0
+            joins = " FROM ck k"
+            if has_l:
+                joins += (
+                    f" JOIN cpx{k - 1} l ON l.doc_id = k.doc_id"
+                    " AND l.plane = k.plane"
+                )
+            if has_t:
+                joins += (
+                    f" JOIN cpx{k - mb_w} a ON a.doc_id = k.doc_id"
+                    " AND a.plane = k.plane"
+                )
+            if has_l and has_t:
+                p00 = "((a.vb0 + l.va1 + 1) // 2)"
+                p01 = "a.vb1"           # (4,0): top preferred
+                p10 = "l.vb1"           # (0,4): left preferred
+                p11 = "((a.vb1 + l.vb1 + 1) // 2)"
+            elif has_l:
+                p00 = p01 = "l.va1"
+                p10 = p11 = "l.vb1"
+            elif has_t:
+                p00 = p10 = "a.vb0"
+                p01 = p11 = "a.vb1"
+            else:
+                p00 = p01 = p10 = p11 = "128"
+            cch.append(
+                f"cpx{k} AS MATERIALIZED (SELECT k.doc_id, k.plane,"
+                f" GREATEST(0, LEAST(255, {p00} + k.k00)) AS va0,"
+                f" GREATEST(0, LEAST(255, {p01} + k.k01)) AS va1,"
+                f" GREATEST(0, LEAST(255, {p10} + k.k10)) AS vb0,"
+                f" GREATEST(0, LEAST(255, {p11} + k.k11)) AS vb1"
+                f"{joins} WHERE k.mb = {k})"
+            )
+            c_union.append(f"SELECT * FROM cpx{k}")
 
     ac_b = byte(f"mb * {mbb} + 16 + (4 * y4 + x4) * 15 + pos - 1")
     dc_b = byte(f"mb * {mbb} + k")
@@ -6315,7 +6358,7 @@ WITH ac AS MATERIALIZED (
   FROM (
     SELECT doc_id, mb, y4, x4, pos, {ac_b} AS b
     FROM documents,
-         (SELECT unnest(range(0, 4)) AS mb),
+         (SELECT unnest(range(0, {n_mb})) AS mb),
          (SELECT unnest(range(0, 4)) AS y4),
          (SELECT unnest(range(0, 4)) AS x4),
          (SELECT unnest(range(1, 16)) AS pos)
@@ -6324,13 +6367,13 @@ WITH ac AS MATERIALIZED (
 dcl AS MATERIALIZED (
   SELECT doc_id, mb, k, {dc_b} % 5 - 2 AS f
   FROM documents,
-       (SELECT unnest(range(0, 4)) AS mb),
+       (SELECT unnest(range(0, {n_mb})) AS mb),
        (SELECT unnest(range(0, 16)) AS k)
 ),
 cdcf AS MATERIALIZED (
   SELECT doc_id, mb, plane, i, j, {cdc_b} % 7 - 3 AS f
   FROM documents,
-       (SELECT unnest(range(0, 4)) AS mb),
+       (SELECT unnest(range(0, {n_mb})) AS mb),
        (SELECT unnest(range(0, 2)) AS plane),
        (SELECT unnest(range(0, 2)) AS i),
        (SELECT unnest(range(0, 2)) AS j)
@@ -6377,7 +6420,8 @@ lpx AS ({px_union_sql}),
 lagg AS (
   SELECT doc_id,
          CAST(sum(v) AS BIGINT) AS sum_y,
-         CAST(sum(v * (1 + (y * 64 + gx) % 7)) AS BIGINT) AS wsum_y,
+         CAST(sum(v * (1 + (gy * {width} + gx) % 7)) AS BIGINT)
+           AS wsum_y,
          CAST(min(v) AS BIGINT) AS y_min,
          CAST(max(v) AS BIGINT) AS y_max
   FROM lpx GROUP BY doc_id
@@ -6413,8 +6457,8 @@ tc AS (
   ) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(64 AS BIGINT) AS width,
-       CAST(16 AS BIGINT) AS height,
+       CAST({width} AS BIGINT) AS width,
+       CAST({16 * mb_h} AS BIGINT) AS height,
        d.doc_id % 16 AS frame_num,
        t.total_coeff,
        l.sum_y, l.wsum_y, l.y_min, l.y_max,
@@ -6426,6 +6470,32 @@ JOIN cagg c ON c.doc_id = d.doc_id
 """
 
 
+def _m39_oracle() -> str:
+    return _cavlc_oracle(4, 1, "#cav")
+
+
+def m40_h264_cavlc_multirow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m39's picture geometry closed to TWO DIMENSIONS: a 2x2-MB
+    Intra_16x16 picture, which puts every prediction-availability
+    case of 8.3.3.1 on one value hash — the top-left MB predicts
+    from 128, the top-right from its LEFT boundary, the bottom-left
+    from its TOP boundary, and the bottom-right from BOTH ((sumL +
+    sumT + 16) >> 5) — and drives nC's neighbour derivation across
+    MB edges in BOTH dimensions (9.2.1: top neighbours now resolve
+    into the MB above's bottom block row). Chroma DC prediction
+    exercises all four 8.3.4.1 block rules, including the corner
+    blocks' two-edge means and the (4,0)/(0,4) top/left preferences
+    that only exist when both edges are available. Same tables, same
+    QP-42 integer-exact restatement — the oracle's MB chain is now a
+    raster DAG instead of a row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_cavlc_stats(
+        multimodal.with_h264_cavlc_payload(docs, mb_w=2, mb_h=2)
+    )
+
+
+def _m40_oracle() -> str:
+    return _cavlc_oracle(2, 2, "#cav2")
 
 
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9053,6 +9123,7 @@ QUERIES: list[Query] = [
     Query("llm_s24_batched_hnsw_serve", s24_batched_hnsw_serve, _s24_oracle()),
     Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
     Query("llm_m39_h264_cavlc_pixels", m39_h264_cavlc_pixels, _m39_oracle()),
+    Query("llm_m40_h264_cavlc_multirow", m40_h264_cavlc_multirow, _m40_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

@@ -276,6 +276,91 @@ def test_nc_ladder_reaches_all_four_contexts():
     assert tc >= 16 * 15
 
 
+def test_2x2_grid_reconstruction_and_2d_nc():
+    """Multi-row pictures: the 2x2 grid exercises every 8.3.3.1
+    availability case (128 / left / top / both) and the cross-row nC
+    derivation; pinned against an independent model of the 2D
+    prediction DAG, including the 8.3.4.1 corner-block chroma
+    rules."""
+    mbs = _fixture_mbs(19)  # 4 MBs, raster order for a 2x2 grid
+    sps_rbsp = C.encode_h264_sps(66, 30, 2, 2)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i16x16_slice(sps, pps, mbs, frame_num=1)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    hdr, y, cb, cr, tc = _decode_stream(stream)
+    assert y.shape == (32, 32) and cb.shape == (16, 16)
+    h4 = np.array(C._H264_HADAMARD4, np.int64)
+    h2 = np.array(((1, 1), (1, -1)), np.int64)
+    ls = np.array(
+        [[C.h264_levelscale(0, i, j) for j in range(4)] for i in range(4)],
+        np.int64,
+    )
+    ym = np.zeros((32, 32), np.int64)
+    cm = {"cb_dc": np.zeros((16, 16), np.int64),
+          "cr_dc": np.zeros((16, 16), np.int64)}
+    for my in range(2):
+        for mx in range(2):
+            mb = mbs[my * 2 + mx]
+            dc = ((h4 @ mb["dc"] @ h4) * 10) << 1
+            ox, oy = 16 * mx, 16 * my
+            sums, cnt = 0, 0
+            if mx > 0:
+                sums += int(ym[oy:oy + 16, ox - 1].sum())
+                cnt += 16
+            if my > 0:
+                sums += int(ym[oy - 1, ox:ox + 16].sum())
+                cnt += 16
+            pred = (
+                (sums + 16) >> 5 if cnt == 32
+                else (sums + 8) >> 4 if cnt == 16 else 128
+            )
+            for y4 in range(4):
+                for x4 in range(4):
+                    d = (mb["ac"][y4][x4] * ls) << 7
+                    d[0, 0] = dc[y4, x4]
+                    res = C._h264_idct4(d)
+                    ym[oy + 4 * y4:oy + 4 * y4 + 4,
+                       ox + 4 * x4:ox + 4 * x4 + 4] = np.clip(
+                        pred + res, 0, 255)
+            cox, coy = 8 * mx, 8 * my
+            for key, pl in cm.items():
+                dcc = ((h2 @ mb[key] @ h2) * 11 << 6) >> 5
+                up = pl[coy - 1, cox:cox + 8] if my > 0 else None
+                lf = pl[coy:coy + 8, cox - 1] if mx > 0 else None
+                for y2 in range(2):
+                    for x2 in range(2):
+                        su = (int(up[4 * x2:4 * x2 + 4].sum())
+                              if up is not None else None)
+                        sl2 = (int(lf[4 * y2:4 * y2 + 4].sum())
+                               if lf is not None else None)
+                        if x2 == y2:
+                            if su is not None and sl2 is not None:
+                                p = (su + sl2 + 4) >> 3
+                            elif sl2 is not None:
+                                p = (sl2 + 2) >> 2
+                            elif su is not None:
+                                p = (su + 2) >> 2
+                            else:
+                                p = 128
+                        elif x2 == 1:
+                            p = ((su + 2) >> 2 if su is not None else
+                                 (sl2 + 2) >> 2 if sl2 is not None
+                                 else 128)
+                        else:
+                            p = ((sl2 + 2) >> 2 if sl2 is not None else
+                                 (su + 2) >> 2 if su is not None
+                                 else 128)
+                        pl[coy + 4 * y2:coy + 4 * y2 + 4,
+                           cox + 4 * x2:cox + 4 * x2 + 4] = np.clip(
+                            p + ((int(dcc[y2, x2]) + 32) >> 6), 0, 255)
+    assert np.array_equal(ym, y.astype(np.int64))
+    assert np.array_equal(cm["cb_dc"], cb.astype(np.int64))
+    assert np.array_equal(cm["cr_dc"], cr.astype(np.int64))
+
+
 def test_loud_failures():
     mbs = _fixture_mbs(3)
     stream = _encode_stream(mbs)
@@ -296,9 +381,9 @@ def test_loud_failures():
         C.decode_h264_i16x16_slice(
             bytes(bw.out), 5, 3, {0: pps}, {0: sps}
         )
-    # multi-row pictures are the documented extension point
+    # MB list must cover the SPS grid exactly (raster order)
     sps2 = C.decode_h264_sps(C.encode_h264_sps(66, 30, 2, 2))
-    with pytest.raises(ValueError, match="single MB row"):
+    with pytest.raises(ValueError, match="raster order"):
         C.encode_h264_i16x16_slice(sps2, pps, [])
 
 

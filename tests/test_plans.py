@@ -127,6 +127,7 @@ _PYTHON_ALLOWED = {
     "llm_s24_batched_hnsw_serve",  # FlatMapGroupsInPandas (per-layer graph builds + layer-0 serve store)
     "llm_m38_h264_ipcm_pixels",  # MapInPandas (Annex B walk + I_PCM pixel decode)
     "llm_m39_h264_cavlc_pixels",  # MapInPandas (CAVLC residual decode + Intra_16x16 reconstruction)
+    "llm_m40_h264_cavlc_multirow",  # MapInPandas (2D CAVLC decode, raster prediction DAG)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
 }
 
