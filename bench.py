@@ -209,6 +209,7 @@ HEADLINE = [
     "llm_m38_h264_ipcm_pixels",
     "llm_m39_h264_cavlc_pixels",
     "llm_m40_h264_cavlc_multirow",
+    "llm_m41_h264_cavlc_chroma_ac",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

@@ -6565,6 +6565,31 @@ def _h264_nc(nnz_cur, nnz_left, x4: int, y4: int, nnz_top=None) -> int:
     return 0
 
 
+def _h264_chroma_nc(cn_cur, cn_left, cn_top, x2: int, y2: int) -> int:
+    """nC for a ChromaACLevel block at (x2, y2) of the current MB's
+    per-plane 2x2 block grid (9.2.1): left/top neighbours cross MB
+    edges into the adjacent MB's grid."""
+    if x2 > 0:
+        na = cn_cur[y2][x2 - 1]
+    elif cn_left is not None:
+        na = cn_left[y2][1]
+    else:
+        na = None
+    if y2 > 0:
+        nb = cn_cur[y2 - 1][x2]
+    elif cn_top is not None:
+        nb = cn_top[1][x2]
+    else:
+        nb = None
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
 def _h264_idct4(d: "np.ndarray") -> "np.ndarray":
     """Integer inverse 4x4 transform (8.5.12.2) on dequantized
     coefficients: row pass, column pass, then (x + 32) >> 6.  numpy
@@ -6640,10 +6665,14 @@ def encode_h264_i16x16_slice(
         idr_pic_id=idr_pic_id, poc_lsb=0, nal_ref_idc=3,
     )
     nnz_store: dict[tuple[int, int], list] = {}
+    cnnz_store: dict[tuple[int, int, int], list] = {}
     for my in range(mb_h):
         for mx in range(mb_w):
             mb = mbs[my * mb_w + mx]
-            bw.ue(19)  # Intra_16x16, pred DC, cbpChroma 1, cbpLuma 15
+            has_cac = "cb_ac" in mb
+            # Intra_16x16, pred DC, cbpLuma 15; cbpChroma 2 (DC+AC)
+            # when the MB carries chroma AC blocks, else 1 (DC only)
+            bw.ue(23 if has_cac else 19)
             bw.ue(0)   # intra_chroma_pred_mode: DC
             bw.se(0)   # mb_qp_delta
             left = nnz_store.get((mx - 1, my))
@@ -6665,6 +6694,28 @@ def encode_h264_i16x16_slice(
                 cavlc_encode_block(
                     bw, [int(v) for v in mb[plane].flat], -1, 4
                 )
+            if has_cac:
+                # ChromaACLevel (7.3.5.3.3 order: all four Cb blocks,
+                # then all four Cr), nC over the per-plane 2x2 block
+                # grids with cross-MB neighbours
+                for pi, key in ((0, "cb_ac"), (1, "cr_ac")):
+                    cleft = cnnz_store.get((pi, mx - 1, my))
+                    ctop = cnnz_store.get((pi, mx, my - 1))
+                    cn = cnnz_store.setdefault(
+                        (pi, mx, my), [[0, 0], [0, 0]]
+                    )
+                    for idx in range(4):
+                        x2, y2 = idx % 2, idx // 2
+                        blk = mb[key][y2][x2]
+                        if blk.flat[0] != 0:
+                            raise ValueError(
+                                "chroma AC position (0,0) must be 0"
+                            )
+                        scan = [
+                            int(blk.flat[z]) for z in H264_ZIGZAG_4x4[1:]
+                        ]
+                        n_c = _h264_chroma_nc(cn, cleft, ctop, x2, y2)
+                        cn[y2][x2] = cavlc_encode_block(bw, scan, n_c, 15)
             nnz_store[(mx, my)] = nnz
     bw.put(1, 1)  # rbsp_stop_one_bit
     bw.align()
@@ -6702,6 +6753,7 @@ def decode_h264_i16x16_slice(
     cr = np.zeros((8 * mb_h, 8 * mb_w), np.uint8)
     qp = hdr["slice_qp"]
     nnz_store: dict[tuple[int, int], list] = {}
+    cnnz_store: dict[tuple[int, int, int], list] = {}
     total_coeff = 0
     for my in range(mb_h):
         for mx in range(mb_w):
@@ -6720,11 +6772,7 @@ def decode_h264_i16x16_slice(
                     f" (mode {pred_mode} is the documented extension"
                     " point)"
                 )
-            if cbp_chroma == 2:
-                raise ValueError(
-                    "H264: chroma AC residuals are the documented"
-                    " extension point"
-                )
+
             if _expgolomb_ue(br) != 0:
                 raise ValueError(
                     "H264: only chroma DC prediction implemented"
@@ -6783,19 +6831,50 @@ def decode_h264_i16x16_slice(
                     px = np.clip(pred + res, 0, 255).astype(np.uint8)
                     y[oy + 4 * y4:oy + 4 * y4 + 4,
                       ox + 4 * x4:ox + 4 * x4 + 4] = px
-            # chroma: 2x2 DC path; prediction per 4x4 block from the
-            # MB-BOUNDARY samples only (8.3.4.1) — corner blocks use
-            # both edges, (4,0) prefers top, (0,4) prefers left
-            cox, coy = 8 * mx, 8 * my
-            for plane, tgt in (("cb", cb), ("cr", cr)):
+            # chroma residual parse (7.3.5.3.3 order): DC for both
+            # planes, then — when cbpChroma == 2 — ChromaACLevel for
+            # all four Cb blocks then all four Cr blocks, with nC over
+            # the per-plane 2x2 block grids (cross-MB neighbours)
+            cdc, cac = {}, {}
+            for pi in (0, 1):
                 if cbp_chroma:
                     scan, n = cavlc_decode_block(br, -1, 4)
                     total_coeff += n
-                    dcc = _h264_chroma_dc_dequant(
+                    cdc[pi] = _h264_chroma_dc_dequant(
                         np.array(scan, np.int64).reshape(2, 2), qpc
                     )
                 else:
-                    dcc = np.zeros((2, 2), np.int64)
+                    cdc[pi] = np.zeros((2, 2), np.int64)
+                cac[pi] = np.zeros((2, 2, 4, 4), np.int64)
+            for pi in (0, 1):
+                if cbp_chroma != 2:
+                    cnnz_store[(pi, mx, my)] = [[0, 0], [0, 0]]
+                    continue
+                cleft = cnnz_store.get((pi, mx - 1, my))
+                ctop = cnnz_store.get((pi, mx, my - 1))
+                cn = [[0, 0], [0, 0]]
+                for idx in range(4):
+                    x2, y2 = idx % 2, idx // 2
+                    scan, n = cavlc_decode_block(
+                        br, _h264_chroma_nc(cn, cleft, ctop, x2, y2), 15
+                    )
+                    cn[y2][x2] = n
+                    total_coeff += n
+                    flat = np.zeros(16, np.int64)
+                    flat[list(H264_ZIGZAG_4x4[1:])] = scan
+                    cac[pi][y2][x2] = flat.reshape(4, 4)
+                cnnz_store[(pi, mx, my)] = cn
+            # chroma reconstruction: prediction per 4x4 block from the
+            # MB-BOUNDARY samples only (8.3.4.1) — corner blocks use
+            # both edges, (4,0) prefers top, (0,4) prefers left —
+            # then per-block dequant at QPc + inverse transform
+            cox, coy = 8 * mx, 8 * my
+            lsc = np.array(
+                [[h264_levelscale(qpc % 6, i, j) for j in range(4)]
+                 for i in range(4)], np.int64,
+            )
+            for pi, tgt in ((0, cb), (1, cr)):
+                dcc = cdc[pi]
                 up = (
                     tgt[coy - 1, cox:cox + 8].astype(np.int64)
                     if my > 0 else None
@@ -6837,7 +6916,9 @@ def decode_h264_i16x16_slice(
                                 p = (su + 2) >> 2
                             else:
                                 p = 128
-                        res = (int(dcc[y2, x2]) + 32) >> 6
+                        d = (cac[pi][y2][x2] * lsc) << (qpc // 6)
+                        d[0, 0] = int(dcc[y2, x2])
+                        res = _h264_idct4(d)
                         tgt[
                             coy + 4 * y2:coy + 4 * y2 + 4,
                             cox + 4 * x2:cox + 4 * x2 + 4,

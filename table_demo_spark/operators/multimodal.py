@@ -2693,7 +2693,8 @@ def _cavlc_level(b: int) -> int:
 
 
 def with_h264_cavlc_payload(
-    docs: DataFrame, mb_w: int = H264_CAVLC_MB_W, mb_h: int = 1
+    docs: DataFrame, mb_w: int = H264_CAVLC_MB_W, mb_h: int = 1,
+    chroma_ac: bool = False,
 ) -> DataFrame:
     """(doc_id, payload): an Annex B stream whose IDR slice carries
     CAVLC-coded Intra_16x16 residual data (14496-10 9.2 / 7.3.5.3) —
@@ -2726,14 +2727,17 @@ def with_h264_cavlc_payload(
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
+                mbb = _CAVLC_MB_BYTES + (120 if chroma_ac else 0)
+                salt = (
+                    "#cav3" if chroma_ac
+                    else "#cav" if mh == 1 else "#cav2"
+                )
                 raw = _md5_stream(
-                    str(doc_id),
-                    (mw * mh * _CAVLC_MB_BYTES) // 16,
-                    "#cav" if mh == 1 else "#cav2",
+                    str(doc_id), (mw * mh * mbb) // 16, salt
                 )
                 mbs = []
                 for m in range(mw * mh):
-                    base = m * _CAVLC_MB_BYTES
+                    base = m * mbb
                     dc = np.array(
                         [raw[base + k] % 5 - 2 for k in range(16)],
                         np.int64,
@@ -2758,9 +2762,25 @@ def with_h264_cavlc_payload(
                         [raw[cbo + 4 + k] % 7 - 3 for k in range(4)],
                         np.int64,
                     ).reshape(2, 2)
-                    mbs.append(
-                        {"dc": dc, "ac": ac, "cb_dc": cb_dc, "cr_dc": cr_dc}
-                    )
+                    mbd = {"dc": dc, "ac": ac, "cb_dc": cb_dc,
+                           "cr_dc": cr_dc}
+                    if chroma_ac:
+                        # 2 planes x 4 blocks x 15 AC bytes after the
+                        # DC bytes: sparser than luma, zero-centred
+                        for pi, key in ((0, "cb_ac"), (1, "cr_ac")):
+                            cc = np.zeros((2, 2, 4, 4), np.int64)
+                            for idx in range(4):
+                                x2, y2 = idx % 2, idx // 2
+                                o = base + 264 + pi * 60 + idx * 15
+                                flat = np.zeros(16, np.int64)
+                                for pos in range(1, 16):
+                                    b = raw[o + pos - 1]
+                                    flat[pos] = (
+                                        0 if b < 170 else b % 5 - 2
+                                    )
+                                cc[y2][x2] = flat.reshape(4, 4)
+                            mbd[key] = cc
+                    mbs.append(mbd)
                 sl = encode_h264_i16x16_slice(
                     sps, pps, mbs,
                     frame_num=int(doc_id) % 16,

@@ -82,7 +82,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a63_profile_knn",
     # ... plus 15 of the 26 last-verified-r5 llm/src/stream queries
     # (the 13 left out — t8/s5/t14/s8/t16/m9/t25/t28/m16/s13/t29,
-    # plus m17/q16/q28 swapped back out for this round's four new
+    # plus m17/q16/q18/q28 swapped back out for this round's four new
     # queries — stay oldest-verified and lead the r13 rotation).  Trailing
     # slots get swapped for this round's NEW queries as they land —
     # new queries have no CORRECTNESS row yet, so they count as
@@ -94,7 +94,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "src_s8_quoted_csv",
     "stream_q7_enrich_agg",
     "stream_q14_topk",
-    "stream_q18_cdc_apply",
     "stream_q22_full_outer_join",
     "stream_q26_stream_tokenize",
     "stream_q27_available_now",
@@ -102,6 +101,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # r12 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "llm_m39_h264_cavlc_pixels",
     "llm_m40_h264_cavlc_multirow",
+    "llm_m41_h264_cavlc_chroma_ac",
     "llm_s24_batched_hnsw_serve",
     "stream_q38_hnsw_ingest",
     "llm_s25_serve_hnsw_ingested",

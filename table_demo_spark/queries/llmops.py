@@ -6142,7 +6142,9 @@ def m39_h264_cavlc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
+def _cavlc_oracle(
+    mb_w: int, mb_h: int, salt: str, chroma_ac: bool = False
+) -> str:
     """Generate the DuckDB restatement of the CAVLC pipeline for an
     mb_w x mb_h Intra_16x16 picture.  QP is pinned at 42 (qP/6 = 7),
     which makes every spec shift exact in integer SQL: AC dequant =
@@ -6171,7 +6173,7 @@ def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
             f" '{salt}' || {blk}), {off}, 2) AS BIGINT)"
         )
 
-    mbb = 16 + 16 * 15 + 8  # plant bytes per MB
+    mbb = 16 + 16 * 15 + 8 + (120 if chroma_ac else 0)  # bytes per MB
     n_mb = mb_w * mb_h
     width = 16 * mb_w
 
@@ -6277,16 +6279,72 @@ def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
         (1, 0): "(f00 + f01 - f10 - f11)",
         (1, 1): "(f00 - f01 - f10 + f11)",
     }
-    k_cols = [
-        f"CAST(floor((22 * {g2[(y2, x2)]} + 32) / 64.0) AS BIGINT)"
-        f" AS k{y2}{x2}"
-        for y2 in range(2) for x2 in range(2)
-    ]
+    if not chroma_ac:
+        k_cols = [
+            f"CAST(floor((22 * {g2[(y2, x2)]} + 32) / 64.0) AS BIGINT)"
+            f" AS k{y2}{x2}"
+            for y2 in range(2) for x2 in range(2)
+        ]
+    else:
+        # raw dequantized 2x2 DC values (22*g) feed the chroma 4x4
+        # inverse transform as d00 instead of the uniform shortcut
+        k_cols = [
+            f"22 * {g2[(y2, x2)]} AS dcc{y2}{x2}"
+            for y2 in range(2) for x2 in range(2)
+        ]
     cch, c_union = [], []
     for my in range(mb_h):
         for mx in range(mb_w):
             k = my * mb_w + mx
             has_l, has_t = mx > 0, my > 0
+            if chroma_ac:
+                # pixel-level chroma chain: per-block preds from the
+                # MB-boundary pixel sums of the neighbouring chroma
+                # pixel CTEs (8.3.4.1), residuals from crpx
+                joins = ""
+                if has_t:
+                    cch.append(
+                        f"ce{k}t AS (SELECT doc_id, plane,"
+                        " x // 4 AS x2, sum(v) AS s"
+                        f" FROM cpx{k - mb_w} WHERE y = 7"
+                        " GROUP BY doc_id, plane, x // 4)"
+                    )
+                    joins += (
+                        f" JOIN ce{k}t t ON t.doc_id = r.doc_id"
+                        " AND t.plane = r.plane AND t.x2 = r.x // 4"
+                    )
+                if has_l:
+                    cch.append(
+                        f"ce{k}l AS (SELECT doc_id, plane,"
+                        " y // 4 AS y2, sum(v) AS s"
+                        f" FROM cpx{k - 1} WHERE x = 7"
+                        " GROUP BY doc_id, plane, y // 4)"
+                    )
+                    joins += (
+                        f" JOIN ce{k}l l ON l.doc_id = r.doc_id"
+                        " AND l.plane = r.plane AND l.y2 = r.y // 4"
+                    )
+                if has_l and has_t:
+                    pred = (
+                        "CASE WHEN r.x // 4 = r.y // 4"
+                        " THEN (t.s + l.s + 4) // 8"
+                        " WHEN r.x // 4 = 1 THEN (t.s + 2) // 4"
+                        " ELSE (l.s + 2) // 4 END"
+                    )
+                elif has_l:
+                    pred = "(l.s + 2) // 4"
+                elif has_t:
+                    pred = "(t.s + 2) // 4"
+                else:
+                    pred = "128"
+                cch.append(
+                    f"cpx{k} AS MATERIALIZED (SELECT r.doc_id, r.plane,"
+                    " r.y, r.x,"
+                    f" GREATEST(0, LEAST(255, {pred} + r.r)) AS v"
+                    f" FROM crpx r{joins} WHERE r.mb = {k})"
+                )
+                c_union.append(f"SELECT * FROM cpx{k}")
+                continue
             joins = " FROM ck k"
             if has_l:
                 joins += (
@@ -6324,6 +6382,9 @@ def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
     ac_b = byte(f"mb * {mbb} + 16 + (4 * y4 + x4) * 15 + pos - 1")
     dc_b = byte(f"mb * {mbb} + k")
     cdc_b = byte(f"mb * {mbb} + 256 + 4 * plane + 2 * i + j")
+    cac_b = byte(
+        f"mb * {mbb} + 264 + plane * 60 + (2 * y2 + x2) * 15 + pos - 1"
+    )
     nl = ",\n"
     px_cte_sql = nl.join(px_ctes)
     cch_sql = nl.join(cch)
@@ -6334,6 +6395,90 @@ def _cavlc_oracle(mb_w: int, mb_h: int, salt: str) -> str:
     f_cols_sql = nl.join(f_cols)
     r_cols_sql = nl.join(r_cols)
     k_cols_sql = nl.join(k_cols)
+
+    def v1(i: int, j: int) -> int:
+        if (i % 2, j % 2) == (0, 0):
+            return 11
+        if (i % 2, j % 2) == (1, 1):
+            return 18
+        return 14
+
+    if chroma_ac:
+        # chroma AC levels -> per-block butterfly -> residual pixels;
+        # the f/r butterfly column text is SHAPE-identical to luma's
+        # (only the d-column scales differ: V(QPc%6) * 2^(QPc/6))
+        cd_cols = ["CASE " + " ".join(
+            f"WHEN y2 = {i} AND x2 = {j} THEN dcc{i}{j}"
+            for i in range(2) for j in range(2)
+        ) + " END AS d0"]
+        for k in range(1, 16):
+            cd_cols.append(f"a{k} * {v1(k // 4, k % 4) * 64} AS d{k}")
+        chroma_extra = f"""
+cacl AS MATERIALIZED (
+  SELECT doc_id, mb, plane, y2, x2, pos,
+         CASE WHEN b < 170 THEN 0 ELSE b % 5 - 2 END AS lev
+  FROM (
+    SELECT doc_id, mb, plane, y2, x2, pos, {cac_b} AS b
+    FROM documents,
+         (SELECT unnest(range(0, {mb_w * mb_h})) AS mb),
+         (SELECT unnest(range(0, 2)) AS plane),
+         (SELECT unnest(range(0, 2)) AS y2),
+         (SELECT unnest(range(0, 2)) AS x2),
+         (SELECT unnest(range(1, 16)) AS pos)
+  )
+),
+cblk AS (
+  SELECT doc_id, mb, plane, y2, x2,
+{nl.join(f"max(CASE WHEN pos = {k} THEN lev END) AS a{k}" for k in range(1, 16))}
+  FROM cacl GROUP BY doc_id, mb, plane, y2, x2
+),
+cdmat AS (
+  SELECT b.doc_id, b.mb, b.plane, b.y2, b.x2,
+{nl.join(cd_cols)}
+  FROM cblk b JOIN ck g ON g.doc_id = b.doc_id AND g.mb = b.mb
+    AND g.plane = b.plane
+),
+cemat AS (
+  SELECT doc_id, mb, plane, y2, x2,
+{nl.join(f_cols)}
+  FROM cdmat
+),
+crmat AS (
+  SELECT doc_id, mb, plane, y2, x2,
+{nl.join(r_cols)}
+  FROM cemat
+),
+crpx AS MATERIALIZED (
+  SELECT doc_id, mb, plane, y2 * 4 + i AS y, x2 * 4 + j AS x,
+         {r_pick} AS r
+  FROM crmat,
+       (SELECT unnest(range(0, 4)) AS i),
+       (SELECT unnest(range(0, 4)) AS j)
+),"""
+        cagg_sql = f"""cagg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN plane = 0 THEN v ELSE 0 END) AS BIGINT)
+           AS sum_cb,
+         CAST(sum(CASE WHEN plane = 1 THEN v ELSE 0 END) AS BIGINT)
+           AS sum_cr
+  FROM ({" UNION ALL ".join(c_union)}) GROUP BY doc_id
+)"""
+        tc_extra = """
+    UNION ALL
+    SELECT doc_id, CASE WHEN lev <> 0 THEN 1 ELSE 0 END FROM cacl"""
+    else:
+        chroma_extra = ""
+        cagg_sql = f"""cagg AS (
+  SELECT doc_id,
+         CAST(16 * sum(CASE WHEN plane = 0
+                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
+           AS sum_cb,
+         CAST(16 * sum(CASE WHEN plane = 1
+                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
+           AS sum_cr
+  FROM ({" UNION ALL ".join(c_union)}) GROUP BY doc_id
+)"""
+        tc_extra = ""
     ac_pivot = nl.join(
         f"max(CASE WHEN pos = {k} THEN lev END) AS a{k}"
         for k in range(1, 16)
@@ -6435,17 +6580,9 @@ ck AS MATERIALIZED (
     FROM cdcf GROUP BY doc_id, mb, plane
   )
 ),
+{chroma_extra}
 {cch_sql},
-cagg AS (
-  SELECT doc_id,
-         CAST(16 * sum(CASE WHEN plane = 0
-                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
-           AS sum_cb,
-         CAST(16 * sum(CASE WHEN plane = 1
-                   THEN va0 + va1 + vb0 + vb1 ELSE 0 END) AS BIGINT)
-           AS sum_cr
-  FROM ({c_union_sql}) GROUP BY doc_id
-),
+{cagg_sql},
 tc AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_coeff
   FROM (
@@ -6453,7 +6590,7 @@ tc AS (
     UNION ALL
     SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM dcl
     UNION ALL
-    SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM cdcf
+    SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM cdcf{tc_extra}
   ) GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -6496,6 +6633,30 @@ def m40_h264_cavlc_multirow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m40_oracle() -> str:
     return _cavlc_oracle(2, 2, "#cav2")
+
+
+def m41_h264_cavlc_chroma_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chroma AC layer (m39's last residual extension point): a
+    2x2-MB Intra_16x16 picture at CodedBlockPatternChroma 2 (mb_type
+    23), so each chroma plane carries four ChromaACLevel blocks per
+    MB — parsed with nC over the per-plane 2x2 block grids (9.2.1's
+    chroma neighbour derivation, crossing MB edges in both
+    dimensions), dequantized at QPc (Table 8-15 mapping, the V(1)
+    scale row at QP 42 -> QPc 37), inverse-transformed per block, and
+    predicted from the 8.3.4.1 boundary rules over now-NONUNIFORM
+    neighbour edges. The oracle's chroma chain upgrades from uniform
+    block values to the full per-pixel butterfly + per-block
+    boundary-sum prediction DAG."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_cavlc_stats(
+        multimodal.with_h264_cavlc_payload(
+            docs, mb_w=2, mb_h=2, chroma_ac=True
+        )
+    )
+
+
+def _m41_oracle() -> str:
+    return _cavlc_oracle(2, 2, "#cav3", chroma_ac=True)
 
 
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9124,6 +9285,7 @@ QUERIES: list[Query] = [
     Query("llm_m38_h264_ipcm_pixels", m38_h264_ipcm_pixels, _m38_oracle()),
     Query("llm_m39_h264_cavlc_pixels", m39_h264_cavlc_pixels, _m39_oracle()),
     Query("llm_m40_h264_cavlc_multirow", m40_h264_cavlc_multirow, _m40_oracle()),
+    Query("llm_m41_h264_cavlc_chroma_ac", m41_h264_cavlc_chroma_ac, _m41_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

@@ -361,6 +361,67 @@ def test_2x2_grid_reconstruction_and_2d_nc():
     assert np.array_equal(cm["cr_dc"], cr.astype(np.int64))
 
 
+def test_chroma_ac_roundtrip_and_nc():
+    """cbpChroma == 2 (mb_type 23): ChromaACLevel blocks parse after
+    both planes' DC blocks with nC over the per-plane 2x2 grids,
+    dequantize at QPc = 37 (V(1) row, << 6), and reconstruct through
+    the full 4x4 inverse transform — pinned against an independent
+    model on a 2x1 picture (left-availability, nonuniform edges)."""
+    rng = np.random.RandomState(5)
+
+    def mk():
+        mb = _fixture_mbs(int(rng.randint(0, 1000)))[0]
+        for key in ("cb_ac", "cr_ac"):
+            cc = np.zeros((2, 2, 4, 4), np.int64)
+            for idx in range(4):
+                b = rng.randint(0, 256, 16)
+                lv = np.where(b < 170, 0, b % 5 - 2)
+                lv[0] = 0
+                cc[idx // 2][idx % 2] = lv.reshape(4, 4)
+            mb[key] = cc
+        return mb
+
+    mbs = [mk(), mk()]
+    sps_rbsp = C.encode_h264_sps(66, 30, 2, 1)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i16x16_slice(sps, pps, mbs)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    hdr, y, cb, cr, tc = _decode_stream(stream)
+    planted = sum(
+        int(np.count_nonzero(m[k]))
+        for m in mbs
+        for k in ("ac", "dc", "cb_dc", "cr_dc", "cb_ac", "cr_ac")
+    )
+    assert tc == planted
+    h2 = np.array(((1, 1), (1, -1)), np.int64)
+    lsc = np.array(
+        [[C.h264_levelscale(1, i, j) for j in range(4)] for i in range(4)],
+        np.int64,
+    )
+    for key, got in (("cb", cb), ("cr", cr)):
+        P = np.zeros((8, 16), np.int64)
+        for m, mb in enumerate(mbs):
+            dcc = ((h2 @ mb[key + "_dc"] @ h2) * 11 << 6) >> 5
+            lf = P[:, 8 * m - 1] if m > 0 else None
+            for y2 in range(2):
+                for x2 in range(2):
+                    sl2 = (
+                        int(lf[4 * y2:4 * y2 + 4].sum())
+                        if lf is not None else None
+                    )
+                    p = 128 if sl2 is None else (sl2 + 2) >> 2
+                    d = (mb[key + "_ac"][y2][x2] * lsc) << 6
+                    d[0, 0] = int(dcc[y2, x2])
+                    res = C._h264_idct4(d)
+                    P[4 * y2:4 * y2 + 4,
+                      8 * m + 4 * x2:8 * m + 4 * x2 + 4] = np.clip(
+                        p + res, 0, 255)
+        assert np.array_equal(P, got.astype(np.int64)), key
+
+
 def test_loud_failures():
     mbs = _fixture_mbs(3)
     stream = _encode_stream(mbs)
