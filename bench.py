@@ -210,6 +210,8 @@ HEADLINE = [
     "llm_m39_h264_cavlc_pixels",
     "llm_m40_h264_cavlc_multirow",
     "llm_m41_h264_cavlc_chroma_ac",
+    "an_a77_pipe_syntax_pricing",
+    "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

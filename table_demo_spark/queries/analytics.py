@@ -4181,6 +4181,97 @@ FROM events GROUP BY event_type
 """
 
 
+
+def a77_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1's pricing summary written in Spark 4's NATIVE SQL
+    PIPE syntax (|> operators: WHERE -> AGGREGATE ... GROUP BY ->
+    ORDER BY) — the engine's new composable query dialect, parsed
+    and planned by Catalyst exactly like the classic form. Exact
+    DECIMAL sums keep the cross-engine hash bit-stable; the oracle is
+    the CLASSIC ANSI restatement, so the pipe parse itself sits on
+    the value hash."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_a77"
+    )
+    return spark.sql("""
+FROM lineitem_a77
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> AGGREGATE
+     CAST(count(*) AS BIGINT) AS n_rows,
+     CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+       AS BIGINT) AS qty_c,
+     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+       AS BIGINT)) AS BIGINT) AS price_c,
+     CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))
+       AS BIGINT) AS disc_c
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+""")
+
+
+A77_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+         AS BIGINT) AS qty_c,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+         AS BIGINT)) AS BIGINT) AS price_c,
+       CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))
+         AS BIGINT) AS disc_c
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def a78_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION-aware aggregation: market segments are
+    case-mangled deterministically per customer (upper on even keys,
+    lower on odd), then grouped under UTF8_LCASE collation — the
+    engine's collation machinery, not an expression rewrite, merges
+    the case variants. Output keys use binary min over the group's
+    original strings (deterministic; a collation group's
+    representative is not), so the hash pins BOTH that the collated
+    grouping merged correctly and that the original casings
+    survived. The oracle restates with lower()-keyed grouping."""
+    c = load_table(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    return (
+        mangled.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("ck"))
+        .agg(
+            F.min("seg").alias("seg_min"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+                .cast("long")
+            ).alias("bal_c"),
+        )
+        .select("seg_min", "n", "bal_c")
+        .orderBy("seg_min")
+    )
+
+
+A78_ORACLE = """
+SELECT min(seg) AS seg_min, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+         AS BIGINT) AS bal_c
+FROM (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg,
+         c_acctbal
+  FROM customer
+)
+GROUP BY lower(seg)
+ORDER BY seg_min
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4258,4 +4349,6 @@ QUERIES: list[Query] = [
     Query("an_a74_audience_overlap", a74_audience_overlap, _a74_oracle()),
     Query("an_a75_recursive_bom", a75_recursive_bom, _a75_oracle()),
     Query("an_a76_variant_json", a76_variant_json, A76_ORACLE),
+    Query("an_a77_pipe_syntax_pricing", a77_pipe_syntax_pricing, A77_ORACLE),
+    Query("an_a78_collated_segments", a78_collated_segments, A78_ORACLE),
 ]
