@@ -210,6 +210,7 @@ HEADLINE = [
     "llm_m39_h264_cavlc_pixels",
     "llm_m40_h264_cavlc_multirow",
     "llm_m41_h264_cavlc_chroma_ac",
+    "llm_m42_h264_intra_pred_modes",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

@@ -6670,9 +6670,14 @@ def encode_h264_i16x16_slice(
         for mx in range(mb_w):
             mb = mbs[my * mb_w + mx]
             has_cac = "cb_ac" in mb
-            # Intra_16x16, pred DC, cbpLuma 15; cbpChroma 2 (DC+AC)
-            # when the MB carries chroma AC blocks, else 1 (DC only)
-            bw.ue(23 if has_cac else 19)
+            pmode = int(mb.get("pred_mode", 2))
+            if pmode in (0, 3) and my == 0:
+                raise ValueError("V/Plane prediction needs a top MB")
+            if pmode in (1, 3) and mx == 0:
+                raise ValueError("H/Plane prediction needs a left MB")
+            # Intra_16x16 mb_type packs (predMode, cbpChroma, cbpLuma
+            # 15); cbpChroma 2 (DC+AC) when the MB carries chroma AC
+            bw.ue(1 + pmode + 4 * (2 if has_cac else 1) + 12)
             bw.ue(0)   # intra_chroma_pred_mode: DC
             bw.se(0)   # mb_qp_delta
             left = nnz_store.get((mx - 1, my))
@@ -6766,12 +6771,10 @@ def decode_h264_i16x16_slice(
             k = mb_type - 1
             pred_mode, cbp_chroma = k % 4, (k // 4) % 3
             cbp_luma = 15 if k >= 12 else 0
-            if pred_mode != 2:
-                raise ValueError(
-                    "H264: only Intra_16x16 DC prediction implemented"
-                    f" (mode {pred_mode} is the documented extension"
-                    " point)"
-                )
+            if pred_mode in (0, 3) and my == 0:
+                raise ValueError("H264: V/Plane prediction without top MB")
+            if pred_mode in (1, 3) and mx == 0:
+                raise ValueError("H264: H/Plane prediction without left MB")
 
             if _expgolomb_ue(br) != 0:
                 raise ValueError(
@@ -6801,22 +6804,61 @@ def decode_h264_i16x16_slice(
                     flat = np.zeros(16, np.int64)
                     flat[list(H264_ZIGZAG_4x4[1:])] = scan
                     ac[y4][x4] = flat.reshape(4, 4)
-            # Intra16x16 DC prediction (8.3.3.1): mean over the
-            # available MB-boundary samples
+            # Intra16x16 prediction (8.3.3.1-8.3.3.4): V copies the
+            # top boundary row down, H copies the left boundary
+            # column across, DC means the available boundaries,
+            # Plane fits the 8.3.3.4 gradient (Clip1 per predicted
+            # sample)
             ox, oy = 16 * mx, 16 * my
-            sums, cnt = 0, 0
-            if mx > 0:
-                sums += int(y[oy:oy + 16, ox - 1].astype(np.int64).sum())
-                cnt += 16
-            if my > 0:
-                sums += int(y[oy - 1, ox:ox + 16].astype(np.int64).sum())
-                cnt += 16
-            if cnt == 32:
-                pred = (sums + 16) >> 5
-            elif cnt == 16:
-                pred = (sums + 8) >> 4
-            else:
-                pred = 128
+            top_row = (
+                y[oy - 1, ox:ox + 16].astype(np.int64) if my > 0 else None
+            )
+            left_col = (
+                y[oy:oy + 16, ox - 1].astype(np.int64) if mx > 0 else None
+            )
+            if pred_mode == 0:  # Vertical
+                pred = np.tile(top_row, (16, 1))
+            elif pred_mode == 1:  # Horizontal
+                pred = np.tile(left_col, (16, 1)).T
+            elif pred_mode == 2:  # DC
+                sums, cnt = 0, 0
+                if left_col is not None:
+                    sums += int(left_col.sum())
+                    cnt += 16
+                if top_row is not None:
+                    sums += int(top_row.sum())
+                    cnt += 16
+                if cnt == 32:
+                    pred = (sums + 16) >> 5
+                elif cnt == 16:
+                    pred = (sums + 8) >> 4
+                else:
+                    pred = 128
+            else:  # Plane (8.3.3.4)
+                corner = int(y[oy - 1, ox - 1])
+                hsum = sum(
+                    (xp + 1) * (
+                        int(top_row[8 + xp])
+                        - (int(top_row[6 - xp]) if xp < 7 else corner)
+                    )
+                    for xp in range(8)
+                )
+                vsum = sum(
+                    (yp + 1) * (
+                        int(left_col[8 + yp])
+                        - (int(left_col[6 - yp]) if yp < 7 else corner)
+                    )
+                    for yp in range(8)
+                )
+                aa = 16 * (int(top_row[15]) + int(left_col[15]))
+                bb = (5 * hsum + 32) >> 6
+                cc = (5 * vsum + 32) >> 6
+                xs = np.arange(16, dtype=np.int64)
+                pred = np.clip(
+                    (aa + bb * (xs[None, :] - 7)
+                     + cc * (xs[:, None] - 7) + 16) >> 5,
+                    0, 255,
+                )
             vshift = qp // 6
             m6 = qp % 6
             ls = np.array(
@@ -6828,7 +6870,11 @@ def decode_h264_i16x16_slice(
                     d = (ac[y4][x4] * ls) << vshift
                     d[0, 0] = dc[y4, x4]
                     res = _h264_idct4(d)
-                    px = np.clip(pred + res, 0, 255).astype(np.uint8)
+                    pblk = (
+                        pred if np.isscalar(pred)
+                        else pred[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4]
+                    )
+                    px = np.clip(pblk + res, 0, 255).astype(np.uint8)
                     y[oy + 4 * y4:oy + 4 * y4 + 4,
                       ox + 4 * x4:ox + 4 * x4 + 4] = px
             # chroma residual parse (7.3.5.3.3 order): DC for both

@@ -2694,7 +2694,7 @@ def _cavlc_level(b: int) -> int:
 
 def with_h264_cavlc_payload(
     docs: DataFrame, mb_w: int = H264_CAVLC_MB_W, mb_h: int = 1,
-    chroma_ac: bool = False,
+    chroma_ac: bool = False, pred_modes: bool = False,
 ) -> DataFrame:
     """(doc_id, payload): an Annex B stream whose IDR slice carries
     CAVLC-coded Intra_16x16 residual data (14496-10 9.2 / 7.3.5.3) —
@@ -2729,7 +2729,8 @@ def with_h264_cavlc_payload(
             for doc_id in pdf["doc_id"]:
                 mbb = _CAVLC_MB_BYTES + (120 if chroma_ac else 0)
                 salt = (
-                    "#cav3" if chroma_ac
+                    "#cav5" if pred_modes
+                    else "#cav3" if chroma_ac
                     else "#cav" if mh == 1 else "#cav2"
                 )
                 raw = _md5_stream(
@@ -2780,6 +2781,20 @@ def with_h264_cavlc_payload(
                                     )
                                 cc[y2][x2] = flat.reshape(4, 4)
                             mbd[key] = cc
+                    if pred_modes:
+                        # per-MB Intra16x16 mode from the MB's first
+                        # plant byte, constrained by availability:
+                        # (0,0) DC; (1,0) H|DC; (0,1) V|DC; (1,1) any
+                        b0 = raw[base]
+                        mxy = (m % mw, m // mw)
+                        if mxy == (0, 0):
+                            mbd["pred_mode"] = 2
+                        elif mxy == (1, 0):
+                            mbd["pred_mode"] = 1 if b0 % 2 else 2
+                        elif mxy == (0, 1):
+                            mbd["pred_mode"] = 0 if b0 % 2 else 2
+                        else:
+                            mbd["pred_mode"] = b0 % 4
                     mbs.append(mbd)
                 sl = encode_h264_i16x16_slice(
                     sps, pps, mbs,

@@ -6143,7 +6143,8 @@ def m39_h264_cavlc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cavlc_oracle(
-    mb_w: int, mb_h: int, salt: str, chroma_ac: bool = False
+    mb_w: int, mb_h: int, salt: str, chroma_ac: bool = False,
+    pred_modes: bool = False,
 ) -> str:
     """Generate the DuckDB restatement of the CAVLC pipeline for an
     mb_w x mb_h Intra_16x16 picture.  QP is pinned at 42 (qP/6 = 7),
@@ -6225,7 +6226,129 @@ def _cavlc_oracle(
 
     # luma pixel CTEs: raster MB chain; pred over available edges
     px_ctes, px_union = [], []
-    for my in range(mb_h):
+    if pred_modes:
+        assert (mb_w, mb_h) == (2, 2), "pred_modes oracle is 2x2-shaped"
+        clip = "GREATEST(0, LEAST(255, {p} + r.r))"
+        md = (
+            "md AS (SELECT doc_id,"
+            f" CASE WHEN {byte(f'{mbb}')} % 2 = 1 THEN 1 ELSE 2 END"
+            " AS m1,"
+            f" CASE WHEN {byte(f'2 * {mbb}')} % 2 = 1 THEN 0 ELSE 2 END"
+            " AS m2,"
+            f" {byte(f'3 * {mbb}')} % 4 AS m3"
+            " FROM documents)"
+        )
+        px_ctes.append(md)
+        px_ctes.append(
+            "px0 AS MATERIALIZED (SELECT doc_id, y, x,"
+            " GREATEST(0, LEAST(255, 128 + r)) AS v"
+            " FROM rpx WHERE mb = 0)"
+        )
+        # MB (1,0): H (pred = left boundary row value) or DC
+        px_ctes.append(
+            "pr1 AS (SELECT doc_id,"
+            " CAST(floor((sum(v) + 8) / 16.0) AS BIGINT) AS pred"
+            " FROM px0 WHERE x = 15 GROUP BY doc_id)"
+        )
+        px_ctes.append(
+            "px1 AS MATERIALIZED ("
+            "SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="l.v") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN px0 l ON l.doc_id = r.doc_id AND l.x = 15"
+            " AND l.y = r.y"
+            " WHERE r.mb = 1 AND m.m1 = 1"
+            " UNION ALL SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="p.pred") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN pr1 p ON p.doc_id = r.doc_id"
+            " WHERE r.mb = 1 AND m.m1 = 2)"
+        )
+        # MB (0,1): V (pred = top boundary column value) or DC
+        px_ctes.append(
+            "pr2 AS (SELECT doc_id,"
+            " CAST(floor((sum(v) + 8) / 16.0) AS BIGINT) AS pred"
+            " FROM px0 WHERE y = 15 GROUP BY doc_id)"
+        )
+        px_ctes.append(
+            "px2 AS MATERIALIZED ("
+            "SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="t.v") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN px0 t ON t.doc_id = r.doc_id AND t.y = 15"
+            " AND t.x = r.x"
+            " WHERE r.mb = 2 AND m.m2 = 0"
+            " UNION ALL SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="p.pred") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN pr2 p ON p.doc_id = r.doc_id"
+            " WHERE r.mb = 2 AND m.m2 = 2)"
+        )
+        # MB (1,1): V from px1, H from px2, DC over both edges, or
+        # the 8.3.3.4 Plane fit (corner = px0 pixel (15,15))
+        px_ctes.append(
+            "pr3 AS (SELECT l.doc_id,"
+            " CAST(floor((l.s + t.s + 16) / 32.0) AS BIGINT) AS pred"
+            " FROM (SELECT doc_id, sum(v) AS s FROM px2 WHERE x = 15"
+            " GROUP BY doc_id) l"
+            " JOIN (SELECT doc_id, sum(v) AS s FROM px1 WHERE y = 15"
+            " GROUP BY doc_id) t ON t.doc_id = l.doc_id)"
+        )
+        wgt = (
+            "CASE WHEN {c} >= 8 THEN ({c} - 7) * v"
+            " WHEN {c} <= 6 THEN -(7 - {c}) * v ELSE 0 END"
+        )
+        px_ctes.append(
+            "pl3 AS (SELECT h.doc_id,"
+            " 16 * (h.a15 + v.a15) AS a,"
+            " CAST(floor((5 * (h.s - 8 * c.cv) + 32) / 64.0) AS BIGINT)"
+            " AS b,"
+            " CAST(floor((5 * (v.s - 8 * c.cv) + 32) / 64.0) AS BIGINT)"
+            " AS c FROM"
+            " (SELECT doc_id, sum(" + wgt.format(c="x") + ") AS s,"
+            " max(CASE WHEN x = 15 THEN v END) AS a15"
+            " FROM px1 WHERE y = 15 GROUP BY doc_id) h"
+            " JOIN (SELECT doc_id, sum(" + wgt.format(c="y") + ") AS s,"
+            " max(CASE WHEN y = 15 THEN v END) AS a15"
+            " FROM px2 WHERE x = 15 GROUP BY doc_id) v"
+            " ON v.doc_id = h.doc_id"
+            " JOIN (SELECT doc_id, v AS cv FROM px0"
+            " WHERE y = 15 AND x = 15) c ON c.doc_id = h.doc_id)"
+        )
+        plane_pred = (
+            "GREATEST(0, LEAST(255, CAST(floor((p.a + p.b * (r.x - 7)"
+            " + p.c * (r.y - 7) + 16) / 32.0) AS BIGINT)))"
+        )
+        px_ctes.append(
+            "px3 AS MATERIALIZED ("
+            "SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="t.v") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN px1 t ON t.doc_id = r.doc_id AND t.y = 15"
+            " AND t.x = r.x WHERE r.mb = 3 AND m.m3 = 0"
+            " UNION ALL SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="l.v") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN px2 l ON l.doc_id = r.doc_id AND l.x = 15"
+            " AND l.y = r.y WHERE r.mb = 3 AND m.m3 = 1"
+            " UNION ALL SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p="p.pred") + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN pr3 p ON p.doc_id = r.doc_id"
+            " WHERE r.mb = 3 AND m.m3 = 2"
+            " UNION ALL SELECT r.doc_id, r.y, r.x,"
+            + " " + clip.format(p=plane_pred) + " AS v"
+            " FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+            " JOIN pl3 p ON p.doc_id = r.doc_id"
+            " WHERE r.mb = 3 AND m.m3 = 3)"
+        )
+        for k in range(4):
+            my_, mx_ = k // 2, k % 2
+            px_union.append(
+                f"SELECT doc_id, {16 * my_} + y AS gy,"
+                f" {16 * mx_} + x AS gx, v FROM px{k}"
+            )
+    for my in range(mb_h if not pred_modes else 0):
         for mx in range(mb_w):
             k = my * mb_w + mx
             edges = []
@@ -6657,6 +6780,31 @@ def m41_h264_cavlc_chroma_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m41_oracle() -> str:
     return _cavlc_oracle(2, 2, "#cav3", chroma_ac=True)
+
+
+def m42_h264_intra_pred_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-DC Intra_16x16 prediction modes (the last intra
+    extension point of the CAVLC family): each MB's mode is drawn
+    from its plant bytes under the spec's availability constraints —
+    Vertical copies the top boundary row down, Horizontal copies the
+    left boundary column across, and PLANE fits the 8.3.3.4 gradient
+    (H/V weighted boundary differences through the corner sample,
+    b = (5H+32)>>6, per-sample Clip1) — so the residuals from m39's
+    CAVLC walk now land on four structurally different predictors.
+    The oracle's per-MB chain becomes a mode-DISPATCHED union: each
+    MB's pixels select their predictor branch by the same plant-byte
+    mode draw, including the full plane-fit restated as weighted
+    boundary sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_cavlc_stats(
+        multimodal.with_h264_cavlc_payload(
+            docs, mb_w=2, mb_h=2, pred_modes=True
+        )
+    )
+
+
+def _m42_oracle() -> str:
+    return _cavlc_oracle(2, 2, "#cav5", pred_modes=True)
 
 
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9286,6 +9434,7 @@ QUERIES: list[Query] = [
     Query("llm_m39_h264_cavlc_pixels", m39_h264_cavlc_pixels, _m39_oracle()),
     Query("llm_m40_h264_cavlc_multirow", m40_h264_cavlc_multirow, _m40_oracle()),
     Query("llm_m41_h264_cavlc_chroma_ac", m41_h264_cavlc_chroma_ac, _m41_oracle()),
+    Query("llm_m42_h264_intra_pred_modes", m42_h264_intra_pred_modes, _m42_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

@@ -422,6 +422,39 @@ def test_chroma_ac_roundtrip_and_nc():
         assert np.array_equal(P, got.astype(np.int64)), key
 
 
+def test_intra_pred_modes_roundtrip_and_fixture_coverage():
+    """V/H/Plane prediction (8.3.3.2-8.3.3.4): a 2x2 grid carrying
+    all four modes roundtrips, and the m42 fixture's plant-byte mode
+    draw actually visits every mode at the bottom-right MB across
+    the first 40 doc ids."""
+    mbs = _fixture_mbs(23)
+    for mb, mode in zip(mbs, (2, 1, 0, 3)):
+        mb["pred_mode"] = mode
+    sps_rbsp = C.encode_h264_sps(66, 30, 2, 2)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i16x16_slice(sps, pps, mbs)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    hdr, y, cb, cr, tc = _decode_stream(stream)
+    assert y.shape == (32, 32)
+    # mode constraints fail loudly
+    bad = [dict(m) for m in mbs]
+    bad[0]["pred_mode"] = 3  # plane needs both edges
+    with pytest.raises(ValueError, match="Plane"):
+        C.encode_h264_i16x16_slice(sps, pps, bad)
+    # fixture coverage: the (1,1) MB's mode draw spans all four
+    from table_demo_spark.operators import multimodal as M
+
+    mbb = M._CAVLC_MB_BYTES
+    seen = set()
+    for doc_id in range(40):
+        raw = M._md5_stream(str(doc_id), (4 * mbb) // 16, "#cav5")
+        seen.add(raw[3 * mbb] % 4)
+    assert seen == {0, 1, 2, 3}
+
+
 def test_loud_failures():
     mbs = _fixture_mbs(3)
     stream = _encode_stream(mbs)

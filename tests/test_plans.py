@@ -129,6 +129,7 @@ _PYTHON_ALLOWED = {
     "llm_m39_h264_cavlc_pixels",  # MapInPandas (CAVLC residual decode + Intra_16x16 reconstruction)
     "llm_m40_h264_cavlc_multirow",  # MapInPandas (2D CAVLC decode, raster prediction DAG)
     "llm_m41_h264_cavlc_chroma_ac",  # MapInPandas (chroma-AC CAVLC decode at QPc)
+    "llm_m42_h264_intra_pred_modes",  # MapInPandas (mode-dispatched Intra16x16 prediction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
 }
 
