@@ -5052,6 +5052,126 @@ FROM (
 """
 
 
+_P17_ALPHA_NOTE = "w_s = isqrt(n_s): alpha = 0.5 temperature"
+
+
+def p17_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted MIXTURE SAMPLING — the standard
+    training-mix move (sample source s with probability proportional
+    to n_s^alpha, alpha=0.5, so rare sources are upweighted): per
+    source the integer sqrt of its doc count is its mixture weight,
+    a global budget of half the corpus is split proportionally
+    (floor), and each doc joins the sample via a DETERMINISTIC
+    md5-threshold draw (u(doc) < (m_s << 20) / n_s in 2^-20 units) —
+    the same-seed reproducibility a production mixture needs. All
+    integer math: isqrt is stated as floor(sqrt(double)) plus an
+    exact +-1 CASE correction, so both engines agree at perfect
+    squares. Output: per-source manifest (count, weight, quota,
+    threshold) + the realized sample's size and id-sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    budget = total // 2
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    k0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    isq = (
+        k0 - (k0 * k0 > F.col("n")).cast("long")
+        + ((k0 + 1) * (k0 + 1) <= F.col("n")).cast("long")
+    )
+    per = per.withColumn("w", isq)
+    wsum = per.agg(F.sum("w")).collect()[0][0]
+    per = per.withColumn(
+        "quota", (F.lit(budget) * F.col("w") / F.lit(wsum)).cast("long")
+    ).withColumn(
+        "thresh",
+        F.least(
+            F.lit(1 << 20).cast("long"),
+            F.floor(
+                (F.col("quota") * F.lit(1 << 20)) / F.col("n")
+            ).cast("long"),
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % (1 << 20)
+    )
+    picked = (
+        docs.join(F.broadcast(per), "source")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("thresh"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    return (
+        per.join(picked, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("w").alias("weight"),
+            "quota",
+            "thresh",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("id_sum", F.lit(0)).alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _p17_oracle() -> str:
+    return """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+isq AS (
+  SELECT source, n,
+         k0 - (CASE WHEN k0 * k0 > n THEN 1 ELSE 0 END)
+            + (CASE WHEN (k0 + 1) * (k0 + 1) <= n THEN 1 ELSE 0 END)
+           AS w
+  FROM (SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS k0
+        FROM per)
+),
+tot AS (
+  SELECT (SELECT count(*) FROM documents) // 2 AS budget,
+         (SELECT sum(w) FROM isq) AS wsum
+),
+manifest AS (
+  SELECT i.source, i.n, i.w,
+         CAST(t.budget * i.w // t.wsum AS BIGINT) AS quota,
+         LEAST(
+           CAST(1048576 AS BIGINT),
+           CAST(((t.budget * i.w // t.wsum) * 1048576) // i.n AS BIGINT)
+         ) AS thresh
+  FROM isq i CROSS JOIN tot t
+),
+sampled AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+  FROM documents d JOIN manifest m ON m.source = d.source
+  WHERE CAST('0x' || substring(
+          md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1048576 < m.thresh
+  GROUP BY d.source
+)
+SELECT m.source, m.n AS n_docs, m.w AS weight, m.quota, m.thresh,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.id_sum, 0) AS id_sum
+FROM manifest m LEFT JOIN sampled s ON s.source = m.source
+ORDER BY m.source
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # T22 — RAKE keyword extraction (Rose et al. 2010): candidate phrases
 # are the maximal stopword-free token runs (phrase id = running
@@ -9393,6 +9513,7 @@ QUERIES: list[Query] = [
     Query("llm_t24_heldout_lm_filter", t24_heldout_lm_filter, T24_ORACLE),
     Query("llm_s12_two_stage_rerank", s12_two_stage_rerank, _s12_oracle()),
     Query("llm_p16_decontaminated_split", p16_decontaminated_split, _p16_oracle()),
+    Query("llm_p17_mixture_sample", p17_mixture_sample, _p17_oracle()),
     Query("llm_t25_bpe_encode", t25_bpe_encode, _t25_oracle()),
     Query("llm_t27_bpe_sample_train", t27_bpe_sample_train, _t27_oracle()),
     Query("llm_t26_quantile_sketch", t26_quantile_sketch, _t26_oracle()),
