@@ -212,6 +212,7 @@ HEADLINE = [
     "llm_m41_h264_cavlc_chroma_ac",
     "llm_m42_h264_intra_pred_modes",
     "llm_p17_mixture_sample",
+    "stream_q39_decontam_ingest",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

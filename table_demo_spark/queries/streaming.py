@@ -1501,6 +1501,28 @@ def _s25_oracle() -> str:
     return _s23_oracle(Q36_TARGET_BUCKET)
 
 
+def q39_decontam_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at ingest (llm_p16's streaming leg): eval-set
+    near-dup fingerprints built offline, every arriving batch's
+    train docs band-probe the store and Jaccard-verify collisions,
+    contaminated docs quarantined in-flight. The oracle is p16's
+    batch SQL VERBATIM, so the query is green only if the streamed
+    split equals the batch split doc-for-doc — streaming == batch
+    decontamination on one hash chain."""
+    from table_demo_spark.streaming.queries import run_q39_decontam_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q39_decontam_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select("doc_id", "split")
+
+
+def _q39_oracle() -> str:
+    from table_demo_spark.queries.llmops import _p16_oracle
+
+    return _p16_oracle()
+
+
 def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE leg of the vector-store lifecycle, closing its last
     seam: llm_s18's beam walk runs over the edge store stream_q35
@@ -1846,6 +1868,7 @@ QUERIES: list[Query] = [
     Query("stream_q36_graph_reshard", q36_graph_reshard_final, _q36_oracle()),
     Query("stream_q38_hnsw_ingest", q38_hnsw_ingest_final, _q38_oracle()),
     Query("llm_s25_serve_hnsw_ingested", s25_serve_hnsw_ingested, _s25_oracle()),
+    Query("stream_q39_decontam_ingest", q39_decontam_final, _q39_oracle()),
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

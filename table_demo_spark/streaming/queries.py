@@ -3516,6 +3516,132 @@ def q38_final_edges(spark: SparkSession, sink) -> DataFrame:
     return out.select("lv", "src", "dst", "rank")
 
 
+def run_q39_decontam_ingest(
+    spark: SparkSession, sf_dir: str, sink=None,
+    checkpoint: str | None = None, n_shards: int = 4,
+):
+    """DECONTAMINATION AT INGEST — llm_p16's streaming leg, the shape
+    a production crawl actually runs: the EVAL set's near-dup
+    fingerprints (shingle sets + banded minhash keys) are built
+    OFFLINE into a bounded store, and every arriving micro-batch's
+    train docs probe it — band equi-join against the store, exact
+    Jaccard verify over the stored shingle sets — routing
+    contaminated docs to 'quarantined' and the rest to 'train'
+    (arriving eval docs label themselves 'test').  q26's
+    offline-build/stream-apply split applied to decontamination;
+    per-batch cost is O(batch x collisions), never O(corpus^2).
+    Every batch statically overwrites its whole ``b=`` subtree
+    (replay-idempotent by construction).  The final store equals
+    llm_p16's batch split EXACTLY — same shingle/signature/band/
+    verify code — so the oracle is p16's SQL verbatim: streaming ==
+    batch on one hash chain.  Returns (sink, query)."""
+    from table_demo_spark.operators import dedup
+    from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q39-"), ("b",))
+    fp_dir = sink.path.rstrip("/") + "-evalfp"
+
+    def is_test_col():
+        return F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#split16"))
+            ),
+            1, 1,
+        ).isin("0", "1")
+
+    # offline: the eval set's fingerprint store (bounded by the eval
+    # set, not the stream)
+    docs = load_table(spark, sf_dir, "documents")
+    tsh = dedup.shingle_sets(docs.filter(is_test_col()), 2)
+    tsh.write.mode("overwrite").parquet(fp_dir + "/sh")
+    dedup.band_keys_frame(dedup.minhash_signatures(tsh)).write.mode(
+        "overwrite"
+    ).parquet(fp_dir + "/bands")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        session = batch_df.sparkSession
+        arr = (
+            batch_df.select("doc_id", "text")
+            .withColumn("is_test", is_test_col())
+            .persist()
+        )
+        try:
+            train = arr.filter(~F.col("is_test")).select("doc_id", "text")
+            sh = dedup.shingle_sets(train, 2).persist()
+            try:
+                bands = dedup.band_keys_frame(dedup.minhash_signatures(sh))
+                tb = session.read.parquet(fp_dir + "/bands").select(
+                    "band", "key", F.col("doc_id").alias("test_id")
+                )
+                cand = (
+                    bands.join(tb, ["band", "key"])
+                    .select("doc_id", "test_id")
+                    .distinct()
+                )
+                tshr = session.read.parquet(fp_dir + "/sh").select(
+                    F.col("doc_id").alias("test_id"),
+                    F.col("shingles").alias("sh_b"),
+                )
+                j = (
+                    cand.join(
+                        sh.select(
+                            "doc_id", F.col("shingles").alias("sh_a")
+                        ),
+                        "doc_id",
+                    )
+                    .join(tshr, "test_id")
+                )
+                inter = F.size(F.array_intersect("sh_a", "sh_b"))
+                union = F.size("sh_a") + F.size("sh_b") - inter
+                quar = (
+                    j.filter(
+                        inter.cast("double") / union.cast("double")
+                        >= JACCARD_THRESHOLD
+                    )
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("__q", F.lit(True))
+                )
+                (
+                    arr.join(quar, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.when(F.col("is_test"), "test")
+                        .when(F.col("__q"), "quarantined")
+                        .otherwise("train")
+                        .alias("split"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(sink.path, f"b={batch_id}"))
+                )
+            finally:
+                sh.unpersist()
+        finally:
+            arr.unpersist()
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
 def run_q34_media_triage(
     spark: SparkSession,
     sf_dir: str,

@@ -1555,6 +1555,49 @@ def test_q38_restart_replays_the_reshard_batch(spark, tmp_path):
     assert rows(sink) == want
 
 
+def test_q39_restart_replays_byte_stably(spark, tmp_path):
+    """Decontamination-at-ingest replay: each batch statically
+    overwrites its b= subtree from the offline fingerprint store, so
+    a forged crash (last commit deleted) must reproduce the same
+    split rows — and the full drain equals llm_p16's batch split."""
+    import os
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q39_decontam_ingest
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (int(r["doc_id"]), r["split"])
+            for r in s.snapshot_df(spark).select("doc_id", "split").collect()
+        }
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("b",))
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q39_decontam_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    want = rows(sink)
+    assert {s for _, s in want} == {"train", "test", "quarantined"}
+    last = max(
+        int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q39_decontam_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
+
+
 def test_q35_incremental_graph_equals_batch_build(spark):
     """build ≡ maintain, asserted directly (the s20 oracle pins it
     externally): per-src top-M compaction of q35's emission log equals
