@@ -213,6 +213,7 @@ HEADLINE = [
     "llm_m42_h264_intra_pred_modes",
     "llm_p17_mixture_sample",
     "stream_q39_decontam_ingest",
+    "llm_m43_h264_i4x4_mosaic",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

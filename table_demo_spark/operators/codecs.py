@@ -6971,3 +6971,205 @@ def decode_h264_i16x16_slice(
                         ] = np.clip(p + res, 0, 255)
             nnz_store[(mx, my)] = nnz
     return hdr, y, cb, cr, total_coeff
+
+
+# ---------------------------------------------------------------------------
+# H.264 I_4x4 macroblock layer (ISO/IEC 14496-10 7.3.5 mb_type 0 /
+# 8.3.1): per-4x4-block intra prediction with most-probable-mode
+# signalling (prev_intra4x4_pred_mode_flag + rem), the coded_block_
+# pattern me(v) mapping, and full-16-coefficient luma residual blocks
+# (no DC/AC split).  NORMATIVE TABLE 9-4 (Intra_4x4 column) stated
+# explicitly below; adjudication: the widely-mirrored form recalled
+# whole, validated structurally as a PERMUTATION of 0..47 with the
+# published anchors codeNum 0..3 -> cbp 47/31/15/0 (tests pin both).
+# Prediction modes 0 (Vertical), 1 (Horizontal), 2 (DC) are
+# implemented; the six diagonal modes (3-8) fail loudly as the
+# documented extension point.  Single-MB pictures only (the "4x4
+# intra mosaic"): cross-MB mode/pixel neighbours are the next layer.
+# ---------------------------------------------------------------------------
+
+H264_CBP_INTRA = (
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+)
+
+
+def _h264_i4x4_pred_mode(modes, x4: int, y4: int) -> int:
+    """Most-probable Intra_4x4 mode (8.3.1.1): min of the left/top
+    neighbour modes; DC (2) when either neighbour is unavailable
+    (single-MB scope: availability is within-MB adjacency)."""
+    ma = modes[y4][x4 - 1] if x4 > 0 else None
+    mb = modes[y4 - 1][x4] if y4 > 0 else None
+    if ma is None or mb is None:
+        return 2
+    return min(ma, mb)
+
+
+def encode_h264_i4x4_slice(
+    sps: dict, pps: dict, mb: dict, frame_num: int = 0, idr_pic_id: int = 0,
+) -> bytes:
+    """Write an IDR I slice with ONE I_4x4 macroblock (mb_type 0):
+    per-block mode signalling against the 8.3.1.1 most-probable-mode
+    inference, coded_block_pattern 31 via the Table 9-4 me(v)
+    mapping, 16 full LumaLevel4x4 CAVLC blocks, 2 chroma DC blocks.
+    ``mb``: ``modes`` (4,4) ints in {0,1,2} (V needs a top
+    neighbour, H a left one), ``luma`` (4,4,4,4) raster coefficient
+    blocks (all 16 positions live), ``cb_dc``/``cr_dc`` (2,2)."""
+    if (sps["mb_width"], sps["mb_height"]) != (1, 1):
+        raise ValueError("I_4x4 layer: single-MB pictures only")
+    modes = mb["modes"]
+    for y4 in range(4):
+        for x4 in range(4):
+            m = int(modes[y4][x4])
+            if m not in (0, 1, 2):
+                raise ValueError(
+                    "I_4x4: diagonal prediction modes are the"
+                    " documented extension point"
+                )
+            if m == 0 and y4 == 0:
+                raise ValueError("I_4x4: V mode needs a top neighbour")
+            if m == 1 and x4 == 0:
+                raise ValueError("I_4x4: H mode needs a left neighbour")
+    bw = _ExpGolombWriter()
+    _h264_put_slice_header(
+        bw, sps, pps, 7, 0, frame_num, 0,
+        idr_pic_id=idr_pic_id, poc_lsb=0, nal_ref_idc=3,
+    )
+    bw.ue(0)  # mb_type I_NxN
+    for idx in range(16):
+        x4, y4 = _h264_blk_xy(idx)
+        actual = int(modes[y4][x4])
+        pred = _h264_i4x4_pred_mode(modes, x4, y4)
+        if actual == pred:
+            bw.put(1, 1)  # prev_intra4x4_pred_mode_flag
+        else:
+            bw.put(0, 1)
+            bw.put(actual if actual < pred else actual - 1, 3)
+    bw.ue(0)  # intra_chroma_pred_mode: DC
+    bw.ue(H264_CBP_INTRA.index(31))  # coded_block_pattern me(v)
+    bw.se(0)  # mb_qp_delta
+    nnz = [[0] * 4 for _ in range(4)]
+    for idx in range(16):
+        x4, y4 = _h264_blk_xy(idx)
+        blk = mb["luma"][y4][x4]
+        scan = [int(blk.flat[z]) for z in H264_ZIGZAG_4x4]
+        n_c = _h264_nc(nnz, None, x4, y4, None)
+        nnz[y4][x4] = cavlc_encode_block(bw, scan, n_c, 16)
+    for plane in ("cb_dc", "cr_dc"):
+        cavlc_encode_block(bw, [int(v) for v in mb[plane].flat], -1, 4)
+    bw.put(1, 1)  # rbsp_stop_one_bit
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_i4x4_slice(
+    rbsp: bytes, nal_type: int, nal_ref_idc: int, pps_store: dict,
+    sps_store: dict,
+):
+    """Decode a single-MB I_4x4 slice to PIXELS: mode signalling
+    inverted through the SAME 8.3.1.1 inference (a different code
+    path from the encoder's forward walk — a mis-inferred
+    most-probable mode decodes the wrong mode and shifts pixels),
+    coded_block_pattern via Table 9-4, 16 sequential 4x4
+    reconstructions in coding order (each block's V/H/DC prediction
+    reads ALREADY-RECONSTRUCTED spatial neighbours), chroma DC as in
+    the I_16x16 path.  Returns (header, luma, cb, cr, modes,
+    total_coeff)."""
+    import numpy as np
+
+    hdr = decode_h264_slice_header(
+        rbsp, nal_type, nal_ref_idc, pps_store, sps_store
+    )
+    pps = pps_store[hdr["pps_id"]]
+    sps = sps_store[pps["sps_id"]]
+    if (sps["mb_width"], sps["mb_height"]) != (1, 1):
+        raise ValueError("I_4x4 layer: single-MB pictures only")
+    br = _BitReader(rbsp)
+    _h264_skip_slice_header(br, nal_type, nal_ref_idc, pps_store, sps_store)
+    if _expgolomb_ue(br) != 0:
+        raise ValueError("H264: expected I_NxN mb_type")
+    modes = [[None] * 4 for _ in range(4)]
+    for idx in range(16):
+        x4, y4 = _h264_blk_xy(idx)
+        pred = _h264_i4x4_pred_mode(modes, x4, y4)
+        if br.bits(1):
+            modes[y4][x4] = pred
+        else:
+            rem = br.bits(3)
+            modes[y4][x4] = rem if rem < pred else rem + 1
+        if modes[y4][x4] not in (0, 1, 2):
+            raise ValueError(
+                "I_4x4: diagonal prediction modes are the documented"
+                " extension point"
+            )
+    if _expgolomb_ue(br) != 0:
+        raise ValueError("H264: only chroma DC prediction implemented")
+    cbp = H264_CBP_INTRA[_expgolomb_ue(br)]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 2:
+        raise ValueError("H264: chroma AC not wired for I_4x4")
+    qp = hdr["slice_qp"] + _expgolomb_se(br)
+    qpc = h264_chroma_qp(qp + pps["chroma_qp_index_offset"])
+    ls = np.array(
+        [[h264_levelscale(qp % 6, i, j) for j in range(4)]
+         for i in range(4)], np.int64,
+    )
+    vshift = qp // 6
+    y = np.zeros((16, 16), np.uint8)
+    nnz = [[0] * 4 for _ in range(4)]
+    total_coeff = 0
+    for idx in range(16):
+        x4, y4 = _h264_blk_xy(idx)
+        if cbp_luma & (1 << (idx >> 2)):
+            scan, n = cavlc_decode_block(
+                br, _h264_nc(nnz, None, x4, y4, None), 16
+            )
+            nnz[y4][x4] = n
+            total_coeff += n
+            flat = np.zeros(16, np.int64)
+            flat[list(H264_ZIGZAG_4x4)] = scan
+            d = flat.reshape(4, 4) * ls << vshift
+        else:
+            d = np.zeros((4, 4), np.int64)
+        res = _h264_idct4(d)
+        # 4x4 intra prediction (8.3.1.2): V/H copy the adjacent
+        # reconstructed edge, DC means the available edges
+        top = y[4 * y4 - 1, 4 * x4:4 * x4 + 4].astype(np.int64) \
+            if y4 > 0 else None
+        left = y[4 * y4:4 * y4 + 4, 4 * x4 - 1].astype(np.int64) \
+            if x4 > 0 else None
+        m = modes[y4][x4]
+        if m == 0:
+            pred = np.tile(top, (4, 1))
+        elif m == 1:
+            pred = np.tile(left, (4, 1)).T
+        else:
+            if top is not None and left is not None:
+                pred = (int(top.sum()) + int(left.sum()) + 4) >> 3
+            elif left is not None:
+                pred = (int(left.sum()) + 2) >> 2
+            elif top is not None:
+                pred = (int(top.sum()) + 2) >> 2
+            else:
+                pred = 128
+        y[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = np.clip(
+            pred + res, 0, 255
+        )
+    cb = np.zeros((8, 8), np.uint8)
+    cr = np.zeros((8, 8), np.uint8)
+    for tgt in (cb, cr):
+        if cbp_chroma:
+            scan, n = cavlc_decode_block(br, -1, 4)
+            total_coeff += n
+            dcc = _h264_chroma_dc_dequant(
+                np.array(scan, np.int64).reshape(2, 2), qpc
+            )
+        else:
+            dcc = np.zeros((2, 2), np.int64)
+        for y2 in range(2):
+            for x2 in range(2):
+                tgt[4 * y2:4 * y2 + 4, 4 * x2:4 * x2 + 4] = np.clip(
+                    128 + ((int(dcc[y2, x2]) + 32) >> 6), 0, 255
+                )
+    return hdr, y, cb, cr, modes, total_coeff

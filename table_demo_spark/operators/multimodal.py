@@ -2882,3 +2882,149 @@ def h264_cavlc_stats(docs_with_payload: DataFrame) -> DataFrame:
             "y_max long, sum_cb long, sum_cr long"
         ),
     )
+
+
+_I4_BLOCKS = 18  # 16 blocks x (1 mode + 16 level bytes) + 8 chroma DC
+
+
+def with_h264_i4x4_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): an Annex B stream whose IDR slice is ONE
+    I_4x4 macroblock — per-4x4 prediction modes drawn from plant
+    bytes under availability rules ((0,0) DC; top row H|DC; left
+    column V|DC; interior V|H|DC), signalled against the 8.3.1.1
+    most-probable-mode inference, coded_block_pattern 31 through the
+    Table 9-4 me(v) mapping, and 16 FULL-16-coefficient CAVLC luma
+    blocks (no DC/AC split — the other residual geometry)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_h264_pps,
+        decode_h264_sps,
+        encode_annexb,
+        encode_h264_i4x4_slice,
+        encode_h264_pps,
+        encode_h264_sps,
+    )
+
+    sps_rbsp = encode_h264_sps(66, 30, 1, 1)
+    pps_rbsp = encode_h264_pps(0, 0, 16)  # pic_init_qp 42
+    sps = decode_h264_sps(sps_rbsp)
+    pps = decode_h264_pps(pps_rbsp)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), _I4_BLOCKS, "#cav6")
+                modes = [[0] * 4 for _ in range(4)]
+                luma = np.zeros((4, 4, 4, 4), np.int64)
+                for y4 in range(4):
+                    for x4 in range(4):
+                        o = (4 * y4 + x4) * 17
+                        b0 = raw[o]
+                        if (x4, y4) == (0, 0):
+                            modes[y4][x4] = 2
+                        elif y4 == 0:
+                            modes[y4][x4] = 1 if b0 % 2 else 2
+                        elif x4 == 0:
+                            modes[y4][x4] = 0 if b0 % 2 else 2
+                        else:
+                            modes[y4][x4] = b0 % 3
+                        flat = np.zeros(16, np.int64)
+                        for pos in range(16):
+                            flat[pos] = _cavlc_level(raw[o + 1 + pos])
+                        luma[y4][x4] = flat.reshape(4, 4)
+                cb_dc = np.array(
+                    [raw[272 + k] % 7 - 3 for k in range(4)], np.int64
+                ).reshape(2, 2)
+                cr_dc = np.array(
+                    [raw[276 + k] % 7 - 3 for k in range(4)], np.int64
+                ).reshape(2, 2)
+                sl = encode_h264_i4x4_slice(
+                    sps, pps,
+                    {"modes": modes, "luma": luma,
+                     "cb_dc": cb_dc, "cr_dc": cr_dc},
+                    frame_num=int(doc_id) % 16,
+                    idr_pic_id=int(doc_id) % 32,
+                )
+                payloads.append(
+                    encode_annexb(
+                        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_i4x4_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each I_4x4 stream to PIXELS (mode signalling inverted
+    through the most-probable-mode inference, 16 sequential 4x4
+    reconstructions) and reduce to integer stats; ``mode_sum`` pins
+    the decoded mode PLANE on the value hash — a single mis-inferred
+    most-probable mode shifts it even when pixels happen to agree."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_h264_i4x4_slice,
+        decode_h264_pps,
+        decode_h264_sps,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sps_store, pps_store = {}, {}
+                out = None
+                for nal in decode_annexb(bytes(payload)):
+                    t = nal["nal_type"]
+                    if t == 7:
+                        info = decode_h264_sps(nal["rbsp"])
+                        sps_store[info["sps_id"]] = info
+                    elif t == 8:
+                        info = decode_h264_pps(nal["rbsp"])
+                        pps_store[info["pps_id"]] = info
+                    elif t == 5:
+                        out = decode_h264_i4x4_slice(
+                            nal["rbsp"], 5, nal["ref_idc"],
+                            pps_store, sps_store,
+                        )
+                hdr, y, cb, cr, modes, total_coeff = out
+                yl = y.astype(np.int64)
+                px = np.arange(256, dtype=np.int64).reshape(16, 16)
+                rows.append(
+                    (
+                        int(doc_id), int(hdr["frame_num"]),
+                        int(total_coeff),
+                        int(sum(
+                            (4 * yy + xx + 1) * modes[yy][xx]
+                            for yy in range(4) for xx in range(4)
+                        )),
+                        int(yl.sum()),
+                        int((yl * (1 + px % 7)).sum()),
+                        int(yl.min()), int(yl.max()),
+                        int(cb.astype(np.int64).sum()),
+                        int(cr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_num", "total_coeff", "mode_sum",
+                    "sum_y", "wsum_y", "y_min", "y_max",
+                    "sum_cb", "sum_cr",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, frame_num long, total_coeff long, "
+            "mode_sum long, sum_y long, wsum_y long, y_min long, "
+            "y_max long, sum_cb long, sum_cr long"
+        ),
+    )

@@ -455,6 +455,95 @@ def test_intra_pred_modes_roundtrip_and_fixture_coverage():
     assert seen == {0, 1, 2, 3}
 
 
+def test_i4x4_layer():
+    """I_4x4 (mb_type 0): Table 9-4's intra CBP mapping is pinned as
+    a PERMUTATION with the published anchors; mode signalling inverts
+    the 8.3.1.1 most-probable-mode inference; the 16-block
+    sequential reconstruction matches an independent model; diagonal
+    modes fail loudly on both sides."""
+    t = C.H264_CBP_INTRA
+    assert sorted(t) == list(range(48))
+    assert t[0] == 47 and t[1] == 31 and t[2] == 15 and t[3] == 0
+    rng = np.random.RandomState(9)
+    modes = [[2] * 4 for _ in range(4)]
+    for y4 in range(4):
+        for x4 in range(4):
+            if (x4, y4) == (0, 0):
+                continue
+            if y4 == 0:
+                modes[y4][x4] = int(rng.choice([1, 2]))
+            elif x4 == 0:
+                modes[y4][x4] = int(rng.choice([0, 2]))
+            else:
+                modes[y4][x4] = int(rng.randint(0, 3))
+    luma = np.zeros((4, 4, 4, 4), np.int64)
+    for y4 in range(4):
+        for x4 in range(4):
+            b = rng.randint(0, 256, 16)
+            lv = np.where(
+                b < 150, 0,
+                np.where((b - 150) % 14 < 7, 1, (b - 150) % 14 - 5),
+            ) * np.where(b % 2 == 0, 1, -1)
+            luma[y4][x4] = lv.reshape(4, 4)
+    mb = {"modes": modes, "luma": luma,
+          "cb_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64),
+          "cr_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64)}
+    sps_rbsp = C.encode_h264_sps(66, 30, 1, 1)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i4x4_slice(sps, pps, mb, frame_num=2)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    ss, ps = {}, {}
+    for nal in C.decode_annexb(stream):
+        tt = nal["nal_type"]
+        if tt == 7:
+            i = C.decode_h264_sps(nal["rbsp"])
+            ss[i["sps_id"]] = i
+        elif tt == 8:
+            i = C.decode_h264_pps(nal["rbsp"])
+            ps[i["pps_id"]] = i
+        else:
+            hdr, y, cb, cr, dm, tc = C.decode_h264_i4x4_slice(
+                nal["rbsp"], 5, 3, ps, ss
+            )
+    assert [list(r) for r in dm] == [list(r) for r in modes]
+    # independent sequential-reconstruction model
+    ls = np.array(
+        [[C.h264_levelscale(0, i, j) for j in range(4)] for i in range(4)],
+        np.int64,
+    )
+    Y = np.zeros((16, 16), np.int64)
+    for idx in range(16):
+        x4, y4 = C._h264_blk_xy(idx)
+        res = C._h264_idct4(luma[y4][x4] * ls << 7)
+        top = Y[4 * y4 - 1, 4 * x4:4 * x4 + 4] if y4 > 0 else None
+        left = Y[4 * y4:4 * y4 + 4, 4 * x4 - 1] if x4 > 0 else None
+        m = modes[y4][x4]
+        if m == 0:
+            pred = np.tile(top, (4, 1))
+        elif m == 1:
+            pred = np.tile(left, (4, 1)).T
+        elif top is not None and left is not None:
+            pred = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif left is not None:
+            pred = (int(left.sum()) + 2) >> 2
+        elif top is not None:
+            pred = (int(top.sum()) + 2) >> 2
+        else:
+            pred = 128
+        Y[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = np.clip(
+            pred + res, 0, 255
+        )
+    assert np.array_equal(Y, y.astype(np.int64))
+    # diagonal modes fail loudly
+    bad = dict(mb)
+    bad["modes"] = [[2, 4, 2, 2]] + [list(r) for r in modes[1:]]
+    with pytest.raises(ValueError, match="diagonal"):
+        C.encode_h264_i4x4_slice(sps, pps, bad)
+
+
 def test_loud_failures():
     mbs = _fixture_mbs(3)
     stream = _encode_stream(mbs)

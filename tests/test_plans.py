@@ -130,6 +130,7 @@ _PYTHON_ALLOWED = {
     "llm_m40_h264_cavlc_multirow",  # MapInPandas (2D CAVLC decode, raster prediction DAG)
     "llm_m41_h264_cavlc_chroma_ac",  # MapInPandas (chroma-AC CAVLC decode at QPc)
     "llm_m42_h264_intra_pred_modes",  # MapInPandas (mode-dispatched Intra16x16 prediction)
+    "llm_m43_h264_i4x4_mosaic",  # MapInPandas (I_4x4 mode signalling + sequential block reconstruction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
 }
 
