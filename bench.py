@@ -214,6 +214,7 @@ HEADLINE = [
     "llm_p17_mixture_sample",
     "stream_q39_decontam_ingest",
     "llm_m43_h264_i4x4_mosaic",
+    "llm_m44_h264_i4x4_all_modes",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

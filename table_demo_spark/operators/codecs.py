@@ -7006,6 +7006,115 @@ def _h264_i4x4_pred_mode(modes, x4: int, y4: int) -> int:
     return min(ma, mb)
 
 
+_H264_I4_CODING = {}  # spatial (x4, y4) -> coding index
+for _k in range(16):
+    _H264_I4_CODING[_h264_blk_xy(_k)] = _k
+
+
+def _h264_i4x4_predict(mode: int, t, l, c):
+    """All nine Intra_4x4 prediction modes (8.3.1.2.1-8.3.1.2.9) over
+    the CONSTRUCTED reference samples: ``t`` = 8 top samples (t[4..7]
+    already substituted with t[3] when the top-right block is
+    unavailable), ``l`` = 4 left samples, ``c`` = the corner; any of
+    them None when unavailable.  Returns a (4, 4) int array."""
+    import numpy as np
+
+    out = np.empty((4, 4), np.int64)
+
+    def tv(k):  # t[-1] is the corner
+        return int(c) if k < 0 else int(t[k])
+
+    def lv(k):
+        return int(c) if k < 0 else int(l[k])
+
+    def a2(a, b):
+        return (a + b + 1) >> 1
+
+    def a3(a, b, cc):
+        return (a + 2 * b + cc + 2) >> 2
+
+    if mode == 0:  # Vertical
+        return np.tile(np.asarray(t[:4], np.int64), (4, 1))
+    if mode == 1:  # Horizontal
+        return np.tile(np.asarray(l, np.int64), (4, 1)).T
+    if mode == 2:  # DC
+        if t is not None and l is not None:
+            v = (int(np.sum(t[:4])) + int(np.sum(l)) + 4) >> 3
+        elif l is not None:
+            v = (int(np.sum(l)) + 2) >> 2
+        elif t is not None:
+            v = (int(np.sum(t[:4])) + 2) >> 2
+        else:
+            v = 128
+        out[:] = v
+        return out
+    for i in range(4):       # y
+        for j in range(4):   # x
+            if mode == 3:  # Diagonal Down-Left
+                if i == 3 and j == 3:
+                    v = (tv(6) + 3 * tv(7) + 2) >> 2
+                else:
+                    v = a3(tv(i + j), tv(i + j + 1), tv(i + j + 2))
+            elif mode == 4:  # Diagonal Down-Right
+                if j > i:
+                    v = a3(tv(j - i - 2), tv(j - i - 1), tv(j - i))
+                elif j < i:
+                    v = a3(lv(i - j - 2), lv(i - j - 1), lv(i - j))
+                else:
+                    v = a3(tv(0), int(c), lv(0))
+            elif mode == 5:  # Vertical-Right
+                z = 2 * j - i
+                if z >= 0 and z % 2 == 0:
+                    v = a2(tv(j - (i >> 1) - 1), tv(j - (i >> 1)))
+                elif z >= 1:
+                    v = a3(
+                        tv(j - (i >> 1) - 2), tv(j - (i >> 1) - 1),
+                        tv(j - (i >> 1)),
+                    )
+                elif z == -1:
+                    v = a3(lv(0), int(c), tv(0))
+                else:
+                    v = a3(lv(i - 1), lv(i - 2), lv(i - 3))
+            elif mode == 6:  # Horizontal-Down
+                z = 2 * i - j
+                if z >= 0 and z % 2 == 0:
+                    v = a2(lv(i - (j >> 1) - 1), lv(i - (j >> 1)))
+                elif z >= 1:
+                    v = a3(
+                        lv(i - (j >> 1) - 2), lv(i - (j >> 1) - 1),
+                        lv(i - (j >> 1)),
+                    )
+                elif z == -1:
+                    v = a3(lv(0), int(c), tv(0))
+                else:
+                    v = a3(tv(j - 1), tv(j - 2), tv(j - 3))
+            elif mode == 7:  # Vertical-Left
+                if i % 2 == 0:
+                    v = a2(tv(j + (i >> 1)), tv(j + (i >> 1) + 1))
+                else:
+                    v = a3(
+                        tv(j + (i >> 1)), tv(j + (i >> 1) + 1),
+                        tv(j + (i >> 1) + 2),
+                    )
+            elif mode == 8:  # Horizontal-Up
+                z = j + 2 * i
+                if z > 5:
+                    v = lv(3)
+                elif z == 5:
+                    v = (lv(2) + 3 * lv(3) + 2) >> 2
+                elif z % 2 == 0:
+                    v = a2(lv(i + (j >> 1)), lv(i + (j >> 1) + 1))
+                else:
+                    v = a3(
+                        lv(i + (j >> 1)), lv(i + (j >> 1) + 1),
+                        lv(i + (j >> 1) + 2),
+                    )
+            else:
+                raise ValueError(f"bad Intra_4x4 mode {mode}")
+            out[i, j] = v
+    return out
+
+
 def encode_h264_i4x4_slice(
     sps: dict, pps: dict, mb: dict, frame_num: int = 0, idr_pic_id: int = 0,
 ) -> bytes:
@@ -7022,15 +7131,20 @@ def encode_h264_i4x4_slice(
     for y4 in range(4):
         for x4 in range(4):
             m = int(modes[y4][x4])
-            if m not in (0, 1, 2):
+            if not 0 <= m <= 8:
+                raise ValueError(f"bad Intra_4x4 mode {m}")
+            if m in (0, 3, 7) and y4 == 0:
                 raise ValueError(
-                    "I_4x4: diagonal prediction modes are the"
-                    " documented extension point"
+                    "I_4x4: V/DDL/VL modes need a top neighbour"
                 )
-            if m == 0 and y4 == 0:
-                raise ValueError("I_4x4: V mode needs a top neighbour")
-            if m == 1 and x4 == 0:
-                raise ValueError("I_4x4: H mode needs a left neighbour")
+            if m in (1, 8) and x4 == 0:
+                raise ValueError(
+                    "I_4x4: H/HU modes need a left neighbour"
+                )
+            if m in (4, 5, 6) and (x4 == 0 or y4 == 0):
+                raise ValueError(
+                    "I_4x4: DDR/VR/HD modes need both neighbours"
+                )
     bw = _ExpGolombWriter()
     _h264_put_slice_header(
         bw, sps, pps, 7, 0, frame_num, 0,
@@ -7098,11 +7212,7 @@ def decode_h264_i4x4_slice(
         else:
             rem = br.bits(3)
             modes[y4][x4] = rem if rem < pred else rem + 1
-        if modes[y4][x4] not in (0, 1, 2):
-            raise ValueError(
-                "I_4x4: diagonal prediction modes are the documented"
-                " extension point"
-            )
+
     if _expgolomb_ue(br) != 0:
         raise ValueError("H264: only chroma DC prediction implemented")
     cbp = H264_CBP_INTRA[_expgolomb_ue(br)]
@@ -7133,26 +7243,30 @@ def decode_h264_i4x4_slice(
         else:
             d = np.zeros((4, 4), np.int64)
         res = _h264_idct4(d)
-        # 4x4 intra prediction (8.3.1.2): V/H copy the adjacent
-        # reconstructed edge, DC means the available edges
-        top = y[4 * y4 - 1, 4 * x4:4 * x4 + 4].astype(np.int64) \
-            if y4 > 0 else None
+        # reference-sample construction (8.3.1.2): top-right samples
+        # substitute t[3] when the above-right block is not yet
+        # decoded (coding order) or off-picture; then the full
+        # nine-mode predictor
+        if y4 > 0:
+            t4 = y[4 * y4 - 1, 4 * x4:4 * x4 + 4].astype(np.int64)
+            tr_ok = (
+                x4 < 3
+                and _H264_I4_CODING[(x4 + 1, y4 - 1)] < idx
+            )
+            if tr_ok:
+                t8 = np.concatenate([
+                    t4,
+                    y[4 * y4 - 1, 4 * x4 + 4:4 * x4 + 8].astype(np.int64),
+                ])
+            else:
+                t8 = np.concatenate([t4, np.full(4, int(t4[3]), np.int64)])
+        else:
+            t8 = None
         left = y[4 * y4:4 * y4 + 4, 4 * x4 - 1].astype(np.int64) \
             if x4 > 0 else None
-        m = modes[y4][x4]
-        if m == 0:
-            pred = np.tile(top, (4, 1))
-        elif m == 1:
-            pred = np.tile(left, (4, 1)).T
-        else:
-            if top is not None and left is not None:
-                pred = (int(top.sum()) + int(left.sum()) + 4) >> 3
-            elif left is not None:
-                pred = (int(left.sum()) + 2) >> 2
-            elif top is not None:
-                pred = (int(top.sum()) + 2) >> 2
-            else:
-                pred = 128
+        corner = int(y[4 * y4 - 1, 4 * x4 - 1]) \
+            if x4 > 0 and y4 > 0 else None
+        pred = _h264_i4x4_predict(modes[y4][x4], t8, left, corner)
         y[4 * y4:4 * y4 + 4, 4 * x4:4 * x4 + 4] = np.clip(
             pred + res, 0, 255
         )

@@ -2887,7 +2887,9 @@ def h264_cavlc_stats(docs_with_payload: DataFrame) -> DataFrame:
 _I4_BLOCKS = 18  # 16 blocks x (1 mode + 16 level bytes) + 8 chroma DC
 
 
-def with_h264_i4x4_payload(docs: DataFrame) -> DataFrame:
+def with_h264_i4x4_payload(
+    docs: DataFrame, full_modes: bool = False
+) -> DataFrame:
     """(doc_id, payload): an Annex B stream whose IDR slice is ONE
     I_4x4 macroblock — per-4x4 prediction modes drawn from plant
     bytes under availability rules ((0,0) DC; top row H|DC; left
@@ -2915,7 +2917,10 @@ def with_h264_i4x4_payload(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                raw = _md5_stream(str(doc_id), _I4_BLOCKS, "#cav6")
+                raw = _md5_stream(
+                    str(doc_id), _I4_BLOCKS,
+                    "#cav7" if full_modes else "#cav6",
+                )
                 modes = [[0] * 4 for _ in range(4)]
                 luma = np.zeros((4, 4, 4, 4), np.int64)
                 for y4 in range(4):
@@ -2924,6 +2929,14 @@ def with_h264_i4x4_payload(docs: DataFrame) -> DataFrame:
                         b0 = raw[o]
                         if (x4, y4) == (0, 0):
                             modes[y4][x4] = 2
+                        elif full_modes:
+                            # full nine-mode draw under availability
+                            if y4 == 0:
+                                modes[y4][x4] = (1, 2, 8)[b0 % 3]
+                            elif x4 == 0:
+                                modes[y4][x4] = (0, 2, 3, 7)[b0 % 4]
+                            else:
+                                modes[y4][x4] = b0 % 9
                         elif y4 == 0:
                             modes[y4][x4] = 1 if b0 % 2 else 2
                         elif x4 == 0:

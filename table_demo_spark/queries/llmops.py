@@ -7214,6 +7214,416 @@ JOIN cagg c ON c.doc_id = d.doc_id
 """
 
 
+def m44_h264_i4x4_all_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I_4x4 prediction COMPLETED: all nine 8.3.1.2 modes — V/H/DC
+    plus the six diagonal interpolators (Diagonal-Down-Left/Right,
+    Vertical-Right/Left, Horizontal-Down/Up) — drawn per block under
+    availability rules, with the 8.3.1.2 REFERENCE-SAMPLE
+    CONSTRUCTION on the hash path: top-right samples substitute t[3]
+    whenever the above-right block is off-picture or later in CODING
+    order (the quadrant order makes this block-position-dependent —
+    e.g. spatial (1,1) substitutes while (2,1) reads real samples).
+    Adjudication: the interpolator weights are affine (every mode
+    reproduces a constant field exactly — property-pinned in tests);
+    the oracle restates each mode's per-pixel taps symbolically over
+    per-block neighbour CTEs, so a single wrong tap index or weight
+    shifts the weighted pixel checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_i4x4_stats(
+        multimodal.with_h264_i4x4_payload(docs, full_modes=True)
+    )
+
+
+def _i4_mode_px_sql(mode: int, i: int, j: int) -> str:
+    """Symbolic Intra_4x4 predictor tap (8.3.1.2.3-8.3.1.2.9) for
+    pixel (row i, col j) over nb-CTE columns — mirrors
+    codecs._h264_i4x4_predict branch for branch."""
+    def tv(k: int) -> str:
+        return "n.c" if k < 0 else f"n.t{k}"
+
+    def lv(k: int) -> str:
+        return "n.c" if k < 0 else f"n.l{k}"
+
+    def a2(a: str, b: str) -> str:
+        return f"(({a}) + ({b}) + 1) // 2"
+
+    def a3(a: str, b: str, cc: str) -> str:
+        return f"(({a}) + 2 * ({b}) + ({cc}) + 2) // 4"
+
+    if mode == 3:
+        if i == 3 and j == 3:
+            return f"(({tv(6)}) + 3 * ({tv(7)}) + 2) // 4"
+        return a3(tv(i + j), tv(i + j + 1), tv(i + j + 2))
+    if mode == 4:
+        if j > i:
+            return a3(tv(j - i - 2), tv(j - i - 1), tv(j - i))
+        if j < i:
+            return a3(lv(i - j - 2), lv(i - j - 1), lv(i - j))
+        return a3(tv(0), "n.c", lv(0))
+    if mode == 5:
+        z = 2 * j - i
+        if z >= 0 and z % 2 == 0:
+            return a2(tv(j - (i >> 1) - 1), tv(j - (i >> 1)))
+        if z >= 1:
+            return a3(
+                tv(j - (i >> 1) - 2), tv(j - (i >> 1) - 1),
+                tv(j - (i >> 1)),
+            )
+        if z == -1:
+            return a3(lv(0), "n.c", tv(0))
+        return a3(lv(i - 1), lv(i - 2), lv(i - 3))
+    if mode == 6:
+        z = 2 * i - j
+        if z >= 0 and z % 2 == 0:
+            return a2(lv(i - (j >> 1) - 1), lv(i - (j >> 1)))
+        if z >= 1:
+            return a3(
+                lv(i - (j >> 1) - 2), lv(i - (j >> 1) - 1),
+                lv(i - (j >> 1)),
+            )
+        if z == -1:
+            return a3(lv(0), "n.c", tv(0))
+        return a3(tv(j - 1), tv(j - 2), tv(j - 3))
+    if mode == 7:
+        if i % 2 == 0:
+            return a2(tv(j + (i >> 1)), tv(j + (i >> 1) + 1))
+        return a3(
+            tv(j + (i >> 1)), tv(j + (i >> 1) + 1), tv(j + (i >> 1) + 2)
+        )
+    if mode == 8:
+        z = j + 2 * i
+        if z > 5:
+            return lv(3)
+        if z == 5:
+            return f"(({lv(2)}) + 3 * ({lv(3)}) + 2) // 4"
+        if z % 2 == 0:
+            return a2(lv(i + (j >> 1)), lv(i + (j >> 1) + 1))
+        return a3(
+            lv(i + (j >> 1)), lv(i + (j >> 1) + 1), lv(i + (j >> 1) + 2)
+        )
+    raise ValueError(mode)
+
+
+def _m44_oracle() -> str:
+    from table_demo_spark.operators.codecs import _h264_blk_xy
+
+    def ls(i: int, j: int) -> int:
+        if (i % 2, j % 2) == (0, 0):
+            return 10
+        if (i % 2, j % 2) == (1, 1):
+            return 16
+        return 13
+
+    def byte(o: str) -> str:
+        blk = f"CAST(({o}) // 16 AS VARCHAR)"
+        off = f"CAST(2 * (({o}) % 16) + 1 AS INT)"
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '#cav7' || {blk}), {off}, 2) AS BIGINT)"
+        )
+
+    nl = ",\n"
+    d_cols = [f"a{k} * {ls(k // 4, k % 4) * 128} AS d{k}" for k in range(16)]
+    f_cols = []
+    for r in range(4):
+        b = 4 * r
+        e0 = f"(d{b} + d{b + 2})"
+        e1 = f"(d{b} - d{b + 2})"
+        e2 = f"(d{b + 1} // 2 - d{b + 3})"
+        e3 = f"(d{b + 1} + d{b + 3} // 2)"
+        f_cols += [
+            f"{e0} + {e3} AS f{r}0", f"{e1} + {e2} AS f{r}1",
+            f"{e1} - {e2} AS f{r}2", f"{e0} - {e3} AS f{r}3",
+        ]
+    r_cols = []
+    for c in range(4):
+        g0 = f"(f0{c} + f2{c})"
+        g1 = f"(f0{c} - f2{c})"
+        g2 = f"(f1{c} // 2 - f3{c})"
+        g3 = f"(f1{c} + f3{c} // 2)"
+        outs = [f"{g0} + {g3}", f"{g1} + {g2}", f"{g1} - {g2}",
+                f"{g0} - {g3}"]
+        for i in range(4):
+            r_cols.append(
+                f"CAST(floor((({outs[i]}) + 32) / 64.0) AS BIGINT)"
+                f" AS r{i}{c}"
+            )
+    r_pick = "CASE " + " ".join(
+        f"WHEN i = {i} AND j = {j} THEN r{i}{j}"
+        for i in range(4) for j in range(4)
+    ) + " END"
+
+    coding = {}
+    for k in range(16):
+        coding[_h264_blk_xy(k)] = k
+
+    def pivot(src_k: int, where: str, cols) -> str:
+        sel = ", ".join(
+            f"max(CASE WHEN {cond} THEN v END) AS {name}"
+            for name, cond in cols
+        )
+        return (
+            f"(SELECT doc_id, {sel} FROM b{src_k} WHERE {where}"
+            " GROUP BY doc_id)"
+        )
+
+    ctes, unions = [], []
+    for k in range(16):
+        x4, y4 = _h264_blk_xy(k)
+        has_t, has_l = y4 > 0, x4 > 0
+        tk = coding.get((x4, y4 - 1))
+        lk = coding.get((x4 - 1, y4))
+        ck = coding.get((x4 - 1, y4 - 1))
+        trk = coding.get((x4 + 1, y4 - 1))
+        tr_ok = has_t and x4 < 3 and trk is not None and trk < k
+        # neighbour CTE: pivot each contributing edge from its own
+        # prior block CTE (top, top-right, left, corner)
+        parts = []
+        if has_t:
+            parts.append(
+                pivot(
+                    tk,
+                    f"y = {4 * y4 - 1} AND x >= {4 * x4}"
+                    f" AND x < {4 * x4 + 4}",
+                    [(f"t{j}", f"x = {4 * x4 + j}") for j in range(4)],
+                )
+                + " tt"
+            )
+            if tr_ok:
+                parts.append(
+                    pivot(
+                        trk,
+                        f"y = {4 * y4 - 1} AND x >= {4 * (x4 + 1)}"
+                        f" AND x < {4 * (x4 + 1) + 4}",
+                        [
+                            (f"t{4 + j}", f"x = {4 * (x4 + 1) + j}")
+                            for j in range(4)
+                        ],
+                    )
+                    + " tr"
+                )
+        if has_l:
+            parts.append(
+                pivot(
+                    lk,
+                    f"x = {4 * x4 - 1} AND y >= {4 * y4}"
+                    f" AND y < {4 * y4 + 4}",
+                    [(f"l{i}", f"y = {4 * y4 + i}") for i in range(4)],
+                )
+                + " ll"
+            )
+        if has_t and has_l:
+            parts.append(
+                pivot(
+                    ck,
+                    f"y = {4 * y4 - 1} AND x = {4 * x4 - 1}",
+                    [("c", "TRUE")],
+                )
+                + " cc"
+            )
+        if parts:
+            first = parts[0]
+            alias0 = first.rsplit(" ", 1)[1]
+            frm = first
+            for p_ in parts[1:]:
+                al = p_.rsplit(" ", 1)[1]
+                frm += f" JOIN {p_.rsplit(' ', 1)[0]} {al}" \
+                    f" ON {al}.doc_id = {alias0}.doc_id"
+            sel_cols = [f"{alias0}.doc_id"]
+            if has_t:
+                sel_cols += [f"tt.t{j}" for j in range(4)]
+                if tr_ok:
+                    sel_cols += [f"tr.t{4 + j}" for j in range(4)]
+                else:
+                    sel_cols += [f"tt.t3 AS t{4 + j}" for j in range(4)]
+            if has_l:
+                sel_cols += [f"ll.l{i}" for i in range(4)]
+            if has_t and has_l:
+                sel_cols += ["cc.c"]
+            ctes.append(
+                f"nb{k} AS (SELECT {', '.join(sel_cols)} FROM {frm})"
+            )
+        # allowed modes at this position
+        if (x4, y4) == (0, 0):
+            allowed = [2]
+        elif y4 == 0:
+            allowed = [1, 2, 8]
+        elif x4 == 0:
+            allowed = [0, 2, 3, 7]
+        else:
+            allowed = list(range(9))
+        out_yx = f"{4 * y4} + r.i AS y, {4 * x4} + r.j AS x"
+        branches = []
+        for m in allowed:
+            if m == 0:
+                pred = ("CASE r.j WHEN 0 THEN n.t0 WHEN 1 THEN n.t1"
+                        " WHEN 2 THEN n.t2 ELSE n.t3 END")
+            elif m == 1:
+                pred = ("CASE r.i WHEN 0 THEN n.l0 WHEN 1 THEN n.l1"
+                        " WHEN 2 THEN n.l2 ELSE n.l3 END")
+            elif m == 2:
+                if has_t and has_l:
+                    pred = ("(n.t0 + n.t1 + n.t2 + n.t3 + n.l0 + n.l1"
+                            " + n.l2 + n.l3 + 4) // 8")
+                elif has_l:
+                    pred = "(n.l0 + n.l1 + n.l2 + n.l3 + 2) // 4"
+                elif has_t:
+                    pred = "(n.t0 + n.t1 + n.t2 + n.t3 + 2) // 4"
+                else:
+                    pred = "128"
+            else:
+                pred = "CASE " + " ".join(
+                    f"WHEN r.i = {i} AND r.j = {j}"
+                    f" THEN {_i4_mode_px_sql(m, i, j)}"
+                    for i in range(4) for j in range(4)
+                ) + " END"
+            njoin = (
+                f" JOIN nb{k} n ON n.doc_id = r.doc_id" if parts else ""
+            )
+            branches.append(
+                f"SELECT r.doc_id, {out_yx},"
+                f" GREATEST(0, LEAST(255, ({pred}) + r.r)) AS v"
+                f" FROM rpx r JOIN md m ON m.doc_id = r.doc_id"
+                f" AND m.y4 = {y4} AND m.x4 = {x4}{njoin}"
+                f" WHERE r.y4 = {y4} AND r.x4 = {x4} AND m.mode = {m}"
+            )
+        ctes.append(
+            f"b{k} AS MATERIALIZED ({' UNION ALL '.join(branches)})"
+        )
+        unions.append(f"SELECT * FROM b{k}")
+
+    mode_expr = (
+        "CASE WHEN y4 = 0 AND x4 = 0 THEN 2"
+        " WHEN y4 = 0 THEN (CASE b0 % 3 WHEN 0 THEN 1 WHEN 1 THEN 2"
+        " ELSE 8 END)"
+        " WHEN x4 = 0 THEN (CASE b0 % 4 WHEN 0 THEN 0 WHEN 1 THEN 2"
+        " WHEN 2 THEN 3 ELSE 7 END)"
+        " ELSE b0 % 9 END"
+    )
+    lv_b = byte("(4 * y4 + x4) * 17 + 1 + pos")
+    md_b = byte("(4 * y4 + x4) * 17")
+    cdc_b = byte("272 + 4 * plane + k")
+    chroma_terms = {0: [], 1: []}
+    for plane in (0, 1):
+        for kk in range(4):
+            b = byte(f"272 + 4 * {plane} + {kk}")
+            chroma_terms[plane].append(f"({b} % 7 - 3)")
+    gexp = {}
+    for plane in (0, 1):
+        f0, f1, f2, f3 = chroma_terms[plane]
+        gexp[plane] = [
+            f"({f0} + {f1} + {f2} + {f3})",
+            f"({f0} - {f1} + {f2} - {f3})",
+            f"({f0} + {f1} - {f2} - {f3})",
+            f"({f0} - {f1} - {f2} + {f3})",
+        ]
+
+    def chroma_sum(plane: int) -> str:
+        parts_ = [
+            "GREATEST(0, LEAST(255, 128 +"
+            f" CAST(floor((22 * {g} + 32) / 64.0) AS BIGINT)))"
+            for g in gexp[plane]
+        ]
+        return "16 * (" + " + ".join(parts_) + ")"
+
+    return f"""
+WITH lv AS MATERIALIZED (
+  SELECT doc_id, y4, x4, pos,
+         CASE WHEN b < 150 THEN 0
+              ELSE (CASE WHEN (b - 150) % 14 < 7 THEN 1
+                         ELSE (b - 150) % 14 - 5 END)
+                   * (CASE WHEN b % 2 = 0 THEN 1 ELSE -1 END)
+         END AS lev
+  FROM (
+    SELECT doc_id, y4, x4, pos, {lv_b} AS b
+    FROM documents,
+         (SELECT unnest(range(0, 4)) AS y4),
+         (SELECT unnest(range(0, 4)) AS x4),
+         (SELECT unnest(range(0, 16)) AS pos)
+  )
+),
+md AS MATERIALIZED (
+  SELECT doc_id, y4, x4, {mode_expr} AS mode
+  FROM (
+    SELECT doc_id, y4, x4, {md_b} AS b0
+    FROM documents,
+         (SELECT unnest(range(0, 4)) AS y4),
+         (SELECT unnest(range(0, 4)) AS x4)
+  )
+),
+blk AS (
+  SELECT doc_id, y4, x4,
+{nl.join(f"max(CASE WHEN pos = {k} THEN lev END) AS a{k}" for k in range(16))}
+  FROM lv GROUP BY doc_id, y4, x4
+),
+dmat AS (
+  SELECT doc_id, y4, x4,
+{nl.join(d_cols)}
+  FROM blk
+),
+emat AS (
+  SELECT doc_id, y4, x4,
+{nl.join(f_cols)}
+  FROM dmat
+),
+rmat AS (
+  SELECT doc_id, y4, x4,
+{nl.join(r_cols)}
+  FROM emat
+),
+rpx AS MATERIALIZED (
+  SELECT doc_id, y4, x4, i, j, {r_pick} AS r
+  FROM rmat,
+       (SELECT unnest(range(0, 4)) AS i),
+       (SELECT unnest(range(0, 4)) AS j)
+),
+{nl.join(ctes)},
+lpx AS ({" UNION ALL ".join(unions)}),
+lagg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS sum_y,
+         CAST(sum(v * (1 + (y * 16 + x) % 7)) AS BIGINT) AS wsum_y,
+         CAST(min(v) AS BIGINT) AS y_min,
+         CAST(max(v) AS BIGINT) AS y_max
+  FROM lpx GROUP BY doc_id
+),
+magg AS (
+  SELECT doc_id,
+         CAST(sum((4 * y4 + x4 + 1) * mode) AS BIGINT) AS mode_sum
+  FROM md GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_coeff
+  FROM (
+    SELECT doc_id, CASE WHEN lev <> 0 THEN 1 ELSE 0 END AS c FROM lv
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN {cdc_b} % 7 - 3 <> 0 THEN 1 ELSE 0 END
+    FROM documents,
+         (SELECT unnest(range(0, 2)) AS plane),
+         (SELECT unnest(range(0, 4)) AS k)
+  ) GROUP BY doc_id
+),
+cagg AS (
+  SELECT doc_id,
+         CAST({chroma_sum(0)} AS BIGINT) AS sum_cb,
+         CAST({chroma_sum(1)} AS BIGINT) AS sum_cr
+  FROM documents
+)
+SELECT d.doc_id,
+       d.doc_id % 16 AS frame_num,
+       t.total_coeff,
+       m.mode_sum,
+       l.sum_y, l.wsum_y, l.y_min, l.y_max,
+       c.sum_cb, c.sum_cr
+FROM documents d
+JOIN tc t ON t.doc_id = d.doc_id
+JOIN magg m ON m.doc_id = d.doc_id
+JOIN lagg l ON l.doc_id = d.doc_id
+JOIN cagg c ON c.doc_id = d.doc_id
+"""
+
+
 def m36_h264_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m34's next honest layer (r10 verdict #6): parse the PPS and
     every SLICE HEADER of each document's Annex B stream through the
@@ -9844,6 +10254,7 @@ QUERIES: list[Query] = [
     Query("llm_m41_h264_cavlc_chroma_ac", m41_h264_cavlc_chroma_ac, _m41_oracle()),
     Query("llm_m42_h264_intra_pred_modes", m42_h264_intra_pred_modes, _m42_oracle()),
     Query("llm_m43_h264_i4x4_mosaic", m43_h264_i4x4_mosaic, _m43_oracle()),
+    Query("llm_m44_h264_i4x4_all_modes", m44_h264_i4x4_all_modes, _m44_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

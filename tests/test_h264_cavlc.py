@@ -537,11 +537,90 @@ def test_i4x4_layer():
             pred + res, 0, 255
         )
     assert np.array_equal(Y, y.astype(np.int64))
-    # diagonal modes fail loudly
+    # modes needing both neighbours are rejected on the top row
     bad = dict(mb)
     bad["modes"] = [[2, 4, 2, 2]] + [list(r) for r in modes[1:]]
-    with pytest.raises(ValueError, match="diagonal"):
+    with pytest.raises(ValueError, match="both neighbours"):
         C.encode_h264_i4x4_slice(sps, pps, bad)
+
+
+def test_i4x4_nine_modes_and_reference_construction():
+    """All nine Intra_4x4 modes roundtrip on one picture; the
+    constant-field affine property holds per mode (any wrong
+    interpolator weight breaks it); and the 8.3.1.2 top-right
+    substitution is position-dependent in CODING order: spatial
+    (1,1) substitutes t[3] while (2,1) reads real samples."""
+    for mode in range(9):
+        t = np.full(8, 200, np.int64)
+        l = np.full(4, 200, np.int64)
+        assert (C._h264_i4x4_predict(mode, t, l, 200) == 200).all(), mode
+    # coding-order substitution pin
+    assert C._H264_I4_CODING[(2, 0)] > C._H264_I4_CODING[(1, 1)]
+    assert C._H264_I4_CODING[(3, 0)] < C._H264_I4_CODING[(2, 1)]
+    rng = np.random.RandomState(31)
+    modes = [[2] * 4 for _ in range(4)]
+    want_modes = iter([1, 2, 8, 0, 3, 7, 2, 0, 4, 5, 6, 3, 7, 8, 2])
+    for y4 in range(4):
+        for x4 in range(4):
+            if (x4, y4) == (0, 0):
+                continue
+            m = next(want_modes)
+            if y4 == 0 and m not in (1, 2, 8):
+                m = 2
+            if x4 == 0 and m not in (0, 2, 3, 7):
+                m = 2
+            modes[y4][x4] = m
+    luma = np.zeros((4, 4, 4, 4), np.int64)
+    for y4 in range(4):
+        for x4 in range(4):
+            b = rng.randint(0, 256, 16)
+            lv = np.where(
+                b < 150, 0,
+                np.where((b - 150) % 14 < 7, 1, (b - 150) % 14 - 5),
+            ) * np.where(b % 2 == 0, 1, -1)
+            luma[y4][x4] = lv.reshape(4, 4)
+    mb = {"modes": modes, "luma": luma,
+          "cb_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64),
+          "cr_dc": (rng.randint(0, 256, (2, 2)) % 7 - 3).astype(np.int64)}
+    sps_rbsp = C.encode_h264_sps(66, 30, 1, 1)
+    pps_rbsp = C.encode_h264_pps(0, 0, 16)
+    sps, pps = C.decode_h264_sps(sps_rbsp), C.decode_h264_pps(pps_rbsp)
+    sl = C.encode_h264_i4x4_slice(sps, pps, mb)
+    stream = C.encode_annexb(
+        [(3, 7, sps_rbsp), (3, 8, pps_rbsp), (3, 5, sl)]
+    )
+    ss, ps = {}, {}
+    for nal in C.decode_annexb(stream):
+        tt = nal["nal_type"]
+        if tt == 7:
+            i = C.decode_h264_sps(nal["rbsp"])
+            ss[i["sps_id"]] = i
+        elif tt == 8:
+            i = C.decode_h264_pps(nal["rbsp"])
+            ps[i["pps_id"]] = i
+        else:
+            hdr, y, cb, cr, dm, tc = C.decode_h264_i4x4_slice(
+                nal["rbsp"], 5, 3, ps, ss
+            )
+    assert [list(r) for r in dm] == [list(r) for r in modes]
+    # and the m44 fixture draw visits every mode across 60 doc ids
+    from table_demo_spark.operators import multimodal as M
+
+    seen = set()
+    for doc_id in range(60):
+        raw = M._md5_stream(str(doc_id), M._I4_BLOCKS, "#cav7")
+        for y4 in range(4):
+            for x4 in range(4):
+                b0 = raw[(4 * y4 + x4) * 17]
+                if (x4, y4) == (0, 0):
+                    seen.add(2)
+                elif y4 == 0:
+                    seen.add((1, 2, 8)[b0 % 3])
+                elif x4 == 0:
+                    seen.add((0, 2, 3, 7)[b0 % 4])
+                else:
+                    seen.add(b0 % 9)
+    assert seen == set(range(9))
 
 
 def test_loud_failures():

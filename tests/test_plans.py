@@ -131,6 +131,7 @@ _PYTHON_ALLOWED = {
     "llm_m41_h264_cavlc_chroma_ac",  # MapInPandas (chroma-AC CAVLC decode at QPc)
     "llm_m42_h264_intra_pred_modes",  # MapInPandas (mode-dispatched Intra16x16 prediction)
     "llm_m43_h264_i4x4_mosaic",  # MapInPandas (I_4x4 mode signalling + sequential block reconstruction)
+    "llm_m44_h264_i4x4_all_modes",  # MapInPandas (nine-mode I_4x4 prediction + reference-sample construction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
 }
 
