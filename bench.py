@@ -215,6 +215,7 @@ HEADLINE = [
     "stream_q39_decontam_ingest",
     "llm_m43_h264_i4x4_mosaic",
     "llm_m44_h264_i4x4_all_modes",
+    "stream_q40_mixture_ingest",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

@@ -82,13 +82,12 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a63_profile_knn",
     # ... plus 15 of the 26 last-verified-r5 llm/src/stream queries
     # (the 13 left out — t8/s5/t14/s8/t16/m9/t25/t28/m16/s13/t29,
-    # plus m17/m18/t20/q7/q14/q16/q18/q22/q26/q27/q28 swapped back out for this round's four new
+    # plus m6/m17/m18/t20/q7/q14/q16/q18/q22/q26/q27/q28 swapped back out for this round's four new
     # queries — stay oldest-verified and lead the r13 rotation).  Trailing
     # slots get swapped for this round's NEW queries as they land —
     # new queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
     "llm_p1_prep_pipeline",
-    "llm_m6_vad_segments",
     "src_s8_quoted_csv",
     "stream_q29_ann_index_ingest",
     # r12 new queries (no CORRECTNESS row yet -> oldest-of-all)
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q39_decontam_ingest",
     "llm_m43_h264_i4x4_mosaic",
     "llm_m44_h264_i4x4_all_modes",
+    "stream_q40_mixture_ingest",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

@@ -1523,6 +1523,48 @@ def _q39_oracle() -> str:
     return _p16_oracle()
 
 
+def q40_mixture_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling at ingest (llm_p17's streaming leg): the
+    temperature manifest broadcasts into the stream and each batch
+    keeps its deterministic-draw winners; the drained per-source
+    aggregates merged with the manifest equal p17's batch output
+    row-for-row (the draw is per-doc deterministic, so sharding
+    cannot change the sample). Oracle = p17's SQL verbatim."""
+    from table_demo_spark.streaming.queries import run_q40_mixture_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q40_mixture_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    agg = (
+        sink.snapshot_df(spark)
+        .groupBy("source")
+        .agg(
+            F.sum("n_sampled").alias("n_sampled"),
+            F.sum("id_sum").alias("id_sum"),
+        )
+    )
+    man = spark.read.parquet(sink.path.rstrip("/") + "-manifest")
+    return (
+        man.join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("w").alias("weight"),
+            "quota",
+            "thresh",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("id_sum", F.lit(0)).alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q40_oracle() -> str:
+    from table_demo_spark.queries.llmops import _p17_oracle
+
+    return _p17_oracle()
+
+
 def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE leg of the vector-store lifecycle, closing its last
     seam: llm_s18's beam walk runs over the edge store stream_q35
@@ -1869,6 +1911,7 @@ QUERIES: list[Query] = [
     Query("stream_q38_hnsw_ingest", q38_hnsw_ingest_final, _q38_oracle()),
     Query("llm_s25_serve_hnsw_ingested", s25_serve_hnsw_ingested, _s25_oracle()),
     Query("stream_q39_decontam_ingest", q39_decontam_final, _q39_oracle()),
+    Query("stream_q40_mixture_ingest", q40_mixture_ingest_final, _q40_oracle()),
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

@@ -3642,6 +3642,110 @@ def run_q39_decontam_ingest(
     return sink, query
 
 
+def run_q40_mixture_ingest(
+    spark: SparkSession, sf_dir: str, sink=None,
+    checkpoint: str | None = None, n_shards: int = 4,
+):
+    """MIXTURE SAMPLING AT INGEST — llm_p17's streaming leg, the
+    fourth pipeline op with an ingest form (q26 tokenizes, q37
+    compresses, q39 decontaminates, q40 samples): the temperature
+    manifest (per-source isqrt weights, integer quotas, md5
+    thresholds in 2^-20 units) is computed OFFLINE over the corpus
+    census and broadcast into the stream; each arriving batch keeps
+    exactly the docs whose deterministic md5 draw clears their
+    source's threshold and appends per-source batch aggregates.
+    Because the draw is per-doc deterministic, the UNION of per-batch
+    samples equals the batch sample REGARDLESS of how arrivals were
+    sharded — the oracle is p17's SQL verbatim.  Static b= subtree
+    writes keep replays idempotent.  Returns (sink, query)."""
+    import os
+
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q40-"), ("b",))
+    manifest_dir = sink.path.rstrip("/") + "-manifest"
+
+    # offline census -> manifest (identical math to llm_p17)
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    budget = total // 2
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    k0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    isq = (
+        k0 - (k0 * k0 > F.col("n")).cast("long")
+        + ((k0 + 1) * (k0 + 1) <= F.col("n")).cast("long")
+    )
+    per = per.withColumn("w", isq)
+    wsum = per.agg(F.sum("w")).collect()[0][0]
+    (
+        per.withColumn(
+            "quota",
+            (F.lit(budget) * F.col("w") / F.lit(wsum)).cast("long"),
+        )
+        .withColumn(
+            "thresh",
+            F.least(
+                F.lit(1 << 20).cast("long"),
+                F.floor(
+                    (F.col("quota") * F.lit(1 << 20)) / F.col("n")
+                ).cast("long"),
+            ),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(manifest_dir)
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        man = session.read.parquet(manifest_dir).select("source", "thresh")
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mix"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % (1 << 20)
+        )
+        (
+            batch_df.select("doc_id", "source")
+            .join(F.broadcast(man), "source")
+            .filter(u < F.col("thresh"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink.path, f"b={batch_id}"))
+        )
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query
+
+
 def run_q34_media_triage(
     spark: SparkSession,
     sf_dir: str,
