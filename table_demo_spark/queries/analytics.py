@@ -4272,6 +4272,39 @@ ORDER BY seg_min
 """
 
 
+
+def a79_listagg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface additions in one query: ``listagg(...)
+    WITHIN GROUP (ORDER BY ...)`` (the ANSI ordered string
+    aggregation — previously this engine hand-rolled it via
+    array_sort + array_join in a33), ``GROUP BY ALL`` (grouping keys
+    inferred from the non-aggregate select list) and ``ORDER BY
+    ALL``. Per region: the ordered nation roster and member count.
+    The oracle restates with DuckDB's string_agg(... ORDER BY) —
+    deterministic because the WITHIN GROUP order is total."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_a79")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_a79")
+    return spark.sql("""
+SELECT r.r_name AS region,
+       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+         AS nations_csv,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region_a79 r JOIN nation_a79 n ON n.n_regionkey = r.r_regionkey
+GROUP BY ALL
+ORDER BY ALL
+""")
+
+
+A79_ORACLE = """
+SELECT r.r_name AS region,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region, nations_csv, n_nations
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4351,4 +4384,5 @@ QUERIES: list[Query] = [
     Query("an_a76_variant_json", a76_variant_json, A76_ORACLE),
     Query("an_a77_pipe_syntax_pricing", a77_pipe_syntax_pricing, A77_ORACLE),
     Query("an_a78_collated_segments", a78_collated_segments, A78_ORACLE),
+    Query("an_a79_listagg_group_by_all", a79_listagg_group_by_all, A79_ORACLE),
 ]
