@@ -1598,6 +1598,58 @@ def test_q39_restart_replays_byte_stably(spark, tmp_path):
     assert rows(sink) == want
 
 
+def test_q40_restart_replays_byte_stably(spark, tmp_path):
+    """Mixture-sampling-at-ingest replay: the per-doc draw is
+    deterministic and each batch statically overwrites its b=
+    subtree, so a forged crash (last commit deleted) reproduces the
+    identical per-source aggregates — and the drained union equals
+    llm_p17's batch sample (the oracle pins that externally)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q40_mixture_ingest
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (r["source"], int(r["n_sampled"]), int(r["id_sum"]))
+            for r in s.snapshot_df(spark)
+            .groupBy("source")
+            .agg(
+                F.sum("n_sampled").alias("n_sampled"),
+                F.sum("id_sum").alias("id_sum"),
+            )
+            .collect()
+        }
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("b",))
+    with _state_partitions(spark, no_data=False):
+        _, q = run_q40_mixture_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    want = rows(sink)
+    assert sum(n for _, n, _ in want) > 0
+    last = max(
+        int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2 = run_q40_mixture_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
+
+
 def test_q35_incremental_graph_equals_batch_build(spark):
     """build ≡ maintain, asserted directly (the s20 oracle pins it
     externally): per-src top-M compaction of q35's emission log equals
