@@ -217,6 +217,7 @@ HEADLINE = [
     "llm_m44_h264_i4x4_all_modes",
     "stream_q40_mixture_ingest",
     "an_a79_listagg_group_by_all",
+    "an_a80_variant_explode",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

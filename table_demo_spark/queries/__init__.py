@@ -78,10 +78,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a43_skyline",
     "an_a44_triangle_count",
     "an_a46_mad_outliers",
-    "an_a51_bfs_reachability",
     # ... plus 15 of the 26 last-verified-r5 llm/src/stream queries
     # (the 13 left out — t8/s5/t14/s8/t16/m9/t25/t28/m16/s13/t29,
-    # plus a63/m6/m17/m18/t20/q7/q14/q16/q18/q22/q26/q27/q28 swapped back out for this round's four new
+    # plus a51/a63/m6/m17/m18/t20/q7/q14/q16/q18/q22/q26/q27/q28 swapped back out for this round's four new
     # queries — stay oldest-verified and lead the r13 rotation).  Trailing
     # slots get swapped for this round's NEW queries as they land —
     # new queries have no CORRECTNESS row yet, so they count as
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m44_h264_i4x4_all_modes",
     "stream_q40_mixture_ingest",
     "an_a79_listagg_group_by_all",
+    "an_a80_variant_explode",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_s24_batched_hnsw_serve",

@@ -4305,6 +4305,57 @@ ORDER BY region, nations_csv, n_nations
 """
 
 
+
+def a80_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a76's VARIANT layer extended to ARRAY traversal: a
+    data-dependent-length JSON array (k%4+1 squared-offset elements)
+    is built per event, parsed ONCE into a variant, and walked with
+    Spark 4's LATERAL ``variant_explode`` — the engine-native
+    array-of-semi-structured flatten (positions + element variants,
+    elements extracted typed). The position-weighted sum pins both
+    the exploded ORDER and every element value; the oracle restates
+    the arithmetic directly from k over a correlated unnest (no JSON
+    at all), so a silently dropped/reordered element breaks the
+    hash."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_a80"
+    )
+    return spark.sql("""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_elems,
+       CAST(sum(pos * variant_get(value, '$', 'long')) AS BIGINT)
+         AS wsum,
+       CAST(sum(variant_get(value, '$', 'long')) AS BIGINT) AS esum
+FROM (
+  SELECT event_type,
+         parse_json('[' || array_join(
+             transform(sequence(0, CAST(k % 4 AS INT)),
+                       x -> CAST((k + x) * (k + x) % 97 AS STRING)),
+             ',') || ']') AS arr
+  FROM (
+    SELECT event_type,
+           variant_get(parse_json(props), '$.k', 'long') AS k
+    FROM events_a80
+  )
+), LATERAL variant_explode(arr)
+GROUP BY event_type
+""")
+
+
+A80_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_elems,
+       CAST(sum(i * val) AS BIGINT) AS wsum,
+       CAST(sum(val) AS BIGINT) AS esum
+FROM (
+  SELECT event_type, u.i, ((k + u.i) * (k + u.i)) % 97 AS val
+  FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k
+        FROM events),
+       LATERAL (SELECT unnest(range(0, k % 4 + 1)) AS i) u
+) GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4385,4 +4436,5 @@ QUERIES: list[Query] = [
     Query("an_a77_pipe_syntax_pricing", a77_pipe_syntax_pricing, A77_ORACLE),
     Query("an_a78_collated_segments", a78_collated_segments, A78_ORACLE),
     Query("an_a79_listagg_group_by_all", a79_listagg_group_by_all, A79_ORACLE),
+    Query("an_a80_variant_explode", a80_variant_explode, A80_ORACLE),
 ]
