@@ -55,56 +55,50 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r12 LRU rotation (threshold: last verified <= r5; the rotation
+    # r13 LRU rotation (threshold: last verified <= r6; the rotation
     # test recomputes this from the committed CORRECTNESS_r*.json
-    # artifacts).  The full last-verified-r4 cohort (the 12 names
-    # swapped out of the r11 slate, plus stream_q6/q24 which rolled
-    # over from r11's plan) ...
-    "llm_d12_fuzzy_dedup",
-    "llm_d13_substring_dedup",
-    "llm_d16_minhash_calibration",
-    "llm_m12_resize_luma",
-    "llm_m13_wav_energy",
-    "llm_s12_two_stage_rerank",
-    "llm_s9_maxsim_topk",
-    "llm_t12_hll_cardinality",
-    "llm_t13_cms_heavy_hitters",
-    "llm_t17_zipf_buckets",
-    "llm_t26_quantile_sketch",
-    "llm_t27_bpe_sample_train",
-    "stream_q6_dedup",
-    "stream_q24_http_retract_delete",
-    # ... all 5 last-verified-r5 an_* queries (the family pin) ...
-    "an_a43_skyline",
-    "an_a44_triangle_count",
-    "an_a46_mad_outliers",
-    # ... plus 15 of the 26 last-verified-r5 llm/src/stream queries
-    # (the 13 left out — t8/s5/t14/s8/t16/m9/t25/t28/m16/s13/t29,
-    # plus a51/a63/m6/m17/m18/t20/q7/q14/q16/q18/q22/q26/q27/q28 swapped back out for this round's four new
-    # queries — stay oldest-verified and lead the r13 rotation).  Trailing
-    # slots get swapped for this round's NEW queries as they land —
-    # new queries have no CORRECTNESS row yet, so they count as
+    # artifacts).  The complete last-verified-r5 cohort (25 names —
+    # the r12 swap-outs plus the r5-era leftovers) ...
+    "an_a51_bfs_reachability",
+    "an_a63_profile_knn",
+    "llm_m16_pcm_vad_segments",
+    "llm_m17_jpeg_dc",
+    "llm_m18_jpeg_restart_parallel",
+    "llm_m6_vad_segments",
+    "llm_m9_scene_cuts",
+    "llm_s13_filtered_ann",
+    "llm_s5_kmeans_refine",
+    "llm_s8_rand_projection",
+    "llm_t14_bigram_lm",
+    "llm_t16_vocab_growth",
+    "llm_t20_bpe_train",
+    "llm_t25_bpe_encode",
+    "llm_t28_bpe_vocab_apply",
+    "llm_t29_gopher_rules",
+    "llm_t8_tfidf_topk",
+    "stream_q14_topk",
+    "stream_q16_hll_distinct",
+    "stream_q18_cdc_apply",
+    "stream_q22_full_outer_join",
+    "stream_q26_stream_tokenize",
+    "stream_q27_available_now",
+    "stream_q28_media_decode",
+    "stream_q7_enrich_agg",
+    # ... plus 11 of the 35 last-verified-r6 queries.  Trailing slots
+    # get swapped for this round's NEW queries as they land — new
+    # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
-    "llm_p1_prep_pipeline",
-    "src_s8_quoted_csv",
-    "stream_q29_ann_index_ingest",
-    # r12 new queries (no CORRECTNESS row yet -> oldest-of-all)
-    "llm_m39_h264_cavlc_pixels",
-    "llm_m40_h264_cavlc_multirow",
-    "llm_m41_h264_cavlc_chroma_ac",
-    "llm_m42_h264_intra_pred_modes",
-    "llm_p17_mixture_sample",
-    "stream_q39_decontam_ingest",
-    "llm_m43_h264_i4x4_mosaic",
-    "llm_m44_h264_i4x4_all_modes",
-    "stream_q40_mixture_ingest",
-    "an_a79_listagg_group_by_all",
-    "an_a80_variant_explode",
-    "an_a77_pipe_syntax_pricing",
-    "an_a78_collated_segments",
-    "llm_s24_batched_hnsw_serve",
-    "stream_q38_hnsw_ingest",
-    "llm_s25_serve_hnsw_ingested",
+    "an_a64_label_propagation",
+    "an_a65_returned_item_reporting",
+    "llm_d1_dedup_exact",
+    "llm_d2_dedup_minhash_lsh",
+    "llm_m15_gif_scene_cuts",
+    "llm_m21_flac_pcm",
+    "llm_p2_stratified_sample",
+    "llm_s14_ivf_kmeans_topk",
+    "src_s9_multiline_json",
+    "stream_q25_streaming_neardup",
+    "stream_q30_color_decode",
 )
 
 

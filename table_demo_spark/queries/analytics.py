@@ -4234,7 +4234,13 @@ def a78_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     original strings (deterministic; a collation group's
     representative is not), so the hash pins BOTH that the collated
     grouping merged correctly and that the original casings
-    survived. The oracle restates with lower()-keyed grouping."""
+    survived. The oracle restates with lower()-keyed grouping.
+
+    ASCII-only equivalence assumption: UTF8_LCASE groups by full
+    Unicode case folding, lower() by simple case mapping — these
+    coincide for ASCII keys (true for c_mktsegment) but diverge on
+    e.g. Turkish dotless I or German sharp s. A non-ASCII fixture
+    would need an ICU-folding oracle, not lower()."""
     c = load_table(spark, sf_dir, "customer")
     mangled = c.select(
         F.when(

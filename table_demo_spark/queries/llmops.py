@@ -5079,15 +5079,20 @@ def p17_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = per.withColumn("w", isq)
     wsum = per.agg(F.sum("w")).collect()[0][0]
+    # BIGINT-exact quota/thresh: Spark `DIV` is integer division on
+    # longs, identical to the oracle's DuckDB `//` for non-negative
+    # operands.  Routing through DOUBLE division + cast/floor is exact
+    # only while budget*w < 2^53 — at real corpus counts the double
+    # rounds and the engines can diverge by one doc at a quota
+    # boundary (r12 ADVICE; same class as the a75 cents fix).
     per = per.withColumn(
-        "quota", (F.lit(budget) * F.col("w") / F.lit(wsum)).cast("long")
+        "quota",
+        F.expr(f"CAST(({budget} * w) DIV {wsum} AS BIGINT)"),
     ).withColumn(
         "thresh",
         F.least(
             F.lit(1 << 20).cast("long"),
-            F.floor(
-                (F.col("quota") * F.lit(1 << 20)) / F.col("n")
-            ).cast("long"),
+            F.expr(f"CAST((quota * {1 << 20}) DIV n AS BIGINT)"),
         ),
     )
     u = (

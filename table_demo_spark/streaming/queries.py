@@ -3513,6 +3513,10 @@ def q38_final_edges(spark: SparkSession, sink) -> DataFrame:
             )
         ).withColumn("lv", F.lit(lv).cast("long"))
         out = edges if out is None else out.unionByName(edges)
+    if out is None:  # degenerate/empty drain: no layer committed yet
+        return spark.createDataFrame(
+            [], "lv long, src long, dst long, rank long"
+        )
     return out.select("lv", "src", "dst", "rank")
 
 
@@ -3681,17 +3685,18 @@ def run_q40_mixture_ingest(
     per = per.withColumn("w", isq)
     wsum = per.agg(F.sum("w")).collect()[0][0]
     (
+        # BIGINT-exact quota/thresh via integer DIV (matches the
+        # oracle's `//`; DOUBLE division is exact only below 2^53 —
+        # see llm_p17, r12 ADVICE).
         per.withColumn(
             "quota",
-            (F.lit(budget) * F.col("w") / F.lit(wsum)).cast("long"),
+            F.expr(f"CAST(({budget} * w) DIV {wsum} AS BIGINT)"),
         )
         .withColumn(
             "thresh",
             F.least(
                 F.lit(1 << 20).cast("long"),
-                F.floor(
-                    (F.col("quota") * F.lit(1 << 20)) / F.col("n")
-                ).cast("long"),
+                F.expr(f"CAST((quota * {1 << 20}) DIV n AS BIGINT)"),
             ),
         )
         .coalesce(1)

@@ -642,3 +642,53 @@ def test_vp8_bool_coder_roundtrip_property():
             assert dec.get(p) == b
 
     check()
+
+
+def test_p17_quota_math_is_bigint_exact_at_adversarial_counts(spark):
+    """p17's quota/thresh arithmetic must stay integer-exact past the
+    2^53 double-precision ceiling (r12 ADVICE): at real corpus counts
+    budget*w products exceed what DOUBLE division represents, and the
+    old double-then-cast route diverged from the oracle's exact `//`
+    by one at quota boundaries.  Property: the shipped Spark DIV
+    expression equals Python's exact floor division on non-negative
+    longs whose products blow through 2^53.
+
+    Headroom note (the formula's OWN ceiling, now pinned here): both
+    engines compute in 64-bit, so budget*w must stay < 2^63 and
+    quota*2^20 < 2^63 (quota < 2^43 ~ 8.8e12 sampled docs) — orders
+    of magnitude past any real corpus, but a hard error (Spark ANSI
+    ARITHMETIC_OVERFLOW), not a silent wrong answer, beyond it."""
+    cases = [
+        # (budget, w, wsum, n): budget*w > 2^53 (double-inexact zone)
+        # while budget*w < 2^63 and quota*2^20 < 2^63 (64-bit exact)
+        (10**12, 10**6, 3 * 10**6 + 7, 10**9),
+        ((1 << 53) + 1, 3, 70_001, (1 << 40) + 9),
+        (10**12, 999_983, 10**6 + 3, 10**12 + 1),
+        (2**62 // 1000, 999, 10**6 + 7, 2**41 + 5),
+        (987_654_321_987, 31_623, 97_337, 1_000_000_007),
+    ]
+    rows = spark.createDataFrame(
+        [(b, w, s, n) for b, w, s, n in cases],
+        "budget long, w long, wsum long, n long",
+    )
+    got = (
+        rows.withColumn(
+            "quota", F.expr("CAST((budget * w) DIV wsum AS BIGINT)")
+        )
+        .withColumn(
+            "thresh",
+            F.least(
+                F.lit(1 << 20).cast("long"),
+                F.expr(f"CAST((quota * {1 << 20}) DIV n AS BIGINT)"),
+            ),
+        )
+        .orderBy("budget", "w")
+        .collect()
+    )
+    for row, (b, w, s, n) in zip(got, sorted(cases)):
+        quota = (b * w) // s
+        assert row["quota"] == quota, (b, w, s)
+        assert row["thresh"] == min(1 << 20, (quota * (1 << 20)) // n)
+        # and the old double route genuinely CAN'T represent these —
+        # the test would be vacuous otherwise
+        assert b * w > 2**53
