@@ -254,6 +254,7 @@ HEADLINE = [
     "an_a74_audience_overlap",
     "src_s9_multiline_json",
     "src_s10_binary_file_images",
+    "stream_q42_state_audit",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -98,7 +98,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_s14_ivf_kmeans_topk",
     "src_s9_multiline_json",
     "stream_q25_streaming_neardup",
-    "stream_q30_color_decode",
+    # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
+    "stream_q42_state_audit",
 )
 
 

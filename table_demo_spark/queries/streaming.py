@@ -1747,6 +1747,56 @@ def q27_available_now_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q42_state_audit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE AS A TABLE — Spark 4's State Data Source reader
+    (``spark.read.format("statestore")``), the introspection surface
+    for every stateful operator in this module: a native update-mode
+    rollup over the doc shards is drained with AvailableNow (noop
+    sink — the deliverable is the CHECKPOINT, not the output), then
+    the state store itself is read back as a DataFrame and flattened.
+    The oracle is the plain batch GROUP BY, so the hash pins that the
+    committed state — key structs, internal sum/count buffers, across
+    every state-store shuffle partition — is exactly the final
+    aggregate: nothing leaked, nothing duplicated, no stale versions
+    surfaced.  This is the audit a production TTL/retention story
+    needs (inspect what the store holds WITHOUT replaying the query);
+    r12 VERDICT #6 probed it as possibly OSS-gated — it is present
+    and works in OSS Spark 4.1.2."""
+    from table_demo_spark.streaming.queries import run_q42_state_rollup
+
+    with _state_partitions(spark, no_data=False):
+        query, ckpt = run_q42_state_rollup(spark, sf_dir)
+        try:
+            done = query.awaitTermination(180)
+        except Exception as e:
+            _raise_drain_failure(query, e)
+        if not done:
+            query.stop()
+            raise TimeoutError(
+                "AvailableNow invocation exceeded 180s before terminating"
+            )
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct carries the INTERNAL aggregation buffer field
+    # names (count/sum), not the query's output aliases — part of
+    # what this audit documents about the state layout
+    return state.select(
+        F.col("key.lang").alias("lang"),
+        F.col("key.source").alias("source"),
+        F.col("value.count").cast("long").alias("n_docs"),
+        F.col("value.sum").cast("long").alias("sum_chars"),
+    ).orderBy("lang", "source")
+
+
+Q42_STATE_AUDIT_ORACLE = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 def q33_centroid_drift_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN ingest with centroid DRIFT (q29 production-shaped): the
     first half of the corpus routes with the stream-start centroids
@@ -1913,6 +1963,7 @@ QUERIES: list[Query] = [
     Query("stream_q39_decontam_ingest", q39_decontam_final, _q39_oracle()),
     Query("stream_q40_mixture_ingest", q40_mixture_ingest_final, _q40_oracle()),
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
+    Query("stream_q42_state_audit", q42_state_audit_final, Q42_STATE_AUDIT_ORACLE),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),
 ]

@@ -3976,3 +3976,35 @@ def run_q25_streaming_neardup(
         shingles.drop()
 
     return sink, query, cleanup
+
+
+def run_q42_state_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: str | None = None,
+    n_shards: int = 4,
+):
+    """One AvailableNow invocation of a NATIVE stateful aggregation
+    (update-mode groupBy over the staged doc shards, HDFS-backed state
+    store, noop sink) — run purely to COMMIT STATE, which stream_q42
+    then audits through Spark 4's State Data Source reader
+    (``spark.read.format("statestore")``).  Unlike every other drain
+    in this module the sink is irrelevant here: the deliverable is the
+    checkpoint's state directory itself.  Returns (query, ckpt)."""
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    ckpt = checkpoint or _checkpoint_dir()
+    docs = spark.readStream.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).parquet(shards)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    query = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return query, ckpt
