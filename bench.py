@@ -220,6 +220,8 @@ HEADLINE = [
     "an_a80_variant_explode",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
+    "llm_m47_avif_pixels",
+    "llm_m48_heic_pixels",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

@@ -95,10 +95,18 @@ def decode_image(payload: bytes) -> "object":
         except ValueError:
             y, u, v = decode_webp_lossy(data)
             return vp8_yuv_to_rgb(y, u, v, fancy=True)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISOBMFF: AVIF (dav1d/libaom) and HEIC (libde265) decode
+        # through the system libheif — real third-party codecs, the
+        # r13 close of the long-standing AVIF/HEIC NotImplementedError
+        # guard.  RGB comes from libheif's own colour conversion.
+        from table_demo_spark.operators.heif import decode_heif_rgb
+
+        return decode_heif_rgb(data)
     raise NotImplementedError(
-        "PPM/PNG/GIF/baseline-JPEG/WebP decode in-container; wire "
-        "PIL/cv2 for AVIF or HEIC — the mapInPandas plumbing is "
-        "codec-agnostic"
+        "PPM/PNG/GIF/baseline-JPEG/WebP/AVIF/HEIC decode in-container;"
+        " other formats need their codec library — the mapInPandas"
+        " plumbing is codec-agnostic"
     )
 
 
@@ -3039,5 +3047,129 @@ def h264_i4x4_stats(docs_with_payload: DataFrame) -> DataFrame:
             "doc_id long, frame_num long, total_coeff long, "
             "mode_sum long, sum_y long, wsum_y long, y_min long, "
             "y_max long, sum_cb long, sum_cr long"
+        ),
+    )
+
+
+# -- HEIF-family (AVIF / HEIC) real-codec roundtrips (r13) -------------------
+# The first multimodal family adjudicated by REAL third-party codecs
+# end to end (operators/heif.py): AVIF = libaom encode -> dav1d decode,
+# HEIC = x265 encode -> libde265 decode — independent codebases on the
+# two sides of every roundtrip, plus a three-decoder (aom/dav1d/gav1)
+# bit-exactness pin in tests.  Fixture planes are md5-derived and
+# constrained to the in-RGB-gamut box (Y in [70,180], C in [108,148])
+# under which the lossless roundtrip is bit-exact through libheif's
+# shared colour pipeline (box is convex, so chroma upsampling cannot
+# leave it); the oracle restates the SOURCE planes, so a broken
+# encoder parameter, decoder regression, or plane-layout bug on the
+# Spark side breaks the value hash.
+
+HEIF_H, HEIF_W = 48, 64
+_HEIF_YN = HEIF_H * HEIF_W
+_HEIF_CN = (HEIF_H // 2) * (HEIF_W // 2)
+_HEIF_BYTES = _HEIF_YN + 2 * _HEIF_CN  # 4608 = 288 md5 blocks
+
+
+def _heif_planes(doc_id, salt: str):
+    """Deterministic in-gamut YCbCr 4:2:0 planes from the doc's md5
+    stream: byte i of the stream maps raster-order to Y (70 + b%111),
+    then Cb, then Cr (108 + b%41) — the exact layout the oracle SQL
+    restates byte-for-byte."""
+    import numpy as np
+
+    raw = np.frombuffer(
+        _md5_stream(str(doc_id), _HEIF_BYTES // 16, salt), np.uint8
+    ).astype(np.int64)
+    y = (70 + raw[:_HEIF_YN] % 111).astype(np.uint8).reshape(HEIF_H, HEIF_W)
+    cb = (
+        (108 + raw[_HEIF_YN:_HEIF_YN + _HEIF_CN] % 41)
+        .astype(np.uint8)
+        .reshape(HEIF_H // 2, HEIF_W // 2)
+    )
+    cr = (
+        (108 + raw[_HEIF_YN + _HEIF_CN:] % 41)
+        .astype(np.uint8)
+        .reshape(HEIF_H // 2, HEIF_W // 2)
+    )
+    return y, cb, cr
+
+
+def with_heif_payload(docs: DataFrame, compression: int) -> DataFrame:
+    """(doc_id, payload): a real AVIF (COMPRESSION_AV1, libaom) or
+    HEIC (COMPRESSION_HEVC, x265) container per document, encoded
+    LOSSLESS from the doc's deterministic in-gamut planes.  Encoder
+    speed knobs are pinned (aom speed 9 / x265 ultrafast, both with
+    single-threaded settings where exposed) — they change the
+    bitstream, never the lossless pixels, so the value hash is
+    encoder-setting-independent by construction."""
+    from table_demo_spark.operators import heif
+
+    if compression == heif.COMPRESSION_AV1:
+        salt, params = "#avif", (("speed", "9"), ("threads", "1"))
+    elif compression == heif.COMPRESSION_HEVC:
+        salt, params = "#heic", (("preset", "ultrafast"),)
+    else:
+        raise ValueError(f"unsupported HEIF compression {compression}")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                y, cb, cr = _heif_planes(doc_id, salt)
+                payloads.append(
+                    heif.encode_heif(y, cb, cr, compression, params)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def heif_pixel_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode each HEIF container through the system codec stack
+    (dav1d for AVIF, libde265 for HEIC — libheif's priority plugins)
+    and reduce the planes to position-weighted integer stats; the
+    weights make every pixel's POSITION hash-relevant, so a stride
+    bug, plane swap, or subsampling error shifts the checksum even
+    when the multiset of pixel values survives."""
+    import numpy as np
+
+    from table_demo_spark.operators.heif import decode_heif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y, cb, cr = decode_heif(bytes(payload))
+                ph, pw = y.shape
+                yl = y.astype(np.int64).ravel()
+                cbl = cb.astype(np.int64).ravel()
+                crl = cr.astype(np.int64).ravel()
+                wy = 1 + np.arange(yl.size, dtype=np.int64) % 7
+                wc = 1 + np.arange(cbl.size, dtype=np.int64) % 5
+                rows.append(
+                    (
+                        int(doc_id), int(pw), int(ph),
+                        int(yl.sum()), int((wy * yl).sum()),
+                        int(cbl.sum()), int(crl.sum()),
+                        int((wc * cbl).sum() + (wc * crl).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_y", "wsum_y",
+                    "sum_cb", "sum_cr", "wsum_c",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width long, height long, sum_y long, "
+            "wsum_y long, sum_cb long, sum_cr long, wsum_c long"
         ),
     )

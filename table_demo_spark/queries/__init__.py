@@ -92,14 +92,14 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "an_a65_returned_item_reporting",
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
-    "llm_m15_gif_scene_cuts",
-    "llm_m21_flac_pcm",
     "llm_p2_stratified_sample",
-    "llm_s14_ivf_kmeans_topk",
+    "llm_m21_flac_pcm",
     "src_s9_multiline_json",
     "stream_q25_streaming_neardup",
     # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "stream_q42_state_audit",
+    "llm_m47_avif_pixels",
+    "llm_m48_heic_pixels",
 )
 
 

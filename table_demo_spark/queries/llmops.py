@@ -7902,6 +7902,91 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+def m47_avif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF decode with a REAL third-party codec stack — the r12
+    'missing' item #4 closed (operators/multimodal.py's AVIF guard
+    raised NotImplementedError until the codec libraries landed;
+    libheif 1.15.1 + libaom 3.6.0 + dav1d 6.6.0 shipped in the r13
+    container): every document gets a genuine AVIF container encoded
+    LOSSLESS by the AOMedia reference encoder from deterministic
+    in-gamut planes, and the query decodes it back through dav1d —
+    independent codebases on the two sides of the roundtrip, so the
+    oracle (the SOURCE planes restated byte-for-byte from the md5
+    stream) adjudicates both directions at once.  A three-decoder
+    (aom/dav1d/gav1) bit-exactness pin plus truncation negatives live
+    in tests/test_operators.py.  See operators/heif.py for the
+    in-RGB-gamut box constraint that makes lossless bit-exact through
+    libheif's shared colour pipeline."""
+    from table_demo_spark.operators import heif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.heif_pixel_stats(
+        multimodal.with_heif_payload(docs, heif.COMPRESSION_AV1)
+    ).orderBy("doc_id")
+
+
+def m48_heic_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIC decode with a REAL third-party codec stack (the HEVC
+    sibling of m47): x265 3.5 encodes each document's deterministic
+    planes lossless, libde265 1.0.11 decodes them back — again
+    independent codebases encoder-vs-decoder, oracle = the source
+    planes.  Together m47/m48 retire multimodal.py's AVIF/HEIC
+    NotImplementedError guard with real codecs rather than stubs."""
+    from table_demo_spark.operators import heif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.heif_pixel_stats(
+        multimodal.with_heif_payload(docs, heif.COMPRESSION_HEVC)
+    ).orderBy("doc_id")
+
+
+def _heif_oracle(salt: str) -> str:
+    """Restate the md5-derived source planes (multimodal._heif_planes
+    layout: Y raster bytes, then Cb, then Cr) and their
+    position-weighted stats in DuckDB SQL.  Lossless roundtrip makes
+    decoded == source, so this adjudicates the real encode+decode."""
+    from table_demo_spark.operators.multimodal import (
+        _HEIF_CN,
+        _HEIF_YN,
+        HEIF_H,
+        HEIF_W,
+    )
+
+    yn, cn = _HEIF_YN, _HEIF_CN
+    total = yn + 2 * cn
+    byte = (
+        "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) ||"
+        f" '{salt}' || CAST(g.i // 16 AS VARCHAR)),"
+        " CAST(2 * (g.i % 16) + 1 AS INT), 2) AS BIGINT)"
+    )
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, g.i, {byte} AS b
+  FROM documents d CROSS JOIN range({total}) g(i)
+)
+SELECT doc_id,
+       CAST({HEIF_W} AS BIGINT) AS width,
+       CAST({HEIF_H} AS BIGINT) AS height,
+       CAST(sum(CASE WHEN i < {yn} THEN 70 + b % 111 END)
+         AS BIGINT) AS sum_y,
+       CAST(sum(CASE WHEN i < {yn}
+                THEN (1 + i % 7) * (70 + b % 111) END)
+         AS BIGINT) AS wsum_y,
+       CAST(sum(CASE WHEN i >= {yn} AND i < {yn + cn}
+                THEN 108 + b % 41 END) AS BIGINT) AS sum_cb,
+       CAST(sum(CASE WHEN i >= {yn + cn}
+                THEN 108 + b % 41 END) AS BIGINT) AS sum_cr,
+       CAST(sum(CASE WHEN i >= {yn} AND i < {yn + cn}
+                THEN (1 + (i - {yn}) % 5) * (108 + b % 41)
+                WHEN i >= {yn + cn}
+                THEN (1 + (i - {yn + cn}) % 5) * (108 + b % 41)
+                END) AS BIGINT) AS wsum_c
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -10260,6 +10345,8 @@ QUERIES: list[Query] = [
     Query("llm_m42_h264_intra_pred_modes", m42_h264_intra_pred_modes, _m42_oracle()),
     Query("llm_m43_h264_i4x4_mosaic", m43_h264_i4x4_mosaic, _m43_oracle()),
     Query("llm_m44_h264_i4x4_all_modes", m44_h264_i4x4_all_modes, _m44_oracle()),
+    Query("llm_m47_avif_pixels", m47_avif_pixels, _heif_oracle("#avif")),
+    Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

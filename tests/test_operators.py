@@ -1054,10 +1054,15 @@ def test_decode_image_dispatches_and_rejects_unknown(spark):
         # lossy VP8 frames fail loudly inside the WebP decoder
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
+    with _pytest.raises(ValueError):
+        # AVIF routes to the REAL libheif decoder since r13; a bare
+        # ftyp box with no meta/mdat is a corrupt container and must
+        # fail inside libheif, not fall through to NotImplementedError
+        multimodal.decode_image(b"\x00\x00\x00\x1cftypavif" + b"\x00" * 20)
+
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(
-            b"\x00\x00\x00\x1cftypavif"
-        )  # AVIF stays the documented extension point
+        # genuinely unknown magic still hits the extension point
+        multimodal.decode_image(b"\x42\x42\x42\x42 not-a-codec")
 
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")  # truncated PNG
@@ -3257,3 +3262,122 @@ def test_png_palette_property_roundtrip():
         assert np.array_equal(got, pal[idx])
 
     case()
+
+
+# -- HEIF family (AVIF/HEIC) via system libheif (r13) ------------------------
+
+
+def _heif_mod():
+    from table_demo_spark.operators import heif
+
+    if not heif.have_libheif():
+        pytest.skip("libheif.so.1 not available")
+    return heif
+
+
+def test_heif_lossless_roundtrips_are_bit_exact_in_gamut():
+    """The query invariant: within the in-RGB-gamut box (Y [70,180],
+    C [108,148]) the lossless roundtrip is BIT-EXACT for both codecs,
+    including at an odd-grid size the queries don't use (so the pin
+    is not fixture-shaped).  Out-of-box data is deliberately NOT
+    asserted exact — libheif's shared colour pipeline clips
+    out-of-gamut YCbCr (measured r13; documented in heif.py)."""
+    import numpy as np
+
+    heif = _heif_mod()
+    rng = np.random.default_rng(77)
+    for h, w in ((48, 64), (34, 50)):
+        y = (70 + rng.integers(0, 111, (h, w))).astype(np.uint8)
+        cb = (108 + rng.integers(0, 41, ((h + 1) // 2, (w + 1) // 2))).astype(
+            np.uint8
+        )
+        cr = (108 + rng.integers(0, 41, ((h + 1) // 2, (w + 1) // 2))).astype(
+            np.uint8
+        )
+        for comp, params in (
+            (heif.COMPRESSION_AV1, (("speed", "9"), ("threads", "1"))),
+            (heif.COMPRESSION_HEVC, (("preset", "ultrafast"),)),
+        ):
+            data = heif.encode_heif(y, cb, cr, comp, params)
+            y2, cb2, cr2 = heif.decode_heif(data)
+            assert np.array_equal(y, y2), (comp, h, w)
+            assert np.array_equal(cb, cb2) and np.array_equal(cr, cr2)
+
+
+def test_avif_three_independent_decoders_agree_bit_exactly():
+    """Cross-decoder adjudication on a LOSSY stream (where decoder
+    bugs can hide behind 'close enough'): libaom, dav1d, and libgav1
+    — three independent AV1 decoder codebases — must produce
+    bit-identical planes, and libheif's own decode (dav1d plugin)
+    must match them for in-gamut content."""
+    import numpy as np
+
+    heif = _heif_mod()
+    for choice in (
+        heif.AVIF_CODEC_AOM, heif.AVIF_CODEC_DAV1D, heif.AVIF_CODEC_LIBGAV1,
+    ):
+        if not heif.avif_decoder_available(choice):
+            pytest.skip(f"libavif codec {choice} not compiled in")
+    rng = np.random.default_rng(78)
+    y = (70 + rng.integers(0, 111, (48, 64))).astype(np.uint8)
+    cb = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    cr = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    lossy = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_AV1,
+        (("speed", "8"), ("quality", "40")), lossless=False,
+    )
+    ref = heif.decode_avif_libavif(lossy, heif.AVIF_CODEC_AOM)
+    assert not np.array_equal(ref[0], y)  # genuinely lossy fixture
+    for choice in (heif.AVIF_CODEC_DAV1D, heif.AVIF_CODEC_LIBGAV1):
+        got = heif.decode_avif_libavif(lossy, choice)
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, b), f"decoder {choice} diverged"
+    via_heif = heif.decode_heif(lossy)
+    for a, b in zip(ref, via_heif):
+        assert np.array_equal(a, b), "libheif decode diverged from libavif"
+
+
+def test_heif_negative_paths_fail_loudly():
+    """Truncated containers and mid-payload corruption must raise,
+    never return planes silently."""
+    import numpy as np
+
+    heif = _heif_mod()
+    rng = np.random.default_rng(79)
+    y = (70 + rng.integers(0, 111, (48, 64))).astype(np.uint8)
+    cb = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    cr = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    data = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_AV1, (("speed", "9"),)
+    )
+    with pytest.raises(ValueError):
+        heif.decode_heif(data[:64])
+    with pytest.raises(ValueError):
+        heif.decode_heif(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        heif.decode_avif_libavif(data[: len(data) // 2], heif.AVIF_CODEC_AOM)
+    # mismatched plane geometry is rejected before touching libheif
+    with pytest.raises(ValueError):
+        heif.encode_heif(y, cb[:-1], cr, heif.COMPRESSION_AV1)
+
+
+def test_decode_image_dispatches_heif_containers():
+    """The generic image dispatcher (multimodal.decode_image) now
+    routes ftyp containers to the real codecs instead of raising the
+    pre-r13 NotImplementedError; RGB output comes from libheif's own
+    colour conversion and matches its YCbCr decode dimensions."""
+    import numpy as np
+
+    heif = _heif_mod()
+    from table_demo_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(80)
+    y = (70 + rng.integers(0, 111, (48, 64))).astype(np.uint8)
+    cb = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    cr = (108 + rng.integers(0, 41, (24, 32))).astype(np.uint8)
+    for comp, params in (
+        (heif.COMPRESSION_AV1, (("speed", "9"),)),
+        (heif.COMPRESSION_HEVC, (("preset", "ultrafast"),)),
+    ):
+        rgb = decode_image(heif.encode_heif(y, cb, cr, comp, params))
+        assert rgb.shape == (48, 64, 3) and rgb.dtype == np.uint8
