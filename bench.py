@@ -220,6 +220,7 @@ HEADLINE = [
     "an_a80_variant_explode",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
+    "llm_m45_h264_cabac_pixels",
     "llm_m47_avif_pixels",
     "llm_m48_heic_pixels",
     "llm_s24_batched_hnsw_serve",

@@ -7287,3 +7287,560 @@ def decode_h264_i4x4_slice(
                     128 + ((int(dcc[y2, x2]) + 32) >> 6), 0, 255
                 )
     return hdr, y, cb, cr, modes, total_coeff
+
+
+# ---------------------------------------------------------------------------
+# H.264 CABAC entropy layer (ISO/IEC 14496-10 clause 9.3) — the other
+# entropy coder under the m39-m44 reconstruction stack (CAVLC's
+# declared negative space since r12).
+#
+# Adjudication, strongest-first (the r10 discipline — normative tables
+# are STATED from an extractable source, never derived from memory):
+#
+# * ENGINE tables: H.264's rangeTabLPS (Table 9-44) and
+#   transIdxLPS/transIdxMPS (Tables 9-45/9-46) are byte-identical to
+#   HEVC's ivlLpsRange/transIdxLps/transIdxMps (H.265 clause 9.3.4.3);
+#   both HEVC codecs in this container carry them in .rodata.
+#   rangeTabLPS below was EXTRACTED r13 and cross-validates across
+#   FOUR in-binary copies (1x libde265.so.0.1.4 @361696, 3x
+#   libx265.so.199) — all 256 bytes identical.  transIdxLPS/MPS were
+#   extracted from libde265's adjacent table block (@361536/@361600;
+#   single in-binary copy) and are additionally cross-validated
+#   BEHAVIORALLY: llm_m48's x265-encode -> libde265-decode lossless
+#   roundtrip is bit-exact, which it could not be if de265's state
+#   transition tables disagreed with x265's independent
+#   implementation.  The extraction is re-run against both binaries
+#   in tests/test_h264_cabac.py.  (Extraction already caught a recall
+#   error: transIdxLPS[28..29] is 22,22 — not the 23,22 of memory.)
+#
+# * CONTEXT-INIT values (Table 9-12): NO H.264 codec ships in this
+#   container (probed r13: a full-/usr/lib scan for the (m,n) byte
+#   pattern found nothing), so the I-slice init table cannot be
+#   extracted, and hand-recalling ~150 signed pairs from memory is
+#   exactly the r10 VP8L-distance-table trap.  Only the widely
+#   reproduced mb_type block (ctxIdx 3..10) is pinned as Table 9-12
+#   data; every other context initialises with the DECLARED
+#   NON-NORMATIVE neutral profile (m, n) = (0, 64) (pStateIdx 0,
+#   valMPS 1) through the normative 9.3.1.1 init FORMULA.  This
+#   affects coding efficiency and conformance-to-external-streams
+#   ONLY — encoder and decoder share the init, and the oracle pins
+#   decoded pixels against the planted levels, so the roundtrip
+#   adjudication is unaffected.  Completing Table 9-12 is declared
+#   negative space until an extractable source lands (same honest
+#   deferral as the MP3 B.7 Huffman tables).
+# ---------------------------------------------------------------------------
+
+# Extracted from libde265.so.0.1.4/.rodata@361696 == 3 copies in
+# libx265.so.199 (see block comment; re-extracted in tests).
+H264_RANGE_TAB_LPS = (
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (29, 35, 41, 48), (27, 33, 39, 45),
+    (26, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+)
+
+# Extracted from libde265.so.0.1.4/.rodata@361536 (transIdxLPS) and
+# @361600 (transIdxMPS), adjacent to the rangeTab block.
+H264_TRANS_IDX_LPS = (
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15,
+    15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24, 24, 25, 26,
+    26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34,
+    34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+)
+H264_TRANS_IDX_MPS = tuple(list(range(1, 63)) + [62, 63])
+
+# Table 9-12 mb_type(I) block, ctxIdx 3..10 (dual-recall pin — see
+# block comment); all other contexts take _CABAC_INIT_DEFAULT.
+H264_CABAC_INIT_I = {
+    3: (20, -15), 4: (2, 54), 5: (3, 74), 6: (-28, 127),
+    7: (-23, 104), 8: (-6, 53), 9: (-1, 54), 10: (7, 51),
+}
+_CABAC_INIT_DEFAULT = (0, 64)  # DECLARED non-normative neutral init
+
+
+def _clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else hi if v > hi else v
+
+
+def cabac_init_state(ctx: int, qp: int) -> list:
+    """9.3.1.1 context-variable init: [pStateIdx, valMPS] at SliceQPy
+    from the (m, n) pair (Table 9-12 where pinned, the declared
+    neutral profile otherwise)."""
+    m, n = H264_CABAC_INIT_I.get(ctx, _CABAC_INIT_DEFAULT)
+    pre = _clip3(1, 126, ((m * _clip3(0, 51, qp)) >> 4) + n)
+    if pre <= 63:
+        return [63 - pre, 0]
+    return [pre - 64, 1]
+
+
+class _CabacEncoder:
+    """9.3.4 arithmetic encoder writing MSB-first into a _BitWriter.
+    The first PutBit output is discarded (firstBitFlag)."""
+
+    def __init__(self, bw: "_BitWriter") -> None:
+        self.bw = bw
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+
+    def _putbit(self, b: int) -> None:
+        if self.first:
+            self.first = False
+        else:
+            self.bw.put(b, 1)
+        while self.outstanding:
+            self.bw.put(1 - b, 1)
+            self.outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            if self.low >= 512:
+                self._putbit(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._putbit(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.range <<= 1
+            self.low <<= 1
+
+    def decision(self, state: list, binval: int) -> None:
+        s, mps = state
+        lps = H264_RANGE_TAB_LPS[s][(self.range >> 6) & 3]
+        self.range -= lps
+        if binval != mps:
+            self.low += self.range
+            self.range = lps
+            if s == 0:
+                state[1] = 1 - mps
+            state[0] = H264_TRANS_IDX_LPS[s]
+        else:
+            state[0] = H264_TRANS_IDX_MPS[s]
+        self._renorm()
+
+    def bypass(self, binval: int) -> None:
+        self.low <<= 1
+        if binval:
+            self.low += self.range
+        if self.low >= 1024:
+            self._putbit(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._putbit(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def terminate(self, binval: int) -> None:
+        self.range -= 2
+        if binval:
+            self.low += self.range
+            self.flush()
+        else:
+            self._renorm()
+
+    def flush(self) -> None:
+        """9.3.4.6: the trailing |1 IS the rbsp_stop_one_bit."""
+        self.range = 2
+        self._renorm()
+        self._putbit((self.low >> 9) & 1)
+        self.bw.put(((self.low >> 7) & 3) | 1, 2)
+        self.bw.align()
+
+
+class _CabacDecoder:
+    """9.3.3.2 arithmetic decoder over a byte-aligned _BitReader."""
+
+    def __init__(self, br: "_BitReader") -> None:
+        self.br = br
+        self.range = 510
+        self.offset = br.bits(9)
+
+    def decision(self, state: list) -> int:
+        s, mps = state
+        lps = H264_RANGE_TAB_LPS[s][(self.range >> 6) & 3]
+        self.range -= lps
+        if self.offset >= self.range:
+            binval = 1 - mps
+            self.offset -= self.range
+            self.range = lps
+            if s == 0:
+                state[1] = 1 - mps
+            state[0] = H264_TRANS_IDX_LPS[s]
+        else:
+            binval = mps
+            state[0] = H264_TRANS_IDX_MPS[s]
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self.br.bits(1)
+        return binval
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self.br.bits(1)
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self.br.bits(1)
+        return 0
+
+
+# Table 9-40 ctxBlockCatOffsets for the categories this layer codes
+# (0 = Intra16x16DCLevel, 1 = Intra16x16ACLevel, 3 = ChromaDCLevel).
+_CABAC_SIG_CAT_OFF = {0: 0, 1: 15, 3: 44}
+_CABAC_ABS_CAT_OFF = {0: 0, 1: 10, 3: 30}
+_CABAC_CTX_SIG = 105
+_CABAC_CTX_LAST = 166
+_CABAC_CTX_ABS = 227
+_CABAC_CTX_CBF = 85
+_CABAC_CTX_MB_TYPE = 3
+_CABAC_CTX_QP_DELTA = 60
+_CABAC_CTX_CHROMA_PRED = 64
+
+
+def _cabac_states(qp: int) -> dict:
+    """Fresh per-slice context-variable store, lazily initialised."""
+    states: dict[int, list] = {}
+
+    def get(ctx: int) -> list:
+        st = states.get(ctx)
+        if st is None:
+            st = states[ctx] = cabac_init_state(ctx, qp)
+        return st
+
+    return get
+
+
+def _cabac_encode_block(enc, get, levels, cat: int, cbf_inc: int) -> int:
+    """residual_block_cabac (7.3.5.3.3) for one scan-ordered level
+    list: coded_block_flag, significance/last maps, then levels in
+    REVERSE scan order (UEG0 escape at prefix 14, bypass signs).
+    Returns the coded_block_flag for the caller's neighbour store."""
+    n = len(levels)
+    nz = [i for i, v in enumerate(levels) if v != 0]
+    cbf = 1 if nz else 0
+    enc.decision(get(_CABAC_CTX_CBF + 4 * cat + cbf_inc), cbf)
+    if not cbf:
+        return 0
+    last_i = nz[-1]
+    sig_base = _CABAC_CTX_SIG + _CABAC_SIG_CAT_OFF[cat]
+    last_base = _CABAC_CTX_LAST + _CABAC_SIG_CAT_OFF[cat]
+    for i in range(min(last_i + 1, n - 1)):
+        sig = 1 if levels[i] != 0 else 0
+        enc.decision(get(sig_base + i), sig)
+        if sig:
+            enc.decision(get(last_base + i), 1 if i == last_i else 0)
+    abs_base = _CABAC_CTX_ABS + _CABAC_ABS_CAT_OFF[cat]
+    gt1 = eq1 = 0
+    for i in reversed(nz):
+        v = abs(levels[i]) - 1
+        ctx0 = abs_base + (0 if gt1 else min(4, 1 + eq1))
+        ctxn = abs_base + 5 + min(4 - (1 if cat == 3 else 0), gt1)
+        if v < 14:
+            for k in range(v):
+                enc.decision(get(ctx0 if k == 0 else ctxn), 1)
+            enc.decision(get(ctx0 if v == 0 else ctxn), 0)
+        else:
+            for k in range(14):
+                enc.decision(get(ctx0 if k == 0 else ctxn), 1)
+            suf = v - 14
+            k = 0
+            while suf >= (1 << k):
+                enc.bypass(1)
+                suf -= 1 << k
+                k += 1
+            enc.bypass(0)
+            while k:
+                k -= 1
+                enc.bypass((suf >> k) & 1)
+        enc.bypass(1 if levels[i] < 0 else 0)
+        if abs(levels[i]) > 1:
+            gt1 += 1
+        else:
+            eq1 += 1
+    return 1
+
+
+def _cabac_decode_block(dec, get, n: int, cat: int, cbf_inc: int):
+    """Inverse of _cabac_encode_block: returns (levels, cbf)."""
+    cbf = dec.decision(get(_CABAC_CTX_CBF + 4 * cat + cbf_inc))
+    levels = [0] * n
+    if not cbf:
+        return levels, 0
+    sig_base = _CABAC_CTX_SIG + _CABAC_SIG_CAT_OFF[cat]
+    last_base = _CABAC_CTX_LAST + _CABAC_SIG_CAT_OFF[cat]
+    sig = [0] * n
+    last_i = n - 1  # implicit when no last flag fires
+    for i in range(n - 1):
+        if dec.decision(get(sig_base + i)):
+            sig[i] = 1
+            if dec.decision(get(last_base + i)):
+                last_i = i
+                break
+    else:
+        sig[n - 1] = 1
+    if last_i == n - 1 and not sig[n - 1]:
+        sig[n - 1] = 1
+    abs_base = _CABAC_CTX_ABS + _CABAC_ABS_CAT_OFF[cat]
+    gt1 = eq1 = 0
+    for i in range(last_i, -1, -1):
+        if not sig[i]:
+            continue
+        ctx0 = abs_base + (0 if gt1 else min(4, 1 + eq1))
+        ctxn = abs_base + 5 + min(4 - (1 if cat == 3 else 0), gt1)
+        v = 0
+        while v < 14 and dec.decision(get(ctx0 if v == 0 else ctxn)):
+            v += 1
+        if v == 14:
+            suf = 0
+            k = 0
+            while dec.bypass():
+                suf += 1 << k
+                k += 1
+                if k > 24:
+                    raise ValueError("H264 CABAC: runaway UEG0 suffix")
+            bits = 0
+            for _ in range(k):
+                bits = (bits << 1) | dec.bypass()
+            v = 14 + suf + bits
+        mag = v + 1
+        levels[i] = -mag if dec.bypass() else mag
+        if mag > 1:
+            gt1 += 1
+        else:
+            eq1 += 1
+    return levels, 1
+
+
+def encode_h264_i16x16_slice_cabac(
+    sps: dict, pps: dict, mbs, frame_num: int = 0, idr_pic_id: int = 0,
+) -> bytes:
+    """Write an IDR I slice of Intra_16x16 macroblocks with CABAC
+    slice data (7.3.4 / 9.3) — the entropy-coded sibling of
+    encode_h264_i16x16_slice, same coded-domain MB dicts (``dc``
+    (4,4), ``ac`` (4,4,4,4), ``cb_dc``/``cr_dc`` (2,2)), mb_type 19
+    only (DC prediction, cbpChroma 1, cbpLuma 15).  The PPS must
+    carry entropy_coding_mode_flag = 1; after the Exp-Golomb slice
+    header come cabac_alignment_one_bit padding, then the arithmetic
+    payload — per MB: mb_type bins (prefix 1, DecodeTerminate-coded
+    I_PCM flag 0, cbp/pred-mode suffix), intra_chroma_pred_mode 0,
+    mb_qp_delta 0, 19 residual_block_cabac blocks with the 9.3.3.1.1.9
+    coded_block_flag neighbour derivation, and end_of_slice_flag —
+    flushed per 9.3.4.6 (the |1 is the rbsp stop bit).  See the CABAC
+    block comment for the table-adjudication split."""
+    if not pps.get("entropy_coding_mode"):
+        raise ValueError("H264 CABAC: PPS must set entropy_coding_mode")
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if len(mbs) != mb_w * mb_h:
+        raise ValueError("one MB dict per SPS grid cell, raster order")
+    qp = pps["pic_init_qp"]
+    bw = _ExpGolombWriter()
+    _h264_put_slice_header(
+        bw, sps, pps, 7, 0, frame_num, 0,
+        idr_pic_id=idr_pic_id, poc_lsb=0, nal_ref_idc=3,
+    )
+    while bw.nbits:  # cabac_alignment_one_bit
+        bw.put(1, 1)
+    enc = _CabacEncoder(bw)
+    get = _cabac_states(qp)
+    dc_cbf: dict[tuple[int, int], int] = {}
+    ac_cbf: dict[tuple[int, int], list] = {}
+    cdc_cbf: dict[tuple[int, int, int], int] = {}
+    n_mb = mb_w * mb_h
+    for addr in range(n_mb):
+        mx, my = addr % mb_w, addr // mb_w
+        mb = mbs[addr]
+        if "cb_ac" in mb or int(mb.get("pred_mode", 2)) != 2:
+            raise ValueError(
+                "H264 CABAC: only mb_type 19 (DC pred, cbpChroma 1)"
+                " slice data is emitted"
+            )
+        # mb_type 19 bins: 1 (not I_NxN), terminate 0 (not I_PCM),
+        # cbpLuma15 1, cbpChroma!=0 1, cbpChroma==2 0, predMode 10
+        inc = (1 if mx > 0 else 0) + (1 if my > 0 else 0)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + inc), 1)
+        enc.terminate(0)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 3), 1)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 4), 1)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 5), 0)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 6), 1)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 6), 0)
+        enc.decision(get(_CABAC_CTX_CHROMA_PRED), 0)  # DC chroma pred
+        enc.decision(get(_CABAC_CTX_QP_DELTA), 0)     # mb_qp_delta 0
+        # Intra16x16DCLevel (cat 0): neighbours are the MB-level DC
+        # blocks; unavailable neighbour of an intra MB counts 1
+        ca = dc_cbf.get((mx - 1, my), 1)
+        cb_ = dc_cbf.get((mx, my - 1), 1)
+        dc_scan = [int(mb["dc"].flat[z]) for z in H264_ZIGZAG_4x4]
+        dc_cbf[(mx, my)] = _cabac_encode_block(
+            enc, get, dc_scan, 0, ca + 2 * cb_
+        )
+        # 16 Intra16x16ACLevel blocks (cat 1), 7.3.5.3 block order
+        grid = [[0] * 4 for _ in range(4)]
+        ac_cbf[(mx, my)] = grid
+        for idx in range(16):
+            x4, y4 = _h264_blk_xy(idx)
+            if x4 > 0:
+                la = grid[y4][x4 - 1]
+            else:
+                left = ac_cbf.get((mx - 1, my))
+                la = left[y4][3] if left is not None else 1
+            if y4 > 0:
+                ta = grid[y4 - 1][x4]
+            else:
+                top = ac_cbf.get((mx, my - 1))
+                ta = top[3][x4] if top is not None else 1
+            blk = mb["ac"][y4][x4]
+            if blk.flat[0] != 0:
+                raise ValueError("AC block position (0,0) must be 0")
+            scan = [int(blk.flat[z]) for z in H264_ZIGZAG_4x4[1:]]
+            grid[y4][x4] = _cabac_encode_block(
+                enc, get, scan, 1, la + 2 * ta
+            )
+        # ChromaDCLevel Cb then Cr (cat 3)
+        for pi, key in ((0, "cb_dc"), (1, "cr_dc")):
+            ca = cdc_cbf.get((pi, mx - 1, my), 1)
+            cb_ = cdc_cbf.get((pi, mx, my - 1), 1)
+            levels = [int(v) for v in mb[key].flat]
+            cdc_cbf[(pi, mx, my)] = _cabac_encode_block(
+                enc, get, levels, 3, ca + 2 * cb_
+            )
+        enc.terminate(1 if addr == n_mb - 1 else 0)
+    return bytes(bw.out)
+
+
+def decode_h264_i16x16_slice_cabac(
+    rbsp: bytes, nal_type: int, nal_ref_idc: int, pps_store: dict,
+    sps_store: dict,
+):
+    """Decode a CABAC Intra_16x16 slice to PIXELS: slice header,
+    cabac_alignment_one_bit verification, then the 9.3.3 arithmetic
+    walk recovering every planted level — and the reconstruction is
+    the ALREADY-VERIFIED CAVLC path (the decoded coded-domain levels
+    are transcoded through encode/decode_h264_i16x16_slice, m39's
+    machinery), so exactly the entropy layer is new here.  Returns
+    (header, luma, cb, cr, total_coeff) like the CAVLC decoder.
+    Non-mb_type-19 slice data and I_NxN/I_PCM escapes fail loudly."""
+    import numpy as np
+
+    hdr = decode_h264_slice_header(
+        rbsp, nal_type, nal_ref_idc, pps_store, sps_store
+    )
+    pps = pps_store[hdr["pps_id"]]
+    if not pps.get("entropy_coding_mode"):
+        raise ValueError("H264 CABAC: slice PPS is CAVLC-coded")
+    sps = sps_store[pps["sps_id"]]
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    qp = hdr["slice_qp"]
+    br = _BitReader(rbsp)
+    _h264_skip_slice_header(br, nal_type, nal_ref_idc, pps_store, sps_store)
+    while br.bitpos % 8:
+        if br.bits(1) != 1:
+            raise ValueError("H264 CABAC: cabac_alignment_one_bit is 0")
+    dec = _CabacDecoder(br)
+    get = _cabac_states(qp)
+    dc_cbf: dict[tuple[int, int], int] = {}
+    ac_cbf: dict[tuple[int, int], list] = {}
+    cdc_cbf: dict[tuple[int, int, int], int] = {}
+    n_mb = mb_w * mb_h
+    mbs = []
+    for addr in range(n_mb):
+        mx, my = addr % mb_w, addr // mb_w
+        inc = (1 if mx > 0 else 0) + (1 if my > 0 else 0)
+        if dec.decision(get(_CABAC_CTX_MB_TYPE + inc)) == 0:
+            raise ValueError("H264 CABAC: I_NxN slice data not supported")
+        if dec.terminate():
+            raise ValueError("H264 CABAC: I_PCM escape not supported")
+        cbp_l = dec.decision(get(_CABAC_CTX_MB_TYPE + 3))
+        cbp_c = dec.decision(get(_CABAC_CTX_MB_TYPE + 4))
+        if cbp_c:
+            cbp_c += dec.decision(get(_CABAC_CTX_MB_TYPE + 5))
+        pm = 2 * dec.decision(get(_CABAC_CTX_MB_TYPE + 6))
+        pm += dec.decision(get(_CABAC_CTX_MB_TYPE + 6))
+        if (cbp_l, cbp_c, pm) != (1, 1, 2):
+            raise ValueError(
+                f"H264 CABAC: unsupported mb_type "
+                f"{1 + pm + 4 * cbp_c + 12 * cbp_l}"
+            )
+        if dec.decision(get(_CABAC_CTX_CHROMA_PRED)) != 0:
+            raise ValueError("H264 CABAC: only DC chroma prediction")
+        if dec.decision(get(_CABAC_CTX_QP_DELTA)) != 0:
+            raise ValueError("H264 CABAC: nonzero mb_qp_delta")
+        ca = dc_cbf.get((mx - 1, my), 1)
+        cb_ = dc_cbf.get((mx, my - 1), 1)
+        dc_scan, f = _cabac_decode_block(dec, get, 16, 0, ca + 2 * cb_)
+        dc_cbf[(mx, my)] = f
+        dc = np.zeros(16, np.int64)
+        for k, z in enumerate(H264_ZIGZAG_4x4):
+            dc[z] = dc_scan[k]
+        grid = [[0] * 4 for _ in range(4)]
+        ac_cbf[(mx, my)] = grid
+        ac = np.zeros((4, 4, 4, 4), np.int64)
+        for idx in range(16):
+            x4, y4 = _h264_blk_xy(idx)
+            if x4 > 0:
+                la = grid[y4][x4 - 1]
+            else:
+                left = ac_cbf.get((mx - 1, my))
+                la = left[y4][3] if left is not None else 1
+            if y4 > 0:
+                ta = grid[y4 - 1][x4]
+            else:
+                top = ac_cbf.get((mx, my - 1))
+                ta = top[3][x4] if top is not None else 1
+            scan, f = _cabac_decode_block(dec, get, 15, 1, la + 2 * ta)
+            grid[y4][x4] = f
+            flat = np.zeros(16, np.int64)
+            for j, z in enumerate(H264_ZIGZAG_4x4[1:]):
+                flat[z] = scan[j]
+            ac[y4][x4] = flat.reshape(4, 4)
+        mbd = {"dc": dc.reshape(4, 4), "ac": ac}
+        for pi, key in ((0, "cb_dc"), (1, "cr_dc")):
+            ca = cdc_cbf.get((pi, mx - 1, my), 1)
+            cb_ = cdc_cbf.get((pi, mx, my - 1), 1)
+            levels, f = _cabac_decode_block(dec, get, 4, 3, ca + 2 * cb_)
+            cdc_cbf[(pi, mx, my)] = f
+            mbd[key] = np.array(levels, np.int64).reshape(2, 2)
+        mbs.append(mbd)
+        eos = dec.terminate()
+        if eos != (1 if addr == n_mb - 1 else 0):
+            raise ValueError(
+                f"H264 CABAC: end_of_slice_flag {eos} at MB {addr}"
+            )
+    # transcode the recovered coded-domain levels through the
+    # verified CAVLC encode/decode pair (m39's reconstruction)
+    cavlc_pps = dict(pps)
+    cavlc_pps["entropy_coding_mode"] = 0
+    sl = encode_h264_i16x16_slice(
+        sps, cavlc_pps, mbs,
+        frame_num=hdr["frame_num"], idr_pic_id=hdr.get("idr_pic_id", 0),
+    )
+    return decode_h264_i16x16_slice(
+        sl, 5, 3, {cavlc_pps["pps_id"]: cavlc_pps}, sps_store
+    )

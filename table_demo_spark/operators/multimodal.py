@@ -2703,6 +2703,7 @@ def _cavlc_level(b: int) -> int:
 def with_h264_cavlc_payload(
     docs: DataFrame, mb_w: int = H264_CAVLC_MB_W, mb_h: int = 1,
     chroma_ac: bool = False, pred_modes: bool = False,
+    entropy: str = "cavlc",
 ) -> DataFrame:
     """(doc_id, payload): an Annex B stream whose IDR slice carries
     CAVLC-coded Intra_16x16 residual data (14496-10 9.2 / 7.3.5.3) —
@@ -2721,13 +2722,26 @@ def with_h264_cavlc_payload(
         decode_h264_sps,
         encode_annexb,
         encode_h264_i16x16_slice,
+        encode_h264_i16x16_slice_cabac,
         encode_h264_pps,
         encode_h264_sps,
     )
 
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError(f"unknown entropy coder {entropy}")
+    if entropy == "cabac" and (chroma_ac or pred_modes or mb_h != 1):
+        raise ValueError("CABAC payloads ship the base m39 shape only")
+    sl_encode = (
+        encode_h264_i16x16_slice_cabac
+        if entropy == "cabac"
+        else encode_h264_i16x16_slice
+    )
     mw, mh = mb_w, mb_h
     sps_rbsp = encode_h264_sps(66, 30, mw, mh)
-    pps_rbsp = encode_h264_pps(0, 0, 16)  # pic_init_qp 42
+    # pic_init_qp 42; entropy_coding_mode_flag selects the coder
+    pps_rbsp = encode_h264_pps(
+        0, 0, 16, entropy_coding_mode=1 if entropy == "cabac" else 0
+    )
     sps = decode_h264_sps(sps_rbsp)
     pps = decode_h264_pps(pps_rbsp)
 
@@ -2737,7 +2751,8 @@ def with_h264_cavlc_payload(
             for doc_id in pdf["doc_id"]:
                 mbb = _CAVLC_MB_BYTES + (120 if chroma_ac else 0)
                 salt = (
-                    "#cav5" if pred_modes
+                    "#cab" if entropy == "cabac"
+                    else "#cav5" if pred_modes
                     else "#cav3" if chroma_ac
                     else "#cav" if mh == 1 else "#cav2"
                 )
@@ -2804,7 +2819,7 @@ def with_h264_cavlc_payload(
                         else:
                             mbd["pred_mode"] = b0 % 4
                     mbs.append(mbd)
-                sl = encode_h264_i16x16_slice(
+                sl = sl_encode(
                     sps, pps, mbs,
                     frame_num=int(doc_id) % 16,
                     idr_pic_id=int(doc_id) % 32,
@@ -2835,6 +2850,7 @@ def h264_cavlc_stats(docs_with_payload: DataFrame) -> DataFrame:
     from table_demo_spark.operators.codecs import (
         decode_annexb,
         decode_h264_i16x16_slice,
+        decode_h264_i16x16_slice_cabac,
         decode_h264_pps,
         decode_h264_sps,
     )
@@ -2854,7 +2870,26 @@ def h264_cavlc_stats(docs_with_payload: DataFrame) -> DataFrame:
                         info = decode_h264_pps(nal["rbsp"])
                         pps_store[info["pps_id"]] = info
                     elif t == 5:
-                        out = decode_h264_i16x16_slice(
+                        # the ACTIVE PPS's entropy_coding_mode_flag
+                        # selects the entropy layer (7.4.2.2): peek
+                        # pic_parameter_set_id (the slice header's
+                        # third ue(v)) — the dispatch a real decoder
+                        # performs
+                        from table_demo_spark.operators.codecs import (
+                            _BitReader,
+                            _expgolomb_ue,
+                        )
+
+                        peek = _BitReader(nal["rbsp"])
+                        _expgolomb_ue(peek)  # first_mb_in_slice
+                        _expgolomb_ue(peek)  # slice_type
+                        pid = _expgolomb_ue(peek)
+                        sl_decode = (
+                            decode_h264_i16x16_slice_cabac
+                            if pps_store[pid].get("entropy_coding_mode")
+                            else decode_h264_i16x16_slice
+                        )
+                        out = sl_decode(
                             nal["rbsp"], 5, nal["ref_idc"],
                             pps_store, sps_store,
                         )

@@ -89,7 +89,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
     "an_a64_label_propagation",
-    "an_a65_returned_item_reporting",
     "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
     "llm_p2_stratified_sample",
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q42_state_audit",
     "llm_m47_avif_pixels",
     "llm_m48_heic_pixels",
+    "llm_m45_h264_cabac_pixels",
 )
 
 

@@ -7902,6 +7902,35 @@ WHERE prev_sig IS NOT NULL
 """
 
 
+def m45_h264_cabac_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 CABAC — the OTHER entropy coder (m39's declared negative
+    space, r12 VERDICT #2): the m39 fixture geometry and planted
+    levels re-encoded as CABAC slice data (entropy_coding_mode_flag
+    1, cabac_alignment_one_bit, 9.3.3 arithmetic decode: mb_type
+    bins with the DecodeTerminate I_PCM escape, coded_block_flag
+    neighbour contexts, significance/last maps, reverse-order
+    coeff_abs_level_minus1 with suffix-context evolution and the
+    UEG0 bypass escape — the pinned ~4000-level plant sits on it —
+    bypass signs, end_of_slice terminate), then the VERIFIED m39
+    reconstruction, so exactly the entropy layer is new.  The oracle
+    is m39's generated SQL at the '#cab' salt — every planted level
+    must survive the arithmetic coder bit-exactly to reach the same
+    pixels.  Adjudication split (operators/codecs.py CABAC block
+    comment): engine tables EXTRACTED from libde265+libx265 .rodata
+    (4-copy cross-validated rangeTabLPS; transIdx block additionally
+    behaviourally pinned by the m48 x265->de265 bit-exact roundtrip);
+    context-INIT values beyond the pinned mb_type block use a
+    DECLARED non-normative neutral profile — no H.264 codec ships in
+    this container to extract Table 9-12 from (probed r13), and
+    hand-recalling ~150 signed pairs is the r10 trap; this affects
+    conformance-to-external-streams only, never the oracle-gated
+    roundtrip."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_cavlc_stats(
+        multimodal.with_h264_cavlc_payload(docs, entropy="cabac")
+    )
+
+
 def m47_avif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF decode with a REAL third-party codec stack — the r12
     'missing' item #4 closed (operators/multimodal.py's AVIF guard
@@ -10345,6 +10374,11 @@ QUERIES: list[Query] = [
     Query("llm_m42_h264_intra_pred_modes", m42_h264_intra_pred_modes, _m42_oracle()),
     Query("llm_m43_h264_i4x4_mosaic", m43_h264_i4x4_mosaic, _m43_oracle()),
     Query("llm_m44_h264_i4x4_all_modes", m44_h264_i4x4_all_modes, _m44_oracle()),
+    Query(
+        "llm_m45_h264_cabac_pixels",
+        m45_h264_cabac_pixels,
+        _cavlc_oracle(4, 1, "#cab"),
+    ),
     Query("llm_m47_avif_pixels", m47_avif_pixels, _heif_oracle("#avif")),
     Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),

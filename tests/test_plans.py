@@ -133,6 +133,7 @@ _PYTHON_ALLOWED = {
     "llm_m43_h264_i4x4_mosaic",  # MapInPandas (I_4x4 mode signalling + sequential block reconstruction)
     "llm_m44_h264_i4x4_all_modes",  # MapInPandas (nine-mode I_4x4 prediction + reference-sample construction)
     "llm_t35_zstd_dict_roundtrip",  # MapInPandas (libzstd dict compress/decompress via ctypes)
+    "llm_m45_h264_cabac_pixels",  # MapInPandas (CABAC arithmetic decode + m39 reconstruction)
     "llm_m47_avif_pixels",  # MapInPandas (real libaom AVIF encode + dav1d decode via libheif)
     "llm_m48_heic_pixels",  # MapInPandas (real x265 HEIC encode + libde265 decode via libheif)
 }
