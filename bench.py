@@ -221,6 +221,7 @@ HEADLINE = [
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_m45_h264_cabac_pixels",
+    "llm_m46_h264_inter_pixels",
     "llm_m47_avif_pixels",
     "llm_m48_heic_pixels",
     "llm_s24_batched_hnsw_serve",

@@ -6269,7 +6269,7 @@ def m39_h264_cavlc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cavlc_oracle(
     mb_w: int, mb_h: int, salt: str, chroma_ac: bool = False,
-    pred_modes: bool = False,
+    pred_modes: bool = False, tail: str | None = None,
 ) -> str:
     """Generate the DuckDB restatement of the CAVLC pipeline for an
     mb_w x mb_h Intra_16x16 picture.  QP is pinned at 42 (qP/6 = 7),
@@ -6738,6 +6738,20 @@ crpx AS MATERIALIZED (
         f"max(CASE WHEN 2 * i + j = {k} THEN f END) AS f{k // 2}{k % 2}"
         for k in range(4)
     )
+    if tail is None:
+        tail = f"""
+SELECT d.doc_id,
+       CAST({width} AS BIGINT) AS width,
+       CAST({16 * mb_h} AS BIGINT) AS height,
+       d.doc_id % 16 AS frame_num,
+       t.total_coeff,
+       l.sum_y, l.wsum_y, l.y_min, l.y_max,
+       c.sum_cb, c.sum_cr
+FROM documents d
+JOIN tc t ON t.doc_id = d.doc_id
+JOIN lagg l ON l.doc_id = d.doc_id
+JOIN cagg c ON c.doc_id = d.doc_id
+"""
     return f"""
 WITH ac AS MATERIALIZED (
   SELECT doc_id, mb, y4, x4, pos,
@@ -6840,19 +6854,7 @@ tc AS (
     UNION ALL
     SELECT doc_id, CASE WHEN f <> 0 THEN 1 ELSE 0 END FROM cdcf{tc_extra}
   ) GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST({width} AS BIGINT) AS width,
-       CAST({16 * mb_h} AS BIGINT) AS height,
-       d.doc_id % 16 AS frame_num,
-       t.total_coeff,
-       l.sum_y, l.wsum_y, l.y_min, l.y_max,
-       c.sum_cb, c.sum_cr
-FROM documents d
-JOIN tc t ON t.doc_id = d.doc_id
-JOIN lagg l ON l.doc_id = d.doc_id
-JOIN cagg c ON c.doc_id = d.doc_id
-"""
+){tail}"""
 
 
 def _m39_oracle() -> str:
@@ -7929,6 +7931,241 @@ def m45_h264_cabac_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.h264_cavlc_stats(
         multimodal.with_h264_cavlc_payload(docs, entropy="cabac")
     )
+
+
+def m46_h264_inter_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 INTER prediction — P slices (8.4, r12 VERDICT #3), the
+    first motion-compensated path under the intra stack: each
+    document's stream carries frame 0 (the verified m39 Intra_16x16
+    picture at salt '#mc') and frame 1, a P slice of P_L0_16x16
+    macroblocks with planted quarter-pel MVs (byte % 25 - 12 per
+    component, so all 16 Fig 8-4 fractional position classes and the
+    picture-edge clamp substitution sit on the value hash) and zero
+    residual.  The decode walks mb_skip_run / mb_type / mvd_l0
+    against the 8.4.1.3 median predictor chain / coded_block_pattern,
+    then interpolates: 6-tap (1,-5,20,20,-5,1) half-pel luma with the
+    (+16)>>5 / center (+512)>>10 rounding, quarter-pel neighbour
+    averaging, and 1/8-pel bilinear chroma (8.4.2.2.2).  The oracle
+    restates the ENTIRE two-frame pipeline — m39's reconstruction
+    chain feeding tap-sum CTEs (b1/h1 six-tap grids, the j
+    tap-of-taps grid, the 16-way fractional dispatch, clamped-read
+    joins) — so one wrong tap weight, rounding constant, position
+    formula, MV predictor, or clamp shifts the weighted frame-1
+    checksum; mv_wsum pins the decoded vectors directly.  B slices,
+    deblocking, multi-ref lists, and sub-16x16 partitions are the
+    declared negative space."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.h264_mc_stats(multimodal.with_h264_mc_payload(docs))
+
+
+def _m46_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _CAVLC_MB_BYTES,
+        H264_CAVLC_MB_W,
+    )
+
+    mb_w = H264_CAVLC_MB_W
+    w, h = 16 * mb_w, 16
+    cw, chh = w // 2, h // 2
+    mv0 = mb_w * _CAVLC_MB_BYTES
+
+    def byte(o: str) -> str:
+        blk = f"CAST(({o}) // 16 AS VARCHAR)"
+        off = f"CAST(2 * (({o}) % 16) + 1 AS INT)"
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '#mc' || {blk}), {off}, 2) AS BIGINT)"
+        )
+
+    # frame-0 chroma pixels from the uniform 4x4 block values
+    refc_parts = []
+    for k in range(mb_w):
+        refc_parts.append(
+            f"SELECT doc_id, plane, yy.y AS y, {8 * k} + xx.x AS x,"
+            " CASE WHEN yy.y < 4 AND xx.x < 4 THEN va0"
+            " WHEN yy.y < 4 THEN va1"
+            " WHEN xx.x < 4 THEN vb0 ELSE vb1 END AS v"
+            f" FROM cpx{k},"
+            " (SELECT unnest(range(0, 8)) AS y) yy,"
+            " (SELECT unnest(range(0, 8)) AS x) xx"
+        )
+    refc_sql = " UNION ALL ".join(refc_parts)
+    taps = "(VALUES (0, 1), (1, -5), (2, 20), (3, 20), (4, -5), (5, 1))"
+    tail = f""",
+mv AS (
+  SELECT doc_id, mb,
+         {byte(f"{mv0} + 2 * mb")} % 25 - 12 AS mvx,
+         {byte(f"{mv0} + 2 * mb + 1")} % 25 - 12 AS mvy
+  FROM documents, (SELECT unnest(range(0, {mb_w})) AS mb)
+),
+mvd AS (
+  SELECT doc_id, mb, mvx, mvy,
+         CAST(floor(mvx / 4.0) AS BIGINT) AS xi,
+         CAST(floor(mvy / 4.0) AS BIGINT) AS yi,
+         mvx - 4 * CAST(floor(mvx / 4.0) AS BIGINT) AS xf,
+         mvy - 4 * CAST(floor(mvy / 4.0) AS BIGINT) AS yf,
+         CAST(floor(mvx / 8.0) AS BIGINT) AS cxi,
+         CAST(floor(mvy / 8.0) AS BIGINT) AS cyi,
+         mvx - 8 * CAST(floor(mvx / 8.0) AS BIGINT) AS cxf,
+         mvy - 8 * CAST(floor(mvy / 8.0) AS BIGINT) AS cyf
+  FROM mv
+),
+refy AS MATERIALIZED (SELECT doc_id, gy AS y, gx AS x, v FROM lpx),
+refc AS MATERIALIZED ({refc_sql}),
+b1pre AS MATERIALIZED (
+  SELECT m.doc_id, m.mb, wy.wy, ox.ox, t.w,
+         GREATEST(0, LEAST({h - 1}, m.yi + wy.wy - 2)) AS ry,
+         GREATEST(0, LEAST({w - 1},
+           16 * m.mb + m.xi + ox.ox + t.k - 2)) AS rx
+  FROM mvd m
+  CROSS JOIN (SELECT unnest(range(0, 22)) AS wy) wy
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS ox) ox
+  CROSS JOIN {taps} t(k, w)
+),
+b1f AS MATERIALIZED (
+  SELECT p.doc_id, p.mb, p.wy, p.ox, SUM(p.w * r.v) AS b1
+  FROM b1pre p
+  JOIN refy r ON r.doc_id = p.doc_id AND r.y = p.ry AND r.x = p.rx
+  GROUP BY p.doc_id, p.mb, p.wy, p.ox
+),
+h1pre AS MATERIALIZED (
+  SELECT m.doc_id, m.mb, oy.oy, ox.ox, t.w,
+         GREATEST(0, LEAST({h - 1}, m.yi + oy.oy + t.k - 2)) AS ry,
+         GREATEST(0, LEAST({w - 1}, 16 * m.mb + m.xi + ox.ox)) AS rx
+  FROM mvd m
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS oy) oy
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS ox) ox
+  CROSS JOIN {taps} t(k, w)
+),
+h1f AS MATERIALIZED (
+  SELECT p.doc_id, p.mb, p.oy, p.ox, SUM(p.w * r.v) AS h1
+  FROM h1pre p
+  JOIN refy r ON r.doc_id = p.doc_id AND r.y = p.ry AND r.x = p.rx
+  GROUP BY p.doc_id, p.mb, p.oy, p.ox
+),
+j1f AS (
+  SELECT doc_id, mb, oy, ox, SUM(w * b1) AS j1
+  FROM (
+    SELECT b.doc_id, b.mb, b.wy - t.k AS oy, b.ox, t.w, b.b1
+    FROM b1f b CROSS JOIN {taps} t(k, w)
+  )
+  WHERE oy BETWEEN 0 AND 16
+  GROUP BY doc_id, mb, oy, ox
+),
+gpre AS MATERIALIZED (
+  SELECT m.doc_id, m.mb, oy.oy, ox.ox,
+         GREATEST(0, LEAST({h - 1}, m.yi + oy.oy)) AS ry,
+         GREATEST(0, LEAST({w - 1}, 16 * m.mb + m.xi + ox.ox)) AS rx
+  FROM mvd m
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS oy) oy
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS ox) ox
+),
+gint AS (
+  SELECT p.doc_id, p.mb, p.oy, p.ox, r.v AS g
+  FROM gpre p
+  JOIN refy r ON r.doc_id = p.doc_id AND r.y = p.ry AND r.x = p.rx
+),
+mcg AS MATERIALIZED (
+  SELECT g.doc_id, g.mb, g.oy, g.ox, g.g,
+         GREATEST(0, LEAST(255,
+           CAST(floor((b.b1 + 16) / 32.0) AS BIGINT))) AS b,
+         GREATEST(0, LEAST(255,
+           CAST(floor((hh.h1 + 16) / 32.0) AS BIGINT))) AS h,
+         GREATEST(0, LEAST(255,
+           CAST(floor((j.j1 + 512) / 1024.0) AS BIGINT))) AS j
+  FROM gint g
+  JOIN b1f b ON b.doc_id = g.doc_id AND b.mb = g.mb
+    AND b.wy = g.oy + 2 AND b.ox = g.ox
+  JOIN h1f hh ON hh.doc_id = g.doc_id AND hh.mb = g.mb
+    AND hh.oy = g.oy AND hh.ox = g.ox
+  JOIN j1f j ON j.doc_id = g.doc_id AND j.mb = g.mb
+    AND j.oy = g.oy AND j.ox = g.ox
+),
+py1 AS MATERIALIZED (
+  SELECT c.doc_id, c.oy AS y, 16 * c.mb + c.ox AS gx,
+    CASE WHEN m.xf = 0 AND m.yf = 0 THEN c.g
+         WHEN m.xf = 1 AND m.yf = 0 THEN (c.g + c.b + 1) // 2
+         WHEN m.xf = 2 AND m.yf = 0 THEN c.b
+         WHEN m.xf = 3 AND m.yf = 0 THEN (c.b + r.g + 1) // 2
+         WHEN m.xf = 0 AND m.yf = 1 THEN (c.g + c.h + 1) // 2
+         WHEN m.xf = 1 AND m.yf = 1 THEN (c.b + c.h + 1) // 2
+         WHEN m.xf = 2 AND m.yf = 1 THEN (c.b + c.j + 1) // 2
+         WHEN m.xf = 3 AND m.yf = 1 THEN (c.b + r.h + 1) // 2
+         WHEN m.xf = 0 AND m.yf = 2 THEN c.h
+         WHEN m.xf = 1 AND m.yf = 2 THEN (c.h + c.j + 1) // 2
+         WHEN m.xf = 2 AND m.yf = 2 THEN c.j
+         WHEN m.xf = 3 AND m.yf = 2 THEN (c.j + r.h + 1) // 2
+         WHEN m.xf = 0 AND m.yf = 3 THEN (d.g + c.h + 1) // 2
+         WHEN m.xf = 1 AND m.yf = 3 THEN (c.h + d.b + 1) // 2
+         WHEN m.xf = 2 AND m.yf = 3 THEN (c.j + d.b + 1) // 2
+         ELSE (r.h + d.b + 1) // 2 END AS v
+  FROM mcg c
+  JOIN mvd m ON m.doc_id = c.doc_id AND m.mb = c.mb
+  JOIN mcg r ON r.doc_id = c.doc_id AND r.mb = c.mb
+    AND r.oy = c.oy AND r.ox = c.ox + 1
+  JOIN mcg d ON d.doc_id = c.doc_id AND d.mb = c.mb
+    AND d.oy = c.oy + 1 AND d.ox = c.ox
+  WHERE c.oy < 16 AND c.ox < 16
+),
+pcpre AS MATERIALIZED (
+  SELECT m.doc_id, m.cxf, m.cyf, pl.plane,
+         GREATEST(0, LEAST({chh - 1}, m.cyi + oy.cy)) AS y0,
+         GREATEST(0, LEAST({chh - 1}, m.cyi + oy.cy + 1)) AS y1,
+         GREATEST(0, LEAST({cw - 1}, 8 * m.mb + m.cxi + ox.cx)) AS x0,
+         GREATEST(0, LEAST({cw - 1}, 8 * m.mb + m.cxi + ox.cx + 1)) AS x1
+  FROM mvd m
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) oy
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) ox
+  CROSS JOIN (VALUES (0), (1)) pl(plane)
+),
+pc1 AS (
+  SELECT p.doc_id, p.plane,
+    ((8 - p.cxf) * (8 - p.cyf) * a.v + p.cxf * (8 - p.cyf) * b.v
+     + (8 - p.cxf) * p.cyf * c.v + p.cxf * p.cyf * d.v + 32) // 64 AS v
+  FROM pcpre p
+  JOIN refc a ON a.doc_id = p.doc_id AND a.plane = p.plane
+    AND a.y = p.y0 AND a.x = p.x0
+  JOIN refc b ON b.doc_id = p.doc_id AND b.plane = p.plane
+    AND b.y = p.y0 AND b.x = p.x1
+  JOIN refc c ON c.doc_id = p.doc_id AND c.plane = p.plane
+    AND c.y = p.y1 AND c.x = p.x0
+  JOIN refc d ON d.doc_id = p.doc_id AND d.plane = p.plane
+    AND d.y = p.y1 AND d.x = p.x1
+),
+mvw AS (
+  SELECT doc_id,
+         CAST(SUM((mb + 1) * (100 * (mvx + 12) + (mvy + 12)))
+           AS BIGINT) AS mv_wsum
+  FROM mv GROUP BY doc_id
+),
+p1agg AS (
+  SELECT doc_id,
+         CAST(sum(v) AS BIGINT) AS sum_y,
+         CAST(sum(v * (1 + (y * {w} + gx) % 7)) AS BIGINT) AS wsum_y,
+         CAST(min(v) AS BIGINT) AS y_min,
+         CAST(max(v) AS BIGINT) AS y_max
+  FROM py1 GROUP BY doc_id
+),
+pcagg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN plane = 0 THEN v ELSE 0 END) AS BIGINT)
+           AS sum_cb,
+         CAST(sum(CASE WHEN plane = 1 THEN v ELSE 0 END) AS BIGINT)
+           AS sum_cr
+  FROM pc1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST({w} AS BIGINT) AS width,
+       CAST({h} AS BIGINT) AS height,
+       mw.mv_wsum,
+       l.sum_y, l.wsum_y, l.y_min, l.y_max,
+       c.sum_cb, c.sum_cr
+FROM documents d
+JOIN mvw mw ON mw.doc_id = d.doc_id
+JOIN p1agg l ON l.doc_id = d.doc_id
+JOIN pcagg c ON c.doc_id = d.doc_id
+"""
+    return _cavlc_oracle(mb_w, 1, "#mc", tail=tail)
 
 
 def m47_avif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10379,6 +10616,7 @@ QUERIES: list[Query] = [
         m45_h264_cabac_pixels,
         _cavlc_oracle(4, 1, "#cab"),
     ),
+    Query("llm_m46_h264_inter_pixels", m46_h264_inter_pixels, _m46_oracle()),
     Query("llm_m47_avif_pixels", m47_avif_pixels, _heif_oracle("#avif")),
     Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
