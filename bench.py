@@ -258,6 +258,7 @@ HEADLINE = [
     "an_a74_audience_overlap",
     "src_s9_multiline_json",
     "src_s10_binary_file_images",
+    "stream_q41_pipeline_ingest",
     "stream_q42_state_audit",
 ]
 

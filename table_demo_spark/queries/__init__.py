@@ -88,7 +88,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # get swapped for this round's NEW queries as they land — new
     # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
-    "llm_d1_dedup_exact",
     "llm_d2_dedup_minhash_lsh",
     "llm_p2_stratified_sample",
     "llm_m21_flac_pcm",
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m48_heic_pixels",
     "llm_m45_h264_cabac_pixels",
     "llm_m46_h264_inter_pixels",
+    "stream_q41_pipeline_ingest",
 )
 
 

@@ -1565,6 +1565,76 @@ def _q40_oracle() -> str:
     return _p17_oracle()
 
 
+def q41_pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED ingest pipeline: decontaminate -> mixture-sample
+    -> tokenize -> compressed shards, all inside ONE foreachBatch
+    (the four single-op ingest streams q39/q40/q26/q37 run as one
+    crawl flow).  The result reads the compressed store BACK: per
+    sampled doc, the BPE token stats plus the zstd-recovered text
+    signature.  The oracle is the composed batch SQL — p16's split
+    chain and p17's manifest thresholds select the kept docs INSIDE
+    the unrolled BPE train->apply oracle's apply predicate, joined
+    with the t35 text-signature restatement — so a doc kept by the
+    wrong stage, tokenized with the wrong vocabulary, or compressed
+    with the wrong source's dictionary breaks the value hash.  This
+    pins operator COMPOSABILITY, which no single-op query does."""
+    from table_demo_spark.operators import compress
+    from table_demo_spark.streaming.queries import run_q41_pipeline_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query, dicts = run_q41_pipeline_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    snap = sink.snapshot_df(spark)
+    dec = compress.decompress_stats(snap, dicts).select(
+        "doc_id", "orig_bytes", "recovered_sig"
+    )
+    return (
+        snap.select("doc_id", "n_before", "n_after", "n_merged")
+        .join(dec, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q41_oracle() -> str:
+    from table_demo_spark.operators.sampling import rate_threshold_hex
+    from table_demo_spark.queries.llmops import (
+        _bpe_train_apply_oracle,
+        _p16_oracle,
+        _p17_oracle,
+    )
+
+    train_where = (
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#bpetrain'), 1, 6)"
+        f" < '{rate_threshold_hex(0.25)}'"
+    )
+    # the composed keep-predicate: survived decontamination (p16's
+    # split says 'train') AND won the deterministic mixture draw
+    # (p17's per-source threshold) — both full oracle queries embed
+    # as derived tables (DuckDB allows WITH inside subqueries)
+    kept_where = f"""WHERE doc_id IN (
+  SELECT d2.doc_id
+  FROM documents d2
+  JOIN ({_p16_oracle()}) s ON s.doc_id = d2.doc_id
+  JOIN ({_p17_oracle()}) m ON m.source = d2.source
+  WHERE s.split = 'train'
+    AND CAST('0x' || substring(
+          md5('mix' || CAST(d2.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 1048576 < m.thresh
+)"""
+    from table_demo_spark.streaming.queries import _Q26_ITERS
+
+    bpe = _bpe_train_apply_oracle(train_where, kept_where, _Q26_ITERS)
+    return f"""
+SELECT b.doc_id, b.n_before, b.n_after, b.n_merged,
+       CAST(strlen(d.text) AS BIGINT) AS orig_bytes,
+       CAST('0x' || substring(md5(d.text), 1, 8) AS BIGINT)
+         AS recovered_sig
+FROM ({bpe}) b
+JOIN documents d ON d.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def s20_serve_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVE leg of the vector-store lifecycle, closing its last
     seam: llm_s18's beam walk runs over the edge store stream_q35
@@ -1963,6 +2033,7 @@ QUERIES: list[Query] = [
     Query("stream_q39_decontam_ingest", q39_decontam_final, _q39_oracle()),
     Query("stream_q40_mixture_ingest", q40_mixture_ingest_final, _q40_oracle()),
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
+    Query("stream_q41_pipeline_ingest", q41_pipeline_final, _q41_oracle()),
     Query("stream_q42_state_audit", q42_state_audit_final, Q42_STATE_AUDIT_ORACLE),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

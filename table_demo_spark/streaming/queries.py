@@ -4008,3 +4008,190 @@ def run_q42_state_rollup(
         .start()
     )
     return query, ckpt
+
+
+def run_q41_pipeline_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    checkpoint: str | None = None,
+    n_shards: int = 4,
+):
+    """THE COMPOSED INGEST PIPELINE (r12 VERDICT #5) — the four
+    pipeline ops that existed as separate streams run as ONE, the way
+    a production crawl actually flows: every arriving micro-batch is
+    DECONTAMINATED against the offline eval-fingerprint store (q39's
+    band-probe + Jaccard verify), the surviving train docs are
+    MIXTURE-SAMPLED by the offline temperature manifest's
+    deterministic md5 draw (q40), and exactly the sampled winners are
+    TOKENIZED with the offline-learned BPE vocabulary (q26) and
+    written as dictionary-COMPRESSED zstd frames (q37) — one
+    foreachBatch, one static ``b=`` subtree per batch (replay-
+    idempotent by construction).  This is the composability test no
+    single-op stream performs: operator boundaries (split labels,
+    draw thresholds, vocabulary, dictionaries) must agree ACROSS ops
+    inside one batch.  All four offline artifacts are bounded by
+    construction (eval fingerprints by the eval split, the manifest
+    by |sources|, merges by the iteration count, dictionaries by the
+    training cap), so the per-batch cost stays O(batch x collisions).
+    Returns (sink, query, dicts)."""
+    import os
+
+    from table_demo_spark.operators import compress, dedup
+    from table_demo_spark.operators.bpe import bpe_apply_vocab, bpe_learn
+    from table_demo_spark.operators.sampling import hash_sample
+    from table_demo_spark.queries.llmops import JACCARD_THRESHOLD
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    if sink is None:
+        sink = ParquetAppendSink(scratch_dir("tds-q41-"), ("b",))
+    fp_dir = sink.path.rstrip("/") + "-evalfp"
+
+    def is_test_col():
+        return F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#split16"))
+            ),
+            1, 1,
+        ).isin("0", "1")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # offline artifact 1: eval-set fingerprints (q39)
+    tsh = dedup.shingle_sets(docs.filter(is_test_col()), 2)
+    tsh.write.mode("overwrite").parquet(fp_dir + "/sh")
+    dedup.band_keys_frame(dedup.minhash_signatures(tsh)).write.mode(
+        "overwrite"
+    ).parquet(fp_dir + "/bands")
+    # offline artifact 2: the temperature manifest (q40's p17 math,
+    # BIGINT-exact), collected — |sources| rows by construction
+    total = docs.count()
+    budget = total // 2
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    k0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    isq = (
+        k0 - (k0 * k0 > F.col("n")).cast("long")
+        + ((k0 + 1) * (k0 + 1) <= F.col("n")).cast("long")
+    )
+    per = per.withColumn("w", isq)
+    wsum = per.agg(F.sum("w")).collect()[0][0]
+    manifest = [
+        (r["source"], int(r["thresh"]))
+        for r in per.withColumn(
+            "quota", F.expr(f"CAST(({budget} * w) DIV {wsum} AS BIGINT)")
+        ).withColumn(
+            "thresh",
+            F.least(
+                F.lit(1 << 20).cast("long"),
+                F.expr(f"CAST((quota * {1 << 20}) DIV n AS BIGINT)"),
+            ),
+        ).collect()
+    ]
+    # offline artifacts 3 + 4: the tokenizer vocabulary (q26) and the
+    # per-source compression dictionaries (q37)
+    merges = bpe_learn(
+        hash_sample(docs, 0.25, key_col="doc_id", salt="bpetrain"),
+        iters=_Q26_ITERS,
+    )
+    dicts = compress.train_source_dicts(docs)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        arr = batch_df.withColumn("is_test", is_test_col()).persist()
+        try:
+            # stage 1: decontaminate (q39's probe)
+            train = arr.filter(~F.col("is_test")).select("doc_id", "text")
+            sh = dedup.shingle_sets(train, 2).persist()
+            try:
+                bands = dedup.band_keys_frame(dedup.minhash_signatures(sh))
+                tb = session.read.parquet(fp_dir + "/bands").select(
+                    "band", "key", F.col("doc_id").alias("test_id")
+                )
+                cand = (
+                    bands.join(tb, ["band", "key"])
+                    .select("doc_id", "test_id")
+                    .distinct()
+                )
+                tshr = session.read.parquet(fp_dir + "/sh").select(
+                    F.col("doc_id").alias("test_id"),
+                    F.col("shingles").alias("sh_b"),
+                )
+                j = (
+                    cand.join(
+                        sh.select(
+                            "doc_id", F.col("shingles").alias("sh_a")
+                        ),
+                        "doc_id",
+                    )
+                    .join(tshr, "test_id")
+                )
+                inter = F.size(F.array_intersect("sh_a", "sh_b"))
+                union = F.size("sh_a") + F.size("sh_b") - inter
+                quar = (
+                    j.filter(
+                        inter.cast("double") / union.cast("double")
+                        >= JACCARD_THRESHOLD
+                    )
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("__q", F.lit(True))
+                )
+                # stage 2: mixture-sample the CLEAN train docs
+                man = session.createDataFrame(
+                    manifest, "source string, thresh long"
+                )
+                u = (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("mix"),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                            1, 15,
+                        ),
+                        16, 10,
+                    ).cast("long")
+                    % (1 << 20)
+                )
+                kept = (
+                    arr.filter(~F.col("is_test"))
+                    .join(quar, "doc_id", "left_anti")
+                    .join(F.broadcast(man), "source")
+                    .filter(u < F.col("thresh"))
+                    .select("doc_id", "text", "source")
+                    .persist()
+                )
+                try:
+                    # stage 3 + 4: tokenize and compress the winners
+                    tok = bpe_apply_vocab(kept, merges)
+                    frames = compress.compress_frames(kept, dicts)
+                    (
+                        tok.join(frames, "doc_id")
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(sink.path, f"b={batch_id}"))
+                    )
+                finally:
+                    kept.unpersist()
+            finally:
+                sh.unpersist()
+        finally:
+            arr.unpersist()
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .start()
+    )
+    return sink, query, dicts

@@ -1679,3 +1679,58 @@ def test_q35_incremental_graph_equals_batch_build(spark):
         for r in s18_graph_edges(emb, bits).collect()
     }
     assert {(s, d) for (s, d, _) in got} == want
+
+
+def test_q41_pipeline_restart_replays_byte_stably(spark, tmp_path):
+    """Composed-pipeline replay: every stage inside the one
+    foreachBatch is deterministic (md5 split, md5 draw, offline
+    vocabulary/dictionaries) and each batch statically overwrites its
+    b= subtree, so a forged crash (last commit deleted, its crc
+    shadow too) must reproduce the identical sampled/tokenized/
+    compressed store — the cross-OP composability version of the q40
+    replay pin."""
+    import os
+
+    from table_demo_spark.queries.streaming import _drain, _state_partitions
+    from table_demo_spark.streaming.queries import run_q41_pipeline_ingest
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    def rows(s):
+        return {
+            (
+                int(r["doc_id"]), int(r["n_before"]), int(r["n_after"]),
+                int(r["n_merged"]), int(r["orig_bytes"]),
+                bytes(r["frame"]),
+            )
+            for r in s.snapshot_df(spark)
+            .select(
+                "doc_id", "n_before", "n_after", "n_merged",
+                "orig_bytes", "frame",
+            )
+            .collect()
+        }
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = ParquetAppendSink(str(tmp_path / "store"), ("b",))
+    with _state_partitions(spark, no_data=False):
+        _, q, _ = run_q41_pipeline_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q, sink.count, quiet_polls=1)
+    want = rows(sink)
+    assert len(want) > 0
+    last = max(
+        int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _state_partitions(spark, no_data=False):
+        _, q2, _ = run_q41_pipeline_ingest(
+            spark, SF_SMOKE, sink=sink, checkpoint=ckpt
+        )
+        _drain(q2, sink.count, quiet_polls=1)
+    spark.catalog.refreshByPath(sink.path)
+    assert rows(sink) == want
