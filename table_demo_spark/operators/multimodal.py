@@ -3142,7 +3142,16 @@ def with_heif_payload(docs: DataFrame, compression: int) -> DataFrame:
     if compression == heif.COMPRESSION_AV1:
         salt, params = "#avif", (("speed", "9"), ("threads", "1"))
     elif compression == heif.COMPRESSION_HEVC:
-        salt, params = "#heic", (("preset", "ultrafast"),)
+        # x265:-prefixed params pass through the libheif plugin to
+        # x265_param_parse; without them each encoder instance spins
+        # a pools(ncpu) thread pool and 32 concurrent Spark workers
+        # thrash the box (measured r13: 124 s -> single-digit s at
+        # sf0.1 with pools pinned; lossless unaffected)
+        salt, params = "#heic", (
+            ("preset", "ultrafast"),
+            ("x265:pools", "none"),
+            ("x265:frame-threads", "1"),
+        )
     else:
         raise ValueError(f"unsupported HEIF compression {compression}")
 
