@@ -260,6 +260,7 @@ HEADLINE = [
     "src_s10_binary_file_images",
     "stream_q41_pipeline_ingest",
     "stream_q42_state_audit",
+    "stream_q43_avif_ingest",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

@@ -88,9 +88,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # get swapped for this round's NEW queries as they land — new
     # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
-    "llm_d2_dedup_minhash_lsh",
     "llm_p2_stratified_sample",
-    "llm_m21_flac_pcm",
+    "llm_d2_dedup_minhash_lsh",
     "src_s9_multiline_json",
     "stream_q25_streaming_neardup",
     # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m45_h264_cabac_pixels",
     "llm_m46_h264_inter_pixels",
     "stream_q41_pipeline_ingest",
+    "stream_q43_avif_ingest",
 )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
+from table_demo_spark.queries.llmops import _heif_oracle as _heif_oracle_gen
 from table_demo_spark.queries.analytics import A12_ORACLE as _A12_ORACLE
 from table_demo_spark.queries.llmops import _m19_oracle
 
@@ -1177,6 +1178,26 @@ def q28_media_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_avif_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous REAL-codec media decode (streaming m47): each
+    arriving shard's documents get a genuine AVIF container encoded
+    lossless by libaom and decoded back through dav1d — the
+    third-party codec stack at ingest, by the SAME stateless Arrow
+    chain the batch query uses.  No state store, no watermark,
+    O(batch) per trigger; oracle = m47's source-plane restatement
+    verbatim, so a doc dropped or decoded twice at a micro-batch
+    boundary breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q43_avif_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q43_avif_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "width", "height", "sum_y", "wsum_y",
+        "sum_cb", "sum_cr", "wsum_c",
+    ).orderBy("doc_id")
+
+
 def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous COLOR media decode (streaming m19): arriving shards'
     documents get a real 3-component 4:2:0 JFIF payload built and
@@ -2035,6 +2056,7 @@ QUERIES: list[Query] = [
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("stream_q41_pipeline_ingest", q41_pipeline_final, _q41_oracle()),
     Query("stream_q42_state_audit", q42_state_audit_final, Q42_STATE_AUDIT_ORACLE),
+    Query("stream_q43_avif_ingest", q43_avif_ingest_final, _heif_oracle_gen("#avif")),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),
 ]

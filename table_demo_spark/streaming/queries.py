@@ -4195,3 +4195,36 @@ def run_q41_pipeline_ingest(
         .start()
     )
     return sink, query, dicts
+
+
+def run_q43_avif_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Continuously decode REAL AVIF media at ingest — q28's
+    continuous-decode shape upgraded from the from-spec JPEG chain to
+    the third-party codec stack (m47's operators: libaom encode in
+    the payload builder, dav1d decode in the stats map, both via
+    ctypes libheif).  Stateless Arrow maps per micro-batch, no state
+    store, O(batch) per trigger.  Returns (sink, query)."""
+    from table_demo_spark.operators import heif, multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.heif_pixel_stats(
+        multimodal.with_heif_payload(docs, heif.COMPRESSION_AV1)
+    )
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q43-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
