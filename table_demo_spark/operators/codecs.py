@@ -8038,3 +8038,169 @@ def decode_h264_p16x16_slice(
             ref_cr, cy, cx, 8, 8, mvx, mvy
         )
     return hdr, y, cb, cr, mvs
+
+
+# ---------------------------------------------------------------------------
+# HEVC / HEIF structure layer (r13) — the ingest-triage walk for the
+# H.265 family, adjudicated against REAL x265 bitstreams (the m48
+# fixtures' containers): ISOBMFF box tree -> item properties ->
+# HEVCDecoderConfigurationRecord (ISO/IEC 14496-15 8.3.3.1) -> the
+# H.265 7.3.2.2.1 SPS bit walk (profile_tier_level, CTU-padded
+# picture geometry, chroma format, bit depths).  x265 signals the
+# Main Still Picture profile (general_profile_idc 3) at level 8.5
+# (general_level_idc 255) and pads pictures to 16-sample multiples
+# with a 64-sample minimum — libheif records the TRUE dimensions in
+# the ispe item property (and, below 64, adds a cropped derived
+# item, which this layer rejects loudly rather than resolving ipma
+# chains — the fixture keeps dims >= 64).
+# ---------------------------------------------------------------------------
+
+
+def isobmff_boxes(data: bytes, off: int = 0, end: int | None = None):
+    """One level of ISOBMFF (14496-12 4.2) box headers: list of
+    (type, payload_start, payload_end); size==1 reads the 64-bit
+    largesize, size==0 extends to the enclosing end."""
+    end = len(data) if end is None else end
+    out = []
+    while off + 8 <= end:
+        size = int.from_bytes(data[off:off + 4], "big")
+        typ = data[off + 4:off + 8].decode("latin1")
+        if size == 1:
+            size = int.from_bytes(data[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+            hdr = 8
+        else:
+            hdr = 8
+        if size < hdr or off + size > end:
+            raise ValueError(f"ISOBMFF: bad box size {size} for {typ!r}")
+        out.append((typ, off + hdr, off + size))
+        off += size
+    return out
+
+
+_ISOBMFF_FULLBOXES = frozenset({"meta"})
+
+
+def isobmff_find(data: bytes, path: list[str]):
+    """All payload spans reached by descending ``path`` from the top
+    level (FullBox version/flags skipped where the container is one)."""
+    spans = [(0, len(data))]
+    for name in path:
+        nxt = []
+        for off, end in spans:
+            for typ, bo, be in isobmff_boxes(data, off, end):
+                if typ == name:
+                    skip = 4 if name in _ISOBMFF_FULLBOXES else 0
+                    nxt.append((bo + skip, be))
+        spans = nxt
+    return spans
+
+
+def parse_hvcc(cfg: bytes) -> dict:
+    """HEVCDecoderConfigurationRecord (14496-15 8.3.3.1): the general
+    PTL mirror fields plus the parameter-set NAL arrays."""
+    if len(cfg) < 23 or cfg[0] != 1:
+        raise ValueError("hvcC: bad configurationVersion")
+    out = {
+        "profile_space": cfg[1] >> 6,
+        "tier": (cfg[1] >> 5) & 1,
+        "profile_idc": cfg[1] & 0x1F,
+        "level_idc": cfg[12],
+        "nal_length_size": (cfg[21] & 3) + 1,
+        "param_sets": [],
+    }
+    p = 23
+    for _ in range(cfg[22]):
+        nal_type = cfg[p] & 0x3F
+        cnt = int.from_bytes(cfg[p + 1:p + 3], "big")
+        p += 3
+        for _ in range(cnt):
+            ln = int.from_bytes(cfg[p:p + 2], "big")
+            p += 2
+            out["param_sets"].append((nal_type, cfg[p:p + ln]))
+            p += ln
+    return out
+
+
+def parse_hevc_sps(nal: bytes) -> dict:
+    """H.265 7.3.2.2.1 SPS walk through profile_tier_level (7.3.3)
+    and the picture geometry — 2-byte NAL header, then the RBSP
+    (H.265 shares H.264's emulation-prevention escape).  Sub-layers,
+    chroma_format 3's separate-planes flag, and anything beyond the
+    bit depths are out of scope and fail loudly where they would
+    change the walked bit positions."""
+    if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 33:
+        raise ValueError("HEVC: not an SPS NAL")
+    rbsp = h264_unescape_rbsp(nal[2:])
+    br = _BitReader(rbsp)
+    out = {"vps_id": br.bits(4)}
+    max_sub = br.bits(3)
+    br.bits(1)  # sps_temporal_id_nesting_flag
+    out["profile_space"] = br.bits(2)
+    out["tier"] = br.bits(1)
+    out["profile_idc"] = br.bits(5)
+    out["compat_flags"] = br.bits(32)
+    br.bits(4)   # progressive/interlaced/non_packed/frame_only
+    br.bits(32)
+    br.bits(11)
+    br.bits(1)   # general_reserved_zero_43bits + inbld
+    out["level_idc"] = br.bits(8)
+    if max_sub:
+        raise ValueError("HEVC: sub-layer PTL entries unsupported")
+    out["sps_id"] = _expgolomb_ue(br)
+    out["chroma_format_idc"] = _expgolomb_ue(br)
+    if out["chroma_format_idc"] == 3:
+        raise ValueError("HEVC: 4:4:4 separate-planes flag unsupported")
+    out["pic_w"] = _expgolomb_ue(br)
+    out["pic_h"] = _expgolomb_ue(br)
+    if br.bits(1):  # conformance_window_flag
+        out["crop_l"] = _expgolomb_ue(br)
+        out["crop_r"] = _expgolomb_ue(br)
+        out["crop_t"] = _expgolomb_ue(br)
+        out["crop_b"] = _expgolomb_ue(br)
+    else:
+        out["crop_l"] = out["crop_r"] = out["crop_t"] = out["crop_b"] = 0
+    out["bit_depth_luma"] = _expgolomb_ue(br) + 8
+    out["bit_depth_chroma"] = _expgolomb_ue(br) + 8
+    return out
+
+
+def hevc_heic_structure(data: bytes) -> dict:
+    """The m49 walk over one HEIC container: locate hvcC + ispe under
+    meta/iprp/ipco, parse the SPS, and return the structure fields.
+    A second ispe (libheif's padded-image + crop shape for sub-64
+    dimensions) fails loudly — resolving ipma property associations
+    is the declared extension point."""
+    hvcc_spans = isobmff_find(data, ["meta", "iprp", "ipco", "hvcC"])
+    ispe_spans = isobmff_find(data, ["meta", "iprp", "ipco", "ispe"])
+    if len(hvcc_spans) != 1:
+        raise ValueError(f"HEIC: {len(hvcc_spans)} hvcC boxes")
+    if len(ispe_spans) != 1:
+        raise ValueError(
+            f"HEIC: {len(ispe_spans)} ispe boxes (derived crop items"
+            " are the declared extension point)"
+        )
+    o, e = hvcc_spans[0]
+    cfg = parse_hvcc(data[o:e])
+    sps_nals = [n for t, n in cfg["param_sets"] if t == 33]
+    if len(sps_nals) != 1:
+        raise ValueError(f"HEIC: {len(sps_nals)} SPS NALs in hvcC")
+    sps = parse_hevc_sps(sps_nals[0])
+    if (sps["profile_idc"], sps["level_idc"]) != (
+        cfg["profile_idc"], cfg["level_idc"],
+    ):
+        raise ValueError("HEIC: hvcC PTL mirror disagrees with SPS")
+    o, e = ispe_spans[0]
+    return {
+        "width": int.from_bytes(data[o + 4:o + 8], "big"),
+        "height": int.from_bytes(data[o + 8:o + 12], "big"),
+        "pic_w": sps["pic_w"],
+        "pic_h": sps["pic_h"],
+        "profile_idc": sps["profile_idc"],
+        "level_idc": sps["level_idc"],
+        "chroma_format_idc": sps["chroma_format_idc"],
+        "bit_depth": sps["bit_depth_luma"],
+        "n_param_sets": len(cfg["param_sets"]),
+    }

@@ -3400,3 +3400,80 @@ def h264_mc_stats(docs_with_payload: DataFrame) -> DataFrame:
             "sum_cb long, sum_cr long"
         ),
     )
+
+
+# -- HEVC structure-walk fixture (m49, r13) ----------------------------------
+
+
+def hevc_structure_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, width, height, pic_w, pic_h, profile_idc, level_idc,
+    chroma_format_idc, bit_depth, n_param_sets): per document, a REAL
+    x265-encoded HEIC container is built at md5-drawn dimensions
+    (w, h = 64 + 8*(byte % 9) each — multiples of 8 in [64, 128], so
+    libheif emits a single image item and the x265 16-sample padding
+    varies per doc), then walked from scratch — ISOBMFF boxes,
+    hvcC, the H.265 SPS bit walk — with the parsed true dimensions
+    cross-checked against libheif's own decode IN the operator (a
+    from-spec parser adjudicated against the third-party stack on
+    every row).  The oracle restates the dimension draw and the
+    padding arithmetic; profile 3 / level 255 / chroma 1 / depth 8
+    are what x265 factually signals for still pictures."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import hevc_heic_structure
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = (
+            ("preset", "ultrafast"),
+            ("x265:pools", "none"),
+            ("x265:frame-threads", "1"),
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 1, "#hevc")
+                w = 64 + 8 * (raw[0] % 9)
+                h = 64 + 8 * (raw[1] % 9)
+                gy, gx = np.indices((h, w))
+                y = (70 + (gy + gx + int(doc_id)) % 111).astype(np.uint8)
+                cy, cx = np.indices((h // 2, w // 2))
+                cb = (108 + (cy + int(doc_id)) % 41).astype(np.uint8)
+                cr = (108 + (cx + int(doc_id)) % 41).astype(np.uint8)
+                data = heif.encode_heif(
+                    y, cb, cr, heif.COMPRESSION_HEVC, params
+                )
+                st = hevc_heic_structure(data)
+                if (st["width"], st["height"]) != (w, h):
+                    raise ValueError(
+                        f"HEIC ispe {st['width']}x{st['height']}"
+                        f" != planted {w}x{h}"
+                    )
+                dy, _, _ = heif.decode_heif(data)
+                if dy.shape != (h, w):
+                    raise ValueError(
+                        f"libheif decode {dy.shape} != planted {h, w}"
+                    )
+                rows.append(
+                    (int(doc_id), st["width"], st["height"],
+                     st["pic_w"], st["pic_h"], st["profile_idc"],
+                     st["level_idc"], st["chroma_format_idc"],
+                     st["bit_depth"], st["n_param_sets"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "pic_w", "pic_h",
+                    "profile_idc", "level_idc", "chroma_format_idc",
+                    "bit_depth", "n_param_sets",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        build,
+        schema=(
+            "doc_id long, width long, height long, pic_w long, "
+            "pic_h long, profile_idc long, level_idc long, "
+            "chroma_format_idc long, bit_depth long, n_param_sets long"
+        ),
+    )

@@ -88,10 +88,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # get swapped for this round's NEW queries as they land — new
     # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
-    "llm_p2_stratified_sample",
     "llm_d2_dedup_minhash_lsh",
+    "llm_p2_stratified_sample",
     "src_s9_multiline_json",
-    "stream_q25_streaming_neardup",
     # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "stream_q42_state_audit",
     "llm_m47_avif_pixels",
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m46_h264_inter_pixels",
     "stream_q41_pipeline_ingest",
     "stream_q43_avif_ingest",
+    "llm_m49_hevc_structure",
 )
 
 

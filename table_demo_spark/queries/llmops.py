@@ -8253,6 +8253,53 @@ ORDER BY doc_id
 """
 
 
+def m49_hevc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC INGEST TRIAGE over real x265 bitstreams — the H.265
+    sibling of the m30/m34 H.264 structure walks, with a stronger
+    adjudicator: every container is produced by the genuine x265
+    encoder, so the from-spec ISOBMFF -> hvcC -> SPS walk
+    (operators/codecs.py::hevc_heic_structure) is checked against a
+    third-party bitstream per row, and the parsed true dimensions are
+    additionally cross-checked against libheif's own decode inside
+    the operator.  Dimensions draw per doc (multiples of 8 in
+    [64, 128]) so the 16-sample SPS padding arithmetic sits on the
+    value hash; x265 factually signals Main Still Picture (profile 3)
+    at level 8.5 (255), 4:2:0, 8-bit, 3 parameter sets.  Sub-64
+    pictures (libheif's padded+cropped derived-item shape) and ipma
+    property-association resolution are the declared extension
+    points."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_structure_stats(docs).orderBy("doc_id")
+
+
+def _m49_oracle() -> str:
+    def byte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '#hevc' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(((w + 15) // 16) * 16 AS BIGINT) AS pic_w,
+       CAST(((h + 15) // 16) * 16 AS BIGINT) AS pic_h,
+       CAST(3 AS BIGINT) AS profile_idc,
+       CAST(255 AS BIGINT) AS level_idc,
+       CAST(1 AS BIGINT) AS chroma_format_idc,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(3 AS BIGINT) AS n_param_sets
+FROM (
+  SELECT doc_id,
+         64 + 8 * ({byte(0)} % 9) AS w,
+         64 + 8 * ({byte(1)} % 9) AS h
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -10619,6 +10666,7 @@ QUERIES: list[Query] = [
     Query("llm_m46_h264_inter_pixels", m46_h264_inter_pixels, _m46_oracle()),
     Query("llm_m47_avif_pixels", m47_avif_pixels, _heif_oracle("#avif")),
     Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
+    Query("llm_m49_hevc_structure", m49_hevc_structure, _m49_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

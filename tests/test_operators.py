@@ -3381,3 +3381,43 @@ def test_decode_image_dispatches_heif_containers():
     ):
         rgb = decode_image(heif.encode_heif(y, cb, cr, comp, params))
         assert rgb.shape == (48, 64, 3) and rgb.dtype == np.uint8
+
+
+def test_hevc_structure_walk_and_negatives():
+    """The m49 walk parses a real x265 container (dims from SPS
+    padding must reconcile with the ispe true dims), and the declared
+    extension points fail loudly: sub-64 pictures (libheif's
+    padded+cropped two-ispe shape) and truncated boxes."""
+    import numpy as np
+
+    heif = _heif_mod()
+    from table_demo_spark.operators.codecs import (
+        hevc_heic_structure,
+        isobmff_boxes,
+    )
+
+    params = (
+        ("preset", "ultrafast"), ("x265:pools", "none"),
+        ("x265:frame-threads", "1"),
+    )
+    rng = np.random.default_rng(81)
+    y = (70 + rng.integers(0, 111, (72, 104))).astype(np.uint8)
+    cb = (108 + rng.integers(0, 41, (36, 52))).astype(np.uint8)
+    cr = (108 + rng.integers(0, 41, (36, 52))).astype(np.uint8)
+    data = heif.encode_heif(y, cb, cr, heif.COMPRESSION_HEVC, params)
+    st = hevc_heic_structure(data)
+    assert (st["width"], st["height"]) == (104, 72)
+    assert (st["pic_w"], st["pic_h"]) == (112, 80)  # ceil-16 padding
+    assert st["profile_idc"] == 3 and st["level_idc"] == 255
+    assert st["chroma_format_idc"] == 1 and st["bit_depth"] == 8
+    # sub-64 pictures produce the two-ispe derived-crop shape
+    small = heif.encode_heif(
+        y[:48, :56], cb[:24, :28], cr[:24, :28],
+        heif.COMPRESSION_HEVC, params,
+    )
+    with pytest.raises(ValueError):
+        hevc_heic_structure(small)
+    with pytest.raises(ValueError):
+        hevc_heic_structure(data[: len(data) // 3])
+    with pytest.raises(ValueError):
+        isobmff_boxes(b"\x00\x00\x00\xff" + b"ftypXXXX")  # bad size
