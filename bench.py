@@ -225,6 +225,7 @@ HEADLINE = [
     "llm_m47_avif_pixels",
     "llm_m48_heic_pixels",
     "llm_m49_hevc_structure",
+    "llm_m50_av1_structure",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

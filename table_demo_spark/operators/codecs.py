@@ -8204,3 +8204,122 @@ def hevc_heic_structure(data: bytes) -> dict:
         "bit_depth": sps["bit_depth_luma"],
         "n_param_sets": len(cfg["param_sets"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# AV1 structure layer (r13) — the OBU walk for the AV1 family over
+# REAL libaom bitstreams (the m47 fixtures' AVIF containers): av1C
+# (AV1CodecConfigurationBox, AVIF spec 2.2.1) + the low-overhead OBU
+# framing (AV1 spec 5.2/5.3: obu_header, leb128 sizes) + the
+# reduced-still-picture sequence header (5.5.1) whose
+# max_frame_width/height carry the EXACT picture dimensions (no
+# padding — AV1 codes arbitrary sizes natively, unlike HEVC's
+# CTU-padded SPS + ispe split the m49 walk reconciles).
+# ---------------------------------------------------------------------------
+
+
+def av1_leb128(data: bytes, p: int) -> tuple[int, int]:
+    """AV1 4.10.5 leb128: (value, next_offset); >8 bytes fails."""
+    v = 0
+    for i in range(8):
+        if p >= len(data):
+            raise ValueError("AV1: truncated leb128")
+        b = data[p]
+        p += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not (b & 0x80):
+            return v, p
+    raise ValueError("AV1: leb128 over 8 bytes")
+
+
+def av1_obus(data: bytes) -> list:
+    """Walk a low-overhead OBU stream: [(obu_type, payload)].
+    Extension headers are skipped; size-field-less OBUs (only legal
+    for the last OBU of a temporal unit in length-delimited
+    containers) fail loudly."""
+    p, out = 0, []
+    while p < len(data):
+        b0 = data[p]
+        p += 1
+        if b0 & 0x80:
+            raise ValueError("AV1: obu_forbidden_bit set")
+        typ = (b0 >> 3) & 0xF
+        if (b0 >> 2) & 1:  # extension header
+            p += 1
+        if not ((b0 >> 1) & 1):
+            raise ValueError("AV1: OBU without obu_has_size_field")
+        sz, p = av1_leb128(data, p)
+        if p + sz > len(data):
+            raise ValueError("AV1: truncated OBU payload")
+        out.append((typ, data[p:p + sz]))
+        p += sz
+    return out
+
+
+def parse_av1_sequence_header(payload: bytes) -> dict:
+    """AV1 5.5.1 sequence_header_obu for the still-picture shape
+    libaom emits in AVIF (reduced_still_picture_header = 1): profile,
+    level, and the exact frame dimensions.  The full (non-reduced)
+    header is the declared extension point."""
+    br = _BitReader(payload)
+    d = {
+        "seq_profile": br.bits(3),
+        "still_picture": br.bits(1),
+        "reduced_header": br.bits(1),
+    }
+    if not d["reduced_header"]:
+        raise ValueError("AV1: non-reduced sequence header unsupported")
+    d["seq_level_idx"] = br.bits(5)
+    wb = br.bits(4) + 1
+    hb = br.bits(4) + 1
+    d["width"] = br.bits(wb) + 1
+    d["height"] = br.bits(hb) + 1
+    return d
+
+
+def av1_avif_structure(data: bytes) -> dict:
+    """The m50 walk over one AVIF container: av1C + ispe properties,
+    then the mdat OBU stream's sequence header — dimensions must
+    agree between the OBU layer and the container's ispe (two
+    independent statements of the same fact inside one real file)."""
+    av1c = isobmff_find(data, ["meta", "iprp", "ipco", "av1C"])
+    ispe = isobmff_find(data, ["meta", "iprp", "ipco", "ispe"])
+    if len(av1c) != 1 or len(ispe) != 1:
+        raise ValueError(
+            f"AVIF: {len(av1c)} av1C / {len(ispe)} ispe boxes"
+        )
+    o, e = av1c[0]
+    cfg = data[o:e]
+    if len(cfg) < 4 or cfg[0] != 0x81:
+        raise ValueError("AVIF: bad av1C marker/version")
+    mdat = [s for t, *s in
+            [(t, bo, be) for t, bo, be in isobmff_boxes(data)]
+            if t == "mdat"]
+    if len(mdat) != 1:
+        raise ValueError(f"AVIF: {len(mdat)} mdat boxes")
+    seq = None
+    n_obus = 0
+    for typ, payload in av1_obus(data[mdat[0][0]:mdat[0][1]]):
+        n_obus += 1
+        if typ == 1:
+            if seq is not None:
+                raise ValueError("AVIF: multiple sequence headers")
+            seq = parse_av1_sequence_header(payload)
+    if seq is None:
+        raise ValueError("AVIF: no sequence header OBU")
+    o, e = ispe[0]
+    iw = int.from_bytes(data[o + 4:o + 8], "big")
+    ih = int.from_bytes(data[o + 8:o + 12], "big")
+    if (iw, ih) != (seq["width"], seq["height"]):
+        raise ValueError(
+            f"AVIF: ispe {iw}x{ih} != sequence header"
+            f" {seq['width']}x{seq['height']}"
+        )
+    return {
+        **seq,
+        "n_obus": n_obus,
+        "chroma_sub_x": (cfg[2] >> 3) & 1,
+        "chroma_sub_y": (cfg[2] >> 2) & 1,
+        "high_bitdepth": (cfg[2] >> 6) & 1,
+        "monochrome": (cfg[2] >> 5) & 1,
+    }

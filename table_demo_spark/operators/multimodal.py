@@ -3477,3 +3477,72 @@ def hevc_structure_stats(docs: DataFrame) -> DataFrame:
             "chroma_format_idc long, bit_depth long, n_param_sets long"
         ),
     )
+
+
+def av1_structure_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, width, height, seq_profile, seq_level_idx,
+    still_picture, n_obus, chroma_sub_x, chroma_sub_y): m50's AV1
+    structure walk — per document a REAL libaom-encoded AVIF at
+    md5-drawn EXACT dimensions (w, h = 2*(22 + byte % 43), even in
+    [44, 128] — no alignment constraint: AV1 codes arbitrary sizes,
+    which is precisely what the walk verifies against the container's
+    ispe), parsed from scratch (ISOBMFF -> av1C -> OBU framing ->
+    reduced-still-picture sequence header) with libheif's decode
+    cross-checked in the operator."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import av1_avif_structure
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = (("speed", "9"), ("threads", "1"))
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), 1, "#av1s")
+                w = 2 * (22 + raw[0] % 43)
+                h = 2 * (22 + raw[1] % 43)
+                gy, gx = np.indices((h, w))
+                y = (70 + (gy + 2 * gx + int(doc_id)) % 111).astype(
+                    np.uint8
+                )
+                cy, cx = np.indices(((h + 1) // 2, (w + 1) // 2))
+                cb = (108 + (cy + int(doc_id)) % 41).astype(np.uint8)
+                cr = (108 + (cx + int(doc_id)) % 41).astype(np.uint8)
+                data = heif.encode_heif(
+                    y, cb, cr, heif.COMPRESSION_AV1, params
+                )
+                st = av1_avif_structure(data)
+                if (st["width"], st["height"]) != (w, h):
+                    raise ValueError(
+                        f"AVIF seq header {st['width']}x{st['height']}"
+                        f" != planted {w}x{h}"
+                    )
+                dy, _, _ = heif.decode_heif(data)
+                if dy.shape != (h, w):
+                    raise ValueError(
+                        f"libheif decode {dy.shape} != planted {h, w}"
+                    )
+                rows.append(
+                    (int(doc_id), st["width"], st["height"],
+                     st["seq_profile"], st["seq_level_idx"],
+                     st["still_picture"], st["n_obus"],
+                     st["chroma_sub_x"], st["chroma_sub_y"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "seq_profile",
+                    "seq_level_idx", "still_picture", "n_obus",
+                    "chroma_sub_x", "chroma_sub_y",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        build,
+        schema=(
+            "doc_id long, width long, height long, seq_profile long, "
+            "seq_level_idx long, still_picture long, n_obus long, "
+            "chroma_sub_x long, chroma_sub_y long"
+        ),
+    )

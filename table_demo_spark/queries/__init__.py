@@ -64,7 +64,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m16_pcm_vad_segments",
     "llm_m17_jpeg_dc",
     "llm_m18_jpeg_restart_parallel",
-    "llm_m6_vad_segments",
     "llm_m9_scene_cuts",
     "llm_s13_filtered_ann",
     "llm_s5_kmeans_refine",
@@ -89,8 +88,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # queries have no CORRECTNESS row yet, so they count as
     # oldest-of-all and keep the due-count intact.
     "llm_d2_dedup_minhash_lsh",
-    "llm_p2_stratified_sample",
     "src_s9_multiline_json",
+    "llm_p2_stratified_sample",
     # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
     "stream_q42_state_audit",
     "llm_m47_avif_pixels",
@@ -100,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q41_pipeline_ingest",
     "stream_q43_avif_ingest",
     "llm_m49_hevc_structure",
+    "llm_m50_av1_structure",
 )
 
 

@@ -8300,6 +8300,46 @@ ORDER BY doc_id
 """
 
 
+def m50_av1_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 INGEST TRIAGE over real libaom bitstreams — m49's sibling
+    for the other modern codec family: the from-spec walk covers the
+    AVIF av1C property, the low-overhead OBU framing (leb128 sizes,
+    header flags), and the reduced-still-picture sequence header,
+    whose EXACT per-doc dimensions must agree with the container's
+    ispe (two independent statements of one fact inside a real file)
+    and with libheif's decode (checked in-operator).  Dimensions draw
+    per doc with NO alignment constraint — AV1 codes arbitrary sizes,
+    the structural contrast with m49's CTU-padded HEVC SPS.  libaom
+    factually signals profile 0 (Main), seq_level_idx 0,
+    still_picture, 3 OBUs (temporal delimiter + sequence header +
+    frame), 4:2:0.  Non-reduced sequence headers are the declared
+    extension point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.av1_structure_stats(docs).orderBy("doc_id")
+
+
+def _m50_oracle() -> str:
+    def byte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '#av1s' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(2 * (22 + {byte(0)} % 43) AS BIGINT) AS width,
+       CAST(2 * (22 + {byte(1)} % 43) AS BIGINT) AS height,
+       CAST(0 AS BIGINT) AS seq_profile,
+       CAST(0 AS BIGINT) AS seq_level_idx,
+       CAST(1 AS BIGINT) AS still_picture,
+       CAST(3 AS BIGINT) AS n_obus,
+       CAST(1 AS BIGINT) AS chroma_sub_x,
+       CAST(1 AS BIGINT) AS chroma_sub_y
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -10667,6 +10707,7 @@ QUERIES: list[Query] = [
     Query("llm_m47_avif_pixels", m47_avif_pixels, _heif_oracle("#avif")),
     Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
     Query("llm_m49_hevc_structure", m49_hevc_structure, _m49_oracle()),
+    Query("llm_m50_av1_structure", m50_av1_structure, _m50_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

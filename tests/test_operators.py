@@ -3421,3 +3421,41 @@ def test_hevc_structure_walk_and_negatives():
         hevc_heic_structure(data[: len(data) // 3])
     with pytest.raises(ValueError):
         isobmff_boxes(b"\x00\x00\x00\xff" + b"ftypXXXX")  # bad size
+
+
+def test_av1_structure_walk_and_negatives():
+    """m50's OBU walk parses a real libaom AVIF (exact dims must
+    triangulate: sequence header == ispe == libheif decode) and the
+    framing negatives fail loudly: forbidden bit, truncated leb128,
+    truncated payload, missing sequence header."""
+    import numpy as np
+
+    heif = _heif_mod()
+    from table_demo_spark.operators.codecs import (
+        av1_avif_structure,
+        av1_leb128,
+        av1_obus,
+    )
+
+    rng = np.random.default_rng(82)
+    y = (70 + rng.integers(0, 111, (46, 110))).astype(np.uint8)
+    cb = (108 + rng.integers(0, 41, (23, 55))).astype(np.uint8)
+    cr = (108 + rng.integers(0, 41, (23, 55))).astype(np.uint8)
+    data = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_AV1, (("speed", "9"), ("threads", "1"))
+    )
+    st = av1_avif_structure(data)
+    assert (st["width"], st["height"]) == (110, 46)
+    assert st["seq_profile"] == 0 and st["still_picture"] == 1
+    assert (st["chroma_sub_x"], st["chroma_sub_y"]) == (1, 1)
+    assert st["n_obus"] == 3
+    dy, _, _ = heif.decode_heif(data)
+    assert dy.shape == (46, 110)
+    with pytest.raises(ValueError):
+        av1_obus(b"\x80\x02\x00")  # forbidden bit
+    with pytest.raises(ValueError):
+        av1_leb128(b"\xff" * 9, 0)  # runaway leb128
+    with pytest.raises(ValueError):
+        av1_obus(b"\x0a\x7f")  # size exceeds stream
+    with pytest.raises(ValueError):
+        av1_avif_structure(data[: len(data) // 3])
