@@ -1852,7 +1852,10 @@ def q42_state_audit_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaced.  This is the audit a production TTL/retention story
     needs (inspect what the store holds WITHOUT replaying the query);
     r12 VERDICT #6 probed it as possibly OSS-gated — it is present
-    and works in OSS Spark 4.1.2."""
+    and works in OSS Spark 4.1.2, including per-version TIME TRAVEL
+    via option("batchId", k), pinned in tests: every committed state
+    version equals the batch GROUP BY over exactly the shard prefix
+    the checkpoint's offset log says that batch had consumed."""
     from table_demo_spark.streaming.queries import run_q42_state_rollup
 
     with _state_partitions(spark, no_data=False):

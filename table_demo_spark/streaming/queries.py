@@ -3983,6 +3983,7 @@ def run_q42_state_rollup(
     sf_dir: str,
     checkpoint: str | None = None,
     n_shards: int = 4,
+    files_per_trigger: int | None = None,
 ):
     """One AvailableNow invocation of a NATIVE stateful aggregation
     (update-mode groupBy over the staged doc shards, HDFS-backed state
@@ -3993,9 +3994,12 @@ def run_q42_state_rollup(
     checkpoint's state directory itself.  Returns (query, ckpt)."""
     shards = ensure_docs_shards(spark, sf_dir, n_shards)
     ckpt = checkpoint or _checkpoint_dir()
-    docs = spark.readStream.schema(
+    reader = spark.readStream.schema(
         "doc_id long, lang string, source string, n_chars long"
-    ).parquet(shards)
+    )
+    if files_per_trigger:  # multi-batch drains for the version audit
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    docs = reader.parquet(shards)
     agg = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),

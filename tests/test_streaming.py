@@ -1734,3 +1734,75 @@ def test_q41_pipeline_restart_replays_byte_stably(spark, tmp_path):
         _drain(q2, sink.count, quiet_polls=1)
     spark.catalog.refreshByPath(sink.path)
     assert rows(sink) == want
+
+
+def test_q42_statestore_batch_versions_time_travel(spark, tmp_path):
+    """The state data source's batchId option reads EVERY committed
+    state version, and each version equals the batch GROUP BY over
+    exactly the shard prefix processed so far — the audit-by-version
+    surface a production retention/debugging story needs (r13 probe:
+    present and correct in OSS 4.1.2).  Shards drain one file per
+    trigger, so version k is the prefix aggregate of shards 0..k in
+    the source's deterministic file order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.queries.streaming import _state_partitions
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import run_q42_state_rollup
+
+    ckpt = str(tmp_path / "ckpt")
+    with _state_partitions(spark, no_data=False):
+        query, _ = run_q42_state_rollup(
+            spark, SF_SMOKE, checkpoint=ckpt, files_per_trigger=1
+        )
+        assert query.awaitTermination(180)
+    commits = sorted(
+        int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    )
+    assert len(commits) >= 2, commits  # genuinely multi-batch
+    # each batch's file set, straight from the source's offset log
+    # (the checkpoint is the authority on consumption order)
+    import json
+
+    def batch_files(k: int) -> list:
+        out = []
+        for j in range(k + 1):
+            path = os.path.join(ckpt, "sources", "0", str(j))
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        out.append(json.loads(line)["path"])
+        return out
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total_docs = docs.count()
+    seen = 0
+    for k in commits:
+        files = batch_files(k)
+        state = (
+            spark.read.format("statestore")
+            .option("batchId", k)
+            .load(ckpt)
+            .select(
+                F.col("key.lang").alias("lang"),
+                F.col("key.source").alias("source"),
+                F.col("value.count").cast("long").alias("n_docs"),
+                F.col("value.sum").cast("long").alias("sum_chars"),
+            )
+        )
+        prefix = spark.read.schema(
+            "doc_id long, lang string, source string, n_chars long"
+        ).parquet(*files)
+        want = prefix.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        got_rows = {tuple(r) for r in state.collect()}
+        want_rows = {tuple(r) for r in want.collect()}
+        assert got_rows == want_rows, f"state version {k} diverges"
+        seen = prefix.count()
+    assert seen == total_docs  # the last version covers the corpus
