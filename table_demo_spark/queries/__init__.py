@@ -55,51 +55,48 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r13 LRU rotation (threshold: last verified <= r6; the rotation
+    # r14 LRU rotation (threshold: last verified <= r7; the rotation
     # test recomputes this from the committed CORRECTNESS_r*.json
-    # artifacts).  The complete last-verified-r5 cohort (25 names —
-    # the r12 swap-outs plus the r5-era leftovers) ...
-    "an_a51_bfs_reachability",
-    "an_a63_profile_knn",
-    "llm_m16_pcm_vad_segments",
-    "llm_m17_jpeg_dc",
-    "llm_m18_jpeg_restart_parallel",
-    "llm_m9_scene_cuts",
-    "llm_s13_filtered_ann",
-    "llm_s5_kmeans_refine",
-    "llm_s8_rand_projection",
-    "llm_t14_bigram_lm",
-    "llm_t16_vocab_growth",
-    "llm_t20_bpe_train",
-    "llm_t25_bpe_encode",
-    "llm_t28_bpe_vocab_apply",
-    "llm_t29_gopher_rules",
-    "llm_t8_tfidf_topk",
-    "stream_q14_topk",
-    "stream_q16_hll_distinct",
-    "stream_q18_cdc_apply",
-    "stream_q22_full_outer_join",
-    "stream_q26_stream_tokenize",
-    "stream_q27_available_now",
-    "stream_q28_media_decode",
-    "stream_q7_enrich_agg",
-    # ... plus 11 of the 35 last-verified-r6 queries.  Trailing slots
-    # get swapped for this round's NEW queries as they land — new
-    # queries have no CORRECTNESS row yet, so they count as
-    # oldest-of-all and keep the due-count intact.
-    "llm_d2_dedup_minhash_lsh",
-    "src_s9_multiline_json",
-    "llm_p2_stratified_sample",
-    # r13 new queries (no CORRECTNESS row yet -> oldest-of-all)
-    "stream_q42_state_audit",
-    "llm_m47_avif_pixels",
-    "llm_m48_heic_pixels",
-    "llm_m45_h264_cabac_pixels",
-    "llm_m46_h264_inter_pixels",
-    "stream_q41_pipeline_ingest",
-    "stream_q43_avif_ingest",
-    "llm_m49_hevc_structure",
-    "llm_m50_av1_structure",
+    # artifacts).  The complete last-verified-r5/r6 cohort (33 names:
+    # llm_m6 at r5, then the whole r6 stratum — the an_a64-a74 TPC-H
+    # tail, the color-JPEG/FLAC cohort, s14/s15, t30-t33, q25/q30/q31/
+    # q32, d1/d6/d20, src_s10).
+    "llm_m6_vad_segments",
+    "an_a64_label_propagation",
+    "an_a65_returned_item_reporting",
+    "an_a66_local_supplier_volume",
+    "an_a67_volume_shipping",
+    "an_a68_promotion_effect",
+    "an_a69_product_profit",
+    "an_a70_shipping_priority",
+    "an_a71_order_priority",
+    "an_a72_revenue_forecast",
+    "an_a73_shipping_delay",
+    "an_a74_audience_overlap",
+    "llm_d1_dedup_exact",
+    "llm_d20_semantic_dedup_kmeans",
+    "llm_d6_neardup_lsh_gemm",
+    "llm_m15_gif_scene_cuts",
+    "llm_m19_color_jpeg_dc",
+    "llm_m20_color_jpeg_parallel",
+    "llm_m21_flac_pcm",
+    "llm_m22_progressive_jpeg_dc",
+    "llm_m23_image_phash_neardup",
+    "llm_m24_flac_resample",
+    "llm_s14_ivf_kmeans_topk",
+    "llm_s15_hybrid_rrf",
+    "llm_t30_bpe_local_train",
+    "llm_t31_bpe_batched_train",
+    "llm_t32_linear_quality_classifier",
+    "llm_t33_shingle_novelty",
+    "src_s10_binary_file_images",
+    "stream_q25_streaming_neardup",
+    "stream_q30_color_decode",
+    "stream_q31_temporal_enrich",
+    "stream_q32_phash_index_ingest",
+    "llm_p4_curation_pipeline",
+    # r14 new queries land here (no CORRECTNESS row yet ->
+    # oldest-of-all, so they keep the due-count intact).
 )
 
 
