@@ -7310,7 +7310,7 @@ def decode_h264_i4x4_slice(
 #   roundtrip is bit-exact, which it could not be if de265's state
 #   transition tables disagreed with x265's independent
 #   implementation.  The extraction is re-run against both binaries
-#   in tests/test_h264_cabac.py.  (Extraction already caught a recall
+#   in tests/test_h264_cavlc.py.  (Extraction already caught a recall
 #   error: transIdxLPS[28..29] is 22,22 — not the 23,22 of memory.)
 #
 # * CONTEXT-INIT values (Table 9-12): NO H.264 codec ships in this
@@ -7682,7 +7682,11 @@ def encode_h264_i16x16_slice_cabac(
                 " slice data is emitted"
             )
         # mb_type 19 bins: 1 (not I_NxN), terminate 0 (not I_PCM),
-        # cbpLuma15 1, cbpChroma!=0 1, cbpChroma==2 0, predMode 10
+        # cbpLuma15 1, cbpChroma!=0 1, cbpChroma==2 0, predMode 10.
+        # Suffix ctxIdxInc per Table 9-39 + 9.3.3.1.2: binIdx 2,3 ->
+        # 3,4 fixed; binIdx 4 -> (b3!=0)?5:6; binIdx 5 -> (b3!=0)?6:7;
+        # binIdx 6 -> 7 — so with cbpChroma!=0 the two pred-mode bins
+        # take incs 6 then 7 (r13 ADVICE fix: the second bin was 6).
         inc = (1 if mx > 0 else 0) + (1 if my > 0 else 0)
         enc.decision(get(_CABAC_CTX_MB_TYPE + inc), 1)
         enc.terminate(0)
@@ -7690,7 +7694,7 @@ def encode_h264_i16x16_slice_cabac(
         enc.decision(get(_CABAC_CTX_MB_TYPE + 4), 1)
         enc.decision(get(_CABAC_CTX_MB_TYPE + 5), 0)
         enc.decision(get(_CABAC_CTX_MB_TYPE + 6), 1)
-        enc.decision(get(_CABAC_CTX_MB_TYPE + 6), 0)
+        enc.decision(get(_CABAC_CTX_MB_TYPE + 7), 0)
         enc.decision(get(_CABAC_CTX_CHROMA_PRED), 0)  # DC chroma pred
         enc.decision(get(_CABAC_CTX_QP_DELTA), 0)     # mb_qp_delta 0
         # Intra16x16DCLevel (cat 0): neighbours are the MB-level DC
@@ -7782,7 +7786,7 @@ def decode_h264_i16x16_slice_cabac(
         if cbp_c:
             cbp_c += dec.decision(get(_CABAC_CTX_MB_TYPE + 5))
         pm = 2 * dec.decision(get(_CABAC_CTX_MB_TYPE + 6))
-        pm += dec.decision(get(_CABAC_CTX_MB_TYPE + 6))
+        pm += dec.decision(get(_CABAC_CTX_MB_TYPE + 7))
         if (cbp_l, cbp_c, pm) != (1, 1, 2):
             raise ValueError(
                 f"H264 CABAC: unsupported mb_type "
