@@ -226,6 +226,7 @@ HEADLINE = [
     "llm_m48_heic_pixels",
     "llm_m49_hevc_structure",
     "llm_m50_av1_structure",
+    "llm_m51_hevc_slice_decode",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",
@@ -372,8 +373,20 @@ def main() -> None:
         F.col("o_orderkey") % 5 == F.col("r_regionkey"),
     ).selectExpr("count(*)").collect()
 
+    # Suite-order experiment hook (r13 BASELINE watch item): a
+    # comma-separated SPARK_GRAFT_DEFER list is moved to the END of the
+    # headline, so an A/B pair of runs isolates whether mid-suite
+    # entries (e.g. the r13 codec queries) tax everything after them
+    # via residual worker state. Unset => committed order, unchanged.
+    order = list(HEADLINE)
+    defer = [n for n in os.environ.get("SPARK_GRAFT_DEFER", "").split(",") if n]
+    if defer:
+        order = [n for n in order if n not in defer] + [
+            n for n in defer if n in order
+        ]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         fn = registry[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

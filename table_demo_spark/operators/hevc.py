@@ -1,0 +1,1384 @@
+"""From-spec HEVC (H.265) Main-profile intra-slice decoder, adjudicated
+bit-exact against libde265 on REAL x265 bitstreams (llm_m51).
+
+This is the r13 VERDICT "Next round #3" item: m49 walked HEVC container
+STRUCTURE (ISOBMFF/hvcC/SPS) over real x265 output; this module decodes
+the slice DATA — CABAC entropy layer, coding quadtree, intra
+prediction, transform trees, residual coding, dequant + inverse
+DCT/DST, reconstruction — entirely from the H.265 spec text, and the
+in-container third-party decoder (libde265 via libheif) adjudicates
+every pixel.  That is the m31/VP8-vs-libwebp pattern with the strongest
+possible epistemics: the encoder (x265) and the reference decoder
+(libde265) are independent codebases, and OUR decoder is a third
+independent implementation — any context-table misrecall, scan-order
+slip, or transform-orientation bug desynchronizes the arithmetic
+decoder or the reconstruction and shows up as a pixel diff immediately.
+
+Deliberately out of scope (fail loudly, documented): P/B slices, SAO
+and deblocking (disabled at encode via x265 params — the battery pins
+this), tiles/WPP entry points, dependent slice segments, scaling
+lists, transform_skip, transquant_bypass, PCM, 4:2:2/4:4:4, >8-bit.
+
+The CABAC *engine* (range subdivision, renormalization, bypass,
+terminate) is byte-identical to H.264's — r13 extracted ivlLpsRange /
+transIdxLps / transIdxMps from libde265+libx265 .rodata and verified
+all four in-binary copies agree (operators/codecs.py CABAC block
+comment) — so this module reuses codecs._CabacDecoder verbatim.  What
+is HEVC-specific is the context INIT (9.3.2.2: slope/offset nibbles)
+and the init VALUES (Tables 9-5..9-32), which are declared below and
+cross-checked against libde265's .rodata by
+tests/test_hevc_decode.py::test_hevc_init_values_match_libde265_rodata
+(exact-substring search for each [3][N] table — libde265's
+contextmodel.cc lays them out in spec order).
+
+Reference parity notes: the reference demo has no video path; this is
+part of the LLM-pipeline multimodal extension (SURVEY.md §2 m-family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from table_demo_spark.operators.codecs import (
+    _BitReader,
+    _CabacDecoder,
+    _expgolomb_se,
+    _expgolomb_ue,
+    h264_unescape_rbsp,
+    isobmff_find,
+    parse_hvcc,
+)
+
+# ---------------------------------------------------------------------------
+# Context-variable init values, H.265 Tables 9-5..9-32, laid out
+# [initType 0 (I), initType 1, initType 2] x [ctxIdx 0..N-1] exactly as
+# the spec prints them (and as libde265 contextmodel.cc embeds them —
+# the .rodata test searches these concatenated rows byte-for-byte).
+# Only elements our constrained I-slices exercise are declared; an
+# element absent here cannot be reached without first hitting one of
+# the loud ValueError guards below.
+# ---------------------------------------------------------------------------
+
+HEVC_CTX_INIT = {
+    "split_cu_flag": (
+        (139, 141, 157),
+        (107, 139, 126),
+        (107, 139, 126),
+    ),
+    "part_mode": ((184,), (154, 139, 154, 154), (154, 139, 154, 154)),
+    "prev_intra_luma_pred_flag": ((184,), (154,), (183,)),
+    "intra_chroma_pred_mode": ((63,), (152,), (152,)),
+    "split_transform_flag": (
+        (153, 138, 138),
+        (124, 138, 94),
+        (224, 167, 122),
+    ),
+    "cbf_luma": ((111, 141), (153, 111), (153, 111)),
+    "cbf_chroma": (
+        (94, 138, 182, 154),
+        (149, 107, 167, 154),
+        (149, 92, 167, 154),
+    ),
+    "last_sig_coeff_x_prefix": (
+        (110, 110, 124, 125, 140, 153, 125, 127, 140,
+         109, 111, 143, 127, 111, 79, 108, 123, 63),
+        (125, 110, 94, 110, 95, 79, 125, 111, 110,
+         78, 110, 111, 111, 95, 94, 108, 123, 108),
+        (125, 110, 124, 110, 95, 94, 125, 111, 111,
+         79, 125, 126, 111, 111, 79, 108, 123, 93),
+    ),
+    # Table 9-16: last_sig_coeff_y_prefix rows are identical to x's.
+    "last_sig_coeff_y_prefix": (
+        (110, 110, 124, 125, 140, 153, 125, 127, 140,
+         109, 111, 143, 127, 111, 79, 108, 123, 63),
+        (125, 110, 94, 110, 95, 79, 125, 111, 110,
+         78, 110, 111, 111, 95, 94, 108, 123, 108),
+        (125, 110, 124, 110, 95, 94, 125, 111, 111,
+         79, 125, 126, 111, 111, 79, 108, 123, 93),
+    ),
+    "coded_sub_block_flag": (
+        (91, 171, 134, 141),
+        (121, 140, 61, 154),
+        (121, 140, 61, 154),
+    ),
+    "sig_coeff_flag": (
+        (111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125, 141,
+         179, 153, 125, 107, 125, 141, 179, 153, 125, 107, 125, 141,
+         179, 153, 125, 140, 139, 182, 182, 152, 136, 152, 136, 153,
+         136, 139, 111, 136, 139, 111),
+        (155, 154, 139, 153, 139, 123, 123, 63, 153, 166, 183, 140,
+         136, 153, 154, 166, 183, 140, 136, 153, 154, 166, 183, 140,
+         136, 153, 154, 170, 153, 123, 123, 107, 121, 107, 121, 167,
+         151, 183, 140, 151, 183, 140),
+        (170, 154, 139, 153, 139, 123, 123, 63, 124, 166, 183, 140,
+         136, 153, 154, 166, 183, 140, 136, 153, 154, 166, 183, 140,
+         136, 153, 154, 170, 153, 138, 138, 122, 121, 122, 121, 167,
+         151, 183, 140, 151, 183, 140),
+    ),
+    "coeff_abs_level_greater1": (
+        (140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92,
+         139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197),
+        (154, 196, 196, 167, 154, 152, 167, 182, 182, 134, 149, 136,
+         153, 121, 136, 137, 169, 194, 166, 167, 154, 167, 137, 182),
+        (154, 196, 167, 167, 154, 152, 167, 182, 182, 134, 149, 136,
+         153, 121, 136, 122, 169, 208, 166, 167, 154, 152, 167, 182),
+    ),
+    "coeff_abs_level_greater2": (
+        (138, 153, 136, 167, 152, 152),
+        (107, 167, 91, 122, 107, 167),
+        (107, 167, 91, 107, 107, 167),
+    ),
+    "cu_qp_delta_abs": ((154, 154), (154, 154), (154, 154)),
+}
+
+
+def _clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else hi if v > hi else v
+
+
+def hevc_init_state(init_value: int, qp: int) -> list:
+    """9.3.2.2: [pStateIdx, valMps] from the packed slope/offset
+    nibbles at SliceQpY (H.264 carries explicit (m, n) pairs instead;
+    the downstream state machine is shared)."""
+    m = (init_value >> 4) * 5 - 45
+    n = ((init_value & 15) << 3) - 16
+    pre = _clip3(1, 126, ((m * _clip3(0, 51, qp)) >> 4) + n)
+    if pre <= 63:
+        return [63 - pre, 0]
+    return [pre - 64, 1]
+
+
+class _Ctx:
+    """Per-slice context variables: one [pStateIdx, valMps] list per
+    (element, ctxInc), initialised eagerly at SliceQpY with initType 0
+    (I slices — 9.3.2.2 Table 9-4)."""
+
+    def __init__(self, qp: int, init_type: int = 0) -> None:
+        self.states = {
+            name: [hevc_init_state(v, qp) for v in rows[init_type]]
+            for name, rows in HEVC_CTX_INIT.items()
+        }
+
+    def get(self, name: str, inc: int) -> list:
+        return self.states[name][inc]
+
+
+# ---------------------------------------------------------------------------
+# Parameter-set and slice-header parsing (7.3.2.2, 7.3.2.3, 7.3.6.1).
+# ---------------------------------------------------------------------------
+
+
+def parse_hevc_sps_full(nal: bytes) -> dict:
+    """Full SPS walk (7.3.2.2.1) through the coding/transform block
+    geometry and tool flags the slice decoder needs.  VUI and
+    extensions are not walked (nothing after
+    strong_intra_smoothing_enabled_flag affects decode here)."""
+    if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 33:
+        raise ValueError("HEVC: not an SPS NAL")
+    rbsp = h264_unescape_rbsp(nal[2:])
+    br = _BitReader(rbsp)
+    out = {"vps_id": br.bits(4)}
+    max_sub = br.bits(3)
+    br.bits(1)
+    br.bits(2 + 1 + 5)  # profile space/tier/idc
+    br.bits(32)  # compat flags
+    br.bits(4)
+    br.bits(32)
+    br.bits(11)
+    br.bits(1)
+    out["level_idc"] = br.bits(8)
+    if max_sub:
+        raise ValueError("HEVC: sub-layer PTL entries unsupported")
+    out["sps_id"] = _expgolomb_ue(br)
+    out["chroma_format_idc"] = _expgolomb_ue(br)
+    if out["chroma_format_idc"] != 1:
+        raise ValueError("HEVC: only 4:2:0 supported")
+    out["pic_w"] = _expgolomb_ue(br)
+    out["pic_h"] = _expgolomb_ue(br)
+    if br.bits(1):
+        out["crop_l"] = _expgolomb_ue(br)
+        out["crop_r"] = _expgolomb_ue(br)
+        out["crop_t"] = _expgolomb_ue(br)
+        out["crop_b"] = _expgolomb_ue(br)
+    else:
+        out["crop_l"] = out["crop_r"] = out["crop_t"] = out["crop_b"] = 0
+    out["bit_depth_luma"] = _expgolomb_ue(br) + 8
+    out["bit_depth_chroma"] = _expgolomb_ue(br) + 8
+    if out["bit_depth_luma"] != 8 or out["bit_depth_chroma"] != 8:
+        raise ValueError("HEVC: only 8-bit supported")
+    out["log2_max_poc_lsb"] = _expgolomb_ue(br) + 4
+    sub_ordering = br.bits(1)
+    for _ in range((max_sub + 1) if sub_ordering else 1):
+        _expgolomb_ue(br)
+        _expgolomb_ue(br)
+        _expgolomb_ue(br)
+    out["log2_min_cb"] = _expgolomb_ue(br) + 3
+    out["log2_ctb"] = out["log2_min_cb"] + _expgolomb_ue(br)
+    out["log2_min_tb"] = _expgolomb_ue(br) + 2
+    out["log2_max_tb"] = out["log2_min_tb"] + _expgolomb_ue(br)
+    out["max_trafo_depth_inter"] = _expgolomb_ue(br)
+    out["max_trafo_depth_intra"] = _expgolomb_ue(br)
+    if br.bits(1):
+        raise ValueError("HEVC: scaling lists unsupported")
+    out["amp_enabled"] = br.bits(1)
+    out["sao_enabled"] = br.bits(1)
+    if br.bits(1):
+        raise ValueError("HEVC: PCM unsupported")
+    num_st_rps = _expgolomb_ue(br)
+    _skip_st_ref_pic_sets(br, num_st_rps)
+    if br.bits(1):  # long_term_ref_pics_present_flag
+        n = _expgolomb_ue(br)
+        for _ in range(n):
+            br.bits(out["log2_max_poc_lsb"])
+            br.bits(1)
+    out["temporal_mvp_enabled"] = br.bits(1)
+    out["strong_intra_smoothing"] = br.bits(1)
+    return out
+
+
+def _skip_st_ref_pic_sets(br: _BitReader, num: int) -> None:
+    """7.3.7 st_ref_pic_set skip walk (first-set form only: x265
+    stills emit 0 or plain delta-coded sets; inter_rps prediction
+    needs the previous sets' sizes, tracked here)."""
+    n_pics = []
+    for idx in range(num):
+        inter = br.bits(1) if idx else 0
+        if inter:
+            br.bits(1)  # delta_rps_sign
+            _expgolomb_ue(br)  # abs_delta_rps_minus1
+            total = 0
+            for _ in range(n_pics[idx - 1] + 1):
+                used = br.bits(1)
+                if not used:
+                    if br.bits(1):
+                        total += 1
+                else:
+                    total += 1
+            n_pics.append(total - 1 if total else 0)
+        else:
+            neg = _expgolomb_ue(br)
+            pos = _expgolomb_ue(br)
+            for _ in range(neg + pos):
+                _expgolomb_ue(br)
+                br.bits(1)
+            n_pics.append(neg + pos)
+
+
+def parse_hevc_pps(nal: bytes) -> dict:
+    """PPS walk (7.3.2.3.1) through the flags the slice decoder
+    consumes; tiles/WPP/scaling-list arms fail loudly."""
+    if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 34:
+        raise ValueError("HEVC: not a PPS NAL")
+    rbsp = h264_unescape_rbsp(nal[2:])
+    br = _BitReader(rbsp)
+    out = {
+        "pps_id": _expgolomb_ue(br),
+        "sps_id": _expgolomb_ue(br),
+        "dependent_slices": br.bits(1),
+        "output_flag_present": br.bits(1),
+        "extra_slice_header_bits": br.bits(3),
+        "sign_data_hiding": br.bits(1),
+        "cabac_init_present": br.bits(1),
+    }
+    _expgolomb_ue(br)
+    _expgolomb_ue(br)
+    out["init_qp"] = 26 + _expgolomb_se(br)
+    out["constrained_intra_pred"] = br.bits(1)
+    out["transform_skip_enabled"] = br.bits(1)
+    out["cu_qp_delta_enabled"] = br.bits(1)
+    if out["cu_qp_delta_enabled"]:
+        out["diff_cu_qp_delta_depth"] = _expgolomb_ue(br)
+    out["cb_qp_offset"] = _expgolomb_se(br)
+    out["cr_qp_offset"] = _expgolomb_se(br)
+    out["slice_chroma_qp_offsets_present"] = br.bits(1)
+    br.bits(2)  # weighted_pred, weighted_bipred
+    out["transquant_bypass_enabled"] = br.bits(1)
+    tiles = br.bits(1)
+    out["entropy_coding_sync"] = br.bits(1)
+    if tiles:
+        raise ValueError("HEVC: tiles unsupported")
+    out["loop_filter_across_slices"] = br.bits(1)
+    out["deblocking_control_present"] = br.bits(1)
+    if out["deblocking_control_present"]:
+        out["deblocking_override_enabled"] = br.bits(1)
+        out["deblocking_disabled"] = br.bits(1)
+        if not out["deblocking_disabled"]:
+            out["beta_offset"] = _expgolomb_se(br) * 2
+            out["tc_offset"] = _expgolomb_se(br) * 2
+    else:
+        out["deblocking_override_enabled"] = 0
+        out["deblocking_disabled"] = 0
+    if br.bits(1):
+        raise ValueError("HEVC: PPS scaling lists unsupported")
+    out["lists_modification_present"] = br.bits(1)
+    _expgolomb_ue(br)  # log2_parallel_merge_level_minus2
+    out["slice_header_extension_present"] = br.bits(1)
+    return out
+
+
+def parse_hevc_slice_header(
+    nal: bytes, sps: dict, pps: dict
+) -> tuple[dict, _BitReader]:
+    """IRAP I-slice segment header (7.3.6.1); returns the header dict
+    and a _BitReader positioned at the first slice-data byte (the
+    CABAC payload begins byte-aligned after byte_alignment())."""
+    nal_type = (nal[0] >> 1) & 0x3F
+    if nal_type not in (19, 20, 21):  # IDR_W_RADL, IDR_N_LP, CRA
+        raise ValueError(f"HEVC: NAL type {nal_type} is not an IRAP slice")
+    rbsp = h264_unescape_rbsp(nal[2:])
+    br = _BitReader(rbsp)
+    hdr = {"nal_type": nal_type, "first_slice": br.bits(1)}
+    if not hdr["first_slice"]:
+        raise ValueError("HEVC: multi-slice pictures unsupported")
+    br.bits(1)  # no_output_of_prior_pics_flag (16 <= type <= 23)
+    hdr["pps_id"] = _expgolomb_ue(br)
+    if hdr["pps_id"] != pps["pps_id"]:
+        raise ValueError("HEVC: slice references an unknown PPS")
+    for _ in range(pps["extra_slice_header_bits"]):
+        br.bits(1)
+    hdr["slice_type"] = _expgolomb_ue(br)
+    if hdr["slice_type"] != 2:
+        raise ValueError("HEVC: only I slices supported")
+    if pps["output_flag_present"]:
+        br.bits(1)
+    if nal_type == 21:  # CRA carries POC + RPS
+        raise ValueError("HEVC: CRA slice headers unsupported")
+    if sps["sao_enabled"]:
+        hdr["sao_luma"] = br.bits(1)
+        hdr["sao_chroma"] = br.bits(1)
+        if hdr["sao_luma"] or hdr["sao_chroma"]:
+            raise ValueError("HEVC: SAO-filtered slices unsupported")
+    hdr["slice_qp"] = pps["init_qp"] + _expgolomb_se(br)
+    hdr["cb_qp_offset"] = pps["cb_qp_offset"]
+    hdr["cr_qp_offset"] = pps["cr_qp_offset"]
+    if pps["slice_chroma_qp_offsets_present"]:
+        hdr["cb_qp_offset"] += _expgolomb_se(br)
+        hdr["cr_qp_offset"] += _expgolomb_se(br)
+    deblock_disabled = pps["deblocking_disabled"]
+    if pps["deblocking_control_present"] and pps["deblocking_override_enabled"]:
+        if br.bits(1):  # deblocking_filter_override_flag
+            deblock_disabled = br.bits(1)
+            if not deblock_disabled:
+                _expgolomb_se(br)
+                _expgolomb_se(br)
+    if not deblock_disabled:
+        raise ValueError(
+            "HEVC: deblocking must be disabled (x265:no-deblock)"
+        )
+    if pps["loop_filter_across_slices"]:
+        # present iff any in-loop filter is active for this slice;
+        # SAO off + deblock disabled => absent.
+        pass
+    if pps["entropy_coding_sync"]:
+        n = _expgolomb_ue(br)  # num_entry_point_offsets
+        if n:
+            raise ValueError("HEVC: WPP entry points unsupported")
+    if pps["slice_header_extension_present"]:
+        n = _expgolomb_ue(br)
+        for _ in range(n):
+            br.bits(8)
+    if br.bits(1) != 1:
+        raise ValueError("HEVC: alignment_bit_equal_to_one is 0")
+    while br.bitpos % 8:
+        if br.bits(1):
+            raise ValueError("HEVC: alignment_bit_equal_to_zero is 1")
+    return hdr, br
+
+
+# ---------------------------------------------------------------------------
+# Scan orders (6.5.3/6.5.4) and transform matrices (8.6.4.1).
+# ---------------------------------------------------------------------------
+
+
+def _diag_scan(n: int) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    x = y = 0
+    while len(out) < n * n:
+        while y >= 0:
+            if x < n and y < n:
+                out.append((x, y))
+            y -= 1
+            x += 1
+        y = x
+        x = 0
+    return out
+
+
+def _scan_order(n: int, idx: int) -> list[tuple[int, int]]:
+    if idx == 0:
+        return _diag_scan(n)
+    if idx == 1:  # horizontal
+        return [(x, y) for y in range(n) for x in range(n)]
+    return [(x, y) for x in range(n) for y in range(n)]  # vertical
+
+
+_SCAN_CACHE: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+
+def _scan(n: int, idx: int) -> list[tuple[int, int]]:
+    key = (n, idx)
+    if key not in _SCAN_CACHE:
+        _SCAN_CACHE[key] = _scan_order(n, idx)
+    return _SCAN_CACHE[key]
+
+
+_DCT_ODD = {
+    4: (83, 36),
+    8: (89, 75, 50, 18),
+    16: (90, 87, 80, 70, 57, 43, 25, 9),
+    32: (90, 90, 88, 85, 82, 78, 73, 67,
+         61, 54, 46, 38, 31, 22, 13, 4),
+}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """HEVC integer DCT basis (8.6.4.2 transMatrix): even rows recurse
+    into the half-size matrix (symmetric under reversal), odd rows
+    fold the hand-tuned Table coefficients through the cosine
+    quadrants — reproduces the normative matrices exactly from the
+    four published odd-coefficient vectors."""
+    if n == 2:
+        return np.array([[64, 64], [64, -64]], np.int64)
+    half = _dct_matrix(n // 2)
+    c = _DCT_ODD[n]
+    t = np.zeros((n, n), np.int64)
+    for k in range(n // 2):
+        for j in range(n // 2):
+            t[2 * k][j] = half[k][j]
+            t[2 * k][n - 1 - j] = half[k][j]
+        for j in range(n):
+            a = (2 * j + 1) * (2 * k + 1)
+            m = a % (4 * n)
+            if m > 2 * n:
+                m = 4 * n - m
+            sign = 1
+            if m > n:
+                m = 2 * n - m
+                sign = -1
+            t[2 * k + 1][j] = sign * c[(m - 1) // 2]
+    return t
+
+
+_DST4 = np.array(
+    [
+        [29, 55, 74, 84],
+        [74, 74, 0, -74],
+        [84, -29, -74, 55],
+        [55, -84, 74, -29],
+    ],
+    np.int64,
+)
+
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _transform_matrix(n: int, dst: bool) -> np.ndarray:
+    if dst:
+        return _DST4
+    if n not in _DCT_CACHE:
+        _DCT_CACHE[n] = _dct_matrix(n)
+    return _DCT_CACHE[n]
+
+
+_LEVEL_SCALE = (40, 45, 51, 57, 64, 72)
+
+# Table 8-10: chroma QP mapping for 4:2:0.
+_CHROMA_QP = tuple(
+    list(range(30)) + [29, 30, 31, 32, 33, 33, 34, 34, 35, 35,
+                       36, 36, 37, 37] + [qp - 6 for qp in range(44, 58)]
+)
+
+# 8.4.4.2.6 Table 8-4/8-5: intraPredAngle and invAngle by mode.
+_PRED_ANGLE = (
+    32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26,
+    -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32,
+)  # indexed by mode-2 for modes 2..34
+_INV_ANGLE = {
+    -2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482,
+    -21: -390, -26: -315, -32: -256,
+}
+
+
+def _dequant(levels: np.ndarray, qp: int, log2_size: int) -> np.ndarray:
+    """8.6.3 with flat (m=16) scaling: bdShift = BitDepth + log2 - 5,
+    16-bit clip."""
+    bd_shift = 8 + log2_size - 5
+    scaled = (
+        levels.astype(np.int64) * (16 * _LEVEL_SCALE[qp % 6])
+        << (qp // 6)
+    )
+    d = (scaled + (1 << (bd_shift - 1))) >> bd_shift
+    return np.clip(d, -32768, 32767)
+
+
+def _inverse_transform(coeff: np.ndarray, dst: bool) -> np.ndarray:
+    """8.6.4.2 two-stage inverse: vertical pass (shift 7, 16-bit
+    clip), then horizontal pass (shift 20 - BitDepth = 12).  coeff is
+    indexed [y][x]."""
+    n = coeff.shape[0]
+    t = _transform_matrix(n, dst)
+    e = (t.T @ coeff + 64) >> 7
+    e = np.clip(e, -32768, 32767)
+    return (e @ t + 2048) >> 12
+
+
+# ---------------------------------------------------------------------------
+# The slice decoder.
+# ---------------------------------------------------------------------------
+
+
+class HevcIntraSliceDecoder:
+    """Decodes one IRAP I-slice to YCbCr 4:2:0 planes, spec clauses
+    cited per method.  Reconstruction is in-loop-filter-free by
+    construction (the slice header parse rejects SAO/deblock slices),
+    so the decoded planes are directly comparable to libde265's
+    output for the same constraints."""
+
+    def __init__(self, sps: dict, pps: dict, hdr: dict) -> None:
+        self.sps = sps
+        self.pps = pps
+        self.qp = hdr["slice_qp"]
+        self.qp_cb_off = hdr["cb_qp_offset"]
+        self.qp_cr_off = hdr["cr_qp_offset"]
+        self.w = sps["pic_w"]
+        self.h = sps["pic_h"]
+        self.log2_ctb = sps["log2_ctb"]
+        self.log2_min_cb = sps["log2_min_cb"]
+        if self.w % (1 << self.log2_min_cb) or self.h % (
+            1 << self.log2_min_cb
+        ):
+            raise ValueError("HEVC: picture not MinCb-aligned")
+        self.y = np.zeros((self.h, self.w), np.int64)
+        cw, ch = (self.w + 1) // 2, (self.h + 1) // 2
+        self.cb = np.zeros((ch, cw), np.int64)
+        self.cr = np.zeros((ch, cw), np.int64)
+        self.y_avail = np.zeros((self.h, self.w), bool)
+        self.c_avail = np.zeros((ch, cw), bool)
+        # per-4x4 maps: quadtree depth (split_cu ctx) and luma intra
+        # mode (MPM derivation).
+        self.ct_depth = np.zeros((self.h // 4, self.w // 4), np.int64)
+        self.luma_mode = np.full((self.h // 4, self.w // 4), 1, np.int64)
+        # MPM availability is z-scan DECODE order (6.4.1), not
+        # reconstruction state: a later PU of an NxN CU sees the
+        # earlier PU's mode before any of the CU is reconstructed.
+        self.mode_avail = np.zeros((self.h // 4, self.w // 4), bool)
+        self.n_cu = 0
+        self.n_tu = 0
+        self.n_coeff = 0
+
+    # -- CABAC syntax layer -------------------------------------------------
+
+    def decode(self, dec: _CabacDecoder, ctx: _Ctx) -> None:
+        """slice_segment_data (7.3.8.1): CTUs in raster order, each
+        followed by end_of_slice_segment_flag."""
+        ctb = 1 << self.log2_ctb
+        n_ctb_x = (self.w + ctb - 1) >> self.log2_ctb
+        n_ctb_y = (self.h + ctb - 1) >> self.log2_ctb
+        n = n_ctb_x * n_ctb_y
+        for addr in range(n):
+            x0 = (addr % n_ctb_x) << self.log2_ctb
+            y0 = (addr // n_ctb_x) << self.log2_ctb
+            self._coding_quadtree(dec, ctx, x0, y0, self.log2_ctb, 0)
+            end = dec.terminate()
+            if (addr == n - 1) != bool(end):
+                raise ValueError(
+                    f"HEVC: end_of_slice_segment_flag {end} at CTU "
+                    f"{addr}/{n}"
+                )
+
+    def _coding_quadtree(
+        self, dec, ctx, x0: int, y0: int, log2_size: int, depth: int
+    ) -> None:
+        """7.3.8.4 with the 9.3.4.2.2 neighbour-depth ctxInc."""
+        inside = (
+            x0 + (1 << log2_size) <= self.w
+            and y0 + (1 << log2_size) <= self.h
+        )
+        if inside and log2_size > self.log2_min_cb:
+            inc = 0
+            if x0 > 0 and self.y_avail[y0][x0 - 1]:
+                inc += int(self.ct_depth[y0 >> 2][(x0 - 1) >> 2] > depth)
+            if y0 > 0 and self.y_avail[y0 - 1][x0]:
+                inc += int(self.ct_depth[(y0 - 1) >> 2][x0 >> 2] > depth)
+            split = dec.decision(ctx.get("split_cu_flag", inc))
+        else:
+            split = 1 if log2_size > self.log2_min_cb else 0
+        if split:
+            half = 1 << (log2_size - 1)
+            for dy in (0, half):
+                for dx in (0, half):
+                    if x0 + dx < self.w and y0 + dy < self.h:
+                        self._coding_quadtree(
+                            dec, ctx, x0 + dx, y0 + dy,
+                            log2_size - 1, depth + 1,
+                        )
+        else:
+            size4 = 1 << (log2_size - 2)
+            self.ct_depth[
+                y0 >> 2:(y0 >> 2) + size4, x0 >> 2:(x0 >> 2) + size4
+            ] = depth
+            self._coding_unit(dec, ctx, x0, y0, log2_size)
+
+    def _coding_unit(self, dec, ctx, x0: int, y0: int, log2_size: int):
+        """7.3.8.5, intra-only arm."""
+        self.n_cu += 1
+        if self.pps["transquant_bypass_enabled"]:
+            raise ValueError("HEVC: transquant bypass unsupported")
+        part_nxn = 0
+        if log2_size == self.log2_min_cb:
+            part_nxn = 1 - dec.decision(ctx.get("part_mode", 0))
+        n_pu = 4 if part_nxn else 1
+        pb = 1 << (log2_size - (1 if part_nxn else 0))
+        prev_flags = [
+            dec.decision(ctx.get("prev_intra_luma_pred_flag", 0))
+            for _ in range(n_pu)
+        ]
+        modes = []
+        for i in range(n_pu):
+            px = x0 + pb * (i & 1)
+            py = y0 + pb * (i >> 1)
+            cands = self._mpm_list(px, py)
+            if prev_flags[i]:
+                idx = dec.bypass()
+                if idx:
+                    idx += dec.bypass()
+                mode = cands[idx]
+            else:
+                rem = 0
+                for _ in range(5):
+                    rem = (rem << 1) | dec.bypass()
+                for cand in sorted(cands):
+                    if rem >= cand:
+                        rem += 1
+                mode = rem
+            modes.append(mode)
+            s4 = pb >> 2
+            self.luma_mode[
+                py >> 2:(py >> 2) + s4, px >> 2:(px >> 2) + s4
+            ] = mode
+            self.mode_avail[
+                py >> 2:(py >> 2) + s4, px >> 2:(px >> 2) + s4
+            ] = True
+        if dec.decision(ctx.get("intra_chroma_pred_mode", 0)):
+            v = (dec.bypass() << 1) | dec.bypass()
+            table = {0: 0, 1: 26, 2: 10, 3: 1}
+            chroma_mode = table[v]
+            if chroma_mode == modes[0]:
+                chroma_mode = 34
+        else:
+            chroma_mode = modes[0]
+        max_depth = self.sps["max_trafo_depth_intra"] + part_nxn
+        self._transform_tree(
+            dec, ctx, x0, y0, x0, y0, log2_size, 0, 0,
+            part_nxn, modes, chroma_mode, max_depth, 1, 1,
+        )
+
+    def _mpm_list(self, x: int, y: int) -> list[int]:
+        """8.4.2 candidate modes; unavailable/cross-CTB-above -> DC."""
+        cand_a = 1
+        if x > 0 and self.mode_avail[y >> 2][(x - 1) >> 2]:
+            cand_a = int(self.luma_mode[y >> 2][(x - 1) >> 2])
+        cand_b = 1
+        if (
+            y > 0
+            and self.mode_avail[(y - 1) >> 2][x >> 2]
+            and (y - 1) >> self.log2_ctb == y >> self.log2_ctb
+        ):
+            cand_b = int(self.luma_mode[(y - 1) >> 2][x >> 2])
+        if cand_a == cand_b:
+            if cand_a < 2:
+                return [0, 1, 26]
+            return [
+                cand_a,
+                2 + ((cand_a + 29) % 32),
+                2 + ((cand_a - 2 + 1) % 32),
+            ]
+        out = [cand_a, cand_b]
+        if 0 not in out:
+            out.append(0)
+        elif 1 not in out:
+            out.append(1)
+        else:
+            out.append(26)
+        return out
+
+    def _transform_tree(
+        self, dec, ctx, x0, y0, x_base, y_base, log2_size, depth,
+        blk_idx, intra_split, modes, chroma_mode, max_depth,
+        parent_cbf_cb, parent_cbf_cr,
+    ):
+        """7.3.8.8 + per-leaf transform_unit (7.3.8.10)."""
+        sps = self.sps
+        if (
+            log2_size <= sps["log2_max_tb"]
+            and log2_size > sps["log2_min_tb"]
+            and depth < max_depth
+            and not (intra_split and depth == 0)
+        ):
+            split = dec.decision(
+                ctx.get("split_transform_flag", 5 - log2_size)
+            )
+        else:
+            split = int(
+                log2_size > sps["log2_max_tb"]
+                or (intra_split and depth == 0)
+            )
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2_size > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = dec.decision(ctx.get("cbf_chroma", depth))
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = dec.decision(ctx.get("cbf_chroma", depth))
+        if split:
+            half = 1 << (log2_size - 1)
+            for i, (dx, dy) in enumerate(
+                ((0, 0), (half, 0), (0, half), (half, half))
+            ):
+                self._transform_tree(
+                    dec, ctx, x0 + dx, y0 + dy, x0, y0,
+                    log2_size - 1, depth + 1, i, intra_split, modes,
+                    chroma_mode, max_depth, cbf_cb, cbf_cr,
+                )
+            return
+        cbf_luma = 1
+        if True:  # intra: cbf_luma always coded (CuPredMode == INTRA)
+            cbf_luma = dec.decision(
+                ctx.get("cbf_luma", 1 if depth == 0 else 0)
+            )
+        self._transform_unit(
+            dec, ctx, x0, y0, x_base, y_base, log2_size, blk_idx,
+            intra_split, modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr,
+        )
+
+    def _transform_unit(
+        self, dec, ctx, x0, y0, x_base, y_base, log2_size, blk_idx,
+        intra_split, modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr,
+    ):
+        """Residual decode + immediate reconstruction, z-order (the
+        8.4.4.1 per-transform-block intra pipeline)."""
+        self.n_tu += 1
+        # luma
+        if intra_split:
+            pb = 1 << log2_size
+            pu_i = ((y0 - y_base) // pb << 1) | ((x0 - x_base) // pb)
+            mode = modes[min(pu_i, len(modes) - 1)]
+        else:
+            mode = modes[0]
+        res = None
+        if cbf_luma:
+            levels = self._residual(dec, ctx, log2_size, 0, mode)
+            res = _inverse_transform(
+                _dequant(levels, self.qp, log2_size),
+                dst=(log2_size == 2),
+            )
+        self._reconstruct(0, x0, y0, log2_size, mode, res)
+        # chroma
+        if log2_size > 2:
+            self._chroma_pair(
+                dec, ctx, x0 >> 1, y0 >> 1, log2_size - 1,
+                chroma_mode, cbf_cb, cbf_cr,
+            )
+        elif blk_idx == 3:
+            self._chroma_pair(
+                dec, ctx, x_base >> 1, y_base >> 1, 2,
+                chroma_mode, cbf_cb, cbf_cr,
+            )
+
+    def _chroma_pair(
+        self, dec, ctx, xc, yc, log2_size, chroma_mode, cbf_cb, cbf_cr
+    ):
+        for c_idx, cbf, qp_off in (
+            (1, cbf_cb, self.qp_cb_off), (2, cbf_cr, self.qp_cr_off),
+        ):
+            qp_i = _clip3(0, 57, self.qp + qp_off)
+            qp_c = _CHROMA_QP[qp_i]
+            res = None
+            if cbf:
+                levels = self._residual(
+                    dec, ctx, log2_size, c_idx, chroma_mode
+                )
+                res = _inverse_transform(
+                    _dequant(levels, qp_c, log2_size), dst=False
+                )
+            self._reconstruct(c_idx, xc, yc, log2_size, chroma_mode, res)
+
+    # -- residual_coding (7.3.8.11) ------------------------------------------
+
+    def _residual(self, dec, ctx, log2_size, c_idx, pred_mode):
+        n = 1 << log2_size
+        # 7.4.9.11 mode-dependent scan for 4x4 and luma 8x8 intra TUs
+        scan_idx = 0
+        if log2_size == 2 or (log2_size == 3 and c_idx == 0):
+            if 6 <= pred_mode <= 14:
+                scan_idx = 2
+            elif 22 <= pred_mode <= 30:
+                scan_idx = 1
+        if self.pps["transform_skip_enabled"]:
+            raise ValueError("HEVC: transform_skip unsupported")
+        last_x = self._last_prefix(dec, ctx, "last_sig_coeff_x_prefix",
+                                   log2_size, c_idx)
+        last_y = self._last_prefix(dec, ctx, "last_sig_coeff_y_prefix",
+                                   log2_size, c_idx)
+        last_x = self._last_suffix(dec, last_x)
+        last_y = self._last_suffix(dec, last_y)
+        if scan_idx == 2:
+            last_x, last_y = last_y, last_x
+        pos_scan = _scan(4, scan_idx)
+        n_sb_log2 = log2_size - 2
+        sb_scan = _scan(1 << n_sb_log2, scan_idx) if n_sb_log2 else [(0, 0)]
+        last_sb = sb_scan.index((last_x >> 2, last_y >> 2))
+        last_pos = pos_scan.index((last_x & 3, last_y & 3))
+        coeffs = np.zeros((n, n), np.int64)
+        csbf: dict[tuple[int, int], int] = {}
+        c1 = 1  # greater1 context state, carried ACROSS subblocks
+        for i in range(last_sb, -1, -1):
+            xs, ys = sb_scan[i]
+            infer_dc = 0
+            if i < last_sb and i > 0:
+                inc = min(
+                    1,
+                    csbf.get((xs + 1, ys), 0) + csbf.get((xs, ys + 1), 0),
+                ) + (2 if c_idx else 0)
+                flag = dec.decision(ctx.get("coded_sub_block_flag", inc))
+                csbf[(xs, ys)] = flag
+                infer_dc = 1
+            else:
+                csbf[(xs, ys)] = 1
+            if not csbf[(xs, ys)]:
+                continue
+            sig = [0] * 16
+            if i == last_sb:
+                sig[last_pos] = 1
+                start = last_pos - 1
+            else:
+                start = 15
+            for pos in range(start, -1, -1):
+                if pos > 0 or not infer_dc:
+                    xp, yp = pos_scan[pos]
+                    inc = self._sig_ctx(
+                        log2_size, c_idx, scan_idx,
+                        (xs << 2) + xp, (ys << 2) + yp, xs, ys, csbf,
+                    )
+                    sig[pos] = dec.decision(ctx.get("sig_coeff_flag", inc))
+                    if sig[pos]:
+                        infer_dc = 0
+                else:
+                    sig[pos] = 1
+            sig_pos = [p for p in range(15, -1, -1) if sig[p]]
+            if not sig_pos:
+                continue
+            # 9.3.4.2.6: ctxSet from subblock index + previous
+            # subblock's ending greater1Ctx (the HM c1 carry).
+            ctx_set = (2 if (i > 0 and c_idx == 0) else 0) + (
+                1 if c1 == 0 else 0
+            )
+            c1 = 1
+            gt1 = {}
+            first_gt1 = -1
+            for k, pos in enumerate(sig_pos[:8]):
+                flag = dec.decision(
+                    ctx.get(
+                        "coeff_abs_level_greater1",
+                        (16 if c_idx else 0) + ctx_set * 4 + c1,
+                    )
+                )
+                gt1[pos] = flag
+                if flag:
+                    c1 = 0
+                    if first_gt1 < 0:
+                        first_gt1 = pos
+                elif 0 < c1 < 3:
+                    c1 += 1
+            gt2 = 0
+            if first_gt1 >= 0:
+                gt2 = dec.decision(
+                    ctx.get(
+                        "coeff_abs_level_greater2",
+                        (4 if c_idx else 0) + ctx_set,
+                    )
+                )
+            signs = {pos: dec.bypass() for pos in sig_pos}
+            rice = 0
+            first_coeff2 = 1
+            for k, pos in enumerate(sig_pos):
+                val = 1
+                if k < 8:
+                    val += gt1[pos]
+                    if pos == first_gt1:
+                        val += gt2
+                base = (2 + first_coeff2) if k < 8 else 1
+                if val == base:
+                    rem = self._remaining(dec, rice)
+                    val += rem
+                    if val > 3 << rice:
+                        rice = min(rice + 1, 4)
+                if val >= 2:
+                    first_coeff2 = 0
+                xp, yp = pos_scan[pos]
+                coeffs[(ys << 2) + yp][(xs << 2) + xp] = (
+                    -val if signs[pos] else val
+                )
+                self.n_coeff += 1
+        return coeffs
+
+    def _last_prefix(self, dec, ctx, name, log2_size, c_idx) -> int:
+        if c_idx == 0:
+            offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
+            shift = (log2_size + 1) >> 2
+        else:
+            offset = 15
+            shift = log2_size - 2
+        c_max = (log2_size << 1) - 1
+        prefix = 0
+        while prefix < c_max and dec.decision(
+            ctx.get(name, (prefix >> shift) + offset)
+        ):
+            prefix += 1
+        return prefix
+
+    def _last_suffix(self, dec, prefix: int) -> int:
+        if prefix <= 3:
+            return prefix
+        n_bits = (prefix >> 1) - 1
+        suffix = 0
+        for _ in range(n_bits):
+            suffix = (suffix << 1) | dec.bypass()
+        return ((2 + (prefix & 1)) << n_bits) + suffix
+
+    @staticmethod
+    def _sig_ctx(log2_size, c_idx, scan_idx, xc, yc, xs, ys, csbf) -> int:
+        """9.3.4.2.5 sig_coeff_flag ctxInc."""
+        if log2_size == 2:
+            ctx_map = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+            sig = ctx_map[(yc << 2) + xc]
+        elif xc + yc == 0:
+            sig = 0
+        else:
+            prev = csbf.get((xs + 1, ys), 0) + 2 * csbf.get(
+                (xs, ys + 1), 0
+            )
+            xp, yp = xc & 3, yc & 3
+            if prev == 0:
+                sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+            elif prev == 1:
+                sig = 2 if yp == 0 else (1 if yp == 1 else 0)
+            elif prev == 2:
+                sig = 2 if xp == 0 else (1 if xp == 1 else 0)
+            else:
+                sig = 2
+            if c_idx == 0:
+                if (xs, ys) != (0, 0):
+                    sig += 3
+                if log2_size == 3:
+                    sig += 9 if scan_idx == 0 else 15
+                else:
+                    sig += 21
+            else:
+                sig += 9 if log2_size == 3 else 12
+        return sig + (27 if c_idx else 0)
+
+    @staticmethod
+    def _remaining(dec, rice: int) -> int:
+        """9.3.3.13 coeff_abs_level_remaining: TR prefix then either a
+        rice suffix or the Exp-Golomb escape."""
+        prefix = 0
+        while dec.bypass():
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("HEVC: runaway remaining prefix")
+        if prefix < 3:
+            suffix = 0
+            for _ in range(rice):
+                suffix = (suffix << 1) | dec.bypass()
+            return (prefix << rice) + suffix
+        n_bits = prefix - 3 + rice
+        suffix = 0
+        for _ in range(n_bits):
+            suffix = (suffix << 1) | dec.bypass()
+        return (((1 << (prefix - 3)) + 2) << rice) + suffix
+
+    # -- intra prediction + reconstruction (8.4.4.2) --------------------------
+
+    def _reconstruct(self, c_idx, x0, y0, log2_size, mode, res):
+        n = 1 << log2_size
+        if c_idx == 0:
+            plane, avail = self.y, self.y_avail
+        elif c_idx == 1:
+            plane, avail = self.cb, self.c_avail
+        else:
+            plane, avail = self.cr, self.c_avail
+        pred = self._intra_pred(plane, avail, x0, y0, n, mode, c_idx)
+        if res is not None:
+            pred = pred + res
+        plane[y0:y0 + n, x0:x0 + n] = np.clip(pred, 0, 255)
+        if c_idx != 2:
+            # availability is z-order precedence; cb/cr reconstruct
+            # back-to-back so marking once (on cb) is equivalent, and
+            # marking on cr would break nothing either — keep cb for
+            # symmetry with luma.
+            avail[y0:y0 + n, x0:x0 + n] = True
+
+    def _intra_pred(self, plane, avail, x0, y0, n, mode, c_idx):
+        ph, pw = plane.shape
+        # reference sample array ref[i], i in [-2n .. 2n] flattened:
+        # index 0 = corner p[-1][-1]; negatives run DOWN the left
+        # column (i = -1-y); positives run along the top row
+        # (i = 1+x).  8.4.4.2.2 substitution order = increasing i
+        # from -2n.
+        total = 4 * n + 1
+        vals = np.zeros(total, np.int64)
+        have = np.zeros(total, bool)
+
+        def put(i, yy, xx):
+            if 0 <= yy < ph and 0 <= xx < pw and avail[yy][xx]:
+                vals[i + 2 * n] = plane[yy][xx]
+                have[i + 2 * n] = True
+
+        put(0, y0 - 1, x0 - 1)
+        for y in range(2 * n):
+            put(-1 - y, y0 + y, x0 - 1)
+        for x in range(2 * n):
+            put(1 + x, y0 - 1, x0 + x)
+        if not have.any():
+            vals[:] = 128
+        else:
+            if not have[0]:
+                nz = np.flatnonzero(have)
+                vals[0] = vals[nz[0]]
+                have[0] = True
+            for i in range(1, total):
+                if not have[i]:
+                    vals[i] = vals[i - 1]
+                    have[i] = True
+        corner = vals[2 * n]
+        left = vals[2 * n - 1 :: -1][:2 * n].copy()  # p[-1][0..2n-1]
+        top = vals[2 * n + 1 :].copy()  # p[0..2n-1][-1]
+
+        # 8.4.4.2.3 filtering: [1 2 1] smoothing, or the bilinear
+        # strong filter for 32x32 luma when the SPS flag is set and
+        # both corner gradients are flat (threshold 1 << (BD - 5)).
+        if c_idx == 0 and mode != 1 and n > 4:
+            dist = min(abs(mode - 26), abs(mode - 10))
+            thres = {8: 7, 16: 1, 32: 0}.get(n, 10)
+            if (mode == 0 or dist > thres) and (
+                self.sps["strong_intra_smoothing"]
+                and n == 32
+                and abs(int(corner) + int(top[2 * n - 1]) - 2 * int(top[n - 1])) < 8
+                and abs(int(corner) + int(left[2 * n - 1]) - 2 * int(left[n - 1])) < 8
+            ):
+                f_left = left.copy()
+                f_top = top.copy()
+                for i in range(2 * n - 1):
+                    f_top[i] = (
+                        (63 - i) * int(corner)
+                        + (i + 1) * int(top[2 * n - 1])
+                        + 32
+                    ) >> 6
+                    f_left[i] = (
+                        (63 - i) * int(corner)
+                        + (i + 1) * int(left[2 * n - 1])
+                        + 32
+                    ) >> 6
+                left, top = f_left, f_top
+            elif mode == 0 or dist > thres:
+                f_left = left.copy()
+                f_top = top.copy()
+                f_corner = (left[0] + 2 * corner + top[0] + 2) >> 2
+                f_left[0] = (corner + 2 * left[0] + left[1] + 2) >> 2
+                for i in range(1, 2 * n - 1):
+                    f_left[i] = (
+                        left[i - 1] + 2 * left[i] + left[i + 1] + 2
+                    ) >> 2
+                f_top[0] = (corner + 2 * top[0] + top[1] + 2) >> 2
+                for i in range(1, 2 * n - 1):
+                    f_top[i] = (
+                        top[i - 1] + 2 * top[i] + top[i + 1] + 2
+                    ) >> 2
+                left, top, corner = f_left, f_top, f_corner
+
+        pred = np.zeros((n, n), np.int64)
+        if mode == 0:  # planar 8.4.4.2.4
+            for yy in range(n):
+                for xx in range(n):
+                    pred[yy][xx] = (
+                        (n - 1 - xx) * left[yy]
+                        + (xx + 1) * top[n]
+                        + (n - 1 - yy) * top[xx]
+                        + (yy + 1) * left[n]
+                        + n
+                    ) >> (n.bit_length())  # log2(n) + 1
+        elif mode == 1:  # DC 8.4.4.2.5
+            dc = (int(top[:n].sum() + left[:n].sum()) + n) >> (
+                n.bit_length()
+            )
+            pred[:, :] = dc
+            if c_idx == 0 and n < 32:
+                pred[0][0] = (left[0] + 2 * dc + top[0] + 2) >> 2
+                for xx in range(1, n):
+                    pred[0][xx] = (top[xx] + 3 * dc + 2) >> 2
+                for yy in range(1, n):
+                    pred[yy][0] = (left[yy] + 3 * dc + 2) >> 2
+        else:  # angular 8.4.4.2.6
+            angle = _PRED_ANGLE[mode - 2]
+            if mode >= 18:
+                ref = np.zeros(3 * n + 2, np.int64)  # ref[-n .. 2n+1]
+                base = n
+                ref[base] = corner
+                ref[base + 1 : base + 2 * n + 1] = top[: 2 * n]
+                if angle < 0:
+                    lo = (n * angle) >> 5
+                    if lo < -1:
+                        inv = _INV_ANGLE[angle]
+                        for x in range(-1, lo - 1, -1):
+                            idx = ((x * inv + 128) >> 8) - 1
+                            ref[base + x] = (
+                                corner if idx < 0 else left[min(idx, 2 * n - 1)]
+                            )
+                for yy in range(n):
+                    i_idx = ((yy + 1) * angle) >> 5
+                    i_fact = ((yy + 1) * angle) & 31
+                    for xx in range(n):
+                        a = ref[base + xx + i_idx + 1]
+                        if i_fact:
+                            b = ref[base + xx + i_idx + 2]
+                            pred[yy][xx] = (
+                                (32 - i_fact) * a + i_fact * b + 16
+                            ) >> 5
+                        else:
+                            pred[yy][xx] = a
+                if mode == 26 and c_idx == 0 and n < 32:
+                    for yy in range(n):
+                        pred[yy][0] = _clip3(
+                            0, 255,
+                            int(top[0]) + ((int(left[yy]) - int(corner)) >> 1),
+                        )
+            else:  # modes 2..17: mirror of the vertical arm
+                ref = np.zeros(3 * n + 2, np.int64)
+                base = n
+                ref[base] = corner
+                ref[base + 1 : base + 2 * n + 1] = left[: 2 * n]
+                if angle < 0:
+                    lo = (n * angle) >> 5
+                    if lo < -1:
+                        inv = _INV_ANGLE[angle]
+                        for x in range(-1, lo - 1, -1):
+                            idx = ((x * inv + 128) >> 8) - 1
+                            ref[base + x] = (
+                                corner if idx < 0 else top[min(idx, 2 * n - 1)]
+                            )
+                for xx in range(n):
+                    i_idx = ((xx + 1) * angle) >> 5
+                    i_fact = ((xx + 1) * angle) & 31
+                    for yy in range(n):
+                        a = ref[base + yy + i_idx + 1]
+                        if i_fact:
+                            b = ref[base + yy + i_idx + 2]
+                            pred[yy][xx] = (
+                                (32 - i_fact) * a + i_fact * b + 16
+                            ) >> 5
+                        else:
+                            pred[yy][xx] = a
+                if mode == 10 and c_idx == 0 and n < 32:
+                    for xx in range(n):
+                        pred[0][xx] = _clip3(
+                            0, 255,
+                            int(left[0]) + ((int(top[xx]) - int(corner)) >> 1),
+                        )
+        return pred
+
+
+def decode_hevc_islice(
+    nal: bytes, sps: dict, pps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Decode one IRAP I-slice NAL to (y, cb, cr, stats)."""
+    hdr, br = parse_hevc_slice_header(nal, sps, pps)
+    dec = _CabacDecoder(br)
+    ctx = _Ctx(hdr["slice_qp"])
+    d = HevcIntraSliceDecoder(sps, pps, hdr)
+    d.decode(dec, ctx)
+    stats = {
+        "slice_qp": hdr["slice_qp"],
+        "n_cu": d.n_cu,
+        "n_tu": d.n_tu,
+        "n_coeff": d.n_coeff,
+    }
+    return d.y.astype(np.uint8), d.cb.astype(np.uint8), d.cr.astype(
+        np.uint8
+    ), stats
+
+
+def decode_heic_from_spec(container: bytes):
+    """Walk a HEIC container (hvcC param sets + mdat length-prefixed
+    NALs — the m49 structure layer) and decode its single I-slice
+    from spec.  Returns (y, cb, cr, stats)."""
+    hvcc_spans = isobmff_find(container, ["meta", "iprp", "ipco", "hvcC"])
+    if len(hvcc_spans) != 1:
+        raise ValueError(f"HEIC: {len(hvcc_spans)} hvcC boxes")
+    o, e = hvcc_spans[0]
+    cfg = parse_hvcc(container[o:e])
+    sps_nals = [n for t, n in cfg["param_sets"] if t == 33]
+    pps_nals = [n for t, n in cfg["param_sets"] if t == 34]
+    if len(sps_nals) != 1 or len(pps_nals) != 1:
+        raise ValueError("HEIC: expected exactly one SPS and one PPS")
+    sps = parse_hevc_sps_full(sps_nals[0])
+    pps = parse_hevc_pps(pps_nals[0])
+    md = isobmff_find(container, ["mdat"])
+    if len(md) != 1:
+        raise ValueError(f"HEIC: {len(md)} mdat boxes")
+    o, e = md[0]
+    ln_sz = cfg["nal_length_size"]
+    p = o
+    slices = []
+    while p < e:
+        ln = int.from_bytes(container[p:p + ln_sz], "big")
+        p += ln_sz
+        nal = container[p:p + ln]
+        p += ln
+        t = (nal[0] >> 1) & 0x3F
+        if t in (19, 20, 21):
+            slices.append(nal)
+        elif t in (32, 33, 34, 39, 40):
+            continue  # parameter sets / SEI
+        else:
+            raise ValueError(f"HEIC: unexpected NAL type {t} in mdat")
+    if len(slices) != 1:
+        raise ValueError(f"HEIC: {len(slices)} slice NALs")
+    return decode_hevc_islice(slices[0], sps, pps)
+
+
+def heic_nal_units(container: bytes) -> list[bytes]:
+    """All NAL units of a single-image HEIC: hvcC parameter sets
+    followed by the mdat's length-prefixed payload NALs."""
+    o, e = isobmff_find(container, ["meta", "iprp", "ipco", "hvcC"])[0]
+    cfg = parse_hvcc(container[o:e])
+    nals = [n for _, n in cfg["param_sets"]]
+    o, e = isobmff_find(container, ["mdat"])[0]
+    ln_sz = cfg["nal_length_size"]
+    p = o
+    while p < e:
+        ln = int.from_bytes(container[p:p + ln_sz], "big")
+        p += ln_sz
+        nals.append(container[p:p + ln])
+        p += ln
+    return nals
+
+
+# ---------------------------------------------------------------------------
+# Direct libde265 adjudicator.  libheif's decode path routes YCbCr
+# planes through its shared colour pipeline, which clips out-of-gamut
+# samples (the r13 finding that set m47/m48's in-gamut box) — that
+# clipping corrupts full-range comparisons even for YCbCr output, so
+# the bit-exactness tests talk to libde265 itself: raw Annex-B in,
+# raw decoder planes out, no colour handling anywhere.
+# ---------------------------------------------------------------------------
+
+_DE265 = None
+
+
+def _de265():
+    global _DE265
+    if _DE265 is None:
+        import ctypes
+
+        lib = ctypes.CDLL("libde265.so.0")
+        lib.de265_new_decoder.restype = ctypes.c_void_p
+        lib.de265_push_data.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.de265_flush_data.argtypes = [ctypes.c_void_p]
+        lib.de265_decode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
+        ]
+        lib.de265_get_next_picture.argtypes = [ctypes.c_void_p]
+        lib.de265_get_next_picture.restype = ctypes.c_void_p
+        lib.de265_get_image_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.de265_get_image_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.de265_get_image_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)
+        ]
+        lib.de265_get_image_plane.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.de265_free_decoder.argtypes = [ctypes.c_void_p]
+        _DE265 = lib
+    return _DE265
+
+
+def have_libde265() -> bool:
+    try:
+        _de265()
+        return True
+    except OSError:
+        return False
+
+
+def decode_hevc_libde265(nals: list[bytes]):
+    """Decode NAL units through libde265 directly; returns raw
+    (y, cb, cr) planes exactly as the reference decoder reconstructs
+    them (pre any colour handling)."""
+    import ctypes
+
+    lib = _de265()
+    ctx = lib.de265_new_decoder()
+    try:
+        stream = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+        lib.de265_push_data(ctx, stream, len(stream), 0, None)
+        lib.de265_flush_data(ctx)
+        more = ctypes.c_int(1)
+        pic = None
+        for _ in range(100):
+            lib.de265_decode(ctx, ctypes.byref(more))
+            p = lib.de265_get_next_picture(ctx)
+            if p:
+                pic = p
+                break
+            if not more.value:
+                break
+        if not pic:
+            raise ValueError("libde265: no picture decoded")
+        planes = []
+        for c in range(3):
+            w = lib.de265_get_image_width(pic, c)
+            h = lib.de265_get_image_height(pic, c)
+            stride = ctypes.c_int()
+            ptr = lib.de265_get_image_plane(pic, c, ctypes.byref(stride))
+            arr = np.ctypeslib.as_array(ptr, shape=(h, stride.value))
+            planes.append(arr[:, :w].copy())
+        return planes[0], planes[1], planes[2]
+    finally:
+        lib.de265_free_decoder(ctx)
+
+
+# x265 parameter pins that keep the emitted stream inside this
+# decoder's declared surface (SAO off, deblock off, no WPP/tiles, no
+# sign hiding, fixed QP, 8-bit 4:2:0) while leaving the coding
+# quadtree, TU trees, all 35 intra modes, and the full residual
+# entropy layer live.  pools/frame-threads pin the r13 thread-pool
+# thrash fix.
+X265_CONSTRAINED = (
+    ("preset", "ultrafast"),
+    ("x265:pools", "none"),
+    ("x265:frame-threads", "1"),
+    ("x265:wpp", "0"),
+    ("x265:sao", "0"),
+    ("x265:no-deblock", "1"),
+    ("x265:min-cu-size", "8"),
+    ("x265:tu-intra-depth", "2"),
+    ("x265:signhide", "0"),
+    ("x265:aq-mode", "0"),
+    ("x265:strong-intra-smoothing", "0"),
+)
+
+
+def encode_heic_constrained(y, cb, cr, qp: int, ctu: int = 16) -> bytes:
+    """x265-encode planes to a HEIC container under the constrained
+    parameter pin (real third-party encoder — the adversarial side of
+    the m51 roundtrip)."""
+    from table_demo_spark.operators import heif
+
+    params = X265_CONSTRAINED + (
+        ("x265:ctu", str(ctu)), ("x265:qp", str(qp)),
+    )
+    return heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_HEVC, params, lossless=False
+    )
+

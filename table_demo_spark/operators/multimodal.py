@@ -3219,6 +3219,106 @@ def heif_pixel_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+# -- HEVC slice-data decode vs libde265 (m51, r14) ---------------------------
+
+_M51_SALT_H = "#m51h"
+_M51_SALT_P = "#m51p"
+_M51_MAX_BYTES = 64 * 64 + 2 * 32 * 32  # largest drawn plane set
+
+
+def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
+    """Per document: draw dims (w,h in {32..64} step 8 — partial CTUs
+    under ctu=32 force boundary splits), CTU size, and QP (12..42,
+    both sides of every dequant shift) from the doc's md5 header
+    block; fill FULL-RANGE noise planes from the '#m51p' stream
+    (maximal residual entropy — every greater1/greater2/Rice escape
+    path live); encode with the REAL x265 encoder under the
+    constrained-tools pin; then decode the stream TWICE — once with
+    the from-spec pure-Python HEVC decoder (operators/hevc.py) and
+    once with libde265 called directly via ctypes (raw decoder
+    planes; libheif's colour pipeline would clip out-of-gamut YCbCr,
+    the r13 finding, and full-range noise is deliberately out of
+    gamut) — and compare bit-for-bit.  exact_* carry the adjudication
+    onto the value hash; dims/qp/slice_qp (x265 CQP I-slice offset is
+    uniformly -3 under these params, probed over qp 12..42 at both
+    CTU sizes) and the source-plane checksums are md5-restatable so
+    the oracle also pins that the planes fed to x265 are the claimed
+    ones.  Corpus-linear: one task per doc batch after fan_out, no
+    cross-partition work."""
+    import numpy as np
+
+    from table_demo_spark.operators import hevc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M51_SALT_H)
+                w = 32 + 8 * (hdr[0] % 5)
+                h = 32 + 8 * (hdr[1] % 5)
+                ctu = 16 if hdr[2] % 2 == 0 else 32
+                qp = 12 + hdr[3] % 31
+                yn, cn = w * h, (w // 2) * (h // 2)
+                total = yn + 2 * cn
+                raw = np.frombuffer(
+                    _md5_stream(
+                        str(doc_id), (total + 15) // 16, _M51_SALT_P
+                    ),
+                    np.uint8,
+                )[:total].astype(np.int64)
+                y = raw[:yn].astype(np.uint8).reshape(h, w)
+                cb = (
+                    raw[yn:yn + cn].astype(np.uint8)
+                    .reshape(h // 2, w // 2)
+                )
+                cr = (
+                    raw[yn + cn:].astype(np.uint8)
+                    .reshape(h // 2, w // 2)
+                )
+                data = hevc.encode_heic_constrained(y, cb, cr, qp, ctu=ctu)
+                gy, gcb, gcr, st = hevc.decode_heic_from_spec(data)
+                ry, rcb, rcr = hevc.decode_hevc_libde265(
+                    hevc.heic_nal_units(data)
+                )
+                wy = 1 + np.arange(yn, dtype=np.int64) % 7
+                rows.append(
+                    (
+                        int(doc_id), w, h, ctu, qp, int(st["slice_qp"]),
+                        int(raw[:yn].sum()),
+                        int((wy * raw[:yn]).sum()),
+                        int(raw[yn:yn + cn].sum()),
+                        int(raw[yn + cn:].sum()),
+                        int(gy.shape == ry.shape and bool((gy == ry).all())),
+                        int(
+                            gcb.shape == rcb.shape
+                            and bool((gcb == rcb).all())
+                        ),
+                        int(
+                            gcr.shape == rcr.shape
+                            and bool((gcr == rcr).all())
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "ctu", "qp", "slice_qp",
+                    "src_sum_y", "src_wsum_y", "src_sum_cb", "src_sum_cr",
+                    "exact_y", "exact_cb", "exact_cr",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, ctu long, qp long, "
+            "slice_qp long, src_sum_y long, src_wsum_y long, "
+            "src_sum_cb long, src_sum_cr long, exact_y long, "
+            "exact_cb long, exact_cr long"
+        ),
+    )
+
+
 # -- H.264 inter prediction fixture (m46, r13) -------------------------------
 
 _MC_SALT = "#mc"

@@ -97,6 +97,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_p4_curation_pipeline",
     # r14 new queries land here (no CORRECTNESS row yet ->
     # oldest-of-all, so they keep the due-count intact).
+    "llm_m51_hevc_slice_decode",
 )
 
 

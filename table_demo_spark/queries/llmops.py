@@ -8340,6 +8340,90 @@ ORDER BY doc_id
 """
 
 
+def m51_hevc_slice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC SLICE-DATA decode — the r13 VERDICT 'next round #3' item,
+    extending m49's structure walk to the entropy layer: a from-spec
+    pure-Python H.265 Main-intra decoder (operators/hevc.py — CABAC
+    with spec init tables, coding quadtree, all 35 intra modes,
+    transform trees, residual coding, dequant + inverse DCT/DST,
+    reconstruction) runs over REAL x265 bitstreams and is adjudicated
+    BIT-EXACT per pixel against libde265 called directly via ctypes.
+    That is the m31/VP8-vs-libwebp pattern with the strongest
+    epistemics available in-container: encoder (x265), reference
+    decoder (libde265) and our decoder are three independent
+    codebases, so any context-table misrecall, scan-order slip or
+    transform-orientation bug desynchronizes CABAC and fails the
+    exact_* flags.  Full-range noise planes (deliberately out of the
+    r13 in-gamut box — adjudication bypasses libheif's clipping
+    colour pipeline), dims 32..64 at CTU 16/32 (partial-CTU forced
+    splits), QP 12..42 (both sides of every dequant shift).  The
+    oracle restates the md5-drawn parameters and source-plane
+    checksums; the x265 CQP I-slice offset (slice_qp = qp - 3,
+    probed uniform over the full QP range at both CTU sizes) puts
+    the CABAC slice-header parse on the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_slice_decode_stats(docs).orderBy("doc_id")
+
+
+def _m51_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _M51_MAX_BYTES,
+        _M51_SALT_H,
+        _M51_SALT_P,
+    )
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M51_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    pbyte = (
+        "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) ||"
+        f" '{_M51_SALT_P}' || CAST(g.i // 16 AS VARCHAR)),"
+        " CAST(2 * (g.i % 16) + 1 AS INT), 2) AS BIGINT)"
+    )
+    return f"""
+WITH hdr AS MATERIALIZED (
+  SELECT doc_id,
+         32 + 8 * ({hbyte(0)} % 5) AS w,
+         32 + 8 * ({hbyte(1)} % 5) AS h,
+         CASE WHEN {hbyte(2)} % 2 = 0 THEN 16 ELSE 32 END AS ctu,
+         12 + {hbyte(3)} % 31 AS qp
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, g.i, d.w, d.h, {pbyte} AS b
+  FROM hdr d CROSS JOIN range({_M51_MAX_BYTES}) g(i)
+  WHERE g.i < d.w * d.h + 2 * ((d.w // 2) * (d.h // 2))
+),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN i < w * h THEN b END) AS BIGINT) AS src_sum_y,
+    CAST(sum(CASE WHEN i < w * h THEN (1 + i % 7) * b END)
+      AS BIGINT) AS src_wsum_y,
+    CAST(sum(CASE WHEN i >= w * h
+                   AND i < w * h + (w // 2) * (h // 2) THEN b END)
+      AS BIGINT) AS src_sum_cb,
+    CAST(sum(CASE WHEN i >= w * h + (w // 2) * (h // 2) THEN b END)
+      AS BIGINT) AS src_sum_cr
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT hdr.doc_id,
+       CAST(hdr.w AS BIGINT) AS width,
+       CAST(hdr.h AS BIGINT) AS height,
+       CAST(hdr.ctu AS BIGINT) AS ctu,
+       CAST(hdr.qp AS BIGINT) AS qp,
+       CAST(hdr.qp - 3 AS BIGINT) AS slice_qp,
+       agg.src_sum_y, agg.src_wsum_y, agg.src_sum_cb, agg.src_sum_cr,
+       CAST(1 AS BIGINT) AS exact_y,
+       CAST(1 AS BIGINT) AS exact_cb,
+       CAST(1 AS BIGINT) AS exact_cr
+FROM hdr JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -10708,6 +10792,7 @@ QUERIES: list[Query] = [
     Query("llm_m48_heic_pixels", m48_heic_pixels, _heif_oracle("#heic")),
     Query("llm_m49_hevc_structure", m49_hevc_structure, _m49_oracle()),
     Query("llm_m50_av1_structure", m50_av1_structure, _m50_oracle()),
+    Query("llm_m51_hevc_slice_decode", m51_hevc_slice_decode, _m51_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

@@ -1,0 +1,194 @@
+"""llm_m51 HEVC slice-decode battery: the from-spec intra decoder
+(operators/hevc.py) against REAL x265 streams, adjudicated bit-exact
+by libde265 called DIRECTLY (raw decoder planes — libheif's colour
+pipeline clips out-of-gamut YCbCr, the r13 finding, so it must not
+sit between the two decoders being compared)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from table_demo_spark.operators import hevc
+
+try:
+    from table_demo_spark.operators.heif import have_libheif
+
+    _HAVE = have_libheif() and hevc.have_libde265()
+except Exception:  # pragma: no cover
+    _HAVE = False
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE, reason="libheif/libde265 not available"
+)
+
+
+def _roundtrip(y, cb, cr, qp, ctu=16):
+    data = hevc.encode_heic_constrained(y, cb, cr, qp, ctu=ctu)
+    nals = hevc.heic_nal_units(data)
+    want = hevc.decode_hevc_libde265(nals)
+    got = hevc.decode_heic_from_spec(data)
+    return want, got[:3], got[3]
+
+
+def _assert_exact(want, got):
+    for name, w, g in zip("y cb cr".split(), want, got):
+        assert w.shape == g.shape, name
+        assert (w == g).all(), (
+            name,
+            np.argwhere(w.astype(int) != g.astype(int))[:5],
+        )
+
+
+def test_flat_image_roundtrip_exact():
+    want, got, st = _roundtrip(
+        np.full((64, 64), 100, np.uint8),
+        np.full((32, 32), 120, np.uint8),
+        np.full((32, 32), 130, np.uint8),
+        30,
+    )
+    _assert_exact(want, got)
+    assert st["n_cu"] >= 16
+
+
+def test_full_range_noise_all_qps_exact():
+    """Dense full-range noise maximises residual entropy (every
+    greater1/greater2/rice path live); QP sweep covers dequant
+    shifts both sides of per-vs-iShift."""
+    rng = np.random.RandomState(7)
+    for qp in (12, 22, 30, 37, 45):
+        want, got, st = _roundtrip(
+            rng.randint(0, 256, (64, 64)).astype(np.uint8),
+            rng.randint(0, 256, (32, 32)).astype(np.uint8),
+            rng.randint(0, 256, (32, 32)).astype(np.uint8),
+            qp,
+        )
+        _assert_exact(want, got)
+        assert st["n_coeff"] > 500
+
+
+def test_gradients_exercise_angular_modes_exact():
+    gy, gx = np.mgrid[0:64, 0:64]
+    for k, (a, b) in enumerate(((2, 1), (1, 3), (0, 2), (3, 0))):
+        y = np.clip(40 + a * gy + b * gx, 0, 255).astype(np.uint8)
+        cb = np.clip(90 + (gy[:32, :32] * b), 0, 255).astype(np.uint8)
+        cr = np.clip(90 + (gx[:32, :32] * a), 0, 255).astype(np.uint8)
+        want, got, _ = _roundtrip(y, cb, cr, 28 + 3 * k)
+        _assert_exact(want, got)
+
+
+def test_partial_ctu_boundary_forced_splits_exact():
+    """72x64 with ctu 16: the right CTU column is partial, forcing
+    inferred quadtree splits at the picture boundary."""
+    rng = np.random.RandomState(11)
+    y = rng.randint(0, 256, (64, 72)).astype(np.uint8)
+    cb = rng.randint(0, 256, (32, 36)).astype(np.uint8)
+    cr = rng.randint(0, 256, (32, 36)).astype(np.uint8)
+    want, got, _ = _roundtrip(y, cb, cr, 32)
+    _assert_exact(want, got)
+
+
+def test_ctu32_with_strong_smoothing_paths_exact():
+    """ctu 32 reaches 32x32 TUs (32-point DCT) and the 8.4.4.2.3
+    strong-intra-smoothing arm on smooth content."""
+    gy, gx = np.mgrid[0:96, 0:96]
+    y = ((gy + gx) * 255 // 190).astype(np.uint8)
+    cb = np.full((48, 48), 118, np.uint8)
+    cr = np.full((48, 48), 138, np.uint8)
+    data = hevc.encode_heic_constrained(y, cb, cr, 26, ctu=32)
+    # re-enable the encoder's strong smoothing for this stream
+    from table_demo_spark.operators import heif
+
+    params = tuple(
+        p for p in hevc.X265_CONSTRAINED
+        if p[0] != "x265:strong-intra-smoothing"
+    ) + (("x265:ctu", "32"), ("x265:qp", "26"))
+    data = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_HEVC, params, lossless=False
+    )
+    nals = hevc.heic_nal_units(data)
+    want = hevc.decode_hevc_libde265(nals)
+    got = hevc.decode_heic_from_spec(data)
+    _assert_exact(want, got[:3])
+
+
+def test_mixed_texture_many_cu_shapes_exact():
+    rng = np.random.RandomState(3)
+    y = np.zeros((64, 64), np.uint8)
+    y[:32, :32] = rng.randint(0, 256, (32, 32))
+    gy, gx = np.mgrid[0:32, 0:32]
+    y[:32, 32:] = (4 * gy).astype(np.uint8)
+    y[32:, :32] = 200
+    y[32:, 32:] = (128 + 60 * np.sin(gx / 3)).astype(np.uint8)
+    cb = rng.randint(100, 156, (32, 32)).astype(np.uint8)
+    cr = np.full((32, 32), 128, np.uint8)
+    # x265 only splits below the CTU when RD favours it: qp=12/ctu=16
+    # goes all the way to 8x8 NxN (probed: n_cu=64), qp=30/ctu=32
+    # yields a mixed-depth tree, qp=42/ctu=16 stays unsplit — together
+    # the three cover unsplit, partially-split and fully-split trees.
+    seen_cu = []
+    for qp, ctu in ((12, 16), (30, 32), (42, 16)):
+        want, got, st = _roundtrip(y, cb, cr, qp, ctu=ctu)
+        _assert_exact(want, got)
+        seen_cu.append(st["n_cu"])
+    assert max(seen_cu) > 16  # quadtree actually split somewhere
+
+
+def test_hevc_init_values_match_x265_rodata():
+    """Every declared context-init table (HEVC_CTX_INIT) must appear
+    byte-for-byte in libx265's .rodata (x265 embeds the spec tables
+    per slice type; all three rows of every element were found at
+    adjacent offsets).  Guards the hand-recall trap (the r10 VP8L
+    lesson): a misrecalled byte fails here, not mid-battery."""
+    blob = open("/lib/x86_64-linux-gnu/libx265.so.199", "rb").read()
+    for name, rows in hevc.HEVC_CTX_INIT.items():
+        for i, row in enumerate(rows):
+            assert blob.find(bytes(row)) >= 0, (name, i, row)
+
+
+def test_dct_matrices_match_binary_tables():
+    """The recursively generated integer DCT bases equal the
+    binaries' own transform tables: int16 in libx265 (4/8/16/32),
+    int8 g_t32 in libde265."""
+    x265 = open("/lib/x86_64-linux-gnu/libx265.so.199", "rb").read()
+    de265 = open("/lib/x86_64-linux-gnu/libde265.so.0", "rb").read()
+    for n in (8, 16, 32):
+        m = hevc._dct_matrix(n)
+        assert x265.find(m.astype("<i2").tobytes()) >= 0, n
+    t32 = hevc._dct_matrix(32)
+    assert de265.find(t32.astype("i1").tobytes()) >= 0
+    t4 = hevc._dct_matrix(4)
+    assert (np.abs(t4) <= 127).all()
+    assert (t4[1] == np.array([83, 36, -36, -83])).all()
+
+
+def test_dst4_matches_spec_rows():
+    assert (hevc._DST4[0] == np.array([29, 55, 74, 84])).all()
+    assert (hevc._DST4[3] == np.array([55, -84, 74, -29])).all()
+
+
+def test_truncated_container_fails_loudly():
+    y = np.full((64, 64), 100, np.uint8)
+    c = np.full((32, 32), 128, np.uint8)
+    data = hevc.encode_heic_constrained(y, c, c, 30)
+    with pytest.raises(ValueError):
+        hevc.decode_heic_from_spec(data[: len(data) // 2])
+
+
+def test_unsupported_tools_fail_loudly():
+    """A stream with deblocking left on must be rejected, not
+    mis-decoded.  Deblocking (unlike SAO, whose per-slice flags are an
+    RD decision x265 may set to 0 anyway) is a PPS/slice-header
+    property, so the guard fires deterministically."""
+    from table_demo_spark.operators import heif
+
+    y = np.full((64, 64), 100, np.uint8)
+    c = np.full((32, 32), 128, np.uint8)
+    params = tuple(
+        p for p in hevc.X265_CONSTRAINED if p[0] != "x265:no-deblock"
+    ) + (("x265:ctu", "16"), ("x265:qp", "30"))
+    data = heif.encode_heif(
+        y, c, c, heif.COMPRESSION_HEVC, params, lossless=False
+    )
+    with pytest.raises(ValueError, match="deblocking"):
+        hevc.decode_heic_from_spec(data)
