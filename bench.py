@@ -227,6 +227,7 @@ HEADLINE = [
     "llm_m49_hevc_structure",
     "llm_m50_av1_structure",
     "llm_m51_hevc_slice_decode",
+    "llm_m52_avif_sequence",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",
@@ -264,6 +265,7 @@ HEADLINE = [
     "stream_q41_pipeline_ingest",
     "stream_q42_state_audit",
     "stream_q43_avif_ingest",
+    "stream_q44_watermark_eviction",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason
