@@ -8261,24 +8261,164 @@ def av1_obus(data: bytes) -> list:
 
 
 def parse_av1_sequence_header(payload: bytes) -> dict:
-    """AV1 5.5.1 sequence_header_obu for the still-picture shape
-    libaom emits in AVIF (reduced_still_picture_header = 1): profile,
-    level, and the exact frame dimensions.  The full (non-reduced)
-    header is the declared extension point."""
+    """AV1 5.5.1 sequence_header_obu — BOTH shapes libaom emits
+    in-container: the reduced still-picture header of AVIF stills
+    (llm_m50) and, since r14, the FULL non-reduced header of AVIF
+    image sequences (llm_m52: avis tracks have still_picture = 0, so
+    every operating-point / order-hint / screen-content branch of
+    5.5.1 and the full 5.5.2 color_config are on the parse path).
+    Decoder-model and frame-id branches raise loudly (libaom never
+    emits them for avis; parsing them untested would be the r10
+    trap)."""
     br = _BitReader(payload)
     d = {
         "seq_profile": br.bits(3),
         "still_picture": br.bits(1),
         "reduced_header": br.bits(1),
     }
-    if not d["reduced_header"]:
-        raise ValueError("AV1: non-reduced sequence header unsupported")
-    d["seq_level_idx"] = br.bits(5)
+    if d["reduced_header"]:
+        d["seq_level_idx"] = br.bits(5)
+        d["n_operating_points"] = 1
+    else:
+        d["timing_info_present"] = br.bits(1)
+        if d["timing_info_present"]:
+            d["num_units_in_display_tick"] = br.bits(32)
+            d["time_scale"] = br.bits(32)
+            if br.bits(1):  # equal_picture_interval: uvlc ticks
+                lz = 0
+                while br.bits(1) == 0:
+                    lz += 1
+                if lz >= 32:
+                    raise ValueError("AV1: uvlc overflow")
+                d["ticks_per_picture"] = (
+                    (1 << lz) - 1 + (br.bits(lz) if lz else 0)
+                )
+            if br.bits(1):
+                raise ValueError("AV1: decoder_model_info unsupported")
+        d["initial_display_delay_present"] = br.bits(1)
+        n_ops = br.bits(5) + 1
+        d["n_operating_points"] = n_ops
+        ops = []
+        for _ in range(n_ops):
+            idc = br.bits(12)
+            lvl = br.bits(5)
+            tier = br.bits(1) if lvl > 7 else 0
+            if d["initial_display_delay_present"] and br.bits(1):
+                br.bits(4)
+            ops.append((idc, lvl, tier))
+        d["operating_points"] = ops
+        d["seq_level_idx"] = ops[0][1]
     wb = br.bits(4) + 1
     hb = br.bits(4) + 1
     d["width"] = br.bits(wb) + 1
     d["height"] = br.bits(hb) + 1
+    if not d["reduced_header"]:
+        if br.bits(1):
+            raise ValueError("AV1: frame_id_numbers unsupported")
+    d["use_128x128_superblock"] = br.bits(1)
+    d["enable_filter_intra"] = br.bits(1)
+    d["enable_intra_edge_filter"] = br.bits(1)
+    if not d["reduced_header"]:
+        d["enable_interintra_compound"] = br.bits(1)
+        d["enable_masked_compound"] = br.bits(1)
+        d["enable_warped_motion"] = br.bits(1)
+        d["enable_dual_filter"] = br.bits(1)
+        d["enable_order_hint"] = br.bits(1)
+        if d["enable_order_hint"]:
+            d["enable_jnt_comp"] = br.bits(1)
+            d["enable_ref_frame_mvs"] = br.bits(1)
+        force_sct = 2 if br.bits(1) else br.bits(1)
+        d["seq_force_screen_content_tools"] = force_sct
+        if force_sct > 0:
+            d["seq_force_integer_mv"] = 2 if br.bits(1) else br.bits(1)
+        if d["enable_order_hint"]:
+            d["order_hint_bits"] = br.bits(3) + 1
+    d["enable_superres"] = br.bits(1)
+    d["enable_cdef"] = br.bits(1)
+    d["enable_restoration"] = br.bits(1)
+    # 5.5.2 color_config
+    high = br.bits(1)
+    if d["seq_profile"] == 2 and high:
+        d["bit_depth"] = 12 if br.bits(1) else 10
+    else:
+        d["bit_depth"] = 10 if high else 8
+    d["mono_chrome"] = 0 if d["seq_profile"] == 1 else br.bits(1)
+    if br.bits(1):  # color_description_present_flag
+        cp, tc, mc = br.bits(8), br.bits(8), br.bits(8)
+    else:
+        cp, tc, mc = 2, 2, 2  # UNSPECIFIED
+    d["matrix_coefficients"] = mc
+    if d["mono_chrome"]:
+        d["color_range"] = br.bits(1)
+        d["subsampling_x"] = d["subsampling_y"] = 1
+    elif cp == 1 and tc == 13 and mc == 0:  # BT709 + sRGB + identity
+        d["color_range"] = 1
+        d["subsampling_x"] = d["subsampling_y"] = 0
+        d["separate_uv_delta_q"] = br.bits(1)
+        d["film_grain_params_present"] = br.bits(1)
+        return d
+    else:
+        d["color_range"] = br.bits(1)
+        if d["seq_profile"] == 0:
+            d["subsampling_x"] = d["subsampling_y"] = 1
+        elif d["seq_profile"] == 1:
+            d["subsampling_x"] = d["subsampling_y"] = 0
+        else:
+            raise ValueError("AV1: profile 2 subsampling unsupported")
+        if d["subsampling_x"] and d["subsampling_y"]:
+            d["chroma_sample_position"] = br.bits(2)
+    if not d["mono_chrome"]:
+        d["separate_uv_delta_q"] = br.bits(1)
+    d["film_grain_params_present"] = br.bits(1)
     return d
+
+
+def av1_avis_structure(data: bytes) -> dict:
+    """The m52 walk over one AVIF image SEQUENCE (avis brand): the
+    mdat OBU stream must carry exactly one NON-reduced sequence
+    header (multi-frame tracks cannot use the still-picture shape),
+    and the frame count is stated THREE independent ways inside the
+    same real file — OBU_FRAME count, temporal-delimiter count, and
+    the track's stsz sample_count — all of which must agree (the
+    m50 ispe==sequence-header trick, one level deeper)."""
+    if data[4:8] != b"ftyp" or data[8:12] != b"avis":
+        raise ValueError("AVIS: not an avis-brand container")
+    mdat = [(bo, be) for t, bo, be in isobmff_boxes(data) if t == "mdat"]
+    if len(mdat) != 1:
+        raise ValueError(f"AVIS: {len(mdat)} mdat boxes")
+    seq = None
+    n_obus = n_frames = n_tds = 0
+    for typ, payload in av1_obus(data[mdat[0][0]:mdat[0][1]]):
+        n_obus += 1
+        if typ == 1:
+            if seq is not None:
+                raise ValueError("AVIS: multiple sequence headers")
+            seq = parse_av1_sequence_header(payload)
+        elif typ == 6:
+            n_frames += 1
+        elif typ == 2:
+            n_tds += 1
+        elif typ in (3, 4):
+            raise ValueError(
+                "AVIS: split FRAME_HEADER/TILE_GROUP OBUs unexpected"
+            )
+    if seq is None:
+        raise ValueError("AVIS: no sequence header OBU")
+    if seq["reduced_header"]:
+        raise ValueError("AVIS: reduced header in a sequence track")
+    stsz = isobmff_find(
+        data, ["moov", "trak", "mdia", "minf", "stbl", "stsz"]
+    )
+    if len(stsz) != 1:
+        raise ValueError(f"AVIS: {len(stsz)} stsz boxes")
+    o, e = stsz[0]
+    n_samples = int.from_bytes(data[o + 8:o + 12], "big")
+    if not (n_frames == n_tds == n_samples):
+        raise ValueError(
+            f"AVIS: frame-count triangulation failed — {n_frames} frame"
+            f" OBUs, {n_tds} temporal delimiters, stsz {n_samples}"
+        )
+    return {**seq, "n_obus": n_obus, "n_frames": n_frames}
 
 
 def av1_avif_structure(data: bytes) -> dict:

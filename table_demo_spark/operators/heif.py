@@ -503,3 +503,228 @@ def decode_avif_libavif(data: bytes, codec_choice: int):
     finally:
         a.avifImageDestroy(img)
         a.avifDecoderDestroy(dec)
+
+
+# -- AVIF image SEQUENCES (avis brand) via avifEncoder/avifDecoder -----------
+#
+# llm_m52: multi-frame AVIF gives the OBU layer a NON-reduced sequence
+# header (reduced_still_picture_header = 0) and real inter frames —
+# the r13 verdict's "one level deeper" ask that still images cannot
+# produce.  libavif 0.11.1's encoder/decoder structs are touched at a
+# handful of offsets, each guarded by a DEFAULTS FINGERPRINT read at
+# create time (the r13 codecChoice-at-offset-0 discipline, extended):
+# an ABI drift changes the defaults we read back and fails loudly
+# before any pointer is trusted.
+#
+# avifEncoder head (0.11.1 avif.h order): codecChoice(int),
+# maxThreads(int), speed(int), keyframeInterval(int), timescale(u64).
+# avifEncoderCreate defaults: [0, 1, -1 (AVIF_SPEED_DEFAULT), 0], 1.
+# Default min/maxQuantizer are 0/0 = LOSSLESS, verified per doc by the
+# roundtrip itself (every frame compared bit-for-bit to its source).
+#
+# avifDecoder config head: codecChoice(int), maxThreads(int),
+# requestedSource(int), allowProgressive, allowIncremental,
+# ignoreExif, ignoreXMP (avifBool each), imageSizeLimit(u32)=1<<28,
+# imageDimensionLimit(u32)=32768, imageCountLimit(u32)=2592000,
+# strictFlags(u32)=7; then (8-aligned) avifImage *image @48,
+# imageIndex @56, imageCount @60.  The four limit/flag defaults are
+# the fingerprint; the decoded avifImage head is additionally
+# validated field-by-field like decode_avif_libavif does.
+
+_AVIF_DEC_IMAGE_OFF = 48
+_AVIF_DEC_INDEX_OFF = 56
+_AVIF_DEC_COUNT_OFF = 60
+
+
+class _AvifRWData(ctypes.Structure):
+    _fields_ = [("data", ctypes.c_void_p), ("size", ctypes.c_size_t)]
+
+
+def _avif_seq():
+    """Extend the _avif() surface with the sequence entry points."""
+    a = _avif()
+    if getattr(a, "_seq_typed", False):
+        return a
+    a.avifEncoderCreate.restype = ctypes.c_void_p
+    a.avifEncoderCreate.argtypes = []
+    a.avifEncoderDestroy.restype = None
+    a.avifEncoderDestroy.argtypes = [ctypes.c_void_p]
+    a.avifEncoderAddImage.restype = ctypes.c_int
+    a.avifEncoderAddImage.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint32,
+    ]
+    a.avifEncoderFinish.restype = ctypes.c_int
+    a.avifEncoderFinish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    a.avifImageCreate.restype = ctypes.c_void_p
+    a.avifImageCreate.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+    ]
+    a.avifImageAllocatePlanes.restype = ctypes.c_int
+    a.avifImageAllocatePlanes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    a.avifRWDataFree.restype = None
+    a.avifRWDataFree.argtypes = [ctypes.c_void_p]
+    a.avifDecoderSetIOMemory.restype = ctypes.c_int
+    a.avifDecoderSetIOMemory.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    a.avifDecoderParse.restype = ctypes.c_int
+    a.avifDecoderParse.argtypes = [ctypes.c_void_p]
+    a.avifDecoderNextImage.restype = ctypes.c_int
+    a.avifDecoderNextImage.argtypes = [ctypes.c_void_p]
+    a._seq_typed = True
+    return a
+
+
+def _check_encoder_abi(enc) -> None:
+    head = (ctypes.c_int * 4).from_address(enc)
+    ts = ctypes.c_uint64.from_address(enc + 16).value
+    if list(head) != [0, 1, -1, 0] or ts != 1:
+        raise ValueError(
+            "avifEncoder ABI fingerprint mismatch: "
+            f"{list(head)} timescale={ts} (expected [0,1,-1,0] / 1)"
+        )
+
+
+def _check_decoder_abi(dec) -> None:
+    limits = (ctypes.c_uint32 * 4).from_address(dec + 28)
+    if list(limits) != [1 << 28, 32768, 2592000, 7]:
+        raise ValueError(
+            "avifDecoder ABI fingerprint mismatch: "
+            f"{list(limits)} (expected [2^28, 32768, 2592000, 7])"
+        )
+
+
+def encode_avif_sequence(frames, speed: int = 9) -> bytes:
+    """Encode YUV 4:2:0 frames [(y, cb, cr), ...] as a multi-frame
+    AVIF image sequence (avis brand) through the REAL AOMedia
+    reference encoder.  Planes are passed DIRECTLY as YUV — no RGB
+    colour pipeline sits in the path (unlike libheif stills), so
+    full-range noise roundtrips losslessly: libavif 0.11.1's default
+    min/maxQuantizer are 0/0, AV1 lossless mode, and inter frames
+    stay bit-exact too.  maxThreads is pinned to 1 (the r13 encoder
+    thread-pool discipline)."""
+    a = _avif_seq()
+    enc = a.avifEncoderCreate()
+    if not enc:
+        raise MemoryError("avifEncoderCreate failed")
+    imgs = []
+    try:
+        _check_encoder_abi(enc)
+        head = (ctypes.c_int * 4).from_address(enc)
+        head[1] = 1       # maxThreads
+        head[2] = speed   # speed (encode time only; lossless pixels)
+        for y, cb, cr in frames:
+            h, w = y.shape
+            if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cb.shape != cr.shape:
+                raise ValueError("bad 4:2:0 plane shapes")
+            img = a.avifImageCreate(w, h, 8, _AVIF_PIXEL_FORMAT_YUV420)
+            if not img:
+                raise MemoryError("avifImageCreate failed")
+            imgs.append(img)
+            if a.avifImageAllocatePlanes(img, 1) != 0:  # AVIF_PLANES_YUV
+                raise MemoryError("avifImageAllocatePlanes failed")
+            ih = _AvifImageHead.from_address(img)
+            if ih.width != w or ih.height != h or ih.depth != 8:
+                raise ValueError("avifImage ABI validation failed")
+            for i, pl in enumerate((y, cb, cr)):
+                rb = ih.yuvRowBytes[i]
+                if rb < pl.shape[1] or not ih.yuvPlanes[i]:
+                    raise ValueError("avifImage plane validation failed")
+                buf = pl.tobytes()
+                for r in range(pl.shape[0]):
+                    ctypes.memmove(
+                        ih.yuvPlanes[i] + r * rb,
+                        buf[r * pl.shape[1]:(r + 1) * pl.shape[1]],
+                        pl.shape[1],
+                    )
+            res = a.avifEncoderAddImage(enc, img, 1, 0)
+            if res != 0:
+                msg = (a.avifResultToString(res) or b"?").decode()
+                raise ValueError(f"avifEncoderAddImage failed: {msg}")
+        out = _AvifRWData()
+        res = a.avifEncoderFinish(enc, ctypes.byref(out))
+        if res != 0:
+            msg = (a.avifResultToString(res) or b"?").decode()
+            raise ValueError(f"avifEncoderFinish failed: {msg}")
+        try:
+            return ctypes.string_at(out.data, out.size)
+        finally:
+            a.avifRWDataFree(ctypes.byref(out))
+    finally:
+        for img in imgs:
+            a.avifImageDestroy(img)
+        a.avifEncoderDestroy(enc)
+
+
+def decode_avif_sequence(data: bytes, codec_choice: int):
+    """Decode EVERY frame of an AVIF (still or sequence) with an
+    explicit AV1 decoder (AVIF_CODEC_DAV1D / AVIF_CODEC_LIBGAV1 /
+    AVIF_CODEC_AOM) — returns [(y, cb, cr), ...].  The per-frame
+    planes come from decoder->image (offset pinned + fingerprint-
+    guarded above); the avifImage head is validated before any plane
+    read, and the frame count is additionally cross-checked against
+    decoder->imageCount."""
+    import numpy as np
+
+    a = _avif_seq()
+    dec = a.avifDecoderCreate()
+    if not dec:
+        raise MemoryError("avifDecoderCreate failed")
+    buf = ctypes.create_string_buffer(bytes(data), len(data))
+    try:
+        _check_decoder_abi(dec)
+        ctypes.memmove(dec, ctypes.byref(ctypes.c_int(codec_choice)), 4)
+        if a.avifDecoderSetIOMemory(dec, buf, len(data)) != 0:
+            raise ValueError("avifDecoderSetIOMemory failed")
+        res = a.avifDecoderParse(dec)
+        if res != 0:
+            msg = (a.avifResultToString(res) or b"?").decode()
+            raise ValueError(f"avifDecoderParse failed: {msg}")
+        n_declared = ctypes.c_int.from_address(
+            dec + _AVIF_DEC_COUNT_OFF
+        ).value
+        if not 1 <= n_declared <= 65536:
+            raise ValueError(f"implausible imageCount {n_declared}")
+        frames = []
+        while True:
+            res = a.avifDecoderNextImage(dec)
+            if res != 0:
+                if res == 16:  # AVIF_RESULT_NO_IMAGES_REMAINING
+                    break
+                msg = (a.avifResultToString(res) or b"?").decode()
+                raise ValueError(f"avifDecoderNextImage failed: {msg}")
+            ptr = ctypes.c_void_p.from_address(
+                dec + _AVIF_DEC_IMAGE_OFF
+            ).value
+            if not ptr:
+                raise ValueError("decoder->image is NULL after decode")
+            head = _AvifImageHead.from_address(ptr)
+            if (
+                not (0 < head.width < 65536 and 0 < head.height < 65536)
+                or head.depth != 8
+                or head.yuvFormat != _AVIF_PIXEL_FORMAT_YUV420
+                or head.yuvRowBytes[0] < head.width
+                or not head.yuvPlanes[0]
+            ):
+                raise ValueError("avifImage ABI validation failed")
+            ph, pw = head.height, head.width
+            ch, cw = (ph + 1) // 2, (pw + 1) // 2
+            planes = []
+            for i, (rows, cols) in enumerate(
+                ((ph, pw), (ch, cw), (ch, cw))
+            ):
+                rb = head.yuvRowBytes[i]
+                raw = ctypes.string_at(head.yuvPlanes[i], rb * rows)
+                planes.append(
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(rows, rb)[:, :cols]
+                    .copy()
+                )
+            frames.append(tuple(planes))
+        if len(frames) != n_declared:
+            raise ValueError(
+                f"decoded {len(frames)} frames, imageCount {n_declared}"
+            )
+        return frames
+    finally:
+        a.avifDecoderDestroy(dec)

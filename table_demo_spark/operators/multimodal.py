@@ -3319,6 +3319,118 @@ def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- AVIF image sequences: non-reduced AV1 headers (m52, r14) ----------------
+
+_M52_SALT_H = "#m52h"
+_M52_SALT_P = "#m52p"
+_M52_MAX_BYTES = 4 * (64 * 64 + 2 * 32 * 32)  # largest n_frames * B
+
+
+def avif_sequence_stats(docs: DataFrame) -> DataFrame:
+    """Per document: draw ARBITRARY dims (24..64, odd included — AV1
+    codes any size, the structural contrast with HEVC's CTU padding)
+    and a frame count (2..4) from the md5 header block; fill every
+    frame with full-range noise from the '#m52p' stream (frames
+    contiguous, frame f at byte offset f*B); encode as a REAL
+    multi-frame AVIF image sequence through the AOMedia reference
+    encoder (libavif avifEncoder — avis brand, default-lossless, YUV
+    planes passed directly so no colour pipeline sits in the path);
+    walk the container FROM SPEC (codecs.av1_avis_structure: the
+    NON-reduced 5.5.1 sequence header every branch live, OBU
+    accounting, and the three-way frame-count triangulation
+    OBU_FRAME == temporal delimiters == stsz); then decode every
+    frame TWICE — dav1d and libgav1, two independent AV1 decoder
+    codebases selected via libavif codecChoice — and compare each
+    frame bit-for-bit against its source planes (inter frames
+    included: AV1 lossless mode must reproduce them exactly)."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import av1_avis_structure
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M52_SALT_H)
+                w = 24 + hdr[0] % 41
+                h = 24 + hdr[1] % 41
+                n = 2 + hdr[2] % 3
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+                B = w * h + 2 * cw * ch
+                raw = np.frombuffer(
+                    _md5_stream(
+                        str(doc_id), (n * B + 15) // 16, _M52_SALT_P
+                    ),
+                    np.uint8,
+                )[: n * B].astype(np.int64)
+                frames = []
+                for f in range(n):
+                    fb = raw[f * B:(f + 1) * B]
+                    frames.append(
+                        (
+                            fb[: w * h].astype(np.uint8).reshape(h, w),
+                            fb[w * h:w * h + cw * ch]
+                            .astype(np.uint8).reshape(ch, cw),
+                            fb[w * h + cw * ch:]
+                            .astype(np.uint8).reshape(ch, cw),
+                        )
+                    )
+                data = heif.encode_avif_sequence(frames)
+                st = av1_avis_structure(data)
+                dec = {}
+                for name, cc in (
+                    ("dav1d", heif.AVIF_CODEC_DAV1D),
+                    ("gav1", heif.AVIF_CODEC_LIBGAV1),
+                ):
+                    got = heif.decode_avif_sequence(data, cc)
+                    exact = int(
+                        len(got) == n
+                        and all(
+                            g.shape == s.shape and bool((g == s).all())
+                            for fg, fs in zip(got, frames)
+                            for g, s in zip(fg, fs)
+                        )
+                    )
+                    dec[name] = (len(got), exact)
+                w0 = 1 + np.arange(B, dtype=np.int64) % 7
+                rows.append(
+                    (
+                        int(doc_id), w, h, n, int(st["n_obus"]),
+                        int(st["reduced_header"]),
+                        int(st["seq_level_idx"]),
+                        int(st["order_hint_bits"]),
+                        int(st["bit_depth"]), int(st["color_range"]),
+                        dec["dav1d"][0], dec["gav1"][0],
+                        dec["dav1d"][1], dec["gav1"][1],
+                        int(raw[:B].sum()), int((w0 * raw[:B]).sum()),
+                        int(raw[(n - 1) * B:].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "n_obus",
+                    "reduced_header", "seq_level_idx", "order_hint_bits",
+                    "bit_depth", "color_range", "frames_dav1d",
+                    "frames_gav1", "dav1d_exact", "gav1_exact",
+                    "src_sum_f0", "src_wsum_f0", "src_sum_flast",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "n_obus long, reduced_header long, seq_level_idx long, "
+            "order_hint_bits long, bit_depth long, color_range long, "
+            "frames_dav1d long, frames_gav1 long, dav1d_exact long, "
+            "gav1_exact long, src_sum_f0 long, src_wsum_f0 long, "
+            "src_sum_flast long"
+        ),
+    )
+
+
 # -- H.264 inter prediction fixture (m46, r13) -------------------------------
 
 _MC_SALT = "#mc"

@@ -98,6 +98,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # r14 new queries land here (no CORRECTNESS row yet ->
     # oldest-of-all, so they keep the due-count intact).
     "llm_m51_hevc_slice_decode",
+    "llm_m52_avif_sequence",
 )
 
 

@@ -8424,6 +8424,101 @@ ORDER BY doc_id
 """
 
 
+def m52_avif_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 OBU layer ONE LEVEL DEEPER (r13 verdict #4): multi-frame
+    AVIF image sequences (avis brand) encoded per document by the
+    REAL AOMedia reference encoder via libavif's avifEncoder —
+    sequence tracks carry a NON-reduced 5.5.1 sequence header
+    (still_picture = 0), so every operating-point / order-hint /
+    screen-content / color_config branch m50's reduced walk never
+    reached is on the parse path, plus real INTER frames.  The
+    from-spec walk triangulates the frame count three ways inside
+    the file (OBU_FRAME count == temporal delimiters == the track's
+    stsz sample_count), and the stream is decoded per frame by BOTH
+    dav1d and libgav1 (independent AV1 decoder codebases, selected
+    via libavif codecChoice) and compared bit-for-bit to the source
+    planes — libavif 0.11.1 defaults are AV1 lossless, and the
+    planes go in as YUV directly so no colour pipeline (the r13
+    gamut trap) sits anywhere in the path.  Dims are ARBITRARY
+    (24..64, odd included — AV1 codes any size, the structural
+    contrast with m49/m51's CTU-padded HEVC).  The oracle restates
+    the md5-drawn geometry, the OBU accounting (1 + 2*n_frames),
+    the libaom-factual header constants (probed invariant over the
+    full dim/frame sweep in tests), and checksums of the first and
+    last frames' source planes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.avif_sequence_stats(docs).orderBy("doc_id")
+
+
+def _m52_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _M52_MAX_BYTES,
+        _M52_SALT_H,
+        _M52_SALT_P,
+    )
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M52_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    max_blocks = (_M52_MAX_BYTES + 15) // 16
+    return f"""
+WITH geo AS MATERIALIZED (
+  SELECT doc_id, w, h, n,
+         w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2)) AS B
+  FROM (
+    SELECT doc_id,
+           24 + ({hbyte(0)} % 41) AS w,
+           24 + ({hbyte(1)} % 41) AS h,
+           2 + {hbyte(2)} % 3 AS n
+    FROM documents
+  )
+),
+blocks AS MATERIALIZED (
+  SELECT g.doc_id, k.k, g.B, g.n,
+         md5(CAST(g.doc_id AS VARCHAR) || '{_M52_SALT_P}'
+             || CAST(k.k AS VARCHAR)) AS hx
+  FROM geo g CROSS JOIN range({max_blocks}) k(k)
+  WHERE k.k * 16 < g.B
+     OR (16 * k.k + 16 > (g.n - 1) * g.B AND 16 * k.k < g.n * g.B)
+),
+px AS (
+  SELECT b.doc_id, 16 * b.k + j.j AS i, b.B, b.n,
+         CAST('0x' || substring(b.hx, CAST(2 * j.j + 1 AS INT), 2)
+           AS BIGINT) AS v
+  FROM blocks b CROSS JOIN range(16) j(j)
+),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN i < B THEN v END) AS BIGINT) AS src_sum_f0,
+    CAST(sum(CASE WHEN i < B THEN (1 + i % 7) * v END)
+      AS BIGINT) AS src_wsum_f0,
+    CAST(sum(CASE WHEN i >= (n - 1) * B AND i < n * B THEN v END)
+      AS BIGINT) AS src_sum_flast
+  FROM px GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.w AS BIGINT) AS width,
+       CAST(g.h AS BIGINT) AS height,
+       CAST(g.n AS BIGINT) AS n_frames,
+       CAST(1 + 2 * g.n AS BIGINT) AS n_obus,
+       CAST(0 AS BIGINT) AS reduced_header,
+       CAST(0 AS BIGINT) AS seq_level_idx,
+       CAST(7 AS BIGINT) AS order_hint_bits,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(1 AS BIGINT) AS color_range,
+       CAST(g.n AS BIGINT) AS frames_dav1d,
+       CAST(g.n AS BIGINT) AS frames_gav1,
+       CAST(1 AS BIGINT) AS dav1d_exact,
+       CAST(1 AS BIGINT) AS gav1_exact,
+       a.src_sum_f0, a.src_wsum_f0, a.src_sum_flast
+FROM geo g JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -10793,6 +10888,7 @@ QUERIES: list[Query] = [
     Query("llm_m49_hevc_structure", m49_hevc_structure, _m49_oracle()),
     Query("llm_m50_av1_structure", m50_av1_structure, _m50_oracle()),
     Query("llm_m51_hevc_slice_decode", m51_hevc_slice_decode, _m51_oracle()),
+    Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_t35_zstd_dict_roundtrip", t35_zstd_dict_roundtrip, T35_ORACLE),
     Query("llm_m29_mp3_frame_walk", m29_mp3_frame_walk, _m29_oracle()),
     Query("llm_m30_h264_nal_walk", m30_h264_nal_walk, _m30_oracle()),

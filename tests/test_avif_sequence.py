@@ -1,0 +1,108 @@
+"""llm_m52 AVIF image-sequence battery: real libaom multi-frame
+encodes (avis brand) -> from-spec non-reduced sequence-header walk +
+three-way frame-count triangulation -> per-frame bit-exact decode via
+BOTH dav1d and libgav1 (independent codebases via libavif
+codecChoice)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    from table_demo_spark.operators import heif
+
+    _HAVE = (
+        heif.have_libheif()
+        and heif.avif_decoder_available(heif.AVIF_CODEC_DAV1D)
+        and heif.avif_decoder_available(heif.AVIF_CODEC_LIBGAV1)
+    )
+except Exception:  # pragma: no cover
+    _HAVE = False
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE, reason="libavif/dav1d/libgav1 not available"
+)
+
+
+def _frames(rng, w, h, n):
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    return [
+        (
+            rng.randint(0, 256, (h, w)).astype(np.uint8),
+            rng.randint(0, 256, (ch, cw)).astype(np.uint8),
+            rng.randint(0, 256, (ch, cw)).astype(np.uint8),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_sequence_roundtrip_sweep_both_decoders_exact():
+    """Dims sweep incl. ODD sizes (AV1 codes arbitrary dims) and all
+    drawn frame counts; full-range noise so AV1 lossless inter frames
+    carry maximal-entropy residuals.  Header constants must match the
+    values the m52 oracle pins."""
+    from table_demo_spark.operators.codecs import av1_avis_structure
+
+    rng = np.random.RandomState(11)
+    for (w, h, n) in ((24, 24, 2), (64, 64, 4), (33, 27, 3), (64, 25, 2)):
+        frames = _frames(rng, w, h, n)
+        data = heif.encode_avif_sequence(frames)
+        assert data[8:12] == b"avis"
+        st = av1_avis_structure(data)
+        assert (st["width"], st["height"], st["n_frames"]) == (w, h, n)
+        assert st["n_obus"] == 1 + 2 * n
+        assert st["reduced_header"] == 0 and st["still_picture"] == 0
+        assert st["seq_level_idx"] == 0
+        assert st["order_hint_bits"] == 7
+        assert st["bit_depth"] == 8 and st["color_range"] == 1
+        assert st["subsampling_x"] == 1 and st["subsampling_y"] == 1
+        for cc in (heif.AVIF_CODEC_DAV1D, heif.AVIF_CODEC_LIBGAV1):
+            got = heif.decode_avif_sequence(data, cc)
+            assert len(got) == n
+            for fg, fs in zip(got, frames):
+                for g, s in zip(fg, fs):
+                    assert g.shape == s.shape
+                    assert (g == s).all()
+
+
+def test_stsz_triangulation_catches_doctored_count():
+    from table_demo_spark.operators.codecs import (
+        av1_avis_structure,
+        isobmff_find,
+    )
+
+    rng = np.random.RandomState(3)
+    data = bytearray(heif.encode_avif_sequence(_frames(rng, 32, 32, 3)))
+    (o, e), = isobmff_find(
+        bytes(data), ["moov", "trak", "mdia", "minf", "stbl", "stsz"]
+    )
+    data[o + 8:o + 12] = (7).to_bytes(4, "big")  # sample_count 3 -> 7
+    with pytest.raises(ValueError, match="triangulation"):
+        av1_avis_structure(bytes(data))
+
+
+def test_truncated_sequence_fails_loudly():
+    from table_demo_spark.operators.codecs import av1_avis_structure
+
+    rng = np.random.RandomState(4)
+    data = heif.encode_avif_sequence(_frames(rng, 32, 32, 2))
+    with pytest.raises(ValueError):
+        av1_avis_structure(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        heif.decode_avif_sequence(data[: len(data) - 40], heif.AVIF_CODEC_DAV1D)
+
+
+def test_still_avif_rejected_by_avis_walk():
+    """m47's still containers are avif-brand; the sequence walk must
+    refuse them rather than mis-reading a reduced header."""
+    from table_demo_spark.operators.codecs import av1_avis_structure
+    from table_demo_spark.operators.multimodal import _heif_planes
+
+    y, cb, cr = _heif_planes(1, "#avif")
+    data = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_AV1,
+        (("speed", "9"), ("threads", "1")),
+    )
+    with pytest.raises(ValueError, match="avis"):
+        av1_avis_structure(data)
