@@ -1891,6 +1891,134 @@ ORDER BY lang, source
 """
 
 
+def q44_watermark_eviction_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE RETENTION ACROSS VERSIONS (r13 verdict #7) — q42's
+    time-travel statestore reader composed with watermark eviction:
+    an append-mode tumbling-window count with a 4-hour watermark
+    drains over SIX chronological event shards (one per micro-batch,
+    rank-split in event-time order so the batch -> time-range mapping
+    is a pure function of the fixture), then EVERY committed state
+    version is read back via option("batchId", v) and reduced to
+    (how many windows the store holds, their total count, the oldest
+    and newest open window).  The oracle restates the watermark
+    recurrence analytically — wm_v = max event time of batches < v
+    minus the delay, a window is held iff it has data in batches <= v
+    and its END exceeds wm_v — so a store that leaks expired windows,
+    evicts early, or resurrects a window on a later version breaks
+    the hash at the exact version where it happened.  This is the
+    retention audit q10's TTL query cannot perform: q10 checks final
+    sink contents; q44 checks WHAT THE STORE HELD AT EVERY COMMIT.
+    The per-version loop is bounded by the shard count (6 statestore
+    reads of a few hundred rows — the documented bounded driver
+    round-trip exception)."""
+    import os
+
+    from table_demo_spark.streaming.queries import (
+        Q44_SHARDS,
+        run_q44_watermark_rollup,
+    )
+
+    with _state_partitions(spark, no_data=False):
+        query, ckpt = run_q44_watermark_rollup(spark, sf_dir)
+        try:
+            done = query.awaitTermination(180)
+        except Exception as e:
+            _raise_drain_failure(query, e)
+        if not done:
+            query.stop()
+            raise TimeoutError(
+                "AvailableNow invocation exceeded 180s before terminating"
+            )
+    commits = sorted(
+        int(f)
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.lstrip("-").isdigit() and int(f) >= 0
+    )
+    if len(commits) != Q44_SHARDS:
+        raise RuntimeError(
+            f"q44 expected {Q44_SHARDS} committed batches (one per "
+            f"time shard, no-data batches disabled), got {commits}"
+        )
+    rows = []
+    for v in commits:
+        st = (
+            spark.read.format("statestore")
+            .option("batchId", v)
+            .load(ckpt)
+            .select(
+                F.unix_millis(F.col("key.window.start")).alias("ws_ms"),
+                F.col("value.count").cast("long").alias("cnt"),
+            )
+        )
+        r = st.agg(
+            F.count(F.lit(1)).cast("long").alias("n_open"),
+            F.sum("cnt").cast("long").alias("sum_cnt"),
+            F.min("ws_ms").cast("long").alias("oldest_open_ms"),
+            F.max("ws_ms").cast("long").alias("newest_open_ms"),
+        ).collect()[0]
+        rows.append(
+            (
+                v,
+                r["n_open"],
+                r["sum_cnt"],
+                r["oldest_open_ms"],
+                r["newest_open_ms"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, n_open long, sum_cnt long, "
+        "oldest_open_ms long, newest_open_ms long",
+    ).orderBy("version")
+
+
+# The eviction predicate (window END strictly greater than the
+# watermark survives) and the ms-floor watermark arithmetic are
+# empirically pinned against the fixture in tests/test_streaming.py::
+# test_q44_watermark_eviction_audit_semantics; an exact wm ==
+# window-end collision cannot occur on these fixtures (microsecond-
+# noise timestamps — asserted there per shard, not assumed).
+Q44_WATERMARK_EVICTION_ORACLE = """
+WITH ranked AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+sharded AS MATERIALIZED (
+  SELECT ts, CAST((rn - 1) // ((n + 5) // 6) AS BIGINT) AS shard
+  FROM ranked
+),
+wins AS MATERIALIZED (
+  SELECT shard,
+         (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS wstart_ms,
+         count(*) AS cnt
+  FROM sharded GROUP BY 1, 2
+),
+wm AS (
+  SELECT v.v,
+         coalesce(
+           (SELECT max(epoch_ns(s.ts) // 1000000)
+            FROM sharded s WHERE s.shard < v.v) - 4 * 3600000,
+           -1) AS wm_ms
+  FROM (SELECT unnest(range(0, 6)) AS v) v
+),
+state AS (
+  SELECT wm.v, w.wstart_ms, sum(w.cnt) AS cnt
+  FROM wm JOIN wins w ON w.shard <= wm.v
+  WHERE w.wstart_ms + 3600000 > wm.wm_ms
+  GROUP BY wm.v, w.wstart_ms
+)
+SELECT v AS version,
+       CAST(count(*) AS BIGINT) AS n_open,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       CAST(min(wstart_ms) AS BIGINT) AS oldest_open_ms,
+       CAST(max(wstart_ms) AS BIGINT) AS newest_open_ms
+FROM state
+GROUP BY v
+ORDER BY v
+"""
+
+
 def q33_centroid_drift_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN ingest with centroid DRIFT (q29 production-shaped): the
     first half of the corpus routes with the stream-start centroids
@@ -2059,6 +2187,11 @@ QUERIES: list[Query] = [
     Query("stream_q37_dict_ingest", q37_dict_ingest_final, _q37_oracle()),
     Query("stream_q41_pipeline_ingest", q41_pipeline_final, _q41_oracle()),
     Query("stream_q42_state_audit", q42_state_audit_final, Q42_STATE_AUDIT_ORACLE),
+    Query(
+        "stream_q44_watermark_eviction",
+        q44_watermark_eviction_final,
+        Q44_WATERMARK_EVICTION_ORACLE,
+    ),
     Query("stream_q43_avif_ingest", q43_avif_ingest_final, _heif_oracle_gen("#avif")),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

@@ -4014,6 +4014,121 @@ def run_q42_state_rollup(
     return query, ckpt
 
 
+def ensure_events_time_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 6
+) -> str:
+    """Stage events as n_shards SINGLE-FILE parquet shards in
+    EVENT-TIME rank order ((ts, event_id) — deterministic under ties)
+    with strictly increasing mtimes, so a maxFilesPerTrigger=1 file
+    stream consumes them chronologically (FileStreamSource processes
+    oldest-mtime-first — probed deterministic for the q33 fixture,
+    re-probed by stream_q44's battery).  stream_q44's per-version
+    watermark/eviction oracle depends on the batch -> time-range
+    mapping being a pure function of the fixture, which rank-splitting
+    in time order provides: shard i = ranks (i*s, (i+1)*s], s =
+    ceil(N/n_shards) — the exact split the DuckDB oracle restates via
+    row_number.  The global sort is fixture STAGING cost only (at
+    production scale this is one repartitionByRange write)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from table_demo_spark.sources.batch import (
+        _ensure_session_confs,
+        load_table,
+    )
+
+    _ensure_session_confs(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        repr(
+            (os.path.abspath(src), st.st_mtime_ns, st.st_size,
+             n_shards, "q44-time-rank")
+        ).encode()
+    ).hexdigest()[:16]
+    final = os.path.join(
+        tempfile.gettempdir(), f"q44-shards-{os.getuid()}-{digest}"
+    )
+    if os.path.isdir(final):
+        return final
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    n = ev.count()
+    s = (n + n_shards - 1) // n_shards
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    staging = tempfile.mkdtemp(prefix="q44-shards-stage-")
+    for i in range(n_shards):
+        part_dir = os.path.join(staging, f"_s{i}")
+        (
+            ranked.filter(
+                (F.col("rn") > i * s) & (F.col("rn") <= (i + 1) * s)
+            )
+            .select("event_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        pf = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        os.rename(pf, os.path.join(staging, f"shard-{i}.parquet"))
+        shutil.rmtree(part_dir)
+    base = st.st_mtime  # stable across rebuilds of the same fixture
+    for i in range(n_shards):
+        os.utime(
+            os.path.join(staging, f"shard-{i}.parquet"),
+            (base + 10 * i, base + 10 * i),
+        )
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # concurrent stager won
+    return final
+
+
+Q44_WINDOW = "1 hour"
+Q44_DELAY = "4 hours"
+Q44_SHARDS = 6
+
+
+def run_q44_watermark_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: str | None = None,
+):
+    """One AvailableNow invocation of an APPEND-mode tumbling-window
+    count with a 4-hour watermark over the time-ranked event shards
+    (one shard per micro-batch), noop sink — like q42 the deliverable
+    is the CHECKPOINT: stream_q44 replays every committed state
+    version through the State Data Source reader and audits watermark
+    EVICTION (which windows the store still holds at each version),
+    not just final contents.  Returns (query, ckpt)."""
+    shards = ensure_events_time_shards(spark, sf_dir, Q44_SHARDS)
+    ckpt = checkpoint or _checkpoint_dir()
+    events = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    agg = (
+        events.withWatermark("ts", Q44_DELAY)
+        .groupBy(F.window("ts", Q44_WINDOW))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return query, ckpt
+
+
 def run_q41_pipeline_ingest(
     spark: SparkSession,
     sf_dir: str,

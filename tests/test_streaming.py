@@ -1806,3 +1806,82 @@ def test_q42_statestore_batch_versions_time_travel(spark, tmp_path):
         assert got_rows == want_rows, f"state version {k} diverges"
         seen = prefix.count()
     assert seen == total_docs  # the last version covers the corpus
+
+
+def test_q44_watermark_eviction_audit_semantics(spark, tmp_path):
+    """stream_q44's oracle encodes three empirical pins, checked here
+    against the checkpoint itself: (1) the file stream consumes the
+    time-ranked shards in rank order (offset-log authority, the mtime
+    staging contract); (2) eviction REALLY fires mid-drain (some
+    version holds fewer windows than the cumulative window count —
+    the audit is not vacuous); (3) the boundary predicate (window end
+    STRICTLY greater than watermark survives) is unambiguous on these
+    fixtures: no per-batch watermark lands exactly on an hour
+    boundary, so > vs >= cannot diverge (microsecond-noise
+    timestamps; asserted, not assumed)."""
+    import json
+    import os
+
+    from table_demo_spark.queries.streaming import (
+        _state_partitions,
+        q44_watermark_eviction_final,
+    )
+    from table_demo_spark.sources.batch import load_table
+    from table_demo_spark.streaming.queries import (
+        Q44_SHARDS,
+        run_q44_watermark_rollup,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    with _state_partitions(spark, no_data=False):
+        query, _ = run_q44_watermark_rollup(
+            spark, SF_SMOKE, checkpoint=ckpt
+        )
+        assert query.awaitTermination(180)
+    commits = sorted(
+        int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    )
+    assert len(commits) == Q44_SHARDS
+    # (1) consumption order == rank order
+    consumed = []
+    for j in commits:
+        with open(os.path.join(ckpt, "sources", "0", str(j))) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{"):
+                    consumed.append(
+                        os.path.basename(json.loads(line)["path"])
+                    )
+    assert consumed == [f"shard-{i}.parquet" for i in range(Q44_SHARDS)]
+    # (3) no watermark ever lands exactly on an hour boundary
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    delay_ms = 4 * 3600_000
+    # per-shard maxima via the staged files themselves
+    from table_demo_spark.streaming.queries import ensure_events_time_shards
+
+    sd = ensure_events_time_shards(spark, SF_SMOKE, Q44_SHARDS)
+    for i in range(Q44_SHARDS):
+        m = (
+            spark.read.parquet(os.path.join(sd, f"shard-{i}.parquet"))
+            .agg(F.max(F.unix_millis("ts")).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert (m - delay_ms) % 3600_000 != 0, f"shard {i} boundary hit"
+    # (2) eviction fires: some version holds fewer open windows than
+    # the total distinct windows seen so far
+    out = {
+        r["version"]: r["n_open"]
+        for r in q44_watermark_eviction_final(spark, SF_SMOKE).collect()
+    }
+    cum_windows = (
+        ev.select(
+            (F.floor(F.unix_millis("ts") / 3600_000)).alias("w")
+        ).distinct().count()
+    )
+    assert out[max(out)] < cum_windows
+    assert any(
+        out[v + 1] <= out[v] for v in range(Q44_SHARDS - 1)
+    ), out  # retention visibly shrinks or holds between versions
