@@ -228,6 +228,7 @@ HEADLINE = [
     "llm_m50_av1_structure",
     "llm_m51_hevc_slice_decode",
     "llm_m52_avif_sequence",
+    "llm_m53_h264_bipred_pixels",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

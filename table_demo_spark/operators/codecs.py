@@ -8044,6 +8044,103 @@ def decode_h264_p16x16_slice(
     return hdr, y, cb, cr, mvs
 
 
+def encode_h264_b16x16_slice(
+    sps: dict, pps: dict, mvs01, frame_num: int = 2,
+) -> bytes:
+    """Write a non-ref B slice of B_Bi_16x16 macroblocks with zero
+    residual (7.3.5/Table 7-14: mb_skip_run 0, mb_type ue(3) =
+    B_Bi_16x16, mvd_l0 then mvd_l1 each against its own 8.4.1.3
+    median chain, inter-me(v) coded_block_pattern 0).  One
+    ((mv0x, mv0y), (mv1x, mv1y)) pair per MB in raster order.  The
+    DPB holds a SINGLE reference picture, so per 8.2.4.2.3/8.2.4.2.4
+    both default lists are [that picture] (the swap rule needs more
+    than one entry) and no ref_idx is coded — bipred averages two
+    independent quarter-pel interpolations of frame 0."""
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if len(mvs01) != mb_w * mb_h:
+        raise ValueError("one MV pair per SPS grid cell, raster order")
+    if pps.get("entropy_coding_mode"):
+        raise ValueError("H264 B slices: CAVLC only (extension point)")
+    bw = _ExpGolombWriter()
+    _h264_put_slice_header(
+        bw, sps, pps, 1, 0, frame_num, 0, idr_pic_id=None,
+        poc_lsb=0, nal_ref_idc=0,
+    )
+    stores: list[dict] = [{}, {}]
+    for addr, (mv0, mv1) in enumerate(mvs01):
+        mx, my = addr % mb_w, addr // mb_w
+        bw.ue(0)  # mb_skip_run
+        bw.ue(3)  # mb_type B_Bi_16x16
+        for lst, (mvx, mvy) in enumerate((mv0, mv1)):
+            px, py = _h264_mvp(stores[lst], mx, my, mb_w)
+            bw.se(mvx - px)
+            bw.se(mvy - py)
+            stores[lst][(mx, my)] = (int(mvx), int(mvy))
+        bw.ue(0)  # coded_block_pattern (inter me(v): 0 -> 0)
+    bw.put(1, 1)  # rbsp_stop_one_bit
+    bw.align()
+    return bytes(bw.out)
+
+
+def decode_h264_b16x16_slice(
+    rbsp: bytes, nal_ref_idc: int, pps_store: dict, sps_store: dict,
+    ref_y, ref_cb, ref_cr,
+):
+    """Decode a B_Bi_16x16 zero-residual slice against the single
+    decoded reference picture (both lists): parse the header + per-MB
+    dual-MV walk (independent per-list 8.4.1.3 predictor chains),
+    interpolate each list through the verified 8.4.2.2 kernels, and
+    combine per 8.4.2.3.2 with weighted_bipred_idc 0 — the default
+    bipred AVERAGE (a + b + 1) >> 1, luma and chroma alike.  Returns
+    (header, y, cb, cr, mvs0, mvs1).  Non-B_Bi mb_types, skips, and
+    nonzero CBP fail loudly (declared extension points: B_Direct
+    spatial/temporal prediction, L0/L1-only B MBs, sub-partitions)."""
+    import numpy as np
+
+    hdr = decode_h264_slice_header(
+        rbsp, 1, nal_ref_idc, pps_store, sps_store
+    )
+    if hdr["slice_type"] != "B":
+        raise ValueError(f"H264 bipred: not a B slice ({hdr['slice_type']})")
+    pps = pps_store[hdr["pps_id"]]
+    sps = sps_store[pps["sps_id"]]
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    br = _BitReader(rbsp)
+    _h264_skip_slice_header(br, 1, nal_ref_idc, pps_store, sps_store)
+    y = np.zeros((16 * mb_h, 16 * mb_w), np.uint8)
+    cb = np.zeros((8 * mb_h, 8 * mb_w), np.uint8)
+    cr = np.zeros((8 * mb_h, 8 * mb_w), np.uint8)
+    stores: list[dict] = [{}, {}]
+    mvs0, mvs1 = [], []
+    for addr in range(mb_w * mb_h):
+        mx, my = addr % mb_w, addr // mb_w
+        if _expgolomb_ue(br) != 0:
+            raise ValueError("H264 bipred: mb_skip_run != 0 unsupported")
+        if _expgolomb_ue(br) != 3:
+            raise ValueError("H264 bipred: only B_Bi_16x16 supported")
+        pair = []
+        for lst in (0, 1):
+            px, py = _h264_mvp(stores[lst], mx, my, mb_w)
+            mvx = px + _expgolomb_se(br)
+            mvy = py + _expgolomb_se(br)
+            stores[lst][(mx, my)] = (mvx, mvy)
+            pair.append((mvx, mvy))
+        if _expgolomb_ue(br) != 0:
+            raise ValueError("H264 bipred: nonzero CBP unsupported")
+        mvs0.append(pair[0])
+        mvs1.append(pair[1])
+        oy, ox = 16 * my, 16 * mx
+        p0 = h264_mc_luma(ref_y, oy, ox, 16, 16, *pair[0])
+        p1 = h264_mc_luma(ref_y, oy, ox, 16, 16, *pair[1])
+        y[oy:oy + 16, ox:ox + 16] = (p0 + p1 + 1) >> 1
+        cy, cx = 8 * my, 8 * mx
+        for plane, out in ((ref_cb, cb), (ref_cr, cr)):
+            c0 = h264_mc_chroma(plane, cy, cx, 8, 8, *pair[0])
+            c1 = h264_mc_chroma(plane, cy, cx, 8, 8, *pair[1])
+            out[cy:cy + 8, cx:cx + 8] = (c0 + c1 + 1) >> 1
+    return hdr, y, cb, cr, mvs0, mvs1
+
+
 # ---------------------------------------------------------------------------
 # HEVC / HEIF structure layer (r13) — the ingest-triage walk for the
 # H.265 family, adjudicated against REAL x265 bitstreams (the m48

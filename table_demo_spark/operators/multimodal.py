@@ -3614,6 +3614,197 @@ def h264_mc_stats(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+# -- H.264 B-slice bipred fixture (m53, r14) ---------------------------------
+
+_BIPRED_SALT = "#bip"
+
+
+def with_h264_bipred_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a TWO-FRAME Annex B stream — frame 0 an IDR
+    Intra_16x16 CAVLC picture (the m39 plant at salt '#bip'), frame 1
+    a non-ref B slice of B_Bi_16x16 macroblocks whose TWO quarter-pel
+    motion vectors per MB (list 0 and list 1, planted from the md5
+    stream right after the residual bytes: 4 bytes per MB) both
+    resolve to frame 0 — the DPB holds a single reference, so the
+    8.2.4.2.3/.4 default lists are both [frame 0] and frame 1 is
+    EXACTLY the rounded average of two independent 8.4.2.2
+    interpolations of frame 0 (8.4.2.3.2, weighted_bipred_idc 0)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_h264_pps,
+        decode_h264_sps,
+        encode_annexb,
+        encode_h264_b16x16_slice,
+        encode_h264_i16x16_slice,
+        encode_h264_pps,
+        encode_h264_sps,
+    )
+
+    mw = H264_CAVLC_MB_W
+    sps_rbsp = encode_h264_sps(66, 30, mw, 1)
+    pps_rbsp = encode_h264_pps(0, 0, 16)
+    sps = decode_h264_sps(sps_rbsp)
+    pps = decode_h264_pps(pps_rbsp)
+    n_bytes = mw * _CAVLC_MB_BYTES + 4 * mw
+    n_blocks = (n_bytes + 15) // 16
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                raw = _md5_stream(str(doc_id), n_blocks, _BIPRED_SALT)
+                mbs = []
+                for m in range(mw):
+                    base = m * _CAVLC_MB_BYTES
+                    dc = np.array(
+                        [raw[base + k] % 5 - 2 for k in range(16)],
+                        np.int64,
+                    ).reshape(4, 4)
+                    ac = np.zeros((4, 4, 4, 4), np.int64)
+                    for y4 in range(4):
+                        for x4 in range(4):
+                            o = base + 16 + (4 * y4 + x4) * 15
+                            flat = np.zeros(16, np.int64)
+                            for pos in range(1, 16):
+                                b = raw[o + pos - 1]
+                                if (m, y4, x4, pos) == _CAVLC_ESC:
+                                    flat[pos] = 1000 + 4 * b
+                                else:
+                                    flat[pos] = _cavlc_level(b)
+                            ac[y4][x4] = flat.reshape(4, 4)
+                    cbo = base + 16 + 240
+                    cb_dc = np.array(
+                        [raw[cbo + k] % 7 - 3 for k in range(4)], np.int64
+                    ).reshape(2, 2)
+                    cr_dc = np.array(
+                        [raw[cbo + 4 + k] % 7 - 3 for k in range(4)],
+                        np.int64,
+                    ).reshape(2, 2)
+                    mbs.append(
+                        {"dc": dc, "ac": ac, "cb_dc": cb_dc,
+                         "cr_dc": cr_dc}
+                    )
+                mv0 = mw * _CAVLC_MB_BYTES
+                mvs01 = [
+                    (
+                        (raw[mv0 + 4 * m] % 25 - 12,
+                         raw[mv0 + 4 * m + 1] % 25 - 12),
+                        (raw[mv0 + 4 * m + 2] % 25 - 12,
+                         raw[mv0 + 4 * m + 3] % 25 - 12),
+                    )
+                    for m in range(mw)
+                ]
+                f0 = int(doc_id) % 16
+                idr = encode_h264_i16x16_slice(
+                    sps, pps, mbs, frame_num=f0,
+                    idr_pic_id=int(doc_id) % 32,
+                )
+                bsl = encode_h264_b16x16_slice(
+                    sps, pps, mvs01, frame_num=(f0 + 1) % 256
+                )
+                payloads.append(
+                    encode_annexb(
+                        [(3, 7, sps_rbsp), (3, 8, pps_rbsp),
+                         (3, 5, idr), (0, 1, bsl)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+
+
+def h264_bipred_stats(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode the two-frame stream — IDR through the verified m39
+    CAVLC path, then the B slice bi-predicted against those decoded
+    planes — and reduce FRAME 1 to position-weighted stats plus one
+    MV checksum PER LIST (each list's 8.4.1.3 predictor chain is
+    independent on the wire, so each needs its own direct pin)."""
+    import numpy as np
+
+    from table_demo_spark.operators.codecs import (
+        decode_annexb,
+        decode_h264_b16x16_slice,
+        decode_h264_i16x16_slice,
+        decode_h264_pps,
+        decode_h264_sps,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sps_store, pps_store = {}, {}
+                ref = None
+                out = None
+                for nal in decode_annexb(bytes(payload)):
+                    t = nal["nal_type"]
+                    if t == 7:
+                        info = decode_h264_sps(nal["rbsp"])
+                        sps_store[info["sps_id"]] = info
+                    elif t == 8:
+                        info = decode_h264_pps(nal["rbsp"])
+                        pps_store[info["pps_id"]] = info
+                    elif t == 5:
+                        ref = decode_h264_i16x16_slice(
+                            nal["rbsp"], 5, nal["ref_idc"],
+                            pps_store, sps_store,
+                        )
+                    elif t == 1:
+                        if ref is None:
+                            raise ValueError(
+                                "H264 bipred: B slice before reference"
+                            )
+                        _, ry, rcb, rcr, _ = ref
+                        out = decode_h264_b16x16_slice(
+                            nal["rbsp"], nal["ref_idc"],
+                            pps_store, sps_store, ry, rcb, rcr,
+                        )
+                hdr, y, cb, cr, mvs0, mvs1 = out
+                h, w = y.shape
+                yl = y.astype(np.int64)
+                px = np.arange(h * w, dtype=np.int64).reshape(h, w)
+
+                def mv_wsum(mvs):
+                    return sum(
+                        (m + 1) * (100 * (mvx + 12) + (mvy + 12))
+                        for m, (mvx, mvy) in enumerate(mvs)
+                    )
+
+                rows.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        int(mv_wsum(mvs0)), int(mv_wsum(mvs1)),
+                        int(yl.sum()),
+                        int((yl * (1 + px % 7)).sum()),
+                        int(yl.min()), int(yl.max()),
+                        int(cb.astype(np.int64).sum()),
+                        int(cr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mv_wsum0", "mv_wsum1",
+                    "sum_y", "wsum_y", "y_min", "y_max",
+                    "sum_cb", "sum_cr",
+                ],
+            )
+
+    return docs_with_payload.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width long, height long, mv_wsum0 long, "
+            "mv_wsum1 long, sum_y long, wsum_y long, y_min long, "
+            "y_max long, sum_cb long, sum_cr long"
+        ),
+    )
+
+
 # -- HEVC structure-walk fixture (m49, r13) ----------------------------------
 
 

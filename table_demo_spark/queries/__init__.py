@@ -99,6 +99,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # oldest-of-all, so they keep the due-count intact).
     "llm_m51_hevc_slice_decode",
     "llm_m52_avif_sequence",
+    "llm_m53_h264_bipred_pixels",
 )
 
 

@@ -931,3 +931,94 @@ def test_h264_mc_negatives():
     hdr_i = C.encode_h264_slice_header(sps, pps, 7, 0, 0, 0, idr_pic_id=0)
     with pytest.raises(ValueError):
         C.decode_h264_p16x16_slice(hdr_i, 3, *stores, *ref)
+
+
+def test_h264_bipred_roundtrip_and_average_math():
+    """m53: B_Bi_16x16 roundtrip — decoded MVs match both planted
+    lists, and every macroblock equals the independently recomputed
+    (predL0 + predL1 + 1) >> 1 of the two 8.4.2.2 interpolations."""
+    import numpy as np
+
+    sps = C.decode_h264_sps(C.encode_h264_sps(66, 30, 4, 1))
+    pps = C.decode_h264_pps(C.encode_h264_pps(0, 0, 16))
+    stores = ({0: pps}, {0: sps})
+    rng = np.random.RandomState(0)
+    ry = rng.randint(0, 256, (16, 64)).astype(np.uint8)
+    rcb = rng.randint(0, 256, (8, 32)).astype(np.uint8)
+    rcr = rng.randint(0, 256, (8, 32)).astype(np.uint8)
+    mvs01 = [
+        ((int(rng.randint(-12, 13)), int(rng.randint(-12, 13))),
+         (int(rng.randint(-12, 13)), int(rng.randint(-12, 13))))
+        for _ in range(4)
+    ]
+    rbsp = C.encode_h264_b16x16_slice(sps, pps, mvs01)
+    hdr, y, cb, cr, mv0, mv1 = C.decode_h264_b16x16_slice(
+        rbsp, 0, *stores, ry, rcb, rcr
+    )
+    assert hdr["slice_type"] == "B"
+    assert mv0 == [p[0] for p in mvs01]
+    assert mv1 == [p[1] for p in mvs01]
+    for m, (a, b) in enumerate(mvs01):
+        oy, ox = 0, 16 * m
+        p0 = C.h264_mc_luma(ry, oy, ox, 16, 16, *a)
+        p1 = C.h264_mc_luma(ry, oy, ox, 16, 16, *b)
+        assert (y[oy:oy + 16, ox:ox + 16] == ((p0 + p1 + 1) >> 1)).all()
+        cy, cx = 0, 8 * m
+        c0 = C.h264_mc_chroma(rcb, cy, cx, 8, 8, *a)
+        c1 = C.h264_mc_chroma(rcb, cy, cx, 8, 8, *b)
+        assert (cb[cy:cy + 8, cx:cx + 8] == ((c0 + c1 + 1) >> 1)).all()
+
+
+def test_h264_bipred_constant_field_affine_property():
+    """On a constant reference every interpolator reproduces the
+    constant exactly (tap sums are affine), so bipred of any MV pair
+    must return the constant — a structural pin on the averaging."""
+    import numpy as np
+
+    sps = C.decode_h264_sps(C.encode_h264_sps(66, 30, 2, 1))
+    pps = C.decode_h264_pps(C.encode_h264_pps(0, 0, 16))
+    stores = ({0: pps}, {0: sps})
+    ry = np.full((16, 32), 77, np.uint8)
+    rc = np.full((8, 16), 190, np.uint8)
+    mvs01 = [((-9, 7), (11, -3)), ((5, 5), (-1, 2))]
+    rbsp = C.encode_h264_b16x16_slice(sps, pps, mvs01)
+    _, y, cb, cr, _, _ = C.decode_h264_b16x16_slice(
+        rbsp, 0, *stores, ry, rc, rc
+    )
+    assert (y == 77).all() and (cb == 190).all() and (cr == 190).all()
+
+
+def test_h264_bipred_negatives():
+    """B decoder rejects P slices, P decoder rejects B slices, and
+    unsupported B mb_types fail loudly."""
+    import numpy as np
+
+    sps = C.decode_h264_sps(C.encode_h264_sps(66, 30, 2, 1))
+    pps = C.decode_h264_pps(C.encode_h264_pps(0, 0, 16))
+    stores = ({0: pps}, {0: sps})
+    ref = (
+        np.zeros((16, 32), np.uint8), np.zeros((8, 16), np.uint8),
+        np.zeros((8, 16), np.uint8),
+    )
+    psl = C.encode_h264_p16x16_slice(sps, pps, [(1, 2), (3, 4)])
+    with pytest.raises(ValueError, match="not a B slice"):
+        C.decode_h264_b16x16_slice(psl, 0, *stores, *ref)
+    bsl = C.encode_h264_b16x16_slice(
+        sps, pps, [((1, 2), (3, 4)), ((0, 0), (5, -5))]
+    )
+    with pytest.raises(ValueError, match="not a P slice"):
+        C.decode_h264_p16x16_slice(bsl, 0, *stores, *ref)
+    # hand-build a B slice with mb_type B_L0_16x16 (ue 1): unsupported
+    bw = C._ExpGolombWriter()
+    C._h264_put_slice_header(
+        bw, sps, pps, 1, 0, 2, 0, idr_pic_id=None, nal_ref_idc=0
+    )
+    bw.ue(0)  # mb_skip_run
+    bw.ue(1)  # B_L0_16x16
+    bw.se(0)
+    bw.se(0)
+    bw.ue(0)
+    bw.put(1, 1)
+    bw.align()
+    with pytest.raises(ValueError, match="B_Bi_16x16"):
+        C.decode_h264_b16x16_slice(bytes(bw.out), 0, *stores, *ref)

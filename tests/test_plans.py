@@ -139,6 +139,7 @@ _PYTHON_ALLOWED = {
     "llm_m50_av1_structure",  # MapInPandas (real libaom AVIF build + from-spec OBU walk)
     "llm_m51_hevc_slice_decode",  # MapInPandas (real x265 encode; from-spec + libde265 decode)
     "llm_m52_avif_sequence",  # MapInPandas (real libaom sequence encode; dav1d+gav1 decode)
+    "llm_m53_h264_bipred_pixels",  # MapInPandas (two-frame B-slice build + bipred decode)
     "llm_m49_hevc_structure",  # MapInPandas (real x265 HEIC build + from-spec ISOBMFF/SPS walk)
     "llm_m48_heic_pixels",  # MapInPandas (real x265 HEIC encode + libde265 decode via libheif)
 }
