@@ -8518,6 +8518,106 @@ def av1_avis_structure(data: bytes) -> dict:
     return {**seq, "n_obus": n_obus, "n_frames": n_frames}
 
 
+def parse_av1_still_frame_header(payload: bytes, seq: dict) -> dict:
+    """AV1 5.9.2 uncompressed_header for the reduced-still-picture
+    shape (m54): with reduced_still_picture_header = 1 the header
+    pins show_existing_frame = 0, frame_type = KEY_FRAME, show_frame
+    = 1, so the wire starts at disable_cdf_update and runs through
+    the QUANTIZATION layer — base_q_idx (8 bits), the y/u/v DC/AC
+    delta_q flags, qmatrix and segmentation flags, delta-q presence —
+    exactly the fields ingest triage needs to price a stream.  Fails
+    loudly on tools our fixtures never produce (superres scaling,
+    render-size override, intrabc, qmatrix, segmentation, non-uniform
+    tiles) rather than skipping bits blind."""
+    if not seq.get("reduced_header"):
+        raise ValueError("AV1: not a reduced still-picture header")
+    br = _BitReader(payload)
+    d = {"disable_cdf_update": br.bits(1)}
+    # reduced header implies seq_force_screen_content_tools == SELECT
+    d["allow_screen_content_tools"] = br.bits(1)
+    if seq.get("enable_superres") and br.bits(1):
+        raise ValueError("AV1: superres unsupported")
+    if br.bits(1):  # render_and_frame_size_different
+        raise ValueError("AV1: render-size override unsupported")
+    if d["allow_screen_content_tools"] and br.bits(1):
+        raise ValueError("AV1: intra block copy unsupported")
+    if br.bits(1) != 1:  # uniform_tile_spacing_flag
+        raise ValueError("AV1: non-uniform tiles unsupported")
+    sb = 128 if seq.get("use_128x128_superblock") else 64
+    sb_cols = (seq["width"] + sb - 1) // sb
+    sb_rows = (seq["height"] + sb - 1) // sb
+    if sb_cols > 1 or sb_rows > 1:
+        # increment_tile_cols/rows_log2 unary walks exist once the
+        # picture exceeds one superblock; fixtures stay <= 64 so the
+        # walk is empty — widen when a fixture needs it
+        while br.bits(1):
+            pass
+        while br.bits(1):
+            pass
+    d["base_q_idx"] = br.bits(8)
+
+    def delta_q() -> int:
+        if not br.bits(1):
+            return 0
+        v = br.bits(7)  # su(1+6): sign-extend 7 bits
+        return v - 128 if v >= 64 else v
+
+    d["delta_q_y_dc"] = delta_q()
+    if not seq.get("mono_chrome"):
+        diff_uv = (
+            br.bits(1) if seq.get("separate_uv_delta_q") else 0
+        )
+        d["delta_q_u_dc"] = delta_q()
+        d["delta_q_u_ac"] = delta_q()
+        if diff_uv:
+            d["delta_q_v_dc"] = delta_q()
+            d["delta_q_v_ac"] = delta_q()
+        else:
+            d["delta_q_v_dc"] = d["delta_q_u_dc"]
+            d["delta_q_v_ac"] = d["delta_q_u_ac"]
+    if br.bits(1):  # using_qmatrix
+        raise ValueError("AV1: qmatrix unsupported")
+    d["using_qmatrix"] = 0
+    if br.bits(1):  # segmentation_enabled
+        raise ValueError("AV1: segmentation unsupported")
+    d["segmentation_enabled"] = 0
+    if d["base_q_idx"] > 0:
+        d["delta_q_present"] = br.bits(1)
+        if d["delta_q_present"]:
+            br.bits(2)  # delta_q_res
+    else:
+        d["delta_q_present"] = 0
+    d["coded_lossless"] = int(
+        d["base_q_idx"] == 0
+        and d["delta_q_y_dc"] == 0
+        and d.get("delta_q_u_dc", 0) == 0
+        and d.get("delta_q_u_ac", 0) == 0
+        and d.get("delta_q_v_dc", 0) == 0
+        and d.get("delta_q_v_ac", 0) == 0
+    )
+    return d
+
+
+def av1_avif_quant_structure(data: bytes) -> dict:
+    """m54's walk: the m50 still-AVIF structure walk extended one
+    level deeper into the frame OBU — the 5.9.2 uncompressed header's
+    quantization layer over a REAL fixed-quantizer libaom stream."""
+    st = av1_avif_structure(data)
+    mdat = [(bo, be) for t, bo, be in isobmff_boxes(data) if t == "mdat"]
+    seq = None
+    hdr = None
+    for typ, payload in av1_obus(data[mdat[0][0]:mdat[0][1]]):
+        if typ == 1:
+            seq = parse_av1_sequence_header(payload)
+        elif typ == 6:
+            if hdr is not None:
+                raise ValueError("AVIF: multiple frame OBUs in a still")
+            hdr = parse_av1_still_frame_header(payload, seq)
+    if hdr is None:
+        raise ValueError("AVIF: no frame OBU")
+    return {**st, **hdr}
+
+
 def av1_avif_structure(data: bytes) -> dict:
     """The m50 walk over one AVIF container: av1C + ispe properties,
     then the mdat OBU stream's sequence header — dimensions must

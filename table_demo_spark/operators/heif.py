@@ -728,3 +728,77 @@ def decode_avif_sequence(data: bytes, codec_choice: int):
         return frames
     finally:
         a.avifDecoderDestroy(dec)
+
+
+# -- fixed-quantizer AVIF stills (m54) ---------------------------------------
+#
+# The 0.11.1 encoder head continues past the documented 4 ints +
+# timescale with minQuantizer/maxQuantizer at int offsets 6/7 —
+# established EMPIRICALLY, not by header recall: their defaults are
+# 0/0 (the observed lossless default), poking 6 alone to 40 makes
+# avifEncoderAddImage fail with INVALID_ARGUMENT (min > max), poking
+# 7 alone shrinks the bitstream (range [0, 40]), and poking both to q
+# yields a fixed-quantizer encode whose frame header carries
+# base_q_idx == AVIF_QINDEX[q] for every q in 0..63 (the libaom
+# quantizer->qindex map, re-measured exhaustively in
+# tests/test_avif_sequence.py).
+
+AVIF_QINDEX = tuple(4 * q for q in range(62)) + (249, 255)
+
+
+def encode_avif_still_q(y, cb, cr, q: int, speed: int = 9) -> bytes:
+    """Encode one YUV 4:2:0 frame as a still AVIF at a FIXED libaom
+    quantizer (min == max == q; q = 0 is lossless): the m54 fixture —
+    real lossy streams whose frame-header base_q_idx is predictable
+    from the drawn q via AVIF_QINDEX."""
+    if not 0 <= q <= 63:
+        raise ValueError("quantizer out of range")
+    a = _avif_seq()
+    enc = a.avifEncoderCreate()
+    if not enc:
+        raise MemoryError("avifEncoderCreate failed")
+    img = None
+    try:
+        _check_encoder_abi(enc)
+        head = (ctypes.c_int * 8).from_address(enc)
+        head[1] = 1       # maxThreads
+        head[2] = speed
+        head[6] = q       # minQuantizer
+        head[7] = q       # maxQuantizer
+        h, w = y.shape
+        if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cb.shape != cr.shape:
+            raise ValueError("bad 4:2:0 plane shapes")
+        img = a.avifImageCreate(w, h, 8, _AVIF_PIXEL_FORMAT_YUV420)
+        if not img:
+            raise MemoryError("avifImageCreate failed")
+        if a.avifImageAllocatePlanes(img, 1) != 0:
+            raise MemoryError("avifImageAllocatePlanes failed")
+        ih = _AvifImageHead.from_address(img)
+        for i, pl in enumerate((y, cb, cr)):
+            rb = ih.yuvRowBytes[i]
+            if rb < pl.shape[1] or not ih.yuvPlanes[i]:
+                raise ValueError("avifImage plane validation failed")
+            buf = pl.tobytes()
+            for r in range(pl.shape[0]):
+                ctypes.memmove(
+                    ih.yuvPlanes[i] + r * rb,
+                    buf[r * pl.shape[1]:(r + 1) * pl.shape[1]],
+                    pl.shape[1],
+                )
+        res = a.avifEncoderAddImage(enc, img, 1, 2)  # ..FLAG_SINGLE
+        if res != 0:
+            msg = (a.avifResultToString(res) or b"?").decode()
+            raise ValueError(f"avifEncoderAddImage failed: {msg}")
+        out = _AvifRWData()
+        res = a.avifEncoderFinish(enc, ctypes.byref(out))
+        if res != 0:
+            msg = (a.avifResultToString(res) or b"?").decode()
+            raise ValueError(f"avifEncoderFinish failed: {msg}")
+        try:
+            return ctypes.string_at(out.data, out.size)
+        finally:
+            a.avifRWDataFree(ctypes.byref(out))
+    finally:
+        if img:
+            a.avifImageDestroy(img)
+        a.avifEncoderDestroy(enc)

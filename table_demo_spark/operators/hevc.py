@@ -14,10 +14,14 @@ independent implementation — any context-table misrecall, scan-order
 slip, or transform-orientation bug desynchronizes the arithmetic
 decoder or the reconstruction and shows up as a pixel diff immediately.
 
-Deliberately out of scope (fail loudly, documented): P/B slices, SAO
-and deblocking (disabled at encode via x265 params — the battery pins
-this), tiles/WPP entry points, dependent slice segments, scaling
-lists, transform_skip, transquant_bypass, PCM, 4:2:2/4:4:4, >8-bit.
+Deliberately out of scope (fail loudly, documented): P/B slices, SAO,
+tiles/WPP entry points, dependent slice segments, scaling lists,
+transform_skip, transquant_bypass, PCM, 4:2:2/4:4:4, >8-bit.
+DEBLOCKING is IN scope since r14 (llm_m55): the full 8.7.2 filter
+runs when the stream signals it and the caller opts in
+(allow_deblock=True); streams signalling deblocking still fail loudly
+on the default path, and the beta'/tc' tables are .rodata-extracted,
+never recalled (see the table block below).
 
 The CABAC *engine* (range subdivision, renormalization, bypass,
 terminate) is byte-identical to H.264's — r13 extracted ivlLpsRange /
@@ -355,20 +359,22 @@ def parse_hevc_slice_header(
         hdr["cb_qp_offset"] += _expgolomb_se(br)
         hdr["cr_qp_offset"] += _expgolomb_se(br)
     deblock_disabled = pps["deblocking_disabled"]
+    beta_off = pps.get("beta_offset", 0)
+    tc_off = pps.get("tc_offset", 0)
     if pps["deblocking_control_present"] and pps["deblocking_override_enabled"]:
         if br.bits(1):  # deblocking_filter_override_flag
             deblock_disabled = br.bits(1)
             if not deblock_disabled:
-                _expgolomb_se(br)
-                _expgolomb_se(br)
-    if not deblock_disabled:
-        raise ValueError(
-            "HEVC: deblocking must be disabled (x265:no-deblock)"
-        )
-    if pps["loop_filter_across_slices"]:
-        # present iff any in-loop filter is active for this slice;
-        # SAO off + deblock disabled => absent.
-        pass
+                beta_off = _expgolomb_se(br) * 2
+                tc_off = _expgolomb_se(br) * 2
+    hdr["deblock_disabled"] = deblock_disabled
+    hdr["beta_offset"] = beta_off
+    hdr["tc_offset"] = tc_off
+    if pps["loop_filter_across_slices"] and not deblock_disabled:
+        # slice_loop_filter_across_slices_enabled_flag is present iff
+        # any in-loop filter is active for this slice (SAO is always
+        # off in our streams, so deblocking alone gates it)
+        br.bits(1)
     if pps["entropy_coding_sync"]:
         n = _expgolomb_ue(br)  # num_entry_point_offsets
         if n:
@@ -565,6 +571,12 @@ class HevcIntraSliceDecoder:
         self.n_cu = 0
         self.n_tu = 0
         self.n_coeff = 0
+        # transform-block rectangles, the deblocking edge source: for
+        # intra slices every PU boundary coincides with a TB boundary
+        # (IntraSplitFlag forces the depth-0 transform split for NxN),
+        # so TB edges are exactly the bS=2 edge set of 8.7.2.
+        self.tu_rects_y: list[tuple[int, int, int]] = []
+        self.tu_rects_c: list[tuple[int, int, int]] = []
 
     # -- CABAC syntax layer -------------------------------------------------
 
@@ -757,6 +769,7 @@ class HevcIntraSliceDecoder:
         """Residual decode + immediate reconstruction, z-order (the
         8.4.4.1 per-transform-block intra pipeline)."""
         self.n_tu += 1
+        self.tu_rects_y.append((x0, y0, 1 << log2_size))
         # luma
         if intra_split:
             pb = 1 << log2_size
@@ -787,6 +800,7 @@ class HevcIntraSliceDecoder:
     def _chroma_pair(
         self, dec, ctx, xc, yc, log2_size, chroma_mode, cbf_cb, cbf_cr
     ):
+        self.tu_rects_c.append((xc, yc, 1 << log2_size))
         for c_idx, cbf, qp_off in (
             (1, cbf_cb, self.qp_cb_off), (2, cbf_cr, self.qp_cr_off),
         ):
@@ -1187,27 +1201,195 @@ class HevcIntraSliceDecoder:
         return pred
 
 
+# -- 8.7.2 deblocking filter (m55) -------------------------------------------
+#
+# HEVC's beta'/tc' tables (Table 8-11) — unlike H.264's alpha/beta/tc0,
+# which have no in-container source — are EXTRACTED from the system
+# binaries: the byte sequences below appear once in libde265.so.0 and
+# three times in libx265.so.199 (4 in-binary copies, all agreeing;
+# re-extracted in tests/test_hevc_decode.py), never hand-recalled.
+
+HEVC_DEBLOCK_BETA = (
+    (0,) * 16
+    + tuple(range(6, 19))
+    + tuple(range(20, 65, 2))
+)
+HEVC_DEBLOCK_TC = (
+    (0,) * 18
+    + (1,) * 9
+    + (2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+       13, 14, 16, 18, 20, 22, 24)
+)
+assert len(HEVC_DEBLOCK_BETA) == 52 and len(HEVC_DEBLOCK_TC) == 54
+
+
+def _deblock_luma_edges(plane, edges, qp, beta_off, tc_off, vertical):
+    """8.7.2.5.3/.5.7 luma edge filtering for bS=2 (all-intra) edges.
+    ``edges`` is a set of (pos, seg) 4-line segments; for horizontal
+    edges the plane is viewed transposed so one code path serves
+    both.  In-place on the int64 plane; safe because parallel edges
+    sit >= 8 samples apart while each filter touches ±3."""
+    pl = plane if vertical else plane.T
+    beta = HEVC_DEBLOCK_BETA[_clip3(0, 51, qp + beta_off)]
+    tc = HEVC_DEBLOCK_TC[_clip3(0, 53, qp + 2 + tc_off)]
+    if beta == 0:
+        return
+    for x, ys in sorted(edges):
+        seg = pl[ys:ys + 4]
+        p = seg[:, x - 4:x][:, ::-1]  # p[i][k] = p_k of row i
+        q = seg[:, x:x + 4]
+        dp0 = abs(int(p[0, 2] - 2 * p[0, 1] + p[0, 0]))
+        dp3 = abs(int(p[3, 2] - 2 * p[3, 1] + p[3, 0]))
+        dq0 = abs(int(q[0, 2] - 2 * q[0, 1] + q[0, 0]))
+        dq3 = abs(int(q[3, 2] - 2 * q[3, 1] + q[3, 0]))
+        dpq0, dpq3 = dp0 + dq0, dp3 + dq3
+        if dpq0 + dpq3 >= beta:
+            continue
+
+        def dsam(r, dpq):
+            return (
+                2 * dpq < (beta >> 2)
+                and abs(int(p[r, 3] - p[r, 0]))
+                + abs(int(q[r, 0] - q[r, 3])) < (beta >> 3)
+                and abs(int(p[r, 0] - q[r, 0])) < ((5 * tc + 1) >> 1)
+            )
+
+        if dsam(0, dpq0) and dsam(3, dpq3):
+            for r in range(4):
+                p0, p1, p2, p3 = (int(p[r, k]) for k in range(4))
+                q0, q1, q2, q3 = (int(q[r, k]) for k in range(4))
+                seg[r, x - 1] = _clip3(
+                    p0 - 2 * tc, p0 + 2 * tc,
+                    (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                )
+                seg[r, x - 2] = _clip3(
+                    p1 - 2 * tc, p1 + 2 * tc,
+                    (p2 + p1 + p0 + q0 + 2) >> 2,
+                )
+                seg[r, x - 3] = _clip3(
+                    p2 - 2 * tc, p2 + 2 * tc,
+                    (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                )
+                seg[r, x] = _clip3(
+                    q0 - 2 * tc, q0 + 2 * tc,
+                    (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                )
+                seg[r, x + 1] = _clip3(
+                    q1 - 2 * tc, q1 + 2 * tc,
+                    (q2 + q1 + q0 + p0 + 2) >> 2,
+                )
+                seg[r, x + 2] = _clip3(
+                    q2 - 2 * tc, q2 + 2 * tc,
+                    (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                )
+        else:
+            dep = 1 if dp0 + dp3 < ((beta + (beta >> 1)) >> 3) else 0
+            deq = 1 if dq0 + dq3 < ((beta + (beta >> 1)) >> 3) else 0
+            for r in range(4):
+                p0, p1, p2 = (int(p[r, k]) for k in range(3))
+                q0, q1, q2 = (int(q[r, k]) for k in range(3))
+                delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+                if abs(delta) >= tc * 10:
+                    continue
+                delta = _clip3(-tc, tc, delta)
+                seg[r, x - 1] = _clip3(0, 255, p0 + delta)
+                seg[r, x] = _clip3(0, 255, q0 - delta)
+                if dep:
+                    dp = _clip3(
+                        -(tc >> 1), tc >> 1,
+                        (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1,
+                    )
+                    seg[r, x - 2] = _clip3(0, 255, p1 + dp)
+                if deq:
+                    dq = _clip3(
+                        -(tc >> 1), tc >> 1,
+                        (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1,
+                    )
+                    seg[r, x + 1] = _clip3(0, 255, q1 + dq)
+
+
+def _deblock_chroma_edges(plane, edges, qp_c, tc_off, vertical):
+    """8.7.2.5.5 chroma filtering (bS=2 only, which all-intra edges
+    are): per-line delta with no strong/weak decision."""
+    pl = plane if vertical else plane.T
+    tc = HEVC_DEBLOCK_TC[_clip3(0, 53, qp_c + 2 + tc_off)]
+    if tc == 0:
+        return
+    for x, ys in sorted(edges):
+        seg = pl[ys:ys + 4]
+        for r in range(seg.shape[0]):
+            p0, p1 = int(seg[r, x - 1]), int(seg[r, x - 2])
+            q0, q1 = int(seg[r, x]), int(seg[r, x + 1])
+            delta = _clip3(
+                -tc, tc, (((q0 - p0) << 2) + p1 - q1 + 4) >> 3
+            )
+            seg[r, x - 1] = _clip3(0, 255, p0 + delta)
+            seg[r, x] = _clip3(0, 255, q0 - delta)
+
+
+def hevc_deblock(
+    y, cb, cr, tu_rects_y, tu_rects_c, qp: int,
+    qp_cb_off: int = 0, qp_cr_off: int = 0,
+    beta_off: int = 0, tc_off: int = 0,
+) -> None:
+    """Apply the 8.7 deblocking filter in place to int64 planes of an
+    all-intra picture: every TB edge on the luma 8-grid (chroma
+    8-grid) has bS = 2.  Vertical edges across the whole picture
+    first, then horizontal edges over the vertically-filtered output
+    — HEVC's two-pass order, which (unlike H.264's per-MB
+    interleaving) makes each pass order-independent since parallel
+    edges are >= 8 samples apart."""
+    for vertical in (True, False):
+        edges = set()
+        for (x0, y0, n) in tu_rects_y:
+            pos, lo = (x0, y0) if vertical else (y0, x0)
+            if pos > 0 and pos % 8 == 0:
+                for s in range(lo, lo + n, 4):
+                    edges.add((pos, s))
+        _deblock_luma_edges(y, edges, qp, beta_off, tc_off, vertical)
+        cedges = set()
+        for (x0, y0, n) in tu_rects_c:
+            pos, lo = (x0, y0) if vertical else (y0, x0)
+            if pos > 0 and pos % 8 == 0:
+                for s in range(lo, lo + n, 4):
+                    cedges.add((pos, s))
+        for plane, off in ((cb, qp_cb_off), (cr, qp_cr_off)):
+            qp_c = _CHROMA_QP[_clip3(0, 57, qp + off)]
+            _deblock_chroma_edges(plane, cedges, qp_c, tc_off, vertical)
+
+
 def decode_hevc_islice(
-    nal: bytes, sps: dict, pps: dict
+    nal: bytes, sps: dict, pps: dict, allow_deblock: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Decode one IRAP I-slice NAL to (y, cb, cr, stats)."""
     hdr, br = parse_hevc_slice_header(nal, sps, pps)
+    if hdr["deblock_disabled"] == 0 and not allow_deblock:
+        raise ValueError(
+            "HEVC: deblocking must be disabled (x265:no-deblock)"
+        )
     dec = _CabacDecoder(br)
     ctx = _Ctx(hdr["slice_qp"])
     d = HevcIntraSliceDecoder(sps, pps, hdr)
     d.decode(dec, ctx)
+    if hdr["deblock_disabled"] == 0:
+        hevc_deblock(
+            d.y, d.cb, d.cr, d.tu_rects_y, d.tu_rects_c,
+            hdr["slice_qp"], hdr["cb_qp_offset"], hdr["cr_qp_offset"],
+            hdr["beta_offset"], hdr["tc_offset"],
+        )
     stats = {
         "slice_qp": hdr["slice_qp"],
         "n_cu": d.n_cu,
         "n_tu": d.n_tu,
         "n_coeff": d.n_coeff,
+        "deblocked": int(hdr["deblock_disabled"] == 0),
     }
     return d.y.astype(np.uint8), d.cb.astype(np.uint8), d.cr.astype(
         np.uint8
     ), stats
 
 
-def decode_heic_from_spec(container: bytes):
+def decode_heic_from_spec(container: bytes, allow_deblock: bool = False):
     """Walk a HEIC container (hvcC param sets + mdat length-prefixed
     NALs — the m49 structure layer) and decode its single I-slice
     from spec.  Returns (y, cb, cr, stats)."""
@@ -1243,7 +1425,7 @@ def decode_heic_from_spec(container: bytes):
             raise ValueError(f"HEIC: unexpected NAL type {t} in mdat")
     if len(slices) != 1:
         raise ValueError(f"HEIC: {len(slices)} slice NALs")
-    return decode_hevc_islice(slices[0], sps, pps)
+    return decode_hevc_islice(slices[0], sps, pps, allow_deblock)
 
 
 def heic_nal_units(container: bytes) -> list[bytes]:
@@ -1369,15 +1551,19 @@ X265_CONSTRAINED = (
 )
 
 
-def encode_heic_constrained(y, cb, cr, qp: int, ctu: int = 16) -> bytes:
+def encode_heic_constrained(
+    y, cb, cr, qp: int, ctu: int = 16, deblock: bool = False
+) -> bytes:
     """x265-encode planes to a HEIC container under the constrained
     parameter pin (real third-party encoder — the adversarial side of
-    the m51 roundtrip)."""
+    the m51 roundtrip).  ``deblock=True`` drops the no-deblock pin so
+    x265 signals in-loop deblocking (offsets 0) — the m55 fixture."""
     from table_demo_spark.operators import heif
 
-    params = X265_CONSTRAINED + (
-        ("x265:ctu", str(ctu)), ("x265:qp", str(qp)),
-    )
+    params = tuple(
+        p for p in X265_CONSTRAINED
+        if not (deblock and p[0] == "x265:no-deblock")
+    ) + (("x265:ctu", str(ctu)), ("x265:qp", str(qp)))
     return heif.encode_heif(
         y, cb, cr, heif.COMPRESSION_HEVC, params, lossless=False
     )

@@ -3223,10 +3223,14 @@ def heif_pixel_stats(docs_with_payload: DataFrame) -> DataFrame:
 
 _M51_SALT_H = "#m51h"
 _M51_SALT_P = "#m51p"
+_M55_SALT_H = "#m55h"
+_M55_SALT_P = "#m55p"
 _M51_MAX_BYTES = 64 * 64 + 2 * 32 * 32  # largest drawn plane set
 
 
-def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
+def hevc_slice_decode_stats(
+    docs: DataFrame, deblock: bool = False
+) -> DataFrame:
     """Per document: draw dims (w,h in {32..64} step 8 — partial CTUs
     under ctu=32 force boundary splits), CTU size, and QP (12..42,
     both sides of every dequant shift) from the doc's md5 header
@@ -3249,11 +3253,14 @@ def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
 
     from table_demo_spark.operators import hevc
 
+    salt_h = _M55_SALT_H if deblock else _M51_SALT_H
+    salt_p = _M55_SALT_P if deblock else _M51_SALT_P
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                hdr = _md5_stream(str(doc_id), 1, _M51_SALT_H)
+                hdr = _md5_stream(str(doc_id), 1, salt_h)
                 w = 32 + 8 * (hdr[0] % 5)
                 h = 32 + 8 * (hdr[1] % 5)
                 ctu = 16 if hdr[2] % 2 == 0 else 32
@@ -3262,7 +3269,7 @@ def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
                 total = yn + 2 * cn
                 raw = np.frombuffer(
                     _md5_stream(
-                        str(doc_id), (total + 15) // 16, _M51_SALT_P
+                        str(doc_id), (total + 15) // 16, salt_p
                     ),
                     np.uint8,
                 )[:total].astype(np.int64)
@@ -3275,8 +3282,12 @@ def hevc_slice_decode_stats(docs: DataFrame) -> DataFrame:
                     raw[yn + cn:].astype(np.uint8)
                     .reshape(h // 2, w // 2)
                 )
-                data = hevc.encode_heic_constrained(y, cb, cr, qp, ctu=ctu)
-                gy, gcb, gcr, st = hevc.decode_heic_from_spec(data)
+                data = hevc.encode_heic_constrained(
+                    y, cb, cr, qp, ctu=ctu, deblock=deblock
+                )
+                gy, gcb, gcr, st = hevc.decode_heic_from_spec(
+                    data, allow_deblock=deblock
+                )
                 ry, rcb, rcr = hevc.decode_hevc_libde265(
                     hevc.heic_nal_units(data)
                 )
@@ -3427,6 +3438,105 @@ def avif_sequence_stats(docs: DataFrame) -> DataFrame:
             "frames_dav1d long, frames_gav1 long, dav1d_exact long, "
             "gav1_exact long, src_sum_f0 long, src_wsum_f0 long, "
             "src_sum_flast long"
+        ),
+    )
+
+
+# -- fixed-quantizer AVIF stills: frame-header quant layer (m54, r14) --------
+
+_M54_SALT_H = "#m54h"
+_M54_SALT_P = "#m54p"
+_M54_MAX_BYTES = 64 * 64 + 2 * 32 * 32
+
+
+def avif_quant_stats(docs: DataFrame) -> DataFrame:
+    """Per document: draw dims (24..64, odd included) and a libaom
+    QUANTIZER (0..63) from the md5 header block; encode full-range
+    noise planes as a still AVIF at FIXED quantizer (min == max == q
+    via the empirically-validated avifEncoder offsets); walk the
+    container from spec one OBU level deeper than m50 — the 5.9.2
+    uncompressed frame header's quantization layer — and pin
+    base_q_idx against the measured 64-entry libaom
+    quantizer->qindex map (heif.AVIF_QINDEX, re-probed exhaustively
+    in tests); then decode the LOSSY stream with BOTH dav1d and
+    libgav1 and require bit-identical planes (two independent
+    implementations of AV1's normative reconstruction agreeing on a
+    lossy stream), plus exact source equality when q == 0."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import av1_avif_quant_structure
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M54_SALT_H)
+                w = 24 + hdr[0] % 41
+                h = 24 + hdr[1] % 41
+                q = hdr[2] % 64
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+                B = w * h + 2 * cw * ch
+                raw = np.frombuffer(
+                    _md5_stream(str(doc_id), (B + 15) // 16, _M54_SALT_P),
+                    np.uint8,
+                )[:B].astype(np.int64)
+                y = raw[: w * h].astype(np.uint8).reshape(h, w)
+                cb = (
+                    raw[w * h:w * h + cw * ch]
+                    .astype(np.uint8).reshape(ch, cw)
+                )
+                cr = raw[w * h + cw * ch:].astype(np.uint8).reshape(ch, cw)
+                data = heif.encode_avif_still_q(y, cb, cr, q)
+                st = av1_avif_quant_structure(data)
+                d1 = heif.decode_avif_sequence(
+                    data, heif.AVIF_CODEC_DAV1D
+                )[0]
+                d2 = heif.decode_avif_sequence(
+                    data, heif.AVIF_CODEC_LIBGAV1
+                )[0]
+                cross = int(
+                    all(
+                        a.shape == b.shape and bool((a == b).all())
+                        for a, b in zip(d1, d2)
+                    )
+                )
+                lossless = int(
+                    q == 0
+                    and all(
+                        bool((a == s).all())
+                        for a, s in zip(d1, (y, cb, cr))
+                    )
+                )
+                wgt = 1 + np.arange(B, dtype=np.int64) % 7
+                rows.append(
+                    (
+                        int(doc_id), w, h, q,
+                        int(st["base_q_idx"]),
+                        int(st["coded_lossless"]),
+                        int(st["delta_q_y_dc"]),
+                        int(st["delta_q_present"]),
+                        cross, lossless,
+                        int(raw.sum()), int((wgt * raw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "q", "base_q_idx",
+                    "coded_lossless", "delta_q_y_dc", "delta_q_present",
+                    "cross_exact", "lossless_roundtrip",
+                    "src_sum", "src_wsum",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, q long, "
+            "base_q_idx long, coded_lossless long, delta_q_y_dc long, "
+            "delta_q_present long, cross_exact long, "
+            "lossless_roundtrip long, src_sum long, src_wsum long"
         ),
     )
 

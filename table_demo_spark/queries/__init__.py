@@ -100,6 +100,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m51_hevc_slice_decode",
     "llm_m52_avif_sequence",
     "llm_m53_h264_bipred_pixels",
+    "llm_m54_avif_quant_layer",
+    "llm_m55_hevc_deblock_decode",
 )
 
 

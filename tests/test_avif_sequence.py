@@ -106,3 +106,56 @@ def test_still_avif_rejected_by_avis_walk():
     )
     with pytest.raises(ValueError, match="avis"):
         av1_avis_structure(data)
+
+
+def test_avif_qindex_table_measured_exhaustively():
+    """heif.AVIF_QINDEX must equal the in-container libaom
+    quantizer->qindex map for EVERY q in 0..63 — measured, never
+    recalled (the r10/r13 normative-table rule)."""
+    from table_demo_spark.operators.codecs import av1_avif_quant_structure
+
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 256, (32, 40)).astype(np.uint8)
+    cb = rng.randint(0, 256, (16, 20)).astype(np.uint8)
+    cr = rng.randint(0, 256, (16, 20)).astype(np.uint8)
+    for q in range(64):
+        st = av1_avif_quant_structure(
+            heif.encode_avif_still_q(y, cb, cr, q)
+        )
+        assert st["base_q_idx"] == heif.AVIF_QINDEX[q], (q, st)
+
+
+def test_avif_fixed_q_cross_decoder_and_lossless_endpoints():
+    """Lossy streams decode bit-identically through dav1d and
+    libgav1 at every probed (dims, q) point incl. odd dims; q=0 is a
+    bit-exact source roundtrip; the measured frame-header flags are
+    the values the m54 oracle pins."""
+    from table_demo_spark.operators.codecs import av1_avif_quant_structure
+
+    rng = np.random.RandomState(9)
+    for (w, h, q) in ((24, 24, 0), (64, 64, 63), (33, 27, 17), (40, 64, 1)):
+        y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        cb = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        cr = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+        data = heif.encode_avif_still_q(y, cb, cr, q)
+        st = av1_avif_quant_structure(data)
+        assert (st["width"], st["height"]) == (w, h)
+        assert st["coded_lossless"] == (1 if q == 0 else 0)
+        assert st["delta_q_y_dc"] == 0 and st["delta_q_present"] == 0
+        assert st["using_qmatrix"] == 0 and st["segmentation_enabled"] == 0
+        d1 = heif.decode_avif_sequence(data, heif.AVIF_CODEC_DAV1D)[0]
+        d2 = heif.decode_avif_sequence(data, heif.AVIF_CODEC_LIBGAV1)[0]
+        for a, b in zip(d1, d2):
+            assert (a == b).all()
+        if q == 0:
+            for a, s in zip(d1, (y, cb, cr)):
+                assert (a == s).all()
+
+
+def test_avif_still_q_rejects_bad_quantizer():
+    y = np.full((24, 24), 100, np.uint8)
+    c = np.full((12, 12), 128, np.uint8)
+    with pytest.raises(ValueError):
+        heif.encode_avif_still_q(y, c, c, 64)
+    with pytest.raises(ValueError):
+        heif.encode_avif_still_q(y, c, c, -1)
