@@ -269,6 +269,7 @@ HEADLINE = [
     "stream_q42_state_audit",
     "stream_q43_avif_ingest",
     "stream_q44_watermark_eviction",
+    "stream_q45_hevc_ingest",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

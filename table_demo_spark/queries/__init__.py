@@ -102,6 +102,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m53_h264_bipred_pixels",
     "llm_m54_avif_quant_layer",
     "llm_m55_hevc_deblock_decode",
+    "stream_q45_hevc_ingest",
 )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
 from table_demo_spark.queries.llmops import _heif_oracle as _heif_oracle_gen
+from table_demo_spark.queries.llmops import _hevc_slice_oracle as _hevc_slice_oracle_gen
 from table_demo_spark.queries.analytics import A12_ORACLE as _A12_ORACLE
 from table_demo_spark.queries.llmops import _m19_oracle
 
@@ -1198,6 +1199,27 @@ def q43_avif_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q45_hevc_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous REAL-codec HEVC decode at ingest (streaming m55):
+    each arriving shard's documents get a deblock-signalled x265
+    encode, the from-spec decode + full 8.7.2 in-loop filter, and a
+    per-pixel libde265 adjudication — the newest codec layer on the
+    streaming path, by the SAME stateless Arrow chain the batch query
+    uses.  No state store, no watermark, O(batch) per trigger; oracle
+    = m55's restatement verbatim, so a doc dropped or decoded twice
+    at a micro-batch boundary breaks the value hash."""
+    from table_demo_spark.streaming.queries import run_q45_hevc_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q45_hevc_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "width", "height", "ctu", "qp", "slice_qp",
+        "src_sum_y", "src_wsum_y", "src_sum_cb", "src_sum_cr",
+        "exact_y", "exact_cb", "exact_cr",
+    ).orderBy("doc_id")
+
+
 def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous COLOR media decode (streaming m19): arriving shards'
     documents get a real 3-component 4:2:0 JFIF payload built and
@@ -2193,6 +2215,11 @@ QUERIES: list[Query] = [
         Q44_WATERMARK_EVICTION_ORACLE,
     ),
     Query("stream_q43_avif_ingest", q43_avif_ingest_final, _heif_oracle_gen("#avif")),
+    Query(
+        "stream_q45_hevc_ingest",
+        q45_hevc_ingest_final,
+        _hevc_slice_oracle_gen("#m55h", "#m55p"),
+    ),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),
 ]

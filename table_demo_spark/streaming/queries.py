@@ -4129,6 +4129,38 @@ def run_q44_watermark_rollup(
     return query, ckpt
 
 
+def run_q45_hevc_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Continuously decode REAL x265 bitstreams at ingest — q43's
+    continuous-real-codec shape on the HEVC family, using the m55
+    chain: per arriving doc, a deblock-signalled x265 encode, the
+    from-spec CABAC+reconstruction+8.7.2-deblock decode, and the
+    direct-libde265 bit-exact adjudication, all inside one stateless
+    Arrow map per micro-batch.  O(batch) per trigger, no state
+    store.  Returns (sink, query)."""
+    from table_demo_spark.operators import multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.hevc_slice_decode_stats(docs, deblock=True)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q45-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 def run_q41_pipeline_ingest(
     spark: SparkSession,
     sf_dir: str,
