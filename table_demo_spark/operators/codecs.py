@@ -8199,6 +8199,201 @@ def isobmff_find(data: bytes, path: list[str]):
     return spans
 
 
+def heic_resolve_grid(data: bytes) -> dict:
+    """Resolve a sub-64 HEIC's DERIVED-ITEM chain from spec (ISO
+    23008-12) — the m49 declared extension point, closed by m56:
+    pitm -> the primary 'grid' item, ipma -> which ipco properties
+    attach to which item (the coded hvc1 item carries hvcC + the
+    PADDED ispe; the grid item carries the TRUE ispe), iref 'dimg' ->
+    the coded tile, iloc construction_method 1 -> the grid descriptor
+    bytes inside idat (6.6.2.2: rows/cols_minus_one + output dims),
+    whose output size must equal the grid item's ispe — two
+    independent statements of the true dimensions inside one real
+    file, with libheif's own decode as the third (checked by the
+    operator)."""
+    meta = isobmff_find(data, ["meta"])
+    if len(meta) != 1:
+        raise ValueError("HEIC: expected one meta box")
+
+    def fullbox(name):
+        spans = isobmff_find(data, ["meta", name])
+        if len(spans) != 1:
+            raise ValueError(f"HEIC: {len(spans)} {name} boxes")
+        o, e = spans[0]
+        return data[o] >> 0, data[o:o + 4], data[o + 4:e]  # v, vflags, body
+
+    _, vf, body = fullbox("pitm")
+    if vf[0] != 0:
+        raise ValueError("HEIC: pitm version unsupported")
+    primary_id = int.from_bytes(body[0:2], "big")
+
+    # iinf -> {item_id: item_type}
+    _, vf, body = fullbox("iinf")
+    n_items = int.from_bytes(body[0:2], "big") if vf[0] == 0 else None
+    if n_items is None:
+        raise ValueError("HEIC: iinf version unsupported")
+    items: dict[int, str] = {}
+    o, e = isobmff_find(data, ["meta", "iinf"])[0]
+    for t, bo, be in isobmff_boxes(data, o + 6, e):
+        if t != "infe":
+            raise ValueError(f"HEIC: unexpected {t} in iinf")
+        if data[bo] != 2:
+            raise ValueError("HEIC: infe version unsupported")
+        iid = int.from_bytes(data[bo + 4:bo + 6], "big")
+        items[iid] = data[bo + 8:bo + 12].decode("ascii")
+    if len(items) != n_items:
+        raise ValueError("HEIC: iinf count mismatch")
+    if items.get(primary_id) != "grid":
+        raise ValueError(
+            f"HEIC: primary item is {items.get(primary_id)}, not grid"
+        )
+
+    # iref 'dimg': primary -> coded tiles
+    iref_spans = isobmff_find(data, ["meta", "iref"])
+    if len(iref_spans) != 1:
+        raise ValueError("HEIC: expected one iref")
+    o, e = iref_spans[0]
+    if data[o] != 0:
+        raise ValueError("HEIC: iref version unsupported (32-bit ids)")
+    dimg: list[int] = []
+    for t, bo, be in isobmff_boxes(data, o + 4, e):
+        if t != "dimg":
+            raise ValueError(f"HEIC: unexpected reference type {t}")
+        frm = int.from_bytes(data[bo:bo + 2], "big")
+        cnt = int.from_bytes(data[bo + 2:bo + 4], "big")
+        if frm != primary_id:
+            raise ValueError("HEIC: dimg not from the primary item")
+        dimg = [
+            int.from_bytes(data[bo + 4 + 2 * k:bo + 6 + 2 * k], "big")
+            for k in range(cnt)
+        ]
+    if not dimg:
+        raise ValueError("HEIC: no dimg reference")
+
+    # ipco ordered property list (1-based indices for ipma)
+    o, e = isobmff_find(data, ["meta", "iprp", "ipco"])[0]
+    props = [(t, bo, be) for t, bo, be in isobmff_boxes(data, o, e)]
+
+    # ipma -> {item_id: [property indices]}
+    spans = isobmff_find(data, ["meta", "iprp", "ipma"])
+    if len(spans) != 1:
+        raise ValueError("HEIC: expected one ipma")
+    o, e = spans[0]
+    version, flags = data[o], data[o + 3]
+    p = o + 4
+    n_entries = int.from_bytes(data[p:p + 4], "big")
+    p += 4
+    assoc: dict[int, list[int]] = {}
+    for _ in range(n_entries):
+        if version < 1:
+            iid = int.from_bytes(data[p:p + 2], "big")
+            p += 2
+        else:
+            iid = int.from_bytes(data[p:p + 4], "big")
+            p += 4
+        cnt = data[p]
+        p += 1
+        idxs = []
+        for _ in range(cnt):
+            if flags & 1:
+                idxs.append(int.from_bytes(data[p:p + 2], "big") & 0x7FFF)
+                p += 2
+            else:
+                idxs.append(data[p] & 0x7F)
+                p += 1
+        assoc[iid] = idxs
+
+    def ispe_of(iid: int) -> tuple[int, int]:
+        for idx in assoc.get(iid, []):
+            t, bo, be = props[idx - 1]
+            if t == "ispe":
+                return (
+                    int.from_bytes(data[bo + 4:bo + 8], "big"),
+                    int.from_bytes(data[bo + 8:bo + 12], "big"),
+                )
+        raise ValueError(f"HEIC: item {iid} has no ispe")
+
+    if len(dimg) != 1 or items.get(dimg[0]) != "hvc1":
+        raise ValueError("HEIC: expected a single hvc1 tile")
+    coded_id = dimg[0]
+    if not any(
+        props[idx - 1][0] == "hvcC" for idx in assoc.get(coded_id, [])
+    ):
+        raise ValueError("HEIC: coded item lacks hvcC via ipma")
+
+    # grid descriptor from idat via iloc construction_method 1
+    idat_spans = isobmff_find(data, ["meta", "idat"])
+    if len(idat_spans) != 1:
+        raise ValueError("HEIC: expected one idat")
+    io, ie = idat_spans[0]
+    spans = isobmff_find(data, ["meta", "iloc"])
+    o, e = spans[0]
+    version = data[o]
+    p = o + 4
+    sizes = data[p]
+    offset_size, length_size = sizes >> 4, sizes & 15
+    sizes2 = data[p + 1]
+    base_offset_size = sizes2 >> 4
+    index_size = sizes2 & 15 if version in (1, 2) else 0
+    p += 2
+    item_count = int.from_bytes(data[p:p + 2], "big")
+    p += 2
+    grid_extent = None
+    for _ in range(item_count):
+        iid = int.from_bytes(data[p:p + 2], "big")
+        p += 2
+        method = 0
+        if version in (1, 2):
+            method = int.from_bytes(data[p:p + 2], "big") & 15
+            p += 2
+        p += 2  # data_reference_index
+        base = int.from_bytes(data[p:p + base_offset_size], "big")
+        p += base_offset_size
+        n_ext = int.from_bytes(data[p:p + 2], "big")
+        p += 2
+        for _ in range(n_ext):
+            p += index_size
+            off = int.from_bytes(data[p:p + offset_size], "big")
+            p += offset_size
+            ln = int.from_bytes(data[p:p + length_size], "big")
+            p += length_size
+            if iid == primary_id:
+                if method != 1:
+                    raise ValueError(
+                        "HEIC: grid item not idat-constructed"
+                    )
+                grid_extent = (base + off, ln)
+    if grid_extent is None:
+        raise ValueError("HEIC: no iloc extent for the grid item")
+    go, gl = grid_extent
+    gd = data[io + go:io + go + gl]
+    if len(gd) < 8 or gd[0] != 0:
+        raise ValueError("HEIC: bad ImageGrid descriptor")
+    fl = ((gd[1] & 1) + 1) * 2  # FieldLength bytes
+    rows = gd[2] + 1
+    cols = gd[3] + 1
+    out_w = int.from_bytes(gd[4:4 + fl], "big")
+    out_h = int.from_bytes(gd[4 + fl:4 + 2 * fl], "big")
+    true_w, true_h = ispe_of(primary_id)
+    if (out_w, out_h) != (true_w, true_h):
+        raise ValueError(
+            f"HEIC: grid output {out_w}x{out_h} != derived ispe "
+            f"{true_w}x{true_h}"
+        )
+    coded_w, coded_h = ispe_of(coded_id)
+    return {
+        "n_items": n_items,
+        "primary_id": primary_id,
+        "coded_id": coded_id,
+        "grid_rows": rows,
+        "grid_cols": cols,
+        "width": true_w,
+        "height": true_h,
+        "coded_w": coded_w,
+        "coded_h": coded_h,
+    }
+
+
 def parse_hvcc(cfg: bytes) -> dict:
     """HEVCDecoderConfigurationRecord (14496-15 8.3.3.1): the general
     PTL mirror fields plus the parameter-set NAL arrays."""

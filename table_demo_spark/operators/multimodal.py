@@ -3541,6 +3541,124 @@ def avif_quant_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- sub-64 HEIC derived-item (grid) resolution (m56, r14) -------------------
+
+_M56_SALT_H = "#m56h"
+_M56_SALT_P = "#m56p"
+_M56_MAX_BYTES = 62 * 62 + 2 * 31 * 31
+
+
+def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
+    """Per document: draw SUB-64 dims (24..62 even — libheif stores
+    these as a PADDED 64x64 hvc1 item plus a 'grid' derived item
+    carrying the true size, the m49 declared extension) and a QP in
+    12..20; fill margin-box planes (Y [90,160], C [114,142] — lossy
+    output then stays inside the r13 in-gamut box, making libheif's
+    grid-derivation colour pipeline value-exact, probed); encode via
+    libheif/x265 under the constrained pin; resolve the derived-item
+    chain FROM SPEC (codecs.heic_resolve_grid: pitm -> ipma property
+    association -> iref dimg -> iloc/idat grid descriptor, whose
+    output size must equal the derived ispe); decode the padded coded
+    item with the from-spec decoder and compare bit-exact against
+    direct libde265; crop per the 1x1-grid rule (ISO 23008-12
+    6.6.2.3, top-left) and compare bit-exact against libheif's OWN
+    grid-derived decode — three independent statements of the crop
+    semantics on every row."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif, hevc
+    from table_demo_spark.operators.codecs import heic_resolve_grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M56_SALT_H)
+                w = 2 * (12 + hdr[0] % 20)
+                h = 2 * (12 + hdr[1] % 20)
+                qp = 12 + hdr[2] % 9
+                cw, ch = w // 2, h // 2
+                yn, cn = w * h, cw * ch
+                total = yn + 2 * cn
+                raw = np.frombuffer(
+                    _md5_stream(
+                        str(doc_id), (total + 15) // 16, _M56_SALT_P
+                    ),
+                    np.uint8,
+                )[:total].astype(np.int64)
+                y = (90 + raw[:yn] % 71).astype(np.uint8).reshape(h, w)
+                cb = (
+                    (114 + raw[yn:yn + cn] % 29)
+                    .astype(np.uint8).reshape(ch, cw)
+                )
+                cr = (
+                    (114 + raw[yn + cn:] % 29)
+                    .astype(np.uint8).reshape(ch, cw)
+                )
+                params = hevc.X265_CONSTRAINED + (
+                    ("x265:ctu", "16"), ("x265:qp", str(qp)),
+                )
+                data = heif.encode_heif(
+                    y, cb, cr, heif.COMPRESSION_HEVC, params,
+                    lossless=False,
+                )
+                st = heic_resolve_grid(data)
+                gy, gcb, gcr, dst = hevc.decode_heic_from_spec(data)
+                ry, rcb, rcr = hevc.decode_hevc_libde265(
+                    hevc.heic_nal_units(data)
+                )
+                pad_exact = int(
+                    all(
+                        a.shape == b.shape and bool((a == b).all())
+                        for a, b in zip((gy, gcb, gcr), (ry, rcb, rcr))
+                    )
+                )
+                crop = (
+                    gy[:h, :w], gcb[:ch, :cw], gcr[:ch, :cw]
+                )
+                lh = heif.decode_heif(data)
+                crop_exact = int(
+                    all(
+                        a.shape == b.shape and bool((a == b).all())
+                        for a, b in zip(crop, lh)
+                    )
+                )
+                rows.append(
+                    (
+                        int(doc_id), w, h, qp, int(dst["slice_qp"]),
+                        int(st["n_items"]),
+                        int(st["grid_rows"]), int(st["grid_cols"]),
+                        int(st["coded_w"]), int(st["coded_h"]),
+                        pad_exact, crop_exact,
+                        int(y.astype(np.int64).sum()),
+                        int(
+                            cb.astype(np.int64).sum()
+                            + cr.astype(np.int64).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "qp", "slice_qp",
+                    "n_items", "grid_rows", "grid_cols",
+                    "coded_w", "coded_h", "pad_exact", "crop_exact",
+                    "src_sum_y", "src_sum_c",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, qp long, "
+            "slice_qp long, n_items long, grid_rows long, "
+            "grid_cols long, coded_w long, coded_h long, "
+            "pad_exact long, crop_exact long, src_sum_y long, "
+            "src_sum_c long"
+        ),
+    )
+
+
 # -- H.264 inter prediction fixture (m46, r13) -------------------------------
 
 _MC_SALT = "#mc"

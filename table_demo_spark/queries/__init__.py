@@ -103,6 +103,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m54_avif_quant_layer",
     "llm_m55_hevc_deblock_decode",
     "stream_q45_hevc_ingest",
+    "llm_m56_heic_grid_crop",
 )
 
 

@@ -8876,6 +8876,93 @@ ORDER BY doc_id
 """
 
 
+def m56_heic_grid_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-64 HEIC derived-item resolution (the m49 declared
+    extension point, closed): libheif stores sub-64 pictures as a
+    PADDED 64x64 hvc1 item plus a primary 'grid' derived item, and
+    this query resolves the full chain from spec — pitm, ipma
+    property association (which ispe belongs to which item), iref
+    dimg, iloc construction_method 1 into idat, the ImageGrid
+    descriptor whose output size must equal the derived item's ispe
+    — then decodes the padded coded item with the from-spec HEVC
+    decoder (bit-exact vs direct libde265) and applies the 1x1-grid
+    top-left crop (bit-exact vs libheif's OWN grid-derived decode;
+    margin-box fixtures keep the lossy output inside the r13
+    in-gamut box so libheif's colour pipeline is value-exact —
+    probed, documented in the operator).  Three independent
+    statements of the true dimensions (grid descriptor, derived
+    ispe, libheif's decode) and two independent decoders sit on
+    every row's value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.heic_grid_crop_stats(docs).orderBy("doc_id")
+
+
+def _m56_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _M56_MAX_BYTES,
+        _M56_SALT_H,
+        _M56_SALT_P,
+    )
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M56_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    max_blocks = (_M56_MAX_BYTES + 15) // 16
+    return f"""
+WITH geo AS MATERIALIZED (
+  SELECT doc_id, w, h, q, w * h AS yn,
+         w * h + 2 * ((w // 2) * (h // 2)) AS B
+  FROM (
+    SELECT doc_id,
+           2 * (12 + ({hbyte(0)} % 20)) AS w,
+           2 * (12 + ({hbyte(1)} % 20)) AS h,
+           12 + {hbyte(2)} % 9 AS q
+    FROM documents
+  )
+),
+blocks AS MATERIALIZED (
+  SELECT g.doc_id, k.k, g.yn, g.B,
+         md5(CAST(g.doc_id AS VARCHAR) || '{_M56_SALT_P}'
+             || CAST(k.k AS VARCHAR)) AS hx
+  FROM geo g CROSS JOIN range({max_blocks}) k(k)
+  WHERE k.k * 16 < g.B
+),
+px AS (
+  SELECT b.doc_id, 16 * b.k + j.j AS i, b.yn,
+         CAST('0x' || substring(b.hx, CAST(2 * j.j + 1 AS INT), 2)
+           AS BIGINT) AS v
+  FROM blocks b CROSS JOIN range(16) j(j)
+  WHERE 16 * b.k + j.j < b.B
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i < yn THEN 90 + v % 71 END)
+           AS BIGINT) AS src_sum_y,
+         CAST(sum(CASE WHEN i >= yn THEN 114 + v % 29 END)
+           AS BIGINT) AS src_sum_c
+  FROM px GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.w AS BIGINT) AS width,
+       CAST(g.h AS BIGINT) AS height,
+       CAST(g.q AS BIGINT) AS qp,
+       CAST(g.q - 3 AS BIGINT) AS slice_qp,
+       CAST(2 AS BIGINT) AS n_items,
+       CAST(1 AS BIGINT) AS grid_rows,
+       CAST(1 AS BIGINT) AS grid_cols,
+       CAST(64 AS BIGINT) AS coded_w,
+       CAST(64 AS BIGINT) AS coded_h,
+       CAST(1 AS BIGINT) AS pad_exact,
+       CAST(1 AS BIGINT) AS crop_exact,
+       a.src_sum_y, a.src_sum_c
+FROM geo g JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -11254,6 +11341,7 @@ QUERIES: list[Query] = [
         m55_hevc_deblock_decode,
         _hevc_slice_oracle("#m55h", "#m55p"),
     ),
+    Query("llm_m56_heic_grid_crop", m56_heic_grid_crop, _m56_oracle()),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),
     Query("llm_m54_avif_quant_layer", m54_avif_quant_layer, _m54_oracle()),

@@ -278,3 +278,71 @@ def test_hevc_no_deblock_streams_still_reject_by_default():
     data = hevc.encode_heic_constrained(y, c, c, 30, deblock=True)
     with pytest.raises(ValueError, match="deblocking"):
         hevc.decode_heic_from_spec(data)
+
+
+def test_heic_grid_resolution_and_dual_decoder_crop():
+    """m56: sub-64 HEIC derived-item chain — grid descriptor ==
+    derived ispe == libheif's decoded shape; padded decode bit-exact
+    vs libde265; 1x1-grid top-left crop bit-exact vs libheif's own
+    grid-derived decode (margin-box fixtures keep lossy output inside
+    the r13 gamut box — asserted, not assumed)."""
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import heic_resolve_grid
+
+    rng = np.random.RandomState(5)
+    for (w, h, qp) in ((40, 24, 12), (56, 40, 17), (24, 56, 20)):
+        y = (90 + rng.randint(0, 71, (h, w))).astype(np.uint8)
+        cb = (114 + rng.randint(0, 29, (h // 2, w // 2))).astype(np.uint8)
+        cr = (114 + rng.randint(0, 29, (h // 2, w // 2))).astype(np.uint8)
+        params = hevc.X265_CONSTRAINED + (
+            ("x265:ctu", "16"), ("x265:qp", str(qp)),
+        )
+        data = heif.encode_heif(
+            y, cb, cr, heif.COMPRESSION_HEVC, params, lossless=False
+        )
+        st = heic_resolve_grid(data)
+        assert (st["width"], st["height"]) == (w, h)
+        assert st["n_items"] == 2 and st["coded_w"] == 64
+        got = hevc.decode_heic_from_spec(data)
+        want = hevc.decode_hevc_libde265(hevc.heic_nal_units(data))
+        _assert_exact(want, got[:3])
+        crop = (
+            got[0][:h, :w], got[1][:h // 2, :w // 2],
+            got[2][:h // 2, :w // 2],
+        )
+        assert crop[0].min() >= 70 and crop[0].max() <= 180  # in box
+        lh = heif.decode_heif(data)
+        _assert_exact(lh, crop)
+
+
+def test_heic_grid_walk_negatives():
+    """>=64 stills are single-item (primary hvc1, no grid) and must
+    be rejected; a doctored grid descriptor whose output size
+    contradicts the derived ispe must fail the triangulation."""
+    from table_demo_spark.operators import heif
+    from table_demo_spark.operators.codecs import (
+        heic_resolve_grid,
+        isobmff_find,
+    )
+
+    y = np.full((64, 64), 100, np.uint8)
+    c = np.full((32, 32), 128, np.uint8)
+    data = hevc.encode_heic_constrained(y, c, c, 30)
+    with pytest.raises(ValueError):
+        heic_resolve_grid(data)
+
+    y = np.full((40, 24), 100, np.uint8).T  # 24x40? keep simple:
+    y = np.full((24, 40), 100, np.uint8)
+    cb = np.full((12, 20), 120, np.uint8)
+    cr = np.full((12, 20), 130, np.uint8)
+    params = hevc.X265_CONSTRAINED + (("x265:ctu", "16"), ("x265:qp", "30"))
+    data = bytearray(
+        heif.encode_heif(
+            y, cb, cr, heif.COMPRESSION_HEVC, params, lossless=False
+        )
+    )
+    (io, ie), = isobmff_find(bytes(data), ["meta", "idat"])
+    # ImageGrid: version, flags, rows-1, cols-1, out_w u16, out_h u16
+    data[io + 4:io + 6] = (39).to_bytes(2, "big")  # out_w 40 -> 39
+    with pytest.raises(ValueError, match="grid output"):
+        heic_resolve_grid(bytes(data))
