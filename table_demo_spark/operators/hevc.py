@@ -70,6 +70,8 @@ HEVC_CTX_INIT = {
         (107, 139, 126),
     ),
     "part_mode": ((184,), (154, 139, 154, 154), (154, 139, 154, 154)),
+    "sao_merge_flag": ((153,), (153,), (153,)),
+    "sao_type_idx": ((200,), (185,), (160,)),
     "prev_intra_luma_pred_flag": ((184,), (154,), (183,)),
     "intra_chroma_pred_mode": ((63,), (152,), (152,)),
     "split_transform_flag": (
@@ -347,11 +349,10 @@ def parse_hevc_slice_header(
         br.bits(1)
     if nal_type == 21:  # CRA carries POC + RPS
         raise ValueError("HEVC: CRA slice headers unsupported")
+    hdr["sao_luma"] = hdr["sao_chroma"] = 0
     if sps["sao_enabled"]:
         hdr["sao_luma"] = br.bits(1)
         hdr["sao_chroma"] = br.bits(1)
-        if hdr["sao_luma"] or hdr["sao_chroma"]:
-            raise ValueError("HEVC: SAO-filtered slices unsupported")
     hdr["slice_qp"] = pps["init_qp"] + _expgolomb_se(br)
     hdr["cb_qp_offset"] = pps["cb_qp_offset"]
     hdr["cr_qp_offset"] = pps["cr_qp_offset"]
@@ -370,10 +371,11 @@ def parse_hevc_slice_header(
     hdr["deblock_disabled"] = deblock_disabled
     hdr["beta_offset"] = beta_off
     hdr["tc_offset"] = tc_off
-    if pps["loop_filter_across_slices"] and not deblock_disabled:
+    if pps["loop_filter_across_slices"] and (
+        hdr["sao_luma"] or hdr["sao_chroma"] or not deblock_disabled
+    ):
         # slice_loop_filter_across_slices_enabled_flag is present iff
-        # any in-loop filter is active for this slice (SAO is always
-        # off in our streams, so deblocking alone gates it)
+        # any in-loop filter is active for this slice
         br.bits(1)
     if pps["entropy_coding_sync"]:
         n = _expgolomb_ue(br)  # num_entry_point_offsets
@@ -577,19 +579,145 @@ class HevcIntraSliceDecoder:
         # so TB edges are exactly the bS=2 edge set of 8.7.2.
         self.tu_rects_y: list[tuple[int, int, int]] = []
         self.tu_rects_c: list[tuple[int, int, int]] = []
+        # SAO: slice-level flags + per-CTB parameter grid
+        self.sao_luma = hdr.get("sao_luma", 0)
+        self.sao_chroma = hdr.get("sao_chroma", 0)
+        self.sao_params: dict[tuple[int, int], list[dict]] = {}
+
+    # -- sao() syntax (7.3.8.3) ----------------------------------------------
+
+    def _sao_syntax(self, dec, ctx, rx: int, ry: int) -> None:
+        if rx > 0 and dec.decision(ctx.get("sao_merge_flag", 0)):
+            self.sao_params[(rx, ry)] = self.sao_params[(rx - 1, ry)]
+            return
+        if ry > 0 and dec.decision(ctx.get("sao_merge_flag", 0)):
+            self.sao_params[(rx, ry)] = self.sao_params[(rx, ry - 1)]
+            return
+        params = [
+            {"type": 0, "offsets": (0, 0, 0, 0), "band_pos": 0, "eo": 0}
+            for _ in range(3)
+        ]
+        for c_idx in range(3):
+            if c_idx == 0 and not self.sao_luma:
+                continue
+            if c_idx > 0 and not self.sao_chroma:
+                continue
+            if c_idx == 0 or c_idx == 1:
+                # sao_type_idx_luma / _chroma: TR cMax 2, first bin
+                # context-coded, second bypass
+                if not dec.decision(ctx.get("sao_type_idx", 0)):
+                    t = 0
+                else:
+                    t = 2 if dec.bypass() else 1
+            else:
+                t = params[1]["type"]  # chroma shares the type
+            params[c_idx]["type"] = t
+            if t == 0:
+                continue
+            offs = []
+            for _ in range(4):  # TR cMax 7, bypass
+                v = 0
+                while v < 7 and dec.bypass():
+                    v += 1
+                offs.append(v)
+            if t == 1:  # band: explicit signs + band position
+                signed = []
+                for v in offs:
+                    if v and dec.bypass():
+                        v = -v
+                    signed.append(v)
+                params[c_idx]["offsets"] = tuple(signed)
+                params[c_idx]["band_pos"] = sum(
+                    dec.bypass() << (4 - k) for k in range(5)
+                )
+            else:  # edge: categories 1,2 positive; 3,4 negative
+                params[c_idx]["offsets"] = (
+                    offs[0], offs[1], -offs[2], -offs[3]
+                )
+                if c_idx == 0 or c_idx == 1:
+                    eo = (dec.bypass() << 1) | dec.bypass()
+                    params[c_idx]["eo"] = eo
+                else:
+                    params[c_idx]["eo"] = params[1]["eo"]
+        self.sao_params[(rx, ry)] = params
+
+    def apply_sao(self) -> None:
+        """8.7.3: offsets over the (deblocked) reconstruction.  Edge
+        comparisons read the INPUT picture (a frozen copy), writes go
+        to the live planes; picture-boundary samples whose needed
+        neighbour is outside are left unmodified."""
+        eo_nbrs = {
+            0: ((0, -1), (0, 1)),
+            1: ((-1, 0), (1, 0)),
+            2: ((-1, -1), (1, 1)),
+            3: ((-1, 1), (1, -1)),
+        }
+        ctb = 1 << self.log2_ctb
+        planes = (self.y, self.cb, self.cr)
+        srcs = tuple(p.copy() for p in planes)
+        for (rx, ry), params in self.sao_params.items():
+            for c_idx in range(3):
+                t = params[c_idx]["type"]
+                if t == 0:
+                    continue
+                plane, src = planes[c_idx], srcs[c_idx]
+                shift = 0 if c_idx == 0 else 1
+                size = ctb >> shift
+                x0, y0 = rx * size, ry * size
+                ph, pw = plane.shape
+                x1, y1 = min(x0 + size, pw), min(y0 + size, ph)
+                offs = params[c_idx]["offsets"]
+                if t == 1:
+                    pos = params[c_idx]["band_pos"]
+                    blk = src[y0:y1, x0:x1]
+                    band = blk >> 3
+                    out = blk.copy()
+                    for k in range(4):
+                        out = np.where(
+                            band == (pos + k) & 31, out + offs[k], out
+                        )
+                    plane[y0:y1, x0:x1] = np.clip(out, 0, 255)
+                else:
+                    (dy0, dx0), (dy1, dx1) = eo_nbrs[params[c_idx]["eo"]]
+                    for yy in range(y0, y1):
+                        for xx in range(x0, x1):
+                            ny0, nx0 = yy + dy0, xx + dx0
+                            ny1, nx1 = yy + dy1, xx + dx1
+                            if not (
+                                0 <= ny0 < ph and 0 <= nx0 < pw
+                                and 0 <= ny1 < ph and 0 <= nx1 < pw
+                            ):
+                                continue
+                            p = int(src[yy, xx])
+                            n0 = int(src[ny0, nx0])
+                            n1 = int(src[ny1, nx1])
+                            e = 2
+                            e += (p > n0) - (p < n0)
+                            e += (p > n1) - (p < n1)
+                            # remap raw 0..4 -> category
+                            cat = (1, 2, 0, 3, 4)[e]
+                            if cat:
+                                plane[yy, xx] = _clip3(
+                                    0, 255, p + offs[cat - 1]
+                                )
 
     # -- CABAC syntax layer -------------------------------------------------
 
     def decode(self, dec: _CabacDecoder, ctx: _Ctx) -> None:
         """slice_segment_data (7.3.8.1): CTUs in raster order, each
-        followed by end_of_slice_segment_flag."""
+        followed by end_of_slice_segment_flag.  When the slice
+        signals SAO, each CTU starts with the sao() syntax
+        (7.3.8.3)."""
         ctb = 1 << self.log2_ctb
         n_ctb_x = (self.w + ctb - 1) >> self.log2_ctb
         n_ctb_y = (self.h + ctb - 1) >> self.log2_ctb
         n = n_ctb_x * n_ctb_y
         for addr in range(n):
-            x0 = (addr % n_ctb_x) << self.log2_ctb
-            y0 = (addr // n_ctb_x) << self.log2_ctb
+            rx, ry = addr % n_ctb_x, addr // n_ctb_x
+            x0 = rx << self.log2_ctb
+            y0 = ry << self.log2_ctb
+            if self.sao_luma or self.sao_chroma:
+                self._sao_syntax(dec, ctx, rx, ry)
             self._coding_quadtree(dec, ctx, x0, y0, self.log2_ctb, 0)
             end = dec.terminate()
             if (addr == n - 1) != bool(end):
@@ -1359,7 +1487,8 @@ def hevc_deblock(
 
 
 def decode_hevc_islice(
-    nal: bytes, sps: dict, pps: dict, allow_deblock: bool = False
+    nal: bytes, sps: dict, pps: dict, allow_deblock: bool = False,
+    allow_sao: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Decode one IRAP I-slice NAL to (y, cb, cr, stats)."""
     hdr, br = parse_hevc_slice_header(nal, sps, pps)
@@ -1367,6 +1496,8 @@ def decode_hevc_islice(
         raise ValueError(
             "HEVC: deblocking must be disabled (x265:no-deblock)"
         )
+    if (hdr["sao_luma"] or hdr["sao_chroma"]) and not allow_sao:
+        raise ValueError("HEVC: SAO-filtered slices unsupported")
     dec = _CabacDecoder(br)
     ctx = _Ctx(hdr["slice_qp"])
     d = HevcIntraSliceDecoder(sps, pps, hdr)
@@ -1377,19 +1508,29 @@ def decode_hevc_islice(
             hdr["slice_qp"], hdr["cb_qp_offset"], hdr["cr_qp_offset"],
             hdr["beta_offset"], hdr["tc_offset"],
         )
+    if hdr["sao_luma"] or hdr["sao_chroma"]:
+        d.apply_sao()
     stats = {
         "slice_qp": hdr["slice_qp"],
         "n_cu": d.n_cu,
         "n_tu": d.n_tu,
         "n_coeff": d.n_coeff,
         "deblocked": int(hdr["deblock_disabled"] == 0),
+        "sao": int(bool(hdr["sao_luma"] or hdr["sao_chroma"])),
+        "n_sao_ctbs": sum(
+            1
+            for prm in d.sao_params.values()
+            if any(p["type"] for p in prm)
+        ),
     }
     return d.y.astype(np.uint8), d.cb.astype(np.uint8), d.cr.astype(
         np.uint8
     ), stats
 
 
-def decode_heic_from_spec(container: bytes, allow_deblock: bool = False):
+def decode_heic_from_spec(
+    container: bytes, allow_deblock: bool = False, allow_sao: bool = False
+):
     """Walk a HEIC container (hvcC param sets + mdat length-prefixed
     NALs — the m49 structure layer) and decode its single I-slice
     from spec.  Returns (y, cb, cr, stats)."""
@@ -1425,7 +1566,7 @@ def decode_heic_from_spec(container: bytes, allow_deblock: bool = False):
             raise ValueError(f"HEIC: unexpected NAL type {t} in mdat")
     if len(slices) != 1:
         raise ValueError(f"HEIC: {len(slices)} slice NALs")
-    return decode_hevc_islice(slices[0], sps, pps, allow_deblock)
+    return decode_hevc_islice(slices[0], sps, pps, allow_deblock, allow_sao)
 
 
 def heic_nal_units(container: bytes) -> list[bytes]:

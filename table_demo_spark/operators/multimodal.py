@@ -3659,6 +3659,105 @@ def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- HEVC SAO + deblock full in-loop chain (m57, r14) ------------------------
+
+_M57_SALT_H = "#m57h"
+
+
+def hevc_sao_decode_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a sinusoid-plus-planted-hard-edges fixture (the
+    content shape that makes x265's RD actually pick nonzero SAO
+    params — probed: ~3/4 of docs carry band or edge offsets at the
+    drawn QPs) encoded at preset MEDIUM with BOTH in-loop filters
+    signalled (SAO + deblocking; signhide/aq/strong-smoothing/wpp
+    still pinned off — medium's sign-data-hiding was the r14 decoy
+    desync), decoded by the from-spec chain (reconstruction -> 8.7.2
+    deblock -> 8.7.3 SAO: per-CTB merge/type/offset CABAC syntax,
+    band and edge application over the deblocked picture) and
+    adjudicated bit-exact per pixel against direct libde265.  The
+    fixture geometry (sinusoid frequencies, planted edge rows, QP)
+    is md5-drawn and restated by the oracle; the sinusoid itself
+    never needs SQL restatement — the adjudication is
+    decoder-vs-decoder over the same real stream."""
+    import numpy as np
+
+    from table_demo_spark.operators import heif, hevc
+
+    params_base = (
+        ("preset", "medium"),
+        ("x265:pools", "none"), ("x265:frame-threads", "1"),
+        ("x265:wpp", "0"), ("x265:sao", "1"),
+        ("x265:min-cu-size", "8"), ("x265:tu-intra-depth", "2"),
+        ("x265:signhide", "0"), ("x265:aq-mode", "0"),
+        ("x265:strong-intra-smoothing", "0"), ("x265:ctu", "16"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M57_SALT_H)
+                qp = 18 + hdr[2] % 10
+                fx, fy = 3 + hdr[3] % 5, 3 + hdr[4] % 5
+                r0, c0 = hdr[5] % 48, hdr[6] % 48
+                gy, gx = np.mgrid[0:64, 0:64].astype(float)
+                y = (
+                    128 + 80 * np.sin(gx / fx) * np.cos(gy / fy)
+                ).clip(0, 255).astype(np.uint8)
+                y[r0:r0 + 4, :] = 250
+                y[:, c0:c0 + 4] = 5
+                cb = (
+                    128 + 40 * np.sin(gx[:32, :32] / fy)
+                ).clip(0, 255).astype(np.uint8)
+                cr = (
+                    128 + 40 * np.cos(gy[:32, :32] / fx)
+                ).clip(0, 255).astype(np.uint8)
+                data = heif.encode_heif(
+                    y, cb, cr, heif.COMPRESSION_HEVC,
+                    params_base + (("x265:qp", str(qp)),),
+                    lossless=False,
+                )
+                gy_, gcb, gcr, st = hevc.decode_heic_from_spec(
+                    data, allow_deblock=True, allow_sao=True
+                )
+                ry, rcb, rcr = hevc.decode_hevc_libde265(
+                    hevc.heic_nal_units(data)
+                )
+                rows.append(
+                    (
+                        int(doc_id), 64, 64, int(qp),
+                        int(st["slice_qp"]),
+                        int(fx), int(fy), int(r0), int(c0),
+                        int(st["deblocked"]), int(st["sao"]),
+                        int(gy_.shape == ry.shape
+                            and bool((gy_ == ry).all())),
+                        int(gcb.shape == rcb.shape
+                            and bool((gcb == rcb).all())),
+                        int(gcr.shape == rcr.shape
+                            and bool((gcr == rcr).all())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "qp", "slice_qp",
+                    "fx", "fy", "edge_row", "edge_col",
+                    "deblocked", "sao",
+                    "exact_y", "exact_cb", "exact_cr",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, qp long, "
+            "slice_qp long, fx long, fy long, edge_row long, "
+            "edge_col long, deblocked long, sao long, exact_y long, "
+            "exact_cb long, exact_cr long"
+        ),
+    )
+
+
 # -- H.264 inter prediction fixture (m46, r13) -------------------------------
 
 _MC_SALT = "#mc"

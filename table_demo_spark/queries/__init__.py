@@ -104,6 +104,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "llm_m55_hevc_deblock_decode",
     "stream_q45_hevc_ingest",
     "llm_m56_heic_grid_crop",
+    "llm_m57_hevc_sao_decode",
 )
 
 

@@ -8963,6 +8963,54 @@ ORDER BY doc_id
 """
 
 
+def m57_hevc_sao_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE HEVC in-loop filter chain (m51 -> m55 -> m57):
+    both filters signalled — 8.7.2 deblocking AND 8.7.3 SAO — on
+    preset-medium x265 streams whose content (sinusoids + planted
+    hard edges at md5-drawn positions) makes the encoder's RD
+    actually pick nonzero band/edge SAO params on most documents
+    (probed ~3/4; the per-CTB merge/type/offset CABAC syntax and
+    both application modes sit on the exactness flags either way).
+    SAO context inits (sao_merge 153/153/153, sao_type_idx
+    200/185/160) were .rodata-cross-checked against libx265's
+    (type2,type1,type0)-ordered blocks before trust; preset medium's
+    sign-data-hiding — the feature that first masqueraded as an SAO
+    desync — stays pinned off with the other unsupported tools.
+    Adjudication: bit-exact per pixel against direct libde265 on
+    every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_sao_decode_stats(docs).orderBy("doc_id")
+
+
+def _m57_oracle() -> str:
+    from table_demo_spark.operators.multimodal import _M57_SALT_H
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M57_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       CAST(18 + {hbyte(2)} % 10 AS BIGINT) AS qp,
+       CAST(15 + {hbyte(2)} % 10 AS BIGINT) AS slice_qp,
+       CAST(3 + {hbyte(3)} % 5 AS BIGINT) AS fx,
+       CAST(3 + {hbyte(4)} % 5 AS BIGINT) AS fy,
+       CAST({hbyte(5)} % 48 AS BIGINT) AS edge_row,
+       CAST({hbyte(6)} % 48 AS BIGINT) AS edge_col,
+       CAST(1 AS BIGINT) AS deblocked,
+       CAST(1 AS BIGINT) AS sao,
+       CAST(1 AS BIGINT) AS exact_y,
+       CAST(1 AS BIGINT) AS exact_cb,
+       CAST(1 AS BIGINT) AS exact_cr
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -11342,6 +11390,7 @@ QUERIES: list[Query] = [
         _hevc_slice_oracle("#m55h", "#m55p"),
     ),
     Query("llm_m56_heic_grid_crop", m56_heic_grid_crop, _m56_oracle()),
+    Query("llm_m57_hevc_sao_decode", m57_hevc_sao_decode, _m57_oracle()),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),
     Query("llm_m54_avif_quant_layer", m54_avif_quant_layer, _m54_oracle()),

@@ -346,3 +346,87 @@ def test_heic_grid_walk_negatives():
     data[io + 4:io + 6] = (39).to_bytes(2, "big")  # out_w 40 -> 39
     with pytest.raises(ValueError, match="grid output"):
         heic_resolve_grid(bytes(data))
+
+
+_M57_PARAMS = (
+    ("preset", "medium"),
+    ("x265:pools", "none"), ("x265:frame-threads", "1"),
+    ("x265:wpp", "0"), ("x265:sao", "1"),
+    ("x265:min-cu-size", "8"), ("x265:tu-intra-depth", "2"),
+    ("x265:signhide", "0"), ("x265:aq-mode", "0"),
+    ("x265:strong-intra-smoothing", "0"), ("x265:ctu", "16"),
+)
+
+
+def _m57_fixture(seed):
+    rng = np.random.RandomState(seed)
+    gy, gx = np.mgrid[0:64, 0:64].astype(float)
+    fx, fy = 3 + seed % 5, 4 + seed % 4
+    y = (128 + 80 * np.sin(gx / fx) * np.cos(gy / fy)).clip(0, 255)
+    y = y.astype(np.uint8)
+    r0, c0 = (seed * 13) % 48, (seed * 29) % 48
+    y[r0:r0 + 4, :] = 250
+    y[:, c0:c0 + 4] = 5
+    cb = (128 + 40 * np.sin(gx[:32, :32] / fy)).clip(0, 255).astype(np.uint8)
+    cr = (128 + 40 * np.cos(gy[:32, :32] / fx)).clip(0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+def test_hevc_sao_roundtrip_exact_and_actually_fires():
+    """m57: both in-loop filters on — the from-spec chain (recon ->
+    8.7.2 deblock -> 8.7.3 SAO) must match libde265 bit-for-bit, and
+    across the fixture sweep SAO must genuinely fire (nonzero-type
+    CTBs) so the application path is non-vacuous."""
+    from table_demo_spark.operators import heif
+
+    total_sao = 0
+    for seed, qp in ((1, 20), (2, 22), (3, 25), (7, 19)):
+        y, cb, cr = _m57_fixture(seed)
+        data = heif.encode_heif(
+            y, cb, cr, heif.COMPRESSION_HEVC,
+            _M57_PARAMS + (("x265:qp", str(qp)),), lossless=False,
+        )
+        want = hevc.decode_hevc_libde265(hevc.heic_nal_units(data))
+        got = hevc.decode_heic_from_spec(
+            data, allow_deblock=True, allow_sao=True
+        )
+        assert got[3]["sao"] == 1 and got[3]["deblocked"] == 1
+        _assert_exact(want, got[:3])
+        total_sao += got[3]["n_sao_ctbs"]
+    assert total_sao > 0, "SAO never fired across the sweep"
+
+
+def test_hevc_sao_init_values_match_x265_rodata_block():
+    """The SAO context inits must appear in libx265's .rodata in its
+    (initType2, initType1, initType0) row order, adjacent to the
+    split_transform_flag block — the same extraction discipline as
+    HEVC_CTX_INIT (single-value rows are too short to search alone,
+    so the full neighbourhood is pinned)."""
+    blob = open("/lib/x86_64-linux-gnu/libx265.so.199", "rb").read()
+    st = hevc.HEVC_CTX_INIT["split_transform_flag"]
+    neigh = (
+        bytes(st[2]) + bytes(st[1]) + bytes(st[0])
+        + bytes(
+            [hevc.HEVC_CTX_INIT["sao_type_idx"][2][0],
+             hevc.HEVC_CTX_INIT["sao_type_idx"][1][0],
+             hevc.HEVC_CTX_INIT["sao_type_idx"][0][0]]
+        )
+        + bytes(
+            [hevc.HEVC_CTX_INIT["sao_merge_flag"][2][0],
+             hevc.HEVC_CTX_INIT["sao_merge_flag"][1][0],
+             hevc.HEVC_CTX_INIT["sao_merge_flag"][0][0]]
+        )
+    )
+    assert blob.find(neigh) >= 0
+
+
+def test_hevc_sao_streams_reject_without_opt_in():
+    from table_demo_spark.operators import heif
+
+    y, cb, cr = _m57_fixture(1)
+    data = heif.encode_heif(
+        y, cb, cr, heif.COMPRESSION_HEVC,
+        _M57_PARAMS + (("x265:qp", "20"),), lossless=False,
+    )
+    with pytest.raises(ValueError, match="SAO"):
+        hevc.decode_heic_from_spec(data, allow_deblock=True)

@@ -144,6 +144,7 @@ _PYTHON_ALLOWED = {
     "llm_m55_hevc_deblock_decode",  # MapInPandas (x265 deblock-on encode; from-spec decode+8.7.2)
     "stream_q45_hevc_ingest",  # MapInPandas (the m55 chain per micro-batch)
     "llm_m56_heic_grid_crop",  # MapInPandas (sub-64 HEIC grid resolution + dual-decoder crop)
+    "llm_m57_hevc_sao_decode",  # MapInPandas (x265 SAO+deblock encode; from-spec full in-loop chain)
     "llm_m49_hevc_structure",  # MapInPandas (real x265 HEIC build + from-spec ISOBMFF/SPS walk)
     "llm_m48_heic_pixels",  # MapInPandas (real x265 HEIC encode + libde265 decode via libheif)
 }
