@@ -8518,8 +8518,8 @@ def m49_hevc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash; x265 factually signals Main Still Picture (profile 3)
     at level 8.5 (255), 4:2:0, 8-bit, 3 parameter sets.  Sub-64
     pictures (libheif's padded+cropped derived-item shape) and ipma
-    property-association resolution are the declared extension
-    points."""
+    property-association resolution — formerly the declared extension
+    points — are CLOSED by llm_m56 (codecs.heic_resolve_grid)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.hevc_structure_stats(docs).orderBy("doc_id")
 
