@@ -62,17 +62,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # tail, the color-JPEG/FLAC cohort, s14/s15, t30-t33, q25/q30/q31/
     # q32, d1/d6/d20, src_s10).
     "llm_m6_vad_segments",
-    "an_a64_label_propagation",
     "an_a65_returned_item_reporting",
-    "an_a66_local_supplier_volume",
     "an_a67_volume_shipping",
-    "an_a68_promotion_effect",
     "an_a69_product_profit",
-    "an_a70_shipping_priority",
     "an_a71_order_priority",
-    "an_a72_revenue_forecast",
     "an_a73_shipping_delay",
-    "an_a74_audience_overlap",
     "llm_d1_dedup_exact",
     "llm_d20_semantic_dedup_kmeans",
     "llm_d6_neardup_lsh_gemm",
