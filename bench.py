@@ -218,6 +218,7 @@ HEADLINE = [
     "stream_q40_mixture_ingest",
     "an_a79_listagg_group_by_all",
     "an_a80_variant_explode",
+    "an_a81_measure_unpivot",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_m45_h264_cabac_pixels",

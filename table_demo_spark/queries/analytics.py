@@ -4362,6 +4362,61 @@ FROM (
 """
 
 
+
+def a81_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the wide-to-long relational reshape (the inverse of
+    a20's PIVOT, closing that pair): three integer-exact line-item
+    measures (whole-unit quantity, price in cents, discount in basis
+    points — cents/bps via half-up rounding, exact for 2/4-decimal
+    doubles) unpivot into (measure, val) rows via the native
+    DataFrame ``unpivot`` (Spark 3.4+ UNPIVOT/MELT, JVM-side — no
+    Python in the plan), then aggregate per (returnflag, measure).
+    The oracle is DuckDB's standard-form UNPIVOT; measure labels are
+    the COLUMN NAMES on both engines, so a mislabeled or dropped
+    measure column breaks the hash.  Scale shape: unpivot is a
+    per-row flatMap (3x row multiplier, no shuffle) feeding one
+    partial-then-final aggregation — corpus-linear."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("qty_units"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 10000, 0)
+        .cast("long").alias("disc_bps"),
+    )
+    up = base.unpivot(
+        ["l_returnflag"],
+        ["qty_units", "price_cents", "disc_bps"],
+        "measure", "val",
+    )
+    return (
+        up.groupBy("l_returnflag", "measure")
+        .agg(
+            F.sum("val").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+A81_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS qty_units,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bps
+  FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(sum(val) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM base
+  UNPIVOT (val FOR measure IN (qty_units, price_cents, disc_bps))
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4443,4 +4498,5 @@ QUERIES: list[Query] = [
     Query("an_a78_collated_segments", a78_collated_segments, A78_ORACLE),
     Query("an_a79_listagg_group_by_all", a79_listagg_group_by_all, A79_ORACLE),
     Query("an_a80_variant_explode", a80_variant_explode, A80_ORACLE),
+    Query("an_a81_measure_unpivot", a81_measure_unpivot, A81_ORACLE),
 ]
