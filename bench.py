@@ -219,6 +219,7 @@ HEADLINE = [
     "an_a79_listagg_group_by_all",
     "an_a80_variant_explode",
     "an_a81_measure_unpivot",
+    "an_a82_lateral_topk",
     "an_a77_pipe_syntax_pricing",
     "an_a78_collated_segments",
     "llm_m45_h264_cabac_pixels",

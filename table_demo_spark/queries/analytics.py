@@ -4417,6 +4417,52 @@ GROUP BY l_returnflag, measure
 ORDER BY l_returnflag, measure
 """
 
+
+def a82_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    SQL-standard per-row dependent join (top-2 suppliers per nation
+    by account balance).  The scale story is what Catalyst DOES with
+    it: the lateral subquery is DECORRELATED into one window
+    row_number over the inner table plus a broadcast hash join on the
+    correlation key (plan-verified: no per-outer-row re-execution,
+    no nested loop — at 100 TB the lateral syntax costs exactly one
+    shuffle of the inner side).  Cents-exact money, suppkey
+    tie-break, identical LATERAL SQL on the DuckDB side."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_a82"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_a82"
+    )
+    return spark.sql("""
+        SELECT n.n_name, t.s_name,
+               CAST(round(t.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM nation_a82 n,
+        LATERAL (
+          SELECT s.s_name, s.s_acctbal
+          FROM supplier_a82 s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s.s_acctbal DESC, s.s_suppkey
+          LIMIT 2
+        ) t
+        ORDER BY n.n_name, acctbal_cents DESC, t.s_name
+    """)
+
+
+A82_ORACLE = """
+SELECT n.n_name, t.s_name,
+       CAST(round(t.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM nation n,
+LATERAL (
+  SELECT s.s_name, s.s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s.s_acctbal DESC, s.s_suppkey
+  LIMIT 2
+) t
+ORDER BY n.n_name, acctbal_cents DESC, t.s_name
+"""
+
 QUERIES: list[Query] = [
     Query("an_a1_pricing_summary", a1_pricing_summary, A1_ORACLE),
     Query("an_a2_revenue_by_nation", a2_revenue_by_nation, A2_ORACLE),
@@ -4499,4 +4545,5 @@ QUERIES: list[Query] = [
     Query("an_a79_listagg_group_by_all", a79_listagg_group_by_all, A79_ORACLE),
     Query("an_a80_variant_explode", a80_variant_explode, A80_ORACLE),
     Query("an_a81_measure_unpivot", a81_measure_unpivot, A81_ORACLE),
+    Query("an_a82_lateral_topk", a82_lateral_topk, A82_ORACLE),
 ]

@@ -1112,3 +1112,14 @@ def test_q35_candidate_read_prunes_partitions(spark, tmp_path):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed, plan
     assert "In(bk" in pushed[0].replace(" ", ""), pushed[0]
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """a82's correlated LATERAL-with-LIMIT must decorrelate into a
+    window row_number + broadcast hash join — never a per-outer-row
+    nested loop (the difference between one inner-side shuffle and
+    catastrophe at 100 TB)."""
+    plan = formatted_plan(_query("an_a82_lateral_topk")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "row_number" in plan
