@@ -689,9 +689,18 @@ def decode_avif_sequence(data: bytes, codec_choice: int):
         while True:
             res = a.avifDecoderNextImage(dec)
             if res != 0:
-                if res == 16:  # AVIF_RESULT_NO_IMAGES_REMAINING
-                    break
                 msg = (a.avifResultToString(res) or b"?").decode()
+                # End-of-stream is detected by the library's own
+                # result string, not the bare enum value (r14 ADVICE:
+                # AVIF_RESULT_NO_IMAGES_REMAINING is 16 in 0.11.1, but
+                # enum renumbering across versions would otherwise
+                # misclassify a real error as end-of-stream or vice
+                # versa).  Probed in-container: avifResultToString(16)
+                # == "No images remaining"; upstream later reworded it
+                # to "No content after the images" — accept both.
+                low = msg.lower()
+                if "no images remaining" in low or "no content after" in low:
+                    break
                 raise ValueError(f"avifDecoderNextImage failed: {msg}")
             ptr = ctypes.c_void_p.from_address(
                 dec + _AVIF_DEC_IMAGE_OFF

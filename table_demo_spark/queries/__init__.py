@@ -55,50 +55,55 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # r14 LRU rotation (threshold: last verified <= r7; the rotation
+    # zero-external-evidence pins (r14 verdict #1): the three queries
+    # that landed after the r14 sample was pinned — the only registry
+    # names with no CORRECTNESS_r*.json row.  Close the union to
+    # 300/300.
+    "stream_q44_watermark_eviction",
+    "an_a81_measure_unpivot",
+    "an_a82_lateral_topk",
+    # r15 LRU rotation (threshold: last verified <= r7; the rotation
     # test recomputes this from the committed CORRECTNESS_r*.json
-    # artifacts).  The complete last-verified-r5/r6 cohort (33 names:
-    # llm_m6 at r5, then the whole r6 stratum — the an_a64-a74 TPC-H
-    # tail, the color-JPEG/FLAC cohort, s14/s15, t30-t33, q25/q30/q31/
-    # q32, d1/d6/d20, src_s10).
-    "llm_m6_vad_segments",
-    "an_a65_returned_item_reporting",
-    "an_a67_volume_shipping",
-    "an_a69_product_profit",
-    "an_a71_order_priority",
-    "an_a73_shipping_delay",
-    "llm_d1_dedup_exact",
-    "llm_d20_semantic_dedup_kmeans",
-    "llm_d6_neardup_lsh_gemm",
-    "llm_m15_gif_scene_cuts",
-    "llm_m19_color_jpeg_dc",
-    "llm_m20_color_jpeg_parallel",
-    "llm_m21_flac_pcm",
-    "llm_m22_progressive_jpeg_dc",
-    "llm_m23_image_phash_neardup",
-    "llm_m24_flac_resample",
-    "llm_s14_ivf_kmeans_topk",
-    "llm_s15_hybrid_rrf",
-    "llm_t30_bpe_local_train",
-    "llm_t31_bpe_batched_train",
-    "llm_t32_linear_quality_classifier",
-    "llm_t33_shingle_novelty",
-    "src_s10_binary_file_images",
-    "stream_q25_streaming_neardup",
-    "stream_q30_color_decode",
-    "stream_q31_temporal_enrich",
-    "stream_q32_phash_index_ingest",
-    "llm_p4_curation_pipeline",
-    # r14 new queries land here (no CORRECTNESS row yet ->
+    # artifacts).  30 of the 37 remaining due names, oldest first: the
+    # whole last-verified-r6 stratum (an_a64-a74 evens), then the r7
+    # stratum favouring the stateful streaming queries (they churn
+    # most) — leaves an_a52/a53/a54/a55/a61 + stream_q17/q21 due for
+    # r16, where they are the oldest of all.
+    "an_a64_label_propagation",
+    "an_a66_local_supplier_volume",
+    "an_a68_promotion_effect",
+    "an_a70_shipping_priority",
+    "an_a72_revenue_forecast",
+    "an_a74_audience_overlap",
+    "an_a45_waiting_suppliers",
+    "an_a47_incremental_mv",
+    "an_a48_max_concurrency",
+    "an_a49_custdist",
+    "an_a50_hot_key_join",
+    "llm_d10_paragraph_dedup",
+    "llm_d8_semantic_dedup",
+    "llm_d9_containment_pairs",
+    "llm_m25_flac_lpc",
+    "llm_m26_stereo_flac",
+    "llm_m3_feature_extract",
+    "llm_m4_audio_chunks",
+    "llm_p5_chunk_overlap",
+    "llm_p6_domain_mix",
+    "llm_s4_quantize_int8",
+    "llm_s6_ann_recall",
+    "llm_t7_stopword_scrub",
+    "llm_t9_repetition_signals",
+    # src_* family pin (no src_* is in the due cohort; s7 is the
+    # least-recently-verified at r8)
+    "src_s7_schema_evolution",
+    "stream_q11_csv_gzip_source",
+    "stream_q12_left_outer_join",
+    "stream_q13_sliding_window",
+    "stream_q15_running_totals",
+    "stream_q19_anti_join",
+    "stream_q20_semi_join",
+    # r15 new queries land here (no CORRECTNESS row yet ->
     # oldest-of-all, so they keep the due-count intact).
-    "llm_m51_hevc_slice_decode",
-    "llm_m52_avif_sequence",
-    "llm_m53_h264_bipred_pixels",
-    "llm_m54_avif_quant_layer",
-    "llm_m55_hevc_deblock_decode",
-    "stream_q45_hevc_ingest",
-    "llm_m56_heic_grid_crop",
-    "llm_m57_hevc_sao_decode",
 )
 
 

@@ -2000,19 +2000,32 @@ def q44_watermark_eviction_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_q44_watermark_eviction_audit_semantics; an exact wm ==
 # window-end collision cannot occur on these fixtures (microsecond-
 # noise timestamps — asserted there per shard, not assumed).
-Q44_WATERMARK_EVICTION_ORACLE = """
+# Generated from the runner's own constants (same-constants
+# discipline, r14 ADVICE): shard count, window size, and watermark
+# delay all come from streaming/queries.py — changing any of them
+# re-derives BOTH sides.
+from table_demo_spark.streaming.queries import (  # noqa: E402
+    Q44_DELAY_MS as _Q44_DELAY_MS,
+    Q44_SHARDS as _Q44_SHARDS,
+    Q44_WINDOW_MS as _Q44_WIN_MS,
+)
+
+Q44_WATERMARK_EVICTION_ORACLE = f"""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
          count(*) OVER () AS n
   FROM events
 ),
 sharded AS MATERIALIZED (
-  SELECT ts, CAST((rn - 1) // ((n + 5) // 6) AS BIGINT) AS shard
+  SELECT ts,
+         CAST((rn - 1) // ((n + {_Q44_SHARDS - 1}) // {_Q44_SHARDS})
+              AS BIGINT) AS shard
   FROM ranked
 ),
 wins AS MATERIALIZED (
   SELECT shard,
-         (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS wstart_ms,
+         (epoch_ns(ts) // 1000000) // {_Q44_WIN_MS} * {_Q44_WIN_MS}
+           AS wstart_ms,
          count(*) AS cnt
   FROM sharded GROUP BY 1, 2
 ),
@@ -2020,14 +2033,14 @@ wm AS (
   SELECT v.v,
          coalesce(
            (SELECT max(epoch_ns(s.ts) // 1000000)
-            FROM sharded s WHERE s.shard < v.v) - 4 * 3600000,
+            FROM sharded s WHERE s.shard < v.v) - {_Q44_DELAY_MS},
            -1) AS wm_ms
-  FROM (SELECT unnest(range(0, 6)) AS v) v
+  FROM (SELECT unnest(range(0, {_Q44_SHARDS})) AS v) v
 ),
 state AS (
   SELECT wm.v, w.wstart_ms, sum(w.cnt) AS cnt
   FROM wm JOIN wins w ON w.shard <= wm.v
-  WHERE w.wstart_ms + 3600000 > wm.wm_ms
+  WHERE w.wstart_ms + {_Q44_WIN_MS} > wm.wm_ms
   GROUP BY wm.v, w.wstart_ms
 )
 SELECT v AS version,

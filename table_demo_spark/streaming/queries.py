@@ -4090,8 +4090,14 @@ def ensure_events_time_shards(
     return final
 
 
-Q44_WINDOW = "1 hour"
-Q44_DELAY = "4 hours"
+# Single source of truth for q44: the oracle SQL in
+# queries/streaming.py is GENERATED from these (r14 ADVICE — a
+# hardcoded 6-shard split in the oracle would silently desynchronize
+# if the constant changed).
+Q44_WINDOW_MS = 3600000  # 1 hour
+Q44_DELAY_MS = 4 * 3600000  # 4 hours
+Q44_WINDOW = f"{Q44_WINDOW_MS} milliseconds"
+Q44_DELAY = f"{Q44_DELAY_MS} milliseconds"
 Q44_SHARDS = 6
 
 

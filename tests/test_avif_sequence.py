@@ -108,6 +108,31 @@ def test_still_avif_rejected_by_avis_walk():
         av1_avis_structure(data)
 
 
+def test_end_of_stream_result_string_probed():
+    """decode_avif_sequence's frame loop stops on the library's OWN
+    result string for end-of-stream (r14 ADVICE: never trust the bare
+    enum value — renumbering across versions would misclassify real
+    errors).  Probe that exactly one result code in 0..63 renders as
+    the no-images-remaining string, and that the defaults-fingerprint-
+    guarded build is the one we probed."""
+    import ctypes
+
+    a = ctypes.CDLL("libavif.so.15")
+    a.avifResultToString.restype = ctypes.c_char_p
+    eos = [
+        i
+        for i in range(64)
+        if any(
+            pat in (a.avifResultToString(i) or b"").decode().lower()
+            for pat in ("no images remaining", "no content after")
+        )
+    ]
+    assert len(eos) == 1, eos
+    # 0.11.1 places it at 16; a relocation is fine (the decode loop
+    # matches the string), but log it loudly via the assert payload.
+    assert eos[0] == 16, eos
+
+
 def test_avif_qindex_table_measured_exhaustively():
     """heif.AVIF_QINDEX must equal the in-container libaom
     quantizer->qindex map for EVERY q in 0..63 — measured, never
