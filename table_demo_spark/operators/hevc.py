@@ -135,6 +135,27 @@ HEVC_CTX_INIT = {
         (107, 167, 91, 107, 107, 167),
     ),
     "cu_qp_delta_abs": ((154, 154), (154, 154), (154, 154)),
+    # -- inter elements (llm_m58, P slices) ---------------------------
+    # Spec prints no initType-0 column for these (I slices cannot code
+    # them); the 154 (CNU) placeholders below are what x265's own
+    # .rodata stores in the unused I rows, and the initType-1/2 values
+    # are EXTRACTED-VERIFIED: every (B,P,I) triple appears contiguously
+    # in libx265's init block adjacent to the known intra tables
+    # (tests/test_hevc_decode.py pins the multi-element neighbourhood
+    # byte strings per the r14 single-value-context rule).
+    "cu_skip_flag": (
+        (154, 154, 154),
+        (197, 185, 201),
+        (197, 185, 201),
+    ),
+    "pred_mode_flag": ((154,), (149,), (134,)),
+    "merge_flag": ((154,), (110,), (154,)),
+    "merge_idx": ((154,), (122,), (137,)),
+    "mvp_flag": ((154,), (168,), (168,)),
+    "abs_mvd_greater0": ((154,), (140,), (169,)),
+    "abs_mvd_greater1": ((154,), (198,), (198,)),
+    "ref_idx": ((154, 154), (153, 153), (153, 153)),
+    "rqt_root_cbf": ((154,), (79,), (79,)),
 }
 
 
@@ -231,8 +252,9 @@ def parse_hevc_sps_full(nal: bytes) -> dict:
     if br.bits(1):
         raise ValueError("HEVC: PCM unsupported")
     num_st_rps = _expgolomb_ue(br)
-    _skip_st_ref_pic_sets(br, num_st_rps)
-    if br.bits(1):  # long_term_ref_pics_present_flag
+    out["st_rps"] = _parse_st_ref_pic_sets(br, num_st_rps)
+    out["long_term_ref_pics"] = br.bits(1)
+    if out["long_term_ref_pics"]:
         n = _expgolomb_ue(br)
         for _ in range(n):
             br.bits(out["log2_max_poc_lsb"])
@@ -242,10 +264,14 @@ def parse_hevc_sps_full(nal: bytes) -> dict:
     return out
 
 
-def _skip_st_ref_pic_sets(br: _BitReader, num: int) -> None:
-    """7.3.7 st_ref_pic_set skip walk (first-set form only: x265
-    stills emit 0 or plain delta-coded sets; inter_rps prediction
-    needs the previous sets' sizes, tracked here)."""
+def _parse_st_ref_pic_sets(br: _BitReader, num: int) -> list[dict]:
+    """7.3.7 st_ref_pic_set walk.  Direct (non-inter) sets parse
+    fully into {"neg": [(delta_poc, used), ...], "pos": [...]};
+    inter_rps-predicted sets are size-tracked (the bit walk the SPS
+    needs) and returned as {"inter": True} — a slice that actually
+    REFERENCES one fails loudly downstream (x265 under the m58 pins
+    emits direct sets only, and the still path emits none)."""
+    sets: list[dict] = []
     n_pics = []
     for idx in range(num):
         inter = br.bits(1) if idx else 0
@@ -261,13 +287,40 @@ def _skip_st_ref_pic_sets(br: _BitReader, num: int) -> None:
                 else:
                     total += 1
             n_pics.append(total - 1 if total else 0)
+            sets.append({"inter": True})
         else:
-            neg = _expgolomb_ue(br)
-            pos = _expgolomb_ue(br)
-            for _ in range(neg + pos):
-                _expgolomb_ue(br)
-                br.bits(1)
-            n_pics.append(neg + pos)
+            cur = _parse_direct_st_rps(br)
+            n_pics.append(len(cur["neg"]) + len(cur["pos"]))
+            sets.append(cur)
+    return sets
+
+
+def _parse_direct_st_rps(br: _BitReader) -> dict:
+    """Direct (non-inter) st_ref_pic_set body: delta_poc entries are
+    coded as successive differences — the stored values are the
+    CUMULATIVE POC deltas (DeltaPocS0/S1 of 7.4.8)."""
+    neg = _expgolomb_ue(br)
+    pos = _expgolomb_ue(br)
+    cur: dict = {"neg": [], "pos": []}
+    for lst, n in (("neg", neg), ("pos", pos)):
+        total = 0
+        for _ in range(n):
+            total += _expgolomb_ue(br) + 1
+            used = br.bits(1)
+            cur[lst].append((total, used))
+    return cur
+
+
+def _parse_st_ref_pic_sets_slice(
+    br: _BitReader, sps_sets: list[dict]
+) -> dict:
+    """st_ref_pic_set(num_st_rps) coded inline in a slice header
+    (7.3.6.1): stRpsIdx == num_st_rps, so the inter_rps flag is
+    present iff the SPS carries any sets (x265 under the m58 pins
+    emits zero SPS sets and a direct inline set)."""
+    if sps_sets and br.bits(1):
+        raise ValueError("HEVC: inter-predicted slice RPS unsupported")
+    return _parse_direct_st_rps(br)
 
 
 def parse_hevc_pps(nal: bytes) -> dict:
@@ -286,8 +339,8 @@ def parse_hevc_pps(nal: bytes) -> dict:
         "sign_data_hiding": br.bits(1),
         "cabac_init_present": br.bits(1),
     }
-    _expgolomb_ue(br)
-    _expgolomb_ue(br)
+    out["num_ref_idx_l0_default"] = _expgolomb_ue(br) + 1
+    out["num_ref_idx_l1_default"] = _expgolomb_ue(br) + 1
     out["init_qp"] = 26 + _expgolomb_se(br)
     out["constrained_intra_pred"] = br.bits(1)
     out["transform_skip_enabled"] = br.bits(1)
@@ -297,7 +350,8 @@ def parse_hevc_pps(nal: bytes) -> dict:
     out["cb_qp_offset"] = _expgolomb_se(br)
     out["cr_qp_offset"] = _expgolomb_se(br)
     out["slice_chroma_qp_offsets_present"] = br.bits(1)
-    br.bits(2)  # weighted_pred, weighted_bipred
+    out["weighted_pred"] = br.bits(1)
+    out["weighted_bipred"] = br.bits(1)
     out["transquant_bypass_enabled"] = br.bits(1)
     tiles = br.bits(1)
     out["entropy_coding_sync"] = br.bits(1)
@@ -317,7 +371,7 @@ def parse_hevc_pps(nal: bytes) -> dict:
     if br.bits(1):
         raise ValueError("HEVC: PPS scaling lists unsupported")
     out["lists_modification_present"] = br.bits(1)
-    _expgolomb_ue(br)  # log2_parallel_merge_level_minus2
+    out["log2_parallel_merge_level"] = 2 + _expgolomb_ue(br)
     out["slice_header_extension_present"] = br.bits(1)
     return out
 
@@ -325,34 +379,86 @@ def parse_hevc_pps(nal: bytes) -> dict:
 def parse_hevc_slice_header(
     nal: bytes, sps: dict, pps: dict
 ) -> tuple[dict, _BitReader]:
-    """IRAP I-slice segment header (7.3.6.1); returns the header dict
-    and a _BitReader positioned at the first slice-data byte (the
-    CABAC payload begins byte-aligned after byte_alignment())."""
+    """Slice segment header (7.3.6.1) for IRAP I slices and (since
+    llm_m58) TRAIL P slices; returns the header dict and a
+    _BitReader positioned at the first slice-data byte (the CABAC
+    payload begins byte-aligned after byte_alignment())."""
     nal_type = (nal[0] >> 1) & 0x3F
-    if nal_type not in (19, 20, 21):  # IDR_W_RADL, IDR_N_LP, CRA
-        raise ValueError(f"HEVC: NAL type {nal_type} is not an IRAP slice")
+    if nal_type not in (0, 1, 19, 20, 21):
+        raise ValueError(f"HEVC: unsupported slice NAL type {nal_type}")
+    irap = nal_type >= 16
     rbsp = h264_unescape_rbsp(nal[2:])
     br = _BitReader(rbsp)
     hdr = {"nal_type": nal_type, "first_slice": br.bits(1)}
     if not hdr["first_slice"]:
         raise ValueError("HEVC: multi-slice pictures unsupported")
-    br.bits(1)  # no_output_of_prior_pics_flag (16 <= type <= 23)
+    if irap:
+        br.bits(1)  # no_output_of_prior_pics_flag (16 <= type <= 23)
     hdr["pps_id"] = _expgolomb_ue(br)
     if hdr["pps_id"] != pps["pps_id"]:
         raise ValueError("HEVC: slice references an unknown PPS")
     for _ in range(pps["extra_slice_header_bits"]):
         br.bits(1)
     hdr["slice_type"] = _expgolomb_ue(br)
-    if hdr["slice_type"] != 2:
-        raise ValueError("HEVC: only I slices supported")
+    if hdr["slice_type"] not in (1, 2):
+        raise ValueError("HEVC: only I and P slices supported")
+    if hdr["slice_type"] == 2 and not irap:
+        raise ValueError("HEVC: trailing I slices unsupported")
+    if hdr["slice_type"] == 1 and irap:
+        raise ValueError("HEVC: P slice in an IRAP NAL")
     if pps["output_flag_present"]:
         br.bits(1)
     if nal_type == 21:  # CRA carries POC + RPS
         raise ValueError("HEVC: CRA slice headers unsupported")
+    if not irap:
+        hdr["poc_lsb"] = br.bits(sps["log2_max_poc_lsb"])
+        if br.bits(1):  # short_term_ref_pic_set_sps_flag
+            n_sets = len(sps["st_rps"])
+            if n_sets == 0:
+                raise ValueError("HEVC: RPS index with no SPS sets")
+            bits = (n_sets - 1).bit_length()  # ceil(log2(n_sets))
+            idx = br.bits(bits) if bits else 0
+            rps = sps["st_rps"][idx]
+        else:
+            rps = _parse_st_ref_pic_sets_slice(br, sps["st_rps"])
+        if rps.get("inter"):
+            raise ValueError(
+                "HEVC: inter-predicted ref pic set unsupported"
+            )
+        hdr["rps"] = rps
+        # sps long_term flag was parsed (and its entries rejected are
+        # impossible: parse_hevc_sps_full walks them) — x265 under the
+        # m58 pins never emits long-term pics, and the SPS carries the
+        # flag; slice-level lt entries only exist when it is set.
+        if sps.get("long_term_ref_pics", 0):
+            raise ValueError("HEVC: long-term ref pics unsupported")
+        if sps["temporal_mvp_enabled"]:
+            if br.bits(1):
+                raise ValueError("HEVC: temporal MVP unsupported")
     hdr["sao_luma"] = hdr["sao_chroma"] = 0
     if sps["sao_enabled"]:
         hdr["sao_luma"] = br.bits(1)
         hdr["sao_chroma"] = br.bits(1)
+    hdr["cabac_init_flag"] = 0
+    hdr["max_merge"] = 0
+    hdr["n_ref_l0"] = 0
+    if hdr["slice_type"] == 1:
+        n_l0 = pps["num_ref_idx_l0_default"]
+        if br.bits(1):  # num_ref_idx_active_override_flag
+            n_l0 = _expgolomb_ue(br) + 1
+        hdr["n_ref_l0"] = n_l0
+        used = [d for d, u in hdr["rps"]["neg"] if u] + [
+            d for d, u in hdr["rps"]["pos"] if u
+        ]
+        if pps["lists_modification_present"] and len(used) > 1:
+            raise ValueError("HEVC: ref list modification unsupported")
+        if pps["cabac_init_present"]:
+            hdr["cabac_init_flag"] = br.bits(1)
+        if pps["weighted_pred"]:
+            raise ValueError("HEVC: weighted prediction unsupported")
+        hdr["max_merge"] = 5 - _expgolomb_ue(br)
+        if not 1 <= hdr["max_merge"] <= 5:
+            raise ValueError("HEVC: invalid MaxNumMergeCand")
     hdr["slice_qp"] = pps["init_qp"] + _expgolomb_se(br)
     hdr["cb_qp_offset"] = pps["cb_qp_offset"]
     hdr["cr_qp_offset"] = pps["cr_qp_offset"]
@@ -760,10 +866,15 @@ class HevcIntraSliceDecoder:
             self._coding_unit(dec, ctx, x0, y0, log2_size)
 
     def _coding_unit(self, dec, ctx, x0: int, y0: int, log2_size: int):
-        """7.3.8.5, intra-only arm."""
+        """7.3.8.5, intra-only arm (P slices override and re-enter
+        via _intra_cu for their MODE_INTRA CUs)."""
         self.n_cu += 1
         if self.pps["transquant_bypass_enabled"]:
             raise ValueError("HEVC: transquant bypass unsupported")
+        self._intra_cu(dec, ctx, x0, y0, log2_size)
+
+    def _intra_cu(self, dec, ctx, x0: int, y0: int, log2_size: int):
+        """Intra CU payload: luma/chroma mode syntax + TU tree."""
         part_nxn = 0
         if log2_size == self.log2_min_cb:
             part_nxn = 1 - dec.decision(ctx.get("part_mode", 0))
@@ -1327,6 +1438,729 @@ class HevcIntraSliceDecoder:
                             int(left[0]) + ((int(top[xx]) - int(corner)) >> 1),
                         )
         return pred
+
+
+# -- P slices: inter prediction (llm_m58) ------------------------------------
+#
+# MC interpolation coefficients (8.5.3.3.3.1 luma 8-tap, .2 chroma
+# 4-tap).  EXTRACTED-VERIFIED: the full table bytes appear 11 times
+# across libx265's .rodata (int8 + int16 copies, all agreeing —
+# re-searched in tests/test_hevc_decode.py); libde265 derives its
+# copies at build time, so the end-to-end bit-exact adjudication is
+# the second independent check there.
+
+HEVC_LUMA_FILTER = {
+    1: (-1, 4, -10, 58, 17, -5, 1, 0),
+    2: (-1, 4, -11, 40, 40, -11, 4, -1),
+    3: (0, 1, -5, 17, 58, -10, 4, -1),
+}
+HEVC_CHROMA_FILTER = {
+    1: (-2, 58, 10, -2),
+    2: (-4, 54, 16, -2),
+    3: (-6, 46, 28, -4),
+    4: (-4, 36, 36, -4),
+    5: (-4, 28, 46, -6),
+    6: (-2, 16, 54, -4),
+    7: (-2, 10, 58, -2),
+}
+
+
+def _eg_bypass(dec, k: int) -> int:
+    """9.3.3.3 k-th order Exp-Golomb bypass decode (abs_mvd_minus2
+    uses k=1)."""
+    value = 0
+    while dec.bypass():
+        value += 1 << k
+        k += 1
+        if k > 30:
+            raise ValueError("HEVC: runaway EGk prefix")
+    for i in range(k - 1, -1, -1):
+        value += dec.bypass() << i
+    return value
+
+
+class HevcPSliceDecoder(HevcIntraSliceDecoder):
+    """Decodes one TRAIL P-slice (7.3.8.5 inter arm, llm_m58 scope:
+    PART_2Nx2N PUs — skip, merge, and explicit-MV AMVP — over a
+    single L0 reference picture, no TMVP, no weighted prediction;
+    everything else fails loudly).  Spatial merge candidates
+    (8.5.3.2.3), AMVP candidates (8.5.3.2.6, degenerate single-ref
+    form: with one reference picture the scaling passes cannot
+    trigger), quarter-pel luma / eighth-pel chroma MC (8.5.3.3.3),
+    and inter residual trees (7.3.8.8) are implemented from spec and
+    adjudicated bit-exact against libde265 on real x265 streams."""
+
+    def __init__(
+        self, sps: dict, pps: dict, hdr: dict, ref_planes
+    ) -> None:
+        super().__init__(sps, pps, hdr)
+        ry, rcb, rcr = ref_planes
+        self.ref_y = ry.astype(np.int64)
+        self.ref_cb = rcb.astype(np.int64)
+        self.ref_cr = rcr.astype(np.int64)
+        self.max_merge = hdr["max_merge"]
+        self.n_ref_l0 = hdr["n_ref_l0"]
+        bh, bw = self.h // 4, self.w // 4
+        self.blk_coded = np.zeros((bh, bw), bool)
+        self.blk_inter = np.zeros((bh, bw), bool)
+        self.blk_skip = np.zeros((bh, bw), bool)
+        self.mv_field = np.zeros((bh, bw, 2), np.int64)
+        self.n_skip = 0
+        self.n_merge = 0
+        self.n_amvp = 0
+        self.n_intra_cu = 0
+        self.n_frac_mv = 0
+
+    # -- syntax (7.3.8.5 / 7.3.8.6) ------------------------------------------
+
+    def _coding_unit(self, dec, ctx, x0: int, y0: int, log2_size: int):
+        self.n_cu += 1
+        if self.pps["transquant_bypass_enabled"]:
+            raise ValueError("HEVC: transquant bypass unsupported")
+        bx, by = x0 >> 2, y0 >> 2
+        inc = 0
+        if x0 > 0 and self.blk_coded[by][bx - 1]:
+            inc += int(self.blk_skip[by][bx - 1])
+        if y0 > 0 and self.blk_coded[by - 1][bx]:
+            inc += int(self.blk_skip[by - 1][bx])
+        skip = dec.decision(ctx.get("cu_skip_flag", inc))
+        n = 1 << log2_size
+        s4 = n >> 2
+        if skip:
+            self.n_skip += 1
+            mv = self._merge_mv(dec, ctx, x0, y0, n)
+            self._inter_pred_cu(x0, y0, n, mv)
+            self._mark_inter(x0, y0, n, mv, skip=True)
+            self.y_avail[y0:y0 + n, x0:x0 + n] = True
+            self.c_avail[
+                y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1
+            ] = True
+            return
+        if dec.decision(ctx.get("pred_mode_flag", 0)):  # MODE_INTRA
+            self.n_intra_cu += 1
+            self._intra_cu(dec, ctx, x0, y0, log2_size)
+            self.blk_coded[by:by + s4, bx:bx + s4] = True
+            return
+        # inter CU: part_mode is coded for every size (7.3.8.5);
+        # PART_2Nx2N is bin "1" on context 0 — anything else is
+        # outside the m58 scope (x265 pinned rect=0/amp=0).
+        if not dec.decision(ctx.get("part_mode", 0)):
+            raise ValueError("HEVC: non-2Nx2N inter partition")
+        merge = dec.decision(ctx.get("merge_flag", 0))
+        if merge:
+            self.n_merge += 1
+            mv = self._merge_mv(dec, ctx, x0, y0, n)
+        else:
+            self.n_amvp += 1
+            if self.n_ref_l0 > 1:
+                raise ValueError("HEVC: multi-ref L0 unsupported")
+            mvd = self._mvd(dec, ctx)
+            mvp_flag = dec.decision(ctx.get("mvp_flag", 0))
+            mvp = self._amvp(x0, y0, n, mvp_flag)
+            # 8.5.3.2.1: 16-bit wrap of predictor + difference
+            comps = []
+            for p, d in zip(mvp, mvd):
+                u = (p + d) & 0xFFFF
+                comps.append(u - 0x10000 if u >= 0x8000 else u)
+            mv = (comps[0], comps[1])
+        self._inter_pred_cu(x0, y0, n, mv)
+        self._mark_inter(x0, y0, n, mv, skip=False)
+        rqt_root = 1
+        if not merge:
+            rqt_root = dec.decision(ctx.get("rqt_root_cbf", 0))
+        if rqt_root:
+            self._transform_tree_p(
+                dec, ctx, x0, y0, x0, y0, log2_size, 0, 0,
+                self.sps["max_trafo_depth_inter"], 1, 1,
+            )
+        self.y_avail[y0:y0 + n, x0:x0 + n] = True
+        self.c_avail[
+            y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1
+        ] = True
+
+    def _mark_inter(self, x0, y0, n, mv, skip: bool) -> None:
+        bx, by, s4 = x0 >> 2, y0 >> 2, n >> 2
+        self.blk_coded[by:by + s4, bx:bx + s4] = True
+        self.blk_inter[by:by + s4, bx:bx + s4] = True
+        self.blk_skip[by:by + s4, bx:bx + s4] = skip
+        self.mv_field[by:by + s4, bx:bx + s4] = mv
+        if mv[0] & 3 or mv[1] & 3:
+            self.n_frac_mv += 1
+
+    def _mvd(self, dec, ctx) -> tuple[int, int]:
+        """7.3.8.9 mvd_coding: both greater0 flags, then both
+        greater1 flags, then per-component remainder + sign."""
+        gt0 = [
+            dec.decision(ctx.get("abs_mvd_greater0", 0))
+            for _ in range(2)
+        ]
+        gt1 = [
+            dec.decision(ctx.get("abs_mvd_greater1", 0)) if g else 0
+            for g in gt0
+        ]
+        out = []
+        for g0, g1 in zip(gt0, gt1):
+            if not g0:
+                out.append(0)
+                continue
+            val = 2 + _eg_bypass(dec, 1) if g1 else 1
+            out.append(-val if dec.bypass() else val)
+        return out[0], out[1]
+
+    def _motion_at(self, px: int, py: int):
+        """Motion of the 4x4 block covering luma sample (px, py), or
+        None when outside the picture, not yet decoded in z-order, or
+        intra (6.4.2 availability for merge/AMVP candidates)."""
+        if not (0 <= px < self.w and 0 <= py < self.h):
+            return None
+        bx, by = px >> 2, py >> 2
+        if not self.blk_coded[by][bx] or not self.blk_inter[by][bx]:
+            return None
+        return (int(self.mv_field[by][bx][0]), int(self.mv_field[by][bx][1]))
+
+    def _merge_mv(self, dec, ctx, x0, y0, n) -> tuple[int, int]:
+        """merge_idx syntax (TR, first bin context) + 8.5.3.2.3
+        spatial candidate list (single-ref L0: candidate identity is
+        the MV pair).  TMVP is off by stream constraint, so the list
+        is spatial + zero fill."""
+        idx = 0
+        if self.max_merge > 1:
+            if dec.decision(ctx.get("merge_idx", 0)):
+                idx = 1
+                while idx < self.max_merge - 1 and dec.bypass():
+                    idx += 1
+        a1 = self._motion_at(x0 - 1, y0 + n - 1)
+        b1 = self._motion_at(x0 + n - 1, y0 - 1)
+        b0 = self._motion_at(x0 + n, y0 - 1)
+        a0 = self._motion_at(x0 - 1, y0 + n)
+        cands: list[tuple[int, int]] = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and b1 != a1:
+            cands.append(b1)
+        if b0 is not None and b0 != b1:
+            cands.append(b0)
+        if a0 is not None and a0 != a1:
+            cands.append(a0)
+        if len(cands) < 4:  # B2 only when A1,B1,B0,A0 yielded < 4
+            b2 = self._motion_at(x0 - 1, y0 - 1)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        while len(cands) < self.max_merge:
+            cands.append((0, 0))
+        return cands[idx]
+
+    def _amvp(self, x0, y0, n, mvp_flag) -> tuple[int, int]:
+        """8.5.3.2.6 in its degenerate single-reference form: first
+        available same-ref candidate from (A0, A1), then from
+        (B0, B1, B2), prune B == A, zero-fill to two.  The spec's
+        scaling passes need a second reference POC to ever trigger;
+        the n_ref_l0 == 1 guard in _coding_unit keeps this arm
+        honest."""
+        a = self._motion_at(x0 - 1, y0 + n)
+        if a is None:
+            a = self._motion_at(x0 - 1, y0 + n - 1)
+        b = self._motion_at(x0 + n, y0 - 1)
+        if b is None:
+            b = self._motion_at(x0 + n - 1, y0 - 1)
+        if b is None:
+            b = self._motion_at(x0 - 1, y0 - 1)
+        cands: list[tuple[int, int]] = []
+        if a is not None:
+            cands.append(a)
+        if b is not None and b != a:
+            cands.append(b)
+        while len(cands) < 2:
+            cands.append((0, 0))
+        return cands[mvp_flag]
+
+    # -- motion compensation (8.5.3.3.3) -------------------------------------
+
+    def _inter_pred_cu(self, x0, y0, n, mv) -> None:
+        self.y[y0:y0 + n, x0:x0 + n] = self._mc_luma(x0, y0, n, mv)
+        nc = n >> 1
+        xc, yc = x0 >> 1, y0 >> 1
+        self.cb[yc:yc + nc, xc:xc + nc] = self._mc_chroma(
+            self.ref_cb, xc, yc, nc, mv
+        )
+        self.cr[yc:yc + nc, xc:xc + nc] = self._mc_chroma(
+            self.ref_cr, xc, yc, nc, mv
+        )
+
+    def _mc_luma(self, x0, y0, n, mv):
+        """8.5.3.3.3.1 with BitDepth 8: shift1 = 0, shift2 = 6,
+        shift3 = 6, then the default weighted-sample process
+        (8.5.3.3.4.2): clip((pred + 32) >> 6).  Out-of-picture
+        reference samples clamp to the picture edge (the 8.5.3.2.9
+        sample padding)."""
+        mx, my = mv
+        xi, fx = x0 + (mx >> 2), mx & 3
+        yi, fy = y0 + (my >> 2), my & 3
+        rows = np.clip(np.arange(yi - 3, yi + n + 4), 0, self.h - 1)
+        cols = np.clip(np.arange(xi - 3, xi + n + 4), 0, self.w - 1)
+        blk = self.ref_y[np.ix_(rows, cols)]
+        if fx == 0 and fy == 0:
+            pred = blk[3:3 + n, 3:3 + n] << 6
+        elif fy == 0:
+            f = HEVC_LUMA_FILTER[fx]
+            pred = sum(
+                f[i] * blk[3:3 + n, i:i + n] for i in range(8)
+            )
+        elif fx == 0:
+            f = HEVC_LUMA_FILTER[fy]
+            pred = sum(
+                f[i] * blk[i:i + n, 3:3 + n] for i in range(8)
+            )
+        else:
+            fh = HEVC_LUMA_FILTER[fx]
+            tmp = sum(
+                fh[i] * blk[:, i:i + n] for i in range(8)
+            )
+            fv = HEVC_LUMA_FILTER[fy]
+            pred = sum(
+                fv[i] * tmp[i:i + n, :] for i in range(8)
+            ) >> 6
+        return np.clip((pred + 32) >> 6, 0, 255)
+
+    def _mc_chroma(self, ref, xc, yc, nc, mv):
+        """8.5.3.3.3.2: eighth-pel 4-tap over the half-resolution
+        plane; same shift ladder as luma."""
+        mx, my = mv
+        xi, fx = xc + (mx >> 3), mx & 7
+        yi, fy = yc + (my >> 3), my & 7
+        ch, cw = ref.shape
+        rows = np.clip(np.arange(yi - 1, yi + nc + 2), 0, ch - 1)
+        cols = np.clip(np.arange(xi - 1, xi + nc + 2), 0, cw - 1)
+        blk = ref[np.ix_(rows, cols)]
+        if fx == 0 and fy == 0:
+            pred = blk[1:1 + nc, 1:1 + nc] << 6
+        elif fy == 0:
+            f = HEVC_CHROMA_FILTER[fx]
+            pred = sum(
+                f[i] * blk[1:1 + nc, i:i + nc] for i in range(4)
+            )
+        elif fx == 0:
+            f = HEVC_CHROMA_FILTER[fy]
+            pred = sum(
+                f[i] * blk[i:i + nc, 1:1 + nc] for i in range(4)
+            )
+        else:
+            fh = HEVC_CHROMA_FILTER[fx]
+            tmp = sum(
+                fh[i] * blk[:, i:i + nc] for i in range(4)
+            )
+            fv = HEVC_CHROMA_FILTER[fy]
+            pred = sum(
+                fv[i] * tmp[i:i + nc, :] for i in range(4)
+            ) >> 6
+        return np.clip((pred + 32) >> 6, 0, 255)
+
+    # -- inter residual tree (7.3.8.8 / 7.3.8.10) ----------------------------
+
+    def _transform_tree_p(
+        self, dec, ctx, x0, y0, x_base, y_base, log2_size, depth,
+        blk_idx, max_depth, parent_cbf_cb, parent_cbf_cr,
+    ):
+        sps = self.sps
+        if (
+            log2_size <= sps["log2_max_tb"]
+            and log2_size > sps["log2_min_tb"]
+            and depth < max_depth
+        ):
+            split = dec.decision(
+                ctx.get("split_transform_flag", 5 - log2_size)
+            )
+        else:
+            split = int(log2_size > sps["log2_max_tb"])
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2_size > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = dec.decision(ctx.get("cbf_chroma", depth))
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = dec.decision(ctx.get("cbf_chroma", depth))
+        if split:
+            half = 1 << (log2_size - 1)
+            for i, (dx, dy) in enumerate(
+                ((0, 0), (half, 0), (0, half), (half, half))
+            ):
+                self._transform_tree_p(
+                    dec, ctx, x0 + dx, y0 + dy, x0, y0,
+                    log2_size - 1, depth + 1, i, max_depth,
+                    cbf_cb, cbf_cr,
+                )
+            return
+        # 7.3.8.8: for inter, cbf_luma is inferred 1 at depth 0 with
+        # no chroma cbf, coded otherwise.
+        if depth != 0 or cbf_cb or cbf_cr:
+            cbf_luma = dec.decision(
+                ctx.get("cbf_luma", 1 if depth == 0 else 0)
+            )
+        else:
+            cbf_luma = 1
+        self.n_tu += 1
+        self.tu_rects_y.append((x0, y0, 1 << log2_size))
+        n = 1 << log2_size
+        if cbf_luma:
+            # inter residuals always scan diagonally (7.4.9.11 is
+            # intra-only) and always use the DCT (8.6.4.1: DST is
+            # 4x4 intra luma only) — pred_mode 0 selects scan 0.
+            levels = self._residual(dec, ctx, log2_size, 0, 0)
+            res = _inverse_transform(
+                _dequant(levels, self.qp, log2_size), dst=False
+            )
+            self.y[y0:y0 + n, x0:x0 + n] = np.clip(
+                self.y[y0:y0 + n, x0:x0 + n] + res, 0, 255
+            )
+        if log2_size > 2:
+            self._chroma_add(
+                dec, ctx, x0 >> 1, y0 >> 1, log2_size - 1,
+                cbf_cb, cbf_cr,
+            )
+        elif blk_idx == 3:
+            self._chroma_add(
+                dec, ctx, x_base >> 1, y_base >> 1, 2,
+                cbf_cb, cbf_cr,
+            )
+
+    def _chroma_add(self, dec, ctx, xc, yc, log2_size, cbf_cb, cbf_cr):
+        self.tu_rects_c.append((xc, yc, 1 << log2_size))
+        n = 1 << log2_size
+        for c_idx, plane, cbf, qp_off in (
+            (1, self.cb, cbf_cb, self.qp_cb_off),
+            (2, self.cr, cbf_cr, self.qp_cr_off),
+        ):
+            if not cbf:
+                continue
+            qp_c = _CHROMA_QP[_clip3(0, 57, self.qp + qp_off)]
+            levels = self._residual(dec, ctx, log2_size, c_idx, 0)
+            res = _inverse_transform(
+                _dequant(levels, qp_c, log2_size), dst=False
+            )
+            plane[yc:yc + n, xc:xc + n] = np.clip(
+                plane[yc:yc + n, xc:xc + n] + res, 0, 255
+            )
+
+
+# -- x265 video encoder + multi-frame decode drivers (llm_m58) ---------------
+
+_X265 = None
+_X265_PIC_PLANES_OFF = 24  # planes[3] (8 B each), then stride[3] (4 B)
+_X265_PIC_STRIDE_OFF = 48
+_X265_PIC_BITDEPTH_OFF = 60  # == 8 after picture_init (fingerprint)
+_X265_PIC_CSP_OFF = 72  # == 1 (X265_CSP_I420) after init (fingerprint)
+
+
+def _x265():
+    """libx265 via ctypes.  The x265_picture offsets above are
+    established EMPIRICALLY (r14 rule — never from header recall):
+    picture_init leaves exactly two nonzero ints in the first 256
+    bytes, bitDepth == 8 at +60 and colorSpace at +72 (1 for i420;
+    re-initialising under input-csp=i444 flips +72 to 3 and nothing
+    else), which pins planes[3] at +24 and stride[3] at +48; the
+    poke offsets are then validated end-to-end by the lossless
+    encode -> libde265 -> bit-equal-source roundtrip in
+    tests/test_hevc_pslice.py."""
+    global _X265
+    if _X265 is None:
+        import ctypes
+
+        lib = ctypes.CDLL("libx265.so.199")
+        lib.x265_param_alloc.restype = ctypes.c_void_p
+        lib.x265_param_default_preset.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.x265_param_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.x265_picture_alloc.restype = ctypes.c_void_p
+        lib.x265_picture_init.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.x265_picture_free.argtypes = [ctypes.c_void_p]
+        lib.x265_param_free.argtypes = [ctypes.c_void_p]
+        lib.x265_encoder_open_199.restype = ctypes.c_void_p
+        lib.x265_encoder_open_199.argtypes = [ctypes.c_void_p]
+        lib.x265_encoder_encode.restype = ctypes.c_int
+        lib.x265_encoder_encode.argtypes = [ctypes.c_void_p] * 5
+        lib.x265_encoder_close.argtypes = [ctypes.c_void_p]
+        _X265 = lib
+    return _X265
+
+
+def have_libx265() -> bool:
+    try:
+        _x265()
+        return True
+    except OSError:
+        return False
+
+
+# Parameter pins for m58 P-slice fixtures: the I-slice constrained
+# set (pools/frame-threads = the r13 thread thrash fix, signhide off,
+# aq off, strong-intra-smoothing off) plus the inter-side fence —
+# P-only GOP (bframes 0), one reference, no TMVP, no weighted pred,
+# square partitions only (rect/amp 0), scenecut off so exactly one
+# leading IDR.  subme 3 turns quarter-pel refinement on (ultrafast's
+# subme 0 would leave every MV integer and the 8-tap/4-tap
+# interpolation paths dead).
+X265_VIDEO_PARAMS = (
+    ("pools", "none"),
+    ("frame-threads", "1"),
+    ("wpp", "0"),
+    ("sao", "0"),
+    # "deblock=0" only zeroes the offsets (probed: tools line still
+    # lists deblock) — no-deblock is the real disable switch.
+    ("no-deblock", "1"),
+    ("signhide", "0"),
+    ("aq-mode", "0"),
+    ("strong-intra-smoothing", "0"),
+    ("min-cu-size", "8"),
+    ("bframes", "0"),
+    ("ref", "1"),
+    ("keyint", "250"),
+    ("scenecut", "0"),
+    ("temporal-mvp", "0"),
+    ("weightp", "0"),
+    ("rect", "0"),
+    ("amp", "0"),
+    ("subme", "3"),
+    ("repeat-headers", "1"),
+    ("info", "0"),
+    ("annexb", "1"),
+)
+
+
+def encode_hevc_video(
+    frames, qp: int, ctu: int = 32, lossless: bool = False,
+    max_merge: int = 2,
+) -> list[bytes]:
+    """Encode (y, cb, cr) frame tuples with the REAL x265 encoder
+    under the m58 pins; returns the bitstream as a list of NAL units
+    (start codes stripped).  ``lossless=True`` is the ABI-validation
+    mode (transquant bypass — decodable by libde265 but outside the
+    from-spec decoder's surface)."""
+    import ctypes
+
+    x = _x265()
+    h, w = frames[0][0].shape
+    par = x.x265_param_alloc()
+    if not par:
+        raise MemoryError("x265_param_alloc failed")
+    enc = None
+    pics = []
+    try:
+        if x.x265_param_default_preset(par, b"ultrafast", None) != 0:
+            raise ValueError("x265: preset rejected")
+        params = X265_VIDEO_PARAMS + (
+            ("input-res", f"{w}x{h}"),
+            ("fps", "25"),
+            ("max-merge", str(max_merge)),
+        ) + ((("lossless", "1"),) if lossless else (("qp", str(qp)),))
+        for k, v in params:
+            if x.x265_param_parse(par, k.encode(), v.encode()) != 0:
+                raise ValueError(f"x265: param {k}={v} rejected")
+        enc = x.x265_encoder_open_199(par)
+        if not enc:
+            raise ValueError("x265: encoder_open failed")
+        nal_pp = ctypes.c_void_p()
+        nal_n = ctypes.c_uint()
+        out: list[bytes] = []
+
+        def drain() -> None:
+            base = nal_pp.value
+            for i in range(nal_n.value):
+                sz = int.from_bytes(
+                    ctypes.string_at(base + 16 * i + 4, 4), "little"
+                )
+                pay = ctypes.c_void_p.from_address(base + 16 * i + 8).value
+                data = ctypes.string_at(pay, sz)
+                # x265 emits Annex B (start-code-prefixed) payloads
+                if data.startswith(b"\x00\x00\x00\x01"):
+                    data = data[4:]
+                elif data.startswith(b"\x00\x00\x01"):
+                    data = data[3:]
+                out.append(data)
+
+        for fy, fcb, fcr in frames:
+            pic = x.x265_picture_alloc()
+            x.x265_picture_init(par, pic)
+            if (
+                int.from_bytes(
+                    ctypes.string_at(pic + _X265_PIC_BITDEPTH_OFF, 4),
+                    "little",
+                ) != 8
+                or int.from_bytes(
+                    ctypes.string_at(pic + _X265_PIC_CSP_OFF, 4),
+                    "little",
+                ) != 1
+            ):
+                raise RuntimeError(
+                    "x265_picture ABI fingerprint mismatch"
+                )
+            bufs = [
+                np.ascontiguousarray(fy),
+                np.ascontiguousarray(fcb),
+                np.ascontiguousarray(fcr),
+            ]
+            pics.append((pic, bufs))
+            for i, b in enumerate(bufs):
+                ctypes.cast(
+                    pic + _X265_PIC_PLANES_OFF + 8 * i,
+                    ctypes.POINTER(ctypes.c_void_p),
+                )[0] = b.ctypes.data
+                ctypes.cast(
+                    pic + _X265_PIC_STRIDE_OFF + 4 * i,
+                    ctypes.POINTER(ctypes.c_int),
+                )[0] = b.shape[1]
+            r = x.x265_encoder_encode(
+                enc, ctypes.byref(nal_pp), ctypes.byref(nal_n), pic, None
+            )
+            if r < 0:
+                raise ValueError("x265: encode failed")
+            if r > 0:
+                drain()
+        while True:
+            r = x.x265_encoder_encode(
+                enc, ctypes.byref(nal_pp), ctypes.byref(nal_n), None, None
+            )
+            if r < 0:
+                raise ValueError("x265: flush failed")
+            if r == 0:
+                break
+            drain()
+        return out
+    finally:
+        if enc:
+            x.x265_encoder_close(enc)
+        for pic, _ in pics:
+            x.x265_picture_free(pic)
+        x.x265_param_free(par)
+
+
+def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
+    """Decode an x265 video stream (one leading IDR I-slice followed
+    by TRAIL P-slices) entirely from spec; returns
+    [(y, cb, cr, stats), ...] in decode order.  Every frame keeps
+    the single-L0-reference discipline: each P slice's RPS must
+    resolve to exactly one previously decoded picture."""
+    sps = pps = None
+    dpb: dict[int, tuple] = {}
+    out: list[tuple] = []
+    for nal in nals:
+        t = (nal[0] >> 1) & 0x3F
+        if t == 32:  # VPS: nothing the slice layer needs
+            continue
+        if t == 33:
+            sps = parse_hevc_sps_full(nal)
+            continue
+        if t == 34:
+            pps = parse_hevc_pps(nal)
+            continue
+        if t in (35, 39, 40):  # AUD / SEI
+            continue
+        if t in (19, 20):
+            if sps is None or pps is None:
+                raise ValueError("HEVC: slice before parameter sets")
+            y, cb, cr, st = decode_hevc_islice(nal, sps, pps)
+            dpb.clear()
+            dpb[0] = (y, cb, cr)
+            st["poc"] = 0
+            st["slice_type"] = "I"
+            out.append((y, cb, cr, st))
+            continue
+        if t in (0, 1):
+            hdr, br = parse_hevc_slice_header(nal, sps, pps)
+            if hdr["deblock_disabled"] == 0:
+                raise ValueError(
+                    "HEVC: deblocking must be disabled (m58 scope)"
+                )
+            if hdr["sao_luma"] or hdr["sao_chroma"]:
+                raise ValueError("HEVC: SAO P slices unsupported")
+            poc = hdr["poc_lsb"]
+            # RefPicList0 (8.3.4): used negative pics by ascending
+            # delta, then used positive; one active entry under the
+            # m58 pins, so L0[0] is the closest used preceding pic
+            # (x265 keeps older pics in the RPS for the DPB even at
+            # ref=1 — they are list tail, never referenced).
+            used = [d for d, u in hdr["rps"]["neg"] if u]
+            used_pos = [d for d, u in hdr["rps"]["pos"] if u]
+            if hdr["n_ref_l0"] != 1 or (not used and not used_pos):
+                raise ValueError(
+                    f"HEVC: need one active L0 ref, got "
+                    f"n_ref={hdr['n_ref_l0']} rps={hdr['rps']}"
+                )
+            ref_poc = poc - used[0] if used else poc + used_pos[0]
+            if ref_poc not in dpb:
+                raise ValueError(
+                    f"HEVC: reference POC {ref_poc} not in DPB"
+                )
+            dec = _CabacDecoder(br)
+            init_type = 1 + hdr["cabac_init_flag"]
+            ctx = _Ctx(hdr["slice_qp"], init_type)
+            d = HevcPSliceDecoder(sps, pps, hdr, dpb[ref_poc])
+            d.decode(dec, ctx)
+            y = d.y.astype(np.uint8)
+            cb = d.cb.astype(np.uint8)
+            cr = d.cr.astype(np.uint8)
+            dpb[poc] = (y, cb, cr)
+            st = {
+                "poc": poc,
+                "slice_type": "P",
+                "slice_qp": hdr["slice_qp"],
+                "n_cu": d.n_cu,
+                "n_skip": d.n_skip,
+                "n_merge": d.n_merge,
+                "n_amvp": d.n_amvp,
+                "n_intra_cu": d.n_intra_cu,
+                "n_frac_mv": d.n_frac_mv,
+                "n_coeff": d.n_coeff,
+            }
+            out.append((y, cb, cr, st))
+            continue
+        raise ValueError(f"HEVC: unexpected NAL type {t}")
+    return out
+
+
+def decode_hevc_libde265_frames(nals: list[bytes]) -> list[tuple]:
+    """All frames of an Annex-B stream through libde265 (the
+    single-frame decode_hevc_libde265 keeps its original still-image
+    contract); returns [(y, cb, cr), ...] in output order."""
+    import ctypes
+
+    lib = _de265()
+    ctx = lib.de265_new_decoder()
+    try:
+        stream = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+        lib.de265_push_data(ctx, stream, len(stream), 0, None)
+        lib.de265_flush_data(ctx)
+        more = ctypes.c_int(1)
+        frames = []
+        for _ in range(1000):
+            lib.de265_decode(ctx, ctypes.byref(more))
+            while True:
+                pic = lib.de265_get_next_picture(ctx)
+                if not pic:
+                    break
+                planes = []
+                for c in range(3):
+                    w = lib.de265_get_image_width(pic, c)
+                    h = lib.de265_get_image_height(pic, c)
+                    stride = ctypes.c_int()
+                    ptr = lib.de265_get_image_plane(
+                        pic, c, ctypes.byref(stride)
+                    )
+                    arr = np.ctypeslib.as_array(
+                        ptr, shape=(h, stride.value)
+                    )
+                    planes.append(arr[:, :w].copy())
+                frames.append(tuple(planes))
+            if not more.value:
+                break
+        if not frames:
+            raise ValueError("libde265: no frames decoded")
+        return frames
+    finally:
+        lib.de265_free_decoder(ctx)
 
 
 # -- 8.7.2 deblocking filter (m55) -------------------------------------------
