@@ -3330,6 +3330,189 @@ def hevc_slice_decode_stats(
     )
 
 
+# -- HEVC P-slice video decode vs libde265 (m58, r15) ------------------------
+
+_M58_SALT_H = "#m58h"
+_M58_SALT_P = "#m58p"
+_M58_MAX_Y = 64 * 64  # largest drawn luma plane
+_M58_MAX_C = 32 * 32
+
+
+def hevc_pslice_decode_stats(docs: DataFrame) -> DataFrame:
+    """HEVC INTER layer (r14 verdict 'next round #2'): per document,
+    draw dims (32..64 step 8), CTU size, QP (12..42), frame count
+    (2..3), merge-candidate budget (max-merge 1..5) and a CONTENT
+    MODE from the '#m58h' md5 block, build a short video, encode it
+    with the REAL x265 encoder as one IDR I-slice + chained TRAIL
+    P-slices (single L0 reference, no TMVP — the m58 pins), then
+    decode the stream TWICE — the from-spec P-slice decoder
+    (operators/hevc.py::HevcPSliceDecoder: cu_skip/merge/AMVP
+    syntax, spatial candidate derivation, quarter-pel 8-tap MC,
+    inter residual trees) and libde265 via ctypes — and compare
+    every frame bit-for-bit.  The three content modes keep every
+    inter path live AND md5/closed-form-restatable for the oracle:
+    mode 0 rolls one noise plane by an even per-frame vector (pure
+    translation -> skip/merge CUs with exact integer MVs), mode 1
+    samples a linear ramp drifting at QUARTER-PEL steps (the 8-tap /
+    4-tap interpolation filters are the only good predictor), mode 2
+    draws fresh full-range noise per frame (intra-in-P CUs + dense
+    inter residuals).  The oracle restates the drawn geometry, the
+    x265 CQP slice-QP law (I = qp-3, P = qp, probed over the full
+    sweep in tests), and source-plane checksums of the first and
+    last frames (mode-dependent closed forms, incl. the modular
+    roll indexing).  Corpus-linear: one task per doc batch after
+    fan_out, no shuffle, no driver state."""
+    import numpy as np
+
+    from table_demo_spark.operators import hevc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M58_SALT_H)
+                w = 32 + 8 * (hdr[0] % 5)
+                h = 32 + 8 * (hdr[1] % 5)
+                ctu = 16 if hdr[2] % 2 == 0 else 32
+                qp = 12 + hdr[3] % 31
+                n_frames = 2 + hdr[4] % 2
+                mode = hdr[5] % 3
+                max_merge = 1 + hdr[6] % 5
+                yn, cn = w * h, (w // 2) * (h // 2)
+                total = yn + 2 * cn
+                frames = []
+                if mode == 0:
+                    dx = 2 * (1 + hdr[7] % 3)
+                    dy = 2 * (hdr[8] % 3)
+                    raw = np.frombuffer(
+                        _md5_stream(
+                            str(doc_id), (total + 15) // 16, _M58_SALT_P
+                        ),
+                        np.uint8,
+                    )[:total]
+                    y0 = raw[:yn].reshape(h, w)
+                    cb0 = raw[yn:yn + cn].reshape(h // 2, w // 2)
+                    cr0 = raw[yn + cn:].reshape(h // 2, w // 2)
+                    for k in range(n_frames):
+                        frames.append(
+                            (
+                                np.roll(y0, (k * dy, k * dx), (0, 1)),
+                                np.roll(
+                                    cb0,
+                                    (k * dy // 2, k * dx // 2),
+                                    (0, 1),
+                                ),
+                                np.roll(
+                                    cr0,
+                                    (k * dy // 2, k * dx // 2),
+                                    (0, 1),
+                                ),
+                            )
+                        )
+                elif mode == 1:
+                    a = 1 + hdr[7] % 3
+                    b = 1 + hdr[8] % 3
+                    sx = 1 + hdr[9] % 3
+                    sy = hdr[10] % 3
+                    rr, cc = np.mgrid[0:h, 0:w]
+                    rc, ccc = np.mgrid[0:h // 2, 0:w // 2]
+                    for k in range(n_frames):
+                        y = (
+                            (a * (4 * cc + k * sx) + b * (4 * rr + k * sy))
+                            // 4
+                        ) % 256
+                        cb = (
+                            (a * (8 * ccc + k * sx) + b * (8 * rc + k * sy))
+                            // 4
+                            + 60
+                        ) % 256
+                        cr = (cb + 60) % 256
+                        frames.append(
+                            (
+                                y.astype(np.uint8),
+                                cb.astype(np.uint8),
+                                cr.astype(np.uint8),
+                            )
+                        )
+                else:
+                    raw = np.frombuffer(
+                        _md5_stream(
+                            str(doc_id),
+                            (n_frames * total + 15) // 16,
+                            _M58_SALT_P,
+                        ),
+                        np.uint8,
+                    )
+                    for k in range(n_frames):
+                        sl = raw[k * total:(k + 1) * total]
+                        frames.append(
+                            (
+                                sl[:yn].reshape(h, w),
+                                sl[yn:yn + cn].reshape(h // 2, w // 2),
+                                sl[yn + cn:].reshape(h // 2, w // 2),
+                            )
+                        )
+                nals = hevc.encode_hevc_video(
+                    frames, qp=qp, ctu=ctu, max_merge=max_merge
+                )
+                got = hevc.decode_hevc_video_from_spec(nals)
+                want = hevc.decode_hevc_libde265_frames(nals)
+                if len(got) != n_frames or len(want) != n_frames:
+                    raise ValueError(
+                        f"m58: frame count mismatch {len(got)} vs "
+                        f"{len(want)} vs {n_frames}"
+                    )
+                p_qps = {
+                    st["slice_qp"]
+                    for _, _, _, st in got
+                    if st["slice_type"] == "P"
+                }
+                if len(p_qps) != 1:
+                    raise ValueError(f"m58: non-uniform P QPs {p_qps}")
+                ex = [1, 1, 1]
+                for (gy, gcb, gcr, _), (wy, wcb, wcr) in zip(got, want):
+                    for j, (g, r) in enumerate(
+                        ((gy, wy), (gcb, wcb), (gcr, wcr))
+                    ):
+                        if g.shape != r.shape or not (g == r).all():
+                            ex[j] = 0
+                wy_w = 1 + np.arange(yn, dtype=np.int64) % 7
+                yf = frames[0][0].reshape(-1).astype(np.int64)
+                yl = frames[-1][0].reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), w, h, ctu, qp, n_frames, mode,
+                        int(got[0][3]["slice_qp"]), int(p_qps.pop()),
+                        int(yf.sum()), int((wy_w * yf).sum()),
+                        int(yl.sum()), int((wy_w * yl).sum()),
+                        int(frames[0][1].astype(np.int64).sum()),
+                        int(frames[0][2].astype(np.int64).sum()),
+                        ex[0], ex[1], ex[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "ctu", "qp",
+                    "n_frames", "mode", "slice_qp_i", "slice_qp_p",
+                    "sum_y0", "wsum_y0", "sum_ylast", "wsum_ylast",
+                    "sum_cb0", "sum_cr0", "exact_y", "exact_cb",
+                    "exact_cr",
+                ],
+            )
+
+    return _spread_ids(docs).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, ctu long, qp long, "
+            "n_frames long, mode long, slice_qp_i long, slice_qp_p "
+            "long, sum_y0 long, wsum_y0 long, sum_ylast long, "
+            "wsum_ylast long, sum_cb0 long, sum_cr0 long, "
+            "exact_y long, exact_cb long, exact_cr long"
+        ),
+    )
+
+
 # -- AVIF image sequences: non-reduced AV1 headers (m52, r14) ----------------
 
 _M52_SALT_H = "#m52h"

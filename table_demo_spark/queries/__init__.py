@@ -104,6 +104,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q20_semi_join",
     # r15 new queries land here (no CORRECTNESS row yet ->
     # oldest-of-all, so they keep the due-count intact).
+    "llm_m58_hevc_pslice_decode",
 )
 
 

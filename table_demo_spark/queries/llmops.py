@@ -9011,6 +9011,145 @@ ORDER BY doc_id
 """
 
 
+def m58_hevc_pslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC INTER PREDICTION — the r14 verdict 'next round #2' item
+    and the last structural layer of a real HEVC decoder now that
+    the in-loop chain (m51 intra -> m55 deblock -> m57 SAO) is
+    bit-exact: per document a short video (one IDR + chained TRAIL P
+    slices) is encoded by the REAL x265 encoder under the m58 pins
+    (single L0 reference, no TMVP, square partitions, subme 3 so
+    quarter-pel MVs are live) and decoded from spec —
+    cu_skip/merge/AMVP CABAC syntax with .rodata-extracted init
+    values, spatial merge candidate derivation (8.5.3.2.3),
+    single-ref AMVP (8.5.3.2.6), mvd coding, 8-tap luma / 4-tap
+    chroma quarter/eighth-pel interpolation (8.5.3.3.3, coefficients
+    matching 11 in-binary libx265 copies), and inter residual trees
+    — then adjudicated BIT-EXACT per frame against libde265 via
+    ctypes.  Three md5/closed-form-restatable content modes keep
+    skip/merge (pure even-vector translation), subpel MC
+    (quarter-pel linear-ramp drift) and intra-in-P/dense-residual
+    (fresh noise per frame) paths live; the oracle restates
+    geometry, the x265 CQP slice-QP law (I = qp-3, P = qp) and
+    first/last-frame source checksums including the modular roll
+    indexing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_pslice_decode_stats(docs).orderBy("doc_id")
+
+
+def _m58_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _M58_MAX_C,
+        _M58_MAX_Y,
+        _M58_SALT_H,
+        _M58_SALT_P,
+    )
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M58_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    def pbyte(j: str) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) ||"
+            f" '{_M58_SALT_P}' || CAST(({j}) // 16 AS VARCHAR)),"
+            f" CAST(2 * (({j}) % 16) + 1 AS INT), 2) AS BIGINT)"
+        )
+
+    # last-frame luma md5 index: mode 0 = modular roll source, mode 2
+    # = frame (n-1)'s slice of the contiguous stream (NULL for the
+    # closed-form mode 1, where no md5 byte is read)
+    jl = (
+        "CASE WHEN d.mode = 0 THEN"
+        " (((g.i // d.w - (d.n - 1) * d.dy) % d.h + d.h) % d.h) * d.w"
+        " + ((g.i % d.w - (d.n - 1) * d.dx) % d.w + d.w) % d.w"
+        " WHEN d.mode = 2 THEN"
+        " (d.n - 1) * (d.w * d.h + 2 * ((d.w // 2) * (d.h // 2))) + g.i"
+        " ELSE 0 END"
+    )
+    ramp0 = (
+        "((d.a * (4 * (g.i % d.w)) + d.b * (4 * (g.i // d.w))) // 4)"
+        " % 256"
+    )
+    rampl = (
+        "((d.a * (4 * (g.i % d.w) + (d.n - 1) * d.sx)"
+        " + d.b * (4 * (g.i // d.w) + (d.n - 1) * d.sy)) // 4) % 256"
+    )
+    cramp = (
+        "((d.a * (8 * (g.i % (d.w // 2)))"
+        " + d.b * (8 * (g.i // (d.w // 2)))) // 4)"
+    )
+    return f"""
+WITH hdr AS MATERIALIZED (
+  SELECT doc_id,
+         32 + 8 * ({hbyte(0)} % 5) AS w,
+         32 + 8 * ({hbyte(1)} % 5) AS h,
+         CASE WHEN {hbyte(2)} % 2 = 0 THEN 16 ELSE 32 END AS ctu,
+         12 + {hbyte(3)} % 31 AS qp,
+         2 + {hbyte(4)} % 2 AS n,
+         {hbyte(5)} % 3 AS mode,
+         2 * (1 + {hbyte(7)} % 3) AS dx,
+         2 * ({hbyte(8)} % 3) AS dy,
+         1 + {hbyte(7)} % 3 AS a,
+         1 + {hbyte(8)} % 3 AS b,
+         1 + {hbyte(9)} % 3 AS sx,
+         {hbyte(10)} % 3 AS sy
+  FROM documents
+),
+ypx AS MATERIALIZED (
+  SELECT d.doc_id,
+         1 + g.i % 7 AS wt,
+         CASE WHEN d.mode = 1 THEN {ramp0}
+              ELSE {pbyte("g.i")} END AS b0,
+         CASE WHEN d.mode = 1 THEN {rampl}
+              ELSE {pbyte(jl)} END AS bl
+  FROM hdr d CROSS JOIN range({_M58_MAX_Y}) g(i)
+  WHERE g.i < d.w * d.h
+),
+cpx AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.mode = 1 THEN ({cramp} + 60) % 256
+              ELSE {pbyte("d.w * d.h + g.i")} END AS cbb,
+         CASE WHEN d.mode = 1 THEN ({cramp} + 120) % 256
+              ELSE {pbyte("d.w * d.h + (d.w // 2) * (d.h // 2) + g.i")}
+              END AS crb
+  FROM hdr d CROSS JOIN range({_M58_MAX_C}) g(i)
+  WHERE g.i < (d.w // 2) * (d.h // 2)
+),
+yagg AS (
+  SELECT doc_id,
+         CAST(sum(b0) AS BIGINT) AS sum_y0,
+         CAST(sum(wt * b0) AS BIGINT) AS wsum_y0,
+         CAST(sum(bl) AS BIGINT) AS sum_ylast,
+         CAST(sum(wt * bl) AS BIGINT) AS wsum_ylast
+  FROM ypx GROUP BY doc_id
+),
+cagg AS (
+  SELECT doc_id,
+         CAST(sum(cbb) AS BIGINT) AS sum_cb0,
+         CAST(sum(crb) AS BIGINT) AS sum_cr0
+  FROM cpx GROUP BY doc_id
+)
+SELECT hdr.doc_id,
+       CAST(hdr.w AS BIGINT) AS width,
+       CAST(hdr.h AS BIGINT) AS height,
+       CAST(hdr.ctu AS BIGINT) AS ctu,
+       CAST(hdr.qp AS BIGINT) AS qp,
+       CAST(hdr.n AS BIGINT) AS n_frames,
+       CAST(hdr.mode AS BIGINT) AS mode,
+       CAST(hdr.qp - 3 AS BIGINT) AS slice_qp_i,
+       CAST(hdr.qp AS BIGINT) AS slice_qp_p,
+       yagg.sum_y0, yagg.wsum_y0, yagg.sum_ylast, yagg.wsum_ylast,
+       cagg.sum_cb0, cagg.sum_cr0,
+       CAST(1 AS BIGINT) AS exact_y,
+       CAST(1 AS BIGINT) AS exact_cb,
+       CAST(1 AS BIGINT) AS exact_cr
+FROM hdr JOIN yagg USING (doc_id) JOIN cagg USING (doc_id)
+ORDER BY hdr.doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -11391,6 +11530,11 @@ QUERIES: list[Query] = [
     ),
     Query("llm_m56_heic_grid_crop", m56_heic_grid_crop, _m56_oracle()),
     Query("llm_m57_hevc_sao_decode", m57_hevc_sao_decode, _m57_oracle()),
+    Query(
+        "llm_m58_hevc_pslice_decode",
+        m58_hevc_pslice_decode,
+        _m58_oracle(),
+    ),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),
     Query("llm_m54_avif_quant_layer", m54_avif_quant_layer, _m54_oracle()),

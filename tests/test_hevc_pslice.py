@@ -1,0 +1,248 @@
+"""llm_m58 HEVC P-slice battery: real x265 multi-frame encodes ->
+from-spec inter decode (cu_skip/merge/AMVP, spatial candidates,
+quarter-pel MC, inter residual trees) -> per-frame bit-exact
+adjudication against libde265 via ctypes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    from table_demo_spark.operators import hevc
+
+    _HAVE = hevc.have_libde265() and hevc.have_libx265()
+except Exception:  # pragma: no cover
+    _HAVE = False
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE, reason="libde265/libx265 not available"
+)
+
+
+def _mk(arr, coff=0):
+    y = arr.astype(np.uint8)
+    cb = ((arr[::2, ::2].astype(int) + 60 + coff) % 256).astype(np.uint8)
+    cr = ((arr[::2, ::2].astype(int) + 120 + coff) % 256).astype(np.uint8)
+    return y, cb, cr
+
+
+def _exact(got, want):
+    assert len(got) == len(want)
+    for (gy, gcb, gcr, _), (wy, wcb, wcr) in zip(got, want):
+        assert gy.shape == wy.shape
+        assert (gy == wy).all() and (gcb == wcb).all() and (gcr == wcr).all()
+
+
+def test_x265_picture_abi_via_lossless_roundtrip():
+    """The empirically-established x265_picture offsets (planes @24,
+    stride @48, fingerprinted bitDepth @60 / colorSpace @72) are
+    validated end-to-end: a lossless 2-frame encode decoded by
+    libde265 must return the source planes bit-for-bit — any wrong
+    poke offset corrupts the input picture and cannot round-trip."""
+    rng = np.random.RandomState(3)
+    frames = [
+        _mk(rng.randint(0, 256, (48, 64)).astype(np.uint8), coff=i)
+        for i in range(2)
+    ]
+    nals = hevc.encode_hevc_video(frames, qp=0, lossless=True)
+    dec = hevc.decode_hevc_libde265_frames(nals)
+    assert len(dec) == 2
+    for (sy, scb, scr), (dy, dcb, dcr) in zip(frames, dec):
+        assert (sy == dy).all() and (scb == dcb).all() and (scr == dcr).all()
+
+
+def test_pslice_roundtrip_sweep_all_paths_exact():
+    """Translation (merge/skip), bilinear fractional drift (subpel
+    MC), and fresh noise (intra-in-P + dense residual) content across
+    QPs, CTU sizes, dims, chain lengths and max-merge budgets — every
+    frame bit-exact vs libde265, and every inter path non-vacuously
+    exercised across the sweep."""
+    rng = np.random.RandomState(99)
+
+    def bilinear_shift(arr, dx, dy):
+        h, w = arr.shape
+        ys = np.clip(np.arange(h) + dy, 0, h - 1.001)
+        xs = np.clip(np.arange(w) + dx, 0, w - 1.001)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        a = arr[np.ix_(y0, x0)].astype(float)
+        b = arr[np.ix_(y0, np.minimum(x0 + 1, w - 1))]
+        c = arr[np.ix_(np.minimum(y0 + 1, h - 1), x0)]
+        d = arr[np.ix_(np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1))]
+        out = a * (1 - fx) * (1 - fy) + b * fx * (1 - fy)
+        out += c * (1 - fx) * fy + d * fx * fy
+        return out.round().astype(np.uint8)
+
+    tot = {"n_skip": 0, "n_merge": 0, "n_amvp": 0, "n_intra_cu": 0,
+           "n_frac_mv": 0}
+    cases = (
+        (0, 40, 56, 21, 16, 3, 2), (1, 72, 72, 37, 32, 5, 4),
+        (2, 40, 64, 23, 16, 3, 3), (0, 64, 32, 36, 16, 2, 4),
+        (1, 88, 72, 35, 16, 5, 3), (0, 88, 40, 16, 32, 1, 2),
+    )
+    for kind, W, H, qp, ctu, mm, nfr in cases:
+        gy, gx = np.mgrid[0:H, 0:W]
+        if kind == 0:
+            base = ((gx * 5 + gy * 3) // 2
+                    + rng.randint(0, 30, (H, W))) % 256
+            frames = [_mk(base)]
+            cur = base.copy()
+            for _ in range(nfr - 1):
+                cur = np.roll(
+                    cur,
+                    (int(rng.randint(-3, 4)), int(rng.randint(-6, 7))),
+                    (0, 1),
+                )
+                cur[:H // 2, :W // 2] = base[:H // 2, :W // 2]
+                frames.append(_mk(cur))
+        elif kind == 1:
+            base = (((gx * 7) % 120 + (gy * 5) % 100
+                     + rng.randint(0, 20, (H, W))) % 256).astype(np.uint8)
+            frames = [_mk(base)]
+            cur = base
+            for _ in range(nfr - 1):
+                cur = bilinear_shift(
+                    cur, 0.25 + 0.5 * rng.rand(), 0.25 * rng.rand()
+                )
+                frames.append(_mk(cur))
+        else:
+            frames = [
+                _mk(rng.randint(0, 256, (H, W)).astype(np.uint8), coff=i)
+                for i in range(nfr)
+            ]
+        nals = hevc.encode_hevc_video(frames, qp=qp, ctu=ctu, max_merge=mm)
+        got = hevc.decode_hevc_video_from_spec(nals)
+        want = hevc.decode_hevc_libde265_frames(nals)
+        assert len(got) == nfr
+        _exact(got, want)
+        for _, _, _, st in got:
+            for k in tot:
+                tot[k] += st.get(k, 0)
+    for k, v in tot.items():
+        assert v > 0, (k, tot)
+
+
+def test_x265_cqp_slice_qp_law():
+    """The oracle pins slice_qp_i = qp-3 and slice_qp_p = qp under
+    CQP (aq off): probe the whole drawn QP range at both CTU sizes."""
+    rng = np.random.RandomState(17)
+    f0 = _mk(rng.randint(0, 256, (32, 32)).astype(np.uint8))
+    f1 = _mk(rng.randint(0, 256, (32, 32)).astype(np.uint8), coff=3)
+    for qp in (12, 20, 28, 35, 42):
+        for ctu in (16, 32):
+            nals = hevc.encode_hevc_video([f0, f1], qp=qp, ctu=ctu)
+            got = hevc.decode_hevc_video_from_spec(nals)
+            assert got[0][3]["slice_qp"] == qp - 3, (qp, ctu)
+            assert got[1][3]["slice_qp"] == qp, (qp, ctu)
+
+
+def test_inter_init_values_cluster_in_x265_rodata():
+    """The inter CABAC init additions are extracted, not recalled:
+    the (B,P,I)-row byte neighbourhoods must appear contiguously in
+    libx265's .rodata — multi-element cluster strings per the r14
+    single-value-context rule (part_mode..merge_idx..merge_flag..
+    cu_skip as one run; sao_merge followed by mvp_flag; ref_idx
+    followed by the mvd pair rows; rqt_root_cbf after the
+    last_sig_coeff prefix tables)."""
+    blob = open("/lib/x86_64-linux-gnu/libx265.so.199", "rb").read()
+    clusters = (
+        # merge_idx(B,P,I) merge_flag(B,P,I) pad cu_skip(B,P,I rows)
+        bytes([137, 122, 154, 154, 110, 154, 0, 0, 0, 0, 0, 0,
+               197, 185, 201, 197, 185, 201, 154, 154, 154]),
+        # sao_type_idx(B,P,I) sao_merge(B,P,I) mvp_flag(B,P,I)
+        bytes([160, 185, 200, 153, 153, 153, 168, 168, 154]),
+        # ref_idx rows (B,P,I) then mvd gt0/gt1 rows (B,P,I)
+        bytes([153, 153, 153, 153, 154, 154, 169, 198, 140, 198,
+               154, 154]),
+        # last_sig_y_prefix I-row tail ...63, then rqt_root_cbf B,P,I
+        bytes([108, 123, 63, 79, 79, 154]),
+        # pred_mode_flag B,P,I directly before part_mode's zeros-pad
+        bytes([134, 149, 154, 0, 0, 0, 0, 0, 154, 139, 154, 154]),
+    )
+    for c in clusters:
+        assert blob.find(c) >= 0, c.hex()
+
+
+def test_mc_filter_tables_in_x265_rodata():
+    """8.5.3.3.3 interpolation coefficients: full-table byte images
+    (incl. the trivial full-pel rows, spec order) in both int8 and
+    int16 layouts must appear in libx265's .rodata."""
+    luma = [(0, 0, 0, 64, 0, 0, 0, 0)]
+    luma += [hevc.HEVC_LUMA_FILTER[i] for i in (1, 2, 3)]
+    chroma = [(0, 64, 0, 0)]
+    chroma += [hevc.HEVC_CHROMA_FILTER[i] for i in range(1, 8)]
+    blob = open("/lib/x86_64-linux-gnu/libx265.so.199", "rb").read()
+    for tab in (luma, chroma):
+        flat = [v for row in tab for v in row]
+        for dt in ("i1", "<i2"):
+            assert blob.find(np.array(flat, dt).tobytes()) >= 0, dt
+
+
+def test_unsupported_inter_tools_fail_loudly():
+    """Streams outside the declared m58 scope must be rejected, not
+    mis-decoded: rectangular partitions (rect=1) and B-frames."""
+    import ctypes  # noqa: F401  (symmetry with the encoder module)
+
+    rng = np.random.RandomState(5)
+    gy, gx = np.mgrid[0:48, 0:64]
+    base = ((gx * 5 + gy * 3) // 2 + rng.randint(0, 30, (48, 64))) % 256
+    frames = [_mk(base)]
+    for k in range(2):
+        frames.append(_mk(np.roll(base, (1 + k, 3 * k - 2), (0, 1))))
+
+    def encode_with(extra):
+        import table_demo_spark.operators.hevc as h
+
+        orig = h.X265_VIDEO_PARAMS
+        h.X265_VIDEO_PARAMS = tuple(
+            p for p in orig if p[0] not in dict(extra)
+        ) + extra
+        try:
+            return h.encode_hevc_video(frames, qp=27, ctu=32)
+        finally:
+            h.X265_VIDEO_PARAMS = orig
+
+    rect_nals = encode_with((("rect", "1"), ("subme", "7"), ("me", "3")))
+    with pytest.raises(ValueError, match="partition|2Nx2N"):
+        hevc.decode_hevc_video_from_spec(rect_nals)
+
+    b_nals = encode_with((("bframes", "2"),))
+    with pytest.raises(ValueError):
+        hevc.decode_hevc_video_from_spec(b_nals)
+
+
+def test_deblock_signalled_pslice_rejected():
+    """A video stream with in-loop deblocking signalled is outside
+    the m58 scope and must fail loudly at the P slice."""
+    import table_demo_spark.operators.hevc as h
+
+    rng = np.random.RandomState(11)
+    frames = [
+        _mk(rng.randint(0, 256, (32, 32)).astype(np.uint8), coff=i)
+        for i in range(2)
+    ]
+    orig = h.X265_VIDEO_PARAMS
+    h.X265_VIDEO_PARAMS = tuple(
+        p for p in orig if p[0] != "no-deblock"
+    )
+    try:
+        nals = h.encode_hevc_video(frames, qp=27)
+    finally:
+        h.X265_VIDEO_PARAMS = orig
+    with pytest.raises(ValueError, match="deblock"):
+        hevc.decode_hevc_video_from_spec(nals)
+
+
+def test_single_frame_video_is_just_an_islice():
+    """Degenerate one-frame 'video' decodes through the existing
+    I-slice path and matches libde265."""
+    rng = np.random.RandomState(23)
+    frames = [_mk(rng.randint(0, 256, (40, 48)).astype(np.uint8))]
+    nals = hevc.encode_hevc_video(frames, qp=30)
+    got = hevc.decode_hevc_video_from_spec(nals)
+    want = hevc.decode_hevc_libde265_frames(nals)
+    assert len(got) == 1
+    _exact(got, want)
