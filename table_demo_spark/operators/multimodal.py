@@ -404,7 +404,7 @@ def _md5_stream(key: str, n_blocks: int, salt: str) -> bytes:
     )
 
 
-def _spread_ids(docs: DataFrame) -> DataFrame:
+def _spread_ids(docs: DataFrame, fraction: float = 1.0) -> DataFrame:
     """doc_id frame repartitioned to the cluster's parallelism. The
     payload builders' cost is CPU-bound Python (encode) and everything
     downstream of them is CPU-bound decode, so their parallelism must
@@ -415,10 +415,24 @@ def _spread_ids(docs: DataFrame) -> DataFrame:
     shuffle moves only doc_id longs — O(docs) bytes, negligible
     against the codec work it parallelizes — and is skipped entirely
     when the scan already has enough file splits (fan_out's guard), so
-    a 100 TB multi-file input adds no Exchange."""
+    a 100 TB multi-file input adds no Exchange.
+
+    ``fraction`` is the SAMPLED-AUDIT knob (r14 verdict #5) for the
+    expensive per-doc adjudication queries: at production scale these
+    are audit passes, not full-corpus transforms, so ``fraction=1/k``
+    keeps every k-th doc_id — DETERMINISTIC in doc_id (stable across
+    runs, partitionings, and cluster sizes; a Bernoulli sample would
+    be none of those), and a pushdown-friendly comparison filter."""
+    from pyspark.sql import functions as F
     from table_demo_spark.sources.batch import fan_out
 
-    return fan_out(docs.select("doc_id"))
+    docs = docs.select("doc_id")
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if fraction < 1.0:
+        k = max(2, int(round(1.0 / fraction)))
+        docs = docs.where(F.col("doc_id") % k == 0)
+    return fan_out(docs)
 
 
 def with_ppm_payload(docs: DataFrame) -> DataFrame:
@@ -3229,7 +3243,7 @@ _M51_MAX_BYTES = 64 * 64 + 2 * 32 * 32  # largest drawn plane set
 
 
 def hevc_slice_decode_stats(
-    docs: DataFrame, deblock: bool = False
+    docs: DataFrame, deblock: bool = False, fraction: float = 1.0
 ) -> DataFrame:
     """Per document: draw dims (w,h in {32..64} step 8 — partial CTUs
     under ctu=32 force boundary splits), CTU size, and QP (12..42,
@@ -3248,7 +3262,13 @@ def hevc_slice_decode_stats(
     CTU sizes) and the source-plane checksums are md5-restatable so
     the oracle also pins that the planes fed to x265 are the claimed
     ones.  Corpus-linear: one task per doc batch after fan_out, no
-    cross-partition work."""
+    cross-partition work.
+
+    Scale contract: full-corpus at fixture scale; at production
+    scale this is a SAMPLED AUDIT query — pass ``fraction=1/k``
+    for the deterministic doc_id-keyed subsample (the dataflow
+    itself is corpus-linear; only the per-doc codec constant
+    makes full-corpus runs expensive)."""
     import numpy as np
 
     from table_demo_spark.operators import hevc
@@ -3319,7 +3339,7 @@ def hevc_slice_decode_stats(
                 ],
             )
 
-    return _spread_ids(docs).mapInPandas(
+    return _spread_ids(docs, fraction).mapInPandas(
         run,
         schema=(
             "doc_id long, width long, height long, ctu long, qp long, "
@@ -3338,7 +3358,9 @@ _M58_MAX_Y = 64 * 64  # largest drawn luma plane
 _M58_MAX_C = 32 * 32
 
 
-def hevc_pslice_decode_stats(docs: DataFrame) -> DataFrame:
+def hevc_pslice_decode_stats(
+    docs: DataFrame, fraction: float = 1.0
+) -> DataFrame:
     """HEVC INTER layer (r14 verdict 'next round #2'): per document,
     draw dims (32..64 step 8), CTU size, QP (12..42), frame count
     (2..3), merge-candidate budget (max-merge 1..5) and a CONTENT
@@ -3361,7 +3383,13 @@ def hevc_pslice_decode_stats(docs: DataFrame) -> DataFrame:
     sweep in tests), and source-plane checksums of the first and
     last frames (mode-dependent closed forms, incl. the modular
     roll indexing).  Corpus-linear: one task per doc batch after
-    fan_out, no shuffle, no driver state."""
+    fan_out, no shuffle, no driver state.
+
+    Scale contract: full-corpus at fixture scale; at production
+    scale this is a SAMPLED AUDIT query — pass ``fraction=1/k``
+    for the deterministic doc_id-keyed subsample (the dataflow
+    itself is corpus-linear; only the per-doc codec constant
+    makes full-corpus runs expensive)."""
     import numpy as np
 
     from table_demo_spark.operators import hevc
@@ -3501,7 +3529,7 @@ def hevc_pslice_decode_stats(docs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return _spread_ids(docs).mapInPandas(
+    return _spread_ids(docs, fraction).mapInPandas(
         run,
         schema=(
             "doc_id long, width long, height long, ctu long, qp long, "
@@ -3731,7 +3759,9 @@ _M56_SALT_P = "#m56p"
 _M56_MAX_BYTES = 62 * 62 + 2 * 31 * 31
 
 
-def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
+def heic_grid_crop_stats(
+    docs: DataFrame, fraction: float = 1.0
+) -> DataFrame:
     """Per document: draw SUB-64 dims (24..62 even — libheif stores
     these as a PADDED 64x64 hvc1 item plus a 'grid' derived item
     carrying the true size, the m49 declared extension) and a QP in
@@ -3746,7 +3776,13 @@ def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
     direct libde265; crop per the 1x1-grid rule (ISO 23008-12
     6.6.2.3, top-left) and compare bit-exact against libheif's OWN
     grid-derived decode — three independent statements of the crop
-    semantics on every row."""
+    semantics on every row.
+
+    Scale contract: full-corpus at fixture scale; at production
+    scale this is a SAMPLED AUDIT query — pass ``fraction=1/k``
+    for the deterministic doc_id-keyed subsample (the dataflow
+    itself is corpus-linear; only the per-doc codec constant
+    makes full-corpus runs expensive)."""
     import numpy as np
 
     from table_demo_spark.operators import heif, hevc
@@ -3830,7 +3866,7 @@ def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return _spread_ids(docs).mapInPandas(
+    return _spread_ids(docs, fraction).mapInPandas(
         run,
         schema=(
             "doc_id long, width long, height long, qp long, "
@@ -3847,7 +3883,9 @@ def heic_grid_crop_stats(docs: DataFrame) -> DataFrame:
 _M57_SALT_H = "#m57h"
 
 
-def hevc_sao_decode_stats(docs: DataFrame) -> DataFrame:
+def hevc_sao_decode_stats(
+    docs: DataFrame, fraction: float = 1.0
+) -> DataFrame:
     """Per document: a sinusoid-plus-planted-hard-edges fixture (the
     content shape that makes x265's RD actually pick nonzero SAO
     params — probed: ~3/4 of docs carry band or edge offsets at the
@@ -3861,7 +3899,13 @@ def hevc_sao_decode_stats(docs: DataFrame) -> DataFrame:
     fixture geometry (sinusoid frequencies, planted edge rows, QP)
     is md5-drawn and restated by the oracle; the sinusoid itself
     never needs SQL restatement — the adjudication is
-    decoder-vs-decoder over the same real stream."""
+    decoder-vs-decoder over the same real stream.
+
+    Scale contract: full-corpus at fixture scale; at production
+    scale this is a SAMPLED AUDIT query — pass ``fraction=1/k``
+    for the deterministic doc_id-keyed subsample (the dataflow
+    itself is corpus-linear; only the per-doc codec constant
+    makes full-corpus runs expensive)."""
     import numpy as np
 
     from table_demo_spark.operators import heif, hevc
@@ -3930,7 +3974,7 @@ def hevc_sao_decode_stats(docs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return _spread_ids(docs).mapInPandas(
+    return _spread_ids(docs, fraction).mapInPandas(
         run,
         schema=(
             "doc_id long, width long, height long, qp long, "

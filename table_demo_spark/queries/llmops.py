@@ -8612,7 +8612,11 @@ def m51_hevc_slice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates the md5-drawn parameters and source-plane
     checksums; the x265 CQP I-slice offset (slice_qp = qp - 3,
     probed uniform over the full QP range at both CTU sizes) puts
-    the CABAC slice-header parse on the value hash."""
+    the CABAC slice-header parse on the value hash.
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.hevc_slice_decode_stats(docs).orderBy("doc_id")
 
@@ -8631,7 +8635,11 @@ def m55_hevc_deblock_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTRACTED from libde265+libx265 .rodata (4 in-binary copies, all
     agreeing, re-extracted in tests) — the extraction source H.264's
     alpha/beta/tc0 lack, which is why m53 took the bipred leg there
-    and the deblocking leg lands on the HEVC side."""
+    and the deblocking leg lands on the HEVC side.
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.hevc_slice_decode_stats(docs, deblock=True).orderBy(
         "doc_id"
@@ -8892,7 +8900,11 @@ def m56_heic_grid_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed, documented in the operator).  Three independent
     statements of the true dimensions (grid descriptor, derived
     ispe, libheif's decode) and two independent decoders sit on
-    every row's value hash."""
+    every row's value hash.
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.heic_grid_crop_stats(docs).orderBy("doc_id")
 
@@ -8977,7 +8989,11 @@ def m57_hevc_sao_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-data-hiding — the feature that first masqueraded as an SAO
     desync — stays pinned off with the other unsupported tools.
     Adjudication: bit-exact per pixel against direct libde265 on
-    every document."""
+    every document.
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.hevc_sao_decode_stats(docs).orderBy("doc_id")
 

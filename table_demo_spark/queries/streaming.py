@@ -1207,7 +1207,11 @@ def q45_hevc_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path, by the SAME stateless Arrow chain the batch query
     uses.  No state store, no watermark, O(batch) per trigger; oracle
     = m55's restatement verbatim, so a doc dropped or decoded twice
-    at a micro-batch boundary breaks the value hash."""
+    at a micro-batch boundary breaks the value hash.
+
+    Scale contract: full-stream at fixture scale, SAMPLED AUDIT at
+    production scale (the batch operator's fraction=1/k knob gives
+    the deterministic doc_id-keyed subsample per micro-batch)."""
     from table_demo_spark.streaming.queries import run_q45_hevc_ingest
 
     with _state_partitions(spark, no_data=False):

@@ -236,6 +236,32 @@ def test_deblock_signalled_pslice_rejected():
         hevc.decode_hevc_video_from_spec(nals)
 
 
+def test_audit_fraction_knob_is_deterministic(spark):
+    """The sampled-audit knob (r14 verdict #5): fraction=1/k must
+    select exactly the doc_id % k == 0 subset, and each sampled
+    row must be IDENTICAL to the full run's row for that doc —
+    deterministic in doc_id, independent of partitioning."""
+    from table_demo_spark.operators import multimodal
+    from table_demo_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.hevc_pslice_decode_stats(docs).collect()
+    }
+    sampled = multimodal.hevc_pslice_decode_stats(
+        docs, fraction=0.25
+    ).collect()
+    assert {r["doc_id"] for r in sampled} == {
+        d for d in full if d % 4 == 0
+    }
+    for r in sampled:
+        assert r.asDict() == full[r["doc_id"]]
+    with pytest.raises(ValueError, match="fraction"):
+        multimodal.hevc_pslice_decode_stats(docs, fraction=0.0)
+
+
 def test_single_frame_video_is_just_an_islice():
     """Degenerate one-frame 'video' decodes through the existing
     I-slice path and matches libde265."""

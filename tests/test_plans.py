@@ -1115,6 +1115,22 @@ def test_q35_candidate_read_prunes_partitions(spark, tmp_path):
     assert "In(bk" in pushed[0].replace(" ", ""), pushed[0]
 
 
+def test_measure_unpivot_is_single_pass(spark):
+    """a81's wide-to-long reshape must be ONE scan + one Expand
+    node — never a per-measure re-scan-and-union (k measures = k
+    scans is the difference between one pass and k passes over
+    100 TB).  Also no shuffle between the scan and the Expand: the
+    reshape itself is map-side."""
+    import re
+
+    plan = formatted_plan(_query("an_a81_measure_unpivot")(spark, SF_SMOKE))
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
 def test_lateral_topk_is_decorrelated(spark):
     """a82's correlated LATERAL-with-LIMIT must decorrelate into a
     window row_number + broadcast hash join — never a per-outer-row
