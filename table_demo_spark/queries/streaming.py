@@ -245,9 +245,11 @@ def q1_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _state_partitions(spark, no_data=False):
         sink, query = run_q1_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, lambda: len(sink.snapshot()), quiet_polls=1)
-    return _rows_df(
-        spark, sink.snapshot(), "cell int, dept_time long, dept_cnt long"
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        F.col("cell").cast("int"),
+        F.col("dept_time").cast("long"),
+        F.col("dept_cnt").cast("long"),
     )
 
 
@@ -392,9 +394,11 @@ def q7_enrich_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _state_partitions(spark, no_data=False):
         sink, query = q7_enrich_stream(spark, sf_dir, speed=DRIVER_SPEED)
-        _drain(query, sink.snapshot, quiet_polls=1)
-    return _rows_df(
-        spark, sink.snapshot(), "c_mktsegment string, n_events long, revenue double"
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        F.col("c_mktsegment").cast("string"),
+        F.col("n_events").cast("long"),
+        F.col("revenue").cast("double"),
     )
 
 

@@ -165,19 +165,31 @@ def q1_stream(departures: DataFrame, tumble: str = TUMBLE) -> DataFrame:
     )
 
 
-def run_q1_stream(spark: SparkSession, sf_dir: str, speed: float = 2_000_000.0):
-    """Start Q1 into a MemoryUpsertSink keyed by (cell, dept_time) —
-    the key the reference planner infers from the GROUP BY
-    (ElasticUpsertTableSink.scala:51-55). Returns (sink, query)."""
+def run_q1_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    speed: float = 2_000_000.0,
+    sink=None,
+):
+    """Start Q1 into an upsert sink keyed by (cell, dept_time) — the
+    key the reference planner infers from the GROUP BY
+    (ElasticUpsertTableSink.scala:51-55). Returns (sink, query).
+    The DEFAULT sink is the durable ParquetUpsertSink (r14 verdict
+    #4: no driver-side row accumulation on any default path); pass a
+    MemoryUpsertSink explicitly for in-process demo assertions."""
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
     ckpt = _checkpoint_dir()
     out = q1_stream(
         stream_departures(stream_rides(spark, sf_dir, speed, frontier_key=ckpt))
     )
-    sink = MemoryUpsertSink(("cell", "dept_time"))
+    sink = sink if sink is not None else ParquetUpsertSink(
+        scratch_dir("tds-q1sink-"), ("cell", "dept_time")
+    )
     query = (
         out.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query
@@ -292,7 +304,12 @@ def run_q2_stream(
         stream_departures(stream_rides(spark, sf_dir, speed, frontier_key=ckpt)),
         range_ms,
     )
-    sink = sink if sink is not None else MemoryUpsertSink(("cell", "ride_id"))
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    sink = sink if sink is not None else ParquetAppendSink(
+        scratch_dir("tds-q2sink-")
+    )
     return sink, _start_append(out, sink, ckpt)
 
 
@@ -334,8 +351,11 @@ def q4_session_stream(
             "n_events",
         )
     )
-    sink = sink if sink is not None else MemoryUpsertSink(
-        ("user_id", "session_start")
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    sink = sink if sink is not None else ParquetAppendSink(
+        scratch_dir("tds-q4sink-")
     )
     return sink, _start_append(out, sink, ckpt)
 
@@ -399,8 +419,11 @@ def q5_join_stream(
         F.unix_millis("click_time").alias("click_ms"),
         F.unix_millis("purchase_time").alias("purchase_ms"),
     )
-    sink = sink if sink is not None else MemoryUpsertSink(
-        ("click_id", "purchase_id")
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    sink = sink if sink is not None else ParquetAppendSink(
+        scratch_dir("tds-q5sink-")
     )
     return sink, _start_append(joined, sink, ckpt)
 
@@ -544,8 +567,11 @@ def q12_left_join_stream(
         F.unix_millis("click_time").alias("click_ms"),
         F.unix_millis("purchase_time").alias("purchase_ms"),
     )
-    sink = sink if sink is not None else MemoryUpsertSink(
-        ("click_id", "purchase_id")
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    sink = sink if sink is not None else ParquetAppendSink(
+        scratch_dir("tds-q12sink-")
     )
     return sink, _start_append(joined, sink, ckpt)
 
@@ -582,8 +608,11 @@ def q6_dedup_stream(
         if within_watermark
         else keyed.dropDuplicates(["user_id", "event_type"])
     ).select("user_id", "event_type")
-    sink = sink if sink is not None else MemoryUpsertSink(
-        ("user_id", "event_type")
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+    sink = sink if sink is not None else ParquetAppendSink(
+        scratch_dir("tds-q6sink-")
     )
     return sink, _start_append(deduped, sink, ckpt)
 
@@ -603,6 +632,7 @@ def q7_enrich_stream(
     spark: SparkSession,
     sf_dir: str,
     speed: float = 2_000_000.0,
+    sink=None,
 ):
     """Revenue + event count per customer market segment: stream
     events ⋈ static customer on user_id = c_custkey, grouped by
@@ -626,11 +656,16 @@ def q7_enrich_stream(
             .alias("revenue"),
         )
     )
-    sink = MemoryUpsertSink(("c_mktsegment",))
+    # durable default (r14 verdict #4); Memory sink is demo opt-in
+    from table_demo_spark.streaming.upsert import ParquetUpsertSink
+
+    sink = sink if sink is not None else ParquetUpsertSink(
+        scratch_dir("tds-q7sink-"), ("c_mktsegment",)
+    )
     query = (
         out.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt)
-        .foreachBatch(foreach_batch_upsert(sink))
+        .foreachBatch(sink.foreach_batch())
         .start()
     )
     return sink, query

@@ -168,6 +168,18 @@ class ParquetUpsertSink:
         assert self.current_dir is not None, "no batch written yet"
         return spark.read.parquet(self.current_dir)
 
+    def snapshot(self) -> list[dict]:
+        """MemoryUpsertSink-compatible convenience for tests/demos:
+        the current table as row dicts via the active session.  The
+        distributed read path is ``snapshot_df`` — this collect is
+        bounded by the sink's key domain, never the stream volume."""
+        from pyspark.sql import SparkSession
+
+        if self.current_dir is None:
+            return []
+        spark = SparkSession.getActiveSession()
+        return [r.asDict() for r in self.snapshot_df(spark).collect()]
+
     def count(self, spark=None) -> int:
         """Row count of the current table (0 before the first batch) —
         the drain-polling probe. Reads parquet footer metadata only
@@ -252,6 +264,21 @@ class ParquetAppendSink:
 
     def snapshot_df(self, spark) -> DataFrame:
         return spark.read.parquet(self.path)
+
+    def snapshot(self) -> list[dict]:
+        """MemoryUpsertSink-compatible convenience for tests/demos
+        (see ParquetUpsertSink.snapshot)."""
+        import glob
+        import os
+
+        from pyspark.sql import SparkSession
+
+        if not glob.glob(
+            os.path.join(self.path, "**", "part-*.parquet"), recursive=True
+        ):
+            return []
+        spark = SparkSession.getActiveSession()
+        return [r.asDict() for r in self.snapshot_df(spark).collect()]
 
 
 class ConsoleDebugSink:
