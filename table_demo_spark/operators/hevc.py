@@ -156,6 +156,11 @@ HEVC_CTX_INIT = {
     "abs_mvd_greater1": ((154,), (198,), (198,)),
     "ref_idx": ((154, 154), (153, 153), (153, 153)),
     "rqt_root_cbf": ((154,), (79,), (79,)),
+    "inter_pred_idc": (
+        (154, 154, 154, 154, 154),
+        (95, 79, 63, 31, 31),
+        (95, 79, 63, 31, 31),
+    ),
 }
 
 
@@ -400,12 +405,12 @@ def parse_hevc_slice_header(
     for _ in range(pps["extra_slice_header_bits"]):
         br.bits(1)
     hdr["slice_type"] = _expgolomb_ue(br)
-    if hdr["slice_type"] not in (1, 2):
-        raise ValueError("HEVC: only I and P slices supported")
+    if hdr["slice_type"] not in (0, 1, 2):
+        raise ValueError("HEVC: invalid slice type")
     if hdr["slice_type"] == 2 and not irap:
         raise ValueError("HEVC: trailing I slices unsupported")
-    if hdr["slice_type"] == 1 and irap:
-        raise ValueError("HEVC: P slice in an IRAP NAL")
+    if hdr["slice_type"] != 2 and irap:
+        raise ValueError("HEVC: inter slice in an IRAP NAL")
     if pps["output_flag_present"]:
         br.bits(1)
     if nal_type == 21:  # CRA carries POC + RPS
@@ -442,20 +447,30 @@ def parse_hevc_slice_header(
     hdr["cabac_init_flag"] = 0
     hdr["max_merge"] = 0
     hdr["n_ref_l0"] = 0
-    if hdr["slice_type"] == 1:
+    hdr["n_ref_l1"] = 0
+    hdr["mvd_l1_zero"] = 0
+    if hdr["slice_type"] in (0, 1):
         n_l0 = pps["num_ref_idx_l0_default"]
+        n_l1 = pps["num_ref_idx_l1_default"]
         if br.bits(1):  # num_ref_idx_active_override_flag
             n_l0 = _expgolomb_ue(br) + 1
+            if hdr["slice_type"] == 0:
+                n_l1 = _expgolomb_ue(br) + 1
         hdr["n_ref_l0"] = n_l0
+        hdr["n_ref_l1"] = n_l1 if hdr["slice_type"] == 0 else 0
         used = [d for d, u in hdr["rps"]["neg"] if u] + [
             d for d, u in hdr["rps"]["pos"] if u
         ]
         if pps["lists_modification_present"] and len(used) > 1:
             raise ValueError("HEVC: ref list modification unsupported")
+        if hdr["slice_type"] == 0:
+            hdr["mvd_l1_zero"] = br.bits(1)
         if pps["cabac_init_present"]:
             hdr["cabac_init_flag"] = br.bits(1)
-        if pps["weighted_pred"]:
+        if hdr["slice_type"] == 1 and pps["weighted_pred"]:
             raise ValueError("HEVC: weighted prediction unsupported")
+        if hdr["slice_type"] == 0 and pps["weighted_bipred"]:
+            raise ValueError("HEVC: weighted biprediction unsupported")
         hdr["max_merge"] = 5 - _expgolomb_ue(br)
         if not 1 <= hdr["max_merge"] <= 5:
             raise ValueError("HEVC: invalid MaxNumMergeCand")
@@ -1479,37 +1494,47 @@ def _eg_bypass(dec, k: int) -> int:
     return value
 
 
-class HevcPSliceDecoder(HevcIntraSliceDecoder):
-    """Decodes one TRAIL P-slice (7.3.8.5 inter arm, llm_m58 scope:
-    PART_2Nx2N PUs — skip, merge, and explicit-MV AMVP — over a
-    single L0 reference picture, no TMVP, no weighted prediction;
-    everything else fails loudly).  Spatial merge candidates
-    (8.5.3.2.3), AMVP candidates (8.5.3.2.6, degenerate single-ref
-    form: with one reference picture the scaling passes cannot
-    trigger), quarter-pel luma / eighth-pel chroma MC (8.5.3.3.3),
-    and inter residual trees (7.3.8.8) are implemented from spec and
-    adjudicated bit-exact against libde265 on real x265 streams."""
+class HevcInterSliceDecoder(HevcIntraSliceDecoder):
+    """Decodes one TRAIL P or B slice (7.3.8.5 inter arm; llm_m58 P,
+    llm_m59 B).  Scope: PART_2Nx2N PUs — skip, merge (spatial +
+    combined-bi + zero candidates), and explicit-MV AMVP — over ONE
+    active reference per list, no TMVP, no weighted prediction;
+    everything else fails loudly.  Spatial merge candidates
+    (8.5.3.2.3), combined bi-predictive candidates (8.5.3.2.4), AMVP
+    with the POC-distance scaling arm (8.5.3.2.7-8), inter_pred_idc
+    coding (9.3.3.8, depth-keyed context), quarter-pel luma /
+    eighth-pel chroma MC (8.5.3.3.3) with 14-bit-intermediate
+    bi-prediction averaging (8.5.3.3.4.3), and inter residual trees
+    are implemented from spec and adjudicated bit-exact against
+    libde265 on real x265 streams."""
 
     def __init__(
-        self, sps: dict, pps: dict, hdr: dict, ref_planes
+        self, sps: dict, pps: dict, hdr: dict, refs, ref_pocs,
+        cur_poc: int,
     ) -> None:
         super().__init__(sps, pps, hdr)
-        ry, rcb, rcr = ref_planes
-        self.ref_y = ry.astype(np.int64)
-        self.ref_cb = rcb.astype(np.int64)
-        self.ref_cr = rcr.astype(np.int64)
+        # refs: [(y, cb, cr)] per list — length 1 (P) or 2 (B)
+        self.refs = [
+            tuple(p.astype(np.int64) for p in r) for r in refs
+        ]
+        self.ref_pocs = list(ref_pocs)
+        self.cur_poc = cur_poc
+        self.is_b = hdr["slice_type"] == 0
         self.max_merge = hdr["max_merge"]
         self.n_ref_l0 = hdr["n_ref_l0"]
+        self.mvd_l1_zero = hdr["mvd_l1_zero"]
         bh, bw = self.h // 4, self.w // 4
         self.blk_coded = np.zeros((bh, bw), bool)
-        self.blk_inter = np.zeros((bh, bw), bool)
         self.blk_skip = np.zeros((bh, bw), bool)
-        self.mv_field = np.zeros((bh, bw, 2), np.int64)
+        self.pf = np.zeros((bh, bw, 2), bool)
+        self.mvf = np.zeros((bh, bw, 2, 2), np.int64)
         self.n_skip = 0
         self.n_merge = 0
         self.n_amvp = 0
         self.n_intra_cu = 0
         self.n_frac_mv = 0
+        self.n_bi = 0
+        self.n_uni = [0, 0]
 
     # -- syntax (7.3.8.5 / 7.3.8.6) ------------------------------------------
 
@@ -1528,9 +1553,9 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
         s4 = n >> 2
         if skip:
             self.n_skip += 1
-            mv = self._merge_mv(dec, ctx, x0, y0, n)
-            self._inter_pred_cu(x0, y0, n, mv)
-            self._mark_inter(x0, y0, n, mv, skip=True)
+            mot = self._merge_motion(dec, ctx, x0, y0, n)
+            self._inter_pred_cu(x0, y0, n, mot)
+            self._mark_inter(x0, y0, n, mot, skip=True)
             self.y_avail[y0:y0 + n, x0:x0 + n] = True
             self.c_avail[
                 y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1
@@ -1543,28 +1568,48 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
             return
         # inter CU: part_mode is coded for every size (7.3.8.5);
         # PART_2Nx2N is bin "1" on context 0 — anything else is
-        # outside the m58 scope (x265 pinned rect=0/amp=0).
+        # outside scope (x265 pinned rect=0/amp=0).
         if not dec.decision(ctx.get("part_mode", 0)):
             raise ValueError("HEVC: non-2Nx2N inter partition")
         merge = dec.decision(ctx.get("merge_flag", 0))
         if merge:
             self.n_merge += 1
-            mv = self._merge_mv(dec, ctx, x0, y0, n)
+            mot = self._merge_motion(dec, ctx, x0, y0, n)
         else:
             self.n_amvp += 1
-            if self.n_ref_l0 > 1:
-                raise ValueError("HEVC: multi-ref L0 unsupported")
-            mvd = self._mvd(dec, ctx)
-            mvp_flag = dec.decision(ctx.get("mvp_flag", 0))
-            mvp = self._amvp(x0, y0, n, mvp_flag)
-            # 8.5.3.2.1: 16-bit wrap of predictor + difference
-            comps = []
-            for p, d in zip(mvp, mvd):
-                u = (p + d) & 0xFFFF
-                comps.append(u - 0x10000 if u >= 0x8000 else u)
-            mv = (comps[0], comps[1])
-        self._inter_pred_cu(x0, y0, n, mv)
-        self._mark_inter(x0, y0, n, mv, skip=False)
+            if self.n_ref_l0 > 1 or self.hdr_n_ref_l1() > 1:
+                raise ValueError("HEVC: multi-ref lists unsupported")
+            if self.is_b:
+                # 9.3.3.8: "1" = PRED_BI (ctx = CtDepth); "0 b" with
+                # b on ctx 4 selecting L0/L1
+                depth = int(self.ct_depth[y0 >> 2][x0 >> 2])
+                if dec.decision(ctx.get("inter_pred_idc", depth)):
+                    idc = 2  # PRED_BI
+                else:
+                    idc = 1 if dec.decision(
+                        ctx.get("inter_pred_idc", 4)
+                    ) else 0
+            else:
+                idc = 0  # P: inferred PRED_L0
+            pf = [idc in (0, 2), idc in (1, 2)]
+            mv = [(0, 0), (0, 0)]
+            for lx in (0, 1):
+                if not pf[lx]:
+                    continue
+                if lx == 1 and self.mvd_l1_zero and idc == 2:
+                    mvd = (0, 0)
+                else:
+                    mvd = self._mvd(dec, ctx)
+                mvp_flag = dec.decision(ctx.get("mvp_flag", 0))
+                mvp = self._amvp(lx, x0, y0, n, mvp_flag)
+                comps = []
+                for p, d in zip(mvp, mvd):
+                    u = (p + d) & 0xFFFF  # 8.5.3.2.1 16-bit wrap
+                    comps.append(u - 0x10000 if u >= 0x8000 else u)
+                mv[lx] = (comps[0], comps[1])
+            mot = (pf[0], pf[1], mv[0], mv[1])
+        self._inter_pred_cu(x0, y0, n, mot)
+        self._mark_inter(x0, y0, n, mot, skip=False)
         rqt_root = 1
         if not merge:
             rqt_root = dec.decision(ctx.get("rqt_root_cbf", 0))
@@ -1578,14 +1623,21 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
             y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1
         ] = True
 
-    def _mark_inter(self, x0, y0, n, mv, skip: bool) -> None:
+    def hdr_n_ref_l1(self) -> int:
+        return len(self.refs) - 1 if self.is_b else 0
+
+    def _mark_inter(self, x0, y0, n, mot, skip: bool) -> None:
+        pf0, pf1, mv0, mv1 = mot
         bx, by, s4 = x0 >> 2, y0 >> 2, n >> 2
         self.blk_coded[by:by + s4, bx:bx + s4] = True
-        self.blk_inter[by:by + s4, bx:bx + s4] = True
         self.blk_skip[by:by + s4, bx:bx + s4] = skip
-        self.mv_field[by:by + s4, bx:bx + s4] = mv
-        if mv[0] & 3 or mv[1] & 3:
-            self.n_frac_mv += 1
+        self.pf[by:by + s4, bx:bx + s4, 0] = pf0
+        self.pf[by:by + s4, bx:bx + s4, 1] = pf1
+        self.mvf[by:by + s4, bx:bx + s4, 0] = mv0
+        self.mvf[by:by + s4, bx:bx + s4, 1] = mv1
+        for pf, mv in ((pf0, mv0), (pf1, mv1)):
+            if pf and (mv[0] & 3 or mv[1] & 3):
+                self.n_frac_mv += 1
 
     def _mvd(self, dec, ctx) -> tuple[int, int]:
         """7.3.8.9 mvd_coding: both greater0 flags, then both
@@ -1610,19 +1662,29 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
     def _motion_at(self, px: int, py: int):
         """Motion of the 4x4 block covering luma sample (px, py), or
         None when outside the picture, not yet decoded in z-order, or
-        intra (6.4.2 availability for merge/AMVP candidates)."""
+        intra (6.4.2 availability for merge/AMVP candidates).
+        Returns (pf0, pf1, mv0, mv1)."""
         if not (0 <= px < self.w and 0 <= py < self.h):
             return None
         bx, by = px >> 2, py >> 2
-        if not self.blk_coded[by][bx] or not self.blk_inter[by][bx]:
+        if not self.blk_coded[by][bx]:
             return None
-        return (int(self.mv_field[by][bx][0]), int(self.mv_field[by][bx][1]))
+        pf0, pf1 = bool(self.pf[by][bx][0]), bool(self.pf[by][bx][1])
+        if not pf0 and not pf1:
+            return None  # intra
+        return (
+            pf0, pf1,
+            (int(self.mvf[by][bx][0][0]), int(self.mvf[by][bx][0][1])),
+            (int(self.mvf[by][bx][1][0]), int(self.mvf[by][bx][1][1])),
+        )
 
-    def _merge_mv(self, dec, ctx, x0, y0, n) -> tuple[int, int]:
-        """merge_idx syntax (TR, first bin context) + 8.5.3.2.3
-        spatial candidate list (single-ref L0: candidate identity is
-        the MV pair).  TMVP is off by stream constraint, so the list
-        is spatial + zero fill."""
+    def _merge_motion(self, dec, ctx, x0, y0, n):
+        """merge_idx syntax (TR, first bin context) + the 8.5.3.2.3
+        spatial candidate list, extended for B slices with the
+        8.5.3.2.4 combined bi-predictive candidates and per-slice-type
+        zero candidates.  Candidate identity is the full (predFlags,
+        mv pair) motion — with one active reference per list the
+        refIdx components are structurally 0."""
         idx = 0
         if self.max_merge > 1:
             if dec.decision(ctx.get("merge_idx", 0)):
@@ -1633,7 +1695,7 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
         b1 = self._motion_at(x0 + n - 1, y0 - 1)
         b0 = self._motion_at(x0 + n, y0 - 1)
         a0 = self._motion_at(x0 - 1, y0 + n)
-        cands: list[tuple[int, int]] = []
+        cands = []
         if a1 is not None:
             cands.append(a1)
         if b1 is not None and b1 != a1:
@@ -1646,85 +1708,188 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
             b2 = self._motion_at(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
+        if self.is_b and len(self.refs) == 2:
+            # 8.5.3.2.4 combined bi-predictive candidates
+            orig = len(cands)
+            order = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                     (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+            comb = 0
+            while (
+                len(cands) < self.max_merge
+                and orig > 1
+                and comb < orig * (orig - 1)
+            ):
+                i0, i1 = order[comb]
+                comb += 1
+                c0, c1 = cands[i0], cands[i1]
+                if not (c0[0] and c1[1]):
+                    continue
+                # addable unless both point at the same picture with
+                # the same vector (DiffPicOrderCnt(..) == 0 && mv eq)
+                if (
+                    self.ref_pocs[0] == self.ref_pocs[1]
+                    and c0[2] == c1[3]
+                ):
+                    continue
+                cands.append((True, True, c0[2], c1[3]))
+        zero = (
+            (True, True, (0, 0), (0, 0))
+            if self.is_b and len(self.refs) == 2
+            else (True, False, (0, 0), (0, 0))
+        )
         while len(cands) < self.max_merge:
-            cands.append((0, 0))
+            cands.append(zero)
         return cands[idx]
 
-    def _amvp(self, x0, y0, n, mvp_flag) -> tuple[int, int]:
-        """8.5.3.2.6 in its degenerate single-reference form: first
-        available same-ref candidate from (A0, A1), then from
-        (B0, B1, B2), prune B == A, zero-fill to two.  The spec's
-        scaling passes need a second reference POC to ever trigger;
-        the n_ref_l0 == 1 guard in _coding_unit keeps this arm
-        honest."""
-        a = self._motion_at(x0 - 1, y0 + n)
-        if a is None:
-            a = self._motion_at(x0 - 1, y0 + n - 1)
-        b = self._motion_at(x0 + n, y0 - 1)
-        if b is None:
-            b = self._motion_at(x0 + n - 1, y0 - 1)
-        if b is None:
-            b = self._motion_at(x0 - 1, y0 - 1)
-        cands: list[tuple[int, int]] = []
-        if a is not None:
-            cands.append(a)
-        if b is not None and b != a:
-            cands.append(b)
+    # -- AMVP (8.5.3.2.6-8) --------------------------------------------------
+
+    @staticmethod
+    def _scale_mv(mv, tb: int, td: int):
+        """8.5.3.2.8 temporal/POC-distance MV scaling (C-style
+        truncating division for tx)."""
+        tb = _clip3(-128, 127, tb)
+        td = _clip3(-128, 127, td)
+        atd = abs(td)
+        tx = (16384 + (atd >> 1)) // atd
+        if td < 0:
+            tx = -tx
+        dsf = _clip3(-4096, 4095, (tb * tx + 32) >> 6)
+
+        def sc(v):
+            val = dsf * v
+            s = 1 if val >= 0 else -1
+            return _clip3(-32768, 32767, s * ((abs(val) + 127) >> 8))
+
+        return (sc(mv[0]), sc(mv[1]))
+
+    def _amvp(self, lx: int, x0, y0, n, mvp_flag):
+        """8.5.3.2.7 spatial MVP candidates for list ``lx``.  Every
+        inter PU in the slice uses refIdx 0, so a neighbour's list-Y
+        reference picture is the slice-level ref_pocs[Y]; the
+        same-ref pass hits when that POC equals the target list's,
+        and the scaled pass applies the 8.5.3.2.8 distance scaling
+        otherwise."""
+        target = self.ref_pocs[lx]
+        a0 = self._motion_at(x0 - 1, y0 + n)
+        a1 = self._motion_at(x0 - 1, y0 + n - 1)
+        b0 = self._motion_at(x0 + n, y0 - 1)
+        b1 = self._motion_at(x0 + n - 1, y0 - 1)
+        b2 = self._motion_at(x0 - 1, y0 - 1)
+        is_scaled = a0 is not None or a1 is not None
+
+        def same_ref(cand):
+            if cand is None:
+                return None
+            for y in (lx, 1 - lx):
+                if cand[y] and y < len(self.ref_pocs) and (
+                    self.ref_pocs[y] == target
+                ):
+                    return cand[2 + y]
+            return None
+
+        def scaled(cand):
+            if cand is None:
+                return None
+            for y in (lx, 1 - lx):
+                if cand[y] and y < len(self.ref_pocs):
+                    tb = self.cur_poc - target
+                    td = self.cur_poc - self.ref_pocs[y]
+                    if td == 0:
+                        return cand[2 + y]
+                    return self._scale_mv(cand[2 + y], tb, td)
+            return None
+
+        mv_a = None
+        for cand in (a0, a1):
+            mv_a = same_ref(cand)
+            if mv_a is not None:
+                break
+        if mv_a is None:
+            for cand in (a0, a1):
+                mv_a = scaled(cand)
+                if mv_a is not None:
+                    break
+        mv_b = None
+        for cand in (b0, b1, b2):
+            mv_b = same_ref(cand)
+            if mv_b is not None:
+                break
+        if not is_scaled:
+            # 8.5.3.2.7 steps 6-7: no left neighbour exists — A takes
+            # the unscaled B candidate, and B is re-derived with the
+            # scaled pass
+            mv_a = mv_b
+            mv_b = None
+            for cand in (b0, b1, b2):
+                mv_b = scaled(cand)
+                if mv_b is not None:
+                    break
+        cands = []
+        if mv_a is not None:
+            cands.append(mv_a)
+        if mv_b is not None and mv_b != mv_a:
+            cands.append(mv_b)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[mvp_flag]
 
     # -- motion compensation (8.5.3.3.3) -------------------------------------
 
-    def _inter_pred_cu(self, x0, y0, n, mv) -> None:
-        self.y[y0:y0 + n, x0:x0 + n] = self._mc_luma(x0, y0, n, mv)
+    def _inter_pred_cu(self, x0, y0, n, mot) -> None:
+        pf0, pf1, mv0, mv1 = mot
+        if pf0 and pf1:
+            self.n_bi += 1
+        else:
+            self.n_uni[0 if pf0 else 1] += 1
         nc = n >> 1
         xc, yc = x0 >> 1, y0 >> 1
-        self.cb[yc:yc + nc, xc:xc + nc] = self._mc_chroma(
-            self.ref_cb, xc, yc, nc, mv
-        )
-        self.cr[yc:yc + nc, xc:xc + nc] = self._mc_chroma(
-            self.ref_cr, xc, yc, nc, mv
-        )
+        planes = ((self.y, x0, y0, n), (self.cb, xc, yc, nc),
+                  (self.cr, xc, yc, nc))
+        raws = [[], [], []]
+        for lx, pf, mv in ((0, pf0, mv0), (1, pf1, mv1)):
+            if not pf:
+                continue
+            ry, rcb, rcr = self.refs[lx]
+            raws[0].append(self._mc_luma_raw(ry, x0, y0, n, mv))
+            raws[1].append(self._mc_chroma_raw(rcb, xc, yc, nc, mv))
+            raws[2].append(self._mc_chroma_raw(rcr, xc, yc, nc, mv))
+        for (plane, px, py, pn), rs in zip(planes, raws):
+            if len(rs) == 2:
+                # 8.5.3.3.4.3 default bi prediction: average the
+                # 14-bit intermediates, shift2 = 15 - BitDepth = 7
+                out = np.clip((rs[0] + rs[1] + 64) >> 7, 0, 255)
+            else:
+                # 8.5.3.3.4.2 uni: shift1 = 14 - BitDepth = 6
+                out = np.clip((rs[0] + 32) >> 6, 0, 255)
+            plane[py:py + pn, px:px + pn] = out
 
-    def _mc_luma(self, x0, y0, n, mv):
-        """8.5.3.3.3.1 with BitDepth 8: shift1 = 0, shift2 = 6,
-        shift3 = 6, then the default weighted-sample process
-        (8.5.3.3.4.2): clip((pred + 32) >> 6).  Out-of-picture
-        reference samples clamp to the picture edge (the 8.5.3.2.9
-        sample padding)."""
+    def _mc_luma_raw(self, ref, x0, y0, n, mv):
+        """8.5.3.3.3.1 with BitDepth 8 (shift1 = 0, shift2 = 6):
+        returns the 14-bit intermediate prediction (pre weighted-
+        sample rounding).  Out-of-picture reference samples clamp to
+        the picture edge (8.5.3.2.9 padding)."""
         mx, my = mv
         xi, fx = x0 + (mx >> 2), mx & 3
         yi, fy = y0 + (my >> 2), my & 3
         rows = np.clip(np.arange(yi - 3, yi + n + 4), 0, self.h - 1)
         cols = np.clip(np.arange(xi - 3, xi + n + 4), 0, self.w - 1)
-        blk = self.ref_y[np.ix_(rows, cols)]
+        blk = ref[np.ix_(rows, cols)]
         if fx == 0 and fy == 0:
-            pred = blk[3:3 + n, 3:3 + n] << 6
-        elif fy == 0:
+            return blk[3:3 + n, 3:3 + n] << 6
+        if fy == 0:
             f = HEVC_LUMA_FILTER[fx]
-            pred = sum(
-                f[i] * blk[3:3 + n, i:i + n] for i in range(8)
-            )
-        elif fx == 0:
+            return sum(f[i] * blk[3:3 + n, i:i + n] for i in range(8))
+        if fx == 0:
             f = HEVC_LUMA_FILTER[fy]
-            pred = sum(
-                f[i] * blk[i:i + n, 3:3 + n] for i in range(8)
-            )
-        else:
-            fh = HEVC_LUMA_FILTER[fx]
-            tmp = sum(
-                fh[i] * blk[:, i:i + n] for i in range(8)
-            )
-            fv = HEVC_LUMA_FILTER[fy]
-            pred = sum(
-                fv[i] * tmp[i:i + n, :] for i in range(8)
-            ) >> 6
-        return np.clip((pred + 32) >> 6, 0, 255)
+            return sum(f[i] * blk[i:i + n, 3:3 + n] for i in range(8))
+        fh = HEVC_LUMA_FILTER[fx]
+        tmp = sum(fh[i] * blk[:, i:i + n] for i in range(8))
+        fv = HEVC_LUMA_FILTER[fy]
+        return sum(fv[i] * tmp[i:i + n, :] for i in range(8)) >> 6
 
-    def _mc_chroma(self, ref, xc, yc, nc, mv):
+    def _mc_chroma_raw(self, ref, xc, yc, nc, mv):
         """8.5.3.3.3.2: eighth-pel 4-tap over the half-resolution
-        plane; same shift ladder as luma."""
+        plane; returns the 14-bit intermediate."""
         mx, my = mv
         xi, fx = xc + (mx >> 3), mx & 7
         yi, fy = yc + (my >> 3), my & 7
@@ -1733,27 +1898,17 @@ class HevcPSliceDecoder(HevcIntraSliceDecoder):
         cols = np.clip(np.arange(xi - 1, xi + nc + 2), 0, cw - 1)
         blk = ref[np.ix_(rows, cols)]
         if fx == 0 and fy == 0:
-            pred = blk[1:1 + nc, 1:1 + nc] << 6
-        elif fy == 0:
+            return blk[1:1 + nc, 1:1 + nc] << 6
+        if fy == 0:
             f = HEVC_CHROMA_FILTER[fx]
-            pred = sum(
-                f[i] * blk[1:1 + nc, i:i + nc] for i in range(4)
-            )
-        elif fx == 0:
+            return sum(f[i] * blk[1:1 + nc, i:i + nc] for i in range(4))
+        if fx == 0:
             f = HEVC_CHROMA_FILTER[fy]
-            pred = sum(
-                f[i] * blk[i:i + nc, 1:1 + nc] for i in range(4)
-            )
-        else:
-            fh = HEVC_CHROMA_FILTER[fx]
-            tmp = sum(
-                fh[i] * blk[:, i:i + nc] for i in range(4)
-            )
-            fv = HEVC_CHROMA_FILTER[fy]
-            pred = sum(
-                fv[i] * tmp[i:i + nc, :] for i in range(4)
-            ) >> 6
-        return np.clip((pred + 32) >> 6, 0, 255)
+            return sum(f[i] * blk[i:i + nc, 1:1 + nc] for i in range(4))
+        fh = HEVC_CHROMA_FILTER[fx]
+        tmp = sum(fh[i] * blk[:, i:i + nc] for i in range(4))
+        fv = HEVC_CHROMA_FILTER[fy]
+        return sum(fv[i] * tmp[i:i + nc, :] for i in range(4)) >> 6
 
     # -- inter residual tree (7.3.8.8 / 7.3.8.10) ----------------------------
 
@@ -1930,9 +2085,20 @@ X265_VIDEO_PARAMS = (
 )
 
 
+# Extra pins for B-frame fixtures (llm_m59): fixed IBBP GOP with no
+# adaptive placement, flat reference structure (no b-pyramid), and
+# weighted biprediction off (outside the decoder's scope).
+X265_BFRAME_PARAMS = (
+    ("bframes", "2"),
+    ("b-adapt", "0"),
+    ("b-pyramid", "0"),
+    ("weightb", "0"),
+)
+
+
 def encode_hevc_video(
     frames, qp: int, ctu: int = 32, lossless: bool = False,
-    max_merge: int = 2,
+    max_merge: int = 2, extra_params: tuple = (),
 ) -> list[bytes]:
     """Encode (y, cb, cr) frame tuples with the REAL x265 encoder
     under the m58 pins; returns the bitstream as a list of NAL units
@@ -1951,7 +2117,10 @@ def encode_hevc_video(
     try:
         if x.x265_param_default_preset(par, b"ultrafast", None) != 0:
             raise ValueError("x265: preset rejected")
-        params = X265_VIDEO_PARAMS + (
+        overridden = {k for k, _ in extra_params}
+        params = tuple(
+            p for p in X265_VIDEO_PARAMS if p[0] not in overridden
+        ) + extra_params + (
             ("input-res", f"{w}x{h}"),
             ("fps", "25"),
             ("max-merge", str(max_merge)),
@@ -2072,32 +2241,51 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
             hdr, br = parse_hevc_slice_header(nal, sps, pps)
             if hdr["deblock_disabled"] == 0:
                 raise ValueError(
-                    "HEVC: deblocking must be disabled (m58 scope)"
+                    "HEVC: deblocking must be disabled (m58/m59 scope)"
                 )
             if hdr["sao_luma"] or hdr["sao_chroma"]:
-                raise ValueError("HEVC: SAO P slices unsupported")
+                raise ValueError("HEVC: SAO inter slices unsupported")
             poc = hdr["poc_lsb"]
-            # RefPicList0 (8.3.4): used negative pics by ascending
-            # delta, then used positive; one active entry under the
-            # m58 pins, so L0[0] is the closest used preceding pic
-            # (x265 keeps older pics in the RPS for the DPB even at
-            # ref=1 — they are list tail, never referenced).
-            used = [d for d, u in hdr["rps"]["neg"] if u]
+            # RefPicList construction (8.3.4) with one active entry
+            # per list: L0 = used negative pics by ascending delta
+            # then used positive; L1 = used positive then negative
+            # (x265 keeps extra pics in the RPS for the DPB at ref=1
+            # — list tail, never referenced).
+            used_neg = [d for d, u in hdr["rps"]["neg"] if u]
             used_pos = [d for d, u in hdr["rps"]["pos"] if u]
-            if hdr["n_ref_l0"] != 1 or (not used and not used_pos):
+            l0 = [poc - d for d in used_neg] + [
+                poc + d for d in used_pos
+            ]
+            l1 = [poc + d for d in used_pos] + [
+                poc - d for d in used_neg
+            ]
+            is_b = hdr["slice_type"] == 0
+            if hdr["n_ref_l0"] != 1 or not l0 or (
+                is_b and (hdr["n_ref_l1"] != 1 or not l1)
+            ):
                 raise ValueError(
-                    f"HEVC: need one active L0 ref, got "
-                    f"n_ref={hdr['n_ref_l0']} rps={hdr['rps']}"
+                    f"HEVC: need one active ref per list, got "
+                    f"l0={hdr['n_ref_l0']} l1={hdr['n_ref_l1']} "
+                    f"rps={hdr['rps']}"
                 )
-            ref_poc = poc - used[0] if used else poc + used_pos[0]
-            if ref_poc not in dpb:
-                raise ValueError(
-                    f"HEVC: reference POC {ref_poc} not in DPB"
-                )
+            ref_pocs = [l0[0]] + ([l1[0]] if is_b else [])
+            for rp in ref_pocs:
+                if rp not in dpb:
+                    raise ValueError(
+                        f"HEVC: reference POC {rp} not in DPB"
+                    )
             dec = _CabacDecoder(br)
-            init_type = 1 + hdr["cabac_init_flag"]
+            # 9.3.2.2 Table 9-4: P initType = cabac_init ? 2 : 1,
+            # B initType = cabac_init ? 1 : 2
+            if is_b:
+                init_type = 1 if hdr["cabac_init_flag"] else 2
+            else:
+                init_type = 2 if hdr["cabac_init_flag"] else 1
             ctx = _Ctx(hdr["slice_qp"], init_type)
-            d = HevcPSliceDecoder(sps, pps, hdr, dpb[ref_poc])
+            d = HevcInterSliceDecoder(
+                sps, pps, hdr, [dpb[rp] for rp in ref_pocs],
+                ref_pocs, poc,
+            )
             d.decode(dec, ctx)
             y = d.y.astype(np.uint8)
             cb = d.cb.astype(np.uint8)
@@ -2105,7 +2293,7 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
             dpb[poc] = (y, cb, cr)
             st = {
                 "poc": poc,
-                "slice_type": "P",
+                "slice_type": "B" if is_b else "P",
                 "slice_qp": hdr["slice_qp"],
                 "n_cu": d.n_cu,
                 "n_skip": d.n_skip,
@@ -2113,6 +2301,9 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
                 "n_amvp": d.n_amvp,
                 "n_intra_cu": d.n_intra_cu,
                 "n_frac_mv": d.n_frac_mv,
+                "n_bi": d.n_bi,
+                "n_uni_l0": d.n_uni[0],
+                "n_uni_l1": d.n_uni[1],
                 "n_coeff": d.n_coeff,
             }
             out.append((y, cb, cr, st))

@@ -182,8 +182,9 @@ def test_mc_filter_tables_in_x265_rodata():
 
 
 def test_unsupported_inter_tools_fail_loudly():
-    """Streams outside the declared m58 scope must be rejected, not
-    mis-decoded: rectangular partitions (rect=1) and B-frames."""
+    """Streams outside the declared m58/m59 scope must be rejected,
+    not mis-decoded: rectangular partitions (rect=1) and multi-ref
+    L0 lists (ref=2 — B slices themselves are IN scope since m59)."""
     import ctypes  # noqa: F401  (symmetry with the encoder module)
 
     rng = np.random.RandomState(5)
@@ -209,9 +210,9 @@ def test_unsupported_inter_tools_fail_loudly():
     with pytest.raises(ValueError, match="partition|2Nx2N"):
         hevc.decode_hevc_video_from_spec(rect_nals)
 
-    b_nals = encode_with((("bframes", "2"),))
+    multiref_nals = encode_with((("ref", "2"),))
     with pytest.raises(ValueError):
-        hevc.decode_hevc_video_from_spec(b_nals)
+        hevc.decode_hevc_video_from_spec(multiref_nals)
 
 
 def test_deblock_signalled_pslice_rejected():
