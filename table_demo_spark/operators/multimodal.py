@@ -3541,6 +3541,195 @@ def hevc_pslice_decode_stats(
     )
 
 
+# -- HEVC B-slice video decode vs libde265 (m59, r15) ------------------------
+
+_M59_SALT_H = "#m59h"
+_M59_SALT_P = "#m59p"
+
+
+def hevc_bslice_decode_stats(
+    docs: DataFrame, fraction: float = 1.0
+) -> DataFrame:
+    """HEVC BIPREDICTION (the m58 inter layer completed to B
+    slices): per document a fixed-IBBP GOP video (one IDR + P
+    anchors + paired TRAIL_N B slices, one active reference per
+    list, no b-pyramid / weighted-bipred / TMVP) is encoded by the
+    REAL x265 encoder and decoded from spec —
+    HevcInterSliceDecoder's B arm: inter_pred_idc with the
+    depth-keyed context, combined bi-predictive merge candidates,
+    per-list AMVP with the POC-distance scaling arm,
+    mvd_l1_zero_flag handling, and 14-bit-intermediate biprediction
+    averaging — then adjudicated BIT-EXACT per frame (display
+    order) against libde265.  Three md5-restatable content modes:
+    mode 0 rolls one noise plane into anchors and sets each B pair
+    to the rounded anchor average (zero-MV bi-merge territory),
+    mode 1 draws INDEPENDENT noise anchors and builds B frames as
+    the average of two differently-rolled anchors (explicit
+    two-list AMVP with nonzero fractional MVs — measured: x265
+    codes PRED_BI with subpel refinement here), mode 2 draws fresh
+    noise per frame (intra-in-B + uni L0/L1 + dense residuals).
+    The oracle restates geometry, the probed x265 CQP slice-QP law
+    (I = qp-3, P = qp, B = qp+2, uniform over the drawn range) and
+    first/last-display-frame source checksums.  Corpus-linear: one
+    task per doc batch after fan_out, no shuffle, no driver state.
+
+    Scale contract: full-corpus at fixture scale; at production
+    scale this is a SAMPLED AUDIT query — pass ``fraction=1/k``
+    for the deterministic doc_id-keyed subsample."""
+    import numpy as np
+
+    from table_demo_spark.operators import hevc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M59_SALT_H)
+                # smaller dim/GOP budget than m58: per-doc cost is
+                # frames x bit-serial decodes, and the B battery runs
+                # 4-7 frames per doc (7 on a quarter of docs)
+                w = 32 + 8 * (hdr[0] % 3)
+                h = 32 + 8 * (hdr[1] % 3)
+                ctu = 16 if hdr[2] % 2 == 0 else 32
+                qp = 12 + hdr[3] % 31
+                periods = 1 + (1 if hdr[4] % 4 == 0 else 0)
+                n_frames = 1 + 3 * periods
+                mode = hdr[5] % 3
+                max_merge = 1 + hdr[6] % 5
+                v0 = (2 * (hdr[7] % 3) - 2, 2 * (hdr[8] % 4) - 4)
+                v1 = (2 * (hdr[9] % 3) - 2, 2 * (hdr[10] % 4) - 4)
+                yn, cn = w * h, (w // 2) * (h // 2)
+                total = yn + 2 * cn
+                n_slices = (
+                    1 if mode == 0
+                    else periods + 1 if mode == 1
+                    else n_frames
+                )
+                raw = np.frombuffer(
+                    _md5_stream(
+                        str(doc_id),
+                        (n_slices * total + 15) // 16,
+                        _M59_SALT_P,
+                    ),
+                    np.uint8,
+                )
+
+                def planes(sl):
+                    b = raw[sl * total:(sl + 1) * total].astype(
+                        np.int64
+                    )
+                    return (
+                        b[:yn].reshape(h, w),
+                        b[yn:yn + cn].reshape(h // 2, w // 2),
+                        b[yn + cn:].reshape(h // 2, w // 2),
+                    )
+
+                def roll3(p, dy, dx):
+                    y, cb, cr = p
+                    return (
+                        np.roll(y, (dy, dx), (0, 1)),
+                        np.roll(cb, (dy // 2, dx // 2), (0, 1)),
+                        np.roll(cr, (dy // 2, dx // 2), (0, 1)),
+                    )
+
+                def avg3(p, q):
+                    return tuple(
+                        (a + b + 1) // 2 for a, b in zip(p, q)
+                    )
+
+                if mode == 0:
+                    base = planes(0)
+                    anchors = [
+                        roll3(base, 2 * j, 4 * j)
+                        for j in range(periods + 1)
+                    ]
+                elif mode == 1:
+                    anchors = [planes(j) for j in range(periods + 1)]
+                else:
+                    anchors = None
+                disp = []
+                if anchors is None:
+                    disp = [planes(k) for k in range(n_frames)]
+                else:
+                    for j in range(periods):
+                        bf = avg3(
+                            roll3(anchors[j], *v0),
+                            roll3(anchors[j + 1], *v1),
+                        )
+                        disp += [anchors[j], bf, bf]
+                    disp.append(anchors[-1])
+                frames = [
+                    tuple(p.astype(np.uint8) for p in f) for f in disp
+                ]
+                nals = hevc.encode_hevc_video(
+                    frames, qp=qp, ctu=ctu, max_merge=max_merge,
+                    extra_params=hevc.X265_BFRAME_PARAMS,
+                )
+                got = hevc.decode_hevc_video_from_spec(nals)
+                want = hevc.decode_hevc_libde265_frames(nals)
+                if len(got) != n_frames or len(want) != n_frames:
+                    raise ValueError(
+                        f"m59: frame count mismatch {len(got)} vs "
+                        f"{len(want)} vs {n_frames}"
+                    )
+                types = [st["slice_type"] for *_, st in got]
+                expect = ["I"] + ["P", "B", "B"] * periods
+                if types != expect:
+                    raise ValueError(f"m59: GOP shape {types}")
+                qps = {
+                    t: {st["slice_qp"] for *_, st in got
+                        if st["slice_type"] == t}
+                    for t in ("I", "P", "B")
+                }
+                if any(len(v) != 1 for v in qps.values()):
+                    raise ValueError(f"m59: non-uniform QPs {qps}")
+                gs = sorted(got, key=lambda f: f[3]["poc"])
+                ex = [1, 1, 1]
+                for (gy, gcb, gcr, _), (wy, wcb, wcr) in zip(gs, want):
+                    for j, (g, r) in enumerate(
+                        ((gy, wy), (gcb, wcb), (gcr, wcr))
+                    ):
+                        if g.shape != r.shape or not (g == r).all():
+                            ex[j] = 0
+                wy_w = 1 + np.arange(yn, dtype=np.int64) % 7
+                yf = disp[0][0].reshape(-1).astype(np.int64)
+                yl = disp[-1][0].reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), w, h, ctu, qp, n_frames,
+                        2 * periods, mode,
+                        int(qps["I"].pop()), int(qps["P"].pop()),
+                        int(qps["B"].pop()),
+                        int(yf.sum()), int((wy_w * yf).sum()),
+                        int(yl.sum()), int((wy_w * yl).sum()),
+                        int(disp[0][1].sum()), int(disp[0][2].sum()),
+                        ex[0], ex[1], ex[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "ctu", "qp",
+                    "n_frames", "n_b_frames", "mode", "slice_qp_i",
+                    "slice_qp_p", "slice_qp_b", "sum_y0", "wsum_y0",
+                    "sum_ylast", "wsum_ylast", "sum_cb0", "sum_cr0",
+                    "exact_y", "exact_cb", "exact_cr",
+                ],
+            )
+
+    return _spread_ids(docs, fraction).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, ctu long, qp long, "
+            "n_frames long, n_b_frames long, mode long, slice_qp_i "
+            "long, slice_qp_p long, slice_qp_b long, sum_y0 long, "
+            "wsum_y0 long, sum_ylast long, wsum_ylast long, "
+            "sum_cb0 long, sum_cr0 long, exact_y long, exact_cb long, "
+            "exact_cr long"
+        ),
+    )
+
+
 # -- AVIF image sequences: non-reduced AV1 headers (m52, r14) ----------------
 
 _M52_SALT_H = "#m52h"

@@ -105,6 +105,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     # r15 new queries land here (no CORRECTNESS row yet ->
     # oldest-of-all, so they keep the due-count intact).
     "llm_m58_hevc_pslice_decode",
+    "llm_m59_hevc_bslice_decode",
 )
 
 

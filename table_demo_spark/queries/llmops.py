@@ -9166,6 +9166,123 @@ ORDER BY hdr.doc_id
 """
 
 
+def m59_hevc_bslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC BIPREDICTION — m58's inter layer completed to B slices:
+    fixed-IBBP x265 GOPs (TRAIL_N B pairs between I/P anchors, one
+    reference per list) decoded from spec with inter_pred_idc
+    coding, combined bi-predictive merge candidates, per-list AMVP
+    incl. the POC-distance scaling arm, mvd_l1_zero handling, and
+    the 14-bit-intermediate biprediction average (8.5.3.3.4.3) —
+    adjudicated BIT-EXACT per display-order frame against libde265.
+    Content modes pin zero-MV bi-merge (anchor averages), explicit
+    two-list fractional AMVP (averages of differently-rolled
+    independent anchors), and intra-in-B/uni paths (fresh noise).
+    The oracle restates geometry, the probed CQP slice-QP law
+    (I = qp-3, P = qp, B = qp+2) and first/last-frame checksums.
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_bslice_decode_stats(docs).orderBy("doc_id")
+
+
+def _m59_oracle() -> str:
+    from table_demo_spark.operators.multimodal import (
+        _M58_MAX_C,
+        _M58_MAX_Y,
+        _M59_SALT_H,
+        _M59_SALT_P,
+    )
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M59_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    def pbyte(j: str) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) ||"
+            f" '{_M59_SALT_P}' || CAST(({j}) // 16 AS VARCHAR)),"
+            f" CAST(2 * (({j}) % 16) + 1 AS INT), 2) AS BIGINT)"
+        )
+
+    # last-display-frame luma md5 index: mode 0 = modular roll of
+    # slice 0 by (2*periods, 4*periods); mode 1 = anchor slice
+    # `periods`; mode 2 = frame slice n-1 (n = 1 + 3*periods)
+    jl = (
+        "CASE WHEN d.mode = 0 THEN"
+        " (((g.i // d.w - 2 * d.periods) % d.h + d.h) % d.h) * d.w"
+        " + ((g.i % d.w - 4 * d.periods) % d.w + d.w) % d.w"
+        " WHEN d.mode = 1 THEN"
+        " d.periods * (d.w * d.h + 2 * ((d.w // 2) * (d.h // 2)))"
+        " + g.i"
+        " ELSE"
+        " 3 * d.periods * (d.w * d.h + 2 * ((d.w // 2) * (d.h // 2)))"
+        " + g.i END"
+    )
+    return f"""
+WITH hdr AS MATERIALIZED (
+  SELECT doc_id,
+         32 + 8 * ({hbyte(0)} % 3) AS w,
+         32 + 8 * ({hbyte(1)} % 3) AS h,
+         CASE WHEN {hbyte(2)} % 2 = 0 THEN 16 ELSE 32 END AS ctu,
+         12 + {hbyte(3)} % 31 AS qp,
+         1 + CASE WHEN {hbyte(4)} % 4 = 0 THEN 1 ELSE 0 END AS periods,
+         {hbyte(5)} % 3 AS mode
+  FROM documents
+),
+ypx AS MATERIALIZED (
+  SELECT d.doc_id,
+         1 + g.i % 7 AS wt,
+         {pbyte("g.i")} AS b0,
+         {pbyte(jl)} AS bl
+  FROM hdr d CROSS JOIN range({_M58_MAX_Y}) g(i)
+  WHERE g.i < d.w * d.h
+),
+cpx AS MATERIALIZED (
+  SELECT d.doc_id,
+         {pbyte("d.w * d.h + g.i")} AS cbb,
+         {pbyte("d.w * d.h + (d.w // 2) * (d.h // 2) + g.i")} AS crb
+  FROM hdr d CROSS JOIN range({_M58_MAX_C}) g(i)
+  WHERE g.i < (d.w // 2) * (d.h // 2)
+),
+yagg AS (
+  SELECT doc_id,
+         CAST(sum(b0) AS BIGINT) AS sum_y0,
+         CAST(sum(wt * b0) AS BIGINT) AS wsum_y0,
+         CAST(sum(bl) AS BIGINT) AS sum_ylast,
+         CAST(sum(wt * bl) AS BIGINT) AS wsum_ylast
+  FROM ypx GROUP BY doc_id
+),
+cagg AS (
+  SELECT doc_id,
+         CAST(sum(cbb) AS BIGINT) AS sum_cb0,
+         CAST(sum(crb) AS BIGINT) AS sum_cr0
+  FROM cpx GROUP BY doc_id
+)
+SELECT hdr.doc_id,
+       CAST(hdr.w AS BIGINT) AS width,
+       CAST(hdr.h AS BIGINT) AS height,
+       CAST(hdr.ctu AS BIGINT) AS ctu,
+       CAST(hdr.qp AS BIGINT) AS qp,
+       CAST(1 + 3 * hdr.periods AS BIGINT) AS n_frames,
+       CAST(2 * hdr.periods AS BIGINT) AS n_b_frames,
+       CAST(hdr.mode AS BIGINT) AS mode,
+       CAST(hdr.qp - 3 AS BIGINT) AS slice_qp_i,
+       CAST(hdr.qp AS BIGINT) AS slice_qp_p,
+       CAST(hdr.qp + 2 AS BIGINT) AS slice_qp_b,
+       yagg.sum_y0, yagg.wsum_y0, yagg.sum_ylast, yagg.wsum_ylast,
+       cagg.sum_cb0, cagg.sum_cr0,
+       CAST(1 AS BIGINT) AS exact_y,
+       CAST(1 AS BIGINT) AS exact_cb,
+       CAST(1 AS BIGINT) AS exact_cr
+FROM hdr JOIN yagg USING (doc_id) JOIN cagg USING (doc_id)
+ORDER BY hdr.doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -11550,6 +11667,11 @@ QUERIES: list[Query] = [
         "llm_m58_hevc_pslice_decode",
         m58_hevc_pslice_decode,
         _m58_oracle(),
+    ),
+    Query(
+        "llm_m59_hevc_bslice_decode",
+        m59_hevc_bslice_decode,
+        _m59_oracle(),
     ),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),
