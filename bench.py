@@ -237,6 +237,7 @@ HEADLINE = [
     "llm_m57_hevc_sao_decode",
     "llm_m58_hevc_pslice_decode",
     "llm_m59_hevc_bslice_decode",
+    "llm_m60_hevc_tmvp_decode",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

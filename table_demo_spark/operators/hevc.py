@@ -438,8 +438,7 @@ def parse_hevc_slice_header(
         if sps.get("long_term_ref_pics", 0):
             raise ValueError("HEVC: long-term ref pics unsupported")
         if sps["temporal_mvp_enabled"]:
-            if br.bits(1):
-                raise ValueError("HEVC: temporal MVP unsupported")
+            hdr["tmvp"] = br.bits(1)
     hdr["sao_luma"] = hdr["sao_chroma"] = 0
     if sps["sao_enabled"]:
         hdr["sao_luma"] = br.bits(1)
@@ -449,6 +448,7 @@ def parse_hevc_slice_header(
     hdr["n_ref_l0"] = 0
     hdr["n_ref_l1"] = 0
     hdr["mvd_l1_zero"] = 0
+    hdr.setdefault("tmvp", 0)
     if hdr["slice_type"] in (0, 1):
         n_l0 = pps["num_ref_idx_l0_default"]
         n_l1 = pps["num_ref_idx_l1_default"]
@@ -467,6 +467,19 @@ def parse_hevc_slice_header(
             hdr["mvd_l1_zero"] = br.bits(1)
         if pps["cabac_init_present"]:
             hdr["cabac_init_flag"] = br.bits(1)
+        hdr["col_from_l0"] = 1
+        if hdr.get("tmvp"):
+            if hdr["slice_type"] == 0:
+                hdr["col_from_l0"] = br.bits(1)
+            n_col = (
+                hdr["n_ref_l0"] if hdr["col_from_l0"] else hdr["n_ref_l1"]
+            )
+            if n_col > 1:
+                hdr["col_ref_idx"] = _expgolomb_ue(br)
+                if hdr["col_ref_idx"] != 0:
+                    raise ValueError(
+                        "HEVC: nonzero collocated_ref_idx unsupported"
+                    )
         if hdr["slice_type"] == 1 and pps["weighted_pred"]:
             raise ValueError("HEVC: weighted prediction unsupported")
         if hdr["slice_type"] == 0 and pps["weighted_bipred"]:
@@ -1510,7 +1523,7 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
 
     def __init__(
         self, sps: dict, pps: dict, hdr: dict, refs, ref_pocs,
-        cur_poc: int,
+        cur_poc: int, col_info: dict | None = None,
     ) -> None:
         super().__init__(sps, pps, hdr)
         # refs: [(y, cb, cr)] per list — length 1 (P) or 2 (B)
@@ -1519,6 +1532,16 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
         ]
         self.ref_pocs = list(ref_pocs)
         self.cur_poc = cur_poc
+        # TMVP (llm_m60): the collocated picture's 16x16-granularity
+        # motion summary (_col_summary of the ref this slice points
+        # at via collocated_from_l0_flag), or None when the slice
+        # does not enable temporal MVP / the col pic is intra-only
+        self.tmvp = bool(hdr.get("tmvp")) and col_info is not None
+        self.col_info = col_info
+        # NoBackwardPredFlag (8.5.3.2.9): every reference POC at or
+        # before the current picture
+        self.no_backward = all(p <= cur_poc for p in ref_pocs)
+        self.col_from_l0 = hdr.get("col_from_l0", 1)
         self.is_b = hdr["slice_type"] == 0
         self.max_merge = hdr["max_merge"]
         self.n_ref_l0 = hdr["n_ref_l0"]
@@ -1535,6 +1558,8 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
         self.n_frac_mv = 0
         self.n_bi = 0
         self.n_uni = [0, 0]
+        self.n_tmvp_merge = 0
+        self.n_tmvp_amvp = 0
 
     # -- syntax (7.3.8.5 / 7.3.8.6) ------------------------------------------
 
@@ -1708,6 +1733,27 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
             b2 = self._motion_at(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
+        if self.tmvp and len(cands) < self.max_merge:
+            # 8.5.3.2.5 temporal merging candidate (after spatial,
+            # before combined/zero): per-list col derivation with
+            # refIdx 0
+            t0 = self._temporal_mv(x0, y0, n, 0)
+            t1 = (
+                self._temporal_mv(x0, y0, n, 1)
+                if self.is_b and len(self.refs) == 2
+                else None
+            )
+            if t0 is not None or t1 is not None:
+                if idx == len(cands):
+                    self.n_tmvp_merge += 1
+                cands.append(
+                    (
+                        t0 is not None,
+                        t1 is not None,
+                        t0 if t0 is not None else (0, 0),
+                        t1 if t1 is not None else (0, 0),
+                    )
+                )
         if self.is_b and len(self.refs) == 2:
             # 8.5.3.2.4 combined bi-predictive candidates
             orig = len(cands)
@@ -1829,9 +1875,81 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
             cands.append(mv_a)
         if mv_b is not None and mv_b != mv_a:
             cands.append(mv_b)
+        if len(cands) < 2 and self.tmvp:
+            # 8.5.3.2.6: the temporal candidate fills the list when
+            # fewer than two spatial MVPs survive
+            t = self._temporal_mv(x0, y0, n, lx)
+            if t is not None:
+                if mvp_flag == len(cands):
+                    self.n_tmvp_amvp += 1
+                cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[mvp_flag]
+
+    # -- temporal (collocated) motion (8.5.3.2.8-9, llm_m60) -----------------
+
+    def _temporal_mv(self, x0, y0, n, lx):
+        """Temporal luma MV prediction: bottom-right collocated
+        position first (only when inside the picture AND the same CTU
+        row as the CU — 8.5.3.2.8), then the centre position; the
+        stored col motion has 16x16 granularity."""
+        xbr, ybr = x0 + n, y0 + n
+        if (
+            xbr < self.w
+            and ybr < self.h
+            and (y0 >> self.log2_ctb) == (ybr >> self.log2_ctb)
+        ):
+            mv = self._col_motion(xbr, ybr, lx)
+            if mv is not None:
+                return mv
+        return self._col_motion(x0 + (n >> 1), y0 + (n >> 1), lx)
+
+    def _col_motion(self, xc, yc, lx):
+        """8.5.3.2.9 collocated MV: pick the col block's list (the
+        available one; for bi col motion, list ``lx`` when every
+        current reference precedes the picture, else the list the
+        collocated picture itself came from), then scale by POC
+        distances unless they match."""
+        col = self.col_info
+        cx, cy = xc >> 4, yc >> 4
+        pf0, pf1 = col["pf"][cy][cx]
+        if not pf0 and not pf1:
+            return None  # collocated block is intra
+        if not pf0:
+            ycol = 1
+        elif not pf1:
+            ycol = 0
+        elif self.no_backward:
+            ycol = lx
+        else:
+            ycol = self.col_from_l0
+        mvcol = (
+            int(col["mv"][cy][cx][ycol][0]),
+            int(col["mv"][cy][cx][ycol][1]),
+        )
+        td = col["poc"] - col["ref_pocs"][ycol]
+        tb = self.cur_poc - self.ref_pocs[lx]
+        if td == tb or td == 0:
+            return mvcol
+        return self._scale_mv(mvcol, tb, td)
+
+    def col_summary(self) -> dict:
+        """The decoded picture's motion field compressed to the 16x16
+        storage granularity (the spec's motion data storage
+        reduction: each 16x16 region keeps its top-left 4x4 block's
+        motion) — what a LATER slice's TMVP reads."""
+        pf16 = self.pf[::4, ::4].copy()
+        mv16 = self.mvf[::4, ::4].copy()
+        pocs = self.ref_pocs + [self.ref_pocs[0]] * (
+            2 - len(self.ref_pocs)
+        )
+        return {
+            "pf": pf16,
+            "mv": mv16,
+            "poc": self.cur_poc,
+            "ref_pocs": pocs,
+        }
 
     # -- motion compensation (8.5.3.3.3) -------------------------------------
 
@@ -2214,6 +2332,7 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
     resolve to exactly one previously decoded picture."""
     sps = pps = None
     dpb: dict[int, tuple] = {}
+    dpb_col: dict[int, dict | None] = {}
     out: list[tuple] = []
     for nal in nals:
         t = (nal[0] >> 1) & 0x3F
@@ -2232,7 +2351,9 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
                 raise ValueError("HEVC: slice before parameter sets")
             y, cb, cr, st = decode_hevc_islice(nal, sps, pps)
             dpb.clear()
+            dpb_col.clear()
             dpb[0] = (y, cb, cr)
+            dpb_col[0] = None  # intra picture: no collocated motion
             st["poc"] = 0
             st["slice_type"] = "I"
             out.append((y, cb, cr, st))
@@ -2282,15 +2403,20 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
             else:
                 init_type = 2 if hdr["cabac_init_flag"] else 1
             ctx = _Ctx(hdr["slice_qp"], init_type)
+            col_info = None
+            if hdr.get("tmvp"):
+                col_idx = 0 if hdr.get("col_from_l0", 1) or not is_b else 1
+                col_info = dpb_col.get(ref_pocs[col_idx])
             d = HevcInterSliceDecoder(
                 sps, pps, hdr, [dpb[rp] for rp in ref_pocs],
-                ref_pocs, poc,
+                ref_pocs, poc, col_info=col_info,
             )
             d.decode(dec, ctx)
             y = d.y.astype(np.uint8)
             cb = d.cb.astype(np.uint8)
             cr = d.cr.astype(np.uint8)
             dpb[poc] = (y, cb, cr)
+            dpb_col[poc] = d.col_summary()
             st = {
                 "poc": poc,
                 "slice_type": "B" if is_b else "P",
@@ -2304,6 +2430,8 @@ def decode_hevc_video_from_spec(nals: list[bytes]) -> list[tuple]:
                 "n_bi": d.n_bi,
                 "n_uni_l0": d.n_uni[0],
                 "n_uni_l1": d.n_uni[1],
+                "n_tmvp_merge": d.n_tmvp_merge,
+                "n_tmvp_amvp": d.n_tmvp_amvp,
                 "n_coeff": d.n_coeff,
             }
             out.append((y, cb, cr, st))

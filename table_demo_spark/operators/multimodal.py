@@ -3545,10 +3545,12 @@ def hevc_pslice_decode_stats(
 
 _M59_SALT_H = "#m59h"
 _M59_SALT_P = "#m59p"
+_M60_SALT_H = "#m60h"
+_M60_SALT_P = "#m60p"
 
 
 def hevc_bslice_decode_stats(
-    docs: DataFrame, fraction: float = 1.0
+    docs: DataFrame, fraction: float = 1.0, tmvp: bool = False
 ) -> DataFrame:
     """HEVC BIPREDICTION (the m58 inter layer completed to B
     slices): per document a fixed-IBBP GOP video (one IDR + P
@@ -3580,11 +3582,17 @@ def hevc_bslice_decode_stats(
 
     from table_demo_spark.operators import hevc
 
+    salt_h = _M60_SALT_H if tmvp else _M59_SALT_H
+    salt_p = _M60_SALT_P if tmvp else _M59_SALT_P
+    extra = hevc.X265_BFRAME_PARAMS + (
+        (("temporal-mvp", "1"),) if tmvp else ()
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                hdr = _md5_stream(str(doc_id), 1, _M59_SALT_H)
+                hdr = _md5_stream(str(doc_id), 1, salt_h)
                 # smaller dim/GOP budget than m58: per-doc cost is
                 # frames x bit-serial decodes, and the B battery runs
                 # 4-7 frames per doc (7 on a quarter of docs)
@@ -3609,7 +3617,7 @@ def hevc_bslice_decode_stats(
                     _md5_stream(
                         str(doc_id),
                         (n_slices * total + 15) // 16,
-                        _M59_SALT_P,
+                        salt_p,
                     ),
                     np.uint8,
                 )
@@ -3663,7 +3671,7 @@ def hevc_bslice_decode_stats(
                 ]
                 nals = hevc.encode_hevc_video(
                     frames, qp=qp, ctu=ctu, max_merge=max_merge,
-                    extra_params=hevc.X265_BFRAME_PARAMS,
+                    extra_params=extra,
                 )
                 got = hevc.decode_hevc_video_from_spec(nals)
                 want = hevc.decode_hevc_libde265_frames(nals)

@@ -101,11 +101,12 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q13_sliding_window",
     "stream_q15_running_totals",
     "stream_q19_anti_join",
-    "stream_q20_semi_join",
     # r15 new queries land here (no CORRECTNESS row yet ->
-    # oldest-of-all, so they keep the due-count intact).
+    # oldest-of-all, so they keep the due-count intact; stream_q20
+    # yields its slot to llm_m60 and rejoins the r16 LRU cohort).
     "llm_m58_hevc_pslice_decode",
     "llm_m59_hevc_bslice_decode",
+    "llm_m60_hevc_tmvp_decode",
 )
 
 

@@ -9187,24 +9187,22 @@ def m59_hevc_bslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.hevc_bslice_decode_stats(docs).orderBy("doc_id")
 
 
-def _m59_oracle() -> str:
+def _m59_oracle(salt_h: str = "#m59h", salt_p: str = "#m59p") -> str:
     from table_demo_spark.operators.multimodal import (
         _M58_MAX_C,
         _M58_MAX_Y,
-        _M59_SALT_H,
-        _M59_SALT_P,
     )
 
     def hbyte(i: int) -> str:
         return (
             "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
-            f" '{_M59_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+            f" '{salt_h}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
         )
 
     def pbyte(j: str) -> str:
         return (
             "CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) ||"
-            f" '{_M59_SALT_P}' || CAST(({j}) // 16 AS VARCHAR)),"
+            f" '{salt_p}' || CAST(({j}) // 16 AS VARCHAR)),"
             f" CAST(2 * (({j}) % 16) + 1 AS INT), 2) AS BIGINT)"
         )
 
@@ -9281,6 +9279,31 @@ SELECT hdr.doc_id,
 FROM hdr JOIN yagg USING (doc_id) JOIN cagg USING (doc_id)
 ORDER BY hdr.doc_id
 """
+
+
+def m60_hevc_tmvp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEVC TEMPORAL MVP — the m59 battery with
+    sps_temporal_mvp_enabled on: merge candidate lists gain the
+    8.5.3.2.5 temporal candidate (bottom-right collocated position
+    with the same-CTU-row constraint, centre fallback, 16x16 motion
+    storage granularity) and AMVP lists the 8.5.3.2.6 temporal
+    filler, both via the 8.5.3.2.9 collocated-MV derivation — col
+    list choice by NoBackwardPredFlag / collocated_from_l0_flag and
+    POC-distance scaling — reading the 16x16-compressed motion
+    summary the DPB keeps per decoded picture.  Slice headers carry
+    slice_temporal_mvp_enabled_flag + collocated_from_l0_flag.
+    Probed: x265 genuinely selects temporal candidates on these
+    fixtures (merge and AMVP selections asserted in tests), and
+    every frame stays bit-exact vs libde265.  Same content modes,
+    GOP shape and oracle family as m59 (salts #m60*).
+
+    Scale contract: full-corpus at fixture scale, SAMPLED AUDIT at
+    production scale (fraction=1/k on the operator gives the
+    deterministic doc_id-keyed subsample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.hevc_bslice_decode_stats(docs, tmvp=True).orderBy(
+        "doc_id"
+    )
 
 
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11672,6 +11695,11 @@ QUERIES: list[Query] = [
         "llm_m59_hevc_bslice_decode",
         m59_hevc_bslice_decode,
         _m59_oracle(),
+    ),
+    Query(
+        "llm_m60_hevc_tmvp_decode",
+        m60_hevc_tmvp_decode,
+        _m59_oracle("#m60h", "#m60p"),
     ),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),

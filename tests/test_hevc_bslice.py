@@ -190,3 +190,39 @@ def test_bi_intermediate_averaging_not_uni_rounding():
         ) >> 1
         diffs += int((spec != uni).sum())
     assert diffs > 0
+
+
+def test_tmvp_streams_exact_and_temporal_candidates_selected():
+    """llm_m60: with temporal-mvp on, x265 must actually SELECT
+    temporal candidates (merge slot and AMVP filler) somewhere in
+    the sweep — and every frame stays bit-exact vs libde265 across
+    P chains (NoBackwardPredFlag arm) and IBBP GOPs (future-ref col
+    list arm).  The first P after the IDR exercises the
+    intra-collocated-picture fallback (no temporal candidates)."""
+    rng = np.random.RandomState(7)
+    tm = ta = 0
+    for trial in range(6):
+        H, W = 8 * rng.randint(4, 10), 8 * rng.randint(4, 10)
+        gy, gx = np.mgrid[0:H, 0:W]
+        base = ((gx * 5 + gy * 3) // 2
+                + rng.randint(0, 30, (H, W))) % 256
+        frames = [_mk(base)]
+        cur = base.copy()
+        for _ in range(6):
+            cur = np.roll(
+                cur,
+                (int(rng.randint(-2, 3)), int(rng.randint(-4, 5))),
+                (0, 1),
+            )
+            frames.append(_mk(cur))
+        extra = (("temporal-mvp", "1"),) + (
+            hevc.X265_BFRAME_PARAMS if trial % 2 else ()
+        )
+        nals = hevc.encode_hevc_video(
+            frames, qp=int(rng.randint(18, 40)), ctu=32,
+            extra_params=extra,
+        )
+        for st in _check(nals, 7):
+            tm += st.get("n_tmvp_merge", 0) or 0
+            ta += st.get("n_tmvp_amvp", 0) or 0
+    assert tm > 0 and ta > 0, (tm, ta)

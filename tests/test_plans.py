@@ -147,6 +147,7 @@ _PYTHON_ALLOWED = {
     "llm_m57_hevc_sao_decode",  # MapInPandas (x265 SAO+deblock encode; from-spec full in-loop chain)
     "llm_m58_hevc_pslice_decode",  # MapInPandas (x265 video encode; from-spec P-slice + libde265)
     "llm_m59_hevc_bslice_decode",  # MapInPandas (x265 IBBP encode; from-spec B-slice + libde265)
+    "llm_m60_hevc_tmvp_decode",  # MapInPandas (x265 IBBP+TMVP encode; from-spec temporal MVP + libde265)
     "llm_m49_hevc_structure",  # MapInPandas (real x265 HEIC build + from-spec ISOBMFF/SPS walk)
     "llm_m48_heic_pixels",  # MapInPandas (real x265 HEIC encode + libde265 decode via libheif)
 }
