@@ -277,6 +277,7 @@ HEADLINE = [
     "stream_q43_avif_ingest",
     "stream_q44_watermark_eviction",
     "stream_q45_hevc_ingest",
+    "stream_q46_bvideo_ingest",
 ]
 
 # Every registry query is either in HEADLINE or here, with the reason

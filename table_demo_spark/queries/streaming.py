@@ -32,6 +32,7 @@ from table_demo_spark.queries import Query
 from table_demo_spark.queries.llmops import M17_ORACLE as _M17_ORACLE
 from table_demo_spark.queries.llmops import _heif_oracle as _heif_oracle_gen
 from table_demo_spark.queries.llmops import _hevc_slice_oracle as _hevc_slice_oracle_gen
+from table_demo_spark.queries.llmops import _m59_oracle as _m59_oracle_gen
 from table_demo_spark.queries.analytics import A12_ORACLE as _A12_ORACLE
 from table_demo_spark.queries.llmops import _m19_oracle
 
@@ -1228,6 +1229,34 @@ def q45_hevc_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q46_bvideo_ingest_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous REAL-codec HEVC B-VIDEO decode at ingest (streaming
+    m60): each arriving shard's documents get a fixed-IBBP
+    temporal-MVP x265 encode, the from-spec inter decode
+    (biprediction, combined merge candidates, TMVP via the DPB's
+    16x16 motion summaries) and per-display-frame libde265
+    adjudication — the newest codec layer on the streaming path, by
+    the SAME stateless Arrow chain batch m60 uses.  No state store,
+    no watermark, O(batch) per trigger; oracle = m60's restatement
+    verbatim, so a doc dropped or decoded twice at a micro-batch
+    boundary breaks the value hash.
+
+    Scale contract: full-stream at fixture scale, SAMPLED AUDIT at
+    production scale (the batch operator's fraction=1/k knob gives
+    the deterministic doc_id-keyed subsample per micro-batch)."""
+    from table_demo_spark.streaming.queries import run_q46_bvideo_ingest
+
+    with _state_partitions(spark, no_data=False):
+        sink, query = run_q46_bvideo_ingest(spark, sf_dir)
+        _drain(query, sink.count, quiet_polls=1)
+    return sink.snapshot_df(spark).select(
+        "doc_id", "width", "height", "ctu", "qp", "n_frames",
+        "n_b_frames", "mode", "slice_qp_i", "slice_qp_p", "slice_qp_b",
+        "sum_y0", "wsum_y0", "sum_ylast", "wsum_ylast",
+        "sum_cb0", "sum_cr0", "exact_y", "exact_cb", "exact_cr",
+    ).orderBy("doc_id")
+
+
 def q30_color_decode_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous COLOR media decode (streaming m19): arriving shards'
     documents get a real 3-component 4:2:0 JFIF payload built and
@@ -2240,6 +2269,11 @@ QUERIES: list[Query] = [
         "stream_q45_hevc_ingest",
         q45_hevc_ingest_final,
         _hevc_slice_oracle_gen("#m55h", "#m55p"),
+    ),
+    Query(
+        "stream_q46_bvideo_ingest",
+        q46_bvideo_ingest_final,
+        _m59_oracle_gen("#m60h", "#m60p"),
     ),
     Query("llm_s20_serve_ingested", s20_serve_ingested, _s20_oracle()),
     Query("llm_s22_serve_resharded", s22_serve_resharded, _s22_oracle()),

@@ -4202,6 +4202,38 @@ def run_q45_hevc_ingest(
     return sink, query
 
 
+def run_q46_bvideo_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    sink=None,
+    files_per_trigger: int = 1,
+    n_shards: int = 4,
+):
+    """Continuously decode REAL x265 B-frame video at ingest — q45's
+    shape on the m60 chain: per arriving doc a fixed-IBBP
+    temporal-MVP x265 encode, the from-spec inter decode
+    (biprediction + TMVP), and per-display-frame libde265
+    adjudication, all inside one stateless Arrow map per
+    micro-batch.  O(batch) per trigger, no state store.  Returns
+    (sink, query)."""
+    from table_demo_spark.operators import multimodal
+
+    shards = ensure_docs_shards(spark, sf_dir, n_shards)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(shards)
+        .select("doc_id")
+    )
+    out = multimodal.hevc_bslice_decode_stats(docs, tmvp=True)
+    if sink is None:
+        from table_demo_spark.streaming.upsert import ParquetAppendSink
+
+        sink = ParquetAppendSink(scratch_dir("tds-q46-"))
+    query = sink.bind_stream(out, _checkpoint_dir())
+    return sink, query
+
+
 def run_q41_pipeline_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -143,6 +143,7 @@ _PYTHON_ALLOWED = {
     "llm_m54_avif_quant_layer",  # MapInPandas (fixed-q libaom still encode; dav1d+gav1 decode)
     "llm_m55_hevc_deblock_decode",  # MapInPandas (x265 deblock-on encode; from-spec decode+8.7.2)
     "stream_q45_hevc_ingest",  # MapInPandas (the m55 chain per micro-batch)
+    "stream_q46_bvideo_ingest",  # MapInPandas (the m60 B-video+TMVP chain per micro-batch)
     "llm_m56_heic_grid_crop",  # MapInPandas (sub-64 HEIC grid resolution + dual-decoder crop)
     "llm_m57_hevc_sao_decode",  # MapInPandas (x265 SAO+deblock encode; from-spec full in-loop chain)
     "llm_m58_hevc_pslice_decode",  # MapInPandas (x265 video encode; from-spec P-slice + libde265)
