@@ -238,6 +238,7 @@ HEADLINE = [
     "llm_m58_hevc_pslice_decode",
     "llm_m59_hevc_bslice_decode",
     "llm_m60_hevc_tmvp_decode",
+    "llm_m61_av1_symbol_encode",
     "llm_s24_batched_hnsw_serve",
     "llm_t35_zstd_dict_roundtrip",
     "an_a75_recursive_bom",

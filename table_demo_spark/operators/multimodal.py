@@ -3738,6 +3738,96 @@ def hevc_bslice_decode_stats(
     )
 
 
+# -- From-spec AV1 symbol-layer encode vs dav1d+libgav1 (m61, r15) -----------
+
+_M61_SALT_H = "#m61h"
+
+
+def av1_symbol_layer_stats(
+    docs: DataFrame, fraction: float = 1.0
+) -> DataFrame:
+    """AV1 SYMBOL-CODING layer (the m31/VP8 pattern inverted onto
+    AV1): per document OUR from-spec encoder emits a complete AVIF
+    still — od_ec multi-symbol entropy coding (exact big-integer
+    range coder) over the NORMATIVE default CDFs (mined from libaom
+    .rodata with 3-binary cross-validation; the skip CDF extracted
+    BEHAVIORALLY from dav1d itself), a reduced-still sequence
+    header, a lossless KEY frame with ``disable_cdf_update=1``, and
+    a from-scratch ISOBMFF container — and BOTH dav1d and libgav1
+    (independent decoder codebases via libavif codecChoice) must
+    decode it to the exact uniform 128 picture.  The stream is also
+    re-read by the repo's own m50/m54 from-spec parsers (container +
+    sequence + quantization walk), pinning writer/reader agreement
+    on the same bytes.  Any od_ec interval-arithmetic slip, wrong
+    CDF vector, or header-bit error desyncs the third-party decode
+    and fails the exactness flags.  Dims draw per doc over the
+    partition-symbol-coded range (40..64 step 8).
+
+    Scale contract: corpus-linear stateless per-doc map (tiny
+    streams — this is the cheapest codec query in the family);
+    ``fraction=1/k`` gives the deterministic sampled-audit subset."""
+    import numpy as np
+
+    from table_demo_spark.operators import av1enc, heif
+    from table_demo_spark.operators.codecs import (
+        av1_avif_quant_structure,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                hdr = _md5_stream(str(doc_id), 1, _M61_SALT_H)
+                w = 40 + 8 * (hdr[0] % 4)
+                h = 40 + 8 * (hdr[1] % 4)
+                data = av1enc.build_layer_a_avif(w, h)
+                st = av1_avif_quant_structure(data)
+                if (st["width"], st["height"]) != (w, h):
+                    raise ValueError("m61: writer/parser dim mismatch")
+                ex = [1, 1, 1]
+                for cc in (
+                    heif.AVIF_CODEC_DAV1D, heif.AVIF_CODEC_LIBGAV1,
+                ):
+                    y, cb, cr = heif.decode_avif_libavif(data, cc)
+                    for j, (plane, shp, val) in enumerate((
+                        (y, (h, w), 128),
+                        (cb, ((h + 1) // 2, (w + 1) // 2), 128),
+                        (cr, ((h + 1) // 2, (w + 1) // 2), 128),
+                    )):
+                        if plane.shape != shp or not (plane == val).all():
+                            ex[j] = 0
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        int(st["seq_profile"]), int(st["still_picture"]),
+                        int(st["n_obus"]), int(st["base_q_idx"]),
+                        int(st["coded_lossless"]),
+                        128 * w * h,
+                        128 * ((h + 1) // 2) * ((w + 1) // 2),
+                        ex[0], ex[1], ex[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "seq_profile",
+                    "still_picture", "n_obus", "base_q_idx",
+                    "coded_lossless", "sum_y", "sum_c",
+                    "exact_y", "exact_cb", "exact_cr",
+                ],
+            )
+
+    return _spread_ids(docs, fraction).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width long, height long, seq_profile long, "
+            "still_picture long, n_obus long, base_q_idx long, "
+            "coded_lossless long, sum_y long, sum_c long, "
+            "exact_y long, exact_cb long, exact_cr long"
+        ),
+    )
+
+
 # -- AVIF image sequences: non-reduced AV1 headers (m52, r14) ----------------
 
 _M52_SALT_H = "#m52h"

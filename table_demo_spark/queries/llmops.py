@@ -9306,6 +9306,64 @@ def m60_hevc_tmvp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m61_av1_symbol_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 SYMBOL-CODING layer opened (the r14 verdict 'next round
+    #3' item, taken from the ENCODER side — the m31/VP8 pattern
+    inverted onto AV1): a from-spec AV1 encoder (operators/
+    av1enc.py) emits per document a complete AVIF still — od_ec
+    multi-symbol range coding over the normative default CDFs
+    (partition/kf-y/uv mined from libaom .rodata with 3-binary
+    cross-validation; the skip CDF class extracted BEHAVIORALLY
+    from dav1d via adaptive stream elimination), a 5.5.1 reduced
+    still sequence header, a lossless KEY frame with
+    disable_cdf_update=1, and a from-scratch ISOBMFF container —
+    and BOTH dav1d AND libgav1 must reconstruct the exact uniform
+    DC picture.  The m50/m54 from-spec PARSERS re-read the same
+    bytes (writer/reader agreement on container + sequence + quant
+    walks).  The oracle restates the drawn geometry, the parsed
+    header constants, and the uniform-picture checksums.  Layer B
+    (partition mosaics with WHT DC residuals) is the declared next
+    step (docs/AV1_CDF_NOTES.md).
+
+    Scale contract: corpus-linear stateless per-doc map; the
+    cheapest codec query in the family (streams are ~270 bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.av1_symbol_layer_stats(docs).orderBy("doc_id")
+
+
+def _m61_oracle() -> str:
+    from table_demo_spark.operators.multimodal import _M61_SALT_H
+
+    def hbyte(i: int) -> str:
+        return (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||"
+            f" '{_M61_SALT_H}' || '0'), {2 * i + 1}, 2) AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(0 AS BIGINT) AS seq_profile,
+       CAST(1 AS BIGINT) AS still_picture,
+       CAST(2 AS BIGINT) AS n_obus,
+       CAST(0 AS BIGINT) AS base_q_idx,
+       CAST(1 AS BIGINT) AS coded_lossless,
+       CAST(128 * w * h AS BIGINT) AS sum_y,
+       CAST(128 * ((h + 1) // 2) * ((w + 1) // 2) AS BIGINT) AS sum_c,
+       CAST(1 AS BIGINT) AS exact_y,
+       CAST(1 AS BIGINT) AS exact_cb,
+       CAST(1 AS BIGINT) AS exact_cr
+FROM (
+  SELECT doc_id,
+         40 + 8 * ({hbyte(0)} % 4) AS w,
+         40 + 8 * ({hbyte(1)} % 4) AS h
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def m29_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 ingest triage: header-walk structurally valid MPEG-1
     Layer III frame sequences (codecs.encode_mp3_frames /
@@ -11700,6 +11758,11 @@ QUERIES: list[Query] = [
         "llm_m60_hevc_tmvp_decode",
         m60_hevc_tmvp_decode,
         _m59_oracle("#m60h", "#m60p"),
+    ),
+    Query(
+        "llm_m61_av1_symbol_encode",
+        m61_av1_symbol_encode,
+        _m61_oracle(),
     ),
     Query("llm_m52_avif_sequence", m52_avif_sequence, _m52_oracle()),
     Query("llm_m53_h264_bipred_pixels", m53_h264_bipred_pixels, _m53_oracle()),

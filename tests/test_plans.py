@@ -149,6 +149,7 @@ _PYTHON_ALLOWED = {
     "llm_m58_hevc_pslice_decode",  # MapInPandas (x265 video encode; from-spec P-slice + libde265)
     "llm_m59_hevc_bslice_decode",  # MapInPandas (x265 IBBP encode; from-spec B-slice + libde265)
     "llm_m60_hevc_tmvp_decode",  # MapInPandas (x265 IBBP+TMVP encode; from-spec temporal MVP + libde265)
+    "llm_m61_av1_symbol_encode",  # MapInPandas (from-spec AV1 od_ec encode; dav1d+libgav1 decode)
     "llm_m49_hevc_structure",  # MapInPandas (real x265 HEIC build + from-spec ISOBMFF/SPS walk)
     "llm_m48_heic_pixels",  # MapInPandas (real x265 HEIC encode + libde265 decode via libheif)
 }
