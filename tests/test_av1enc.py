@@ -147,3 +147,53 @@ def test_out_of_scope_dims_fail_loudly():
         av1enc.build_layer_a_avif(32, 32)
     with pytest.raises(ValueError, match="partition symbol"):
         av1enc.build_layer_a_avif(96, 64)
+
+
+def test_layer_b0_all_zero_txbs_uniform_both_decoders():
+    """Layer-B0 (r16 groundwork pinned now): a skip=0 stream whose
+    256 luma + 128 chroma 4x4 txbs each code all_zero=1 over the
+    behaviorally-extracted txb_skip values (luma ctx0 26876, chroma
+    no-neighbour ctx 22807 — the qctx-0 TX_4X4 row identified at
+    libaom u16 2232867) must decode uniform-128 through BOTH
+    decoders; a wrong txb_skip class desyncs (non-vacuity)."""
+    av = av1enc
+
+    def tile(luma_v, chroma_v):
+        t = av.mined_default_cdfs()
+        enc = av.OdEcEncoder()
+        enc.encode_symbol(0, t["partition64_ctx0"], 10)
+        enc.encode_symbol(0, (av.AV1_SKIP_ICDF0, 0), 2)  # skip = 0
+        enc.encode_symbol(0, t["kf_y_00"], 13)
+        enc.encode_symbol(0, t["uv_dc_nocfl"], 13)
+        for _ in range(256):
+            enc.encode_symbol(1, (luma_v, 0), 2)
+        for _ in range(128):
+            enc.encode_symbol(1, (chroma_v, 0), 2)
+        return enc.done()
+
+    def wrap(t):
+        seq = av.obu(1, av.write_sequence_header(64, 64))
+        frame = av.obu(6, av.write_frame_obu(64, 64, t))
+        return av.build_avif_container(
+            64, 64, bytes([0x81, 0, 0x0C, 0]) + seq, seq + frame
+        )
+
+    good = wrap(tile(26876, 22807))
+    for cc in (heif.AVIF_CODEC_DAV1D, heif.AVIF_CODEC_LIBGAV1):
+        y, cb, cr = heif.decode_avif_libavif(good, cc)
+        assert (y == 128).all() and (cb == 128).all() and (cr == 128).all()
+    # the aom .rodata row these values come from
+    aom = open("/lib/x86_64-linux-gnu/libaom.so.3", "rb").read()
+    row = np.array(
+        [26876, 0, 0, 20656, 0, 0, 10833, 0, 0, 12479], "<u2"
+    ).tobytes()
+    assert aom.find(row) >= 0
+    # wrong class desyncs: the picture is not uniform (or errors)
+    bad = wrap(tile(20000, 22807))
+    try:
+        y, cb, cr = heif.decode_avif_libavif(bad, heif.AVIF_CODEC_DAV1D)
+        assert not (
+            (y == 128).all() and (cb == 128).all() and (cr == 128).all()
+        )
+    except Exception:
+        pass
