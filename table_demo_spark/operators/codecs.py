@@ -2060,13 +2060,24 @@ class _BitWriter:
 class _BitReader:
     """MSB-first bit reader over a byte window."""
 
+    __slots__ = ("data", "bitpos")
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.bitpos = pos * 8
 
     def bits(self, n: int) -> int:
         """Read n bits in one int.from_bytes over the covering byte
-        span (the per-bit shift loop was the decode hot spot)."""
+        span (the per-bit shift loop was the decode hot spot; n == 1
+        — the CABAC-renorm / flag case — takes a byte-indexed fast
+        path with no slice allocation)."""
+        if n == 1:
+            pos = self.bitpos
+            byte_i = pos >> 3
+            if byte_i >= len(self.data):
+                raise ValueError("truncated FLAC stream")
+            self.bitpos = pos + 1
+            return (self.data[byte_i] >> (7 - (pos & 7))) & 1
         if n == 0:
             return 0
         start = self.bitpos
@@ -7468,7 +7479,22 @@ class _CabacEncoder:
 
 
 class _CabacDecoder:
-    """9.3.3.2 arithmetic decoder over a byte-aligned _BitReader."""
+    """9.3.3.2 arithmetic decoder over a byte-aligned _BitReader.
+
+    Restructured for speed, bit-identically (fuzz-verified against
+    the per-bit reference form over random streams: same outputs AND
+    same (range, offset, bitpos) trajectory): renorm fetches all
+    needed bits in one read (range >= 2 bounds the shift at 7, so
+    ``9 - range.bit_length()`` is exactly the spec's
+    while-range<256 loop), ``bypass`` reads one byte-indexed bit,
+    and the batched helpers ``bypass_bits`` / ``bypass_unary``
+    collapse the per-bin call overhead of multi-bin bypass runs
+    (UEG/EGk suffixes, sign runs, TR prefixes) — this engine was the
+    top profile leaf of every from-spec H.264/HEVC decode query
+    (optimization guide §1.2 step 2 / §4.2: make the per-task inner
+    loop cheap once the distributed shape is right)."""
+
+    __slots__ = ("br", "range", "offset")
 
     def __init__(self, br: "_BitReader") -> None:
         self.br = br
@@ -7477,37 +7503,132 @@ class _CabacDecoder:
 
     def decision(self, state: list) -> int:
         s, mps = state
-        lps = H264_RANGE_TAB_LPS[s][(self.range >> 6) & 3]
-        self.range -= lps
-        if self.offset >= self.range:
+        r = self.range
+        lps = H264_RANGE_TAB_LPS[s][(r >> 6) & 3]
+        r -= lps
+        off = self.offset
+        if off >= r:
             binval = 1 - mps
-            self.offset -= self.range
-            self.range = lps
+            off -= r
+            r = lps
             if s == 0:
-                state[1] = 1 - mps
+                state[1] = binval
             state[0] = H264_TRANS_IDX_LPS[s]
         else:
             binval = mps
             state[0] = H264_TRANS_IDX_MPS[s]
-        while self.range < 256:
-            self.range <<= 1
-            self.offset = (self.offset << 1) | self.br.bits(1)
+        if r < 256:
+            sh = 9 - r.bit_length()
+            br = self.br
+            pos = br.bitpos
+            end = pos + sh
+            byte_end = (end + 7) >> 3
+            data = br.data
+            if byte_end > len(data):
+                raise ValueError("truncated CABAC stream")
+            word = int.from_bytes(data[pos >> 3:byte_end], "big")
+            off = (off << sh) | (
+                (word >> ((byte_end << 3) - end)) & ((1 << sh) - 1)
+            )
+            br.bitpos = end
+            r <<= sh
+        self.range = r
+        self.offset = off
         return binval
 
     def bypass(self) -> int:
-        self.offset = (self.offset << 1) | self.br.bits(1)
-        if self.offset >= self.range:
-            self.offset -= self.range
+        br = self.br
+        pos = br.bitpos
+        bit = (br.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        br.bitpos = pos + 1
+        off = (self.offset << 1) | bit
+        if off >= self.range:
+            self.offset = off - self.range
             return 1
+        self.offset = off
         return 0
 
+    def bypass_bits(self, n: int) -> int:
+        """n bypass bins in one stream fetch, MSB-first packed into
+        an int — bin-for-bin identical to n ``bypass()`` calls."""
+        if n == 0:
+            return 0
+        br = self.br
+        pos = br.bitpos
+        end = pos + n
+        byte_end = (end + 7) >> 3
+        data = br.data
+        if byte_end > len(data):
+            raise ValueError("truncated CABAC stream")
+        word = int.from_bytes(data[pos >> 3:byte_end], "big") >> (
+            (byte_end << 3) - end
+        )
+        br.bitpos = end
+        r = self.range
+        off = self.offset
+        val = 0
+        for i in range(n - 1, -1, -1):
+            off = (off << 1) | ((word >> i) & 1)
+            if off >= r:
+                off -= r
+                val = (val << 1) | 1
+            else:
+                val <<= 1
+        self.offset = off
+        return val
+
+    def bypass_unary(self, limit: int) -> int:
+        """Count of consecutive 1 bypass bins before the terminating
+        0 bin (the TR/EGk prefix shape ``while dec.bypass(): q += 1``
+        with a runaway guard at ``q > limit``)."""
+        br = self.br
+        data = br.data
+        nbytes = len(data)
+        r = self.range
+        off = self.offset
+        pos = br.bitpos
+        q = 0
+        while True:
+            bi = pos >> 3
+            if bi >= nbytes:
+                raise ValueError("truncated CABAC stream")
+            off = (off << 1) | ((data[bi] >> (7 - (pos & 7))) & 1)
+            pos += 1
+            if off >= r:
+                off -= r
+                q += 1
+                if q > limit:
+                    br.bitpos = pos
+                    self.offset = off
+                    raise ValueError("runaway bypass unary")
+            else:
+                br.bitpos = pos
+                self.offset = off
+                return q
+
     def terminate(self) -> int:
-        self.range -= 2
-        if self.offset >= self.range:
+        r = self.range - 2
+        off = self.offset
+        if off >= r:
+            self.range = r
             return 1
-        while self.range < 256:
-            self.range <<= 1
-            self.offset = (self.offset << 1) | self.br.bits(1)
+        if r < 256:
+            sh = 9 - r.bit_length()
+            br = self.br
+            pos = br.bitpos
+            end = pos + sh
+            byte_end = (end + 7) >> 3
+            data = br.data
+            if byte_end > len(data):
+                raise ValueError("truncated CABAC stream")
+            word = int.from_bytes(data[pos >> 3:byte_end], "big")
+            off = (off << sh) | (
+                (word >> ((byte_end << 3) - end)) & ((1 << sh) - 1)
+            )
+            br.bitpos = end
+            r <<= sh
+            self.offset = off
+        self.range = r
         return 0
 
 
@@ -7618,17 +7739,17 @@ def _cabac_decode_block(dec, get, n: int, cat: int, cbf_inc: int):
         while v < 14 and dec.decision(get(ctx0 if v == 0 else ctxn)):
             v += 1
         if v == 14:
-            suf = 0
-            k = 0
-            while dec.bypass():
-                suf += 1 << k
-                k += 1
-                if k > 24:
-                    raise ValueError("H264 CABAC: runaway UEG0 suffix")
-            bits = 0
-            for _ in range(k):
-                bits = (bits << 1) | dec.bypass()
-            v = 14 + suf + bits
+            # UEG0 escape: q-bin unary prefix (suf = 2^q - 1) then q
+            # suffix bins — batched, bin-identical to the per-bin loop.
+            try:
+                k = dec.bypass_unary(24)
+            except ValueError as e:
+                if "runaway bypass unary" in str(e):
+                    raise ValueError(
+                        "H264 CABAC: runaway UEG0 suffix"
+                    ) from None
+                raise
+            v = 14 + ((1 << k) - 1) + dec.bypass_bits(k)
         mag = v + 1
         levels[i] = -mag if dec.bypass() else mag
         if mag > 1:

@@ -761,15 +761,13 @@ class HevcIntraSliceDecoder:
                         v = -v
                     signed.append(v)
                 params[c_idx]["offsets"] = tuple(signed)
-                params[c_idx]["band_pos"] = sum(
-                    dec.bypass() << (4 - k) for k in range(5)
-                )
+                params[c_idx]["band_pos"] = dec.bypass_bits(5)
             else:  # edge: categories 1,2 positive; 3,4 negative
                 params[c_idx]["offsets"] = (
                     offs[0], offs[1], -offs[2], -offs[3]
                 )
                 if c_idx == 0 or c_idx == 1:
-                    eo = (dec.bypass() << 1) | dec.bypass()
+                    eo = dec.bypass_bits(2)
                     params[c_idx]["eo"] = eo
                 else:
                     params[c_idx]["eo"] = params[1]["eo"]
@@ -923,9 +921,7 @@ class HevcIntraSliceDecoder:
                     idx += dec.bypass()
                 mode = cands[idx]
             else:
-                rem = 0
-                for _ in range(5):
-                    rem = (rem << 1) | dec.bypass()
+                rem = dec.bypass_bits(5)
                 for cand in sorted(cands):
                     if rem >= cand:
                         rem += 1
@@ -939,7 +935,7 @@ class HevcIntraSliceDecoder:
                 py >> 2:(py >> 2) + s4, px >> 2:(px >> 2) + s4
             ] = True
         if dec.decision(ctx.get("intra_chroma_pred_mode", 0)):
-            v = (dec.bypass() << 1) | dec.bypass()
+            v = dec.bypass_bits(2)
             table = {0: 0, 1: 26, 2: 10, 3: 1}
             chroma_mode = table[v]
             if chroma_mode == modes[0]:
@@ -1111,6 +1107,14 @@ class HevcIntraSliceDecoder:
         last_pos = pos_scan.index((last_x & 3, last_y & 3))
         coeffs = np.zeros((n, n), np.int64)
         csbf: dict[tuple[int, int], int] = {}
+        # hoist the per-element context-state lists out of the scan
+        # loops (ctx.get cost was visible at profile depth; same
+        # [pStateIdx, valMps] lists, one dict lookup each)
+        states = ctx.states
+        sig_states = states["sig_coeff_flag"]
+        csb_states = states["coded_sub_block_flag"]
+        g1_states = states["coeff_abs_level_greater1"]
+        g2_states = states["coeff_abs_level_greater2"]
         c1 = 1  # greater1 context state, carried ACROSS subblocks
         for i in range(last_sb, -1, -1):
             xs, ys = sb_scan[i]
@@ -1120,7 +1124,7 @@ class HevcIntraSliceDecoder:
                     1,
                     csbf.get((xs + 1, ys), 0) + csbf.get((xs, ys + 1), 0),
                 ) + (2 if c_idx else 0)
-                flag = dec.decision(ctx.get("coded_sub_block_flag", inc))
+                flag = dec.decision(csb_states[inc])
                 csbf[(xs, ys)] = flag
                 infer_dc = 1
             else:
@@ -1133,14 +1137,17 @@ class HevcIntraSliceDecoder:
                 start = last_pos - 1
             else:
                 start = 15
+            sig_row = self._sig_ctx_row(
+                log2_size, c_idx, scan_idx,
+                csbf.get((xs + 1, ys), 0) + 2 * csbf.get((xs, ys + 1), 0),
+                xs == 0 and ys == 0,
+            )
             for pos in range(start, -1, -1):
                 if pos > 0 or not infer_dc:
                     xp, yp = pos_scan[pos]
-                    inc = self._sig_ctx(
-                        log2_size, c_idx, scan_idx,
-                        (xs << 2) + xp, (ys << 2) + yp, xs, ys, csbf,
+                    sig[pos] = dec.decision(
+                        sig_states[sig_row[(yp << 2) + xp]]
                     )
-                    sig[pos] = dec.decision(ctx.get("sig_coeff_flag", inc))
                     if sig[pos]:
                         infer_dc = 0
                 else:
@@ -1158,10 +1165,7 @@ class HevcIntraSliceDecoder:
             first_gt1 = -1
             for k, pos in enumerate(sig_pos[:8]):
                 flag = dec.decision(
-                    ctx.get(
-                        "coeff_abs_level_greater1",
-                        (16 if c_idx else 0) + ctx_set * 4 + c1,
-                    )
+                    g1_states[(16 if c_idx else 0) + ctx_set * 4 + c1]
                 )
                 gt1[pos] = flag
                 if flag:
@@ -1173,12 +1177,17 @@ class HevcIntraSliceDecoder:
             gt2 = 0
             if first_gt1 >= 0:
                 gt2 = dec.decision(
-                    ctx.get(
-                        "coeff_abs_level_greater2",
-                        (4 if c_idx else 0) + ctx_set,
-                    )
+                    g2_states[(4 if c_idx else 0) + ctx_set]
                 )
-            signs = {pos: dec.bypass() for pos in sig_pos}
+            # sign bins for every significant position, batched into
+            # one bypass fetch (MSB-first == the former per-pos
+            # dictcomp's read order)
+            n_sig = len(sig_pos)
+            sign_word = dec.bypass_bits(n_sig)
+            signs = {
+                pos: (sign_word >> (n_sig - 1 - k)) & 1
+                for k, pos in enumerate(sig_pos)
+            }
             rice = 0
             first_coeff2 = 1
             for k, pos in enumerate(sig_pos):
@@ -1196,7 +1205,7 @@ class HevcIntraSliceDecoder:
                 if val >= 2:
                     first_coeff2 = 0
                 xp, yp = pos_scan[pos]
-                coeffs[(ys << 2) + yp][(xs << 2) + xp] = (
+                coeffs[(ys << 2) + yp, (xs << 2) + xp] = (
                     -val if signs[pos] else val
                 )
                 self.n_coeff += 1
@@ -1221,24 +1230,21 @@ class HevcIntraSliceDecoder:
         if prefix <= 3:
             return prefix
         n_bits = (prefix >> 1) - 1
-        suffix = 0
-        for _ in range(n_bits):
-            suffix = (suffix << 1) | dec.bypass()
-        return ((2 + (prefix & 1)) << n_bits) + suffix
+        return ((2 + (prefix & 1)) << n_bits) + dec.bypass_bits(n_bits)
 
     @staticmethod
-    def _sig_ctx(log2_size, c_idx, scan_idx, xc, yc, xs, ys, csbf) -> int:
-        """9.3.4.2.5 sig_coeff_flag ctxInc."""
+    def _sig_ctx(log2_size, c_idx, scan_idx, xp, yp, prev, sb_zero) -> int:
+        """9.3.4.2.5 sig_coeff_flag ctxInc, with the subblock-constant
+        inputs lifted: ``prev`` = csbf(right) + 2*csbf(below) and
+        ``sb_zero`` = (subblock == (0, 0)) — they do not change inside
+        a subblock's position loop, which lets ``_sig_ctx_row``
+        memoize the whole 16-entry row."""
         if log2_size == 2:
             ctx_map = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
-            sig = ctx_map[(yc << 2) + xc]
-        elif xc + yc == 0:
+            sig = ctx_map[(yp << 2) + xp]
+        elif sb_zero and xp == 0 and yp == 0:  # xc + yc == 0
             sig = 0
         else:
-            prev = csbf.get((xs + 1, ys), 0) + 2 * csbf.get(
-                (xs, ys + 1), 0
-            )
-            xp, yp = xc & 3, yc & 3
             if prev == 0:
                 sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
             elif prev == 1:
@@ -1248,7 +1254,7 @@ class HevcIntraSliceDecoder:
             else:
                 sig = 2
             if c_idx == 0:
-                if (xs, ys) != (0, 0):
+                if not sb_zero:
                     sig += 3
                 if log2_size == 3:
                     sig += 9 if scan_idx == 0 else 15
@@ -1258,25 +1264,45 @@ class HevcIntraSliceDecoder:
                 sig += 9 if log2_size == 3 else 12
         return sig + (27 if c_idx else 0)
 
+    _SIG_CTX_ROWS: dict = {}
+
+    @classmethod
+    def _sig_ctx_row(cls, log2_size, c_idx, scan_idx, prev, sb_zero):
+        """Memoized 16-entry ctxInc row (index = (yp << 2) + xp) for
+        one subblock's fixed (size, plane, scan, neighbours) inputs —
+        generated by the per-sample spec mapping above, so the values
+        are the same by construction."""
+        key = (log2_size, c_idx, scan_idx, prev, sb_zero)
+        row = cls._SIG_CTX_ROWS.get(key)
+        if row is None:
+            row = tuple(
+                cls._sig_ctx(
+                    log2_size, c_idx, scan_idx, p & 3, p >> 2, prev,
+                    sb_zero,
+                )
+                for p in range(16)
+            )
+            cls._SIG_CTX_ROWS[key] = row
+        return row
+
     @staticmethod
     def _remaining(dec, rice: int) -> int:
         """9.3.3.13 coeff_abs_level_remaining: TR prefix then either a
-        rice suffix or the Exp-Golomb escape."""
-        prefix = 0
-        while dec.bypass():
-            prefix += 1
-            if prefix > 31:
-                raise ValueError("HEVC: runaway remaining prefix")
+        rice suffix or the Exp-Golomb escape (batched bypass reads —
+        bin-identical to the per-bin loops)."""
+        try:
+            prefix = dec.bypass_unary(31)
+        except ValueError as e:
+            if "runaway bypass unary" in str(e):
+                raise ValueError(
+                    "HEVC: runaway remaining prefix"
+                ) from None
+            raise
         if prefix < 3:
-            suffix = 0
-            for _ in range(rice):
-                suffix = (suffix << 1) | dec.bypass()
-            return (prefix << rice) + suffix
-        n_bits = prefix - 3 + rice
-        suffix = 0
-        for _ in range(n_bits):
-            suffix = (suffix << 1) | dec.bypass()
-        return (((1 << (prefix - 3)) + 2) << rice) + suffix
+            return (prefix << rice) + dec.bypass_bits(rice)
+        return (
+            ((1 << (prefix - 3)) + 2) << rice
+        ) + dec.bypass_bits(prefix - 3 + rice)
 
     # -- intra prediction + reconstruction (8.4.4.2) --------------------------
 
@@ -1495,16 +1521,15 @@ HEVC_CHROMA_FILTER = {
 
 def _eg_bypass(dec, k: int) -> int:
     """9.3.3.3 k-th order Exp-Golomb bypass decode (abs_mvd_minus2
-    uses k=1)."""
-    value = 0
-    while dec.bypass():
-        value += 1 << k
-        k += 1
-        if k > 30:
-            raise ValueError("HEVC: runaway EGk prefix")
-    for i in range(k - 1, -1, -1):
-        value += dec.bypass() << i
-    return value
+    uses k=1) — batched bypass reads, bin-identical to the per-bin
+    prefix/suffix loops."""
+    try:
+        q = dec.bypass_unary(30 - k)
+    except ValueError as e:
+        if "runaway bypass unary" in str(e):
+            raise ValueError("HEVC: runaway EGk prefix") from None
+        raise
+    return (((1 << q) - 1) << k) + dec.bypass_bits(k + q)
 
 
 class HevcInterSliceDecoder(HevcIntraSliceDecoder):
