@@ -1326,40 +1326,50 @@ class HevcIntraSliceDecoder:
             avail[y0:y0 + n, x0:x0 + n] = True
 
     def _intra_pred(self, plane, avail, x0, y0, n, mode, c_idx):
+        """8.4.4.2 intra sample prediction, vectorized: the reference
+        gather/substitution, smoothing filters and all three pred
+        arms are whole-array int64 numpy ops (arithmetic shifts and
+        floor semantics match the former per-sample Python loops
+        exactly — this function was the top profile leaf of the
+        intra-heavy decode queries after the CABAC engine work)."""
         ph, pw = plane.shape
         # reference sample array ref[i], i in [-2n .. 2n] flattened:
         # index 0 = corner p[-1][-1]; negatives run DOWN the left
         # column (i = -1-y); positives run along the top row
         # (i = 1+x).  8.4.4.2.2 substitution order = increasing i
         # from -2n.
+        n2 = 2 * n
         total = 4 * n + 1
         vals = np.zeros(total, np.int64)
         have = np.zeros(total, bool)
 
-        def put(i, yy, xx):
-            if 0 <= yy < ph and 0 <= xx < pw and avail[yy][xx]:
-                vals[i + 2 * n] = plane[yy][xx]
-                have[i + 2 * n] = True
-
-        put(0, y0 - 1, x0 - 1)
-        for y in range(2 * n):
-            put(-1 - y, y0 + y, x0 - 1)
-        for x in range(2 * n):
-            put(1 + x, y0 - 1, x0 + x)
-        if not have.any():
+        if y0 > 0 and x0 > 0 and avail[y0 - 1, x0 - 1]:
+            vals[n2] = plane[y0 - 1, x0 - 1]
+            have[n2] = True
+        if x0 > 0:
+            m = min(n2, ph - y0)
+            if m > 0:
+                vals[n2 - m:n2] = plane[y0:y0 + m, x0 - 1][::-1]
+                have[n2 - m:n2] = avail[y0:y0 + m, x0 - 1][::-1]
+        if y0 > 0:
+            m = min(n2, pw - x0)
+            if m > 0:
+                vals[n2 + 1:n2 + 1 + m] = plane[y0 - 1, x0:x0 + m]
+                have[n2 + 1:n2 + 1 + m] = avail[y0 - 1, x0:x0 + m]
+        nz = np.flatnonzero(have)
+        if nz.size == 0:
             vals[:] = 128
-        else:
+        elif nz.size < total:
             if not have[0]:
-                nz = np.flatnonzero(have)
                 vals[0] = vals[nz[0]]
                 have[0] = True
-            for i in range(1, total):
-                if not have[i]:
-                    vals[i] = vals[i - 1]
-                    have[i] = True
-        corner = vals[2 * n]
-        left = vals[2 * n - 1 :: -1][:2 * n].copy()  # p[-1][0..2n-1]
-        top = vals[2 * n + 1 :].copy()  # p[0..2n-1][-1]
+            # forward fill == the sequential vals[i] = vals[i-1] loop
+            idxs = np.where(have, np.arange(total), 0)
+            np.maximum.accumulate(idxs, out=idxs)
+            vals = vals[idxs]
+        corner = vals[n2]
+        left = vals[n2 - 1::-1][:n2].copy()  # p[-1][0..2n-1]
+        top = vals[n2 + 1:].copy()  # p[0..2n-1][-1]
 
         # 8.4.4.2.3 filtering: [1 2 1] smoothing, or the bilinear
         # strong filter for 32x32 luma when the SPS flag is set and
@@ -1370,127 +1380,92 @@ class HevcIntraSliceDecoder:
             if (mode == 0 or dist > thres) and (
                 self.sps["strong_intra_smoothing"]
                 and n == 32
-                and abs(int(corner) + int(top[2 * n - 1]) - 2 * int(top[n - 1])) < 8
-                and abs(int(corner) + int(left[2 * n - 1]) - 2 * int(left[n - 1])) < 8
+                and abs(int(corner) + int(top[n2 - 1]) - 2 * int(top[n - 1])) < 8
+                and abs(int(corner) + int(left[n2 - 1]) - 2 * int(left[n - 1])) < 8
             ):
+                i = np.arange(n2 - 1, dtype=np.int64)
                 f_left = left.copy()
                 f_top = top.copy()
-                for i in range(2 * n - 1):
-                    f_top[i] = (
-                        (63 - i) * int(corner)
-                        + (i + 1) * int(top[2 * n - 1])
-                        + 32
-                    ) >> 6
-                    f_left[i] = (
-                        (63 - i) * int(corner)
-                        + (i + 1) * int(left[2 * n - 1])
-                        + 32
-                    ) >> 6
+                f_top[:n2 - 1] = (
+                    (63 - i) * int(corner) + (i + 1) * int(top[n2 - 1]) + 32
+                ) >> 6
+                f_left[:n2 - 1] = (
+                    (63 - i) * int(corner) + (i + 1) * int(left[n2 - 1]) + 32
+                ) >> 6
                 left, top = f_left, f_top
             elif mode == 0 or dist > thres:
                 f_left = left.copy()
                 f_top = top.copy()
                 f_corner = (left[0] + 2 * corner + top[0] + 2) >> 2
                 f_left[0] = (corner + 2 * left[0] + left[1] + 2) >> 2
-                for i in range(1, 2 * n - 1):
-                    f_left[i] = (
-                        left[i - 1] + 2 * left[i] + left[i + 1] + 2
-                    ) >> 2
+                f_left[1:n2 - 1] = (
+                    left[:n2 - 2] + 2 * left[1:n2 - 1] + left[2:n2] + 2
+                ) >> 2
                 f_top[0] = (corner + 2 * top[0] + top[1] + 2) >> 2
-                for i in range(1, 2 * n - 1):
-                    f_top[i] = (
-                        top[i - 1] + 2 * top[i] + top[i + 1] + 2
-                    ) >> 2
+                f_top[1:n2 - 1] = (
+                    top[:n2 - 2] + 2 * top[1:n2 - 1] + top[2:n2] + 2
+                ) >> 2
                 left, top, corner = f_left, f_top, f_corner
 
-        pred = np.zeros((n, n), np.int64)
         if mode == 0:  # planar 8.4.4.2.4
-            for yy in range(n):
-                for xx in range(n):
-                    pred[yy][xx] = (
-                        (n - 1 - xx) * left[yy]
-                        + (xx + 1) * top[n]
-                        + (n - 1 - yy) * top[xx]
-                        + (yy + 1) * left[n]
-                        + n
-                    ) >> (n.bit_length())  # log2(n) + 1
+            xx = np.arange(n, dtype=np.int64)
+            yy = xx[:, None]
+            pred = (
+                (n - 1 - xx)[None, :] * left[:n, None]
+                + (xx + 1)[None, :] * int(top[n])
+                + (n - 1 - yy) * top[None, :n]
+                + (yy + 1) * int(left[n])
+                + n
+            ) >> (n.bit_length())  # log2(n) + 1
         elif mode == 1:  # DC 8.4.4.2.5
             dc = (int(top[:n].sum() + left[:n].sum()) + n) >> (
                 n.bit_length()
             )
-            pred[:, :] = dc
+            pred = np.full((n, n), dc, np.int64)
             if c_idx == 0 and n < 32:
-                pred[0][0] = (left[0] + 2 * dc + top[0] + 2) >> 2
-                for xx in range(1, n):
-                    pred[0][xx] = (top[xx] + 3 * dc + 2) >> 2
-                for yy in range(1, n):
-                    pred[yy][0] = (left[yy] + 3 * dc + 2) >> 2
+                pred[0, 1:] = (top[1:n] + 3 * dc + 2) >> 2
+                pred[1:, 0] = (left[1:n] + 3 * dc + 2) >> 2
+                pred[0, 0] = (left[0] + 2 * dc + top[0] + 2) >> 2
         else:  # angular 8.4.4.2.6
             angle = _PRED_ANGLE[mode - 2]
-            if mode >= 18:
-                ref = np.zeros(3 * n + 2, np.int64)  # ref[-n .. 2n+1]
-                base = n
-                ref[base] = corner
-                ref[base + 1 : base + 2 * n + 1] = top[: 2 * n]
-                if angle < 0:
-                    lo = (n * angle) >> 5
-                    if lo < -1:
-                        inv = _INV_ANGLE[angle]
-                        for x in range(-1, lo - 1, -1):
-                            idx = ((x * inv + 128) >> 8) - 1
-                            ref[base + x] = (
-                                corner if idx < 0 else left[min(idx, 2 * n - 1)]
-                            )
-                for yy in range(n):
-                    i_idx = ((yy + 1) * angle) >> 5
-                    i_fact = ((yy + 1) * angle) & 31
-                    for xx in range(n):
-                        a = ref[base + xx + i_idx + 1]
-                        if i_fact:
-                            b = ref[base + xx + i_idx + 2]
-                            pred[yy][xx] = (
-                                (32 - i_fact) * a + i_fact * b + 16
-                            ) >> 5
-                        else:
-                            pred[yy][xx] = a
+            ref = np.zeros(3 * n + 2, np.int64)  # ref[-n .. 2n+1]
+            base = n
+            main, side = (top, left) if mode >= 18 else (left, top)
+            ref[base] = corner
+            ref[base + 1:base + n2 + 1] = main[:n2]
+            if angle < 0:
+                lo = (n * angle) >> 5
+                if lo < -1:
+                    inv = _INV_ANGLE[angle]
+                    xs = np.arange(-1, lo - 1, -1, dtype=np.int64)
+                    idx = ((xs * inv + 128) >> 8) - 1
+                    ref[base + xs] = np.where(
+                        idx < 0, corner, side[np.clip(idx, 0, n2 - 1)]
+                    )
+            ii = (np.arange(1, n + 1, dtype=np.int64) * angle) >> 5
+            ff = (np.arange(1, n + 1, dtype=np.int64) * angle) & 31
+            off = np.arange(n, dtype=np.int64)
+            if mode >= 18:  # vertical arm: ii/ff indexed by row
+                cols = base + 1 + ii[:, None] + off[None, :]
+                # ff == 0 reduces to ref[cols] exactly under the >> 5
+                pred = (
+                    (32 - ff)[:, None] * ref[cols]
+                    + ff[:, None] * ref[cols + 1] + 16
+                ) >> 5
                 if mode == 26 and c_idx == 0 and n < 32:
-                    for yy in range(n):
-                        pred[yy][0] = _clip3(
-                            0, 255,
-                            int(top[0]) + ((int(left[yy]) - int(corner)) >> 1),
-                        )
+                    pred[:, 0] = np.clip(
+                        int(top[0]) + ((left[:n] - corner) >> 1), 0, 255
+                    )
             else:  # modes 2..17: mirror of the vertical arm
-                ref = np.zeros(3 * n + 2, np.int64)
-                base = n
-                ref[base] = corner
-                ref[base + 1 : base + 2 * n + 1] = left[: 2 * n]
-                if angle < 0:
-                    lo = (n * angle) >> 5
-                    if lo < -1:
-                        inv = _INV_ANGLE[angle]
-                        for x in range(-1, lo - 1, -1):
-                            idx = ((x * inv + 128) >> 8) - 1
-                            ref[base + x] = (
-                                corner if idx < 0 else top[min(idx, 2 * n - 1)]
-                            )
-                for xx in range(n):
-                    i_idx = ((xx + 1) * angle) >> 5
-                    i_fact = ((xx + 1) * angle) & 31
-                    for yy in range(n):
-                        a = ref[base + yy + i_idx + 1]
-                        if i_fact:
-                            b = ref[base + yy + i_idx + 2]
-                            pred[yy][xx] = (
-                                (32 - i_fact) * a + i_fact * b + 16
-                            ) >> 5
-                        else:
-                            pred[yy][xx] = a
+                rows = base + 1 + ii[None, :] + off[:, None]
+                pred = (
+                    (32 - ff)[None, :] * ref[rows]
+                    + ff[None, :] * ref[rows + 1] + 16
+                ) >> 5
                 if mode == 10 and c_idx == 0 and n < 32:
-                    for xx in range(n):
-                        pred[0][xx] = _clip3(
-                            0, 255,
-                            int(left[0]) + ((int(top[xx]) - int(corner)) >> 1),
-                        )
+                    pred[0, :] = np.clip(
+                        int(left[0]) + ((top[:n] - corner) >> 1), 0, 255
+                    )
         return pred
 
 
