@@ -7377,6 +7377,11 @@ H264_TRANS_IDX_LPS = (
 )
 H264_TRANS_IDX_MPS = tuple(list(range(1, 63)) + [62, 63])
 
+# Flattened (s << 2) | qRangeIdx view of the LPS table — DERIVED from
+# the extracted table above (never retyped), for the decoder's
+# single-lookup hot path.
+_RANGE_LPS_FLAT = tuple(v for row in H264_RANGE_TAB_LPS for v in row)
+
 # Table 9-12 mb_type(I) block, ctxIdx 3..10 (dual-recall pin — see
 # block comment); all other contexts take _CABAC_INIT_DEFAULT.
 H264_CABAC_INIT_I = {
@@ -7504,7 +7509,7 @@ class _CabacDecoder:
     def decision(self, state: list) -> int:
         s, mps = state
         r = self.range
-        lps = H264_RANGE_TAB_LPS[s][(r >> 6) & 3]
+        lps = _RANGE_LPS_FLAT[(s << 2) | ((r >> 6) & 3)]
         r -= lps
         off = self.offset
         if off >= r:
