@@ -7555,19 +7555,27 @@ class _CabacDecoder:
 
     def bypass_bits(self, n: int) -> int:
         """n bypass bins in one stream fetch, MSB-first packed into
-        an int — bin-for-bin identical to n ``bypass()`` calls."""
+        an int — bin-for-bin identical to n ``bypass()`` calls (only
+        the low n bits of the fetched word are consumed, so the
+        1-/2-byte fast paths need no masking)."""
         if n == 0:
             return 0
         br = self.br
         pos = br.bitpos
         end = pos + n
+        byte_start = pos >> 3
         byte_end = (end + 7) >> 3
         data = br.data
         if byte_end > len(data):
             raise ValueError("truncated CABAC stream")
-        word = int.from_bytes(data[pos >> 3:byte_end], "big") >> (
-            (byte_end << 3) - end
-        )
+        nb = byte_end - byte_start
+        sh = (byte_end << 3) - end
+        if nb == 1:
+            word = data[byte_start] >> sh
+        elif nb == 2:
+            word = ((data[byte_start] << 8) | data[byte_start + 1]) >> sh
+        else:
+            word = int.from_bytes(data[byte_start:byte_end], "big") >> sh
         br.bitpos = end
         r = self.range
         off = self.offset
@@ -7581,6 +7589,67 @@ class _CabacDecoder:
                 val <<= 1
         self.offset = off
         return val
+
+    def remaining(self, rice: int) -> int:
+        """HEVC 9.3.3.13 coeff_abs_level_remaining, fused: TR-prefix
+        unary (limit 31) then the rice / Exp-Golomb-escape suffix in
+        one call — bin-identical to bypass_unary(31) + bypass_bits."""
+        br = self.br
+        data = br.data
+        nbytes = len(data)
+        r = self.range
+        off = self.offset
+        pos = br.bitpos
+        prefix = 0
+        while True:
+            bi = pos >> 3
+            if bi >= nbytes:
+                raise ValueError("truncated CABAC stream")
+            off = (off << 1) | ((data[bi] >> (7 - (pos & 7))) & 1)
+            pos += 1
+            if off >= r:
+                off -= r
+                prefix += 1
+                if prefix > 31:
+                    br.bitpos = pos
+                    self.offset = off
+                    raise ValueError("runaway bypass unary")
+            else:
+                break
+        n = rice if prefix < 3 else prefix - 3 + rice
+        if n:
+            end = pos + n
+            byte_start = pos >> 3
+            byte_end = (end + 7) >> 3
+            if byte_end > nbytes:
+                raise ValueError("truncated CABAC stream")
+            sh = (byte_end << 3) - end
+            if byte_end - byte_start == 1:
+                word = data[byte_start] >> sh
+            elif byte_end - byte_start == 2:
+                word = (
+                    (data[byte_start] << 8) | data[byte_start + 1]
+                ) >> sh
+            else:
+                word = int.from_bytes(
+                    data[byte_start:byte_end], "big"
+                ) >> sh
+            pos = end
+            suffix = 0
+            for i in range(n - 1, -1, -1):
+                off = (off << 1) | ((word >> i) & 1)
+                if off >= r:
+                    off -= r
+                    suffix = (suffix << 1) | 1
+                else:
+                    suffix <<= 1
+        else:
+            suffix = 0
+        br.bitpos = pos
+        self.offset = off
+        if prefix < 3:
+            return (prefix << rice) + suffix
+        return (((1 << (prefix - 3)) + 2) << rice) + suffix
 
     def bypass_unary(self, limit: int) -> int:
         """Count of consecutive 1 bypass bins before the terminating

@@ -1198,7 +1198,7 @@ class HevcIntraSliceDecoder:
                         val += gt2
                 base = (2 + first_coeff2) if k < 8 else 1
                 if val == base:
-                    rem = self._remaining(dec, rice)
+                    rem = dec.remaining(rice)
                     val += rem
                     if val > 3 << rice:
                         rice = min(rice + 1, 4)
@@ -1285,24 +1285,9 @@ class HevcIntraSliceDecoder:
             cls._SIG_CTX_ROWS[key] = row
         return row
 
-    @staticmethod
-    def _remaining(dec, rice: int) -> int:
-        """9.3.3.13 coeff_abs_level_remaining: TR prefix then either a
-        rice suffix or the Exp-Golomb escape (batched bypass reads —
-        bin-identical to the per-bin loops)."""
-        try:
-            prefix = dec.bypass_unary(31)
-        except ValueError as e:
-            if "runaway bypass unary" in str(e):
-                raise ValueError(
-                    "HEVC: runaway remaining prefix"
-                ) from None
-            raise
-        if prefix < 3:
-            return (prefix << rice) + dec.bypass_bits(rice)
-        return (
-            ((1 << (prefix - 3)) + 2) << rice
-        ) + dec.bypass_bits(prefix - 3 + rice)
+    # coeff_abs_level_remaining (9.3.3.13) lives on the decoder as the
+    # fused ``dec.remaining(rice)`` — the per-level wrapper call was
+    # measurable at profile depth.
 
     # -- intra prediction + reconstruction (8.4.4.2) --------------------------
 
