@@ -1137,17 +1137,14 @@ class HevcIntraSliceDecoder:
                 start = last_pos - 1
             else:
                 start = 15
-            sig_row = self._sig_ctx_row(
+            sig_row = self._sig_ctx_row_scan(
                 log2_size, c_idx, scan_idx,
                 csbf.get((xs + 1, ys), 0) + 2 * csbf.get((xs, ys + 1), 0),
                 xs == 0 and ys == 0,
             )
             for pos in range(start, -1, -1):
                 if pos > 0 or not infer_dc:
-                    xp, yp = pos_scan[pos]
-                    sig[pos] = dec.decision(
-                        sig_states[sig_row[(yp << 2) + xp]]
-                    )
+                    sig[pos] = dec.decision(sig_states[sig_row[pos]])
                     if sig[pos]:
                         infer_dc = 0
                 else:
@@ -1161,13 +1158,13 @@ class HevcIntraSliceDecoder:
                 1 if c1 == 0 else 0
             )
             c1 = 1
-            gt1 = {}
+            gt1 = []  # aligned with sig_pos[:8] (scan order)
             first_gt1 = -1
             for k, pos in enumerate(sig_pos[:8]):
                 flag = dec.decision(
                     g1_states[(16 if c_idx else 0) + ctx_set * 4 + c1]
                 )
-                gt1[pos] = flag
+                gt1.append(flag)
                 if flag:
                     c1 = 0
                     if first_gt1 < 0:
@@ -1180,20 +1177,16 @@ class HevcIntraSliceDecoder:
                     g2_states[(4 if c_idx else 0) + ctx_set]
                 )
             # sign bins for every significant position, batched into
-            # one bypass fetch (MSB-first == the former per-pos
-            # dictcomp's read order)
+            # one bypass fetch (MSB-first == scan order); extracted
+            # inline in the level loop below
             n_sig = len(sig_pos)
             sign_word = dec.bypass_bits(n_sig)
-            signs = {
-                pos: (sign_word >> (n_sig - 1 - k)) & 1
-                for k, pos in enumerate(sig_pos)
-            }
             rice = 0
             first_coeff2 = 1
             for k, pos in enumerate(sig_pos):
                 val = 1
                 if k < 8:
-                    val += gt1[pos]
+                    val += gt1[k]
                     if pos == first_gt1:
                         val += gt2
                 base = (2 + first_coeff2) if k < 8 else 1
@@ -1206,7 +1199,7 @@ class HevcIntraSliceDecoder:
                     first_coeff2 = 0
                 xp, yp = pos_scan[pos]
                 coeffs[(ys << 2) + yp, (xs << 2) + xp] = (
-                    -val if signs[pos] else val
+                    -val if (sign_word >> (n_sig - 1 - k)) & 1 else val
                 )
                 self.n_coeff += 1
         return coeffs
@@ -1283,6 +1276,24 @@ class HevcIntraSliceDecoder:
                 for p in range(16)
             )
             cls._SIG_CTX_ROWS[key] = row
+        return row
+
+    _SIG_CTX_ROWS_SCAN: dict = {}
+
+    @classmethod
+    def _sig_ctx_row_scan(cls, log2_size, c_idx, scan_idx, prev, sb_zero):
+        """The same memoized row permuted into scan order (index =
+        scan position), so the sig loop needs no (xp, yp) unpack."""
+        key = (log2_size, c_idx, scan_idx, prev, sb_zero)
+        row = cls._SIG_CTX_ROWS_SCAN.get(key)
+        if row is None:
+            base = cls._sig_ctx_row(
+                log2_size, c_idx, scan_idx, prev, sb_zero
+            )
+            row = tuple(
+                base[(yp << 2) + xp] for xp, yp in _scan(4, scan_idx)
+            )
+            cls._SIG_CTX_ROWS_SCAN[key] = row
         return row
 
     # coeff_abs_level_remaining (9.3.3.13) lives on the decoder as the
