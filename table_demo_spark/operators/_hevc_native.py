@@ -1,0 +1,593 @@
+"""Native (C, built in-container with gcc) port of the HEVC
+residual_coding syntax block (H.265 7.3.8.11 + 9.3.3.x) — the measured
+per-task hot spot of every from-spec HEVC decode query.
+
+Why this exists (optimization guide §1.2 step 2 / §4.2): after the r15
+pure-Python engine work, profiling the m51/m55-m60 per-doc decode shows
+~72% of cumulative time inside ``_residual`` and the CABAC engine leaves
+it drives (``decision`` 26%, the ``_residual`` body 24%, ``remaining``
+11%).  The distributed shape is already ideal (stateless per-doc
+``mapInPandas`` after ``fan_out`` — the plan files are byte-identical
+before/after), so the remaining lever is the per-task inner loop, and
+the arithmetic-decoder bit loop is exactly the kind of branchy scalar
+code CPython is worst at and C is best at.
+
+Design rules:
+
+- **One C call per residual block** (~160 calls/doc), so call overhead
+  is irrelevant and ctypes (already this repo's native-interop tool for
+  libwebp/libheif/libde265/x265/...) suffices — no new dependency.
+- **No table is retyped in C** (the r10 "never hand-recall normative
+  tables" rule): the LPS/transIdx tables, the 4x4 sig ctxIdxMap and the
+  scan orders are passed in from the SAME Python objects the pure
+  implementation uses, via ``hevcres_set_tables``.
+- **Bit-for-bit the same semantics** as the Python path: the C decision
+  renorm is the per-bit while-loop form the batched Python fetch was
+  proven equivalent to, and bypass/remaining consume bits in the same
+  order.  Equivalence is enforced three ways: the A/B test in
+  tests/test_hevc_native.py (full decodes, native vs pure, over real
+  x265 streams covering every TU size/scan/plane), driver_sim on every
+  HEVC query, and the per-doc libde265 bit-exactness flags that gate
+  every query's oracle.
+- **Fallback, never failure**: any problem building or loading the
+  library (no gcc, read-only tmp, unexpected toolchain) degrades to the
+  pure-Python path.  The build is one gcc invocation cached per machine
+  keyed on the md5 of the C source; concurrent Spark workers may race
+  to build, which is benign (atomic os.replace, last writer wins).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* Tables are injected from Python (single source of truth) — never
+   retyped here. */
+static unsigned char LPS_FLAT[256];
+static unsigned char TRANS_LPS[64];
+static unsigned char TRANS_MPS[64];
+static unsigned char CTX_MAP4[16];
+/* scans packed as (y<<4)|x, for n = 1,2,4,8 x scan_idx 0..2 */
+static unsigned char SCANS[3 * (1 + 4 + 16 + 64)];
+static int SCAN_OFF[4][3];
+
+void hevcres_set_tables(const unsigned char *lps256,
+                        const unsigned char *trans_lps,
+                        const unsigned char *trans_mps,
+                        const unsigned char *ctx_map4,
+                        const unsigned char *scans, long scans_len)
+{
+    memcpy(LPS_FLAT, lps256, 256);
+    memcpy(TRANS_LPS, trans_lps, 64);
+    memcpy(TRANS_MPS, trans_mps, 64);
+    memcpy(CTX_MAP4, ctx_map4, 16);
+    if (scans_len == (long)sizeof(SCANS)) memcpy(SCANS, scans, scans_len);
+    long off = 0;
+    for (int l = 0; l < 4; l++)
+        for (int i = 0; i < 3; i++) {
+            SCAN_OFF[l][i] = (int)off;
+            off += (long)(1 << l) * (1 << l);
+        }
+}
+
+typedef struct {
+    const unsigned char *data;
+    long nbytes;
+    long bitpos;
+    long range;
+    long offset;
+    int err; /* 0 ok, -1 truncated, -2 runaway bypass unary */
+} dec_t;
+
+static inline int get_bit(dec_t *d)
+{
+    long bi = d->bitpos >> 3;
+    if (bi >= d->nbytes) { d->err = -1; return 0; }
+    int bit = (d->data[bi] >> (7 - (d->bitpos & 7))) & 1;
+    d->bitpos++;
+    return bit;
+}
+
+/* 9.3.4.3.2 DecodeDecision + 9.3.4.3.3 renorm (per-bit form — proven
+   equivalent to the batched Python fetch). */
+static inline int dec_decision(dec_t *d, signed char *st)
+{
+    int s = st[0], mps = st[1];
+    long r = d->range;
+    long lps = LPS_FLAT[(s << 2) | ((r >> 6) & 3)];
+    r -= lps;
+    long off = d->offset;
+    int binval;
+    if (off >= r) {
+        binval = 1 - mps;
+        off -= r;
+        r = lps;
+        if (s == 0) st[1] = (signed char)binval;
+        st[0] = (signed char)TRANS_LPS[s];
+    } else {
+        binval = mps;
+        st[0] = (signed char)TRANS_MPS[s];
+    }
+    while (r < 256) {
+        off = (off << 1) | get_bit(d);
+        if (d->err) return 0;
+        r <<= 1;
+    }
+    d->range = r;
+    d->offset = off;
+    return binval;
+}
+
+static inline long dec_bypass_bits(dec_t *d, int n)
+{
+    long off = d->offset, r = d->range, val = 0;
+    for (int i = 0; i < n; i++) {
+        off = (off << 1) | get_bit(d);
+        if (d->err) return 0;
+        if (off >= r) { off -= r; val = (val << 1) | 1; }
+        else val <<= 1;
+    }
+    d->offset = off;
+    return val;
+}
+
+/* 9.3.3.13 coeff_abs_level_remaining: TR prefix (limit 31) + rice /
+   EGk escape suffix, all bypass. */
+static inline long long dec_remaining(dec_t *d, int rice)
+{
+    long off = d->offset, r = d->range;
+    int prefix = 0;
+    for (;;) {
+        off = (off << 1) | get_bit(d);
+        if (d->err) return 0;
+        if (off >= r) {
+            off -= r;
+            prefix++;
+            if (prefix > 31) { d->err = -2; return 0; }
+        } else break;
+    }
+    int n = prefix < 3 ? rice : prefix - 3 + rice;
+    long long suffix = 0;
+    for (int i = 0; i < n; i++) {
+        off = (off << 1) | get_bit(d);
+        if (d->err) return 0;
+        if (off >= r) { off -= r; suffix = (suffix << 1) | 1; }
+        else suffix <<= 1;
+    }
+    d->offset = off;
+    if (prefix < 3) return ((long long)prefix << rice) + suffix;
+    return (((1LL << (prefix - 3)) + 2) << rice) + suffix;
+}
+
+/* 9.3.4.2.5 sig_coeff_flag ctxInc. */
+static int sig_ctx(int log2_size, int c_idx, int scan_idx,
+                   int xp, int yp, int prev, int sb_zero)
+{
+    int sig;
+    if (log2_size == 2) {
+        sig = CTX_MAP4[(yp << 2) + xp];
+    } else if (sb_zero && xp == 0 && yp == 0) {
+        sig = 0;
+    } else {
+        if (prev == 0)
+            sig = (xp + yp == 0) ? 2 : (xp + yp < 3 ? 1 : 0);
+        else if (prev == 1)
+            sig = (yp == 0) ? 2 : (yp == 1 ? 1 : 0);
+        else if (prev == 2)
+            sig = (xp == 0) ? 2 : (xp == 1 ? 1 : 0);
+        else
+            sig = 2;
+        if (c_idx == 0) {
+            if (!sb_zero) sig += 3;
+            if (log2_size == 3) sig += (scan_idx == 0) ? 9 : 15;
+            else sig += 21;
+        } else {
+            sig += (log2_size == 3) ? 9 : 12;
+        }
+    }
+    return sig + (c_idx ? 27 : 0);
+}
+
+static int last_prefix(dec_t *d, signed char *cs, int base,
+                       int log2_size, int c_idx)
+{
+    int offset, shift;
+    if (c_idx == 0) {
+        offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+        shift = (log2_size + 1) >> 2;
+    } else {
+        offset = 15;
+        shift = log2_size - 2;
+    }
+    int c_max = (log2_size << 1) - 1;
+    int prefix = 0;
+    while (prefix < c_max) {
+        if (!dec_decision(d, cs + base + 2 * ((prefix >> shift) + offset)))
+            break;
+        if (d->err) break;
+        prefix++;
+    }
+    return prefix;
+}
+
+static long last_suffix(dec_t *d, int prefix)
+{
+    if (prefix <= 3) return prefix;
+    int n_bits = (prefix >> 1) - 1;
+    return ((long)(2 + (prefix & 1)) << n_bits) + dec_bypass_bits(d, n_bits);
+}
+
+/* Context-state pair offsets inside cs (layout owned by hevc.py's
+   _RES_CTX_LAYOUT — keep in sync): */
+#define CS_LAST_X 0
+#define CS_LAST_Y (2 * 18)
+#define CS_CSB    (2 * 36)
+#define CS_SIG    (2 * 40)
+#define CS_G1     (2 * 82)
+#define CS_G2     (2 * 106)
+
+long hevc_residual(const unsigned char *data, long nbytes,
+                   long long *io /* bitpos, range, offset */,
+                   signed char *cs, long log2_size_l, long c_idx_l,
+                   long scan_idx_l, long long *coeffs,
+                   long long *out_n_coeff)
+{
+    int log2_size = (int)log2_size_l;
+    int c_idx = (int)c_idx_l;
+    int scan_idx = (int)scan_idx_l;
+    dec_t d = { data, nbytes, (long)io[0], (long)io[1], (long)io[2], 0 };
+    int n = 1 << log2_size;
+
+    int px = last_prefix(&d, cs, CS_LAST_X, log2_size, c_idx);
+    int py = last_prefix(&d, cs, CS_LAST_Y, log2_size, c_idx);
+    long lx = last_suffix(&d, px);
+    long ly = last_suffix(&d, py);
+    if (d.err) return d.err;
+    if (scan_idx == 2) { long t = lx; lx = ly; ly = t; }
+
+    const unsigned char *pos_scan = SCANS + SCAN_OFF[2][scan_idx];
+    int n_sb_log2 = log2_size - 2;
+    const unsigned char *sb_scan = SCANS + SCAN_OFF[n_sb_log2][scan_idx];
+    int sb_count = (1 << n_sb_log2) * (1 << n_sb_log2);
+    int last_sb = -1, last_pos = -1;
+    {
+        int tx = (int)(lx >> 2), ty = (int)(ly >> 2);
+        for (int i = 0; i < sb_count; i++) {
+            int e = sb_scan[i];
+            if ((e & 15) == tx && (e >> 4) == ty) { last_sb = i; break; }
+        }
+        tx = (int)(lx & 3); ty = (int)(ly & 3);
+        for (int i = 0; i < 16; i++) {
+            int e = pos_scan[i];
+            if ((e & 15) == tx && (e >> 4) == ty) { last_pos = i; break; }
+        }
+    }
+    if (last_sb < 0 || last_pos < 0) return -3;
+
+    memset(coeffs, 0, sizeof(long long) * (size_t)n * (size_t)n);
+    unsigned char csbf[9][9];
+    memset(csbf, 0, sizeof(csbf));
+    signed char *sig_states = cs + CS_SIG;
+    signed char *csb_states = cs + CS_CSB;
+    signed char *g1_states = cs + CS_G1;
+    signed char *g2_states = cs + CS_G2;
+    int c1 = 1;
+    long long n_coeff = 0;
+
+    for (int i = last_sb; i >= 0; i--) {
+        int xs = sb_scan[i] & 15, ys = sb_scan[i] >> 4;
+        int infer_dc = 0;
+        if (i < last_sb && i > 0) {
+            int prev_n = csbf[ys][xs + 1] + csbf[ys + 1][xs];
+            int inc = (prev_n > 1 ? 1 : prev_n) + (c_idx ? 2 : 0);
+            int flag = dec_decision(&d, csb_states + 2 * inc);
+            if (d.err) return d.err;
+            csbf[ys][xs] = (unsigned char)flag;
+            infer_dc = 1;
+        } else {
+            csbf[ys][xs] = 1;
+        }
+        if (!csbf[ys][xs]) continue;
+
+        int sig[16];
+        memset(sig, 0, sizeof(sig));
+        int start;
+        if (i == last_sb) { sig[last_pos] = 1; start = last_pos - 1; }
+        else start = 15;
+        int prev = csbf[ys][xs + 1] + 2 * csbf[ys + 1][xs];
+        int sb_zero = (xs == 0 && ys == 0);
+        for (int pos = start; pos >= 0; pos--) {
+            if (pos > 0 || !infer_dc) {
+                int xp = pos_scan[pos] & 15, yp = pos_scan[pos] >> 4;
+                int inc = sig_ctx(log2_size, c_idx, scan_idx, xp, yp,
+                                  prev, sb_zero);
+                sig[pos] = dec_decision(&d, sig_states + 2 * inc);
+                if (d.err) return d.err;
+                if (sig[pos]) infer_dc = 0;
+            } else {
+                sig[pos] = 1;
+            }
+        }
+        int sig_pos[16], n_sig = 0;
+        for (int p = 15; p >= 0; p--)
+            if (sig[p]) sig_pos[n_sig++] = p;
+        if (!n_sig) continue;
+
+        /* 9.3.4.2.6: ctxSet from subblock index + previous subblock's
+           ending greater1Ctx (the HM c1 carry). */
+        int ctx_set = ((i > 0 && c_idx == 0) ? 2 : 0) + (c1 == 0 ? 1 : 0);
+        c1 = 1;
+        int gt1[8];
+        int n_gt1 = n_sig < 8 ? n_sig : 8;
+        int first_gt1 = -1;
+        for (int k = 0; k < n_gt1; k++) {
+            int f = dec_decision(
+                &d,
+                g1_states + 2 * ((c_idx ? 16 : 0) + ctx_set * 4 + c1));
+            if (d.err) return d.err;
+            gt1[k] = f;
+            if (f) {
+                c1 = 0;
+                if (first_gt1 < 0) first_gt1 = sig_pos[k];
+            } else if (c1 > 0 && c1 < 3) {
+                c1++;
+            }
+        }
+        int gt2 = 0;
+        if (first_gt1 >= 0) {
+            gt2 = dec_decision(
+                &d, g2_states + 2 * ((c_idx ? 4 : 0) + ctx_set));
+            if (d.err) return d.err;
+        }
+        long sign_word = dec_bypass_bits(&d, n_sig);
+        if (d.err) return d.err;
+        int rice = 0, first_coeff2 = 1;
+        for (int k = 0; k < n_sig; k++) {
+            int pos = sig_pos[k];
+            long long val = 1;
+            if (k < 8) {
+                val += gt1[k];
+                if (pos == first_gt1) val += gt2;
+            }
+            long long base = (k < 8) ? (2 + first_coeff2) : 1;
+            if (val == base) {
+                long long rem = dec_remaining(&d, rice);
+                if (d.err) return d.err;
+                val += rem;
+                if (val > (3LL << rice) && rice < 4) rice++;
+            }
+            if (val >= 2) first_coeff2 = 0;
+            int xp = pos_scan[pos] & 15, yp = pos_scan[pos] >> 4;
+            coeffs[(long)((ys << 2) + yp) * n + (xs << 2) + xp] =
+                ((sign_word >> (n_sig - 1 - k)) & 1) ? -val : val;
+            n_coeff++;
+        }
+    }
+    io[0] = d.bitpos;
+    io[1] = d.range;
+    io[2] = d.offset;
+    out_n_coeff[0] = n_coeff;
+    return 0;
+}
+
+/* ---- 8.5.3.3.3 fractional-sample interpolation (BitDepth 8) ----
+   Returns the 14-bit intermediates, exactly like the Python
+   _mc_luma_raw/_mc_chroma_raw (integer filters injected from the
+   same Python tables; >> is gcc arithmetic shift == Python floor). */
+
+static long long LUMA_F[4][8];   /* index by fx 1..3 */
+static long long CHROMA_F[8][4]; /* index by fx 1..7 */
+
+void hevcres_set_mc_filters(const long long *luma /* 3*8, fx 1..3 */,
+                            const long long *chroma /* 7*4, fx 1..7 */)
+{
+    for (int f = 1; f <= 3; f++)
+        for (int i = 0; i < 8; i++) LUMA_F[f][i] = luma[(f - 1) * 8 + i];
+    for (int f = 1; f <= 7; f++)
+        for (int i = 0; i < 4; i++) CHROMA_F[f][i] = chroma[(f - 1) * 4 + i];
+}
+
+void hevc_mc_luma(const long long *ref, long h, long w,
+                  long x0, long y0, long n, long mx, long my,
+                  long long *out)
+{
+    long xi = x0 + (mx >> 2);
+    int fx = (int)(mx & 3);
+    long yi = y0 + (my >> 2);
+    int fy = (int)(my & 3);
+    int bn = (int)n + 7;
+    long long blk[39 * 39]; /* n <= 32 */
+    long idx[39];
+    for (int i = 0; i < bn; i++) {
+        long c = xi - 3 + i;
+        idx[i] = c < 0 ? 0 : (c >= w ? w - 1 : c);
+    }
+    for (int r = 0; r < bn; r++) {
+        long rr = yi - 3 + r;
+        rr = rr < 0 ? 0 : (rr >= h ? h - 1 : rr);
+        const long long *src = ref + rr * w;
+        long long *dst = blk + (long)r * bn;
+        for (int c = 0; c < bn; c++) dst[c] = src[idx[c]];
+    }
+    if (fx == 0 && fy == 0) {
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++)
+                out[y * n + x] = blk[(y + 3) * bn + x + 3] << 6;
+        return;
+    }
+    if (fy == 0) {
+        const long long *f = LUMA_F[fx];
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                const long long *row = blk + (y + 3) * bn + x;
+                long long s = 0;
+                for (int i = 0; i < 8; i++) s += f[i] * row[i];
+                out[y * n + x] = s;
+            }
+        return;
+    }
+    if (fx == 0) {
+        const long long *f = LUMA_F[fy];
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                const long long *col = blk + y * bn + x + 3;
+                long long s = 0;
+                for (int i = 0; i < 8; i++) s += f[i] * col[i * bn];
+                out[y * n + x] = s;
+            }
+        return;
+    }
+    const long long *fh = LUMA_F[fx];
+    const long long *fv = LUMA_F[fy];
+    long long tmp[39 * 32];
+    for (int r = 0; r < bn; r++)
+        for (int x = 0; x < n; x++) {
+            const long long *row = blk + r * bn + x;
+            long long s = 0;
+            for (int i = 0; i < 8; i++) s += fh[i] * row[i];
+            tmp[r * n + x] = s;
+        }
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            const long long *col = tmp + y * (long)n + x;
+            long long s = 0;
+            for (int i = 0; i < 8; i++) s += fv[i] * col[i * n];
+            out[y * n + x] = s >> 6;
+        }
+}
+
+void hevc_mc_chroma(const long long *ref, long h, long w,
+                    long xc, long yc, long nc, long mx, long my,
+                    long long *out)
+{
+    long xi = xc + (mx >> 3);
+    int fx = (int)(mx & 7);
+    long yi = yc + (my >> 3);
+    int fy = (int)(my & 7);
+    int bn = (int)nc + 3;
+    long long blk[19 * 19]; /* nc <= 16 */
+    long idx[19];
+    for (int i = 0; i < bn; i++) {
+        long c = xi - 1 + i;
+        idx[i] = c < 0 ? 0 : (c >= w ? w - 1 : c);
+    }
+    for (int r = 0; r < bn; r++) {
+        long rr = yi - 1 + r;
+        rr = rr < 0 ? 0 : (rr >= h ? h - 1 : rr);
+        const long long *src = ref + rr * w;
+        long long *dst = blk + (long)r * bn;
+        for (int c = 0; c < bn; c++) dst[c] = src[idx[c]];
+    }
+    if (fx == 0 && fy == 0) {
+        for (int y = 0; y < nc; y++)
+            for (int x = 0; x < nc; x++)
+                out[y * nc + x] = blk[(y + 1) * bn + x + 1] << 6;
+        return;
+    }
+    if (fy == 0) {
+        const long long *f = CHROMA_F[fx];
+        for (int y = 0; y < nc; y++)
+            for (int x = 0; x < nc; x++) {
+                const long long *row = blk + (y + 1) * bn + x;
+                long long s = 0;
+                for (int i = 0; i < 4; i++) s += f[i] * row[i];
+                out[y * nc + x] = s;
+            }
+        return;
+    }
+    if (fx == 0) {
+        const long long *f = CHROMA_F[fy];
+        for (int y = 0; y < nc; y++)
+            for (int x = 0; x < nc; x++) {
+                const long long *col = blk + y * bn + x + 1;
+                long long s = 0;
+                for (int i = 0; i < 4; i++) s += f[i] * col[i * bn];
+                out[y * nc + x] = s;
+            }
+        return;
+    }
+    const long long *fh = CHROMA_F[fx];
+    const long long *fv = CHROMA_F[fy];
+    long long tmp[19 * 16];
+    for (int r = 0; r < bn; r++)
+        for (int x = 0; x < nc; x++) {
+            const long long *row = blk + r * bn + x;
+            long long s = 0;
+            for (int i = 0; i < 4; i++) s += fh[i] * row[i];
+            tmp[r * nc + x] = s;
+        }
+    for (int y = 0; y < nc; y++)
+        for (int x = 0; x < nc; x++) {
+            const long long *col = tmp + y * (long)nc + x;
+            long long s = 0;
+            for (int i = 0; i < 4; i++) s += fv[i] * col[i * nc];
+            out[y * nc + x] = s >> 6;
+        }
+}
+"""
+
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    src_md5 = hashlib.md5(_C_SOURCE.encode()).hexdigest()
+    cache = os.path.join(tempfile.gettempdir(), "tds_native")
+    os.makedirs(cache, exist_ok=True)
+    so_path = os.path.join(cache, f"hevcres_{src_md5}.so")
+    if not os.path.exists(so_path):
+        c_path = os.path.join(cache, f"hevcres_{src_md5}.c")
+        with open(c_path, "w") as f:
+            f.write(_C_SOURCE)
+        tmp = f"{so_path}.tmp.{os.getpid()}"
+        subprocess.run(
+            ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, c_path],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so_path)  # atomic; concurrent builders are benign
+    lib = ctypes.CDLL(so_path)
+    c8 = ctypes.POINTER(ctypes.c_int8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.hevcres_set_tables.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+    ]
+    lib.hevcres_set_tables.restype = None
+    lib.hevc_residual.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, i64, c8,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, i64, i64,
+    ]
+    lib.hevc_residual.restype = ctypes.c_long
+    lib.hevcres_set_mc_filters.argtypes = [i64, i64]
+    lib.hevcres_set_mc_filters.restype = None
+    mc_sig = [
+        i64, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        i64,
+    ]
+    lib.hevc_mc_luma.argtypes = mc_sig
+    lib.hevc_mc_luma.restype = None
+    lib.hevc_mc_chroma.argtypes = mc_sig
+    lib.hevc_mc_chroma.restype = None
+    return lib
+
+
+def get_lib():
+    """Build (once per machine, cached) and load the residual kernel.
+    Returns None when native support is unavailable — callers fall
+    back to the pure-Python path."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        try:
+            _LIB = _build_and_load()
+        except Exception:
+            _LIB = None
+    return _LIB

@@ -3787,19 +3787,30 @@ def h264_escape_rbsp(rbsp: bytes) -> bytes:
 
 
 def h264_unescape_rbsp(data: bytes) -> bytes:
-    """Remove emulation_prevention_three_byte (00 00 03 -> 00 00)."""
+    """Remove emulation_prevention_three_byte (00 00 03 -> 00 00).
+
+    Splice-based form of the per-byte scan (which was a measurable
+    leaf of every from-spec decode): an escape is a literal
+    ``00 00 03`` whose next byte is <= 3.  This is exactly the
+    per-byte rule — the scan's zero counter resets after each
+    removal, so output zero-runs never bridge a removed byte and the
+    escape condition is always visible as the literal input pattern
+    (fuzz-pinned against the reference scan in
+    tests/test_hevc_native.py)."""
+    i = data.find(b"\x00\x00\x03")
+    if i < 0:
+        return data
+    n = len(data)
     out = bytearray()
-    zeros = 0
-    i = 0
-    while i < len(data):
-        byte = data[i]
-        if zeros >= 2 and byte == 3 and i + 1 < len(data) and data[i + 1] <= 3:
-            zeros = 0
-            i += 1
-            continue
-        out.append(byte)
-        zeros = zeros + 1 if byte == 0 else 0
-        i += 1
+    start = 0
+    while i >= 0:
+        if i + 3 < n and data[i + 3] <= 3:
+            out += data[start:i + 2]
+            start = i + 3
+            i = data.find(b"\x00\x00\x03", start)
+        else:
+            i = data.find(b"\x00\x00\x03", i + 1)
+    out += data[start:]
     return bytes(out)
 
 

@@ -41,6 +41,9 @@ part of the LLM-pipeline multimodal extension (SURVEY.md §2 m-family).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from table_demo_spark.operators.codecs import (
@@ -532,6 +535,11 @@ def parse_hevc_slice_header(
 # ---------------------------------------------------------------------------
 
 
+# 9.3.4.2.5 ctxIdxMap for 4x4 TBs, indexed (yp << 2) + xp — shared by
+# the pure _sig_ctx below and the native kernel (passed, not retyped).
+_SIG_CTX_MAP4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+
+
 def _diag_scan(n: int) -> list[tuple[int, int]]:
     out: list[tuple[int, int]] = []
     x = y = 0
@@ -562,6 +570,110 @@ def _scan(n: int, idx: int) -> list[tuple[int, int]]:
     if key not in _SCAN_CACHE:
         _SCAN_CACHE[key] = _scan_order(n, idx)
     return _SCAN_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Native residual kernel (operators/_hevc_native.py): the C port of the
+# residual_coding syntax block, measured at ~72% of the from-spec decode
+# after the r15 pure-Python engine work.  Tables are handed over from
+# the SAME Python objects the pure path uses; context states for the six
+# residual-only families are snapshotted into a per-slice byte buffer on
+# first use (no other syntax element reads or writes those families).
+# Set TDS_HEVC_NATIVE=0 (or flip HEVC_NATIVE_RESIDUAL) to force the
+# pure-Python path — the A/B equivalence test does exactly that.
+# ---------------------------------------------------------------------------
+
+HEVC_NATIVE_RESIDUAL = os.environ.get("TDS_HEVC_NATIVE", "1") != "0"
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+# (family, state count) pairs, in the byte-buffer order the C kernel's
+# CS_* offsets assume.
+_RES_CTX_LAYOUT = (
+    ("last_sig_coeff_x_prefix", 18),
+    ("last_sig_coeff_y_prefix", 18),
+    ("coded_sub_block_flag", 4),
+    ("sig_coeff_flag", 42),
+    ("coeff_abs_level_greater1", 24),
+    ("coeff_abs_level_greater2", 6),
+)
+_RES_CTX_STATES = sum(n for _, n in _RES_CTX_LAYOUT)
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """The compiled residual kernel with tables installed, or None
+    (pure-Python fallback) when building/loading is impossible."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from table_demo_spark.operators import _hevc_native
+            from table_demo_spark.operators.codecs import (
+                _RANGE_LPS_FLAT,
+                H264_TRANS_IDX_LPS,
+                H264_TRANS_IDX_MPS,
+            )
+
+            lib = _hevc_native.get_lib()
+            if lib is not None:
+                scans = bytearray()
+                for log2 in range(4):
+                    nn = 1 << log2
+                    for idx in range(3):
+                        pts = [(0, 0)] if nn == 1 else _scan(nn, idx)
+                        scans.extend((y << 4) | x for x, y in pts)
+                lib.hevcres_set_tables(
+                    bytes(_RANGE_LPS_FLAT),
+                    bytes(H264_TRANS_IDX_LPS),
+                    bytes(H264_TRANS_IDX_MPS),
+                    bytes(_SIG_CTX_MAP4),
+                    bytes(scans),
+                    len(scans),
+                )
+                luma = (ctypes.c_int64 * 24)(
+                    *(v for f in (1, 2, 3) for v in HEVC_LUMA_FILTER[f])
+                )
+                chroma = (ctypes.c_int64 * 28)(
+                    *(
+                        v
+                        for f in (1, 2, 3, 4, 5, 6, 7)
+                        for v in HEVC_CHROMA_FILTER[f]
+                    )
+                )
+                lib.hevcres_set_mc_filters(luma, chroma)
+                _NATIVE_LIB = lib
+        except Exception:
+            _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _mc_native_ok(ref: np.ndarray) -> bool:
+    """The C MC kernels assume the reference plane layout the inter
+    decoder constructs (C-contiguous int64); anything else falls back
+    to the pure path rather than risking a stride misread."""
+    return ref.dtype == np.int64 and ref.flags.c_contiguous
+
+
+def _res_ctx_buf(ctx: "_Ctx"):
+    """Snapshot the six residual context families into the per-slice
+    C state buffer (pairs of [pStateIdx, valMps] int8s).  After this,
+    the Python-side lists for THESE families are stale by design —
+    _residual is their only reader/writer, and once a slice has gone
+    native it stays native (the buffer is cached on the ctx)."""
+    buf = getattr(ctx, "_res_nbuf", None)
+    if buf is None:
+        buf = (ctypes.c_int8 * (2 * _RES_CTX_STATES))()
+        k = 0
+        for name, cnt in _RES_CTX_LAYOUT:
+            states = ctx.states[name]
+            for s, mps in states:
+                buf[k] = s
+                buf[k + 1] = mps
+                k += 2
+        ctx._res_nbuf = buf
+    return buf
 
 
 _DCT_ODD = {
@@ -1092,6 +1204,12 @@ class HevcIntraSliceDecoder:
                 scan_idx = 1
         if self.pps["transform_skip_enabled"]:
             raise ValueError("HEVC: transform_skip unsupported")
+        if HEVC_NATIVE_RESIDUAL:
+            lib = _native_lib()
+            if lib is not None:
+                return self._residual_native(
+                    lib, dec, ctx, log2_size, c_idx, scan_idx
+                )
         last_x = self._last_prefix(dec, ctx, "last_sig_coeff_x_prefix",
                                    log2_size, c_idx)
         last_y = self._last_prefix(dec, ctx, "last_sig_coeff_y_prefix",
@@ -1204,6 +1322,33 @@ class HevcIntraSliceDecoder:
                 self.n_coeff += 1
         return coeffs
 
+    def _residual_native(self, lib, dec, ctx, log2_size, c_idx, scan_idx):
+        """Dispatch one residual block to the C kernel: sync the
+        decoder (bitpos, range, offset) through an in/out triple, hand
+        it the per-slice context-state buffer, and raise the same
+        errors the pure path would on corrupt streams."""
+        br = dec.br
+        data = br.data
+        io = (ctypes.c_int64 * 3)(br.bitpos, dec.range, dec.offset)
+        n = 1 << log2_size
+        coeffs = np.empty(n * n, np.int64)
+        out_n = (ctypes.c_int64 * 1)()
+        rc = lib.hevc_residual(
+            data, len(data), io, _res_ctx_buf(ctx), log2_size, c_idx,
+            scan_idx,
+            coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_n,
+        )
+        if rc != 0:
+            if rc == -2:
+                raise ValueError("runaway bypass unary")
+            raise ValueError("truncated CABAC stream")
+        br.bitpos = io[0]
+        dec.range = io[1]
+        dec.offset = io[2]
+        self.n_coeff += out_n[0]
+        return coeffs.reshape(n, n)
+
     def _last_prefix(self, dec, ctx, name, log2_size, c_idx) -> int:
         if c_idx == 0:
             offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2)
@@ -1233,8 +1378,7 @@ class HevcIntraSliceDecoder:
         a subblock's position loop, which lets ``_sig_ctx_row``
         memoize the whole 16-entry row."""
         if log2_size == 2:
-            ctx_map = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
-            sig = ctx_map[(yp << 2) + xp]
+            sig = _SIG_CTX_MAP4[(yp << 2) + xp]
         elif sb_zero and xp == 0 and yp == 0:  # xc + yc == 0
             sig = 0
         else:
@@ -1983,6 +2127,16 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
         sample rounding).  Out-of-picture reference samples clamp to
         the picture edge (8.5.3.2.9 padding)."""
         mx, my = mv
+        if HEVC_NATIVE_RESIDUAL and _mc_native_ok(ref):
+            lib = _native_lib()
+            if lib is not None:
+                out = np.empty(n * n, np.int64)
+                lib.hevc_mc_luma(
+                    ref.ctypes.data_as(_I64P), self.h, self.w,
+                    x0, y0, n, mx, my,
+                    out.ctypes.data_as(_I64P),
+                )
+                return out.reshape(n, n)
         xi, fx = x0 + (mx >> 2), mx & 3
         yi, fy = y0 + (my >> 2), my & 3
         rows = np.clip(np.arange(yi - 3, yi + n + 4), 0, self.h - 1)
@@ -2005,9 +2159,19 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
         """8.5.3.3.3.2: eighth-pel 4-tap over the half-resolution
         plane; returns the 14-bit intermediate."""
         mx, my = mv
+        ch, cw = ref.shape
+        if HEVC_NATIVE_RESIDUAL and _mc_native_ok(ref):
+            lib = _native_lib()
+            if lib is not None:
+                out = np.empty(nc * nc, np.int64)
+                lib.hevc_mc_chroma(
+                    ref.ctypes.data_as(_I64P), ch, cw,
+                    xc, yc, nc, mx, my,
+                    out.ctypes.data_as(_I64P),
+                )
+                return out.reshape(nc, nc)
         xi, fx = xc + (mx >> 3), mx & 7
         yi, fy = yc + (my >> 3), my & 7
-        ch, cw = ref.shape
         rows = np.clip(np.arange(yi - 1, yi + nc + 2), 0, ch - 1)
         cols = np.clip(np.arange(xi - 1, xi + nc + 2), 0, cw - 1)
         blk = ref[np.ix_(rows, cols)]
