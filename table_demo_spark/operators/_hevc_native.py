@@ -233,16 +233,11 @@ static long last_suffix(dec_t *d, int prefix)
 #define CS_G1     (2 * 82)
 #define CS_G2     (2 * 106)
 
-long hevc_residual(const unsigned char *data, long nbytes,
-                   long long *io /* bitpos, range, offset */,
-                   signed char *cs, long log2_size_l, long c_idx_l,
-                   long scan_idx_l, long long *coeffs,
-                   long long *out_n_coeff)
+static long residual_core(dec_t *dp, signed char *cs, int log2_size,
+                          int c_idx, int scan_idx, long long *coeffs,
+                          long long *out_n_coeff)
 {
-    int log2_size = (int)log2_size_l;
-    int c_idx = (int)c_idx_l;
-    int scan_idx = (int)scan_idx_l;
-    dec_t d = { data, nbytes, (long)io[0], (long)io[1], (long)io[2], 0 };
+    dec_t d = *dp;
     int n = 1 << log2_size;
 
     int px = last_prefix(&d, cs, CS_LAST_X, log2_size, c_idx);
@@ -370,10 +365,94 @@ long hevc_residual(const unsigned char *data, long nbytes,
             n_coeff++;
         }
     }
+    *dp = d;
+    out_n_coeff[0] = n_coeff;
+    return 0;
+}
+
+long hevc_residual(const unsigned char *data, long nbytes,
+                   long long *io /* bitpos, range, offset */,
+                   signed char *cs, long log2_size, long c_idx,
+                   long scan_idx, long long *coeffs,
+                   long long *out_n_coeff)
+{
+    dec_t d = { data, nbytes, (long)io[0], (long)io[1], (long)io[2], 0 };
+    long rc = residual_core(&d, cs, (int)log2_size, (int)c_idx,
+                            (int)scan_idx, coeffs, out_n_coeff);
+    if (rc != 0) return rc;
     io[0] = d.bitpos;
     io[1] = d.range;
     io[2] = d.offset;
-    out_n_coeff[0] = n_coeff;
+    return 0;
+}
+
+/* ---- 8.6.3 dequant (flat scaling) + 8.6.4.2 inverse transform ---- */
+
+static long long LEVEL_SCALE[6];
+static long long TX_DCT4[16], TX_DCT8[64], TX_DCT16[256];
+static long long TX_DCT32[1024], TX_DST4[16];
+
+void hevcres_set_tx(const long long *level_scale, const long long *dct4,
+                    const long long *dct8, const long long *dct16,
+                    const long long *dct32, const long long *dst4)
+{
+    memcpy(LEVEL_SCALE, level_scale, sizeof(LEVEL_SCALE));
+    memcpy(TX_DCT4, dct4, sizeof(TX_DCT4));
+    memcpy(TX_DCT8, dct8, sizeof(TX_DCT8));
+    memcpy(TX_DCT16, dct16, sizeof(TX_DCT16));
+    memcpy(TX_DCT32, dct32, sizeof(TX_DCT32));
+    memcpy(TX_DST4, dst4, sizeof(TX_DST4));
+}
+
+long hevc_residual_tx(const unsigned char *data, long nbytes,
+                      long long *io, signed char *cs, long log2_size_l,
+                      long c_idx, long scan_idx, long qp_l,
+                      long use_dst, long long *res_out,
+                      long long *out_n_coeff)
+{
+    int log2_size = (int)log2_size_l;
+    int qp = (int)qp_l;
+    int n = 1 << log2_size;
+    long long coeffs[32 * 32];
+    dec_t d = { data, nbytes, (long)io[0], (long)io[1], (long)io[2], 0 };
+    long rc = residual_core(&d, cs, log2_size, (int)c_idx,
+                            (int)scan_idx, coeffs, out_n_coeff);
+    if (rc != 0) return rc;
+    io[0] = d.bitpos;
+    io[1] = d.range;
+    io[2] = d.offset;
+
+    const long long *t =
+        use_dst ? TX_DST4
+                : (n == 4 ? TX_DCT4
+                          : (n == 8 ? TX_DCT8
+                                    : (n == 16 ? TX_DCT16 : TX_DCT32)));
+    int bd_shift = 8 + log2_size - 5;
+    long long scale =
+        16LL * LEVEL_SCALE[qp % 6] * (1LL << (qp / 6));
+    long long rnd = 1LL << (bd_shift - 1);
+    long long dq[32 * 32];
+    for (int i = 0; i < n * n; i++) {
+        long long v = (coeffs[i] * scale + rnd) >> bd_shift;
+        dq[i] = v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+    }
+    /* e = clip16((T^T @ dq + 64) >> 7); res = (e @ T + 2048) >> 12 */
+    long long e[32 * 32];
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            long long s = 64;
+            for (int k = 0; k < n; k++)
+                s += t[k * n + i] * dq[k * n + j];
+            s >>= 7;
+            e[i * n + j] = s < -32768 ? -32768 : (s > 32767 ? 32767 : s);
+        }
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            long long s = 2048;
+            for (int k = 0; k < n; k++)
+                s += e[i * n + k] * t[k * n + j];
+            res_out[i * n + j] = s >> 12;
+        }
     return 0;
 }
 
@@ -565,6 +644,14 @@ def _build_and_load():
         ctypes.c_long, ctypes.c_long, ctypes.c_long, i64, i64,
     ]
     lib.hevc_residual.restype = ctypes.c_long
+    lib.hevc_residual_tx.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, i64, c8,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, i64, i64,
+    ]
+    lib.hevc_residual_tx.restype = ctypes.c_long
+    lib.hevcres_set_tx.argtypes = [i64, i64, i64, i64, i64, i64]
+    lib.hevcres_set_tx.restype = None
     lib.hevcres_set_mc_filters.argtypes = [i64, i64]
     lib.hevcres_set_mc_filters.restype = None
     mc_sig = [

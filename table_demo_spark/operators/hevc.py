@@ -643,6 +643,19 @@ def _native_lib():
                     )
                 )
                 lib.hevcres_set_mc_filters(luma, chroma)
+
+                def _mat(m):
+                    flat = np.ascontiguousarray(m, np.int64).reshape(-1)
+                    return (ctypes.c_int64 * flat.size)(*flat.tolist())
+
+                lib.hevcres_set_tx(
+                    (ctypes.c_int64 * 6)(*_LEVEL_SCALE),
+                    _mat(_transform_matrix(4, False)),
+                    _mat(_transform_matrix(8, False)),
+                    _mat(_transform_matrix(16, False)),
+                    _mat(_transform_matrix(32, False)),
+                    _mat(_DST4),
+                )
                 _NATIVE_LIB = lib
         except Exception:
             _NATIVE_LIB = None
@@ -1154,10 +1167,9 @@ class HevcIntraSliceDecoder:
             mode = modes[0]
         res = None
         if cbf_luma:
-            levels = self._residual(dec, ctx, log2_size, 0, mode)
-            res = _inverse_transform(
-                _dequant(levels, self.qp, log2_size),
-                dst=(log2_size == 2),
+            res = self._residual_res(
+                dec, ctx, log2_size, 0, mode, self.qp,
+                log2_size == 2,
             )
         self._reconstruct(0, x0, y0, log2_size, mode, res)
         # chroma
@@ -1183,11 +1195,9 @@ class HevcIntraSliceDecoder:
             qp_c = _CHROMA_QP[qp_i]
             res = None
             if cbf:
-                levels = self._residual(
-                    dec, ctx, log2_size, c_idx, chroma_mode
-                )
-                res = _inverse_transform(
-                    _dequant(levels, qp_c, log2_size), dst=False
+                res = self._residual_res(
+                    dec, ctx, log2_size, c_idx, chroma_mode, qp_c,
+                    False,
                 )
             self._reconstruct(c_idx, xc, yc, log2_size, chroma_mode, res)
 
@@ -1204,12 +1214,6 @@ class HevcIntraSliceDecoder:
                 scan_idx = 1
         if self.pps["transform_skip_enabled"]:
             raise ValueError("HEVC: transform_skip unsupported")
-        if HEVC_NATIVE_RESIDUAL:
-            lib = _native_lib()
-            if lib is not None:
-                return self._residual_native(
-                    lib, dec, ctx, log2_size, c_idx, scan_idx
-                )
         last_x = self._last_prefix(dec, ctx, "last_sig_coeff_x_prefix",
                                    log2_size, c_idx)
         last_y = self._last_prefix(dec, ctx, "last_sig_coeff_y_prefix",
@@ -1322,32 +1326,49 @@ class HevcIntraSliceDecoder:
                 self.n_coeff += 1
         return coeffs
 
-    def _residual_native(self, lib, dec, ctx, log2_size, c_idx, scan_idx):
-        """Dispatch one residual block to the C kernel: sync the
-        decoder (bitpos, range, offset) through an in/out triple, hand
-        it the per-slice context-state buffer, and raise the same
-        errors the pure path would on corrupt streams."""
-        br = dec.br
-        data = br.data
-        io = (ctypes.c_int64 * 3)(br.bitpos, dec.range, dec.offset)
-        n = 1 << log2_size
-        coeffs = np.empty(n * n, np.int64)
-        out_n = (ctypes.c_int64 * 1)()
-        rc = lib.hevc_residual(
-            data, len(data), io, _res_ctx_buf(ctx), log2_size, c_idx,
-            scan_idx,
-            coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            out_n,
+    def _residual_res(self, dec, ctx, log2_size, c_idx, pred_mode, qp,
+                      use_dst):
+        """residual_coding + 8.6.3 dequant + 8.6.4.2 inverse
+        transform, fused into one native call when the C kernel is
+        available (decoder state synced through an in/out triple,
+        context states through the per-slice buffer, same errors as
+        the pure path on corrupt streams); otherwise the pure
+        three-step chain."""
+        if HEVC_NATIVE_RESIDUAL:
+            lib = _native_lib()
+            if lib is not None:
+                scan_idx = 0
+                if log2_size == 2 or (log2_size == 3 and c_idx == 0):
+                    if 6 <= pred_mode <= 14:
+                        scan_idx = 2
+                    elif 22 <= pred_mode <= 30:
+                        scan_idx = 1
+                if self.pps["transform_skip_enabled"]:
+                    raise ValueError("HEVC: transform_skip unsupported")
+                br = dec.br
+                data = br.data
+                io = (ctypes.c_int64 * 3)(br.bitpos, dec.range, dec.offset)
+                n = 1 << log2_size
+                res = np.empty(n * n, np.int64)
+                out_n = (ctypes.c_int64 * 1)()
+                rc = lib.hevc_residual_tx(
+                    data, len(data), io, _res_ctx_buf(ctx), log2_size,
+                    c_idx, scan_idx, qp, int(use_dst),
+                    res.ctypes.data_as(_I64P), out_n,
+                )
+                if rc != 0:
+                    if rc == -2:
+                        raise ValueError("runaway bypass unary")
+                    raise ValueError("truncated CABAC stream")
+                br.bitpos = io[0]
+                dec.range = io[1]
+                dec.offset = io[2]
+                self.n_coeff += out_n[0]
+                return res.reshape(n, n)
+        levels = self._residual(dec, ctx, log2_size, c_idx, pred_mode)
+        return _inverse_transform(
+            _dequant(levels, qp, log2_size), dst=use_dst
         )
-        if rc != 0:
-            if rc == -2:
-                raise ValueError("runaway bypass unary")
-            raise ValueError("truncated CABAC stream")
-        br.bitpos = io[0]
-        dec.range = io[1]
-        dec.offset = io[2]
-        self.n_coeff += out_n[0]
-        return coeffs.reshape(n, n)
 
     def _last_prefix(self, dec, ctx, name, log2_size, c_idx) -> int:
         if c_idx == 0:
@@ -2237,9 +2258,8 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
             # inter residuals always scan diagonally (7.4.9.11 is
             # intra-only) and always use the DCT (8.6.4.1: DST is
             # 4x4 intra luma only) — pred_mode 0 selects scan 0.
-            levels = self._residual(dec, ctx, log2_size, 0, 0)
-            res = _inverse_transform(
-                _dequant(levels, self.qp, log2_size), dst=False
+            res = self._residual_res(
+                dec, ctx, log2_size, 0, 0, self.qp, False
             )
             self.y[y0:y0 + n, x0:x0 + n] = np.clip(
                 self.y[y0:y0 + n, x0:x0 + n] + res, 0, 255
@@ -2265,9 +2285,8 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
             if not cbf:
                 continue
             qp_c = _CHROMA_QP[_clip3(0, 57, self.qp + qp_off)]
-            levels = self._residual(dec, ctx, log2_size, c_idx, 0)
-            res = _inverse_transform(
-                _dequant(levels, qp_c, log2_size), dst=False
+            res = self._residual_res(
+                dec, ctx, log2_size, c_idx, 0, qp_c, False
             )
             plane[yc:yc + n, xc:xc + n] = np.clip(
                 plane[yc:yc + n, xc:xc + n] + res, 0, 255
