@@ -83,24 +83,39 @@ def apply_merge_batch(paired: DataFrame, pairs: list[str]) -> DataFrame:
 
 def _run_parity_rewrite(marked: DataFrame) -> DataFrame:
     """Greedy non-overlapping merge of every marked (m) position:
-    gaps-and-islands runs, even-parity acceptance, consumed-neighbor
-    drop, position renumber (module docstring)."""
+    consecutive-run detection, even-parity acceptance, consumed-
+    neighbor drop, position renumber (module docstring).
+
+    Every window here shares ONE partitioning + ordering
+    (doc_id, pos), so a whole round's rewrite runs behind a single
+    Exchange — the original gaps-and-islands form partitioned by
+    (doc_id, m) and (doc_id, grp) as well, paying two more full
+    shuffles per merge round (pinned by tests/test_plans.py::
+    test_bpe_rewrite_single_exchange). The restatement relies on an
+    invariant every caller upholds: ``pos`` is consecutive
+    0..n-1 per doc (posexplode output, or this function's own
+    renumber), so "previous row in pos order" == "pos - 1" and a
+    maximal run of marked positions starts exactly where ``m`` holds
+    but ``lag(m)`` does not. The run-start position then propagates
+    as a running max of those start positions, and parity of
+    (pos - run_start) is the original even-offset acceptance.
+    Randomized 30-corpus x 3-round fuzz vs the gaps-and-islands
+    form: bit-identical rewrites (r15 opt round)."""
     wm = Window.partitionBy("doc_id").orderBy("pos")
-    runs = marked.withColumn(
-        "grp",
-        F.when(
-            F.col("m"),
-            F.col("pos")
-            - F.row_number().over(
-                Window.partitionBy("doc_id", "m").orderBy("pos")
-            ),
-        ),
+    wcum = wm.rowsBetween(Window.unboundedPreceding, 0)
+    prev = marked.withColumn(
+        "prev_m", F.coalesce(F.lag("m").over(wm), F.lit(False))
     )
-    wrun = Window.partitionBy("doc_id", "grp")
+    runs = prev.withColumn(
+        "run_start",
+        F.max(
+            F.when(F.col("m") & ~F.col("prev_m"), F.col("pos"))
+        ).over(wcum),
+    )
     accepted = runs.withColumn(
         "acc",
         F.col("m")
-        & (((F.col("pos") - F.min("pos").over(wrun)) % 2) == 0),
+        & (((F.col("pos") - F.col("run_start")) % 2) == 0),
     )
     with_prev = accepted.withColumn(
         "prev_acc",

@@ -653,6 +653,33 @@ def test_bpe_round_top_pair_is_min_by_aggregate(spark):
     assert not re.search(r"Sort \[cnt#\d+L? DESC", plan), plan
 
 
+def test_bpe_rewrite_single_exchange(spark):
+    """One BPE merge round's run-parity rewrite must run behind a
+    single hashpartitioning(doc_id) Exchange: every window in
+    _run_parity_rewrite shares the (doc_id, pos) partitioning +
+    ordering (the r15-opt restatement of the gaps-and-islands form,
+    which shuffled twice more per round on (doc_id, m) and
+    (doc_id, grp))."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from table_demo_spark.operators import bpe
+    from table_demo_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    paired = bpe._paired(bpe._tokens_positions(docs, "text"))
+    top = docs.sparkSession.createDataFrame(
+        [("a" + bpe.SEP + "b", 1)], "top_pair string, top_cnt long"
+    )
+    plan = formatted_plan(bpe.apply_merge(paired, top))
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
+    args = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(args) == 1, plan
+    assert "doc_id" in args[0] and "grp" not in args[0], plan
+
+
 def test_weighted_sample_priority_is_codegen(spark):
     """p9's A-Res priority is a row-local expression (md5+ln), not a
     Python UDF; the only shuffle is the per-group ranking window."""
