@@ -610,6 +610,249 @@ void hevc_mc_chroma(const long long *ref, long h, long w,
             out[y * nc + x] = s >> 6;
         }
 }
+
+/* ---- fused inter prediction (8.5.3.3.4.2 / .3) -----------------------
+   One call per plane per CU: run the MC interpolation for each active
+   list (exported kernels above), then the uni ((r + 32) >> 6) or
+   default-bi ((r0 + r1 + 64) >> 7) weighted-sample rounding, clip to
+   [0,255] and store into the picture plane — exactly the Python
+   _inter_pred_cu combine. */
+
+void hevc_inter_pred(const long long *ref0, const long long *ref1,
+                     long h, long w, long x0, long y0, long n,
+                     long mx0, long my0, long mx1, long my1,
+                     long luma, long long *plane, long pw)
+{
+    long long r0[32 * 32], r1[32 * 32];
+    if (ref0) {
+        if (luma) hevc_mc_luma(ref0, h, w, x0, y0, n, mx0, my0, r0);
+        else hevc_mc_chroma(ref0, h, w, x0, y0, n, mx0, my0, r0);
+    }
+    if (ref1) {
+        if (luma) hevc_mc_luma(ref1, h, w, x0, y0, n, mx1, my1, r1);
+        else hevc_mc_chroma(ref1, h, w, x0, y0, n, mx1, my1, r1);
+    }
+    const long long *ru = ref0 ? r0 : r1;
+    int bi = (ref0 && ref1);
+    for (long yy = 0; yy < n; yy++) {
+        long long *prow = plane + (y0 + yy) * pw + x0;
+        for (long xx = 0; xx < n; xx++) {
+            long long v = bi
+                ? (r0[yy * n + xx] + r1[yy * n + xx] + 64) >> 7
+                : (ru[yy * n + xx] + 32) >> 6;
+            if (v < 0) v = 0; else if (v > 255) v = 255;
+            prow[xx] = v;
+        }
+    }
+}
+
+/* ---- 8.4.4.2 intra sample prediction + reconstruction ----------------
+   Faithful port of the Python _intra_pred/_reconstruct pair: reference
+   gather with 8.4.4.2.2 substitution (forward fill from i = -2n), the
+   [1 2 1] / strong bilinear smoothing (8.4.4.2.3), and the planar / DC
+   / angular arms, then pred(+res), clip to [0,255], write into the
+   picture plane and mark availability.  Angle tables are injected from
+   the same Python constants (hevcres_set_intra).  >> on negatives is
+   gcc arithmetic shift == Python floor shift. */
+
+static long long PRED_ANGLE_T[33];
+static long long INV_ANGLE_T[33]; /* by mode-2; 0 where unused */
+
+void hevcres_set_intra(const long long *pred_angle,
+                       const long long *inv_angle)
+{
+    memcpy(PRED_ANGLE_T, pred_angle, sizeof(PRED_ANGLE_T));
+    memcpy(INV_ANGLE_T, inv_angle, sizeof(INV_ANGLE_T));
+}
+
+void hevc_intra_recon(long long *plane, unsigned char *avail,
+                      long ph, long pw, long x0, long y0, long n,
+                      long mode, long c_idx, long strong,
+                      const long long *res, long set_avail)
+{
+    long n2 = 2 * n;
+    long total = 4 * n + 1;
+    long long vals[129];   /* 4*32 + 1 */
+    unsigned char have[129];
+    memset(have, 0, (size_t)total);
+    for (long i = 0; i < total; i++) vals[i] = 0;
+
+    /* gather: index 0 = p[-1][2n-1] (bottom of left column), n2 =
+       corner p[-1][-1], n2+1+x = top row p[x][-1] */
+    if (y0 > 0 && x0 > 0 && avail[(y0 - 1) * pw + (x0 - 1)]) {
+        vals[n2] = plane[(y0 - 1) * pw + (x0 - 1)];
+        have[n2] = 1;
+    }
+    if (x0 > 0) {
+        long m = ph - y0; if (m > n2) m = n2;
+        for (long k = 0; k < m; k++) {
+            vals[n2 - 1 - k] = plane[(y0 + k) * pw + (x0 - 1)];
+            have[n2 - 1 - k] = avail[(y0 + k) * pw + (x0 - 1)];
+        }
+    }
+    if (y0 > 0) {
+        long m = pw - x0; if (m > n2) m = n2;
+        for (long k = 0; k < m; k++) {
+            vals[n2 + 1 + k] = plane[(y0 - 1) * pw + (x0 + k)];
+            have[n2 + 1 + k] = avail[(y0 - 1) * pw + (x0 + k)];
+        }
+    }
+    long navail = 0;
+    for (long i = 0; i < total; i++) navail += have[i];
+    if (navail == 0) {
+        for (long i = 0; i < total; i++) vals[i] = 128;
+    } else if (navail < total) {
+        if (!have[0]) {
+            long f = 0;
+            while (!have[f]) f++;
+            vals[0] = vals[f];
+            have[0] = 1;
+        }
+        for (long i = 1; i < total; i++)
+            if (!have[i]) vals[i] = vals[i - 1];
+    }
+    long long corner = vals[n2];
+    long long left[64], top[64];
+    for (long k = 0; k < n2; k++) {
+        left[k] = vals[n2 - 1 - k];
+        top[k] = vals[n2 + 1 + k];
+    }
+
+    /* 8.4.4.2.3 smoothing */
+    if (c_idx == 0 && mode != 1 && n > 4) {
+        long dist = mode - 26; if (dist < 0) dist = -dist;
+        long d2 = mode - 10; if (d2 < 0) d2 = -d2;
+        if (d2 < dist) dist = d2;
+        long thres = (n == 8) ? 7 : (n == 16) ? 1 : (n == 32) ? 0 : 10;
+        if (mode == 0 || dist > thres) {
+            long long gt = corner + top[n2 - 1] - 2 * top[n - 1];
+            long long gl = corner + left[n2 - 1] - 2 * left[n - 1];
+            if (gt < 0) gt = -gt;
+            if (gl < 0) gl = -gl;
+            if (strong && n == 32 && gt < 8 && gl < 8) {
+                long long tl = top[n2 - 1], ll = left[n2 - 1];
+                for (long i = 0; i < n2 - 1; i++) {
+                    top[i] = ((63 - i) * corner + (i + 1) * tl + 32) >> 6;
+                    left[i] = ((63 - i) * corner + (i + 1) * ll + 32) >> 6;
+                }
+            } else {
+                long long fl[64], ft[64];
+                long long fc = (left[0] + 2 * corner + top[0] + 2) >> 2;
+                fl[0] = (corner + 2 * left[0] + left[1] + 2) >> 2;
+                ft[0] = (corner + 2 * top[0] + top[1] + 2) >> 2;
+                for (long i = 1; i < n2 - 1; i++) {
+                    fl[i] = (left[i - 1] + 2 * left[i] + left[i + 1] + 2) >> 2;
+                    ft[i] = (top[i - 1] + 2 * top[i] + top[i + 1] + 2) >> 2;
+                }
+                fl[n2 - 1] = left[n2 - 1];
+                ft[n2 - 1] = top[n2 - 1];
+                memcpy(left, fl, sizeof(long long) * (size_t)n2);
+                memcpy(top, ft, sizeof(long long) * (size_t)n2);
+                corner = fc;
+            }
+        }
+    }
+
+    long long pred[32 * 32];
+    long shift = 0;
+    { long t = n; while (t) { shift++; t >>= 1; } } /* == bit_length */
+    if (mode == 0) { /* planar 8.4.4.2.4 */
+        long long tn = top[n], ln = left[n];
+        for (long yy = 0; yy < n; yy++)
+            for (long xx = 0; xx < n; xx++)
+                pred[yy * n + xx] =
+                    ((n - 1 - xx) * left[yy] + (xx + 1) * tn
+                     + (n - 1 - yy) * top[xx] + (yy + 1) * ln + n) >> shift;
+    } else if (mode == 1) { /* DC 8.4.4.2.5 */
+        long long s = 0;
+        for (long k = 0; k < n; k++) s += top[k] + left[k];
+        long long dc = (s + n) >> shift;
+        for (long i = 0; i < n * n; i++) pred[i] = dc;
+        if (c_idx == 0 && n < 32) {
+            for (long xx = 1; xx < n; xx++)
+                pred[xx] = (top[xx] + 3 * dc + 2) >> 2;
+            for (long yy = 1; yy < n; yy++)
+                pred[yy * n] = (left[yy] + 3 * dc + 2) >> 2;
+            pred[0] = (left[0] + 2 * dc + top[0] + 2) >> 2;
+        }
+    } else { /* angular 8.4.4.2.6 */
+        long long angle = PRED_ANGLE_T[mode - 2];
+        long long ref[98]; /* 3*32 + 2 */
+        long base = n;
+        const long long *main_a = (mode >= 18) ? top : left;
+        const long long *side_a = (mode >= 18) ? left : top;
+        for (long i = 0; i < 3 * n + 2; i++) ref[i] = 0;
+        ref[base] = corner;
+        for (long k = 0; k < n2; k++) ref[base + 1 + k] = main_a[k];
+        if (angle < 0) {
+            long lo = (long)((n * angle) >> 5);
+            if (lo < -1) {
+                long long inv = INV_ANGLE_T[mode - 2];
+                for (long x = -1; x >= lo; x--) {
+                    long long idx = ((x * inv + 128) >> 8) - 1;
+                    long long v;
+                    if (idx < 0) v = corner;
+                    else {
+                        long ci = (long)idx;
+                        if (ci > n2 - 1) ci = n2 - 1;
+                        v = side_a[ci];
+                    }
+                    ref[base + x] = v;
+                }
+            }
+        }
+        if (mode >= 18) { /* vertical arm */
+            for (long yy = 0; yy < n; yy++) {
+                long long ia = (yy + 1) * angle;
+                long ii = (long)(ia >> 5);
+                long long ff = ia & 31;
+                const long long *r = ref + base + 1 + ii;
+                for (long xx = 0; xx < n; xx++)
+                    pred[yy * n + xx] =
+                        ((32 - ff) * r[xx] + ff * r[xx + 1] + 16) >> 5;
+            }
+            if (mode == 26 && c_idx == 0 && n < 32) {
+                long long t0v = top[0];
+                for (long yy = 0; yy < n; yy++) {
+                    long long v = t0v + ((left[yy] - corner) >> 1);
+                    if (v < 0) v = 0; else if (v > 255) v = 255;
+                    pred[yy * n] = v;
+                }
+            }
+        } else { /* horizontal arm, modes 2..17 */
+            for (long xx = 0; xx < n; xx++) {
+                long long ia = (xx + 1) * angle;
+                long ii = (long)(ia >> 5);
+                long long ff = ia & 31;
+                const long long *r = ref + base + 1 + ii;
+                for (long yy = 0; yy < n; yy++)
+                    pred[yy * n + xx] =
+                        ((32 - ff) * r[yy] + ff * r[yy + 1] + 16) >> 5;
+            }
+            if (mode == 10 && c_idx == 0 && n < 32) {
+                long long l0v = left[0];
+                for (long xx = 0; xx < n; xx++) {
+                    long long v = l0v + ((top[xx] - corner) >> 1);
+                    if (v < 0) v = 0; else if (v > 255) v = 255;
+                    pred[xx] = v;
+                }
+            }
+        }
+    }
+
+    for (long yy = 0; yy < n; yy++) {
+        long long *prow = plane + (y0 + yy) * pw + x0;
+        const long long *rr = res ? res + yy * n : 0;
+        for (long xx = 0; xx < n; xx++) {
+            long long v = pred[yy * n + xx] + (rr ? rr[xx] : 0);
+            if (v < 0) v = 0; else if (v > 255) v = 255;
+            prow[xx] = v;
+        }
+    }
+    if (set_avail)
+        for (long yy = 0; yy < n; yy++)
+            memset(avail + (y0 + yy) * pw + x0, 1, (size_t)n);
+}
 """
 
 _LIB = None
@@ -663,6 +906,22 @@ def _build_and_load():
     lib.hevc_mc_luma.restype = None
     lib.hevc_mc_chroma.argtypes = mc_sig
     lib.hevc_mc_chroma.restype = None
+    lib.hevc_inter_pred.argtypes = [
+        i64, i64,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, i64, ctypes.c_long,
+    ]
+    lib.hevc_inter_pred.restype = None
+    lib.hevcres_set_intra.argtypes = [i64, i64]
+    lib.hevcres_set_intra.restype = None
+    lib.hevc_intra_recon.argtypes = [
+        i64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        i64, ctypes.c_long,
+    ]
+    lib.hevc_intra_recon.restype = None
     return lib
 
 

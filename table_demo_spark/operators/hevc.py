@@ -183,15 +183,26 @@ def hevc_init_state(init_value: int, qp: int) -> list:
     return [pre - 64, 1]
 
 
+_CTX_TEMPLATES: dict = {}
+
+
 class _Ctx:
     """Per-slice context variables: one [pStateIdx, valMps] list per
     (element, ctxInc), initialised eagerly at SliceQpY with initType 0
-    (I slices — 9.3.2.2 Table 9-4)."""
+    (I slices — 9.3.2.2 Table 9-4).  The 9.3.2.2 init math is a pure
+    function of (qp, init_type), so the computed table is memoized
+    once per pair and each slice takes a fresh mutable copy."""
 
     def __init__(self, qp: int, init_type: int = 0) -> None:
+        key = (qp, init_type)
+        tmpl = _CTX_TEMPLATES.get(key)
+        if tmpl is None:
+            tmpl = _CTX_TEMPLATES[key] = {
+                name: [hevc_init_state(v, qp) for v in rows[init_type]]
+                for name, rows in HEVC_CTX_INIT.items()
+            }
         self.states = {
-            name: [hevc_init_state(v, qp) for v in rows[init_type]]
-            for name, rows in HEVC_CTX_INIT.items()
+            name: [s.copy() for s in rows] for name, rows in tmpl.items()
         }
 
     def get(self, name: str, inc: int) -> list:
@@ -585,6 +596,7 @@ def _scan(n: int, idx: int) -> list[tuple[int, int]]:
 
 HEVC_NATIVE_RESIDUAL = os.environ.get("TDS_HEVC_NATIVE", "1") != "0"
 _I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
 
 # (family, state count) pairs, in the byte-buffer order the C kernel's
 # CS_* offsets assume.
@@ -655,6 +667,12 @@ def _native_lib():
                     _mat(_transform_matrix(16, False)),
                     _mat(_transform_matrix(32, False)),
                     _mat(_DST4),
+                )
+                lib.hevcres_set_intra(
+                    (ctypes.c_int64 * 33)(*_PRED_ANGLE),
+                    (ctypes.c_int64 * 33)(
+                        *(_INV_ANGLE.get(a, 0) for a in _PRED_ANGLE)
+                    ),
                 )
                 _NATIVE_LIB = lib
         except Exception:
@@ -1347,14 +1365,26 @@ class HevcIntraSliceDecoder:
                     raise ValueError("HEVC: transform_skip unsupported")
                 br = dec.br
                 data = br.data
-                io = (ctypes.c_int64 * 3)(br.bitpos, dec.range, dec.offset)
-                n = 1 << log2_size
-                res = np.empty(n * n, np.int64)
-                out_n = (ctypes.c_int64 * 1)()
+                # per-decoder scratch (buffer + pointer + io triple):
+                # every caller consumes the returned view before the
+                # next _residual_res call, so reuse is safe and saves
+                # an allocation + two ctypes conversions per TU
+                sc = getattr(self, "_rs", None)
+                if sc is None:
+                    buf = np.empty(32 * 32, np.int64)
+                    sc = self._rs = (
+                        buf,
+                        buf.ctypes.data_as(_I64P),
+                        (ctypes.c_int64 * 3)(),
+                        (ctypes.c_int64 * 1)(),
+                    )
+                buf, buf_p, io, out_n = sc
+                io[0] = br.bitpos
+                io[1] = dec.range
+                io[2] = dec.offset
                 rc = lib.hevc_residual_tx(
                     data, len(data), io, _res_ctx_buf(ctx), log2_size,
-                    c_idx, scan_idx, qp, int(use_dst),
-                    res.ctypes.data_as(_I64P), out_n,
+                    c_idx, scan_idx, qp, int(use_dst), buf_p, out_n,
                 )
                 if rc != 0:
                     if rc == -2:
@@ -1364,7 +1394,8 @@ class HevcIntraSliceDecoder:
                 dec.range = io[1]
                 dec.offset = io[2]
                 self.n_coeff += out_n[0]
-                return res.reshape(n, n)
+                n = 1 << log2_size
+                return buf[:n * n].reshape(n, n)
         levels = self._residual(dec, ctx, log2_size, c_idx, pred_mode)
         return _inverse_transform(
             _dequant(levels, qp, log2_size), dst=use_dst
@@ -1475,6 +1506,48 @@ class HevcIntraSliceDecoder:
             plane, avail = self.cb, self.c_avail
         else:
             plane, avail = self.cr, self.c_avail
+        if HEVC_NATIVE_RESIDUAL and (
+            res is None
+            or (res.dtype == np.int64 and res.flags.c_contiguous)
+        ):
+            lib = _native_lib()
+            if lib is not None:
+                # fused 8.4.4.2 pred + add-residual + clip + store +
+                # availability marking (same semantics as the pure
+                # chain below; A/B-fuzzed in tests/test_hevc_native.py).
+                # Plane/avail pointers are per-decoder constants (the
+                # arrays are allocated once in __init__, np.zeros ->
+                # C-contiguous, and never reassigned) — cached here.
+                ptrs = getattr(self, "_nat_ptrs", None)
+                if ptrs is None:
+                    ptrs = self._nat_ptrs = (
+                        (
+                            self.y.ctypes.data_as(_I64P),
+                            self.y_avail.ctypes.data_as(_U8P),
+                            self.y.shape[0], self.y.shape[1],
+                        ),
+                        (
+                            self.cb.ctypes.data_as(_I64P),
+                            self.c_avail.ctypes.data_as(_U8P),
+                            self.cb.shape[0], self.cb.shape[1],
+                        ),
+                        (
+                            self.cr.ctypes.data_as(_I64P),
+                            self.c_avail.ctypes.data_as(_U8P),
+                            self.cr.shape[0], self.cr.shape[1],
+                        ),
+                    )
+                    self._nat_strong = int(
+                        bool(self.sps["strong_intra_smoothing"])
+                    )
+                pp, ap, p_h, p_w = ptrs[c_idx]
+                lib.hevc_intra_recon(
+                    pp, ap, p_h, p_w, x0, y0, n, mode, c_idx,
+                    self._nat_strong,
+                    None if res is None else res.ctypes.data_as(_I64P),
+                    int(c_idx != 2),
+                )
+                return
         pred = self._intra_pred(plane, avail, x0, y0, n, mode, c_idx)
         if res is not None:
             pred = pred + res
@@ -2122,6 +2195,60 @@ class HevcInterSliceDecoder(HevcIntraSliceDecoder):
             self.n_uni[0 if pf0 else 1] += 1
         nc = n >> 1
         xc, yc = x0 >> 1, y0 >> 1
+        if HEVC_NATIVE_RESIDUAL:
+            lib = _native_lib()
+            if lib is not None:
+                # per-decoder pointer cache: refs and picture planes
+                # are allocated once in __init__ (contiguous int64 by
+                # construction) and never reassigned
+                cache = getattr(self, "_ipred_cache", None)
+                if cache is None:
+                    ok = all(
+                        _mc_native_ok(p) for r in self.refs for p in r
+                    ) and all(
+                        pl.dtype == np.int64 and pl.flags.c_contiguous
+                        for pl in (self.y, self.cb, self.cr)
+                    )
+                    if ok:
+                        cache = (
+                            [
+                                tuple(
+                                    p.ctypes.data_as(_I64P) for p in r
+                                )
+                                for r in self.refs
+                            ],
+                            (
+                                self.y.ctypes.data_as(_I64P),
+                                self.cb.ctypes.data_as(_I64P),
+                                self.cr.ctypes.data_as(_I64P),
+                            ),
+                            self.cb.shape,
+                        )
+                    else:
+                        cache = False
+                    self._ipred_cache = cache
+                if cache is not False:
+                    refp, planep, (ch, cw) = cache
+                    r0 = refp[0] if pf0 else None
+                    r1 = refp[1] if pf1 else None
+                    mx0, my0 = mv0 if pf0 else (0, 0)
+                    mx1, my1 = mv1 if pf1 else (0, 0)
+                    lib.hevc_inter_pred(
+                        r0[0] if r0 else None, r1[0] if r1 else None,
+                        self.h, self.w, x0, y0, n,
+                        mx0, my0, mx1, my1, 1, planep[0], self.w,
+                    )
+                    lib.hevc_inter_pred(
+                        r0[1] if r0 else None, r1[1] if r1 else None,
+                        ch, cw, xc, yc, nc,
+                        mx0, my0, mx1, my1, 0, planep[1], cw,
+                    )
+                    lib.hevc_inter_pred(
+                        r0[2] if r0 else None, r1[2] if r1 else None,
+                        ch, cw, xc, yc, nc,
+                        mx0, my0, mx1, my1, 0, planep[2], cw,
+                    )
+                    return
         planes = ((self.y, x0, y0, n), (self.cb, xc, yc, nc),
                   (self.cr, xc, yc, nc))
         raws = [[], [], []]

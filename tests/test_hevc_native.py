@@ -165,6 +165,120 @@ def test_native_mc_kernels_match_pure_exhaustive():
         hevc.HEVC_NATIVE_RESIDUAL = saved
 
 
+@pytest.mark.skipif(not _NATIVE, reason="native kernel unavailable")
+def test_native_inter_pred_fused_matches_pure():
+    """The fused hevc_inter_pred (MC + uni/bi rounding + clip +
+    store) vs the pure _inter_pred_cu chain: uni-L0 / uni-L1 / bi,
+    all block sizes, fractional and far out-of-picture MVs."""
+    rng = np.random.RandomState(11)
+
+    def _stub():
+        # real class without __init__ so the pure path's _mc_*_raw
+        # methods resolve
+        return hevc.HevcInterSliceDecoder.__new__(
+            hevc.HevcInterSliceDecoder
+        )
+
+    fn = hevc.HevcInterSliceDecoder._inter_pred_cu
+    saved = hevc.HEVC_NATIVE_RESIDUAL
+    try:
+        for trial in range(300):
+            h = 32 * int(rng.randint(1, 3))
+            w = 32 * int(rng.randint(1, 3))
+            n = int(rng.choice([8, 16, 32]))
+            x0 = 4 * int(rng.randint((w - n) // 4 + 1))
+            y0 = 4 * int(rng.randint((h - n) // 4 + 1))
+            pf0, pf1 = int(rng.randint(2)), int(rng.randint(2))
+            if not (pf0 or pf1):
+                pf0 = 1
+            mv0 = (int(rng.randint(-200, 200)), int(rng.randint(-200, 200)))
+            mv1 = (int(rng.randint(-200, 200)), int(rng.randint(-200, 200)))
+            mot = (bool(pf0), bool(pf1), mv0, mv1)
+            refs = [
+                tuple(
+                    rng.randint(0, 256, s).astype(np.int64)
+                    for s in ((h, w), (h // 2, w // 2), (h // 2, w // 2))
+                )
+                for _ in range(2)
+            ]
+
+            outs = []
+            for native in (False, True):
+                dec = _stub()
+                dec.h, dec.w = h, w
+                dec.refs = refs
+                dec.n_bi = 0
+                dec.n_uni = [0, 0]
+                dec.y = np.zeros((h, w), np.int64)
+                dec.cb = np.zeros((h // 2, w // 2), np.int64)
+                dec.cr = np.zeros((h // 2, w // 2), np.int64)
+                hevc.HEVC_NATIVE_RESIDUAL = native
+                fn(dec, x0, y0, n, mot)
+                outs.append((dec.y, dec.cb, dec.cr))
+            key = (trial, n, x0, y0, pf0, pf1, mv0, mv1)
+            for a, b in zip(*outs):
+                assert (a == b).all(), key
+    finally:
+        hevc.HEVC_NATIVE_RESIDUAL = saved
+
+
+@pytest.mark.skipif(not _NATIVE, reason="native kernel unavailable")
+def test_native_intra_recon_matches_pure_fuzz():
+    """hevc_intra_recon vs the pure _intra_pred + reconstruct chain:
+    randomized over all 35 modes, every TU size, random availability
+    masks, block positions incl. picture edges (partial 2n runs),
+    with/without residual, both strong-smoothing settings, plus
+    flat-plane trials that force the strong bilinear arm."""
+    lib = hevc._native_lib()
+    assert lib is not None
+    rng = np.random.RandomState(0xA5)
+
+    class _Stub:
+        pass
+
+    dec = _Stub()
+    pure = hevc.HevcIntraSliceDecoder._intra_pred
+    for trial in range(1500):
+        n = int(rng.choice([4, 8, 16, 32]))
+        strong = bool(rng.randint(2))
+        dec.sps = {"strong_intra_smoothing": strong}
+        ph = n * int(rng.randint(1, 4))
+        pw = n * int(rng.randint(1, 4))
+        x0 = n * int(rng.randint(pw // n))
+        y0 = n * int(rng.randint(ph // n))
+        mode = int(rng.randint(35))
+        c_idx = int(rng.randint(3))
+        if trial % 7 == 0:
+            # constant plane: zero corner gradients -> the strong
+            # bilinear arm fires whenever strong and n == 32
+            plane = np.full((ph, pw), int(rng.randint(256)), np.int64)
+        else:
+            plane = rng.randint(0, 256, (ph, pw)).astype(np.int64)
+        avail = rng.randint(0, 2, (ph, pw)).astype(bool)
+        res = None
+        if rng.randint(2):
+            res = rng.randint(-128, 128, (n, n)).astype(np.int64)
+
+        plane_p, avail_p = plane.copy(), avail.copy()
+        pred = pure(dec, plane_p, avail_p, x0, y0, n, mode, c_idx)
+        out = pred if res is None else pred + res
+        plane_p[y0:y0 + n, x0:x0 + n] = np.clip(out, 0, 255)
+        if c_idx != 2:
+            avail_p[y0:y0 + n, x0:x0 + n] = True
+
+        plane_n, avail_n = plane.copy(), avail.copy()
+        lib.hevc_intra_recon(
+            plane_n.ctypes.data_as(hevc._I64P),
+            avail_n.ctypes.data_as(hevc._U8P),
+            ph, pw, x0, y0, n, mode, c_idx, int(strong),
+            None if res is None else res.ctypes.data_as(hevc._I64P),
+            int(c_idx != 2),
+        )
+        key = (trial, n, mode, c_idx, strong, x0, y0)
+        assert (plane_n == plane_p).all(), key
+        assert (avail_n == avail_p).all(), key
+
+
 def test_unescape_splice_matches_reference_scan():
     """The find/splice unescape vs the per-byte reference scan, over
     a dense 00/03-biased fuzz corpus plus the known edge shapes."""
