@@ -52,7 +52,16 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> Data
     ``.repartition("src").persist()`` at 9.9-11.0 s — caching
     materializes the edges through the block manager and fences off
     whole-stage codegen, while ReusedExchange already gives the
-    reuse for free from shuffle files. The materialize-the-iteration-
+    reuse for free from shuffle files.
+
+    Deliberately NOT localCheckpoint'ed either (the r15-opt deferred
+    re-A/B, now run): interleaved 3-round A/B at sf0.1, identical
+    output values in all variants — this shape warm 7.4-7.5 s;
+    eager localCheckpoint of the edge invariant 10.0-11.2 s;
+    additionally checkpointing each iteration's rank frame
+    10.9-12.2 s. Same mechanism as the persist loss: block-manager
+    materialization + codegen fences cost more than the ~100 k-char
+    unrolled plan saves at 3 iterations. The materialize-the-iteration-
     invariant rule only pays when reuse can't come from an exchange
     (operators/bpe.py's rewrite is the opposite call, decided by the
     same measurement discipline)."""
