@@ -4289,28 +4289,36 @@ def run_q41_pipeline_ingest(
         "overwrite"
     ).parquet(fp_dir + "/bands")
     # offline artifact 2: the temperature manifest (q40's p17 math,
-    # BIGINT-exact), collected — |sources| rows by construction
-    total = docs.count()
+    # BIGINT-exact), collected — |sources| rows by construction. ONE
+    # distributed job (the per-source counts); total/isqrt/quota/thresh
+    # are derived driver-side from those counts in exact non-negative
+    # integer arithmetic (math.isqrt == the SQL's floor(sqrt(double))
+    # +-1 correction by that correction's own design; Python // ==
+    # Spark DIV == DuckDB // on non-negative BIGINTs), replacing the
+    # three-job chain (count, wsum agg, manifest collect) this offline
+    # phase used to pay — guide §5, fewer driver round-trips. Manifest
+    # values are bit-identical by construction (pinned by
+    # tests/test_streaming_pipeline.py's q41 oracle gate).
+    import math
+
+    per_n = {
+        r["source"]: int(r["n"])
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(per_n.values())
     budget = total // 2
-    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    k0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
-    isq = (
-        k0 - (k0 * k0 > F.col("n")).cast("long")
-        + ((k0 + 1) * (k0 + 1) <= F.col("n")).cast("long")
-    )
-    per = per.withColumn("w", isq)
-    wsum = per.agg(F.sum("w")).collect()[0][0]
+    wsum = sum(math.isqrt(n) for n in per_n.values())
     manifest = [
-        (r["source"], int(r["thresh"]))
-        for r in per.withColumn(
-            "quota", F.expr(f"CAST(({budget} * w) DIV {wsum} AS BIGINT)")
-        ).withColumn(
-            "thresh",
-            F.least(
-                F.lit(1 << 20).cast("long"),
-                F.expr(f"CAST((quota * {1 << 20}) DIV n AS BIGINT)"),
+        (
+            src,
+            min(
+                1 << 20,
+                ((budget * math.isqrt(n)) // wsum << 20) // n,
             ),
-        ).collect()
+        )
+        for src, n in per_n.items()
     ]
     # offline artifacts 3 + 4: the tokenizer vocabulary (q26) and the
     # per-source compression dictionaries (q37)
