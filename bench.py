@@ -416,18 +416,29 @@ def main() -> None:
     # Key order matters: the driver archives only the TAIL of this line
     # (last ~2000 chars), so the headline totals go LAST — the per-query
     # map may be truncated, but value/n_queries/sf always survive.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "value": total,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+            "value": total,
+        }
     )
+    # The r15 PERF comparison lost its baseline to stdout truncation
+    # (BENCH_r14 parsed: null).  Persist the same JSON to a stable file
+    # path in the same run so the next round's comparison can always
+    # recover the full per-query map even if the captured line is cut.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_last.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not break the bench contract
+    print(line)
 
 
 if __name__ == "__main__":

@@ -284,10 +284,35 @@ def encode_heif(
 
 def decode_heif(data: bytes):
     """Decode a HEIF container's primary image to 8-bit YCbCr 4:2:0
-    numpy planes ``(y, cb, cr)`` through libheif's priority plugin
-    (dav1d for AVIF, libde265 for HEIC).  Raises ValueError on any
-    container/codec error (truncation, bad payloads —
-    negative-tested)."""
+    numpy planes ``(y, cb, cr)``: AVIF-brand containers through
+    libavif + dav1d (single-threaded), everything else through
+    libheif's priority plugin (libde265 for HEIC).  Raises ValueError
+    on any container/codec error (truncation, bad payloads —
+    negative-tested).
+
+    Why the AVIF split (r16, guide §4.5): libheif 1.15.1's dav1d
+    plugin creates a fresh ncpu-sized dav1d thread pool PER DECODE
+    and exposes no thread knob (decoder_id is dead — r13 probe).
+    Measured: +32 threads spawned per decode, 8–19 ms/decode vs
+    0.6 ms through libavif's default maxThreads=1 — and under 32
+    concurrent Spark workers the ~1000-thread churn was m47/q43's
+    5–7x run-to-run variance and inverse core scaling.  Same dav1d
+    codebase on both routes; decode output proven bit-identical
+    (tests/test_operators.py pins it), so the adjudication is
+    unchanged."""
+    if len(data) >= 12 and data[4:8] == b"ftyp" and data[8:12] == b"avif":
+        try:
+            return decode_avif_libavif(data, AVIF_CODEC_DAV1D)
+        except ImportError:  # pragma: no cover - libavif ships in-container
+            pass  # fall back to the libheif plugin path below
+    return _decode_heif_libheif(data)
+
+
+def _decode_heif_libheif(data: bytes):
+    """The libheif-plugin decode path (dav1d for AVIF, libde265 for
+    HEIC) — the pre-r16 :func:`decode_heif` body, kept as the HEIC
+    route, the no-libavif fallback, and the A/B reference for the
+    libavif fast path's bit-equality pin."""
     h = _heif()
     ctx = h.heif_context_alloc()
     handle = ctypes.c_void_p()

@@ -55,58 +55,55 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_q8_retract_delete",
     "stream_q9_debug_sink",
     "stream_q10_ttl_expiry",
-    # zero-external-evidence pins (r14 verdict #1): the three queries
-    # that landed after the r14 sample was pinned — the only registry
-    # names with no CORRECTNESS_r*.json row.  Close the union to
-    # 300/300.
-    "stream_q44_watermark_eviction",
-    "an_a81_measure_unpivot",
-    "an_a82_lateral_topk",
-    # r15 LRU rotation (threshold: last verified <= r7; the rotation
+    # r15-verdict item 7 pins: stream_q41 + the BPE flagships carry the
+    # round-15 semantic edits (run-parity rewrite, manifest collapse)
+    # that no driver sample has yet verified externally.
+    "stream_q41_pipeline_ingest",
+    "llm_t31_bpe_batched_train",
+    "llm_t20_bpe_train",
+    # src_* family pin (no src_* is in the due cohort; s4 is the
+    # least-recently-verified at r9)
+    "src_s4_partitioned_events",
+    # r16 LRU rotation (threshold: last verified <= r8; the rotation
     # test recomputes this from the committed CORRECTNESS_r*.json
-    # artifacts).  30 of the 37 remaining due names, oldest first: the
-    # whole last-verified-r6 stratum (an_a64-a74 evens), then the r7
-    # stratum favouring the stateful streaming queries (they churn
-    # most) — leaves an_a52/a53/a54/a55/a61 + stream_q17/q21 due for
-    # r16, where they are the oldest of all.
-    "an_a64_label_propagation",
-    "an_a66_local_supplier_volume",
-    "an_a68_promotion_effect",
-    "an_a70_shipping_priority",
-    "an_a72_revenue_forecast",
-    "an_a74_audience_overlap",
-    "an_a45_waiting_suppliers",
-    "an_a47_incremental_mv",
-    "an_a48_max_concurrency",
-    "an_a49_custdist",
-    "an_a50_hot_key_join",
-    "llm_d10_paragraph_dedup",
-    "llm_d8_semantic_dedup",
-    "llm_d9_containment_pairs",
-    "llm_m25_flac_lpc",
-    "llm_m26_stereo_flac",
-    "llm_m3_feature_extract",
-    "llm_m4_audio_chunks",
-    "llm_p5_chunk_overlap",
-    "llm_p6_domain_mix",
-    "llm_s4_quantize_int8",
-    "llm_s6_ann_recall",
-    "llm_t7_stopword_scrub",
-    "llm_t9_repetition_signals",
-    # src_* family pin (no src_* is in the due cohort; s7 is the
-    # least-recently-verified at r8)
-    "src_s7_schema_evolution",
-    "stream_q11_csv_gzip_source",
-    "stream_q12_left_outer_join",
-    "stream_q13_sliding_window",
-    "stream_q15_running_totals",
-    "stream_q19_anti_join",
-    # r15 new queries land here (no CORRECTNESS row yet ->
-    # oldest-of-all, so they keep the due-count intact; stream_q20
-    # yields its slot to llm_m60 and rejoins the r16 LRU cohort).
-    "llm_m58_hevc_pslice_decode",
-    "llm_m59_hevc_bslice_decode",
-    "llm_m60_hevc_tmvp_decode",
+    # artifacts).  32 of the 43 due names, oldest first: the two
+    # never-verified r15 late additions (no CORRECTNESS row at all),
+    # the whole last-verified-r7 stratum, then 22 of the 33-name r8
+    # stratum spanning every llm sub-family — leaves llm_p14/p15/p7/p8
+    # + llm_t18/t19/t21-t24/t34 due for r17, where they are the oldest
+    # of all.
+    "llm_m61_av1_symbol_encode",
+    "stream_q46_bvideo_ingest",
+    "an_a52_important_parts",
+    "an_a53_top_supplier",
+    "an_a54_supplier_relationship",
+    "an_a55_small_qty_revenue",
+    "an_a61_shortest_path",
+    "stream_q17_fanout",
+    "stream_q20_semi_join",
+    "stream_q21_dead_letter",
+    "an_a1_pricing_summary",
+    "an_a2_revenue_by_nation",
+    "an_a56_large_volume_customers",
+    "an_a57_excess_shipment_suppliers",
+    "an_a58_global_sales_opportunity",
+    "llm_d14_url_dedup",
+    "llm_d15_bloom_filter",
+    "llm_d17_simhash_pairs",
+    "llm_d18_ingest_dedup",
+    "llm_d19_quality_dedup",
+    "llm_m10_pair_audit",
+    "llm_m5_payload_sig_dedup",
+    "llm_m7_image_patches",
+    "llm_m8_modality_router",
+    "llm_p10_curriculum",
+    "llm_p11_group_split",
+    "llm_p12_length_batching",
+    "llm_p13_corpus_manifest",
+    "llm_s10_maxsim_pruned",
+    "llm_s11_mips_topk",
+    "llm_s16_binary_hamming",
+    "llm_t11_unigram_freq_score",
 )
 
 

@@ -4297,8 +4297,9 @@ def run_q41_pipeline_ingest(
     # Spark DIV == DuckDB // on non-negative BIGINTs), replacing the
     # three-job chain (count, wsum agg, manifest collect) this offline
     # phase used to pay — guide §5, fewer driver round-trips. Manifest
-    # values are bit-identical by construction (pinned by
-    # tests/test_streaming_pipeline.py's q41 oracle gate).
+    # values are bit-identical by construction (pinned by tests/
+    # test_streaming.py::test_q41_pipeline_restart_replays_byte_stably
+    # and the driver-contract oracle check via _q41_oracle/_p17_oracle).
     import math
 
     per_n = {

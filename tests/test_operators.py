@@ -3335,6 +3335,13 @@ def test_avif_three_independent_decoders_agree_bit_exactly():
     via_heif = heif.decode_heif(lossy)
     for a, b in zip(ref, via_heif):
         assert np.array_equal(a, b), "libheif decode diverged from libavif"
+    # decode_heif's r16 fast path routes AVIF through libavif+dav1d
+    # (single-threaded; libheif's dav1d plugin spawns an ncpu pool per
+    # decode).  Pin the two routes bit-equal on the same stream so the
+    # rerouting can never silently change what any query decodes.
+    via_plugin = heif._decode_heif_libheif(lossy)
+    for a, b in zip(via_heif, via_plugin):
+        assert np.array_equal(a, b), "libavif fast path diverged from libheif"
 
 
 def test_heif_negative_paths_fail_loudly():
