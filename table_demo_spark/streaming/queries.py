@@ -3593,13 +3593,16 @@ def run_q39_decontam_ingest(
         ).isin("0", "1")
 
     # offline: the eval set's fingerprint store (bounded by the eval
-    # set, not the stream)
+    # set, not the stream).  Bands derive from the WRITTEN shingle
+    # store, not the lazy frame — one corpus scan + shingle pass
+    # instead of two (r16, guide §2.3/§5; same artifacts byte-wise:
+    # the store IS tsh's rows).
     docs = load_table(spark, sf_dir, "documents")
     tsh = dedup.shingle_sets(docs.filter(is_test_col()), 2)
     tsh.write.mode("overwrite").parquet(fp_dir + "/sh")
-    dedup.band_keys_frame(dedup.minhash_signatures(tsh)).write.mode(
-        "overwrite"
-    ).parquet(fp_dir + "/bands")
+    dedup.band_keys_frame(
+        dedup.minhash_signatures(spark.read.parquet(fp_dir + "/sh"))
+    ).write.mode("overwrite").parquet(fp_dir + "/bands")
 
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
@@ -4282,12 +4285,14 @@ def run_q41_pipeline_ingest(
         ).isin("0", "1")
 
     docs = load_table(spark, sf_dir, "documents")
-    # offline artifact 1: eval-set fingerprints (q39)
+    # offline artifact 1: eval-set fingerprints (q39's shape — and
+    # q39's r16 rework: bands derive from the WRITTEN shingle store,
+    # one corpus scan + shingle pass instead of two)
     tsh = dedup.shingle_sets(docs.filter(is_test_col()), 2)
     tsh.write.mode("overwrite").parquet(fp_dir + "/sh")
-    dedup.band_keys_frame(dedup.minhash_signatures(tsh)).write.mode(
-        "overwrite"
-    ).parquet(fp_dir + "/bands")
+    dedup.band_keys_frame(
+        dedup.minhash_signatures(spark.read.parquet(fp_dir + "/sh"))
+    ).write.mode("overwrite").parquet(fp_dir + "/bands")
     # offline artifact 2: the temperature manifest (q40's p17 math,
     # BIGINT-exact), collected — |sources| rows by construction. ONE
     # distributed job (the per-source counts); total/isqrt/quota/thresh
